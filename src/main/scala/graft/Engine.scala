@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table catalog for the graft engine.
+  *
+  * Design note (100 TB target): every knob here is chosen so the same code
+  * runs unchanged on a real cluster — AQE on (runtime re-planning, skew-join
+  * splitting, partition coalescing), shuffle partitions sized to the local
+  * harness but overridable, UTC session time zone for engine-independent
+  * timestamp semantics. Nothing in the engine assumes local mode.
+  */
+object Engine {
+
+  /** Build a tuned local session. `cores` maps to local[N] threads; on a real
+    * cluster the same configs apply with master supplied by spark-submit. */
+  def session(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the engine's tuning to an externally-created session (e.g. the
+    * driver harness's). Safe to call repeatedly. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}
+
+/** Loaders for the harness's parquet star schema (TESTDATA.md). Each table is
+  * one parquet directory under the scale-factor dir. Column pruning and
+  * predicate pushdown reach the scan because these return raw relations —
+  * callers compose select/filter lazily. */
+object Tables {
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The harness writes `events.ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's reader rejects. Read nanos as long (legacy conf) and convert
+    * with integer division — `div`, not `/`, because a double round-trip
+    * of epoch-nanos (~1.7e18 > 2^53) would corrupt microseconds. */
+  private def nanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  private[graft] val tsFromNanos = timestamp_micros(expr("ts div 1000"))
+
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = {
+    nanosAsLong(s)
+    load(s, d, "events").withColumn("ts", tsFromNanos)
+  }
+
+  /** Streaming view of the events table (file source). Same nano→micro
+    * conversion, applied on the incremental plan. */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    nanosAsLong(s)
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // The file stream source requires a directory; the harness table is a
+    // single file. Stage a symlink dir (idempotent, no data copy).
+    import java.nio.file.{Files, Paths}
+    val linkDir = Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_stream_src_" + Integer.toHexString(d.hashCode))
+    Files.createDirectories(linkDir)
+    val link = linkDir.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, Paths.get(path))
+    s.readStream.schema(schema).parquet(linkDir.toString).withColumn("ts", tsFromNanos)
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,469 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.Parse
+
+/** The relational query surface (SURVEY.md §2.4–§2.6 + §7.2 step 3).
+  *
+  * Each query is paired with a DuckDB oracle (`oracle` map) that the driver
+  * executes over the same parquet; Spark result and oracle must hash-match.
+  *
+  * Determinism contract for the oracle diff:
+  *  - Float aggregation is order-dependent, so every SUM over doubles is
+  *    computed in exact decimal (inputs have ≤2 decimal digits) and cast
+  *    back to double — identical bits regardless of partitioning/engine.
+  *  - Every oracle query carries a total ORDER BY on its key columns so the
+  *    compare is row-order-proof (Catalyst's EliminateSorts removes these
+  *    sorts under Bench's count(), so they cost nothing at bench time).
+  *
+  * Scale notes are attached per query: which side broadcasts, where the
+  * shuffles are, and why the plan survives 1000 executors.
+  */
+object Queries {
+
+  private val D12 = DecimalType(12, 2) // prices/quantities: ≤ 1e10, 2 digits
+  private val D4 = DecimalType(4, 2) // rates in [0,1]: discount/tax
+  private def dec(c: Column): Column = c.cast(D12)
+  private def rate(c: Column): Column = c.cast(D4)
+  private val one: Column = lit(1).cast(D4)
+  /** Exact decimal sum surfaced as double (order-independent). */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  // ---------------------------------------------------------------------------
+  // Aggregations (reference workload A1–A6 recast on the harness tables)
+  // ---------------------------------------------------------------------------
+
+  /** TPC-H Q1-style pricing summary. One hash-aggregate with map-side partial
+    * aggregation over 6 groups — at 100 TB this is a near-perfect scan:
+    * filter + projection push into parquet, partials shrink each task's
+    * output to 6 rows before the shuffle. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00"))
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") <= cutoff)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .cast("double")
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** A2 analog: per-type event counts + exact value sums. */
+  def eventTypeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+
+  /** A1: global count. */
+  def countAll(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(count(lit(1)).as("num_entries"))
+
+  /** A3 analog: two-key group-by with sort. */
+  def userEventCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** A4 analog: distinct via group-by. */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** A6: limit — made deterministic with a total order (CollectLimit after
+    * a TakeOrderedAndProject, no full sort materialization). */
+  def headEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+      .limit(10)
+
+  /** props JSON probe (SURVEY.md §1.5): one codegen'd get_json_object, no
+    * UDF, no second parse. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .withColumn("k", Parse.jsonKey(col("props"), "k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** F2 analog: native IN-list filter (pushed to the parquet scan). */
+  def filterValid(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .orderBy(col("event_id"))
+
+  /** F3 analog: single-pass CASE classifier + distribution. */
+  def classify(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .withColumn(
+        "event_class",
+        when(col("event_type") === "purchase", 1)
+          .when(col("event_type") === "signup", 2)
+          .otherwise(3))
+      .groupBy(col("event_class"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_class"))
+
+  // ---------------------------------------------------------------------------
+  // Joins (§2.5 — the joins the reference promises at README.md:819)
+  // ---------------------------------------------------------------------------
+
+  /** Broadcast-hash join: customer is the small dim — broadcast() pins the
+    * strategy so the fact side never shuffles. At 100 TB the fact scan
+    * streams through map tasks; only the 6-row aggregate shuffles. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Fact-to-fact equi-join (lineitem ⋈ orders): both sides large → Spark
+    * picks shuffle/sort-merge; AQE converts to broadcast if one side turns
+    * out small, and splits skewed partitions at runtime. */
+  def joinShuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q5-style dim-chain: region→nation→customer broadcast down onto
+    * the orders⋈lineitem fact join. The only large shuffle is on
+    * l_orderkey/o_orderkey; all dim joins are broadcasts. */
+  def joinChain(spark: SparkSession, dir: String): DataFrame = {
+    val dims = broadcast(
+      Tables
+        .region(spark, dir)
+        .filter(col("r_name") === "ASIA")
+        .join(Tables.nation(spark, dir), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(spark, dir), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+    Tables
+      .orders(spark, dir)
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left-semi join (EXISTS). Semi-joins ship only the key column of the
+    * filter side and stop probing on first match. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .join(
+        Tables.lineitem(spark, dir).filter(col("l_quantity") > 45).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"),
+        "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  // ---------------------------------------------------------------------------
+  // Windows / sort / limit / set ops (§2.6)
+  // ---------------------------------------------------------------------------
+
+  /** Top-K per group via row_number — the scalable top-k idiom: one shuffle
+    * on the partition key, no global sort. */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables
+      .orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running sum + lag per user (event-time ordered). Exact decimal framing
+    * keeps the cumulative sum bit-identical to the oracle. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val framed = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        sum(dec(col("value"))).over(framed).cast("double").as("running_value"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Global top-k: ORDER BY + LIMIT → TakeOrderedAndProject (per-partition
+    * heaps, no global sort — the only scalable global-top-k plan). */
+  def orderLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  /** UNION ALL of two filtered views — one scan each, no dedup shuffle. */
+  def unionEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("event_type"))
+    ev.filter(col("event_type") === "purchase")
+      .union(ev.filter(col("event_type") === "error"))
+      .orderBy(col("event_id"))
+  }
+
+  /** ROLLUP grouping sets (beyond the reference's flat group-bys). */
+  def rollupCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact COUNT(DISTINCT) — expands to a two-stage aggregate. */
+  def countDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** HAVING: post-aggregation filter (~66 events/user at every SF). */
+  def havingFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 66)
+      .orderBy(col("user_id"))
+
+  // ---------------------------------------------------------------------------
+  // Event-time operators (tumbling windows, sessionization)
+  // ---------------------------------------------------------------------------
+
+  /** Tumbling 1-hour event-time window — the batch twin of the streaming
+    * windowed aggregation in graft.streaming. */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Sessionization: 30-minute-gap session windows per user. session_window
+    * keys state by (user, session) — at scale this is one shuffle on
+    * user_id and per-key merging, the same operator the streaming path
+    * uses with watermarked state. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Streaming twin of tumblingHourly: file stream → windowed count →
+    * AvailableNow trigger → memory sink. Proves the same plan runs
+    * incrementally with streaming semantics and matches the batch oracle. */
+  def streamHourly(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .eventsStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("n"))
+    val sinkName = "graft_stream_hourly"
+    val q = counts.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy(col("hour_start"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (pricingSummary _),
+    "q02_event_type_agg" -> (eventTypeAgg _),
+    "q03_count_all" -> (countAll _),
+    "q04_user_event_counts" -> (userEventCounts _),
+    "q05_distinct_users" -> (distinctUsers _),
+    "q06_head_events" -> (headEvents _),
+    "q07_json_extract" -> (jsonExtract _),
+    "q08_filter_valid" -> (filterValid _),
+    "q09_classify" -> (classify _),
+    "q10_join_broadcast" -> (joinBroadcast _),
+    "q11_join_shuffle" -> (joinShuffle _),
+    "q12_join_chain" -> (joinChain _),
+    "q13_semi_join" -> (semiJoin _),
+    "q14_anti_join" -> (antiJoin _),
+    "q15_window_topk" -> (windowTopK _),
+    "q16_window_running" -> (windowRunning _),
+    "q17_order_limit" -> (orderLimit _),
+    "q18_union" -> (unionEvents _),
+    "q19_rollup" -> (rollupCounts _),
+    "q20_count_distinct" -> (countDistinctUsers _),
+    "q21_having" -> (havingFilter _),
+    "q22_tumbling_hourly" -> (tumblingHourly _),
+    "q23_sessionize" -> (sessionize _),
+    "q24_stream_hourly" -> (streamHourly _))
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_event_type_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q03_count_all" -> "SELECT COUNT(*) AS num_entries FROM events",
+    "q04_user_event_counts" ->
+      """SELECT user_id, event_type, COUNT(*) AS n FROM events
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q05_distinct_users" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q06_head_events" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id LIMIT 10",
+    "q07_json_extract" ->
+      """SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+        |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q08_filter_valid" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE event_type IN ('purchase', 'signup') ORDER BY event_id""".stripMargin,
+    "q09_classify" ->
+      """SELECT CASE WHEN event_type = 'purchase' THEN 1
+        |            WHEN event_type = 'signup' THEN 2 ELSE 3 END AS event_class,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY event_class""".stripMargin,
+    "q10_join_broadcast" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q11_join_shuffle" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q12_join_chain" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q13_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q16_window_running" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q17_order_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "q18_union" ->
+      """SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, event_type FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q20_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q21_having" ->
+      """SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        |HAVING COUNT(*) > 66 ORDER BY user_id""".stripMargin,
+    "q22_tumbling_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q23_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q24_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin)
+}

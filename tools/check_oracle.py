@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: read Verify.scala output
+(parquet per query + oracle_sql.json), run each oracle in DuckDB over the
+same testdata parquet, and compare schema/rows/hash. Dev tool only."""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+results = {}
+for name in sorted(oracle):
+    sql = oracle[name]
+    pq = f"{out_dir}/{name}"
+    try:
+        spark_df = con.execute(f"SELECT * FROM '{pq}/*.parquet'").df()
+    except Exception as e:
+        results[name] = f"NO-SPARK-OUTPUT {e}"
+        continue
+    try:
+        duck_df = con.execute(sql).df()
+    except Exception as e:
+        results[name] = f"ORACLE-SQL-ERROR {e}"
+        continue
+    # column-name-sorted compare (mirrors driver: sorts columns by name)
+    sc = sorted(spark_df.columns); dc = sorted(duck_df.columns)
+    if sc != dc:
+        results[name] = f"SCHEMA-MISMATCH spark={sc} duck={dc}"
+        continue
+    a = spark_df[sc]; b = duck_df[sc]
+    if len(a) != len(b):
+        results[name] = f"ROWCOUNT-MISMATCH spark={len(a)} duck={len(b)}"
+        continue
+    # row-order-insensitive value compare
+    a2 = a.sort_values(by=sc, na_position="first").reset_index(drop=True)
+    b2 = b.sort_values(by=sc, na_position="first").reset_index(drop=True)
+    try:
+        pd.testing.assert_frame_equal(a2, b2, check_dtype=False, check_exact=True)
+        results[name] = "OK"
+    except AssertionError as e:
+        results[name] = "VALUE-MISMATCH " + str(e).split("\n")[0]
+        # show a small diff sample
+        try:
+            neq = (a2 != b2) & ~(a2.isna() & b2.isna())
+            bad = neq.any(axis=1)
+            if bad.any():
+                i = bad.idxmax()
+                results[name] += f" | first bad row {i}: spark={a2.loc[i].tolist()} duck={b2.loc[i].tolist()}"
+        except Exception:
+            pass
+
+ok = sum(1 for v in results.values() if v == "OK")
+for k, v in results.items():
+    print(("PASS " if v == "OK" else "FAIL ") + k + ("" if v == "OK" else "  " + v))
+print(f"\n{ok}/{len(results)} oracle-checked queries pass")
+# rows-only queries (parquet outputs without oracle entries)
+for pq in sorted(glob.glob(f"{out_dir}/*/")):
+    name = pq.rstrip("/").split("/")[-1]
+    if name not in oracle:
+        try:
+            n = con.execute(f"SELECT count(*) FROM '{pq}/*.parquet'").fetchone()[0]
+            print(f"ROWS-ONLY {name}: {n} rows" + ("  (EMPTY!)" if n == 0 else ""))
+        except Exception as e:
+            print(f"ROWS-ONLY {name}: ERROR {e}")

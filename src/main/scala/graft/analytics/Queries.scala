@@ -193,12 +193,13 @@ object Queries {
       .select(col("o_orderkey"), col("o_orderstatus"))
       .orderBy(col("o_orderkey"))
 
-  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  /** Left-anti join (NOT EXISTS): customers with no high-value orders.
+    * (Plain "no orders" is vacuously empty in this dataset.) */
   def antiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables
       .customer(spark, dir)
       .join(
-        Tables.orders(spark, dir).select(col("o_custkey")),
+        Tables.orders(spark, dir).filter(col("o_totalprice") > 400000).select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"),
         "left_anti")
       .select(col("c_custkey"), col("c_name"))
@@ -416,7 +417,7 @@ object Queries {
         |ORDER BY o_orderkey""".stripMargin,
     "q14_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
     "q15_window_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{Filters, Parse, Sinks}
+
+/** The reference's streaming ETL (SURVEY.md §3.2), fixed and extended.
+  *
+  * Reference shape: Kafka → filter(Python UDF) → from_json → flatten →
+  * parquet sink @10 s trigger (README.md:372–421). Fixed here: single JSON
+  * parse, native filter, one source feeding all sinks via foreachBatch
+  * (the reference re-reads Kafka per sink and deadlocks on sequential
+  * awaitTermination — SURVEY.md §0.2).
+  *
+  * Extensions (§7.4): event-time watermarks, tumbling/session windows,
+  * streaming dedup — all absent in the reference (it is purely stateless)
+  * but required for a pipeline that aggregates at 100 TB.
+  */
+object StreamPipeline {
+
+  /** Kafka-frame stream → flattened valid_events stream (Gen-2 semantics:
+    * keep sword/guild, drop default/malformed). */
+  def extractValidEvents(kafkaFrame: DataFrame): DataFrame =
+    Parse.extractEvents(kafkaFrame).filter(Filters.isValidEvent)
+
+  /** The reference's 3-way demux (rpg_spark_stream.py:60–145) done right:
+    * ONE source, one micro-batch loop, three filtered parquet writes per
+    * batch — instead of three Kafka re-reads and blocking awaits. */
+  def demuxToParquet(parsed: DataFrame, baseDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    parsed.writeStream
+      .option("checkpointLocation", s"$baseDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cls = Filters.classifyEvent(col("event_type"))
+        val routed = batch.withColumn("route", cls).persist()
+        try {
+          Seq((1, "sword_purchases"), (2, "guild_joins"), (3, "default_events")).foreach {
+            case (k, name) =>
+              routed.filter(col("route") === k).drop("route")
+                .write.mode("append").parquet(s"$baseDir/$name")
+          }
+        } finally routed.unpersist()
+        ()
+      }
+      .start()
+
+  /** Windowed event counts with a watermark: append-mode-safe aggregation —
+    * state is bounded by the watermark horizon, the property that keeps
+    * per-executor state finite on an unbounded 100 TB/day stream. */
+  def windowedCounts(events: DataFrame, tsCol: String = "event_time",
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows per host with a gap timeout (streaming sessionization). */
+  def sessionCounts(events: DataFrame, keyCol: String = "Host",
+      tsCol: String = "event_time", gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col(keyCol),
+        col("n_events"))
+
+  /** Streaming dedup within the watermark horizon: exactly-once per key
+    * for late/replayed events without unbounded state. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "event_time", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Run any streaming DataFrame to completion against bounded input and
+    * return the result (AvailableNow + memory sink). Test/verify harness
+    * for streaming plans. */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

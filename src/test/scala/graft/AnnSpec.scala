@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.Ann
+
+/** ANN: brute-force correctness vs driver-side math; LSH recall bounds. */
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def embs = Tables.embeddings(spark, TestSpark.SfDir)
+  def queries = embs.filter($"vec_id" % 100 === 0) // 5 probes at sf0.001
+
+  def scalaCos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  lazy val all = embs.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+
+  def trueTopK(q: Long, k: Int): Seq[Long] = {
+    val qv = all.find(_._1 == q).get._2
+    all.filter(_._1 != q)
+      .map { case (id, v) => (id, scalaCos(qv, v)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k).map(_._1).toSeq
+  }
+
+  test("bruteForceTopK returns the exact top-10 per query") {
+    val got = Ann
+      .bruteForceTopK(queries, embs, "vec_id", "embedding", k = 10)
+      .orderBy($"query_id", $"rank")
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    got.foreach { case (q, neighbors) => assert(neighbors == trueTopK(q, 10)) }
+    assert(got.size == queries.count())
+  }
+
+  test("lshTopK finds a usable fraction of true neighbors (recall@10)") {
+    val got = Ann
+      .lshTopK(queries, embs, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = got.map { case (q, found) =>
+      val truth = trueTopK(q, 10).toSet
+      found.intersect(truth).size.toDouble / truth.size
+    }
+    assert(recalls.nonEmpty)
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.2, s"mean recall@10 = $mean")
+  }
+
+  test("lsh results never outrank brute force (candidates are re-scored exactly)") {
+    val brute = Ann.bruteForceTopK(queries, embs, "vec_id", "embedding", k = 1)
+      .filter($"rank" === 1)
+      .select($"query_id", $"cosine").as[(Long, Double)].collect().toMap
+    Ann.lshTopK(queries, embs, "vec_id", "embedding", k = 1)
+      .filter($"rank" === 1)
+      .select($"query_id", $"cosine").as[(Long, Double)].collect()
+      .foreach { case (q, s) => assert(s <= brute(q) + 1e-12) }
+  }
+}

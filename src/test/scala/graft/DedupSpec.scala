@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Dedup pipelines vs in-engine brute force on real testdata. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def docs = Tables.documents(spark, TestSpark.SfDir)
+
+  test("minhash LSH near-dups == brute-force pairs at jaccard >= 0.95") {
+    val lsh = Dedup
+      .minhashNearDups(docs, "doc_id", "text", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val toks = docs.select($"doc_id".as("tid"), array_distinct(split($"text", " ")).as("toks"))
+    val brute = toks.as("a")
+      .join(toks.as("b"), col("a.tid") < col("b.tid"))
+      .withColumn("j", Dedup.jaccard(col("a.toks"), col("b.toks")))
+      .filter($"j" >= 0.95)
+      .select(col("a.tid"), col("b.tid")).as[(Long, Long)].collect().toSet
+    assert(lsh == brute)
+    assert(brute.nonEmpty) // the corpus genuinely contains near-dups
+  }
+
+  test("exact dedup groups byte-identical content only") {
+    val withDups = docs.select($"doc_id", $"text")
+      .union(docs.filter($"doc_id" < 5).select($"doc_id" + 10000, $"text"))
+    val res = Dedup.exactDedup(withDups, "doc_id", "text")
+    assert(res.count() == docs.count()) // 5 injected copies collapse
+    assert(res.filter($"n_copies" === 2).count() == 5)
+    assert(res.filter($"n_copies" === 2).agg(max("keep_id")).as[Long].head() < 5)
+  }
+
+  test("token-set key is order/multiplicity-invariant") {
+    val keys = Seq("a b c", "c b a", "a a b c c", "a b d")
+      .toDF("text")
+      .select(TextAnalysis.tokenSetKey($"text"))
+      .as[String].collect()
+    assert(keys(0) == keys(1) && keys(1) == keys(2))
+    assert(keys(0) != keys(3))
+  }
+
+  test("simhash close pairs: reported hamming matches recomputation") {
+    val pairs = Dedup.simhashClosePairs(docs, "doc_id", "text", topK = 20)
+    val sigs = docs
+      .select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    pairs.as[(Long, Long, Int)].collect().foreach { case (a, b, h) =>
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) == h)
+    }
+    assert(pairs.count() == 20)
+  }
+
+  test("embedding near-dups only reports pairs above threshold (no false positives)") {
+    val res = Dedup
+      .embeddingNearDups(Tables.embeddings(spark, TestSpark.SfDir), "vec_id", "embedding", 0.4)
+    assert(res.filter($"cosine" < 0.4).count() == 0)
+    assert(res.count() > 0)
+  }
+
+  test("ngram shingles: n=2 produces size-1 shingle count") {
+    val r = Seq("a b c d").toDF("text")
+      .select(Dedup.wordNgrams($"text", 2).as("g"))
+      .select(size($"g")).as[Int].head()
+    assert(r == 3)
+    val single = Seq("solo").toDF("text")
+      .select(Dedup.wordNgrams($"text", 2).as("g"))
+      .select($"g").as[Seq[String]].head()
+    assert(single == Seq("solo"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{EventGen, EventSources}
+import graft.streaming.StreamPipeline
+
+/** Streaming semantics (SURVEY.md §2.8 + §7.4 extensions): the ETL plan
+  * running incrementally, watermarked windows, sessionization, streaming
+  * dedup, and the fixed single-read demux. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def kafkaShapedStream(
+      rows: Seq[(String, Timestamp)]): (MemoryStream[(String, Timestamp)], org.apache.spark.sql.DataFrame) = {
+    val ms = MemoryStream[(String, Timestamp)](spark)
+    ms.addData(rows)
+    (ms, ms.toDF().selectExpr("cast(_1 as binary) as value", "_2 as timestamp"))
+  }
+
+  val corpus = EventGen.corpus(
+    swordPerHost = Map("Player 1" -> 10, "Player 2" -> 20),
+    guildPerHost = Map("Player 1" -> 5),
+    defaults = 3)
+
+  test("streaming ETL equals batch ETL on the same corpus") {
+    val (_, stream) = kafkaShapedStream(corpus)
+    val got = StreamPipeline.runToMemory(
+      spark, StreamPipeline.extractValidEvents(stream), "t_etl")
+    val want = StreamPipeline
+      .extractValidEvents(EventSources.memoryBatch(spark, corpus))
+    assert(got.count() == want.count())
+    assert(got.groupBy("event_type").count().as[(String, Long)].collect().toMap ==
+      want.groupBy("event_type").count().as[(String, Long)].collect().toMap)
+  }
+
+  test("watermarked tumbling windows aggregate event-time correctly") {
+    // Last event is a sentinel far in the future: append mode only emits
+    // windows closed by the watermark, so it flushes the ones under test.
+    val rows = Seq(
+      ("sword_event", "2024-01-01 00:05:00"),
+      ("sword_event", "2024-01-01 00:55:00"),
+      ("sword_event", "2024-01-01 01:05:00"),
+      ("guild_event", "2024-01-01 00:10:00"),
+      ("guild_event", "2024-01-02 00:00:00")).map { case (t, ts) =>
+      (EventGen.json(t, "increase", "x", "h"), Timestamp.valueOf(ts))
+    }
+    val (_, stream) = kafkaShapedStream(rows)
+    val res = StreamPipeline
+      .runToMemory(
+        spark,
+        StreamPipeline.windowedCounts(
+          StreamPipeline.extractValidEvents(stream), watermark = "0 seconds"),
+        "t_win")
+      .as[(Timestamp, String, Long)]
+      .collect()
+      .filter(_._1.before(Timestamp.valueOf("2024-01-02 00:00:00")))
+      .map { case (w, t, n) => (w.toString, t) -> n }
+      .toMap
+    assert(res == Map(
+      ("2024-01-01 00:00:00.0", "sword_event") -> 2L,
+      ("2024-01-01 01:00:00.0", "sword_event") -> 1L,
+      ("2024-01-01 00:00:00.0", "guild_event") -> 1L))
+  }
+
+  test("session windows close after the gap") {
+    // 12:00 sentinel advances the watermark so the earlier sessions close.
+    val rows = Seq("00:00:00", "00:10:00", "00:50:00", "02:00:00", "12:00:00").map { t =>
+      (EventGen.json("sword_event", "increase", "x", "h1"),
+        Timestamp.valueOf(s"2024-01-01 $t"))
+    }
+    val (_, stream) = kafkaShapedStream(rows)
+    val sessions = StreamPipeline
+      .runToMemory(
+        spark,
+        StreamPipeline.sessionCounts(
+          StreamPipeline.extractValidEvents(stream), gap = "30 minutes",
+          watermark = "0 seconds"),
+        "t_sess")
+      .as[(Timestamp, String, Long)]
+      .collect()
+      .filter(_._1.before(Timestamp.valueOf("2024-01-01 12:00:00")))
+      .sortBy(_._1.getTime)
+    // 00:00+00:10 merge (gap<30m); 00:50 separate; 02:00 separate
+    assert(sessions.map(_._3).toSeq == Seq(2L, 1L, 1L))
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed events") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 10).map { i =>
+      // 5 distinct payload ids, each sent twice
+      (s"""{"event_type": "sword_event", "event_detail": "id${i % 5}"}""",
+        new Timestamp(base.getTime + i * 1000))
+    }
+    val (_, stream) = kafkaShapedStream(rows)
+    val deduped = StreamPipeline.runToMemory(
+      spark,
+      StreamPipeline.dedupWithinWatermark(
+        StreamPipeline.extractValidEvents(stream), Seq("event_detail"),
+        watermark = "1 hour"),
+      "t_dedup")
+    assert(deduped.count() == 5)
+  }
+
+  test("demux writes three disjoint parquet routes from one source read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_demux").toString
+    val gen1 = Seq(
+      """{"event_type": "purchase_sword", "sword_type": "iron"}""",
+      """{"event_type": "purchase_sword", "sword_type": "gold"}""",
+      """{"event_type": "join_guild", "guild_name": "g"}""",
+      """{"event_type": "other"}""").zipWithIndex
+      .map { case (j, i) => (j, new Timestamp(1700000000000L + i)) }
+    val (_, stream) = kafkaShapedStream(gen1)
+    val parsed = graft.operators.Parse.parseAndFlatten(
+      graft.operators.Parse.projectRaw(stream), model.EventModel.gen1Schema)
+    val q = StreamPipeline.demuxToParquet(
+      parsed, dir, trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$dir/sword_purchases").count() == 2)
+    assert(spark.read.parquet(s"$dir/guild_joins").count() == 1)
+    assert(spark.read.parquet(s"$dir/default_events").count() == 1)
+  }
+}

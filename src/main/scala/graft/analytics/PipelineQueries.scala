@@ -46,18 +46,35 @@ object PipelineQueries {
     * (lang, source) blocks — the classic blocking tier of a dedup
     * cascade. Fully deterministic → oracle-checked. */
   def ngramBlockedJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables
+    // One shuffle groups each (lang, source) block; each group's pairwise
+    // scores are computed in a typed flatMapGroups with the gram sets held
+    // once in memory — no per-pair array duplication or shuffle. At scale
+    // the block key bounds group size, which is what makes blocking a
+    // linear-shuffle pattern.
+    import spark.implicits._
+    val grams = Tables
       .documents(spark, dir)
       .select(
         col("doc_id"),
         col("lang"),
         col("source"),
         array_distinct(Dedup.wordNgrams(col("text"), 2)).as("grams"))
-    val l = g.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("grams").as("grams_a"))
-    val r = g.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("grams").as("grams_b"))
-    l.join(r, Seq("lang", "source"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Dedup.jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
+      .as[(Long, String, String, Seq[String])]
+    grams
+      .groupByKey { case (_, lang, source, _) => (lang, source) }
+      .flatMapGroups { (_: (String, String), it: Iterator[(Long, String, String, Seq[String])]) =>
+        val docs = it.map { case (id, _, _, g) => (id, g.toSet) }.toArray.sortBy(_._1)
+        for {
+          i <- docs.indices.iterator
+          j <- (i + 1) until docs.length
+        } yield {
+          val (ia, ga) = docs(i); val (ib, gb) = docs(j)
+          val (small, big) = if (ga.size <= gb.size) (ga, gb) else (gb, ga)
+          val ni = small.count(big.contains)
+          (ia, ib, ni.toDouble / (ga.size + gb.size - ni))
+        }
+      }
+      .toDF("id_a", "id_b", "jaccard")
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(100)
   }

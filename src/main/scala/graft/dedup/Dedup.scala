@@ -34,10 +34,12 @@ object Dedup {
 
   /** MinHash parameters. k = bands*rowsPerBand universal hashes
     * h_i(x) = (a_i·x + b_i) mod p over 31-bit token hashes. With the
-    * default 12 bands × 8 rows, a pair at Jaccard 0.95 is missed with
-    * probability (1-0.95^8)^12 ≈ 2·10⁻⁶ — effectively exact at the 0.95
-    * threshold while pruning ~82% of random pairs. */
-  final case class MinHashParams(bands: Int = 12, rowsPerBand: Int = 8, seed: Long = 42L) {
+    * default 16 bands × 12 rows, a pair at Jaccard 0.95 is missed with
+    * probability (1-0.95^12)^16 ≈ 4·10⁻⁶ — effectively exact at the 0.95
+    * threshold — while passing only ~20% of pairs at Jaccard 0.7 (vs ~50%
+    * for 8-row bands): longer bands halve the candidate volume on
+    * high-similarity corpora for the same recall. */
+  final case class MinHashParams(bands: Int = 16, rowsPerBand: Int = 12, seed: Long = 42L) {
     val k: Int = bands * rowsPerBand
     val prime: Long = 2147483647L // 2^31-1; a·x+b ≤ 2^62, ANSI-overflow-safe
     private val rnd = new scala.util.Random(seed)
@@ -45,24 +47,17 @@ object Dedup {
     val bs: Array[Long] = Array.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
   }
 
-  /** 31-bit hashes of the distinct tokens (the shingle set). */
-  def tokenHashes(text: Column): Column =
-    transform(
-      array_distinct(TextAnalysis.tokens(text)),
-      t => xxhash64(t).bitwiseAND(lit(0x7FFFFFFFL)))
+  import graft.functions.MinHashFunctions.{minhash_band_keys, minhash_signature}
 
-  /** k-wide MinHash signature as array<bigint>. Map-only, codegen'd. */
-  def minhashSignature(text: Column, p: MinHashParams = MinHashParams()): Column = {
-    val hashes = tokenHashes(text)
-    val mins = (0 until p.k).map { i =>
-      array_min(transform(hashes, h => pmod(h * lit(p.as(i)) + lit(p.bs(i)), lit(p.prime))))
-    }
-    array(mins: _*)
-  }
+  /** k-wide MinHash signature as array<bigint> — single-pass custom
+    * expression (see MinHashExpressions for why not transform/array_min). */
+  def minhashSignature(text: Column, p: MinHashParams = MinHashParams()): Column =
+    minhash_signature(
+      array_distinct(TextAnalysis.tokens(text)), p.bands, p.rowsPerBand, p.seed)
 
-  /** Banded LSH keys: one 64-bit hash per band of the signature. */
-  def bandKeys(sig: Column, p: MinHashParams = MinHashParams()): Column =
-    array((0 until p.bands).map(i => xxhash64(slice(sig, i * p.rowsPerBand + 1, p.rowsPerBand))): _*)
+  /** Banded LSH keys straight from a (distinct) shingle array. */
+  def bandKeysOf(shingles: Column, p: MinHashParams = MinHashParams()): Column =
+    minhash_band_keys(shingles, p.bands, p.rowsPerBand, p.seed)
 
   /** Candidate pairs via band-bucket equi-join: explode (band_idx, band_key),
     * self-join on the bucket, distinct the pair. The join key is compact
@@ -70,7 +65,9 @@ object Dedup {
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams()): DataFrame = {
     val banded = docs
-      .select(col(idCol).as("id"), bandKeys(minhashSignature(col(textCol), p), p).as("bands"))
+      .select(
+        col(idCol).as("id"),
+        bandKeysOf(array_distinct(TextAnalysis.tokens(col(textCol))), p).as("bands"))
       .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val l = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
     val r = banded.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
@@ -80,24 +77,86 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact token-set Jaccard between two token-array columns. int/int
-    * division → bit-deterministic double. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Exact token-set Jaccard between two DISTINCT-array columns, via
+    * |a∩b| / (|a| + |b| - |a∩b|) — one intersection, no union
+    * materialization. int/int division → bit-deterministic double. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ni = size(array_intersect(a, b))
+    ni.cast("double") / (size(a) + size(b) - ni)
+  }
+
+  /** Jaccard over SORTED distinct arrays: merge-scan intersection (custom
+    * expression) — the hot-path variant for millions of candidate pairs. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val ni = graft.functions.VectorFunctions.sorted_intersect_size(a, b)
+    ni.cast("double") / (size(a) + size(b) - ni)
+  }
 
   /** Near-duplicate pairs: LSH candidates verified with exact Jaccard ≥
-    * threshold. Output (id_a, id_b, jaccard). */
+    * threshold. Output (id_a, id_b, jaccard).
+    *
+    * Two-tier structure (the shape that survives duplicate-heavy corpora):
+    * documents are first canonicalized by exact token-set key. Tier A emits
+    * all intra-group pairs (Jaccard 1.0 by construction) straight from a
+    * group join — no LSH involved. Tier B runs MinHash+LSH over the
+    * DISTINCT sets only, then expands verified set-pairs back to document
+    * pairs. Without this, a group of n identical sets collides in every
+    * band and the bucket join degenerates to bands·n² rows (observed 6× on
+    * the harness corpus: one 248-doc group → 740k pre-distinct rows). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.95, p: MinHashParams = MinHashParams()): DataFrame = {
-    val toks = docs.select(
-      col(idCol).as("tid"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
-    candidatePairs(docs, idCol, textCol, p)
-      .join(toks.select(col("tid").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
-      .join(toks.select(col("tid").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+    import org.apache.spark.storage.StorageLevel
+    // Persisted intermediates are the COMPACTED representations (one row per
+    // distinct set / per doc key): tiny relative to the corpus, reused by
+    // both tiers — without them each reuse re-runs tokenize+minhash.
+    val base = docs
+      .select(
+        col(idCol).as("id"),
+        sort_array(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"),
+        TextAnalysis.tokenSetKey(col(textCol)).as("set_key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val members = base.select(col("set_key"), col("id"))
+
+    // Tier A: identical token sets → all pairs, jaccard exactly 1.0.
+    val tierA = members
+      .select(col("set_key"), col("id").as("id_a"))
+      .join(members.select(col("set_key"), col("id").as("id_b")), Seq("set_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+
+    // Tier B: LSH over one representative per distinct set. Candidate pairs
+    // from a self-join on compact (band_idx, band_key, set_key) rows —
+    // token arrays join in only AFTER distinct, once per unique pair.
+    // (A collect_list+double-explode variant avoids the join but copies
+    // the whole bucket per generated row — measured 2× slower.)
+    val reps = base
+      .groupBy(col("set_key"))
+      .agg(first(col("toks")).as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = reps
+      .select(col("set_key"),
+        posexplode(bandKeysOf(col("toks"), p)).as(Seq("band_idx", "band_key")))
+    val setPairs = banded
+      .select(col("band_idx"), col("band_key"), col("set_key").as("key_a"))
+      .join(banded.select(col("band_idx"), col("band_key"), col("set_key").as("key_b")),
+        Seq("band_idx", "band_key"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"))
+      .distinct()
+      .join(reps.select(col("set_key").as("key_a"), col("toks").as("toks_a")), Seq("key_a"))
+      .join(reps.select(col("set_key").as("key_b"), col("toks").as("toks_b")), Seq("key_b"))
+      .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("key_a"), col("key_b"), col("jaccard"))
+    val tierB = setPairs
+      .join(members.select(col("set_key").as("key_a"), col("id").as("ma")), Seq("key_a"))
+      .join(members.select(col("set_key").as("key_b"), col("id").as("mb")), Seq("key_b"))
+      .select(
+        least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"),
+        col("jaccard"))
+
+    tierA.union(tierB)
   }
 
   /** Character n-gram (shingle) Jaccard variant: same LSH machinery over
@@ -116,16 +175,11 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val grams = docs.select(
       col(idCol).as("tid"),
-      array_distinct(wordNgrams(col(textCol), n)).as("grams"))
-    // Reuse minhash LSH over the shingle strings by hashing grams directly.
+      sort_array(array_distinct(wordNgrams(col(textCol), n))).as("grams"))
+    // Reuse minhash LSH over the shingle strings directly.
     val p = MinHashParams()
-    val hashes = transform(col("grams"), g => xxhash64(g).bitwiseAND(lit(0x7FFFFFFFL)))
-    val mins = (0 until p.k).map { i =>
-      array_min(transform(hashes, h => pmod(h * lit(p.as(i)) + lit(p.bs(i)), lit(p.prime))))
-    }
     val banded = grams
-      .select(col("tid"), bandKeys(array(mins: _*), p).as("bands"), col("grams"))
-      .select(col("tid"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .select(col("tid"), posexplode(bandKeysOf(col("grams"), p)).as(Seq("band_idx", "band_key")))
     val l = banded.select(col("band_idx"), col("band_key"), col("tid").as("id_a"))
     val r = banded.select(col("band_idx"), col("band_key"), col("tid").as("id_b"))
     l.join(r, Seq("band_idx", "band_key"))
@@ -134,7 +188,7 @@ object Dedup {
       .distinct()
       .join(grams.select(col("tid").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
       .join(grams.select(col("tid").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("grams_a"), col("grams_b")))
+      .withColumn("jaccard", jaccardSorted(col("grams_a"), col("grams_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Single-pass MinHash over a token array.
+  *
+  * The composable-functions version — k × array_min(transform(tokens,
+  * h ↦ (a·h+b) mod p)) — is correct but evaluates higher-order functions
+  * interpreted (they are CodegenFallback) and re-hashes the token array for
+  * every permutation: measured ~3 ms/row at k=96. This expression hashes
+  * each token once and updates all k running minima in a primitive loop:
+  * ~µs/row, >100× faster, identical semantics.
+  *
+  * Token hashing matches SQL xxhash64(token) (seed 42) masked to 31 bits;
+  * permutations are (a_i·h + b_i) mod (2³¹−1) with a/b drawn from
+  * Random(seed) exactly like [[graft.dedup.Dedup.MinHashParams]].
+  */
+abstract class MinHashBase extends UnaryExpression with CodegenFallback {
+  def bands: Int
+  def rowsPerBand: Int
+  def seed: Long
+
+  protected final val k: Int = bands * rowsPerBand
+  protected final val Prime: Long = 2147483647L
+  protected final lazy val (pa: Array[Long], pb: Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    (Array.fill(k)(1L + rnd.nextInt(Int.MaxValue - 1).toLong),
+      Array.fill(k)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** k running minima over the permuted 31-bit token hashes. */
+  protected final def minima(tokens: ArrayData): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val s = tokens.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42L) & 0x7FFFFFFFL
+        var j = 0
+        while (j < k) {
+          val v = (pa(j) * h + pb(j)) % Prime
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+}
+
+/** The k-wide MinHash signature itself. */
+case class MinHashSignature(child: Expression, bands: Int, rowsPerBand: Int, seed: Long)
+    extends MinHashBase {
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(minima(v.asInstanceOf[ArrayData]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** LSH band keys: the signature folded into `bands` 64-bit keys (one
+  * xxhash64 chain per band) — signature + banding in one pass. */
+case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int, seed: Long)
+    extends MinHashBase {
+  override def nullSafeEval(v: Any): Any = {
+    val mins = minima(v.asInstanceOf[ArrayData])
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var r = 0
+      while (r < rowsPerBand) {
+        h = XXH64.hashLong(mins(b * rowsPerBand + r), h)
+        r += 1
+      }
+      keys(b) = h
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashFunctions {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def minhash_signature(tokens: Column, bands: Int, rowsPerBand: Int, seed: Long): Column =
+    column(MinHashSignature(expression(tokens), bands, rowsPerBand, seed))
+  def minhash_band_keys(tokens: Column, bands: Int, rowsPerBand: Int, seed: Long): Column =
+    column(MinHashBandKeys(expression(tokens), bands, rowsPerBand, seed))
+}

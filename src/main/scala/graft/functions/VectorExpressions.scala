@@ -106,6 +106,44 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Intersection cardinality of two SORTED arrays via a single merge scan —
+  * O(n+m), no hash-set build, no output array. The workhorse of exact
+  * Jaccard verification over LSH candidates, where built-in
+  * array_intersect's per-row OpenHashSet dominates the profile. Elements
+  * must be sorted ascending (sort once per row upstream, intersect
+  * millions of times downstream). Supports string and integral arrays. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  private lazy val elemType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var n = 0
+    elemType match {
+      case StringType =>
+        while (i < na && j < nb) {
+          val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+          if (c == 0) { n += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
+      case LongType =>
+        while (i < na && j < nb) {
+          val x = a.getLong(i); val y = b.getLong(j)
+          if (x == y) { n += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+      case other => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+    n
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API surface for the expressions above. */
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
@@ -113,4 +151,6 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
   def l2_norm(a: Column): Column = column(L2Norm(expression(a)))
   def simhash64(tokenHashes: Column): Column = column(SimHash64(expression(tokenHashes)))
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    column(SortedIntersectSize(expression(a), expression(b)))
 }

@@ -325,6 +325,89 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------------
+  // Wider SQL surface: pivot, set ops, scalar functions, subqueries, raw SQL
+  // ---------------------------------------------------------------------------
+
+  /** Pivot with an explicit value list (deterministic output schema). */
+  def pivotEventTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("purchase", "signup", "click", "view", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** INTERSECT + EXCEPT (set semantics): big purchasers who also had a big
+    * signup but no large error. (Unqualified type membership is vacuous —
+    * every user has every event type in this corpus.) */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def usersOf(t: String, minValue: Double) =
+      ev.filter(col("event_type") === t && col("value") > minValue).select(col("user_id"))
+    usersOf("purchase", 150)
+      .intersect(usersOf("signup", 150))
+      .except(usersOf("error", 180))
+      .orderBy(col("user_id"))
+  }
+
+  /** Scalar string-function surface. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        length(col("c_name")).as("name_len"),
+        concat_ws(":", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"))
+      .orderBy(col("c_custkey"))
+
+  /** Scalar date-function surface over order dates. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1995-01-01"))).as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  /** Scalar subquery through the spark.sql SQL surface (the reference's
+    * Presto role — SURVEY.md §3.3 collapses into spark.sql). */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("graft_events")
+    spark.sql(
+      """SELECT event_type, COUNT(*) AS n_above
+        |FROM graft_events
+        |WHERE value > (SELECT MAX(value) * 0.5 FROM graft_events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** TPC-H Q3-style shipping-priority query in raw SQL over temp views —
+    * the full parse→analyze→optimize path the reference delegated to
+    * Presto. */
+  def sqlShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate
+        |FROM graft_customer
+        |JOIN graft_orders ON c_custkey = o_custkey
+        |JOIN graft_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
 
@@ -352,7 +435,13 @@ object Queries {
     "q21_having" -> (havingFilter _),
     "q22_tumbling_hourly" -> (tumblingHourly _),
     "q23_sessionize" -> (sessionize _),
-    "q24_stream_hourly" -> (streamHourly _))
+    "q24_stream_hourly" -> (streamHourly _),
+    "q43_pivot" -> (pivotEventTypes _),
+    "q44_set_ops" -> (setOps _),
+    "q45_string_funcs" -> (stringFuncs _),
+    "q46_date_funcs" -> (dateFuncs _),
+    "q47_scalar_subquery" -> (scalarSubquery _),
+    "q48_sql_shipping_priority" -> (sqlShippingPriority _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -466,5 +555,45 @@ object Queries {
         |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q24_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
-        |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin,
+    "q43_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q44_set_ops" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'signup' AND value > 150
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 180
+        |ORDER BY user_id""".stripMargin,
+    "q45_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 8) AS prefix,
+        |  length(c_name) AS name_len,
+        |  concat_ws(':', c_mktsegment, c_name) AS seg_name,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q46_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  quarter(o_orderdate) AS q, dayofmonth(o_orderdate) AS dom,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q47_scalar_subquery" ->
+      """SELECT event_type, COUNT(*) AS n_above FROM events
+        |WHERE value > (SELECT MAX(value) * 0.5 FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q48_sql_shipping_priority" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
 }

@@ -52,18 +52,22 @@ object PipelineQueries {
     // the block key bounds group size, which is what makes blocking a
     // linear-shuffle pattern.
     import spark.implicits._
-    val grams = Tables
+    val rows = Tables
       .documents(spark, dir)
-      .select(
-        col("doc_id"),
-        col("lang"),
-        col("source"),
-        array_distinct(Dedup.wordNgrams(col("text"), 2)).as("grams"))
-      .as[(Long, String, String, Seq[String])]
-    grams
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)]
+    rows
       .groupByKey { case (_, lang, source, _) => (lang, source) }
-      .flatMapGroups { (_: (String, String), it: Iterator[(Long, String, String, Seq[String])]) =>
-        val docs = it.map { case (id, _, _, g) => (id, g.toSet) }.toArray.sortBy(_._1)
+      .flatMapGroups { (_: (String, String), it: Iterator[(Long, String, String, String)]) =>
+        // Bigrams built here in plain Scala: the SQL-side transform()
+        // equivalent is an interpreted higher-order function.
+        val docs = it.map { case (id, _, _, text) =>
+          val t = text.split(' ')
+          val grams: Set[String] =
+            if (t.length >= 2) t.iterator.sliding(2).map(_.mkString(" ")).toSet
+            else Set(text)
+          (id, grams)
+        }.toArray.sortBy(_._1)
         for {
           i <- docs.indices.iterator
           j <- (i + 1) until docs.length

@@ -25,18 +25,17 @@ object Ann {
     Array.fill(tables, bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Signature: per table, the sign-bit bucket of the row's vector. Result:
-    * df with (id, vec, table_idx, bucket). */
+  /** Signature: per table, the sign-bit bucket of the row's vector (all
+    * tables computed in one sweep by the HyperplaneBuckets expression).
+    * Result: df with (id, vec, table_idx, bucket). */
   private[graft] def bucketed(embs: DataFrame, idCol: String, vecCol: String,
       tables: Int, bits: Int, seed: Long, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(tables, bits, dim, seed)
-    val buckets = (0 until tables).map { t =>
-      (0 until bits)
-        .map(b => when(dot_product(col(vecCol), typedLit(planes(t)(b).toSeq)) > 0, 1L << b).otherwise(0L))
-        .reduce(_ + _)
-    }
     embs
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), array(buckets.map(_.cast("long")): _*).as("buckets"))
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("vec"),
+        graft.functions.HyperplaneFunctions.hyperplane_buckets(col(vecCol), planes).as("buckets"))
       .select(col("id"), col("vec"), posexplode(col("buckets")).as(Seq("table_idx", "bucket")))
   }
 

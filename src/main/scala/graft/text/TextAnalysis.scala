@@ -28,16 +28,24 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "von"),
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
-  /** Per-language stopword hit count over a token array column. */
+  /** Per-language stopword hit count over a token array column (counts
+    * repeated occurrences — quality-metric semantics). NOTE: `filter` is a
+    * higher-order function (interpreted); fine for one profile, use
+    * [[stopwordHitsDistinct]] when scoring many profiles per row. */
   def stopwordHits(toks: Column, lang: String): Column =
     size(filter(toks, t => t.isInCollection(StopwordProfiles(lang))))
 
-  /** Language-ID heuristic: argmax of stopword-profile hits; `und`
-    * (undetermined) when nothing matches. Pure CASE/array expressions. */
+  /** Distinct stopword hits via array_intersect — a codegen'd collection
+    * function, ~an order of magnitude faster than the lambda filter. */
+  def stopwordHitsDistinct(toks: Column, lang: String): Column =
+    size(array_intersect(toks, typedLit(StopwordProfiles(lang))))
+
+  /** Language-ID heuristic: argmax of DISTINCT stopword-profile hits; `und`
+    * (undetermined) when nothing matches. Pure codegen'd expressions. */
   def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+    val toks = array_distinct(tokens(lower(text)))
     val langs = StopwordProfiles.keys.toSeq.sorted
-    val scored = langs.map(l => struct(stopwordHits(toks, l).as("hits"), lit(l).as("lang")))
+    val scored = langs.map(l => struct(stopwordHitsDistinct(toks, l).as("hits"), lit(l).as("lang")))
     val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scale
+
+/** Scale utilities: bucketed joins must be exchange-free; salted joins must
+  * preserve join semantics. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed tables join without any shuffle exchange") {
+    Scale.writeBucketed(
+      Tables.orders(spark, TestSpark.SfDir), "graft_orders_b", Seq("o_orderkey"), 4)
+    Scale.writeBucketed(
+      Tables.lineitem(spark, TestSpark.SfDir)
+        .withColumnRenamed("l_orderkey", "o_orderkey"), "graft_lineitem_b", Seq("o_orderkey"), 4)
+    val joined = Scale.bucketedJoin(spark, "graft_orders_b", "graft_lineitem_b", Seq("o_orderkey"))
+    val nExchanges = joined.queryExecution.executedPlan.collect { case e: Exchange => e }.size
+    assert(nExchanges == 0, joined.queryExecution.executedPlan.toString)
+    assert(joined.count() == Tables.lineitem(spark, TestSpark.SfDir).count())
+    spark.sql("DROP TABLE graft_orders_b"); spark.sql("DROP TABLE graft_lineitem_b")
+  }
+
+  test("salted join returns exactly the rows of the plain join") {
+    val li = Tables.lineitem(spark, TestSpark.SfDir).select($"l_orderkey", $"l_quantity")
+    val orders = Tables.orders(spark, TestSpark.SfDir)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    val plain = li.join(orders, Seq("l_orderkey")).count()
+    val salted = Scale.saltedJoin(li, orders, "l_orderkey", salt = 4).count()
+    assert(salted == plain)
+  }
+
+  test("sorted range write produces partition-clustered parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    Scale.sortedWrite(Tables.events(spark, TestSpark.SfDir), s"$dir/ev", "ts", 4)
+    val back = spark.read.parquet(s"$dir/ev")
+    assert(back.count() == Tables.events(spark, TestSpark.SfDir).count())
+  }
+}

@@ -79,6 +79,59 @@ object StreamPipeline {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** A closed session emitted by the custom stateful sessionizer. */
+  case class SessionOut(host: String, session_start: java.sql.Timestamp, n_events: Long)
+
+  /** Mutable per-key session accumulator (stored in the state store). */
+  case class SessionAcc(start: Long, last: Long, n: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * arbitrary-state API for semantics session_window can't express
+    * (per-key accumulators, custom timeout actions). State is bounded by
+    * the event-time timeout: a key's state is dropped (and its open
+    * session emitted) once the watermark passes last+gap, which is what
+    * keeps the state store finite on an unbounded stream. */
+  def statefulSessionize(
+      spark: SparkSession,
+      events: DataFrame,
+      keyCol: String = "Host",
+      tsCol: String = "event_time",
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "2 hours"): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (host: String, rows: Iterator[(String, java.sql.Timestamp)], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val a = state.get
+            state.remove()
+            Iterator.single(SessionOut(host, new java.sql.Timestamp(a.start), a.n))
+          } else {
+            val times = rows.map(_._2.getTime).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var acc = state.getOption
+            times.foreach { t =>
+              acc = acc match {
+                case Some(a) if t - a.last < gapMs => Some(a.copy(last = t, n = a.n + 1))
+                case Some(a) =>
+                  closed += SessionOut(host, new java.sql.Timestamp(a.start), a.n)
+                  Some(SessionAcc(t, t, 1))
+                case None => Some(SessionAcc(t, t, 1))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.last + gapMs)
+            }
+            closed.iterator
+          })
+  }
+
   /** Run any streaming DataFrame to completion against bounded input and
     * return the result (AvailableNow + memory sink). Test/verify harness
     * for streaming plans. */

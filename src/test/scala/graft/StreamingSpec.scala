@@ -107,6 +107,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.count() == 5)
   }
 
+  test("flatMapGroupsWithState sessionizer matches session_window semantics") {
+    // h1: sessions [00:00,00:10] [00:50] [02:00]; h2's 12:00 event advances
+    // the watermark so h1's last open session times out and is emitted.
+    val rows = Seq(
+      ("h1", "2024-01-01 00:00:00"), ("h1", "2024-01-01 00:10:00"),
+      ("h1", "2024-01-01 00:50:00"), ("h1", "2024-01-01 02:00:00"),
+      ("h2", "2024-01-01 12:00:00")).map { case (h, t) =>
+      (EventGen.json("sword_event", "increase", "x", h), Timestamp.valueOf(t))
+    }
+    val (_, stream) = kafkaShapedStream(rows)
+    val sessions = StreamPipeline.runToMemory(
+      spark,
+      StreamPipeline.statefulSessionize(
+        spark, StreamPipeline.extractValidEvents(stream), watermark = "0 seconds").toDF(),
+      "t_fmgs")
+      .as[(String, Timestamp, Long)]
+      .collect()
+      .filter(_._1 == "h1")
+      .sortBy(_._2.getTime)
+    assert(sessions.map(_._3).toSeq == Seq(2L, 1L, 1L))
+    assert(sessions.map(_._2.toString).toSeq == Seq(
+      "2024-01-01 00:00:00.0", "2024-01-01 00:50:00.0", "2024-01-01 02:00:00.0"))
+  }
+
   test("demux writes three disjoint parquet routes from one source read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_demux").toString
     val gen1 = Seq(

@@ -28,10 +28,16 @@ private[graft] trait FloatArrayOps {
     e.dataType.asInstanceOf[ArrayType].elementType
 }
 
-/** cosine(a, b) ∈ [-1, 1]; null if either vector has zero norm. */
+/** cosine(a, b) ∈ [-1, 1]; null if either vector has zero norm.
+  *
+  * Implements doGenCode (not CodegenFallback): the generated primitive loop
+  * participates in whole-stage codegen, so candidate scoring stays in one
+  * compiled stage with the surrounding join/filter instead of breaking the
+  * pipeline at every row. */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with FloatArrayOps {
+    extends BinaryExpression with FloatArrayOps {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     val (lt, rt) = (elementType(left), elementType(right))
@@ -43,6 +49,39 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
     if (na == 0.0 || nb == 0.0) null else dot / math.sqrt(na * nb)
   }
+  private def getter(e: Expression, arr: String, i: String): String =
+    elementType(e) match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case other => throw new IllegalArgumentException(s"numeric array expected, got $other")
+    }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${getter(left, a, i)};
+         |  double $y = ${getter(right, b, i)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -121,6 +121,15 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN: learned cells (centroid Aggregator + one Lloyd pass),
+    * nprobe-cell search — the data-adaptive scale path next to LSH. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    graft.similarity.Ivf
+      .topK(spark, embs.filter(col("vec_id") % 50 === 0), embs, "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Whitespace + BPE-ish token counts. */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -201,7 +210,8 @@ object PipelineQueries {
     "q39_fingerprint_md5" -> (fingerprintMd5 _),
     "q40_fingerprint_rolling" -> (fingerprintRolling _),
     "q41_multimodal_features" -> (multimodalFeatures _),
-    "q42_approx_distinct" -> (approxDistinct _))
+    "q42_approx_distinct" -> (approxDistinct _),
+    "q49_ann_ivf" -> (annIvf _))
 
   val oracle: Map[String, String] = Map(
     "q25_dedup_exact" ->

@@ -58,6 +58,23 @@ class AnnSpec extends AnyFunSuite {
     assert(mean > 0.2, s"mean recall@10 = $mean")
   }
 
+  test("ivf finds a usable fraction of true neighbors and never fabricates scores") {
+    val got = graft.similarity.Ivf
+      .topK(spark, queries, embs, "vec_id", "embedding", k = 10, nlist = 8, nprobe = 3)
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    val byQuery = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = byQuery.map { case (q, found) =>
+      val truth = trueTopK(q, 10).toSet
+      found.intersect(truth).size.toDouble / truth.size
+    }
+    assert(recalls.nonEmpty)
+    assert(recalls.sum / recalls.size > 0.2, s"mean ivf recall = ${recalls.sum / recalls.size}")
+    // exact re-scoring: every reported cosine matches driver-side math
+    val vecs = all.toMap
+    got.foreach { case (q, nId, s) => assert(s == scalaCos(vecs(q), vecs(nId))) }
+  }
+
   test("lsh results never outrank brute force (candidates are re-scored exactly)") {
     val brute = Ann.bruteForceTopK(queries, embs, "vec_id", "embedding", k = 1)
       .filter($"rank" === 1)

@@ -190,6 +190,25 @@ object PipelineQueries {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
 
+  /** Frame samples from video assets (1→N decode, rows-only). */
+  def frameSamples(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .sampleFrames(spark, Multimodal.mediaFromDocuments(Tables.documents(spark, dir)))
+      .toDF()
+      .select(col("media_id"), col("frame_idx"), col("frame_checksum"))
+
+  /** Exact interpolated percentiles per group (matches DuckDB
+    * quantile_cont's linear interpolation). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -211,7 +230,9 @@ object PipelineQueries {
     "q40_fingerprint_rolling" -> (fingerprintRolling _),
     "q41_multimodal_features" -> (multimodalFeatures _),
     "q42_approx_distinct" -> (approxDistinct _),
-    "q49_ann_ivf" -> (annIvf _))
+    "q49_ann_ivf" -> (annIvf _),
+    "q50_frame_samples" -> (frameSamples _),
+    "q51_percentiles" -> (percentiles _))
 
   val oracle: Map[String, String] = Map(
     "q25_dedup_exact" ->
@@ -250,5 +271,9 @@ object PipelineQueries {
         |    / len(str_split(text, ' ')) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q39_fingerprint_md5" ->
-      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "q51_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

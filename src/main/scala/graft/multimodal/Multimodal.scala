@@ -70,6 +70,31 @@ object Multimodal {
       lit(64).as("height"),
       lit(1000L).as("duration_ms"))
 
+  /** One sampled frame from a video asset (1→N decode). */
+  case class FrameSample(
+      media_id: Long,
+      frame_idx: Int,
+      frame_checksum: Long,
+      features: Array[Float])
+
+  /** Frame sampling: each video asset yields `framesPerAsset` rows — the
+    * 1→N decode shape (video → frames, audio → windows). Runs as a typed
+    * flatMap inside executors; the frame "decode" is the stub codec over a
+    * deterministic byte slice standing in for a real demuxer. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      framesPerAsset: Int = 4): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { m =>
+      if (m.modality != "video" || m.content.isEmpty) Iterator.empty
+      else (0 until framesPerAsset).iterator.map { f =>
+        val start = (m.content.length.toLong * f / framesPerAsset).toInt
+        val end = (m.content.length.toLong * (f + 1) / framesPerAsset).toInt
+        val slice = java.util.Arrays.copyOfRange(m.content, start, math.max(end, start + 1))
+        FrameSample(m.media_id, f, StubCodec.checksum(slice), StubCodec.decode(slice))
+      }
+    }
+  }
+
   /** Feature extraction as a partition-wise transform: the decode runs
     * inside executors, one partition at a time, no driver involvement —
     * the shape a Pandas-UDF/mapInPandas pipeline has in PySpark, expressed

@@ -30,6 +30,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("frame sampling yields N frames per video asset, deterministic") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, TestSpark.SfDir))
+    val nVideos = media.filter($"modality" === "video").count()
+    val frames = Multimodal.sampleFrames(spark, media, framesPerAsset = 4)
+    assert(frames.count() == nVideos * 4)
+    val perAsset = frames.groupBy($"media_id").count().select($"count").distinct().as[Long].collect()
+    assert(perAsset.toSeq == Seq(4L))
+    val again = Multimodal.sampleFrames(spark, media.repartition(5), framesPerAsset = 4)
+    assert(frames.select($"media_id", $"frame_idx", $"frame_checksum").collect().toSet ==
+      again.select($"media_id", $"frame_idx", $"frame_checksum").collect().toSet)
+  }
+
   test("stub codec checksum changes with payload") {
     assert(Multimodal.StubCodec.checksum("abc".getBytes) !=
       Multimodal.StubCodec.checksum("abd".getBytes))

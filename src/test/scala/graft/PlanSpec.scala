@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins physical-plan quality (the 100 TB contract): pushdown reaches the
+  * scans, dims broadcast, top-k avoids global sorts. Catches regressions
+  * that correctness tests can't see. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, TestSpark.SfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01: aggregation is partial before the exchange") {
+    assert(planOf("q01_pricing_summary").contains("partial_sum"))
+  }
+
+  test("q08: IN-list filter is pushed to the parquet scan") {
+    val p = planOf("q08_filter_valid")
+    assert(p.contains("In(event_type, [purchase,signup])"), p)
+  }
+
+  test("q08: scan reads only the projected columns") {
+    val p = planOf("q08_filter_valid")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string>"), p)
+  }
+
+  test("q10: dimension joins via broadcast hash join") {
+    val p = planOf("q10_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q13: semi join stays a semi join (no materialized inner join)") {
+    val p = planOf("q13_semi_join")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q17: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = planOf("q17_order_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("no query plan contains an interpreted Python/unresolved UDF") {
+    Seq("q01_pricing_summary", "q07_json_extract", "q09_classify").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("PythonUDF"), q)
+    }
+  }
+}

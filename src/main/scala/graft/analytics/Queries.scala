@@ -407,6 +407,24 @@ object Queries {
         |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
   }
 
+  /** As-of (temporal) join: each view event picks up the user's most
+    * recent purchase at-or-before it. Spark has no native as-of operator;
+    * graft.operators.AsOfJoin composes it with one shuffle + sorted
+    * window carry. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def asofViewPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("p_event_id"))
+    graft.operators.AsOfJoin
+      .asOf(views, purchases, "user_id", "ts", "ts", Seq("p_event_id", "ts"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -441,7 +459,8 @@ object Queries {
     "q45_string_funcs" -> (stringFuncs _),
     "q46_date_funcs" -> (dateFuncs _),
     "q47_scalar_subquery" -> (scalarSubquery _),
-    "q48_sql_shipping_priority" -> (sqlShippingPriority _))
+    "q48_sql_shipping_priority" -> (sqlShippingPriority _),
+    "q52_asof_join" -> (asofViewPurchase _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -595,5 +614,16 @@ object Queries {
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate
-        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
+        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q52_asof_join" ->
+      """WITH views AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |purchases AS (
+        |  SELECT user_id, ts, MAX(event_id) AS p_event_id FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT v.event_id, v.user_id, v.ts,
+        |  p.p_event_id AS asof_p_event_id, p.ts AS asof_ts
+        |FROM views v ASOF LEFT JOIN purchases p
+        |  ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY event_id""".stripMargin)
 }

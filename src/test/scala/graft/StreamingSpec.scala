@@ -131,6 +131,36 @@ class StreamingSpec extends AnyFunSuite {
       "2024-01-01 00:00:00.0", "2024-01-01 00:50:00.0", "2024-01-01 02:00:00.0"))
   }
 
+  test("stateful sessionizer runs on the RocksDB state store provider") {
+    // RocksDB is the state backend that scales past heap at 100 TB; the
+    // provider is chosen per-query at start time from session conf.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Seq("00:00:00", "00:10:00", "03:00:00", "12:00:00").map { t =>
+        (EventGen.json("sword_event", "increase", "x", "hR"),
+          Timestamp.valueOf(s"2024-01-01 $t"))
+      }
+      val (_, stream) = kafkaShapedStream(rows)
+      val sessions = StreamPipeline.runToMemory(
+        spark,
+        StreamPipeline.statefulSessionize(
+          spark, StreamPipeline.extractValidEvents(stream), watermark = "0 seconds").toDF(),
+        "t_rocksdb")
+        .as[(String, Timestamp, Long)].collect()
+        .filter(_._2.before(Timestamp.valueOf("2024-01-01 12:00:00")))
+        .sortBy(_._2.getTime)
+      assert(sessions.map(_._3).toSeq == Seq(2L, 1L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("demux writes three disjoint parquet routes from one source read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_demux").toString
     val gen1 = Seq(

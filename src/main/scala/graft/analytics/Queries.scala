@@ -425,6 +425,33 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Generator operator (explode): token frequency table — the X1
+    * per-record expansion analog as a first-class relational op. */
+  def tokenFrequency(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  /** Wider window-function surface: rank, dense_rank, ntile, first_value
+    * over one event-time window per user. */
+  def windowMisc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        first(col("event_id")).over(w).as("first_event"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
@@ -460,7 +487,9 @@ object Queries {
     "q46_date_funcs" -> (dateFuncs _),
     "q47_scalar_subquery" -> (scalarSubquery _),
     "q48_sql_shipping_priority" -> (sqlShippingPriority _),
-    "q52_asof_join" -> (asofViewPurchase _))
+    "q52_asof_join" -> (asofViewPurchase _),
+    "q53_token_frequency" -> (tokenFrequency _),
+    "q54_window_misc" -> (windowMisc _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -625,5 +654,16 @@ object Queries {
         |  p.p_event_id AS asof_p_event_id, p.ts AS asof_ts
         |FROM views v ASOF LEFT JOIN purchases p
         |  ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
+    "q53_token_frequency" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q54_window_misc" ->
+      """SELECT event_id, user_id,
+        |  RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+        |  NTILE(4) OVER w AS quartile, FIRST_VALUE(event_id) OVER w AS first_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin)
 }

@@ -152,7 +152,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * must be sorted ascending (sort once per row upstream, intersect
   * millions of times downstream). Supports string and integral arrays. */
 case class SortedIntersectSize(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   private lazy val elemType =
     left.dataType.asInstanceOf[ArrayType].elementType
@@ -179,6 +179,35 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     }
     n
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, j, cnt, na, nb) = (ctx.freshName("i"), ctx.freshName("j"),
+        ctx.freshName("cnt"), ctx.freshName("na"), ctx.freshName("nb"))
+      val body = elemType match {
+        case StringType =>
+          val c = ctx.freshName("c")
+          s"""int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+             |if ($c == 0) { $cnt++; $i++; $j++; }
+             |else if ($c < 0) $i++; else $j++;""".stripMargin
+        case LongType =>
+          val (x, y) = (ctx.freshName("x"), ctx.freshName("y"))
+          s"""long $x = $a.getLong($i); long $y = $b.getLong($j);
+             |if ($x == $y) { $cnt++; $i++; $j++; }
+             |else if ($x < $y) $i++; else $j++;""".stripMargin
+        case other => throw new IllegalArgumentException(s"unsupported element type $other")
+      }
+      s"""
+         |int $i = 0, $j = 0, $cnt = 0;
+         |int $na = $a.numElements(), $nb = $b.numElements();
+         |while ($i < $na && $j < $nb) {
+         |  $body
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -63,6 +63,20 @@ class DedupSpec extends AnyFunSuite {
     assert(res.count() > 0)
   }
 
+  test("ngram LSH pairs find planted shingle near-dups") {
+    // Two docs sharing a long 3-gram run + unrelated noise docs.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val noise = (0 until 20).map(i => s"n$i x$i y$i z$i w$i v$i u$i t$i s$i r$i")
+    val docs = (Seq(a, b) ++ noise).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val pairs = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("ngram shingles: n=2 produces size-1 shingle count") {
     val r = Seq("a b c d").toDF("text")
       .select(Dedup.wordNgrams($"text", 2).as("g"))

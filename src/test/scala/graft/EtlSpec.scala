@@ -93,6 +93,17 @@ class EtlSpec extends AnyFunSuite {
     assert(df.count() == 2)
   }
 
+  test("props column as map and raw-JSON single-key probe") {
+    val ev = Tables.events(spark, TestSpark.SfDir)
+    val m = ev.select(Parse.jsonAsMap($"props").as("m"))
+      .select(element_at($"m", "k").cast("int").as("k"))
+    assert(m.filter($"k".isNull).count() == 0)
+    val probed = Seq(("""{"event_type": "sword_event"}""", ""))
+      .toDF("raw", "x")
+      .filter(graft.operators.Filters.rawJsonTypeIs($"raw", "sword_event"))
+    assert(probed.count() == 1)
+  }
+
   test("sink round-trip: batch parquet overwrite preserves frame") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val before = parsed.filter(Filters.isValidEvent)

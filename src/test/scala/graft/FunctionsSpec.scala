@@ -77,6 +77,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sigs(0) != sigs(3))
   }
 
+  test("sorted_intersect_size: merge scan over strings and longs, with edges") {
+    import graft.functions.VectorFunctions.sorted_intersect_size
+    val s = Seq(
+      (Seq("a", "b", "c", "d"), Seq("b", "c", "x")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("a"), Seq("a")))
+      .toDF("a", "b")
+      .select(sorted_intersect_size($"a", $"b")).as[Int].collect()
+    assert(s.toSeq == Seq(2, 0, 1))
+    val l = Seq((Seq(1L, 5L, 9L, 12L), Seq(0L, 5L, 12L, 44L)))
+      .toDF("a", "b")
+      .select(sorted_intersect_size($"a", $"b")).as[Int].head()
+    assert(l == 2)
+  }
+
   test("simhash64 single token equals that token's hash bits") {
     val r = Seq("solo").toDF("text")
       .select(

@@ -79,6 +79,29 @@ object StreamPipeline {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment: a streaming fact joined to a broadcast dim.
+    * The dim is re-resolved per micro-batch (picks up slowly-changing
+    * dimensions) and never shuffles the stream side. */
+  def enrich(stream: DataFrame, dim: DataFrame, joinCond: org.apache.spark.sql.Column,
+      how: String = "left"): DataFrame =
+    stream.join(broadcast(dim), joinCond, how)
+
+  /** Stream-stream interval join: right events within [left.ts - window,
+    * left.ts]. Both sides carry watermarks so the join state expires —
+    * the bounded-state requirement for joining two unbounded streams. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, leftTsCol: String, rightTsCol: String,
+      window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    l.join(
+      r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $window") &&
+        r(rightTsCol) <= l(leftTsCol))
+  }
+
   /** A closed session emitted by the custom stateful sessionizer. */
   case class SessionOut(host: String, session_start: java.sql.Timestamp, n_events: Long)
 

@@ -131,6 +131,46 @@ class StreamingSpec extends AnyFunSuite {
       "2024-01-01 00:00:00.0", "2024-01-01 00:50:00.0", "2024-01-01 02:00:00.0"))
   }
 
+  test("stream-static enrich joins a broadcast dim per micro-batch") {
+    val (_, stream) = kafkaShapedStream(corpus)
+    val dim = Seq(("Player 1", "gold"), ("Player 2", "silver")).toDF("dim_host", "tier")
+    val enriched = StreamPipeline.runToMemory(
+      spark,
+      StreamPipeline.enrich(
+        StreamPipeline.extractValidEvents(stream), dim, col("Host") === col("dim_host"))
+        .select(col("tier")),
+      "t_enrich")
+    assert(enriched.filter($"tier" === "gold").count() == 15) // 10 sword + 5 guild
+    assert(enriched.filter($"tier" === "silver").count() == 20)
+  }
+
+  test("stream-stream interval join matches purchases to views within the window") {
+    import org.apache.spark.sql.functions.{col => c}
+    def evStream(rows: Seq[(String, String)]) = {
+      val (_, s) = kafkaShapedStream(rows.map { case (h, t) =>
+        (EventGen.json("sword_event", "increase", "x", h), Timestamp.valueOf(t))
+      })
+      StreamPipeline.extractValidEvents(s)
+    }
+    val views = evStream(Seq(
+      ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 15:00:00")))
+      .select(c("Host").as("vh"), c("event_time").as("v_ts"))
+      .withColumnRenamed("vh", "Host")
+    val purchases = evStream(Seq(
+      ("u1", "2024-01-01 09:30:00"), // within 1h of the 10:00 view
+      ("u1", "2024-01-01 11:00:00"))) // matches neither (after 10:00, >1h before 15:00)
+      .select(c("Host").as("ph"), c("event_time").as("p_ts"))
+      .withColumnRenamed("ph", "Host")
+    val joined = StreamPipeline.runToMemory(
+      spark,
+      StreamPipeline.intervalJoin(views, purchases, "Host", "v_ts", "p_ts"),
+      "t_ssjoin")
+    val got = joined.select($"v_ts", $"p_ts").as[(Timestamp, Timestamp)].collect().toSet
+    assert(got == Set((
+      Timestamp.valueOf("2024-01-01 10:00:00"),
+      Timestamp.valueOf("2024-01-01 09:30:00"))))
+  }
+
   test("stateful sessionizer runs on the RocksDB state store provider") {
     // RocksDB is the state backend that scales past heap at 100 TB; the
     // provider is chosen per-query at start time from session conf.

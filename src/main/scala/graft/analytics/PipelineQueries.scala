@@ -83,6 +83,27 @@ object PipelineQueries {
       .limit(100)
   }
 
+  /** Linear keeper assignments over token-set groups: one row per dropped
+    * doc — the materialization shape of dedup at scale. */
+  def dedupAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("set_key")).orderBy(col("doc_id"))
+    Tables
+      .documents(spark, dir)
+      .select(TextAnalysis.tokenSetKey(col("text")).as("set_key"), col("doc_id"))
+      .withColumn("keep_id", first(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("dup_id"), col("keep_id"))
+      .orderBy(col("dup_id"))
+  }
+
+  /** Near-dup clusters: connected components of the 0.95-Jaccard pair
+    * graph (iterative min-label propagation; rows-only). */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .nearDupClusters(Tables.documents(spark, dir), "doc_id", "text", 0.95)
+      .orderBy(col("id"))
+
   /** MinHash signatures (rows-only: engine-specific hashing). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -232,7 +253,9 @@ object PipelineQueries {
     "q42_approx_distinct" -> (approxDistinct _),
     "q49_ann_ivf" -> (annIvf _),
     "q50_frame_samples" -> (frameSamples _),
-    "q51_percentiles" -> (percentiles _))
+    "q51_percentiles" -> (percentiles _),
+    "q55_dedup_assignments" -> (dedupAssignments _),
+    "q56_neardup_clusters" -> (nearDupClusters _))
 
   val oracle: Map[String, String] = Map(
     "q25_dedup_exact" ->
@@ -275,5 +298,13 @@ object PipelineQueries {
     "q51_percentiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25,
         |  quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q55_dedup_assignments" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS set_key
+        |  FROM documents),
+        |m AS (SELECT set_key, MIN(doc_id) AS keep_id FROM k GROUP BY set_key)
+        |SELECT k.doc_id AS dup_id, m.keep_id
+        |FROM k JOIN m USING (set_key) WHERE k.doc_id <> m.keep_id
+        |ORDER BY dup_id""".stripMargin)
 }

@@ -193,6 +193,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Keeper assignments: for every duplicate-content group, map each
+    * non-keeper to the group's min id. Output is LINEAR in the number of
+    * duplicates (one row per dropped doc) — the form a 100 TB dedup
+    * actually materializes, vs the O(n²) all-pairs view. */
+  def dedupAssignments(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_key")).orderBy(col(idCol))
+    df.select(md5(col(contentCol).cast("binary")).as("content_key"), col(idCol))
+      .withColumn("keep_id", first(col(idCol)).over(w))
+      .filter(col(idCol) =!= col("keep_id"))
+      .select(col(idCol).as("dup_id"), col("keep_id"))
+  }
+
+  /** Connected components over an undirected pair list (id_a, id_b):
+    * iterative min-label propagation to a fixpoint. Each iteration is one
+    * shuffle (join + min-aggregate); converges in O(diameter) rounds —
+    * near-dup graphs are dense blobs with tiny diameters. Output:
+    * (id, component) where component = min id in the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint per iteration truncates the lineage — without it the
+    // logical plan nests one join level per round and planning itself OOMs.
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "nbr_comp"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_comp")).as("min_nbr_comp"))
+      val next = labels
+        .join(propagated, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("min_nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate clusters: components of the near-dup pair graph.
+    * (doc_id, component); component = smallest doc id in the cluster. */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.95): DataFrame =
+    connectedComponents(minhashNearDups(docs, idCol, textCol, threshold).select("id_a", "id_b"))
+
   // ---------------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------------

@@ -63,6 +63,46 @@ class DedupSpec extends AnyFunSuite {
     assert(res.count() > 0)
   }
 
+  test("dedupAssignments emits one linear row per dropped duplicate") {
+    val withDups = docs.select($"doc_id", $"text")
+      .union(docs.filter($"doc_id" < 5).select($"doc_id" + 10000, $"text"))
+    val asg = Dedup.dedupAssignments(withDups, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(asg.size == 5)
+    asg.foreach { case (dup, keep) => assert(dup == keep + 10000) }
+  }
+
+  test("connectedComponents matches driver-side union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("nearDupClusters on real docs: clusters consistent with pair graph") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", 0.95)
+      .as[(Long, Long)].collect().toMap
+    // union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(k => k -> find(k)).toMap
+    assert(clusters.keySet == truth.keySet)
+    // same partition: components must have identical member sets
+    def groups(m: Map[Long, Long]) = m.groupBy(_._2).values.map(_.keySet).toSet
+    assert(groups(clusters) == groups(truth))
+  }
+
   test("ngram LSH pairs find planted shingle near-dups") {
     // Two docs sharing a long 3-gram run + unrelated noise docs.
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

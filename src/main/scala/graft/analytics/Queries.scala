@@ -515,7 +515,7 @@ object Queries {
     "q06_head_events" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id LIMIT 10",
     "q07_json_extract" ->
-      """SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+      """SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

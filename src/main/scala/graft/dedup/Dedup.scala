@@ -210,7 +210,15 @@ object Dedup {
     * iterative min-label propagation to a fixpoint. Each iteration is one
     * shuffle (join + min-aggregate); converges in O(diameter) rounds —
     * near-dup graphs are dense blobs with tiny diameters. Output:
-    * (id, component) where component = min id in the component. */
+    * (id, component) where component = min id in the component.
+    *
+    * The convergence check rides the propagate job: each round's frame
+    * carries (prev, comp) and is eagerly checkpointed, so "anything
+    * changed?" is a limit-1 scan over the already-cached blocks — not the
+    * extra join + full count per round it used to be. If maxIter rounds
+    * pass without a fixpoint (possible only on a chain of diameter >
+    * maxIter, not a near-dup blob) the result would silently under-merge,
+    * so that case warns loudly instead. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -228,24 +236,31 @@ object Dedup {
     var converged = false
     while (iter < maxIter && !converged) {
       val propagated = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "nbr_comp"), Seq("dst"))
+        .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_comp")).as("min_nbr_comp"))
       val next = labels
         .join(propagated, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("min_nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("comp") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
+    if (!converged) {
+      System.err.println(
+        s"[graft] connectedComponents did NOT converge in $maxIter iterations — " +
+          "components may be under-merged; raise maxIter for chain-shaped graphs")
+    }
+    edges.unpersist()
     labels
   }
+
+  /** nearDupClusters over a PRECOMPUTED pair list (shared with the pair
+    * query so the LSH+verify pipeline runs once per session/dir). */
+  def clustersOfPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponents(pairs.select(col("id_a"), col("id_b")), maxIter)
 
   /** Near-duplicate clusters: components of the near-dup pair graph.
     * (doc_id, component); component = smallest doc id in the cluster. */
@@ -257,9 +272,13 @@ object Dedup {
   // SimHash
   // ---------------------------------------------------------------------------
 
-  /** 64-bit SimHash per document (custom Catalyst expression — one pass). */
+  /** SimHash per document (custom Catalyst expression — one pass). Token
+    * hashes are the portable md5-derived h60, so the fingerprint is
+    * oracle-checkable in DuckDB; bits 60–63 are deterministically 0 on both
+    * engines (every token votes −1 there). */
   def simhash(text: Column): Column =
-    simhash64(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
+    simhash64(graft.functions.PortableHashFunctions
+      .md5_token_hashes(TextAnalysis.tokens(text), bits = 60))
 
   /** Hamming distance between two simhashes: bit_count(xor). */
   def hamming(a: Column, b: Column): Column =

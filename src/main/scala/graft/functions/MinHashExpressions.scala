@@ -15,14 +15,20 @@ import org.apache.spark.sql.types._
   * each token once and updates all k running minima in a primitive loop:
   * ~µs/row, >100× faster, identical semantics.
   *
-  * Token hashing matches SQL xxhash64(token) (seed 42) masked to 31 bits;
-  * permutations are (a_i·h + b_i) mod (2³¹−1) with a/b drawn from
-  * Random(seed) exactly like [[graft.dedup.Dedup.MinHashParams]].
+  * Permutations are (a_i·h + b_i) mod (2³¹−1) with a/b drawn from
+  * Random(seed) exactly like [[graft.dedup.Dedup.MinHashParams]]. The 31-bit
+  * token hash is pluggable: band keys (never externally visible) use
+  * xxhash64 seed 42; surfaced signatures use the engine-portable md5-derived
+  * [[Md5Hash.h31]] so they can be oracle-checked in DuckDB.
   */
 abstract class MinHashBase extends UnaryExpression with CodegenFallback {
   def bands: Int
   def rowsPerBand: Int
   def seed: Long
+
+  /** 31-bit token hash; default = xxhash64 (seed 42) masked to 31 bits. */
+  protected def tokenHash(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L) & 0x7FFFFFFFL
 
   protected final val k: Int = bands * rowsPerBand
   protected final val Prime: Long = 2147483647L
@@ -39,9 +45,7 @@ abstract class MinHashBase extends UnaryExpression with CodegenFallback {
     val n = tokens.numElements()
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val s = tokens.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes, 42L) & 0x7FFFFFFFL
+        val h = tokenHash(tokens.getUTF8String(i))
         var j = 0
         while (j < k) {
           val v = (pa(j) * h + pb(j)) % Prime
@@ -56,9 +60,12 @@ abstract class MinHashBase extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 }
 
-/** The k-wide MinHash signature itself. */
+/** The k-wide MinHash signature itself — SURFACED output, so tokens hash
+  * with the portable md5-derived h31 (DuckDB-reproducible). */
 case class MinHashSignature(child: Expression, bands: Int, rowsPerBand: Int, seed: Long)
     extends MinHashBase {
+  override protected def tokenHash(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    Md5Hash.h31(s.getBytes)
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(minima(v.asInstanceOf[ArrayData]))
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -19,7 +19,13 @@ object AsOfJoin {
 
   /** Left rows get `rightValueCols` from the latest right row at or before
     * their time. Right rows at exactly equal time sort BEFORE left rows
-    * (inclusive as-of, DuckDB `ON l.t >= r.t` semantics). */
+    * (inclusive as-of, DuckDB `ON l.t >= r.t` semantics).
+    *
+    * All right value columns are carried as ONE struct with a single
+    * last(ignoreNulls): the matched right row is atomic, so a right row
+    * with a null in one value column still contributes that null (true
+    * as-of semantics) instead of forward-filling each column from a
+    * different row. */
   def asOf(
       left: DataFrame,
       right: DataFrame,
@@ -32,29 +38,24 @@ object AsOfJoin {
       .withColumn("_tag", lit(1))
       .withColumn("_t", col(leftTimeCol))
       .withColumn("_key", col(keyCol))
-    val carried = rightValueCols.map(c => s"_r_$c")
-    val r0 = right
+      .withColumn("_rv", lit(null))
+    val r = right
       .withColumn("_tag", lit(0))
       .withColumn("_t", col(rightTimeCol))
       .withColumn("_key", col(keyCol))
-    val r = rightValueCols.zip(carried).foldLeft(r0) { case (df, (c, a)) =>
-      df.withColumn(a, col(c))
-    }
-    val lNorm = carried.foldLeft(l)((df, a) => df.withColumn(a, lit(null)))
-    val unioned = lNorm
-      .select((leftCols.map(col) ++ Seq(col("_tag"), col("_t"), col("_key")) ++ carried.map(col)): _*)
+      .withColumn("_rv", struct(rightValueCols.map(col): _*))
+    val unioned = l
+      .select((leftCols.map(col) ++ Seq(col("_tag"), col("_t"), col("_key"), col("_rv"))): _*)
       .unionByName(
         r.select(
-          (leftCols.map(c => lit(null).as(c)) ++ Seq(col("_tag"), col("_t"), col("_key")) ++ carried.map(col)): _*))
+          (leftCols.map(c => lit(null).as(c)) ++ Seq(col("_tag"), col("_t"), col("_key"), col("_rv"))): _*))
     val w = Window
       .partitionBy(col("_key"))
       .orderBy(col("_t"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCarry = carried.foldLeft(unioned) { (df, a) =>
-      df.withColumn(a, last(col(a), ignoreNulls = true).over(w))
-    }
+    val withCarry = unioned.withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(w))
     val renames: Seq[Column] =
-      leftCols.map(col) ++ rightValueCols.zip(carried).map { case (c, a) => col(a).as(s"asof_$c") }
+      leftCols.map(col) ++ rightValueCols.map(c => col("_rv").getField(c).as(s"asof_$c"))
     withCarry.filter(col("_tag") === 1).select(renames: _*)
   }
 }

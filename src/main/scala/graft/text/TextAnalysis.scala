@@ -41,14 +41,27 @@ object TextAnalysis {
     size(array_intersect(toks, typedLit(StopwordProfiles(lang))))
 
   /** Language-ID heuristic: argmax of DISTINCT stopword-profile hits; `und`
-    * (undetermined) when nothing matches. Pure codegen'd expressions. */
+    * (undetermined) when nothing matches.
+    *
+    * Scores are bit-packed as hits*256 + langIdx and reduced with
+    * greatest(): a pure integer max, fully codegen'd. (The previous
+    * array_max over an array<struct> forced an interpreted struct ordering
+    * per row — ~3.5 ms/row, the worst constant in the whole bench.)
+    * Tie-break is identical: equal hits → largest index = lexicographically
+    * last language, same as struct (hits, lang) ordering. Integer packing
+    * also makes the heuristic exactly reproducible in the DuckDB oracle. */
   def langId(text: Column): Column = {
     val toks = array_distinct(tokens(lower(text)))
-    val langs = StopwordProfiles.keys.toSeq.sorted
-    val scored = langs.map(l => struct(stopwordHitsDistinct(toks, l).as("hits"), lit(l).as("lang")))
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    val langs = LangIdLangs
+    val packed = langs.zipWithIndex.map { case (l, i) =>
+      stopwordHitsDistinct(toks, l) * lit(256) + lit(i)
+    }
+    val best = greatest(packed: _*)
+    when(best >= 256, element_at(typedLit(langs), (best % 256) + 1)).otherwise(lit("und"))
   }
+
+  /** Profile languages in scoring order (index = packed tie-break rank). */
+  val LangIdLangs: Seq[String] = StopwordProfiles.keys.toSeq.sorted
 
   /** Quality metrics: token count, mean token length, stopword ratio,
     * alpha ratio. Single-division doubles — deterministic and
@@ -80,16 +93,12 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column = md5(text.cast("binary"))
 
   /** Rolling polynomial fingerprint over token hashes — order-sensitive
-    * (unlike the set-based minhash), so reordered words change it.
-    * Arithmetic stays < 2^62 (ANSI-safe): acc < p, mult 31, hash masked to
-    * 31 bits. */
-  def rollingFingerprint(text: Column): Column = {
-    val p = 2147483647L // 2^31 - 1
-    aggregate(
-      tokens(text),
-      lit(7L),
-      (acc, t) => pmod(acc * lit(31L) + xxhash64(t).bitwiseAND(lit(0x7FFFFFFFL)), lit(p)))
-  }
+    * (unlike the set-based minhash), so reordered words change it. Token
+    * hashes are the portable md5-derived h31 and the fold runs in a
+    * single-pass custom expression (the aggregate() HOF is interpreted),
+    * so the output is oracle-checkable in DuckDB. */
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.PortableHashFunctions.rolling_fingerprint(tokens(text))
 
   /** Canonical token-set key: md5 over the sorted distinct token list.
     * Two documents with the same word set (any order/multiplicity) share a

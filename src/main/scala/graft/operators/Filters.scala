@@ -26,13 +26,23 @@ object Filters {
   val isSwordPurchase: Column =
     col("event_type") === EventModel.PurchaseSword
 
-  /** F3: 3-way int classifier (rpg_spark_stream.py:31–40): sword → 1,
-    * guild → 2, anything else → 3. Single codegen'd CASE, replacing the
-    * reference's Python UDF evaluated once per route. */
-  def classifyEvent(eventType: Column): Column =
-    when(eventType === EventModel.PurchaseSword, 1)
-      .when(eventType === EventModel.JoinGuild, 2)
+  /** F3: 3-way int classifier: sword → 1, guild → 2, anything else → 3.
+    * Single codegen'd CASE, replacing the reference's Python UDF evaluated
+    * once per route. */
+  def classify3Way(eventType: Column, sword: String, guild: String): Column =
+    when(eventType === sword, 1)
+      .when(eventType === guild, 2)
       .otherwise(3)
+
+  /** Gen-1 vocabulary (rpg_spark_stream.py:31–40): purchase_sword /
+    * join_guild. */
+  def classifyEvent(eventType: Column): Column =
+    classify3Way(eventType, EventModel.PurchaseSword, EventModel.JoinGuild)
+
+  /** Gen-2 vocabulary (README.md Gen-2 events): sword_event / guild_event —
+    * the classifier that composes with [[isValidEvent]]-filtered streams. */
+  def classifyEventGen2(eventType: Column): Column =
+    classify3Way(eventType, EventModel.SwordEvent, EventModel.GuildEvent)
 
   /** F1 expressed over the raw JSON string without a prior from_json —
     * the pushdown-friendly single-key probe. */

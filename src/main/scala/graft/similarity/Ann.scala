@@ -1,7 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.{cosine_sim, dot_product}
@@ -39,10 +39,59 @@ object Ann {
       .select(col("id"), col("vec"), posexplode(col("buckets")).as(Seq("table_idx", "bucket")))
   }
 
+  /** Typed bounded top-k accumulator over (id, score): kept sorted by
+    * (score desc, id asc), capped at k. The selection is a pure function of
+    * the input SET (merge-order independent), so the result is identical to
+    * the row_number-window formulation — but partials combine MAP-SIDE: the
+    * shuffle carries at most partitions·k rows per query instead of every
+    * scored candidate. That is the difference between shuffling q·n scored
+    * rows and shuffling q·k at 100 TB. */
+  class TopKAggregator(k: Int)
+      extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    private def better(a: (Long, Double), b: (Long, Double)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    override def zero: Seq[(Long, Double)] = Vector.empty
+    override def reduce(buf: Seq[(Long, Double)], v: (Long, Double)): Seq[(Long, Double)] =
+      if (buf.length >= k && !better(v, buf.last)) buf
+      else {
+        val (pre, post) = buf.span(better(_, v))
+        ((pre :+ v) ++ post).take(k)
+      }
+    override def merge(x: Seq[(Long, Double)], y: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      y.foldLeft(x)(reduce)
+    override def finish(b: Seq[(Long, Double)]): Seq[(Long, Double)] = b
+    override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+      ExpressionEncoder[Seq[(Long, Double)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
+  /** (query_id, neighbor_id, cosine) → ranked top-k per query via the
+    * map-side aggregator (no Window over the full scored set). Null
+    * cosines (zero-norm vectors) are dropped — they can never rank. */
+  private[similarity] def topKRanked(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .filter(col("cosine").isNotNull)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (q, topk) =>
+        topk.iterator.zipWithIndex.map { case ((id, s), i) => (q, id, i + 1, s) }
+      }
+      .toDF("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * enough to broadcast (sampled probes, or an online batch); corpus-side
-    * work is a single broadcast-nested-loop scan + per-query heap via
-    * row_number — no O(n²) shuffle. Excludes self-matches. */
+    * work is a single broadcast-nested-loop scan with the per-query top-k
+    * held in a map-side typed Aggregator — no O(n²) shuffle, and no
+    * corpus-wide window shuffle either. Excludes self-matches. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int = 10): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
@@ -50,11 +99,7 @@ object Ann {
     val scored = c
       .join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+    topKRanked(scored, k)
   }
 
   /** LSH top-k: candidates from any shared bucket across `tables` tables,
@@ -72,11 +117,7 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("query_vec"), col("neighbor_vec"))
       .distinct()
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    candidates
-      .withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+    topKRanked(
+      candidates.withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec"))), k)
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -25,25 +25,44 @@ object StreamPipeline {
   def extractValidEvents(kafkaFrame: DataFrame): DataFrame =
     Parse.extractEvents(kafkaFrame).filter(Filters.isValidEvent)
 
+  /** One route write of one micro-batch, keyed by batch id: the output is
+    * partitioned by `batch_id` and written with DYNAMIC partition
+    * overwrite, so a replayed micro-batch (failure/restart re-delivers the
+    * same batchId from the checkpoint) replaces its own partition instead
+    * of appending a duplicate — foreachBatch's idempotence contract, the
+    * property the single-sink path gets for free from the FileStreamSink
+    * manifest. Exposed for the replay test. */
+  def writeRoutedBatch(batch: DataFrame, batchId: Long, baseDir: String,
+      classify: Column): Unit = {
+    val routed = batch.withColumn("route", classify).persist()
+    try {
+      Seq((1, "sword_purchases"), (2, "guild_joins"), (3, "default_events")).foreach {
+        case (k, name) =>
+          routed.filter(col("route") === k).drop("route")
+            .withColumn("batch_id", lit(batchId))
+            .write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"$baseDir/$name")
+      }
+    } finally { routed.unpersist(); () }
+  }
+
   /** The reference's 3-way demux (rpg_spark_stream.py:60–145) done right:
     * ONE source, one micro-batch loop, three filtered parquet writes per
-    * batch — instead of three Kafka re-reads and blocking awaits. */
+    * batch — instead of three Kafka re-reads and blocking awaits. The
+    * classifier defaults to the Gen-1 vocabulary the reference demuxes;
+    * pass `Filters.classifyEventGen2(...)` for streams coming out of
+    * [[extractValidEvents]] (Gen-2 types). */
   def demuxToParquet(parsed: DataFrame, baseDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      classify: Column = Filters.classifyEvent(col("event_type"))): StreamingQuery =
     parsed.writeStream
       .option("checkpointLocation", s"$baseDir/_checkpoint")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cls = Filters.classifyEvent(col("event_type"))
-        val routed = batch.withColumn("route", cls).persist()
-        try {
-          Seq((1, "sword_purchases"), (2, "guild_joins"), (3, "default_events")).foreach {
-            case (k, name) =>
-              routed.filter(col("route") === k).drop("route")
-                .write.mode("append").parquet(s"$baseDir/$name")
-          }
-        } finally routed.unpersist()
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeRoutedBatch(batch, batchId, baseDir, classify)
       }
       .start()
 

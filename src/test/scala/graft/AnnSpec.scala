@@ -75,6 +75,24 @@ class AnnSpec extends AnyFunSuite {
     got.foreach { case (q, nId, s) => assert(s == scalaCos(vecs(q), vecs(nId))) }
   }
 
+  test("top-k ranking is a map-side typed aggregate, not a corpus-wide Window") {
+    val plan = Ann.bruteForceTopK(queries, embs, "vec_id", "embedding", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"top-k plan still windows the scored set:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected typed partial aggregate:\n$plan")
+  }
+
+  test("ivf cell assignment is map-only: zero Exchange nodes before the cell join") {
+    val (assigned, _) = graft.similarity.Ivf
+      .build(spark, embs, "vec_id", "embedding", nlist = 8)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"IVF assign plan shuffles:\n$plan")
+    // Every row lands in a valid cell.
+    val cells = assigned.select($"cell").distinct().as[Int].collect().toSet
+    assert(cells.nonEmpty && cells.forall(c => c >= 0 && c < 8))
+    assert(assigned.count() == embs.count())
+  }
+
   test("lsh results never outrank brute force (candidates are re-scored exactly)") {
     val brute = Ann.bruteForceTopK(queries, embs, "vec_id", "embedding", k = 1)
       .filter($"rank" === 1)

@@ -219,4 +219,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/guild_joins").count() == 1)
     assert(spark.read.parquet(s"$dir/default_events").count() == 1)
   }
+
+  test("demux batch writes are idempotent: a replayed micro-batch adds no duplicates") {
+    // foreachBatch's contract: after a failure the SAME batchId is
+    // re-delivered and the write must not double the rows. Simulated by
+    // invoking the per-batch writer twice with one batchId.
+    val dir = java.nio.file.Files.createTempDirectory("graft_demux_replay").toString
+    val batch = Seq(
+      ("purchase_sword", "iron"), ("purchase_sword", "gold"), ("join_guild", "g"), ("other", ""))
+      .toDF("event_type", "detail")
+    val classify = graft.operators.Filters.classifyEvent(
+      org.apache.spark.sql.functions.col("event_type"))
+    StreamPipeline.writeRoutedBatch(batch, 0L, dir, classify)
+    StreamPipeline.writeRoutedBatch(batch, 0L, dir, classify) // replay
+    assert(spark.read.parquet(s"$dir/sword_purchases").count() == 2)
+    assert(spark.read.parquet(s"$dir/guild_joins").count() == 1)
+    assert(spark.read.parquet(s"$dir/default_events").count() == 1)
+    // A LATER batch still appends (its own partition), not overwrites.
+    StreamPipeline.writeRoutedBatch(batch.filter($"event_type" === "purchase_sword"), 1L, dir, classify)
+    assert(spark.read.parquet(s"$dir/sword_purchases").count() == 4)
+  }
+
+  test("gen-2 classifier demuxes extractValidEvents output to the right routes") {
+    // Composing the two documented entry points must not send every valid
+    // event to default_events (gen-1 vs gen-2 vocabulary mismatch).
+    val dir = java.nio.file.Files.createTempDirectory("graft_demux_g2").toString
+    val (_, stream) = kafkaShapedStream(corpus)
+    val valid = StreamPipeline.extractValidEvents(stream)
+    val q = StreamPipeline.demuxToParquet(
+      valid, dir,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      classify = graft.operators.Filters.classifyEventGen2(
+        org.apache.spark.sql.functions.col("event_type")))
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$dir/sword_purchases").count() == 30) // 10 + 20
+    assert(spark.read.parquet(s"$dir/guild_joins").count() == 5)
+  }
 }

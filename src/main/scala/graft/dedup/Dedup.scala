@@ -105,6 +105,42 @@ object Dedup {
     * the harness corpus: one 248-doc group → 740k pre-distinct rows). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.95, p: MinHashParams = MinHashParams()): DataFrame = {
+    val (members, setPairs) = tieredSetPairs(docs, idCol, textCol, threshold, p)
+    pairsOfTiered(members, setPairs)
+  }
+
+  /** Expand tier outputs to the full doc-pair view: tier A (identical
+    * token sets → all pairs at jaccard exactly 1.0) ∪ tier B (verified set
+    * pairs → member cross products). Quadratic in duplicate-group size BY
+    * DESIGN — this is the reporting surface; clustering goes through
+    * [[clustersOfTiered]] and never materializes it. */
+  def pairsOfTiered(members: DataFrame, setPairs: DataFrame): DataFrame = {
+    val tierA = members
+      .select(col("set_key"), col("id").as("id_a"))
+      .join(members.select(col("set_key"), col("id").as("id_b")), Seq("set_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    val tierB = setPairs
+      .join(members.select(col("set_key").as("key_a"), col("id").as("ma")), Seq("key_a"))
+      .join(members.select(col("set_key").as("key_b"), col("id").as("mb")), Seq("key_b"))
+      .select(
+        least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"),
+        col("jaccard"))
+    tierA.union(tierB)
+  }
+
+  /** The tiered core both near-dup surfaces build on: documents
+    * canonicalized by exact token-set key, then MinHash+LSH over the
+    * DISTINCT sets only. Returns
+    *   members  (set_key, id)           — linear, one row per doc
+    *   setPairs (key_a, key_b, jaccard) — verified ≥ threshold, SET level.
+    * Without the canonicalization a group of n identical sets collides in
+    * every band and the bucket join degenerates to bands·n² rows (observed
+    * 6× on the harness corpus: one 248-doc group → 740k pre-distinct
+    * rows). */
+  private[graft] def tieredSetPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, p: MinHashParams = MinHashParams()): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     // Persisted intermediates are the COMPACTED representations (one row per
     // distinct set / per doc key): tiny relative to the corpus, reused by
@@ -117,18 +153,11 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val members = base.select(col("set_key"), col("id"))
 
-    // Tier A: identical token sets → all pairs, jaccard exactly 1.0.
-    val tierA = members
-      .select(col("set_key"), col("id").as("id_a"))
-      .join(members.select(col("set_key"), col("id").as("id_b")), Seq("set_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-
-    // Tier B: LSH over one representative per distinct set. Candidate pairs
-    // from a self-join on compact (band_idx, band_key, set_key) rows —
-    // token arrays join in only AFTER distinct, once per unique pair.
-    // (A collect_list+double-explode variant avoids the join but copies
-    // the whole bucket per generated row — measured 2× slower.)
+    // LSH over one representative per distinct set. Candidate pairs from a
+    // self-join on compact (band_idx, band_key, set_key) rows — token
+    // arrays join in only AFTER distinct, once per unique pair. (A
+    // collect_list+double-explode variant avoids the join but copies the
+    // whole bucket per generated row — measured 2× slower.)
     val reps = base
       .groupBy(col("set_key"))
       .agg(first(col("toks")).as("toks"))
@@ -148,15 +177,7 @@ object Dedup {
       .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("key_a"), col("key_b"), col("jaccard"))
-    val tierB = setPairs
-      .join(members.select(col("set_key").as("key_a"), col("id").as("ma")), Seq("key_a"))
-      .join(members.select(col("set_key").as("key_b"), col("id").as("mb")), Seq("key_b"))
-      .select(
-        least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"),
-        col("jaccard"))
-
-    tierA.union(tierB)
+    (members, setPairs)
   }
 
   /** Character n-gram (shingle) Jaccard variant: same LSH machinery over
@@ -220,11 +241,38 @@ object Dedup {
     * maxIter, not a near-dup blob) the result would silently under-merge,
     * so that case warns loudly instead. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The iterations are overhead-dominated when the graph is small: every
+    // round is 2 joins + an aggregate + a checkpoint, each shuffling at
+    // session width. Size the loop's shuffle to the MEASURED edge count
+    // (~1M edges per partition, capped at session width) — the count also
+    // materializes the persist, so it is not an extra pass. At 10⁹+ edges
+    // this keeps session width; at 10³ it collapses the fixed cost.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nEdges = edges.count()
+    val loopParts = math.max(1L, math.min(sessionParts.toLong, nEdges / 1000000L + 1L)).toString
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // AQE's per-stage materialization + re-planning is pure overhead on the
+    // loop's tiny bounded shuffles (the loop re-plans every round anyway).
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      connectedComponentsLoop(edges, maxIter)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      edges.unpersist()
+      ()
+    }
+  }
+
+  private def connectedComponentsLoop(edges: DataFrame, maxIter: Int): DataFrame = {
     // localCheckpoint per iteration truncates the lineage — without it the
     // logical plan nests one join level per round and planning itself OOMs.
     var labels = edges
@@ -239,21 +287,32 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_comp")).as("min_nbr_comp"))
-      val next = labels
+      val stepped = labels
         .join(propagated, Seq("id"), "left")
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("min_nbr_comp"), col("comp"))).as("comp"))
+      // Pointer jumping: comp ← label(comp). Labels are always node ids, so
+      // each round also halves the label-forest depth — edge propagation
+      // alone needs O(diameter) rounds (observed 10 on a chain-shaped
+      // near-dup blob), propagate+jump needs O(log diameter).
+      val next = stepped
+        .join(
+          stepped.select(col("id").as("comp"), col("comp").as("jump")),
+          Seq("comp"), "left")
+        .select(col("id"), col("prev"),
+          least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
         .localCheckpoint(true)
       converged = next.filter(col("comp") =!= col("prev")).isEmpty
       labels = next.select(col("id"), col("comp"))
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] iter $iter converged=$converged t=${System.nanoTime() / 1000000}")
     }
     if (!converged) {
       System.err.println(
         s"[graft] connectedComponents did NOT converge in $maxIter iterations — " +
           "components may be under-merged; raise maxIter for chain-shaped graphs")
     }
-    edges.unpersist()
     labels
   }
 
@@ -263,10 +322,59 @@ object Dedup {
     connectedComponents(pairs.select(col("id_a"), col("id_b")), maxIter)
 
   /** Near-duplicate clusters: components of the near-dup pair graph.
-    * (doc_id, component); component = smallest doc id in the cluster. */
+    * (doc_id, component); component = smallest doc id in the cluster.
+    *
+    * Clusters at the SET level, not the doc level: a group of n identical
+    * documents is one CC node reached through its set_key, not an n²-edge
+    * clique — the doc-level pair list (what [[minhashNearDups]] surfaces)
+    * is quadratic in duplicate-group size and would feed a 100 TB CC a
+    * graph quadratically larger than necessary. Semantics are identical:
+    * docs are connected iff they share a set_key (tier A) or their sets
+    * are linked through verified tier-B pairs; the component label is the
+    * smallest member doc id, and docs with no duplicate (singleton set,
+    * no set pair) don't appear — exactly the doc-level CC contract. */
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.95): DataFrame =
-    connectedComponents(minhashNearDups(docs, idCol, textCol, threshold).select("id_a", "id_b"))
+      threshold: Double = 0.95): DataFrame = {
+    val (members, setPairs) = tieredSetPairs(docs, idCol, textCol, threshold)
+    clustersOfTiered(members, setPairs)
+  }
+
+  /** Set-level clustering core (see [[nearDupClusters]]); exposed so a
+    * caller holding memoized tier outputs can reuse them.
+    *
+    * Each set node is relabeled to its MIN MEMBER doc id before CC: the
+    * iterations then shuffle compact longs instead of 32-char md5 keys
+    * (measured ~2× per round), and the converged label is already the
+    * final component id (min doc id of the component) — no relabel join
+    * afterwards. */
+  def clustersOfTiered(members: DataFrame, setPairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // set_key → node id (min member doc id); one row per distinct set.
+    val nodes = members
+      .groupBy(col("set_key"))
+      .agg(min(col("id")).as("nid"), count(lit(1)).as("n_members"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = setPairs
+      .join(nodes.select(col("set_key").as("key_a"), col("nid").as("id_a")), Seq("key_a"))
+      .join(nodes.select(col("set_key").as("key_b"), col("nid").as("id_b")), Seq("key_b"))
+      .select(col("id_a"), col("id_b"))
+    val setCC = connectedComponents(edges)
+    val withComp = nodes
+      .join(setCC.select(col("id").as("nid"), col("comp")), Seq("nid"), "left")
+      .select(col("set_key"), col("n_members"),
+        coalesce(col("comp"), col("nid")).as("set_comp"))
+    // Docs with no duplicate — singleton set, no set pair — don't appear:
+    // keep a set iff its component spans ≥ 2 docs.
+    val keep = withComp
+      .groupBy(col("set_comp"))
+      .agg(sum(col("n_members")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("set_comp"))
+    members
+      .join(withComp.join(keep, Seq("set_comp")).select(col("set_key"), col("set_comp")),
+        Seq("set_key"))
+      .select(col("id"), col("set_comp").as("comp"))
+  }
 
   // ---------------------------------------------------------------------------
   // SimHash

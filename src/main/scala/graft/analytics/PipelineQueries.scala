@@ -65,23 +65,42 @@ object PipelineQueries {
   /** Blocked word-bigram Jaccard: exact pairwise similarity within
     * (lang, source) blocks — the classic blocking tier of a dedup
     * cascade. Fully deterministic → oracle-checked. */
-  def ngramBlockedJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // One shuffle groups each (lang, source) block; each group's pairwise
-    // scores are computed in a typed flatMapGroups with the gram sets held
-    // once in memory — no per-pair array duplication or shuffle. At scale
-    // the block key bounds group size, which is what makes blocking a
-    // linear-shuffle pattern.
+  def ngramBlockedJaccard(spark: SparkSession, dir: String): DataFrame =
+    blockedJaccardPairs(Tables.documents(spark, dir))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(100)
+
+  /** Exact pairwise bigram Jaccard within (lang, source) blocks.
+    *
+    * One shuffle groups each block; each group's pairwise scores are
+    * computed in a typed flatMapGroups with the gram sets held once in
+    * memory — no per-pair array duplication or shuffle. The executor
+    * memory bound is the block size, so blocks larger than `maxBlock`
+    * are SUB-SPLIT by doc_id hash into ⌈n/maxBlock⌉ shards and compared
+    * only within a shard — the standard blocking-cascade guard (block
+    * purging/splitting): a hot (lang, source) at 100 TB costs bounded
+    * memory and quadratic work only within shards, trading recall ON
+    * OVERSIZED BLOCKS ONLY (deterministically, given the hash). Blocks
+    * within the cap — all of them at harness scale, so the oracle is
+    * unaffected — are compared exactly. */
+  private[graft] def blockedJaccardPairs(
+      docs: DataFrame, maxBlock: Int = 10000): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val rows = Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
-      .as[(Long, String, String, String)]
+    val sizes = docs
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("block_n"))
+    val rows = docs
+      .join(sizes, Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        pmod(col("doc_id"), ceil(col("block_n") / maxBlock)).cast("int").as("shard"))
+      .as[(Long, String, String, String, Int)]
     rows
-      .groupByKey { case (_, lang, source, _) => (lang, source) }
-      .flatMapGroups { (_: (String, String), it: Iterator[(Long, String, String, String)]) =>
+      .groupByKey { case (_, lang, source, _, shard) => (lang, source, shard) }
+      .flatMapGroups { (_: (String, String, Int), it: Iterator[(Long, String, String, String, Int)]) =>
         // Bigrams built here in plain Scala: the SQL-side transform()
         // equivalent is an interpreted higher-order function.
-        val docs = it.map { case (id, _, _, text) =>
+        val docs = it.map { case (id, _, _, text, _) =>
           val t = text.split(' ')
           val grams: Set[String] =
             if (t.length >= 2) t.iterator.sliding(2).map(_.mkString(" ")).toSet
@@ -99,8 +118,6 @@ object PipelineQueries {
         }
       }
       .toDF("id_a", "id_b", "jaccard")
-      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-      .limit(100)
   }
 
   /** Linear keeper assignments over token-set groups: one row per dropped
@@ -216,6 +233,33 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
 
+  /** End-to-end curation report: the composed pipeline a training-data
+    * run actually executes — exact-dedup keep list (semi-join, no
+    * duplicate content), quality-score gate, language-ID agreement with
+    * the label, then the per-language doc/token budget. Every stage is
+    * individually oracled (q25/q37/q38/q35); composing them stays
+    * deterministic, so the whole pipeline is oracle-checked too.
+    * Scale shape: one hash-aggregate (keep list), one broadcast-able
+    * semi-join, map-only scoring, one final tiny aggregate. */
+  def curationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keepers = docs
+      .groupBy(TextAnalysis.contentFingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
+    TextAnalysis
+      .qualityScore(kept)
+      .withColumn("predicted", TextAnalysis.langId(col("text")))
+      .filter(col("quality_score") >= 0.5)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_lang_agree"))
+      .orderBy(col("lang"))
+  }
+
   /** md5 content fingerprints. */
   def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -290,7 +334,8 @@ object PipelineQueries {
     "q50_frame_samples" -> (frameSamples _),
     "q51_percentiles" -> (percentiles _),
     "q55_dedup_assignments" -> (dedupAssignments _),
-    "q56_neardup_clusters" -> (nearDupClusters _))
+    "q56_neardup_clusters" -> (nearDupClusters _),
+    "q57_curation_report" -> (curationReport _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -422,6 +467,24 @@ object PipelineQueries {
         |  UNION
         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q57_curation_report" ->
+      s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |m AS (SELECT doc_id, lang,
+         |  len(str_split(text, ' ')) AS n_tokens,
+         |  CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
+         |  CAST(len(list_filter(str_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+         |    / len(str_split(text, ' ')) AS stopword_ratio,
+         |  list_distinct(str_split(lower(text), ' ')) AS toks
+         |FROM d),
+         |s AS (SELECT doc_id, lang, n_tokens,
+         |  LEAST(1.0, (CAST(n_tokens AS DOUBLE)/100.0)*0.4 + stopword_ratio*3.0*0.3
+         |    + CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) AS quality_score,
+         |  $duckLangIdBest AS best FROM m)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CASE WHEN ($duckLangIdDecode) = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_agree
+         |FROM s WHERE quality_score >= 0.5
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q51_percentiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25,
         |  quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75

@@ -27,6 +27,32 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // the corpus genuinely contains near-dups
   }
 
+  test("blocked jaccard sub-splits oversized blocks deterministically") {
+    import graft.analytics.PipelineQueries
+    // Uncapped = exact within every (lang, source) block.
+    val exact = PipelineQueries.blockedJaccardPairs(docs, maxBlock = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    // A tiny cap forces every block to shard: output must be the SUBSET of
+    // exact pairs whose ids hash to the same shard - never new pairs, never
+    // a changed score.
+    val capped = PipelineQueries.blockedJaccardPairs(docs, maxBlock = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped.subsetOf(exact))
+    assert(capped.size < exact.size) // sharding genuinely dropped cross-shard pairs
+    // Within-cap blocks are untouched: every same-shard pair survives.
+    val blockOf = docs.select($"doc_id", $"lang", $"source")
+      .as[(Long, String, String)].collect()
+      .map { case (id, l, s) => id -> ((l, s)) }.toMap
+    val sizes = blockOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    val shards = blockOf.map { case (id, b) =>
+      id -> (id % math.ceil(sizes(b) / 5.0).toLong)
+    }
+    exact.foreach { case (a, b, j) =>
+      if (blockOf(a) == blockOf(b) && shards(a) == shards(b))
+        assert(capped.contains((a, b, j)), s"same-shard pair ($a,$b) missing")
+    }
+  }
+
   test("exact dedup groups byte-identical content only") {
     val withDups = docs.select($"doc_id", $"text")
       .union(docs.filter($"doc_id" < 5).select($"doc_id" + 10000, $"text"))

@@ -158,22 +158,30 @@ object Dedup {
     // arrays join in only AFTER distinct, once per unique pair. (A
     // collect_list+double-explode variant avoids the join but copies the
     // whole bucket per generated row — measured 2× slower.)
+    // The candidate stream is the volume hot spot (a self-similar corpus
+    // can emit ~1000× more candidates than survivors), so it carries the
+    // set key as BINARY(16) (`unhex` of the md5 hex) — half the bytes of
+    // the hex string through the bucket join and the distinct, exact by
+    // construction. Hex keys reappear only on the tiny verified output.
     val reps = base
       .groupBy(col("set_key"))
       .agg(first(col("toks")).as("toks"))
+      .withColumn("skey", unhex(col("set_key")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = reps
-      .select(col("set_key"),
+      .select(col("skey"),
         posexplode(bandKeysOf(col("toks"), p)).as(Seq("band_idx", "band_key")))
     val setPairs = banded
-      .select(col("band_idx"), col("band_key"), col("set_key").as("key_a"))
-      .join(banded.select(col("band_idx"), col("band_key"), col("set_key").as("key_b")),
+      .select(col("band_idx"), col("band_key"), col("skey").as("skey_a"))
+      .join(banded.select(col("band_idx"), col("band_key"), col("skey").as("skey_b")),
         Seq("band_idx", "band_key"))
-      .filter(col("key_a") < col("key_b"))
-      .select(col("key_a"), col("key_b"))
+      .filter(col("skey_a") < col("skey_b"))
+      .select(col("skey_a"), col("skey_b"))
       .distinct()
-      .join(reps.select(col("set_key").as("key_a"), col("toks").as("toks_a")), Seq("key_a"))
-      .join(reps.select(col("set_key").as("key_b"), col("toks").as("toks_b")), Seq("key_b"))
+      .join(reps.select(col("skey").as("skey_a"), col("set_key").as("key_a"),
+        col("toks").as("toks_a")), Seq("skey_a"))
+      .join(reps.select(col("skey").as("skey_b"), col("set_key").as("key_b"),
+        col("toks").as("toks_b")), Seq("skey_b"))
       .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("key_a"), col("key_b"), col("jaccard"))

@@ -61,4 +61,51 @@ class PropertySpec extends AnyFunSuite {
       assert(s.count() + g.count() + d.count() == payloads.length.toLong)
     }
   }
+
+  test("TopKAggregator: merge-order invariance and exact selection vs sort") {
+    val agg = new graft.similarity.Ann.TopKAggregator(5)
+    val scoreGen = Gen.chooseNum(-1.0, 1.0)
+    val itemGen = Gen.zip(Gen.chooseNum(0L, 30L), scoreGen)
+    (0 until 30).foreach { i =>
+      val items = Gen.listOfN(40, itemGen)(Gen.Parameters.default, Seed(7L + i))
+        .getOrElse(Nil).distinctBy(_._1)
+      val expected = items.sortBy { case (id, s) => (-s, id) }.take(5)
+      // fold in scrambled orders and as split-merged partials
+      val shuffled = new scala.util.Random(i).shuffle(items)
+      val direct = shuffled.foldLeft(agg.zero)(agg.reduce)
+      assert(direct == expected, s"direct fold, seed $i")
+      val (l, r) = shuffled.splitAt(shuffled.length / 2)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == expected, s"split merge, seed $i")
+      val mergedRev = agg.merge(
+        r.foldLeft(agg.zero)(agg.reduce), l.foldLeft(agg.zero)(agg.reduce))
+      assert(mergedRev == expected, s"reversed merge, seed $i")
+    }
+  }
+
+  test("NearestCells agrees with per-centroid CosineSimilarity ranking") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{IvfFunctions, VectorFunctions}
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11L)
+    val centroids = Array.fill(6)(Array.fill(8)(rnd.nextGaussian()))
+    val vecs = (0 until 50).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val viaExpr = df
+      .select($"id", explode(IvfFunctions.nearest_cells($"vec", centroids, 3)).as("cell"))
+      .as[(Long, Int)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // reference ranking: score each centroid with the CosineSimilarity
+    // expression itself, sort (sim desc, cell asc)
+    val scored = centroids.indices.map { c =>
+      df.select($"id",
+        VectorFunctions.cosine_sim($"vec", typedLit(centroids(c))).as("sim"))
+        .as[(Long, Double)].collect().toMap.map { case (id, s) => (id, (c, s)) }
+    }
+    vecs.foreach { case (id, _) =>
+      val want = scored.map(_(id)).sortBy { case (c, s) => (-s, c) }.take(3).map(_._1)
+      assert(viaExpr(id) == want, s"id $id")
+    }
+  }
 }

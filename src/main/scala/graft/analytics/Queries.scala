@@ -425,6 +425,26 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Range (interval) join via graft.operators.RangeJoin: lineitems whose
+    * extended price falls in each part's 10×-retail price band. A pure
+    * range predicate — Spark's native plan would be a broadcast nested
+    * loop (O(|L|·|R|) compares); the binned operator equi-joins on compact
+    * bin longs and re-checks exactly. Single-multiply double arithmetic on
+    * both engines → bit-identical band membership. */
+  def rangeJoinPriceBand(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice"))
+    val parts = Tables.part(spark, dir).select(col("p_partkey"), col("p_retailprice"))
+    graft.operators.RangeJoin
+      .inner(li, parts,
+        value = col("l_extendedprice"),
+        lo = col("p_retailprice") * 10,
+        hi = col("p_retailprice") * 10 + 50,
+        binWidth = 50.0)
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_in_band"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Generator operator (explode): token frequency table — the X1
     * per-record expansion analog as a first-class relational op. */
   def tokenFrequency(spark: SparkSession, dir: String): DataFrame =
@@ -489,7 +509,8 @@ object Queries {
     "q48_sql_shipping_priority" -> (sqlShippingPriority _),
     "q52_asof_join" -> (asofViewPurchase _),
     "q53_token_frequency" -> (tokenFrequency _),
-    "q54_window_misc" -> (windowMisc _))
+    "q54_window_misc" -> (windowMisc _),
+    "q58_range_join" -> (rangeJoinPriceBand _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -665,5 +686,11 @@ object Queries {
         |  NTILE(4) OVER w AS quartile, FIRST_VALUE(event_id) OVER w AS first_event
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q58_range_join" ->
+      """SELECT p_partkey, COUNT(*) AS n_in_band
+        |FROM part p JOIN lineitem l
+        |  ON l.l_extendedprice >= p.p_retailprice * 10
+        | AND l.l_extendedprice < p.p_retailprice * 10 + 50
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin)
 }

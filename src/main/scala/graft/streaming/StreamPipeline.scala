@@ -174,6 +174,78 @@ object StreamPipeline {
           })
   }
 
+  /** Sessionizer as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * — the transformWithState API that supersedes flatMapGroupsWithState
+    * in Spark 4: typed composable state (value/list/map), explicit
+    * event-time TIMERS instead of a single per-key timeout, TTL support,
+    * and it runs only on the RocksDB state store (the backend that scales
+    * past executor heap). Semantics are identical to
+    * [[statefulSessionize]]: sessions close on a `gapMs` quiet period,
+    * open sessions flush when the watermark passes last+gap. */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, java.sql.Timestamp), SessionOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var acc: ValueState[SessionAcc] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[SessionAcc](
+        "session", Encoders.product[SessionAcc], TTLConfig.NONE)
+    override def handleInputRows(
+        host: String,
+        rows: Iterator[(String, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val times = rows.map(_._2.getTime).toArray.sorted
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var a: Option[SessionAcc] = if (acc.exists()) Some(acc.get()) else None
+      times.foreach { t =>
+        a = a match {
+          case Some(s) if t - s.last < gapMs => Some(s.copy(last = t, n = s.n + 1))
+          case Some(s) =>
+            closed += SessionOut(host, new java.sql.Timestamp(s.start), s.n)
+            Some(SessionAcc(t, t, 1))
+          case None => Some(SessionAcc(t, t, 1))
+        }
+      }
+      a.foreach { s =>
+        acc.update(s)
+        // One live timer per key: re-arm at the new session horizon.
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.last + gapMs)
+      }
+      closed.iterator
+    }
+    override def handleExpiredTimer(
+        host: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (acc.exists() && expiredTimerInfo.getExpiryTimeInMs >= acc.get().last + gapMs) {
+        val s = acc.get()
+        acc.clear()
+        Iterator.single(SessionOut(host, new java.sql.Timestamp(s.start), s.n))
+      } else Iterator.empty
+  }
+
+  /** [[statefulSessionize]] re-expressed on transformWithState (see
+    * [[SessionProcessor]]). Requires the RocksDB state store provider. */
+  def sessionizeTws(
+      spark: SparkSession,
+      events: DataFrame,
+      keyCol: String = "Host",
+      tsCol: String = "event_time",
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "2 hours"): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new SessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Run any streaming DataFrame to completion against bounded input and
     * return the result (AvailableNow + memory sink). Test/verify harness
     * for streaming plans. */

@@ -201,6 +201,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState sessionizer matches flatMapGroupsWithState output") {
+    // Same corpus through both arbitrary-state APIs (FMGWS and the Spark-4
+    // StatefulProcessor) must yield identical closed sessions. RocksDB is
+    // mandatory for transformWithState.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def input() = kafkaShapedStream(
+        Seq("00:00:00", "00:10:00", "03:00:00", "07:00:00", "07:05:00", "23:00:00").map { t =>
+          (EventGen.json("sword_event", "increase", "x", "hT"),
+            Timestamp.valueOf(s"2024-01-01 $t"))
+        })._2
+      def run(name: String, f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+        StreamPipeline.runToMemory(spark, f(StreamPipeline.extractValidEvents(input())), name)
+          .as[(String, Timestamp, Long)].collect().sortBy(_._2.getTime).toSeq
+      val tws = run("t_tws", df =>
+        StreamPipeline.sessionizeTws(spark, df, watermark = "0 seconds").toDF())
+      val fmgws = run("t_fmgws", df =>
+        StreamPipeline.statefulSessionize(spark, df, watermark = "0 seconds").toDF())
+      assert(tws == fmgws)
+      // 00:00+00:10 | 03:00 | 07:00+07:05 close; 23:00 stays open past the
+      // final watermark on both paths.
+      assert(tws.map(_._3) == Seq(2L, 1L, 2L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("demux writes three disjoint parquet routes from one source read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_demux").toString
     val gen1 = Seq(

@@ -260,6 +260,53 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Token-budget sampling: per language, admit documents in a
+    * DETERMINISTIC pseudo-random order (md5 of the text — uncorrelated
+    * with any data attribute, reproducible everywhere) until the running
+    * token count reaches the budget; a document is kept iff it STARTS
+    * under budget. The training-mix primitive: "give me ~N tokens per
+    * language". One window per lang partition — linear, one shuffle. */
+  def tokenBudgetSample(spark: SparkSession, dir: String, budget: Long = 5000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("rand_key"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables
+      .documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+        md5(col("text").cast("binary")).as("rand_key"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sampled_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Deterministic train/val/test split by content hash: bucket =
+    * h31(md5(text)) mod 100 → train <90, val <95, test otherwise. Pure
+    * map-side routing — the split is a property of the CONTENT (stable
+    * under re-partitioning, re-ingestion, engine change), not of row
+    * order or RNG state. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      graft.functions.PortableHashFunctions
+        .md5_token_hashes(array(col("text")), bits = 31)
+        .getItem(0),
+      lit(100))
+    Tables
+      .documents(spark, dir)
+      .withColumn(
+        "split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** md5 content fingerprints. */
   def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -335,7 +382,9 @@ object PipelineQueries {
     "q51_percentiles" -> (percentiles _),
     "q55_dedup_assignments" -> (dedupAssignments _),
     "q56_neardup_clusters" -> (nearDupClusters _),
-    "q57_curation_report" -> (curationReport _))
+    "q57_curation_report" -> (curationReport _),
+    "q59_token_budget_sample" -> ((s: SparkSession, d: String) => tokenBudgetSample(s, d)),
+    "q60_dataset_split" -> (datasetSplit _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -485,6 +534,20 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN ($duckLangIdDecode) = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_agree
          |FROM s WHERE quality_score >= 0.5
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q59_token_budget_sample" ->
+      """WITH t AS (SELECT lang, doc_id, len(str_split(text, ' ')) AS n_tokens, md5(text) AS rand_key FROM documents),
+        |c AS (SELECT lang, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY rand_key, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |FROM t)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sampled_tokens
+        |FROM c WHERE cum - n_tokens < 5000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q60_dataset_split" ->
+      s"""SELECT lang,
+         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs
+         |FROM (SELECT lang, ${duckH31("text")} % 100 AS b FROM documents)
+         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "q51_percentiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25,
         |  quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75

@@ -25,6 +25,22 @@ object StreamPipeline {
   def extractValidEvents(kafkaFrame: DataFrame): DataFrame =
     Parse.extractEvents(kafkaFrame).filter(Filters.isValidEvent)
 
+  /** [[extractValidEvents]] with pipeline-health metrics riding the plan:
+    * parsed / valid / malformed counts accumulate DURING the pass (no
+    * second scan of the stream) and surface per micro-batch in
+    * `StreamingQueryProgress.observedMetrics("graft_etl")` — the drop-rate
+    * signal an unattended 100 TB/day ingest needs to page on. Works
+    * identically on batch frames via `Observation`. */
+  def extractValidEventsObserved(kafkaFrame: DataFrame): DataFrame =
+    Parse
+      .extractEvents(kafkaFrame)
+      .observe(
+        "graft_etl",
+        count(lit(1)).as("n_parsed"),
+        sum(when(Filters.isValidEvent, 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("n_malformed"))
+      .filter(Filters.isValidEvent)
+
   /** One route write of one micro-batch, keyed by batch id: the output is
     * partitioned by `batch_id` and written with DYNAMIC partition
     * overwrite, so a replayed micro-batch (failure/restart re-delivers the

@@ -53,6 +53,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("clustering degrades gracefully when no set pairs survive the threshold") {
+    // Threshold above 1.0: tier B is empty, so clusters are exactly the
+    // identical-token-set groups (tier A) with >= 2 members — and the CC
+    // loop must handle an empty edge list without a crash.
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 1.01)
+      .as[(Long, Long)].collect().toSet
+    val groups = docs
+      .select(TextAnalysis.tokenSetKey($"text").as("k"), $"doc_id")
+      .as[(String, Long)].collect()
+      .groupBy(_._1).values.filter(_.length >= 2)
+      .flatMap { g => val m = g.map(_._2).min; g.map(r => (r._2, m)) }
+      .toSet
+    assert(clusters == groups)
+    assert(clusters.nonEmpty) // corpus genuinely has identical sets
+  }
+
   test("exact dedup groups byte-identical content only") {
     val withDups = docs.select($"doc_id", $"text")
       .union(docs.filter($"doc_id" < 5).select($"doc_id" + 10000, $"text"))

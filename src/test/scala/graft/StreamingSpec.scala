@@ -201,6 +201,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("observed ETL metrics report parsed/valid/malformed per run") {
+    val rows = corpus ++ Seq(("not json at all", new Timestamp(1700000100000L)))
+    val (_, stream) = kafkaShapedStream(rows)
+    val q = StreamPipeline
+      .extractValidEventsObserved(stream)
+      .writeStream
+      .format("memory")
+      .queryName("t_observed")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft_etl")))
+    assert(metrics.nonEmpty, "no observed metrics in progress")
+    val parsed = metrics.map(_.getAs[Long]("n_parsed")).sum
+    val valid = metrics.map(_.getAs[Long]("n_valid")).sum
+    val malformed = metrics.map(_.getAs[Long]("n_malformed")).sum
+    assert(parsed == rows.length.toLong)
+    assert(valid == spark.table("t_observed").count())
+    assert(malformed >= 1L) // the injected garbage row parses to null event_type
+    assert(valid + malformed <= parsed)
+  }
+
   test("transformWithState sessionizer matches flatMapGroupsWithState output") {
     // Same corpus through both arbitrary-state APIs (FMGWS and the Spark-4
     // StatefulProcessor) must yield identical closed sessions. RocksDB is

@@ -83,6 +83,22 @@ object GraftSqlFunctions {
       "graft_minhash_bands(tokens, bands, rowsPerBand, seed) - LSH band bucket keys") {
       es => MinHashBandKeys(
         es(0), litInt(es(1), "bands"), litInt(es(2), "rowsPerBand"), litLong(es(3), "seed"))
+    },
+    // Composite operators register as catalyst trees built directly (a
+    // composed Column carries unresolved ColumnNodes that the function
+    // registry path cannot resolve); the analyzer's type coercion fills
+    // in the int→double casts exactly as the DSL version gets them.
+    fn("graft_jaccard", "graft_jaccard(a, b) - token-set Jaccard of two DISTINCT arrays") { es =>
+      import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, Subtract}
+      import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Size}
+      import org.apache.spark.sql.types.DoubleType
+      val ni = Size(ArrayIntersect(es(0), es(1)))
+      Divide(Cast(ni, DoubleType), Subtract(Add(Size(es(0)), Size(es(1))), ni))
+    },
+    fn("graft_hamming", "graft_hamming(a, b) - Hamming distance between two 64-bit fingerprints") { es =>
+      import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Cast}
+      import org.apache.spark.sql.types.IntegerType
+      Cast(BitwiseCount(BitwiseXor(es(0), es(1))), IntegerType)
     })
 
   /** Inject into a live session (new sessions: use the extensions class). */

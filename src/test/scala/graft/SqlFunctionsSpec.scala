@@ -59,6 +59,17 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("composed-column functions (jaccard, hamming) work from SQL") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT
+        |  graft_jaccard(array('a','b','c'), array('b','c','d')) AS j,
+        |  graft_hamming(CAST(7 AS BIGINT), CAST(1 AS BIGINT)) AS h
+        |""".stripMargin).as[(Double, Int)].head()
+    assert(r._1 == 0.5) // |{b,c}| / |{a,b,c,d}|
+    assert(r._2 == 2)   // 7 xor 1 = 110b
+  }
+
   test("non-literal fixed params are rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash(array('a'), cast(rand()*4 AS INT) + 1, 12, 42L)").collect()

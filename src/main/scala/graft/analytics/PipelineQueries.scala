@@ -41,16 +41,29 @@ object PipelineQueries {
     * round-1 bench's two heaviest entries did exactly that). Both frames
     * are tiny (one row per doc / per verified set pair), so pinning them
     * for the process lifetime is free. */
+  // WeakHashMap on the session OBJECT: identity-keyed while the session
+  // lives (no hash collisions with stopped sessions), and the whole
+  // per-session entry — including its persisted frames' references —
+  // becomes collectable when the session does.
   private val nearDupTierCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, DataFrame)]
-  private def nearDupTiers(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    nearDupTierCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir), {
-        val (members, setPairs) = Dedup.tieredSetPairs(
-          Tables.documents(spark, dir), "doc_id", "text", threshold = 0.95)
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        (members.persist(MEMORY_AND_DISK), setPairs.persist(MEMORY_AND_DISK))
-      })
+    new java.util.WeakHashMap[
+      SparkSession, scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
+  private def nearDupTiers(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val perSession = nearDupTierCache.synchronized {
+      var m = nearDupTierCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+        nearDupTierCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
+      val (members, setPairs) = Dedup.tieredSetPairs(
+        Tables.documents(spark, dir), "doc_id", "text", threshold = 0.95)
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      (members.persist(MEMORY_AND_DISK), setPairs.persist(MEMORY_AND_DISK))
+    })
+  }
 
   /** MinHash+LSH near-duplicates, exact-verified at Jaccard ≥ 0.95. The
     * oracle brute-forces all pairs — LSH params are chosen so candidate

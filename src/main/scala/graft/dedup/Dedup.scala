@@ -249,32 +249,19 @@ object Dedup {
     * maxIter, not a near-dup blob) the result would silently under-merge,
     * so that case warns loudly instead. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The iterations are overhead-dominated when the graph is small: every
-    // round is 2 joins + an aggregate + a checkpoint, each shuffling at
-    // session width. Size the loop's shuffle to the MEASURED edge count
-    // (~1M edges per partition, capped at session width) — the count also
-    // materializes the persist, so it is not an extra pass. At 10⁹+ edges
-    // this keeps session width; at 10³ it collapses the fixed cost.
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val nEdges = edges.count()
-    val loopParts = math.max(1L, math.min(sessionParts.toLong, nEdges / 1000000L + 1L)).toString
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    // AQE's per-stage materialization + re-planning is pure overhead on the
-    // loop's tiny bounded shuffles (the loop re-plans every round anyway).
-    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Shuffle width inside the loop is left to session conf + AQE
+    // coalescing (which shrinks the tiny bounded shuffles at runtime):
+    // mutating session-global conf here would silently degrade any query
+    // running CONCURRENTLY on a shared session — a ~5% local win measured
+    // against a correctness hazard.
     try {
       connectedComponentsLoop(edges, maxIter)
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
       edges.unpersist()
       ()
     }
@@ -356,12 +343,14 @@ object Dedup {
     * final component id (min doc id of the component) — no relabel join
     * afterwards. */
   def clustersOfTiered(members: DataFrame, setPairs: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     // set_key → node id (min member doc id); one row per distinct set.
+    // NOT persisted: the result is lazy, so a persist here could never be
+    // safely unpersisted and would pin blocks for the session lifetime;
+    // the ≤3 recomputations run over the caller's (usually persisted)
+    // members frame.
     val nodes = members
       .groupBy(col("set_key"))
       .agg(min(col("id")).as("nid"), count(lit(1)).as("n_members"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = setPairs
       .join(nodes.select(col("set_key").as("key_a"), col("nid").as("id_a")), Seq("key_a"))
       .join(nodes.select(col("set_key").as("key_b"), col("nid").as("id_b")), Seq("key_b"))

@@ -62,31 +62,48 @@ object Ivf {
 
   /** Centroid matrix → driver, indexed DENSELY by cell id (a cell that lost
     * all members keeps its slot as a zero vector — zero norm scores -inf,
-    * so nothing routes there and ids stay aligned). nlist rows of dim
+    * so nothing routes there and ids stay aligned; a null-cell group from
+    * degenerate input is skipped rather than crashing). nlist rows of dim
     * doubles — the legitimate collect (same order as the seed fetch), NOT a
     * corpus collect. */
   private def matrixOf(centroids: DataFrame, nlist: Int): Array[Array[Double]] = {
     val out = Array.fill(nlist)(Array.emptyDoubleArray)
     centroids
       .collect()
-      .foreach(r => out(r.getInt(0)) = r.getSeq[Float](1).toArray.map(_.toDouble))
+      .foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1))
+          out(r.getInt(0)) = r.getSeq[Float](1).toArray.map(_.toDouble)
+      }
     out
   }
 
   /** Build the IVF index: deterministic seeds (first nlist ids), one Lloyd
-    * refinement with the centroid aggregator, final cell assignment.
+    * refinement with the centroid aggregator, final cell assignment. Rows
+    * with a null vector can't be indexed and are dropped up front (the
+    * NearestCells expression would null their cell).
     * Returns (assignments df [id, vec, cell], centroids df [cell, centroid]). */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, dim: Int = 64): (DataFrame, DataFrame) = {
+    val (assigned, refined, _) = buildWithMatrix(spark, corpus, idCol, vecCol, nlist, dim)
+    (assigned, refined)
+  }
+
+  /** [[build]] plus the collected centroid matrix, so callers that need to
+    * route queries (topK) don't re-run the corpus-wide centroid aggregate
+    * a second time for a second collect. */
+  private def buildWithMatrix(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, dim: Int)
+      : (DataFrame, DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     import spark.implicits._
-    val seedMatrix = corpus
+    val indexable = corpus.filter(col(vecCol).isNotNull)
+    val seedMatrix = indexable
       .orderBy(col(idCol))
       .limit(nlist)
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    val firstAssign = assign(corpus, seedMatrix, idCol, vecCol)
+    val firstAssign = assign(indexable, seedMatrix, idCol, vecCol)
     // One Lloyd iteration: recompute centroids as distributed cell means
     // via the typed Aggregator (two-phase: partial sums merge map-side —
     // no collect_list materialization of whole cells).
@@ -94,7 +111,9 @@ object Ivf {
     val refined = firstAssign
       .groupBy(col("cell"))
       .agg(centroidOf(col(vecCol)).as("centroid"))
-    (assign(corpus, matrixOf(refined, nlist), idCol, vecCol), refined)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matrix = matrixOf(refined, nlist) // materializes the persist (nlist rows)
+    (assign(indexable, matrix, idCol, vecCol), refined, matrix)
   }
 
   /** Search: route each query to its `nprobe` nearest cells (map-only
@@ -102,8 +121,7 @@ object Ivf {
     * those cells, top-k per query. */
   def topK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val (assigned, centroids) = build(spark, corpus, idCol, vecCol, nlist)
-    val matrix = matrixOf(centroids, nlist)
+    val (assigned, _, matrix) = buildWithMatrix(spark, corpus, idCol, vecCol, nlist, dim = 64)
     val routed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
       .select(col("query_id"), col("query_vec"),

@@ -174,13 +174,7 @@ object StreamPipeline {
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             var acc = state.getOption
             times.foreach { t =>
-              acc = acc match {
-                case Some(a) if t - a.last < gapMs => Some(a.copy(last = t, n = a.n + 1))
-                case Some(a) =>
-                  closed += SessionOut(host, new java.sql.Timestamp(a.start), a.n)
-                  Some(SessionAcc(t, t, 1))
-                case None => Some(SessionAcc(t, t, 1))
-              }
+              acc = foldSessionEvent(host, acc, t, gapMs, closed)
             }
             acc.foreach { a =>
               state.update(a)
@@ -189,6 +183,34 @@ object StreamPipeline {
             closed.iterator
           })
   }
+
+  /** One event folded into the per-key session state — shared by BOTH
+    * arbitrary-state sessionizers so their semantics cannot drift.
+    *
+    * Late (out-of-order ACROSS micro-batches) events are handled by
+    * interval merge, not by overwriting `last`: an event inside
+    * [start - gap, last + gap] extends the session on BOTH ends
+    * (start=min, last=max), so a late arrival can never rewind the
+    * session horizon and cause a premature timer close. An event after
+    * last + gap closes the current session; an event before start - gap
+    * is its own already-quiet session, emitted immediately. */
+  private[graft] def foldSessionEvent(
+      host: String,
+      acc: Option[SessionAcc],
+      t: Long,
+      gapMs: Long,
+      closed: scala.collection.mutable.ArrayBuffer[SessionOut]): Option[SessionAcc] =
+    acc match {
+      case Some(a) if t >= a.start - gapMs && t <= a.last + gapMs =>
+        Some(a.copy(start = math.min(a.start, t), last = math.max(a.last, t), n = a.n + 1))
+      case Some(a) if t > a.last + gapMs =>
+        closed += SessionOut(host, new java.sql.Timestamp(a.start), a.n)
+        Some(SessionAcc(t, t, 1))
+      case Some(a) => // t < a.start - gapMs: a stale stand-alone session
+        closed += SessionOut(host, new java.sql.Timestamp(t), 1)
+        Some(a)
+      case None => Some(SessionAcc(t, t, 1))
+    }
 
   /** Sessionizer as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
     * — the transformWithState API that supersedes flatMapGroupsWithState
@@ -215,13 +237,7 @@ object StreamPipeline {
       val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
       var a: Option[SessionAcc] = if (acc.exists()) Some(acc.get()) else None
       times.foreach { t =>
-        a = a match {
-          case Some(s) if t - s.last < gapMs => Some(s.copy(last = t, n = s.n + 1))
-          case Some(s) =>
-            closed += SessionOut(host, new java.sql.Timestamp(s.start), s.n)
-            Some(SessionAcc(t, t, 1))
-          case None => Some(SessionAcc(t, t, 1))
-        }
+        a = foldSessionEvent(host, a, t, gapMs, closed)
       }
       a.foreach { s =>
         acc.update(s)

@@ -225,6 +225,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(valid + malformed <= parsed)
   }
 
+  test("session fold merges late events by interval instead of rewinding the horizon") {
+    import graft.streaming.StreamPipeline.{SessionAcc, SessionOut}
+    val gap = 30L * 60 * 1000
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    // Session [9:40, 10:00]; a LATE event at 9:50 must extend counts, keep
+    // last=10:00 (not rewind to 9:50), and an event at 10:20 still joins.
+    var acc: Option[SessionAcc] = Some(SessionAcc(h10 - 20 * 60000, h10, 2))
+    acc = StreamPipeline.foldSessionEvent("h", acc, h10 - 10 * 60000, gap, closed)
+    assert(acc.get.last == h10 && acc.get.n == 3 && closed.isEmpty)
+    acc = StreamPipeline.foldSessionEvent("h", acc, h10 + 20 * 60000, gap, closed)
+    assert(acc.get.last == h10 + 20 * 60000 && acc.get.n == 4 && closed.isEmpty)
+    // A late event BEFORE start-gap is a stale stand-alone session: emitted
+    // immediately, current session untouched.
+    acc = StreamPipeline.foldSessionEvent("h", acc, h10 - 3 * 60 * 60000, gap, closed)
+    assert(closed.map(_.n_events) == Seq(1L) && acc.get.n == 4)
+    // A late event extending BACKWARD within gap of start moves start down.
+    acc = StreamPipeline.foldSessionEvent("h", acc, h10 - 45 * 60000, gap, closed)
+    assert(acc.get.start == h10 - 45 * 60000 && acc.get.n == 5)
+  }
+
   test("transformWithState sessionizer matches flatMapGroupsWithState output") {
     // Same corpus through both arbitrary-state APIs (FMGWS and the Spark-4
     // StatefulProcessor) must yield identical closed sessions. RocksDB is

@@ -320,6 +320,35 @@ object PipelineQueries {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Intra-document repetition metrics (the Gopher/MassiveText-style
+    * repetition filters): duplicate-token fraction, duplicate-bigram
+    * fraction, and top-token frequency share. Map-only except the
+    * top-token mode (explode → two-level count-max, partial-aggregated);
+    * single int/int→double divisions keep every value bit-portable. */
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = TextAnalysis.tokens(col("text"))
+    val bg = Dedup.wordNgrams(col("text"), 2)
+    val base = docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      (((size(toks) - size(array_distinct(toks))).cast("double")) / size(toks))
+        .as("dup_token_frac"),
+      (((size(bg) - size(array_distinct(bg))).cast("double")) / size(bg))
+        .as("dup_bigram_frac"))
+    val topCnt = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_cnt"))
+    base
+      .join(topCnt, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"), col("dup_bigram_frac"),
+        (col("max_cnt").cast("double") / col("n_tokens")).as("top_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** md5 content fingerprints. */
   def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -397,7 +426,8 @@ object PipelineQueries {
     "q56_neardup_clusters" -> (nearDupClusters _),
     "q57_curation_report" -> (curationReport _),
     "q59_token_budget_sample" -> ((s: SparkSession, d: String) => tokenBudgetSample(s, d)),
-    "q60_dataset_split" -> (datasetSplit _))
+    "q60_dataset_split" -> (datasetSplit _),
+    "q61_repetition" -> (repetitionMetrics _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -561,6 +591,21 @@ object PipelineQueries {
          |  COUNT(*) AS n_docs
          |FROM (SELECT lang, ${duckH31("text")} % 100 AS b FROM documents)
          |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q61_repetition" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS s FROM documents),
+        |b AS (SELECT doc_id, s,
+        |  CASE WHEN len(s) >= 2 THEN list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])
+        |       ELSE [text] END AS bg
+        |FROM (SELECT doc_id, s, text FROM t JOIN documents USING (doc_id))),
+        |u AS (SELECT doc_id, unnest(s) AS tok FROM t),
+        |m AS (SELECT doc_id, MAX(c) AS max_cnt FROM
+        |  (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY doc_id, tok) GROUP BY doc_id)
+        |SELECT b.doc_id, len(s) AS n_tokens,
+        |  CAST(len(s) - len(list_distinct(s)) AS DOUBLE) / len(s) AS dup_token_frac,
+        |  CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac,
+        |  CAST(m.max_cnt AS DOUBLE) / len(s) AS top_token_frac
+        |FROM b JOIN m ON b.doc_id = m.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q51_percentiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25,
         |  quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75

@@ -53,4 +53,22 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BatchEvalPython") && !p.contains("PythonUDF"), q)
     }
   }
+
+  test("q57: dedup keep-list joins as semi/hash join, never a nested loop") {
+    val p = planOf("q57_curation_report")
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q58: range join plans as an equi-join on bins (no BNLJ)") {
+    val p = planOf("q58_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q60: hash split is map-side routing + one aggregate exchange pair") {
+    val p = planOf("q60_dataset_split")
+    assert(!p.contains("Join"), p) // routing must not join anything
+    assert(p.contains("HashAggregate"), p)
+  }
 }

@@ -31,10 +31,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup (untimed): touch the tables + exercise codegen/shuffle paths.
+    // Warmup (untimed): touch EVERY table (so no timed query pays the cold
+    // parquet footer/page-cache read) + exercise codegen/shuffle paths.
     try {
       Tables.lineitem(spark, sfDir).limit(1000).groupBy("l_returnflag").count().count()
       Tables.events(spark, sfDir).limit(1000).count()
+      Seq(Tables.orders _, Tables.customer _, Tables.part _, Tables.supplier _,
+        Tables.nation _, Tables.region _, Tables.documents _, Tables.embeddings _)
+        .foreach(t => t(spark, sfDir).limit(100).count())
     } catch { case _: Throwable => () }
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]

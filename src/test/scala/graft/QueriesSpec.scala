@@ -17,6 +17,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("q42: HLL++ estimate stays within the configured error of exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val approx = graft.analytics.PipelineQueries.approxDistinct(spark, TestSpark.SfDir)
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, TestSpark.SfDir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      assert(err <= 0.1, s"$k: approx=${approx(k)} exact=$n err=$err") // default rsd 5%, 2σ slack
+    }
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

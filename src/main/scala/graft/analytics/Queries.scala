@@ -306,10 +306,20 @@ object Queries {
 
   /** Streaming twin of tumblingHourly: file stream → windowed count →
     * AvailableNow trigger → memory sink. Proves the same plan runs
-    * incrementally with streaming semantics and matches the batch oracle. */
+    * incrementally with streaming semantics and matches the batch oracle.
+    *
+    * Runs on a DEDICATED child session with a narrow shuffle width: a
+    * streaming aggregation instantiates one state-store per shuffle
+    * partition, so session width (sized for the batch scans) multiplies
+    * pure startup cost here — and a child session is the thread-safe way
+    * to scope that choice (no session-global conf mutation). A fresh
+    * checkpoint adopts the width at first run; real deployments size it
+    * to state volume the same way. */
   def streamHourly(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     val counts = Tables
-      .eventsStream(spark, dir)
+      .eventsStream(s, dir)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("n"))
@@ -321,7 +331,7 @@ object Queries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName).orderBy(col("hour_start"))
+    s.table(sinkName).orderBy(col("hour_start"))
   }
 
   // ---------------------------------------------------------------------------

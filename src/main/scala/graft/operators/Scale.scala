@@ -53,4 +53,18 @@ object Scale {
     df.repartitionByRange(partitions, col(byCol))
       .sortWithinPartitions(col(byCol))
       .write.mode("overwrite").option("compression", "snappy").parquet(path)
+
+  /** Hive-style directory partitioning: one directory per distinct value
+    * combination of `cols`. A reader filtering on a partition column
+    * prunes whole directories at PLANNING time (`PartitionFilters` on the
+    * scan — zero data files opened for excluded partitions), which is the
+    * difference between scanning 100 TB and scanning one day of it. Keep
+    * `cols` low-cardinality (each combination is a directory + its file
+    * overhead). */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .partitionBy(cols: _*)
+      .option("compression", "snappy")
+      .parquet(path)
 }

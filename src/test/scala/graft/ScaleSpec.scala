@@ -40,4 +40,20 @@ class ScaleSpec extends AnyFunSuite {
     val back = spark.read.parquet(s"$dir/ev")
     assert(back.count() == Tables.events(spark, TestSpark.SfDir).count())
   }
+
+  test("partitioned layout prunes directories at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = Tables.events(spark, TestSpark.SfDir)
+    Scale.writePartitioned(events, s"$dir/ev", Seq("event_type"))
+    val all = spark.read.parquet(s"$dir/ev")
+    val filtered = all.filter($"event_type" === "purchase")
+    // The filter lands in PartitionFilters (directory pruning)...
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("event_type"), plan)
+    // ...and the layout is genuinely one directory per value: reading the
+    // single partition directory alone reproduces the filtered result.
+    val oneDir = spark.read.parquet(s"$dir/ev/event_type=purchase")
+    assert(oneDir.count() == events.filter($"event_type" === "purchase").count())
+    assert(filtered.count() == oneDir.count())
+  }
 }

@@ -349,6 +349,17 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination: corpus docs within 0.8 Jaccard of any "benchmark"
+    * doc (deterministic sample: doc_id % 97 == 0 stands in for an eval
+    * set). Oracle brute-forces corpus × benchmark — LSH recall at the
+    * threshold is 1 - 6·10⁻⁵ per pair (see crossNearDups). */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup
+      .crossNearDups(docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** md5 content fingerprints. */
   def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -427,7 +438,8 @@ object PipelineQueries {
     "q57_curation_report" -> (curationReport _),
     "q59_token_budget_sample" -> ((s: SparkSession, d: String) => tokenBudgetSample(s, d)),
     "q60_dataset_split" -> (datasetSplit _),
-    "q61_repetition" -> (repetitionMetrics _))
+    "q61_repetition" -> (repetitionMetrics _),
+    "q62_decontamination" -> (decontamination _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -591,6 +603,16 @@ object PipelineQueries {
          |  COUNT(*) AS n_docs
          |FROM (SELECT lang, ${duckH31("text")} % 100 AS b FROM documents)
          |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q62_decontamination" ->
+      """WITH d AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+        |b AS (SELECT * FROM d WHERE doc_id % 97 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        |FROM d a JOIN b ON a.doc_id != b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q61_repetition" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS s FROM documents),
         |b AS (SELECT doc_id, s,

@@ -188,6 +188,40 @@ object Dedup {
     (members, setPairs)
   }
 
+  /** Cross-corpus near-duplicates: corpus docs whose token set is within
+    * `threshold` Jaccard of any BENCHMARK doc — the decontamination pass a
+    * training pipeline runs before the data ships (training docs that
+    * near-duplicate an eval/benchmark item must be dropped). Same banded
+    * LSH shape as [[minhashNearDups]], but candidates pair only ACROSS the
+    * two inputs, so the work is bounded by corpus×benchmark bucket
+    * overlap, never corpus². Band params must be chosen for the TARGET
+    * threshold (the 0.95-tuned default misses ~1/3 of 0.8-pairs; 32×6
+    * passes j=0.8 with miss ≈ 6·10⁻⁵). Output (corpus_id, benchmark_id,
+    * jaccard); identical ids excluded (benchmark ⊆ corpus is common). */
+  def crossNearDups(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8,
+      p: MinHashParams = MinHashParams(bands = 32, rowsPerBand = 6)): DataFrame = {
+    def prep(df: DataFrame, side: String): DataFrame =
+      df.select(
+        col(idCol).as(s"id_$side"),
+        sort_array(array_distinct(TextAnalysis.tokens(col(textCol)))).as(s"toks_$side"))
+    val ca = prep(corpus, "a")
+    val cb = prep(benchmark, "b").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ba = ca.select(col("id_a"),
+      posexplode(bandKeysOf(col("toks_a"), p)).as(Seq("band_idx", "band_key")))
+    val bb = cb.select(col("id_b"),
+      posexplode(bandKeysOf(col("toks_b"), p)).as(Seq("band_idx", "band_key")))
+    ba.join(bb, Seq("band_idx", "band_key"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .join(ca, Seq("id_a"))
+      .join(cb, Seq("id_b"))
+      .withColumn("jaccard", jaccardSorted(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Character n-gram (shingle) Jaccard variant: same LSH machinery over
     * word 3-gram shingles instead of single tokens — discriminative for
     * running text where unigram sets saturate. */

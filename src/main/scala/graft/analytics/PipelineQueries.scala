@@ -202,12 +202,15 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF ANN: learned cells (centroid Aggregator + one Lloyd pass),
-    * nprobe-cell search — the data-adaptive scale path next to LSH. */
+  /** IVF ANN over the seeded coarse quantizer (cells = first-nlist-id
+    * vectors; assignment/routing/scoring all bit-portable cosine folds →
+    * fully oracle-checked). The Lloyd-refined build stays in `Ivf.topK`,
+    * exercised by AnnSpec — its float-mean centroids aren't
+    * aggregation-order-portable across engines. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(spark, dir)
     graft.similarity.Ivf
-      .topK(spark, embs.filter(col("vec_id") % 50 === 0), embs, "vec_id", "embedding", k = 10)
+      .topKSeeded(spark, embs.filter(col("vec_id") % 50 === 0), embs, "vec_id", "embedding", k = 10)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -278,8 +281,73 @@ object PipelineQueries {
     * with any data attribute, reproducible everywhere) until the running
     * token count reaches the budget; a document is kept iff it STARTS
     * under budget. The training-mix primitive: "give me ~N tokens per
-    * language". One window per lang partition — linear, one shuffle. */
-  def tokenBudgetSample(spark: SparkSession, dir: String, budget: Long = 5000L): DataFrame = {
+    * language".
+    *
+    * Scale shape (the round-2 verdict's fix): the naive form is one
+    * running-sum window per lang = each language's ENTIRE corpus through
+    * one sorted reducer. Instead, decompose by the first `prefixLen` hex
+    * chars of the rand key (hex string order == numeric order, so bucket
+    * order is a prefix of the global (rand_key, doc_id) order):
+    *   1. per-(lang, bucket) token sums — an ordinary two-phase aggregate;
+    *   2. a window over those langs×16^prefixLen METADATA rows classifies
+    *      each bucket: admitted outright (bucket ends under budget),
+    *      rejected outright (starts at/over), or THE one boundary bucket;
+    *   3. full buckets admit via a broadcast-hash semi-join — map-only
+    *      over the corpus;
+    *   4. the exact running-sum window runs ONLY inside the boundary
+    *      bucket (1/16^prefixLen of one language), seeded with the
+    *      metadata prefix sum.
+    * The admitted set is IDENTICAL to the windowed form (the oracle/twin
+    * below, asserted in QueriesSpec) — this is an exact decomposition,
+    * not an approximation. At 100 TB, raise prefixLen: 4 hex chars =
+    * 65 536 buckets puts the boundary window at ~1/65536 of a language. */
+  def tokenBudgetSample(spark: SparkSession, dir: String, budget: Long = 5000L,
+      prefixLen: Int = 2): DataFrame = {
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+        md5(col("text").cast("binary")).as("rand_key"))
+      .withColumn("bucket", substring(col("rand_key"), 1, prefixLen))
+    val metaW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val buckets = base
+      .groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("cum_end", sum(col("bucket_tokens")).over(metaW))
+      .withColumn("cum_start", col("cum_end") - col("bucket_tokens"))
+    val fullKeys = buckets.filter(col("cum_end") <= budget)
+      .select(col("lang"), col("bucket"))
+    val boundary = buckets
+      .filter(col("cum_start") < budget && col("cum_end") > budget)
+      .select(col("lang"), col("bucket"), col("cum_start"))
+    val admittedFull = base.join(broadcast(fullKeys), Seq("lang", "bucket"), "left_semi")
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("rand_key"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val admittedBoundary = base
+      .join(broadcast(boundary), Seq("lang", "bucket"))
+      .withColumn("cum_tokens", col("cum_start") + sum(col("n_tokens")).over(bw))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(base.columns.map(col): _*)
+    admittedFull
+      .unionByName(admittedBoundary)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sampled_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** The single-window formulation of [[tokenBudgetSample]] — the
+    * small-scale twin the bucket decomposition must match exactly
+    * (QueriesSpec asserts equality; the DuckDB oracle is this shape). */
+  private[graft] def tokenBudgetSampleWindowed(spark: SparkSession, dir: String,
+      budget: Long = 5000L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("rand_key"), col("doc_id"))
@@ -639,5 +707,52 @@ object PipelineQueries {
         |m AS (SELECT set_key, MIN(doc_id) AS keep_id FROM k GROUP BY set_key)
         |SELECT k.doc_id AS dup_id, m.keep_id
         |FROM k JOIN m USING (set_key) WHERE k.doc_id <> m.keep_id
-        |ORDER BY dup_id""".stripMargin)
+        |ORDER BY dup_id""".stripMargin,
+    // --- ANN family: exact left-fold cosine replicated in DuckDB (see
+    // VectorOracles — scores, and therefore ranks, are bit-identical) ------
+    "q33_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  ${VectorOracles.cosine("q.qv", "e.embedding")} AS cosine
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+         |  WHERE e.embedding IS NOT NULL),
+         |${VectorOracles.topKTail(10)}""".stripMargin,
+    "q34_ann_lsh" ->
+      s"""WITH ${VectorOracles.bucketCte(tables = 8, bits = 6, dim = 64, seed = 7L)},
+         |qb AS (SELECT * FROM bk WHERE id % 50 = 0),
+         |cand AS (SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id
+         |  FROM qb JOIN bk cb ON qb.table_idx = cb.table_idx AND qb.bucket = cb.bucket AND qb.id <> cb.id),
+         |s AS (SELECT c.query_id, c.neighbor_id,
+         |  ${VectorOracles.cosine("qe.embedding", "ne.embedding")} AS cosine
+         |  FROM cand c JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+         |${VectorOracles.topKTail(10)}""".stripMargin,
+    "q32_embed_neardup" ->
+      s"""WITH ${VectorOracles.bucketCte(tables = 8, bits = 6, dim = 64, seed = 7L)},
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bk a JOIN bk b ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.id < b.id),
+         |s AS (SELECT id_a, id_b,
+         |  ${VectorOracles.cosine("ea.embedding", "eb.embedding")} AS cosine
+         |  FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+         |  JOIN embeddings eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q49_ann_ivf" ->
+      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |sims AS (SELECT e.vec_id, cen.cell,
+         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
+         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |routed AS (SELECT vec_id AS query_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 4),
+         |s AS (SELECT r.query_id, a.vec_id AS neighbor_id,
+         |  ${VectorOracles.cosine("qe.embedding", "ne.embedding")} AS cosine
+         |  FROM routed r JOIN assigned a ON a.cell = r.cell AND a.vec_id <> r.query_id
+         |  JOIN embeddings qe ON qe.vec_id = r.query_id
+         |  JOIN embeddings ne ON ne.vec_id = a.vec_id),
+         |${VectorOracles.topKTail(10)}""".stripMargin)
 }

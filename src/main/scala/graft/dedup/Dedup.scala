@@ -456,12 +456,21 @@ object Dedup {
       threshold: Double = 0.4): DataFrame = {
     val candidates = graft.similarity.Ann
       .bucketed(embs, idCol, vecCol, tables = 8, bits = 6, seed = 7L)
-    val l = candidates.select(col("table_idx"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = candidates.select(col("table_idx"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    l.join(r, Seq("table_idx", "bucket"))
+    // Dedup candidates on compact (id_a, id_b) ONLY — multi-table collisions
+    // would otherwise push both ~512 B vectors through the distinct exchange
+    // per collision; vectors re-join once per unique pair (the
+    // payload-after-distinct shape of tieredSetPairs above).
+    val l = candidates.select(col("table_idx"), col("bucket"), col("id").as("id_a"))
+    val r = candidates.select(col("table_idx"), col("bucket"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val va = embs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val vb = embs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    pairs
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
       .withColumn("cosine", cosine_sim(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

@@ -105,19 +105,31 @@ object Ann {
   /** LSH top-k: candidates from any shared bucket across `tables` tables,
     * exact cosine rank among candidates. Recall is tunable via
     * tables/bits; misses only reduce recall, never produce false
-    * positives (candidates are exactly re-scored). */
+    * positives (candidates are exactly re-scored).
+    *
+    * The candidate dedup runs on COMPACT ID PAIRS only — a candidate that
+    * collides in several tables would otherwise drag both ~dim-float
+    * vectors (≈512 B/row at dim=64) through the distinct exchange once per
+    * collision. Vectors are re-joined once per UNIQUE pair afterwards
+    * (queries broadcast; corpus one hash join), the same
+    * payload-after-distinct shape as `Dedup.tieredSetPairs`. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, tables: Int = 8, bits: Int = 6, seed: Long = 7L): DataFrame = {
     val qb = bucketed(queries, idCol, vecCol, tables, bits, seed)
-      .select(col("table_idx"), col("bucket"), col("id").as("query_id"), col("vec").as("query_vec"))
+      .select(col("table_idx"), col("bucket"), col("id").as("query_id"))
     val cb = bucketed(corpus, idCol, vecCol, tables, bits, seed)
-      .select(col("table_idx"), col("bucket"), col("id").as("neighbor_id"), col("vec").as("neighbor_vec"))
-    val candidates = qb
+      .select(col("table_idx"), col("bucket"), col("id").as("neighbor_id"))
+    val pairs = qb
       .join(cb, Seq("table_idx", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("query_vec"), col("neighbor_vec"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    topKRanked(
-      candidates.withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec"))), k)
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
+    val scored = pairs
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec")))
+    topKRanked(scored, k)
   }
 }

@@ -122,6 +122,36 @@ object Ivf {
   def topK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val (assigned, _, matrix) = buildWithMatrix(spark, corpus, idCol, vecCol, nlist, dim = 64)
+    searchWith(matrix, assigned, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** IVF search over the SEEDED coarse quantizer only (cells = the raw
+    * vectors of the first `nlist` ids; no Lloyd refinement). Same
+    * map-only routing and cell-join search as [[topK]] — but every stage
+    * is arithmetic a SQL oracle can replicate (seed cells are rows of the
+    * table itself, assignment/routing/scoring are the bit-portable cosine
+    * fold), whereas the learned centroids are float MEANS whose partial
+    * aggregation order is engine-internal. The registered q49 runs this
+    * variant so the driver's DuckDB gate checks the whole distributed
+    * pipeline bit-for-bit; the Lloyd-refined [[topK]] is covered by
+    * AnnSpec's recall + bit-exactness tests. */
+  def topKSeeded(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val indexable = corpus.filter(col(vecCol).isNotNull)
+    val seedMatrix = indexable
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val assigned = assign(indexable, seedMatrix, idCol, vecCol)
+    searchWith(seedMatrix, assigned, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** The shared search tail: nprobe routing (map-only), cell equi-join,
+    * exact cosine, map-side top-k. */
+  private def searchWith(matrix: Array[Array[Double]], assigned: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val routed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
       .select(col("query_id"), col("query_vec"),

@@ -66,6 +66,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q59: no per-language running-sum window over the full corpus") {
+    val p = planOf("q59_token_budget_sample")
+    // The scale-killer shape is Window(partition=lang, order=rand_key) over
+    // every document; the bucket decomposition must keep rand_key-ordered
+    // windows scoped to (lang, bucket) and admit full buckets map-only.
+    assert(!"""windowspecdefinition\(lang#\d+, rand_key""".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
   test("q60: hash split is map-side routing + one aggregate exchange pair") {
     val p = planOf("q60_dataset_split")
     assert(!p.contains("Join"), p) // routing must not join anything

@@ -33,6 +33,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q59: bucket decomposition equals the single-window twin exactly") {
+    // Several budgets so every branch is exercised: tiny (boundary bucket is
+    // the first), the default, and huge (every bucket full-admits, no
+    // boundary row at all).
+    Seq(300L, 5000L, 1000000000L).foreach { budget =>
+      val fast = graft.analytics.PipelineQueries
+        .tokenBudgetSample(spark, TestSpark.SfDir, budget).collect().toSeq
+      val twin = graft.analytics.PipelineQueries
+        .tokenBudgetSampleWindowed(spark, TestSpark.SfDir, budget).collect().toSeq
+      assert(fast == twin, s"budget=$budget fast=$fast twin=$twin")
+    }
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -15,8 +15,26 @@ import org.apache.spark.sql.SparkSession
   * parsing sbt noise. Failed queries are no longer silently timed as
   * fast successes: they are listed in a "failed" array, logged to stderr
   * with the exception, and excluded from the per-query timings.
+  *
+  * Calibration probe (round-2 verdict #5): a CONSTANT-size in-memory
+  * aggregate — spark.range hash-sum, no I/O, no data dependence — is
+  * timed immediately before and after the suite and recorded in the JSON.
+  * Machine contention (the skew that made the round-2 driver bench read
+  * 2.6× slow) is then detectable in-band: compare calibration_*_sec
+  * against the reference value recorded in BASELINE.md instead of
+  * guessing from query totals.
   */
 object Bench {
+
+  /** Fixed-work probe: ~200M xxhash64+sum across all cores. Data-size
+    * independent, so its runtime measures the MACHINE, not the suite. */
+  private def calibration(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 200000000L, 1L, 32)
+      .selectExpr("bit_xor(xxhash64(id))") // xor: overflow-free under ANSI
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,6 +59,8 @@ object Bench {
         .foreach(t => t(spark, sfDir).limit(100).count())
     } catch { case _: Throwable => () }
 
+    val calPre = calibration(spark)
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -54,12 +74,15 @@ object Bench {
           None
       }
     }
+
+    val calPost = calibration(spark)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,""" +
+        s""""calibration_pre_sec":$calPre,"calibration_post_sec":$calPost,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LAST.json"),

@@ -450,13 +450,26 @@ object PipelineQueries {
       .toDF()
       .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"))
 
-  /** Approximate distinct (HLL++) per event type (rows-only: estimator
-    * output is engine-specific). */
+  /** Approximate distinct (HLL++) per event type, surfaced as a BOUNDED
+    * check the driver's hash gate can verify: the raw estimate is
+    * engine-specific (un-oracle-able), but |approx − exact| / exact ≤ 0.1
+    * is a portable CLAIM — Spark emits the boolean next to the exact
+    * count, DuckDB's oracle emits the exact count with TRUE, and an
+    * estimator drifting out of bounds breaks the hash. At scale the HLL
+    * sketch is the production path (map-side mergeable, constant memory);
+    * the exact count-distinct here is its audit twin. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables
       .events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .select(
+        col("event_type"), col("n_exact"),
+        (abs(col("approx_users") - col("n_exact")).cast("double") / col("n_exact") <= 0.1)
+          .as("within_bound"))
+      .orderBy(col("event_type"))
 
   /** Frame samples from video assets (1→N decode, rows-only). */
   def frameSamples(spark: SparkSession, dir: String): DataFrame =
@@ -708,6 +721,9 @@ object PipelineQueries {
         |SELECT k.doc_id AS dup_id, m.keep_id
         |FROM k JOIN m USING (set_key) WHERE k.doc_id <> m.keep_id
         |ORDER BY dup_id""".stripMargin,
+    "q42_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // --- ANN family: exact left-fold cosine replicated in DuckDB (see
     // VectorOracles — scores, and therefore ranks, are bit-identical) ------
     "q33_ann_brute" ->

@@ -334,6 +334,57 @@ object Queries {
     s.table(sinkName).orderBy(col("hour_start"))
   }
 
+  /** Streaming twin of q23's sessionization on the Spark-4
+    * transformWithState path (StatefulProcessor + RocksDB state store +
+    * event-time timers): file stream → sessionizeTws → memory sink. The
+    * batch oracle is the same gap-sessionization in SQL, so the
+    * arbitrary-state streaming operator gets a full hash-checked
+    * CORRECTNESS row, not just a ScalaTest.
+    *
+    * Append-mode arbitrary state only emits sessions whose timers the
+    * final watermark passes, so the stage dir carries the events file
+    * plus ONE far-future sentinel row (user_id = -1, ts = 2100-01-01):
+    * the sentinel drags the final watermark past every real session's
+    * last+gap and is filtered from the output. Child session scopes the
+    * narrow shuffle width + RocksDB provider (same pattern as q24). */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import java.nio.file.{Files, Paths}
+    val stage = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_tws_src_" + Integer.toHexString(dir.hashCode))
+    Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+    val sentinelFile = stage.resolve("sentinel.parquet")
+    if (!Files.exists(sentinelFile)) {
+      val sentinelNanos = 4102444800000000000L // 2100-01-01 UTC in epoch nanos
+      val tmp = Files.createTempDirectory("graft_tws_sentinel").toString
+      Tables.load(s, dir, "events").limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", lit(sentinelNanos))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, sentinelFile)
+    }
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val ev = s.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", Tables.tsFromNanos)
+    val sessions = graft.streaming.StreamPipeline.sessionizeTws(
+      s, ev, keyCol = "user_id", tsCol = "ts",
+      gapMs = 30L * 60 * 1000, watermark = "0 seconds")
+    graft.streaming.StreamPipeline
+      .runToMemory(s, sessions.toDF(), "graft_stream_sessions")
+      .filter(col("host") =!= "-1")
+      .select(col("session_start"), col("host").cast("bigint").as("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   // ---------------------------------------------------------------------------
   // Wider SQL surface: pivot, set ops, scalar functions, subqueries, raw SQL
   // ---------------------------------------------------------------------------
@@ -511,6 +562,7 @@ object Queries {
     "q22_tumbling_hourly" -> (tumblingHourly _),
     "q23_sessionize" -> (sessionize _),
     "q24_stream_hourly" -> (streamHourly _),
+    "q63_stream_sessions" -> (streamSessions _),
     "q43_pivot" -> (pivotEventTypes _),
     "q44_set_ops" -> (setOps _),
     "q45_string_funcs" -> (stringFuncs _),
@@ -635,6 +687,22 @@ object Queries {
     "q24_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin,
+    // Gap semantics note: foldSessionEvent MERGES an event landing exactly
+    // at last+gap (t <= last+gap), so the oracle's new-session test is the
+    // STRICT >, unlike q23's session_window (right-open, >=).
+    "q63_stream_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q43_pivot" ->
       """SELECT user_id,
         |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,

@@ -302,6 +302,8 @@ object Dedup {
   }
 
   private def connectedComponentsLoop(edges: DataFrame, maxIter: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     // localCheckpoint per iteration truncates the lineage — without it the
     // logical plan nests one join level per round and planning itself OOMs.
     var labels = edges
@@ -324,15 +326,29 @@ object Dedup {
       // each round also halves the label-forest depth — edge propagation
       // alone needs O(diameter) rounds (observed 10 on a chain-shaped
       // near-dup blob), propagate+jump needs O(log diameter).
+      //
+      // Convergence rides ON the checkpoint-materialization job via an
+      // accumulator (one driver sync per round, not a second isEmpty scan):
+      // the typed map counts label changes while the rows stream into the
+      // checkpoint blocks, and drops `prev` so the cached frame is the
+      // narrow (id, comp). Task retries can only over-count — harmless,
+      // the test is `== 0`, and a genuinely changed round stays > 0.
+      val changed = spark.sparkContext.longAccumulator(s"graft_cc_changed_$iter")
       val next = stepped
         .join(
           stepped.select(col("id").as("comp"), col("comp").as("jump")),
           Seq("comp"), "left")
         .select(col("id"), col("prev"),
           least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
+        .as[(Long, Long, Long)]
+        .map { case (id, prev, comp) =>
+          if (prev != comp) changed.add(1L)
+          (id, comp)
+        }
+        .toDF("id", "comp")
         .localCheckpoint(true)
-      converged = next.filter(col("comp") =!= col("prev")).isEmpty
-      labels = next.select(col("id"), col("comp"))
+      converged = changed.value == 0L
+      labels = next
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] iter $iter converged=$converged t=${System.nanoTime() / 1000000}")

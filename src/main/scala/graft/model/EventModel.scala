@@ -62,6 +62,19 @@ object EventModel {
     StructField("value", BinaryType, nullable = true),
     StructField("timestamp", TimestampType, nullable = true)))
 
+  /** The FULL record schema of Spark's Kafka source (kafka-0-10-sql
+    * KafkaRecordToRowConverter — public connector contract). Used to pin
+    * the analyzed plan of the S1/S2 builders via the test stand-in
+    * provider (no kafka jar ships in this sandbox). */
+  val kafkaEnvelopeSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = true),
+    StructField("topic", StringType, nullable = true),
+    StructField("partition", IntegerType, nullable = true),
+    StructField("offset", LongType, nullable = true),
+    StructField("timestamp", TimestampType, nullable = true),
+    StructField("timestampType", IntegerType, nullable = true)))
+
   // Gen-2 event_type vocabulary (README.md:254, 261, 279).
   val SwordEvent = "sword_event"
   val GuildEvent = "guild_event"

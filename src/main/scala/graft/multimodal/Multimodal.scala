@@ -7,13 +7,52 @@ import org.apache.spark.sql.functions._
   * with typed metadata, and decode/feature-extract as distributed
   * per-partition transforms.
   *
-  * The decode step is a STUB (this container has no image/audio codecs):
-  * `StubCodec` produces deterministic fake features from the bytes. The
+  * IMAGE decode is REAL: [[ImageIoCodec]] runs javax.imageio (ships in
+  * the JDK — no external codec needed) inside the executors, with the
+  * stub as fallback for payloads that aren't decodable images (the
+  * harness documents corpus carries text bytes as stand-in payloads).
+  * Audio/video decode remains a STUB (`StubCodec` — no such codecs in
+  * this container): deterministic fake features from the bytes. The
   * Spark-side contract — schema, binary column handling, partition-wise
-  * batching, feature shape — is real and tested; swapping `StubCodec` for
-  * a JNI/FFI decoder changes nothing upstream.
+  * batching, feature shape — is identical either way, which is the point:
+  * swapping a codec changes nothing upstream (MultimodalSpec proves it by
+  * pushing real PNGs through the same path).
   */
 object Multimodal {
+
+  /** Real image decoder (javax.imageio): payload → [width, height, mean
+    * R/G/B (0-1), mean luma, 0, 0]. Deterministic in the bytes. Returns
+    * None when the payload isn't a decodable image, letting the caller
+    * fall back to the stub. */
+  object ImageIoCodec {
+    val FeatureDim = 8
+    def tryDecode(content: Array[Byte]): Option[Array[Float]] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var rs = 0.0; var gs = 0.0; var bs = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          val (r, g, b) = (rs / n, gs / n, bs / n)
+          Some(Array(
+            w.toFloat, h.toFloat,
+            (r / 255.0).toFloat, (g / 255.0).toFloat, (b / 255.0).toFloat,
+            ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).toFloat, 0f, 0f))
+        }
+      } catch { case _: Exception => None }
+  }
 
   /** A media asset: opaque payload + typed metadata. */
   case class MediaRecord(
@@ -103,12 +142,17 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { m =>
+        // Images decode for real (JDK imageio); everything else — and image
+        // payloads that turn out not to be images — takes the stub path.
+        val features =
+          if (m.modality == "image") ImageIoCodec.tryDecode(m.content).getOrElse(StubCodec.decode(m.content))
+          else StubCodec.decode(m.content)
         MediaFeatures(
           media_id = m.media_id,
           modality = m.modality,
           n_bytes = m.content.length.toLong,
           checksum = StubCodec.checksum(m.content),
-          features = StubCodec.decode(m.content))
+          features = features)
       }
     }
   }

@@ -45,6 +45,16 @@ object Parse {
   def inferJson(spark: SparkSession, rawJson: Dataset[String]): DataFrame =
     spark.read.json(rawJson)
 
+  /** Presto-compat column surface: Presto's parser lower-cases unquoted
+    * identifiers, so the reference's analysts query `accept`, `host`,
+    * `"user-agent"` (reference README.md:603–613) while the wire fields
+    * are mixed-case. Fold a fidelity frame to that vocabulary — rename
+    * only, zero plan cost, idempotent (non-header columns are already
+    * lower-case). Register the result as a view next to the fidelity one
+    * and both query surfaces resolve. */
+  def prestoFolded(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase(java.util.Locale.ROOT)): _*)
+
   /** props-style JSON column access (harness `events.props`): single-key
     * extraction without materializing a struct. Codegen'd, no UDF. */
   def jsonKey(propsCol: Column, key: String): Column =

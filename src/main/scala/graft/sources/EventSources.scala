@@ -15,20 +15,28 @@ object EventSources {
 
   /** S1: Kafka streaming source. Kafka delivers (key, value, topic,
     * partition, offset, timestamp, timestampType); the ETL touches only
-    * value + timestamp (SURVEY.md §1.1). */
+    * value + timestamp (SURVEY.md §1.1).
+    *
+    * `provider` is an injection seam: production leaves the default
+    * ("kafka" → spark-sql-kafka connector); KafkaContractSpec substitutes
+    * an envelope-shaped stand-in so the SAME builder path is driven all
+    * the way through DataSource-V2 resolution to an analyzed streaming
+    * plan in a sandbox with no kafka jar. */
   def kafkaStream(spark: SparkSession, bootstrap: String, topic: String,
-      startingOffsets: String = "latest"): DataFrame =
+      startingOffsets: String = "latest", provider: String = "kafka"): DataFrame =
     spark.readStream
-      .format("kafka")
+      .format(provider)
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
       .load()
 
-  /** S2: Kafka bounded batch source (earliest→latest). */
-  def kafkaBatch(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+  /** S2: Kafka bounded batch source (earliest→latest). Same `provider`
+    * seam as [[kafkaStream]]. */
+  def kafkaBatch(spark: SparkSession, bootstrap: String, topic: String,
+      provider: String = "kafka"): DataFrame =
     spark.read
-      .format("kafka")
+      .format(provider)
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")

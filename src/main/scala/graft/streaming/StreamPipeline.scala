@@ -140,8 +140,29 @@ object StreamPipeline {
   /** A closed session emitted by the custom stateful sessionizer. */
   case class SessionOut(host: String, session_start: java.sql.Timestamp, n_events: Long)
 
-  /** Mutable per-key session accumulator (stored in the state store). */
+  /** Mutable per-key session accumulator (stored in the state store).
+    * Times are epoch MICROSECONDS — Spark's native timestamp precision;
+    * quantizing to Timestamp.getTime millis would shift session starts
+    * (and, at the gap boundary, session membership) relative to any
+    * micro-precision batch twin. */
   case class SessionAcc(start: Long, last: Long, n: Long)
+
+  /** java.sql.Timestamp → epoch micros (getTime is millis; the nanos field
+    * carries the full fractional second). */
+  private[graft] def microsOf(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** Epoch micros → java.sql.Timestamp, micros preserved. */
+  private[graft] def tsOfMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Event-time timer arm point for a session (ms, ceil): fires only once
+    * the watermark is at/after last+gap at micro precision. */
+  private def timerMsFor(lastUs: Long, gapUs: Long): Long =
+    math.floorDiv(lastUs + gapUs + 999L, 1000L)
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * arbitrary-state API for semantics session_window can't express
@@ -158,6 +179,7 @@ object StreamPipeline {
       watermark: String = "2 hours"): org.apache.spark.sql.Dataset[SessionOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark(tsCol, watermark)
       .select(col(keyCol).cast("string").as("k"), col(tsCol).as("t"))
@@ -168,24 +190,27 @@ object StreamPipeline {
           if (state.hasTimedOut) {
             val a = state.get
             state.remove()
-            Iterator.single(SessionOut(host, new java.sql.Timestamp(a.start), a.n))
+            Iterator.single(SessionOut(host, tsOfMicros(a.start), a.n))
           } else {
-            val times = rows.map(_._2.getTime).toArray.sorted
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            val times = rows.map(r => microsOf(r._2)).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
             var acc = state.getOption
             times.foreach { t =>
-              acc = foldSessionEvent(host, acc, t, gapMs, closed)
+              acc = foldSessionEvent(acc, t, gapUs, closed)
             }
             acc.foreach { a =>
               state.update(a)
-              state.setTimeoutTimestamp(a.last + gapMs)
+              state.setTimeoutTimestamp(timerMsFor(a.last, gapUs))
             }
-            closed.iterator
+            closed.iterator.map { case (start, n) => SessionOut(host, tsOfMicros(start), n) }
           })
   }
 
   /** One event folded into the per-key session state — shared by BOTH
     * arbitrary-state sessionizers so their semantics cannot drift.
+    * Closed sessions append as raw (session_start, n_events) pairs; pure
+    * arithmetic, TIME-UNIT AGNOSTIC (callers pass t and gap in the same
+    * unit — the streaming paths use micros).
     *
     * Late (out-of-order ACROSS micro-batches) events are handled by
     * interval merge, not by overwriting `last`: an event inside
@@ -195,20 +220,19 @@ object StreamPipeline {
     * last + gap closes the current session; an event before start - gap
     * is its own already-quiet session, emitted immediately. */
   private[graft] def foldSessionEvent(
-      host: String,
       acc: Option[SessionAcc],
       t: Long,
-      gapMs: Long,
-      closed: scala.collection.mutable.ArrayBuffer[SessionOut]): Option[SessionAcc] =
+      gap: Long,
+      closed: scala.collection.mutable.ArrayBuffer[(Long, Long)]): Option[SessionAcc] =
     acc match {
-      case Some(a) if t >= a.start - gapMs && t <= a.last + gapMs =>
+      case Some(a) if t >= a.start - gap && t <= a.last + gap =>
         Some(a.copy(start = math.min(a.start, t), last = math.max(a.last, t), n = a.n + 1))
-      case Some(a) if t > a.last + gapMs =>
-        closed += SessionOut(host, new java.sql.Timestamp(a.start), a.n)
+      case Some(a) if t > a.last + gap =>
+        closed += ((a.start, a.n))
         Some(SessionAcc(t, t, 1))
-      case Some(a) => // t < a.start - gapMs: a stale stand-alone session
-        closed += SessionOut(host, new java.sql.Timestamp(t), 1)
-        Some(a)
+      case Some(_) => // t < start - gap: a stale stand-alone session
+        closed += ((t, 1L))
+        acc
       case None => Some(SessionAcc(t, t, 1))
     }
 
@@ -229,32 +253,37 @@ object StreamPipeline {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       acc = getHandle.getValueState[SessionAcc](
         "session", Encoders.product[SessionAcc], TTLConfig.NONE)
+    private def gapUs: Long = gapMs * 1000L
     override def handleInputRows(
         host: String,
         rows: Iterator[(String, java.sql.Timestamp)],
         timerValues: TimerValues): Iterator[SessionOut] = {
-      val times = rows.map(_._2.getTime).toArray.sorted
-      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      val times = rows.map(r => microsOf(r._2)).toArray.sorted
+      val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       var a: Option[SessionAcc] = if (acc.exists()) Some(acc.get()) else None
       times.foreach { t =>
-        a = foldSessionEvent(host, a, t, gapMs, closed)
+        a = foldSessionEvent(a, t, gapUs, closed)
       }
       a.foreach { s =>
         acc.update(s)
         // One live timer per key: re-arm at the new session horizon.
         getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(s.last + gapMs)
+        getHandle.registerTimer(timerMsFor(s.last, gapUs))
       }
-      closed.iterator
+      closed.iterator.map { case (start, n) => SessionOut(host, tsOfMicros(start), n) }
     }
     override def handleExpiredTimer(
         host: String,
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] =
-      if (acc.exists() && expiredTimerInfo.getExpiryTimeInMs >= acc.get().last + gapMs) {
+      // Stale-timer guard (ms timer vs µs state): a re-armed session's
+      // current horizon timer is timerMsFor(last, gap); anything earlier
+      // is from a superseded horizon.
+      if (acc.exists() &&
+        expiredTimerInfo.getExpiryTimeInMs >= timerMsFor(acc.get().last, gapUs)) {
         val s = acc.get()
         acc.clear()
-        Iterator.single(SessionOut(host, new java.sql.Timestamp(s.start), s.n))
+        Iterator.single(SessionOut(host, tsOfMicros(s.start), s.n))
       } else Iterator.empty
   }
 

@@ -43,6 +43,21 @@ class EtlSpec extends AnyFunSuite {
       ("Player 1", "guild_event") -> 30L))
   }
 
+  test("presto case-fold: lower-case surface resolves alongside fidelity") {
+    val folded = Parse.prestoFolded(parsed)
+    assert(folded.columns.toSeq == Seq("raw_event", "timestamp", "event_time",
+      "accept", "host", "user-agent", "event_type", "direction", "event_detail"))
+    // Both vocabularies answer the same query with the same result.
+    val fidelity = parsed.groupBy(col("Host")).count().as[(String, Long)].collect().toMap
+    val presto = folded.groupBy(col("host")).count().as[(String, Long)].collect().toMap
+    assert(fidelity == presto && fidelity.nonEmpty)
+    // Registered as views, both resolve in SQL (hyphenated name backticked).
+    parsed.createOrReplaceTempView("valid_events_fidelity")
+    folded.createOrReplaceTempView("valid_events_presto")
+    assert(spark.sql("SELECT Host, `User-Agent` FROM valid_events_fidelity").count() ==
+      spark.sql("SELECT host, `user-agent` FROM valid_events_presto").count())
+  }
+
   test("schema-on-read: unknown keys dropped, missing keys null, bad JSON null row") {
     val rows = Parse
       .extractEvents(EventSources.memoryBatch(

@@ -45,4 +45,35 @@ class KafkaContractSpec extends AnyFunSuite {
       spark, Seq(("{}", new java.sql.Timestamp(0L))))
     assert(df.schema == EventModel.kafkaValueSchema)
   }
+
+  test("kafkaStream analyzes to a streaming relation with the Kafka envelope; options round-trip") {
+    val provider = classOf[KafkaEnvelopeTestProvider].getName
+    val df = EventSources.kafkaStream(
+      spark, "broker-1:9092,broker-2:9092", "events",
+      startingOffsets = "earliest", provider = provider)
+    assert(df.isStreaming)
+    assert(df.schema == EventModel.kafkaEnvelopeSchema, df.schema.treeString)
+    assert(df.queryExecution.analyzed.getClass.getSimpleName.contains("StreamingRelation"),
+      df.queryExecution.analyzed.getClass.getName)
+    val opts = KafkaEnvelopeTestProvider.lastOptions
+    assert(opts.get("kafka.bootstrap.servers").contains("broker-1:9092,broker-2:9092"), opts)
+    assert(opts.get("subscribe").contains("events"), opts)
+    assert(opts.get("startingoffsets").contains("earliest"), opts)
+    // The whole downstream ETL analyzes over the envelope source: the
+    // builder → parse → filter composition is plan-checked end to end.
+    val etl = graft.streaming.StreamPipeline.extractValidEvents(df)
+    assert(etl.isStreaming)
+    assert(etl.columns.toSeq == Seq("raw_event", "timestamp", "event_time",
+      "Accept", "Host", "User-Agent", "event_type", "direction", "event_detail"))
+  }
+
+  test("kafkaBatch analyzes with the Kafka envelope; offset options round-trip") {
+    val provider = classOf[KafkaEnvelopeTestProvider].getName
+    val df = EventSources.kafkaBatch(spark, "broker-1:9092", "events", provider = provider)
+    assert(!df.isStreaming)
+    assert(df.schema == EventModel.kafkaEnvelopeSchema, df.schema.treeString)
+    val opts = KafkaEnvelopeTestProvider.lastOptions
+    assert(opts.get("startingoffsets").contains("earliest"), opts)
+    assert(opts.get("endingoffsets").contains("latest"), opts)
+  }
 }

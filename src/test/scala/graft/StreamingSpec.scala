@@ -226,23 +226,24 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("session fold merges late events by interval instead of rewinding the horizon") {
-    import graft.streaming.StreamPipeline.{SessionAcc, SessionOut}
+    import graft.streaming.StreamPipeline.SessionAcc
+    // fold is time-unit agnostic; this test drives it in millis.
     val gap = 30L * 60 * 1000
-    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
     // Session [9:40, 10:00]; a LATE event at 9:50 must extend counts, keep
     // last=10:00 (not rewind to 9:50), and an event at 10:20 still joins.
     var acc: Option[SessionAcc] = Some(SessionAcc(h10 - 20 * 60000, h10, 2))
-    acc = StreamPipeline.foldSessionEvent("h", acc, h10 - 10 * 60000, gap, closed)
+    acc = StreamPipeline.foldSessionEvent(acc, h10 - 10 * 60000, gap, closed)
     assert(acc.get.last == h10 && acc.get.n == 3 && closed.isEmpty)
-    acc = StreamPipeline.foldSessionEvent("h", acc, h10 + 20 * 60000, gap, closed)
+    acc = StreamPipeline.foldSessionEvent(acc, h10 + 20 * 60000, gap, closed)
     assert(acc.get.last == h10 + 20 * 60000 && acc.get.n == 4 && closed.isEmpty)
     // A late event BEFORE start-gap is a stale stand-alone session: emitted
     // immediately, current session untouched.
-    acc = StreamPipeline.foldSessionEvent("h", acc, h10 - 3 * 60 * 60000, gap, closed)
-    assert(closed.map(_.n_events) == Seq(1L) && acc.get.n == 4)
+    acc = StreamPipeline.foldSessionEvent(acc, h10 - 3 * 60 * 60000, gap, closed)
+    assert(closed.map(_._2) == Seq(1L) && acc.get.n == 4)
     // A late event extending BACKWARD within gap of start moves start down.
-    acc = StreamPipeline.foldSessionEvent("h", acc, h10 - 45 * 60000, gap, closed)
+    acc = StreamPipeline.foldSessionEvent(acc, h10 - 45 * 60000, gap, closed)
     assert(acc.get.start == h10 - 45 * 60000 && acc.get.n == 5)
   }
 

@@ -428,6 +428,41 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Repeated word-level n-grams across documents — the exact-substring
+    * dedup primitive (find training text memorized verbatim in many docs:
+    * boilerplate, licenses, templated spans). Word 10-grams explode once,
+    * then one hash-aggregate; output is linear in distinct repeated grams.
+    * At 100 TB the gram column in the shuffle would be an md5-h60 of the
+    * gram (compact keys, same counts); the oracle surface keeps the
+    * strings so the driver compares them directly. */
+  def repeatedNgrams(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.wordNgrams(col("text"), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(100)
+
+  /** PII redaction: emails/phone-shaped spans → placeholder tokens, with
+    * per-doc match counts and the redacted-content fingerprint. Map-only
+    * regexp passes (RE2-safe patterns — identical semantics on the DuckDB
+    * oracle); the harness corpus is PII-free, so the oracle here checks
+    * engine parity of the regex machinery over 5K real strings while
+    * TextSpec proves actual redaction on synthetic PII. */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TextAnalysis.emailCount(col("text")).as("n_emails"),
+        TextAnalysis.phoneCount(col("text")).as("n_phones"),
+        md5(TextAnalysis.redactPii(col("text")).cast("binary")).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+
   /** md5 content fingerprints. */
   def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -520,7 +555,9 @@ object PipelineQueries {
     "q59_token_budget_sample" -> ((s: SparkSession, d: String) => tokenBudgetSample(s, d)),
     "q60_dataset_split" -> (datasetSplit _),
     "q61_repetition" -> (repetitionMetrics _),
-    "q62_decontamination" -> (decontamination _))
+    "q62_decontamination" -> (decontamination _),
+    "q64_repeated_ngrams" -> ((s: SparkSession, d: String) => repeatedNgrams(s, d)),
+    "q65_pii_redaction" -> (piiRedaction _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -724,6 +761,22 @@ object PipelineQueries {
     "q42_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q64_repeated_ngrams" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS s, text FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(s) >= 10 THEN list_transform(range(1, len(s) - 8), i -> array_to_string(s[i:i+9], ' '))
+        |       ELSE [text] END AS grams
+        |  FROM t),
+        |u AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+        |SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+        |FROM u GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, gram LIMIT 100""".stripMargin,
+    "q65_pii_redaction" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS n_emails,
+         |  len(regexp_extract_all(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'), '${TextAnalysis.PhonePattern}')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'), '${TextAnalysis.PhonePattern}', '<PHONE>', 'g')) AS redacted_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // --- ANN family: exact left-fold cosine replicated in DuckDB (see
     // VectorOracles — scores, and therefore ranks, are bit-identical) ------
     "q33_ann_brute" ->

@@ -385,6 +385,33 @@ object Queries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Stream-stream interval join for the driver gate: purchases joined to
+    * the same user's views within the preceding hour, both sides
+    * watermarked file streams (bounded state — the §2.8 two-unbounded-
+    * streams contract). The join emits matches append-mode as data
+    * arrives; the per-user aggregate runs in BATCH on the sink table, so
+    * no sentinel is needed (inner-join completeness doesn't depend on the
+    * final watermark — only state GC does). Oracle = the same interval
+    * join in SQL. */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val p = Tables.eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val v = Tables.eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val joined = graft.streaming.StreamPipeline
+      .intervalJoin(p, v, "user_id", "p_ts", "v_ts", window = "1 hour", watermark = "2 hours")
+      .select(p("user_id"))
+    graft.streaming.StreamPipeline
+      .runToMemory(s, joined, "graft_stream_ij")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   // ---------------------------------------------------------------------------
   // Wider SQL surface: pivot, set ops, scalar functions, subqueries, raw SQL
   // ---------------------------------------------------------------------------
@@ -563,6 +590,7 @@ object Queries {
     "q23_sessionize" -> (sessionize _),
     "q24_stream_hourly" -> (streamHourly _),
     "q63_stream_sessions" -> (streamSessions _),
+    "q66_stream_interval_join" -> (streamIntervalJoin _),
     "q43_pivot" -> (pivotEventTypes _),
     "q44_set_ops" -> (setOps _),
     "q45_string_funcs" -> (stringFuncs _),
@@ -687,6 +715,13 @@ object Queries {
     "q24_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin,
+    "q66_stream_interval_join" ->
+      """SELECT p.user_id, COUNT(*) AS n_pairs
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts <= p.ts
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
     // Gap semantics note: foldSessionEvent MERGES an event landing exactly
     // at last+gap (t <= last+gap), so the oracle's new-session test is the
     // STRICT >, unlike q23's session_window (right-open, >=).

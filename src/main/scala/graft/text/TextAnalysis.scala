@@ -105,4 +105,25 @@ object TextAnalysis {
     * key — the exact-match tier of near-dup detection. */
   def tokenSetKey(text: Column): Column =
     md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))).cast("binary"))
+
+  // ---------------------------------------------------------------------------
+  // PII redaction
+  // ---------------------------------------------------------------------------
+
+  /** RE2-safe patterns (no backrefs/lookaround) so they run identically on
+    * Java regex (Spark) and RE2 (DuckDB, and most scan-side engines). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** Redact emails then phone-number-shaped spans (this order on both
+    * engines — an email's digits must not be half-eaten by the phone
+    * pass). Map-only; codegen'd regexp_replace. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def phoneCount(text: Column): Column =
+    regexp_count(regexp_replace(text, EmailPattern, "<EMAIL>"), lit(PhonePattern))
 }

@@ -201,6 +201,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("console sink (K2) renders micro-batches and terminates") {
+    val (_, stream) = kafkaShapedStream(corpus.take(5))
+    val etl = StreamPipeline.extractValidEvents(stream).select("event_type")
+    val buf = new java.io.ByteArrayOutputStream()
+    val ps = new java.io.PrintStream(buf, true, "UTF-8")
+    val oldOut = System.out
+    // Spark's console sink prints through the JVM stdout (executor threads
+    // of local mode share it) — capture both JVM and scala Console streams.
+    System.setOut(ps)
+    try Console.withOut(ps) {
+      val q = graft.operators.Sinks.console(
+        etl, org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    } finally System.setOut(oldOut)
+    val out = buf.toString("UTF-8")
+    assert(out.contains("Batch: 0"), out.take(500))
+    assert(out.contains("event_type"), out.take(500))
+    assert(out.contains("sword_event"), out.take(500))
+  }
+
   test("observed ETL metrics report parsed/valid/malformed per run") {
     val rows = corpus ++ Seq(("not json at all", new Timestamp(1700000100000L)))
     val (_, stream) = kafkaShapedStream(rows)

@@ -19,6 +19,24 @@ class TextSpec extends AnyFunSuite {
     assert(r._2 == 6) // hello , world 42 x !
   }
 
+  test("PII redaction replaces synthetic emails/phones and counts them") {
+    val rows = Seq(
+      "contact alice.smith+spam@example.co.uk or call +1 (555) 123-4567 now",
+      "two mails a@b.io c_d%e@f-g.com and digits 12345678901",
+      "clean text with no pii at all").toDF("text")
+      .select(
+        TextAnalysis.emailCount($"text").as("e"),
+        TextAnalysis.phoneCount($"text").as("p"),
+        TextAnalysis.redactPii($"text").as("r"))
+      .as[(Long, Long, String)].collect()
+    assert(rows(0)._1 == 1 && rows(0)._2 == 1)
+    assert(rows(0)._3 == "contact <EMAIL> or call <PHONE> now")
+    assert(rows(1)._1 == 2 && rows(1)._2 == 1)
+    assert(rows(1)._3 == "two mails <EMAIL> <EMAIL> and digits <PHONE>")
+    assert(rows(2)._1 == 0 && rows(2)._2 == 0)
+    assert(rows(2)._3 == "clean text with no pii at all")
+  }
+
   test("langId picks the profile with most stopword hits") {
     val r = Seq(
       "the cat sat on the mat and it is nice",

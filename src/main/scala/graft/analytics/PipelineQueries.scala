@@ -463,6 +463,40 @@ object PipelineQueries {
         md5(TextAnalysis.redactPii(col("text")).cast("binary")).as("redacted_fp"))
       .orderBy(col("doc_id"))
 
+  /** Per-language sampling rates in basis points (default 10000 = keep
+    * all) — "downsample the over-represented languages". One place, so the
+    * Spark predicate and the DuckDB oracle are generated from the SAME
+    * constants (the minhashParamValues pattern). */
+  private[analytics] val StratifiedRatesBp: Seq[(String, Int)] =
+    Seq("en" -> 5000, "de" -> 8000)
+
+  /** Deterministic rate-based stratified sampling: keep a document iff
+    * h31(md5(text)) mod 10000 < rate(lang). Content-hash Bernoulli — the
+    * third training-mix primitive next to q59 (token budget) and q60
+    * (split): stable under re-partitioning/re-ingestion/engine change,
+    * map-only + one tiny aggregate. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      graft.functions.PortableHashFunctions
+        .md5_token_hashes(array(col("text")), bits = 31)
+        .getItem(0),
+      lit(10000))
+    val rate = StratifiedRatesBp.foldLeft(lit(10000)) {
+      case (acc, (l, bp)) => when(col("lang") === l, lit(bp)).otherwise(acc)
+    }
+    Tables
+      .documents(spark, dir)
+      .select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+        (bucket < rate).as("keep"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tokens").cast("long")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** md5 content fingerprints. */
   def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -557,7 +591,8 @@ object PipelineQueries {
     "q61_repetition" -> (repetitionMetrics _),
     "q62_decontamination" -> (decontamination _),
     "q64_repeated_ngrams" -> ((s: SparkSession, d: String) => repeatedNgrams(s, d)),
-    "q65_pii_redaction" -> (piiRedaction _))
+    "q65_pii_redaction" -> (piiRedaction _),
+    "q67_stratified_sample" -> (stratifiedSample _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -761,6 +796,17 @@ object PipelineQueries {
     "q42_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q67_stratified_sample" -> {
+      val rateCase = "CASE " + StratifiedRatesBp
+        .map { case (l, bp) => s"WHEN lang = '$l' THEN $bp" }
+        .mkString(" ") + " ELSE 10000 END"
+      s"""WITH t AS (SELECT lang, len(str_split(text, ' ')) AS n_tok,
+         |  ${duckH31("text")} % 10000 AS b FROM documents)
+         |SELECT lang, COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN b < $rateCase THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN b < $rateCase THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q64_repeated_ngrams" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS s, text FROM documents),
         |g AS (SELECT doc_id,

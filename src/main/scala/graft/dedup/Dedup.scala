@@ -227,10 +227,9 @@ object Dedup {
     * running text where unigram sets saturate. */
   def wordNgrams(text: Column, n: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+    // Single-pass custom expression — the transform/element_at HOF form is
+    // interpreted per gram (see WordNgrams scaladoc; 10× on q64 at n=10).
+    when(size(toks) >= n, graft.functions.NgramFunctions.word_ngrams(toks, n))
       .otherwise(array(text))
   }
 

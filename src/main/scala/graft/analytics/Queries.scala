@@ -412,6 +412,25 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming dedup driver row: dropDuplicatesWithinWatermark over the
+    * events stream keyed by (user_id, event_type) — first occurrence per
+    * key survives; with bounded input in one AvailableNow batch the state
+    * never evicts mid-run, so the output is exactly the batch DISTINCT
+    * (the oracle). At 100 TB/day the watermark bounds the state store —
+    * the property StreamingSpec exercises with replayed late events. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val deduped = graft.streaming.StreamPipeline.dedupWithinWatermark(
+      Tables.eventsStream(s, dir).select(col("user_id"), col("event_type"), col("ts")),
+      keyCols = Seq("user_id", "event_type"), tsCol = "ts", watermark = "2 hours")
+    graft.streaming.StreamPipeline
+      .runToMemory(s, deduped.drop("ts"), "graft_stream_dedup")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_users"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------------------
   // Wider SQL surface: pivot, set ops, scalar functions, subqueries, raw SQL
   // ---------------------------------------------------------------------------
@@ -591,6 +610,7 @@ object Queries {
     "q24_stream_hourly" -> (streamHourly _),
     "q63_stream_sessions" -> (streamSessions _),
     "q66_stream_interval_join" -> (streamIntervalJoin _),
+    "q68_stream_dedup" -> (streamDedup _),
     "q43_pivot" -> (pivotEventTypes _),
     "q44_set_ops" -> (setOps _),
     "q45_string_funcs" -> (stringFuncs _),
@@ -715,6 +735,10 @@ object Queries {
     "q24_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin,
+    "q68_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_distinct_users
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q66_stream_interval_join" ->
       """SELECT p.user_id, COUNT(*) AS n_pairs
         |FROM events p JOIN events v

@@ -99,6 +99,10 @@ object GraftSqlFunctions {
       import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Cast}
       import org.apache.spark.sql.types.IntegerType
       Cast(BitwiseCount(BitwiseXor(es(0), es(1))), IntegerType)
+    },
+    fn("graft_word_ngrams",
+      "graft_word_ngrams(tokens, n) - sliding word n-grams joined by spaces (single pass)") {
+      es => WordNgrams(es(0), litInt(es(1), "n"))
     })
 
   /** Inject into a live session (new sessions: use the extensions class). */

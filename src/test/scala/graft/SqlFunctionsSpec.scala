@@ -59,6 +59,17 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("graft_word_ngrams from SQL matches the DSL expression") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val viaSql = spark.sql(
+      "SELECT graft_word_ngrams(array('a','b','c','d'), 2) AS g").as[Seq[String]].head()
+    val viaDsl = Seq(("x", Seq("a", "b", "c", "d"))).toDF("k", "toks")
+      .select(graft.functions.NgramFunctions.word_ngrams(col("toks"), 2).as("g"))
+      .as[Seq[String]].head()
+    assert(viaSql == viaDsl && viaSql == Seq("a b", "b c", "c d"))
+  }
+
   test("composed-column functions (jaccard, hamming) work from SQL") {
     import spark.implicits._
     val r = spark.sql(

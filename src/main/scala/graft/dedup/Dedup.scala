@@ -280,8 +280,21 @@ object Dedup {
     * extra join + full count per round it used to be. If maxIter rounds
     * pass without a fixpoint (possible only on a chain of diameter >
     * maxIter, not a near-dup blob) the result would silently under-merge,
-    * so that case warns loudly instead. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * so that case warns loudly instead.
+    *
+    * Small-graph fast path: the edge list is materialized (the persist
+    * the loop needs anyway) and counted; at or under `driverMaxEdges`
+    * (default 10⁵ ≈ 1.6 MB of longs) the components come from a
+    * driver-side union-find instead of 4–6 distributed rounds — each
+    * round is ~0.5 s of pure job-launch overhead on a graph this size.
+    * This is the COMMON case here by construction: set-level collapsing
+    * (clustersOfTiered) turns every duplicate group into one node, so
+    * even a 100 TB corpus yields a pair graph of just its cross-set
+    * near-dup links; a corpus that still exceeds the gate runs the
+    * distributed loop unchanged. DedupSpec asserts both paths produce
+    * identical labels on the same graphs. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverMaxEdges: Long = 100000L): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -293,11 +306,42 @@ object Dedup {
     // running CONCURRENTLY on a shared session — a ~5% local win measured
     // against a correctness hazard.
     try {
-      connectedComponentsLoop(edges, maxIter)
+      val nEdges = edges.count() // materializes the persist either way
+      if (nEdges <= driverMaxEdges) driverComponents(edges)
+      else connectedComponentsLoop(edges, maxIter)
     } finally {
       edges.unpersist()
       ()
     }
+  }
+
+  /** Driver union-find (path compression + min-id roots) over a small
+    * collected edge list — bit-identical output contract to the
+    * distributed loop: (id, comp = min id of the component) for every id
+    * appearing in the edge list. */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
+    }
+    val pairs = edges.as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // Min-id root so the final label IS the component minimum.
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      ()
+    }
+    val ids = pairs.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+    ids.toSeq.sorted.map(id => (id, find(id))).toDF("id", "comp")
   }
 
   private def connectedComponentsLoop(edges: DataFrame, maxIter: Int): DataFrame = {

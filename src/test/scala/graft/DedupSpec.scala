@@ -123,6 +123,22 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("small-graph fast path and distributed loop produce identical labels") {
+    // Chain (worst diameter), blob, singleton link, and a back-edge cycle —
+    // the same frame through both paths (driverMaxEdges gate on/off).
+    val rnd = new scala.util.Random(11)
+    val chain = (0 until 40).map(i => (i.toLong, i + 1L))
+    val blob = for (i <- 100 until 115; j <- (i + 1) until 115) yield (i.toLong, j.toLong)
+    val extra = Seq((200L, 201L), (202L, 201L), (203L, 200L))
+    val all = rnd.shuffle(chain ++ blob ++ extra).toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(all)
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = Dedup.connectedComponents(all, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(40L) == 0L && viaDriver(114L) == 100L && viaDriver(203L) == 200L)
+  }
+
   test("nearDupClusters on real docs: clusters consistent with pair graph") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 0.95)
       .select("id_a", "id_b").as[(Long, Long)].collect()

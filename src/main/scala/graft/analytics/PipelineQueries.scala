@@ -547,6 +547,34 @@ object PipelineQueries {
       .toDF()
       .select(col("media_id"), col("frame_idx"), col("frame_checksum"))
 
+  /** Approximate quantiles (QuantileSummaries/GK sketch — the distributed
+    * quantile path at 100 TB, constant memory + mergeable partials) as a
+    * BOUNDED driver-checked claim, same pattern as q42: the sketch output
+    * is merge-order-specific, but |approx − exact| ≤ tol is portable —
+    * Spark emits the booleans next to the exact quantiles, DuckDB emits
+    * TRUE, sketch drift breaks the hash. accuracy=1000 ⇒ rank error
+    * ≤ 0.1% ⇒ ≤ ~1 quantity unit on this distribution (tol 2.0 = 2×
+    * slack). */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val tol = 2.0
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)").as("approx"),
+        expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("exact"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("exact"), 1).as("p25"),
+        element_at(col("exact"), 2).as("p50"),
+        element_at(col("exact"), 3).as("p75"),
+        (abs(element_at(col("approx"), 1) - element_at(col("exact"), 1)) <= tol &&
+          abs(element_at(col("approx"), 2) - element_at(col("exact"), 2)) <= tol &&
+          abs(element_at(col("approx"), 3) - element_at(col("exact"), 3)) <= tol)
+          .as("within_bound"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Exact interpolated percentiles per group (matches DuckDB
     * quantile_cont's linear interpolation). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
@@ -592,7 +620,8 @@ object PipelineQueries {
     "q62_decontamination" -> (decontamination _),
     "q64_repeated_ngrams" -> ((s: SparkSession, d: String) => repeatedNgrams(s, d)),
     "q65_pii_redaction" -> (piiRedaction _),
-    "q67_stratified_sample" -> (stratifiedSample _))
+    "q67_stratified_sample" -> (stratifiedSample _),
+    "q69_approx_quantiles" -> (approxQuantiles _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -784,6 +813,11 @@ object PipelineQueries {
     "q51_percentiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25,
         |  quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q69_approx_quantiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75,
+        |  TRUE AS within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q55_dedup_assignments" ->
       """WITH k AS (

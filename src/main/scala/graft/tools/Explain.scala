@@ -13,7 +13,8 @@ object Explain {
       else Seq(
         "q01_pricing_summary", "q08_filter_valid", "q10_join_broadcast",
         "q12_join_chain", "q17_order_limit", "q27_minhash_neardup",
-        "q33_ann_brute", "q49_ann_ivf", "q57_curation_report")
+        "q33_ann_brute", "q49_ann_ivf", "q57_curation_report",
+        "q59_token_budget_sample", "q64_repeated_ngrams")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -84,6 +84,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("WordNgrams equals the naive sliding window for arbitrary token lists") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val tokGen = Gen.listOfN(
+      25, Gen.oneOf(Gen.alphaLowerStr.map(_.take(4)), Gen.const(""), Gen.const("a b")))
+    val cases = (0 until 20).flatMap { i =>
+      tokGen(Gen.Parameters.default, Seed(31L + i)).map(_.take(3 + i))
+    }
+    Seq(1, 2, 5, 10).foreach { n =>
+      val got = cases.zipWithIndex.toDF("toks", "i")
+        .select($"i", graft.functions.NgramFunctions.word_ngrams($"toks", n).as("g"))
+        .as[(Int, Seq[String])].collect().toMap
+      cases.zipWithIndex.foreach { case (toks, i) =>
+        val want =
+          if (toks.length < n) Seq.empty
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+        assert(got(i) == want, s"n=$n case $i toks=$toks")
+      }
+    }
+  }
+
   test("NearestCells agrees with per-centroid CosineSimilarity ranking") {
     import org.apache.spark.sql.functions._
     import graft.functions.{IvfFunctions, VectorFunctions}

@@ -214,6 +214,42 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Scalar (int8) embedding quantization — the 4× memory-reduction tier
+    * of an ANN index at 100 TB: per-dimension [min, max] from exact float
+    * aggregates (order-independent), then a linear 0–255 code with
+    * explicitly portable rounding (`floor(x·255 + 0.5)` — engines differ
+    * on round()'s half-rule, floor they agree on). Codes are INTEGERS, so
+    * the whole quantizer — bounds, scale, rounding — is hash-checked
+    * exactly. Emits every 25th vector's codes (output stays linear). */
+  def embeddingQuantization(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+    val bounds = exploded
+      .groupBy(col("dim_idx"))
+      .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+    exploded
+      .filter(col("vec_id") % 25 === 0)
+      .join(broadcast(bounds), Seq("dim_idx"))
+      .select(col("vec_id"), col("dim_idx"),
+        when(col("dmax") === col("dmin"), lit(0)).otherwise(
+          floor(
+            (col("v").cast("double") - col("dmin").cast("double"))
+              / (col("dmax").cast("double") - col("dmin").cast("double")) * 255.0 + 0.5)
+            .cast("int")).as("code"))
+      .orderBy(col("vec_id"), col("dim_idx"))
+  }
+
+  /** Exact per-vector L2 norms (the cosine family's portable fold) —
+    * norm precomputation is what turns cosine into a plain dot product
+    * in a production ANN serving path. */
+  def embeddingNorms(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.l2_norm(col("embedding")).as("l2_norm"))
+      .orderBy(col("vec_id"))
+
   /** Whitespace + BPE-ish token counts. */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -621,7 +657,9 @@ object PipelineQueries {
     "q64_repeated_ngrams" -> ((s: SparkSession, d: String) => repeatedNgrams(s, d)),
     "q65_pii_redaction" -> (piiRedaction _),
     "q67_stratified_sample" -> (stratifiedSample _),
-    "q69_approx_quantiles" -> (approxQuantiles _))
+    "q69_approx_quantiles" -> (approxQuantiles _),
+    "q70_embed_quantize" -> (embeddingQuantization _),
+    "q71_embed_norms" -> (embeddingNorms _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -857,6 +895,20 @@ object PipelineQueries {
          |  len(regexp_extract_all(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'), '${TextAnalysis.PhonePattern}')) AS n_phones,
          |  md5(regexp_replace(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'), '${TextAnalysis.PhonePattern}', '<PHONE>', 'g')) AS redacted_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q70_embed_quantize" ->
+      """WITH u AS (SELECT vec_id, CAST(d.i - 1 AS INTEGER) AS dim_idx, embedding[d.i] AS v
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d),
+        |b AS (SELECT dim_idx, MIN(v) AS dmin, MAX(v) AS dmax FROM u GROUP BY dim_idx)
+        |SELECT u.vec_id, u.dim_idx,
+        |  CASE WHEN b.dmax = b.dmin THEN 0
+        |       ELSE CAST(FLOOR((CAST(u.v AS DOUBLE) - CAST(b.dmin AS DOUBLE))
+        |         / (CAST(b.dmax AS DOUBLE) - CAST(b.dmin AS DOUBLE)) * 255.0 + 0.5) AS INTEGER)
+        |  END AS code
+        |FROM u JOIN b USING (dim_idx) WHERE u.vec_id % 25 = 0
+        |ORDER BY vec_id, dim_idx""".stripMargin,
+    "q71_embed_norms" ->
+      s"""SELECT vec_id, ${VectorOracles.l2norm("embedding")} AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
     // --- ANN family: exact left-fold cosine replicated in DuckDB (see
     // VectorOracles — scores, and therefore ranks, are bit-identical) ------
     "q33_ann_brute" ->

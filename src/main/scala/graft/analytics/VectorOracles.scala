@@ -62,6 +62,11 @@ private[analytics] object VectorOracles {
        |  GROUP BY e.vec_id, pl.t)""".stripMargin
   }
 
+  /** L2 norm — the same x² left fold as [[graft.functions.L2Norm]]
+    * (sqrt of a sum of squares; 0.0, not NULL, for a zero vector). */
+  def l2norm(a: String): String =
+    s"sqrt(${foldSum(prodList(a, a))})"
+
   /** Top-k rank per query over a CTE `s(query_id, neighbor_id, cosine)` —
     * ties break (cosine DESC, neighbor_id ASC), exactly the
     * `TopKAggregator.better` order. */

@@ -76,4 +76,28 @@ class KafkaContractSpec extends AnyFunSuite {
     assert(opts.get("startingoffsets").contains("earliest"), opts)
     assert(opts.get("endingoffsets").contains("latest"), opts)
   }
+
+  test("S1 executes end-to-end: builder -> DSv2 micro-batch -> ETL -> sink") {
+    import graft.sources.EventGen
+    import spark.implicits._
+    // Three staged envelope records: two valid gen-2 events + one default
+    // the filter must drop — through the REAL streaming engine (offset
+    // planning, PartitionReader execution, micro-batch commit), not a
+    // memory-stream stand-in.
+    val us = 1700000000000000L
+    KafkaEnvelopeTestProvider.stage(Seq(
+      (EventGen.json("sword_event", "increase", "iron", "Player 1"), us),
+      (EventGen.json("guild_event", "join", "g", "Player 2"), us + 1000000L),
+      (EventGen.json("default", "", "", "Player 1"), us + 2000000L)))
+    val stream = EventSources.kafkaStream(
+      spark, "broker-1:9092", "events",
+      provider = classOf[KafkaEnvelopeTestProvider].getName)
+    val out = graft.streaming.StreamPipeline.runToMemory(
+      spark, graft.streaming.StreamPipeline.extractValidEvents(stream), "t_kafka_exec")
+    val rows = out.select("event_type", "Host").as[(String, String)].collect().sorted
+    assert(rows.toSeq == Seq(("guild_event", "Player 2"), ("sword_event", "Player 1")))
+    // Event time flows from the envelope timestamp into event_time.
+    val times = out.select("event_time").as[java.sql.Timestamp].collect().map(_.getTime).sorted
+    assert(times.toSeq == Seq(us / 1000, us / 1000 + 1000))
+  }
 }

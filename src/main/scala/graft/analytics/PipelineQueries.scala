@@ -547,13 +547,19 @@ object PipelineQueries {
       .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
       .orderBy(col("doc_id"))
 
-  /** Multimodal stub pipeline: binary payloads + metadata → partition-wise
-    * feature extraction (deterministic stub codec). */
+  /** Multimodal pipeline: binary payloads + metadata → partition-wise
+    * feature extraction (real imageio for images, stub for the rest). The
+    * projected surface is the PORTABLE subset — md5-h31 modality routing,
+    * byte counts, in-pipeline md5 fingerprint — so the binary-column
+    * plumbing and the typed mapPartitions hop are hash-checked by the
+    * driver; codec-specific outputs (checksum/features) stay covered by
+    * MultimodalSpec. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal
       .extractFeatures(spark, Multimodal.mediaFromDocuments(Tables.documents(spark, dir)))
       .toDF()
-      .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"))
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("content_fp"))
+      .orderBy(col("media_id"))
 
   /** Approximate distinct (HLL++) per event type, surfaced as a BOUNDED
     * check the driver's hash gate can verify: the raw estimate is
@@ -576,12 +582,17 @@ object PipelineQueries {
           .as("within_bound"))
       .orderBy(col("event_type"))
 
-  /** Frame samples from video assets (1→N decode, rows-only). */
+  /** Frame samples from video assets (1→N decode). Same portable-surface
+    * idea as q41: the slice boundaries are integer arithmetic and the
+    * frame fingerprint is md5, so the video→frames explode is
+    * oracle-checked (the corpus payloads are ASCII, making byte and
+    * character offsets coincide in the SQL twin). */
   def frameSamples(spark: SparkSession, dir: String): DataFrame =
     Multimodal
       .sampleFrames(spark, Multimodal.mediaFromDocuments(Tables.documents(spark, dir)))
       .toDF()
-      .select(col("media_id"), col("frame_idx"), col("frame_checksum"))
+      .select(col("media_id"), col("frame_idx"), col("frame_fp"))
+      .orderBy(col("media_id"), col("frame_idx"))
 
   /** Approximate quantiles (QuantileSummaries/GK sketch — the distributed
     * quantile path at 100 TB, constant memory + mergeable partials) as a
@@ -895,6 +906,22 @@ object PipelineQueries {
          |  len(regexp_extract_all(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'), '${TextAnalysis.PhonePattern}')) AS n_phones,
          |  md5(regexp_replace(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'), '${TextAnalysis.PhonePattern}', '<PHONE>', 'g')) AS redacted_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q41_multimodal_features" ->
+      s"""SELECT doc_id AS media_id,
+         |  (['image','audio','video','text'])[(${duckH31("source")} % 4) + 1] AS modality,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  md5(text) AS content_fp
+         |FROM documents ORDER BY media_id""".stripMargin,
+    "q50_frame_samples" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n,
+         |  (['image','audio','video','text'])[(${duckH31("source")} % 4) + 1] AS modality
+         |  FROM documents),
+         |v AS (SELECT media_id, text, n FROM m WHERE modality = 'video' AND n > 0),
+         |f AS (SELECT media_id, text, n, unnest(range(0, 4)) AS fi FROM v)
+         |SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+         |  md5(substr(text, CAST(n*fi//4 + 1 AS INTEGER),
+         |    CAST(GREATEST(n*(fi+1)//4, n*fi//4 + 1) - n*fi//4 AS INTEGER))) AS frame_fp
+         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "q70_embed_quantize" ->
       """WITH u AS (SELECT vec_id, CAST(d.i - 1 AS INTEGER) AS dim_idx, embedding[d.i] AS v
         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d),

@@ -63,13 +63,24 @@ object Multimodal {
       height: Int,
       duration_ms: Long) // audio/video; 0 when n/a
 
-  /** Extracted features for one asset. */
+  /** Extracted features for one asset. `content_fp` is an md5 hex of the
+    * payload computed INSIDE the typed pipeline — engine-portable, so the
+    * multimodal plumbing itself (binary columns through a typed
+    * mapPartitions) is verifiable by a SQL oracle, not just rows-only. */
   case class MediaFeatures(
       media_id: Long,
       modality: String,
       n_bytes: Long,
       checksum: Long,
+      content_fp: String,
       features: Array[Float])
+
+  private[multimodal] def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xFF}%02x"))
+    sb.toString
+  }
 
   /** STUB decoder: stands in for image decode / audio resample / video
     * frame-sampling. Deterministic in the payload bytes so tests and
@@ -96,24 +107,32 @@ object Multimodal {
 
   /** Build a media table from the harness documents table, treating the
     * text payload as opaque bytes (the container has no real media files).
-    * Modality is assigned round-robin from the source column so the
-    * pipeline exercises mixed-modality batches. */
+    * Modality is assigned from a PORTABLE hash of the source column
+    * (md5-h31, replicable in the DuckDB oracle — xxhash64 is
+    * engine-specific) so the pipeline exercises mixed-modality batches
+    * AND the routing is oracle-checkable. */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
       element_at(
         array(lit("image"), lit("audio"), lit("video"), lit("text")),
-        (pmod(xxhash64(col("source")), lit(4)) + lit(1)).cast("int")).as("modality"),
+        (pmod(
+          graft.functions.PortableHashFunctions
+            .md5_token_hashes(array(col("source")), bits = 31)
+            .getItem(0),
+          lit(4)) + lit(1)).cast("int")).as("modality"),
       col("text").cast("binary").as("content"),
       lit(64).as("width"),
       lit(64).as("height"),
       lit(1000L).as("duration_ms"))
 
-  /** One sampled frame from a video asset (1→N decode). */
+  /** One sampled frame from a video asset (1→N decode). `frame_fp` is the
+    * portable md5 of the frame slice (see MediaFeatures.content_fp). */
   case class FrameSample(
       media_id: Long,
       frame_idx: Int,
       frame_checksum: Long,
+      frame_fp: String,
       features: Array[Float])
 
   /** Frame sampling: each video asset yields `framesPerAsset` rows — the
@@ -129,7 +148,7 @@ object Multimodal {
         val start = (m.content.length.toLong * f / framesPerAsset).toInt
         val end = (m.content.length.toLong * (f + 1) / framesPerAsset).toInt
         val slice = java.util.Arrays.copyOfRange(m.content, start, math.max(end, start + 1))
-        FrameSample(m.media_id, f, StubCodec.checksum(slice), StubCodec.decode(slice))
+        FrameSample(m.media_id, f, StubCodec.checksum(slice), md5Hex(slice), StubCodec.decode(slice))
       }
     }
   }
@@ -152,6 +171,7 @@ object Multimodal {
           modality = m.modality,
           n_bytes = m.content.length.toLong,
           checksum = StubCodec.checksum(m.content),
+          content_fp = md5Hex(m.content),
           features = features)
       }
     }

@@ -80,4 +80,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p) // routing must not join anything
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q64: repeated-ngram scan is explode + hash-aggregate, no join/window") {
+    val p = planOf("q64_repeated_ngrams")
+    assert(p.contains("Generate") && p.contains("HashAggregate"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q67: stratified sampling is map-side routing + one aggregate, no join") {
+    val p = planOf("q67_stratified_sample")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q70: quantization bounds broadcast to the code projection") {
+    val p = planOf("q70_embed_quantize")
+    assert(p.contains("BroadcastHashJoin"), p) // 64 bounds rows never shuffle the codes
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

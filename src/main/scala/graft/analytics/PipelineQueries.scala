@@ -379,6 +379,32 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Document packing: concatenate documents (in the deterministic
+    * content-hash order) into fixed token windows of `windowTokens` — the
+    * pretraining sequence-packing primitive ("fill 2048-token contexts").
+    * A document lands in the window its FIRST token falls in:
+    * window_id = (cum_before) div windowTokens. The running sum uses the
+    * sharded [[graft.operators.PrefixSum]] decomposition — no
+    * per-language serial window (same scale fix as q59). Emits per-window
+    * occupancy, the packing QA surface (how full are contexts, how many
+    * docs straddle). */
+  def tokenPacking(spark: SparkSession, dir: String, windowTokens: Long = 2048L): DataFrame = {
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+        md5(col("text").cast("binary")).as("rand_key"))
+    graft.operators.PrefixSum
+      .runningSum(base, Seq("lang"), Seq("rand_key", "doc_id"), "n_tokens",
+        substring(col("rand_key"), 1, 2), "cum_tokens")
+      .withColumn("window_id", expr(s"(cum_tokens - n_tokens) div $windowTokens"))
+      .groupBy(col("lang"), col("window_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("window_tokens"))
+      .orderBy(col("lang"), col("window_id"))
+  }
+
   /** The single-window formulation of [[tokenBudgetSample]] — the
     * small-scale twin the bucket decomposition must match exactly
     * (QueriesSpec asserts equality; the DuckDB oracle is this shape). */
@@ -670,7 +696,8 @@ object PipelineQueries {
     "q67_stratified_sample" -> (stratifiedSample _),
     "q69_approx_quantiles" -> (approxQuantiles _),
     "q70_embed_quantize" -> (embeddingQuantization _),
-    "q71_embed_norms" -> (embeddingNorms _))
+    "q71_embed_norms" -> (embeddingNorms _),
+    "q72_token_packing" -> ((s: SparkSession, d: String) => tokenPacking(s, d)))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -906,6 +933,14 @@ object PipelineQueries {
          |  len(regexp_extract_all(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'), '${TextAnalysis.PhonePattern}')) AS n_phones,
          |  md5(regexp_replace(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'), '${TextAnalysis.PhonePattern}', '<PHONE>', 'g')) AS redacted_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q72_token_packing" ->
+      """WITH t AS (SELECT lang, doc_id, len(str_split(text, ' ')) AS n, md5(text) AS rk FROM documents),
+        |c AS (SELECT lang, n,
+        |  SUM(n) OVER (PARTITION BY lang ORDER BY rk, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |FROM t)
+        |SELECT lang, (cum - n) // 2048 AS window_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS window_tokens
+        |FROM c GROUP BY lang, window_id ORDER BY lang, window_id""".stripMargin,
     "q41_multimodal_features" ->
       s"""SELECT doc_id AS media_id,
          |  (['image','audio','video','text'])[(${duckH31("source")} % 4) + 1] AS modality,

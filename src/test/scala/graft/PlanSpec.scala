@@ -93,6 +93,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q72: packing's running sum has no per-language serial window") {
+    val p = planOf("q72_token_packing")
+    assert(!"""windowspecdefinition\(lang#\d+, rk#""".r.findFirstIn(p).isDefined, p)
+    assert(!"""windowspecdefinition\(lang#\d+, rand_key#""".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q70: quantization bounds broadcast to the code projection") {
     val p = planOf("q70_embed_quantize")
     assert(p.contains("BroadcastHashJoin"), p) // 64 bounds rows never shuffle the codes

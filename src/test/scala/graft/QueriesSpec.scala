@@ -46,6 +46,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("PrefixSum.runningSum equals the serial window exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.analytics.PipelineQueries
+    val base = Tables.documents(spark, TestSpark.SfDir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).as("n"),
+        md5(col("text").cast("binary")).as("rk"))
+    val sharded = graft.operators.PrefixSum
+      .runningSum(base, Seq("lang"), Seq("rk", "doc_id"), "n",
+        substring(col("rk"), 1, 2), "cum")
+      .select(col("lang"), col("doc_id"), col("cum"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("rk"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val serial = base.withColumn("cum", sum(col("n")).over(w))
+      .select(col("lang"), col("doc_id"), col("cum"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sharded == serial && sharded.nonEmpty)
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -492,22 +492,39 @@ object PipelineQueries {
 
   /** Repeated word-level n-grams across documents — the exact-substring
     * dedup primitive (find training text memorized verbatim in many docs:
-    * boilerplate, licenses, templated spans). Word 10-grams explode once,
-    * then one hash-aggregate; output is linear in distinct repeated grams.
-    * At 100 TB the gram column in the shuffle would be an md5-h60 of the
-    * gram (compact keys, same counts); the oracle surface keeps the
-    * strings so the driver compares them directly. */
-  def repeatedNgrams(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
-    Tables
+    * boilerplate, licenses, templated spans).
+    *
+    * Two-pass heavy-hitter shape so the big shuffle never carries gram
+    * strings: pass 1 explodes and aggregates on an 8-byte xxhash64 of the
+    * gram (~10× narrower than a 10-gram string; xxhash64 is codegen'd and
+    * never oracle-surfaced, so it needn't be md5-portable); pass 2
+    * re-scans and recovers display strings for the repeated survivors
+    * only, via a broadcast semi-join that filters map-side before any
+    * shuffle. Survivor cardinality is the query's own output pre-limit
+    * (HAVING n_docs >= 2) — at a 100 TB corpus you'd raise that floor to
+    * keep the broadcast bounded. */
+  def repeatedNgrams(spark: SparkSession, dir: String, n: Int = 10): DataFrame = {
+    def exploded = Tables
       .documents(spark, dir)
       .select(col("doc_id"), explode(Dedup.wordNgrams(col("text"), n)).as("gram"))
-      .groupBy(col("gram"))
+    val counts = exploded
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
+      .groupBy(col("gram_h"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= 2)
+    val names = exploded
+      .select(xxhash64(col("gram")).as("gram_h"), col("gram"))
+      .join(broadcast(counts.select(col("gram_h"))), Seq("gram_h"), "left_semi")
+      .groupBy(col("gram_h"))
+      .agg(min(col("gram")).as("gram"))
+    counts
+      .join(broadcast(names), Seq("gram_h"))
+      .select(col("gram"), col("n_docs"), col("n_occurrences"))
       .orderBy(col("n_docs").desc, col("gram"))
       .limit(100)
+  }
 
   /** PII redaction: emails/phone-shaped spans → placeholder tokens, with
     * per-doc match counts and the redacted-content fingerprint. Map-only
@@ -723,6 +740,18 @@ object PipelineQueries {
        |  FROM h, (SELECT unnest(range(0, 60)) AS j)),
        |s AS (SELECT doc_id, CAST(SUM(bitv) AS BIGINT) AS sig FROM b GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB predicate mirroring Dedup.simhashBandKeys' Manku 6-choose-3
+    * candidate test — generated from the SAME block constants, so the
+    * Spark banding and the oracle's agree by construction. */
+  private def duckSimhashBandCond: String = {
+    val bits = Dedup.SimhashBlockBits
+    val mask = (1L << bits) - 1
+    Dedup.SimhashBandSubsets
+      .map(_.map(b => s"((a.sig >> ${b * bits}) & $mask) = ((b.sig >> ${b * bits}) & $mask)")
+        .mkString("(", " AND ", ")"))
+      .mkString("\n   OR ")
+  }
+
   /** DuckDB SQL replicating the langId argmax: packed hits*256+idx reduced
     * with GREATEST — generated from StopwordProfiles so both engines score
     * the exact same token lists in the exact same tie-break order. */
@@ -792,10 +821,7 @@ object PipelineQueries {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE ((a.sig >> 0) & 65535) = ((b.sig >> 0) & 65535)
-         |   OR ((a.sig >> 16) & 65535) = ((b.sig >> 16) & 65535)
-         |   OR ((a.sig >> 32) & 65535) = ((b.sig >> 32) & 65535)
-         |   OR ((a.sig >> 48) & 65535) = ((b.sig >> 48) & 65535)
+         |WHERE $duckSimhashBandCond
          |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin,
     "q37_quality_score" ->
       """WITH m AS (SELECT doc_id, len(str_split(text, ' ')) AS n_tokens,
@@ -938,7 +964,7 @@ object PipelineQueries {
         |c AS (SELECT lang, n,
         |  SUM(n) OVER (PARTITION BY lang ORDER BY rk, doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |FROM t)
-        |SELECT lang, (cum - n) // 2048 AS window_id,
+        |SELECT lang, CAST((cum - n) // 2048 AS BIGINT) AS window_id,
         |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS window_tokens
         |FROM c GROUP BY lang, window_id ORDER BY lang, window_id""".stripMargin,
     "q41_multimodal_features" ->

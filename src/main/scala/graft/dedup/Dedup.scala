@@ -482,17 +482,44 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 
-  /** Close pairs by SimHash: pigeonhole 4×16-bit bands — any pair with
-    * hamming ≤ 3 must agree on at least one band, so candidate recall is
-    * exact for that radius; ranked output shows the nearest pairs found. */
+  /** Manku-style banding constants for [[simhashClosePairs]]: the 60 useful
+    * simhash bits split into 6 ten-bit blocks; one candidate table per
+    * 3-of-6 block subset (C(6,3) = 20 tables, 30-bit keys). Any pair with
+    * hamming ≤ 3 differs in at most 3 blocks, so it agrees exactly on some
+    * 3-subset → recall is exact at radius 3 — same guarantee as a 16-bit
+    * pigeonhole, but with 2^30 buckets per table instead of 2^16: expected
+    * bucket occupancy stays O(1) per table until the corpus approaches
+    * ~2^30 docs, so the within-bucket self-join never degenerates at 100×
+    * data (the 2^16 scheme saturates and grows quadratically there).
+    * Shared with the q31 DuckDB oracle, which is generated from these same
+    * values (PipelineQueries.duckSimhashBandCond). */
+  private[graft] val SimhashBlockBits = 10
+  private[graft] val SimhashBlocks = 6
+  private[graft] val SimhashBandSubsets: Seq[Seq[Int]] =
+    (0 until SimhashBlocks).combinations(3).map(_.toSeq).toSeq
+
+  /** One 30-bit candidate key per band subset: the three 10-bit blocks of
+    * `sig` selected by that subset, concatenated. Array position == band
+    * index (pairs are candidates iff keys match at the same position). */
+  private[graft] def simhashBandKeys(sig: Column): Column =
+    array(SimhashBandSubsets.map { subset =>
+      subset.foldLeft(lit(0L): Column) { (acc, b) =>
+        acc * lit(1L << SimhashBlockBits) +
+          shiftrightunsigned(sig, b * SimhashBlockBits)
+            .bitwiseAND(lit((1L << SimhashBlockBits) - 1))
+      }
+    }: _*)
+
+  /** Close pairs by SimHash via Manku 6-choose-3 banding (constants above):
+    * candidate recall is exact for hamming ≤ 3, bucket space 2^30 per
+    * table so occupancy survives a 100× corpus; ranked output shows the
+    * nearest pairs found. */
   def simhashClosePairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, topK: Int = 100): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val banded = sigs.select(
       col("id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band_idx", "band_key")))
+      posexplode(simhashBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
     val l = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band_idx"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band_idx", "band_key"))

@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata, and decode/feature-extract as distributed
   * per-partition transforms.
   *
-  * IMAGE decode is REAL: [[ImageIoCodec]] runs javax.imageio (ships in
-  * the JDK — no external codec needed) inside the executors, with the
-  * stub as fallback for payloads that aren't decodable images (the
-  * harness documents corpus carries text bytes as stand-in payloads).
-  * Audio/video decode remains a STUB (`StubCodec` — no such codecs in
-  * this container): deterministic fake features from the bytes. The
+  * IMAGE and AUDIO decode are REAL: [[ImageIoCodec]] runs javax.imageio
+  * and [[AudioIoCodec]] runs javax.sound.sampled (both ship in the JDK —
+  * no external codec needed) inside the executors, with the stub as
+  * fallback for payloads that aren't decodable media (the harness
+  * documents corpus carries text bytes as stand-in payloads).
+  * VIDEO decode remains a STUB (`StubCodec` — the JDK has no video
+  * codec and none exists in this container): deterministic fake
+  * features from the bytes. The
   * Spark-side contract — schema, binary column handling, partition-wise
   * batching, feature shape — is identical either way, which is the point:
   * swapping a codec changes nothing upstream (MultimodalSpec proves it by
@@ -51,6 +53,64 @@ object Multimodal {
             (r / 255.0).toFloat, (g / 255.0).toFloat, (b / 255.0).toFloat,
             ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).toFloat, 0f, 0f))
         }
+      } catch { case _: Exception => None }
+  }
+
+  /** Real audio decoder (javax.sound.sampled — ships in the JDK, decodes
+    * WAV/PCM and AIFF/AU containers): payload → [sample rate, channels,
+    * duration seconds, RMS amplitude (0-1), zero-crossing rate, 0, 0, 0].
+    * Deterministic in the bytes. Returns None when the payload isn't a
+    * decodable audio stream, letting the caller fall back to the stub —
+    * the exact ImageIoCodec contract. */
+  object AudioIoCodec {
+    val FeatureDim = 8
+    def tryDecode(content: Array[Byte]): Option[Array[Float]] =
+      try {
+        val in = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
+            (fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8)
+          if (!ok) None
+          else {
+            val bytes = in.readAllBytes()
+            val bytesPerSample = fmt.getSampleSizeInBits / 8
+            val frameBytes = bytesPerSample * fmt.getChannels
+            val nFrames = bytes.length / frameBytes
+            if (nFrames == 0) None
+            else {
+              // First channel only; 16-bit honors endianness, 8-bit is
+              // unsigned-centered per the WAV convention.
+              var sumSq = 0.0
+              var crossings = 0L
+              var prevNeg = false
+              var i = 0
+              while (i < nFrames) {
+                val off = i * frameBytes
+                val s =
+                  if (bytesPerSample == 2) {
+                    val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
+                    (((bytes(hi) << 8) | (bytes(lo) & 0xFF)).toShort).toDouble / 32768.0
+                  } else ((bytes(off) & 0xFF) - 128).toDouble / 128.0
+                sumSq += s * s
+                val neg = s < 0
+                if (i > 0 && neg != prevNeg) crossings += 1
+                prevNeg = neg
+                i += 1
+              }
+              Some(Array(
+                fmt.getSampleRate,
+                fmt.getChannels.toFloat,
+                (nFrames.toDouble / fmt.getSampleRate).toFloat,
+                math.sqrt(sumSq / nFrames).toFloat,
+                (crossings.toDouble / nFrames).toFloat,
+                0f, 0f, 0f))
+            }
+          }
+        } finally in.close()
       } catch { case _: Exception => None }
   }
 
@@ -161,11 +221,14 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { m =>
-        // Images decode for real (JDK imageio); everything else — and image
-        // payloads that turn out not to be images — takes the stub path.
-        val features =
-          if (m.modality == "image") ImageIoCodec.tryDecode(m.content).getOrElse(StubCodec.decode(m.content))
-          else StubCodec.decode(m.content)
+        // Images and audio decode for real (JDK imageio / sampled audio);
+        // everything else — and payloads that turn out not to be decodable
+        // media — takes the stub path.
+        val features = m.modality match {
+          case "image" => ImageIoCodec.tryDecode(m.content).getOrElse(StubCodec.decode(m.content))
+          case "audio" => AudioIoCodec.tryDecode(m.content).getOrElse(StubCodec.decode(m.content))
+          case _ => StubCodec.decode(m.content)
+        }
         MediaFeatures(
           media_id = m.media_id,
           modality = m.modality,

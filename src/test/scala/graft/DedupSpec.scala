@@ -87,7 +87,14 @@ class DedupSpec extends AnyFunSuite {
     assert(keys(0) != keys(3))
   }
 
-  test("simhash close pairs: reported hamming matches recomputation") {
+  /** Driver-side mirror of Dedup.simhashBandKeys (same constants). */
+  private def bandKeysLocal(s: Long): Seq[Long] =
+    Dedup.SimhashBandSubsets.map(_.foldLeft(0L) { (acc, b) =>
+      (acc << Dedup.SimhashBlockBits) |
+        ((s >>> (b * Dedup.SimhashBlockBits)) & ((1L << Dedup.SimhashBlockBits) - 1))
+    })
+
+  test("simhash close pairs: hamming correct, candidate set == brute-force banding") {
     val pairs = Dedup.simhashClosePairs(docs, "doc_id", "text", topK = 20)
     val sigs = docs
       .select($"doc_id", Dedup.simhash($"text").as("sig"))
@@ -95,7 +102,34 @@ class DedupSpec extends AnyFunSuite {
     pairs.as[(Long, Long, Int)].collect().foreach { case (a, b, h) =>
       assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) == h)
     }
-    assert(pairs.count() == 20)
+    // Expected candidate count from an O(n^2) driver-side brute force of
+    // the same Manku band predicate.
+    val sigSeq = sigs.toSeq
+    val nCand = (for {
+      (ia, sa) <- sigSeq; (ib, sb) <- sigSeq
+      if ia < ib && bandKeysLocal(sa).zip(bandKeysLocal(sb)).exists(t => t._1 == t._2)
+    } yield 1).size
+    assert(pairs.count() == math.min(nCand, 20L))
+    assert(pairs.count() > 0)
+  }
+
+  test("simhash banding: candidate recall is exact at hamming radius <= 3") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(300) {
+      val s = rnd.nextLong() & ((1L << 60) - 1)
+      var v = s
+      (0 until rnd.nextInt(4)).foreach(_ => v ^= 1L << rnd.nextInt(60))
+      (s, v) // hamming(s, v) <= 3 by construction
+    }
+    val checked = rows.toDF("sig_a", "sig_b")
+      .select(
+        Dedup.simhashBandKeys($"sig_a").as("ka"),
+        Dedup.simhashBandKeys($"sig_b").as("kb"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.zip(checked).foreach { case ((a, b), (ka, kb)) =>
+      assert(ka.zip(kb).exists(t => t._1 == t._2),
+        s"banding missed a pair at hamming ${java.lang.Long.bitCount(a ^ b)}")
+    }
   }
 
   test("embedding near-dups only reports pairs above threshold (no false positives)") {

@@ -72,6 +72,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L).toSeq == Multimodal.StubCodec.decode("not an image".getBytes).toSeq)
   }
 
+  test("real WAV decode through the full MediaRecord → features path") {
+    // Deterministic in-test WAV (javax.sound.sampled is in the JDK): a
+    // 440 Hz sine, 16-bit PCM mono @ 8 kHz, 0.5 s — pushed through the
+    // SAME distributed extractFeatures pipeline as every other asset.
+    def wav(sampleRate: Float, freq: Double, nSamples: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val data = new Array[Byte](nSamples * 2)
+      for (i <- 0 until nSamples) {
+        val s = (math.sin(2 * math.Pi * freq * i / sampleRate) * 32000).toInt.toShort
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav(8000f, 440.0, 4000), 0, 0, 500L),
+      Multimodal.MediaRecord(2L, "audio", "not audio".getBytes, 0, 0, 0L)).toDF()
+    val got = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.media_id -> f.features).toMap
+    // [sample rate, channels, duration s, RMS, zero-crossing rate, 0, 0, 0]
+    assert(got(1L)(0) == 8000f && got(1L)(1) == 1f)
+    assert(math.abs(got(1L)(2) - 0.5f) < 1e-6)
+    // full-scale-ish sine: RMS ≈ (32000/32768)/√2; crossings ≈ 2f/sr
+    assert(math.abs(got(1L)(3) - 0.6905f) < 0.01, got(1L)(3))
+    assert(math.abs(got(1L)(4) - 2 * 440.0 / 8000) < 0.005, got(1L)(4))
+    // non-decodable audio payload falls back to the stub, same shape
+    assert(got(2L).toSeq == Multimodal.StubCodec.decode("not audio".getBytes).toSeq)
+  }
+
   test("stub codec checksum changes with payload") {
     assert(Multimodal.StubCodec.checksum("abc".getBytes) !=
       Multimodal.StubCodec.checksum("abd".getBytes))

@@ -81,10 +81,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("q64: repeated-ngram scan is explode + hash-aggregate, no join/window") {
+  test("q64: repeated-ngram aggregate keys are 8-byte hashes; string recovery is broadcast-only") {
     val p = planOf("q64_repeated_ngrams")
     assert(p.contains("Generate") && p.contains("HashAggregate"), p)
-    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // Heavy aggregate groups on xxhash64(gram), not the gram string; the
+    // survivor string-recovery joins must both be broadcast (no string
+    // sort-merge shuffle) and there is still no window.
+    assert(p.contains("xxhash64"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
   }
 
   test("q67: stratified sampling is map-side routing + one aggregate, no join") {

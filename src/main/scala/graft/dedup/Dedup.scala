@@ -104,22 +104,60 @@ object Dedup {
     * band and the bucket join degenerates to bands·n² rows (observed 6× on
     * the harness corpus: one 248-doc group → 740k pre-distinct rows). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.95, p: MinHashParams = MinHashParams()): DataFrame = {
+      threshold: Double = 0.95, p: MinHashParams = MinHashParams(),
+      maxGroupPairs: Long = Long.MaxValue): DataFrame = {
     val (members, setPairs) = tieredSetPairs(docs, idCol, textCol, threshold, p)
-    pairsOfTiered(members, setPairs)
+    pairsOfTiered(members, setPairs, maxGroupPairs)
   }
 
   /** Expand tier outputs to the full doc-pair view: tier A (identical
     * token sets → all pairs at jaccard exactly 1.0) ∪ tier B (verified set
     * pairs → member cross products). Quadratic in duplicate-group size BY
     * DESIGN — this is the reporting surface; clustering goes through
-    * [[clustersOfTiered]] and never materializes it. */
-  def pairsOfTiered(members: DataFrame, setPairs: DataFrame): DataFrame = {
-    val tierA = members
+    * [[clustersOfTiered]] and never materializes it.
+    *
+    * `maxGroupPairs` (default off) bounds the tier-A expansion for
+    * corpora where one duplicate group holds millions of docs (at 100 TB
+    * a 10⁶-doc group would otherwise emit 5·10¹¹ pairs): each identical-
+    * set group reports only its first `maxGroupPairs` pairs in (id_a,
+    * id_b) order — deterministic, always a prefix-subset of the uncapped
+    * output, groups at or under the cap are reported in full. */
+  def pairsOfTiered(members: DataFrame, setPairs: DataFrame,
+      maxGroupPairs: Long = Long.MaxValue): DataFrame = {
+    val tierAFull = members
       .select(col("set_key"), col("id").as("id_a"))
       .join(members.select(col("set_key"), col("id").as("id_b")), Seq("set_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    val tierA =
+      if (maxGroupPairs == Long.MaxValue) tierAFull
+      else {
+        // Rank members within their group (per-group window — linear) and
+        // keep pairs whose lexicographic (rank_a, rank_b) index is within
+        // the cap: idx = (ra-1)·n - ra·(ra-1)/2 + (rb-ra), 1-based.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("set_key")).orderBy(col("id"))
+        val ranked = members
+          .select(col("set_key"), col("id"),
+            row_number().over(w).cast("long").as("r"),
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("set_key"))).as("n"))
+        // Anchor a's pairs start at idx (ra-1)·n - ra·(ra-1)/2 + 1, so
+        // anchors whose start exceeds the cap are dropped BEFORE the join
+        // (≈ cap/n + 1 anchors survive per group) — the join itself is
+        // bounded at ~cap + n rows per group, not n²; r·(r-1) is even so
+        // the double division is exact below 2^52.
+        def startIdx(r: Column, n: Column): Column =
+          (r - 1) * n - (r * (r - 1) / 2).cast("long")
+        ranked.as("a")
+          .filter(startIdx(col("r"), col("n")) < maxGroupPairs)
+          .join(ranked.as("b"), Seq("set_key"))
+          .filter(col("a.r") < col("b.r"))
+          .withColumn("pair_idx",
+            startIdx(col("a.r"), col("a.n")) + (col("b.r") - col("a.r")))
+          .filter(col("pair_idx") <= maxGroupPairs)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
+      }
     val tierB = setPairs
       .join(members.select(col("set_key").as("key_a"), col("id").as("ma")), Seq("key_a"))
       .join(members.select(col("set_key").as("key_b"), col("id").as("mb")), Seq("key_b"))
@@ -344,6 +382,13 @@ object Dedup {
     ids.toSeq.sorted.map(id => (id, find(id))).toDF("id", "comp")
   }
 
+  /** Rounds taken + converged flag of the MOST RECENT distributed CC loop
+    * (driver fast path does not touch it). Observability for tests and
+    * operators: the round count is the O(log diameter) claim made above,
+    * and harness-sized data never exercises it — DedupSpec builds
+    * adversarial chain-of-blobs graphs to pin it. */
+  @volatile private[graft] var lastLoopStats: (Int, Boolean) = (0, true)
+
   private def connectedComponentsLoop(edges: DataFrame, maxIter: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -396,6 +441,7 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] iter $iter converged=$converged t=${System.nanoTime() / 1000000}")
     }
+    lastLoopStats = (iter, converged)
     if (!converged) {
       System.err.println(
         s"[graft] connectedComponents did NOT converge in $maxIter iterations — " +

@@ -132,6 +132,56 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("pairsOfTiered maxGroupPairs cap: deterministic prefix per group, full groups under cap") {
+    // g1: 6 identical-set members → 15 pairs; g2: 2 members → 1 pair.
+    val members = ((1L to 6L).map(("g1", _)) ++ Seq(("g2", 10L), ("g2", 11L)))
+      .toDF("set_key", "id")
+    val setPairs = Seq.empty[(String, String, Double)].toDF("key_a", "key_b", "jaccard")
+    val uncapped = Dedup.pairsOfTiered(members, setPairs)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.size == 16)
+    // cap 7: g1 reports its first 7 pairs in (id_a, id_b) order, g2 in full.
+    val capped = Dedup.pairsOfTiered(members, setPairs, maxGroupPairs = 7)
+      .as[(Long, Long, Double)].collect().toSet
+    val g1Prefix = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L), (2L, 3L), (2L, 4L))
+    assert(capped == (g1Prefix.map { case (a, b) => (a, b, 1.0) } :+ ((10L, 11L, 1.0))).toSet)
+    assert(capped.subsetOf(uncapped))
+    // cap at/above the largest group's pair count == uncapped exactly.
+    val wide = Dedup.pairsOfTiered(members, setPairs, maxGroupPairs = 15)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(wide == uncapped)
+  }
+
+  test("distributed CC: chain-of-blobs over the driver gate converges in O(log diameter) rounds") {
+    // 32 star-blobs (center + 4 leaves) chained by their centers — diameter
+    // ~33, the shape harness near-dup data (dense blobs, tiny diameter)
+    // never produces. driverMaxEdges=100 < 159 undirected edges forces the
+    // distributed loop, protecting the 100 TB path.
+    val edges = (0 until 32).flatMap { k =>
+      val c = k * 100L
+      (1 to 4).map(i => (c, c + i)) ++ (if (k > 0) Seq(((k - 1) * 100L, c)) else Nil)
+    }
+    val labels = Dedup.connectedComponents(
+      edges.toDF("id_a", "id_b"), maxIter = 20, driverMaxEdges = 100)
+    assert(labels.select("comp").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(labels.count() == 32L * 5)
+    val (iters, converged) = Dedup.lastLoopStats
+    assert(converged, s"loop did not converge in $iters rounds")
+    assert(iters <= 10, s"propagate+jump should need ~log2(33)+1 rounds, took $iters")
+  }
+
+  test("distributed CC: non-convergence warns loudly and is observable") {
+    val chain = (0 until 200).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true))
+    try Dedup.connectedComponents(chain, maxIter = 1, driverMaxEdges = 0).count()
+    finally System.setErr(old)
+    val (iters, converged) = Dedup.lastLoopStats
+    assert(iters == 1 && !converged)
+    assert(errBuf.toString.contains("did NOT converge"), errBuf.toString.take(500))
+  }
+
   test("embedding near-dups only reports pairs above threshold (no false positives)") {
     val res = Dedup
       .embeddingNearDups(Tables.embeddings(spark, TestSpark.SfDir), "vec_id", "embedding", 0.4)

@@ -77,6 +77,56 @@ class KafkaContractSpec extends AnyFunSuite {
     assert(opts.get("endingoffsets").contains("latest"), opts)
   }
 
+  test("S1 multi-partition: records land with per-partition offsets, all partitions read") {
+    import graft.sources.EventGen
+    import spark.implicits._
+    val us = 1700000000000000L
+    // 7 records round-robin over 3 topic-partitions: partitions get
+    // 3/2/2 records with independent offset sequences 0,1,2 / 0,1 / 0,1.
+    KafkaEnvelopeTestProvider.stage(
+      (0 until 7).map(i => (EventGen.json("sword_event", "increase", "iron", s"P$i"), us + i)),
+      partitions = 3)
+    val stream = EventSources.kafkaStream(
+      spark, "broker-1:9092", "events",
+      provider = classOf[KafkaEnvelopeTestProvider].getName)
+    val out = graft.streaming.StreamPipeline
+      .runToMemory(spark, stream.selectExpr("partition", "offset"), "t_kafka_parts")
+      .as[(Int, Long)].collect().toSet
+    assert(out == Set((0, 0L), (0, 1L), (0, 2L), (1, 0L), (1, 1L), (2, 0L), (2, 1L)))
+  }
+
+  test("S1 checkpoint restart resumes per-partition offsets; no dupes through the demux") {
+    import graft.sources.EventGen
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kafka_restart").toString
+    val us = 1700000000000000L
+    def ev(i: Int) = (EventGen.json(
+      if (i % 2 == 0) "purchase_sword" else "join_guild", "", "", s"Player $i"), us + i * 1000000L)
+    KafkaEnvelopeTestProvider.stage((0 until 4).map(ev), partitions = 2)
+    val provider = classOf[KafkaEnvelopeTestProvider].getName
+    def startDemux() = {
+      val stream = EventSources.kafkaStream(spark, "broker-1:9092", "events", provider = provider)
+      graft.streaming.StreamPipeline.demuxToParquet(
+        graft.operators.Parse.extractEvents(stream), dir,
+        trigger = Trigger.ProcessingTime("100 milliseconds"))
+    }
+    val q1 = startDemux()
+    q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+    // The broker keeps receiving while the query is down...
+    KafkaEnvelopeTestProvider.stageMore((4 until 8).map(ev))
+    // ...and the restarted query resumes from the committed per-partition
+    // offsets: batch 0's four events are NOT replayed, the new four flow.
+    val q2 = startDemux()
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    val hosts = spark.read.parquet(s"$dir/sword_purchases")
+      .unionByName(spark.read.parquet(s"$dir/guild_joins"))
+      .select($"Host").as[String].collect().toSeq
+    // Every event exactly once — a replayed batch would duplicate Hosts.
+    assert(hosts.sorted == (0 until 8).map(i => s"Player $i"),
+      s"expected 8 unique hosts, got: $hosts")
+  }
+
   test("S1 executes end-to-end: builder -> DSv2 micro-batch -> ETL -> sink") {
     import graft.sources.EventGen
     import spark.implicits._

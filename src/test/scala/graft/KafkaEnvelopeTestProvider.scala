@@ -17,13 +17,21 @@ import graft.model.EventModel
 /** Test stand-in for the Kafka connector (which does not ship in this
   * sandbox): a DataSource-V2 TableProvider exposing EXACTLY the Kafka
   * source's record schema, serving the rows staged in
-  * [[KafkaEnvelopeTestProvider.stage]] as ONE micro-batch. Driving the
-  * S1/S2 builders through it exercises Spark's full source path —
-  * provider instantiation, option propagation, schema inference,
-  * streaming-relation analysis, offset planning, and PartitionReader
-  * execution — everything short of the kafka-protocol I/O itself. The
-  * provider records the options it receives so the spec can assert the
-  * builders' round-trip. */
+  * [[KafkaEnvelopeTestProvider.stage]]. Driving the S1/S2 builders through
+  * it exercises Spark's full source path — provider instantiation, option
+  * propagation, schema inference, streaming-relation analysis, offset
+  * planning, and PartitionReader execution — everything short of the
+  * kafka-protocol I/O itself.
+  *
+  * Offsets are PER-PARTITION, like the real connector's
+  * `{"topic":{"0":n,...}}`: [[stage]] distributes records round-robin over
+  * `partitions` topic-partitions with independent offset sequences, the
+  * stream's Offset serializes the per-partition high-water marks, each
+  * micro-batch plans one InputPartition per topic-partition, and a restart
+  * from a checkpoint resumes from the committed per-partition offsets
+  * ([[KafkaEnvelopeTestProvider.stageMore]] appends mid-stream data for
+  * exactly that test). The provider records the options it receives so the
+  * spec can assert the builders' round-trip. */
 class KafkaEnvelopeTestProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     KafkaEnvelopeTestProvider.record(options)
@@ -47,24 +55,32 @@ class KafkaEnvelopeTestProvider extends TableProvider {
           override def build(): Scan = new Scan {
             override def readSchema(): StructType = EventModel.kafkaEnvelopeSchema
             override def toBatch: Batch = new Batch {
+              // Like the real source: one Spark partition per topic-partition.
               override def planInputPartitions(): Array[InputPartition] =
-                Array(EnvelopePartition(KafkaEnvelopeTestProvider.staged))
+                KafkaEnvelopeTestProvider.staged
+                  .groupBy(_.partition).toSeq.sortBy(_._1)
+                  .map(g => EnvelopePartition(g._2): InputPartition)
+                  .toArray
               override def createReaderFactory(): PartitionReaderFactory = EnvelopeReaderFactory
             }
             override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
               new MicroBatchStream {
-                private def off(n: Long): Offset = LongOffset(n)
                 override def latestOffset(): Offset =
-                  off(KafkaEnvelopeTestProvider.staged.length.toLong)
+                  PartitionedOffset(KafkaEnvelopeTestProvider.highWaterMarks)
                 override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-                  val s = start.asInstanceOf[LongOffset].n.toInt
-                  val e = end.asInstanceOf[LongOffset].n.toInt
-                  if (e <= s) Array.empty
-                  else Array(EnvelopePartition(KafkaEnvelopeTestProvider.staged.slice(s, e)))
+                  val s = start.asInstanceOf[PartitionedOffset].offsets
+                  val e = end.asInstanceOf[PartitionedOffset].offsets
+                  e.keys.toSeq.sorted.flatMap { p =>
+                    val from = s.getOrElse(p, 0L)
+                    val rows = KafkaEnvelopeTestProvider.staged
+                      .filter(r => r.partition == p && r.offset >= from && r.offset < e(p))
+                    if (rows.isEmpty) None else Some(EnvelopePartition(rows): InputPartition)
+                  }.toArray
                 }
                 override def createReaderFactory(): PartitionReaderFactory = EnvelopeReaderFactory
-                override def initialOffset(): Offset = off(0L)
-                override def deserializeOffset(json: String): Offset = off(json.trim.toLong)
+                override def initialOffset(): Offset =
+                  PartitionedOffset(KafkaEnvelopeTestProvider.highWaterMarks.map { case (p, _) => p -> 0L })
+                override def deserializeOffset(json: String): Offset = PartitionedOffset.parse(json)
                 override def commit(end: Offset): Unit = ()
                 override def stop(): Unit = ()
               }
@@ -74,11 +90,23 @@ class KafkaEnvelopeTestProvider extends TableProvider {
     }
 }
 
-/** One staged envelope record: payload bytes + event-time micros. */
-case class EnvelopeRecord(value: Array[Byte], timestampMicros: Long, offset: Long)
+/** One staged envelope record: payload bytes + event-time micros, at a
+  * (topic-partition, offset) position. */
+case class EnvelopeRecord(value: Array[Byte], timestampMicros: Long,
+    offset: Long, partition: Int)
 
-case class LongOffset(n: Long) extends Offset {
-  override def json(): String = n.toString
+/** Per-topic-partition offsets, the real connector's offset shape. json()
+  * only needs to round-trip through [[PartitionedOffset.parse]]. */
+case class PartitionedOffset(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    offsets.toSeq.sorted.map { case (p, o) => s"$p:$o" }.mkString(",")
+}
+object PartitionedOffset {
+  def parse(s: String): PartitionedOffset = PartitionedOffset(
+    s.trim.split(",").filter(_.nonEmpty).map { kv =>
+      val Array(p, o) = kv.split(":")
+      p.trim.toInt -> o.trim.toLong
+    }.toMap)
 }
 
 case class EnvelopePartition(rows: Seq[EnvelopeRecord]) extends InputPartition
@@ -92,7 +120,7 @@ object EnvelopeReaderFactory extends PartitionReaderFactory {
       override def get(): InternalRow =
         // (key, value, topic, partition, offset, timestamp, timestampType)
         new GenericInternalRow(Array[Any](
-          null, cur.value, UTF8String.fromString("events"), 0, cur.offset,
+          null, cur.value, UTF8String.fromString("events"), cur.partition, cur.offset,
           cur.timestampMicros, 0))
       override def close(): Unit = ()
     }
@@ -100,13 +128,35 @@ object EnvelopeReaderFactory extends PartitionReaderFactory {
 
 object KafkaEnvelopeTestProvider {
   @volatile var lastOptions: Map[String, String] = Map.empty
-  @volatile var staged: Seq[EnvelopeRecord] = Seq.empty
+  @volatile var staged: Vector[EnvelopeRecord] = Vector.empty
+  @volatile private var numPartitions: Int = 1
 
-  /** Stage payloads (json string, event-time micros) the next scan serves. */
-  def stage(rows: Seq[(String, Long)]): Unit =
-    staged = rows.zipWithIndex.map { case ((json, us), i) =>
-      EnvelopeRecord(json.getBytes("UTF-8"), us, i.toLong)
+  /** Stage payloads (json string, event-time micros) round-robin over
+    * `partitions` topic-partitions, replacing any previous staging. */
+  def stage(rows: Seq[(String, Long)], partitions: Int = 1): Unit = synchronized {
+    numPartitions = partitions
+    staged = Vector.empty
+    stageMore(rows)
+  }
+
+  /** Append more payloads mid-stream (same round-robin, offsets continue
+    * per partition) — the "broker kept receiving while the query was
+    * down" half of the checkpoint-restart contract. */
+  def stageMore(rows: Seq[(String, Long)]): Unit = synchronized {
+    val counts = Array.tabulate(numPartitions)(p => staged.count(_.partition == p).toLong)
+    var rr = staged.length
+    staged = staged ++ rows.map { case (json, us) =>
+      val p = rr % numPartitions
+      val rec = EnvelopeRecord(json.getBytes("UTF-8"), us, counts(p), p)
+      counts(p) += 1
+      rr += 1
+      rec
     }
+  }
+
+  /** Current per-partition record counts (the "latest offsets"). */
+  def highWaterMarks: Map[Int, Long] =
+    (0 until numPartitions).map(p => p -> staged.count(_.partition == p).toLong).toMap
 
   private[graft] def record(options: CaseInsensitiveStringMap): Unit = {
     val it = options.entrySet().iterator()

@@ -526,6 +526,135 @@ object PipelineQueries {
       .limit(100)
   }
 
+  /** Exact n-gram decontamination: corpus docs sharing at least one exact
+    * word n-gram with a BENCHMARK doc other than themselves (doc_id % 97
+    * == 0 stands in for the eval set, as in q62) — the classic "13-gram
+    * overlap" contamination check next to q62's fuzzy MinHash variant,
+    * run at n=4 so the short synthetic harness docs produce hits.
+    *
+    * Scale shape: grams hash to 8-byte xxhash64 keys at explode time
+    * (strings never shuffle — q64's trick); the benchmark gram set is
+    * distinct'd and BROADCAST (eval suites are bounded by construction —
+    * ~10⁶ grams even for a large one), so the corpus side is a map-only
+    * pass into a partial-aggregated count-distinct: no corpus-sized
+    * shuffle carries anything wider than (int64, int64). */
+  def ngramContamination(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    def grams = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.wordNgrams(col("text"), n)).as("gram"))
+    val bench = grams
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), xxhash64(col("gram")).as("gram_h"))
+      .distinct()
+    grams
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
+      .join(broadcast(bench), Seq("gram_h"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram_h")).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Chunking constants, shared with the q74 oracle SQL (generated from
+    * these same values): 64-token windows, 16-token overlap → stride 48. */
+  private[analytics] val ChunkSize = 64
+  private[analytics] val ChunkOverlap = 16
+
+  /** Fixed-size token-window chunking with overlap — the map-only 1→N
+    * transform that turns documents into training-context windows (every
+    * pretraining pipeline's last text step before tokenization). Chunk k
+    * covers tokens [k·stride, k·stride + size); the final chunk truncates
+    * at the document end; docs at or under one window emit exactly one
+    * chunk. Pure per-row explode + slice: no shuffle at all until the
+    * harness ORDER BY, and chunk fingerprints are md5 (oracle-portable,
+    * the q39 pattern). */
+  def tokenChunks(spark: SparkSession, dir: String,
+      chunkSize: Int = ChunkSize, overlap: Int = ChunkOverlap): DataFrame =
+    tokenChunksOf(Tables.documents(spark, dir), chunkSize, overlap)
+
+  /** DataFrame-level core of [[tokenChunks]] (docs must carry doc_id,
+    * text); split out so specs can drive synthetic documents through it. */
+  def tokenChunksOf(docs: DataFrame,
+      chunkSize: Int = ChunkSize, overlap: Int = ChunkOverlap): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than the chunk size")
+    val stride = chunkSize - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        when(col("n") <= chunkSize, lit(1L))
+          .otherwise(expr(s"(n - $chunkSize + $stride - 1) div $stride") + lit(1L)))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk",
+        slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize)))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  // Bucketed twin tables per (session, dir) — written once into the
+  // session catalog/warehouse and reused (same WeakHashMap rationale as
+  // nearDupTierCache above).
+  private val bucketedTableCache =
+    new java.util.WeakHashMap[
+      SparkSession, scala.collection.concurrent.TrieMap[String, (String, String)]]()
+  private def bucketedTables(spark: SparkSession, dir: String): (String, String) = {
+    val perSession = bucketedTableCache.synchronized {
+      var m = bucketedTableCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+        bucketedTableCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
+      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xFFFFFFFFL)
+      val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+      // A previous JVM's warehouse directory survives while the new
+      // session's catalog is empty — drop both the entry and the location
+      // or saveAsTable fails with LOCATION_ALREADY_EXISTS.
+      Seq(lt, ot).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        ()
+      }
+      graft.operators.Scale.writeBucketed(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity")),
+        lt, Seq("l_orderkey"), buckets = 8)
+      graft.operators.Scale.writeBucketed(
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        ot, Seq("o_orderkey"), buckets = 8)
+      (lt, ot)
+    })
+  }
+
+  /** Bucketed co-located fact⋈fact join as a query row: lineitem and
+    * orders are both written bucketed+sorted on the order key, so the join
+    * itself plans with ZERO Exchange on either side (scan → SortMergeJoin
+    * straight off the bucketed layout; PlanSpec pins exactly one Exchange
+    * in the whole plan — the tiny 5-row priority aggregate after the
+    * join). At 100 TB this is the difference between re-shuffling the
+    * fact table on every join and never shuffling it: the bucketing cost
+    * is paid once at WRITE time and amortized over every downstream
+    * join/aggregate on the same key. Result is bucketing-invariant, so
+    * the oracle is a plain join on the raw tables. */
+  def bucketedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = bucketedTables(spark, dir)
+    spark.table(lt)
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** PII redaction: emails/phone-shaped spans → placeholder tokens, with
     * per-doc match counts and the redacted-content fingerprint. Map-only
     * regexp passes (RE2-safe patterns — identical semantics on the DuckDB
@@ -714,7 +843,10 @@ object PipelineQueries {
     "q69_approx_quantiles" -> (approxQuantiles _),
     "q70_embed_quantize" -> (embeddingQuantization _),
     "q71_embed_norms" -> (embeddingNorms _),
-    "q72_token_packing" -> ((s: SparkSession, d: String) => tokenPacking(s, d)))
+    "q72_token_packing" -> ((s: SparkSession, d: String) => tokenPacking(s, d)),
+    "q73_ngram_contamination" -> ((s: SparkSession, d: String) => ngramContamination(s, d)),
+    "q74_token_chunks" -> ((s: SparkSession, d: String) => tokenChunks(s, d)),
+    "q75_bucketed_join" -> (bucketedJoinAgg _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -967,6 +1099,34 @@ object PipelineQueries {
         |SELECT lang, CAST((cum - n) // 2048 AS BIGINT) AS window_id,
         |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS window_tokens
         |FROM c GROUP BY lang, window_id ORDER BY lang, window_id""".stripMargin,
+    "q73_ngram_contamination" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS s, text FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(s) >= 4 THEN list_transform(range(1, len(s) - 2), i -> array_to_string(s[i:i+3], ' '))
+        |       ELSE [text] END AS grams
+        |  FROM t),
+        |u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |b AS (SELECT DISTINCT doc_id AS bench_id, gram FROM u WHERE doc_id % 97 = 0)
+        |SELECT u.doc_id, COUNT(DISTINCT u.gram) AS n_shared_grams
+        |FROM u JOIN b ON u.gram = b.gram AND u.doc_id <> b.bench_id
+        |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin,
+    "q74_token_chunks" -> {
+      val (cs, st) = (ChunkSize, ChunkSize - ChunkOverlap)
+      val sliceExpr = s"s[CAST(ci*$st + 1 AS INTEGER):CAST(LEAST(ci*$st + $cs, n) AS INTEGER)]"
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS s FROM documents),
+         |c AS (SELECT doc_id, s, len(s) AS n,
+         |  CASE WHEN len(s) <= $cs THEN 1 ELSE (len(s) - $cs + ${st - 1}) // $st + 1 END AS nc FROM t),
+         |f AS (SELECT doc_id, s, n, unnest(range(0, nc)) AS ci FROM c)
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+         |  CAST(len($sliceExpr) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string($sliceExpr, ' ')) AS chunk_fp
+         |FROM f ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+    "q75_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q41_multimodal_features" ->
       s"""SELECT doc_id AS media_id,
          |  (['image','audio','video','text'])[(${duckH31("source")} % 4) + 1] AS modality,

@@ -105,6 +105,45 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q73: benchmark gram set broadcasts; corpus side shuffles only hashed keys") {
+    val p = planOf("q73_ngram_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("xxhash64"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q74: chunking is a pure per-row explode — no join, no window") {
+    val p = planOf("q74_token_chunks")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q75: the bucketed join has NO exchange beneath it") {
+    // At sf0.001 the optimizer rightly broadcasts the tiny orders side;
+    // disabling broadcast exposes the shape that matters at 100 TB — a
+    // fact⋈fact SortMergeJoin straight off the bucketed layout, no
+    // shuffle on either input.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q75_bucketed_join")(spark, TestSpark.SfDir)
+      // collect() does not descend into AdaptiveSparkPlanExec — unwrap it.
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, plan.toString)
+      val exchangesUnderJoin = smj.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchangesUnderJoin.isEmpty, plan.toString)
+      assert(plan.toString.contains("Bucketed: true"), plan.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("q70: quantization bounds broadcast to the code projection") {
     val p = planOf("q70_embed_quantize")
     assert(p.contains("BroadcastHashJoin"), p) // 64 bounds rows never shuffle the codes

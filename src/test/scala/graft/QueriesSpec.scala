@@ -68,6 +68,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(sharded == serial && sharded.nonEmpty)
   }
 
+  test("tokenChunks: overlapping windows tile the document exactly") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString
+    val words = (1 to 150).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, (1 to 30).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.analytics.PipelineQueries.tokenChunksOf(docs) // 64-token windows, stride 48
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(got.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((1L, 0, 64L), (1L, 1, 64L), (1L, 2, 54L), (2L, 0, 30L)))
+    // Fingerprints are md5 of exactly the [k*48, k*48+64) token slice.
+    got.filter(_._1 == 1L).foreach { case (_, k, _, fp) =>
+      assert(fp == md5hex(words.slice(k * 48, k * 48 + 64).mkString(" ")), s"chunk $k")
+    }
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

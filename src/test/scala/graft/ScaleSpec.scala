@@ -18,10 +18,24 @@ class ScaleSpec extends AnyFunSuite {
     Scale.writeBucketed(
       Tables.lineitem(spark, TestSpark.SfDir)
         .withColumnRenamed("l_orderkey", "o_orderkey"), "graft_lineitem_b", Seq("o_orderkey"), 4)
-    val joined = Scale.bucketedJoin(spark, "graft_orders_b", "graft_lineitem_b", Seq("o_orderkey"))
-    val nExchanges = joined.queryExecution.executedPlan.collect { case e: Exchange => e }.size
-    assert(nExchanges == 0, joined.queryExecution.executedPlan.toString)
-    assert(joined.count() == Tables.lineitem(spark, TestSpark.SfDir).count())
+    // Disable broadcast so the small side can't sidestep the bucketing
+    // claim, and unwrap AdaptiveSparkPlanExec — collect() does not descend
+    // into it (the old 0-exchange assert was vacuously true through AQE).
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "graft_orders_b", "graft_lineitem_b", Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val nExchanges = plan.collect { case e: Exchange => e }.size
+      assert(nExchanges == 0, plan.toString)
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.nonEmpty, plan.toString)
+      assert(joined.count() == Tables.lineitem(spark, TestSpark.SfDir).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     spark.sql("DROP TABLE graft_orders_b"); spark.sql("DROP TABLE graft_lineitem_b")
   }
 

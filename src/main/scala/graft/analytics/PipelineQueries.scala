@@ -214,6 +214,22 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantization codes (seeded codebooks) — the 32× compression
+    * tier of a 100 TB ANN index: every embedding becomes [[graft.similarity.Pq.M]]
+    * codes, one argmin-L2² per subspace, plus that subspace's exact squared
+    * reconstruction error. Codebooks derive from the data (first-Ksub-id
+    * subvectors, the [[annIvf]] seeded-quantizer pattern), so the oracle
+    * rebuilds them in SQL; dist is the bit-portable (x−y)² left fold
+    * (VectorOracles family). Encoding itself is MAP-ONLY — the only
+    * Exchange in the plan is the presentation sort. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val cbs = graft.similarity.Pq.seededCodebooks(embs, "vec_id", "embedding")
+    graft.similarity.Pq
+      .encode(embs, "vec_id", "embedding", cbs)
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
   /** Scalar (int8) embedding quantization — the 4× memory-reduction tier
     * of an ANN index at 100 TB: per-dimension [min, max] from exact float
     * aggregates (order-independent), then a linear 0–255 code with
@@ -846,7 +862,8 @@ object PipelineQueries {
     "q72_token_packing" -> ((s: SparkSession, d: String) => tokenPacking(s, d)),
     "q73_ngram_contamination" -> ((s: SparkSession, d: String) => ngramContamination(s, d)),
     "q74_token_chunks" -> ((s: SparkSession, d: String) => tokenChunks(s, d)),
-    "q75_bucketed_join" -> (bucketedJoinAgg _))
+    "q75_bucketed_join" -> (bucketedJoinAgg _),
+    "q76_pq_codes" -> (pqCodes _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -1127,6 +1144,28 @@ object PipelineQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q76_pq_codes" -> {
+      // Same constants as the Spark side (graft.similarity.Pq), same seeded
+      // codebooks (first-Ksub-id subvectors rebuilt in SQL), same left-fold
+      // (x−y)·(x−y) distance — dists and argmins agree bit-for-bit.
+      import graft.similarity.Pq.{Ksub, M, SubDim}
+      val x = s"CAST(e.embedding[sub.subspace * $SubDim + j] AS DOUBLE)"
+      val c = s"CAST(sub.sv[sub.subspace * $SubDim + j] AS DOUBLE)"
+      val fold =
+        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($x) - ($c)) * (($x) - ($c))), (acc, v) -> acc + v)"
+      s"""WITH seeds AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, embedding AS sv
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $Ksub)),
+         |sub AS (SELECT CAST(g.s AS INTEGER) AS subspace, seeds.code, seeds.sv
+         |  FROM seeds CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
+         |d AS (SELECT e.vec_id, sub.subspace, sub.code, $fold AS dist
+         |  FROM embeddings e CROSS JOIN sub WHERE e.embedding IS NOT NULL),
+         |a AS (SELECT vec_id, subspace, code, dist,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn FROM d)
+         |SELECT vec_id, subspace, code, dist
+         |FROM a WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
+    },
     "q41_multimodal_features" ->
       s"""SELECT doc_id AS media_id,
          |  (['image','audio','video','text'])[(${duckH31("source")} % 4) + 1] AS modality,

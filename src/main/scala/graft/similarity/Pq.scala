@@ -1,0 +1,99 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PqFunctions.{pq_adc_lut, pq_encode}
+
+/** Product quantization (PQ): the compression tier of a 100 TB ANN index.
+  *
+  * A dim-64 float vector (256 B) becomes m=8 4-bit-capable codes (8 B here,
+  * one int column per subspace row) by quantizing each contiguous subspace
+  * against its own ksub-entry codebook — 32× less data to scan, and
+  * queries score candidates WITHOUT touching vectors again via ADC
+  * (asymmetric distance): a per-query lookup table of partial distances to
+  * every codebook entry, summed over subspaces.
+  *
+  * Like [[Ivf.topKSeeded]], the registered-query surface uses SEEDED
+  * codebooks — subvectors of the first `ksub` ids — because every stage
+  * (slicing, the (x−y)² left fold, argmin with lower-code ties) is exactly
+  * replicable in a SQL oracle, where trained k-means codebooks would pin
+  * engine-internal float aggregation order. The k-means refinement path
+  * would reuse [[Ivf.CentroidAggregator]] per subspace verbatim; encoding
+  * and search are codebook-agnostic.
+  *
+  * Scale shape: codebooks are expression-carried constants (KBs) →
+  * encoding is map-only; the ADC LUT is nq·m·ksub rows built map-side from
+  * the (small, broadcastable) query set; the per-(query, neighbor) sum is
+  * a two-phase aggregate over int-keyed rows; ranking is the map-side
+  * bounded [[Ann.TopKAggregator]]. Nothing wide ever shuffles.
+  */
+object Pq {
+  /** Subspace count (codes per vector). */
+  val M = 8
+  /** Codebook entries per subspace. */
+  val Ksub = 16
+  /** Embedding dimensionality of the harness tables. */
+  val Dim = 64
+  /** Dimensions per subspace. */
+  val SubDim: Int = Dim / M
+
+  /** Seeded codebooks: codebook `s` = the `s`-th subvector slice of the
+    * first `ksub` non-null vectors in id order. A ksub-row collect (the
+    * legitimate kind — same as [[Ivf.topKSeeded]]'s seed fetch), never a
+    * corpus collect. */
+  def seededCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = M, ksub: Int = Ksub, dim: Int = Dim): Array[Array[Array[Double]]] = {
+    val subdim = dim / m
+    val seeds = corpus
+      .filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol))
+      .limit(ksub)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(seeds.nonEmpty, "empty corpus: no codebook seeds")
+    Array.tabulate(m)(s => seeds.map(v => v.slice(s * subdim, (s + 1) * subdim)))
+  }
+
+  /** Map-only encode to long format: one `(id, subspace, code, dist)` row
+    * per subspace, `dist` = the exact squared reconstruction error of that
+    * subspace. Null / short vectors are dropped (not encodable). */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), posexplode(pq_encode(col(vecCol), codebooks)).as(Seq("subspace", "enc")))
+      .filter(col("enc").isNotNull)
+      .select(col(idCol), col("subspace"),
+        col("enc.code").as("code"), col("enc.dist").as("dist"))
+
+  /** ADC top-k: rank corpus vectors for each query by approximate squared
+    * L2 distance computed FROM CODES ONLY. The corpus side carries three
+    * ints per row; the query side becomes a broadcast LUT; ties and
+    * ranking follow (dist asc, neighbor_id asc) via the negated-score
+    * [[Ann.TopKAggregator]] (which orders desc). Self-pairs excluded.
+    * Returns (query_id, neighbor_id, rank, adc_dist). */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, codebooks: Array[Array[Array[Double]]] = null): DataFrame = {
+    val cbs = Option(codebooks).getOrElse(seededCodebooks(corpus, idCol, vecCol))
+    val codes = encode(corpus, idCol, vecCol, cbs)
+      .select(col(idCol).as("neighbor_id"), col("subspace"), col("code"))
+    val lut = queries
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"),
+        explode(pq_adc_lut(col(vecCol), cbs)).as("e"))
+      .select(col("query_id"), col("e.subspace").as("subspace"),
+        col("e.code").as("code"), col("e.partial").as("partial"))
+    val summed = codes
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("partial")).as("adc_dist"))
+    Ann
+      .topKRanked(
+        summed.select(col("query_id"), col("neighbor_id"), negate(col("adc_dist")).as("cosine")),
+        k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        negate(col("cosine")).as("adc_dist"))
+  }
+}

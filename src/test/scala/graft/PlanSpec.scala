@@ -118,6 +118,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
+  test("q76: PQ encode is map-only — no join, no window, no aggregate") {
+    val p = planOf("q76_pq_codes")
+    assert(p.contains("pqencode") || p.contains("PqEncode") || p.contains("pq_encode"), p)
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"), p)
+  }
+
   test("q75: the bucketed join has NO exchange beneath it") {
     // At sf0.001 the optimizer rightly broadcasts the tiny orders side;
     // disabling broadcast exposes the shape that matters at 100 TB — a

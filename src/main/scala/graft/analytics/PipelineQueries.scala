@@ -466,6 +466,51 @@ object PipelineQueries {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Target language shares for [[domainMix]] — ordered so the oracle SQL
+    * generated from it is stable. */
+  val DomainMixWeights: Seq[(String, Double)] =
+    Seq("de" -> 0.2, "en" -> 0.3, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
+
+  /** Domain-mix resampling (the DoReMi/Pile-style mixing step): downsample
+    * each language so the admitted corpus matches target shares, keeping as
+    * much data as feasible — T = min_l(count_l / w_l) is the largest total
+    * for which no language runs out; language l keeps rate_l = w_l·T /
+    * count_l of its docs (the binding language keeps 1.0). Admission is the
+    * deterministic content-hash threshold (h31(md5(text)) — a property of
+    * the DOCUMENT, stable under repartitioning and engine change, never an
+    * RNG). Scale shape: one small per-lang count aggregate, a one-row min,
+    * rates broadcast back, admission map-only, final small aggregate —
+    * the corpus is never shuffled. All rate arithmetic is fixed-order
+    * double ops, so the oracle's rates and admitted counts hash-match. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val weights = typedLit(DomainMixWeights.toMap)
+    val counts = docs
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", element_at(weights, col("lang")))
+      .filter(col("w").isNotNull)
+    val t = counts.agg(min(col("n_docs").cast("double") / col("w")).as("t"))
+    val rates = counts
+      .crossJoin(broadcast(t))
+      .withColumn("rate",
+        least(lit(1.0), (col("w") * col("t")) / col("n_docs").cast("double")))
+      .select(col("lang"), col("n_docs"), col("rate"))
+    val h = graft.functions.PortableHashFunctions
+      .md5_token_hashes(array(col("text")), bits = 31)
+      .getItem(0)
+    val admitted = docs
+      .join(broadcast(rates.select(col("lang"), col("rate"))), Seq("lang"))
+      .filter(pmod(h, lit(1000000L)).cast("double") < col("rate") * 1000000.0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_admitted"))
+    rates
+      .join(admitted, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("rate"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
+      .orderBy(col("lang"))
+  }
+
   /** Intra-document repetition metrics (the Gopher/MassiveText-style
     * repetition filters): duplicate-token fraction, duplicate-bigram
     * fraction, and top-token frequency share. Map-only except the
@@ -863,7 +908,8 @@ object PipelineQueries {
     "q73_ngram_contamination" -> ((s: SparkSession, d: String) => ngramContamination(s, d)),
     "q74_token_chunks" -> ((s: SparkSession, d: String) => tokenChunks(s, d)),
     "q75_bucketed_join" -> (bucketedJoinAgg _),
-    "q76_pq_codes" -> (pqCodes _))
+    "q76_pq_codes" -> (pqCodes _),
+    "q77_domain_mix" -> (domainMix _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -1165,6 +1211,25 @@ object PipelineQueries {
          |  ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn FROM d)
          |SELECT vec_id, subspace, code, dist
          |FROM a WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
+    },
+    "q77_domain_mix" -> {
+      // Weights VALUES generated from DomainMixWeights — oracle can't drift.
+      val wvals = DomainMixWeights
+        .map { case (l, w) => s"('$l', CAST($w AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH w(lang, w) AS (VALUES $wvals),
+         |c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+         |cw AS (SELECT c.lang, c.n_docs, w.w FROM c JOIN w USING (lang)),
+         |t AS (SELECT MIN(CAST(n_docs AS DOUBLE) / w) AS t FROM cw),
+         |r AS (SELECT cw.lang, cw.n_docs,
+         |  LEAST(1.0, (cw.w * t.t) / CAST(cw.n_docs AS DOUBLE)) AS rate
+         |  FROM cw CROSS JOIN t),
+         |a AS (SELECT d.lang, COUNT(*) AS n_admitted
+         |  FROM documents d JOIN r ON d.lang = r.lang
+         |  WHERE CAST(${duckH31("d.text")} % 1000000 AS DOUBLE) < r.rate * 1000000.0
+         |  GROUP BY d.lang)
+         |SELECT r.lang, r.n_docs, r.rate, COALESCE(a.n_admitted, 0) AS n_admitted
+         |FROM r LEFT JOIN a ON r.lang = a.lang ORDER BY r.lang""".stripMargin
     },
     "q41_multimodal_features" ->
       s"""SELECT doc_id AS media_id,

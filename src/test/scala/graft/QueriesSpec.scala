@@ -86,6 +86,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q77: domain mix hits the target shares and keeps the binding language whole") {
+    import spark.implicits._
+    val got = graft.analytics.PipelineQueries
+      .domainMix(spark, TestSpark.SfDir)
+      .as[(String, Long, Double, Long)]
+      .collect()
+    val weights = graft.analytics.PipelineQueries.DomainMixWeights.toMap
+    assert(got.map(_._1).toSet == weights.keySet)
+    got.foreach { case (lang, n, rate, adm) =>
+      assert(rate > 0.0 && rate <= 1.0, s"$lang rate=$rate")
+      assert(adm <= n, s"$lang admitted $adm > $n")
+    }
+    // The binding language (the one that set T) is kept in full.
+    assert(got.exists(_._3 == 1.0))
+    // Achieved shares track the targets (hash admission is ~uniform).
+    val total = got.map(_._4).sum.toDouble
+    got.foreach { case (lang, _, _, adm) =>
+      assert(math.abs(adm / total - weights(lang)) < 0.05,
+        s"$lang share ${adm / total} vs target ${weights(lang)}")
+    }
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -230,6 +230,15 @@ object PipelineQueries {
       .orderBy(col("vec_id"), col("subspace"))
   }
 
+  /** SemDeDup keep decisions over the embeddings table — see
+    * [[graft.similarity.SemDedup]]. Seeded cells (oracle-portable), exact
+    * cosine fold, order-free lower-id dominance → every keep bit
+    * hash-checked. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.SemDedup
+      .keepDecisions(spark, Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
   /** Scalar (int8) embedding quantization — the 4× memory-reduction tier
     * of an ANN index at 100 TB: per-dimension [min, max] from exact float
     * aggregates (order-independent), then a linear 0–255 code with
@@ -909,7 +918,8 @@ object PipelineQueries {
     "q74_token_chunks" -> ((s: SparkSession, d: String) => tokenChunks(s, d)),
     "q75_bucketed_join" -> (bucketedJoinAgg _),
     "q76_pq_codes" -> (pqCodes _),
-    "q77_domain_mix" -> (domainMix _))
+    "q77_domain_mix" -> (domainMix _),
+    "q78_semdedup" -> (semDedup _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -1230,6 +1240,28 @@ object PipelineQueries {
          |  GROUP BY d.lang)
          |SELECT r.lang, r.n_docs, r.rate, COALESCE(a.n_admitted, 0) AS n_admitted
          |FROM r LEFT JOIN a ON r.lang = a.lang ORDER BY r.lang""".stripMargin
+    },
+    "q78_semdedup" -> {
+      // Seeded-cell assignment replicated from the q49 oracle; dominance =
+      // EXISTS lower-id same-cell neighbor at cosine ≥ Tau (same constant,
+      // same bit-exact fold).
+      import graft.similarity.SemDedup.{Nlist, Tau}
+      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $Nlist)),
+         |sims AS (SELECT e.vec_id, cen.cell,
+         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
+         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |dom AS (SELECT DISTINCT x.vec_id
+         |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND y.vec_id < x.vec_id
+         |  JOIN embeddings a ON a.vec_id = x.vec_id
+         |  JOIN embeddings b ON b.vec_id = y.vec_id
+         |  WHERE ${VectorOracles.cosine("a.embedding", "b.embedding")} >= $Tau)
+         |SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS kept
+         |FROM assigned s LEFT JOIN dom d ON s.vec_id = d.vec_id
+         |ORDER BY s.vec_id""".stripMargin
     },
     "q41_multimodal_features" ->
       s"""SELECT doc_id AS media_id,

@@ -93,6 +93,37 @@ class AnnSpec extends AnyFunSuite {
     assert(assigned.count() == embs.count())
   }
 
+  test("SemDedup keep bits match the driver-side reference exactly") {
+    import graft.similarity.SemDedup
+    val vecs = all.toMap
+    val seeds = all.map(_._1).sorted.take(SemDedup.Nlist).map(vecs)
+    def cellOf(v: Array[Float]): Int =
+      seeds.zipWithIndex
+        .map { case (s, i) => (scalaCos(v, s), i) }
+        .minBy { case (sim, i) => (-sim, i) }
+        ._2
+    val wantCell = all.map { case (id, v) => id -> cellOf(v) }.toMap
+    val wantDropped = all.filter { case (id, v) =>
+      all.exists { case (jd, w) =>
+        jd < id && wantCell(jd) == wantCell(id) && scalaCos(w, v) >= SemDedup.Tau
+      }
+    }.map(_._1).toSet
+    val got = SemDedup
+      .keepDecisions(spark, embs, "vec_id", "embedding")
+      .as[(Long, Int, Boolean)]
+      .collect()
+    assert(got.length == all.length)
+    got.foreach { case (id, cell, kept) =>
+      assert(cell == wantCell(id), s"vec $id cell")
+      assert(kept == !wantDropped(id), s"vec $id kept")
+    }
+    // Non-vacuous at the harness SF, and the lowest id per cell survives.
+    assert(wantDropped.nonEmpty)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.minBy(_._1)._3, "lowest id in a cell was dropped")
+    }
+  }
+
   test("lsh results never outrank brute force (candidates are re-scored exactly)") {
     val brute = Ann.bruteForceTopK(queries, embs, "vec_id", "embedding", k = 1)
       .filter($"rank" === 1)

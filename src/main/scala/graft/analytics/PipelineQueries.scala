@@ -684,22 +684,36 @@ object PipelineQueries {
       val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xFFFFFFFFL)
       val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
       // A previous JVM's warehouse directory survives while the new
-      // session's catalog is empty — drop both the entry and the location
-      // or saveAsTable fails with LOCATION_ALREADY_EXISTS.
-      Seq(lt, ot).foreach { t =>
+      // session's catalog is empty. If the COMPLETE layout is still there
+      // (_SUCCESS from the committed write; bucket ids live in the file
+      // names, so re-declaring the bucket spec over the files is exact),
+      // re-register it as an external table instead of rewriting — the
+      // testdata dirs are immutable, and the bucketing cost is supposed
+      // to be paid once, not once per JVM. Anything partial (no
+      // _SUCCESS) is dropped and rewritten.
+      def ensure(t: String, ddlCols: String, key: String, write: () => Unit): Unit = {
         spark.sql(s"DROP TABLE IF EXISTS `$t`")
         val loc = new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir"), t)
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-        ()
+        if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+          spark.sql(
+            s"""CREATE TABLE `$t` ($ddlCols) USING PARQUET
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+               |LOCATION '${loc.toString}'""".stripMargin)
+        } else {
+          if (fs.exists(loc)) fs.delete(loc, true)
+          write()
+        }
       }
-      graft.operators.Scale.writeBucketed(
-        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity")),
-        lt, Seq("l_orderkey"), buckets = 8)
-      graft.operators.Scale.writeBucketed(
-        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-        ot, Seq("o_orderkey"), buckets = 8)
+      ensure(lt, "l_orderkey BIGINT, l_quantity DOUBLE", "l_orderkey", () =>
+        graft.operators.Scale.writeBucketed(
+          Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity")),
+          lt, Seq("l_orderkey"), buckets = 8))
+      ensure(ot, "o_orderkey BIGINT, o_orderpriority STRING", "o_orderkey", () =>
+        graft.operators.Scale.writeBucketed(
+          Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+          ot, Seq("o_orderkey"), buckets = 8))
       (lt, ot)
     })
   }

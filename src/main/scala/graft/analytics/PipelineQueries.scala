@@ -817,6 +817,44 @@ object PipelineQueries {
       .select(col("media_id"), col("modality"), col("n_bytes"), col("content_fp"))
       .orderBy(col("media_id"))
 
+  /** Heavy hitters via count-min sketch, surfaced as the q42-style BOUNDED
+    * claim: the top-k exact token counts (the audit twin) next to the CMS
+    * guarantee `exact ≤ estimate ≤ exact + ⌈eps·N⌉` as a boolean. The
+    * sketch is the 100 TB path — a fixed (depth × width) counter grid,
+    * merged map-side by plain addition, so the aggregate is one tiny
+    * mergeable state per partition regardless of corpus size; the exact
+    * top-k group-by is its audit at harness SF. Collections here are the
+    * legitimate kind: one sketch row + k report rows. Estimates are
+    * deterministic (fixed seed, merge-order-independent counter sums), so
+    * the bound either always holds or always breaks the hash. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    import spark.implicits._
+    val toks = Tables
+      .documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val aggRow = toks
+      .agg(
+        expr(s"count_min_sketch(token, ${eps}d, ${confidence}d, $seed)").as("cms"),
+        count(lit(1)).as("n_total"))
+      .head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(aggRow.getAs[Array[Byte]]("cms")))
+    val bound = math.ceil(eps * aggRow.getLong(1)).toLong
+    val top = toks
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token"))
+      .limit(k)
+      .as[(String, Long)]
+      .collect()
+    val out = top.toSeq.map { case (t, n) =>
+      val est = cms.estimateCount(t)
+      (t, n, est >= n && est <= n + bound)
+    }
+    spark.createDataFrame(out).toDF("token", "n_exact", "within_bound")
+  }
+
   /** Approximate distinct (HLL++) per event type, surfaced as a BOUNDED
     * check the driver's hash gate can verify: the raw estimate is
     * engine-specific (un-oracle-able), but |approx − exact| / exact ≤ 0.1
@@ -933,7 +971,8 @@ object PipelineQueries {
     "q75_bucketed_join" -> (bucketedJoinAgg _),
     "q76_pq_codes" -> (pqCodes _),
     "q77_domain_mix" -> (domainMix _),
-    "q78_semdedup" -> (semDedup _))
+    "q78_semdedup" -> (semDedup _),
+    "q79_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -1151,6 +1190,12 @@ object PipelineQueries {
     "q42_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q79_heavy_hitters" ->
+      """SELECT token, n_exact, TRUE AS within_bound FROM (
+        |  SELECT token, COUNT(*) AS n_exact
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token ORDER BY n_exact DESC, token LIMIT 20)
+        |ORDER BY n_exact DESC, token""".stripMargin,
     "q67_stratified_sample" -> {
       val rateCase = "CASE " + StratifiedRatesBp
         .map { case (l, bp) => s"WHEN lang = '$l' THEN $bp" }

@@ -108,6 +108,22 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q79: CMS estimates stay within the eps bound for every heavy hitter") {
+    import spark.implicits._
+    val got = graft.analytics.PipelineQueries
+      .heavyHitters(spark, TestSpark.SfDir)
+      .as[(String, Long, Boolean)]
+      .collect()
+    assert(got.length == 20)
+    assert(got.forall(_._3), s"CMS out of bound: ${got.filterNot(_._3).mkString(", ")}")
+    // The exact side matches a driver-side count of the same tokens.
+    val want = Tables.documents(spark, TestSpark.SfDir)
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ")).groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    assert(got.map(r => (r._1, r._2)).toSeq == want)
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

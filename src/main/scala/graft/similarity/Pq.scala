@@ -56,6 +56,44 @@ object Pq {
     Array.tabulate(m)(s => seeds.map(v => v.slice(s * subdim, (s + 1) * subdim)))
   }
 
+  /** One Lloyd refinement of the seeded codebooks, per subspace: assign
+    * every subvector to its nearest seeded entry ([[graft.functions.PqEncode]],
+    * map-only), then recompute each entry as the distributed MEAN of its
+    * members via [[Ivf.CentroidAggregator]] (two-phase, partials merge
+    * map-side — the same aggregate the IVF build uses). Entries that lose
+    * all members keep their seeded value, so code ids stay aligned. The
+    * collect is m·ksub rows (the codebook itself), never the corpus.
+    *
+    * Float means are aggregation-order-dependent → NOT oracle-portable;
+    * the registered q76 stays on the seeded codebooks and this path is
+    * spec-covered (PqSpec: Lloyd monotonicity — trained total
+    * reconstruction error ≤ seeded), exactly the q49 `topKSeeded` /
+    * `topK` split. */
+  def trainedCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = M, ksub: Int = Ksub, dim: Int = Dim): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val subdim = dim / m
+    val seeded = seededCodebooks(corpus, idCol, vecCol, m, ksub, dim)
+    val members = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(posexplode(pq_encode(col(vecCol), seeded)).as(Seq("subspace", "enc")),
+        col(vecCol))
+      .select(col("subspace"), col("enc.code").as("code"),
+        slice(col(vecCol), col("subspace") * subdim + 1, lit(subdim)).as("sub"))
+    val centroidOf = org.apache.spark.sql.functions
+      .udaf(new Ivf.CentroidAggregator(subdim), ExpressionEncoder[Array[Float]]())
+    val trained = seeded.map(_.map(_.clone()))
+    members
+      .groupBy(col("subspace"), col("code"))
+      .agg(centroidOf(col("sub")).as("centroid"))
+      .collect()
+      .foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
+          trained(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray.map(_.toDouble)
+      }
+    trained
+  }
+
   /** Map-only encode to long format: one `(id, subspace, code, dist)` row
     * per subspace, `dist` = the exact squared reconstruction error of that
     * subspace. Null / short vectors are dropped (not encodable). */

@@ -69,6 +69,17 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("one Lloyd step never increases total reconstruction error (trained PQ)") {
+    def totalErr(c: Array[Array[Array[Double]]]): Double =
+      Pq.encode(embs, "vec_id", "embedding", c)
+        .agg(sum($"dist")).as[Double].head()
+    val trained = Pq.trainedCodebooks(embs, "vec_id", "embedding")
+    val seededErr = totalErr(cbs)
+    val trainedErr = totalErr(trained)
+    assert(trainedErr < seededErr,
+      s"Lloyd step did not improve: trained=$trainedErr seeded=$seededErr")
+  }
+
   test("adcTopK distances equal the LUT-sum of the codes (1e-9)") {
     val queries = embs.filter($"vec_id" % 100 === 0)
     val got = Pq

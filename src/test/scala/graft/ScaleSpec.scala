@@ -55,6 +55,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(back.count() == Tables.events(spark, TestSpark.SfDir).count())
   }
 
+  test("dynamic partition pruning: a runtime subquery prunes fact partitions") {
+    // The 100 TB join shape: fact partitioned on the join key's directory
+    // column, dim carries a selective filter only known at runtime — DPP
+    // turns the dim's broadcast into a partition filter on the fact scan
+    // (dynamicpruningexpression), so excluded directories are never read.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Scale.writePartitioned(
+      Tables.lineitem(spark, TestSpark.SfDir)
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag"),
+      s"$dir/li", Seq("l_returnflag"))
+    val fact = spark.read.parquet(s"$dir/li")
+    // The dim must be a real source (a LocalRelation's filter constant-folds
+    // away and DPP sees no selective predicate to reuse).
+    Seq(("R", "returned"), ("A", "accepted"), ("N", "neither"))
+      .toDF("flag", "label")
+      .write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+      .filter($"label" === "returned") // the selective runtime predicate
+    val joined = fact.join(dim, fact("l_returnflag") === dim("flag"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"), plan)
+    // Semantics unchanged: DPP only prunes, never drops matching rows.
+    val want = fact.filter($"l_returnflag" === "R").count()
+    assert(joined.count() == want)
+    assert(want > 0)
+  }
+
   test("partitioned layout prunes directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val events = Tables.events(spark, TestSpark.SfDir)

@@ -82,6 +82,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(want > 0)
   }
 
+  test("runtime bloom filter: a selective dim injects might_contain into the fact scan") {
+    // DPP's sibling for NON-partitioned layouts: AQE builds a bloom filter
+    // from the filtered dim side and pushes might_contain(l_orderkey) into
+    // the fact side of the shuffle join, skipping rows before the
+    // exchange. The applicationSideScanSizeThreshold default is 10 GB —
+    // right for a 100 TB cluster, above the harness scan, so the test
+    // lowers it to 0 to exercise the rewrite; semantics must not change.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, TestSpark.SfDir)
+      val ord = Tables.orders(spark, TestSpark.SfDir)
+        .filter($"o_orderpriority" === "1-URGENT")
+      val joined = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), plan)
+      val want = li.join(broadcast(ord), $"l_orderkey" === $"o_orderkey").count()
+      assert(joined.count() == want)
+      assert(want > 0)
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("partitioned layout prunes directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val events = Tables.events(spark, TestSpark.SfDir)

@@ -552,7 +552,9 @@ object PipelineQueries {
   /** Decontamination: corpus docs within 0.8 Jaccard of any "benchmark"
     * doc (deterministic sample: doc_id % 97 == 0 stands in for an eval
     * set). Oracle brute-forces corpus × benchmark — LSH recall at the
-    * threshold is 1 - 6·10⁻⁵ per pair (see crossNearDups). */
+    * threshold is 1 - 1·10⁻¹¹ per pair with the recall-heavy 48×4
+    * banding (verified == brute force at sf0.001/0.01/0.1; the earlier
+    * 32×6 tuning missed 3 of ~50k pairs at sf0.1). */
   def decontamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     Dedup

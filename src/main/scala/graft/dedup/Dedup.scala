@@ -233,12 +233,20 @@ object Dedup {
     * LSH shape as [[minhashNearDups]], but candidates pair only ACROSS the
     * two inputs, so the work is bounded by corpus×benchmark bucket
     * overlap, never corpus². Band params must be chosen for the TARGET
-    * threshold (the 0.95-tuned default misses ~1/3 of 0.8-pairs; 32×6
-    * passes j=0.8 with miss ≈ 6·10⁻⁵). Output (corpus_id, benchmark_id,
-    * jaccard); identical ids excluded (benchmark ⊆ corpus is common). */
+    * threshold (the 0.95-tuned default misses ~1/3 of 0.8-pairs), and for
+    * decontamination specifically they must be RECALL-HEAVY: a missed
+    * pair here is benchmark contamination shipping to training. At the
+    * same k=192 hash budget, 48×4 misses a j=0.8 pair with p ≈ 1·10⁻¹¹
+    * (vs 6·10⁻⁵ for 32×6 — which really did drop 3 of ~50k pairs at the
+    * 10× harness SF). The price is looser buckets (a j=0.5 pair collides
+    * with p ≈ 0.95), i.e. more candidates through the exact-verify join —
+    * the right side of the tradeoff when the benchmark set is the small
+    * side and false candidates only cost verification, not correctness.
+    * Output (corpus_id, benchmark_id, jaccard); identical ids excluded
+    * (benchmark ⊆ corpus is common). */
   def crossNearDups(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.8,
-      p: MinHashParams = MinHashParams(bands = 32, rowsPerBand = 6)): DataFrame = {
+      p: MinHashParams = MinHashParams(bands = 48, rowsPerBand = 4)): DataFrame = {
     def prep(df: DataFrame, side: String): DataFrame =
       df.select(
         col(idCol).as(s"id_$side"),

@@ -27,6 +27,26 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // the corpus genuinely contains near-dups
   }
 
+  test("decontamination (crossNearDups) == brute force at jaccard >= 0.8") {
+    // The recall-heavy 48×4 banding must find EVERY pair — a missed pair
+    // here is benchmark contamination shipping (the 32×6 tuning dropped 3
+    // of ~50k pairs at sf0.1 against the DuckDB brute-force oracle).
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val lsh = Dedup
+      .crossNearDups(docs, bench, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val toks = docs.select($"doc_id".as("tid"), array_distinct(split($"text", " ")).as("toks"))
+    val btoks = toks.filter($"tid" % 97 === 0)
+      .select($"tid".as("bid"), $"toks".as("btoks"))
+    val brute = toks
+      .join(btoks, col("tid") =!= col("bid"))
+      .withColumn("j", Dedup.jaccard(col("toks"), col("btoks")))
+      .filter($"j" >= 0.8)
+      .select($"tid", $"bid").as[(Long, Long)].collect().toSet
+    assert(lsh == brute)
+    assert(brute.nonEmpty)
+  }
+
   test("blocked jaccard sub-splits oversized blocks deterministically") {
     import graft.analytics.PipelineQueries
     // Uncapped = exact within every (lang, source) block.

@@ -230,6 +230,16 @@ object PipelineQueries {
       .orderBy(col("vec_id"), col("subspace"))
   }
 
+  /** IVFPQ ANN (q80) — the production composed index: seeded coarse cells
+    * route the query, seeded PQ codes score the candidates (ADC), nothing
+    * re-reads vectors after the build. See [[graft.similarity.Pq.ivfPqTopK]]. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    graft.similarity.Pq
+      .ivfPqTopK(spark, embs.filter(col("vec_id") % 50 === 0), embs, "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** SemDeDup keep decisions over the embeddings table — see
     * [[graft.similarity.SemDedup]]. Seeded cells (oracle-portable), exact
     * cosine fold, order-free lower-id dominance → every keep bit
@@ -974,7 +984,8 @@ object PipelineQueries {
     "q76_pq_codes" -> (pqCodes _),
     "q77_domain_mix" -> (domainMix _),
     "q78_semdedup" -> (semDedup _),
-    "q79_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)))
+    "q79_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
+    "q80_ann_ivfpq" -> (annIvfPq _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -1282,6 +1293,56 @@ object PipelineQueries {
          |  ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn FROM d)
          |SELECT vec_id, subspace, code, dist
          |FROM a WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
+    },
+    "q80_ann_ivfpq" -> {
+      // q49's seeded-cell CTEs + q76's seeded-code CTEs; ADC = per-subspace
+      // (x−y)² fold (j order), partials summed in SUBSPACE order via
+      // list_reduce(list(p ORDER BY subspace)) — both folds match the
+      // PqAdcDist expression's loops exactly, so distances and ranks are
+      // bit-identical.
+      import graft.similarity.Pq.{Ksub, M, SubDim}
+      val x = s"CAST(e.embedding[psub.subspace * $SubDim + j] AS DOUBLE)"
+      val c = s"CAST(psub.sv[psub.subspace * $SubDim + j] AS DOUBLE)"
+      val codeFold =
+        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($x) - ($c)) * (($x) - ($c))), (acc, v) -> acc + v)"
+      val qx = s"CAST(qe.embedding[pc.subspace * $SubDim + j] AS DOUBLE)"
+      val qc = s"CAST(ps.sv[pc.subspace * $SubDim + j] AS DOUBLE)"
+      val adcFold =
+        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($qx) - ($qc)) * (($qx) - ($qc))), (acc, v) -> acc + v)"
+      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |sims AS (SELECT e.vec_id, cen.cell,
+         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
+         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |routed AS (SELECT vec_id AS query_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 4),
+         |ps AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, embedding AS sv
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $Ksub)),
+         |psub AS (SELECT CAST(g.s AS INTEGER) AS subspace, ps.code, ps.sv
+         |  FROM ps CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
+         |pdist AS (SELECT e.vec_id, psub.subspace, psub.code, $codeFold AS dist
+         |  FROM embeddings e CROSS JOIN psub WHERE e.embedding IS NOT NULL),
+         |pc AS (SELECT vec_id, subspace, code FROM (
+         |  SELECT vec_id, subspace, code, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
+         |  FROM pdist) WHERE rn = 1),
+         |partials AS (SELECT r.query_id, a.vec_id AS neighbor_id, pc.subspace, $adcFold AS p
+         |  FROM routed r
+         |  JOIN assigned a ON a.cell = r.cell AND a.vec_id <> r.query_id
+         |  JOIN pc ON pc.vec_id = a.vec_id
+         |  JOIN ps ON ps.code = pc.code
+         |  JOIN embeddings qe ON qe.vec_id = r.query_id),
+         |dist AS (SELECT query_id, neighbor_id,
+         |  list_reduce(list(p ORDER BY subspace), (x, y) -> x + y) AS adc_dist
+         |  FROM partials GROUP BY query_id, neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, adc_dist,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+         |  FROM dist)
+         |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adc_dist
+         |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
     },
     "q77_domain_mix" -> {
       // Weights VALUES generated from DomainMixWeights — oracle can't drift.

@@ -129,10 +129,60 @@ case class PqAdcLut(child: Expression, codebooks: Array[Array[Array[Double]]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ADC distance of one (query vector, code array) pair: Σ_s ‖q_s − c_s‖²
+  * where c_s is codebook entry `codes(s).code` of subspace s — the
+  * codes-only scoring step of an IVFPQ search, one expression per
+  * candidate row so the corpus side of the search carries CODES, never
+  * vectors. Both folds are fixed-order (j within s, then s ascending), so
+  * the distance — and therefore the top-k ranking — is bit-portable to a
+  * SQL oracle (`list_reduce(list(partial ORDER BY subspace), +)`).
+  * `right` is [[PqEncode]]'s output (array of (code, dist) structs; the
+  * dist field is ignored here). */
+case class PqAdcDist(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  private val m = codebooks.length
+  private val subdim = codebooks(0)(0).length
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private lazy val isFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(q: Any, enc: Any): Any = {
+    val vec = q.asInstanceOf[ArrayData]
+    val codes = enc.asInstanceOf[ArrayData]
+    if (vec.numElements() < m * subdim || codes.numElements() < m) return null
+    var total = 0.0
+    var s = 0
+    while (s < m) {
+      val code = codes.getStruct(s, 2).getInt(0)
+      val cen = codebooks(s)(code)
+      val off = s * subdim
+      var acc = 0.0
+      var j = 0
+      while (j < subdim) {
+        val x = if (isFloat) vec.getFloat(off + j).toDouble else vec.getDouble(off + j)
+        val diff = x - cen(j)
+        acc += diff * diff
+        j += 1
+      }
+      total += acc
+      s += 1
+    }
+    total
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object PqFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     column(PqEncode(expression(vec), codebooks))
   def pq_adc_lut(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     column(PqAdcLut(expression(vec), codebooks))
+  def pq_adc_dist(queryVec: Column, enc: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    column(PqAdcDist(expression(queryVec), expression(enc), codebooks))
 }

@@ -105,6 +105,53 @@ object Pq {
       .select(col(idCol), col("subspace"),
         col("enc.code").as("code"), col("enc.dist").as("dist"))
 
+  /** IVFPQ search — the production ANN architecture (FAISS's IndexIVFPQ):
+    * route each query to its `nprobe` nearest coarse cells, then score
+    * ONLY the candidates in those cells, FROM CODES ONLY, via the
+    * [[graft.functions.PqAdcDist]] expression. The corpus is touched
+    * twice at build (cell assign + encode, both map-only, fused into one
+    * projection here) and never again: the search join carries (cell, id,
+    * m codes) per corpus row — at dim=64 that is 96 B of codes versus
+    * 256 B of floats, and the scan is bounded by the probed cells, not
+    * the corpus. Both quantizers are SEEDED (first-id vectors /
+    * subvectors) so every stage — routing, codes, the two-level ADC fold,
+    * the (dist asc, id asc) ranking — is bit-replicable in the DuckDB
+    * oracle; trained centroids would drop in without touching the search.
+    * Returns (query_id, neighbor_id, rank, adc_dist). */
+  def ivfPqTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+      codebooks: Array[Array[Array[Double]]] = null): DataFrame = {
+    import graft.functions.IvfFunctions.nearest_cells
+    import graft.functions.PqFunctions.pq_adc_dist
+    val indexable = corpus.filter(col(vecCol).isNotNull)
+    val cellMatrix = indexable
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cbs = Option(codebooks).getOrElse(seededCodebooks(corpus, idCol, vecCol))
+    val assigned = indexable.select(
+      col(idCol).as("neighbor_id"),
+      element_at(nearest_cells(col(vecCol), cellMatrix, 1), 1).as("cell"),
+      pq_encode(col(vecCol), cbs).as("enc"))
+      .filter(col("enc").isNotNull)
+    val routed = queries
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+        explode(nearest_cells(col(vecCol), cellMatrix, math.min(nprobe, nlist))).as("cell"))
+    val scored = routed
+      .join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", pq_adc_dist(col("query_vec"), col("enc"), cbs))
+    Ann
+      .topKRanked(
+        scored.select(col("query_id"), col("neighbor_id"), negate(col("adc_dist")).as("cosine")),
+        k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        negate(col("cosine")).as("adc_dist"))
+  }
+
   /** ADC top-k: rank corpus vectors for each query by approximate squared
     * L2 distance computed FROM CODES ONLY. The corpus side carries three
     * ints per row; the query side becomes a broadcast LUT; ties and

@@ -111,6 +111,37 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: every ADC distance equals the driver-side two-level fold") {
+    val queries = embs.filter($"vec_id" % 100 === 0)
+    val got = Pq
+      .ivfPqTopK(spark, queries, embs, "vec_id", "embedding", k = 10, codebooks = cbs)
+      .as[(Long, Long, Int, Double)]
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, _, adc) =>
+      assert(q != n)
+      val qv = all(q)
+      val codes = localEncode(all(n)).map(_._1)
+      var want = 0.0
+      (0 until Pq.M).foreach { s =>
+        var acc = 0.0
+        var j = 0
+        while (j < Pq.SubDim) {
+          val diff = qv(s * Pq.SubDim + j).toDouble - cbs(s)(codes(s))(j)
+          acc += diff * diff
+          j += 1
+        }
+        want += acc
+      }
+      assert(adc == want, s"($q, $n): adc=$adc want=$want") // bit-exact, not approx
+    }
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to byRank.length))
+      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sorted.toSeq)
+    }
+  }
+
   test("ADC ranking beats chance against exact L2 top-k (recall@10)") {
     def l2sq(a: Array[Float], b: Array[Float]): Double = {
       var acc = 0.0

@@ -83,10 +83,16 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,""" +
         s""""calibration_pre_sec":$calPre,"calibration_post_sec":$calPost,"sf":"$sfDir"}"""
+    // Mirror guard (round-4 verdict #6): every run writes an sf-STAMPED
+    // mirror; the unstamped BENCH_LAST.json — the artifact BASELINE.md pins
+    // against — is written only by sf0.1 runs, so a smaller-sf dev run can
+    // no longer clobber the committed round artifact.
     try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_LAST.json"),
-        (line + "\n").getBytes("UTF-8"))
+      val sfName = new java.io.File(sfDir).getName
+      def put(p: String): Unit = java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), (line + "\n").getBytes("UTF-8"))
+      put(s"BENCH_LAST_$sfName.json")
+      if (sfName == "sf0.1") put("BENCH_LAST.json")
     } catch { case _: Throwable => () }
     spark.stop()
     // Last stdout line of the run (after spark.stop's logging quiets down).

@@ -677,6 +677,12 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  // Bucketed-layout spec constants — folded into the warehouse table tag so
+  // a layout written under different values can never be re-served.
+  private val BucketCount = 8
+  private val LineitemDdl = "l_orderkey BIGINT, l_quantity DOUBLE"
+  private val OrdersDdl = "o_orderkey BIGINT, o_orderpriority STRING"
+
   // Bucketed twin tables per (session, dir) — written once into the
   // session catalog/warehouse and reused (same WeakHashMap rationale as
   // nearDupTierCache above).
@@ -693,7 +699,13 @@ object PipelineQueries {
       m
     }
     perSession.getOrElseUpdate(dir, {
-      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xFFFFFFFFL)
+      // The tag fingerprints dir + bucket count + column schemas (md5, not
+      // a 32-bit hashCode): a leftover layout written under a DIFFERENT
+      // bucket spec or schema version gets a different table name and is
+      // rewritten instead of silently served under the new spec.
+      val spec = s"$dir|buckets=$BucketCount|$LineitemDdl|$OrdersDdl"
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(spec.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
       // A previous JVM's warehouse directory survives while the new
       // session's catalog is empty. If the COMPLETE layout is still there
@@ -704,6 +716,7 @@ object PipelineQueries {
       // to be paid once, not once per JVM. Anything partial (no
       // _SUCCESS) is dropped and rewritten.
       def ensure(t: String, ddlCols: String, key: String, write: () => Unit): Unit = {
+        require(ddlCols == LineitemDdl || ddlCols == OrdersDdl) // spec'd in the tag
         spark.sql(s"DROP TABLE IF EXISTS `$t`")
         val loc = new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir"), t)
@@ -711,21 +724,21 @@ object PipelineQueries {
         if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
           spark.sql(
             s"""CREATE TABLE `$t` ($ddlCols) USING PARQUET
-               |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $BucketCount BUCKETS
                |LOCATION '${loc.toString}'""".stripMargin)
         } else {
           if (fs.exists(loc)) fs.delete(loc, true)
           write()
         }
       }
-      ensure(lt, "l_orderkey BIGINT, l_quantity DOUBLE", "l_orderkey", () =>
+      ensure(lt, LineitemDdl, "l_orderkey", () =>
         graft.operators.Scale.writeBucketed(
           Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity")),
-          lt, Seq("l_orderkey"), buckets = 8))
-      ensure(ot, "o_orderkey BIGINT, o_orderpriority STRING", "o_orderkey", () =>
+          lt, Seq("l_orderkey"), buckets = BucketCount))
+      ensure(ot, OrdersDdl, "o_orderkey", () =>
         graft.operators.Scale.writeBucketed(
           Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-          ot, Seq("o_orderkey"), buckets = 8))
+          ot, Seq("o_orderkey"), buckets = BucketCount))
       (lt, ot)
     })
   }
@@ -863,6 +876,15 @@ object PipelineQueries {
     val out = top.toSeq.map { case (t, n) =>
       val est = cms.estimateCount(t)
       (t, n, est >= n && est <= n + bound)
+    }
+    // The oracle hardcodes within_bound = TRUE (the CMS upper bound holds
+    // w.p. ≥ confidence per token). If the sketch ever drifts out of bounds,
+    // name the offending tokens on stderr so the driver's q79 hash mismatch
+    // reads as "CMS bound fired", not as an engine divergence.
+    out.filterNot(_._3).foreach { case (t, n, _) =>
+      System.err.println(
+        s"[q79] CMS bound VIOLATED for token '$t': exact=$n est=${cms.estimateCount(t)} " +
+          s"allowed=[${n}, ${n + bound}] — the oracle's TRUE row will hash-mismatch")
     }
     spark.createDataFrame(out).toDF("token", "n_exact", "within_bound")
   }
@@ -1203,6 +1225,9 @@ object PipelineQueries {
     "q42_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q79's TRUE is the bounded-claim pattern: a hash mismatch on this row
+    // means the CMS bound FIRED (the Spark side logs the offending token to
+    // stderr), not that the engines computed different counts.
     "q79_heavy_hitters" ->
       """SELECT token, n_exact, TRUE AS within_bound FROM (
         |  SELECT token, COUNT(*) AS n_exact

@@ -158,6 +158,10 @@ case class PqAdcDist(left: Expression, right: Expression,
     var s = 0
     while (s < m) {
       val code = codes.getStruct(s, 2).getInt(0)
+      // Codes produced against a different (larger-ksub) codebook are not
+      // scorable here — null, the same contract as a short vector, rather
+      // than an executor ArrayIndexOutOfBounds.
+      if (code < 0 || code >= codebooks(s).length) return null
       val cen = codebooks(s)(code)
       val off = s * subdim
       var acc = 0.0

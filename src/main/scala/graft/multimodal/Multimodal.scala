@@ -71,9 +71,16 @@ object Multimodal {
         try {
           val fmt = in.getFormat
           val enc = fmt.getEncoding
-          val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
-            (fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8)
+          // Gate matches the sample-decode branches EXACTLY (WAV
+          // conventions: signed 16-bit, unsigned-centered 8-bit). Other
+          // encoding/width combos (signed 8-bit AIFF, unsigned 16-bit PCM)
+          // would decode with the wrong sign convention, so they fall back
+          // to the stub instead.
+          val ok =
+            (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16) ||
+            (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+              fmt.getSampleSizeInBits == 8)
           if (!ok) None
           else {
             val bytes = in.readAllBytes()

@@ -130,6 +130,7 @@ object Pq {
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(cellMatrix.nonEmpty, "empty corpus: no vectors to build IVF cells from")
     val cbs = Option(codebooks).getOrElse(seededCodebooks(corpus, idCol, vecCol))
     val assigned = indexable.select(
       col(idCol).as("neighbor_id"),
@@ -139,7 +140,8 @@ object Pq {
     val routed = queries
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-        explode(nearest_cells(col(vecCol), cellMatrix, math.min(nprobe, nlist))).as("cell"))
+        explode(nearest_cells(col(vecCol), cellMatrix, math.min(nprobe, cellMatrix.length)))
+          .as("cell"))
     val scored = routed
       .join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -116,6 +116,16 @@ object Ivf {
     (assign(indexable, matrix, idCol, vecCol), refined, matrix)
   }
 
+  /** The Lloyd-refined centroid matrix alone (seed → one refinement), for
+    * callers that need a trained coarse quantizer without the assignment
+    * frame — e.g. [[SemDedup.keepDecisionsAuto]]. Empty cells keep a
+    * zero-vector slot (scores -inf, nothing routes there). */
+  def trainedMatrix(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, dim: Int = 64): Array[Array[Double]] = {
+    val (_, _, matrix) = buildWithMatrix(spark, corpus, idCol, vecCol, nlist, dim)
+    matrix
+  }
+
   /** Search: route each query to its `nprobe` nearest cells (map-only
     * posexplode of the in-expression routing), exact-score only rows in
     * those cells, top-k per query. */

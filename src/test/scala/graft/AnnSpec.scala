@@ -124,6 +124,59 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("SemDedup auto: nlist scales with the corpus and invariants hold under a trained quantizer") {
+    import graft.similarity.SemDedup
+    // Plant an exact duplicate: identical vectors score identically against
+    // every centroid (same argmax cell under ANY quantizer), and cosine 1 ≥
+    // tau means the higher id must always be dropped.
+    val base = all.toSeq
+    val planted = base :+ (999999L, base.head._2.clone())
+    val df = planted.toDF("vec_id", "embedding")
+    val target = 16
+    val wantNlist = math.max(SemDedup.Nlist,
+      ((planted.size + target - 1) / target)) // 501/16 → 32, above the 16 floor
+    assert(wantNlist > SemDedup.Nlist, "test corpus too small to exercise the knob")
+    val got = SemDedup
+      .keepDecisionsAuto(spark, df, "vec_id", "embedding", targetCellSize = target)
+      .as[(Long, Int, Boolean)]
+      .collect()
+    assert(got.length == planted.size)
+    // The derived quantizer really has wantNlist slots…
+    val cells = got.map(_._2)
+    assert(cells.forall(c => c >= 0 && c < wantNlist), s"cell out of [0, $wantNlist)")
+    // …and the scale knob holds: average occupancy ≤ targetCellSize.
+    assert(planted.size.toDouble / wantNlist <= target)
+    // Dominance invariants are quantizer-agnostic: the minimum id of every
+    // cell is kept (no lower id exists to dominate it)…
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.minBy(_._1)._3, "lowest id in a cell was dropped")
+    }
+    // …and the planted exact duplicate is dropped.
+    assert(!got.find(_._1 == 999999L).get._3, "planted exact duplicate survived")
+  }
+
+  test("SemDedup trained vs seeded keep sets: same partition shape, both catch the duplicate") {
+    import graft.similarity.SemDedup
+    val base = all.toSeq
+    val planted = base :+ (999999L, base.head._2.clone())
+    val df = planted.toDF("vec_id", "embedding")
+    val nlist = 32
+    def drops(trained: Boolean): Set[Long] = {
+      val d =
+        if (trained) SemDedup.keepDecisionsAuto(spark, df, "vec_id", "embedding",
+          targetCellSize = (planted.size + nlist - 1) / nlist, trained = true)
+        else SemDedup.keepDecisions(spark, df, "vec_id", "embedding", nlist = nlist)
+      val rows = d.as[(Long, Int, Boolean)].collect()
+      assert(rows.length == planted.size) // both paths emit one decision per vector
+      rows.filterNot(_._3).map(_._1).toSet
+    }
+    val seededDrops = drops(trained = false)
+    val trainedDrops = drops(trained = true)
+    info(s"drops: seeded=${seededDrops.size} trained=${trainedDrops.size}")
+    assert(seededDrops.contains(999999L) && trainedDrops.contains(999999L))
+    assert(seededDrops.nonEmpty && trainedDrops.nonEmpty)
+  }
+
   test("lsh results never outrank brute force (candidates are re-scored exactly)") {
     val brute = Ann.bruteForceTopK(queries, embs, "vec_id", "embedding", k = 1)
       .filter($"rank" === 1)

@@ -240,6 +240,56 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Trained-PQ bounded claim (q82) — the driver-checked CORRECTNESS row
+    * for the PRODUCTION quantizer path (round-4 verdict #2). Trained
+    * codebooks are float means whose aggregation order is engine-internal,
+    * so the trained error itself can't be oracled; what CAN be is:
+    *   - the SEEDED total reconstruction error, summed as fixed-point
+    *     BIGINTs: each per-subspace dist is the bit-portable q76 fold, and
+    *     `floor(dist·10⁶)` is one IEEE multiply + exact floor, so the
+    *     integer SUM is order-free and hash-exact across engines;
+    *   - the CLAIM `trained_err ≤ seeded_err`, structural per Lloyd (the
+    *     mean minimizes within-cluster SSE; PqSpec proves it) — emitted as
+    *     a boolean the oracle hardcodes TRUE, the q42/q69/q79 pattern.
+    * A violation logs the actual errors to stderr so a q82 hash mismatch
+    * reads as "Lloyd monotonicity fired", never as silent drift. */
+  def pqTrainedClaim(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Pq
+    val embs = Tables.embeddings(spark, dir)
+    val seeded = Pq.seededCodebooks(embs, "vec_id", "embedding")
+    val trained = Pq.trainedCodebooks(embs, "vec_id", "embedding")
+    def errFp(cbs: Array[Array[Array[Double]]]): (Long, Long) = {
+      val r = Pq.encode(embs, "vec_id", "embedding", cbs)
+        .agg(
+          sum(floor(col("dist") * 1e6).cast("long")).as("fp"),
+          count(lit(1)).as("n"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (seededFp, nRows) = errFp(seeded)
+    val (trainedFp, _) = errFp(trained)
+    if (trainedFp > seededFp)
+      System.err.println(
+        s"[q82] Lloyd monotonicity VIOLATED: trained_fp=$trainedFp > seeded_fp=$seededFp " +
+          "— the oracle's TRUE row will hash-mismatch")
+    import spark.implicits._
+    Seq((Pq.M, Pq.Ksub, nRows, seededFp, trainedFp <= seededFp))
+      .toDF("m", "ksub", "n_code_rows", "seeded_err_fp", "trained_improved")
+  }
+
+  /** Residual IVFPQ ANN (q81) — [[annIvfPq]] with FAISS IndexIVFPQ's
+    * residual encoding: PQ quantizes `x − centroid(cell)`, not raw `x`
+    * (see [[graft.similarity.Pq.ivfPqTopKResidual]]). Same oracle family:
+    * the subtraction is elementwise IEEE double arithmetic, so cells,
+    * residuals, codes, and the two-level ADC fold all replicate in SQL. */
+  def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    graft.similarity.Pq
+      .ivfPqTopKResidual(spark, embs.filter(col("vec_id") % 50 === 0), embs,
+        "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** SemDeDup keep decisions over the embeddings table — see
     * [[graft.similarity.SemDedup]]. Seeded cells (oracle-portable), exact
     * cosine fold, order-free lower-id dominance → every keep bit
@@ -1007,7 +1057,9 @@ object PipelineQueries {
     "q77_domain_mix" -> (domainMix _),
     "q78_semdedup" -> (semDedup _),
     "q79_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
-    "q80_ann_ivfpq" -> (annIvfPq _))
+    "q80_ann_ivfpq" -> (annIvfPq _),
+    "q81_ann_ivfpq_residual" -> (annIvfPqResidual _),
+    "q82_pq_trained_claim" -> (pqTrainedClaim _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -1360,6 +1412,89 @@ object PipelineQueries {
          |  JOIN pc ON pc.vec_id = a.vec_id
          |  JOIN ps ON ps.code = pc.code
          |  JOIN embeddings qe ON qe.vec_id = r.query_id),
+         |dist AS (SELECT query_id, neighbor_id,
+         |  list_reduce(list(p ORDER BY subspace), (x, y) -> x + y) AS adc_dist
+         |  FROM partials GROUP BY query_id, neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, adc_dist,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+         |  FROM dist)
+         |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adc_dist
+         |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+    },
+    "q82_pq_trained_claim" -> {
+      // q76's seeded-codebook CTEs; the total error is summed as
+      // fixed-point BIGINTs (floor(dist·10⁶) — one IEEE multiply + exact
+      // floor on a bit-identical double), so the SUM is order-free and
+      // hash-exact. trained_improved = TRUE is the bounded-claim pattern:
+      // a mismatch means Lloyd monotonicity fired on the Spark side (which
+      // logs it to stderr), not engine drift.
+      import graft.similarity.Pq.{Ksub, M, SubDim}
+      val x = s"CAST(e.embedding[sub.subspace * $SubDim + j] AS DOUBLE)"
+      val c = s"CAST(sub.sv[sub.subspace * $SubDim + j] AS DOUBLE)"
+      val fold =
+        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($x) - ($c)) * (($x) - ($c))), (acc, v) -> acc + v)"
+      s"""WITH seeds AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, embedding AS sv
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $Ksub)),
+         |sub AS (SELECT CAST(g.s AS INTEGER) AS subspace, seeds.code, seeds.sv
+         |  FROM seeds CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
+         |d AS (SELECT e.vec_id, sub.subspace, sub.code, $fold AS dist
+         |  FROM embeddings e CROSS JOIN sub WHERE e.embedding IS NOT NULL),
+         |a AS (SELECT vec_id, subspace, code, dist,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn FROM d)
+         |SELECT CAST($M AS INTEGER) AS m, CAST($Ksub AS INTEGER) AS ksub,
+         |  COUNT(*) AS n_code_rows,
+         |  CAST(SUM(CAST(FLOOR(dist * 1000000.0) AS BIGINT)) AS BIGINT) AS seeded_err_fp,
+         |  TRUE AS trained_improved
+         |FROM a WHERE rn = 1""".stripMargin
+    },
+    "q81_ann_ivfpq_residual" -> {
+      // q80's oracle with the FAISS residual step spliced in: residuals are
+      // elementwise CAST-to-DOUBLE subtracts (one IEEE op per element, so
+      // corpus residuals, the residual-seeded codebooks, and both folds
+      // stay bit-identical to the PqEncode/PqAdcDist loops).
+      import graft.similarity.Pq.{Dim, Ksub, M, SubDim}
+      val rx = s"res.rvec[psub.subspace * $SubDim + j]"
+      val rc = s"psub.sv[psub.subspace * $SubDim + j]"
+      val codeFold =
+        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($rx) - ($rc)) * (($rx) - ($rc))), (acc, v) -> acc + v)"
+      val qx = s"qr.qrvec[pc.subspace * $SubDim + j]"
+      val qc = s"rs.sv[pc.subspace * $SubDim + j]"
+      val adcFold =
+        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($qx) - ($qc)) * (($qx) - ($qc))), (acc, v) -> acc + v)"
+      val resOf = (vec: String, cvec: String) =>
+        s"list_transform(range(1, ${Dim + 1}), j -> CAST($vec[j] AS DOUBLE) - CAST($cvec[j] AS DOUBLE))"
+      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, vec_id AS cid, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |sims AS (SELECT e.vec_id, cen.cell,
+         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
+         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |routed AS (SELECT vec_id AS query_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 4),
+         |res AS (SELECT a.vec_id, a.cell, ${resOf("e.embedding", "c.cvec")} AS rvec
+         |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id JOIN cen c ON c.cell = a.cell),
+         |rs AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, rvec AS sv
+         |  FROM (SELECT vec_id, rvec FROM res WHERE vec_id NOT IN (SELECT cid FROM cen)
+         |        ORDER BY vec_id LIMIT $Ksub)),
+         |psub AS (SELECT CAST(g.s AS INTEGER) AS subspace, rs.code, rs.sv
+         |  FROM rs CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
+         |pdist AS (SELECT res.vec_id, psub.subspace, psub.code, $codeFold AS dist
+         |  FROM res CROSS JOIN psub),
+         |pc AS (SELECT vec_id, subspace, code FROM (
+         |  SELECT vec_id, subspace, code, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
+         |  FROM pdist) WHERE rn = 1),
+         |qres AS (SELECT r.query_id, r.cell, ${resOf("qe.embedding", "c.cvec")} AS qrvec
+         |  FROM routed r JOIN embeddings qe ON qe.vec_id = r.query_id JOIN cen c ON c.cell = r.cell),
+         |partials AS (SELECT qr.query_id, a.vec_id AS neighbor_id, pc.subspace, $adcFold AS p
+         |  FROM qres qr
+         |  JOIN assigned a ON a.cell = qr.cell AND a.vec_id <> qr.query_id
+         |  JOIN pc ON pc.vec_id = a.vec_id
+         |  JOIN rs ON rs.code = pc.code),
          |dist AS (SELECT query_id, neighbor_id,
          |  list_reduce(list(p ORDER BY subspace), (x, y) -> x + y) AS adc_dist
          |  FROM partials GROUP BY query_id, neighbor_id),

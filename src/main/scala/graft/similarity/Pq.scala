@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PqFunctions.{pq_adc_lut, pq_encode}
@@ -146,6 +146,94 @@ object Pq {
       .join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist", pq_adc_dist(col("query_vec"), col("enc"), cbs))
+    Ann
+      .topKRanked(
+        scored.select(col("query_id"), col("neighbor_id"), negate(col("adc_dist")).as("cosine")),
+        k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        negate(col("cosine")).as("adc_dist"))
+  }
+
+  /** Residual variant of [[ivfPqTopK]] — FAISS IndexIVFPQ parity: PQ
+    * quantizes the RESIDUAL `x − centroid(cell)` instead of the raw vector.
+    * Residuals concentrate around the origin (the coarse quantizer has
+    * already explained the between-cell variance), so one codebook set
+    * covers every cell's distribution well and ADC error shrinks as nlist
+    * grows — the accuracy gap that made FAISS encode residuals. The query
+    * side mirrors it: for each probed cell the query's residual w.r.t.
+    * THAT cell's centroid is scored against the candidate codes, so both
+    * sides of the ADC fold live in the same residual space.
+    *
+    * Everything new is elementwise IEEE double arithmetic — the subtract
+    * (zip_with over the exactly-widened floats), the residual-seeded
+    * codebooks (residual subvectors of the first-ksub ids), the unchanged
+    * two-level ADC fold — so the q80 oracle pattern carries over
+    * bit-exactly (q81). PqSpec proves the accuracy claim: recall@10
+    * against exact L2 ≥ the raw-encoding variant on clustered data.
+    * Scale shape is identical to [[ivfPqTopK]]: collects are seed-sized,
+    * assign/encode map-only, the search join carries codes only. */
+  def ivfPqTopKResidual(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = M, ksub: Int = Ksub, dim: Int = Dim): DataFrame = {
+    import graft.functions.IvfFunctions.nearest_cells
+    import graft.functions.PqFunctions.pq_adc_dist
+    // A residual needs all `dim` components — shorter vectors are not
+    // indexable here (the raw path drops them via enc.isNotNull; the
+    // subtraction must not see them at all).
+    val indexable = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) >= dim)
+    val cellRows = indexable
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .select(col(idCol), col(vecCol))
+      .collect()
+    val cellIds = cellRows.map(_.get(0))
+    val cellMatrix = cellRows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(cellMatrix.nonEmpty, "empty corpus: no vectors to build IVF cells from")
+    // x − centroid(cell): float→double widening is exact, the subtract is
+    // one correctly-rounded IEEE op per element — bit-portable to the
+    // oracle's CAST(x AS DOUBLE) − CAST(c AS DOUBLE).
+    def residual(vec: Column, cell: Column): Column = {
+      val cells = array(cellMatrix.map(c => typedLit(c)): _*)
+      zip_with(vec.cast("array<double>"), element_at(cells, cell + lit(1)), (x, y) => x - y)
+    }
+    val withRes = indexable
+      .select(
+        col(idCol).as("neighbor_id"),
+        element_at(nearest_cells(col(vecCol), cellMatrix, 1), 1).as("cell"),
+        col(vecCol))
+      .withColumn("rvec", residual(col(vecCol), col("cell")))
+    val subdim = dim / m
+    // Codebook seeds come from the RESIDUAL space — and must SKIP the cell
+    // seeds: a cell seed's residual is identically zero (it IS its cell's
+    // centroid), so seeding from the first ksub ids when ksub == nlist
+    // would make every codebook entry the zero vector and the quantizer
+    // degenerate. First ksub ids AFTER the cell seeds instead; ksub-row
+    // collect, never a corpus. */
+    val seeds = withRes
+      .filter(!col("neighbor_id").isin(cellIds: _*))
+      .orderBy(col("neighbor_id"))
+      .limit(ksub)
+      .select(col("rvec"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty,
+      s"corpus too small for residual codebooks (needs more than $nlist vectors)")
+    val cbs = Array.tabulate(m)(s => seeds.map(_.slice(s * subdim, (s + 1) * subdim)))
+    val assigned = withRes
+      .select(col("neighbor_id"), col("cell"), pq_encode(col("rvec"), cbs).as("enc"))
+      .filter(col("enc").isNotNull)
+    val routed = queries
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) >= dim)
+      .select(
+        col(idCol).as("query_id"),
+        explode(nearest_cells(col(vecCol), cellMatrix, math.min(nprobe, cellMatrix.length)))
+          .as("cell"),
+        col(vecCol))
+      .withColumn("q_rvec", residual(col(vecCol), col("cell")))
+    val scored = routed
+      .join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", pq_adc_dist(col("q_rvec"), col("enc"), cbs))
     Ann
       .topKRanked(
         scored.select(col("query_id"), col("neighbor_id"), negate(col("adc_dist")).as("cosine")),

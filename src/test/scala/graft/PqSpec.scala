@@ -142,6 +142,59 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("residual IVFPQ ≥ raw IVFPQ recall@10 vs exact L2 (clustered data)") {
+    // Clustered corpus — the regime IVFPQ exists for: 16 well-separated
+    // centers, points = center + small noise, and ids arranged so the
+    // seeded coarse cells (first 16 ids) land one per cluster. Raw PQ must
+    // cover the whole spread with one codebook set; residual PQ only has
+    // to cover the noise ball, which is why FAISS encodes residuals.
+    val rnd = new scala.util.Random(7)
+    val dim = Pq.Dim
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian() * 5.0))
+    val rows = (0L until 400L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, c.map(v => (v + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" % 40 === 0)
+    val vecs = rows.toMap
+    def l2sq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      a.indices.foreach { i => val d = a(i).toDouble - b(i).toDouble; acc += d * d }
+      acc
+    }
+    def meanRecall(found: Map[Long, Set[Long]]): Double = {
+      val rs = found.map { case (q, ids) =>
+        val truth = vecs.view
+          .filterKeys(_ != q)
+          .toSeq
+          .map { case (id, v) => (id, l2sq(vecs(q), v)) }
+          .sortBy { case (id, d) => (d, id) }
+          .take(10)
+          .map(_._1)
+          .toSet
+        ids.intersect(truth).size.toDouble / truth.size
+      }
+      rs.sum / rs.size
+    }
+    // nprobe = nlist (probe everything) so routing recall is 1 for both
+    // variants and the comparison isolates ADC/encoding accuracy.
+    def topSets(res: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      res.select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val raw = meanRecall(topSets(
+      Pq.ivfPqTopK(spark, queries, df, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 16)))
+    val residual = meanRecall(topSets(
+      Pq.ivfPqTopKResidual(spark, queries, df, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 16)))
+    info(s"recall@10: residual=$residual raw=$raw")
+    assert(residual >= raw, s"residual recall $residual < raw recall $raw")
+    // Chance = 10/399 ≈ 0.025; seeded 16-entry codebooks over 8-dim
+    // subspaces are deliberately coarse, so demand a clear multiple of
+    // chance rather than production recall (which needs trained books).
+    assert(residual > 8 * (10.0 / 399),
+      s"residual recall $residual not meaningfully above chance")
+  }
+
   test("ADC ranking beats chance against exact L2 top-k (recall@10)") {
     def l2sq(a: Array[Float], b: Array[Float]): Double = {
       var acc = 0.0

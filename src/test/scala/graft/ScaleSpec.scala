@@ -107,6 +107,45 @@ class ScaleSpec extends AnyFunSuite {
     } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("AQE skew join: a hot key splits at runtime (OptimizeSkewedJoin), semantics unchanged") {
+    // The third runtime lever at 100 TB next to the DPP and bloom pins: one
+    // key carrying half a fact side serializes a whole stage unless AQE
+    // splits the skewed shuffle partition. Thresholds are scaled down to
+    // harness data volume (defaults are sized for a real cluster); the
+    // rewrite must mark the join isSkewJoin and change NOTHING about the
+    // result — cross-checked against the explicit salted-join fallback,
+    // which is the manual form of the same trick (Scale.saltedJoin).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000).select(
+        when($"id" % 2 === 0, lit(7L)).otherwise($"id").as("k"), $"id".as("lv"))
+      val right = spark.range(2000).select($"id".as("k"), ($"id" * 10).as("rv"))
+      val joined = left.join(right, Seq("k"))
+      val got = joined.collect().length // executes THIS plan, finalizing AQE
+      val finalPlan = (joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+      // The join node itself is re-planned with isSkewJoin (prints
+      // "skew=true") and the hot side's shuffle read carries the split
+      // partitions ("skewed"). String pins because AQE query-stage
+      // wrappers don't expose the join to a typed collect.
+      assert(finalPlan.contains("skew=true"),
+        s"no skew-split join in the AQE final plan:\n$finalPlan")
+      assert(finalPlan.contains("AQEShuffleRead coalesced and skewed"),
+        s"hot-side shuffle read not skew-split:\n$finalPlan")
+      val want = Scale.saltedJoin(left, right, "k", salt = 8).count()
+      assert(got.toLong == want)
+      assert(got > 0)
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("partitioned layout prunes directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val events = Tables.events(spark, TestSpark.SfDir)

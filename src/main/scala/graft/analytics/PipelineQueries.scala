@@ -48,7 +48,7 @@ object PipelineQueries {
   private val nearDupTierCache =
     new java.util.WeakHashMap[
       SparkSession, scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
-  private def nearDupTiers(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def nearDupTiers(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val perSession = nearDupTierCache.synchronized {
       var m = nearDupTierCache.get(spark)
       if (m == null) {
@@ -892,6 +892,137 @@ object PipelineQueries {
       .select(col("media_id"), col("modality"), col("n_bytes"), col("content_fp"))
       .orderBy(col("media_id"))
 
+  /** Curation v2 (q83) — the round-4 operators chained the way a real
+    * training-data run executes them, in ONE registered query with no
+    * driver round-trip between stages:
+    *
+    *   1. exact dedup (q25's rule: keep the min doc_id per content md5);
+    *   2. fuzzy dedup (q27's verified MinHash pairs at Jaccard ≥ 0.95,
+    *      both ends restricted to exact-dedup survivors; the SemDeDup-style
+    *      order-free dominance rule drops the higher id of every pair);
+    *   3. decontamination against the benchmark set (doc_id % 97 == 0, as
+    *      in q62/q73): exact 4-gram overlap (broadcast hashed gram set)
+    *      OR fuzzy Jaccard ≥ 0.8 (48×4 recall-heavy banding);
+    *   4. domain-mix admission (q77's feasibility-capped rates computed
+    *      over the surviving corpus, content-hash Bernoulli admission);
+    *   5. token-window chunking of the admitted docs (q74's 64/16 windows)
+    *      and packing of the chunks into 2048-token contexts (q72's
+    *      sharded PrefixSum — no per-language serial window).
+    *
+    * Emits the per-language budget: admitted docs, chunks, kept tokens,
+    * packed windows. Every stage is individually oracled and the
+    * composition stays deterministic, so the whole pipeline hash-checks
+    * against one DuckDB SQL. Scale shape: two hash-aggregates + semi/anti
+    * joins on 8-byte ids (dedup), one broadcast gram join + one banded
+    * cross-join on compact keys (decontamination), map-only admission,
+    * map-only chunking, sharded prefix sum (packing) — the corpus text
+    * column never crosses an Exchange after stage 2's tokenize. */
+  def curationV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // 1. exact dedup
+    val keep1 = docs
+      .groupBy(TextAnalysis.contentFingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val d1 = docs.join(keep1, Seq("doc_id"), "left_semi")
+    // 2. fuzzy dedup over the SHARED memoized tier outputs (the q27/q56
+    //    pipeline is not recomputed); pairs(d1) = pairs(full) ∩ d1×d1
+    //    because Jaccard is pairwise.
+    val d1Ids = d1.select(col("doc_id"))
+    val (members, setPairs) = nearDupTiers(spark, dir)
+    val dominated = Dedup
+      .pairsOfTiered(members, setPairs)
+      .join(d1Ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(d1Ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      .select(col("id_b").as("doc_id"))
+      .distinct()
+    // The deduped corpus is consumed three times (exact-gram scan, fuzzy
+    // decontamination scan, the anti-join probe side) — persist it so the
+    // dedup subtree executes once. Phase boundary, same rationale as d3.
+    val d2 = d1
+      .join(dominated, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 3. decontamination: the benchmark set is defined on the FULL corpus
+    //    (the eval suite exists independently of what dedup kept).
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), explode(Dedup.wordNgrams(col("text"), 4)).as("gram"))
+    val benchGrams = grams(bench)
+      .select(col("doc_id").as("bench_id"), xxhash64(col("gram")).as("gram_h"))
+      .distinct()
+    val contExact = grams(d2)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
+      .join(broadcast(benchGrams), Seq("gram_h"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select(col("doc_id"))
+      .distinct()
+    val contFuzzy = Dedup
+      .crossNearDups(d2, bench, "doc_id", "text", 0.8)
+      .select(col("id_a").as("doc_id"))
+      .distinct()
+    // The kept corpus is the pipeline's materialization point: the mix
+    // stage needs it twice (per-lang counts for the rates, then the
+    // admission pass), so persist it — the dedup/decontamination subtree
+    // executes exactly ONCE, and both consumers scan the same cache. At
+    // 100 TB this is where a real run checkpoints to parquet between the
+    // curation and mixing phases; in-memory persistence is the same shape
+    // without leaving the query. (It also sidesteps double-instantiating
+    // the LSH tier caches inside one AQE query, where stale cached
+    // partitioning claims can break stage zipping.)
+    val d3 = d2
+      .join(contExact.unionByName(contFuzzy), Seq("doc_id"), "left_anti")
+      .select(col("lang"), col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 4. domain-mix admission (rates from the surviving corpus)
+    val weights = typedLit(DomainMixWeights.toMap)
+    val counts = d3
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", element_at(weights, col("lang")))
+      .filter(col("w").isNotNull)
+    val t = counts.agg(min(col("n_docs").cast("double") / col("w")).as("t"))
+    val rates = counts
+      .crossJoin(broadcast(t))
+      .withColumn("rate",
+        least(lit(1.0), (col("w") * col("t")) / col("n_docs").cast("double")))
+      .select(col("lang"), col("rate"))
+    val h = graft.functions.PortableHashFunctions
+      .md5_token_hashes(array(col("text")), bits = 31)
+      .getItem(0)
+    val d4 = d3
+      .join(broadcast(rates), Seq("lang"))
+      .filter(pmod(h, lit(1000000L)).cast("double") < col("rate") * 1000000.0)
+      .select(col("lang"), col("doc_id"), col("text"))
+    // 5. chunk (q74's windows, with lang + the packing key kept) + pack
+    val stride = ChunkSize - ChunkOverlap
+    val chunks = d4
+      .select(col("lang"), col("doc_id"),
+        md5(col("text").cast("binary")).as("rand_key"),
+        split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        when(col("n") <= ChunkSize, lit(1L))
+          .otherwise(expr(s"(n - $ChunkSize + $stride - 1) div $stride") + lit(1L)))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("n_chunk_tokens",
+        size(slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(ChunkSize)))
+          .cast("long"))
+      .select(col("lang"), col("doc_id"), col("rand_key"), col("chunk_idx"),
+        col("n_chunk_tokens"))
+    val packed = graft.operators.PrefixSum
+      .runningSum(chunks, Seq("lang"), Seq("rand_key", "doc_id", "chunk_idx"),
+        "n_chunk_tokens", substring(col("rand_key"), 1, 2), "cum_tokens")
+      .withColumn("window_id", expr("(cum_tokens - n_chunk_tokens) div 2048"))
+    packed
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("kept_tokens"),
+        countDistinct(col("window_id")).as("n_windows"))
+      .orderBy(col("lang"))
+  }
+
   /** Heavy hitters via count-min sketch, surfaced as the q42-style BOUNDED
     * claim: the top-k exact token counts (the audit twin) next to the CMS
     * guarantee `exact ≤ estimate ≤ exact + ⌈eps·N⌉` as a boolean. The
@@ -1059,7 +1190,8 @@ object PipelineQueries {
     "q79_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "q80_ann_ivfpq" -> (annIvfPq _),
     "q81_ann_ivfpq_residual" -> (annIvfPqResidual _),
-    "q82_pq_trained_claim" -> (pqTrainedClaim _))
+    "q82_pq_trained_claim" -> (pqTrainedClaim _),
+    "q83_curation_v2" -> (curationV2 _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -1420,6 +1552,64 @@ object PipelineQueries {
          |  FROM dist)
          |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adc_dist
          |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+    },
+    "q83_curation_v2" -> {
+      // The composed pipeline, stage by stage, each CTE the proven oracle
+      // form of its operator: q25 exact dedup → q27 brute-force pair
+      // dominance → q73 exact-gram + q62 brute-force fuzzy decontamination
+      // → q77 rates (weights VALUES generated from DomainMixWeights) →
+      // q74 chunking (constants generated from ChunkSize/ChunkOverlap) →
+      // q72's windowed packing twin (PrefixSum equality is spec-proven).
+      val wvals = DomainMixWeights
+        .map { case (l, w) => s"('$l', CAST($w AS DOUBLE))" }
+        .mkString(", ")
+      val (cs, st) = (ChunkSize, ChunkSize - ChunkOverlap)
+      val sliceLen = s"len(s[CAST(ci*$st + 1 AS INTEGER):CAST(LEAST(ci*$st + $cs, n) AS INTEGER)])"
+      s"""WITH keep1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d1 AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN keep1 USING (doc_id)),
+         |t1 AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM d1),
+         |dom AS (SELECT DISTINCT b.doc_id
+         |  FROM t1 a JOIN t1 b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+         |d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM dom)),
+         |gsrc AS (SELECT doc_id, str_split(text, ' ') AS s, text FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(s) >= 4 THEN list_transform(range(1, len(s) - 2), i -> array_to_string(s[i:i+3], ' '))
+         |       ELSE [text] END AS grams FROM gsrc),
+         |u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM u WHERE doc_id % 97 = 0),
+         |cont1 AS (SELECT DISTINCT u.doc_id
+         |  FROM u JOIN d2 USING (doc_id) JOIN bg ON u.gram = bg.gram AND u.doc_id <> bg.bench_id),
+         |tb AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |t2 AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM d2),
+         |cont2 AS (SELECT DISTINCT a.doc_id FROM t2 a JOIN tb b ON a.doc_id <> b.doc_id
+         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+         |d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM cont1)
+         |                          AND doc_id NOT IN (SELECT doc_id FROM cont2)),
+         |w(lang, w) AS (VALUES $wvals),
+         |c AS (SELECT lang, COUNT(*) AS n_docs FROM d3 GROUP BY lang),
+         |cw AS (SELECT c.lang, c.n_docs, w.w FROM c JOIN w USING (lang)),
+         |tt AS (SELECT MIN(CAST(n_docs AS DOUBLE) / w) AS t FROM cw),
+         |r AS (SELECT cw.lang, LEAST(1.0, (cw.w * tt.t) / CAST(cw.n_docs AS DOUBLE)) AS rate
+         |  FROM cw CROSS JOIN tt),
+         |d4 AS (SELECT d3.lang, d3.doc_id, d3.text FROM d3 JOIN r ON d3.lang = r.lang
+         |  WHERE CAST(${duckH31("d3.text")} % 1000000 AS DOUBLE) < r.rate * 1000000.0),
+         |ct AS (SELECT lang, doc_id, md5(text) AS rk, str_split(text, ' ') AS s FROM d4),
+         |cc AS (SELECT lang, doc_id, rk, s, len(s) AS n,
+         |  CASE WHEN len(s) <= $cs THEN 1 ELSE (len(s) - $cs + ${st - 1}) // $st + 1 END AS nc FROM ct),
+         |cf AS (SELECT lang, doc_id, rk, ci AS chunk_idx, CAST($sliceLen AS BIGINT) AS n_chunk_tokens
+         |  FROM (SELECT lang, doc_id, rk, s, n, unnest(range(0, nc)) AS ci FROM cc)),
+         |pk AS (SELECT lang, doc_id, n_chunk_tokens,
+         |  SUM(n_chunk_tokens) OVER (PARTITION BY lang ORDER BY rk, doc_id, chunk_idx
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM cf)
+         |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+         |  CAST(SUM(n_chunk_tokens) AS BIGINT) AS kept_tokens,
+         |  COUNT(DISTINCT (cum - n_chunk_tokens) // 2048) AS n_windows
+         |FROM pk GROUP BY lang ORDER BY lang""".stripMargin
     },
     "q82_pq_trained_claim" -> {
       // q76's seeded-codebook CTEs; the total error is summed as

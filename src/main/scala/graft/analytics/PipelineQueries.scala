@@ -1023,6 +1023,26 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Incremental snapshot dedup via a distributed Bloom filter (q84) —
+    * the ingest-time dedup shape at 100 TB: the existing corpus (docs with
+    * doc_id % 3 != 0 stand in for the snapshot) compresses into Bloom bits
+    * built by Catalyst's own BloomFilterAggregate (bit-OR mergeable →
+    * map-side partials); the incoming batch (doc_id % 3 == 0) probes
+    * map-only via BloomFilterMightContain. Fingerprint = the q26 token-set
+    * key, so the harness corpus's reordered-copy duplicates make the check
+    * non-vacuous. Surfaced as the sketch-family bounded claim (q42/q69/
+    * q79/now q84): the exact semi-join audit twin next to the structural
+    * no-false-negative guarantee. See [[graft.dedup.IncrementalDedup]]. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.dedup.IncrementalDedup
+      .flagIncoming(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", TextAnalysis.tokenSetKey(col("text")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Heavy hitters via count-min sketch, surfaced as the q42-style BOUNDED
     * claim: the top-k exact token counts (the audit twin) next to the CMS
     * guarantee `exact ≤ estimate ≤ exact + ⌈eps·N⌉` as a boolean. The
@@ -1191,7 +1211,8 @@ object PipelineQueries {
     "q80_ann_ivfpq" -> (annIvfPq _),
     "q81_ann_ivfpq_residual" -> (annIvfPqResidual _),
     "q82_pq_trained_claim" -> (pqTrainedClaim _),
-    "q83_curation_v2" -> (curationV2 _))
+    "q83_curation_v2" -> (curationV2 _),
+    "q84_incremental_dedup" -> (incrementalDedup _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -1553,6 +1574,17 @@ object PipelineQueries {
          |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adc_dist
          |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
     },
+    // q84's no_false_negative TRUE is the bounded-claim pattern (q42/q69/
+    // q79): a hash mismatch means the Bloom guarantee broke (impossible
+    // short of sketch-machinery corruption), not engine count drift.
+    "q84_incremental_dedup" ->
+      """WITH snap AS (SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |inc AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT inc.doc_id, (snap.fp IS NOT NULL) AS is_dup_exact, TRUE AS no_false_negative
+        |FROM inc LEFT JOIN snap ON inc.fp = snap.fp
+        |ORDER BY doc_id""".stripMargin,
     "q83_curation_v2" -> {
       // The composed pipeline, stage by stage, each CTE the proven oracle
       // form of its operator: q25 exact dedup → q27 brute-force pair

@@ -279,6 +279,43 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("incremental Bloom dedup: no false negatives, exact audit matches, fp rate bounded") {
+    import graft.dedup.IncrementalDedup
+    // The Bloom guarantee at the filter level: EVERY inserted key probes
+    // true, and fresh keys probe true at ~fpp.
+    val keys = (0 until 2000).map(i => s"snapshot-key-$i").toDF("k")
+    val bloom = IncrementalDedup.snapshotBloom(keys, $"k", expectedItems = 2000, fpp = 0.01)
+    val inserted = keys.select(IncrementalDedup.mightContain(bloom, $"k").as("f"))
+      .as[Boolean].collect()
+    assert(inserted.length == 2000 && inserted.forall(identity),
+      "a snapshot key probed false — Bloom no-false-negative guarantee broke")
+    val fresh = (0 until 2000).map(i => s"novel-key-$i").toDF("k")
+      .select(IncrementalDedup.mightContain(bloom, $"k").as("f"))
+      .as[Boolean].collect()
+    val fpRate = fresh.count(identity).toDouble / fresh.length
+    assert(fpRate <= 0.05, s"false-positive rate $fpRate far above the 0.01 design point")
+
+    // End-to-end flags on the harness corpus: exact column matches a
+    // driver-side reference, the claim column is all-true, and the split
+    // is non-vacuous (the corpus's reordered-copy duplicates cross it).
+    val docs = Tables.documents(spark, TestSpark.SfDir)
+    val fp = graft.text.TextAnalysis.tokenSetKey($"text")
+    val got = IncrementalDedup
+      .flagIncoming(docs.filter($"doc_id" % 3 =!= 0), docs.filter($"doc_id" % 3 === 0),
+        "doc_id", fp)
+      .as[(Long, Boolean, Boolean)]
+      .collect()
+    val snapFps = docs.filter($"doc_id" % 3 =!= 0).select(fp.as("fp")).as[String].collect().toSet
+    val incFps = docs.filter($"doc_id" % 3 === 0).select($"doc_id", fp.as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(got.length == incFps.size)
+    got.foreach { case (id, dup, claim) =>
+      assert(dup == snapFps.contains(incFps(id)), s"doc $id exact-dup flag")
+      assert(claim, s"doc $id: no_false_negative violated")
+    }
+    assert(got.exists(_._2), "no cross-split duplicates — test corpus made the check vacuous")
+  }
+
   test("ngram shingles: n=2 produces size-1 shingle count") {
     val r = Seq("a b c d").toDF("text")
       .select(Dedup.wordNgrams($"text", 2).as("g"))

@@ -142,6 +142,19 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("PqAdcDist nulls on codes outside the codebook instead of crashing") {
+    import graft.functions.PqFunctions.{pq_adc_dist, pq_encode}
+    // Encode against the full 16-entry books, score against 8-entry ones:
+    // rows carrying a code ≥ 8 must yield null (the short-vector contract),
+    // never an executor ArrayIndexOutOfBounds.
+    val smallCbs = cbs.map(_.take(8))
+    val scored = embs
+      .filter($"embedding".isNotNull)
+      .select(pq_adc_dist($"embedding", pq_encode($"embedding", cbs), smallCbs).as("d"))
+      .collect() // must not throw
+    assert(scored.exists(_.isNullAt(0)), "expected some out-of-range code to null out")
+  }
+
   test("residual IVFPQ ≥ raw IVFPQ recall@10 vs exact L2 (clustered data)") {
     // Clustered corpus — the regime IVFPQ exists for: 16 well-separated
     // centers, points = center + small noise, and ids arranged so the

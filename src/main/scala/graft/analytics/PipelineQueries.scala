@@ -1023,6 +1023,58 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Distributed k-means inertia trace (q86) — see
+    * [[graft.similarity.Kmeans]]: 3 Lloyd iterations over the embeddings,
+    * iteration 0's inertia exact-oracled (seeded centroids + fixed-point
+    * BIGINT sum), later iterations pinned by the structural monotonicity
+    * claim. */
+  def kmeansInertia(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.Kmeans
+      .inertiaTrace(spark, Tables.embeddings(spark, dir), "vec_id", "embedding")
+
+  /** Blocklisted sources — one place, generated into the q85 oracle (the
+    * StratifiedRatesBp pattern) so Spark and DuckDB can never drift. */
+  private[analytics] val SourceBlocklist: Seq[String] = Seq("src3", "src7")
+
+  /** Per-source (domain) reputation & blocklist curation (q85) — the
+    * C4/RefinedWeb-style DOMAIN-level filtering step: web-scale curation
+    * decides per domain before it decides per document. One row per
+    * source: docs, tokens, exact-decimal quality mass, how many of its
+    * docs are corpus-wide token-set duplicates, and the keep decision =
+    * NOT blocklisted AND mean quality ≥ 0.4 — evaluated on q82's
+    * fixed-point BIGINTs (`Σ floor(quality·10⁶) ≥ 400000·n_docs`): per-doc
+    * scores are bit-identical across engines (q37), the floor is exact,
+    * and integer sums are aggregation-order-free — so the gate and the
+    * quality mass are hash-exact, never a float-mean comparison.
+    *
+    * Scale shape: the dup-key set is a hash-aggregate on compact md5 keys
+    * (broadcast here; at web scale it becomes the q84 Bloom side);
+    * everything else is one map-only scoring pass + one per-source
+    * aggregate. Sources are bounded (~10⁷ domains) — the output is always
+    * small. */
+  def sourceReputation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val withKey = docs.withColumn("set_key", TextAnalysis.tokenSetKey(col("text")))
+    val dupKeys = withKey
+      .groupBy(col("set_key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("set_key"), lit(true).as("is_dup"))
+    val scored = TextAnalysis
+      .qualityScore(withKey)
+      .join(broadcast(dupKeys), Seq("set_key"), "left")
+    scored
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(floor(col("quality_score") * 1e6).cast("long")).as("quality_fp"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("blocked", col("source").isin(SourceBlocklist: _*))
+      .withColumn("kept", !col("blocked") && col("quality_fp") >= lit(400000L) * col("n_docs"))
+      .orderBy(col("source"))
+  }
+
   /** Incremental snapshot dedup via a distributed Bloom filter (q84) —
     * the ingest-time dedup shape at 100 TB: the existing corpus (docs with
     * doc_id % 3 != 0 stand in for the snapshot) compresses into Bloom bits
@@ -1212,7 +1264,9 @@ object PipelineQueries {
     "q81_ann_ivfpq_residual" -> (annIvfPqResidual _),
     "q82_pq_trained_claim" -> (pqTrainedClaim _),
     "q83_curation_v2" -> (curationV2 _),
-    "q84_incremental_dedup" -> (incrementalDedup _))
+    "q84_incremental_dedup" -> (incrementalDedup _),
+    "q85_source_reputation" -> (sourceReputation _),
+    "q86_kmeans_inertia" -> (kmeansInertia _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -1573,6 +1627,52 @@ object PipelineQueries {
          |  FROM dist)
          |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adc_dist
          |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+    },
+    "q86_kmeans_inertia" -> {
+      // Iteration 0 is exactly replicable: seeded centroids (first-16-id
+      // vectors), the q76 (x−y)² fold, MIN over cells, fixed-point BIGINT
+      // sum. Iterations 1–2 ride the structural Lloyd claim (TRUE; a
+      // violation logs both inertias to stderr on the Spark side).
+      import graft.similarity.Pq.Dim
+      val x = "CAST(e.embedding[j] AS DOUBLE)"
+      val c = "CAST(cen.cvec[j] AS DOUBLE)"
+      val fold =
+        s"list_reduce(list_transform(range(1, ${Dim + 1}), j -> (($x) - ($c)) * (($x) - ($c))), (acc, v) -> acc + v)"
+      s"""WITH cen AS (SELECT embedding AS cvec FROM (
+         |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |d AS (SELECT e.vec_id, MIN($fold) AS dist
+         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL GROUP BY e.vec_id)
+         |SELECT CAST(0 AS INTEGER) AS iter,
+         |  CAST(SUM(CAST(FLOOR(dist * 1000000.0) AS BIGINT)) AS BIGINT) AS inertia_fp,
+         |  TRUE AS non_increasing
+         |FROM d
+         |UNION ALL SELECT CAST(1 AS INTEGER), CAST(NULL AS BIGINT), TRUE
+         |UNION ALL SELECT CAST(2 AS INTEGER), CAST(NULL AS BIGINT), TRUE
+         |ORDER BY iter""".stripMargin
+    },
+    "q85_source_reputation" -> {
+      val blocked = SourceBlocklist.map(s => s"'$s'").mkString(", ")
+      s"""WITH k AS (SELECT source, doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS set_key,
+         |  len(str_split(text, ' ')) AS n_tokens,
+         |  CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
+         |  CAST(len(list_filter(str_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+         |    / len(str_split(text, ' ')) AS stopword_ratio
+         |  FROM documents),
+         |q AS (SELECT source, set_key, n_tokens,
+         |  LEAST(1.0, (CAST(n_tokens AS DOUBLE)/100.0)*0.4 + stopword_ratio*3.0*0.3
+         |    + CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) AS qs
+         |  FROM k),
+         |d AS (SELECT set_key FROM k GROUP BY set_key HAVING COUNT(*) > 1),
+         |a AS (SELECT q.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(FLOOR(qs * 1000000.0) AS BIGINT)) AS BIGINT) AS quality_fp,
+         |  CAST(SUM(CASE WHEN d.set_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+         |  FROM q LEFT JOIN d ON q.set_key = d.set_key GROUP BY q.source)
+         |SELECT source, n_docs, n_tokens, quality_fp, n_dup_docs,
+         |  (source IN ($blocked)) AS blocked,
+         |  (source NOT IN ($blocked) AND quality_fp >= 400000 * n_docs) AS kept
+         |FROM a ORDER BY source""".stripMargin
     },
     // q84's no_false_negative TRUE is the bounded-claim pattern (q42/q69/
     // q79): a hash mismatch means the Bloom guarantee broke (impossible

@@ -177,6 +177,25 @@ class AnnSpec extends AnyFunSuite {
     assert(seededDrops.nonEmpty && trainedDrops.nonEmpty)
   }
 
+  test("k-means inertia trace: exact iter-0 row, claim holds, assignment is map-only") {
+    val t = graft.similarity.Kmeans
+      .inertiaTrace(spark, embs, "vec_id", "embedding", k = 8, iters = 3)
+      .as[(Int, Option[Long], Boolean)].collect().sortBy(_._1)
+    assert(t.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(t.head._2.exists(_ > 0), "iter-0 inertia missing or zero")
+    assert(t.tail.forall(_._2.isEmpty), "trained-iteration inertia leaked into the surface")
+    assert(t.forall(_._3), "Lloyd monotonicity claim violated")
+    // Driver-side iter-0 cross-check: sum of min-L2² to the first-8 seeds.
+    val seeds = all.sortBy(_._1).take(8).map(_._2)
+    def l2sq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      a.indices.foreach { i => val d = a(i).toDouble - b(i).toDouble; acc += d * d }
+      acc
+    }
+    val want = all.map { case (_, v) => math.floor(seeds.map(s => l2sq(v, s)).min * 1e6).toLong }.sum
+    assert(t.head._2.get == want, s"iter-0 inertia ${t.head._2.get} != driver-side $want")
+  }
+
   test("lsh results never outrank brute force (candidates are re-scored exactly)") {
     val brute = Ann.bruteForceTopK(queries, embs, "vec_id", "embedding", k = 1)
       .filter($"rank" === 1)

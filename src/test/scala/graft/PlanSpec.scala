@@ -155,4 +155,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p) // 64 bounds rows never shuffle the codes
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q81: residual encode fuses into the corpus scan — no extra corpus pass") {
+    val p = planOf("q81_ann_ivfpq_residual")
+    // Residual subtraction (zip_with) and PQ encode live in the same
+    // projection as cell assignment; the probe side broadcasts.
+    assert(p.contains("zip_with") || p.contains("ZipWith"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q84: bloom probe is map-only over the incoming side (no corpus-sized join input)") {
+    val p = planOf("q84_incremental_dedup")
+    assert(p.contains("might_contain"), p) // the Catalyst probe expression
+    assert(!p.contains("NestedLoop"), p)
+  }
+
+  test("q86: k-means assignment is map-only (expression-carried centroids)") {
+    val df = graft.similarity.Kmeans
+      .inertiaTrace(spark, Tables.embeddings(spark, TestSpark.SfDir), "vec_id", "embedding",
+        k = 4, iters = 1)
+    // The registered surface is a LocalTableScan of trace rows; pin the
+    // assignment subplan itself: encode + filter only, no Exchange.
+    import org.apache.spark.sql.functions._
+    import graft.functions.PqFunctions.pq_encode
+    val embs = Tables.embeddings(spark, TestSpark.SfDir)
+    val seeds = embs.filter(col("embedding").isNotNull).orderBy(col("vec_id")).limit(4)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val assign = embs.filter(col("embedding").isNotNull)
+      .select(element_at(pq_encode(col("embedding"), Array(seeds)), 1).as("enc"))
+    val p = assign.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(df.count() == 1)
+  }
 }

@@ -918,7 +918,17 @@ object PipelineQueries {
     * map-only chunking, sharded prefix sum (packing) — the corpus text
     * column never crosses an Exchange after stage 2's tokenize. */
   def curationV2(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val (members, setPairs) = nearDupTiers(spark, dir)
+    curationV2Of(Tables.documents(spark, dir), members, setPairs)
+  }
+
+  /** DataFrame-level core of [[curationV2]] (docs must carry doc_id, lang,
+    * text; tiers are [[graft.dedup.Dedup.tieredSetPairs]] outputs for the
+    * same docs) — split out so specs can drive planted scenarios through
+    * every stage (the harness corpus has no EXACT duplicates, so stage 1
+    * is only non-vacuous on synthetic input). */
+  private[graft] def curationV2Of(docs: DataFrame,
+      members: DataFrame, setPairs: DataFrame): DataFrame = {
     // 1. exact dedup
     val keep1 = docs
       .groupBy(TextAnalysis.contentFingerprint(col("text")).as("fp"))
@@ -929,7 +939,6 @@ object PipelineQueries {
     //    pipeline is not recomputed); pairs(d1) = pairs(full) ∩ d1×d1
     //    because Jaccard is pairwise.
     val d1Ids = d1.select(col("doc_id"))
-    val (members, setPairs) = nearDupTiers(spark, dir)
     val dominated = Dedup
       .pairsOfTiered(members, setPairs)
       .join(d1Ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")

@@ -124,6 +124,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.map(r => (r._1, r._2)).toSeq == want)
   }
 
+  test("q83 planted scenario: every curation stage drops exactly its target") {
+    import spark.implicits._
+    // One doc per drop reason, all lang=en (the only weighted lang present
+    // → feasibility T = n/0.3 → admission rate exactly 1.0, so the mix
+    // stage admits all survivors and the expected counts are exact).
+    val baseA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, "en", baseA), // keeper of the exact-dup group (min id)
+      (2L, "en", baseA), // EXACT copy → dropped at stage 1
+      (3L, "en", "juliet india hotel golf foxtrot echo delta charlie bravo alpha"), // reordered copy (token-set Jaccard 1) → dominated at stage 2
+      (4L, "en", "unrelated words here then bench mark shared gram tail piece"), // shares the contiguous 4-gram "bench mark shared gram" with doc 97 → stage 3 exact
+      // 16 tokens, all ⊂ doc 97's set but in REVERSED order → set Jaccard
+      // 16/20 = 0.8 (fuzzy hit) with NO shared contiguous 4-gram → dropped
+      // by the fuzzy path specifically.
+      (5L, "en", "secret training rows columns tables queries shards metrics engines extra1 extra2 extra3 extra4 extra5 extra6 extra7"),
+      (6L, "en", "one clean document with fully distinct vocabulary everywhere fine"),
+      (7L, "en", "another clean document carrying different tokens entirely good yes"),
+      (97L, "en", "extra7 extra6 extra5 extra4 extra3 extra2 extra1 engines metrics shards queries tables columns rows training secret bench mark shared gram")
+    ).toDF("doc_id", "lang", "text")
+    val (members, setPairs) =
+      graft.dedup.Dedup.tieredSetPairs(docs, "doc_id", "text", threshold = 0.95)
+    val got = graft.analytics.PipelineQueries.curationV2Of(docs, members, setPairs)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.length == 1 && got.head._1 == "en")
+    val (_, nDocs, nChunks, keptTokens, nWindows) = got.head
+    // Survivors: 1 (dup keeper), 6, 7, 97 (the benchmark doc itself — only
+    // one bench doc, so nothing contaminates it). 2/3/4/5 each dropped by
+    // exactly one stage.
+    assert(nDocs == 4, s"expected 4 survivors, got $nDocs")
+    assert(nChunks == 4, "all survivors fit one 64-token chunk")
+    assert(keptTokens == 10 + 9 + 9 + 20, s"kept tokens $keptTokens")
+    assert(nWindows == 1, "48 tokens pack into one 2048-token window")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -1032,6 +1032,39 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Adaptive per-language quality gate (q87) — quality thresholds in a
+    * multilingual corpus can't be absolute (languages score differently
+    * under any heuristic), so real curation gates RELATIVE to the
+    * language's own distribution: keep docs at/above their language's
+    * 25th percentile. Quality mass is q85's fixed-point integer (per-doc
+    * bit-identical across engines); the threshold is the exact
+    * interpolated percentile over those integers (the q51-proven portable
+    * interpolation); the gate compare is integer-vs-interpolated-double —
+    * deterministic everywhere. Scale shape: map-only scoring, one per-lang
+    * percentile aggregate (5 rows) broadcast back, map-only gate, final
+    * small aggregate — the q77 admission shape. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = TextAnalysis
+      .qualityScore(docs)
+      .select(col("lang"),
+        floor(col("quality_score") * 1e6).cast("long").as("quality_fp"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    val thresholds = scored
+      .groupBy(col("lang"))
+      .agg(expr("percentile(quality_fp, 0.25)").as("p25_fp"))
+    scored
+      .join(broadcast(thresholds), Seq("lang"))
+      .groupBy(col("lang"), col("p25_fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("quality_fp") >= col("p25_fp"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("quality_fp") >= col("p25_fp"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+      .select(col("lang"), col("p25_fp"), col("n_docs"), col("n_kept"), col("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Distributed k-means inertia trace (q86) — see
     * [[graft.similarity.Kmeans]]: 3 Lloyd iterations over the embeddings,
     * iteration 0's inertia exact-oracled (seeded centroids + fixed-point
@@ -1275,7 +1308,8 @@ object PipelineQueries {
     "q83_curation_v2" -> (curationV2 _),
     "q84_incremental_dedup" -> (incrementalDedup _),
     "q85_source_reputation" -> (sourceReputation _),
-    "q86_kmeans_inertia" -> (kmeansInertia _))
+    "q86_kmeans_inertia" -> (kmeansInertia _),
+    "q87_quality_gate" -> (qualityGate _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -1637,6 +1671,22 @@ object PipelineQueries {
          |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adc_dist
          |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
     },
+    "q87_quality_gate" ->
+      """WITH m AS (SELECT lang, len(str_split(text, ' ')) AS n_tokens,
+        |  CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
+        |  CAST(len(list_filter(str_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+        |    / len(str_split(text, ' ')) AS stopword_ratio
+        |FROM documents),
+        |q AS (SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(FLOOR(LEAST(1.0, (CAST(n_tokens AS DOUBLE)/100.0)*0.4 + stopword_ratio*3.0*0.3
+        |    + CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) * 1000000.0) AS BIGINT) AS quality_fp
+        |FROM m),
+        |t AS (SELECT lang, quantile_cont(quality_fp, 0.25) AS p25_fp FROM q GROUP BY lang)
+        |SELECT q.lang, t.p25_fp, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN q.quality_fp >= t.p25_fp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN q.quality_fp >= t.p25_fp THEN q.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM q JOIN t USING (lang)
+        |GROUP BY q.lang, t.p25_fp ORDER BY q.lang""".stripMargin,
     "q86_kmeans_inertia" -> {
       // Iteration 0 is exactly replicable: seeded centroids (first-16-id
       // vectors), the q76 (x−y)² fold, MIN over cells, fixed-point BIGINT

@@ -8,6 +8,7 @@ import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None  # optional qNN filter
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -19,6 +20,9 @@ for t in TABLES:
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results = {}
 for name in sorted(oracle):
+    if only and not any(name.startswith(o) for o in only):
+        continue
+    print(f"[checking] {name}", file=sys.stderr, flush=True)
     sql = oracle[name]
     pq = f"{out_dir}/{name}"
     try:

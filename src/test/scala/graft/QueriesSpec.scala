@@ -145,7 +145,10 @@ class QueriesSpec extends AnyFunSuite {
     ).toDF("doc_id", "lang", "text")
     val (members, setPairs) =
       graft.dedup.Dedup.tieredSetPairs(docs, "doc_id", "text", threshold = 0.95)
-    val got = graft.analytics.PipelineQueries.curationV2Of(docs, members, setPairs)
+    val crossPairs = graft.dedup.Dedup
+      .crossNearDups(docs, docs.filter($"doc_id" % 97 === 0), "doc_id", "text", 0.8)
+    val got = graft.analytics.PipelineQueries
+      .curationV2Of(docs, members, setPairs, crossPairs)
       .as[(String, Long, Long, Long, Long)].collect()
     assert(got.length == 1 && got.head._1 == "en")
     val (_, nDocs, nChunks, keptTokens, nWindows) = got.head

@@ -9,6 +9,7 @@ import pandas as pd
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None  # optional qNN filter
+skip = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set()  # optional qNN skip list
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -19,8 +20,15 @@ for t in TABLES:
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results = {}
+def emit(name):
+    v = results[name]
+    print(("PASS " if v == "OK" else "FAIL ") + name + ("" if v == "OK" else "  " + v), flush=True)
+
 for name in sorted(oracle):
     if only and not any(name.startswith(o) for o in only):
+        continue
+    if any(name.startswith(o) for o in skip):
+        print(f"SKIP {name}", flush=True)
         continue
     print(f"[checking] {name}", file=sys.stderr, flush=True)
     sql = oracle[name]
@@ -29,27 +37,28 @@ for name in sorted(oracle):
         spark_df = con.execute(f"SELECT * FROM '{pq}/*.parquet'").df()
     except Exception as e:
         results[name] = f"NO-SPARK-OUTPUT {e}"
-        continue
+        emit(name); continue
     try:
         duck_df = con.execute(sql).df()
     except Exception as e:
         results[name] = f"ORACLE-SQL-ERROR {e}"
-        continue
+        emit(name); continue
     # column-name-sorted compare (mirrors driver: sorts columns by name)
     sc = sorted(spark_df.columns); dc = sorted(duck_df.columns)
     if sc != dc:
         results[name] = f"SCHEMA-MISMATCH spark={sc} duck={dc}"
-        continue
+        emit(name); continue
     a = spark_df[sc]; b = duck_df[sc]
     if len(a) != len(b):
         results[name] = f"ROWCOUNT-MISMATCH spark={len(a)} duck={len(b)}"
-        continue
+        emit(name); continue
     # row-order-insensitive value compare
     a2 = a.sort_values(by=sc, na_position="first").reset_index(drop=True)
     b2 = b.sort_values(by=sc, na_position="first").reset_index(drop=True)
     try:
         pd.testing.assert_frame_equal(a2, b2, check_dtype=False, check_exact=True)
         results[name] = "OK"
+        emit(name)
     except AssertionError as e:
         results[name] = "VALUE-MISMATCH " + str(e).split("\n")[0]
         # show a small diff sample
@@ -61,10 +70,9 @@ for name in sorted(oracle):
                 results[name] += f" | first bad row {i}: spark={a2.loc[i].tolist()} duck={b2.loc[i].tolist()}"
         except Exception:
             pass
+        emit(name)
 
 ok = sum(1 for v in results.values() if v == "OK")
-for k, v in results.items():
-    print(("PASS " if v == "OK" else "FAIL ") + k + ("" if v == "OK" else "  " + v))
 print(f"\n{ok}/{len(results)} oracle-checked queries pass")
 # rows-only queries (parquet outputs without oracle entries)
 for pq in sorted(glob.glob(f"{out_dir}/*/")):

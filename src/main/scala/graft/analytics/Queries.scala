@@ -579,11 +579,44 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Conversion funnel (q89): of the users who ever signed up, how many
+    * made a purchase within one hour of their FIRST signup — the classic
+    * event-analytics question over the reference's user-behavior domain
+    * (the natural next query after its per-type counts). Scale shape: one
+    * per-user aggregate and one equi-join, BOTH keyed on user_id — the
+    * corpus shuffles once onto its natural partitioning and stays there;
+    * AQE's skew split (ScaleSpec pin) covers whale users. Conversion rate
+    * in integer basis points — no float division crosses engines. */
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_signup"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val perUser = signups
+      .join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(max(
+        when(
+          col("p_ts").isNotNull &&
+            col("p_ts") > col("first_signup") &&
+            col("p_ts") <= col("first_signup") + expr("INTERVAL 1 HOUR"),
+          1L).otherwise(0L)).as("conv"))
+    perUser.agg(
+      count(lit(1)).as("n_signup_users"),
+      sum(col("conv")).as("n_converted"),
+      expr("sum(conv) * 10000 div count(1)").as("conv_bp"))
+  }
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_conversion_funnel" -> (conversionFunnel _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_event_type_agg" -> (eventTypeAgg _),
     "q03_count_all" -> (countAll _),
@@ -623,6 +656,16 @@ object Queries {
     "q58_range_join" -> (rangeJoinPriceBand _))
 
   val oracle: Map[String, String] = Map(
+    "q89_conversion_funnel" ->
+      """WITH s AS (SELECT user_id, MIN(ts) AS fs FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT s.user_id,
+        |  MAX(CASE WHEN p.ts IS NOT NULL AND p.ts > s.fs AND p.ts <= s.fs + INTERVAL '1 hour'
+        |           THEN 1 ELSE 0 END) AS conv
+        |  FROM s LEFT JOIN events p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        |  GROUP BY s.user_id)
+        |SELECT COUNT(*) AS n_signup_users, CAST(SUM(conv) AS BIGINT) AS n_converted,
+        |  CAST(SUM(conv) * 10000 // COUNT(*) AS BIGINT) AS conv_bp FROM c""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

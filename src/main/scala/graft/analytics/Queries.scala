@@ -611,12 +611,38 @@ object Queries {
       expr("sum(conv) * 10000 div count(1)").as("conv_bp"))
   }
 
+  /** Retention cohorts (q90): the other half of classic event analytics
+    * next to the q89 funnel — per first-seen-day cohort, how many users
+    * are active again exactly 1 and within 7 days. Same scale shape:
+    * everything keys on user_id (first-seen aggregate, distinct active
+    * days, one equi-join), then a small per-cohort aggregate. All-integer
+    * date arithmetic — fully oracle-portable. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firstSeen = ev
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val activeDays = ev
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    firstSeen
+      .join(activeDays, Seq("user_id"))
+      .withColumn("age", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("age") === 1, col("user_id"))).as("n_day1"),
+        countDistinct(when(col("age").between(1, 7), col("user_id"))).as("n_within7"))
+      .orderBy(col("cohort_day"))
+  }
+
   // ---------------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_conversion_funnel" -> (conversionFunnel _),
+    "q90_retention_cohorts" -> (retentionCohorts _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_event_type_agg" -> (eventTypeAgg _),
     "q03_count_all" -> (countAll _),
@@ -666,6 +692,15 @@ object Queries {
         |  GROUP BY s.user_id)
         |SELECT COUNT(*) AS n_signup_users, CAST(SUM(conv) AS BIGINT) AS n_converted,
         |  CAST(SUM(conv) * 10000 // COUNT(*) AS BIGINT) AS conv_bp FROM c""".stripMargin,
+    "q90_retention_cohorts" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |j AS (SELECT f.cohort_day, f.user_id, date_diff('day', f.cohort_day, a.day) AS age
+        |  FROM f JOIN a ON f.user_id = a.user_id)
+        |SELECT cohort_day, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT CASE WHEN age = 1 THEN user_id END) AS n_day1,
+        |  COUNT(DISTINCT CASE WHEN age BETWEEN 1 AND 7 THEN user_id END) AS n_within7
+        |FROM j GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -33,7 +33,14 @@ import org.apache.spark.sql.functions._
 object IncrementalDedup {
 
   /** Optimal Bloom bit count for `n` items at false-positive rate `fpp`:
-    * m = -n·ln(p) / ln(2)². */
+    * m = -n·ln(p) / ln(2)².
+    *
+    * Cluster note: BloomFilterAggregate validates against
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M)
+    * and `.maxNumBits` (default 67108864 ≈ 8 MB) — sized for AQE's
+    * runtime filters. A 10⁹-key snapshot wants ~1.2 GB of bits at 1% fpp,
+    * so a production deployment raises both confs (or shards the filter
+    * by key range); the math here is the same either way. */
   def optimalNumBits(n: Long, fpp: Double): Long = {
     require(n > 0 && fpp > 0 && fpp < 1, s"need n > 0 and 0 < fpp < 1, got n=$n fpp=$fpp")
     math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong

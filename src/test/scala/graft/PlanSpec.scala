@@ -171,6 +171,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop"), p)
   }
 
+  test("q89/q90: event analytics stay on the user_id partitioning — no nested loop, no window") {
+    Seq("q89_conversion_funnel", "q90_retention_cohorts").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("NestedLoop"), s"$q:\n$p")
+      assert(!p.contains("Window"), s"$q windows where an aggregate suffices:\n$p")
+    }
+  }
+
   test("q86: k-means assignment is map-only (expression-carried centroids)") {
     val df = graft.similarity.Kmeans
       .inertiaTrace(spark, Tables.embeddings(spark, TestSpark.SfDir), "vec_id", "embedding",

@@ -611,6 +611,50 @@ object Queries {
       expr("sum(conv) * 10000 div count(1)").as("conv_bp"))
   }
 
+  /** Sliding windows (q91): hourly counts at 15-minute slide — the
+    * overlapping-window aggregation (each event lands in 4 windows; Spark
+    * expands map-side then aggregates, so it shuffles 4× the rows, never
+    * 4× the data width). Completes the window-assigner family next to
+    * tumbling (q22) and session (q23). The oracle replicates the
+    * epoch-aligned window math by generating slide marks and
+    * range-joining. */
+  def slidingQuarterHour(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** CUBE (q92): all 2² grouping sets over (returnflag, linestatus) —
+    * completes the grouping-sets family next to ROLLUP (q19). Same
+    * two-phase expanded aggregate; DECIMAL sums keep the measure
+    * hash-exact. */
+  def cubeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Distribution window functions (q93): percent_rank + cume_dist per
+    * event-time ordering within user — the remaining built-ins of the
+    * q15/q16/q54 window family. Both are rank ratios (exact integer
+    * ratios in double — single divisions, portable). */
+  def windowDistributions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("event_id"))
+  }
+
   /** Retention cohorts (q90): the other half of classic event analytics
     * next to the q89 funnel — per first-seen-day cohort, how many users
     * are active again exactly 1 and within 7 days. Same scale shape:
@@ -643,6 +687,9 @@ object Queries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_conversion_funnel" -> (conversionFunnel _),
     "q90_retention_cohorts" -> (retentionCohorts _),
+    "q91_sliding_window" -> (slidingQuarterHour _),
+    "q92_cube" -> (cubeCounts _),
+    "q93_window_distributions" -> (windowDistributions _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_event_type_agg" -> (eventTypeAgg _),
     "q03_count_all" -> (countAll _),
@@ -692,6 +739,27 @@ object Queries {
         |  GROUP BY s.user_id)
         |SELECT COUNT(*) AS n_signup_users, CAST(SUM(conv) AS BIGINT) AS n_converted,
         |  CAST(SUM(conv) * 10000 // COUNT(*) AS BIGINT) AS conv_bp FROM c""".stripMargin,
+    // Spark's sliding windows are epoch-aligned multiples of the slide;
+    // the oracle generates the same 900 s marks and range-joins.
+    "q91_sliding_window" ->
+      """WITH b AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events),
+        |m AS (SELECT CAST(to_timestamp(e.x * 900) AS TIMESTAMP) AS win_start
+        |  FROM b, (SELECT unnest(range(CAST(floor(epoch(b2.lo)/900) AS BIGINT) - 3,
+        |                               CAST(floor(epoch(b2.hi)/900) AS BIGINT) + 1)) AS x
+        |            FROM b b2) e)
+        |SELECT m.win_start, ev.event_type, COUNT(*) AS n
+        |FROM events ev JOIN m ON ev.ts >= m.win_start AND ev.ts < m.win_start + INTERVAL '1 hour'
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q92_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q93_window_distributions" ->
+      """SELECT event_id, user_id,
+        |  percent_rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cume
+        |FROM events ORDER BY event_id""".stripMargin,
     "q90_retention_cohorts" ->
       """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id),
         |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

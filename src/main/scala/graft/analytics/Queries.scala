@@ -458,6 +458,45 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Bag-semantics set ops (q94): INTERSECT ALL / EXCEPT ALL keep
+    * per-row multiplicities — a different physical operator from the
+    * DISTINCT forms in q44 (count-matching joins instead of dedup), and
+    * the one you want when duplicates carry meaning (event streams).
+    * Counted output keeps the oracle away from bag row-order. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def usersOf(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"))
+    usersOf("purchase")
+      .intersectAll(usersOf("click"))
+      .exceptAll(usersOf("error"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Null-safe equality join (q95): `<=>` (IS NOT DISTINCT FROM) — the
+    * join form where NULL keys MATCH each other instead of dropping out,
+    * needed whenever a nullable dimension is a legitimate join key. Keys
+    * are nullified ('N' → NULL) so the semantics are exercised for real:
+    * a plain equi-join would lose those rows. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(nullif(col("l_returnflag"), lit("N")).as("flag"), col("l_quantity"))
+    val dims = Tables
+      .lineitem(spark, dir)
+      .select(nullif(col("l_returnflag"), lit("N")).as("flag"))
+      .distinct()
+      .withColumn("flag_label", coalesce(col("flag"), lit("unflagged")))
+    li.join(dims, li("flag") <=> dims("flag"))
+      .groupBy(col("flag_label"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("flag_label"))
+  }
+
   /** Scalar string-function surface. */
   def stringFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -690,6 +729,8 @@ object Queries {
     "q91_sliding_window" -> (slidingQuarterHour _),
     "q92_cube" -> (cubeCounts _),
     "q93_window_distributions" -> (windowDistributions _),
+    "q94_set_ops_all" -> (setOpsAll _),
+    "q95_null_safe_join" -> (nullSafeJoin _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_event_type_agg" -> (eventTypeAgg _),
     "q03_count_all" -> (countAll _),
@@ -739,6 +780,21 @@ object Queries {
         |  GROUP BY s.user_id)
         |SELECT COUNT(*) AS n_signup_users, CAST(SUM(conv) AS BIGINT) AS n_converted,
         |  CAST(SUM(conv) * 10000 // COUNT(*) AS BIGINT) AS conv_bp FROM c""".stripMargin,
+    "q94_set_ops_all" ->
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |er AS (SELECT user_id FROM events WHERE event_type = 'error'),
+        |bag AS (SELECT user_id FROM (SELECT user_id FROM p INTERSECT ALL SELECT user_id FROM c)
+        |        EXCEPT ALL SELECT user_id FROM er)
+        |SELECT user_id, COUNT(*) AS n FROM bag GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q95_null_safe_join" ->
+      """WITH li AS (SELECT NULLIF(l_returnflag, 'N') AS flag, l_quantity FROM lineitem),
+        |d AS (SELECT DISTINCT NULLIF(l_returnflag, 'N') AS flag FROM lineitem),
+        |dd AS (SELECT flag, COALESCE(flag, 'unflagged') AS flag_label FROM d)
+        |SELECT dd.flag_label, COUNT(*) AS n,
+        |  CAST(SUM(CAST(li.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM li JOIN dd ON li.flag IS NOT DISTINCT FROM dd.flag
+        |GROUP BY dd.flag_label ORDER BY dd.flag_label""".stripMargin,
     // Spark's sliding windows are epoch-aligned multiples of the slide;
     // the oracle generates the same 900 s marks and range-joins.
     "q91_sliding_window" ->

@@ -497,6 +497,60 @@ object Queries {
       .orderBy(col("flag_label"))
   }
 
+  /** Time-series gap-fill (q96): hourly event counts on a COMPLETE hour
+    * grid — missing hours appear as explicit zeros (downstream reporting
+    * and anomaly detection need the gaps, not their absence). The grid is
+    * a sequence explode between the corpus min/max hour (two-row
+    * aggregate → generate — never a driver loop), cross-joined with the
+    * observed event types, left-joined to the actual counts. */
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val counts = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = ev
+      .agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour_start"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    grid
+      .join(counts, Seq("hour_start", "event_type"), "left")
+      .select(col("hour_start"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** Data-quality validation report (q97) — the Deequ/GreatExpectations
+    * capability as one constraint-results row per table: row count, key
+    * completeness (null keys), key uniqueness (duplicate keys), and a
+    * domain constraint, each as an exact violation COUNT plus the pass
+    * boolean. The shape every ingest gate runs before publishing a
+    * snapshot; one aggregate per table, count-distinct for uniqueness. */
+  def dataQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def check(table: String, df: DataFrame, key: String, domainViolations: Column) = {
+      val r = df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(key).isNull, 1L).otherwise(0L)).as("n_null_key"),
+        (count(col(key)) - countDistinct(col(key))).as("n_dup_key"),
+        sum(when(domainViolations, 1L).otherwise(0L)).as("n_domain_violations"))
+        .head()
+      (table, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0)
+    }
+    val rows = Seq(
+      check("events", Tables.events(spark, dir), "event_id",
+        !col("event_type").isin("purchase", "signup", "click", "view", "error")),
+      check("orders", Tables.orders(spark, dir), "o_orderkey",
+        col("o_totalprice") < 0),
+      check("documents", Tables.documents(spark, dir), "doc_id",
+        length(col("text")) === 0))
+    rows.toDF("table_name", "n_rows", "n_null_key", "n_dup_key",
+      "n_domain_violations", "all_pass")
+      .orderBy(col("table_name"))
+  }
+
   /** Scalar string-function surface. */
   def stringFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -731,6 +785,8 @@ object Queries {
     "q93_window_distributions" -> (windowDistributions _),
     "q94_set_ops_all" -> (setOpsAll _),
     "q95_null_safe_join" -> (nullSafeJoin _),
+    "q96_gap_fill" -> (gapFillHourly _),
+    "q97_data_quality" -> (dataQualityReport _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_event_type_agg" -> (eventTypeAgg _),
     "q03_count_all" -> (countAll _),
@@ -780,6 +836,36 @@ object Queries {
         |  GROUP BY s.user_id)
         |SELECT COUNT(*) AS n_signup_users, CAST(SUM(conv) AS BIGINT) AS n_converted,
         |  CAST(SUM(conv) * 10000 // COUNT(*) AS BIGINT) AS conv_bp FROM c""".stripMargin,
+    "q96_gap_fill" ->
+      """WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events),
+        |g AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start FROM b),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.hour_start, t.event_type, COALESCE(c.n, 0) AS n
+        |FROM g CROSS JOIN t
+        |LEFT JOIN c ON c.hour_start = g.hour_start AND c.event_type = t.event_type
+        |ORDER BY g.hour_start, t.event_type""".stripMargin,
+    "q97_data_quality" ->
+      """WITH e AS (SELECT 'events' AS table_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key,
+        |  CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT) AS n_dup_key,
+        |  CAST(SUM(CASE WHEN event_type NOT IN ('purchase','signup','click','view','error') THEN 1 ELSE 0 END) AS BIGINT) AS n_domain_violations
+        |  FROM events),
+        |o AS (SELECT 'orders', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders),
+        |d AS (SELECT 'documents', COUNT(*),
+        |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT),
+        |  CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents),
+        |u AS (SELECT * FROM e UNION ALL SELECT * FROM o UNION ALL SELECT * FROM d)
+        |SELECT table_name, n_rows, n_null_key, n_dup_key, n_domain_violations,
+        |  (n_null_key = 0 AND n_dup_key = 0 AND n_domain_violations = 0) AS all_pass
+        |FROM u ORDER BY table_name""".stripMargin,
     "q94_set_ops_all" ->
       """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id FROM events WHERE event_type = 'click'),

@@ -275,6 +275,12 @@ object PipelineQueries {
     *   - the CLAIM `trained_err ≤ seeded_err`, structural per Lloyd (the
     *     mean minimizes within-cluster SSE; PqSpec proves it) — emitted as
     *     a boolean the oracle hardcodes TRUE, the q42/q69/q79 pattern.
+    * The claim carries one 1e-6 unit of fixed-point slack per encoded row
+    * (`trainedFp ≤ seededFp + nRows`): Lloyd bounds the TRUE errors, but
+    * per-row `floor(dist·10⁶)` can move each row's floored value by <1
+    * unit in either direction, so when training yields little strict
+    * improvement the floored sums may cross without the real ones doing
+    * so. Same slack grant as [[graft.similarity.Kmeans.inertiaTrace]].
     * A violation logs the actual errors to stderr so a q82 hash mismatch
     * reads as "Lloyd monotonicity fired", never as silent drift. */
   def pqTrainedClaim(spark: SparkSession, dir: String): DataFrame = {
@@ -292,12 +298,13 @@ object PipelineQueries {
     }
     val (seededFp, nRows) = errFp(seeded)
     val (trainedFp, _) = errFp(trained)
-    if (trainedFp > seededFp)
+    if (trainedFp > seededFp + nRows)
       System.err.println(
-        s"[q82] Lloyd monotonicity VIOLATED: trained_fp=$trainedFp > seeded_fp=$seededFp " +
+        s"[q82] Lloyd monotonicity VIOLATED beyond fixed-point slack: " +
+          s"trained_fp=$trainedFp > seeded_fp=$seededFp + n=$nRows " +
           "— the oracle's TRUE row will hash-mismatch")
     import spark.implicits._
-    Seq((Pq.M, Pq.Ksub, nRows, seededFp, trainedFp <= seededFp))
+    Seq((Pq.M, Pq.Ksub, nRows, seededFp, trainedFp <= seededFp + nRows))
       .toDF("m", "ksub", "n_code_rows", "seeded_err_fp", "trained_improved")
   }
 
@@ -1798,25 +1805,32 @@ object PipelineQueries {
         |FROM q JOIN t USING (lang)
         |GROUP BY q.lang, t.p25_fp ORDER BY q.lang""".stripMargin,
     "q86_kmeans_inertia" -> {
-      // Iteration 0 is exactly replicable: seeded centroids (first-16-id
+      // Iteration 0 is exactly replicable: seeded centroids (first-K-id
       // vectors), the q76 (x−y)² fold, MIN over cells, fixed-point BIGINT
-      // sum. Iterations 1–2 ride the structural Lloyd claim (TRUE; a
-      // violation logs both inertias to stderr on the Spark side).
+      // sum. Iterations ≥ 1 ride the structural Lloyd claim (TRUE; a
+      // violation logs both inertias to stderr on the Spark side). The
+      // seed LIMIT and the per-iteration rows are GENERATED from
+      // Kmeans.DefaultK/DefaultIters — the same constants inertiaTrace
+      // defaults to — so changing either cannot desynchronize the oracle
+      // (the q77/q83/q85 generated-constant pattern).
+      import graft.similarity.Kmeans.{DefaultIters, DefaultK}
       import graft.similarity.Pq.Dim
       val x = "CAST(e.embedding[j] AS DOUBLE)"
       val c = "CAST(cen.cvec[j] AS DOUBLE)"
       val fold =
         s"list_reduce(list_transform(range(1, ${Dim + 1}), j -> (($x) - ($c)) * (($x) - ($c))), (acc, v) -> acc + v)"
+      val laterIters = (1 until DefaultIters)
+        .map(i => s"UNION ALL SELECT CAST($i AS INTEGER), CAST(NULL AS BIGINT), TRUE")
+        .mkString("\n")
       s"""WITH cen AS (SELECT embedding AS cvec FROM (
-         |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $DefaultK)),
          |d AS (SELECT e.vec_id, MIN($fold) AS dist
          |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL GROUP BY e.vec_id)
          |SELECT CAST(0 AS INTEGER) AS iter,
          |  CAST(SUM(CAST(FLOOR(dist * 1000000.0) AS BIGINT)) AS BIGINT) AS inertia_fp,
          |  TRUE AS non_increasing
          |FROM d
-         |UNION ALL SELECT CAST(1 AS INTEGER), CAST(NULL AS BIGINT), TRUE
-         |UNION ALL SELECT CAST(2 AS INTEGER), CAST(NULL AS BIGINT), TRUE
+         |$laterIters
          |ORDER BY iter""".stripMargin
     },
     "q85_source_reputation" -> {

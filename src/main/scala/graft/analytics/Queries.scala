@@ -882,10 +882,14 @@ object Queries {
         |FROM li JOIN dd ON li.flag IS NOT DISTINCT FROM dd.flag
         |GROUP BY dd.flag_label ORDER BY dd.flag_label""".stripMargin,
     // Spark's sliding windows are epoch-aligned multiples of the slide;
-    // the oracle generates the same 900 s marks and range-joins.
+    // the oracle generates the same 900 s marks and range-joins. Marks are
+    // built by naive-timestamp arithmetic (epoch origin + seconds), NOT
+    // via to_timestamp: to_timestamp yields TIMESTAMPTZ and casting it to
+    // TIMESTAMP applies the DuckDB session timezone, so the oracle would
+    // only match on a UTC host.
     "q91_sliding_window" ->
       """WITH b AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events),
-        |m AS (SELECT CAST(to_timestamp(e.x * 900) AS TIMESTAMP) AS win_start
+        |m AS (SELECT TIMESTAMP '1970-01-01 00:00:00' + to_seconds(e.x * 900) AS win_start
         |  FROM b, (SELECT unnest(range(CAST(floor(epoch(b2.lo)/900) AS BIGINT) - 3,
         |                               CAST(floor(epoch(b2.hi)/900) AS BIGINT) + 1)) AS x
         |            FROM b b2) e)

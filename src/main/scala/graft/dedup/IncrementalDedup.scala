@@ -82,12 +82,20 @@ object IncrementalDedup {
     * content (e.g. [[graft.text.TextAnalysis.tokenSetKey]]). */
   def flagIncoming(snapshot: DataFrame, incoming: DataFrame, idCol: String,
       fpCol: Column, fpp: Double = 0.01): DataFrame = {
-    // One row per distinct snapshot fingerprint, consumed three times
-    // (count, Bloom build, exact-join audit) — persist the compact form.
+    // One row per distinct snapshot fingerprint. The cache lives ONLY for
+    // the two in-function driver actions (count, Bloom build) and is
+    // unpersisted before returning — repeated flagIncoming calls leak no
+    // session-lifetime cache entries. The returned plan's exact-join audit
+    // recomputes the distinct once at caller materialization: one extra
+    // shuffle of compact keys, versus pinning a corpus-keyed cache for the
+    // session (the wrong shape at 100 TB anyway).
     val snapKeys = snapshot.select(fpCol.as("fp")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = snapKeys.count()
-    val bloom = snapshotBloom(snapKeys, col("fp"), expectedItems = math.max(n, 1L), fpp)
+    snapKeys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try {
+        val n = snapKeys.count()
+        snapshotBloom(snapKeys, col("fp"), expectedItems = math.max(n, 1L), fpp)
+      } finally snapKeys.unpersist(blocking = false)
     incoming
       .select(col(idCol), fpCol.as("fp"))
       .withColumn("bloom_flagged", mightContain(bloom, col("fp")))

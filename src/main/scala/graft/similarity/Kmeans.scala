@@ -27,6 +27,13 @@ import graft.functions.PqFunctions.pq_encode
   */
 object Kmeans {
 
+  /** Defaults for [[inertiaTrace]], shared with the q86 oracle generator
+    * (PipelineQueries) so engine and oracle cannot silently desynchronize:
+    * the oracle's seed LIMIT and its per-iteration UNION ALL rows are both
+    * emitted from these named constants. */
+  val DefaultK = 16
+  val DefaultIters = 3
+
   /** Run `iters` Lloyd iterations from the seeded centroids; emit one row
     * per iteration: (iter, inertia_fp, non_increasing) where inertia_fp
     * is the exact fixed-point inertia for iter 0 (oracle-checkable) and
@@ -34,7 +41,7 @@ object Kmeans {
     * non_increasing pins `inertia_i ≤ inertia_{i-1} + n` (n = one
     * 10⁻⁶ unit per vector of float-noise slack). */
   def inertiaTrace(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 3, dim: Int = 64): DataFrame = {
+      k: Int = DefaultK, iters: Int = DefaultIters, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     import spark.implicits._
     require(iters >= 1, "need at least one iteration")

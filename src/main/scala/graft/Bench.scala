@@ -23,8 +23,24 @@ import org.apache.spark.sql.SparkSession
   * 2.6× slow) is then detectable in-band: compare calibration_*_sec
   * against the reference value recorded in BASELINE.md instead of
   * guessing from query totals.
+  *
+  * Mid-suite localization (round-5 verdict #2): endpoint probes cannot see
+  * a contention window that opens and closes DURING the suite — the
+  * round-5 driver run carried an ~18× inflation on one query inside a
+  * q16–q38 window while both endpoint probes read idle. Two additions
+  * make such a window localizable in-band: (a) the same constant-work
+  * probe is re-run every [[ProbeEvery]] queries and recorded per-position
+  * in "calibration_probes"; (b) every query records its wall-clock start
+  * in "query_start_ms" (epoch millis) and its offset from suite start in
+  * "query_offset_sec", so an external load spike can be intersected with
+  * the affected query segment without re-running anything.
   */
 object Bench {
+
+  /** Interleave the calibration probe after every N suite queries. ~7
+    * probes over the 97-query suite at ≲0.5 s each — cheap enough to run
+    * always, dense enough to localize a contention window to a segment. */
+  val ProbeEvery = 15
 
   /** Fixed-work probe: ~200M xxhash64+sum across all cores. Data-size
     * independent, so its runtime measures the MACHINE, not the suite. */
@@ -60,29 +76,49 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val calPre = calibration(spark)
+    val suiteT0 = System.nanoTime()
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // (after_query_name, probe_sec) — interleaved machine probes.
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // name -> (epoch_ms at start, offset from suite start in sec)
+    val starts = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = ordered.zipWithIndex.flatMap { case ((name, fn), i) =>
+      starts(name) = (System.currentTimeMillis(), (System.nanoTime() - suiteT0) / 1e9)
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
-      } catch {
-        case t: Throwable =>
-          failed += name
-          System.err.println(s"[bench] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
-          None
-      }
+      val r =
+        try {
+          fn(spark, sfDir).count()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case t: Throwable =>
+            failed += name
+            System.err.println(s"[bench] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
+            None
+        }
+      if ((i + 1) % ProbeEvery == 0 && i + 1 < ordered.size)
+        probes += ((name, calibration(spark)))
+      r
     }
 
     val calPost = calibration(spark)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val probesJson = probes
+      .map { case (after, s) => s"""{"after_query":"$after","sec":$s}""" }
+      .mkString("[", ",", "]")
+    val startMsJson = starts
+      .map { case (k, (ms, _)) => "\"" + k + "\":" + ms }.mkString("{", ",", "}")
+    val offsetJson = starts
+      .map { case (k, (_, off)) => "\"" + k + "\":" + off }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,""" +
-        s""""calibration_pre_sec":$calPre,"calibration_post_sec":$calPost,"sf":"$sfDir"}"""
+        s""""calibration_pre_sec":$calPre,"calibration_post_sec":$calPost,""" +
+        s""""calibration_probes":$probesJson,"query_start_ms":$startMsJson,""" +
+        s""""query_offset_sec":$offsetJson,"sf":"$sfDir"}"""
     // Mirror guard (round-4 verdict #6): every run writes an sf-STAMPED
     // mirror; the unstamped BENCH_LAST.json — the artifact BASELINE.md pins
     // against — is written only by sf0.1 runs, so a smaller-sf dev run can

@@ -321,6 +321,24 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Residual IVFPQ from the COMMITTED index (q98) — the q75 layout
+    * amortization applied to vector search: [[graft.similarity.IvfPqIndex]]
+    * builds the index ONCE per corpus snapshot into the warehouse (codes
+    * partitioned by coarse cell + centroid/codebook sidecar, tagged by a
+    * metadata-only corpus signature) and every later search — across JVMs —
+    * joins the committed codes instead of re-reading vectors. Results are
+    * bit-identical to [[annIvfPqResidual]] (q81), so the two rows share one
+    * oracle; the spec surface (IvfPqIndexSpec) covers reuse-across-sessions,
+    * staleness-tagged rebuild, and partition pruning of the code scan. */
+  def annIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.IvfPqIndex
+    val embs = Tables.embeddings(spark, dir)
+    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
+    IvfPqIndex
+      .search(spark, idx, embs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** SemDeDup keep decisions over the embeddings table — see
     * [[graft.similarity.SemDedup]]. Seeded cells (oracle-portable), exact
     * cosine fold, order-free lower-id dominance → every keep bit
@@ -1366,7 +1384,8 @@ object PipelineQueries {
     "q85_source_reputation" -> (sourceReputation _),
     "q86_kmeans_inertia" -> (kmeansInertia _),
     "q87_quality_gate" -> (qualityGate _),
-    "q88_ann_recall" -> (annRecallAudit _))
+    "q88_ann_recall" -> (annRecallAudit _),
+    "q98_ann_indexed" -> (annIndexed _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -1422,7 +1441,7 @@ object PipelineQueries {
     s"CASE WHEN best < 256 THEN 'und' $cases END"
   }
 
-  val oracle: Map[String, String] = Map(
+  private val oracleHead: Map[String, String] = Map(
     "q25_dedup_exact" ->
       """SELECT md5(text) AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_key""".stripMargin,
@@ -1954,7 +1973,14 @@ object PipelineQueries {
          |  TRUE AS trained_improved
          |FROM a WHERE rn = 1""".stripMargin
     },
-    "q81_ann_ivfpq_residual" -> {
+    // q98 runs the SAME residual-IVFPQ search as q81, from the COMMITTED
+    // index layout instead of a per-run rebuild — results are contractually
+    // bit-identical, so both rows share one oracle. A q98/q81 divergence
+    // reads as "the committed layout drifted from the build arithmetic".
+    "q98_ann_indexed" -> ivfPqResidualOracleSql,
+    "q81_ann_ivfpq_residual" -> ivfPqResidualOracleSql)
+
+  private lazy val ivfPqResidualOracleSql: String = {
       // q80's oracle with the FAISS residual step spliced in: residuals are
       // elementwise CAST-to-DOUBLE subtracts (one IEEE op per element, so
       // corpus residuals, the residual-seeded codebooks, and both folds
@@ -2008,7 +2034,9 @@ object PipelineQueries {
          |  FROM dist)
          |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adc_dist
          |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
-    },
+  }
+
+  private val oracleTail: Map[String, String] = Map(
     "q77_domain_mix" -> {
       // Weights VALUES generated from DomainMixWeights — oracle can't drift.
       val wvals = DomainMixWeights
@@ -2127,4 +2155,8 @@ object PipelineQueries {
          |  JOIN embeddings qe ON qe.vec_id = r.query_id
          |  JOIN embeddings ne ON ne.vec_id = a.vec_id),
          |${VectorOracles.topKTail(10)}""".stripMargin)
+
+  /** Full oracle surface (split only so the shared q81/q98 SQL can sit
+    * between the two literals). */
+  val oracle: Map[String, String] = oracleHead ++ oracleTail
 }

@@ -1,0 +1,242 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Committed (cross-JVM) residual-IVFPQ index — the q75 bucketed-layout
+  * amortization applied to vector search.
+  *
+  * [[Pq.ivfPqTopKResidual]] rebuilds its index (cell assign + residual
+  * encode over the whole corpus) on every call: the right shape for a
+  * one-shot search, the wrong one for a 100 TB corpus served by repeated
+  * query batches, where the build is the dominant cost and the corpus
+  * snapshot changes rarely. This module splits build from search:
+  *
+  *   - '''build once''': the coarse cells, residual codebooks, and
+  *     per-vector codes are computed exactly as in
+  *     [[Pq.ivfPqTopKResidual]] (same seeding, same folds — committed
+  *     searches are bit-identical to the rebuild-per-run path) and
+  *     WRITTEN to the warehouse: a `codes` table `(neighbor_id, codes)`
+  *     PARTITIONED BY the coarse cell, plus a one-row `meta` sidecar
+  *     carrying the cell centroids, the codebooks, and the corpus
+  *     signature. Codes are stored as `array<int>` — m·4 B per vector,
+  *     the 32× compression the index exists for; vectors are never
+  *     re-read after the build.
+  *   - '''search many''': a query batch routes to its `nprobe` cells,
+  *     then joins ONLY those cells' code partitions (static partition
+  *     pruning via the collected probed-cell set — ≤ nlist ints, a
+  *     sketch-sized collect). At production nlist (thousands of cells)
+  *     each batch scans nprobe/nlist of the index; nothing else is read.
+  *
+  * Staleness (the q75 md5-tag pattern, extended to CONTENT): the layout
+  * name is tagged with md5(params | corpus file signature), where the
+  * signature digests the corpus's backing files' (path, length, mtime) —
+  * metadata-only, no data scan, the same freshness basis a table format's
+  * snapshot id provides. A corpus change (new/rewritten/removed files)
+  * changes the tag, so the stale layout can never be re-served; it is
+  * simply not found, and the index is rebuilt under the new tag.
+  * Partial writes are guarded by write order: `codes` commits before
+  * `meta`, and a layout is only re-served when BOTH have `_SUCCESS`.
+  *
+  * Reference intent: README.md:819's standing-tables analytics model —
+  * derived artifacts are built once and queried repeatedly.
+  */
+object IvfPqIndex {
+
+  /** Index build/search parameters (defaults mirror [[Pq.ivfPqTopKResidual]]).
+    * `nprobe` is a SEARCH-time knob and deliberately not part of the
+    * layout tag — one committed layout serves any nprobe. */
+  case class Params(nlist: Int = 16, m: Int = Pq.M, ksub: Int = Pq.Ksub, dim: Int = Pq.Dim)
+
+  /** A committed layout: its warehouse location plus the driver-side
+    * small state (centroid matrix + codebooks) loaded from the sidecar. */
+  case class Committed(location: String, cellMatrix: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], params: Params)
+
+  private val SchemaVersion = 1
+
+  /** Metadata-only corpus snapshot signature: digest of the backing
+    * files' (path, length, modification time). O(#files) driver work —
+    * the cost of planning a scan, not running one. Any rewrite, addition,
+    * or removal of a corpus file changes the signature. */
+  def corpusSignature(spark: SparkSession, corpus: DataFrame): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val md = java.security.MessageDigest.getInstance("MD5")
+    corpus.inputFiles.sorted.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      md.update(s"$f|${st.getLen}|${st.getModificationTime}\n".getBytes("UTF-8"))
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Layout tag: corpus signature + every build-affecting parameter, so a
+    * layout written under different params or corpus content resolves to
+    * a different name (never silently re-served). */
+  def layoutTag(spark: SparkSession, corpus: DataFrame, p: Params): String = {
+    val spec = s"v$SchemaVersion|${corpusSignature(spark, corpus)}|" +
+      s"nlist=${p.nlist}|m=${p.m}|ksub=${p.ksub}|dim=${p.dim}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(spec.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+
+  // Loaded layouts per session (same WeakHashMap rationale as
+  // PipelineQueries.bucketedTableCache): the sidecar read and the
+  // existence probe are paid once per (session, tag), not per search.
+  private val committedCache =
+    new java.util.WeakHashMap[
+      SparkSession, scala.collection.concurrent.TrieMap[String, Committed]]()
+
+  /** Test hook: forget this session's loaded layouts so the next ensure()
+    * exercises the cross-JVM re-register path (existence probe + sidecar
+    * load) instead of the in-memory memo. */
+  private[graft] def dropCachedLayouts(spark: SparkSession): Unit =
+    committedCache.synchronized {
+      val m = committedCache.get(spark)
+      if (m != null) m.clear()
+    }
+
+  /** The query-side routing + residual projection shared by build and
+    * search: queries/vectors route to cells by cosine (as in
+    * [[Pq.ivfPqTopKResidual]]); residuals are elementwise IEEE
+    * double subtracts against the probed cell's centroid. */
+  private def residual(cellMatrix: Array[Array[Double]])(vec: Column, cell: Column): Column = {
+    val cells = array(cellMatrix.map(c => typedLit(c)): _*)
+    zip_with(vec.cast("array<double>"), element_at(cells, cell + lit(1)), (x, y) => x - y)
+  }
+
+  /** Ensure the committed layout for (corpus, params) exists — re-register
+    * if a complete one is found under the tag, build + commit otherwise —
+    * and return it with the sidecar state loaded. */
+  def ensure(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
+      p: Params = Params()): Committed = {
+    val perSession = committedCache.synchronized {
+      var m = committedCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, Committed]
+        committedCache.put(spark, m)
+      }
+      m
+    }
+    val tag = layoutTag(spark, corpus, p)
+    perSession.getOrElseUpdate(tag, {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"graft_ivfpq_$tag")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def done(sub: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(loc, s"$sub/_SUCCESS"))
+      // meta commits LAST, so meta+codes complete ⇒ the layout is whole.
+      if (!(done("codes") && done("meta"))) {
+        if (fs.exists(loc)) fs.delete(loc, true)
+        build(spark, corpus, idCol, vecCol, p, loc.toString)
+      }
+      load(spark, loc.toString, p)
+    })
+  }
+
+  /** Build and commit the layout: identical arithmetic to
+    * [[Pq.ivfPqTopKResidual]]'s build half (seeded cells, residual-seeded
+    * codebooks skipping the cell seeds, map-only assign+encode fused into
+    * one projection), then one shuffle of the COMPACT code rows
+    * (id + m ints) to cluster them by cell so each cell partition commits
+    * as few files — the write-time cost that buys partition-pruned
+    * searches for the lifetime of the snapshot. */
+  private def build(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
+      p: Params, loc: String): Unit = {
+    import graft.functions.IvfFunctions.nearest_cells
+    import graft.functions.PqFunctions.pq_encode
+    val indexable = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) >= p.dim)
+    val cellRows = indexable
+      .orderBy(col(idCol))
+      .limit(p.nlist)
+      .select(col(idCol), col(vecCol))
+      .collect()
+    val cellIds = cellRows.map(_.get(0))
+    val cellMatrix = cellRows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(cellMatrix.nonEmpty, "empty corpus: no vectors to build IVF cells from")
+    val res = residual(cellMatrix) _
+    val withRes = indexable
+      .select(
+        col(idCol).as("neighbor_id"),
+        element_at(nearest_cells(col(vecCol), cellMatrix, 1), 1).as("cell"),
+        col(vecCol))
+      .withColumn("rvec", res(col(vecCol), col("cell")))
+    val subdim = p.dim / p.m
+    val seeds = withRes
+      .filter(!col("neighbor_id").isin(cellIds: _*))
+      .orderBy(col("neighbor_id"))
+      .limit(p.ksub)
+      .select(col("rvec"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty,
+      s"corpus too small for residual codebooks (needs more than ${p.nlist} vectors)")
+    val cbs = Array.tabulate(p.m)(s => seeds.map(_.slice(s * subdim, (s + 1) * subdim)))
+    withRes
+      .select(col("neighbor_id"), col("cell"), pq_encode(col("rvec"), cbs).as("enc"))
+      .filter(col("enc").isNotNull)
+      .select(col("neighbor_id"), col("cell"),
+        transform(col("enc"), e => e.getField("code")).as("codes"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$loc/codes")
+    // Sidecar: one row, KB-sized — centroids + codebooks + provenance.
+    import spark.implicits._
+    Seq((corpusSignature(spark, corpus), p.nlist, p.m, p.ksub, p.dim,
+      cellMatrix.map(_.toSeq).toSeq, cbs.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("corpus_sig", "nlist", "m", "ksub", "dim", "cell_matrix", "codebooks")
+      .coalesce(1)
+      .write.parquet(s"$loc/meta")
+  }
+
+  /** Load the sidecar (one-row collect) and wrap the layout. */
+  private def load(spark: SparkSession, loc: String, p: Params): Committed = {
+    val row = spark.read.parquet(s"$loc/meta").head()
+    // Nested parquet arrays deserialize as mutable ArraySeq — type the
+    // inner levels as collection.Seq, not immutable.Seq.
+    val cellMatrix = row.getSeq[scala.collection.Seq[Double]](row.fieldIndex("cell_matrix"))
+      .map(_.toArray).toArray
+    val codebooks = row
+      .getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](row.fieldIndex("codebooks"))
+      .map(_.map(_.toArray).toArray).toArray
+    Committed(loc, cellMatrix, codebooks, p)
+  }
+
+  /** Search a committed layout: route the query batch, read ONLY the
+    * probed cells' code partitions, score candidates from codes via ADC,
+    * rank with the map-side bounded [[Ann.TopKAggregator]]. Bit-identical
+    * to [[Pq.ivfPqTopKResidual]] on the same corpus and parameters.
+    * Returns (query_id, neighbor_id, rank, adc_dist). */
+  def search(spark: SparkSession, idx: Committed, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 4): DataFrame = {
+    import graft.functions.IvfFunctions.nearest_cells
+    import graft.functions.PqFunctions.pq_adc_dist
+    val p = idx.params
+    val res = residual(idx.cellMatrix) _
+    val routed = queries
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) >= p.dim)
+      .select(
+        col(idCol).as("query_id"),
+        explode(nearest_cells(col(vecCol), idx.cellMatrix,
+          math.min(nprobe, idx.cellMatrix.length))).as("cell"),
+        col(vecCol))
+      .withColumn("q_rvec", res(col(vecCol), col("cell")))
+    // Probed-cell set: ≤ nlist ints (bounded by the layout, not the
+    // batch) — collected so the code scan prunes partitions STATICALLY.
+    val probed = routed.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val codes = spark.read.parquet(s"${idx.location}/codes")
+      .where(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .select(col("neighbor_id"), col("cell"),
+        transform(col("codes"),
+          c => struct(c.as("code"), lit(0.0d).as("dist"))).as("enc"))
+    val scored = routed
+      .join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", pq_adc_dist(col("q_rvec"), col("enc"), idx.codebooks))
+    Ann
+      .topKRanked(
+        scored.select(col("query_id"), col("neighbor_id"), negate(col("adc_dist")).as("cosine")),
+        k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        negate(col("cosine")).as("adc_dist"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.{IvfPqIndex, Pq}
+
+/** Committed IVFPQ layout: searches from the committed codes must equal the
+  * rebuild-per-run path bit-for-bit; a complete layout is re-served (never
+  * rebuilt) for an unchanged corpus; a changed corpus changes the tag and
+  * forces a rebuild; the code scan prunes to the probed cells. */
+class IvfPqIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def embs = Tables.embeddings(spark, TestSpark.SfDir)
+  private def queries = embs.filter(col("vec_id") % 50 === 0)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+  test("committed search is bit-identical to the rebuild-per-run path") {
+    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
+    val committed = IvfPqIndex.search(spark, idx, queries, "vec_id", "embedding", k = 10)
+    val rebuilt = Pq.ivfPqTopKResidual(spark, queries, embs, "vec_id", "embedding", k = 10)
+    assert(rows(committed) == rows(rebuilt))
+  }
+
+  test("unchanged corpus: a complete layout is re-served, not rebuilt") {
+    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
+    // Plant a marker inside the layout dir: a rebuild deletes the dir, so
+    // marker survival proves the re-register path never rewrote anything.
+    val marker = new java.io.File(new java.net.URI(s"${idx.location}/MARKER"))
+    marker.createNewFile()
+    IvfPqIndex.dropCachedLayouts(spark) // simulate a fresh JVM
+    val again = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
+    assert(again.location == idx.location)
+    assert(marker.exists(), "layout was rebuilt despite an unchanged corpus")
+    assert(rows(IvfPqIndex.search(spark, again, queries, "vec_id", "embedding", k = 10)) ==
+      rows(Pq.ivfPqTopKResidual(spark, queries, embs, "vec_id", "embedding", k = 10)))
+    marker.delete()
+  }
+
+  test("corpus change at the same path re-tags and rebuilds the index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_stale")
+    val corpusPath = s"$dir/corpus"
+    embs.write.parquet(corpusPath)
+    val v1 = spark.read.parquet(corpusPath)
+    val idx1 = IvfPqIndex.ensure(spark, v1, "vec_id", "embedding")
+
+    // Rewrite the corpus IN PLACE (drop 1/7 of the vectors): same path,
+    // different backing files — the metadata signature must change.
+    val staged = s"$dir/staged"
+    v1.filter(col("vec_id") % 7 =!= 0).write.parquet(staged)
+    def rmrf(p: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    rmrf(java.nio.file.Paths.get(corpusPath))
+    java.nio.file.Files.move(java.nio.file.Paths.get(staged),
+      java.nio.file.Paths.get(corpusPath))
+
+    val v2 = spark.read.parquet(corpusPath)
+    val idx2 = IvfPqIndex.ensure(spark, v2, "vec_id", "embedding")
+    assert(idx2.location != idx1.location,
+      "changed corpus content must resolve to a different layout tag")
+    // And the rebuilt index serves the NEW corpus exactly.
+    val q2 = v2.filter(col("vec_id") % 50 === 0)
+    assert(rows(IvfPqIndex.search(spark, idx2, q2, "vec_id", "embedding", k = 10)) ==
+      rows(Pq.ivfPqTopKResidual(spark, q2, v2, "vec_id", "embedding", k = 10)))
+    rmrf(dir)
+  }
+
+  test("code scan prunes to the probed cells") {
+    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
+    val oneQuery = embs.filter(col("vec_id") === 0)
+    val out = IvfPqIndex.search(spark, idx, oneQuery, "vec_id", "embedding", k = 5, nprobe = 1)
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    // e.g. "PartitionFilters: [isnotnull(cell#40), (cell#40 = 0)]"
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"code scan must carry a static partition filter on cell:\n$plan")
+  }
+}

@@ -321,6 +321,62 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // Compaction reports per (session, dir): the cycle mutates its working
+  // table, so the REPORT is memoized — not just the table — keeping the
+  // query idempotent within a session (verify and bench both run it once,
+  // but a re-run must not see the already-compacted layout as "before").
+  private val compactionCache =
+    new java.util.WeakHashMap[
+      SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  /** Small-file compaction + validated snapshot publish (q99) — see
+    * [[graft.operators.Compaction]]. The events table is staged into a
+    * Hive-partitioned copy fragmented to 32 files per event_type (the
+    * streaming-sink debris every lake job inherits), then compacted to
+    * 64 MB targets, content-gated, and atomically published via dynamic
+    * partition overwrite. The registered output re-reads the PUBLISHED
+    * table and emits per-partition invariants the oracle recomputes from
+    * the raw events: row count, the portable md5-h31 id-hash sum, the
+    * DECIMAL value sum — plus the gate booleans (oracle hardcodes TRUE;
+    * the q42/q69/q79 bounded-claim pattern). File-count assertions live
+    * in CompactionSpec (DuckDB cannot see layout). */
+  def compactionPublish(spark: SparkSession, dir: String): DataFrame = {
+    val perSession = compactionCache.synchronized {
+      var m = compactionCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        compactionCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
+      val work = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      val table = s"$work/events_by_type"
+      Tables.events(spark, dir)
+        .repartition(32)
+        .write.partitionBy("event_type").parquet(table)
+      val report = graft.operators.Compaction.compactAndPublish(
+        spark, table, "event_type", bucketKey = "event_id",
+        targetFileBytes = 64L << 20, stagingDir = s"$work/staging")
+      val published = spark.read.parquet(table)
+      val idHash = graft.functions.PortableHashFunctions
+        .md5_token_hashes(array(col("event_id").cast("string")), bits = 31)
+        .getItem(0)
+      published
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(idHash).as("sum_id_hash"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+        .join(
+          report.select(col("event_type"),
+            col("rows_unchanged"), col("content_unchanged"),
+            (col("n_files_after") <= col("n_files_before")).as("files_not_increased")),
+          Seq("event_type"))
+        .orderBy(col("event_type"))
+    })
+  }
+
   /** Residual IVFPQ from the COMMITTED index (q98) — the q75 layout
     * amortization applied to vector search: [[graft.similarity.IvfPqIndex]]
     * builds the index ONCE per corpus snapshot into the warehouse (codes
@@ -1385,7 +1441,8 @@ object PipelineQueries {
     "q86_kmeans_inertia" -> (kmeansInertia _),
     "q87_quality_gate" -> (qualityGate _),
     "q88_ann_recall" -> (annRecallAudit _),
-    "q98_ann_indexed" -> (annIndexed _))
+    "q98_ann_indexed" -> (annIndexed _),
+    "q99_compaction_publish" -> (compactionPublish _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2037,6 +2094,16 @@ object PipelineQueries {
   }
 
   private val oracleTail: Map[String, String] = Map(
+    // q99 re-reads the PUBLISHED (compacted) table; the oracle recomputes
+    // the same per-partition invariants from the raw events — equality IS
+    // the content-invariance proof. Gate booleans ride the bounded-claim
+    // pattern (TRUE; a false would have aborted before publish anyway).
+    "q99_compaction_publish" ->
+      s"""SELECT event_type, COUNT(*) AS n_rows,
+         |  CAST(SUM(${duckH31("CAST(event_id AS VARCHAR)")}) AS BIGINT) AS sum_id_hash,
+         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+         |  TRUE AS rows_unchanged, TRUE AS content_unchanged, TRUE AS files_not_increased
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q77_domain_mix" -> {
       // Weights VALUES generated from DomainMixWeights — oracle can't drift.
       val wvals = DomainMixWeights

@@ -1267,6 +1267,57 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming ingest-time dedup (q100) — q84's Bloom snapshot composed
+    * with the streaming path ([[graft.dedup.IncrementalDedup.streamingIngest]]):
+    * the snapshot (doc_id % 3 != 0, fingerprints materialized, batch_id
+    * = -1) seeds a partitioned corpus table; the incoming docs (% 3 == 0)
+    * arrive as a file STREAM whose foreachBatch probes the driver-held
+    * sketch, exactly-verifies the flagged sliver, appends survivors
+    * idempotently (DPO of the batch's own partition), and folds them into
+    * the sketch. The registered row re-reads the PUBLISHED corpus and
+    * emits the appended (doc_id, fp) rows; the batch-twin oracle is the
+    * same min-id-keeper anti-join in SQL. Multi-batch + restart semantics
+    * are StreamingSpec territory (batch order isn't oracle-portable). */
+  def streamingIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val perSession = compactionCache.synchronized {
+      var m = compactionCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        compactionCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(s"q100|$dir", {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val work = java.nio.file.Files.createTempDirectory("graft_ingest_dedup").toString
+      val corpus = s"$work/corpus"
+      val docs = Tables.documents(s, dir)
+      // Seed schema must match the survivors the stream appends (full
+      // incoming row + materialized fp + the batch_id partition).
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokenSetKey(col("text")).as("fp"), lit(-1L).as("batch_id"))
+        .write.partitionBy("batch_id").parquet(corpus)
+      val staged = s"$work/incoming"
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .write.parquet(staged)
+      val stream = s.readStream
+        .schema(s.read.parquet(staged).schema)
+        .parquet(staged)
+      val q = graft.dedup.IncrementalDedup.streamingIngest(
+        stream, corpus, "doc_id",
+        fpCol = TextAnalysis.tokenSetKey(col("text")),
+        checkpoint = s"$work/_checkpoint")
+      q.awaitTermination()
+      spark.read.parquet(corpus)
+        .where(col("batch_id") >= 0)
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    })
+  }
+
   /** Heavy hitters via count-min sketch, surfaced as the q42-style BOUNDED
     * claim: the top-k exact token counts (the audit twin) next to the CMS
     * guarantee `exact ≤ estimate ≤ exact + ⌈eps·N⌉` as a boolean. The
@@ -1442,7 +1493,8 @@ object PipelineQueries {
     "q87_quality_gate" -> (qualityGate _),
     "q88_ann_recall" -> (annRecallAudit _),
     "q98_ann_indexed" -> (annIndexed _),
-    "q99_compaction_publish" -> (compactionPublish _))
+    "q99_compaction_publish" -> (compactionPublish _),
+    "q100_stream_ingest_dedup" -> (streamingIncrementalDedup _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2094,6 +2146,18 @@ object PipelineQueries {
   }
 
   private val oracleTail: Map[String, String] = Map(
+    // q100: the streamed ingest's appended rows == the batch anti-join
+    // with the min-id keeper (q25's rule) in SQL. Single AvailableNow
+    // batch keeps the keeper oracle-portable; multi-batch order effects
+    // are spec territory.
+    "q100_stream_ingest_dedup" ->
+      """WITH snap AS (SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |inc AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |k AS (SELECT fp, MIN(doc_id) AS doc_id FROM inc GROUP BY fp)
+        |SELECT k.doc_id, k.fp FROM k LEFT JOIN snap ON k.fp = snap.fp
+        |WHERE snap.fp IS NULL ORDER BY k.doc_id""".stripMargin,
     // q99 re-reads the PUBLISHED (compacted) table; the oracle recomputes
     // the same per-partition invariants from the raw events — equality IS
     // the content-invariance proof. Gate booleans ride the bounded-claim

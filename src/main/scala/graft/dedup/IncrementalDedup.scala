@@ -106,4 +106,124 @@ object IncrementalDedup {
         (col("bloom_flagged") || !coalesce(col("is_dup_exact"), lit(false)))
           .as("no_false_negative"))
   }
+
+  /** OR two Bloom sketches built under the SAME (expectedItems, numBits)
+    * pair (bit-size and hash-count must match for the merge to be
+    * defined). The serialized form is
+    * [[org.apache.spark.util.sketch.BloomFilter]]'s, which is also what
+    * BloomFilterAggregate/BloomFilterMightContain speak. */
+  private[graft] def mergeBlooms(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+    fa.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+    val out = new java.io.ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Streaming ingest-time dedup — the q84 sketch composed with the
+    * streaming path. The corpus is a parquet table PARTITIONED BY
+    * `batch_id` (the initial snapshot lives at batch_id = -1) whose rows
+    * carry their content fingerprint in column `fp` (materialized at
+    * ingest, never recomputed). Each micro-batch:
+    *
+    *   1. dedups WITHIN the batch (min-id keeper per fingerprint — the
+    *      deterministic q25 rule);
+    *   2. probes the driver-held Bloom sketch MAP-ONLY; rows the sketch
+    *      has never seen pass without touching the corpus (no false
+    *      negatives — the whole point of the sketch at 100 TB: the corpus
+    *      anti-join runs only for the flagged sliver);
+    *   3. exactly verifies the flagged rows with an anti-join against the
+    *      corpus keys, EXCLUDING rows of the current batch_id — so a
+    *      replayed batch (restart re-delivers the same id from the
+    *      checkpoint) re-derives the same survivor set even if its own
+    *      partial output survived the crash;
+    *   4. appends survivors via dynamic partition overwrite of the
+    *      batch's own partition (idempotent under replay — the demux
+    *      sink's exactly-once pattern; an empty survivor set writes no
+    *      partition and clobbers nothing);
+    *   5. folds the survivors' fingerprints into the sketch by Bloom
+    *      bit-OR ([[mergeBlooms]]) so the NEXT batch sees them without a
+    *      corpus rescan, and rebuilds the sketch from the corpus every
+    *      `refreshEvery` batches (re-sizing it as the corpus grows and
+    *      shedding accumulated fp-rate drift).
+    *
+    * The sketch is deliberately NOT checkpointed: after a restart it is
+    * rebuilt from the corpus (the durable truth), so driver state is a
+    * pure cache — losing it costs one rebuild scan, never correctness.
+    * `incoming` must provide `idCol`; `fpCol` derives the fingerprint
+    * from the incoming columns (e.g. TextAnalysis.tokenSetKey).
+    *
+    * Corpus-scale note: step 3's anti-join shuffles the corpus KEYS when
+    * the flagged sliver is too big to broadcast; a production table keeps
+    * the corpus bucketed by fp (the q75 layout) so the verification join
+    * co-locates instead. The sketch math already assumes cluster sizing —
+    * see [[optimalNumBits]]'s conf note. */
+  def streamingIngest(incoming: DataFrame, corpusDir: String, idCol: String,
+      fpCol: Column, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      fpp: Double = 0.01, refreshEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    // Driver-held cache: sketch bytes, the expectedItems it was sized for
+    // (incremental batch blooms must be built under the SAME sizing to
+    // stay merge-compatible), and batches since the last full rebuild.
+    var sketch: Array[Byte] = null
+    var sizingN = 1L
+    var sinceRefresh = 0
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val others = spark.read.parquet(corpusDir)
+          .where(col("batch_id") =!= batchId)
+          .select(col("fp"))
+        if (sketch == null || sinceRefresh >= refreshEvery) {
+          val n = others.distinct().count()
+          sizingN = math.max(n, 1L)
+          sketch =
+            if (n == 0) {
+              // Empty corpus: an empty filter under the standard sizing
+              // (nothing flags; everything passes to the append).
+              val f = org.apache.spark.util.sketch.BloomFilter
+                .create(sizingN, optimalNumBits(sizingN, fpp))
+              val out = new java.io.ByteArrayOutputStream()
+              f.writeTo(out)
+              out.toByteArray
+            } else snapshotBloom(others, col("fp"), expectedItems = sizingN, fpp = fpp)
+          sinceRefresh = 0
+        }
+        // 1. min-id keeper per fingerprint within the batch.
+        val keyed = batch.withColumn("fp", fpCol)
+        val kept = keyed
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("fp")).orderBy(col(idCol))))
+          .where(col("_rn") === 1).drop("_rn")
+        // 2+3. sketch probe gates the exact verification join.
+        val flagged = kept.withColumn("_hit", mightContain(sketch, col("fp")))
+        val survivors = flagged.where(!col("_hit")).drop("_hit")
+          .unionByName(
+            flagged.where(col("_hit")).drop("_hit")
+              .join(others.distinct(), Seq("fp"), "left_anti"))
+          .persist()
+        try {
+          // 4. idempotent append: DPO of this batch's own partition.
+          survivors
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(corpusDir)
+          // 5. fold survivors into the sketch (same sizing ⇒ mergeable).
+          if (survivors.limit(1).count() > 0) {
+            val add = snapshotBloom(survivors, col("fp"),
+              expectedItems = sizingN, fpp = fpp)
+            sketch = mergeBlooms(sketch, add)
+          }
+          sinceRefresh += 1
+        } finally { survivors.unpersist(); () }
+      }
+      .start()
+  }
 }

@@ -354,4 +354,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/sword_purchases").count() == 30) // 10 + 20
     assert(spark.read.parquet(s"$dir/guild_joins").count() == 5)
   }
+
+  test("streaming ingest dedup: restart rebuilds the sketch and never re-admits a dupe") {
+    // VERDICT r5 #4: the Bloom snapshot composed with the streaming path.
+    // Batch 1 exercises all three drop rules (dup-of-snapshot via sketch +
+    // corpus verify, in-batch dup via the min-id keeper, fresh doc passes
+    // map-only). The restart kills the driver-held sketch; batch 2's
+    // dup-of-batch-1-survivor proves the rebuilt state still sees rows
+    // appended by PREVIOUS batches — the corpus, not driver memory, is the
+    // durable truth.
+    import graft.dedup.IncrementalDedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_restart").toString
+    val corpusDir = s"$dir/corpus"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .select($"doc_id", $"text", md5($"text").as("fp"), lit(-1L).as("batch_id"))
+      .write.partitionBy("batch_id").parquet(corpusDir)
+
+    val ms = MemoryStream[(Long, String)](spark)
+    val stream = ms.toDF().toDF("doc_id", "text")
+    def start() = IncrementalDedup.streamingIngest(
+      stream, corpusDir, "doc_id", md5(col("text")),
+      checkpoint = s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+
+    // gamma = fresh; alpha = snapshot dup; delta×2 = in-batch dup (keeper 12).
+    ms.addData(Seq((10L, "gamma"), (11L, "alpha"), (12L, "delta"), (13L, "delta")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(corpusDir).where($"batch_id" >= 0)
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 12L))
+
+    // Restart from the same checkpoint. gamma = dup of a batch-1 survivor,
+    // beta = snapshot dup, epsilon = fresh.
+    ms.addData(Seq((20L, "gamma"), (21L, "beta"), (22L, "epsilon")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val published = spark.read.parquet(corpusDir)
+    assert(published.count() == published.select("fp").distinct().count()) // zero dupes anywhere
+    assert(published.where($"batch_id" >= 0)
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 12L, 22L))
+  }
 }

@@ -1028,14 +1028,24 @@ object PipelineQueries {
     * same docs) — split out so specs can drive planted scenarios through
     * every stage (the harness corpus has no EXACT duplicates, so stage 1
     * is only non-vacuous on synthetic input). */
-  private[graft] def curationV2Of(docs: DataFrame,
-      members: DataFrame, setPairs: DataFrame, contaminationPairs: DataFrame): DataFrame = {
-    // 1. exact dedup
+  /** Stage-1 joint of [[curationV2Of]]: the exact-dedup keep list applied
+    * back to the corpus as a LEFT SEMI join on doc_id. At harness SF the
+    * keep list fits a broadcast; at 100 TB it is corpus-sized and AQE
+    * flips the build side to a shuffle join — ScaleSpec pins that the
+    * flip changes the plan, not the survivors (the broadcast here is a
+    * size decision, never a correctness dependency). */
+  private[graft] def exactKeepSurvivors(docs: DataFrame): DataFrame = {
     val keep1 = docs
       .groupBy(TextAnalysis.contentFingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val d1 = docs.join(keep1, Seq("doc_id"), "left_semi")
+    docs.join(keep1, Seq("doc_id"), "left_semi")
+  }
+
+  private[graft] def curationV2Of(docs: DataFrame,
+      members: DataFrame, setPairs: DataFrame, contaminationPairs: DataFrame): DataFrame = {
+    // 1. exact dedup
+    val d1 = exactKeepSurvivors(docs)
     // 2. fuzzy dedup over the SHARED memoized tier outputs (the q27/q56
     //    pipeline is not recomputed); pairs(d1) = pairs(full) ∩ d1×d1
     //    because Jaccard is pairwise.

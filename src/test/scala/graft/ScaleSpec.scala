@@ -146,6 +146,32 @@ class ScaleSpec extends AnyFunSuite {
     } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("q83 keep-list semi-join survives the build-side flip (broadcast → shuffle)") {
+    // VERDICT r5 #5: at harness SF the exact-dedup keep list broadcasts;
+    // at 100 TB it is corpus-sized and AQE picks a shuffle build. Prove
+    // the broadcast is a size decision, not a correctness dependency:
+    // with broadcast disabled the SAME joint plans as a shuffle-side
+    // LeftSemi and returns the identical survivor set.
+    import graft.analytics.PipelineQueries
+    val docs = Tables.documents(spark, TestSpark.SfDir)
+    val want = PipelineQueries.exactKeepSurvivors(docs)
+      .select($"doc_id").as[Long].collect().toSet
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val flipped = PipelineQueries.exactKeepSurvivors(docs)
+      val got = flipped.select($"doc_id").as[Long].collect().toSet // finalizes AQE
+      val finalPlan = (flipped.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+      assert(!finalPlan.contains("BroadcastHashJoin"), finalPlan)
+      assert(finalPlan.contains("LeftSemi"), finalPlan)
+      assert(got == want)
+      assert(want.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("partitioned layout prunes directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val events = Tables.events(spark, TestSpark.SfDir)

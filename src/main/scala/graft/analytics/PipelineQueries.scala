@@ -395,6 +395,29 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Frozen-quantizer index append (q101) — FAISS add-to-trained-index as
+    * a committed-layout operation, the daily-ingest maintenance shape at
+    * 100 TB: the standing corpus (vec_id % 4 != 3) builds the layout once;
+    * the delta (% 4 == 3) is assigned + residual-encoded with the
+    * COMMITTED centroids/codebooks (one map-only projection over the
+    * delta alone — the standing corpus is neither re-read nor re-encoded)
+    * and committed as its own cell-partitioned segment; the search unions
+    * all committed segments. Encoding is per-vector under a frozen
+    * quantizer, so the union is bit-identical to a frozen-quantizer
+    * encode of the combined corpus — which is what the oracle replicates
+    * (the q81 SQL with its seed CTEs restricted to the base corpus). */
+  def annIndexedAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.IvfPqIndex
+    val embs = Tables.embeddings(spark, dir)
+    val idx = IvfPqIndex.ensure(spark, embs.filter(col("vec_id") % 4 =!= 3),
+      "vec_id", "embedding")
+    IvfPqIndex.append(spark, idx, embs.filter(col("vec_id") % 4 === 3),
+      "vec_id", "embedding")
+    IvfPqIndex
+      .search(spark, idx, embs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** SemDeDup keep decisions over the embeddings table — see
     * [[graft.similarity.SemDedup]]. Seeded cells (oracle-portable), exact
     * cosine fold, order-free lower-id dominance → every keep bit
@@ -1504,7 +1527,8 @@ object PipelineQueries {
     "q88_ann_recall" -> (annRecallAudit _),
     "q98_ann_indexed" -> (annIndexed _),
     "q99_compaction_publish" -> (compactionPublish _),
-    "q100_stream_ingest_dedup" -> (streamingIncrementalDedup _))
+    "q100_stream_ingest_dedup" -> (streamingIncrementalDedup _),
+    "q101_ann_index_append" -> (annIndexedAppend _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2099,7 +2123,12 @@ object PipelineQueries {
     "q98_ann_indexed" -> ivfPqResidualOracleSql,
     "q81_ann_ivfpq_residual" -> ivfPqResidualOracleSql)
 
-  private lazy val ivfPqResidualOracleSql: String = {
+  /** The q81/q98 oracle, parameterized by the predicate that selects the
+    * corpus the QUANTIZER is trained on (`seedWhere` restricts only the
+    * cell-seed and codebook-seed CTEs; assignment, encode, and search
+    * always span the full corpus). `TRUE` = the classic build; q101 passes
+    * the base-corpus predicate to replicate a frozen-quantizer append. */
+  private def ivfPqResidualOracleSqlSeeded(seedWhere: String): String = {
       // q80's oracle with the FAISS residual step spliced in: residuals are
       // elementwise CAST-to-DOUBLE subtracts (one IEEE op per element, so
       // corpus residuals, the residual-seeded codebooks, and both folds
@@ -2116,7 +2145,7 @@ object PipelineQueries {
       val resOf = (vec: String, cvec: String) =>
         s"list_transform(range(1, ${Dim + 1}), j -> CAST($vec[j] AS DOUBLE) - CAST($cvec[j] AS DOUBLE))"
       s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, vec_id AS cid, embedding AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND ($seedWhere) ORDER BY vec_id LIMIT 16)),
          |sims AS (SELECT e.vec_id, cen.cell,
          |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
          |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
@@ -2129,7 +2158,7 @@ object PipelineQueries {
          |res AS (SELECT a.vec_id, a.cell, ${resOf("e.embedding", "c.cvec")} AS rvec
          |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id JOIN cen c ON c.cell = a.cell),
          |rs AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, rvec AS sv
-         |  FROM (SELECT vec_id, rvec FROM res WHERE vec_id NOT IN (SELECT cid FROM cen)
+         |  FROM (SELECT vec_id, rvec FROM res WHERE vec_id NOT IN (SELECT cid FROM cen) AND ($seedWhere)
          |        ORDER BY vec_id LIMIT $Ksub)),
          |psub AS (SELECT CAST(g.s AS INTEGER) AS subspace, rs.code, rs.sv
          |  FROM rs CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
@@ -2155,7 +2184,14 @@ object PipelineQueries {
          |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
   }
 
+  private lazy val ivfPqResidualOracleSql: String = ivfPqResidualOracleSqlSeeded("TRUE")
+
   private val oracleTail: Map[String, String] = Map(
+    // q101: the q81 SQL with the quantizer-training CTEs (cells +
+    // codebook seeds) restricted to the BASE corpus — assignment, encode,
+    // and search still span base ∪ delta, exactly the frozen-quantizer
+    // append the engine commits as layout segments.
+    "q101_ann_index_append" -> ivfPqResidualOracleSqlSeeded("vec_id % 4 <> 3"),
     // q100: the streamed ingest's appended rows == the batch anti-join
     // with the min-id keeper (q25's rule) in SQL. Single AvailableNow
     // batch keeps the keeper oracle-portable; multi-batch order effects

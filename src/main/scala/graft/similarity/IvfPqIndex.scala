@@ -67,6 +67,12 @@ object IvfPqIndex {
       val st = p.getFileSystem(conf).getFileStatus(p)
       md.update(s"$f|${st.getLen}|${st.getModificationTime}\n".getBytes("UTF-8"))
     }
+    // The logical definition, not just the files: two corpora can SHARE
+    // backing files and still be different corpora (q101's base is a
+    // filtered view of the q98 table — same parquet, different rows).
+    // The canonicalized plan normalizes expression ids, so the digest is
+    // stable across sessions and JVMs for the same definition.
+    md.update(corpus.queryExecution.analyzed.canonicalized.toString.getBytes("UTF-8"))
     md.digest().take(8).map("%02x".format(_)).mkString
   }
 
@@ -188,6 +194,67 @@ object IvfPqIndex {
       .write.parquet(s"$loc/meta")
   }
 
+  /** Append a delta corpus to a committed layout with the quantizer
+    * FROZEN — FAISS's add-to-trained-index semantics, and the index
+    * maintenance shape at 100 TB: a daily ingest must not re-train or
+    * re-encode the standing corpus, so the delta is assigned and
+    * residual-encoded with the layout's COMMITTED centroids/codebooks
+    * (one map-only projection over the delta alone) and committed as its
+    * own segment `delta_<sig>/codes`, partitioned by cell like the base.
+    * [[search]] unions every committed segment, so a layout is base +
+    * appends — a mini log-structured table, compacted naturally whenever
+    * the corpus snapshot changes (new tag ⇒ full rebuild folds the
+    * segments in).
+    *
+    * Idempotent by construction: the segment is tagged with the delta's
+    * file signature — a re-append of the same delta resolves to the same
+    * committed segment and is skipped; a partial write (no `_SUCCESS`)
+    * is deleted and re-encoded. Encoding is per-vector given frozen
+    * codebooks, so base segment ∪ delta segments is bit-identical to a
+    * frozen-quantizer encode of the combined corpus — which is exactly
+    * what the q101 oracle replicates in SQL. */
+  def append(spark: SparkSession, idx: Committed, delta: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    import graft.functions.IvfFunctions.nearest_cells
+    import graft.functions.PqFunctions.pq_encode
+    val p = idx.params
+    val seg = new org.apache.hadoop.fs.Path(
+      idx.location, s"delta_${corpusSignature(spark, delta)}")
+    val fs = seg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(seg, "codes/_SUCCESS"))) return
+    if (fs.exists(seg)) fs.delete(seg, true)
+    val res = residual(idx.cellMatrix) _
+    delta
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) >= p.dim)
+      .select(
+        col(idCol).as("neighbor_id"),
+        element_at(nearest_cells(col(vecCol), idx.cellMatrix, 1), 1).as("cell"),
+        col(vecCol))
+      .withColumn("rvec", res(col(vecCol), col("cell")))
+      .select(col("neighbor_id"), col("cell"),
+        pq_encode(col("rvec"), idx.codebooks).as("enc"))
+      .filter(col("enc").isNotNull)
+      .select(col("neighbor_id"), col("cell"),
+        transform(col("enc"), e => e.getField("code")).as("codes"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$seg/codes")
+  }
+
+  /** All committed code-segment locations of a layout: the base build
+    * plus every `delta_*` segment whose write completed (`_SUCCESS`).
+    * O(#segments) driver listing — the cost of planning the scan. */
+  private[graft] def codeSegments(spark: SparkSession, idx: Committed): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(idx.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta_"))
+      .map(_.getPath)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "codes/_SUCCESS")))
+      .map(d => s"$d/codes")
+      .sorted
+    s"${idx.location}/codes" +: deltas.toSeq
+  }
+
   /** Load the sidecar (one-row collect) and wrap the layout. */
   private def load(spark: SparkSession, loc: String, p: Params): Committed = {
     val row = spark.read.parquet(s"$loc/meta").head()
@@ -223,7 +290,13 @@ object IvfPqIndex {
     // Probed-cell set: ≤ nlist ints (bounded by the layout, not the
     // batch) — collected so the code scan prunes partitions STATICALLY.
     val probed = routed.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val codes = spark.read.parquet(s"${idx.location}/codes")
+    // Base segment + every committed delta segment (see [[append]]), one
+    // scan each unioned (a single multi-path read trips partition
+    // discovery across the different roots); the probed-cell filter
+    // pushes through the Union into every segment's partition pruning.
+    val codes = codeSegments(spark, idx)
+      .map(seg => spark.read.parquet(seg))
+      .reduce(_.unionByName(_))
       .where(col("cell").isin(probed.map(Integer.valueOf): _*))
       .select(col("neighbor_id"), col("cell"),
         transform(col("codes"),

@@ -70,6 +70,53 @@ class IvfPqIndexSpec extends AnyFunSuite {
     rmrf(dir)
   }
 
+  test("frozen-quantizer append: delta committed once, searched, replay-safe") {
+    val base = embs.filter(col("vec_id") % 4 =!= 3)
+    val delta = embs.filter(col("vec_id") % 4 === 3)
+    val idx = IvfPqIndex.ensure(spark, base, "vec_id", "embedding")
+    // The filtered base shares files with the full corpus — the layout tag
+    // must still be its own (the full-corpus layout would carry the delta
+    // vectors already encoded).
+    assert(idx.location != IvfPqIndex.ensure(spark, embs, "vec_id", "embedding").location)
+
+    IvfPqIndex.append(spark, idx, delta, "vec_id", "embedding")
+    def codeCount() = IvfPqIndex.codeSegments(spark, idx)
+      .map(seg => spark.read.parquet(seg).count()).sum
+    val afterFirst = codeCount()
+    assert(afterFirst == embs.filter(col("embedding").isNotNull).count(),
+      "base segment + delta segment must cover the combined corpus exactly once")
+    // Replay: the same delta re-appends to the SAME committed segment.
+    IvfPqIndex.append(spark, idx, delta, "vec_id", "embedding")
+    assert(codeCount() == afterFirst, "re-appending an identical delta must be a no-op")
+
+    // The appended index genuinely serves delta vectors: some query's
+    // top-k contains a % 4 == 3 neighbor (1/4 of the corpus — vacuity
+    // here would mean the segments aren't searched).
+    val got = IvfPqIndex.search(spark, idx, queries, "vec_id", "embedding", k = 10)
+    assert(got.filter(col("neighbor_id") % 4 === 3).count() > 0,
+      "no delta neighbor in any top-k: appended segments not searched")
+  }
+
+  test("a partial delta segment (no _SUCCESS) is re-encoded, not served") {
+    val base = embs.filter(col("vec_id") % 4 =!= 3)
+    val delta = embs.filter(col("vec_id") % 4 === 3)
+    val idx = IvfPqIndex.ensure(spark, base, "vec_id", "embedding")
+    IvfPqIndex.append(spark, idx, delta, "vec_id", "embedding")
+    val seg = IvfPqIndex.codeSegments(spark, idx).find(_.contains("delta_")).get
+    val success = new java.io.File(new java.net.URI(s"$seg/_SUCCESS"))
+    assert(success.exists())
+    // Sabotage: drop the commit marker — the segment must vanish from the
+    // search surface, and the next append must rebuild it whole.
+    success.delete()
+    assert(!IvfPqIndex.codeSegments(spark, idx).exists(_.contains("delta_")),
+      "an uncommitted segment must not be served")
+    IvfPqIndex.append(spark, idx, delta, "vec_id", "embedding")
+    assert(IvfPqIndex.codeSegments(spark, idx).exists(_.contains("delta_")))
+    assert(IvfPqIndex.codeSegments(spark, idx)
+      .map(seg => spark.read.parquet(seg).count()).sum ==
+      embs.filter(col("embedding").isNotNull).count())
+  }
+
   test("code scan prunes to the probed cells") {
     val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
     val oneQuery = embs.filter(col("vec_id") === 0)

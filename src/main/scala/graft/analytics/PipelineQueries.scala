@@ -418,6 +418,53 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Epoch seed for [[trainingShards]] — a NEW tag is a new deterministic
+    * permutation (the per-epoch reshuffle), with zero RNG state to
+    * checkpoint or coordinate across executors. Shared with the q102
+    * oracle (generated-constant pattern, as q77/q86). */
+  val EpochSeedTag = "epoch:1"
+
+  /** Shard fan-out for [[trainingShards]] — 8 at harness SF; at 100 TB
+    * this is the data-parallel worker count. */
+  val TrainingShardCount = 8
+
+  /** Training-order shuffle + length-bucketed batching (q102) — the
+    * serving step between packing (q72) and the trainer: every epoch
+    * needs a global permutation of the corpus, and naive implementations
+    * either globally sort (one total-order Exchange over everything) or
+    * keep RNG state per worker (irreproducible under retry). Here the
+    * permutation is a SEEDED CONTENT HASH: shard =
+    * h31(md5(seed | text)) mod [[TrainingShardCount]] — map-only, stable
+    * under repartitioning, retry, and engine change; a new
+    * [[EpochSeedTag]] is a fresh permutation. Within a shard, docs
+    * length-bucket by ⌊log₂(n_tokens)⌋ (`length(bin(n))` — exact integer
+    * in both engines), the dynamic-batching trick that bounds padding
+    * waste to <2× instead of max_len/len. Emits per (shard, bucket):
+    * docs, token sum, bucket max, and the exact padding overhead a
+    * pad-to-bucket-max batcher would spend — all integers, hash-exact.
+    * Scale shape: one map-only projection + one two-phase hash aggregate
+    * to shards×buckets rows; the corpus is never sorted and never
+    * shuffled beyond the output aggregate. */
+  def trainingShards(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("shard", pmod(
+        graft.functions.PortableHashFunctions
+          .md5_token_hashes(array(concat(lit(EpochSeedTag + "|"), col("text"))), bits = 31)
+          .getItem(0),
+        lit(TrainingShardCount)))
+      .withColumn("len_bucket", length(bin(col("n_tokens").cast("bigint"))))
+    docs
+      .groupBy(col("shard"), col("len_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .withColumn("padding_tokens",
+        col("max_tokens").cast("long") * col("n_docs") - col("sum_tokens"))
+      .orderBy(col("shard"), col("len_bucket"))
+  }
+
   /** SemDeDup keep decisions over the embeddings table — see
     * [[graft.similarity.SemDedup]]. Seeded cells (oracle-portable), exact
     * cosine fold, order-free lower-id dominance → every keep bit
@@ -1528,7 +1575,8 @@ object PipelineQueries {
     "q98_ann_indexed" -> (annIndexed _),
     "q99_compaction_publish" -> (compactionPublish _),
     "q100_stream_ingest_dedup" -> (streamingIncrementalDedup _),
-    "q101_ann_index_append" -> (annIndexedAppend _))
+    "q101_ann_index_append" -> (annIndexedAppend _),
+    "q102_training_shards" -> (trainingShards _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2192,6 +2240,19 @@ object PipelineQueries {
     // and search still span base ∪ delta, exactly the frozen-quantizer
     // append the engine commits as layout segments.
     "q101_ann_index_append" -> ivfPqResidualOracleSqlSeeded("vec_id % 4 <> 3"),
+    // q102: shard/bucket/padding all integers; the seed tag and shard
+    // count are the engine's own constants (generated-constant pattern).
+    "q102_training_shards" ->
+      s"""SELECT shard, len_bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  MAX(n_tokens) AS max_tokens,
+         |  CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS padding_tokens
+         |FROM (SELECT
+         |    ${graft.functions.Md5Hash.duckH31(s"'$EpochSeedTag|' || text")} % $TrainingShardCount AS shard,
+         |    length(bin(CAST(len(str_split(text, ' ')) AS BIGINT))) AS len_bucket,
+         |    len(str_split(text, ' ')) AS n_tokens
+         |  FROM documents)
+         |GROUP BY shard, len_bucket ORDER BY shard, len_bucket""".stripMargin,
     // q100: the streamed ingest's appended rows == the batch anti-join
     // with the min-id keeper (q25's rule) in SQL. Single AvailableNow
     // batch keeps the keeper oracle-portable; multi-batch order effects

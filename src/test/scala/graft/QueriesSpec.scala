@@ -161,6 +161,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(nWindows == 1, "48 tokens pack into one 2048-token window")
   }
 
+  test("q102 training shards: docs conserved, padding bounded, epoch seed re-permutes") {
+    import graft.analytics.PipelineQueries
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.SfDir)
+    val out = PipelineQueries.trainingShards(spark, TestSpark.SfDir)
+      .as[(Long, Int, Long, Long, Int, Long)].collect()
+    // Every document lands in exactly one (shard, bucket).
+    assert(out.map(_._3).sum == docs.count())
+    assert(out.map(_._1).forall(s => s >= 0 && s < PipelineQueries.TrainingShardCount))
+    // The log2 bucket bound is the whole point of length bucketing: within
+    // a bucket max < 2·min, so pad-to-max waste stays under the payload.
+    out.foreach { case (shard, bucket, nDocs, sumTokens, maxTokens, padding) =>
+      assert(padding == maxTokens.toLong * nDocs - sumTokens)
+      assert(padding < sumTokens,
+        s"shard $shard bucket $bucket: padding $padding >= payload $sumTokens")
+    }
+    // A different epoch tag is a genuinely different permutation: at least
+    // one document changes shard (content-hash seeded, no RNG state).
+    import org.apache.spark.sql.functions._
+    def shardsFor(tag: String) = docs.select(col("doc_id"), pmod(
+      graft.functions.PortableHashFunctions
+        .md5_token_hashes(array(concat(lit(tag + "|"), col("text"))), bits = 31)
+        .getItem(0),
+      lit(PipelineQueries.TrainingShardCount)).as("shard"))
+    val moved = shardsFor(PipelineQueries.EpochSeedTag).as("a")
+      .join(shardsFor("epoch:2").as("b"), Seq("doc_id"))
+      .filter(col("a.shard") =!= col("b.shard"))
+      .count()
+    assert(moved > 0, "epoch:2 produced the identical permutation")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

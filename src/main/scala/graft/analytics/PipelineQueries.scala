@@ -465,6 +465,95 @@ object PipelineQueries {
       .orderBy(col("shard"), col("len_bucket"))
   }
 
+  /** Range fan-out for [[rangeBoundaries]] (the target partition count of
+    * the sorted write; at 100 TB this is thousands). */
+  val RangeFanout = 8
+
+  /** Exact range-partition boundaries + balance audit (q103) — the op
+    * under every sorted table write and total-order job at scale: Spark's
+    * RangePartitioner SAMPLES the key column to pick boundaries; this is
+    * the exact equi-depth version, built scalably and auditable by hash:
+    *
+    *   1. distinct-key histogram (one two-phase aggregate; for a value
+    *      domain like prices the histogram is orders of magnitude smaller
+    *      than the data);
+    *   2. exact cumulative counts over the histogram via the sharded
+    *      [[graft.operators.PrefixSum]] (monotone `floor(k/1024)` shard
+    *      key — no single-reducer global window);
+    *   3. boundary i = smallest key with cumcount ≥ ⌊i·n/fanout⌋ — ONE
+    *      small aggregate, 7 doubles collected (sketch-sized);
+    *   4. range assignment is map-only (`Σ k > bᵢ` against broadcast
+    *      scalars); the audit emits per range: rows, min/max key, and the
+    *      hi boundary.
+    *
+    * No float arithmetic anywhere — boundaries are data values selected
+    * by integer rank, comparisons are raw-double compares — so the whole
+    * spec, including the balance proof, hash-checks against DuckDB.
+    * Heavy key ties can starve a range (both engines agree on the rule);
+    * the spec pins near-balance on this data. */
+  def rangeBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("k"))
+    val n = li.count()
+    val hist = li.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val cum = graft.operators.PrefixSum
+      .runningSum(hist, Seq.empty, Seq("k"), "c", floor(col("k") / 1024), "cc")
+    val ranks = (1 until RangeFanout).map(i => i.toLong * n / RangeFanout)
+    val bRow = cum
+      .agg(
+        min(when(col("cc") >= ranks.head, col("k"))).as("b0"),
+        ranks.tail.map(r => min(when(col("cc") >= r, col("k"))).as(s"b$r")): _*)
+      .head()
+    val bs = (0 until RangeFanout - 1).map(bRow.getDouble)
+    val rangeId = bs.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("k") > lit(b), 1).otherwise(0)
+    }
+    val hiBoundary = bs.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (b, idx)) => when(col("range_id") === idx, lit(b)).otherwise(acc)
+    }
+    li.withColumn("range_id", rangeId)
+      .groupBy(col("range_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+      .withColumn("hi_boundary", hiBoundary)
+      .orderBy(col("range_id"))
+  }
+
+  /** Corpus snapshot diff (q104) — the reconciliation/CDC-audit shape
+    * behind every snapshot publish and backfill: given yesterday's corpus
+    * and today's, classify every doc_id as added / deleted / changed /
+    * unchanged by CONTENT fingerprint, not by metadata. Shape: map-only
+    * md5 fingerprint on both sides, ONE full-outer equi-join on the
+    * 8-byte id, map-only classification — the diff costs one shuffle of
+    * (id, 16-byte fp) pairs regardless of document size, because the
+    * text never crosses the Exchange. Snapshots here are derived
+    * deterministically from the documents table (old = ids % 5 ∉ {1},
+    * new = ids % 5 ∉ {3} with % 5 == 2 texts revised), so the oracle
+    * replays the same derivation. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = TextAnalysis.contentFingerprint(col("text"))
+    val oldSnap = docs.filter(col("doc_id") % 5 =!= 1)
+      .select(col("doc_id"), fp.as("old_fp"))
+    val newSnap = docs.filter(col("doc_id") % 5 =!= 3)
+      .select(col("doc_id"),
+        TextAnalysis.contentFingerprint(
+          when(col("doc_id") % 5 === 2, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("new_fp"))
+    oldSnap
+      .join(newSnap, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "deleted")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("status"))
+  }
+
   /** SemDeDup keep decisions over the embeddings table — see
     * [[graft.similarity.SemDedup]]. Seeded cells (oracle-portable), exact
     * cosine fold, order-free lower-id dominance → every keep bit
@@ -1576,7 +1665,9 @@ object PipelineQueries {
     "q99_compaction_publish" -> (compactionPublish _),
     "q100_stream_ingest_dedup" -> (streamingIncrementalDedup _),
     "q101_ann_index_append" -> (annIndexedAppend _),
-    "q102_training_shards" -> (trainingShards _))
+    "q102_training_shards" -> (trainingShards _),
+    "q103_range_boundaries" -> (rangeBoundaries _),
+    "q104_snapshot_diff" -> (snapshotDiff _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2240,6 +2331,41 @@ object PipelineQueries {
     // and search still span base ∪ delta, exactly the frozen-quantizer
     // append the engine commits as layout segments.
     "q101_ann_index_append" -> ivfPqResidualOracleSqlSeeded("vec_id % 4 <> 3"),
+    // q104: both engines fingerprint with md5 over the same derived
+    // snapshots; the diff is pure string equality + integer counts.
+    "q104_snapshot_diff" ->
+      """WITH oldsnap AS (SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 5 <> 1),
+        |newsnap AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 2 THEN text || ' v2' ELSE text END) AS new_fp
+        |  FROM documents WHERE doc_id % 5 <> 3),
+        |d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.old_fp IS NULL THEN 'added'
+        |         WHEN n.new_fp IS NULL THEN 'deleted'
+        |         WHEN o.old_fp <> n.new_fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
+        |SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
+    // q103: boundaries are DATA VALUES selected by integer rank over the
+    // distinct-key cumulative histogram (no float arithmetic, no
+    // interpolation) — both engines pick identical doubles, so ranges,
+    // counts, and min/max hash-match. `//` is DuckDB integer division,
+    // mirroring the engine's Long rank math.
+    "q103_range_boundaries" ->
+      s"""WITH n AS (SELECT COUNT(*) AS n FROM lineitem),
+         |h AS (SELECT l_extendedprice AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+         |cum AS (SELECT k, SUM(c) OVER (ORDER BY k) AS cc FROM h),
+         |b AS (SELECT g.i AS i,
+         |    MIN(CASE WHEN cum.cc >= (g.i * n.n) // $RangeFanout THEN cum.k END) AS bk
+         |  FROM cum CROSS JOIN n CROSS JOIN
+         |    (SELECT UNNEST(range(1, $RangeFanout)) AS i) g
+         |  GROUP BY g.i),
+         |r AS (SELECT l.l_extendedprice AS k,
+         |    (SELECT COUNT(*) FROM b WHERE l.l_extendedprice > b.bk) AS range_id
+         |  FROM lineitem l)
+         |SELECT range_id, COUNT(*) AS n_rows, MIN(k) AS min_key, MAX(k) AS max_key,
+         |  (SELECT bk FROM b WHERE b.i = range_id + 1) AS hi_boundary
+         |FROM r GROUP BY range_id ORDER BY range_id""".stripMargin,
     // q102: shard/bucket/padding all integers; the seed tag and shard
     // count are the engine's own constants (generated-constant pattern).
     "q102_training_shards" ->

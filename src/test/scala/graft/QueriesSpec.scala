@@ -192,6 +192,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(moved > 0, "epoch:2 produced the identical permutation")
   }
 
+  test("q103 range boundaries: ranges are key-disjoint, ordered, and near-balanced") {
+    import graft.analytics.PipelineQueries
+    import spark.implicits._
+    val out = PipelineQueries.rangeBoundaries(spark, TestSpark.SfDir)
+      .as[(Int, Long, Double, Double, Option[Double])].collect()
+    val n = out.map(_._2).sum
+    val expected = n / PipelineQueries.RangeFanout
+    out.foreach { case (id, rows, minK, maxK, hi) =>
+      assert(minK <= maxK)
+      // Every non-final range ends at its boundary (the assignment rule).
+      hi.foreach(b => assert(maxK <= b, s"range $id leaks past its boundary"))
+      // Equi-depth on this data: within 2× of perfect balance.
+      assert(rows <= 2 * expected && rows >= expected / 2,
+        s"range $id has $rows rows vs expected ~$expected")
+    }
+    // Ranges tile the key space in order without overlap.
+    out.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, "adjacent ranges overlap")
+      case _ =>
+    }
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

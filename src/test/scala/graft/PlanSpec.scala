@@ -196,4 +196,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
     assert(df.count() == 1)
   }
+
+  test("q102: epoch sharding is one aggregate over a map-only projection — no window, no join") {
+    val p = planOf("q102_training_shards")
+    assert(!p.contains("Window"), s"shard assignment must not sort the corpus:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count") || p.contains("partial"), // two-phase aggregate
+      s"expected a partial/final aggregate pair:\n$p")
+  }
+
+  test("q103: range assignment is map-only against broadcast scalars — no join, no global window") {
+    // The registered frame is the post-collect assignment query; the
+    // boundary extraction ran as separate bounded jobs before it.
+    val p = planOf("q103_range_boundaries")
+    assert(!p.contains("Join"), s"assignment must compare against literals, not join:\n$p")
+    assert(!p.contains("Window"), s"no global window may survive into the assignment:\n$p")
+  }
+
+  test("q104: snapshot diff is one equi-join carrying only (id, fp)") {
+    val p = planOf("q104_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("NestedLoop"), p)
+    // Column pruning: the scans read only doc_id + text (fingerprint
+    // computed map-side; no other column crosses the plan).
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
 }

@@ -172,6 +172,42 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("CBO: computed table statistics drive the broadcast decision") {
+    // The compile-time sibling of the pinned runtime levers (DPP, bloom,
+    // skew): on a cluster, ANALYZE TABLE statistics let the planner pick
+    // broadcast sides and join orders BEFORE runtime. Pin the mechanism:
+    // a catalog table whose stats say "tiny" broadcasts under CBO even
+    // when file-size estimation alone would not be trusted, and the
+    // stats actually land in the catalog.
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_dim")
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_fact")
+      Tables.nation(spark, TestSpark.SfDir).write.saveAsTable("graft_cbo_dim")
+      Tables.customer(spark, TestSpark.SfDir).write.saveAsTable("graft_cbo_fact")
+      spark.sql("ANALYZE TABLE graft_cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+      spark.sql("ANALYZE TABLE graft_cbo_fact COMPUTE STATISTICS FOR ALL COLUMNS")
+      // Stats are in the catalog (rowCount present ⇒ CBO has cardinality).
+      val described = spark.sql("DESC EXTENDED graft_cbo_dim")
+        .filter($"col_name" === "Statistics").select("data_type").head().getString(0)
+      assert(described.contains("rows"), s"no row stats in catalog: $described")
+      val joined = spark.sql(
+        """SELECT f.c_custkey, d.n_name FROM graft_cbo_fact f
+          |JOIN graft_cbo_dim d ON f.c_nationkey = d.n_nationkey""".stripMargin)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"stats-known tiny dim did not broadcast:\n$p")
+      assert(joined.count() == Tables.customer(spark, TestSpark.SfDir).count())
+    } finally {
+      olds.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_dim")
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_fact")
+    }
+  }
+
   test("partitioned layout prunes directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val events = Tables.events(spark, TestSpark.SfDir)

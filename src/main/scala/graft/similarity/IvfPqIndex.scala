@@ -224,7 +224,7 @@ object IvfPqIndex {
     if (fs.exists(new org.apache.hadoop.fs.Path(seg, "codes/_SUCCESS"))) return
     if (fs.exists(seg)) fs.delete(seg, true)
     val res = residual(idx.cellMatrix) _
-    delta
+    val encoded = delta
       .filter(col(vecCol).isNotNull && size(col(vecCol)) >= p.dim)
       .select(
         col(idCol).as("neighbor_id"),
@@ -236,6 +236,11 @@ object IvfPqIndex {
       .filter(col("enc").isNotNull)
       .select(col("neighbor_id"), col("cell"),
         transform(col("enc"), e => e.getField("code")).as("codes"))
+    // An empty delta (no indexable vectors today) must not commit: a
+    // segment with _SUCCESS but zero part files fails schema inference on
+    // every later read, poisoning the layout's whole search surface.
+    if (encoded.limit(1).count() == 0) return
+    encoded
       .repartition(col("cell"))
       .write.partitionBy("cell").parquet(s"$seg/codes")
   }

@@ -97,6 +97,17 @@ class IvfPqIndexSpec extends AnyFunSuite {
       "no delta neighbor in any top-k: appended segments not searched")
   }
 
+  test("an empty delta commits nothing and leaves search intact") {
+    val base = embs.filter(col("vec_id") % 4 =!= 3)
+    val idx = IvfPqIndex.ensure(spark, base, "vec_id", "embedding")
+    val before = IvfPqIndex.codeSegments(spark, idx)
+    IvfPqIndex.append(spark, idx, embs.filter(col("vec_id") < -1), "vec_id", "embedding")
+    assert(IvfPqIndex.codeSegments(spark, idx) == before,
+      "an empty delta must not commit a segment (a part-file-less parquet " +
+        "dir fails schema inference on every later search)")
+    assert(IvfPqIndex.search(spark, idx, queries, "vec_id", "embedding", k = 5).count() > 0)
+  }
+
   test("a partial delta segment (no _SUCCESS) is re-encoded, not served") {
     val base = embs.filter(col("vec_id") % 4 =!= 3)
     val delta = embs.filter(col("vec_id") % 4 === 3)

@@ -554,6 +554,58 @@ object PipelineQueries {
       .orderBy(col("status"))
   }
 
+  /** Morton-spread rounds shared by the engine and the q105 oracle
+    * (generated-constant pattern): OR-in a shifted copy, mask — after the
+    * four rounds a 16-bit value occupies the even bit positions. */
+  val MortonRounds: Seq[(Int, Long)] = Seq(
+    8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
+
+  /** Top-bits bucket shift for [[zorderLayout]]: with two ≤10-bit dims the
+    * z-value is ≤20 bits; dropping 12 keeps the top 4 bits of EACH dim, so
+    * within a bucket both dims span < 2⁶ — the guarantee the spec pins. */
+  val ZBucketShift = 12
+
+  private def mortonSpread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    MortonRounds.foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFL))) {
+      case (acc, (sh, mask)) => acc.bitwiseOR(shiftleft(acc, sh)).bitwiseAND(lit(mask))
+    }
+
+  private def duckMortonSpread(x: String): String =
+    MortonRounds.foldLeft(s"($x & 65535)") {
+      case (acc, (sh, mask)) => s"(($acc | ($acc << $sh)) & $mask)"
+    }
+
+  /** Z-order (Morton) clustering audit (q105) — the multi-dimensional
+    * lake layout (Delta/Iceberg `OPTIMIZE ZORDER BY`): a table sorted by
+    * ONE column gives min/max file skipping on that column only; sorting
+    * by the interleaved bits of TWO columns gives useful min/max ranges
+    * on BOTH at once. The z-value is pure integer bit arithmetic
+    * (identical in both engines); the audit buckets rows by the top z
+    * bits — each bucket is what one output file would hold after a
+    * z-ordered write — and emits per bucket the row count and BOTH dims'
+    * min/max, whose spans are < 2⁶ by construction (top 4 bits of each
+    * dim pinned). Hour index is relative to the corpus minimum (one
+    * sketch-sized collect) so both dims genuinely fit 16 bits. Scale
+    * shape: map-only z computation, one aggregate to ≤2¹² rows; the
+    * z-sorted WRITE itself is q103's range machinery applied to z. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("cast(ts as long) div 3600").as("h"))
+    val hmin = ev.agg(min(col("h"))).head().getLong(0)
+    val z = mortonSpread(col("user_id"))
+      .bitwiseOR(shiftleft(mortonSpread(col("h") - lit(hmin)), 1))
+    ev
+      .withColumn("hour_idx", col("h") - lit(hmin))
+      .withColumn("zbucket", shiftright(z, ZBucketShift))
+      .groupBy(col("zbucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        min(col("hour_idx")).as("min_hour"), max(col("hour_idx")).as("max_hour"))
+      .orderBy(col("zbucket"))
+      .drop("h")
+  }
+
   /** SemDeDup keep decisions over the embeddings table — see
     * [[graft.similarity.SemDedup]]. Seeded cells (oracle-portable), exact
     * cosine fold, order-free lower-id dominance → every keep bit
@@ -1667,7 +1719,8 @@ object PipelineQueries {
     "q101_ann_index_append" -> (annIndexedAppend _),
     "q102_training_shards" -> (trainingShards _),
     "q103_range_boundaries" -> (rangeBoundaries _),
-    "q104_snapshot_diff" -> (snapshotDiff _))
+    "q104_snapshot_diff" -> (snapshotDiff _),
+    "q105_zorder_layout" -> (zorderLayout _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2331,6 +2384,23 @@ object PipelineQueries {
     // and search still span base ∪ delta, exactly the frozen-quantizer
     // append the engine commits as layout segments.
     "q101_ann_index_append" -> ivfPqResidualOracleSqlSeeded("vec_id % 4 <> 3"),
+    // q105: the Morton interleave is pure integer bit arithmetic generated
+    // from the same round constants on both sides; epoch(ts) matches
+    // Spark's tz-free cast-to-long because both treat the stored value as
+    // an instant.
+    "q105_zorder_layout" -> {
+      val su = duckMortonSpread("user_id")
+      val sh = duckMortonSpread("(h - m.hmin)")
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h FROM events),
+         |m AS (SELECT MIN(h) AS hmin FROM e),
+         |z AS (SELECT e.user_id, e.h - m.hmin AS hour_idx,
+         |    ($su | ($sh << 1)) >> $ZBucketShift AS zbucket
+         |  FROM e CROSS JOIN m)
+         |SELECT zbucket, COUNT(*) AS n_rows,
+         |  MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+         |  MIN(hour_idx) AS min_hour, MAX(hour_idx) AS max_hour
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
     // q104: both engines fingerprint with md5 over the same derived
     // snapshots; the diff is pure string equality + integer counts.
     "q104_snapshot_diff" ->

@@ -214,6 +214,23 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q105 z-order: every bucket bounds BOTH dimensions' spans at once") {
+    import graft.analytics.PipelineQueries
+    import spark.implicits._
+    val out = PipelineQueries.zorderLayout(spark, TestSpark.SfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val events = Tables.events(spark, TestSpark.SfDir)
+    assert(out.map(_._2).sum == events.count())
+    // The whole point vs a single-column sort: the top-4-bits-per-dim
+    // bucket pins BOTH spans < 2^6 — min/max skipping works on user_id
+    // AND hour simultaneously (a user_id sort leaves hour spans at the
+    // full corpus range).
+    out.foreach { case (zb, _, minU, maxU, minH, maxH) =>
+      assert(maxU - minU < 64, s"bucket $zb user span ${maxU - minU}")
+      assert(maxH - minH < 64, s"bucket $zb hour span ${maxH - minH}")
+    }
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -154,8 +154,12 @@ object IncrementalDedup {
     * `incoming` must provide `idCol`; `fpCol` derives the fingerprint
     * from the incoming columns (e.g. TextAnalysis.tokenSetKey).
     *
-    * Corpus-scale note: step 3's anti-join shuffles the corpus KEYS when
-    * the flagged sliver is too big to broadcast; a production table keeps
+    * Corpus-scale note: the verification side is NOT a per-batch corpus
+    * rescan — corpus keys are persisted once per refresh window and each
+    * batch reads only the partitions appended since (partition-pruned on
+    * batch_id), so steady-state per-batch cost is the cached keys plus
+    * the recent tail. Step 3's anti-join shuffles those keys when the
+    * flagged sliver is too big to broadcast; a production table keeps
     * the corpus bucketed by fp (the q75 layout) so the verification join
     * co-locates instead. The sketch math already assumes cluster sizing —
     * see [[optimalNumBits]]'s conf note. */
@@ -166,20 +170,32 @@ object IncrementalDedup {
       fpp: Double = 0.01, refreshEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
     // Driver-held cache: sketch bytes, the expectedItems it was sized for
     // (incremental batch blooms must be built under the SAME sizing to
-    // stay merge-compatible), and batches since the last full rebuild.
+    // stay merge-compatible), batches since the last full rebuild, and
+    // the PERSISTED distinct corpus keys as of the last refresh — the
+    // verification join must not rescan the full corpus every batch, so
+    // between refreshes it reads the cache plus ONLY the partitions
+    // appended since (batch_id ≥ refresh point — partition-pruned). One
+    // cached frame (bounded: distinct keys) lives for the stream's
+    // lifetime and is swapped (unpersist + repersist) at each refresh.
     var sketch: Array[Byte] = null
     var sizingN = 1L
     var sinceRefresh = 0
+    var cachedKeys: DataFrame = null
+    var refreshAtBatch = 0L
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val others = spark.read.parquet(corpusDir)
-          .where(col("batch_id") =!= batchId)
-          .select(col("fp"))
         if (sketch == null || sinceRefresh >= refreshEvery) {
-          val n = others.distinct().count()
+          if (cachedKeys != null) cachedKeys.unpersist()
+          cachedKeys = spark.read.parquet(corpusDir)
+            .where(col("batch_id") < batchId)
+            .select(col("fp"))
+            .distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          refreshAtBatch = batchId
+          val n = cachedKeys.count()
           sizingN = math.max(n, 1L)
           sketch =
             if (n == 0) {
@@ -190,9 +206,17 @@ object IncrementalDedup {
               val out = new java.io.ByteArrayOutputStream()
               f.writeTo(out)
               out.toByteArray
-            } else snapshotBloom(others, col("fp"), expectedItems = sizingN, fpp = fpp)
+            } else snapshotBloom(cachedKeys, col("fp"), expectedItems = sizingN, fpp = fpp)
           sinceRefresh = 0
         }
+        // Exact corpus keys for verification: the refresh-time cache plus
+        // only the partitions appended at/after the refresh point (a
+        // pruned read of the new directories), own batch excluded either
+        // way so a replay re-derives identical survivors.
+        val others = cachedKeys
+          .unionByName(spark.read.parquet(corpusDir)
+            .where(col("batch_id") >= refreshAtBatch && col("batch_id") =!= batchId)
+            .select(col("fp")))
         // 1. min-id keeper per fingerprint within the batch.
         val keyed = batch.withColumn("fp", fpCol)
         val kept = keyed
@@ -205,7 +229,7 @@ object IncrementalDedup {
         val survivors = flagged.where(!col("_hit")).drop("_hit")
           .unionByName(
             flagged.where(col("_hit")).drop("_hit")
-              .join(others.distinct(), Seq("fp"), "left_anti"))
+              .join(others, Seq("fp"), "left_anti"))
           .persist()
         try {
           // 4. idempotent append: DPO of this batch's own partition.

@@ -39,9 +39,31 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
+  /** Invert Hive/Spark path escaping (`%xx` per special char, the
+    * ExternalCatalogUtils convention): directory names carry the ESCAPED
+    * partition value, but joins against the real column and the gate's
+    * report must use the actual value ('page view', not 'page%20view') —
+    * without this, any partition value containing a space/%/: drops every
+    * row of that partition from the rewrite and aborts the cycle. */
+  private[graft] def unescapePathName(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        val v = try Integer.parseInt(hex, 16) catch { case _: NumberFormatException => -1 }
+        if (v >= 0) { out.append(v.toChar); i += 3 }
+        else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Per-partition layout stats from a filesystem listing (metadata-only,
     * no data scan): (partition value, n_files, bytes). Hive-style single
-    * partition column (`col=value` directories). */
+    * partition column (`col=value` directories); values are UNESCAPED to
+    * the real column values. */
   def layoutStats(spark: SparkSession, table: String, partCol: String): Seq[(String, Int, Long)] = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -50,7 +72,7 @@ object Compaction {
       .map { d =>
         val files = fs.listStatus(d.getPath)
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-        (d.getPath.getName.stripPrefix(s"$partCol="),
+        (unescapePathName(d.getPath.getName.stripPrefix(s"$partCol=")),
           files.length, files.map(_.getLen).sum)
       }
       .toSeq

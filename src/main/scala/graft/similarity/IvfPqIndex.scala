@@ -236,11 +236,23 @@ object IvfPqIndex {
       .filter(col("enc").isNotNull)
       .select(col("neighbor_id"), col("cell"),
         transform(col("enc"), e => e.getField("code")).as("codes"))
-    // An empty delta (no indexable vectors today) must not commit: a
-    // segment with _SUCCESS but zero part files fails schema inference on
-    // every later read, poisoning the layout's whole search surface.
-    if (encoded.limit(1).count() == 0) return
-    encoded
+    // Idempotence by CONTENT, not just by segment tag: a delta that
+    // overlaps already-committed vectors (a re-delivered feed, or the
+    // same rows arriving under a differently-expressed plan and hence a
+    // different tag) must not double-encode them — duplicate neighbor
+    // ids would crowd real neighbors out of top-k. The guard joins the
+    // delta against the committed segments' ID COLUMN only (codes tables
+    // are (id, cell, codes) — compact by design), an append-time cost,
+    // not a search-time one.
+    val committedIds = codeSegments(spark, idx)
+      .map(s => spark.read.parquet(s).select(col("neighbor_id")))
+      .reduce(_.unionByName(_))
+    val fresh = encoded.join(committedIds, Seq("neighbor_id"), "left_anti")
+    // An empty delta (nothing new today) must not commit: a segment with
+    // _SUCCESS but zero part files fails schema inference on every later
+    // read, poisoning the layout's whole search surface.
+    if (fresh.limit(1).count() == 0) return
+    fresh
       .repartition(col("cell"))
       .write.partitionBy("cell").parquet(s"$seg/codes")
   }
@@ -258,6 +270,36 @@ object IvfPqIndex {
       .map(d => s"$d/codes")
       .sorted
     s"${idx.location}/codes" +: deltas.toSeq
+  }
+
+  /** Delete committed layouts whose tag is not in `keep` — the retention
+    * pass a standing index needs: every corpus snapshot or param change
+    * re-tags and builds a fresh layout, so without vacuuming the
+    * warehouse accumulates one full codes table per historical snapshot.
+    * Caller-driven (like a table format's VACUUM): pass the tags of the
+    * corpora still being served, typically via [[layoutTag]] on the live
+    * corpus frames. Returns the deleted layout directory names. */
+  def vacuum(spark: SparkSession, keepTags: Set[String]): Seq[String] = {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wh)) return Seq.empty
+    val doomed = fs.listStatus(wh)
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("graft_ivfpq_") && !keepTags.contains(n.stripPrefix("graft_ivfpq_"))
+      }
+    doomed.foreach(fs.delete(_, true))
+    // Drop any in-memory memo of deleted layouts so a later ensure()
+    // rebuilds instead of serving a dangling location.
+    committedCache.synchronized {
+      val m = committedCache.get(spark)
+      if (m != null) m.filterInPlace { case (_, c) =>
+        !doomed.exists(d => c.location == d.toString)
+      }
+    }
+    doomed.map(_.getName).toSeq
   }
 
   /** Load the sidecar (one-row collect) and wrap the layout. */

@@ -62,6 +62,31 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("partition values with path-escaped characters compact correctly") {
+    // Spark writes 'page view' as the directory 'event_type=page%20view';
+    // the cycle must join/gate/report on the REAL value or the whole
+    // partition's rows silently vanish from the rewrite and the gate
+    // aborts a valid table.
+    assert(Compaction.unescapePathName("page%20view") == "page view")
+    assert(Compaction.unescapePathName("a%3Ab%25c") == "a:b%c")
+    assert(Compaction.unescapePathName("plain") == "plain")
+    assert(Compaction.unescapePathName("trail%2") == "trail%2") // not a full escape
+    val work = java.nio.file.Files.createTempDirectory("graft_compact_esc").toString
+    Tables.events(spark, TestSpark.SfDir)
+      .withColumn("event_type", concat(col("event_type"), lit(" x:y")))
+      .repartition(6)
+      .write.partitionBy("event_type").parquet(s"$work/t")
+    val stats = Compaction.layoutStats(spark, s"$work/t", "event_type")
+    assert(stats.forall(_._1.endsWith(" x:y")), s"values not unescaped: ${stats.map(_._1)}")
+    val report = Compaction.compactAndPublish(
+      spark, s"$work/t", "event_type", "event_id",
+      targetFileBytes = 1L << 30, stagingDir = s"$work/staging").collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      assert(r.getAs[Boolean]("rows_unchanged") && r.getAs[Boolean]("content_unchanged"), r.toString)
+    }
+  }
+
   test("publish swaps only staged partitions (dynamic overwrite, not full truncate)") {
     val table = fragmented(4)
     // Plant a partition the staging will NOT contain; dynamic overwrite

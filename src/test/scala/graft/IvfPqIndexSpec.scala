@@ -128,6 +128,34 @@ class IvfPqIndexSpec extends AnyFunSuite {
       embs.filter(col("embedding").isNotNull).count())
   }
 
+  test("overlapping deltas do not double-encode: content idempotence, not just tag idempotence") {
+    val base = embs.filter(col("vec_id") % 4 =!= 3)
+    val idx = IvfPqIndex.ensure(spark, base, "vec_id", "embedding")
+    IvfPqIndex.append(spark, idx, embs.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
+    // A SUBSET of the first delta under a different plan → different
+    // segment tag; its vectors are already committed and must be skipped.
+    IvfPqIndex.append(spark, idx, embs.filter(col("vec_id") % 8 === 3), "vec_id", "embedding")
+    val ids = IvfPqIndex.codeSegments(spark, idx)
+      .map(seg => spark.read.parquet(seg).select("neighbor_id"))
+      .reduce(_.unionByName(_))
+    assert(ids.count() == ids.distinct().count(),
+      "a vector was encoded into two segments; top-k would carry duplicate neighbors")
+  }
+
+  test("vacuum deletes unkept layouts and keeps the served one") {
+    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
+    val keepTag = new org.apache.hadoop.fs.Path(idx.location).getName.stripPrefix("graft_ivfpq_")
+    // Plant a fake stale layout.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val stale = new java.io.File(new java.net.URI(s"$wh/graft_ivfpq_deadbeef00000000"))
+    stale.mkdirs()
+    val deleted = IvfPqIndex.vacuum(spark, keepTags = Set(keepTag))
+    assert(deleted.contains("graft_ivfpq_deadbeef00000000"))
+    assert(!stale.exists())
+    // The kept layout still serves (no rebuild, search works).
+    assert(IvfPqIndex.search(spark, idx, queries, "vec_id", "embedding", k = 5).count() > 0)
+  }
+
   test("code scan prunes to the probed cells") {
     val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
     val oneQuery = embs.filter(col("vec_id") === 0)

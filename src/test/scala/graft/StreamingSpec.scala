@@ -386,11 +386,18 @@ class StreamingSpec extends AnyFunSuite {
     // Restart from the same checkpoint. gamma = dup of a batch-1 survivor,
     // beta = snapshot dup, epsilon = fresh.
     ms.addData(Seq((20L, "gamma"), (21L, "beta"), (22L, "epsilon")))
-    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val q2 = start(); q2.processAllAvailable()
+
+    // Third batch in the SAME run, after the run's refresh point: its dup
+    // target (epsilon) was appended post-refresh, so the verification must
+    // see it via the sketch fold + the partition-pruned fresh tail — the
+    // path that avoids a per-batch full corpus rescan.
+    ms.addData(Seq((30L, "epsilon"), (31L, "zeta")))
+    q2.processAllAvailable(); q2.stop()
 
     val published = spark.read.parquet(corpusDir)
     assert(published.count() == published.select("fp").distinct().count()) // zero dupes anywhere
     assert(published.where($"batch_id" >= 0)
-      .select("doc_id").as[Long].collect().toSet == Set(10L, 12L, 22L))
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 12L, 22L, 31L))
   }
 }

@@ -613,6 +613,99 @@ object PipelineQueries {
       .orderBy(col("zbucket"))
   }
 
+  /** SCD Type-2 dimension merge (q106) — the MERGE/upsert every lake
+    * dimension table runs nightly: given the current versioned dimension
+    * and an incoming snapshot, close changed/deleted versions
+    * (valid_to stamped, is_current=false) and open new ones, without ever
+    * rewriting unchanged history. Shape: ONE full-outer equi-join on the
+    * key — each side carries only (key, attribute) — then a map-only
+    * explode emitting the 1–2 versioned rows each key produces; nothing
+    * else shuffles, so a 100 TB dimension merge costs one key-partitioned
+    * join regardless of row width (wide payloads would join by key +
+    * content fingerprint, the q104 trick). Snapshots are derived
+    * deterministically from customer (dim = keys % 5 ∉ {1} at version 1;
+    * incoming = keys % 5 ∉ {3} with % 5 == 2 segments changed) so the
+    * oracle replays the same derivation. */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val dim = cust.filter(col("c_custkey") % 5 =!= 1)
+      .select(col("c_custkey"), col("c_mktsegment").as("dim_seg"))
+    val inc = cust.filter(col("c_custkey") % 5 =!= 3)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 5 === 2, concat(col("c_mktsegment"), lit("*")))
+          .otherwise(col("c_mktsegment")).as("inc_seg"))
+    dim.join(inc, Seq("c_custkey"), "full_outer")
+      .select(col("c_custkey"), explode(array(
+        // Close the standing version when the key vanished or changed.
+        when(col("dim_seg").isNotNull &&
+            (col("inc_seg").isNull || col("inc_seg") =!= col("dim_seg")),
+          struct(col("dim_seg").as("segment"),
+            lit(1).as("valid_from"), lit(2).cast("int").as("valid_to"),
+            lit(false).as("is_current"))),
+        // The surviving current version: unchanged keeps v1 open;
+        // new/changed keys open v2.
+        when(col("inc_seg").isNotNull,
+          struct(col("inc_seg").as("segment"),
+            when(col("dim_seg") <=> col("inc_seg"), lit(1)).otherwise(lit(2))
+              .as("valid_from"),
+            lit(null).cast("int").as("valid_to"),
+            lit(true).as("is_current"))))).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("c_custkey"), col("v.segment"), col("v.valid_from"),
+        col("v.valid_to"), col("v.is_current"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  /** Key-skew audit + salt recommendation (q107) — the diagnose step of
+    * the diagnose→salt loop Scale.saltedJoin implements: per-key row
+    * counts over events.user_id, the top 20 keys by volume with their
+    * multiple-of-mean (fixed-point, ×100) and the salt factor a join on
+    * that key needs to spread its rows across 32 target partitions
+    * (ceil(n_rows × 32 / total), the Scale.saltedJoin fan-out). All
+    * arithmetic is integer — floor-mean and ceil-salt identically in both
+    * engines. Scale shape: ONE shuffle of 8-byte keys to the count
+    * aggregate, a 1-row broadcast of the totals, TakeOrdered top-20 —
+    * the audit costs the same aggregate the skewed join itself would. */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(
+      sum(col("n_rows")).as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("user_id"), col("n_rows"),
+        expr("n_rows * 100 div (total div n_keys)").as("mult_x100"),
+        expr("(n_rows * 32 + total - 1) div total").as("salt_factor"),
+        (col("n_rows") * 100 >= expr("total * 400 div n_keys")).as("needs_salt"))
+      .orderBy(col("n_rows").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** Temperature-scaled domain mixing (q108) — the multinomial
+    * temperature-sampling recipe (p_i ∝ n_i^τ) used to up-weight
+    * low-resource languages in LLM training mixes. τ = 1/2 on purpose:
+    * sqrt is correctly rounded under IEEE 754 in BOTH engines, so the
+    * tempered weight floor(√n_docs × 10⁶) is bit-identical cross-engine
+    * with no pow() libm drift; everything after is exact integer
+    * arithmetic (shares in basis points, expected doc draws, up/down-
+    * sampling factor vs the natural distribution). Scale shape: one
+    * two-phase count aggregate to ≤|langs| rows, a 1-row broadcast of the
+    * totals — the corpus is scanned once and never shuffled. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_fp",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0)).cast("long"))
+    val totals = counts.agg(
+      sum(col("w_fp")).as("w_total"), sum(col("n_docs")).as("docs_total"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("w_fp"),
+        expr("w_fp * 10000 div w_total").as("p_bp"),
+        expr("docs_total * w_fp div w_total").as("expected_docs"),
+        expr("(docs_total * w_fp div w_total) * 10000 div n_docs").as("epoch_bp"))
+      .orderBy(col("lang"))
+  }
+
   /** SemDeDup keep decisions over the embeddings table — see
     * [[graft.similarity.SemDedup]]. Seeded cells (oracle-portable), exact
     * cosine fold, order-free lower-id dominance → every keep bit
@@ -1719,7 +1812,10 @@ object PipelineQueries {
     "q102_training_shards" -> (trainingShards _),
     "q103_range_boundaries" -> (rangeBoundaries _),
     "q104_snapshot_diff" -> (snapshotDiff _),
-    "q105_zorder_layout" -> (zorderLayout _))
+    "q105_zorder_layout" -> (zorderLayout _),
+    "q106_scd2_merge" -> (scd2Merge _),
+    "q107_skew_audit" -> (skewAudit _),
+    "q108_mix_temperature" -> (mixTemperature _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2400,6 +2496,51 @@ object PipelineQueries {
          |  MIN(hour_idx) AS min_hour, MAX(hour_idx) AS max_hour
          |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
     },
+    // q106: the two snapshot derivations replay in SQL; closed and
+    // current versions come from the SAME full-outer join, emitted as two
+    // UNION ALL branches (the engine's explode produces identical rows).
+    "q106_scd2_merge" ->
+      """WITH dim AS (SELECT c_custkey, c_mktsegment AS dim_seg
+        |    FROM customer WHERE c_custkey % 5 <> 1),
+        |inc AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 2 THEN c_mktsegment || '*' ELSE c_mktsegment END AS inc_seg
+        |  FROM customer WHERE c_custkey % 5 <> 3),
+        |j AS (SELECT COALESCE(d.c_custkey, i.c_custkey) AS c_custkey, dim_seg, inc_seg
+        |  FROM dim d FULL OUTER JOIN inc i ON d.c_custkey = i.c_custkey)
+        |SELECT c_custkey, dim_seg AS segment, 1 AS valid_from,
+        |    2 AS valid_to, FALSE AS is_current
+        |  FROM j WHERE dim_seg IS NOT NULL AND (inc_seg IS NULL OR inc_seg <> dim_seg)
+        |UNION ALL
+        |SELECT c_custkey, inc_seg AS segment,
+        |    CASE WHEN dim_seg IS NOT DISTINCT FROM inc_seg THEN 1 ELSE 2 END AS valid_from,
+        |    NULL AS valid_to, TRUE AS is_current
+        |  FROM j WHERE inc_seg IS NOT NULL
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+    // q107: floor-mean and ceil-salt are pure integer arithmetic; the
+    // top-20 tie-breaks on user_id in both engines.
+    "q107_skew_audit" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c)
+        |SELECT user_id, n_rows,
+        |  n_rows * 100 // (total // n_keys) AS mult_x100,
+        |  (n_rows * 32 + total - 1) // total AS salt_factor,
+        |  n_rows * 100 >= total * 400 // n_keys AS needs_salt
+        |FROM c CROSS JOIN t
+        |ORDER BY n_rows DESC, user_id LIMIT 20""".stripMargin,
+    // q108: sqrt is correctly rounded in both engines (τ = 1/2 chosen for
+    // exactly this), the ×10⁶ fixed-point floor happens before any sum,
+    // and every later step is integer — no float crosses the compare.
+    "q108_mix_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_fp
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS w_total,
+        |    CAST(SUM(n_docs) AS BIGINT) AS docs_total FROM c)
+        |SELECT lang, n_docs, w_fp,
+        |  w_fp * 10000 // w_total AS p_bp,
+        |  docs_total * w_fp // w_total AS expected_docs,
+        |  (docs_total * w_fp // w_total) * 10000 // n_docs AS epoch_bp
+        |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
     // q104: both engines fingerprint with md5 over the same derived
     // snapshots; the diff is pure string equality + integer counts.
     "q104_snapshot_diff" ->

@@ -221,4 +221,32 @@ class PlanSpec extends AnyFunSuite {
     // computed map-side; no other column crosses the plan).
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
+
+  test("q106: SCD2 merge is ONE key equi-join plus map-only row emission") {
+    val p = planOf("q106_scd2_merge")
+    assert(p.contains("FullOuter"), p)
+    assert(p.sliding("Join".length).count(_ == "Join") <= 2, // one join node (+AQE echo)
+      s"merge must not re-join per output branch:\n$p")
+    assert(!p.contains("Window") && !p.contains("NestedLoop"), p)
+    // Each side carries only (key, segment): 2-column read.
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"), p)
+  }
+
+  test("q107: skew audit is one key aggregate + scalar broadcast + top-k") {
+    val p = planOf("q107_skew_audit")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the totals row must broadcast, never shuffle the counts:\n$p")
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"), p)
+  }
+
+  test("q108: temperature mix scans the corpus once, aggregates to lang rows, never shuffles docs") {
+    val p = planOf("q108_mix_temperature")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // One corpus scan: the totals derive from the aggregated lang rows,
+    // not a second pass over documents.
+    assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") <= 2, p)
+    assert(p.contains("ReadSchema: struct<lang:string>"), p)
+  }
 }

@@ -231,6 +231,68 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q106 SCD2 merge: one current version per key; all four outcomes occur") {
+    import graft.analytics.PipelineQueries
+    val out = PipelineQueries.scd2Merge(spark, TestSpark.SfDir).collect()
+    val byKey = out.groupBy(_.getLong(0))
+    byKey.foreach { case (k, rows) =>
+      assert(rows.count(_.getBoolean(4)) <= 1, s"key $k has two current versions")
+      rows.foreach { r =>
+        // Exactly the open versions lack valid_to.
+        assert(r.isNullAt(3) == r.getBoolean(4), s"key $k: ${r.toString}")
+      }
+    }
+    // The derivation plants all four merge outcomes; each must be present
+    // or the operator silently lost a branch.
+    assert(byKey.values.exists(_.length == 2), "no changed key (close + reopen)")
+    assert(byKey.values.exists(rs => rs.length == 1 && !rs.head.getBoolean(4)),
+      "no deleted key (close only)")
+    assert(byKey.values.exists(rs =>
+      rs.length == 1 && rs.head.getBoolean(4) && rs.head.getInt(2) == 2),
+      "no added key (fresh v2)")
+    assert(byKey.values.exists(rs =>
+      rs.length == 1 && rs.head.getBoolean(4) && rs.head.getInt(2) == 1),
+      "no unchanged key (v1 stays open)")
+  }
+
+  test("q107 skew audit: heaviest key first, salt factor is exactly ceil(n*32/total)") {
+    import graft.analytics.PipelineQueries
+    import org.apache.spark.sql.functions.{col, sum}
+    val out = PipelineQueries.skewAudit(spark, TestSpark.SfDir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val counts = Tables.events(spark, TestSpark.SfDir).groupBy("user_id").count()
+    val total = counts.agg(sum(col("count"))).head().getLong(0)
+    val nKeys = counts.count()
+    val top = counts.orderBy(col("count").desc, col("user_id")).head()
+    assert(out.head.getLong(0) == top.getLong(0), "heaviest key not ranked first")
+    assert(out.head.getLong(1) == top.getLong(1))
+    out.foreach { r =>
+      val n = r.getLong(1); val salt = r.getLong(3)
+      // ceil(n*32/total): the smallest fan-out that caps a salted
+      // partition of this key at the mean partition size.
+      assert(salt >= 1 && (salt - 1) * total < n * 32 && n * 32 <= salt * total,
+        s"salt $salt is not ceil($n*32/$total)")
+      assert(r.getBoolean(4) == (n * 100 >= total * 400 / nKeys),
+        s"needs_salt disagrees with the 4x-mean rule for n=$n")
+    }
+  }
+
+  test("q108 temperature mixing: shares sum to one and tau<1 compresses the distribution") {
+    import graft.analytics.PipelineQueries
+    val out = PipelineQueries.mixTemperature(spark, TestSpark.SfDir).collect()
+    val pSum = out.map(_.getLong(3)).sum
+    // Basis points with one floor per domain: sum in (10000 - |langs|, 10000].
+    assert(pSum <= 10000 && pSum > 10000 - out.length, s"p_bp sum $pSum")
+    // The temperature property: the rarest domain is sampled ABOVE its
+    // natural rate (epoch_bp > 10000), the most common below — the whole
+    // reason the recipe exists.
+    val byDocs = out.sortBy(_.getLong(1))
+    assert(byDocs.last.getLong(1) > byDocs.head.getLong(1) * 2,
+      "harness data lost its lang skew; assertions below would be vacuous")
+    assert(byDocs.head.getLong(5) > 10000, "rarest domain not up-sampled")
+    assert(byDocs.last.getLong(5) < 10000, "most common domain not down-sampled")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

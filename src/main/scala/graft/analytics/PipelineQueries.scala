@@ -706,6 +706,43 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Inverted-index / posting-list build (q109) — the serving structure
+    * behind exact-gram decontamination lookups and corpus search: per
+    * token its document frequency, total term frequency, and a BOUNDED
+    * sample of the posting list (the 5 smallest doc_ids). Two scale
+    * decisions:
+    *   - a naive `collect_list(doc_id)` would materialize a stopword's
+    *     corpus-sized posting list in one aggregation buffer; here the
+    *     list collects `when(rn <= 5, doc_id)` (collect_list skips
+    *     nulls), so aggregate state is O(5) per token at any corpus size
+    *     (full posting lists would be written cell-partitioned like the
+    *     q98 index, never aggregated into a row);
+    *   - stats and sample share ONE tokenization pass. The obvious
+    *     two-branch formulation (groupBy stats JOIN window-capped
+    *     sample) scans and explodes the corpus twice — column pruning
+    *     drops `tf` from the sample branch, the branches canonicalize
+    *     differently, and ReuseExchange never fires (observed on the
+    *     executed AQE plan). Fused: explode → (token, doc_id) partial
+    *     agg → window rn over token → one final aggregate. One scan,
+    *     two exchanges (posting-entry-sized, which exact df/tf_total
+    *     require anyway), no join. */
+  def postingLists(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    tokDoc
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("token")).orderBy(col("doc_id"))))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("tf_total"),
+        expr("array_join(transform(sort_array(collect_list(CASE WHEN rn <= 5 THEN doc_id END)), x -> cast(x as string)), ',')")
+          .as("sample_docs"))
+      .orderBy(col("token"))
+  }
+
   /** SemDeDup keep decisions over the embeddings table — see
     * [[graft.similarity.SemDedup]]. Seeded cells (oracle-portable), exact
     * cosine fold, order-free lower-id dominance → every keep bit
@@ -1815,7 +1852,8 @@ object PipelineQueries {
     "q105_zorder_layout" -> (zorderLayout _),
     "q106_scd2_merge" -> (scd2Merge _),
     "q107_skew_audit" -> (skewAudit _),
-    "q108_mix_temperature" -> (mixTemperature _))
+    "q108_mix_temperature" -> (mixTemperature _),
+    "q109_posting_lists" -> (postingLists _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2541,6 +2579,22 @@ object PipelineQueries {
         |  docs_total * w_fp // w_total AS expected_docs,
         |  (docs_total * w_fp // w_total) * 10000 // n_docs AS epoch_bp
         |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
+    // q109: tokenization is the q102 str_split; the sample is the 5
+    // SMALLEST doc_ids (rank-capped before collection in both engines),
+    // joined into one string so no array type crosses the compare.
+    "q109_posting_lists" ->
+      """WITH td AS (SELECT token, doc_id, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token, doc_id),
+        |a AS (SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+        |  FROM td GROUP BY token),
+        |t5 AS (SELECT token,
+        |    array_to_string(list_sort(list(doc_id)), ',') AS sample_docs
+        |  FROM (SELECT token, doc_id,
+        |      row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM td)
+        |  WHERE rn <= 5 GROUP BY token)
+        |SELECT a.token, df, tf_total, sample_docs
+        |FROM a JOIN t5 USING (token) ORDER BY token""".stripMargin,
     // q104: both engines fingerprint with md5 over the same derived
     // snapshots; the diff is pure string equality + integer counts.
     "q104_snapshot_diff" ->

@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Multi-executor evidence: everything else in the repo runs `local[n]`,
+  * where driver and executors share one JVM — a closure that accidentally
+  * captures driver-side mutable state, a non-serializable expression, or
+  * a task that only works because it sees the driver's heap would pass
+  * every suite and fail on a real cluster. `local-cluster[2,2,2048]`
+  * launches two SEPARATE executor JVMs (real worker processes from
+  * SPARK_HOME, our classes shipped via executor extraClassPath), so
+  * closures genuinely serialize, broadcasts genuinely transfer, and
+  * shuffle blocks genuinely cross process boundaries.
+  *
+  * The query set is chosen for serialization surface, one per family:
+  * codegen aggregate (q01), custom portable-hash expressions + LSH
+  * banding with memoized tiers (q27), typed TopKAggregator + broadcast
+  * codebooks (q80), expression-carried k-means centroids (q86), seeded
+  * epoch sharding (q102), and the SCD2 merge's full-outer + explode
+  * (q106). Content hashes must equal a plain `local[4]` run in the same
+  * JVM (contexts run sequentially, as in [[SpillCheck]]).
+  *
+  * A standalone main: the master URL is fixed at context creation. Run:
+  *   SPARK_SCALA_VERSION=2.13 sbt "runMain graft.tools.ClusterCheck /root/testdata/sf0.001"
+  * — prints `[clustercheck] OK ...`; non-zero exit on mismatch. The env
+  * var is required: the local-cluster worker launcher shells into
+  * SPARK_HOME/bin scripts, which cannot infer the Scala version when
+  * both jars/ and classes dirs are on the launcher classpath.
+  */
+object ClusterCheck {
+  private val Queries = Seq(
+    "q01_pricing_summary", "q27_minhash_neardup", "q80_ann_ivfpq",
+    "q86_kmeans_inertia", "q102_training_shards", "q106_scd2_merge")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    // The graft classes for the executor JVMs: wherever THIS class was
+    // loaded from (sbt's classes dir or a packaged jar).
+    val classesDir = getClass.getProtectionDomain.getCodeSource.getLocation.getPath
+
+    def run(master: String): (Map[String, (Long, Long)], Int) = {
+      val spark = SparkSession.builder()
+        .master(master)
+        .appName(s"graft-clustercheck-${master.takeWhile(_ != '[')}")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.executor.extraClassPath", classesDir)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      try {
+        val hashes = Queries.map { name =>
+          val df = graft.SparkEntry.queries(name)(spark, sfDir)
+          val row = df
+            .select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
+            .agg(count(lit(1)).as("n"), sum(expr("h % 1000000007")).as("hs"))
+            .head()
+          name -> (row.getLong(0), row.getAs[Any](1).toString.toLong)
+        }.toMap
+        // Executor count as the scheduler saw it (driver excluded) —
+        // proof the run actually used separate executor processes.
+        val execs = spark.sparkContext.statusTracker.getExecutorInfos
+          .count(_.host() != null) - (if (master.startsWith("local-cluster")) 1 else 0)
+        (hashes, execs)
+      } finally {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+
+    val (clustered, execs) = run("local-cluster[2,2,2048]")
+    require(execs >= 2,
+      s"[clustercheck] expected >=2 separate executors, scheduler saw $execs")
+    val (local, _) = run("local[4]")
+    clustered.foreach { case (name, got) =>
+      require(got == local(name),
+        s"[clustercheck] $name differs across process boundaries: cluster=$got local=${local(name)}")
+    }
+    println(s"[clustercheck] OK executors=$execs " +
+      s"queries=${Queries.sorted.mkString(",")}")
+  }
+}

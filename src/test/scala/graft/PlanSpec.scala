@@ -249,4 +249,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") <= 2, p)
     assert(p.contains("ReadSchema: struct<lang:string>"), p)
   }
+
+  test("q109: posting lists tokenize ONCE — single corpus scan, no join, partial collect") {
+    val p = planOf("q109_posting_lists")
+    // The two-branch formulation (stats JOIN capped sample) scans and
+    // explodes the corpus twice because pruning defeats ReuseExchange;
+    // the fused window shape must keep it to one scan and zero joins.
+    assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1, p)
+    assert(!p.contains("Join"), s"no join in the fused shape:\n$p")
+    assert(p.contains("Window"), p)
+    // The bounded sample combines map-side like any other aggregate.
+    assert(p.contains("partial_collect_list"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
 }

@@ -293,6 +293,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(byDocs.last.getLong(5) < 10000, "most common domain not down-sampled")
   }
 
+  test("q109 posting lists: df/tf_total exact, sample is the min(df,5) smallest doc_ids") {
+    import graft.analytics.PipelineQueries
+    import org.apache.spark.sql.functions.col
+    val out = PipelineQueries.postingLists(spark, TestSpark.SfDir).collect()
+    assert(out.nonEmpty)
+    // Brute-force postings from the corpus (sf0.001 fits in a collect).
+    val postings = Tables.documents(spark, TestSpark.SfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map(t => (t, r.getLong(0))))
+      .groupBy(_._1)
+    assert(out.length == postings.size, "one row per distinct token")
+    out.foreach { r =>
+      val tok = r.getString(0)
+      val docs = postings(tok).map(_._2)
+      val uniq = docs.distinct.sorted
+      assert(r.getLong(1) == uniq.length, s"df($tok)")
+      assert(r.getLong(2) == docs.length, s"tf_total($tok)")
+      val sample = r.getString(3).split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+      assert(sample == uniq.take(5).toSeq, s"sample($tok)")
+    }
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -706,6 +706,60 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** TF-IDF top-k retrieval (q110) — keyword search over the corpus, the
+    * lexical half of hybrid retrieval (the dense half is q80/q98). The
+    * query is derived deterministically (the distinct tokens of the
+    * lowest-id document) so both engines agree without a parameter
+    * channel. Scoring is integer-exact: idf = N·10⁶ div df (no libm
+    * drift), score = Σ tf·idf summed as longs.
+    *
+    * Scale shape: the corpus is scanned+exploded once, and the tiny
+    * query-term list broadcasts and PRUNES the token stream MAP-SIDE,
+    * BEFORE the tf aggregation — so every Exchange in the plan carries
+    * query-term postings only, never the corpus tokenization. df comes
+    * from a window over the pruned entries (token-partitioned, no
+    * self-join; df of a query term is unchanged by the pruning), the
+    * per-doc score is one aggregate over query-term postings only, and
+    * the top-10 is TakeOrdered — no global sort, no corpus shuffle. */
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val qterms = docs.orderBy(col("doc_id")).limit(1)
+      .select(explode(split(col("text"), " ")).as("token")).distinct()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(qterms), Seq("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * expr("n_docs * 1000000L div df")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** One BPE merge iteration (q111) — tokenizer vocabulary induction:
+    * the most frequent adjacent symbol pairs, each token's pairs
+    * weighted by its corpus frequency. The scale trick is the real BPE
+    * trick: the corpus-sized work is ONE token-count aggregate; pair
+    * enumeration (explode over positions 1..len-1) runs over the
+    * VOCABULARY — distinct tokens, orders of magnitude smaller than the
+    * corpus — so iterating merges re-reads vocab-sized state, never the
+    * corpus. Pure integer counts; top-20 by (count, pair) total order. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val tokCounts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    tokCounts
+      .filter(length(col("token")) >= 2)
+      .select(explode(expr("transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))")).as("pair"),
+        col("cnt"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(20)
+  }
+
   /** Inverted-index / posting-list build (q109) — the serving structure
     * behind exact-gram decontamination lookups and corpus search: per
     * token its document frequency, total term frequency, and a BOUNDED
@@ -1853,7 +1907,9 @@ object PipelineQueries {
     "q106_scd2_merge" -> (scd2Merge _),
     "q107_skew_audit" -> (skewAudit _),
     "q108_mix_temperature" -> (mixTemperature _),
-    "q109_posting_lists" -> (postingLists _))
+    "q109_posting_lists" -> (postingLists _),
+    "q110_tfidf_topk" -> (tfidfTopk _),
+    "q111_bpe_pairs" -> (bpePairs _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2595,6 +2651,33 @@ object PipelineQueries {
         |  WHERE rn <= 5 GROUP BY token)
         |SELECT a.token, df, tf_total, sample_docs
         |FROM a JOIN t5 USING (token) ORDER BY token""".stripMargin,
+    // q110: query terms derive from the lowest-id doc in both engines;
+    // idf is integer div (N*1e6 // df), score a BIGINT sum — no floats
+    // anywhere, and (score DESC, doc_id) totally orders the cutoff.
+    "q110_tfidf_topk" ->
+      """WITH td AS (SELECT token, doc_id, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token, doc_id),
+        |q AS (SELECT DISTINCT unnest(str_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |qtd AS (SELECT td.token, td.doc_id, td.tf FROM td JOIN q USING (token)),
+        |d AS (SELECT token, COUNT(*) AS df FROM qtd GROUP BY token)
+        |SELECT qtd.doc_id, CAST(SUM(tf * (n_docs * 1000000 // df)) AS BIGINT) AS score
+        |FROM qtd JOIN d USING (token) CROSS JOIN n
+        |GROUP BY qtd.doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // q111: pair enumeration via 1-based substring over positions
+    // 1..len-1 — identical semantics in both engines (DuckDB range(a,b)
+    // is [a,b), Spark sequence(a,b) is inclusive, hence len-1 there).
+    "q111_bpe_pairs" ->
+      """WITH tc AS (SELECT token, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |p AS (SELECT substring(token, CAST(i AS INTEGER), 2) AS pair, cnt
+        |  FROM tc, UNNEST(range(1, length(token))) AS t(i)
+        |  WHERE length(token) >= 2)
+        |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+        |FROM p GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
     // q104: both engines fingerprint with md5 over the same derived
     // snapshots; the diff is pure string equality + integer counts.
     "q104_snapshot_diff" ->

@@ -262,4 +262,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_collect_list"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
+
+  test("q110: query-term broadcast prunes BELOW the tf aggregation; top-k never global-sorts") {
+    val p = planOf("q110_tfidf_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"posting pruning must broadcast the tiny query-term list:\n$p")
+    // Tree prints top-down, so a deeper node (executed earlier) sits
+    // LATER in the string: the broadcast prune must be below every token
+    // exchange, i.e. only query-term postings ever shuffle.
+    val prune = p.indexOf("BroadcastHashJoin")
+    val tokenExchange = p.indexOf("Exchange hashpartitioning(token")
+    assert(prune >= 0 && tokenExchange >= 0 && prune > tokenExchange,
+      s"tf aggregation shuffles the full corpus tokenization:\n$p")
+  }
+
+  test("q111: pair enumeration runs over the vocab — corpus work is one token count") {
+    val p = planOf("q111_bpe_pairs")
+    assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+    assert(p.contains("partial_count"), s"token count must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // The pair Generate consumes the AGGREGATED vocab (deeper = later in
+    // string: vocab aggregate below the pair explode).
+    val pairGen = p.indexOf("Generate explode(transform(sequence")
+    val vocabAgg = p.lastIndexOf("HashAggregate")
+    assert(pairGen >= 0 && vocabAgg > pairGen,
+      s"pairs must be generated from the aggregated vocab, not the corpus:\n$p")
+  }
 }

@@ -315,6 +315,44 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q110 tf-idf: equals a brute-force integer-exact recompute") {
+    import graft.analytics.PipelineQueries
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, TestSpark.SfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val n = docs.length.toLong
+    val qterms = docs.minBy(_._1)._2.distinct.toSet
+    val tf = docs.flatMap { case (id, toks) =>
+      toks.filter(qterms).groupBy(identity).map { case (t, xs) => ((t, id), xs.length.toLong) }
+    }.toMap
+    val dfByTok = tf.keys.groupBy(_._1).map { case (t, ks) => (t, ks.size.toLong) }
+    val expected = tf.toSeq
+      .map { case ((t, id), f) => (id, f * (n * 1000000L / dfByTok(t))) }
+      .groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).sum) }.toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    val out = PipelineQueries.tfidfTopk(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == expected)
+  }
+
+  test("q111 bpe pairs: equals a brute-force pair-frequency recompute") {
+    import graft.analytics.PipelineQueries
+    import org.apache.spark.sql.functions.col
+    val tokCnt = Tables.documents(spark, TestSpark.SfDir)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" "))
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    val expected = tokCnt.toSeq
+      .filter(_._1.length >= 2)
+      .flatMap { case (t, c) => t.sliding(2).map(p => (p, c)) }
+      .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }.toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(20)
+    val out = PipelineQueries.bpePairs(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == expected)
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

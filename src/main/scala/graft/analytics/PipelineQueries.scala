@@ -706,6 +706,52 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** GROUPING SETS (q112) — the remaining member of the grouping family
+    * next to ROLLUP (q19) and CUBE (q92): an arbitrary subset of
+    * groupings in ONE pass ((lang), (source), ()), with the grouping id
+    * distinguishing aggregate-null from data-null. Spark expands the
+    * sets before the aggregate exactly as for cube, so the cost is one
+    * corpus scan + one exchange of (keys × |sets|) partial rows. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("lang")), Seq(col("source")), Seq.empty),
+        col("lang"), col("source"))
+      .agg(
+        (grouping(col("lang")) * 2 + grouping(col("source"))).cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("chars"))
+      .orderBy(col("gid"), col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  /** Per-language weighted median document length (q113) — the robust
+    * location statistic quality dashboards want (outlier docs move a
+    * mean, not a weighted median). Weight = token count, value =
+    * n_chars, all integer-exact.
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combinable
+    * histogram aggregate groupBy(lang, n_chars); the cumulative window
+    * then runs over the HISTOGRAM (langs × distinct lengths — bounded
+    * domain, metadata-sized), never over corpus rows, so no per-lang
+    * corpus sort exists at any scale. The median is the first histogram
+    * row where 2·cum ≥ total (pinned ROWS frame; (lang, n_chars) is a
+    * unique ordering so RANGE-vs-ROWS ambiguity cannot arise). */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"), size(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("n_chars")).agg(sum(col("w")).as("w"))
+    val cumW = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("lang"))
+    hist
+      .withColumn("cum", sum(col("w")).over(cumW))
+      .withColumn("total", sum(col("w")).over(totW))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("lang"))
+      .agg(min(col("n_chars")).as("wmedian_chars"), max(col("total")).as("total_w"))
+      .orderBy(col("lang"))
+  }
+
   /** TF-IDF top-k retrieval (q110) — keyword search over the corpus, the
     * lexical half of hybrid retrieval (the dense half is q80/q98). The
     * query is derived deterministically (the distinct tokens of the
@@ -1909,7 +1955,9 @@ object PipelineQueries {
     "q108_mix_temperature" -> (mixTemperature _),
     "q109_posting_lists" -> (postingLists _),
     "q110_tfidf_topk" -> (tfidfTopk _),
-    "q111_bpe_pairs" -> (bpePairs _))
+    "q111_bpe_pairs" -> (bpePairs _),
+    "q112_grouping_sets" -> (groupingSetsAgg _),
+    "q113_weighted_median" -> (weightedMedian _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2651,6 +2699,27 @@ object PipelineQueries {
         |  WHERE rn <= 5 GROUP BY token)
         |SELECT a.token, df, tf_total, sample_docs
         |FROM a JOIN t5 USING (token) ORDER BY token""".stripMargin,
+    // q112: gid = 2*grouping(lang) + grouping(source) disambiguates
+    // aggregate-null from data-null identically in both engines.
+    "q112_grouping_sets" ->
+      """SELECT lang, source,
+        |  CAST(2 * GROUPING(lang) + GROUPING(source) AS INTEGER) AS gid,
+        |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    // q113: both engines aggregate the (lang, n_chars) histogram first;
+    // the cumulative window runs over histogram rows with a pinned ROWS
+    // frame ((lang, n_chars) is a unique ordering, so RANGE would agree
+    // anyway). Median = first row where 2*cum >= total.
+    "q113_weighted_median" ->
+      """WITH h AS (SELECT lang, n_chars, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang, n_chars),
+        |c AS (SELECT lang, n_chars, w,
+        |    SUM(w) OVER (PARTITION BY lang ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(w) OVER (PARTITION BY lang) AS total
+        |  FROM h)
+        |SELECT lang, MIN(n_chars) AS wmedian_chars, CAST(MAX(total) AS BIGINT) AS total_w
+        |FROM c WHERE cum * 2 >= total GROUP BY lang ORDER BY lang""".stripMargin,
     // q110: query terms derive from the lowest-id doc in both engines;
     // idf is integer div (N*1e6 // df), score a BIGINT sum — no floats
     // anywhere, and (score DESC, doc_id) totally orders the cutoff.

@@ -291,4 +291,25 @@ class PlanSpec extends AnyFunSuite {
     assert(pairGen >= 0 && vocabAgg > pairGen,
       s"pairs must be generated from the aggregated vocab, not the corpus:\n$p")
   }
+
+  test("q112: grouping sets expand once over one scan, partial-aggregate before the exchange") {
+    val p = planOf("q112_grouping_sets")
+    assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1, p)
+    assert(p.contains("Expand"), s"grouping sets must plan as Expand, not a union of scans:\n$p")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("ReadSchema: struct<lang:string,source:string,n_chars:bigint>"), p)
+  }
+
+  test("q113: the cumulative window runs over the histogram, never over corpus rows") {
+    val p = planOf("q113_weighted_median")
+    assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    // Deeper = executed earlier: the (lang, n_chars) histogram aggregate
+    // must sit BELOW the Window (corpus rows are aggregated away before
+    // any sort/window state exists).
+    val window = p.indexOf("Window")
+    val histAgg = p.lastIndexOf("HashAggregate")
+    assert(window >= 0 && histAgg > window,
+      s"window must consume the aggregated histogram:\n$p")
+  }
 }

@@ -353,6 +353,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("q112 grouping sets: each set equals its standalone aggregate; gid separates the sets") {
+    import graft.analytics.PipelineQueries
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, TestSpark.SfDir)
+      .select(col("lang"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val out = PipelineQueries.groupingSetsAgg(spark, TestSpark.SfDir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val byLang = out.filter(_._3 == 1)
+    val bySource = out.filter(_._3 == 2)
+    val overall = out.filter(_._3 == 3)
+    assert(out.length == byLang.length + bySource.length + overall.length, "unexpected gid")
+    assert(byLang.forall(r => r._1.isDefined && r._2.isEmpty))
+    assert(bySource.forall(r => r._1.isEmpty && r._2.isDefined))
+    val langExp = docs.groupBy(_._1).map { case (l, xs) => (l, xs.length.toLong, xs.map(_._3).sum) }
+    assert(byLang.map(r => (r._1.get, r._4, r._5)).toSet == langExp.toSet)
+    val srcExp = docs.groupBy(_._2).map { case (s, xs) => (s, xs.length.toLong, xs.map(_._3).sum) }
+    assert(bySource.map(r => (r._2.get, r._4, r._5)).toSet == srcExp.toSet)
+    assert(overall.map(r => (r._4, r._5)).toSeq == Seq((docs.length.toLong, docs.map(_._3).sum)))
+  }
+
+  test("q113 weighted median: half the token weight sits on each side of the median") {
+    import graft.analytics.PipelineQueries
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, TestSpark.SfDir)
+      .select(col("lang"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ").length.toLong))
+    val out = PipelineQueries.weightedMedian(spark, TestSpark.SfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (lang, med, total) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val grp = docs.filter(_._1 == lang)
+      assert(total == grp.map(_._3).sum, s"total_w($lang)")
+      val below = grp.filter(_._2 < med).map(_._3).sum
+      val upto = grp.filter(_._2 <= med).map(_._3).sum
+      // Defining property: strictly-below mass < half, mass-through-median >= half.
+      assert(below * 2 < total, s"$lang: too much weight below $med")
+      assert(upto * 2 >= total, s"$lang: median $med reached too early")
+    }
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -706,6 +706,33 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Char-level edit-distance audit of the near-dup decisions (q114) —
+    * the second opinion a curation pipeline wants before dropping a
+    * document: token-level Jaccard (q27) says near-dup, Levenshtein on
+    * the raw text says how close at character level (catches
+    * token-reordering false confidence). Integer output: distance and
+    * basis-point ratio vs the longer text.
+    *
+    * Scale shape: Levenshtein runs on the CANDIDATE PAIRS ONLY (the
+    * memoized q27 tier — banded LSH, never all pairs); texts attach via
+    * two equi-joins on the 8-byte ids with no forced build side, so AQE
+    * broadcasts the pair list while it is small and flips to shuffle
+    * joins when it is corpus-sized. levenshtein() is codegen'd in both
+    * engines. */
+  def editDistanceAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDup(spark, dir).select(col("id_a"), col("id_b"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    pairs
+      .join(docs, col("id_a") === col("doc_id"))
+      .withColumnRenamed("text", "text_a").drop("doc_id")
+      .join(docs, col("id_b") === col("doc_id"))
+      .withColumnRenamed("text", "text_b").drop("doc_id")
+      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
+      .select(col("id_a"), col("id_b"), col("edit_dist"),
+        expr("edit_dist * 10000L div greatest(length(text_a), length(text_b))").as("edit_bp"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** GROUPING SETS (q112) — the remaining member of the grouping family
     * next to ROLLUP (q19) and CUBE (q92): an arbitrary subset of
     * groupings in ONE pass ((lang), (source), ()), with the grouping id
@@ -1957,7 +1984,8 @@ object PipelineQueries {
     "q110_tfidf_topk" -> (tfidfTopk _),
     "q111_bpe_pairs" -> (bpePairs _),
     "q112_grouping_sets" -> (groupingSetsAgg _),
-    "q113_weighted_median" -> (weightedMedian _))
+    "q113_weighted_median" -> (weightedMedian _),
+    "q114_edit_distance_audit" -> (editDistanceAudit _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2699,6 +2727,21 @@ object PipelineQueries {
         |  WHERE rn <= 5 GROUP BY token)
         |SELECT a.token, df, tf_total, sample_docs
         |FROM a JOIN t5 USING (token) ORDER BY token""".stripMargin,
+    // q114: the pair list is the q27 oracle's brute-force near-dups;
+    // levenshtein is the standard DP distance in both engines, the
+    // ratio pure integer div vs the longer text.
+    "q114_edit_distance_audit" ->
+      """WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist,
+        |  levenshtein(da.text, db.text) * 10000 // greatest(length(da.text), length(db.text)) AS edit_bp
+        |FROM p JOIN documents da ON p.id_a = da.doc_id
+        |       JOIN documents db ON p.id_b = db.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
     // q112: gid = 2*grouping(lang) + grouping(source) disambiguates
     // aggregate-null from data-null identically in both engines.
     "q112_grouping_sets" ->

@@ -312,4 +312,11 @@ class PlanSpec extends AnyFunSuite {
     assert(window >= 0 && histAgg > window,
       s"window must consume the aggregated histogram:\n$p")
   }
+
+  test("q114: levenshtein runs on candidate pairs via equi-joins, never a cartesian") {
+    val p = planOf("q114_edit_distance_audit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit distance must attach texts by id equi-join:\n$p")
+    assert(p.contains("levenshtein"), p)
+  }
 }

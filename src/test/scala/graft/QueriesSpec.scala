@@ -394,6 +394,37 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q114 edit-distance audit: covers exactly q27's pairs; distances match a reference DP") {
+    import graft.analytics.PipelineQueries
+    import org.apache.spark.sql.functions.col
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cost = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = prev(j); prev(j) = cost
+        }
+      }
+      prev(b.length)
+    }
+    val texts = Tables.documents(spark, TestSpark.SfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val q27 = PipelineQueries.minhashNearDup(spark, TestSpark.SfDir)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = PipelineQueries.editDistanceAudit(spark, TestSpark.SfDir).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == q27.toSeq.sorted,
+      "audit must cover exactly the near-dup pairs, in order")
+    out.foreach { r =>
+      val (a, b) = (texts(r.getLong(0)), texts(r.getLong(1)))
+      val d = lev(a, b)
+      assert(r.getInt(2) == d, s"edit_dist(${r.getLong(0)},${r.getLong(1)})")
+      assert(r.getLong(3) == d.toLong * 10000L / math.max(a.length, b.length), "edit_bp")
+    }
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

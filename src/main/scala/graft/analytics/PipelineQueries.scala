@@ -706,6 +706,30 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Quality-priority keeper per near-dup cluster (q115) — the curation
+    * policy refinement over min-id keeping (q55): inside each connected
+    * near-dup cluster (q56), keep the LONGEST member (n_chars,
+    * tie-break lower id) — "keep the most complete version of the
+    * duplicated page", the policy C4-style pipelines actually want.
+    * Deterministic integer policy → fully oracle-checkable.
+    *
+    * Scale shape: operates on cluster MEMBERS only (near-dup docs — a
+    * sliver of the corpus); the quality column attaches by an 8-byte id
+    * equi-join with no forced build side; the argmax is one row_number
+    * window partitioned by component (cluster sizes are bounded by the
+    * dedup semantics, not the corpus). */
+  def clusterKeeper(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = nearDupClusters(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    clusters.join(docs, col("id") === col("doc_id"))
+      .withColumn("is_keep",
+        row_number().over(
+          Window.partitionBy(col("comp")).orderBy(col("n_chars").desc, col("id"))) === 1)
+      .select(col("id"), col("comp"), col("n_chars"), col("is_keep"))
+      .orderBy(col("id"))
+  }
+
   /** Char-level edit-distance audit of the near-dup decisions (q114) —
     * the second opinion a curation pipeline wants before dropping a
     * document: token-level Jaccard (q27) says near-dup, Levenshtein on
@@ -1985,7 +2009,8 @@ object PipelineQueries {
     "q111_bpe_pairs" -> (bpePairs _),
     "q112_grouping_sets" -> (groupingSetsAgg _),
     "q113_weighted_median" -> (weightedMedian _),
-    "q114_edit_distance_audit" -> (editDistanceAudit _))
+    "q114_edit_distance_audit" -> (editDistanceAudit _),
+    "q115_cluster_keeper" -> (clusterKeeper _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2727,6 +2752,23 @@ object PipelineQueries {
         |  WHERE rn <= 5 GROUP BY token)
         |SELECT a.token, df, tf_total, sample_docs
         |FROM a JOIN t5 USING (token) ORDER BY token""".stripMargin,
+    // q115: the q56 recursive-CTE components + a row_number argmax per
+    // component on (n_chars DESC, id) — keep the longest member.
+    "q115_cluster_keeper" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |c AS (SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id)
+        |SELECT c.id, c.comp, d.n_chars,
+        |  row_number() OVER (PARTITION BY c.comp ORDER BY d.n_chars DESC, c.id) = 1 AS is_keep
+        |FROM c JOIN documents d ON c.id = d.doc_id
+        |ORDER BY c.id""".stripMargin,
     // q114: the pair list is the q27 oracle's brute-force near-dups;
     // levenshtein is the standard DP distance in both engines, the
     // ratio pure integer div vs the longer text.

@@ -425,6 +425,22 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q115 cluster keeper: one keeper per cluster, and it is the longest member") {
+    import graft.analytics.PipelineQueries
+    val out = PipelineQueries.clusterKeeper(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    val members = PipelineQueries.nearDupClusters(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r => (r._1, r._2)).toSet == members, "same membership as q56")
+    out.groupBy(_._2).foreach { case (comp, rows) =>
+      val keepers = rows.filter(_._4)
+      assert(keepers.length == 1, s"cluster $comp has ${keepers.length} keepers")
+      val best = rows.minBy(r => (-r._3, r._1))
+      assert(keepers.head._1 == best._1, s"cluster $comp kept ${keepers.head._1}, longest is ${best._1}")
+    }
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -406,6 +406,32 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Tombstone delete + delete-aware search (q116) — the third committed-
+    * index maintenance verb, completing the lifecycle: build (q98),
+    * frozen-quantizer append (q101), logical delete (this). A GDPR/
+    * curation removal batch (vec_id % 7 == 3 stands in) commits as an
+    * id-only tombstone segment; the search anti-joins candidates against
+    * it map-side — the standing codes table is never rewritten, and
+    * physical reclaim folds into the next snapshot rebuild (the delete-
+    * files contract of a table format, applied to a vector index).
+    *
+    * The layout carries `variant="del"` so its tombstones can never leak
+    * into q98's pristine layout over the same corpus. The oracle is the
+    * q81/q98 SQL with deleted ids excluded from the CANDIDATE join only —
+    * quantizer training, assignment, and encode still span the full
+    * corpus, exactly what a logical delete leaves in place. */
+  def annIndexedDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.IvfPqIndex
+    val embs = Tables.embeddings(spark, dir)
+    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding",
+      IvfPqIndex.Params(variant = "del"))
+    IvfPqIndex.delete(spark, idx,
+      embs.filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
+    IvfPqIndex
+      .search(spark, idx, embs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Epoch seed for [[trainingShards]] — a NEW tag is a new deterministic
     * permutation (the per-epoch reshuffle), with zero RNG state to
     * checkpoint or coordinate across executors. Shared with the q102
@@ -1287,6 +1313,47 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Word n-gram size for [[exactGramDedup]], shared with the q117 oracle
+    * SQL (generated-constant pattern, as q74/q86). */
+  private[analytics] val ExactGramN = 8
+
+  /** Earliest-owner exact n-gram dedup (q117) — the "exact substring"
+    * dedup policy (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"-style, at word granularity): every distinct
+    * word 8-gram is owned by the LOWEST doc_id containing it; a document
+    * whose grams are ≥80% already-owned-by-an-earlier-doc is a duplicate
+    * (the member of a boilerplate/copy chain that arrived later). Unlike
+    * q27/q62 (fuzzy MinHash) this is exact overlap, and unlike q73
+    * (contamination vs a small benchmark set) the ownership join is
+    * corpus×corpus — the policy for intra-corpus boilerplate removal.
+    *
+    * Scale shape: documents are scanned and tokenized ONCE and never
+    * shuffle — grams hash to 8-byte xxhash64 keys at explode time (q64's
+    * trick), so the only shuffled rows are (gram_h, doc_id) pairs, and
+    * they shuffle ONCE: the per-gram min owner is a window aggregate over
+    * gram_h on that single exchange (an aggregate-then-rejoin formulation
+    * would re-scan and re-explode the corpus — the q109 double-scan trap,
+    * since column pruning defeats exchange reuse across the two
+    * branches). gram_h is high-cardinality so the window parallelizes;
+    * a pathological boilerplate gram's frame buffers via the spillable
+    * window array rather than failing. Nothing is O(n²). */
+  def exactGramDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.wordNgrams(col("text"), ExactGramN))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
+      .withColumn("owner", min(col("doc_id")).over(Window.partitionBy(col("gram_h"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("shared_grams"))
+      .withColumn("dup_bp", expr("shared_grams * 10000L div n_grams"))
+      .withColumn("is_dup", col("dup_bp") >= 8000L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Chunking constants, shared with the q74 oracle SQL (generated from
     * these same values): 64-token windows, 16-token overlap → stride 48. */
   private[analytics] val ChunkSize = 64
@@ -2010,7 +2077,9 @@ object PipelineQueries {
     "q112_grouping_sets" -> (groupingSetsAgg _),
     "q113_weighted_median" -> (weightedMedian _),
     "q114_edit_distance_audit" -> (editDistanceAudit _),
-    "q115_cluster_keeper" -> (clusterKeeper _))
+    "q115_cluster_keeper" -> (clusterKeeper _),
+    "q116_ann_index_delete" -> (annIndexedDelete _),
+    "q117_exact_gram_dedup" -> (exactGramDedup _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2609,8 +2678,14 @@ object PipelineQueries {
     * corpus the QUANTIZER is trained on (`seedWhere` restricts only the
     * cell-seed and codebook-seed CTEs; assignment, encode, and search
     * always span the full corpus). `TRUE` = the classic build; q101 passes
-    * the base-corpus predicate to replicate a frozen-quantizer append. */
-  private def ivfPqResidualOracleSqlSeeded(seedWhere: String): String = {
+    * the base-corpus predicate to replicate a frozen-quantizer append.
+    * `candWhere` (over `a.vec_id`) additionally restricts which encoded
+    * vectors may surface as CANDIDATES — the tombstone-delete semantics:
+    * quantizer, assignment, and encode still span the full corpus (a
+    * logical delete re-trains nothing), but deleted ids never reach the
+    * ADC ranking. q116 passes the deleted-id complement. */
+  private def ivfPqResidualOracleSqlSeeded(
+      seedWhere: String, candWhere: String = "TRUE"): String = {
       // q80's oracle with the FAISS residual step spliced in: residuals are
       // elementwise CAST-to-DOUBLE subtracts (one IEEE op per element, so
       // corpus residuals, the residual-seeded codebooks, and both folds
@@ -2653,7 +2728,7 @@ object PipelineQueries {
          |  FROM routed r JOIN embeddings qe ON qe.vec_id = r.query_id JOIN cen c ON c.cell = r.cell),
          |partials AS (SELECT qr.query_id, a.vec_id AS neighbor_id, pc.subspace, $adcFold AS p
          |  FROM qres qr
-         |  JOIN assigned a ON a.cell = qr.cell AND a.vec_id <> qr.query_id
+         |  JOIN assigned a ON a.cell = qr.cell AND a.vec_id <> qr.query_id AND ($candWhere)
          |  JOIN pc ON pc.vec_id = a.vec_id
          |  JOIN rs ON rs.code = pc.code),
          |dist AS (SELECT query_id, neighbor_id,
@@ -2674,6 +2749,11 @@ object PipelineQueries {
     // and search still span base ∪ delta, exactly the frozen-quantizer
     // append the engine commits as layout segments.
     "q101_ann_index_append" -> ivfPqResidualOracleSqlSeeded("vec_id % 4 <> 3"),
+    // q116: the q81/q98 SQL with tombstoned ids excluded from the
+    // CANDIDATE join only — quantizer, assignment, and encode still span
+    // the full corpus, exactly what a logical delete leaves in place.
+    "q116_ann_index_delete" ->
+      ivfPqResidualOracleSqlSeeded("TRUE", "a.vec_id % 7 <> 3"),
     // q105: the Morton interleave is pure integer bit arithmetic generated
     // from the same round constants on both sides; epoch(ts) matches
     // Spark's tz-free cast-to-long because both treat the stored value as
@@ -2769,6 +2849,28 @@ object PipelineQueries {
         |  row_number() OVER (PARTITION BY c.comp ORDER BY d.n_chars DESC, c.id) = 1 AS is_keep
         |FROM c JOIN documents d ON c.id = d.doc_id
         |ORDER BY c.id""".stripMargin,
+    // q117: per-gram min-owner + per-doc share, grouped by the gram
+    // STRING (the engine groups by xxhash64 of the gram — equal results
+    // absent 64-bit collisions, the q64/q73 precedent). All integer
+    // arithmetic; DuckDB SUM(BIGINT)→HUGEINT cast back to BIGINT.
+    "q117_exact_gram_dedup" -> {
+      val n = ExactGramN
+      val sharedBig =
+        "CAST(SUM(CASE WHEN o.owner < u.doc_id THEN 1 ELSE 0 END) AS BIGINT)"
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS s, text FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(s) >= $n THEN list_distinct(list_transform(range(1, len(s) - ${n - 2}), i -> array_to_string(s[i:i+${n - 1}], ' ')))
+         |       ELSE [text] END AS grams
+         |  FROM t),
+         |u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |o AS (SELECT gram, MIN(doc_id) AS owner FROM u GROUP BY gram)
+         |SELECT u.doc_id, COUNT(*) AS n_grams,
+         |  $sharedBig AS shared_grams,
+         |  $sharedBig * 10000 // COUNT(*) AS dup_bp,
+         |  ($sharedBig * 10000 // COUNT(*)) >= 8000 AS is_dup
+         |FROM u JOIN o ON u.gram = o.gram
+         |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin
+    },
     // q114: the pair list is the q27 oracle's brute-force near-dups;
     // levenshtein is the standard DP distance in both engines, the
     // ratio pure integer div vs the longer text.

@@ -45,8 +45,13 @@ object IvfPqIndex {
 
   /** Index build/search parameters (defaults mirror [[Pq.ivfPqTopKResidual]]).
     * `nprobe` is a SEARCH-time knob and deliberately not part of the
-    * layout tag — one committed layout serves any nprobe. */
-  case class Params(nlist: Int = 16, m: Int = Pq.M, ksub: Int = Pq.Ksub, dim: Int = Pq.Dim)
+    * layout tag — one committed layout serves any nprobe. `variant`
+    * namespaces layouts that would otherwise share a tag: two callers
+    * over the SAME corpus and params get independent layout directories
+    * when they must not share mutable per-layout state (q116's tombstones
+    * must never leak into q98's pristine layout). */
+  case class Params(nlist: Int = 16, m: Int = Pq.M, ksub: Int = Pq.Ksub, dim: Int = Pq.Dim,
+      variant: String = "")
 
   /** A committed layout: its warehouse location plus the driver-side
     * small state (centroid matrix + codebooks) loaded from the sidecar. */
@@ -81,7 +86,7 @@ object IvfPqIndex {
     * a different name (never silently re-served). */
   def layoutTag(spark: SparkSession, corpus: DataFrame, p: Params): String = {
     val spec = s"v$SchemaVersion|${corpusSignature(spark, corpus)}|" +
-      s"nlist=${p.nlist}|m=${p.m}|ksub=${p.ksub}|dim=${p.dim}"
+      s"nlist=${p.nlist}|m=${p.m}|ksub=${p.ksub}|dim=${p.dim}|variant=${p.variant}"
     java.security.MessageDigest.getInstance("MD5")
       .digest(spec.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
   }
@@ -257,6 +262,55 @@ object IvfPqIndex {
       .write.partitionBy("cell").parquet(s"$seg/codes")
   }
 
+  /** Tombstone-delete vectors from a committed layout — the third index
+    * maintenance verb next to build and [[append]], and the shape a
+    * standing 100 TB index needs for GDPR/erasure and corpus-curation
+    * removals: rewriting the cell-partitioned codes table for each delete
+    * batch would re-shuffle the whole index, so deletes are LOGICAL — the
+    * batch's ids commit as their own `tomb_<sig>/ids` segment (id column
+    * only — 8 B/row) and [[search]] anti-joins candidates against the
+    * union of tombstone segments (a broadcast at any realistic tombstone
+    * volume). Physical reclaim rides the existing lifecycle for free: any
+    * corpus snapshot change re-tags the layout and the rebuild drops
+    * tombstoned rows with it ([[vacuum]] removes the old directory) — the
+    * same logical-delete-then-compact contract as a table format's
+    * delete files.
+    *
+    * Idempotent like [[append]]: by segment tag (same delete batch ⇒ same
+    * signature ⇒ skipped) AND by content (ids already tombstoned by
+    * earlier segments are dropped, so overlapping batches never grow the
+    * tombstone set; an empty remainder commits nothing). */
+  def delete(spark: SparkSession, idx: Committed, ids: DataFrame, idCol: String): Unit = {
+    val seg = new org.apache.hadoop.fs.Path(
+      idx.location, s"tomb_${corpusSignature(spark, ids)}")
+    val fs = seg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(seg, "ids/_SUCCESS"))) return
+    if (fs.exists(seg)) fs.delete(seg, true)
+    val batch = ids.select(col(idCol).cast("long").as("neighbor_id")).distinct()
+    val fresh = tombstoneSegments(spark, idx) match {
+      case Seq() => batch
+      case segs =>
+        val existing = segs.map(s => spark.read.parquet(s)).reduce(_.unionByName(_))
+        batch.join(existing, Seq("neighbor_id"), "left_anti")
+    }
+    if (fresh.limit(1).count() == 0) return
+    fresh.coalesce(1).write.parquet(s"$seg/ids")
+  }
+
+  /** All committed tombstone-segment locations (`tomb_*` with `_SUCCESS`). */
+  private[graft] def tombstoneSegments(spark: SparkSession, idx: Committed): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(idx.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tomb_"))
+      .map(_.getPath)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "ids/_SUCCESS")))
+      .map(d => s"$d/ids")
+      .sorted
+      .toSeq
+  }
+
   /** All committed code-segment locations of a layout: the base build
     * plus every `delta_*` segment whose write completed (`_SUCCESS`).
     * O(#segments) driver listing — the cost of planning the scan. */
@@ -341,11 +395,21 @@ object IvfPqIndex {
     // scan each unioned (a single multi-path read trips partition
     // discovery across the different roots); the probed-cell filter
     // pushes through the Union into every segment's partition pruning.
-    val codes = codeSegments(spark, idx)
+    val live = codeSegments(spark, idx)
       .map(seg => spark.read.parquet(seg))
       .reduce(_.unionByName(_))
       .where(col("cell").isin(probed.map(Integer.valueOf): _*))
-      .select(col("neighbor_id"), col("cell"),
+    // Tombstone-deleted vectors (see [[delete]]) never become candidates:
+    // anti-join against the tombstone id set — 8 B/row, broadcast by AQE
+    // at any realistic tombstone volume, so the exclusion is map-side on
+    // the pruned code scan. A layout with no tombstone segments skips the
+    // join entirely (identical plan to the pre-delete index).
+    val codes = (tombstoneSegments(spark, idx) match {
+      case Seq() => live
+      case segs =>
+        val tombs = segs.map(s => spark.read.parquet(s)).reduce(_.unionByName(_))
+        live.join(tombs, Seq("neighbor_id"), "left_anti")
+    }).select(col("neighbor_id"), col("cell"),
         transform(col("codes"),
           c => struct(c.as("code"), lit(0.0d).as("dist"))).as("enc"))
     val scored = routed

@@ -156,6 +156,69 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(IvfPqIndex.search(spark, idx, queries, "vec_id", "embedding", k = 5).count() > 0)
   }
 
+  /** Remove any prior run's copy of a variant layout: these persist across
+    * JVMs WITH their tombstones, and the delete tests need a pre-delete
+    * "before" state. */
+  private def freshVariant(variant: String): IvfPqIndex.Committed = {
+    val p = IvfPqIndex.Params(variant = variant)
+    val tag = IvfPqIndex.layoutTag(spark, embs, p)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"graft_ivfpq_$tag")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    IvfPqIndex.dropCachedLayouts(spark)
+    IvfPqIndex.ensure(spark, embs, "vec_id", "embedding", p)
+  }
+
+  test("tombstone delete: deleted ids vanish from search; pristine layout untouched") {
+    val idx = freshVariant("del-spec")
+    val before = rows(IvfPqIndex.search(spark, idx, queries, "vec_id", "embedding", k = 10))
+    IvfPqIndex.delete(spark, idx,
+      embs.filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
+    val after = rows(IvfPqIndex.search(spark, idx, queries, "vec_id", "embedding", k = 10))
+    assert(after.nonEmpty)
+    assert(after.forall { case (_, n, _, _) => n % 7 != 3 }, "a tombstoned id surfaced")
+    assert(before.exists { case (_, n, _, _) => n % 7 == 3 },
+      "vacuous test: no pre-delete result would have been excluded")
+    // Ranks stay contiguous per query after the exclusion.
+    after.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).toSeq.sorted == (1 to rs.size), s"rank gap for query $q")
+    }
+    // The DEFAULT-variant layout over the same corpus shares no state.
+    val pristine = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
+    assert(IvfPqIndex.tombstoneSegments(spark, pristine).isEmpty,
+      "tombstones leaked into the default-variant layout")
+  }
+
+  test("overlapping tombstone batches: content idempotence, replay-safe") {
+    val idx = freshVariant("del-spec2")
+    val batch = embs.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    IvfPqIndex.delete(spark, idx, batch, "vec_id")
+    val segs1 = IvfPqIndex.tombstoneSegments(spark, idx)
+    // Replay of the identical batch: same tag → skipped, nothing new.
+    IvfPqIndex.delete(spark, idx, batch, "vec_id")
+    assert(IvfPqIndex.tombstoneSegments(spark, idx) == segs1)
+    // A superset under a different plan → different tag; only the NEW ids
+    // commit (content idempotence — no id tombstoned twice).
+    IvfPqIndex.delete(spark, idx,
+      embs.filter(col("vec_id") % 7 === 3 || col("vec_id") % 11 === 5)
+        .select(col("vec_id")), "vec_id")
+    val ids = IvfPqIndex.tombstoneSegments(spark, idx)
+      .map(s => spark.read.parquet(s))
+      .reduce(_.unionByName(_))
+    assert(ids.count() == ids.distinct().count(), "an id was tombstoned twice")
+    val out = rows(IvfPqIndex.search(spark, idx, queries, "vec_id", "embedding", k = 10))
+    assert(out.forall { case (_, n, _, _) => n % 7 != 3 && n % 11 != 5 })
+  }
+
+  test("a layout with no tombstones plans no anti-join") {
+    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
+    assert(IvfPqIndex.tombstoneSegments(spark, idx).isEmpty)
+    val out = IvfPqIndex.search(spark, idx, queries, "vec_id", "embedding", k = 5)
+    out.count()
+    assert(!out.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "pre-delete search must not pay a tombstone join")
+  }
+
   test("code scan prunes to the probed cells") {
     val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
     val oneQuery = embs.filter(col("vec_id") === 0)

@@ -319,4 +319,21 @@ class PlanSpec extends AnyFunSuite {
       s"edit distance must attach texts by id equi-join:\n$p")
     assert(p.contains("levenshtein"), p)
   }
+
+  test("q116: delete-aware search anti-joins tombstones; code scan still prunes cells") {
+    val p = planOf("q116_ann_index_delete")
+    assert(p.contains("LeftAnti"), s"tombstone exclusion must be an anti-join:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"tombstones must not cost the static cell pruning:\n$p")
+  }
+
+  test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
+    val p = planOf("q117_exact_gram_dedup")
+    assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,
+      s"aggregate-then-rejoin would re-scan the corpus (the q109 trap):\n$p")
+    assert(!p.contains("Join"), p)
+    // One explode only, and the min-owner Window consumes it directly.
+    assert(p.sliding("Generate".length).count(_ == "Generate") == 1, p)
+    assert(p.contains("Window"), p)
+  }
 }

@@ -441,6 +441,48 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q116 index delete: tombstoned ids never surface; pristine q98 layout unaffected") {
+    import graft.analytics.PipelineQueries
+    val out = PipelineQueries.annIndexedDelete(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 % 7 != 3), "a tombstoned id surfaced as a neighbor")
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).toSeq.sorted == (1 to rs.size), s"rank gap for query $q")
+    }
+    // The delete ran on its own variant layout: the pristine committed
+    // index still serves tombstone-eligible neighbors.
+    val q98 = PipelineQueries.annIndexed(spark, TestSpark.SfDir).collect().map(_.getLong(1))
+    assert(q98.exists(_ % 7 == 3), "q98's pristine layout lost candidates to q116's delete")
+  }
+
+  test("q117 exact-gram dedup matches a brute-force reference") {
+    import graft.analytics.PipelineQueries
+    val n = 8
+    def gramsOf(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSet else Set(t)
+    }
+    val docs = Tables.documents(spark, TestSpark.SfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), gramsOf(r.getString(1)))).sortBy(_._1)
+    val owner = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, gs) =>
+      gs.foreach(g => if (!owner.contains(g)) owner(g) = id)
+    }
+    val expected = docs.map { case (id, gs) =>
+      val shared = gs.count(g => owner(g) < id).toLong
+      val bp = shared * 10000L / gs.size
+      id -> ((gs.size.toLong, shared, bp, bp >= 8000L))
+    }.toMap
+    val out = PipelineQueries.exactGramDedup(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+    assert(out.length == expected.size)
+    out.foreach { case (id, got) =>
+      assert(got == expected(id), s"doc $id: got $got expected ${expected(id)}")
+    }
+    assert(out.exists(_._2._4), "vacuous: no duplicate flagged at this SF")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -1354,6 +1354,53 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequential-Poisson sampling constants (q118), shared with the oracle
+    * SQL (generated-constant pattern). The hash is a Lehmer-style
+    * multiplicative mix mod the Mersenne prime 2^31-1: every intermediate
+    * fits a BIGINT ((P-1)·C1 < 2^63), so BOTH engines compute the uniform
+    * exactly in integer arithmetic — no RNG state, no transcendentals. */
+  private[analytics] val SampleK = 25
+  private[analytics] val SampleP = 2147483647L
+  private[analytics] val SampleC1 = 2654435761L
+  private[analytics] val SampleC2 = 1013904223L
+
+  /** Deterministic weighted corpus subsampling (q118) — sequential
+    * Poisson sampling (Ohlsson 1998), the πps scheme official statistics
+    * uses: each doc draws a deterministic uniform u from its id, gets
+    * priority u/w (w = n_chars — longer docs proportionally likelier),
+    * and the K lowest priorities PER LANGUAGE are kept. The sample is a
+    * pure function of (corpus, constants): reproducible across runs,
+    * re-runnable incrementally (a new doc's priority never changes old
+    * priorities — only the K-boundary moves), and auditable row by row.
+    *
+    * Scale shape: the priority is map-only; per-stratum selection reuses
+    * the ANN [[graft.similarity.Ann.TopKAggregator]] — partials combine
+    * MAP-SIDE, so the shuffle carries at most partitions·K rows per
+    * stratum instead of the corpus (a per-lang row_number window would
+    * shuffle every row into #langs fat partitions — the q15 shape is
+    * wrong when strata are few and huge). The kept list (strata·K rows)
+    * then re-attaches metadata by an 8-byte id broadcast join into the
+    * corpus — map-only. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars").as("weight"))
+      .withColumn("v",
+        ((col("doc_id") % SampleP) * SampleC1 + SampleC2) % SampleP)
+      .withColumn("priority", (col("v") + lit(1L)).cast("double") / col("weight"))
+    val kept = graft.similarity.Ann.topKRanked(
+      docs.select(
+        xxhash64(col("lang")).as("query_id"),
+        col("doc_id").as("neighbor_id"),
+        negate(col("priority")).as("cosine")),
+      SampleK)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    docs
+      .join(broadcast(kept), Seq("doc_id"))
+      .select(col("lang"), col("doc_id"), col("weight"), col("priority"), col("rank"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Chunking constants, shared with the q74 oracle SQL (generated from
     * these same values): 64-token windows, 16-token overlap → stride 48. */
   private[analytics] val ChunkSize = 64
@@ -2079,7 +2126,8 @@ object PipelineQueries {
     "q114_edit_distance_audit" -> (editDistanceAudit _),
     "q115_cluster_keeper" -> (clusterKeeper _),
     "q116_ann_index_delete" -> (annIndexedDelete _),
-    "q117_exact_gram_dedup" -> (exactGramDedup _))
+    "q117_exact_gram_dedup" -> (exactGramDedup _),
+    "q118_weighted_sample" -> (weightedSample _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2871,6 +2919,20 @@ object PipelineQueries {
          |FROM u JOIN o ON u.gram = o.gram
          |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin
     },
+    // q118: the uniform is exact BIGINT arithmetic in both engines; the
+    // single IEEE division (v+1)/w is bit-identical; the bounded
+    // aggregator equals the row_number formulation by construction
+    // (selection is a pure function of the input set).
+    "q118_weighted_sample" ->
+      s"""WITH d AS (SELECT lang, doc_id, n_chars AS weight,
+         |    ((doc_id % $SampleP) * $SampleC1 + $SampleC2) % $SampleP AS v
+         |  FROM documents),
+         |p AS (SELECT lang, doc_id, weight,
+         |    CAST(v + 1 AS DOUBLE) / weight AS priority FROM d),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rn
+         |  FROM p)
+         |SELECT lang, doc_id, weight, priority, CAST(rn AS INTEGER) AS "rank"
+         |FROM r WHERE rn <= $SampleK ORDER BY lang, rn""".stripMargin,
     // q114: the pair list is the q27 oracle's brute-force near-dups;
     // levenshtein is the standard DP distance in both engines, the
     // ratio pure integer div vs the longer text.

@@ -70,8 +70,10 @@ object Ann {
 
   /** (query_id, neighbor_id, cosine) → ranked top-k per query via the
     * map-side aggregator (no Window over the full scored set). Null
-    * cosines (zero-norm vectors) are dropped — they can never rank. */
-  private[similarity] def topKRanked(scored: DataFrame, k: Int): DataFrame = {
+    * cosines (zero-norm vectors) are dropped — they can never rank.
+    * private[graft]: q118 reuses it for per-stratum bounded top-k (the
+    * key need not be a vector id — any Long grouping key works). */
+  private[graft] def topKRanked(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored

@@ -327,6 +327,17 @@ class PlanSpec extends AnyFunSuite {
       s"tombstones must not cost the static cell pruning:\n$p")
   }
 
+  test("q118: per-stratum selection is map-side bounded; metadata attaches by broadcast") {
+    val p = planOf("q118_weighted_sample")
+    // The TopKAggregator partials combine before the exchange (no Window
+    // shuffling the corpus into #langs fat partitions)…
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkaggregator"),
+      s"per-stratum top-k must bound map-side:\n$p")
+    assert(!p.contains("Window"), p)
+    // …and the strata·K kept list broadcasts back into the corpus scan.
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

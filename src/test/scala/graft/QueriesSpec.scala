@@ -483,6 +483,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.exists(_._2._4), "vacuous: no duplicate flagged at this SF")
   }
 
+  test("q118 weighted sample matches an in-memory sequential-Poisson reference") {
+    import graft.analytics.PipelineQueries
+    val P = 2147483647L; val C1 = 2654435761L; val C2 = 1013904223L; val K = 25
+    val docs = Tables.documents(spark, TestSpark.SfDir)
+      .select("lang", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = docs
+      .map { case (lang, id, w) =>
+        val v = ((id % P) * C1 + C2) % P
+        (lang, id, w, (v + 1).toDouble / w)
+      }
+      .groupBy(_._1)
+      .flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._4, r._2)).take(K).zipWithIndex
+          .map { case ((lang, id, w, pr), i) => (lang, id, w, pr, i + 1) }
+          .toSeq
+      }
+      .toSet
+    val out = PipelineQueries.weightedSample(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .toSet
+    assert(out == expected)
+    // Weighting sanity: kept docs are longer on average than the corpus
+    // (inclusion ∝ n_chars is the point of the scheme).
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    val keptMean = out.toSeq.map(_._3).sum.toDouble / out.size
+    assert(keptMean > corpusMean, s"kept mean $keptMean ≤ corpus mean $corpusMean")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -1354,6 +1354,40 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** User-journey transition matrix (q119) — the Markov event-flow view
+    * of the reference's event stream (README.md:24's
+    * signup/login/purchase/view/click vocabulary): for every ordered pair
+    * of consecutive events WITHIN a user (ordered by ts, tie-broken by
+    * event_id), count (from_type → to_type) and emit the per-from
+    * transition probability in integer basis points. The missing classic
+    * next to funnel (q89) and retention cohorts (q90): "where do users go
+    * after X" drives drop-off analysis and journey design.
+    *
+    * Scale shape: ONE shuffle on user_id for the lead() window — per-user
+    * frames are small and lead(1) streams (no frame buffering); the pair
+    * stream then aggregates map-side to the ≤|types|² transition matrix,
+    * and the per-from normalization window runs over that METADATA-sized
+    * matrix, never over events. Oracle ordering is pinned at Spark's
+    * microsecond timestamp resolution (epoch_us) so a sub-microsecond
+    * tie can never order the two engines differently. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUserTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUserTime))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("prob_bp", expr("n * 10000L div from_total"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Sequential-Poisson sampling constants (q118), shared with the oracle
     * SQL (generated-constant pattern). The hash is a Lehmer-style
     * multiplicative mix mod the Mersenne prime 2^31-1: every intermediate
@@ -2127,7 +2161,8 @@ object PipelineQueries {
     "q115_cluster_keeper" -> (clusterKeeper _),
     "q116_ann_index_delete" -> (annIndexedDelete _),
     "q117_exact_gram_dedup" -> (exactGramDedup _),
-    "q118_weighted_sample" -> (weightedSample _))
+    "q118_weighted_sample" -> (weightedSample _),
+    "q119_event_transitions" -> (eventTransitions _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2933,6 +2968,20 @@ object PipelineQueries {
          |  FROM p)
          |SELECT lang, doc_id, weight, priority, CAST(rn AS INTEGER) AS "rank"
          |FROM r WHERE rn <= $SampleK ORDER BY lang, rn""".stripMargin,
+    // q119: LEAD over (user, time) replays in SQL; ordering is pinned at
+    // Spark's microsecond resolution via epoch_us so DuckDB's nanosecond
+    // view of the parquet timestamps can never break ties differently;
+    // window SUM(BIGINT)→HUGEINT cast back; prob pure integer div.
+    "q119_event_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+        |  n * 10000 // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     // q114: the pair list is the q27 oracle's brute-force near-dups;
     // levenshtein is the standard DP distance in both engines, the
     // ratio pure integer div vs the longer text.

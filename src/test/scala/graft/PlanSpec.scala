@@ -338,6 +338,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q119: normalization window runs over the transition matrix, not over events") {
+    val p = planOf("q119_event_transitions")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    // Two windows: lead() below the aggregate (per-user, streaming
+    // frame), per-from sum above it (matrix-sized). Topmost Window must
+    // sit above the aggregate pair in the plan string.
+    assert(p.sliding("Window".length).count(_ == "Window") == 2, p)
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate"),
+      s"per-from normalization must consume the aggregated matrix:\n$p")
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

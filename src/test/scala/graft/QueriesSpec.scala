@@ -512,6 +512,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(keptMean > corpusMean, s"kept mean $keptMean ≤ corpus mean $corpusMean")
   }
 
+  test("q119 transition matrix: conservation and per-from normalization invariants") {
+    import graft.analytics.PipelineQueries
+    val out = PipelineQueries.eventTransitions(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // Σ transitions = Σ_users (events_u − 1): every event except each
+    // user's last contributes exactly one outgoing edge.
+    val ev = Tables.events(spark, TestSpark.SfDir)
+    val total = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    assert(out.map(_._3).sum == total - users)
+    out.groupBy(_._1).foreach { case (from, rows) =>
+      val t = rows.head._4
+      assert(rows.forall(_._4 == t), s"$from: inconsistent from_total")
+      assert(rows.map(_._3).sum == t, s"$from: counts don't sum to from_total")
+      val bpSum = rows.map(_._5).sum
+      assert(bpSum <= 10000 && bpSum > 10000 - rows.length,
+        s"$from: floor-rounded probabilities sum to $bpSum")
+    }
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

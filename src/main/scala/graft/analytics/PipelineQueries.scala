@@ -1374,19 +1374,45 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     val byUserTime = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val counts = Tables
+    transitionMatrixOf(Tables
       .events(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(byUserTime))
       .filter(col("next_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .select(col("event_type").as("from_type"), col("next_type").as("to_type")))
+  }
+
+  /** (from_type, to_type) pair stream → counted, per-from-normalized
+    * transition matrix. Shared by the batch lead()-window formulation
+    * (q119) and the streaming last-event-state formulation (q120) so the
+    * two can never drift — they also share one oracle
+    * ([[TransitionOracleSql]]). */
+  private[analytics] def transitionMatrixOf(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    pairs
+      .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-    counts
       .withColumn("from_total",
         sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .withColumn("prob_bp", expr("n * 10000L div from_total"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** The q119/q120 oracle: LEAD over (user, time) replayed in SQL.
+    * Ordering is pinned at Spark's microsecond resolution via epoch_us so
+    * DuckDB's nanosecond view of the parquet timestamps can never break
+    * ties differently; window SUM(BIGINT)→HUGEINT cast back; prob pure
+    * integer div. */
+  private[analytics] val TransitionOracleSql: String =
+    """WITH p AS (SELECT user_id, event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+      |  n * 10000 // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
+      |FROM c ORDER BY from_type, to_type""".stripMargin
 
   /** Sequential-Poisson sampling constants (q118), shared with the oracle
     * SQL (generated-constant pattern). The hash is a Lehmer-style
@@ -2968,20 +2994,8 @@ object PipelineQueries {
          |  FROM p)
          |SELECT lang, doc_id, weight, priority, CAST(rn AS INTEGER) AS "rank"
          |FROM r WHERE rn <= $SampleK ORDER BY lang, rn""".stripMargin,
-    // q119: LEAD over (user, time) replays in SQL; ordering is pinned at
-    // Spark's microsecond resolution via epoch_us so DuckDB's nanosecond
-    // view of the parquet timestamps can never break ties differently;
-    // window SUM(BIGINT)→HUGEINT cast back; prob pure integer div.
-    "q119_event_transitions" ->
-      """WITH p AS (SELECT user_id, event_type,
-        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
-        |  FROM events),
-        |c AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
-        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT from_type, to_type, n,
-        |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
-        |  n * 10000 // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
-        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // q119 (and q120, registered in Queries.scala): see TransitionOracleSql.
+    "q119_event_transitions" -> TransitionOracleSql,
     // q114: the pair list is the q27 oracle's brute-force near-dups;
     // levenshtein is the standard DP distance in both engines, the
     // ratio pure integer div vs the longer text.

@@ -385,6 +385,33 @@ object Queries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Streaming user-journey transitions (q120) — the ingest-time twin of
+    * the batch lead()-window matrix (q119): per-user last-event state in
+    * flatMapGroupsWithState chains each arrival into a (from → to) edge
+    * the moment it lands (see
+    * [[graft.streaming.StreamPipeline.transitionPairs]] for the per-key
+    * ordering contract a keyed topic provides); the emitted pair stream
+    * is then counted and normalized IN BATCH on the sink table by the
+    * same [[PipelineQueries.transitionMatrixOf]] the batch path uses, so
+    * the two formulations share one oracle — a hash divergence reads as
+    * "streaming state drifted from the window semantics".
+    *
+    * Scale shape: state is a constant few bytes per user (RocksDB-backed,
+    * like q63); the shuffle is the same user_id Exchange; the sink
+    * carries edges, not events. */
+  def streamTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val pairs = graft.streaming.StreamPipeline
+      .transitionPairs(s, Tables.eventsStream(s, dir))
+    PipelineQueries.transitionMatrixOf(
+      graft.streaming.StreamPipeline
+        .runToMemory(s, pairs.toDF(), "graft_stream_transitions"))
+  }
+
   /** Stream-stream interval join for the driver gate: purchases joined to
     * the same user's views within the preceding hour, both sides
     * watermarked file streams (bounded state — the §2.8 two-unbounded-
@@ -813,6 +840,7 @@ object Queries {
     "q24_stream_hourly" -> (streamHourly _),
     "q63_stream_sessions" -> (streamSessions _),
     "q66_stream_interval_join" -> (streamIntervalJoin _),
+    "q120_stream_transitions" -> (streamTransitions _),
     "q68_stream_dedup" -> (streamDedup _),
     "q43_pivot" -> (pivotEventTypes _),
     "q44_set_ops" -> (setOps _),
@@ -826,6 +854,8 @@ object Queries {
     "q58_range_join" -> (rangeJoinPriceBand _))
 
   val oracle: Map[String, String] = Map(
+    // q120 shares the q119 oracle: same pair semantics, same matrix.
+    "q120_stream_transitions" -> PipelineQueries.TransitionOracleSql,
     "q89_conversion_funnel" ->
       """WITH s AS (SELECT user_id, MIN(ts) AS fs FROM events
         |  WHERE event_type = 'signup' GROUP BY user_id),

@@ -140,6 +140,54 @@ object StreamPipeline {
   /** A closed session emitted by the custom stateful sessionizer. */
   case class SessionOut(host: String, session_start: java.sql.Timestamp, n_events: Long)
 
+  /** Per-key last-seen event (state for [[transitionPairs]]): enough to
+    * chain the next arrival into a (from → to) pair across micro-batches. */
+  case class LastEvent(us: Long, eid: Long, typ: String)
+
+  /** One consecutive-event transition emitted by [[transitionPairs]]. */
+  case class TransitionOut(from_type: String, to_type: String)
+
+  /** Ingest-time user-journey transitions — the streaming twin of the
+    * batch lead()-window formulation (q119): per user, each arriving
+    * event pairs with the PREVIOUS one (state = that user's last event,
+    * a constant few bytes per key) and the (from_type, to_type) edge
+    * emits immediately, so a downstream counter maintains the live
+    * transition matrix without ever replaying history.
+    *
+    * Ordering contract: within a micro-batch the group's rows are sorted
+    * by (event time micros, event_id); ACROSS batches arrivals must be
+    * per-key in order — exactly the delivery guarantee a user_id-keyed
+    * Kafka topic provides (per-partition order), and the q100 ingest
+    * shape this operator composes with. An out-of-order cross-batch
+    * straggler would need a watermark-delayed buffer (list state +
+    * event-time timers) — deliberately not paid here, matching the
+    * reference pipeline's in-order consumption (filter_swords_stream
+    * .py:47-52 reads one ordered topic). */
+  def transitionPairs(spark: SparkSession, events: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts"): org.apache.spark.sql.Dataset[TransitionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long").as("u"), col("event_id").as("eid"),
+        col(tsCol).as("t"), col("event_type").as("et"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String)],
+            state: GroupState[LastEvent]) => {
+          val sorted = rows.map(r => (microsOf(r._3), r._2, r._4)).toArray
+            .sortBy(r => (r._1, r._2))
+          var last = state.getOption
+          val out = Vector.newBuilder[TransitionOut]
+          sorted.foreach { case (us, eid, typ) =>
+            last.foreach(l => out += TransitionOut(l.typ, typ))
+            last = Some(LastEvent(us, eid, typ))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   /** Mutable per-key session accumulator (stored in the state store).
     * Times are epoch MICROSECONDS — Spark's native timestamp precision;
     * quantizing to Timestamp.getTime millis would shift session starts

@@ -533,6 +533,17 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q120 streaming transitions equal the batch lead-window matrix exactly") {
+    import graft.analytics.{PipelineQueries, Queries}
+    val batch = PipelineQueries.eventTransitions(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val streamed = Queries.streamTransitions(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      "streaming last-event state drifted from the window semantics")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -131,6 +131,44 @@ class StreamingSpec extends AnyFunSuite {
       "2024-01-01 00:00:00.0", "2024-01-01 00:50:00.0", "2024-01-01 02:00:00.0"))
   }
 
+  test("streaming transitions chain across micro-batches via last-event state") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_trans_src")
+    // Two files → two micro-batches (maxFilesPerTrigger=1). u1's B→C edge
+    // and u2's A→B edge SPAN the batch boundary: only the persisted
+    // last-event state can produce them.
+    def stage(name: String, mtime: Long, rows: Seq[(Long, Long, String, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_trans_batch").resolve("out").toString
+      spark.createDataFrame(rows).toDF("event_id", "user_id", "event_type", "tss")
+        .withColumn("ts", org.apache.spark.sql.functions.col("tss").cast("timestamp"))
+        .drop("tss")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = dir.resolve(name)
+      Files.copy(part, dst)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+    stage("b1.parquet", 1000000L, Seq(
+      (1L, 1L, "view", "2024-01-01 00:00:00"),
+      (2L, 1L, "click", "2024-01-01 00:01:00"),
+      (3L, 2L, "signup", "2024-01-01 00:02:00")))
+    stage("b2.parquet", 2000000L, Seq(
+      (4L, 1L, "purchase", "2024-01-01 00:03:00"),
+      (5L, 2L, "login", "2024-01-01 00:04:00")))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val pairs = StreamPipeline.runToMemory(
+      spark, StreamPipeline.transitionPairs(spark, stream).toDF(), "t_trans")
+      .as[(String, String)].collect().sorted
+    assert(pairs.toSeq == Seq(
+      ("click", "purchase"), // u1 cross-batch
+      ("signup", "login"),   // u2 cross-batch
+      ("view", "click")))    // u1 within batch 1
+  }
+
   test("stream-static enrich joins a broadcast dim per micro-batch") {
     val (_, stream) = kafkaShapedStream(corpus)
     val dim = Seq(("Player 1", "gold"), ("Player 2", "silver")).toDF("dim_host", "tier")

@@ -1414,6 +1414,86 @@ object PipelineQueries {
       |  n * 10000 // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** KMV sketch size (q121), shared with the oracle SQL. 1/√128 ≈ 9%
+    * relative error on union estimates — the production trade-off. */
+  private[analytics] val KmvK = 128
+
+  /** Audience-overlap KMV sketches (q121) — the sketch-family member HLL
+    * cannot express: k-minimum-values (bottom-k) sketches support SET
+    * INTERSECTION estimation (Beyer et al. 2007, the theta-sketch idea),
+    * so "how many users did both A and B" is answerable from two
+    * constant-size sketches without re-scanning either side. Per
+    * event-type: the [[KmvK]] smallest distinct values of a portable
+    * Lehmer-mix hash of user_id (the q118 uniform — BOTH engines compute
+    * it exactly, so unlike q42/q69's bounded-claim rows, the ESTIMATES
+    * themselves are hash-exact oracled). Per type pair: the k-smallest
+    * union sketch, θ-based union estimate (m−1)·P/kth, intersection
+    * estimate via the Jaccard share of the union sketch, and the exact
+    * audit columns with integer basis-point errors.
+    *
+    * Scale shape: the corpus-sized work is one distinct on compact
+    * (type, v) pairs + the same map-side bounded TopKAggregator as
+    * q118/q80 (negated values → bottom-k) — the shuffle carries
+    * ≤ partitions·k rows per type, never the user set. Sketch algebra
+    * runs on ≤ types·k values (driver-scale); the exact audit join is
+    * harness-affordable and would be DROPPED at 100 TB — the sketches
+    * are the product there, mergeable across segments/days by k-min of
+    * concatenation exactly like the q84 Bloom bit-OR. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val distinctTV = Tables
+      .events(spark, dir)
+      .select(col("event_type"),
+        ((col("user_id") % SampleP) * SampleC1 + SampleC2) % SampleP as "v")
+      .distinct()
+    val sketches = graft.similarity.Ann.topKRanked(
+      distinctTV.select(
+        xxhash64(col("event_type")).as("query_id"),
+        col("v").as("neighbor_id"),
+        negate(col("v").cast("double")).as("cosine")),
+      KmvK)
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(col("neighbor_id"))).as("vs"))
+    val typeMap = Tables.events(spark, dir).select(col("event_type")).distinct()
+      .select(col("event_type"), xxhash64(col("event_type")).as("query_id"))
+    val s = sketches.join(broadcast(typeMap), Seq("query_id"))
+      .select(col("event_type"), col("vs"))
+    // Exact audit columns (dropped at scale; kept here so the estimate
+    // quality is itself data, not a claim).
+    val exactPer = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("nd"))
+    val du = Tables.events(spark, dir).select(col("event_type"), col("user_id")).distinct()
+    val exactPair = du.as("a")
+      .join(du.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    val pairs = s.as("sa")
+      .join(s.as("sb"), col("sa.event_type") < col("sb.event_type"))
+      .select(
+        col("sa.event_type").as("type_a"), col("sb.event_type").as("type_b"),
+        col("sa.vs").as("va"), col("sb.vs").as("vb"))
+      .withColumn("uk", array_sort(array_union(col("va"), col("vb"))))
+      .withColumn("m", least(lit(KmvK), size(col("uk"))))
+      .withColumn("kth", element_at(col("uk"), col("m")))
+      .withColumn("est_union", expr(s"(m - 1) * ${SampleP}L div kth"))
+      .withColumn("inter_m",
+        size(array_intersect(slice(col("uk"), lit(1), col("m")),
+          array_intersect(col("va"), col("vb")))))
+      .withColumn("est_overlap", expr("est_union * inter_m div m"))
+    pairs
+      .join(exactPair, Seq("type_a", "type_b"), "left")
+      .join(exactPer.select(col("event_type").as("type_a"), col("nd").as("nd_a")), Seq("type_a"))
+      .join(exactPer.select(col("event_type").as("type_b"), col("nd").as("nd_b")), Seq("type_b"))
+      .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
+      .withColumn("exact_union", col("nd_a") + col("nd_b") - col("exact_overlap"))
+      .withColumn("union_err_bp",
+        expr("abs(est_union - exact_union) * 10000L div exact_union"))
+      .select(col("type_a"), col("type_b"), col("exact_union"), col("exact_overlap"),
+        col("est_union"), col("est_overlap"), col("union_err_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Sequential-Poisson sampling constants (q118), shared with the oracle
     * SQL (generated-constant pattern). The hash is a Lehmer-style
     * multiplicative mix mod the Mersenne prime 2^31-1: every intermediate
@@ -2188,7 +2268,8 @@ object PipelineQueries {
     "q116_ann_index_delete" -> (annIndexedDelete _),
     "q117_exact_gram_dedup" -> (exactGramDedup _),
     "q118_weighted_sample" -> (weightedSample _),
-    "q119_event_transitions" -> (eventTransitions _))
+    "q119_event_transitions" -> (eventTransitions _),
+    "q121_kmv_overlap" -> (kmvOverlap _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -2996,6 +3077,39 @@ object PipelineQueries {
          |FROM r WHERE rn <= $SampleK ORDER BY lang, rn""".stripMargin,
     // q119 (and q120, registered in Queries.scala): see TransitionOracleSql.
     "q119_event_transitions" -> TransitionOracleSql,
+    // q121: the whole KMV estimate replays in SQL — the Lehmer uniform is
+    // exact BIGINT arithmetic (q118), bottom-k is a window over DISTINCT
+    // (type, v) so ranks are tie-free, and the sketch algebra is integer
+    // list ops; the exact audit columns join in the same way.
+    "q121_kmv_overlap" ->
+      s"""WITH v AS (SELECT DISTINCT event_type, ((user_id % $SampleP) * $SampleC1 + $SampleC2) % $SampleP AS v FROM events),
+         |r AS (SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn FROM v),
+         |s AS (SELECT event_type, list(v ORDER BY v) AS vs FROM r WHERE rn <= $KmvK GROUP BY event_type),
+         |e AS (SELECT DISTINCT event_type, user_id FROM events),
+         |nd AS (SELECT event_type, COUNT(*) AS nd FROM e GROUP BY event_type),
+         |ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS exact_overlap
+         |       FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |       GROUP BY 1, 2),
+         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, a.vs AS va, b.vs AS vb
+         |      FROM s a JOIN s b ON a.event_type < b.event_type),
+         |c AS (SELECT type_a, type_b, va, vb, list_sort(list_distinct(list_concat(va, vb))) AS uk FROM p),
+         |c2 AS (SELECT type_a, type_b, va, vb, uk, LEAST($KmvK, len(uk)) AS m FROM c),
+         |c3 AS (SELECT type_a, type_b, m, (m - 1) * $SampleP // uk[m] AS est_union,
+         |        len(list_intersect(uk[1:m], list_intersect(va, vb))) AS inter_m
+         |       FROM c2),
+         |c4 AS (SELECT type_a, type_b, est_union, est_union * inter_m // m AS est_overlap FROM c3)
+         |SELECT c4.type_a, c4.type_b,
+         |  CAST(na.nd + nb.nd - COALESCE(ov.exact_overlap, 0) AS BIGINT) AS exact_union,
+         |  CAST(COALESCE(ov.exact_overlap, 0) AS BIGINT) AS exact_overlap,
+         |  CAST(est_union AS BIGINT) AS est_union,
+         |  CAST(est_overlap AS BIGINT) AS est_overlap,
+         |  CAST(abs(est_union - (na.nd + nb.nd - COALESCE(ov.exact_overlap, 0))) * 10000
+         |    // (na.nd + nb.nd - COALESCE(ov.exact_overlap, 0)) AS BIGINT) AS union_err_bp
+         |FROM c4
+         |JOIN nd na ON na.event_type = c4.type_a
+         |JOIN nd nb ON nb.event_type = c4.type_b
+         |LEFT JOIN ov ON ov.type_a = c4.type_a AND ov.type_b = c4.type_b
+         |ORDER BY c4.type_a, c4.type_b""".stripMargin,
     // q114: the pair list is the q27 oracle's brute-force near-dups;
     // levenshtein is the standard DP distance in both engines, the
     // ratio pure integer div vs the longer text.

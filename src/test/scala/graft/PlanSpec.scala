@@ -350,6 +350,12 @@ class PlanSpec extends AnyFunSuite {
       s"per-from normalization must consume the aggregated matrix:\n$p")
   }
 
+  test("q121: bottom-k sketches bound map-side via the typed aggregator") {
+    val p = planOf("q121_kmv_overlap")
+    assert(p.contains("partial_topkaggregator"),
+      s"per-type bottom-k must combine map-side, not via a per-type window:\n$p")
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

@@ -544,6 +544,37 @@ class QueriesSpec extends AnyFunSuite {
       "streaming last-event state drifted from the window semantics")
   }
 
+  test("q121 kmv overlap matches a driver brute-force reference; sketches are mergeable") {
+    import graft.analytics.PipelineQueries
+    val P = 2147483647L; val C1 = 2654435761L; val C2 = 1013904223L; val K = 128
+    def hash(u: Long): Long = ((u % P) * C1 + C2) % P
+    val tu = Tables.events(spark, TestSpark.SfDir).select("event_type", "user_id")
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = tu.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).toSet }
+    def kmin(vs: Set[Long]): Seq[Long] = vs.toSeq.sorted.take(K)
+    val expected = (for {
+      (ta, ua) <- byType; (tb, ub) <- byType if ta < tb
+    } yield {
+      val (va, vb) = (kmin(ua.map(hash)), kmin(ub.map(hash)))
+      // Mergeability: k-min of the union set == k-min of concatenated sketches.
+      assert(kmin(ua.map(hash) ++ ub.map(hash)) == kmin((va ++ vb).toSet))
+      val uk = (va ++ vb).distinct.sorted
+      val m = math.min(K, uk.size)
+      val kth = uk(m - 1)
+      val estUnion = (m - 1) * P / kth
+      val interM = uk.take(m).count(v => va.contains(v) && vb.contains(v)).toLong
+      val exactOv = (ua & ub).size.toLong
+      val exactUn = (ua.size + ub.size).toLong - exactOv
+      (ta, tb, exactUn, exactOv, estUnion, estUnion * interM / m,
+        math.abs(estUnion - exactUn) * 10000L / exactUn)
+    }).toSet
+    val out = PipelineQueries.kmvOverlap(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(out == expected)
+    assert(out.forall(_._7 < 2000), "KMV union estimate drifted past 20%")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

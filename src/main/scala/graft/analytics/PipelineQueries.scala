@@ -1414,6 +1414,118 @@ object PipelineQueries {
       |  n * 10000 // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** Drift-histogram bucket count (q123), shared with the oracle SQL. */
+  private[analytics] val DriftBuckets = 16
+
+  /** Per-dimension embedding-distribution drift (q123) — the vector-store
+    * monitoring op next to q88's recall audit: bucket each dimension into
+    * [[DriftBuckets]] bins using the REFERENCE snapshot's min/max
+    * (candidate values clamp into range), compare the two snapshots'
+    * bucket shares, and report total-variation distance per dimension in
+    * integer basis points (vec_id parity stands in for the two corpus
+    * snapshots). An embedding-model change, a normalization bug, or a
+    * domain shift shows up as drifted dimensions BEFORE recall degrades.
+    * TV in integer bp (Σ|p_ref − p_cand| / 2) instead of PSI: no
+    * logarithms, so both engines compute it exactly. The drift flag
+    * compares TV against a SAMPLE-SIZE-AWARE noise floor,
+    * ⌊15000·√(B/n)⌋ bp (n = the smaller snapshot's per-dim count): two
+    * iid halves of one corpus sit under it at any SF, a real
+    * distribution shift clears it — a fixed threshold would fire on
+    * pure sampling noise at small n (IEEE √ is correctly rounded, so
+    * the floor is bit-identical across engines).
+    *
+    * Scale shape: one exploded pass over (vec_id, dim, v) — compact
+    * 20-byte rows; the reference bounds are a 64-row broadcast; bucket
+    * counts aggregate map-side to ≤ dims·buckets·2 rows and everything
+    * after (share windows, TV sum) is metadata-sized. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDriftOf(Tables.embeddings(spark, dir))
+
+  /** [[embeddingDrift]] over an explicit embeddings frame — split out so
+    * QueriesSpec can plant a genuinely shifted candidate snapshot (the
+    * q83 planted-scenario pattern): the harness corpus's iid halves
+    * exercise only the no-drift side of the flag. */
+  private[graft] def embeddingDriftOf(embs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embs
+      .filter(col("embedding").isNotNull)
+      .select((col("vec_id") % 2).as("snap"),
+        posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+    val bounds = e.filter(col("snap") === 0)
+      .groupBy(col("dim_idx"))
+      .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+    val byDim = Window.partitionBy(col("dim_idx"))
+    e.join(broadcast(bounds), Seq("dim_idx"))
+      .withColumn("bucket",
+        when(col("dmax") === col("dmin"), lit(0)).otherwise(
+          greatest(lit(0), least(lit(DriftBuckets - 1),
+            floor((col("v").cast("double") - col("dmin").cast("double"))
+              / (col("dmax").cast("double") - col("dmin").cast("double"))
+              * DriftBuckets).cast("int")))))
+      .groupBy(col("dim_idx"), col("bucket"))
+      .agg(
+        sum(when(col("snap") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("snap") === 1, 1L).otherwise(0L)).as("n_cand"))
+      .withColumn("rt", sum(col("n_ref")).over(byDim))
+      .withColumn("ct", sum(col("n_cand")).over(byDim))
+      .withColumn("ref_bp", expr("n_ref * 10000L div rt"))
+      .withColumn("cand_bp", expr("n_cand * 10000L div ct"))
+      .groupBy(col("dim_idx"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(abs(col("ref_bp") - col("cand_bp"))).as("tv2_bp"),
+        min(col("rt")).as("rt"), min(col("ct")).as("ct"))
+      .withColumn("tv_bp", expr("tv2_bp div 2"))
+      .withColumn("noise_bp",
+        floor(lit(15000.0) * sqrt(lit(DriftBuckets).cast("double")
+          / least(col("rt"), col("ct")).cast("double"))).cast("long"))
+      .withColumn("drifted", col("tv_bp") >= col("noise_bp"))
+      .select(col("dim_idx"), col("n_buckets"), col("tv_bp"),
+        col("noise_bp"), col("drifted"))
+      .orderBy(col("dim_idx"))
+  }
+
+  /** Per-source contribution cap (q122), shared with the oracle SQL. */
+  private[analytics] val SourceCap = 20
+
+  /** Per-source contribution caps (q122) — the GPT-3-style domain cap: no
+    * single source may contribute more than [[SourceCap]] documents; when
+    * a source exceeds it, keep the longest (n_chars desc, tie lower id)
+    * and report what the cap cost per source. The policy complement of
+    * q118 (weighted sampling draws ∝ quality; capping BOUNDS any one
+    * domain's influence regardless of quality) and of q85 (reputation
+    * gates on quality signals; capping is purely volumetric).
+    *
+    * Scale shape: the kept set is selected by the same map-side bounded
+    * TopKAggregator as q118/q121 (≤ partitions·cap rows per source cross
+    * the wire — a per-source row_number window would shuffle the corpus
+    * into #sources fat partitions); kept ids re-attach by broadcast for
+    * exact integer char sums; the per-source totals are one hash
+    * aggregate. Output is #sources report rows. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val totals = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    val keptIds = graft.similarity.Ann.topKRanked(
+      docs.select(
+        xxhash64(col("source")).as("query_id"),
+        col("doc_id").as("neighbor_id"),
+        col("n_chars").cast("double").as("cosine")),
+      SourceCap)
+      .select(col("neighbor_id").as("doc_id"))
+    val keptAgg = docs.join(broadcast(keptIds), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    totals
+      .join(keptAgg, Seq("source"))
+      .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+      .withColumn("dropped_chars_bp",
+        expr("(total_chars - kept_chars) * 10000L div total_chars"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("n_dropped"),
+        col("total_chars"), col("kept_chars"), col("dropped_chars_bp"))
+      .orderBy(col("source"))
+  }
+
   /** KMV sketch size (q121), shared with the oracle SQL. 1/√128 ≈ 9%
     * relative error on union estimates — the production trade-off. */
   private[analytics] val KmvK = 128
@@ -2269,7 +2381,9 @@ object PipelineQueries {
     "q117_exact_gram_dedup" -> (exactGramDedup _),
     "q118_weighted_sample" -> (weightedSample _),
     "q119_event_transitions" -> (eventTransitions _),
-    "q121_kmv_overlap" -> (kmvOverlap _))
+    "q121_kmv_overlap" -> (kmvOverlap _),
+    "q122_source_cap" -> (sourceCap _),
+    "q123_embedding_drift" -> (embeddingDrift _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -3075,6 +3189,49 @@ object PipelineQueries {
          |  FROM p)
          |SELECT lang, doc_id, weight, priority, CAST(rn AS INTEGER) AS "rank"
          |FROM r WHERE rn <= $SampleK ORDER BY lang, rn""".stripMargin,
+    // q123: bucketing is one IEEE divide+multiply+floor per value with
+    // reference bounds, clamped identically; shares and TV pure integer.
+    "q123_embedding_drift" ->
+      s"""WITH u AS (SELECT vec_id % 2 AS snap, CAST(d.i - 1 AS INTEGER) AS dim_idx, embedding[d.i] AS v
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d WHERE embedding IS NOT NULL),
+         |b AS (SELECT dim_idx, MIN(v) AS dmin, MAX(v) AS dmax FROM u WHERE snap = 0 GROUP BY dim_idx),
+         |k AS (SELECT u.snap, u.dim_idx,
+         |    CASE WHEN b.dmax = b.dmin THEN 0
+         |         ELSE GREATEST(0, LEAST(${DriftBuckets - 1},
+         |           CAST(FLOOR((CAST(u.v AS DOUBLE) - CAST(b.dmin AS DOUBLE))
+         |             / (CAST(b.dmax AS DOUBLE) - CAST(b.dmin AS DOUBLE)) * $DriftBuckets) AS INTEGER)))
+         |    END AS bucket
+         |  FROM u JOIN b USING (dim_idx)),
+         |c AS (SELECT dim_idx, bucket,
+         |    CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |    CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand
+         |  FROM k GROUP BY dim_idx, bucket),
+         |c2 AS (SELECT dim_idx, n_ref, n_cand,
+         |    CAST(SUM(n_ref) OVER (PARTITION BY dim_idx) AS BIGINT) AS rt,
+         |    CAST(SUM(n_cand) OVER (PARTITION BY dim_idx) AS BIGINT) AS ct
+         |  FROM c),
+         |c3 AS (SELECT dim_idx, rt, ct, n_ref * 10000 // rt AS ref_bp, n_cand * 10000 // ct AS cand_bp FROM c2),
+         |c4 AS (SELECT dim_idx, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |    CAST(SUM(ABS(ref_bp - cand_bp)) AS BIGINT) // 2 AS tv_bp,
+         |    CAST(FLOOR(15000.0 * SQRT(CAST($DriftBuckets AS DOUBLE) / CAST(LEAST(MIN(rt), MIN(ct)) AS DOUBLE))) AS BIGINT) AS noise_bp
+         |  FROM c3 GROUP BY dim_idx)
+         |SELECT dim_idx, n_buckets, tv_bp, noise_bp, tv_bp >= noise_bp AS drifted
+         |FROM c4 ORDER BY dim_idx""".stripMargin,
+    // q122: per-source keep set replays as a row_number window (the
+    // engine's bounded aggregator equals it by construction); sums cast
+    // from HUGEINT; dropped share pure integer div.
+    "q122_source_cap" ->
+      s"""WITH r AS (SELECT source, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM documents),
+         |k AS (SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+         |  FROM r WHERE rn <= $SourceCap GROUP BY source),
+         |t AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |  FROM documents GROUP BY source)
+         |SELECT t.source, n_docs, n_kept, n_docs - n_kept AS n_dropped,
+         |  total_chars, kept_chars,
+         |  (total_chars - kept_chars) * 10000 // total_chars AS dropped_chars_bp
+         |FROM t JOIN k USING (source) ORDER BY t.source""".stripMargin,
     // q119 (and q120, registered in Queries.scala): see TransitionOracleSql.
     "q119_event_transitions" -> TransitionOracleSql,
     // q121: the whole KMV estimate replays in SQL — the Lehmer uniform is

@@ -575,6 +575,48 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.forall(_._7 < 2000), "KMV union estimate drifted past 20%")
   }
 
+  test("q122 source cap matches a driver brute-force reference and binds") {
+    import graft.analytics.PipelineQueries
+    val cap = 20
+    val docs = Tables.documents(spark, TestSpark.SfDir)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = docs.groupBy(_._1).map { case (src, rs) =>
+      val kept = rs.sortBy(r => (-r._3, r._2)).take(cap)
+      val total = rs.map(_._3).sum
+      val keptChars = kept.map(_._3).sum
+      (src, rs.length.toLong, kept.length.toLong, (rs.length - kept.length).toLong,
+        total, keptChars, (total - keptChars) * 10000L / total)
+    }.toSet
+    val out = PipelineQueries.sourceCap(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(out == expected)
+    assert(out.exists(_._4 > 0), "vacuous: cap binds nowhere at this SF")
+  }
+
+  test("q123 drift: iid halves stay under the noise floor; a planted shift clears it") {
+    import graft.analytics.PipelineQueries
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val real = PipelineQueries.embeddingDrift(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(real.length == 64)
+    assert(real.forall(r => !r._4 && r._2 < r._3),
+      "iid halves of one corpus must not read as drift")
+    // Planted shift: candidate snapshot (odd vec_ids) pushed to the top
+    // of each dimension's range — every dimension must flag.
+    val shifted = Tables.embeddings(spark, TestSpark.SfDir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        when(col("vec_id") % 2 === 1,
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            v => v * lit(0.05f) + lit(10.0f)))
+          .otherwise(col("embedding")).as("embedding"))
+    val planted = PipelineQueries.embeddingDriftOf(shifted).collect()
+      .map(r => (r.getInt(0), r.getBoolean(4)))
+    assert(planted.forall(_._2), "a full-distribution shift must flag every dimension")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

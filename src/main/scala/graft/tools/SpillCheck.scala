@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** Memory-pressure evidence (VERDICT r5 #6): the heaviest aggregate/sort
   * shapes (q27's LSH candidate distinct, q64's two-phase n-gram
-  * aggregate) run under a genuinely constrained UnifiedMemoryManager and
+  * aggregate, q117's min-owner Window over the gram-pair exchange — the
+  * spillable-window-buffer path) run under a genuinely constrained
+  * UnifiedMemoryManager and
   * must COMPLETE — by spilling, not by OOM — with content hashes equal to
   * an unconstrained run. This is the piece of 100×-readiness between
   * "right plan" (PlanSpec) and "right thresholds" (SpillSpec): when the
@@ -59,7 +61,8 @@ object SpillCheck {
       }
       spark.sparkContext.addSparkListener(l)
       try {
-        val hashes = Seq("q27_minhash_neardup", "q64_repeated_ngrams").map { name =>
+        val hashes = Seq("q27_minhash_neardup", "q64_repeated_ngrams",
+          "q117_exact_gram_dedup").map { name =>
           val df = graft.SparkEntry.queries(name)(spark, sfDir)
           val row = df
             .select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))

@@ -1414,6 +1414,85 @@ object PipelineQueries {
       |  n * 10000 // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** Incremental materialized rollup (q124) — the reference's standing-
+    * aggregate-tables model (README.md:819) as restart-safe streaming
+    * maintenance: the event feed arrives in micro-batches, and each batch
+    * commits its PARTIAL (day, event_type) aggregate as its own
+    * `batch_id=N` partition segment — never merging in place, so a
+    * replayed batch just dynamic-partition-overwrites its OWN segment and
+    * can never double-count (the q100 idempotence trick applied to
+    * aggregates; the same segment model Druid/Pinot use). The serving
+    * read is the compaction view — sum over segments — and q99's
+    * compaction machinery folds old segments whenever segment count, not
+    * correctness, demands it. Money sums are integer cents
+    * (⌊value·100+0.5⌋ per row — one IEEE multiply+floor, then exact
+    * BIGINT sums), so no double-summation order can flip a hash.
+    *
+    * Scale shape: per batch, one map-side-combinable aggregate of the
+    * batch only (the standing table is neither read nor rewritten —
+    * ingest cost is O(batch)); the serving view aggregates
+    * segments·(days·types) METADATA-sized rows. */
+  def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.SessionMemo.memo(spark, s"q124|$dir") {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val work = java.nio.file.Files.createTempDirectory("graft_rollup")
+      val rollup = s"$work/rollup"
+      val staged = work.resolve("incoming")
+      java.nio.file.Files.createDirectories(staged)
+      // Three deterministic feed files → three micro-batches.
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      (0 until 3).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_rollup_feed")
+          .resolve("out").toString
+        ev.filter(col("event_id") % 3 === i).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dst = staged.resolve(s"b$i.parquet")
+        java.nio.file.Files.copy(part, dst)
+        dst.toFile.setLastModified(1000000L * (i + 1))
+        ()
+      }
+      rollupIngest(s, staged.toString, rollup, s"$work/_checkpoint")
+      spark.read.parquet(rollup)
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("value_cents")).as("value_cents"))
+        .orderBy(col("day"), col("event_type"))
+    }
+  }
+
+  /** The q124 ingest: one-file micro-batches, each committing its partial
+    * (day, event_type) aggregate as its own `batch_id` segment via
+    * dynamic partition overwrite — replaying a batch rewrites the SAME
+    * segment with the SAME content, so restarts can never double-count
+    * (StreamingSpec replays the whole feed to prove it). private[graft]
+    * so the spec can drive it against a fixed rollup dir. */
+  private[graft] def rollupIngest(s: SparkSession, staged: String,
+      rollup: String, checkpoint: String): Unit = {
+    val stream = s.readStream
+      .schema(s.read.parquet(staged).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("value_cents"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(rollup)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drift-histogram bucket count (q123), shared with the oracle SQL. */
   private[analytics] val DriftBuckets = 16
 
@@ -2383,7 +2462,8 @@ object PipelineQueries {
     "q119_event_transitions" -> (eventTransitions _),
     "q121_kmv_overlap" -> (kmvOverlap _),
     "q122_source_cap" -> (sourceCap _),
-    "q123_embedding_drift" -> (embeddingDrift _))
+    "q123_embedding_drift" -> (embeddingDrift _),
+    "q124_incremental_rollup" -> (incrementalRollup _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -3189,6 +3269,13 @@ object PipelineQueries {
          |  FROM p)
          |SELECT lang, doc_id, weight, priority, CAST(rn AS INTEGER) AS "rank"
          |FROM r WHERE rn <= $SampleK ORDER BY lang, rn""".stripMargin,
+    // q124: the segment-compacted rollup must equal a one-shot batch
+    // aggregate over the raw feed; cents are per-row floor then exact
+    // BIGINT sums in both engines.
+    "q124_incremental_rollup" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // q123: bucketing is one IEEE divide+multiply+floor per value with
     // reference bounds, clamped identically; shares and TV pure integer.
     "q123_embedding_drift" ->

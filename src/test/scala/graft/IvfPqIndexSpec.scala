@@ -210,6 +210,20 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(out.forall { case (_, n, _, _) => n % 7 != 3 && n % 11 != 5 })
   }
 
+  test("tombstones survive a cross-JVM re-register: a fresh ensure still excludes them") {
+    val idx = freshVariant("del-spec3")
+    IvfPqIndex.delete(spark, idx,
+      embs.filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
+    // Simulate a new JVM: forget loaded layouts, re-register from disk.
+    IvfPqIndex.dropCachedLayouts(spark)
+    val again = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding",
+      IvfPqIndex.Params(variant = "del-spec3"))
+    assert(again.location == idx.location)
+    val out = rows(IvfPqIndex.search(spark, again, queries, "vec_id", "embedding", k = 10))
+    assert(out.nonEmpty && out.forall { case (_, n, _, _) => n % 7 != 3 },
+      "a re-registered layout must still honor its committed tombstones")
+  }
+
   test("a layout with no tombstones plans no anti-join") {
     val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
     assert(IvfPqIndex.tombstoneSegments(spark, idx).isEmpty)

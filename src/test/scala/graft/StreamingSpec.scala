@@ -199,13 +199,31 @@ class StreamingSpec extends AnyFunSuite {
     PipelineQueries.rollupIngest(spark, staged.toString, rollup, s"$work/_cp2")
     assert(view() == first, "replay double-counted the rollup")
     // And the compacted view equals the one-shot batch aggregate.
-    val batch = ev
+    def batchAgg(d: org.apache.spark.sql.DataFrame) = d
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("c"))
       .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
       .sortBy(r => (r._1, r._2)).toSeq
-    assert(first == batch)
+    assert(first == batchAgg(ev))
+    // TRUE incrementality: a fourth file lands, the ORIGINAL checkpoint
+    // resumes — only the delta becomes a new segment (no reprocessing),
+    // and the view advances by exactly that delta.
+    val extra = Tables.events(spark, TestSpark.SfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .filter(col("event_id") % 3 === 0) // a replayed-content feed file is fine: segments key on batch_id
+      .limit(500)
+    val tmp4 = Files.createTempDirectory("graft_rollup_spec_feed").resolve("out").toString
+    extra.coalesce(1).write.parquet(tmp4)
+    val part4 = new java.io.File(tmp4).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    val dst4 = staged.resolve("b3.parquet")
+    Files.copy(part4, dst4); dst4.toFile.setLastModified(4000000L)
+    PipelineQueries.rollupIngest(spark, staged.toString, rollup, s"$work/_cp1")
+    assert(spark.read.parquet(rollup).select("batch_id").distinct().count() == 4,
+      "resuming the original checkpoint must add exactly one new segment")
+    val expected = batchAgg(ev.unionByName(spark.read.parquet(dst4.toString)))
+    assert(view() == expected, "the view must advance by exactly the delta")
   }
 
   test("stream-static enrich joins a broadcast dim per micro-batch") {

@@ -1463,6 +1463,89 @@ object PipelineQueries {
     }
   }
 
+  /** nprobe operating points for [[annNprobeSweep]] (q125), shared with
+    * the oracle SQL. Packing base for the (np, query) composite key fed
+    * to the TopKAggregator — query ids stay far below it at any harness
+    * SF; a production corpus would widen it or hash the pair. */
+  private[analytics] val SweepNprobes = Seq(1, 2, 4, 8, 16)
+  private[analytics] val SweepKeyBase = 1000000000000L
+
+  /** ANN recall-vs-cost tuning curve (q125) — the production question q88
+    * answers at ONE operating point, swept across nprobe ∈ {1,2,4,8,16}:
+    * per point, candidate volume (the cost axis — scanned pairs) and
+    * recall@10 vs exact brute force (integer basis points). One pass
+    * computes every point: each (query, neighbor) candidate is tagged
+    * with the ROUTE RANK of the cell it came from, and participates in
+    * every operating point with np ≥ that rank — the sweep costs one
+    * search at the widest setting, not five searches.
+    *
+    * Note the curve is NOT forced monotone: under quantized ADC ranking,
+    * widening the probe set admits candidates whose QUANTIZED distance
+    * beats a true neighbor's, which can push it out of the top-10 — at
+    * sf0.001 recall reads 800/1100/1600/1700/1600 bp across the sweep.
+    * That tail dip is exactly the effect (re-ranking by exact distance
+    * would remove it) and exactly why this audit exists: the serving
+    * nprobe should sit at the knee, not the maximum.
+    *
+    * Scale shape: routing and ADC scoring are the q98 committed-index
+    * shapes (codes-only join, broadcast routed queries); the per-(np,
+    * query) ranking reuses the map-side bounded TopKAggregator on a
+    * packed composite key; recall joins are on compact id pairs. The
+    * np=16 point probes every cell by design — the audit ceiling, not
+    * the serving configuration. */
+  def annNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IvfFunctions.nearest_cells
+    import graft.functions.PqFunctions.pq_adc_dist
+    import graft.similarity.{Ann, IvfPqIndex}
+    val embs = Tables.embeddings(spark, dir)
+    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
+    val p = idx.params
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val routed = queries
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= p.dim)
+      .select(col("vec_id").as("query_id"),
+        posexplode(nearest_cells(col("embedding"), idx.cellMatrix, idx.cellMatrix.length))
+          .as(Seq("r0", "cell")),
+        col("embedding"))
+      .withColumn("route_rank", col("r0") + 1)
+      .withColumn("q_rvec", IvfPqIndex.residual(idx.cellMatrix)(col("embedding"), col("cell")))
+    val codes = IvfPqIndex.codeSegments(spark, idx)
+      .map(seg => spark.read.parquet(seg))
+      .reduce(_.unionByName(_))
+      .select(col("neighbor_id"), col("cell"),
+        transform(col("codes"),
+          c => struct(c.as("code"), lit(0.0d).as("dist"))).as("enc"))
+    val scored = routed
+      .join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("route_rank"), col("neighbor_id"),
+        pq_adc_dist(col("q_rvec"), col("enc"), idx.codebooks).as("adc_dist"))
+    import spark.implicits._
+    val nps = broadcast(SweepNprobes.toDF("np"))
+    val withNp = scored.join(nps, col("route_rank") <= col("np"))
+    val ranked = Ann.topKRanked(
+      withNp.select(
+        (col("np").cast("long") * SweepKeyBase + col("query_id")).as("query_id"),
+        col("neighbor_id"), negate(col("adc_dist")).as("cosine")),
+      10)
+      .select(expr(s"query_id div $SweepKeyBase").cast("int").as("np"),
+        expr(s"query_id % $SweepKeyBase").as("qid"), col("neighbor_id"))
+    val brute = Ann.bruteForceTopK(queries, embs, "vec_id", "embedding", k = 10)
+      .select(col("query_id").as("qid"), col("neighbor_id"))
+    val nQueries = brute.select(col("qid")).distinct().count()
+    val hits = ranked
+      .join(brute, Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy(col("np")).agg(count(lit(1)).as("n_hits"))
+    val cands = withNp.groupBy(col("np")).agg(count(lit(1)).as("n_candidates"))
+    cands
+      .join(hits, Seq("np"))
+      .withColumn("n_queries", lit(nQueries))
+      .withColumn("recall_bp", expr("n_hits * 10000L div (n_queries * 10L)"))
+      .select(col("np"), col("n_queries"), col("n_candidates"),
+        col("n_hits"), col("recall_bp"))
+      .orderBy(col("np"))
+  }
+
   /** The q124 ingest: one-file micro-batches, each committing its partial
     * (day, event_type) aggregate as its own `batch_id` segment via
     * dynamic partition overwrite — replaying a batch rewrites the SAME
@@ -2463,7 +2546,8 @@ object PipelineQueries {
     "q121_kmv_overlap" -> (kmvOverlap _),
     "q122_source_cap" -> (sourceCap _),
     "q123_embedding_drift" -> (embeddingDrift _),
-    "q124_incremental_rollup" -> (incrementalRollup _))
+    "q124_incremental_rollup" -> (incrementalRollup _),
+    "q125_ann_nprobe_sweep" -> (annNprobeSweep _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -3127,6 +3211,82 @@ object PipelineQueries {
 
   private lazy val ivfPqResidualOracleSql: String = ivfPqResidualOracleSqlSeeded("TRUE")
 
+  /** The q125 oracle: the q81/q98 residual-IVFPQ SQL widened to keep the
+    * ROUTE RANK (rn ≤ nlist instead of ≤ nprobe), fanned across the
+    * operating points (a candidate participates where route_rank ≤ np),
+    * ranked per (np, query), and scored for recall against the exact
+    * brute-force top-10 (the q33 formulation). */
+  private lazy val annNprobeSweepOracleSql: String = {
+    import graft.similarity.Pq.{Dim, Ksub, M, SubDim}
+    val rx = s"res.rvec[psub.subspace * $SubDim + j]"
+    val rc = s"psub.sv[psub.subspace * $SubDim + j]"
+    val codeFold =
+      s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($rx) - ($rc)) * (($rx) - ($rc))), (acc, v) -> acc + v)"
+    val qx = s"qr.qrvec[pc.subspace * $SubDim + j]"
+    val qc = s"rs.sv[pc.subspace * $SubDim + j]"
+    val adcFold =
+      s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($qx) - ($qc)) * (($qx) - ($qc))), (acc, v) -> acc + v)"
+    val resOf = (vec: String, cvec: String) =>
+      s"list_transform(range(1, ${Dim + 1}), j -> CAST($vec[j] AS DOUBLE) - CAST($cvec[j] AS DOUBLE))"
+    val npList = SweepNprobes.mkString("[", ", ", "]")
+    s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, vec_id AS cid, embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+       |sims AS (SELECT e.vec_id, cen.cell,
+       |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
+       |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
+       |assigned AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+       |  FROM sims) WHERE rn = 1),
+       |routed AS (SELECT vec_id AS query_id, cell, CAST(rn AS INTEGER) AS route_rank FROM (
+       |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+       |  FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 16),
+       |res AS (SELECT a.vec_id, a.cell, ${resOf("e.embedding", "c.cvec")} AS rvec
+       |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id JOIN cen c ON c.cell = a.cell),
+       |rs AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, rvec AS sv
+       |  FROM (SELECT vec_id, rvec FROM res WHERE vec_id NOT IN (SELECT cid FROM cen)
+       |        ORDER BY vec_id LIMIT $Ksub)),
+       |psub AS (SELECT CAST(g.s AS INTEGER) AS subspace, rs.code, rs.sv
+       |  FROM rs CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
+       |pdist AS (SELECT res.vec_id, psub.subspace, psub.code, $codeFold AS dist
+       |  FROM res CROSS JOIN psub),
+       |pc AS (SELECT vec_id, subspace, code FROM (
+       |  SELECT vec_id, subspace, code, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
+       |  FROM pdist) WHERE rn = 1),
+       |qres AS (SELECT r.query_id, r.cell, r.route_rank, ${resOf("qe.embedding", "c.cvec")} AS qrvec
+       |  FROM routed r JOIN embeddings qe ON qe.vec_id = r.query_id JOIN cen c ON c.cell = r.cell),
+       |partials AS (SELECT qr.query_id, qr.route_rank, a.vec_id AS neighbor_id, pc.subspace, $adcFold AS p
+       |  FROM qres qr
+       |  JOIN assigned a ON a.cell = qr.cell AND a.vec_id <> qr.query_id
+       |  JOIN pc ON pc.vec_id = a.vec_id
+       |  JOIN rs ON rs.code = pc.code),
+       |dist AS (SELECT query_id, route_rank, neighbor_id,
+       |  list_reduce(list(p ORDER BY subspace), (x, y) -> x + y) AS adc_dist
+       |  FROM partials GROUP BY query_id, route_rank, neighbor_id),
+       |npx AS (SELECT d.query_id, d.route_rank, d.neighbor_id, d.adc_dist, CAST(n.np AS INTEGER) AS np
+       |  FROM dist d CROSS JOIN (SELECT UNNEST($npList) AS np) n WHERE d.route_rank <= n.np),
+       |rk AS (SELECT np, query_id, neighbor_id,
+       |  ROW_NUMBER() OVER (PARTITION BY np, query_id ORDER BY adc_dist, neighbor_id) AS rn
+       |  FROM npx),
+       |topk AS (SELECT np, query_id, neighbor_id FROM rk WHERE rn <= 10),
+       |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+       |bs AS (SELECT bq.query_id, e.vec_id AS neighbor_id,
+       |  ${VectorOracles.cosine("bq.qv", "e.embedding")} AS cosine
+       |  FROM bq JOIN embeddings e ON e.vec_id <> bq.query_id WHERE e.embedding IS NOT NULL),
+       |br AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM bs WHERE cosine IS NOT NULL) WHERE rn <= 10),
+       |nq AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM br),
+       |cands AS (SELECT np, COUNT(*) AS n_candidates FROM npx GROUP BY np),
+       |hits AS (SELECT t.np, COUNT(*) AS n_hits FROM topk t
+       |  JOIN br ON br.query_id = t.query_id AND br.neighbor_id = t.neighbor_id GROUP BY t.np)
+       |SELECT c.np, CAST(nq.n_queries AS BIGINT) AS n_queries,
+       |  CAST(c.n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(h.n_hits AS BIGINT) AS n_hits,
+       |  CAST(h.n_hits * 10000 // (nq.n_queries * 10) AS BIGINT) AS recall_bp
+       |FROM cands c JOIN hits h ON h.np = c.np CROSS JOIN nq ORDER BY c.np""".stripMargin
+  }
+
   private val oracleTail: Map[String, String] = Map(
     // q101: the q81 SQL with the quantizer-training CTEs (cells +
     // codebook seeds) restricted to the BASE corpus — assignment, encode,
@@ -3269,6 +3429,8 @@ object PipelineQueries {
          |  FROM p)
          |SELECT lang, doc_id, weight, priority, CAST(rn AS INTEGER) AS "rank"
          |FROM r WHERE rn <= $SampleK ORDER BY lang, rn""".stripMargin,
+    // q125: see annNprobeSweepOracleSql.
+    "q125_ann_nprobe_sweep" -> annNprobeSweepOracleSql,
     // q124: the segment-compacted rollup must equal a one-shot batch
     // aggregate over the raw feed; cents are per-row floor then exact
     // BIGINT sums in both engines.

@@ -111,7 +111,7 @@ object IvfPqIndex {
     * search: queries/vectors route to cells by cosine (as in
     * [[Pq.ivfPqTopKResidual]]); residuals are elementwise IEEE
     * double subtracts against the probed cell's centroid. */
-  private def residual(cellMatrix: Array[Array[Double]])(vec: Column, cell: Column): Column = {
+  private[graft] def residual(cellMatrix: Array[Array[Double]])(vec: Column, cell: Column): Column = {
     val cells = array(cellMatrix.map(c => typedLit(c)): _*)
     zip_with(vec.cast("array<double>"), element_at(cells, cell + lit(1)), (x, y) => x - y)
   }

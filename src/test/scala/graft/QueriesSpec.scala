@@ -617,6 +617,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(planted.forall(_._2), "a full-distribution shift must flag every dimension")
   }
 
+  test("q125 nprobe sweep: candidate volume is the cost axis; full probe scans everything") {
+    import graft.analytics.PipelineQueries
+    val out = PipelineQueries.annNprobeSweep(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    // Cost strictly increases with nprobe…
+    assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sorted)
+    assert(out.map(_._3).distinct.length == out.length)
+    // …and the np=nlist point scans every non-self pair: the audit ceiling.
+    val nQ = out.head._2
+    val corpus = Tables.embeddings(spark, TestSpark.SfDir)
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull).count()
+    assert(out.last._3 == nQ * (corpus - 1))
+    out.foreach { case (np, q, _, hits, bp) =>
+      assert(bp == hits * 10000L / (q * 10L), s"np=$np recall arithmetic")
+    }
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

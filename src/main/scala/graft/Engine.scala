@@ -49,14 +49,34 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The harness writes `events.ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's reader rejects. Read nanos as long (legacy conf) and convert
-    * with integer division — `div`, not `/`, because a double round-trip
-    * of epoch-nanos (~1.7e18 > 2^53) would corrupt microseconds. */
+  /** Earlier harness drops wrote `events.ts` as parquet TIMESTAMP(NANOS),
+    * which Spark's reader rejects; current drops write TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ. Keep the
+    * legacy conf on (it is a no-op for micros files) and normalize either
+    * encoding to a plain TIMESTAMP instant below. */
   private def nanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Nanos-as-long → micros instant. Integer division — `div`, not `/`,
+    * because a double round-trip of epoch-nanos (~1.7e18 > 2^53) would
+    * corrupt microseconds. */
   private[graft] val tsFromNanos = timestamp_micros(expr("ts div 1000"))
+
+  /** TIMESTAMP_NTZ wall clock (stored as UTC-naive) → the same instant as
+    * a session TIMESTAMP, independent of the session/JVM zone: interpret
+    * the naive value as UTC first (convert_timezone), so a non-UTC host
+    * cannot shift every event — the q91-advice failure mode. On a UTC
+    * session this is the identity. */
+  private[graft] val tsFromNtz =
+    expr("CAST(convert_timezone('UTC', current_timezone(), ts) AS TIMESTAMP)")
+
+  /** Normalize `ts` to a TIMESTAMP instant whatever the file encoding. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df.withColumn("ts", tsFromNanos)
+      case org.apache.spark.sql.types.TimestampNTZType => df.withColumn("ts", tsFromNtz)
+      case _ => df
+    }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
@@ -67,7 +87,7 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame = {
     nanosAsLong(s)
-    load(s, d, "events").withColumn("ts", tsFromNanos)
+    normalizeTs(load(s, d, "events"))
   }
 
   /** Streaming view of the events table (file source). Same nano→micro
@@ -85,7 +105,7 @@ object Tables {
     Files.createDirectories(linkDir)
     val link = linkDir.resolve("events.parquet")
     if (!Files.exists(link)) Files.createSymbolicLink(link, Paths.get(path))
-    s.readStream.schema(schema).parquet(linkDir.toString).withColumn("ts", tsFromNanos)
+    normalizeTs(s.readStream.schema(schema).parquet(linkDir.toString))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

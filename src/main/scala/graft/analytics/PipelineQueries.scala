@@ -2467,6 +2467,128 @@ object PipelineQueries {
         expr("percentile(l_quantity, 0.75)").as("p75"))
       .orderBy(col("l_returnflag"))
 
+  /** Okapi BM25 top-k retrieval (q126) — the production-default lexical
+    * ranker (k1 = 1.2, b = 0.75) next to q110's raw TF-IDF: BM25's tf
+    * saturation and length normalization are what make keyword retrieval
+    * robust to stuffed/long documents, and it is the lexical half every
+    * hybrid-search deployment actually ships. Query terms derive
+    * deterministically as in q110 (distinct tokens of the lowest-id doc)
+    * so both engines agree without a parameter channel.
+    *
+    * Portability: idf stays the integer `n_docs·10⁶ div df` (no log —
+    * rank-equivalent within this corpus-constant family and libm-free);
+    * the per-term saturation factor is a FIXED parse tree of IEEE double
+    * ops — `dl·n_docs` multiplies exactly as BIGINT, ONE division by
+    * total_tokens, one multiply by b·k1, two adds, one divide — each
+    * correctly rounded, so both engines produce bit-identical doubles;
+    * per-term scores floor to BIGINT and SUM order-free. Scale shape is
+    * q110's: the broadcast query-term list prunes the exploded token
+    * stream MAP-SIDE before any exchange, df comes from a window over the
+    * pruned postings (no self-join), corpus-wide (n_docs, total_tokens)
+    * is a 1-row broadcast, and the top-10 is TakeOrdered. */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val qterms = docs.orderBy(col("doc_id")).limit(1)
+      .select(explode(split(col("text"), " ")).as("token")).distinct()
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+    docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(qterms), Seq("token"))
+      .groupBy(col("token"), col("doc_id"), col("dl")).agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(
+        """CAST(FLOOR(CAST(n_docs * 1000000L div df AS DOUBLE)
+          |  * (CAST(tf AS DOUBLE) * 2.2)
+          |  / (CAST(tf AS DOUBLE) + (0.3 + 0.9 * (CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))) AS BIGINT)"""
+          .stripMargin)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** Reciprocal-rank-fusion constant (Cormack et al. 2009's k = 60),
+    * shared with the q127 oracle (generated-constant pattern). */
+  private[analytics] val RrfK = 60L
+
+  /** Hybrid-retrieval rank fusion (q127) — RRF over the two lexical
+    * rankers (q110 TF-IDF, q126 BM25): fused score
+    * Σ ⌊10⁶/(k + rank)⌋ with k = 60, ranks from each ranker's top-10.
+    * RRF is the standard score-free fusion for hybrid search (lexical +
+    * dense) precisely because it only consumes RANKS — incomparable score
+    * scales (here: raw tf·idf sums vs saturated BM25) fuse without
+    * calibration. Unranked sides contribute 0.
+    *
+    * Scale shape: both rankers run their corpus-scale plans (map-side
+    * broadcast pruning, TakeOrdered top-10 — see q110/q126); everything
+    * after is DRIVER-SIZED — two 10-row lists get rank columns via a
+    * window over 10 rows, full-outer join on doc_id, integer RRF
+    * arithmetic. At 100 TB the fusion cost is unchanged: it never touches
+    * the corpus. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, rankCol: String): DataFrame =
+      df.withColumn(rankCol,
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col(rankCol))
+    ranked(tfidfTopk(spark, dir), "tfidf_rank")
+      .join(ranked(bm25Topk(spark, dir), "bm25_rank"), Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("tfidf_rank"), lit(0L)).as("tfidf_rank"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+        (coalesce(expr(s"1000000L div ($RrfK + tfidf_rank)"), lit(0L))
+          + coalesce(expr(s"1000000L div ($RrfK + bm25_rank)"), lit(0L))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
+  /** Event-rate anomaly detection (q128) — the operational-monitoring op
+    * next to q123's embedding drift: per (event_type, UTC hour) counts,
+    * flagged when the hour deviates from the type's own hourly mean by
+    * more than 3σ. The classic "did ingestion spike/stall this hour"
+    * alert over a 100 TB event firehose.
+    *
+    * Exactness: the 3σ test is evaluated ENTIRELY in integers — with
+    * h hours, total T and Σn², the test |n − μ| > 3σ rewrites as
+    * (n·h − T)² > 9·(h·Σn² − T²), so no sqrt/float ever runs and the
+    * flag is hash-exact (both sides of the inequality are emitted as
+    * auditable BIGINTs; magnitudes stay < 2⁶³ past 1000× this SF).
+    *
+    * Scale shape: ONE shuffle aggregates events to the (type, hour)
+    * matrix — map-side partials, metadata-sized output; the per-type
+    * stats are windows over that matrix, never over events. Observed
+    * hours only (an absent hour has no row — the zero-filled variant
+    * is a calendar cross-join away and deliberately not paid here). */
+  def eventRateAnomaly(spark: SparkSession, dir: String): DataFrame =
+    eventRateAnomalyOf(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000L").as("hour_id"))
+        .agg(count(lit(1)).as("n")))
+
+  /** The stats/flag stage of [[eventRateAnomaly]] over a pre-aggregated
+    * (event_type, hour_id, n) matrix — split out so a spec can plant a
+    * synthetic spike and assert it flags (the q123 planted-scenario
+    * pattern). */
+  private[graft] def eventRateAnomalyOf(hourly: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy(col("event_type"))
+    hourly
+      .withColumn("h", count(lit(1)).over(byType))
+      .withColumn("t", sum(col("n")).over(byType))
+      .withColumn("s2", sum(col("n") * col("n")).over(byType))
+      .select(
+        col("event_type"), col("hour_id"), col("n"), col("h"),
+        expr("t * 1000000L div h").as("mean_fp"),
+        expr("(n * h - t) * (n * h - t)").as("dev2"),
+        expr("9L * (h * s2 - t * t)").as("var9"),
+        expr("(n * h - t) * (n * h - t) > 9L * (h * s2 - t * t)").as("anomalous"))
+      .orderBy(col("event_type"), col("hour_id"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2547,7 +2669,10 @@ object PipelineQueries {
     "q122_source_cap" -> (sourceCap _),
     "q123_embedding_drift" -> (embeddingDrift _),
     "q124_incremental_rollup" -> (incrementalRollup _),
-    "q125_ann_nprobe_sweep" -> (annNprobeSweep _))
+    "q125_ann_nprobe_sweep" -> (annNprobeSweep _),
+    "q126_bm25_topk" -> (bm25Topk _),
+    "q127_rrf_fusion" -> (rrfFusion _),
+    "q128_event_anomaly" -> (eventRateAnomaly _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -3287,6 +3412,27 @@ object PipelineQueries {
        |FROM cands c JOIN hits h ON h.np = c.np CROSS JOIN nq ORDER BY c.np""".stripMargin
   }
 
+  /** Shared lexical-retrieval CTE block — q110's derived query + pruned
+    * postings, extended with the per-doc length BM25 needs. Used by the
+    * q126/q127 oracles so the two rankers and the fusion can never drift
+    * from one another's postings. */
+  private val LexicalCtes =
+    """td AS (SELECT token, doc_id, dl, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, len(str_split(text, ' ')) AS dl, unnest(str_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token, doc_id, dl),
+      |q AS (SELECT DISTINCT unnest(str_split(text, ' ')) AS token
+      |  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+      |n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens FROM documents),
+      |qtd AS (SELECT td.token, td.doc_id, td.dl, td.tf FROM td JOIN q USING (token)),
+      |d AS (SELECT token, COUNT(*) AS df FROM qtd GROUP BY token)""".stripMargin
+
+  /** The per-term BM25 score (k1 = 1.2, b = 0.75) as the exact parse
+    * tree [[bm25Topk]] evaluates — every IEEE op in the same order. */
+  private val BmTermSql =
+    """CAST(FLOOR(CAST(n_docs * 1000000 // df AS DOUBLE)
+      |    * (CAST(tf AS DOUBLE) * 2.2)
+      |    / (CAST(tf AS DOUBLE) + (0.3 + 0.9 * (CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))) AS BIGINT)""".stripMargin
+
   private val oracleTail: Map[String, String] = Map(
     // q101: the q81 SQL with the quantizer-training CTEs (cells +
     // codebook seeds) restricted to the BASE corpus — assignment, encode,
@@ -3431,6 +3577,51 @@ object PipelineQueries {
          |FROM r WHERE rn <= $SampleK ORDER BY lang, rn""".stripMargin,
     // q125: see annNprobeSweepOracleSql.
     "q125_ann_nprobe_sweep" -> annNprobeSweepOracleSql,
+    // q126: idf is the q110 integer family; the saturation factor is the
+    // SAME parse tree of IEEE double ops in both engines (exact BIGINT
+    // dl·n_docs, one divide, one multiply, two adds, one divide), so the
+    // floored per-term scores are bit-identical and sum order-free.
+    "q126_bm25_topk" ->
+      s"""WITH $LexicalCtes
+         |SELECT qtd.doc_id, CAST(SUM($BmTermSql) AS BIGINT) AS score
+         |FROM qtd JOIN d USING (token) CROSS JOIN n
+         |GROUP BY qtd.doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // q127: both rankers replay as CTEs sharing the q110/q126 postings;
+    // ranks are windows over 10-row lists and the fusion is pure integer
+    // (⌊10⁶/(60+rank)⌋ summed), so the fused ordering is hash-exact.
+    "q127_rrf_fusion" ->
+      s"""WITH $LexicalCtes,
+         |tfidf AS (SELECT qtd.doc_id, CAST(SUM(tf * (n_docs * 1000000 // df)) AS BIGINT) AS score
+         |  FROM qtd JOIN d USING (token) CROSS JOIN n
+         |  GROUP BY qtd.doc_id ORDER BY score DESC, doc_id LIMIT 10),
+         |bm AS (SELECT qtd.doc_id, CAST(SUM($BmTermSql) AS BIGINT) AS score
+         |  FROM qtd JOIN d USING (token) CROSS JOIN n
+         |  GROUP BY qtd.doc_id ORDER BY score DESC, doc_id LIMIT 10),
+         |tr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS tfidf_rank FROM tfidf),
+         |br AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm25_rank FROM bm)
+         |SELECT COALESCE(tr.doc_id, br.doc_id) AS doc_id,
+         |  CAST(COALESCE(tfidf_rank, 0) AS BIGINT) AS tfidf_rank,
+         |  CAST(COALESCE(bm25_rank, 0) AS BIGINT) AS bm25_rank,
+         |  CAST(COALESCE(1000000 // ($RrfK + tfidf_rank), 0)
+         |    + COALESCE(1000000 // ($RrfK + bm25_rank), 0) AS BIGINT) AS rrf_score
+         |FROM tr FULL OUTER JOIN br ON tr.doc_id = br.doc_id
+         |ORDER BY rrf_score DESC, doc_id""".stripMargin,
+    // q128: the 3σ test is evaluated entirely in BIGINTs on both sides
+    // ((n·h−T)² > 9·(h·Σn²−T²)) — no sqrt, no float, hash-exact.
+    "q128_event_anomaly" ->
+      """WITH m AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hour_id, CAST(n AS BIGINT) AS n,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS h,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+        |    CAST(SUM(n * n) OVER (PARTITION BY event_type) AS BIGINT) AS s2
+        |  FROM m)
+        |SELECT event_type, hour_id, n, h,
+        |  t * 1000000 // h AS mean_fp,
+        |  (n * h - t) * (n * h - t) AS dev2,
+        |  9 * (h * s2 - t * t) AS var9,
+        |  (n * h - t) * (n * h - t) > 9 * (h * s2 - t * t) AS anomalous
+        |FROM w ORDER BY event_type, hour_id""".stripMargin,
     // q124: the segment-compacted rollup must equal a one-shot batch
     // aggregate over the raw feed; cents are per-row floor then exact
     // BIGINT sums in both engines.

@@ -356,6 +356,26 @@ class PlanSpec extends AnyFunSuite {
       s"per-type bottom-k must combine map-side, not via a per-type window:\n$p")
   }
 
+  test("q126: bm25 keeps q110's shape — broadcast prune, TakeOrdered, no shuffle join") {
+    val p = planOf("q126_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"posting pruning must broadcast the tiny query-term list:\n$p")
+    val prune = p.indexOf("BroadcastHashJoin")
+    val tokenExchange = p.indexOf("Exchange hashpartitioning(token")
+    assert(prune >= 0 && tokenExchange >= 0 && prune > tokenExchange,
+      s"tf aggregation shuffles the full corpus tokenization:\n$p")
+  }
+
+  test("q128: anomaly stats window over the aggregated hourly matrix, single scan, no join") {
+    val p = planOf("q128_event_anomaly")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), s"hourly counts must combine map-side:\n$p")
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate"),
+      s"per-type stats must consume the aggregated matrix, never events:\n$p")
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

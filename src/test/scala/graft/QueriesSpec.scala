@@ -635,6 +635,82 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q126 bm25 matches a driver brute-force reference") {
+    import graft.analytics.PipelineQueries
+    val docs = Tables.documents(spark, TestSpark.SfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val qterms = docs.minBy(_._1)._2.split(" ").distinct.toSet
+    val nDocs = docs.length.toLong
+    val dls = docs.map { case (id, t) => id -> t.split(" ").length.toLong }.toMap
+    val totalTokens = dls.values.sum
+    val tf = scala.collection.mutable.Map.empty[(String, Long), Long].withDefaultValue(0L)
+    for ((id, t) <- docs; tok <- t.split(" ") if qterms(tok)) tf((tok, id)) += 1
+    val df = tf.keys.groupBy(_._1).map { case (tok, ks) => tok -> ks.size.toLong }
+    val expected = tf.toSeq.groupBy(_._1._2).map { case (id, terms) =>
+      id -> terms.map { case ((tok, _), f) =>
+        val idf = nDocs * 1000000L / df(tok)
+        val dl = dls(id)
+        math.floor(idf.toDouble * (f.toDouble * 2.2)
+          / (f.toDouble + (0.3 + 0.9 * ((dl * nDocs).toDouble / totalTokens.toDouble)))).toLong
+      }.sum
+    }.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    val out = PipelineQueries.bm25Topk(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == expected)
+  }
+
+  test("q127 rrf fusion is exactly the integer fusion of its two rankers") {
+    import graft.analytics.PipelineQueries
+    def ranks(rows: Array[Long]): Map[Long, Long] =
+      rows.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val tr = ranks(PipelineQueries.tfidfTopk(spark, TestSpark.SfDir).collect().map(_.getLong(0)))
+    val br = ranks(PipelineQueries.bm25Topk(spark, TestSpark.SfDir).collect().map(_.getLong(0)))
+    val expected = (tr.keySet ++ br.keySet).map { id =>
+      val (t, b) = (tr.getOrElse(id, 0L), br.getOrElse(id, 0L))
+      val s = (if (t > 0) 1000000L / (60 + t) else 0L) + (if (b > 0) 1000000L / (60 + b) else 0L)
+      (id, t, b, s)
+    }
+    val out = PipelineQueries.rrfFusion(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == expected)
+    // Output ordering is the fused ordering.
+    assert(out.toSeq == out.toSeq.sortBy(t => (-t._4, t._1)))
+  }
+
+  test("q128 anomaly stats match an exact integer recompute; a planted spike flags") {
+    import graft.analytics.PipelineQueries
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val rows = Tables.events(spark, TestSpark.SfDir)
+      .selectExpr("event_type", "unix_micros(ts) div 3600000000 AS h")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expected = counts.groupBy(_._1._1).flatMap { case (t, m) =>
+      val h = m.size.toLong; val tot = m.values.sum
+      val s2 = m.values.map(n => n * n).sum
+      m.map { case ((_, hour), n) =>
+        val dev2 = (n * h - tot) * (n * h - tot); val var9 = 9L * (h * s2 - tot * tot)
+        (t, hour, n, h, tot * 1000000L / h, dev2, var9, dev2 > var9)
+      }
+    }.toSet
+    val out = PipelineQueries.eventRateAnomaly(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toSet
+    assert(out == expected)
+    // Planted spike: one hour of one type at 10× its count must flag.
+    val hourly = Tables.events(spark, TestSpark.SfDir)
+      .groupBy(col("event_type"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts) div 3600000000L").as("hour_id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    val firstType = out.minBy(r => (r._1, r._2))
+    val planted = PipelineQueries.eventRateAnomalyOf(
+      hourly.withColumn("n",
+        when(col("event_type") === firstType._1 && col("hour_id") === firstType._2,
+          col("n") * 10).otherwise(col("n"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(7)))
+    assert(planted.exists(p => p._1 == firstType._1 && p._2 == firstType._2 && p._3),
+      "a 10x hour must read as anomalous")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

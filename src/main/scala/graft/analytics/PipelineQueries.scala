@@ -2589,6 +2589,125 @@ object PipelineQueries {
       .orderBy(col("event_type"), col("hour_id"))
   }
 
+  /** Vocabulary size for [[vocabCoverage]], shared with the q129 oracle
+    * (generated-constant pattern). Sized BELOW the synthetic corpus's
+    * distinct-token count (31 at every SF) so the cut genuinely binds at every SF (a
+    * vocabulary that admits every type audits nothing). */
+  private[graft] val VocabV = 16
+
+  /** Vocabulary coverage / OOV-rate audit (q129) — the tokenizer-sizing
+    * question every training pipeline answers before fixing a vocab:
+    * with the top-V corpus tokens as the vocabulary, what share of each
+    * language's token INSTANCES is covered, and what share of its
+    * distinct types is out-of-vocabulary? (BPE sizing runs exactly this
+    * curve; q111 is the merge-induction step, this is the evaluation
+    * step.) All integer arithmetic — counts and basis points.
+    *
+    * Scale shape: the corpus tokenizes ONCE into the (lang, token)
+    * count matrix (map-side partials — the only corpus-sized exchange).
+    * The matrix feeds BOTH the vocabulary derivation and the coverage
+    * join — a diamond Catalyst cannot dedupe (column pruning
+    * canonicalizes the two branches apart, so ReuseExchange never fires
+    * and the naive form re-scans and re-explodes the corpus — the q109
+    * trap, verified on the executed plan). So the matrix is persisted
+    * via the session memo: distinct-(lang,token)-sized (orders below
+    * the corpus), spillable, computed once per (session, dir). The
+    * vocabulary is then a vocab-sized re-aggregate + TakeOrdered top-V
+    * joined back as a BROADCAST flag; per-lang coverage is a
+    * metadata-sized rollup. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val langTok = graft.SessionMemo.memo(spark, s"q129matrix|$dir") {
+      val m = Tables.documents(spark, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      m.count() // materialize: both consumers below read the cached matrix
+      m
+    }
+    val vocab = langTok
+      .groupBy(col("token")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(VocabV)
+      .select(col("token"))
+    langTok
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("token"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("n")).as("n_instances"),
+        sum(when(col("in_vocab").isNotNull, col("n")).otherwise(0L)).as("covered_instances"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("in_vocab").isNotNull, 1L).otherwise(0L)).as("covered_types"))
+      .select(
+        col("lang"), col("n_instances"), col("covered_instances"),
+        expr("covered_instances * 10000L div n_instances").as("coverage_bp"),
+        col("n_types"), col("covered_types"),
+        expr("(n_types - covered_types) * 10000L div n_types").as("oov_type_bp"))
+      .orderBy(col("lang"))
+  }
+
+  /** ANALYZE-style table statistics snapshot (q130) — the stats
+    * collection every CBO-driven 100 TB deployment schedules (Spark's
+    * `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`, emitted as data
+    * so it can be oracled): per column of `documents` — row count, null
+    * count, exact NDV, lexicographic/numeric min and max (as canonical
+    * strings), and average value width (chars ×100). The q107 skew audit
+    * diagnoses one join key; this is the standing per-column profile
+    * that feeds broadcast/skew/pruning decisions (the CBO pin in
+    * ScaleSpec consumes exactly these numbers via ANALYZE).
+    *
+    * Scale shape: ONE scan — all five columns profile in a single
+    * multi-distinct aggregate (Catalyst's Expand handles the distincts;
+    * map-side partials for the plain stats), then a 1-row explode to the
+    * 5-row long-format profile. Numeric min/max cast to string AFTER
+    * aggregation (5 values, not per-row). */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val stats = d.agg(
+      count(lit(1)).as("n"),
+      // doc_id
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("doc_id_nulls"),
+      countDistinct(col("doc_id")).as("doc_id_ndv"),
+      min(col("doc_id")).cast("string").as("doc_id_min"),
+      max(col("doc_id")).cast("string").as("doc_id_max"),
+      expr("sum(length(cast(doc_id AS STRING)) * 100) div count(doc_id)").as("doc_id_w"),
+      // lang
+      sum(when(col("lang").isNull, 1L).otherwise(0L)).as("lang_nulls"),
+      countDistinct(col("lang")).as("lang_ndv"),
+      min(col("lang")).as("lang_min"),
+      max(col("lang")).as("lang_max"),
+      expr("sum(length(lang) * 100) div count(lang)").as("lang_w"),
+      // source
+      sum(when(col("source").isNull, 1L).otherwise(0L)).as("source_nulls"),
+      countDistinct(col("source")).as("source_ndv"),
+      min(col("source")).as("source_min"),
+      max(col("source")).as("source_max"),
+      expr("sum(length(source) * 100) div count(source)").as("source_w"),
+      // n_chars
+      sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_chars_nulls"),
+      countDistinct(col("n_chars")).as("n_chars_ndv"),
+      min(col("n_chars")).cast("string").as("n_chars_min"),
+      max(col("n_chars")).cast("string").as("n_chars_max"),
+      expr("sum(length(cast(n_chars AS STRING)) * 100) div count(n_chars)").as("n_chars_w"),
+      // text
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("text_nulls"),
+      countDistinct(col("text")).as("text_ndv"),
+      md5(min(col("text")).cast("binary")).as("text_min"),
+      md5(max(col("text")).cast("binary")).as("text_max"),
+      expr("sum(length(text) * 100) div count(text)").as("text_w"))
+    stats.selectExpr(
+      """stack(5,
+        |  'doc_id',  doc_id_nulls,  doc_id_ndv,  doc_id_min,  doc_id_max,  doc_id_w,
+        |  'lang',    lang_nulls,    lang_ndv,    lang_min,    lang_max,    lang_w,
+        |  'n_chars', n_chars_nulls, n_chars_ndv, n_chars_min, n_chars_max, n_chars_w,
+        |  'source',  source_nulls,  source_ndv,  source_min,  source_max,  source_w,
+        |  'text',    text_nulls,    text_ndv,    text_min,    text_max,    text_w
+        |) AS (col_name, n_nulls, ndv, min_val, max_val, avg_width_x100)""".stripMargin,
+      "n AS n_rows")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"),
+        col("min_val"), col("max_val"), col("avg_width_x100"))
+      .orderBy(col("col_name"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2672,7 +2791,9 @@ object PipelineQueries {
     "q125_ann_nprobe_sweep" -> (annNprobeSweep _),
     "q126_bm25_topk" -> (bm25Topk _),
     "q127_rrf_fusion" -> (rrfFusion _),
-    "q128_event_anomaly" -> (eventRateAnomaly _))
+    "q128_event_anomaly" -> (eventRateAnomaly _),
+    "q129_vocab_coverage" -> (vocabCoverage _),
+    "q130_table_stats" -> (tableStats _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -3606,6 +3727,59 @@ object PipelineQueries {
          |    + COALESCE(1000000 // ($RrfK + bm25_rank), 0) AS BIGINT) AS rrf_score
          |FROM tr FULL OUTER JOIN br ON tr.doc_id = br.doc_id
          |ORDER BY rrf_score DESC, doc_id""".stripMargin,
+    // q129: vocabulary = top-V tokens by (cnt DESC, token) — a total
+    // order, so the cut is identical in both engines; coverage pure
+    // integer.
+    "q129_vocab_coverage" ->
+      s"""WITH lt AS (SELECT lang, token, COUNT(*) AS n
+         |  FROM (SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents)
+         |  GROUP BY lang, token),
+         |v AS (SELECT token FROM (SELECT token, SUM(n) AS cnt FROM lt GROUP BY token)
+         |  ORDER BY cnt DESC, token LIMIT $VocabV)
+         |SELECT lang,
+         |  CAST(SUM(n) AS BIGINT) AS n_instances,
+         |  CAST(SUM(CASE WHEN v.token IS NOT NULL THEN n ELSE 0 END) AS BIGINT) AS covered_instances,
+         |  CAST(SUM(CASE WHEN v.token IS NOT NULL THEN n ELSE 0 END) AS BIGINT) * 10000
+         |    // CAST(SUM(n) AS BIGINT) AS coverage_bp,
+         |  COUNT(*) AS n_types,
+         |  CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS covered_types,
+         |  (COUNT(*) - CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)) * 10000
+         |    // COUNT(*) AS oov_type_bp
+         |FROM lt LEFT JOIN v ON lt.token = v.token
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // q130: every stat is a count, an exact NDV, a canonical string
+    // cast of min/max (text hashed via the q104 md5 precedent), or an
+    // integer ×100 width — all hash-exact.
+    "q130_table_stats" ->
+      """WITH s AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_nulls,
+        |  COUNT(DISTINCT doc_id) AS doc_id_ndv,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS doc_id_min, CAST(MAX(doc_id) AS VARCHAR) AS doc_id_max,
+        |  CAST(SUM(length(CAST(doc_id AS VARCHAR)) * 100) AS BIGINT) // COUNT(doc_id) AS doc_id_w,
+        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+        |  COUNT(DISTINCT lang) AS lang_ndv,
+        |  MIN(lang) AS lang_min, MAX(lang) AS lang_max,
+        |  CAST(SUM(length(lang) * 100) AS BIGINT) // COUNT(lang) AS lang_w,
+        |  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
+        |  COUNT(DISTINCT source) AS source_ndv,
+        |  MIN(source) AS source_min, MAX(source) AS source_max,
+        |  CAST(SUM(length(source) * 100) AS BIGINT) // COUNT(source) AS source_w,
+        |  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
+        |  COUNT(DISTINCT n_chars) AS n_chars_ndv,
+        |  CAST(MIN(n_chars) AS VARCHAR) AS n_chars_min, CAST(MAX(n_chars) AS VARCHAR) AS n_chars_max,
+        |  CAST(SUM(length(CAST(n_chars AS VARCHAR)) * 100) AS BIGINT) // COUNT(n_chars) AS n_chars_w,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+        |  COUNT(DISTINCT text) AS text_ndv,
+        |  md5(MIN(text)) AS text_min, md5(MAX(text)) AS text_max,
+        |  CAST(SUM(length(text) * 100) AS BIGINT) // COUNT(text) AS text_w
+        |  FROM documents)
+        |SELECT 'doc_id' AS col_name, n AS n_rows, doc_id_nulls AS n_nulls, doc_id_ndv AS ndv,
+        |  doc_id_min AS min_val, doc_id_max AS max_val, doc_id_w AS avg_width_x100 FROM s
+        |UNION ALL SELECT 'lang', n, lang_nulls, lang_ndv, lang_min, lang_max, lang_w FROM s
+        |UNION ALL SELECT 'n_chars', n, n_chars_nulls, n_chars_ndv, n_chars_min, n_chars_max, n_chars_w FROM s
+        |UNION ALL SELECT 'source', n, source_nulls, source_ndv, source_min, source_max, source_w FROM s
+        |UNION ALL SELECT 'text', n, text_nulls, text_ndv, text_min, text_max, text_w FROM s
+        |ORDER BY col_name""".stripMargin,
     // q128: the 3σ test is evaluated entirely in BIGINTs on both sides
     // ((n·h−T)² > 9·(h·Σn²−T²)) — no sqrt, no float, hash-exact.
     "q128_event_anomaly" ->

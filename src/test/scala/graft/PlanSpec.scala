@@ -376,6 +376,26 @@ class PlanSpec extends AnyFunSuite {
       s"per-type stats must consume the aggregated matrix, never events:\n$p")
   }
 
+  test("q129: both consumers read the memoized matrix cache; vocab flag broadcasts") {
+    val p = planOf("q129_vocab_coverage")
+    // The (lang, token) matrix is persisted via SessionMemo (the diamond
+    // Catalyst can't dedupe — pruning canonicalizes the branches apart),
+    // so the executed plan consumes InMemoryTableScan, and the top-V
+    // vocabulary joins back as a broadcast flag, never a shuffle join.
+    assert(p.contains("InMemoryTableScan"),
+      s"corpus matrix must come from the session-memoized cache:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the V-row vocabulary must broadcast:\n$p")
+  }
+
+  test("q130: all five column profiles come from ONE scan (multi-distinct Expand, no join)") {
+    val p = planOf("q130_table_stats")
+    assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,
+      s"a per-column UNION of aggregates would re-scan the table per column:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Expand"), s"exact multi-column NDV must run via Expand in one pass:\n$p")
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

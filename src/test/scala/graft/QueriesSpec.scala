@@ -711,6 +711,54 @@ class QueriesSpec extends AnyFunSuite {
       "a 10x hour must read as anomalous")
   }
 
+  test("q129 vocab coverage matches a driver brute-force reference; the cut binds") {
+    import graft.analytics.PipelineQueries
+    val docs = Tables.documents(spark, TestSpark.SfDir).select("lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    for ((lang, t) <- docs; tok <- t.split(" ")) pairCounts((lang, tok)) += 1
+    val global = pairCounts.toSeq.groupBy(_._1._2)
+      .map { case (tok, xs) => tok -> xs.map(_._2).sum }
+    val vocab = global.toSeq.sortBy { case (tok, c) => (-c, tok) }
+      .take(PipelineQueries.VocabV).map(_._1).toSet
+    val expected = pairCounts.toSeq.groupBy(_._1._1).map { case (lang, xs) =>
+      val total = xs.map(_._2).sum
+      val covered = xs.filter(x => vocab(x._1._2)).map(_._2).sum
+      val types = xs.size.toLong
+      val coveredTypes = xs.count(x => vocab(x._1._2)).toLong
+      (lang, total, covered, covered * 10000L / total,
+        types, coveredTypes, (types - coveredTypes) * 10000L / types)
+    }.toSet
+    val out = PipelineQueries.vocabCoverage(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(out == expected)
+    assert(out.exists(_._7 > 0), "vacuous: every type in vocab — the cut never binds at this SF")
+  }
+
+  test("q130 table stats match a driver brute-force reference") {
+    import graft.analytics.PipelineQueries
+    val rows = Tables.documents(spark, TestSpark.SfDir).collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val n = rows.length.toLong
+    def profile[T: Ordering](name: String, vs: Seq[T], render: T => String,
+        width: T => Long): (String, Long, Long, Long, String, String, Long) =
+      (name, n, 0L, vs.distinct.size.toLong, render(vs.min), render(vs.max),
+        vs.map(width).sum * 100L / vs.size)
+    val expected = Set(
+      profile[Long]("doc_id", rows.map(_.getLong(0)).toSeq, _.toString, _.toString.length.toLong),
+      profile[String]("lang", rows.map(_.getString(2)).toSeq, identity, _.length.toLong),
+      profile[String]("source", rows.map(_.getString(3)).toSeq, identity, _.length.toLong),
+      profile[Long]("n_chars", rows.map(_.getLong(4)).toSeq, _.toString, _.toString.length.toLong),
+      profile[String]("text", rows.map(_.getString(1)).toSeq, md5hex, _.length.toLong))
+    val out = PipelineQueries.tableStats(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getLong(6))).toSet
+    assert(out == expected)
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

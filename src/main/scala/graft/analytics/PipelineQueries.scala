@@ -2708,6 +2708,114 @@ object PipelineQueries {
       .orderBy(col("col_name"))
   }
 
+  /** The (bands, rowsPerBand) operating points of the q131 sweep — every
+    * config reslices the SAME 192-slot MinHash family (b·r = 192 for
+    * all, seed-shared with q27/q29), so one signature pass feeds every
+    * point. Shared with the oracle (generated-constant pattern). */
+  private[graft] val SweepConfigs: Seq[(Int, Int)] = Seq((4, 48), (8, 24), (16, 12), (32, 6), (64, 3))
+
+  /** Exact-Jaccard truth threshold for the q131 recall axis. */
+  private[graft] val SweepJaccard = 0.9
+
+  /** MinHash-LSH banding parameter sweep (q131) — the dedup-tuning curve
+    * next to q125's ANN nprobe sweep: for each (b bands × r rows)
+    * operating point, candidate-pair volume (cost) and recall against an
+    * exact-Jaccard ≥ 0.9 truth set (the S-curve threshold (1/b)^(1/r)
+    * moves from ~0.97 at 4×48 to ~0.25 at 64×3 — the knee, not the
+    * maximum, is the production configuration). Candidates are SET-level
+    * (the q27 canonicalization: identical token sets collapse first, so
+    * a duplicate-heavy corpus can't quadratically collide in every
+    * bucket).
+    *
+    * Scale shape: the corpus tokenizes and signs ONCE — a 192-slot
+    * signature per distinct set, persisted via the session memo; every
+    * operating point derives its band keys by SLICING that signature
+    * (map-only transform over ≤64 slices), so adding a point costs one
+    * more bucket join over compact (band_idx, key) rows, never another
+    * corpus pass. Truth is verified ONCE over the union of all points'
+    * candidates (q125's one-widest-search trick: the 64×3 point's
+    * candidates contain every other point's), and per-point hits come
+    * from a broadcast of the verified pair list. */
+  def lshBandingSweep(spark: SparkSession, dir: String): DataFrame = {
+    val p = Dedup.MinHashParams()
+    require(SweepConfigs.forall { case (b, r) => b * r == p.k })
+    val (cand, verified) = graft.SessionMemo.memo(spark, s"q131cand|$dir") {
+      val sets = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          sort_array(array_distinct(TextAnalysis.tokens(col("text")))).as("toks"))
+        .groupBy(col("toks")).agg(min(col("doc_id")).as("sid"))
+        .withColumn("sig",
+          graft.functions.MinHashFunctions
+            .minhash_signature(col("toks"), p.bands, p.rowsPerBand, p.seed))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sets.count()
+      def candsOf(b: Int, r: Int): DataFrame = {
+        val banded = sets.select(col("sid"),
+          explode(expr(
+            s"""transform(sequence(0, ${b - 1}),
+               |  i -> named_struct('band_idx', i,
+               |    'band_key', xxhash64(cast(slice(sig, i * $r + 1, $r) AS STRING))))"""
+              .stripMargin)).as("bk"))
+          .select(col("sid"), col("bk.band_idx").as("band_idx"), col("bk.band_key").as("band_key"))
+        val l = banded.select(col("band_idx"), col("band_key"), col("sid").as("id_a"))
+        val rr = banded.select(col("band_idx"), col("band_key"), col("sid").as("id_b"))
+        l.join(rr, Seq("band_idx", "band_key"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+          .withColumn("bands", lit(b)).withColumn("rows_per_band", lit(r))
+      }
+      val c = SweepConfigs.map { case (b, r) => candsOf(b, r) }.reduce(_ union _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      val uniq = c.select(col("id_a"), col("id_b")).distinct()
+      val v = uniq
+        .join(sets.select(col("sid").as("id_a"), col("toks").as("ta")), Seq("id_a"))
+        .join(sets.select(col("sid").as("id_b"), col("toks").as("tb")), Seq("id_b"))
+        .filter(Dedup.jaccardSorted(col("ta"), col("tb")) >= SweepJaccard)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      v.count()
+      (c, v)
+    }
+    cand
+      .join(broadcast(verified.withColumn("hit", lit(1L))), Seq("id_a", "id_b"), "left_outer")
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(verified.agg(count(lit(1)).as("n_truth"))))
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_truth"), col("n_hits"),
+        expr("n_hits * 10000L div n_truth").as("recall_bp"))
+      .orderBy(col("bands"))
+  }
+
+  /** Journey path mining (q132) — the sequential-pattern view one level
+    * up from q119's transition matrix: the top-20 THREE-step event paths
+    * (e₁→e₂→e₃ over consecutive events per user, ts order, event_id
+    * tie-break). The funnel-discovery question ("which 3-step journeys
+    * actually happen most") asked of the raw stream, where q89 checks
+    * ONE predeclared funnel.
+    *
+    * Scale shape: the SAME single user_id shuffle as q119 — both lead()
+    * offsets ride one window (per-user frames, streaming, no
+    * buffering); the path stream aggregates map-side to the ≤|types|³
+    * matrix and the top-20 is TakeOrdered over that metadata-sized
+    * frame. Ordering pinned at microsecond resolution like q119. */
+  def journeyPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUserTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("mid_type", lead(col("event_type"), 1).over(byUserTime))
+      .withColumn("to_type", lead(col("event_type"), 2).over(byUserTime))
+      .filter(col("mid_type").isNotNull && col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("mid_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type"), col("mid_type"), col("to_type"))
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2793,7 +2901,9 @@ object PipelineQueries {
     "q127_rrf_fusion" -> (rrfFusion _),
     "q128_event_anomaly" -> (eventRateAnomaly _),
     "q129_vocab_coverage" -> (vocabCoverage _),
-    "q130_table_stats" -> (tableStats _))
+    "q130_table_stats" -> (tableStats _),
+    "q131_lsh_banding_sweep" -> (lshBandingSweep _),
+    "q132_journey_paths" -> (journeyPaths _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -3554,6 +3664,43 @@ object PipelineQueries {
       |    * (CAST(tf AS DOUBLE) * 2.2)
       |    / (CAST(tf AS DOUBLE) + (0.3 + 0.9 * (CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))) AS BIGINT)""".stripMargin
 
+  /** q131 oracle — the banding sweep replayed in SQL: distinct token
+    * sets, the same 192-slot signature family (minhashParamValues), band
+    * keys as slice TUPLES (the engine buckets by xxhash64 of the slice —
+    * identical partition of sets into buckets absent 64-bit collisions,
+    * the q64/q73 precedent), candidates unioned across the generated
+    * config list, truth verified once at the shared threshold. */
+  private def lshSweepOracleSql: String = {
+    val perConfig = SweepConfigs.map { case (b, r) =>
+      s"""SELECT $b AS bands, $r AS rows_per_band, a.sid AS id_a, b2.sid AS id_b
+         |  FROM (SELECT sid, i, array_to_string(sig[CAST(i*$r+1 AS INTEGER) : CAST(i*$r+$r AS INTEGER)], ',') AS key
+         |        FROM sg, (SELECT unnest(range(0, $b)) AS i)) a
+         |  JOIN (SELECT sid, i, array_to_string(sig[CAST(i*$r+1 AS INTEGER) : CAST(i*$r+$r AS INTEGER)], ',') AS key
+         |        FROM sg, (SELECT unnest(range(0, $b)) AS i)) b2
+         |    ON a.i = b2.i AND a.key = b2.key AND a.sid < b2.sid
+         |  GROUP BY ALL""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH t AS (SELECT MIN(doc_id) AS sid, ANY_VALUE(list_sort(list_distinct(str_split(text, ' ')))) AS toks
+       |  FROM documents GROUP BY md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))),
+       |h AS (SELECT sid, list_transform(toks, tok -> ${graft.functions.Md5Hash.duckH31("tok")}) AS hs FROM t),
+       |sg AS (SELECT sid, list(mh ORDER BY sig_idx) AS sig FROM (
+       |    SELECT h.sid, p.sig_idx, list_min(list_transform(h.hs, x -> (p.pa * x + p.pb) % 2147483647)) AS mh
+       |    FROM h CROSS JOIN (VALUES $minhashParamValues) AS p(sig_idx, pa, pb)) GROUP BY sid),
+       |cand AS (
+       |  $perConfig),
+       |uniq AS (SELECT DISTINCT id_a, id_b FROM cand),
+       |ver AS (SELECT u.id_a, u.id_b FROM uniq u JOIN t a ON a.sid = u.id_a JOIN t b ON b.sid = u.id_b
+       |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.toks, b.toks))) >= $SweepJaccard),
+       |tot AS (SELECT COUNT(*) AS n_truth FROM ver)
+       |SELECT c.bands, c.rows_per_band, COUNT(*) AS n_candidates, tot.n_truth,
+       |  CAST(SUM(CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000 // tot.n_truth AS recall_bp
+       |FROM cand c LEFT JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b CROSS JOIN tot
+       |GROUP BY c.bands, c.rows_per_band, tot.n_truth
+       |ORDER BY c.bands""".stripMargin
+  }
+
   private val oracleTail: Map[String, String] = Map(
     // q101: the q81 SQL with the quantizer-training CTEs (cells +
     // codebook seeds) restricted to the BASE corpus — assignment, encode,
@@ -3780,6 +3927,19 @@ object PipelineQueries {
         |UNION ALL SELECT 'source', n, source_nulls, source_ndv, source_min, source_max, source_w FROM s
         |UNION ALL SELECT 'text', n, text_nulls, text_ndv, text_min, text_max, text_w FROM s
         |ORDER BY col_name""".stripMargin,
+    // q131: see lshSweepOracleSql.
+    "q131_lsh_banding_sweep" -> lshSweepOracleSql,
+    // q132: q119's LEAD idiom at offsets 1 and 2; the top-20 cut is
+    // totally ordered by (n DESC, path) in both engines.
+    "q132_journey_paths" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS mid_type,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events)
+        |SELECT event_type AS from_type, mid_type, to_type, COUNT(*) AS n
+        |FROM p WHERE mid_type IS NOT NULL AND to_type IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, from_type, mid_type, to_type LIMIT 20""".stripMargin,
     // q128: the 3σ test is evaluated entirely in BIGINTs on both sides
     // ((n·h−T)² > 9·(h·Σn²−T²)) — no sqrt, no float, hash-exact.
     "q128_event_anomaly" ->

@@ -396,6 +396,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"exact multi-column NDV must run via Expand in one pass:\n$p")
   }
 
+  test("q131: sweep points read the memoized candidate cache; hits join by broadcast") {
+    val p = planOf("q131_lsh_banding_sweep")
+    assert(p.contains("InMemoryTableScan"),
+      s"the candidate union + verified truth must come from the session memo:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the verified pair list must broadcast into the per-point hit count:\n$p")
+  }
+
+  test("q132: both lead offsets ride ONE user_id window; paths aggregate map-side") {
+    val p = planOf("q132_journey_paths")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.sliding("Window".length).count(_ == "Window") == 1,
+      s"lead(1) and lead(2) must share one window spec, not shuffle twice:\n$p")
+    assert(p.contains("partial_count"), s"path counts must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

@@ -759,6 +759,69 @@ class QueriesSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("q131 banding sweep matches a driver brute-force reference across every operating point") {
+    import graft.analytics.PipelineQueries
+    import graft.functions.Md5Hash
+    val p = graft.dedup.Dedup.MinHashParams()
+    val docs = Tables.documents(spark, TestSpark.SfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val sets = docs.map { case (id, t) => (id, t.split(" ").distinct.sorted.toSeq) }
+      .groupBy(_._2).map { case (toks, xs) => (xs.map(_._1).min, toks) }.toSeq
+    val sigs = sets.map { case (sid, toks) =>
+      val hs = toks.map(tok => Md5Hash.h31(tok.getBytes("UTF-8")))
+      sid -> Array.tabulate(p.k)(i => hs.map(x => (p.as(i) * x + p.bs(i)) % p.prime).min)
+    }.toMap
+    val toksOf = sets.toMap
+    def jac(a: Seq[String], b: Seq[String]): Double = {
+      val ni = a.toSet.intersect(b.toSet).size
+      ni.toDouble / (a.size + b.size - ni)
+    }
+    val candsPer = PipelineQueries.SweepConfigs.map { case (b, r) =>
+      val buckets = for {
+        (sid, sig) <- sigs.toSeq; i <- 0 until b
+      } yield ((i, sig.slice(i * r, i * r + r).toSeq), sid)
+      val pairs = buckets.groupBy(_._1).values.flatMap { xs =>
+        val ids = xs.map(_._2).distinct.sorted
+        for (x <- ids; y <- ids if x < y) yield (x, y)
+      }.toSet
+      (b, r) -> pairs
+    }.toMap
+    val truth = candsPer.values.reduce(_ ++ _)
+      .filter { case (x, y) => jac(toksOf(x), toksOf(y)) >= PipelineQueries.SweepJaccard }
+    val expected = PipelineQueries.SweepConfigs.map { case (b, r) =>
+      val c = candsPer((b, r)); val hits = c.count(truth)
+      (b, r, c.size.toLong, truth.size.toLong, hits.toLong,
+        hits.toLong * 10000L / truth.size)
+    }.toSet
+    val out = PipelineQueries.lshBandingSweep(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(out == expected)
+    // The production read: cost strictly increases with band count and
+    // recall saturates somewhere before the widest point.
+    val byBands = out.toSeq.sortBy(_._1)
+    assert(byBands.map(_._3) == byBands.map(_._3).sorted &&
+      byBands.map(_._3).distinct.size == byBands.size)
+    assert(byBands.last._6 == 10000L, "widest banding must recover the full truth set here")
+  }
+
+  test("q132 journey paths match a driver brute-force reference") {
+    import graft.analytics.PipelineQueries
+    val ev = Tables.events(spark, TestSpark.SfDir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).values.flatMap { xs =>
+      val s = xs.sortBy(x => (x._3, x._2)).map(_._4).toSeq
+      s.sliding(3).filter(_.size == 3).map(w => (w(0), w(1), w(2)))
+    }
+    val expected = paths.toSeq.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      .toSeq.sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+    val out = PipelineQueries.journeyPaths(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out == expected)
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

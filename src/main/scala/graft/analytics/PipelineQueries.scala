@@ -2816,6 +2816,88 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Event-type co-occurrence lift (q133) — association mining over
+    * (user, day) baskets: for every unordered type pair, basket support
+    * and lift (observed co-occurrence over the independence expectation),
+    * both in integer basis points (lift_bp = n_ab·N·10⁴ div (n_a·n_b);
+    * 10000 = independent, above = attraction). The classic
+    * "which behaviors travel together" read of the reference's event
+    * stream, complementing q119's DIRECTIONAL transitions with an
+    * order-free view.
+    *
+    * Scale shape: events collapse to the distinct (user, day, type)
+    * incidence frame ONCE (map-side partial distinct — the only
+    * corpus-sized exchange). That frame feeds FOUR consumers (basket
+    * total, type counts, both pair-join sides) — a diamond Catalyst
+    * cannot dedupe (the q129 lesson), so it is persisted via the
+    * session memo: ≤|types| rows per basket, orders below events. The
+    * pair join is a self-join ON THE BASKET KEY of the cached frame
+    * (blowup bounded by |types|² per basket, never corpus²); type
+    * counts and the basket total are metadata-sized broadcasts. */
+  def cooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
+    val bt = graft.SessionMemo.memo(spark, s"q133incidence|$dir") {
+      val m = Tables.events(spark, dir)
+        .select(col("user_id"), expr("CAST(ts AS DATE)").as("day"), col("event_type"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      m.count()
+      m
+    }
+    val nBaskets = bt.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val typeCounts = bt.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    bt.select(col("user_id"), col("day"), col("event_type").as("type_a"))
+      .join(bt.select(col("user_id"), col("day"), col("event_type").as("type_b")),
+        Seq("user_id", "day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(typeCounts.select(col("event_type").as("type_a"), col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(typeCounts.select(col("event_type").as("type_b"), col("n_t").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_ab"),
+        expr("n_ab * 10000L div n_baskets").as("support_bp"),
+        expr("n_ab * n_baskets * 10000L div (n_a * n_b)").as("lift_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Truncation dimensions for the q134 sweep (the full dim last — its
+    * row is the self-recall anchor). Shared with the oracle. */
+  private[graft] val MrlDims = Seq(16, 32, 48, 64)
+
+  /** Embedding dimension-truncation recall sweep (q134) — the
+    * Matryoshka-representation question (Kusupati et al. 2022) asked of
+    * the vector store: if search ran on only the first d dims (4×–1.3×
+    * cheaper memory/compute), what fraction of the full-dimension top-10
+    * survives? The third production tuning curve next to q125 (nprobe)
+    * and q131 (banding): pick the d at the knee, serve truncated.
+    *
+    * Exactness: each point is the q33 brute-force machinery over SLICED
+    * vectors — the cosine expression folds the same floats in the same
+    * order as the oracle's left-fold replication, so every ranked pair
+    * (and therefore every hit count) is bit-exact. Scale shape: queries
+    * broadcast (q33's shape) per point; hits against the full-dim truth
+    * via broadcast of the 10·n_q truth list; everything after ranking is
+    * metadata-sized. */
+  def mrlRecallSweep(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    def topAt(d: Int): DataFrame = Ann.bruteForceTopK(
+      embs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding")),
+      embs.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding")),
+      "vec_id", "embedding", k = 10)
+    val truth = topAt(MrlDims.last).select(col("query_id"), col("neighbor_id"))
+    MrlDims
+      .map(d => topAt(d).select(lit(d).as("dim"), col("query_id"), col("neighbor_id")))
+      .reduce(_ union _)
+      .join(broadcast(truth.withColumn("hit", lit(1L))),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_ranked"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("dim"), expr("n_ranked div 10").as("n_queries"), col("n_hits"),
+        expr("n_hits * 10000L div n_ranked").as("recall_bp"))
+      .orderBy(col("dim"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2903,7 +2985,9 @@ object PipelineQueries {
     "q129_vocab_coverage" -> (vocabCoverage _),
     "q130_table_stats" -> (tableStats _),
     "q131_lsh_banding_sweep" -> (lshBandingSweep _),
-    "q132_journey_paths" -> (journeyPaths _))
+    "q132_journey_paths" -> (journeyPaths _),
+    "q133_cooccurrence_lift" -> (cooccurrenceLift _),
+    "q134_mrl_recall_sweep" -> (mrlRecallSweep _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -3701,6 +3785,35 @@ object PipelineQueries {
        |ORDER BY c.bands""".stripMargin
   }
 
+  /** q134 oracle — per truncation dimension, the q33 left-fold cosine
+    * over SLICED lists ranks top-10; hits against the full-dim point's
+    * list; generated from the shared MrlDims (the last dim IS the
+    * truth). */
+  private def mrlSweepOracleSql: String = {
+    val perDim = MrlDims.map { d =>
+      s"""SELECT $d AS dim, query_id, neighbor_id FROM (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.cosine DESC, s.neighbor_id) AS rn
+         |  FROM (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      ${VectorOracles.cosine(s"q.qv[1:$d]", s"e.embedding[1:$d]")} AS cosine
+         |    FROM q JOIN e ON e.vec_id <> q.query_id) s
+         |  WHERE s.cosine IS NOT NULL) WHERE rn <= 10""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+       |e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+       |allr AS (
+       |  $perDim),
+       |truth AS (SELECT query_id, neighbor_id FROM allr WHERE dim = ${MrlDims.last})
+       |SELECT a.dim, COUNT(*) // 10 AS n_queries,
+       |  CAST(SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000
+       |    // COUNT(*) AS recall_bp
+       |FROM allr a LEFT JOIN truth t
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY a.dim ORDER BY a.dim""".stripMargin
+  }
+
   private val oracleTail: Map[String, String] = Map(
     // q101: the q81 SQL with the quantizer-training CTEs (cells +
     // codebook seeds) restricted to the BASE corpus — assignment, encode,
@@ -3929,6 +4042,23 @@ object PipelineQueries {
         |ORDER BY col_name""".stripMargin,
     // q131: see lshSweepOracleSql.
     "q131_lsh_banding_sweep" -> lshSweepOracleSql,
+    // q133: basket = distinct (user, day); support and lift pure integer.
+    "q133_cooccurrence_lift" ->
+      """WITH bt AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+        |n AS (SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM bt)),
+        |tc AS (SELECT event_type, COUNT(*) AS n_t FROM bt GROUP BY 1),
+        |pc AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+        |  FROM bt a JOIN bt b ON a.user_id = b.user_id AND a.day = b.day
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, ta.n_t AS n_a, tb.n_t AS n_b, n_ab,
+        |  n_ab * 10000 // n_baskets AS support_bp,
+        |  n_ab * n_baskets * 10000 // (ta.n_t * tb.n_t) AS lift_bp
+        |FROM pc JOIN tc ta ON ta.event_type = type_a
+        |JOIN tc tb ON tb.event_type = type_b CROSS JOIN n
+        |ORDER BY type_a, type_b""".stripMargin,
+    // q134: see mrlSweepOracleSql.
+    "q134_mrl_recall_sweep" -> mrlSweepOracleSql,
     // q132: q119's LEAD idiom at offsets 1 and 2; the top-20 cut is
     // totally ordered by (n DESC, path) in both engines.
     "q132_journey_paths" ->

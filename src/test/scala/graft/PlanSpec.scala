@@ -414,6 +414,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q133: all four consumers read the memoized incidence cache") {
+    val p = planOf("q133_cooccurrence_lift")
+    // The (user, day, type) incidence frame is persisted via SessionMemo —
+    // every consumer (basket total, type counts, both pair-join sides)
+    // must read the cache, not re-derive from events. (The basket-key
+    // self-join itself may legitimately shuffle at scale — only the
+    // metadata-sized stats are pinned broadcast, via the query's own
+    // broadcast() hints.)
+    assert(p.contains("InMemoryTableScan"),
+      s"the (user, day, type) incidence frame must come from the session memo:\n$p")
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

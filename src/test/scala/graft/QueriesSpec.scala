@@ -822,6 +822,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("q133 co-occurrence lift matches a driver brute-force reference") {
+    import graft.analytics.PipelineQueries
+    val rows = Tables.events(spark, TestSpark.SfDir)
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day", "event_type")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getString(2))).distinct
+    val baskets = rows.map(r => (r._1, r._2)).distinct
+    val n = baskets.length.toLong
+    val typeCount = rows.groupBy(_._3).map { case (t, xs) => t -> xs.length.toLong }
+    val byBasket = rows.groupBy(r => (r._1, r._2)).values.map(_.map(_._3).sorted.toSeq)
+    val expected = byBasket.flatMap { ts =>
+      for (a <- ts; b <- ts if a < b) yield (a, b)
+    }.groupBy(identity).map { case ((a, b), xs) =>
+      val (na, nb, nab) = (typeCount(a), typeCount(b), xs.size.toLong)
+      (a, b, na, nb, nab, nab * 10000L / n, nab * n * 10000L / (na * nb))
+    }.toSet
+    val out = PipelineQueries.cooccurrenceLift(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(out == expected)
+  }
+
+  test("q134 mrl sweep: full-dim anchor is exact self-recall; arithmetic is consistent") {
+    import graft.analytics.PipelineQueries
+    val out = PipelineQueries.mrlRecallSweep(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == PipelineQueries.MrlDims)
+    // Full-dim point ranks against itself — recall must be exactly 10000.
+    assert(out.last._3 == out.last._2 * 10L && out.last._4 == 10000L)
+    // Each point ranks exactly 10 neighbors per query and recall_bp is
+    // floor(hits·10⁴ / ranked); on this corpus recall grows with dim.
+    out.foreach { case (_, nq, hits, bp) => assert(bp == hits * 10000L / (nq * 10L)) }
+    assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted)
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

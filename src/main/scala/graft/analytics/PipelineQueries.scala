@@ -2898,6 +2898,151 @@ object PipelineQueries {
       .orderBy(col("dim"))
   }
 
+  /** Incremental (mergeable) table statistics (q135) — q130's profile
+    * restructured the way a 100 TB deployment actually maintains it: per
+    * ingest batch, each column's MERGEABLE stats (count, nulls, min,
+    * max, width sum — every one a semigroup) commit as a segment, and
+    * the serving profile is the segment MERGE — never a full-table
+    * rescan (the q124 segment model applied to statistics; exact NDV is
+    * deliberately absent — it does not merge, its incremental form is
+    * the HLL sketch q42 already covers). Here the corpus splits into
+    * three deterministic batches (doc_id mod 3) and the query computes
+    * the profile THROUGH the two-level path: per-batch aggregate →
+    * merge. The oracle recomputes the profile DIRECTLY over the full
+    * table — equality is the mergeability proof, hash-exact.
+    *
+    * Scale shape: one scan, two aggregates — the per-batch level is
+    * map-side-combinable to 3·|cols| rows, the merge level runs over
+    * that metadata. Text min/max go through min/max of md5 (mergeable),
+    * not md5 of min/max (not incremental). */
+  def incrementalStats(spark: SparkSession, dir: String): DataFrame = {
+    val perBatch = Tables.documents(spark, dir)
+      .groupBy((col("doc_id") % 3).as("batch_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("lang_nulls"),
+        min(col("lang")).as("lang_min"), max(col("lang")).as("lang_max"),
+        sum(length(col("lang")).cast("long")).as("lang_wsum"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_chars_nulls"),
+        // n_chars min/max stay NUMERIC through the merge — a string cast
+        // before merging would compare "1005" < "998" lexicographically.
+        min(col("n_chars")).as("n_chars_min"),
+        max(col("n_chars")).as("n_chars_max"),
+        sum(length(col("n_chars").cast("string")).cast("long")).as("n_chars_wsum"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("text_nulls"),
+        min(md5(col("text").cast("binary"))).as("text_min"),
+        max(md5(col("text").cast("binary"))).as("text_max"),
+        sum(length(col("text")).cast("long")).as("text_wsum"))
+    perBatch
+      .agg(
+        sum(col("n")).as("n_rows"),
+        sum(col("lang_nulls")).as("lang_nulls"),
+        min(col("lang_min")).as("lang_min"), max(col("lang_max")).as("lang_max"),
+        sum(col("lang_wsum")).as("lang_wsum"),
+        sum(col("n_chars_nulls")).as("n_chars_nulls"),
+        min(col("n_chars_min")).as("n_chars_min"), max(col("n_chars_max")).as("n_chars_max"),
+        sum(col("n_chars_wsum")).as("n_chars_wsum"),
+        sum(col("text_nulls")).as("text_nulls"),
+        min(col("text_min")).as("text_min"), max(col("text_max")).as("text_max"),
+        sum(col("text_wsum")).as("text_wsum"))
+      .selectExpr(
+        """stack(3,
+          |  'lang',    lang_nulls,    lang_min,                       lang_max,                       lang_wsum,
+          |  'n_chars', n_chars_nulls, CAST(n_chars_min AS STRING),    CAST(n_chars_max AS STRING),    n_chars_wsum,
+          |  'text',    text_nulls,    text_min,                       text_max,                       text_wsum
+          |) AS (col_name, n_nulls, min_val, max_val, wsum)""".stripMargin,
+        "n_rows")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("min_val"), col("max_val"),
+        expr("wsum * 100L div (n_rows - n_nulls)").as("avg_width_x100"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Conversion window for [[conversionWindowFunnel]], shared with the
+    * q136 oracle: 24 h in microseconds. */
+  private[graft] val ConvWindowUs = 86400000000L
+
+  /** Conversion-window funnel (q136) — the time-bound attribution q89's
+    * predeclared funnel doesn't do: for every signup EVENT, did a
+    * purchase by the same user land within 24 h, and how fast? Emits
+    * one row: signups, conversions, conversion_bp, exact min/max
+    * time-to-convert in microseconds, and the lower-median
+    * time-to-convert in SECONDS. All integers.
+    *
+    * Scale shape: signups join purchases per USER (one user-key
+    * shuffle, co-partitioned; per-user event lists are small), first
+    * conversion per signup is a min-aggregate; min/max/count merge
+    * map-side. The median deliberately buckets deltas to SECONDS and
+    * ranks over the cumulative histogram (the q113 pattern) — a bounded
+    * 86 400-value domain at any corpus size, where ranking raw
+    * microsecond deltas would sort a conversions-sized list. */
+  def conversionWindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("us").as("s_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"))
+    val conv = signups.join(purchases, Seq("user_id"))
+      .filter(col("p_us") > col("s_us") && col("p_us") <= col("s_us") + lit(ConvWindowUs))
+      .groupBy(col("signup_id"))
+      .agg(min(col("p_us") - col("s_us")).as("delta_us"))
+    val deltaHist = conv
+      .groupBy(expr("delta_us div 1000000L").as("delta_s"))
+      .agg(count(lit(1)).as("c"))
+    val medianS = deltaHist
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("delta_s"))))
+      .crossJoin(broadcast(conv.agg(count(lit(1)).as("n_conv"))))
+      .filter(col("cum") >= expr("(n_conv + 1) div 2"))
+      .agg(min(col("delta_s")).as("median_delta_s"))
+    conv
+      .agg(count(lit(1)).as("n_conversions"),
+        min(col("delta_us")).as("min_delta_us"),
+        max(col("delta_us")).as("max_delta_us"))
+      .crossJoin(broadcast(signups.agg(count(lit(1)).as("n_signups"))))
+      .crossJoin(broadcast(medianS))
+      .select(col("n_signups"), col("n_conversions"),
+        expr("n_conversions * 10000L div n_signups").as("conversion_bp"),
+        col("min_delta_us"), col("max_delta_us"), col("median_delta_s"))
+  }
+
+  /** Rolling 7-day active users (q137) — DAU and exact WAU per observed
+    * day, the standing engagement metric of every event deployment.
+    * Exact distinct-users-in-window, not a sketch.
+    *
+    * Scale shape: events collapse to the distinct (user, day) incidence
+    * frame (map-side partial distinct; REUSES q133's memoized cache
+    * when both run in a session — same memo key family); each incidence
+    * row then fans out map-only to the ≤7 window days it supports
+    * (sequence + explode — no range join, no per-day rescan), and one
+    * distinct + count per day finishes it. The fan-out factor is the
+    * window length, constant in corpus size; days beyond the observed
+    * maximum are cut by a broadcast scalar. */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val incidence = graft.SessionMemo.memo(spark, s"q133incidence|$dir") {
+      val m = Tables.events(spark, dir)
+        .select(col("user_id"), expr("CAST(ts AS DATE)").as("day"), col("event_type"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      m.count()
+      m
+    }.select(col("user_id"), col("day")).distinct()
+    val maxDay = incidence.agg(max(col("day")).as("max_day"))
+    val dau = incidence.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = incidence
+      .select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("wday"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wday") <= col("max_day"))
+      .select(col("user_id"), col("wday").as("day")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2987,7 +3132,10 @@ object PipelineQueries {
     "q131_lsh_banding_sweep" -> (lshBandingSweep _),
     "q132_journey_paths" -> (journeyPaths _),
     "q133_cooccurrence_lift" -> (cooccurrenceLift _),
-    "q134_mrl_recall_sweep" -> (mrlRecallSweep _))
+    "q134_mrl_recall_sweep" -> (mrlRecallSweep _),
+    "q135_incremental_stats" -> (incrementalStats _),
+    "q136_conversion_funnel" -> (conversionWindowFunnel _),
+    "q137_rolling_active" -> (rollingActiveUsers _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -4059,6 +4207,62 @@ object PipelineQueries {
         |ORDER BY type_a, type_b""".stripMargin,
     // q134: see mrlSweepOracleSql.
     "q134_mrl_recall_sweep" -> mrlSweepOracleSql,
+    // q135: the oracle computes the profile DIRECTLY over the full
+    // table; the engine goes through per-batch segments + merge —
+    // equality IS the mergeability proof.
+    "q135_incremental_stats" ->
+      """WITH s AS (SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+        |  MIN(lang) AS lang_min, MAX(lang) AS lang_max,
+        |  CAST(SUM(length(lang)) AS BIGINT) AS lang_wsum,
+        |  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
+        |  CAST(MIN(n_chars) AS VARCHAR) AS n_chars_min, CAST(MAX(n_chars) AS VARCHAR) AS n_chars_max,
+        |  CAST(SUM(length(CAST(n_chars AS VARCHAR))) AS BIGINT) AS n_chars_wsum,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+        |  MIN(md5(text)) AS text_min, MAX(md5(text)) AS text_max,
+        |  CAST(SUM(length(text)) AS BIGINT) AS text_wsum
+        |  FROM documents)
+        |SELECT 'lang' AS col_name, n_rows, lang_nulls AS n_nulls, lang_min AS min_val,
+        |  lang_max AS max_val, lang_wsum * 100 // (n_rows - lang_nulls) AS avg_width_x100 FROM s
+        |UNION ALL SELECT 'n_chars', n_rows, n_chars_nulls, n_chars_min, n_chars_max,
+        |  n_chars_wsum * 100 // (n_rows - n_chars_nulls) FROM s
+        |UNION ALL SELECT 'text', n_rows, text_nulls, text_min, text_max,
+        |  text_wsum * 100 // (n_rows - text_nulls) FROM s
+        |ORDER BY col_name""".stripMargin,
+    // q136: per-signup first purchase within the shared window; deltas
+    // exact in micros, the median ranked over the SECONDS histogram.
+    "q136_conversion_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         |su AS (SELECT user_id, event_id AS signup_id, us AS s_us FROM e WHERE event_type = 'signup'),
+         |pu AS (SELECT user_id, us AS p_us FROM e WHERE event_type = 'purchase'),
+         |conv AS (SELECT signup_id, MIN(p_us - s_us) AS delta_us
+         |  FROM su JOIN pu USING (user_id)
+         |  WHERE p_us > s_us AND p_us <= s_us + $ConvWindowUs
+         |  GROUP BY signup_id),
+         |hist AS (SELECT delta_us // 1000000 AS delta_s, COUNT(*) AS c FROM conv GROUP BY 1),
+         |cum AS (SELECT delta_s, SUM(c) OVER (ORDER BY delta_s) AS cum FROM hist),
+         |nc AS (SELECT COUNT(*) AS n_conv FROM conv),
+         |med AS (SELECT MIN(delta_s) AS median_delta_s FROM cum CROSS JOIN nc
+         |  WHERE cum >= (n_conv + 1) // 2),
+         |ns AS (SELECT COUNT(*) AS n_signups FROM su)
+         |SELECT ns.n_signups, nc.n_conv AS n_conversions,
+         |  nc.n_conv * 10000 // ns.n_signups AS conversion_bp,
+         |  (SELECT MIN(delta_us) FROM conv) AS min_delta_us,
+         |  (SELECT MAX(delta_us) FROM conv) AS max_delta_us,
+         |  med.median_delta_s
+         |FROM ns CROSS JOIN nc CROSS JOIN med""".stripMargin,
+    // q137: DAU per day; exact WAU via the 7-day fan-out, restricted to
+    // observed days.
+    "q137_rolling_active" ->
+      """WITH inc AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |mx AS (SELECT MAX(day) AS max_day FROM inc),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM inc GROUP BY day),
+        |f AS (SELECT DISTINCT user_id, day + CAST(g.i AS INTEGER) AS day
+        |  FROM inc, (SELECT unnest(range(0, 7)) AS i) g, mx
+        |  WHERE day + CAST(g.i AS INTEGER) <= mx.max_day),
+        |wau AS (SELECT day, COUNT(*) AS wau FROM f GROUP BY day)
+        |SELECT dau.day, dau.dau, wau.wau
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     // q132: q119's LEAD idiom at offsets 1 and 2; the top-20 cut is
     // totally ordered by (n DESC, path) in both engines.
     "q132_journey_paths" ->

@@ -426,6 +426,28 @@ class PlanSpec extends AnyFunSuite {
       s"the (user, day, type) incidence frame must come from the session memo:\n$p")
   }
 
+  test("q135: segment stats merge in one scan, two aggregate levels, no join") {
+    val p = planOf("q135_incremental_stats")
+    assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), s"per-batch stats must combine map-side:\n$p")
+  }
+
+  test("q136: signups join purchases on the user key (the one corpus-sized join)") {
+    val p = planOf("q136_conversion_funnel")
+    // The scalar stat attachments are 1-row broadcasts (nested-loop is
+    // fine there); the signup×purchase join must be user_id-keyed.
+    assert(p.contains("HashJoin [user_id") || p.contains("SortMergeJoin [user_id"),
+      s"conversion matching must join per user key:\n$p")
+  }
+
+  test("q137: both rollups read the memoized incidence cache; window fan-out is a Generate") {
+    val p = planOf("q137_rolling_active")
+    assert(p.contains("InMemoryTableScan"),
+      s"the incidence frame must come from the session memo (shared with q133):\n$p")
+    assert(p.contains("Generate"), s"the 7-day fan-out must be map-only explode, not a range join:\n$p")
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

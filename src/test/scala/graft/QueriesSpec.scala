@@ -856,6 +856,67 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted)
   }
 
+  test("q135 merged segment stats equal a direct driver recompute (mergeability)") {
+    import graft.analytics.PipelineQueries
+    val rows = Tables.documents(spark, TestSpark.SfDir).collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val n = rows.length.toLong
+    val langs = rows.map(_.getString(2)); val chars = rows.map(_.getLong(4))
+    val texts = rows.map(_.getString(1))
+    val expected = Set(
+      ("lang", n, 0L, langs.min, langs.max, langs.map(_.length.toLong).sum * 100L / n),
+      ("n_chars", n, 0L, chars.min.toString, chars.max.toString,
+        chars.map(_.toString.length.toLong).sum * 100L / n),
+      ("text", n, 0L, texts.map(md5hex).min, texts.map(md5hex).max,
+        texts.map(_.length.toLong).sum * 100L / n))
+    val out = PipelineQueries.incrementalStats(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getLong(5))).toSet
+    assert(out == expected)
+  }
+
+  test("q136 conversion funnel matches a driver brute-force reference") {
+    import graft.analytics.PipelineQueries
+    val ev = Tables.events(spark, TestSpark.SfDir)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val signups = ev.filter(_._3 == "signup")
+    val deltas = signups.flatMap { case (u, _, _, sUs) =>
+      val ps = byUser(u).filter(e => e._3 == "purchase" &&
+        e._4 > sUs && e._4 <= sUs + PipelineQueries.ConvWindowUs)
+      if (ps.isEmpty) None else Some(ps.map(_._4 - sUs).min)
+    }
+    val nConv = deltas.length.toLong
+    val secs = deltas.map(_ / 1000000L).sorted
+    val median = secs((((nConv + 1) / 2) - 1).toInt)
+    val expected = (signups.length.toLong, nConv,
+      nConv * 10000L / signups.length, deltas.min, deltas.max, median)
+    val out = PipelineQueries.conversionWindowFunnel(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).head
+    assert(out == expected)
+  }
+
+  test("q137 rolling active users matches a driver brute-force reference") {
+    import graft.analytics.PipelineQueries
+    val inc = Tables.events(spark, TestSpark.SfDir)
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct
+    val days = inc.map(_._2).distinct.sorted(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val expected = days.map { d =>
+      val dau = inc.count(_._2 == d).toLong
+      val wau = inc.filter(x => !x._2.isAfter(d) && !x._2.isBefore(d.minusDays(6)))
+        .map(_._1).distinct.length.toLong
+      (d.toString, dau, wau)
+    }.toSeq
+    val out = PipelineQueries.rollingActiveUsers(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate.toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(out == expected)
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

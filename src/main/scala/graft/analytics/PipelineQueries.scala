@@ -3043,6 +3043,50 @@ object PipelineQueries {
       .orderBy(col("day"))
   }
 
+  /** Referential-integrity audit (q138) — the cross-table data-quality
+    * gate next to q97's single-table invariants: for each foreign-key
+    * edge of the warehouse (lineitem→orders, orders→customer), orphan
+    * child rows (FK value with no parent) and unreferenced parent rows,
+    * both as counts and basis points. The audit every lake deployment
+    * runs after a backfill or a partial delete — on THIS data both
+    * orphan counts are zero, which is the point: the gate proves
+    * integrity holds (a spec plants a broken edge and watches the
+    * numbers move).
+    *
+    * Scale shape: each direction is a key-only anti-join — 8-byte keys,
+    * never payload — plus count aggregates; parent key sets distinct
+    * before the unreferenced probe. AQE picks build sides per edge. */
+  def fkIntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Seq(
+      ("lineitem.l_orderkey->orders.o_orderkey",
+        Tables.lineitem(spark, dir).select(col("l_orderkey").as("ck")),
+        Tables.orders(spark, dir).select(col("o_orderkey").as("pk"))),
+      ("orders.o_custkey->customer.c_custkey",
+        Tables.orders(spark, dir).select(col("o_custkey").as("ck")),
+        Tables.customer(spark, dir).select(col("c_custkey").as("pk"))))
+    edges.map { case (name, child, parent) => fkAuditOf(name, child, parent) }
+      .reduce(_ union _)
+      .orderBy(col("fk_name"))
+  }
+
+  /** One FK edge's audit row — split out so a spec can plant a broken
+    * edge (the q128 pattern). `child` is the FK column as `ck`, `parent`
+    * the PK column as `pk`. */
+  private[graft] def fkAuditOf(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
+    val stats = child.agg(count(lit(1)).as("n_child"))
+    val orphans = child.join(parent.distinct(), col("ck") === col("pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val parents = parent.distinct().agg(count(lit(1)).as("n_parents"))
+    val unref = parent.distinct()
+      .join(child.distinct(), col("pk") === col("ck"), "left_anti")
+      .agg(count(lit(1)).as("n_unreferenced"))
+    stats.crossJoin(orphans).crossJoin(parents).crossJoin(unref)
+      .select(lit(name).as("fk_name"), col("n_child"), col("n_orphans"),
+        expr("n_orphans * 10000L div n_child").as("orphan_bp"),
+        col("n_parents"), col("n_unreferenced"),
+        expr("n_unreferenced * 10000L div n_parents").as("unreferenced_bp"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3135,7 +3179,8 @@ object PipelineQueries {
     "q134_mrl_recall_sweep" -> (mrlRecallSweep _),
     "q135_incremental_stats" -> (incrementalStats _),
     "q136_conversion_funnel" -> (conversionWindowFunnel _),
-    "q137_rolling_active" -> (rollingActiveUsers _))
+    "q137_rolling_active" -> (rollingActiveUsers _),
+    "q138_fk_integrity" -> (fkIntegrityAudit _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -4251,6 +4296,29 @@ object PipelineQueries {
          |  (SELECT MAX(delta_us) FROM conv) AS max_delta_us,
          |  med.median_delta_s
          |FROM ns CROSS JOIN nc CROSS JOIN med""".stripMargin,
+    // q138: both directions are NOT-EXISTS anti-joins on the key alone;
+    // all counts and bp integers.
+    "q138_fk_integrity" ->
+      """WITH e1 AS (SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_name,
+        |    (SELECT COUNT(*) FROM lineitem) AS n_child,
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+        |    (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_parents,
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders) o WHERE NOT EXISTS
+        |      (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_unreferenced),
+        |e2 AS (SELECT 'orders.o_custkey->customer.c_custkey' AS fk_name,
+        |    (SELECT COUNT(*) FROM orders) AS n_child,
+        |    (SELECT COUNT(*) FROM orders r WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey)) AS n_orphans,
+        |    (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS n_parents,
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer) c WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders r WHERE r.o_custkey = c.c_custkey)) AS n_unreferenced),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        |SELECT fk_name, CAST(n_child AS BIGINT) AS n_child, CAST(n_orphans AS BIGINT) AS n_orphans,
+        |  n_orphans * 10000 // n_child AS orphan_bp,
+        |  CAST(n_parents AS BIGINT) AS n_parents, CAST(n_unreferenced AS BIGINT) AS n_unreferenced,
+        |  n_unreferenced * 10000 // n_parents AS unreferenced_bp
+        |FROM u ORDER BY fk_name""".stripMargin,
     // q137: DAU per day; exact WAU via the 7-day fan-out, restricted to
     // observed days.
     "q137_rolling_active" ->

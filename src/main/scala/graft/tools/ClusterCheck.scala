@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   * codegen aggregate (q01), custom portable-hash expressions + LSH
   * banding with memoized tiers (q27), typed TopKAggregator + broadcast
   * codebooks (q80), expression-carried k-means centroids (q86), seeded
-  * epoch sharding (q102), and the SCD2 merge's full-outer + explode
-  * (q106). Content hashes must equal a plain `local[4]` run in the same
+  * epoch sharding (q102), the SCD2 merge's full-outer + explode
+  * (q106), and the two session-memo shapes added in round 6 — the
+  * banding sweep's persisted signature matrix + broadcast verified
+  * pairs (q131) and the shared incidence cache + date fan-out (q137):
+  * persisted partitions live ON the executors here, so a cache that
+  * only worked because storage and driver shared a heap would diverge. Content hashes must equal a plain `local[4]` run in the same
   * JVM (contexts run sequentially, as in [[SpillCheck]]).
   *
   * A standalone main: the master URL is fixed at context creation. Run:
@@ -31,7 +35,8 @@ import org.apache.spark.sql.functions._
 object ClusterCheck {
   private val Queries = Seq(
     "q01_pricing_summary", "q27_minhash_neardup", "q80_ann_ivfpq",
-    "q86_kmeans_inertia", "q102_training_shards", "q106_scd2_merge")
+    "q86_kmeans_inertia", "q102_training_shards", "q106_scd2_merge",
+    "q131_lsh_banding_sweep", "q137_rolling_active")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

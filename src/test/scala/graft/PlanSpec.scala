@@ -448,6 +448,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"the 7-day fan-out must be map-only explode, not a range join:\n$p")
   }
 
+  test("q138: both audit directions are key-only anti-joins") {
+    val p = planOf("q138_fk_integrity")
+    assert(p.contains("LeftAnti"), s"orphan/unreferenced probes must be anti-joins:\n$p")
+    // Keys only ever cross the joins — no payload column in any ReadSchema.
+    assert(!p.contains("l_extendedprice") && !p.contains("o_totalprice"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

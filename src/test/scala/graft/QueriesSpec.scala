@@ -917,6 +917,41 @@ class QueriesSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("q138 fk audit matches a driver recompute; a planted broken edge flags") {
+    import graft.analytics.PipelineQueries
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, TestSpark.SfDir).select("l_orderkey")
+      .collect().map(_.getLong(0))
+    val ok = Tables.orders(spark, TestSpark.SfDir).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val oc = Tables.orders(spark, TestSpark.SfDir).select("o_custkey")
+      .collect().map(_.getLong(0))
+    val ck = Tables.customer(spark, TestSpark.SfDir).select("c_custkey")
+      .collect().map(_.getLong(0))
+    def edge(name: String, child: Array[Long], parent: Array[Long]) = {
+      val ps = parent.distinct; val pset = ps.toSet; val cset = child.toSet
+      val orphans = child.count(!pset(_)).toLong
+      val unref = ps.count(!cset(_)).toLong
+      (name, child.length.toLong, orphans, orphans * 10000L / child.length,
+        ps.length.toLong, unref, unref * 10000L / ps.length)
+    }
+    val expected = Set(
+      edge("lineitem.l_orderkey->orders.o_orderkey", li, ok),
+      edge("orders.o_custkey->customer.c_custkey", oc, ck))
+    val out = PipelineQueries.fkIntegrityAudit(spark, TestSpark.SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(out == expected)
+    // Planted break: drop half the parents — orphans must appear.
+    val planted = PipelineQueries.fkAuditOf("planted",
+      Tables.lineitem(spark, TestSpark.SfDir).select(col("l_orderkey").as("ck")),
+      Tables.orders(spark, TestSpark.SfDir).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("pk")))
+      .collect().head
+    assert(planted.getLong(2) > 0 && planted.getLong(3) > 0,
+      "halving the parent table must orphan children")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -3087,6 +3087,233 @@ object PipelineQueries {
         expr("n_unreferenced * 10000L div n_parents").as("unreferenced_bp"))
   }
 
+  /** PageRank over the purchase graph (q139) — iterative link analysis,
+    * the source-authority prior of web-corpus curation (site-level
+    * PageRank over the link graph is a standard quality signal for
+    * Common-Crawl-derived training corpora). Graph: customer ↔ part
+    * bipartite via orders⋈lineitem; 3 fixed-point iterations; top-20
+    * nodes by final rank.
+    *
+    * Scale shape: [[graft.graph.Graph]] — the degree-annotated edge list
+    * is built once per session (memoized, hash-partitioned by src,
+    * persisted); each iteration shuffles only the node-sized rank frame
+    * (the edge side reuses its cached partitioning), and the per-edge
+    * contribution is `rank div outdeg` in BIGINT micro-units, so sums are
+    * associative and the DuckDB oracle replays the exact iteration
+    * unrolled. The top-20 cut is TakeOrderedAndProject, never a global
+    * sort. */
+  def pageRankPurchases(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graph.Graph
+    val symDeg = graft.SessionMemo.memo(spark, s"q139symdeg|$dir") {
+      val s = Graph.symmetricWithDegrees(
+        Graph.purchaseEdges(Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
+      s.count()
+      s
+    }
+    Graph.pageRank(symDeg)
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("part")).as("node_type"),
+        expr("node div 2").as("node_key"),
+        col("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("node_type"), col("node_key"))
+      .limit(20)
+  }
+
+  /** Blocked entity resolution + golden record (q140) — the record-linkage
+    * pipeline every data lake runs over customer/account tables: block by
+    * coarse attributes, fuzzy-match names within blocks, take the
+    * transitive closure as the entity, emit one canonical (golden) record
+    * per entity. Here: blocks = (nation, market segment), match =
+    * levenshtein(name) ≤ 1, entity id = min member key, merged balance in
+    * exact integer cents.
+    *
+    * Scale shape: the pairwise comparison is an equi-join on the BLOCK KEY
+    * with the edit-distance predicate applied post-join, so the quadratic
+    * is bounded per block (at corpus scale you grow the blocking-key
+    * cardinality — add name prefixes — exactly as ER practice prescribes;
+    * AQE's skew split covers whale blocks). Clustering reuses
+    * [[graft.dedup.Dedup.connectedComponents]] (pointer-jumping at scale,
+    * driver union-find below the gate); the golden-record pass is one
+    * hash aggregate over entity id. */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame =
+    entityResolutionOf(Tables.customer(spark, dir))
+
+  /** q140 on an arbitrary customer-shaped frame — split out so specs can
+    * plant known duplicate clusters and blocking-boundary cases. */
+  private[graft] def entityResolutionOf(c: DataFrame): DataFrame = {
+    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+    val pairs = a.join(b, Seq("nk", "seg"))
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(pairs)
+    c.join(comps, col("c_custkey") === col("id"), "left")
+      .select(col("c_name"), col("c_acctbal"),
+        coalesce(col("comp"), col("c_custkey")).as("entity_id"))
+      .groupBy("entity_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("c_name")).as("canonical_name"),
+        sum(expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)")).as("total_bal_cents"))
+      .orderBy(col("entity_id"))
+  }
+
+  /** k-anonymity / l-diversity audit (q141) — the privacy gate a
+    * training-data release runs before shipping user-derived tables:
+    * group by the quasi-identifier, measure how many rows sit in groups
+    * smaller than k (re-identifiable) and how diverse the sensitive
+    * attribute is within each group. QI = (nation, $1000 balance band),
+    * sensitive = market segment, k = [[KAnonymityK]].
+    *
+    * Scale shape: two chained hash aggregates (rows → QI groups → size
+    * histogram), both map-side combinable; the output is
+    * histogram-sized. The balance band is offset before integer division
+    * so negative balances can't split floor/truncate semantics across
+    * engines. */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityOf(Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nk"),
+        expr("(CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 1000000L) div 100000").as("band"),
+        col("c_mktsegment").as("sensitive")))
+
+  /** q141 on an arbitrary (nk, band, sensitive) frame — for planted
+    * small-group / low-diversity spec scenarios. */
+  private[graft] def kAnonymityOf(qi: DataFrame): DataFrame = {
+    val groups = qi
+      .groupBy("nk", "band")
+      .agg(count(lit(1)).as("group_size"), countDistinct(col("sensitive")).as("l_div"))
+    groups.groupBy("group_size")
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("l_div")).as("min_l_diversity"),
+        max(col("l_div")).as("max_l_diversity"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_rows"),
+        (col("group_size") < KAnonymityK).as("at_risk"),
+        col("min_l_diversity"), col("max_l_diversity"))
+      .orderBy(col("group_size"))
+  }
+
+  /** q141's k threshold — referenced by engine and oracle alike. */
+  val KAnonymityK = 5
+
+  /** Cross-split semantic decontamination (q142) — the embedding-space
+    * twin of q62/q73's textual decontamination: an eval-split document
+    * whose nearest TRAIN-split neighbor by cosine exceeds
+    * [[SemanticLeakThreshold]] is a semantic leak (near-paraphrases that
+    * n-gram overlap misses). Output: each eval vector's rank-1 train
+    * neighbor and its leak verdict.
+    *
+    * Scale shape: the eval split is benchmark-suite-sized by construction,
+    * so it broadcasts and the train corpus is scanned ONCE with the
+    * per-query top-1 held in the map-side [[graft.similarity.TopKAggregator]]
+    * — no shuffle of scored pairs (the q33 shape). At 100 TB you route
+    * both sides through the IVF index first (q88's machinery) and re-rank
+    * exactly — the brute pass here is also the recall oracle for that. */
+  def semanticDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    semanticDecontamOf(
+      embs.filter(col("vec_id") % 20 === 0),
+      embs.filter(col("vec_id") % 20 =!= 0))
+  }
+
+  /** q142 on arbitrary eval/train splits — for planted leak scenarios. */
+  private[graft] def semanticDecontamOf(evalSplit: DataFrame, trainSplit: DataFrame): DataFrame =
+    Ann.bruteForceTopK(evalSplit, trainSplit, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        (col("cosine") >= SemanticLeakThreshold).as("leaked"))
+      .orderBy(col("query_id"))
+
+  /** q142's cosine leak threshold — engine and oracle share it. */
+  val SemanticLeakThreshold = 0.40
+
+  /** Robust MAD outlier detection (q143) — median/MAD is the
+    * heavy-tail-safe outlier test (a single whale can't drag the fence
+    * the way q128's mean/σ can). Per return flag over lineitem prices
+    * binned to whole dollars: lower median, MAD, and the > 3·MAD outlier
+    * count — all exact integers on the binned domain.
+    *
+    * Scale shape: the corpus collapses ONCE to the (flag, dollar)
+    * histogram — map-side combinable, output bounded by the price domain,
+    * memoized for its two consumers (median pass and deviation pass).
+    * Medians come from running sums OVER THE HISTOGRAM (the q136 cum
+    * idiom) — windows only ever see histogram rows, never lineitem rows;
+    * the 3-row median/MAD frames broadcast back. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.SessionMemo.memo(spark, s"q143hist|$dir") {
+      val h = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT) div 100").as("dollars"))
+        .groupBy("flag", "dollars")
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      h.count()
+      h
+    }
+    madOutliersOfHist(hist)
+  }
+
+  /** q143 on an arbitrary (flag, dollars, c) histogram — for planted
+    * known-median/MAD spec scenarios. */
+  private[graft] def madOutliersOfHist(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = hist.groupBy("flag").agg(sum(col("c")).as("n"))
+    val cumW = Window.partitionBy(col("flag")).orderBy(col("dollars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist.withColumn("cum", sum(col("c")).over(cumW))
+      .join(broadcast(totals), "flag")
+      .filter(col("cum") >= expr("(n + 1L) div 2"))
+      .groupBy("flag").agg(min(col("dollars")).as("med_dollars"))
+    val dev = hist.join(broadcast(med), "flag")
+      .select(col("flag"), abs(col("dollars") - col("med_dollars")).as("adev"), col("c"))
+      .groupBy("flag", "adev").agg(sum(col("c")).as("c"))
+    val cumW2 = Window.partitionBy(col("flag")).orderBy(col("adev"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = dev.withColumn("cum", sum(col("c")).over(cumW2))
+      .join(broadcast(totals), "flag")
+      .filter(col("cum") >= expr("(n + 1L) div 2"))
+      .groupBy("flag").agg(min(col("adev")).as("mad_dollars"))
+    hist.join(broadcast(med), "flag").join(broadcast(mad), "flag")
+      .groupBy("flag")
+      .agg(sum(col("c")).as("n_rows"),
+        min(col("med_dollars")).as("med_dollars"),
+        min(col("mad_dollars")).as("mad_dollars"),
+        sum(when(abs(col("dollars") - col("med_dollars")) > col("mad_dollars") * 3L,
+          col("c")).otherwise(0L)).as("n_outliers"))
+      .select(col("flag"), col("n_rows"), col("med_dollars"), col("mad_dollars"),
+        col("n_outliers"), expr("n_outliers * 10000L div n_rows").as("outlier_bp"))
+      .orderBy(col("flag"))
+  }
+
+  /** Exact equal-frequency decile binning (q144) — the feature-engineering
+    * bucketizer (and training-curriculum difficulty binning) done EXACTLY:
+    * every order ranked by (price cents, key), bin = (rank−1)·10 div n.
+    *
+    * Scale shape: the global rank comes from [[graft.operators.PrefixSum]]
+    * — per-bucket window shards keyed by a monotone price prefix plus a
+    * histogram-sized offset frame — so there is NO single-partition
+    * window anywhere in the plan (PlanSpec pins it); the per-bin
+    * aggregate is one map-side-combinable shuffle of (bin, cents). */
+  def equalFreqBins(spark: SparkSession, dir: String): DataFrame =
+    equalFreqBinsOf(Tables.orders(spark, dir)
+      .select(col("o_orderkey"), expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents")))
+
+  /** q144 on an arbitrary (o_orderkey, cents) frame — for planted
+    * known-rank spec scenarios. */
+  private[graft] def equalFreqBinsOf(keyed: DataFrame): DataFrame = {
+    val o = keyed.withColumn("one", lit(1L))
+    val ranked = graft.operators.PrefixSum.runningSum(
+      o, Seq.empty, Seq("cents", "o_orderkey"), "one", expr("cents div 500000"), "rnk")
+    val n = o.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("cents"), expr("((rnk - 1L) * 10L) div n").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bin"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3180,7 +3407,13 @@ object PipelineQueries {
     "q135_incremental_stats" -> (incrementalStats _),
     "q136_conversion_funnel" -> (conversionWindowFunnel _),
     "q137_rolling_active" -> (rollingActiveUsers _),
-    "q138_fk_integrity" -> (fkIntegrityAudit _))
+    "q138_fk_integrity" -> (fkIntegrityAudit _),
+    "q139_pagerank" -> (pageRankPurchases _),
+    "q140_entity_resolution" -> (entityResolution _),
+    "q141_k_anonymity" -> (kAnonymityAudit _),
+    "q142_semantic_decontam" -> (semanticDecontamination _),
+    "q143_mad_outliers" -> (madOutliers _),
+    "q144_equal_freq_bins" -> (equalFreqBins _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -4296,6 +4529,123 @@ object PipelineQueries {
          |  (SELECT MAX(delta_us) FROM conv) AS max_delta_us,
          |  med.median_delta_s
          |FROM ns CROSS JOIN nc CROSS JOIN med""".stripMargin,
+    // q139: the exact fixed-point iteration unrolled — every contribution
+    // is BIGINT `rank // outdeg`, so engine and oracle agree bit-for-bit.
+    // Constants (scale, damping, teleport, iteration count) are generated
+    // from graft.graph.Graph so the two sides can never drift.
+    "q139_pagerank" -> {
+      import graft.graph.Graph
+      def step(prev: String, next: String): String =
+        s"""$next AS (SELECT s.dst AS node,
+           |  ${Graph.TeleportFp} + (${Graph.DampNum} * SUM(r.rank_fp // s.outdeg)) // 100 AS rank_fp
+           |  FROM sym s JOIN $prev r ON s.src = r.node GROUP BY s.dst)""".stripMargin
+      val steps = (1 to Graph.Iters).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |se AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+         |dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM se GROUP BY src),
+         |sym AS (SELECT se.src, se.dst, dg.outdeg FROM se JOIN dg ON se.src = dg.src),
+         |r0 AS (SELECT src AS node, CAST(${Graph.Scale} AS BIGINT) AS rank_fp FROM dg),
+         |$steps
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type,
+         |  node // 2 AS node_key, rank_fp
+         |FROM r${Graph.Iters}
+         |ORDER BY rank_fp DESC, node_type, node_key LIMIT 20""".stripMargin
+    },
+    // q140: same blocked levenshtein pairs; components via the q56
+    // recursive-reachability idiom; golden record in exact floor-cents.
+    "q140_entity_resolution" ->
+      """WITH RECURSIVE p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |   AND a.c_custkey < b.c_custkey
+        |   AND levenshtein(a.c_name, b.c_name) <= 1),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id),
+        |a AS (SELECT c.c_name, c.c_acctbal,
+        |    COALESCE(comp.comp, c.c_custkey) AS entity_id
+        |  FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id)
+        |SELECT entity_id, COUNT(*) AS n_members, MIN(c_name) AS canonical_name,
+        |  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents
+        |FROM a GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+    // q141: offset before the band division keeps negative balances on
+    // identical integer semantics in both engines.
+    "q141_k_anonymity" ->
+      s"""WITH qi AS (SELECT c_nationkey AS nk,
+         |    (CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 1000000) // 100000 AS band,
+         |    c_mktsegment AS sensitive
+         |  FROM customer),
+         |g AS (SELECT nk, band, CAST(COUNT(*) AS BIGINT) AS group_size,
+         |    CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_div
+         |  FROM qi GROUP BY nk, band)
+         |SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  group_size * COUNT(*) AS n_rows,
+         |  group_size < $KAnonymityK AS at_risk,
+         |  MIN(l_div) AS min_l_diversity, MAX(l_div) AS max_l_diversity
+         |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin,
+    // q142: brute-force rank-1 train neighbor per eval vector, cosine via
+    // the bit-portable left fold; threshold generated from the engine
+    // constant.
+    "q142_semantic_decontam" ->
+      s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id % 20 = 0),
+         |tr AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id % 20 <> 0),
+         |s AS (SELECT ev.vec_id AS query_id, tr.vec_id AS neighbor_id,
+         |    ${VectorOracles.cosine("ev.embedding", "tr.embedding")} AS cosine
+         |  FROM ev CROSS JOIN tr WHERE ev.vec_id <> tr.vec_id),
+         |rk AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM s WHERE cosine IS NOT NULL)
+         |SELECT query_id, neighbor_id, cosine,
+         |  cosine >= $SemanticLeakThreshold AS leaked
+         |FROM rk WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    // q143: identical histogram → running-sum median/MAD → fence counts,
+    // all on the whole-dollar domain in BIGINTs.
+    "q143_mad_outliers" ->
+      """WITH h AS (SELECT l_returnflag AS flag,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) // 100 AS dollars,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT flag, SUM(c) AS n FROM h GROUP BY flag),
+        |cm AS (SELECT flag, dollars, c,
+        |    SUM(c) OVER (PARTITION BY flag ORDER BY dollars
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |med AS (SELECT cm.flag, MIN(dollars) AS med_dollars
+        |  FROM cm JOIN t ON cm.flag = t.flag
+        |  WHERE cum >= (n + 1) // 2 GROUP BY cm.flag),
+        |dv AS (SELECT h.flag, abs(h.dollars - med.med_dollars) AS adev, SUM(h.c) AS c
+        |  FROM h JOIN med ON h.flag = med.flag GROUP BY 1, 2),
+        |cm2 AS (SELECT flag, adev, c,
+        |    SUM(c) OVER (PARTITION BY flag ORDER BY adev
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM dv),
+        |mad AS (SELECT cm2.flag, MIN(adev) AS mad_dollars
+        |  FROM cm2 JOIN t ON cm2.flag = t.flag
+        |  WHERE cum >= (n + 1) // 2 GROUP BY cm2.flag)
+        |SELECT h.flag, SUM(h.c) AS n_rows,
+        |  MIN(med.med_dollars) AS med_dollars, MIN(mad.mad_dollars) AS mad_dollars,
+        |  SUM(CASE WHEN abs(h.dollars - med.med_dollars) > mad.mad_dollars * 3
+        |    THEN h.c ELSE 0 END) AS n_outliers,
+        |  SUM(CASE WHEN abs(h.dollars - med.med_dollars) > mad.mad_dollars * 3
+        |    THEN h.c ELSE 0 END) * 10000 // SUM(h.c) AS outlier_bp
+        |FROM h JOIN med ON h.flag = med.flag JOIN mad ON h.flag = mad.flag
+        |GROUP BY h.flag ORDER BY h.flag""".stripMargin,
+    // q144: the same (rank−1)·10 // n bin rule — NOT NTILE, whose
+    // remainder placement differs — over the identical total order.
+    "q144_equal_freq_bins" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rnk,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n FROM o)
+        |SELECT (rnk - 1) * 10 // n AS bin, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // q138: both directions are NOT-EXISTS anti-joins on the key alone;
     // all counts and bp integers.
     "q138_fk_integrity" ->

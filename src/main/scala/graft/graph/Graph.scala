@@ -1,0 +1,85 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on DataFrames — the link-analysis family a
+  * training-data pipeline uses to weight sources (site-level PageRank over
+  * the link graph is a standard web-corpus quality prior; cf. the
+  * Common-Crawl-derived quality signals used by public LLM corpora).
+  *
+  * The harness graph is the purchase bipartite graph (customer ↔ part via
+  * orders⋈lineitem) — the densest graph derivable from the star schema.
+  * The machinery is generic: any (u, v) edge frame works.
+  *
+  * All rank arithmetic is FIXED-POINT BIGINT (micro-units): integer sums
+  * are associative, so the result is independent of partitioning and
+  * aggregation order, and a DuckDB oracle can replay the exact iteration
+  * with unrolled CTEs — the same portability discipline as the q86 k-means
+  * trace and the q128 integer 3σ test.
+  *
+  * Scale shape (100 TB): the degree-annotated symmetric edge list is built
+  * once, hash-partitioned by `src`, and persisted — each PageRank
+  * iteration then shuffles ONLY the node-sized rank frame (join on `src`
+  * reuses the cached edge partitioning; the contribution aggregate
+  * shuffles node-sized partial sums on `dst`). Iteration count is fixed
+  * and small; at web scale you would checkpoint ranks every ~10 rounds to
+  * truncate lineage — with [[Iters]] = 3 the single-action plan is fine.
+  */
+object Graph {
+
+  /** Rank fixed point: 1.0 == 1e6 micro-units. */
+  val Scale = 1000000L
+
+  /** Damping factor 0.85 as an integer ratio, and its teleport base. */
+  val DampNum = 85L
+  val TeleportFp: Long = Scale * (100L - DampNum) / 100L // 150000
+
+  /** Fixed iteration count — unrolled identically in the DuckDB oracle. */
+  val Iters = 3
+
+  /** Undirected purchase edges: customer node `2*c_custkey`, part node
+    * `2*l_partkey + 1` (bipartite, so the parity encoding is collision
+    * free). Distinct edges — multiplicity is intentionally dropped, as in
+    * a web link graph. */
+  def purchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderkey").as("ok"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey").as("ok"), col("l_partkey")), "ok")
+      .select((col("o_custkey") * 2L).as("u"), (col("l_partkey") * 2L + 1L).as("v"))
+      .distinct()
+
+  /** Degree-annotated symmetric edge list (src, dst, outdeg), repartitioned
+    * by `src` and persisted so every iteration's join reuses one layout.
+    * Caller owns the unpersist (or session lifetime via SessionMemo). */
+  def symmetricWithDegrees(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    sym.join(deg, "src")
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Unnormalized PageRank, `iters` fixed-point iterations over the
+    * symmetric degree-annotated edge list: every node starts at
+    * [[Scale]]; each round
+    * `rank'(v) = TeleportFp + (DampNum · Σ_{u→v} rank(u) div outdeg(u)) div 100`.
+    * Integer division per edge contribution — deterministic and
+    * order-independent. Returns (node, rank_fp). */
+  def pageRank(symDeg: DataFrame, iters: Int = Iters): DataFrame = {
+    var ranks = symDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(Scale).as("rank_fp"))
+    for (_ <- 1 to iters) {
+      ranks = symDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("csum"))
+        .select(col("dst").as("node"),
+          (lit(TeleportFp) + expr(s"($DampNum * csum) div 100")).as("rank_fp"))
+    }
+    ranks
+  }
+
+}

@@ -455,6 +455,78 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_extendedprice") && !p.contains("o_totalprice"), p)
   }
 
+  test("q139: iteration reads the memoized edge cache; contributions combine map-side; top-20 is TakeOrdered") {
+    val p = planOf("q139_pagerank")
+    assert(p.contains("InMemoryTableScan"),
+      s"the degree-annotated edge list must come from the session memo, not re-derive per iteration:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-node contribution sums must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must never be a global sort:\n$p")
+  }
+
+  test("q140: the golden-record assignment joins per key, never a nested loop") {
+    val p = planOf("q140_entity_resolution")
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"component assignments must attach by key join:\n$p")
+  }
+
+  test("q140: the blocked pair generation is an equi-join on the block key") {
+    // The pair plan executes inside connectedComponents, so pin it
+    // directly: the levenshtein predicate must ride a block-keyed
+    // equi-join as a post-join condition — never degrade to a
+    // nested-loop cross product.
+    val c = Tables.customer(spark, TestSpark.SfDir)
+    import org.apache.spark.sql.functions._
+    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+    val p = a.join(b, Seq("nk", "seg"))
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("id_a"), col("id_b"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q141: two chained aggregates, one scan, no join") {
+    val p = planOf("q141_k_anonymity")
+    assert(p.sliding("customer.parquet".length).count(_ == "customer.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), s"QI group sizes must combine map-side:\n$p")
+  }
+
+  test("q142: eval split broadcasts; top-1 holds in the map-side TopKAggregator") {
+    val p = planOf("q142_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the benchmark-sized eval split must broadcast over one corpus scan:\n$p")
+    assert(p.contains("partial_topkaggregator"),
+      s"per-query top-1 must be the map-side typed aggregator, not a window over scored pairs:\n$p")
+  }
+
+  test("q143: consumers read the memoized histogram; median/MAD frames broadcast back") {
+    val p = planOf("q143_mad_outliers")
+    assert(p.contains("InMemoryTableScan"),
+      s"the (flag, dollar) histogram must come from the session memo:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the 3-row median/MAD/total frames must broadcast:\n$p")
+  }
+
+  test("q144: the global rank is bucket-sharded — no corpus-sized single-partition window") {
+    val p = planOf("q144_equal_freq_bins")
+    assert(p.contains("__ps_bucket"),
+      s"the rank must come from the sharded PrefixSum, not one big window:\n$p")
+    // The corpus-sized window must be partitioned by the shard bucket;
+    // SinglePartition may appear only under metadata-sized frames
+    // (offsets, the scalar n).
+    assert(p.contains("windowspecdefinition(__ps_bucket"),
+      s"corpus window must be bucket-partitioned:\n$p")
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

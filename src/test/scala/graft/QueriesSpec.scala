@@ -952,6 +952,112 @@ class QueriesSpec extends AnyFunSuite {
       "halving the parent table must orphan children")
   }
 
+  test("q139 pagerank matches a driver fixed-point reference iteration") {
+    import graft.graph.Graph
+    val edges = Tables.orders(spark, TestSpark.SfDir)
+      .join(Tables.lineitem(spark, TestSpark.SfDir),
+        org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .selectExpr("o_custkey * 2 AS u", "l_partkey * 2 + 1 AS v")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val deg = sym.groupBy(_._1).map { case (k, es) => k -> es.length.toLong }
+    var rank = deg.keys.map(_ -> Graph.Scale).toMap
+    for (_ <- 1 to Graph.Iters) {
+      val contrib = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      sym.foreach { case (s, d) => contrib(d) += rank(s) / deg(s) }
+      rank = contrib.map { case (n, c) =>
+        n -> (Graph.TeleportFp + Graph.DampNum * c / 100L)
+      }.toMap
+    }
+    val expected = rank.toSeq
+      .map { case (n, r) =>
+        (if (n % 2 == 0) "customer" else "part", n / 2, r)
+      }
+      .sortBy { case (t, k, r) => (-r, t, k) }
+      .take(20)
+    val out = graft.analytics.PipelineQueries.pageRankPurchases(spark, TestSpark.SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == expected)
+  }
+
+  test("q140 entity resolution: planted duplicates merge transitively, blocks bound matching") {
+    import spark.implicits._
+    // AB1–AB2 distance 1, AB2–CB2 distance 1, AB1–CB2 distance 2: the
+    // entity must be the transitive closure {1,2,3}. Customer 4 is a
+    // distance-1 twin of AB1 but in another nation — blocking must keep
+    // it separate. Customer 5 shares the block but matches nothing.
+    val c = Seq(
+      (1L, "Customer#AB1", 7, 10.00, "SEG"),
+      (2L, "Customer#AB2", 7, 20.00, "SEG"),
+      (3L, "Customer#CB2", 7, 40.00, "SEG"),
+      (4L, "Customer#AB0", 8, 80.00, "SEG"),
+      (5L, "Customer#ZZZZZ", 7, 1.50, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = graft.analytics.PipelineQueries.entityResolutionOf(c)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, 3L, "Customer#AB1", 7000L),
+      (4L, 1L, "Customer#AB0", 8000L),
+      (5L, 1L, "Customer#ZZZZZ", 150L)))
+  }
+
+  test("q141 k-anonymity: planted small and low-diversity groups are flagged") {
+    import spark.implicits._
+    val qi = (
+      Seq((1, 1L, "A"), (1, 1L, "B")) ++ // size 2, l=2
+        Seq.fill(6)((1, 2L, "A")) ++     // size 6, l=1
+        Seq((2, 1L, "A"), (2, 1L, "A"))  // size 2, l=1
+      ).toDF("nk", "band", "sensitive")
+    val out = graft.analytics.PipelineQueries.kAnonymityOf(qi)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (2L, 2L, 4L, true, 1L, 2L),
+      (6L, 1L, 6L, false, 1L, 1L)))
+  }
+
+  test("q142 semantic decontamination: planted exact copy leaks, orthogonal vector does not") {
+    import spark.implicits._
+    val train = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val eval = Seq(
+      (100L, Array(1f, 0f)),   // exact copy of train 1 → cosine 1 → leaked
+      (101L, Array(-1f, 0f))) // best train neighbor is 2 at cosine 0 → clean
+      .toDF("vec_id", "embedding")
+    val out = graft.analytics.PipelineQueries.semanticDecontamOf(eval, train)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(out == Seq((100L, 1L, 1.0, true), (101L, 2L, 0.0, false)))
+  }
+
+  test("q143 MAD outliers: planted histogram with hand-computed median/MAD/fences") {
+    import spark.implicits._
+    val hist = Seq(
+      ("X", 1L, 3L), ("X", 2L, 1L), ("X", 3L, 1L), // med 1, mad 0 → 2 outliers
+      ("Y", 10L, 1L), ("Y", 20L, 1L), ("Y", 30L, 1L), ("Y", 100L, 1L)
+      ) // med 20, mad 10, fence 30 → only |100−20|=80 crosses
+      .toDF("flag", "dollars", "c")
+    val out = graft.analytics.PipelineQueries.madOutliersOfHist(hist)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      ("X", 5L, 1L, 0L, 2L, 4000L),
+      ("Y", 4L, 20L, 10L, 1L, 2500L)))
+  }
+
+  test("q144 equal-frequency bins: planted ranks follow the (rank−1)·10 div n rule") {
+    import spark.implicits._
+    val keyed = (1L to 12L).map(i => (i, i * 100L)).toDF("o_orderkey", "cents")
+    val out = graft.analytics.PipelineQueries.equalFreqBinsOf(keyed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ranks 1..12 → bins (r−1)·10 div 12: sizes 2,1,1,1,1,2,1,1,1,1.
+    val expected = (1L to 12L).groupBy(r => (r - 1) * 10 / 12).toSeq.sortBy(_._1)
+      .map { case (b, rs) =>
+        (b, rs.size.toLong, rs.min * 100, rs.max * 100, rs.map(_ * 100).sum)
+      }
+    assert(out.toSeq == expected)
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -3314,6 +3314,317 @@ object PipelineQueries {
       .orderBy(col("bin"))
   }
 
+  /** q145 conversion rule: a user "converts" when they log at least this
+    * many purchase events (≈ the 46th percentile of the harness generator
+    * at every SF, so both experiment arms see a mixed outcome). Shared
+    * with the oracle builder — generated-constant pattern. */
+  private[graft] val AbConvPurchases = 14L
+
+  /** Deterministic A/B experiment readout (q145) — the product-analytics
+    * half of a training pipeline: every user is hash-assigned to an arm
+    * (portable md5-derived h31 of the user id, mod 2 — the standard
+    * stateless bucketing that needs no assignment table), the conversion
+    * metric is exact, and the 2×2 Pearson chi-square significance test is
+    * run in EXACT integer cross-multiplied form:
+    *
+    *   1000·N·(ad−bc)² ≥ 3841·r₁·r₂·c₁·c₂   (3.841 = χ²₀.₉₅, df=1)
+    *
+    * so the verdict is bit-portable (no float sqrt/ln anywhere). The
+    * cross-multiply is DECIMAL(38,0) — exact past 10⁷ users; beyond that
+    * a deployment divides all four cells by a common factor first (the
+    * test statistic is scale-invariant to first order and the verdict at
+    * that N is dominated by the lift sign — noted, not hidden).
+    *
+    * Scale shape: one user-keyed aggregate (map-side combinable), one
+    * 2-row arm aggregate, one broadcast of the 1-row scalar frame back.
+    * Nothing corpus-sized crosses the wire after the first shuffle. */
+  def abExperiment(spark: SparkSession, dir: String): DataFrame =
+    abExperimentOf(Tables.events(spark, dir))
+
+  private[graft] def abExperimentOf(events: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"))
+      .select(
+        when(col("n_purch") >= AbConvPurchases, 1L).otherwise(0L).as("conv"),
+        when(element_at(md5_token_hashes(array(col("user_id").cast("string")), 31), 1) % 2L === 0L,
+          "control").otherwise("treatment").as("variant"))
+    // ONE global reduction to the 2×2 table — everything downstream
+    // (arm rows, lift, significance) derives from this single row, so
+    // the corpus is scanned and user-aggregated exactly once.
+    val scalar = users.agg(
+      sum(when(col("variant") === "control", col("conv")).otherwise(0L)).as("a"),
+      sum(when(col("variant") === "control", lit(1L) - col("conv")).otherwise(0L)).as("b"),
+      sum(when(col("variant") === "treatment", col("conv")).otherwise(0L)).as("c"),
+      sum(when(col("variant") === "treatment", lit(1L) - col("conv")).otherwise(0L)).as("d"))
+    scalar
+      .select(
+        explode(array(
+          struct(lit("control").as("variant"), expr("a + b").as("n_users"),
+            col("a").as("n_converted")),
+          struct(lit("treatment").as("variant"), expr("c + d").as("n_users"),
+            col("c").as("n_converted")))).as("r"),
+        expr("c * 10000L div (c + d) - a * 10000L div (a + b)").as("lift_bp"),
+        (expr("CAST(1000 AS DECIMAL(38,0)) * CAST(a + b + c + d AS DECIMAL(38,0))" +
+          " * CAST(a * d - b * c AS DECIMAL(38,0)) * CAST(a * d - b * c AS DECIMAL(38,0))") >=
+          expr("CAST(3841 AS DECIMAL(38,0)) * CAST(a + b AS DECIMAL(38,0))" +
+            " * CAST(c + d AS DECIMAL(38,0)) * CAST(a + c AS DECIMAL(38,0))" +
+            " * CAST(b + d AS DECIMAL(38,0))")).as("significant_95"))
+      .select(col("r.variant"), col("r.n_users"), col("r.n_converted"),
+        expr("r.n_converted * 10000L div r.n_users").as("cvr_bp"),
+        col("lift_bp"), col("significant_95"))
+      .orderBy(col("variant"))
+  }
+
+  /** q146 IDF fixed point: one surprisal micro-unit = 1e-6 of an
+    * inverse-document-frequency ratio. */
+  private[graft] val IdfScale = 1000000L
+
+  /** IDF-surprisal document quality (q146) — the integer-exact stand-in
+    * for the CCNet/Gopher "LM perplexity" quality prior: a document full
+    * of corpus-common tokens scores low, one full of rare tokens scores
+    * high. Per distinct token, surprisal = ⌊1e6·N/df⌋ (df = number of
+    * docs containing the token); per doc, the mean over its distinct
+    * tokens; reported per language with min/max spread. All BIGINT — no
+    * ln(), so the oracle replays it exactly.
+    *
+    * Scale shape: tokens shuffle as 8-byte md5-h60 keys (the q64
+    * discipline — never raw strings); df is a vocab-sized aggregate with
+    * map-side partial combine absorbing stopword skew; the df join back
+    * to the (doc, token) frame is vocab-vs-corpus — AQE broadcasts the
+    * df side at harness SF and shuffle-joins at corpus scale; everything
+    * after is doc-keyed and map-side combinable. */
+  def idfQuality(spark: SparkSession, dir: String): DataFrame =
+    idfQualityOf(Tables.documents(spark, dir))
+
+  private[graft] def idfQualityOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val docTok = docs.select(col("doc_id"), col("lang"),
+      explode(md5_token_hashes(array_distinct(split(col("text"), " ")), 60)).as("tk"))
+    val dfCounts = docTok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    docTok
+      .join(dfCounts, "tk")
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(expr(s"($IdfScale * n_total) div df")).as("s"), count(lit(1)).as("c"))
+      .select(col("lang"), expr("s div c").as("surprisal_u"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(surprisal_u) div count(1)").as("mean_surprisal_u"),
+        min(col("surprisal_u")).as("min_surprisal_u"),
+        max(col("surprisal_u")).as("max_surprisal_u"))
+      .orderBy(col("lang"))
+  }
+
+  /** q148 burst-bot rule constants, shared with the oracle: a "fast"
+    * inter-event gap is ≤ 10 minutes (the harness median gap is ~7 h, so
+    * fast gaps are the ~1.5% tail); a user is flagged when they have ≥ 20
+    * events and ≥ 3% of their gaps are fast. */
+  private[graft] val BotFastGapUs = 600000000L
+  private[graft] val BotMinEvents = 20L
+  private[graft] val BotFastBp = 300L
+
+  /** Behavioral bot/burst detection (q148) — the abuse-filtering pass an
+    * event pipeline runs before events feed training or analytics: per
+    * user, exact inter-event gap statistics (ordered by microsecond
+    * timestamp with event_id as the deterministic tie-break) and a flag
+    * for burst-heavy actors. All integer microseconds.
+    *
+    * Scale shape: ONE corpus shuffle, keyed by user_id — the lag window
+    * and the aggregate share the user partitioning (the window's sort is
+    * per-user, never global; PlanSpec pins no single-partition window).
+    * Whale users are a bounded per-key sort; AQE's skew handling and the
+    * q107 salting audit cover the pathological case. */
+  def botDetection(spark: SparkSession, dir: String): DataFrame =
+    botDetectionOf(Tables.events(spark, dir))
+
+  private[graft] def botDetectionOf(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("span_us"),
+        count(col("gap_us")).as("n_gaps"),
+        sum(when(col("gap_us") <= BotFastGapUs, 1L).otherwise(0L)).as("n_fast"),
+        sum(col("gap_us")).as("sum_gap"))
+      .filter(col("n_gaps") > 0)
+      .select(col("user_id"), col("n_events"), col("span_us"),
+        expr("sum_gap div n_gaps").as("mean_gap_us"),
+        expr("n_fast * 10000L div n_gaps").as("fast_bp"))
+      .withColumn("is_bot",
+        col("n_events") >= BotMinEvents && col("fast_bp") >= BotFastBp)
+      .orderBy(col("user_id"))
+  }
+
+  /** q147 containment constants, shared with the oracle: word-3-gram
+    * shingles, "discriminative" = gram appears in ≤ 50 docs (the
+    * hot-shingle cut that bounds the self-join fan-out at corpus scale),
+    * report pairs where ≥ 80% of the smaller doc's discriminative grams
+    * appear in the larger doc. */
+  private[graft] val ContainGramLen = 3
+  private[graft] val ContainMaxDf = 50L
+  private[graft] val ContainBp = 8000L
+
+  /** Asymmetric document containment (q147) — the quote/subset detector
+    * Jaccard dedup misses: a short doc pasted inside a longer one has low
+    * Jaccard but near-total containment |A∩B|/|A|. Computed exactly over
+    * each doc's DISTINCT word-3-gram shingles, restricted to
+    * discriminative grams (df ≤ [[ContainMaxDf]]) — boilerplate shingles
+    * shared by half the corpus carry no copy signal and would otherwise
+    * make the gram self-join quadratic in the hottest key. The cut is
+    * part of the operator's semantics and is mirrored verbatim in the
+    * oracle.
+    *
+    * Scale shape: grams shuffle as 8-byte md5-h60 keys; the df cut bounds
+    * every gram's join fan-out at ContainMaxDf², so candidate volume is
+    * ≤ df-capped-gram-count · ContainMaxDf — linear in the corpus, never
+    * all-pairs (the q27/q73 banding discipline, with df as the band). */
+  def docContainment(spark: SparkSession, dir: String): DataFrame =
+    docContainmentOf(Tables.documents(spark, dir))
+
+  private[graft] def docContainmentOf(
+      docs: DataFrame, maxDf: Long = ContainMaxDf): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= ContainGramLen)
+    val grams = toks
+      .select(col("doc_id"), explode(array_distinct(md5_token_hashes(
+        expr(s"transform(sequence(1, size(t) - ${ContainGramLen - 1})," +
+          s" i -> concat_ws(' ', slice(t, i, $ContainGramLen)))"), 60))).as("g"))
+    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") <= maxDf)
+      .select(col("g"))
+    val rg = grams.join(rare, "g")
+    val sizes = rg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val pairs = rg.alias("a")
+      .join(rg.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_grams").as("n_grams_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_grams").as("n_grams_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_grams_a"), col("n_grams_b"), col("shared"),
+        expr("shared * 10000L div n_grams_a").as("containment_bp"))
+      .filter(col("containment_bp") >= ContainBp &&
+        (col("n_grams_a") < col("n_grams_b") ||
+          (col("n_grams_a") === col("n_grams_b") && col("id_a") < col("id_b"))))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Min-label community detection (q149) — the second iterative graph
+    * operator (q139's PageRank scores nodes; this one PARTITIONS them):
+    * three rounds of synchronous min-label propagation over the same
+    * memoized purchase graph, then the 20 largest communities. Labels are
+    * node ids and the reduction is MIN — associative, deterministic,
+    * replayed exactly by the oracle's unrolled CTEs (generated from
+    * [[graft.graph.Graph.LpIters]]). */
+  def labelCommunities(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graph.Graph
+    val symDeg = graft.SessionMemo.memo(spark, s"q139symdeg|$dir") {
+      val s = Graph.symmetricWithDegrees(
+        Graph.purchaseEdges(Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
+      s.count()
+      s
+    }
+    Graph.labelPropagation(symDeg)
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(
+        when(col("lbl") % 2 === 0, lit("customer")).otherwise(lit("part")).as("community_type"),
+        expr("lbl div 2").as("community_key"),
+        col("n_members"))
+      .orderBy(col("n_members").desc, col("community_type"), col("community_key"))
+      .limit(20)
+  }
+
+  /** Token-distribution concentration audit (q150) — the Zipf-shape
+    * check run before vocabulary/tokenizer decisions: per language, how
+    * much of the token mass the 10 most frequent types capture and how
+    * much of the vocabulary is hapax legomena (singletons). Exact
+    * integers; rank ties broken by token string so the top-10 cut is a
+    * total order in both engines.
+    *
+    * Scale shape: one corpus-sized map-side-combinable (lang, token)
+    * count; everything after (rank window, reductions) runs on the
+    * VOCAB-sized frame, partitioned by language. */
+  def tokenConcentration(spark: SparkSession, dir: String): DataFrame =
+    tokenConcentrationOf(Tables.documents(spark, dir))
+
+  private[graft] def tokenConcentrationOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("c").desc, col("tok"))
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("total_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(when(col("rnk") <= 10, col("c")).otherwise(0L)).as("top10_mass"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("singletons"))
+      .select(col("lang"), col("total_tokens"), col("distinct_tokens"),
+        expr("top10_mass * 10000L div total_tokens").as("top10_bp"),
+        col("singletons"),
+        expr("singletons * 10000L div distinct_tokens").as("singleton_bp"))
+      .orderBy(col("lang"))
+  }
+
+  /** Positional phrase search (q153) — the inverted-index operation q109's
+    * posting lists exist FOR: find every occurrence of a phrase by
+    * intersecting the two terms' positional postings (term₁ at pos p,
+    * term₂ at p+1) instead of rescanning text. The query phrase is the
+    * corpus's most frequent word bigram ((count desc, w1, w2) total
+    * order — deterministic, so the oracle recomputes it identically).
+    *
+    * Scale shape: postings carry (doc_id, pos, 8-byte h60 key); the
+    * 1-row phrase frame broadcasts into the posting scan (map-only
+    * candidate filter — only the two terms' postings survive), and the
+    * positional intersection is an equi-join on (doc, adjacent pos) over
+    * those two tiny lists. The corpus is scanned twice (pair counts +
+    * postings) — both map-side-combinable; at serving scale the postings
+    * side is the committed q109 layout and only the intersection runs. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchOf(Tables.documents(spark, dir))
+
+  private[graft] def phraseSearchOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val top1 = toks
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(1)
+      .select(col("w1"), col("w2"),
+        element_at(md5_token_hashes(array(col("w1")), 60), 1).as("h1"),
+        element_at(md5_token_hashes(array(col("w2")), 60), 1).as("h2"))
+    val postings = docs
+      .select(col("doc_id"),
+        posexplode(md5_token_hashes(split(col("text"), " "), 60)).as(Seq("pos", "h")))
+    val cand = postings
+      .join(broadcast(top1), col("h") === col("h1") || col("h") === col("h2"))
+    val a = cand.filter(col("h") === col("h1"))
+      .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
+    val b = cand.filter(col("h") === col("h2"))
+      .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    a.join(b, col("doc_id") === col("doc_b") && col("pos_b") === col("pos") + 1)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_matches"))
+      .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("phrase"),
+        col("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3413,7 +3724,14 @@ object PipelineQueries {
     "q141_k_anonymity" -> (kAnonymityAudit _),
     "q142_semantic_decontam" -> (semanticDecontamination _),
     "q143_mad_outliers" -> (madOutliers _),
-    "q144_equal_freq_bins" -> (equalFreqBins _))
+    "q144_equal_freq_bins" -> (equalFreqBins _),
+    "q145_ab_experiment" -> (abExperiment _),
+    "q146_idf_quality" -> (idfQuality _),
+    "q147_doc_containment" -> (docContainment _),
+    "q148_bot_detection" -> (botDetection _),
+    "q149_label_communities" -> (labelCommunities _),
+    "q150_token_concentration" -> (tokenConcentration _),
+    "q153_phrase_search" -> (phraseSearch _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -4241,6 +4559,136 @@ object PipelineQueries {
   }
 
   private val oracleTail: Map[String, String] = Map(
+    // q145: identical h31 bucketing, conversion threshold and the exact
+    // integer chi-square cross-multiply (HUGEINT here, DECIMAL(38,0) in
+    // the engine — both exact, so the boolean agrees bit-for-bit).
+    "q145_ab_experiment" ->
+      s"""WITH u AS (SELECT user_id,
+         |    CASE WHEN COUNT(*) FILTER (event_type = 'purchase') >= $AbConvPurchases
+         |         THEN 1 ELSE 0 END AS conv
+         |  FROM events GROUP BY user_id),
+         |v AS (SELECT CASE WHEN ${duckH31("CAST(user_id AS VARCHAR)")} % 2 = 0
+         |    THEN 'control' ELSE 'treatment' END AS variant, conv FROM u),
+         |p AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(conv) AS BIGINT) AS n_converted,
+         |    CAST(SUM(conv) AS BIGINT) * 10000 // CAST(COUNT(*) AS BIGINT) AS cvr_bp
+         |  FROM v GROUP BY variant),
+         |t AS (SELECT
+         |    CAST(SUM(CASE WHEN variant = 'control' THEN n_converted ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN variant = 'control' THEN n_users - n_converted ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN variant = 'treatment' THEN n_converted ELSE 0 END) AS BIGINT) AS c,
+         |    CAST(SUM(CASE WHEN variant = 'treatment' THEN n_users - n_converted ELSE 0 END) AS BIGINT) AS d,
+         |    CAST(SUM(CASE WHEN variant = 'treatment' THEN cvr_bp ELSE -cvr_bp END) AS BIGINT) AS lift_bp
+         |  FROM p)
+         |SELECT p.variant, p.n_users, p.n_converted, p.cvr_bp, t.lift_bp,
+         |  CAST(1000 AS HUGEINT) * CAST(a + b + c + d AS HUGEINT)
+         |      * (CAST(a * d - b * c AS HUGEINT) * CAST(a * d - b * c AS HUGEINT))
+         |    >= CAST(3841 AS HUGEINT) * CAST(a + b AS HUGEINT) * CAST(c + d AS HUGEINT)
+         |      * CAST(a + c AS HUGEINT) * CAST(b + d AS HUGEINT) AS significant_95
+         |FROM p, t ORDER BY p.variant""".stripMargin,
+    // q146: same distinct-token h60 keys, same ⌊1e6·N/df⌋ per-token
+    // surprisal and floor-mean reductions — BIGINT end to end.
+    "q146_idf_quality" ->
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+         |t AS (SELECT doc_id, lang, ${duckH60("u.tok")} AS tk FROM d, unnest(d.toks) AS u(tok)),
+         |f AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY tk),
+         |p AS (SELECT t.doc_id, t.lang,
+         |    CAST(SUM(($IdfScale * n.n_total) // f.df) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM t JOIN f ON t.tk = f.tk CROSS JOIN n GROUP BY 1, 2),
+         |q AS (SELECT lang, s // c AS surprisal_u FROM p)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(surprisal_u) // COUNT(*) AS BIGINT) AS mean_surprisal_u,
+         |  CAST(MIN(surprisal_u) AS BIGINT) AS min_surprisal_u,
+         |  CAST(MAX(surprisal_u) AS BIGINT) AS max_surprisal_u
+         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+    // q148: identical (epoch_us, event_id) gap ordering and the same
+    // integer burst-rule constants interpolated from the engine.
+    "q148_bot_detection" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+         |g AS (SELECT user_id, us,
+         |    us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+         |  FROM e),
+         |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+         |    CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+         |    CAST(COUNT(*) FILTER (gap_us <= $BotFastGapUs) AS BIGINT) AS n_fast,
+         |    CAST(SUM(gap_us) AS BIGINT) AS sum_gap
+         |  FROM g GROUP BY user_id)
+         |SELECT user_id, n_events, span_us, sum_gap // n_gaps AS mean_gap_us,
+         |  n_fast * 10000 // n_gaps AS fast_bp,
+         |  (n_events >= $BotMinEvents AND n_fast * 10000 // n_gaps >= $BotFastBp) AS is_bot
+         |FROM a WHERE n_gaps > 0 ORDER BY user_id""".stripMargin,
+    // q147: identical 3-gram shingles (position-unnest form — same
+    // strings, same h60 keys), identical df cut and containment rule.
+    "q147_doc_containment" ->
+      s"""WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= $ContainGramLen),
+         |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - ${ContainGramLen - 2})) AS pi FROM tk),
+         |gs AS (SELECT doc_id,
+         |    array_to_string(list_slice(t, pi, pi + ${ContainGramLen - 1}), ' ') AS gstr
+         |  FROM pos),
+         |gr AS (SELECT DISTINCT doc_id, ${duckH60("gstr")} AS g FROM gs),
+         |f AS (SELECT g FROM (SELECT g, COUNT(*) AS c FROM gr GROUP BY g) WHERE c <= $ContainMaxDf),
+         |rg AS (SELECT gr.doc_id, gr.g FROM gr JOIN f USING (g)),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM rg GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b, shared,
+         |  shared * 10000 // sa.n_grams AS containment_bp
+         |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE shared * 10000 // sa.n_grams >= $ContainBp
+         |  AND (sa.n_grams < sb.n_grams OR (sa.n_grams = sb.n_grams AND id_a < id_b))
+         |ORDER BY id_a, id_b""".stripMargin,
+    // q149: the exact min-label iteration unrolled from the same
+    // LpIters constant, over the same bipartite edge encoding as q139.
+    "q149_label_communities" -> {
+      import graft.graph.Graph
+      def step(prev: String, next: String): String =
+        s"""$next AS (SELECT node, MIN(lbl) AS lbl FROM (
+           |  SELECT e.src AS node, p.lbl FROM se e JOIN $prev p ON p.node = e.dst
+           |  UNION ALL SELECT node, lbl FROM $prev) GROUP BY node)""".stripMargin
+      val steps = (1 to Graph.LpIters).map(i => step(s"l${i - 1}", s"l$i")).mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |se AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM se),
+         |$steps
+         |SELECT CASE WHEN lbl % 2 = 0 THEN 'customer' ELSE 'part' END AS community_type,
+         |  lbl // 2 AS community_key, CAST(COUNT(*) AS BIGINT) AS n_members
+         |FROM l${Graph.LpIters} GROUP BY 1, 2
+         |ORDER BY n_members DESC, community_type, community_key LIMIT 20""".stripMargin
+    },
+    // q150: same (count desc, token) total order for the top-10 cut;
+    // all reductions BIGINT.
+    "q150_token_concentration" ->
+      """WITH c AS (SELECT lang, u.tok AS tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents, unnest(str_split(text, ' ')) AS u(tok) GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, c,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rnk FROM c)
+        |SELECT lang, CAST(SUM(c) AS BIGINT) AS total_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+        |  CAST(SUM(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS BIGINT) * 10000
+        |    // CAST(SUM(c) AS BIGINT) AS top10_bp,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+        |    // CAST(COUNT(*) AS BIGINT) AS singleton_bp
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    // q153: same bigram total order for the top-1 phrase; the oracle
+    // intersects by string equality — a divergence reads as "the
+    // positional index drifted from the text".
+    "q153_phrase_search" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 2),
+        |pos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t),
+        |bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM pos),
+        |cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |top1 AS (SELECT w1, w2 FROM cnt ORDER BY c DESC, w1, w2 LIMIT 1)
+        |SELECT bg.doc_id, bg.w1 || ' ' || bg.w2 AS phrase,
+        |  CAST(COUNT(*) AS BIGINT) AS n_matches
+        |FROM bg JOIN top1 ON bg.w1 = top1.w1 AND bg.w2 = top1.w2
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // q101: the q81 SQL with the quantizer-training CTEs (cells +
     // codebook seeds) restricted to the BASE corpus — assignment, encode,
     // and search still span base ∪ delta, exactly the frozen-quantizer

@@ -425,6 +425,79 @@ object Queries {
         .runToMemory(s, pairs.toDF(), "graft_stream_transitions"))
   }
 
+  /** q152 attribution lookback window: 7 days in microseconds, shared
+    * with the oracle. */
+  private[graft] val AttribWindowUs = 7L * 86400L * 1000000L
+
+  /** Last-touch marketing attribution (q152) — every purchase's value
+    * (exact floor-cents) credits the user's most recent preceding
+    * click/view within a 7-day lookback, else the 'direct' channel. The
+    * classic attribution job, computed with ONE user-keyed window: the
+    * running last-touch (type, time) is carried by last(..., ignoreNulls)
+    * over the merged event sequence — no as-of join, no per-purchase
+    * probe — then purchases project their channel and reduce. Ordering is
+    * the deterministic (µs, event_id) total order everywhere.
+    *
+    * Scale shape: one corpus shuffle (user_id window), streaming window
+    * frame (running last — no buffering), map-side-combinable final
+    * aggregate to a channel-count-sized result. */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame =
+    lastTouchAttributionOf(Tables.events(spark, dir))
+
+  private[graft] def lastTouchAttributionOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col("event_type").isin("click", "view")
+    events
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("event_type"), expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("touch_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("touch_us", last(when(isTouch, col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("touch_us").isNotNull && col("touch_us") >= col("us") - AttribWindowUs,
+          col("touch_type")).otherwise(lit("direct")).as("channel"),
+        col("cents"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("attributed_cents"))
+      .orderBy(col("channel"))
+  }
+
+  /** Streaming CDC upsert serving view (q151) — the keyed change-apply
+    * that turns an event stream into a serving table: per user, the
+    * latest record wins ((event-time µs, event_id) total order, held in
+    * [[graft.streaming.StreamPipeline.upsertLatest]]'s per-key state),
+    * and a latest event of type 'error' tombstones the key (the
+    * account-deletion CDC pattern). The memory sink holds the per-batch
+    * change feed (versions, not events); the serving view reduces to the
+    * max-version row per key and drops tombstones — the same
+    * reduce-on-the-sink discipline as q120. The oracle is the batch
+    * last-writer-wins window over the full table: hash divergence reads
+    * as "streaming state drifted from batch semantics". */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val latest = graft.streaming.StreamPipeline.upsertLatest(s, Tables.eventsStream(s, dir))
+    upsertServingView(graft.streaming.StreamPipeline
+      .runToMemory(s, latest.toDF(), "graft_stream_upsert"))
+  }
+
+  /** Max-version-per-key reduce + tombstone drop over an upsertLatest
+    * change feed (factored out for the planted-scenario spec). */
+  private[graft] def upsertServingView(versions: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us").desc, col("eid").desc)
+    versions
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("last_type") =!= "error")
+      .select(col("user_id"), col("last_type"),
+        when(col("cents_null"), lit(null).cast("long"))
+          .otherwise(col("last_value_cents")).as("last_value_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** Stream-stream interval join for the driver gate: purchases joined to
     * the same user's views within the preceding hour, both sides
     * watermarked file streams (bounded state — the §2.8 two-unbounded-
@@ -854,6 +927,8 @@ object Queries {
     "q63_stream_sessions" -> (streamSessions _),
     "q66_stream_interval_join" -> (streamIntervalJoin _),
     "q120_stream_transitions" -> (streamTransitions _),
+    "q151_stream_upsert" -> (streamUpsert _),
+    "q152_attribution" -> (lastTouchAttribution _),
     "q68_stream_dedup" -> (streamDedup _),
     "q43_pivot" -> (pivotEventTypes _),
     "q44_set_ops" -> (setOps _),
@@ -869,6 +944,34 @@ object Queries {
   val oracle: Map[String, String] = Map(
     // q120 shares the q119 oracle: same pair semantics, same matrix.
     "q120_stream_transitions" -> PipelineQueries.TransitionOracleSql,
+    // q151: batch last-writer-wins window — the streaming state must
+    // land exactly here or the hash diverges.
+    "q151_stream_upsert" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, cents AS last_value_cents
+        |FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+    // q152: identical running last-touch (IGNORE NULLS) over the same
+    // (µs, event_id) order; window constant interpolated from the engine.
+    "q152_attribution" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |m AS (SELECT *,
+         |    last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY us, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch_type,
+         |    last_value(CASE WHEN event_type IN ('click', 'view') THEN us END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY us, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch_us
+         |  FROM e)
+         |SELECT CASE WHEN touch_us IS NOT NULL AND touch_us >= us - ${AttribWindowUs}
+         |    THEN touch_type ELSE 'direct' END AS channel,
+         |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         |  CAST(SUM(cents) AS BIGINT) AS attributed_cents
+         |FROM m WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
     "q89_conversion_funnel" ->
       """WITH s AS (SELECT user_id, MIN(ts) AS fs FROM events
         |  WHERE event_type = 'signup' GROUP BY user_id),

@@ -82,4 +82,36 @@ object Graph {
     ranks
   }
 
+  /** Fixed iteration count for min-label propagation (q149) — unrolled
+    * identically in the DuckDB oracle. */
+  val LpIters = 3
+
+  /** Synchronous min-label propagation over the symmetric edge list:
+    * label₀(v) = v; labelₖ₊₁(v) = min(labelₖ(v), min over neighbors u of
+    * labelₖ(u)). After k rounds every node carries the minimum node id
+    * within k hops — a deterministic, order-independent community
+    * assignment (the bounded-round form of connected components; GraphX's
+    * LabelPropagation keeps the same synchronous structure but votes by
+    * mode, which is NOT deterministic under ties — min is, so the result
+    * is oracle-replayable).
+    *
+    * Scale shape: identical to [[pageRank]] — each round joins the cached
+    * src-partitioned edge list against the node-sized label frame and
+    * reduces with an associative MIN (map-side combinable). Cost per
+    * round = one node-frame shuffle. */
+  def labelPropagation(symDeg: DataFrame, iters: Int = LpIters): DataFrame = {
+    var labels = symDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      labels = symDeg
+        .select(col("src"), col("dst"))
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("lbl"))
+        .union(labels)
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"))
+    }
+    labels
+  }
+
 }

@@ -188,6 +188,54 @@ object StreamPipeline {
         })
   }
 
+  /** Latest-record CDC state for [[upsertLatest]]: the max-(us, eid)
+    * version seen so far for one key. */
+  case class UpsertState(us: Long, eid: Long, typ: String, cents: Long, centsNull: Boolean)
+  case class UpsertOut(user_id: Long, us: Long, eid: Long,
+      last_type: String, last_value_cents: Long, cents_null: Boolean)
+
+  /** Streaming last-writer-wins upsert apply (q151) — the CDC
+    * change-apply every keyed serving table runs at ingest: per key the
+    * state holds the latest version (total order (event-time µs,
+    * event_id) — the tie-break a keyed CDC topic's offset provides), and
+    * after each micro-batch's arrivals the key emits its CURRENT latest
+    * record (Update-style change feed). The sink therefore carries one
+    * row per (key, batch-with-arrivals) — versions, not events — and the
+    * serving view is the max-version row per key, with tombstoned keys
+    * (latest type 'error' — the account-deletion event) dropped.
+    *
+    * Scale shape: state is one small record per key (RocksDB-backed);
+    * the only shuffle is the user_id Exchange the state store already
+    * requires; emissions are key-count-sized per batch, never
+    * event-sized. */
+  def upsertLatest(spark: SparkSession, events: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts"): org.apache.spark.sql.Dataset[UpsertOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long").as("u"), col("event_id").as("eid"),
+        col(tsCol).as("t"), col("event_type").as("et"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      .as[(Long, Long, java.sql.Timestamp, String, Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (k: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String, Option[Long])],
+            state: GroupState[UpsertState]) => {
+          var cur = state.getOption
+          rows.foreach { case (_, eid, t, et, cents) =>
+            val us = microsOf(t)
+            if (cur.forall(c => us > c.us || (us == c.us && eid > c.eid)))
+              cur = Some(UpsertState(us, eid, et, cents.getOrElse(0L), cents.isEmpty))
+          }
+          cur match {
+            case Some(c) =>
+              state.update(c)
+              Iterator.single(UpsertOut(k, c.us, c.eid, c.typ, c.cents, c.centsNull))
+            case None => Iterator.empty
+          }
+        })
+  }
+
   /** Mutable per-key session accumulator (stored in the state store).
     * Times are epoch MICROSECONDS — Spark's native timestamp precision;
     * quantizing to Timestamp.getTime millis would shift session starts

@@ -527,6 +527,82 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q145: one events scan, no join — arm rows explode from the 2×2 scalar") {
+    val p = planOf("q145_ab_experiment")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1,
+      s"arm rows, lift and significance must all derive from ONE user aggregate:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum"),
+      s"the per-user purchase counts must combine map-side:\n$p")
+  }
+
+  test("q146: df joins on 8-byte hashed token keys; the corpus count broadcasts") {
+    val p = planOf("q146_idf_quality")
+    assert(!p.contains("CartesianProduct"), p)
+    // The df-side join key is the md5-h60 LongType hash, never the raw
+    // token string (the q64 compact-key discipline).
+    assert(p.contains("md5tokenhashes"), s"tokens must hash before the exchange:\n$p")
+    assert(p.contains("partial_count"),
+      s"df must combine map-side (stopword skew absorber):\n$p")
+  }
+
+  test("q148: gap window and aggregate share the user partitioning — no global sort") {
+    val p = planOf("q148_bot_detection")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"the lag window must be user-partitioned, never single-partition:\n$p")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q147: candidate generation is an equi-join on hashed gram keys — no cartesian") {
+    val p = planOf("q147_doc_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("md5tokenhashes"), s"grams must hash before any exchange:\n$p")
+    assert(p.contains("partial_count"),
+      s"gram df must combine map-side (hot-shingle absorber):\n$p")
+  }
+
+  test("q149: iterations read the memoized edge cache; the cut is TakeOrdered") {
+    val p = planOf("q149_label_communities")
+    assert(p.contains("InMemoryTableScan"),
+      s"the symmetric edge list must come from the shared q139 session memo:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 communities must never be a global sort:\n$p")
+    assert(p.contains("partial_min"),
+      s"label MIN must combine map-side:\n$p")
+  }
+
+  test("q150: rank window runs on the vocab frame, partitioned by language") {
+    val p = planOf("q150_token_concentration")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"the top-10 rank must be language-partitioned, never single-partition:\n$p")
+    // In suite order Spark's CacheManager substitutes q129's persisted
+    // (lang, token) count frame (same logical subtree) — free reuse; in
+    // isolation the query scans the corpus exactly once.
+    assert(p.contains("InMemoryTableScan") ||
+      p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q152: one scan, one user-partitioned running window, no join") {
+    val p = planOf("q152_attribution")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"the last-touch carry must be user-partitioned, never single-partition:\n$p")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q153: the 1-row phrase broadcasts into the postings; no cartesian") {
+    val p = planOf("q153_phrase_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the phrase frame must broadcast into the posting scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("md5tokenhashes"),
+      s"postings must carry hashed term keys:\n$p")
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

@@ -1058,6 +1058,159 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == expected)
   }
 
+  test("q145 A/B readout: planted arms reproduce a hand-run integer chi-square") {
+    import spark.implicits._
+    import graft.analytics.PipelineQueries.AbConvPurchases
+    // 40 users; user i logs i % 28 purchase events, so conversion
+    // (>= 14 purchases) is mixed. Arms derive from the SAME portable
+    // hash the engine uses — the test recomputes everything in Scala.
+    val users = (1L to 40L).map(i => (i, (i % 28).toInt))
+    val events = users.flatMap { case (u, np) =>
+      Seq.fill(np)((u, "purchase")) :+ ((u, "view"))
+    }.toDF("user_id", "event_type")
+    val out = graft.analytics.PipelineQueries.abExperimentOf(events)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val byArm = users.groupBy { case (u, _) =>
+      if (graft.functions.Md5Hash.h31(u.toString.getBytes) % 2 == 0) "control" else "treatment"
+    }
+    val Seq(a, b) = Seq("control", "treatment").map { arm =>
+      val us = byArm(arm)
+      val conv = us.count(_._2 >= AbConvPurchases)
+      (us.size.toLong, conv.toLong, conv.toLong * 10000 / us.size)
+    }
+    val lift = b._3 - a._3
+    val (ca, cb, cc, cd) = (BigInt(a._2), BigInt(a._1 - a._2), BigInt(b._2), BigInt(b._1 - b._2))
+    val sig = BigInt(1000) * (ca + cb + cc + cd) * (ca * cd - cb * cc).pow(2) >=
+      BigInt(3841) * (ca + cb) * (cc + cd) * (ca + cc) * (cb + cd)
+    assert(out.toSeq == Seq(
+      ("control", a._1, a._2, a._3, lift, sig),
+      ("treatment", b._1, b._2, b._3, lift, sig)))
+  }
+
+  test("q145 chi-square flag flips on a planted strong-lift scenario") {
+    import spark.implicits._
+    // Give every even-hash user 20 purchases and every odd-hash user 0:
+    // conversion 100% vs 0% over 60 users — unambiguously significant.
+    val events = (1L to 60L).flatMap { u =>
+      val arm0 = graft.functions.Md5Hash.h31(u.toString.getBytes) % 2 == 0
+      if (arm0) Seq.fill(20)((u, "purchase")) else Seq((u, "view"))
+    }.toDF("user_id", "event_type")
+    val out = graft.analytics.PipelineQueries.abExperimentOf(events).collect()
+    assert(out.forall(_.getBoolean(5)), out.mkString("\n"))
+  }
+
+  test("q146 IDF surprisal: planted df values give exact floor arithmetic") {
+    import spark.implicits._
+    // N=3; df: a=3, b=1, c=1 → doc surprisals 2000000, 2000000, 1000000.
+    val docs = Seq((1L, "a b", "xx"), (2L, "a c", "xx"), (3L, "a", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.analytics.PipelineQueries.idfQualityOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("xx", 3L, 1666666L, 1000000L, 2000000L)))
+  }
+
+  test("q148 bot flags: planted burst user is flagged, slow users are not") {
+    import spark.implicits._
+    val mkTs = (us: Long) => new java.sql.Timestamp(us / 1000)
+    // user 1: 25 events 60 s apart — every gap fast → bot.
+    // user 2: 5 events 1 h apart — too few events, no fast gaps.
+    // user 3: 30 events 1 h apart — enough events but 0 fast gaps.
+    val rows =
+      (0 until 25).map(i => (1L, mkTs(i * 60000000L), i.toLong)) ++
+      (0 until 5).map(i => (2L, mkTs(i * 3600000000L), (100 + i).toLong)) ++
+      (0 until 30).map(i => (3L, mkTs(i * 3600000000L), (200 + i).toLong))
+    val events = rows.toDF("user_id", "ts", "event_id")
+    val out = graft.analytics.PipelineQueries.botDetectionOf(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 25L, 24L * 60000000L, 60000000L, 10000L, true),
+      (2L, 5L, 4L * 3600000000L, 3600000000L, 0L, false),
+      (3L, 30L, 29L * 3600000000L, 3600000000L, 0L, false)))
+  }
+
+  test("q147 containment: planted subset doc is reported; disjoint doc is not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),       // 4 grams, all inside doc 2
+      (2L, "a b c d e f g h"),   // 6 grams
+      (3L, "x y z w")            // disjoint
+    ).toDF("doc_id", "text")
+    val out = graft.analytics.PipelineQueries.docContainmentOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq((1L, 2L, 4L, 6L, 4L, 10000L)))
+  }
+
+  test("q147 containment: the discriminative-gram df cut removes hot shingles") {
+    import spark.implicits._
+    // All three docs share every gram → df = 3 > maxDf = 2 → no
+    // discriminative grams survive → no pairs (the hot-shingle guard).
+    val docs = Seq((1L, "p q r"), (2L, "p q r"), (3L, "p q r")).toDF("doc_id", "text")
+    assert(graft.analytics.PipelineQueries.docContainmentOf(docs, maxDf = 2).count() == 0)
+    // At maxDf = 3 the same corpus yields containment pairs again.
+    assert(graft.analytics.PipelineQueries.docContainmentOf(docs, maxDf = 3).count() > 0)
+  }
+
+  test("q149 label propagation: path graph labels equal the 3-hop minimum") {
+    import spark.implicits._
+    // Path 1–2–3–4–5 (symmetric). After 3 rounds node k holds
+    // min(node ids within 3 hops): 1,1,1,1,2.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val out = graft.graph.Graph.labelPropagation(sym)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 2L)))
+  }
+
+  test("q150 concentration: planted Zipf counts give exact top-10 and singleton shares") {
+    import spark.implicits._
+    // t1×3, t2×2, t03..t12 ×1 → total 15, distinct 12; top-10 by
+    // (count desc, token) = t1, t2, t03..t10 → mass 13; 10 singletons.
+    val text = (Seq.fill(3)("t1") ++ Seq.fill(2)("t2") ++
+      (3 to 12).map(i => f"t$i%02d")).mkString(" ")
+    val docs = Seq((1L, text, "xx")).toDF("doc_id", "text", "lang")
+    val got = graft.analytics.PipelineQueries.tokenConcentrationOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("xx", 15L, 12L, 8666L, 10L, 8333L)))
+  }
+
+  test("q152 attribution: planted touches hit the window boundary exactly") {
+    import spark.implicits._
+    val mkTs = (us: Long) => new java.sql.Timestamp(us / 1000)
+    val week = graft.analytics.Queries.AttribWindowUs
+    val rows = Seq(
+      // user 1: click then purchase inside the window → 'click'.
+      (1L, mkTs(1000000L), 1L, "click", 0.0),
+      (1L, mkTs(2000000L), 2L, "purchase", 10.0),
+      // user 2: view exactly AT the window edge (touch_us = p_us − week)
+      // → still attributed (>= is inclusive).
+      (2L, mkTs(1000000L), 3L, "view", 0.0),
+      (2L, mkTs(1000000L + week), 4L, "purchase", 20.0),
+      // user 3: touch one µs past the edge → 'direct'.
+      (3L, mkTs(1000000L), 5L, "view", 0.0),
+      (3L, mkTs(1000000L + week + 1000L), 6L, "purchase", 40.0),
+      // user 4: no touches at all → 'direct'.
+      (4L, mkTs(1000000L), 7L, "purchase", 80.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = graft.analytics.Queries.lastTouchAttributionOf(rows)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("click", 1L, 1000L), ("direct", 2L, 12000L), ("view", 1L, 2000L)))
+  }
+
+  test("q153 phrase search: planted corpus finds the top bigram's positions") {
+    import spark.implicits._
+    // Bigrams: doc 1 → (a b)×2, (b a), (b c); doc 2 → (x a), (a b).
+    // Top phrase "a b" (3 occurrences) → doc 1 twice, doc 2 once.
+    val docs = Seq((1L, "a b a b c"), (2L, "x a b")).toDF("doc_id", "text")
+    val out = graft.analytics.PipelineQueries.phraseSearchOf(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a b", 2L), (2L, "a b", 1L)))
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

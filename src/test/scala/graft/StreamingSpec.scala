@@ -495,4 +495,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(published.where($"batch_id" >= 0)
       .select("doc_id").as[Long].collect().toSet == Set(10L, 12L, 22L, 31L))
   }
+
+  test("q151 upsert state: later batches overwrite, older arrivals don't, tombstones drop") {
+    val ms = MemoryStream[(Long, Long, Timestamp, String, Double)](spark)
+    val stream = ms.toDF().toDF("user_id", "event_id", "ts", "event_type", "value")
+    val q = StreamPipeline.upsertLatest(spark, stream).toDF()
+      .writeStream.format("memory").queryName("t_upsert").outputMode("append").start()
+    def t(s: Long) = new Timestamp(s * 1000)
+    ms.addData(Seq((1L, 1L, t(10), "purchase", 5.0), (2L, 2L, t(10), "view", 1.0)))
+    q.processAllAvailable()
+    // Batch 2: user 1 gets a LATER record (overwrites across batches —
+    // the state store carries batch-1 truth); user 2 gets an EARLIER
+    // one (must NOT regress); user 3 lands then tombstones.
+    ms.addData(Seq((1L, 3L, t(20), "click", 2.0), (2L, 4L, t(5), "signup", 9.0),
+      (3L, 5L, t(10), "view", 4.0), (3L, 6L, t(30), "error", 0.0)))
+    q.processAllAvailable(); q.stop()
+    val view = graft.analytics.Queries.upsertServingView(spark.table("t_upsert"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(view.toSeq == Seq((1L, "click", 200L), (2L, "view", 100L)))
+  }
 }

@@ -3625,6 +3625,139 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Same-order co-purchase recommendations (q154) — the market-basket
+    * "customers who bought X also bought Y" primitive: distinct
+    * (order, part) incidence, within-order part pairs, top-20 by
+    * co-occurrence with exact integer lift vs independence (the q133
+    * basket idiom applied to the ITEM key space). The top-20 cut runs
+    * BEFORE the lift joins, so the per-part support lookups touch 20
+    * rows, not the pair space.
+    *
+    * Scale shape: pair fan-out is Σ_order |basket|² with baskets a few
+    * items each — linear in lineitem; the pair aggregate partial-combines
+    * map-side; the cut is TakeOrdered; support joins broadcast onto 20
+    * rows. A pathological whale basket is the q107 salting case. */
+  def coPurchase(spark: SparkSession, dir: String): DataFrame =
+    coPurchaseOf(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  private[graft] def coPurchaseOf(orderParts: DataFrame): DataFrame = {
+    val li = orderParts.select(col("ok"), col("pk")).distinct()
+    val top = li.alias("a")
+      .join(li.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .orderBy(col("n_co").desc, col("part_a"), col("part_b"))
+      .limit(20)
+    val support = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val total = li.agg(countDistinct(col("ok")).as("total"))
+    top
+      .join(broadcast(support.select(col("pk").as("part_a"), col("n").as("n_a"))), "part_a")
+      .join(broadcast(support.select(col("pk").as("part_b"), col("n").as("n_b"))), "part_b")
+      .crossJoin(broadcast(total))
+      .select(col("part_a"), col("part_b"), col("n_co"), col("n_a"), col("n_b"),
+        expr("n_co * total * 10000L div (n_a * n_b)").as("lift_bp"))
+      .orderBy(col("n_co").desc, col("part_a"), col("part_b"))
+  }
+
+  /** q155 horizon: report the first 14 daily hazard rows. */
+  private[graft] val SurvivalDays = 14
+
+  /** Discrete survival / hazard curve (q155) — time-to-conversion the
+    * way survival analysis frames it, with CENSORING done right: per
+    * signup user, event time = days from first signup to first
+    * subsequent purchase; users without one are censored at the end of
+    * the observation window (global max event time). For each day d:
+    * at_risk(d) = users still unconverted AND uncensored entering d,
+    * events(d) = conversions on d, hazard_bp exact. The naive
+    * "conversion rate by day" over-counts late cohorts; the risk-set
+    * denominator is the correct estimator (discrete Kaplan–Meier).
+    *
+    * Scale shape: one user-keyed reduction to (offset, censor) — the
+    * corpus-sized work; exit/event histograms are day-count-sized, and
+    * the running risk-set sum is a window over that METADATA-sized frame
+    * (single partition of ~tens of rows — the q143 histogram idiom). */
+  def survivalHazard(spark: SparkSession, dir: String): DataFrame =
+    survivalHazardOf(Tables.events(spark, dir))
+
+  private[graft] def survivalHazardOf(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_type"))
+    val tEnd = e.agg(max(col("us")).as("t_end"))
+    val fs = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("fs"))
+    val fp = e.filter(col("event_type") === "purchase")
+      .join(fs, "user_id")
+      .filter(col("us") >= col("fs"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("fp"))
+    val users = fs.join(fp, Seq("user_id"), "left").crossJoin(broadcast(tEnd))
+      .select(
+        expr("(fp - fs) div 86400000000L").as("conv_off"), // null if unconverted
+        expr("(t_end - fs) div 86400000000L").as("cens_off"))
+      .select(col("conv_off"),
+        when(col("conv_off").isNotNull, least(col("conv_off"), col("cens_off")))
+          .otherwise(col("cens_off")).as("exit_off"))
+    val exits = users.groupBy(col("exit_off")).agg(
+      count(lit(1)).as("n_exit"),
+      sum(when(col("conv_off") === col("exit_off"), 1L).otherwise(0L)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("exit_off"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // n_total rides a second window over the SAME day-sized frame — a
+    // scalar-aggregate branch would re-derive the corpus pipeline twice.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    exits
+      .withColumn("exited_before", coalesce(sum(col("n_exit")).over(w), lit(0L)))
+      .withColumn("n_total", sum(col("n_exit")).over(wAll))
+      .select(col("exit_off").as("day"), expr("n_total - exited_before").as("at_risk"),
+        col("n_events"),
+        expr("n_events * 10000L div (n_total - exited_before)").as("hazard_bp"))
+      .filter(col("day") < SurvivalDays && col("day") >= 0)
+      .orderBy(col("day"))
+  }
+
+  /** Three-step ordered funnel (q156) — strict event-order funnels
+    * (signup → first view AFTER it → first purchase AFTER that view),
+    * where q89/q136 check one window-bound step and q132 discovers
+    * unordered paths. Each step's anchor is the MIN qualifying time
+    * after the previous step's anchor, per user.
+    *
+    * Scale shape: three user-keyed aggregates and two user-keyed joins —
+    * one natural partitioning end to end (the exchanges reuse it); the
+    * final 3-row readout derives from three scalar counts. */
+  def funnelThreeStep(spark: SparkSession, dir: String): DataFrame =
+    funnelThreeStepOf(Tables.events(spark, dir))
+
+  private[graft] def funnelThreeStepOf(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_type"))
+    val fs = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("fs"))
+    val fv = e.filter(col("event_type") === "view").join(fs, "user_id")
+      .filter(col("us") > col("fs"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("fv"))
+    val fp = e.filter(col("event_type") === "purchase").join(fv, "user_id")
+      .filter(col("us") > col("fv"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("fp"))
+    // ONE per-user frame → one aggregate: the fs/fv subtrees appear in
+    // several branches with identical canonical plans, so ReuseExchange
+    // collapses the repeated user shuffles.
+    val scalar = fs
+      .join(fv, Seq("user_id"), "left")
+      .join(fp, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n0"), count(col("fv")).as("n1"), count(col("fp")).as("n2"))
+    scalar
+      .select(explode(array(
+        struct(lit(1).as("step_no"), lit("signup").as("step"),
+          col("n0").as("n_users"), lit(10000L).as("conv_bp")),
+        struct(lit(2).as("step_no"), lit("view_after_signup").as("step"),
+          col("n1").as("n_users"), expr("n1 * 10000L div n0").as("conv_bp")),
+        struct(lit(3).as("step_no"), lit("purchase_after_view").as("step"),
+          col("n2").as("n_users"), expr("n2 * 10000L div n1").as("conv_bp")))).as("r"))
+      .select(col("r.step_no"), col("r.step"), col("r.n_users"), col("r.conv_bp"))
+      .orderBy(col("step_no"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3731,7 +3864,10 @@ object PipelineQueries {
     "q148_bot_detection" -> (botDetection _),
     "q149_label_communities" -> (labelCommunities _),
     "q150_token_concentration" -> (tokenConcentration _),
-    "q153_phrase_search" -> (phraseSearch _))
+    "q153_phrase_search" -> (phraseSearch _),
+    "q154_copurchase" -> (coPurchase _),
+    "q155_survival_hazard" -> (survivalHazard _),
+    "q156_funnel3" -> (funnelThreeStep _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -4689,6 +4825,62 @@ object PipelineQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_matches
         |FROM bg JOIN top1 ON bg.w1 = top1.w1 AND bg.w2 = top1.w2
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // q154: same distinct incidence, same (n_co desc, part ids) total
+    // order for the cut, same integer lift.
+    "q154_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_co
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |t AS (SELECT part_a, part_b, n_co FROM p ORDER BY n_co DESC, part_a, part_b LIMIT 20),
+        |pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY pk),
+        |nn AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS total FROM li)
+        |SELECT t.part_a, t.part_b, t.n_co, pa.n AS n_a, pb.n AS n_b,
+        |  t.n_co * nn.total * 10000 // (pa.n * pb.n) AS lift_bp
+        |FROM t JOIN pc pa ON pa.pk = t.part_a JOIN pc pb ON pb.pk = t.part_b CROSS JOIN nn
+        |ORDER BY t.n_co DESC, t.part_a, t.part_b""".stripMargin,
+    // q155: per-user first-signup/first-subsequent-purchase offsets with
+    // end-of-window censoring; risk sets from the same exit histogram.
+    "q155_survival_hazard" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+         |te AS (SELECT MAX(us) AS t_end FROM e),
+         |fs AS (SELECT user_id, MIN(us) AS fs FROM e WHERE event_type = 'signup' GROUP BY user_id),
+         |fp AS (SELECT e.user_id, MIN(e.us) AS fp FROM e JOIN fs ON e.user_id = fs.user_id
+         |  WHERE e.event_type = 'purchase' AND e.us >= fs.fs GROUP BY e.user_id),
+         |u AS (SELECT (fp.fp - fs.fs) // 86400000000 AS conv_off,
+         |    (te.t_end - fs.fs) // 86400000000 AS cens_off
+         |  FROM fs LEFT JOIN fp ON fs.user_id = fp.user_id CROSS JOIN te),
+         |ue AS (SELECT conv_off,
+         |    CASE WHEN conv_off IS NOT NULL THEN LEAST(conv_off, cens_off)
+         |         ELSE cens_off END AS exit_off FROM u),
+         |h AS (SELECT exit_off, CAST(COUNT(*) AS BIGINT) AS n_exit,
+         |    CAST(COUNT(*) FILTER (conv_off = exit_off) AS BIGINT) AS n_events
+         |  FROM ue GROUP BY exit_off),
+         |r AS (SELECT exit_off, n_exit, n_events,
+         |    COALESCE(SUM(n_exit) OVER (ORDER BY exit_off
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS exited_before,
+         |    SUM(n_exit) OVER () AS n_total FROM h)
+         |SELECT exit_off AS day, CAST(n_total - exited_before AS BIGINT) AS at_risk,
+         |  n_events,
+         |  CAST(n_events * 10000 // (n_total - exited_before) AS BIGINT) AS hazard_bp
+         |FROM r WHERE exit_off < $SurvivalDays AND exit_off >= 0 ORDER BY day""".stripMargin,
+    // q156: strict-order anchors (MIN after the previous anchor); the
+    // 3-row readout from one per-user frame.
+    "q156_funnel3" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |fs AS (SELECT user_id, MIN(us) AS fs FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |fv AS (SELECT e.user_id, MIN(e.us) AS fv FROM e JOIN fs ON e.user_id = fs.user_id
+        |  WHERE e.event_type = 'view' AND e.us > fs.fs GROUP BY e.user_id),
+        |fp AS (SELECT e.user_id, MIN(e.us) AS fp FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > fv.fv GROUP BY e.user_id),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0, CAST(COUNT(fv.fv) AS BIGINT) AS n1,
+        |    CAST(COUNT(fp.fp) AS BIGINT) AS n2
+        |  FROM fs LEFT JOIN fv ON fs.user_id = fv.user_id
+        |    LEFT JOIN fp ON fs.user_id = fp.user_id)
+        |SELECT r.* FROM s, LATERAL (
+        |  SELECT 1 AS step_no, 'signup' AS step, n0 AS n_users, CAST(10000 AS BIGINT) AS conv_bp
+        |  UNION ALL SELECT 2, 'view_after_signup', n1, n1 * 10000 // n0
+        |  UNION ALL SELECT 3, 'purchase_after_view', n2, n2 * 10000 // n1) r
+        |ORDER BY step_no""".stripMargin,
     // q101: the q81 SQL with the quantizer-training CTEs (cells +
     // codebook seeds) restricted to the BASE corpus — assignment, encode,
     // and search still span base ∪ delta, exactly the frozen-quantizer

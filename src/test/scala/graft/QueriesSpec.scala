@@ -1211,6 +1211,59 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a b", 2L), (2L, "a b", 1L)))
   }
 
+  test("q154 co-purchase: planted baskets give hand-computed lift") {
+    import spark.implicits._
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (4L, 3L)).toDF("ok", "pk")
+    val out = graft.analytics.PipelineQueries.coPurchaseOf(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // (1,2) in 3 of 4 orders, supports 3·3 → lift 3·4·10⁴/9 = 13333;
+    // (1,3) and (2,3) each once, supports 3·2 → 6666.
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3L, 3L, 3L, 13333L),
+      (1L, 3L, 1L, 3L, 2L, 6666L),
+      (2L, 3L, 1L, 3L, 2L, 6666L)))
+  }
+
+  test("q155 survival: planted cohort yields exact risk sets with censoring") {
+    import spark.implicits._
+    val mkTs = (us: Long) => new java.sql.Timestamp(us / 1000)
+    val day = 86400000000L
+    val rows = Seq(
+      (1L, mkTs(0L), "signup"), (1L, mkTs(2 * day), "purchase"),
+      (2L, mkTs(0L), "signup"), (2L, mkTs(5 * day), "view"), // censored at t_end
+      (3L, mkTs(3 * day), "signup"), (3L, mkTs(3 * day + 1000000L), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.analytics.PipelineQueries.survivalHazardOf(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // day 0: 3 at risk, u3 converts (3333 bp); day 2: 2 at risk, u1
+    // converts (5000 bp); day 5: u2 exits censored, 0 events.
+    assert(out.toSeq == Seq((0L, 3L, 1L, 3333L), (2L, 2L, 1L, 5000L), (5L, 1L, 0L, 0L)))
+  }
+
+  test("q156 three-step funnel: strict ordering gates each step") {
+    import spark.implicits._
+    val mkTs = (us: Long) => new java.sql.Timestamp(us / 1000)
+    val rows = Seq(
+      (1L, mkTs(1000000L), "signup"), (1L, mkTs(2000000L), "view"),
+      (1L, mkTs(3000000L), "purchase"),
+      // u2's purchase lands BETWEEN signup and first view → step 3 unmet.
+      (2L, mkTs(1000000L), "signup"), (2L, mkTs(2000000L), "view"),
+      (2L, mkTs(1500000L), "purchase"),
+      // u3's view precedes signup → step 2 unmet.
+      (3L, mkTs(1000000L), "view"), (3L, mkTs(2000000L), "signup"),
+      // u4 never signs up → not in the funnel.
+      (4L, mkTs(1000000L), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.analytics.PipelineQueries.funnelThreeStepOf(rows)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1, "signup", 3L, 10000L),
+      (2, "view_after_signup", 2L, 6666L),
+      (3, "purchase_after_view", 1L, 5000L)))
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

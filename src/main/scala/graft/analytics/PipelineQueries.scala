@@ -3739,9 +3739,12 @@ object PipelineQueries {
     val fp = e.filter(col("event_type") === "purchase").join(fv, "user_id")
       .filter(col("us") > col("fv"))
       .groupBy(col("user_id")).agg(min(col("us")).as("fp"))
-    // ONE per-user frame → one aggregate: the fs/fv subtrees appear in
-    // several branches with identical canonical plans, so ReuseExchange
-    // collapses the repeated user shuffles.
+    // ONE per-user frame → one aggregate. The fs/fv subtrees recur in
+    // later branches (each anchor re-derives its predecessor); every
+    // branch is a type-filtered scan (predicate pushed to parquet) +
+    // user-keyed aggregate, so the repeated work is the signup/view
+    // slices, never the full corpus. A serving deployment memoizes the
+    // per-user anchor frame instead.
     val scalar = fs
       .join(fv, Seq("user_id"), "left")
       .join(fp, Seq("user_id"), "left")
@@ -3756,6 +3759,158 @@ object PipelineQueries {
           col("n2").as("n_users"), expr("n2 * 10000L div n1").as("conv_bp")))).as("r"))
       .select(col("r.step_no"), col("r.step"), col("r.n_users"), col("r.conv_bp"))
       .orderBy(col("step_no"))
+  }
+
+  /** Mutual nearest neighbors (q157) — the bitext-mining / dataset-pairing
+    * primitive (cf. margin-based mining for parallel corpora): pairs
+    * where each side is the OTHER's top-1 neighbor. Mutuality is the
+    * standard high-precision filter on top of raw top-1 retrieval; the
+    * globally closest pair is always mutual, so the result is never
+    * empty for n ≥ 2. Runs on the vec_id % 10 probe subset (the q33
+    * probe discipline); the rank-1 lists are row-per-point, so the
+    * mutuality self-join is metadata-sized.
+    *
+    * Scale shape: the scoring pass is the q33 broadcast shape (queries
+    * broadcast over one corpus scan, map-side TopKAggregator); at corpus
+    * scale the IVF route (q49/q80) generates the candidates and this
+    * brute pass is its recall oracle. */
+  def mutualNn(spark: SparkSession, dir: String): DataFrame =
+    mutualNnOf(Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 === 0 && col("embedding").isNotNull))
+
+  private[graft] def mutualNnOf(s: DataFrame): DataFrame = {
+    val t1 = Ann.bruteForceTopK(s, s, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    t1.alias("x").join(t1.alias("y"),
+        col("x.query_id") === col("y.neighbor_id") &&
+        col("x.neighbor_id") === col("y.query_id") &&
+        col("x.query_id") < col("x.neighbor_id"))
+      .select(col("x.query_id").as("id_a"), col("x.neighbor_id").as("id_b"),
+        col("x.cosine").as("cosine"))
+      .orderBy(col("id_a"))
+  }
+
+  /** Daily OHLC bars (q158) — the time-series downsampling every metrics
+    * store runs (open/high/low/close per key per bucket): exact
+    * floor-cents, open/close picked by min_by/max_by over the
+    * deterministic (µs, event_id) total order — never a "first row in
+    * file order" nondeterminism. One map-side-combinable aggregate
+    * (min_by/max_by are semigroups), one shuffle on (type, day). */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    ohlcBarsOf(Tables.events(spark, dir))
+
+  private[graft] def ohlcBarsOf(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"), col("event_id"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents").isNotNull)
+      .groupBy(col("event_type"), expr("us div 86400000000L").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("min_by(cents, struct(us, event_id))").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        expr("max_by(cents, struct(us, event_id))").as("close_cents"))
+      .orderBy(col("event_type"), col("day"))
+
+  /** Source-diversity audit (q159) — corpus-mix monitoring without
+    * logarithms: per language, the Simpson concentration Σpᵢ² in exact
+    * basis points (= collision probability of two random docs sharing a
+    * source) and the effective source count N²/Σnᵢ² ×100 — the
+    * integer-exact stand-ins for entropy/perplexity of the source mix.
+    * Two chained map-side-combinable aggregates; arithmetic is BIGINT
+    * (exact to ~4·10⁸ docs per language; past that, lift the squares to
+    * DECIMAL(38,0) — same bound note as q145). */
+  def sourceDiversity(spark: SparkSession, dir: String): DataFrame =
+    sourceDiversityOf(Tables.documents(spark, dir))
+
+  private[graft] def sourceDiversityOf(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_sources"),
+        sum(expr("n * n")).as("ss"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        expr("ss * 10000L div (n_docs * n_docs)").as("simpson_bp"),
+        expr("n_docs * n_docs * 100L div ss").as("eff_sources_x100"))
+      .orderBy(col("lang"))
+
+  /** q162 constants: per-item partner-list truncation (the production
+    * item-kNN index is a top-N similar-items table, not the full pair
+    * matrix) and the evaluated cutoff grid. */
+  private[graft] val RecsPartnerTopN = 10
+  private[graft] val RecsKs = Seq(1, 3, 5)
+
+  /** Offline recommendation backtest (q162) — the eval harness every
+    * recommender ships with: hold out each customer's LATEST order,
+    * train the q154-style co-occurrence model on the REMAINING orders
+    * only (no leakage), recommend by item-kNN (score(candidate) =
+    * Σ over history items of their train co-count, over each item's
+    * top-[[RecsPartnerTopN]] partner list), and report exact
+    * hit-rate@k for k ∈ {1,3,5}. All ranking orders are total
+    * ((score desc, part), (count desc, partner)) so the oracle replays
+    * them exactly.
+    *
+    * Scale shape: train pairs aggregate map-side; the partner-list
+    * truncation is a window over the PAIR frame (partitioned by item) —
+    * the same cut that bounds the history⋈partners fan-out at
+    * |history|·N per customer instead of |history|·deg(item); candidate
+    * scoring and the per-customer top-k are customer-keyed. */
+  def recsBacktest(spark: SparkSession, dir: String): DataFrame =
+    recsBacktestOf(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
+
+  private[graft] def recsBacktestOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ow = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val ord = orders
+      .withColumn("rn", row_number().over(ow))
+      .withColumn("n_orders", count(lit(1)).over(Window.partitionBy("o_custkey")))
+      .filter(col("n_orders") >= 2)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"),
+        (col("rn") === 1).as("holdout"))
+    val baskets = ord.join(lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")), "ok")
+      .select(col("cust"), col("ok"), col("pk"), col("holdout")).distinct()
+    val train = baskets.filter(!col("holdout"))
+    val test = baskets.filter(col("holdout")).select(col("cust"), col("pk")).distinct()
+    // symmetric train co-occurrence, truncated to each item's top-N.
+    val pairs = train.alias("a")
+      .join(train.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("item"), col("b.pk").as("partner"))
+      .agg(count(lit(1)).as("co"))
+    val pw = Window.partitionBy("item").orderBy(col("co").desc, col("partner"))
+    val topPartners = pairs.withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= RecsPartnerTopN)
+      .select(col("item"), col("partner"), col("co"))
+    // history items per customer → candidate scores.
+    val history = train.select(col("cust"), col("pk")).distinct()
+    val cands = history
+      .join(topPartners, col("pk") === col("item"))
+      .groupBy(col("cust"), col("partner"))
+      .agg(sum(col("co")).as("score"))
+      // never recommend something already in the history.
+      .join(history.select(col("cust"), col("pk").as("partner")), Seq("cust", "partner"), "left_anti")
+    val cw = Window.partitionBy("cust").orderBy(col("score").desc, col("partner"))
+    val ranked = cands.withColumn("crn", row_number().over(cw))
+      .filter(col("crn") <= RecsKs.max)
+    // hit@k: any rec with rank <= k inside the holdout basket. ONE
+    // aggregate produces every cutoff's count; the k-rows explode from
+    // the scalar (the q145 readout pattern — no per-k driver actions).
+    val hits = ranked.join(test.withColumnRenamed("pk", "partner"), Seq("cust", "partner"))
+      .groupBy(col("cust")).agg(min(col("crn")).as("best_rank"))
+    val scalar = test.select(col("cust")).distinct()
+      .join(hits, Seq("cust"), "left")
+      .agg(count(lit(1)).as("n_customers"),
+        RecsKs.map(k =>
+          sum(when(col("best_rank") <= k, 1L).otherwise(0L)).as(s"h$k")): _*)
+    scalar
+      .select(explode(array(RecsKs.map(k =>
+        struct(lit(k.toLong).as("k"), col("n_customers"),
+          col(s"h$k").as("n_hits"),
+          expr(s"h$k * 10000L div n_customers").as("hitrate_bp"))): _*)).as("r"))
+      .select(col("r.k"), col("r.n_customers"), col("r.n_hits"), col("r.hitrate_bp"))
+      .orderBy(col("k"))
   }
 
   // ---------------------------------------------------------------------------
@@ -3867,7 +4022,11 @@ object PipelineQueries {
     "q153_phrase_search" -> (phraseSearch _),
     "q154_copurchase" -> (coPurchase _),
     "q155_survival_hazard" -> (survivalHazard _),
-    "q156_funnel3" -> (funnelThreeStep _))
+    "q156_funnel3" -> (funnelThreeStep _),
+    "q157_mutual_nn" -> (mutualNn _),
+    "q158_ohlc_bars" -> (ohlcBars _),
+    "q159_source_diversity" -> (sourceDiversity _),
+    "q162_recs_backtest" -> (recsBacktest _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -4881,6 +5040,89 @@ object PipelineQueries {
         |  UNION ALL SELECT 2, 'view_after_signup', n1, n1 * 10000 // n0
         |  UNION ALL SELECT 3, 'purchase_after_view', n2, n2 * 10000 // n1) r
         |ORDER BY step_no""".stripMargin,
+    // q157: same bit-portable cosine, same (cosine desc, id) rank-1,
+    // mutuality by symmetric self-join.
+    "q157_mutual_nn" ->
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id % 10 = 0),
+         |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${VectorOracles.cosine("a.embedding", "b.embedding")} AS cosine
+         |  FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+         |rk AS (SELECT query_id, neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM sc WHERE cosine IS NOT NULL),
+         |t1 AS (SELECT query_id, neighbor_id, cosine FROM rk WHERE rn = 1)
+         |SELECT x.query_id AS id_a, x.neighbor_id AS id_b, x.cosine AS cosine
+         |FROM t1 x JOIN t1 y
+         |  ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
+         |  AND x.query_id < x.neighbor_id
+         |ORDER BY id_a""".stripMargin,
+    // q158: open/close via row-number endpoints over the identical
+    // (µs, event_id) order; all cents BIGINT.
+    "q158_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE value IS NOT NULL),
+        |d AS (SELECT event_type, us // 86400000000 AS day, us, event_id, cents FROM e),
+        |w AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY us, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY us DESC, event_id DESC) AS rn_z
+        |  FROM d)
+        |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+        |  MAX(cents) AS high_cents, MIN(cents) AS low_cents,
+        |  CAST(MAX(CASE WHEN rn_z = 1 THEN cents END) AS BIGINT) AS close_cents
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q159: identical two-level reduction; all squares BIGINT.
+    "q159_source_diversity" ->
+      """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |a AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |    CAST(SUM(n * n) AS BIGINT) AS ss FROM c GROUP BY lang)
+        |SELECT lang, n_docs, n_sources,
+        |  ss * 10000 // (n_docs * n_docs) AS simpson_bp,
+        |  n_docs * n_docs * 100 // ss AS eff_sources_x100
+        |FROM a ORDER BY lang""".stripMargin,
+    // q162: identical holdout split, truncation, scoring, and cutoff
+    // grid — every constant interpolated from the engine.
+    "q162_recs_backtest" -> {
+      val hitCols = RecsKs.map(k =>
+        s"CAST(SUM(CASE WHEN best_rank <= $k THEN 1 ELSE 0 END) AS BIGINT) AS h$k").mkString(",\n    ")
+      val kRows = RecsKs.map(k =>
+        s"SELECT CAST($k AS BIGINT) AS k, n_customers, h$k AS n_hits, h$k * 10000 // n_customers AS hitrate_bp")
+        .mkString("\n  UNION ALL ")
+      s"""WITH r AS (SELECT o_orderkey AS ok, o_custkey AS cust,
+         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders FROM orders),
+         |ord AS (SELECT ok, cust, rn = 1 AS holdout FROM r WHERE n_orders >= 2),
+         |b AS (SELECT DISTINCT cust, ok, l_partkey AS pk, holdout
+         |  FROM ord JOIN lineitem ON l_orderkey = ok),
+         |tr AS (SELECT * FROM b WHERE NOT holdout),
+         |te AS (SELECT DISTINCT cust, pk FROM b WHERE holdout),
+         |p AS (SELECT a.pk AS item, bb.pk AS partner, CAST(COUNT(*) AS BIGINT) AS co
+         |  FROM tr a JOIN tr bb ON a.ok = bb.ok AND a.pk <> bb.pk GROUP BY 1, 2),
+         |tp AS (SELECT item, partner, co FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY item ORDER BY co DESC, partner) AS prn FROM p)
+         |  WHERE prn <= $RecsPartnerTopN),
+         |h AS (SELECT DISTINCT cust, pk FROM tr),
+         |ca AS (SELECT h.cust, tp.partner, CAST(SUM(tp.co) AS BIGINT) AS score
+         |  FROM h JOIN tp ON h.pk = tp.item GROUP BY 1, 2),
+         |cf AS (SELECT ca.* FROM ca WHERE NOT EXISTS (
+         |    SELECT 1 FROM h WHERE h.cust = ca.cust AND h.pk = ca.partner)),
+         |rk AS (SELECT cust, partner,
+         |    ROW_NUMBER() OVER (PARTITION BY cust ORDER BY score DESC, partner) AS crn FROM cf),
+         |hi AS (SELECT rk.cust, MIN(crn) AS best_rank
+         |  FROM rk JOIN te ON te.cust = rk.cust AND te.pk = rk.partner
+         |  WHERE crn <= ${RecsKs.max} GROUP BY 1),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         |    $hitCols
+         |  FROM (SELECT c.cust, hi.best_rank
+         |    FROM (SELECT DISTINCT cust FROM te) c LEFT JOIN hi ON c.cust = hi.cust))
+         |SELECT kr.* FROM s, LATERAL (
+         |  $kRows) kr
+         |ORDER BY k""".stripMargin
+    },
     // q101: the q81 SQL with the quantizer-training CTEs (cells +
     // codebook seeds) restricted to the BASE corpus — assignment, encode,
     // and search still span base ∪ delta, exactly the frozen-quantizer

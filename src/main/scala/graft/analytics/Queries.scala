@@ -720,6 +720,62 @@ object Queries {
         |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
   }
 
+  /** Exact decimal revenue term shared by q160/q161 (the q48/q01
+    * discipline: sum in DECIMAL, cast the result to double — identical
+    * bits in both engines regardless of aggregation order). */
+  private val decimalRevenue =
+    expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))" +
+      " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)")
+
+  /** Local-supplier volume (q160, the TPC-H Q5 shape) — the classic
+    * 6-table star join: revenue per nation from 1995 ASIA orders where
+    * the CUSTOMER's and SUPPLIER's nation coincide. The canonical test
+    * of join planning: the fact-fact chain (orders⋈lineitem) shuffles on
+    * its keys while supplier/nation/region broadcast, and the
+    * o_orderdate range reaches the orders scan as a pushed filter
+    * (PlanSpec pins both). */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(Tables.orders(spark, dir)
+        .filter(expr("o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'") &&
+          expr("o_orderdate < TIMESTAMP '1996-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(decimalRevenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** Returned-item customer ranking (q161, the TPC-H Q10 shape): lost
+    * revenue per customer from 'R'-flagged lineitems of Q3-1995 orders,
+    * top 20. The returnflag and date predicates are pushed to their
+    * scans; nation broadcasts; the cut is TakeOrdered. */
+  def returnedCustomerRanking(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      .join(Tables.orders(spark, dir)
+        .filter(expr("o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'") &&
+          expr("o_orderdate < TIMESTAMP '1995-10-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(decimalRevenue.as("revenue"),
+        expr("CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)").as("acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   /** As-of (temporal) join: each view event picks up the user's most
     * recent purchase at-or-before it. Spark has no native as-of operator;
     * graft.operators.AsOfJoin composes it with one shuffle + sorted
@@ -939,11 +995,42 @@ object Queries {
     "q52_asof_join" -> (asofViewPurchase _),
     "q53_token_frequency" -> (tokenFrequency _),
     "q54_window_misc" -> (windowMisc _),
-    "q58_range_join" -> (rangeJoinPriceBand _))
+    "q58_range_join" -> (rangeJoinPriceBand _),
+    "q160_local_supplier_volume" -> (localSupplierVolume _),
+    "q161_returned_customers" -> (returnedCustomerRanking _))
 
   val oracle: Map[String, String] = Map(
     // q120 shares the q119 oracle: same pair semantics, same matrix.
     "q120_stream_transitions" -> PipelineQueries.TransitionOracleSql,
+    // q160/q161: identical DECIMAL revenue folds and date windows.
+    "q160_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q161_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     // q151: batch last-writer-wins window — the streaming state must
     // land exactly here or the hash diverges.
     "q151_stream_upsert" ->

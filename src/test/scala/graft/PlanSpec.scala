@@ -603,6 +603,88 @@ class PlanSpec extends AnyFunSuite {
       s"postings must carry hashed term keys:\n$p")
   }
 
+  test("q154: top-20 cut is TakeOrdered and runs BEFORE the lift joins") {
+    val p = planOf("q154_copurchase")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the pair cut must never be a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"),
+      s"the pair counts must combine map-side:\n$p")
+  }
+
+  test("q155: risk sets come from the day-histogram window; signup filter is pushed") {
+    val p = planOf("q155_survival_hazard")
+    assert(p.contains("windowspecdefinition"),
+      s"the running exit sum must be a window over the day histogram:\n$p")
+    assert(p.contains("EqualTo(event_type,signup)"),
+      s"the signup slice must reach the parquet scan as a pushed filter:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("q156: every funnel slice is a pushed type filter; no cartesian") {
+    val p = planOf("q156_funnel3")
+    assert(p.contains("EqualTo(event_type,signup)") &&
+      p.contains("EqualTo(event_type,view)") &&
+      p.contains("EqualTo(event_type,purchase)"),
+      s"each step's slice must reach its scan as a pushed filter:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("q157: rank-1 retrieval is the map-side TopKAggregator over a broadcast scan") {
+    val p = planOf("q157_mutual_nn")
+    assert(p.contains("partial_topkaggregator"),
+      s"top-1 must be the map-side typed aggregator, not a window over all pairs:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the probe subset must broadcast over one corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q158: OHLC is ONE map-side-combinable aggregate — no window, no join") {
+    val p = planOf("q158_ohlc_bars")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"open/close must come from min_by/max_by semigroups, not rank windows:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_min"),
+      s"the bar aggregate must combine map-side:\n$p")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1, p)
+  }
+
+  test("q159: two chained aggregates, one scan, no join") {
+    val p = planOf("q159_source_diversity")
+    assert(!p.contains("Join"), p)
+    assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q160: dims broadcast, the date range reaches the orders scan") {
+    val p = planOf("q160_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the 1995 window must be a pushed parquet filter:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q161: returnflag and date predicates are pushed; the cut is TakeOrdered") {
+    val p = planOf("q161_returned_customers")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"the R-flag slice must reach the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must never be a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q162: partner truncation and per-customer ranks are keyed windows") {
+    val p = planOf("q162_recs_backtest")
+    assert(p.contains("windowspecdefinition(item"),
+      s"the top-N partner cut must be partitioned by item:\n$p")
+    assert(p.contains("windowspecdefinition(cust"),
+      s"the rec rank must be partitioned by customer:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

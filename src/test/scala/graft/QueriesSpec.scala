@@ -1264,6 +1264,70 @@ class QueriesSpec extends AnyFunSuite {
       (3, "purchase_after_view", 1L, 5000L)))
   }
 
+  test("q157 mutual NN: planted colinear pairs are mutual; cross pairs are not") {
+    import spark.implicits._
+    // a∥b and c∥d (cosine exactly 1 within each pair, 0 across) → the
+    // mutual pairs are exactly (1,2) and (3,4).
+    val embs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(2f, 0f)),
+      (3L, Array(0f, 1f)), (4L, Array(0f, 3f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.analytics.PipelineQueries.mutualNnOf(embs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0), (3L, 4L, 1.0)))
+  }
+
+  test("q158 OHLC: open/close follow the (ts, event_id) order, not file order") {
+    import spark.implicits._
+    val mkTs = (us: Long) => new java.sql.Timestamp(us / 1000)
+    // Rows deliberately out of time order; two events share a timestamp
+    // so the event_id tie-break decides close.
+    val rows = Seq(
+      (10L, mkTs(3000000L), "view", 9.0),  // high, also ts-max (tie below)
+      (11L, mkTs(1000000L), "view", 5.0),  // open
+      (12L, mkTs(2000000L), "view", 1.0),  // low
+      (13L, mkTs(3000000L), "view", 4.0))  // same ts as id 10, higher id → close
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = graft.analytics.PipelineQueries.ohlcBarsOf(rows)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(("view", 0L, 4L, 500L, 900L, 100L, 400L)))
+  }
+
+  test("q159 diversity: planted source mix gives exact Simpson numbers") {
+    import spark.implicits._
+    // lang xx: sources A×3, B×1 → ss = 10, simpson = 10·10⁴/16 = 6250,
+    // effective sources = 16·100/10 = 160 (1.6 effective of 2).
+    val docs = Seq((1L, "xx", "A"), (2L, "xx", "A"), (3L, "xx", "A"), (4L, "xx", "B"))
+      .toDF("doc_id", "lang", "source")
+    val out = graft.analytics.PipelineQueries.sourceDiversityOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("xx", 4L, 2L, 6250L, 160L)))
+  }
+
+  test("q162 backtest: planted holdouts hit exactly where the trained partners say") {
+    import spark.implicits._
+    val d1 = new java.sql.Timestamp(1000000L)
+    val d2 = new java.sql.Timestamp(2000000L)
+    // Train: o1{1,2} (c1), o3{1,2} (c2), o5{2,3} (c3) →
+    // co(1,2)=2, co(2,3)=1. Histories: c1/c2={1,2}, c3={2,3}.
+    // Recs: c1,c2 → [3] (score 1); c3 → [1] (score 2).
+    // Holdouts: c1={3} hit, c2={4} miss, c3={1} hit → hit@k 2/3 ∀k.
+    val orders = Seq(
+      (1L, 1L, d1), (2L, 1L, d2),
+      (3L, 2L, d1), (4L, 2L, d2),
+      (5L, 3L, d1), (6L, 3L, d2))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (4L, 4L),
+      (5L, 2L), (5L, 3L), (6L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = graft.analytics.PipelineQueries.recsBacktestOf(orders, li)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 3L, 2L, 6666L), (3L, 3L, 2L, 6666L), (5L, 3L, 2L, 6666L)))
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

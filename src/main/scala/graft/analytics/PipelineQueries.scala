@@ -3533,7 +3533,10 @@ object PipelineQueries {
       s.count()
       s
     }
-    Graph.labelPropagation(symDeg)
+    val labels = graft.SessionMemo.memo(spark, s"q149labels|$dir") {
+      Graph.labelPropagation(symDeg)
+    }
+    labels
       .groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_members"))
       .select(
@@ -3913,6 +3916,296 @@ object PipelineQueries {
       .orderBy(col("k"))
   }
 
+  /** Daily co-movement audit (q163) — does one event type's daily volume
+    * move with another's (error spikes tracking traffic, purchases
+    * tracking views)? Pearson correlation WITHOUT float division or
+    * sqrt: with per-day counts x, y over the n jointly-observed days,
+    *   cov_n  = n·Σxy − Σx·Σy,  varx_n = n·Σx² − (Σx)²  (exact BIGINT),
+    * sign(cov_n) = sign(r), and |r| ≥ ½  ⇔  4·cov_n² ≥ varx_n·vary_n —
+    * the q145 cross-multiply trick, so the strong-co-movement verdict is
+    * bit-portable.
+    *
+    * Scale shape: the corpus collapses to the (day, type) count frame —
+    * days×types rows, METADATA-sized — and everything after (the pair
+    * self-join on day, the pair reduction) runs on that frame. */
+  def dailyCorrelation(spark: SparkSession, dir: String): DataFrame =
+    dailyCorrelationOf(Tables.events(spark, dir))
+
+  private[graft] def dailyCorrelationOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("unix_micros(ts) div 86400000000L").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    daily.alias("a")
+      .join(daily.alias("b"),
+        col("a.day") === col("b.day") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("a.c")).as("sx"), sum(col("b.c")).as("sy"),
+        sum(expr("a.c * a.c")).as("sxx"), sum(expr("b.c * b.c")).as("syy"),
+        sum(expr("a.c * b.c")).as("sxy"))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        expr("n_days * sxy - sx * sy").as("cov_n"),
+        expr("n_days * sxx - sx * sx").as("varx_n"),
+        expr("n_days * syy - sy * sy").as("vary_n"))
+      .select(col("type_a"), col("type_b"), col("n_days"), col("cov_n"),
+        (col("cov_n") > 0).as("positive"),
+        expr("4 * cov_n * cov_n >= varx_n * vary_n AND varx_n > 0 AND vary_n > 0")
+          .as("strong"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** q164 constants: $10 value bins, week-1 vs rest split, drift flag at
+    * TVD ≥ 5%. */
+  private[graft] val DriftBinCents = 1000L
+  private[graft] val DriftSplitDay = 7L
+  private[graft] val DriftTvdBp = 500L
+
+  /** Purchase-value distribution drift (q164) — the data-drift monitor a
+    * serving pipeline runs between a reference window and fresh data:
+    * total-variation distance between the week-1 and rest-of-month
+    * purchase-value histograms ($10 bins), computed EXACTLY in integers
+    * with the common-denominator form
+    *   tvd_bp = 10⁴ · Σᵢ |aᵢ·N₂ − bᵢ·N₁| / (2·N₁·N₂)
+    * (no per-bin float division — the PSI/KL alternatives need ln and
+    * are not bit-portable).
+    *
+    * Scale shape: one pushed-filter scan → (bin, window) count →
+    * bin-count-sized reduction. */
+  def valueDrift(spark: SparkSession, dir: String): DataFrame =
+    valueDriftOf(Tables.events(spark, dir))
+
+  private[graft] def valueDriftOf(events: DataFrame): DataFrame = {
+    val p = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(expr(s"CAST(FLOOR(value * 100) AS BIGINT) div $DriftBinCents").as("bin"),
+        expr("unix_micros(ts) div 86400000000L").as("day"))
+    // reference-window anchor as a broadcast scalar — an OVER () window
+    // here would be a corpus-sized single-partition sort.
+    val d0 = p.agg(min(col("day")).as("d0"))
+    val binned = p.crossJoin(broadcast(d0))
+      .select(col("bin"), (col("day") - col("d0") < DriftSplitDay).as("week1"))
+    val h = binned.groupBy(col("bin"))
+      .agg(sum(when(col("week1"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("week1"), 1L).otherwise(0L)).as("b"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    h
+      .withColumn("n1", sum(col("a")).over(wAll))
+      .withColumn("n2", sum(col("b")).over(wAll))
+      .agg(count(lit(1)).as("n_bins"),
+        min(col("n1")).as("n_week1"), min(col("n2")).as("n_rest"),
+        sum(expr("abs(a * n2 - b * n1)")).as("num"))
+      .select(col("n_bins"), col("n_week1"), col("n_rest"),
+        expr("num * 10000L div (2 * n_week1 * n_rest)").as("tvd_bp"))
+      .withColumn("drifted", col("tvd_bp") >= DriftTvdBp)
+  }
+
+  /** Weekly seasonality profile (q165) — the (day-of-week × hour) load
+    * matrix capacity planning and anomaly baselines read: exact counts,
+    * share of total in bp, and a peak flag at ≥ 2× the uniform share.
+    * Day-of-week is pure epoch arithmetic ((day+3) mod 7, Monday = 0 —
+    * 1970-01-01 was a Thursday) so both engines agree without calendar
+    * functions. One map-side-combinable aggregate to 168 rows. */
+  def seasonalityProfile(spark: SparkSession, dir: String): DataFrame =
+    seasonalityProfileOf(Tables.events(spark, dir))
+
+  private[graft] def seasonalityProfileOf(events: DataFrame): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    events
+      .select(expr("unix_micros(ts) div 86400000000L").as("day_id"),
+        expr("(unix_micros(ts) div 3600000000L) % 24").as("hour"))
+      .groupBy(expr("(day_id + 3) % 7").as("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("total", sum(col("n_events")).over(wAll))
+      .select(col("dow"), col("hour"), col("n_events"),
+        expr("n_events * 10000L div total").as("share_bp"),
+        expr("n_events * 168L >= 2L * total").as("peak"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  /** Session trajectory export (q166) — the "agent trajectory" /
+    * clickstream serialization step of a behavioral training pipeline:
+    * each multi-event session (q23's 30-minute gap rule) becomes ONE
+    * ordered record — `type@offset_s` tokens joined in the deterministic
+    * (µs, event_id) order — ready to tokenize. Offsets are
+    * session-relative seconds, so the string is stable across time
+    * shifts of the whole session.
+    *
+    * Scale shape: one user-keyed shuffle shared by the gap window and
+    * the session aggregate; per-session state is the session's own
+    * events (array_sort over a collected struct list — bounded by
+    * session length, the same bound any sessionizer carries). */
+  def sessionExport(spark: SparkSession, dir: String): DataFrame =
+    sessionExportOf(Tables.events(spark, dir))
+
+  private[graft] def sessionExportOf(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) >= 1800000000L ||
+          lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("start_us"), count(lit(1)).as("n_events"),
+        expr("(max(us) - min(us)) div 1000000L").as("duration_s"),
+        collect_list(struct(col("us"), col("event_id"), col("event_type"))).as("evs"))
+      .filter(col("n_events") >= 2)
+      .select(col("user_id"), col("start_us"), col("n_events"), col("duration_s"),
+        expr("array_join(transform(array_sort(evs)," +
+          " x -> concat(x.event_type, '@', CAST((x.us - start_us) div 1000000L AS STRING))), ' ')")
+          .as("trajectory"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** Right-to-be-forgotten purge (q167) — the GDPR deletion job every
+    * event store runs, composed from in-repo parts: tombstone list =
+    * q148's burst-bot flags (a deterministic stand-in for a deletion
+    * queue), purge = key-only anti-join rewrite of the published table,
+    * audit = counts + portable content hash computed FROM THE REWRITTEN
+    * FILES (the oracle computes the same from the source table — hash
+    * equality proves the rewrite removed exactly the flagged users'
+    * events and nothing else).
+    *
+    * Scale shape: the tombstone frame is key-only (broadcast at any
+    * realistic deletion-queue size); the rewrite is one anti-join scan;
+    * the audit is one aggregate over the rewritten table. Memoized per
+    * (session, dir) like the other maintenance rows (q99/q105). */
+  def gdprPurge(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.memo(spark, s"q167|$dir") {
+      gdprPurgeOf(Tables.events(spark, dir))
+    }
+
+  private[graft] def gdprPurgeOf(events: DataFrame): DataFrame = {
+      val spark = events.sparkSession
+      val work = java.nio.file.Files.createTempDirectory("graft_purge").toString
+      val tombstones = botDetectionOf(events)
+        .filter(col("is_bot")).select(col("user_id"))
+      events
+        .join(broadcast(tombstones), Seq("user_id"), "left_anti")
+        .write.parquet(s"$work/events_purged")
+      val after = spark.read.parquet(s"$work/events_purged")
+      val idHash = graft.functions.PortableHashFunctions
+        .md5_token_hashes(array(col("event_id").cast("string")), bits = 31)
+        .getItem(0)
+      val beforeCounts = events.agg(count(lit(1)).as("n_before"))
+      val flagged = tombstones.agg(count(lit(1)).as("n_users_flagged"))
+      after
+        .agg(count(lit(1)).as("n_after"), sum(idHash).as("sum_id_hash_after"),
+          sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("n_valued_after"))
+        .crossJoin(broadcast(beforeCounts))
+        .crossJoin(broadcast(flagged))
+        .select(col("n_users_flagged"), col("n_before"),
+          expr("n_before - n_after").as("n_removed"),
+          col("n_after"), col("n_valued_after"), col("sum_id_hash_after"))
+    }
+
+  /** RFM scoring (q168) — the classic customer-feature block (recency /
+    * frequency / monetary) with EXACT quintile scores: each dimension
+    * ranks all users by (metric, user_id) and scores with the q144 rule
+    * (rank−1)·5 div n (NTILE's remainder placement differs between
+    * engines — this rule is total and portable). Output: per-user R/F/M
+    * raw values + 1..5 scores + the combined segment code.
+    *
+    * Scale shape: one user-keyed reduction; the three rank windows run
+    * over the USER-sized frame. Full-corpus user frames at web scale
+    * shard the rank exactly like q144's PrefixSum — noted, not needed at
+    * the user cardinality any single product has. */
+  def rfmScores(spark: SparkSession, dir: String): DataFrame =
+    rfmScoresOf(Tables.events(spark, dir))
+
+  private[graft] def rfmScoresOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = events
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        (col("event_type") === "purchase").as("isp"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("us")).as("last_us"),
+        sum(when(col("isp"), 1L).otherwise(0L)).as("frequency"),
+        sum(when(col("isp"), col("cents")).otherwise(0L)).as("monetary_cents"))
+    val tEnd = per.agg(max(col("last_us")).as("t_end"))
+    val base = per.crossJoin(broadcast(tEnd))
+      .select(col("user_id"),
+        expr("(t_end - last_us) div 86400000000L").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val n = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def quint(metric: String): org.apache.spark.sql.Column =
+      expr(s"(rk_$metric - 1L) * 5L div n_users + 1L")
+    val ranked = base
+      .withColumn("rk_recency_days", row_number().over(
+        Window.orderBy(col("recency_days").asc, col("user_id"))).cast("long"))
+      .withColumn("rk_frequency", row_number().over(
+        Window.orderBy(col("frequency").desc, col("user_id"))).cast("long"))
+      .withColumn("rk_monetary_cents", row_number().over(
+        Window.orderBy(col("monetary_cents").desc, col("user_id"))).cast("long"))
+      .withColumn("n_users", count(lit(1)).over(n))
+    ranked
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary_cents"),
+        quint("recency_days").as("r_score"),
+        quint("frequency").as("f_score"),
+        quint("monetary_cents").as("m_score"))
+      .withColumn("segment", expr("r_score * 100L + f_score * 10L + m_score"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Longest daily activity streak (q169) — the gaps-and-islands
+    * classic, exactly: per user the maximal run of CONSECUTIVE active
+    * days (island key = day − dense-rank, constant within a run), plus
+    * active-day count. One user-keyed reduction to distinct days; the
+    * windows run over the (user, day) incidence frame. */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame =
+    activityStreaksOf(Tables.events(spark, dir))
+
+  private[graft] def activityStreaksOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("day"))
+    events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000L").as("day"))
+      .distinct()
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start_day"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("active_days"),
+        max(col("len")).as("longest_streak"),
+        expr("max_by(streak_start_day, struct(len, -streak_start_day))").as("best_streak_start"))
+      .orderBy(col("user_id"))
+  }
+
+  /** kNN label probe (q170) — the standard representation-quality eval
+    * (linear/kNN probing of embedding spaces): hold out every 20th
+    * vector (the q142 split), predict its label from its top-1 train
+    * neighbor (bit-portable cosine, (cosine desc, id) tie-break), and
+    * report per-label accuracy in exact bp. The broadcast + map-side
+    * TopKAggregator scoring shape; label joins are id-keyed. */
+  def knnLabelEval(spark: SparkSession, dir: String): DataFrame =
+    knnLabelEvalOf(Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && col("label").isNotNull))
+
+  private[graft] def knnLabelEvalOf(embs: DataFrame): DataFrame = {
+    val probes = embs.filter(col("vec_id") % 20 === 0)
+    val train = embs.filter(col("vec_id") % 20 =!= 0)
+    Ann.bruteForceTopK(probes, train, "vec_id", "embedding", k = 1)
+      .join(probes.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        "query_id")
+      .join(train.select(col("vec_id").as("neighbor_id"), col("label").as("pred_label")),
+        "neighbor_id")
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("true_label").as("label"), col("n_probes"), col("n_correct"),
+        expr("n_correct * 10000L div n_probes").as("acc_bp"))
+      .orderBy(col("label"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4026,7 +4319,15 @@ object PipelineQueries {
     "q157_mutual_nn" -> (mutualNn _),
     "q158_ohlc_bars" -> (ohlcBars _),
     "q159_source_diversity" -> (sourceDiversity _),
-    "q162_recs_backtest" -> (recsBacktest _))
+    "q162_recs_backtest" -> (recsBacktest _),
+    "q163_daily_correlation" -> (dailyCorrelation _),
+    "q164_value_drift" -> (valueDrift _),
+    "q165_seasonality" -> (seasonalityProfile _),
+    "q166_session_export" -> (sessionExport _),
+    "q167_gdpr_purge" -> (gdprPurge _),
+    "q168_rfm_scores" -> (rfmScores _),
+    "q169_activity_streaks" -> (activityStreaks _),
+    "q170_knn_label_eval" -> (knnLabelEval _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -5123,6 +5424,147 @@ object PipelineQueries {
          |  $kRows) kr
          |ORDER BY k""".stripMargin
     },
+    // q163: identical integer moment sums and cross-multiplied verdicts.
+    "q163_daily_correlation" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(a.c) AS BIGINT) AS sx, CAST(SUM(b.c) AS BIGINT) AS sy,
+        |    CAST(SUM(a.c * a.c) AS BIGINT) AS sxx, CAST(SUM(b.c * b.c) AS BIGINT) AS syy,
+        |    CAST(SUM(a.c * b.c) AS BIGINT) AS sxy
+        |  FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |m AS (SELECT type_a, type_b, n_days,
+        |    n_days * sxy - sx * sy AS cov_n,
+        |    n_days * sxx - sx * sx AS varx_n,
+        |    n_days * syy - sy * sy AS vary_n FROM p)
+        |SELECT type_a, type_b, n_days, cov_n, cov_n > 0 AS positive,
+        |  (4 * cov_n * cov_n >= varx_n * vary_n AND varx_n > 0 AND vary_n > 0) AS strong
+        |FROM m ORDER BY type_a, type_b""".stripMargin,
+    // q164: same bins, same split anchor, same common-denominator TVD.
+    "q164_value_drift" ->
+      s"""WITH p AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) // $DriftBinCents AS bin,
+         |    epoch_us(ts) // 86400000000 AS day FROM events
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |d0 AS (SELECT MIN(day) AS d0 FROM p),
+         |b AS (SELECT bin, (day - d0.d0 < $DriftSplitDay) AS week1 FROM p CROSS JOIN d0),
+         |h AS (SELECT bin,
+         |    CAST(SUM(CASE WHEN week1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN week1 THEN 0 ELSE 1 END) AS BIGINT) AS b FROM b GROUP BY bin),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |    CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2,
+         |    CAST(SUM(abs(a * (SELECT SUM(b) FROM h) - b * (SELECT SUM(a) FROM h))) AS BIGINT) AS num
+         |  FROM h)
+         |SELECT n_bins, n1 AS n_week1, n2 AS n_rest,
+         |  num * 10000 // (2 * n1 * n2) AS tvd_bp,
+         |  num * 10000 // (2 * n1 * n2) >= $DriftTvdBp AS drifted
+         |FROM t""".stripMargin,
+    // q165: identical epoch-arithmetic dow ((day+3) mod 7, Monday=0).
+    "q165_seasonality" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_id,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour FROM events),
+        |h AS (SELECT (day_id + 3) % 7 AS dow, hour,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events FROM e GROUP BY 1, 2),
+        |t AS (SELECT SUM(n_events) AS total FROM h)
+        |SELECT dow, hour, n_events,
+        |  CAST(n_events * 10000 // t.total AS BIGINT) AS share_bp,
+        |  n_events * 168 >= 2 * t.total AS peak
+        |FROM h CROSS JOIN t ORDER BY dow, hour""".stripMargin,
+    // q166: identical gap rule, order, and token serialization
+    // (string_agg with the same ORDER BY).
+    "q166_session_export" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+        |m AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+        |      OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
+        |s2 AS (SELECT *, MIN(us) OVER (PARTITION BY user_id, sid) AS sstart FROM s),
+        |g AS (SELECT user_id, sid, CAST(MIN(us) AS BIGINT) AS start_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_s,
+        |    string_agg(event_type || '@' || CAST((us - sstart) // 1000000 AS VARCHAR),
+        |      ' ' ORDER BY us, event_id) AS trajectory
+        |  FROM s2 GROUP BY user_id, sid)
+        |SELECT user_id, start_us, n_events, duration_s, trajectory
+        |FROM g WHERE n_events >= 2 ORDER BY user_id, start_us""".stripMargin,
+    // q167: the audit recomputed from the SOURCE table with the same
+    // q148 bot rule — equality proves the rewrite was exact.
+    "q167_gdpr_purge" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+         |g AS (SELECT user_id,
+         |    us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+         |  FROM e),
+         |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+         |    CAST(COUNT(*) FILTER (gap_us <= $BotFastGapUs) AS BIGINT) AS n_fast
+         |  FROM g GROUP BY user_id),
+         |bots AS (SELECT user_id FROM a WHERE n_gaps > 0
+         |  AND n_events >= $BotMinEvents AND n_fast * 10000 // n_gaps >= $BotFastBp),
+         |kept AS (SELECT * FROM events WHERE user_id NOT IN (SELECT user_id FROM bots))
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bots) AS n_users_flagged,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_before,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+         |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_removed,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_after,
+         |  (SELECT CAST(COUNT(*) FILTER (value IS NOT NULL) AS BIGINT) FROM kept) AS n_valued_after,
+         |  (SELECT CAST(SUM(${graft.functions.Md5Hash.duckH31("CAST(event_id AS VARCHAR)")}) AS BIGINT)
+         |    FROM kept) AS sum_id_hash_after""".stripMargin,
+    // q168: identical rank orders and the (rank−1)·5 div n quintile rule.
+    "q168_rfm_scores" ->
+      """WITH per AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS frequency,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS monetary_cents
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT MAX(last_us) AS t_end FROM per),
+        |base AS (SELECT user_id, (t.t_end - last_us) // 86400000000 AS recency_days,
+        |    frequency, monetary_cents FROM per CROSS JOIN t),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY recency_days ASC, user_id) AS rk_r,
+        |    ROW_NUMBER() OVER (ORDER BY frequency DESC, user_id) AS rk_f,
+        |    ROW_NUMBER() OVER (ORDER BY monetary_cents DESC, user_id) AS rk_m,
+        |    COUNT(*) OVER () AS n FROM base)
+        |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, frequency, monetary_cents,
+        |  CAST((rk_r - 1) * 5 // n + 1 AS BIGINT) AS r_score,
+        |  CAST((rk_f - 1) * 5 // n + 1 AS BIGINT) AS f_score,
+        |  CAST((rk_m - 1) * 5 // n + 1 AS BIGINT) AS m_score,
+        |  CAST(((rk_r - 1) * 5 // n + 1) * 100 + ((rk_f - 1) * 5 // n + 1) * 10
+        |    + ((rk_m - 1) * 5 // n + 1) AS BIGINT) AS segment
+        |FROM r ORDER BY user_id""".stripMargin,
+    // q169: the same island key (day − row-number) and tie rules.
+    "q169_activity_streaks" ->
+      """WITH inc AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island FROM inc),
+        |runs AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+        |    CAST(MIN(day) AS BIGINT) AS sd FROM i GROUP BY 1, 2),
+        |best AS (SELECT user_id, sd,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, sd ASC) AS rn FROM runs),
+        |a AS (SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days,
+        |    CAST(MAX(len) AS BIGINT) AS longest_streak FROM runs GROUP BY user_id)
+        |SELECT a.user_id, a.active_days, a.longest_streak, b.sd AS best_streak_start
+        |FROM a JOIN best b ON a.user_id = b.user_id AND b.rn = 1
+        |ORDER BY a.user_id""".stripMargin,
+    // q170: same split, same bit-portable cosine rank-1, label joins.
+    "q170_knn_label_eval" ->
+      s"""WITH em AS (SELECT vec_id, embedding, label FROM embeddings
+         |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |pr AS (SELECT * FROM em WHERE vec_id % 20 = 0),
+         |tr AS (SELECT * FROM em WHERE vec_id % 20 <> 0),
+         |sc AS (SELECT pr.vec_id AS query_id, tr.vec_id AS neighbor_id,
+         |    tr.label AS pred_label, pr.label AS true_label,
+         |    ${VectorOracles.cosine("pr.embedding", "tr.embedding")} AS cosine
+         |  FROM pr JOIN tr ON pr.vec_id <> tr.vec_id),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM sc WHERE cosine IS NOT NULL)
+         |SELECT true_label AS label, CAST(COUNT(*) AS BIGINT) AS n_probes,
+         |  CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) * 10000
+         |    // CAST(COUNT(*) AS BIGINT) AS acc_bp
+         |FROM rk WHERE rn = 1 GROUP BY true_label ORDER BY label""".stripMargin,
     // q101: the q81 SQL with the quantizer-training CTEs (cells +
     // codebook seeds) restricted to the BASE corpus — assignment, encode,
     // and search still span base ∪ delta, exactly the frozen-quantizer

@@ -103,6 +103,14 @@ object Graph {
     var labels = symDeg.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to iters) {
+      // Each round reads `labels` TWICE (neighbor join + self union).
+      // Without the persist the lineage doubles per round — 2^k copies
+      // of the seed plan by round k, the classic iterative-DataFrame
+      // trap (PageRank reads its rank frame once, so it never hits
+      // this). Persisting the node-sized frame truncates the recursion;
+      // the caches materialize lazily inside the consumer's single
+      // action. Caller owns the lifetime (q149 memoizes per session —
+      // one cached chain per (session, dir), like the q139 edge list).
       labels = symDeg
         .select(col("src"), col("dst"))
         .join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -110,6 +118,7 @@ object Graph {
         .union(labels)
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     labels
   }

@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions._
   * banding sweep's persisted signature matrix + broadcast verified
   * pairs (q131) and the shared incidence cache + date fan-out (q137):
   * persisted partitions live ON the executors here, so a cache that
-  * only worked because storage and driver shared a heap would diverge. Content hashes must equal a plain `local[4]` run in the same
+  * only worked because storage and driver shared a heap would diverge.
+  * The continuation session adds three more: iterative fixed-point
+  * PageRank over a persisted src-partitioned edge list (q139 — each
+  * iteration's join reads executor-resident cache blocks), the
+  * broadcast phrase frame + positional-postings intersection (q153),
+  * and the recommendation backtest's window/anti-join/explode chain
+  * (q162). Content hashes must equal a plain `local[4]` run in the same
   * JVM (contexts run sequentially, as in [[SpillCheck]]).
   *
   * A standalone main: the master URL is fixed at context creation. Run:
@@ -36,7 +42,8 @@ object ClusterCheck {
   private val Queries = Seq(
     "q01_pricing_summary", "q27_minhash_neardup", "q80_ann_ivfpq",
     "q86_kmeans_inertia", "q102_training_shards", "q106_scd2_merge",
-    "q131_lsh_banding_sweep", "q137_rolling_active")
+    "q131_lsh_banding_sweep", "q137_rolling_active",
+    "q139_pagerank", "q153_phrase_search", "q162_recs_backtest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -685,6 +685,58 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q163: the pair join runs on the metadata-sized daily-count frame") {
+    val p = planOf("q163_daily_correlation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"),
+      s"daily counts must combine map-side before the pair join:\n$p")
+  }
+
+  test("q164: purchase slice is pushed; the split anchor broadcasts") {
+    val p = planOf("q164_value_drift")
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      s"the purchase slice must reach the scan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row day anchor must broadcast, not re-sort the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q165: one scan, no join — totals ride the 168-row frame's window") {
+    val p = planOf("q165_seasonality")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q166: one scan; gap window and session aggregate share the user partitioning") {
+    val p = planOf("q166_session_export")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q168: quintile windows run over the user-sized frame; no cartesian blowup") {
+    val p = planOf("q168_rfm_scores")
+    assert(p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"),
+      s"the per-user reduction must combine map-side:\n$p")
+  }
+
+  test("q169: islands come from a user-partitioned window over distinct days") {
+    val p = planOf("q169_activity_streaks")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q170: probe scoring is the broadcast + map-side TopKAggregator shape") {
+    val p = planOf("q170_knn_label_eval")
+    assert(p.contains("partial_topkaggregator"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

@@ -1328,6 +1328,131 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L, 2L, 6666L), (3L, 3L, 2L, 6666L), (5L, 3L, 2L, 6666L)))
   }
 
+  test("q163 correlation: planted perfect co-movement and anti-movement flag correctly") {
+    import spark.implicits._
+    val mkTs = (us: Long) => new java.sql.Timestamp(us / 1000)
+    val day = 86400000000L
+    // Daily counts over 3 days: X = 1,2,3; Y = 2,4,6 (r = +1); Z = 3,2,1 (r = −1 vs X).
+    def burst(t: String, d: Long, n: Int) =
+      (1 to n).map(i => (t, mkTs(d * day + i * 1000000L)))
+    val rows = burst("X", 0, 1) ++ burst("X", 1, 2) ++ burst("X", 2, 3) ++
+      burst("Y", 0, 2) ++ burst("Y", 1, 4) ++ burst("Y", 2, 6) ++
+      burst("Z", 0, 3) ++ burst("Z", 1, 2) ++ burst("Z", 2, 1)
+    val events = rows.toDF("event_type", "ts")
+    val out = graft.analytics.PipelineQueries.dailyCorrelationOf(events)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      ("X", "Y", 3L, true, true),   // r = +1: positive, strong
+      ("X", "Z", 3L, false, true),  // r = −1: negative, strong
+      ("Y", "Z", 3L, false, true)))
+  }
+
+  test("q164 drift: disjoint planted histograms read TVD = 100%") {
+    import spark.implicits._
+    val mkTs = (us: Long) => new java.sql.Timestamp(us / 1000)
+    val day = 86400000000L
+    // Week-1 purchases all in bin 0 ($5), rest all in bin 1 ($15).
+    val rows = (1 to 4).map(i => (mkTs(i * 1000000L), "purchase", 5.0)) ++
+      (1 to 6).map(i => (mkTs(10 * day + i * 1000000L), "purchase", 15.0))
+    val events = rows.toDF("ts", "event_type", "value")
+    val out = graft.analytics.PipelineQueries.valueDriftOf(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq((2L, 4L, 6L, 10000L, true)))
+  }
+
+  test("q165 seasonality: planted load concentrates where planted") {
+    import spark.implicits._
+    val mkTs = (us: Long) => new java.sql.Timestamp(us / 1000)
+    val day = 86400000000L
+    // day_id 0 = 1970-01-01 = Thursday → dow (0+3)%7 = 3; day_id 4 → Monday (0).
+    val rows = (1 to 10).map(i => mkTs(5 * 3600000000L + i * 1000L)) ++
+      (1 to 2).map(i => mkTs(4 * day + i * 1000L))
+    val out = graft.analytics.PipelineQueries.seasonalityProfileOf(rows.map(Tuple1(_)).toDF("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 1666L, true),
+      (3L, 5L, 10L, 8333L, true)))
+  }
+
+  test("q166 export: planted session serializes in order; singletons drop") {
+    import spark.implicits._
+    val mkTs = (us: Long) => new java.sql.Timestamp(us / 1000)
+    val rows = Seq(
+      (1L, mkTs(0L), 1L, "view"), (1L, mkTs(10000000L), 2L, "click"),
+      (1L, mkTs(15000000L), 3L, "purchase"),
+      // 40-minute gap → new session, singleton → dropped.
+      (1L, mkTs(2415000000L), 4L, "view"),
+      (2L, mkTs(0L), 5L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.analytics.PipelineQueries.sessionExportOf(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq((1L, 0L, 3L, 15L, "view@0 click@10 purchase@15")))
+  }
+
+  test("q167 purge: planted bot's events are removed exactly; survivors hash-match") {
+    import spark.implicits._
+    val mkTs = (us: Long) => new java.sql.Timestamp(us / 1000)
+    // user 1: 25 events 60 s apart → bot. user 2: 30 events 1 h apart → kept.
+    val rows =
+      (0 until 25).map(i => (1L, mkTs(i * 60000000L), i.toLong, "click", 1.0)) ++
+      (0 until 30).map(i => (2L, mkTs(i * 3600000000L), (100 + i).toLong, "view", 2.0))
+    val events = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = graft.analytics.PipelineQueries.gdprPurgeOf(events).head()
+    val expectedHash = (100 until 130)
+      .map(i => graft.functions.Md5Hash.h31(i.toString.getBytes)).sum
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4), out.getLong(5)) == (1L, 55L, 25L, 30L, 30L, expectedHash))
+  }
+
+  test("q168 RFM: five planted users score one quintile each") {
+    import spark.implicits._
+    val mkTs = (us: Long) => new java.sql.Timestamp(us / 1000)
+    val day = 86400000000L
+    // user u has its last purchase at day u with u purchases of $u.
+    val rows = (1L to 5L).flatMap { u =>
+      (1L to u).map(i => (u, mkTs(u * day + i * 1000000L), "purchase", u.toDouble))
+    }
+    val events = rows.toDF("user_id", "ts", "event_type", "value")
+    val out = graft.analytics.PipelineQueries.rfmScoresOf(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // recency: user 5 most recent (score 1 ascending rank → 1 is best-ranked
+    // bucket); frequency/monetary: user 5 highest → score 1.
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, 100L, 5L, 5L, 5L, 555L),
+      (2L, 3L, 2L, 400L, 4L, 4L, 4L, 444L),
+      (3L, 2L, 3L, 900L, 3L, 3L, 3L, 333L),
+      (4L, 1L, 4L, 1600L, 2L, 2L, 2L, 222L),
+      (5L, 0L, 5L, 2500L, 1L, 1L, 1L, 111L)))
+  }
+
+  test("q169 streaks: planted islands give exact run lengths") {
+    import spark.implicits._
+    val mkTs = (us: Long) => new java.sql.Timestamp(us / 1000)
+    val day = 86400000000L
+    val rows = Seq(0L, 1L, 2L, 5L, 6L).map(d => (1L, mkTs(d * day + 1000L))) ++
+      Seq((2L, mkTs(3 * day + 1000L)))
+    val out = graft.analytics.PipelineQueries.activityStreaksOf(rows.toDF("user_id", "ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 5L, 3L, 0L), (2L, 1L, 1L, 3L)))
+  }
+
+  test("q170 kNN probe: planted clusters classify by their nearest neighbor") {
+    import spark.implicits._
+    // probes = ids % 20 == 0. id 0 (label 1) sits among label-1 train
+    // vectors; id 20 (label 2) among label-2; id 40 (label 1) is
+    // closest to a label-2 train vector → misclassified.
+    val embs = Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(0.9f, 0.1f), 1),
+      (20L, Array(0f, 1f), 2), (21L, Array(0.1f, 0.9f), 2),
+      (40L, Array(0.2f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.analytics.PipelineQueries.knnLabelEvalOf(embs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, 2L, 1L, 5000L), (2, 1L, 1L, 10000L)))
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -4206,6 +4206,224 @@ object PipelineQueries {
       .orderBy(col("label"))
   }
 
+  /** Sliding sketch-merged WAU (q171) — the 100 TB form of q137's exact
+    * rolling distinct: ONE DataSketches HLL sketch per day (lgK = 14,
+    * mergeable), the 7-day window a SKETCH UNION over 7 day-rows — at
+    * scale this replaces the 7× user fan-out with constant-size state
+    * per day, the shape every metrics store actually ships. The sketch
+    * estimate is merge-order-specific, so the oracle checks the q42
+    * bounded-claim way: the engine emits the EXACT WAU next to a
+    * within-5% boolean (lgK = 14 ⇒ rel. σ ≈ 0.8%), the oracle emits
+    * exact + TRUE — sketch drift breaks the hash.
+    *
+    * Scale shape: per-day sketches are a map-side-combinable aggregate;
+    * the union window runs over the day-count-sized sketch frame; the
+    * exact twin (audit-only) is the q137 fan-out. */
+  def slidingHllWau(spark: SparkSession, dir: String): DataFrame =
+    slidingHllWauOf(Tables.events(spark, dir))
+
+  private[graft] def slidingHllWauOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inc = events
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"), col("user_id"))
+      .distinct()
+    val daily = inc.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    val est = daily
+      .withColumn("wsk", expr("hll_union_agg(sk, false)").over(w))
+      .select(col("day"), expr("hll_sketch_estimate(wsk)").as("wau_est"))
+    val exact = inc
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .join(inc.select(col("day")).distinct(), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau_exact"))
+    est.join(exact, "day")
+      .select(col("day"), col("wau_exact"),
+        (abs(col("wau_est") - col("wau_exact")).cast("double") / col("wau_exact") <= 0.05)
+          .as("within_bound"))
+      .orderBy(col("day"))
+  }
+
+  /** A/B funnel readout (q172) — q145's hash arms composed with q89's
+    * signup→purchase-within-1h funnel: per arm, funnel conversion with
+    * the same exact integer chi-square verdict. The experimentation
+    * platform's bread-and-butter report, built from two already-proven
+    * parts; one user-keyed funnel pass, one 2×2 scalar, arm rows
+    * exploded (no join — the q145 shape). */
+  def abFunnel(spark: SparkSession, dir: String): DataFrame =
+    abFunnelOf(Tables.events(spark, dir))
+
+  private[graft] def abFunnelOf(events: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val e = events.select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_type"))
+    val fs = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("fs"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(fs, "user_id")
+      .filter(col("us") > col("fs") && col("us") <= col("fs") + 3600000000L)
+      .select(col("user_id")).distinct()
+      .withColumn("conv", lit(1L))
+    val users = fs
+      .join(conv, Seq("user_id"), "left")
+      .select(
+        coalesce(col("conv"), lit(0L)).as("conv"),
+        when(element_at(md5_token_hashes(array(col("user_id").cast("string")), 31), 1) % 2L === 0L,
+          "control").otherwise("treatment").as("variant"))
+    val scalar = users.agg(
+      sum(when(col("variant") === "control", col("conv")).otherwise(0L)).as("a"),
+      sum(when(col("variant") === "control", lit(1L) - col("conv")).otherwise(0L)).as("b"),
+      sum(when(col("variant") === "treatment", col("conv")).otherwise(0L)).as("c"),
+      sum(when(col("variant") === "treatment", lit(1L) - col("conv")).otherwise(0L)).as("d"))
+    scalar
+      .select(
+        explode(array(
+          struct(lit("control").as("variant"), expr("a + b").as("n_signup_users"),
+            col("a").as("n_converted")),
+          struct(lit("treatment").as("variant"), expr("c + d").as("n_signup_users"),
+            col("c").as("n_converted")))).as("r"),
+        expr("c * 10000L div (c + d) - a * 10000L div (a + b)").as("lift_bp"),
+        (expr("CAST(1000 AS DECIMAL(38,0)) * CAST(a + b + c + d AS DECIMAL(38,0))" +
+          " * CAST(a * d - b * c AS DECIMAL(38,0)) * CAST(a * d - b * c AS DECIMAL(38,0))") >=
+          expr("CAST(3841 AS DECIMAL(38,0)) * CAST(a + b AS DECIMAL(38,0))" +
+            " * CAST(c + d AS DECIMAL(38,0)) * CAST(a + c AS DECIMAL(38,0))" +
+            " * CAST(b + d AS DECIMAL(38,0))")).as("significant_95"))
+      .select(col("r.variant"), col("r.n_signup_users"), col("r.n_converted"),
+        expr("r.n_converted * 10000L div r.n_signup_users").as("conv_bp"),
+        col("lift_bp"), col("significant_95"))
+      .orderBy(col("variant"))
+  }
+
+  /** Shipping-lag analysis (q173) — the order-fulfilment temporal audit:
+    * per order priority, the distribution of (l_shipdate − o_orderdate)
+    * in whole days — exact mean, min/max, and the lower median ranked
+    * over the BOUNDED lag histogram (the q113/q136 discipline: windows
+    * only ever see histogram rows, never lineitem rows). */
+  def shipLag(spark: SparkSession, dir: String): DataFrame =
+    shipLagOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  private[graft] def shipLagOf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    val o = orders
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val lag = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        expr("(unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
+          " - unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000L").as("lag_days"))
+    val hist = lag.groupBy(col("priority"), col("lag_days")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("priority").orderBy(col("lag_days"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("priority")
+    hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("s", sum(expr("lag_days * c")).over(wAll))
+      .withColumn("mn", min(col("lag_days")).over(wAll))
+      .withColumn("mx", max(col("lag_days")).over(wAll))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("priority"))
+      .agg(min(col("n")).as("n_lineitems"),
+        min(col("lag_days")).as("median_lag_days"),
+        min(expr("s div n")).as("mean_lag_days"),
+        min(col("mn")).as("min_lag_days"), min(col("mx")).as("max_lag_days"))
+      .orderBy(col("priority"))
+  }
+
+  /** Declarative expectation suite (q174) — the Great-Expectations /
+    * dbt-test operator ([[graft.operators.Expectations]]): a configured
+    * check list compiles to ONE aggregate pass per table (plus one
+    * group-by for uniqueness), emitting a pass/fail report row per
+    * expectation. Generalizes the hand-written q97/q138 audits into the
+    * reusable API; the suite here covers events (nulls, vocabulary,
+    * value range, event_id uniqueness, props JSON shape) and orders
+    * (status vocabulary, key uniqueness). */
+  def expectationSuite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    val ev = run(Tables.events(spark, dir), Seq(
+      NotNull("user_id"), NotNull("ts"),
+      InSet("event_type", Seq("click", "error", "purchase", "signup", "view")),
+      InRange("user_id", 0L, 1000000000L),
+      Matches("props", "^\\{.*\\}$"),
+      Unique("event_id")))
+      .withColumn("table_name", lit("events"))
+    val ord = run(Tables.orders(spark, dir), Seq(
+      InSet("o_orderstatus", Seq("F", "O", "P")),
+      NotNull("o_custkey"),
+      Unique("o_orderkey")))
+      .withColumn("table_name", lit("orders"))
+    ev.unionByName(ord)
+      .select(col("table_name"), col("expectation"), col("n_rows"),
+        col("n_violations"), col("violation_bp"), col("passed"))
+      .orderBy(col("table_name"), col("expectation"))
+  }
+
+  /** Market-share analysis (q175, the TPC-H Q8 shape) — per order year,
+    * the share of ASIA-region revenue contributed by suppliers of one
+    * focus nation, as EXACT INTEGERS: revenue units are cent·pct
+    * (price has 2 decimals → cents exact; 1−discount has 2 decimals →
+    * pct exact; their product is a BIGINT of 10⁻⁴ dollars), so the
+    * share needs no decimal division anywhere — the division-free twin
+    * of q160's DECIMAL fold. Focus nation = the lexicographically first
+    * ASIA nation (deterministic, schema-derived). */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val focus = asiaNations.orderBy(col("n_name")).limit(1)
+      .select(col("n_nationkey").as("focus_key"), col("n_name").as("focus_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long").as("cents"),
+        expr("CAST((1 - l_discount) * 100 AS DECIMAL(5,0))").cast("long").as("pct"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), expr("year(o_orderdate)").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .crossJoin(broadcast(focus))
+      .groupBy(col("o_year"), col("focus_nation"))
+      .agg(sum(expr("cents * pct")).as("asia_rev_u"),
+        sum(when(col("s_nationkey") === col("focus_key"), expr("cents * pct"))
+          .otherwise(0L)).as("focus_rev_u"))
+      .select(col("o_year"), col("focus_nation"), col("asia_rev_u"), col("focus_rev_u"),
+        expr("focus_rev_u * 10000L div asia_rev_u").as("share_bp"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Year-over-year nation revenue rank movement (q176) — the league
+    * table every BI deployment ships: per (year, customer nation) exact
+    * integer revenue units (the q175 cent·pct trick), rank within year,
+    * and the rank delta vs the SAME nation's previous year (lag window
+    * keyed by nation). Windows run on the (year × nation) frame —
+    * metadata-sized. */
+  def revenueRankMovement(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long").as("cents"),
+        expr("CAST((1 - l_discount) * 100 AS DECIMAL(5,0))").cast("long").as("pct"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), expr("year(o_orderdate)").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("o_year"), col("n_name"))
+      .agg(sum(expr("cents * pct")).as("rev_u"))
+    val wr = Window.partitionBy("o_year").orderBy(col("rev_u").desc, col("n_name"))
+    val wl = Window.partitionBy("n_name").orderBy(col("o_year"))
+    rev
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .withColumn("prev_rnk", lag(col("rnk"), 1).over(wl))
+      .select(col("o_year"), col("n_name"), col("rev_u"), col("rnk"),
+        expr("prev_rnk - rnk").as("rank_delta"))
+      .orderBy(col("o_year"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4327,7 +4545,13 @@ object PipelineQueries {
     "q167_gdpr_purge" -> (gdprPurge _),
     "q168_rfm_scores" -> (rfmScores _),
     "q169_activity_streaks" -> (activityStreaks _),
-    "q170_knn_label_eval" -> (knnLabelEval _))
+    "q170_knn_label_eval" -> (knnLabelEval _),
+    "q171_sliding_hll_wau" -> (slidingHllWau _),
+    "q172_ab_funnel" -> (abFunnel _),
+    "q173_ship_lag" -> (shipLag _),
+    "q174_expectations" -> (expectationSuite _),
+    "q175_market_share" -> (marketShare _),
+    "q176_rank_movement" -> (revenueRankMovement _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -5565,6 +5789,133 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) * 10000
          |    // CAST(COUNT(*) AS BIGINT) AS acc_bp
          |FROM rk WHERE rn = 1 GROUP BY true_label ORDER BY label""".stripMargin,
+    // q171: exact WAU restricted to observed days (the q137 oracle
+    // shape) + the bounded claim emitted as TRUE.
+    "q171_sliding_hll_wau" ->
+      """WITH inc AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |f AS (SELECT DISTINCT user_id, day + CAST(g.i AS BIGINT) AS day2
+        |  FROM inc, (SELECT unnest(range(0, 7)) AS i) g),
+        |obs AS (SELECT DISTINCT day FROM inc),
+        |e AS (SELECT f.day2 AS day, CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS wau_exact
+        |  FROM f JOIN obs ON f.day2 = obs.day GROUP BY 1)
+        |SELECT day, wau_exact, TRUE AS within_bound FROM e ORDER BY day""".stripMargin,
+    // q172: q89's funnel window + q145's arms and chi-square, composed.
+    "q172_ab_funnel" ->
+      s"""WITH fs AS (SELECT user_id, MIN(epoch_us(ts)) AS fs FROM events
+         |  WHERE event_type = 'signup' GROUP BY user_id),
+         |cv AS (SELECT DISTINCT e.user_id FROM events e JOIN fs ON e.user_id = fs.user_id
+         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fs.fs
+         |    AND epoch_us(e.ts) <= fs.fs + 3600000000),
+         |u AS (SELECT fs.user_id,
+         |    CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END AS conv
+         |  FROM fs LEFT JOIN cv ON fs.user_id = cv.user_id),
+         |v AS (SELECT CASE WHEN ${duckH31("CAST(user_id AS VARCHAR)")} % 2 = 0
+         |    THEN 'control' ELSE 'treatment' END AS variant, conv FROM u),
+         |t AS (SELECT
+         |    CAST(SUM(CASE WHEN variant = 'control' THEN conv ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN variant = 'control' THEN 1 - conv ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN variant = 'treatment' THEN conv ELSE 0 END) AS BIGINT) AS c,
+         |    CAST(SUM(CASE WHEN variant = 'treatment' THEN 1 - conv ELSE 0 END) AS BIGINT) AS d
+         |  FROM v)
+         |SELECT r.variant, r.n_signup_users, r.n_converted,
+         |  r.n_converted * 10000 // r.n_signup_users AS conv_bp,
+         |  c * 10000 // (c + d) - a * 10000 // (a + b) AS lift_bp,
+         |  CAST(1000 AS HUGEINT) * CAST(a + b + c + d AS HUGEINT)
+         |      * (CAST(a * d - b * c AS HUGEINT) * CAST(a * d - b * c AS HUGEINT))
+         |    >= CAST(3841 AS HUGEINT) * CAST(a + b AS HUGEINT) * CAST(c + d AS HUGEINT)
+         |      * CAST(a + c AS HUGEINT) * CAST(b + d AS HUGEINT) AS significant_95
+         |FROM t, LATERAL (
+         |  SELECT 'control' AS variant, a + b AS n_signup_users, a AS n_converted
+         |  UNION ALL SELECT 'treatment', c + d, c) r
+         |ORDER BY r.variant""".stripMargin,
+    // q173: identical day truncation (both engines truncate toward
+    // zero) and the lower-median rule over the lag histogram.
+    "q173_ship_lag" ->
+      """WITH lg AS (SELECT o_orderpriority AS priority,
+        |    (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000 AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h AS (SELECT priority, lag_days, CAST(COUNT(*) AS BIGINT) AS c FROM lg GROUP BY 1, 2),
+        |t AS (SELECT priority, SUM(c) AS n, SUM(lag_days * c) AS s,
+        |    MIN(lag_days) AS mn, MAX(lag_days) AS mx FROM h GROUP BY priority),
+        |cm AS (SELECT h.priority, h.lag_days, h.c,
+        |    SUM(h.c) OVER (PARTITION BY h.priority ORDER BY h.lag_days
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+        |SELECT cm.priority, CAST(MIN(t.n) AS BIGINT) AS n_lineitems,
+        |  MIN(cm.lag_days) AS median_lag_days,
+        |  CAST(MIN(t.s // t.n) AS BIGINT) AS mean_lag_days,
+        |  CAST(MIN(t.mn) AS BIGINT) AS min_lag_days, CAST(MIN(t.mx) AS BIGINT) AS max_lag_days
+        |FROM cm JOIN t ON cm.priority = t.priority
+        |WHERE cm.cum >= (t.n + 1) // 2
+        |GROUP BY cm.priority ORDER BY cm.priority""".stripMargin,
+    // q174: each expectation recomputed directly; booleans must agree.
+    "q174_expectations" ->
+      """WITH ev AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT) AS v_nn_user,
+        |    CAST(COUNT(*) FILTER (ts IS NULL) AS BIGINT) AS v_nn_ts,
+        |    CAST(COUNT(*) FILTER (event_type IS NULL
+        |      OR event_type NOT IN ('click','error','purchase','signup','view')) AS BIGINT) AS v_set,
+        |    CAST(COUNT(*) FILTER (user_id IS NOT NULL
+        |      AND NOT (user_id >= 0 AND user_id <= 1000000000)) AS BIGINT) AS v_range,
+        |    CAST(COUNT(*) FILTER (props IS NOT NULL
+        |      AND NOT regexp_matches(props, '^\{.*\}$')) AS BIGINT) AS v_re
+        |  FROM events),
+        |evu AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS v
+        |  FROM (SELECT event_id, COUNT(*) AS c FROM events GROUP BY event_id)),
+        |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) FILTER (o_orderstatus IS NULL
+        |      OR o_orderstatus NOT IN ('F','O','P')) AS BIGINT) AS v_set,
+        |    CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) AS v_nn
+        |  FROM orders),
+        |ou AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS v
+        |  FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey)),
+        |rows0 AS (
+        |  SELECT 'events' AS table_name, 'in_range(user_id)' AS expectation, ev.n, ev.v_range AS v FROM ev
+        |  UNION ALL SELECT 'events', 'in_set(event_type)', ev.n, ev.v_set FROM ev
+        |  UNION ALL SELECT 'events', 'matches(props)', ev.n, ev.v_re FROM ev
+        |  UNION ALL SELECT 'events', 'not_null(ts)', ev.n, ev.v_nn_ts FROM ev
+        |  UNION ALL SELECT 'events', 'not_null(user_id)', ev.n, ev.v_nn_user FROM ev
+        |  UNION ALL SELECT 'events', 'unique(event_id)', evu.n, evu.v FROM evu
+        |  UNION ALL SELECT 'orders', 'in_set(o_orderstatus)', o.n, o.v_set FROM o
+        |  UNION ALL SELECT 'orders', 'not_null(o_custkey)', o.n, o.v_nn FROM o
+        |  UNION ALL SELECT 'orders', 'unique(o_orderkey)', ou.n, ou.v FROM ou)
+        |SELECT table_name, expectation, n AS n_rows, v AS n_violations,
+        |  v * 10000 // n AS violation_bp, v = 0 AS passed
+        |FROM rows0 ORDER BY table_name, expectation""".stripMargin,
+    // q175/q176: the same exact cent·pct revenue units (no decimal
+    // division anywhere) and identical rank/lag orders.
+    "q175_market_share" ->
+      """WITH an AS (SELECT n_nationkey, n_name FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |f AS (SELECT n_nationkey AS focus_key, n_name AS focus_nation
+        |  FROM an ORDER BY n_name LIMIT 1),
+        |r AS (SELECT year(o_orderdate) AS o_year, s_nationkey,
+        |    CAST(l_extendedprice * 100 AS BIGINT) * CAST((1 - l_discount) * 100 AS BIGINT) AS rev_u
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN an ON s_nationkey = an.n_nationkey)
+        |SELECT r.o_year, f.focus_nation,
+        |  CAST(SUM(rev_u) AS BIGINT) AS asia_rev_u,
+        |  CAST(SUM(CASE WHEN r.s_nationkey = f.focus_key THEN rev_u ELSE 0 END) AS BIGINT) AS focus_rev_u,
+        |  CAST(SUM(CASE WHEN r.s_nationkey = f.focus_key THEN rev_u ELSE 0 END) AS BIGINT)
+        |    * 10000 // CAST(SUM(rev_u) AS BIGINT) AS share_bp
+        |FROM r CROSS JOIN f GROUP BY r.o_year, f.focus_nation ORDER BY r.o_year""".stripMargin,
+    "q176_rank_movement" ->
+      """WITH rev AS (SELECT year(o_orderdate) AS o_year, n_name,
+        |    CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT)
+        |      * CAST((1 - l_discount) * 100 AS BIGINT)) AS BIGINT) AS rev_u
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_year
+        |    ORDER BY rev_u DESC, n_name) AS BIGINT) AS rnk FROM rev),
+        |lg AS (SELECT *, LAG(rnk) OVER (PARTITION BY n_name ORDER BY o_year) AS prev_rnk FROM rk)
+        |SELECT o_year, n_name, rev_u, rnk, prev_rnk - rnk AS rank_delta
+        |FROM lg ORDER BY o_year, rnk""".stripMargin,
     // q101: the q81 SQL with the quantizer-training CTEs (cells +
     // codebook seeds) restricted to the BASE corpus — assignment, encode,
     // and search still span base ∪ delta, exactly the frozen-quantizer

@@ -737,6 +737,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q171: per-day sketches combine map-side; the union is a day-frame window") {
+    val p = planOf("q171_sliding_hll_wau")
+    assert(p.contains("partial_hll_sketch_agg"),
+      s"the per-day HLL sketch must partial-combine (the mergeable-state point):\n$p")
+    assert(p.contains("hll_union_agg"),
+      s"the 7-day union must be a sketch merge, not a user fan-out:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q172: both funnel slices are pushed filters; readout has no join after the scalar") {
+    val p = planOf("q172_ab_funnel")
+    assert(p.contains("EqualTo(event_type,signup)") &&
+      p.contains("EqualTo(event_type,purchase)"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("q173: the median runs on the lag histogram, partitioned by priority") {
+    val p = planOf("q173_ship_lag")
+    assert(p.contains("windowspecdefinition(priority"),
+      s"windows must only ever see histogram rows:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q174: the whole suite is one aggregate pass + one unique group-by per table") {
+    val p = planOf("q174_expectations")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 2,
+      s"row checks must share ONE scan (plus the uniqueness group-by):\n$p")
+    assert(p.sliding("orders.parquet".length).count(_ == "orders.parquet") == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q175: region filter pushed; dims broadcast; revenue units partial-combine") {
+    val p = planOf("q175_market_share")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      s"the region slice must reach the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q176: rank and lag windows run on the (year × nation) frame") {
+    val p = planOf("q176_rank_movement")
+    assert(p.contains("windowspecdefinition(o_year") &&
+      p.contains("windowspecdefinition(n_name"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

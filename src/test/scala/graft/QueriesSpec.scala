@@ -1453,6 +1453,78 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, 2L, 1L, 5000L), (2, 1L, 1L, 10000L)))
   }
 
+  test("q171 sliding sketch WAU: planted days give exact risk-free unions") {
+    import spark.implicits._
+    val mkTs = (us: Long) => new java.sql.Timestamp(us / 1000)
+    val day = 86400000000L
+    // users 1,2 on day 0; user 3 on day 3; user 1 again on day 8.
+    // WAU(0)={1,2}=2; WAU(3)={1,2,3}=3; WAU(8)={1 (day 8 only; day 3's
+    // window [2,8] includes day 3 and day 8)}… day 8 window [2,8]:
+    // users {3 (day 3), 1 (day 8)} = 2.
+    val rows = Seq((1L, 0L), (2L, 0L), (3L, 3L), (1L, 8L))
+      .map { case (u, d) => (u, mkTs(d * day + 1000L)) }
+    val out = graft.analytics.PipelineQueries
+      .slidingHllWauOf(rows.toDF("user_id", "ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((0L, 2L, true), (3L, 3L, true), (8L, 2L, true)))
+  }
+
+  test("q172 A/B funnel: planted timing puts one arm at 100% and the other at 0%") {
+    import spark.implicits._
+    val mkTs = (us: Long) => new java.sql.Timestamp(us / 1000)
+    // Even-hash users purchase 30 min after signup (inside the 1 h
+    // window); odd-hash users 2 h after (outside) → a perfect split.
+    val rows = (1L to 40L).flatMap { u =>
+      val even = graft.functions.Md5Hash.h31(u.toString.getBytes) % 2 == 0
+      val fs = u * 10000000L
+      Seq((u, mkTs(fs), "signup"),
+        (u, mkTs(fs + (if (even) 1800000000L else 7200000000L)), "purchase"))
+    }.toDF("user_id", "ts", "event_type")
+    val nEven = (1L to 40L).count(u => graft.functions.Md5Hash.h31(u.toString.getBytes) % 2 == 0).toLong
+    val out = graft.analytics.PipelineQueries.abFunnelOf(rows)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      ("control", nEven, nEven, 10000L, -10000L, true),
+      ("treatment", 40L - nEven, 0L, 0L, -10000L, true)))
+  }
+
+  test("q173 ship lag: planted lags give the exact histogram median") {
+    import spark.implicits._
+    val day = 86400000000L
+    val mkTs = (d: Long) => new java.sql.Timestamp(d * day / 1000)
+    // Order 1 at day 0; lineitems ship at days 1, 2, 2, 3 → median 2,
+    // mean 2, min 1, max 3.
+    val li = Seq((1L, mkTs(1)), (1L, mkTs(2)), (1L, mkTs(2)), (1L, mkTs(3)))
+      .toDF("l_orderkey", "l_shipdate")
+    val o = Seq((1L, mkTs(0), "P1")).toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val out = graft.analytics.PipelineQueries.shipLagOf(li, o)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(("P1", 4L, 2L, 2L, 1L, 3L)))
+  }
+
+  test("q174 expectations: every check type counts its planted violations") {
+    import spark.implicits._
+    import graft.operators.Expectations._
+    val df = Seq(
+      (1L, "ok", 5L, "{\"a\":1}"),
+      (2L, "bad", 50L, "not-json"), // in_set + matches violations
+      (2L, "ok", -1L, "{}"),        // dup id + range violation
+      (3L, null.asInstanceOf[String], 7L, "{}")) // null type
+      .toDF("id", "kind", "v", "payload")
+    val out = graft.operators.Expectations.run(df, Seq(
+      NotNull("kind"), InSet("kind", Seq("ok")), InRange("v", 0L, 10L),
+      Matches("payload", "^\\{.*\\}$"), Unique("id")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("in_range(v)", 4L, 2L, 5000L, false),   // 50 and −1 out of range
+      ("in_set(kind)", 4L, 2L, 5000L, false),  // "bad" + NULL
+      ("matches(payload)", 4L, 1L, 2500L, false),
+      ("not_null(kind)", 4L, 1L, 2500L, false),
+      ("unique(id)", 4L, 2L, 5000L, false)))   // both id-2 rows
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

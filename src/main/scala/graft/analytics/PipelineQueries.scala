@@ -4424,6 +4424,161 @@ object PipelineQueries {
       .orderBy(col("o_year"), col("rnk"))
   }
 
+  /** Triangle census of the co-purchase graph (q177) — the standard
+    * graph-health readout (triangle count + global clustering
+    * coefficient) over the same-order part projection. Edges are the
+    * distinct within-order part pairs (the q154 incidence); triangles are
+    * counted ONCE each via degree-ordered orientation (Schank–Wagner
+    * node-iterator++): every edge points from the (deg, id)-smaller
+    * endpoint, wedges enumerate only ordered out-neighbor pairs, and a
+    * semi-join against the oriented edge set closes them. Orientation
+    * bounds wedge fan-out by the ORIENTED out-degree — O(m^1.5) total
+    * work regardless of hub nodes — where an unoriented wedge join pays
+    * Σ deg² and dies on the first whale part. The count is
+    * orientation-independent, so the DuckDB oracle replays the cheap
+    * id-ordered variant and must land on the identical integers. */
+  def triangleCensus(spark: SparkSession, dir: String): DataFrame =
+    triangleCensusOf(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  private[graft] def triangleCensusOf(orderParts: DataFrame): DataFrame = {
+    val li = orderParts.select(col("ok"), col("pk")).distinct()
+    val edges = li.alias("a")
+      .join(li.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // Orient u→v iff (deg(u), u) < (deg(v), v); carry the endpoint degree
+    // so the wedge pair can be ordered by the SAME total order.
+    val oriented = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val wedges = oriented.alias("x")
+      .join(oriented.alias("y"),
+        col("x.s") === col("y.s") &&
+          (col("x.dt") < col("y.dt") ||
+            (col("x.dt") === col("y.dt") && col("x.t") < col("y.t"))))
+      .select(col("x.t").as("b"), col("y.t").as("c"))
+    val tri = wedges
+      .join(oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val ecnt = edges.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(broadcast(ecnt)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("3 * n_triangles * 10000L div n_wedges").as("gcc_bp"))
+  }
+
+  /** CUSUM change-point scan (q178) — the classic drift detector over the
+    * daily purchase series: gap-filled day counts, integer fixed-point
+    * mean (total·10⁶ div n_days), cumulative sum of (count·10⁶ − mean),
+    * and the argmax |CUSUM| day flagged as the most likely level shift.
+    * The corpus-sized stage is one pushed-filter scan + one day aggregate;
+    * every window (running sum, global max) runs on the DAY-sized frame —
+    * tens of rows at any corpus size (the q143 histogram idiom). All
+    * arithmetic integer, so the oracle replays it exactly. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame =
+    cusumChangepointOf(Tables.events(spark, dir))
+
+  private[graft] def cusumChangepointOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = events.filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"))
+    val counts = p.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val bounds = p.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val filled = bounds.select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val tot = filled.agg(sum(col("cnt")).as("total"), count(lit(1)).as("nd"))
+    val wRun = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    filled.crossJoin(broadcast(tot))
+      .withColumn("cusum_fp",
+        sum(expr("cnt * 1000000L - (total * 1000000L div nd)")).over(wRun))
+      .withColumn("peak", max(abs(col("cusum_fp"))).over(wAll))
+      .select(col("day"), col("cnt"), col("cusum_fp"),
+        (abs(col("cusum_fp")) === col("peak")).as("is_peak"))
+      .orderBy(col("day"))
+  }
+
+  /** q179 threshold: TPC-H Q18's large-order cut, scaled to the harness
+    * quantity distribution (25/204/2285 qualifying orders at the three
+    * SFs). */
+  private[graft] val LargeOrderQty = 250L
+
+  /** Large-volume orders (q179, TPC-H Q18 shape) — the group-by-HAVING
+    *-then-join pattern: per-order quantity sums filtered to >
+    * [[LargeOrderQty]], joined back to orders and customers, top-100 by
+    * price. The HAVING prunes the fact side to a sliver BEFORE any
+    * dimension join; the top-100 is TakeOrderedAndProject; no build side
+    * is forced — AQE broadcasts the pruned qualifying set at harness SF
+    * and shuffle-joins a corpus-sized one. Money in exact cents. */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), expr("CAST(l_quantity AS BIGINT)").as("q"))
+      .groupBy(col("l_orderkey")).agg(sum(col("q")).as("sum_qty"))
+      .filter(col("sum_qty") > LargeOrderQty)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(o_totalprice * 100 AS DECIMAL(14,0))").cast("long").as("price_cents"),
+        expr("CAST(o_orderdate AS DATE)").as("o_date"))
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_date"),
+        col("price_cents"), col("sum_qty"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Per-column snapshot stats drift (q180) — the schema-stability
+    * monitor every production lake runs between ingest snapshots:
+    * row/null/exact-NDV (and numeric sum) per column for two snapshot
+    * halves of the documents table (doc_id parity stands in for the
+    * snapshot id), emitted long-format with an integer drift reading per
+    * (column, metric). ONE corpus scan: all metrics for both snapshots
+    * compute in a single conditional aggregate (the q130 multi-distinct
+    * Expand); the stack/compare runs on the metadata-sized metric rows.
+    * Complements q104 (row-level diff) at column granularity. */
+  def statsDrift(spark: SparkSession, dir: String): DataFrame =
+    statsDriftOf(Tables.documents(spark, dir))
+
+  private[graft] def statsDriftOf(docs: DataFrame): DataFrame = {
+    val wide = docs
+      .select(expr("doc_id % 2").as("snap"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .groupBy(col("snap"))
+      .agg(
+        count(lit(1)).as("rows"),
+        countDistinct(col("text")).as("ndv_text"),
+        countDistinct(col("lang")).as("ndv_lang"),
+        countDistinct(col("source")).as("ndv_source"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("nulls_text"),
+        sum(col("n_chars")).as("sum_n_chars"))
+    val long = wide.select(col("snap"), explode(expr(
+      """map('rows', rows, 'ndv_text', ndv_text, 'ndv_lang', ndv_lang,
+        |'ndv_source', ndv_source, 'nulls_text', nulls_text,
+        |'sum_n_chars', sum_n_chars)""".stripMargin)).as(Seq("metric", "val")))
+    long.groupBy(col("metric"))
+      .agg(max(when(col("snap") === 0L, col("val"))).as("snap_a"),
+        max(when(col("snap") === 1L, col("val"))).as("snap_b"))
+      .select(col("metric"), col("snap_a"), col("snap_b"),
+        when(col("snap_a") =!= 0L,
+          expr("(snap_b - snap_a) * 10000L div snap_a")).as("drift_bp"))
+      .orderBy(col("metric"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4551,7 +4706,11 @@ object PipelineQueries {
     "q173_ship_lag" -> (shipLag _),
     "q174_expectations" -> (expectationSuite _),
     "q175_market_share" -> (marketShare _),
-    "q176_rank_movement" -> (revenueRankMovement _))
+    "q176_rank_movement" -> (revenueRankMovement _),
+    "q177_triangles" -> (triangleCensus _),
+    "q178_cusum" -> (cusumChangepoint _),
+    "q179_large_orders" -> (largeOrders _),
+    "q180_stats_drift" -> (statsDrift _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -5916,6 +6075,76 @@ object PipelineQueries {
         |lg AS (SELECT *, LAG(rnk) OVER (PARTITION BY n_name ORDER BY o_year) AS prev_rnk FROM rk)
         |SELECT o_year, n_name, rev_u, rnk, prev_rnk - rnk AS rank_delta
         |FROM lg ORDER BY o_year, rnk""".stripMargin,
+    // q177: triangle counts are orientation-independent, so the oracle
+    // replays the cheap id-ordered enumeration (a<b<c) — it must land on
+    // the same integers as the engine's degree-ordered join.
+    "q177_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT st.n_nodes, ec.n_edges, st.n_wedges, tri.n_triangles,
+        |  3 * tri.n_triangles * 10000 // st.n_wedges AS gcc_bp
+        |FROM st CROSS JOIN ec CROSS JOIN tri""".stripMargin,
+    // q178: gap-filled daily counts, integer fixed-point mean, identical
+    // running/global windows over the day frame.
+    "q178_cusum" ->
+      """WITH p AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY day),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM p),
+        |f AS (SELECT d.day, COALESCE(c.cnt, 0) AS cnt FROM
+        |  (SELECT UNNEST(range(b.d0, b.d1 + 1)) AS day FROM b) d
+        |  LEFT JOIN c ON c.day = d.day),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nd FROM f),
+        |r AS (SELECT f.day, f.cnt,
+        |    SUM(f.cnt * 1000000 - (t.total * 1000000 // t.nd)) OVER
+        |      (ORDER BY f.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_fp
+        |  FROM f CROSS JOIN t),
+        |m AS (SELECT MAX(ABS(cusum_fp)) AS peak FROM r)
+        |SELECT r.day, r.cnt, CAST(r.cusum_fp AS BIGINT) AS cusum_fp,
+        |  ABS(r.cusum_fp) = m.peak AS is_peak
+        |FROM r CROSS JOIN m ORDER BY r.day""".stripMargin,
+    // q179: same HAVING cut, same cent arithmetic, same
+    // (price desc, orderkey) total order for the top-100.
+    "q179_large_orders" ->
+      s"""WITH q AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > $LargeOrderQty)
+         |SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+         |  CAST(o_totalprice * 100 AS BIGINT) AS price_cents, q.sum_qty
+         |FROM orders JOIN q ON o_orderkey = q.l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY price_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+    // q180: same conditional aggregate per snapshot half, same long
+    // format, same integer drift.
+    "q180_stats_drift" ->
+      """WITH w AS (SELECT doc_id % 2 AS snap, CAST(COUNT(*) AS BIGINT) AS rows_,
+        |    CAST(COUNT(DISTINCT text) AS BIGINT) AS ndv_text,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS ndv_lang,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS ndv_source,
+        |    CAST(COUNT(*) FILTER (text IS NULL) AS BIGINT) AS nulls_text,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+        |  FROM documents GROUP BY 1),
+        |l AS (
+        |  SELECT snap, 'rows' AS metric, rows_ AS val FROM w UNION ALL
+        |  SELECT snap, 'ndv_text', ndv_text FROM w UNION ALL
+        |  SELECT snap, 'ndv_lang', ndv_lang FROM w UNION ALL
+        |  SELECT snap, 'ndv_source', ndv_source FROM w UNION ALL
+        |  SELECT snap, 'nulls_text', nulls_text FROM w UNION ALL
+        |  SELECT snap, 'sum_n_chars', sum_n_chars FROM w)
+        |SELECT metric, MAX(CASE WHEN snap = 0 THEN val END) AS snap_a,
+        |  MAX(CASE WHEN snap = 1 THEN val END) AS snap_b,
+        |  CASE WHEN MAX(CASE WHEN snap = 0 THEN val END) <> 0 THEN
+        |    (MAX(CASE WHEN snap = 1 THEN val END) - MAX(CASE WHEN snap = 0 THEN val END))
+        |      * 10000 // MAX(CASE WHEN snap = 0 THEN val END) END AS drift_bp
+        |FROM l GROUP BY metric ORDER BY metric""".stripMargin,
     // q101: the q81 SQL with the quantizer-training CTEs (cells +
     // codebook seeds) restricted to the BASE corpus — assignment, encode,
     // and search still span base ∪ delta, exactly the frozen-quantizer

@@ -787,6 +787,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q177: triangle closure is a semi-join on compact keys; no cartesian anywhere") {
+    val p = planOf("q177_triangles")
+    assert(p.contains("LeftSemi"),
+      s"wedge closure must be a semi-join against the oriented edge set:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q178: purchase filter pushed; windows run on the day frame only") {
+    val p = planOf("q178_cusum")
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      s"the purchase slice must reach the scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q179: HAVING prunes facts before dimension joins; top-100 is TakeOrdered") {
+    val p = planOf("q179_large_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-100 must not be a global sort:\n$p")
+    assert(p.contains("sum_qty"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q180: all snapshot metrics share ONE documents scan (Expand multi-distinct)") {
+    val p = planOf("q180_stats_drift")
+    assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,
+      s"per-metric branches would re-scan the corpus:\n$p")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

@@ -1525,6 +1525,59 @@ class QueriesSpec extends AnyFunSuite {
       ("unique(id)", 4L, 2L, 5000L, false)))   // both id-2 rows
   }
 
+  test("q177 triangles: planted graph counts its one triangle once") {
+    import spark.implicits._
+    // o1 = {1,2,3} → K3; o2 = {3,4} → pendant edge; o3 = {1,2} repeats an
+    // edge (distinctness). Degrees 2,2,3,1 → wedges 1+1+3+0 = 5; edges 4;
+    // triangles 1; gcc = 3·1·10⁴ div 5 = 6000.
+    val op = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 1L), (3L, 2L))
+      .toDF("ok", "pk")
+    val out = graft.analytics.PipelineQueries.triangleCensusOf(op)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((4L, 4L, 5L, 1L, 6000L)))
+  }
+
+  test("q178 CUSUM: planted level shift peaks at the gap-filled boundary day") {
+    import spark.implicits._
+    val mkTs = (day: Long, i: Long) => new java.sql.Timestamp((day * 86400000000L + i) / 1000)
+    // Purchases/day: 2,2,(0 — absent, must gap-fill),8,8,10; total 30 over
+    // 6 days → mean 5e6. CUSUM(e6): −3,−6,−11,−8,−5,0 → peak at day 2.
+    val rows =
+      (0 until 2).map(i => (mkTs(0, i.toLong), "purchase")) ++
+      (0 until 2).map(i => (mkTs(1, i.toLong), "purchase")) ++
+      (0 until 8).map(i => (mkTs(3, i.toLong), "purchase")) ++
+      (0 until 8).map(i => (mkTs(4, i.toLong), "purchase")) ++
+      (0 until 10).map(i => (mkTs(5, i.toLong), "purchase")) ++
+      Seq((mkTs(2, 0L), "view")) // non-purchase noise on the gap day
+    val out = graft.analytics.PipelineQueries
+      .cusumChangepointOf(rows.toDF("ts", "event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, -3000000L, false), (1L, 2L, -6000000L, false),
+      (2L, 0L, -11000000L, true), (3L, 8L, -8000000L, false),
+      (4L, 8L, -5000000L, false), (5L, 10L, 0L, false)))
+  }
+
+  test("q180 stats drift: planted snapshot halves give exact integer drifts") {
+    import spark.implicits._
+    // snap A (even ids): texts {a,b}, langs {xx,yy}, Σchars 30.
+    // snap B (odd ids): texts {a}, langs {xx}, Σchars 10.
+    val docs = Seq(
+      (2L, "a", "xx", "s1", 10L), (4L, "b", "yy", "s1", 20L),
+      (1L, "a", "xx", "s1", 5L), (3L, "a", "xx", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.analytics.PipelineQueries.statsDriftOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("ndv_lang", 2L, 1L, -5000L),
+      ("ndv_source", 1L, 1L, 0L),
+      ("ndv_text", 2L, 1L, -5000L),
+      ("nulls_text", 0L, 0L, null),
+      ("rows", 2L, 2L, 0L),
+      ("sum_n_chars", 30L, 10L, -6666L))) // div truncates toward zero in BOTH engines
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -4579,6 +4579,302 @@ object PipelineQueries {
       .orderBy(col("metric"))
   }
 
+  /** Distance-to-centroid embedding outliers (q181) — the vector-space
+    * data-quality gate: assign every embedding to its nearest seeded
+    * centroid (the q86 iter-0 quantizer — map-only
+    * [[graft.functions.PqFunctions.pq_encode]], centroids in-expression,
+    * zero Exchange) and flag rows whose squared-L2 distance exceeds 2×
+    * their cell's mean — mislabeled/corrupted vectors in production
+    * embedding pipelines sit exactly there. Distances are per-row
+    * `floor(d²·10⁶)` fixed-point (the q86 exactness discipline: the
+    * oracle replays the identical (x−y)² fold bit-for-bit), so every
+    * output column is an integer. Cell stats are k rows — broadcast back
+    * for the outlier pass; the corpus is scanned twice, both map-only. */
+  def centroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions.pq_encode
+    import graft.similarity.Kmeans.DefaultK
+    import graft.similarity.Pq.Dim
+    val indexable = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= Dim)
+    val seeds = indexable.orderBy(col("vec_id")).limit(DefaultK)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val a = indexable
+      .select(col("vec_id"),
+        element_at(pq_encode(col("embedding"), Array(seeds)), 1).as("enc"))
+      .select(col("vec_id"), col("enc.code").as("cell"),
+        floor(col("enc.dist") * 1e6).cast("long").as("dist_fp"))
+    val stats = a.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("dist_fp")).as("sum_dist_fp"))
+    a.join(broadcast(stats), "cell")
+      .select(col("cell"), col("n"), col("sum_dist_fp"),
+        (col("dist_fp") > lit(2L) * expr("sum_dist_fp div n")).cast("long").as("is_out"))
+      .groupBy(col("cell"), col("n"), col("sum_dist_fp"))
+      .agg(sum(col("is_out")).as("n_outliers"))
+      .select(col("cell"), col("n"), col("sum_dist_fp"),
+        expr("sum_dist_fp div n").as("avg_dist_fp"),
+        col("n_outliers"), expr("n_outliers * 10000L div n").as("outlier_bp"))
+      .orderBy(col("cell"))
+  }
+
+  /** One BPE merge round applied corpus-free (q182) — the tokenizer-
+    * training iteration factorized the way a 100 TB trainer must: the
+    * corpus is scanned ONCE for the (token, count) vocabulary; the
+    * symbol sequences, the round-1 pair count, the top-1 merge, the
+    * merge application, and the round-2 pair count all run on VOCAB
+    * rows. A naive trainer re-tokenizes the corpus per merge —
+    * thousands of corpus passes; this shape pays one. Merge semantics
+    * are left-to-right non-overlapping (both engines' `replace`), on
+    * space-separated symbol strings so a merged symbol is one unit in
+    * round 2. Output: round-2 top-10 pairs + the applied merge. */
+  def bpeMergeRound(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeRoundOf(Tables.documents(spark, dir),
+      v => graft.SessionMemo.memo(spark, s"q182vocab|$dir") {
+        v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
+  /** `memoVocab` pins the vocab frame (vocab-sized, ~|distinct tokens|
+    * rows) so the three consumers (round-1 pairs, merge application, and
+    * the top-1's second reference) read ONE corpus tokenization — the
+    * naive form re-derived the scan+aggregate three times (the q109/q129
+    * diamond trap, observed on the executed plan before this memo). */
+  private[graft] def bpeMergeRoundOf(docs: DataFrame,
+      memoVocab: DataFrame => DataFrame = identity): DataFrame = {
+    val vocab = memoVocab(docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("token")) >= 2)
+      .select(expr(
+        "array_join(transform(sequence(1, length(token)), i -> substring(token, i, 1)), ' ')")
+        .as("sym"), col("cnt")))
+    def pairsOf(v: DataFrame): DataFrame = v
+      .select(split(col("sym"), " ").as("t"), col("cnt"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS p1, t[i] AS p2))")).as("p"),
+        col("cnt"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(sum(col("cnt")).as("pair_count"))
+    val top1 = pairsOf(vocab)
+      .orderBy(col("pair_count").desc, col("p1"), col("p2")).limit(1)
+      .select(col("p1").as("m1"), col("p2").as("m2"))
+    val merged = vocab.crossJoin(broadcast(top1))
+      .select(expr(
+        """trim(replace(concat(' ', sym, ' '),
+          |  concat(' ', m1, ' ', m2, ' '), concat(' ', m1, m2, ' ')))""".stripMargin)
+        .as("sym"), col("cnt"), concat(col("m1"), col("m2")).as("merged_symbol"))
+    pairsOf(merged)
+      .crossJoin(broadcast(top1.select(concat(col("m1"), col("m2")).as("merged_symbol"))))
+      .orderBy(col("pair_count").desc, col("p1"), col("p2"))
+      .limit(10)
+      .select(col("p1"), col("p2"), col("pair_count"), col("merged_symbol"))
+  }
+
+  /** Order-total reconciliation audit (q183) — the finance-grade exact
+    * check a billing lake runs daily: per order, the header total vs the
+    * line-derived total, both in EXACT integer micro-dollar units
+    * (cents · discount-pct · tax-pct — the q175 trick extended to the
+    * tax leg; header cents × 10⁴ puts both sides in the same unit).
+    * Orders bucket by absolute discrepancy magnitude; the report is the
+    * bucket histogram. One fact-fact shuffle (per-order line aggregate
+    * ⋈ orders on the order key) and a histogram-sized reduction —
+    * nothing else. Headerless/lineless orders surface in their own
+    * bucket rather than vanishing (left join, Σ=0). */
+  def orderReconciliation(spark: SparkSession, dir: String): DataFrame =
+    orderReconciliationOf(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  private[graft] def orderReconciliationOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lines = lineitem
+      .select(col("l_orderkey"),
+        (expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long") *
+          expr("CAST((1 - l_discount) * 100 AS DECIMAL(5,0))").cast("long") *
+          expr("CAST((1 + l_tax) * 100 AS DECIMAL(5,0))").cast("long")).as("line_u"))
+      .groupBy(col("l_orderkey")).agg(sum(col("line_u")).as("lines_u"))
+    orders
+      .select(col("o_orderkey"),
+        (expr("CAST(o_totalprice * 100 AS DECIMAL(14,0))").cast("long") * 10000L).as("hdr_u"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(abs(col("hdr_u") - coalesce(col("lines_u"), lit(0L))).as("diff_u"),
+        col("lines_u").isNull.as("lineless"))
+      .select(when(col("lineless"), "no_lines")
+        .when(col("diff_u") === 0L, "exact")
+        .when(col("diff_u") < 1000000L, "lt_1_dollar")
+        .when(col("diff_u") < 10000000L, "lt_10_dollars")
+        .otherwise("gte_10_dollars").as("bucket"), col("diff_u"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("diff_u")).as("sum_diff_u"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q184 layout constants: candidate file counts for the clustered
+    * layout and the probed user band (4/10 → 5/10 of the id space). */
+  private[graft] val ZoneMapBuckets = 32L
+
+  /** Zone-map file-skipping audit (q184) — the data-layout decision
+    * readout behind every min/max-pruning lake format (Parquet row
+    * groups, Iceberg/Delta file stats): simulate two physical layouts of
+    * the events table — time-partitioned (hour files) vs user-range-
+    * clustered ([[ZoneMapBuckets]] equal-width id buckets) — compute
+    * each file's (min, max) user_id zone map, and measure how many files
+    * a user-band predicate can skip under each. One corpus scan (the
+    * layout column pair explodes map-only ×2); per-(layout, file) zone
+    * maps partial-combine; the skip verdict runs on file-count-sized
+    * rows. The time layout skips ~nothing (every hour contains every
+    * user); the clustered layout skips ~27/32 — THE argument for
+    * clustering by the predicate column at 100 TB. */
+  def zoneMapAudit(spark: SparkSession, dir: String): DataFrame =
+    zoneMapAuditOf(Tables.events(spark, dir))
+
+  private[graft] def zoneMapAuditOf(events: DataFrame): DataFrame = {
+    val mx = events.agg(max(col("user_id")).as("maxu"))
+    val files = events
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000L").as("hour"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"), col("maxu"), explode(expr(
+        s"map('time', hour, 'user_clustered', user_id * $ZoneMapBuckets div (maxu + 1))"))
+        .as(Seq("layout", "file")))
+      .groupBy(col("layout"), col("file"))
+      // maxu is constant per row — MAX() re-emits it per file, so the
+      // verdict below needs no second bounds pass over the corpus.
+      .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx_u"),
+        count(lit(1)).as("rows"), max(col("maxu")).as("maxu"))
+    files
+      .select(col("layout"), col("rows"),
+        (col("mx_u") < expr("maxu * 4 div 10") || col("mn") > expr("maxu * 5 div 10"))
+          .cast("long").as("skip"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"), sum(col("skip")).as("n_skippable"),
+        sum(col("rows")).as("rows_total"),
+        sum(when(col("skip") === 0L, col("rows")).otherwise(0L)).as("rows_scanned"))
+      .select(col("layout"), col("n_files"), col("n_skippable"),
+        expr("n_skippable * 10000L div n_files").as("skip_bp"),
+        col("rows_total"), col("rows_scanned"))
+      .orderBy(col("layout"))
+  }
+
+  /** Revenue concentration / Pareto audit (q185) — the whale-user readout
+    * behind every monetization review: per-user purchase value in exact
+    * cents, users ranked by value, decile revenue shares, cumulative
+    * share, and an exact integer Gini coefficient (the ascending-rank
+    * formula `G = 2·Σ(i·vᵢ)/(n·Σv) − (n+1)/n`, emitted in basis points
+    * with both divisions replayed identically by the oracle). The
+    * corpus-sized stage is one per-user aggregate; ranking and every
+    * share run on the USER-sized frame (q168's size class — the q144
+    * sharded PrefixSum is the documented path if user cardinality ever
+    * outgrows it); the Gini/total scalars broadcast back as a 1-row
+    * frame. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame =
+    revenueConcentrationOf(Tables.events(spark, dir))
+
+  private[graft] def revenueConcentrationOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(value * 100 AS DECIMAL(14,0))").cast("long").as("cents"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("v"))
+    // Ascending rank i = 1..n (value asc, id tiebreak) — the Gini basis.
+    // n / tot / Σ(i·v) ride a SECOND window over the SAME user frame (the
+    // q155 idiom): a scalar-aggregate branch would re-derive the corpus
+    // aggregate once per consumer.
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = users
+      .withColumn("i", row_number().over(Window.orderBy(col("v"), col("user_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("v")).over(wAll))
+      .withColumn("iv", sum(expr("i * v")).over(wAll))
+    val deciles = ranked
+      .select(expr("(i - 1) * 10 div n").as("decile"), col("v"), col("tot"),
+        (expr("2 * iv * 10000L div (n * tot)") - expr("(n + 1) * 10000L div n"))
+          .as("gini_bp"))
+      .groupBy(col("decile"), col("tot"), col("gini_bp"))
+      .agg(count(lit(1)).as("n_users"), sum(col("v")).as("revenue_cents"))
+    // tot rides the decile keys, so the cumulative share needs no second
+    // derivation of the user aggregate (which would re-scan the corpus).
+    deciles
+      .withColumn("cum_cents",
+        sum(col("revenue_cents")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n_users"), col("revenue_cents"),
+        expr("revenue_cents * 10000L div tot").as("share_bp"),
+        expr("cum_cents * 10000L div tot").as("cum_share_bp"), col("gini_bp"))
+      .orderBy(col("decile"))
+  }
+
+  /** q186 smoothing + threshold constants, shared with the oracle. */
+  private[graft] val FluencyFloorDiv = 2L
+
+  /** Bigram-LM fluency scoring (q186) — the CCNet-style language-model
+    * quality filter in exact integers: a bigram model trained on the
+    * corpus itself (conditional probability c(w₁w₂)/c(w₁·) in parts per
+    * million, integer), each document scored by its mean bigram
+    * probability, languages report mean fluency and how many documents
+    * fall below half the GLOBAL mean ([[FluencyFloorDiv]]). Keys hash to
+    * 8-byte longs BEFORE the exchanges (the q146/q147 discipline — no
+    * string shuffles); the model frames are vocab-sized; the scoring
+    * join is the one corpus-sized equi-join; AQE picks its build side by
+    * size. Perplexity's log is deliberately avoided: libm log bits
+    * differ across engines, integer ppm probabilities do not. */
+  def bigramFluency(spark: SparkSession, dir: String): DataFrame =
+    bigramFluencyOf(Tables.documents(spark, dir),
+      b => graft.SessionMemo.memo(spark, s"q186bigrams|$dir") {
+        b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
+  /** `memoBigrams` pins the hashed bigram stream: its three consumers
+    * (bigram counts, prefix counts, the scoring join) would otherwise
+    * re-tokenize and re-hash the corpus three times — the q129 matrix
+    * memo applied to the bigram key space. */
+  private[graft] def bigramFluencyOf(docs: DataFrame,
+      memoBigrams: DataFrame => DataFrame = identity): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val bg = memoBigrams(docs
+      .select(col("doc_id"), col("lang"),
+        md5_token_hashes(split(col("text"), " "), 60).as("h"))
+      .filter(size(col("h")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(h) - 1), i -> struct(h[i-1] AS h1, h[i] AS h2))"))
+        .as("p"))
+      .select(col("doc_id"), col("lang"), col("p.h1").as("h1"), col("p.h2").as("h2")))
+    val bgCounts = bg.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("c12"))
+    val prefCounts = bg.groupBy(col("h1").as("ph1")).agg(count(lit(1)).as("c1"))
+    val scored = bg
+      .join(bgCounts, Seq("h1", "h2"))
+      .join(prefCounts, col("h1") === col("ph1"))
+      .select(col("doc_id"), col("lang"), expr("c12 * 1000000L div c1").as("p_ppm"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("sum(p_ppm) div count(1)").as("score_ppm"))
+    val gmean = scored.agg(expr("sum(score_ppm) div count(1)").as("gm"))
+    scored.crossJoin(broadcast(gmean))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(score_ppm) div count(1)").as("avg_score_ppm"),
+        sum(when(col("score_ppm") < expr(s"gm div $FluencyFloorDiv"), 1L).otherwise(0L))
+          .as("n_low_fluency"))
+      .orderBy(col("lang"))
+  }
+
+  /** Promotional revenue share by ship month (q187, TPC-H Q14 shape) —
+    * the conditional-share-over-a-join pattern: lineitem ⋈ part (no
+    * forced build side — part is dimension-sized at harness SF and AQE
+    * broadcasts it; at 100 TB both sides shuffle on the part key),
+    * revenue in exact cent·pct units, promo share per month in basis
+    * points. One fact shuffle, month-sized output. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), expr("date_trunc('month', l_shipdate)").cast("date").as("month"),
+        (expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long") *
+          expr("CAST((1 - l_discount) * 100 AS DECIMAL(5,0))").cast("long")).as("rev_u"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("month"))
+      .agg(sum(when(col("p_type") === "PROMO", col("rev_u")).otherwise(0L)).as("promo_u"),
+        sum(col("rev_u")).as("total_u"))
+      .select(col("month"), col("promo_u"), col("total_u"),
+        expr("promo_u * 10000L div total_u").as("promo_bp"))
+      .orderBy(col("month"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4710,7 +5006,14 @@ object PipelineQueries {
     "q177_triangles" -> (triangleCensus _),
     "q178_cusum" -> (cusumChangepoint _),
     "q179_large_orders" -> (largeOrders _),
-    "q180_stats_drift" -> (statsDrift _))
+    "q180_stats_drift" -> (statsDrift _),
+    "q181_centroid_outliers" -> (centroidOutliers _),
+    "q182_bpe_merge_round" -> (bpeMergeRound _),
+    "q183_order_reconciliation" -> (orderReconciliation _),
+    "q184_zonemap_audit" -> (zoneMapAudit _),
+    "q185_revenue_concentration" -> (revenueConcentration _),
+    "q186_bigram_fluency" -> (bigramFluency _),
+    "q187_promo_share" -> (promoShare _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -6145,6 +6448,142 @@ object PipelineQueries {
         |    (MAX(CASE WHEN snap = 1 THEN val END) - MAX(CASE WHEN snap = 0 THEN val END))
         |      * 10000 // MAX(CASE WHEN snap = 0 THEN val END) END AS drift_bp
         |FROM l GROUP BY metric ORDER BY metric""".stripMargin,
+    // q181: the q86 iter-0 discipline row-wise — identical (x−y)² fold,
+    // per-row argmin cell with (dist, cell) tie order, floor(d²·10⁶).
+    "q181_centroid_outliers" -> {
+      import graft.similarity.Kmeans.DefaultK
+      import graft.similarity.Pq.Dim
+      val x = "CAST(e.embedding[j] AS DOUBLE)"
+      val c = "CAST(cen.cvec[j] AS DOUBLE)"
+      val fold =
+        s"list_reduce(list_transform(range(1, ${Dim + 1}), j -> (($x) - ($c)) * (($x) - ($c))), (acc, v) -> acc + v)"
+      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $DefaultK)),
+         |d AS (SELECT e.vec_id, cen.cell, $fold AS dist
+         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
+         |a AS (SELECT vec_id, cell, CAST(FLOOR(dist * 1000000.0) AS BIGINT) AS dist_fp FROM (
+         |  SELECT vec_id, cell, dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM d) WHERE rn = 1),
+         |s AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dist_fp) AS BIGINT) AS sum_dist_fp
+         |  FROM a GROUP BY cell)
+         |SELECT s.cell, s.n, s.sum_dist_fp, s.sum_dist_fp // s.n AS avg_dist_fp,
+         |  CAST(COUNT(*) FILTER (a.dist_fp > 2 * (s.sum_dist_fp // s.n)) AS BIGINT) AS n_outliers,
+         |  CAST(COUNT(*) FILTER (a.dist_fp > 2 * (s.sum_dist_fp // s.n)) AS BIGINT) * 10000 // s.n AS outlier_bp
+         |FROM a JOIN s USING (cell) GROUP BY s.cell, s.n, s.sum_dist_fp ORDER BY s.cell""".stripMargin
+    },
+    // q182: same vocab, same symbolization, same left-to-right
+    // non-overlapping replace, same (count desc, p1, p2) total orders.
+    "q182_bpe_merge_round" ->
+      """WITH tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents) GROUP BY token),
+        |v AS (SELECT array_to_string(list_transform(range(1, length(token) + 1),
+        |    i -> substring(token, CAST(i AS INTEGER), 1)), ' ') AS sym, cnt
+        |  FROM tc WHERE length(token) >= 2),
+        |pr1 AS (SELECT s.tk[CAST(t.i AS INTEGER)] AS p1, s.tk[CAST(t.i AS INTEGER) + 1] AS p2,
+        |    CAST(SUM(s.cnt) AS BIGINT) AS pair_count
+        |  FROM (SELECT str_split(sym, ' ') AS tk, cnt FROM v) s,
+        |    UNNEST(range(1, len(s.tk))) AS t(i)
+        |  GROUP BY 1, 2),
+        |t1 AS (SELECT p1 AS m1, p2 AS m2 FROM pr1 ORDER BY pair_count DESC, p1, p2 LIMIT 1),
+        |m AS (SELECT trim(replace(' ' || v.sym || ' ',
+        |    ' ' || t1.m1 || ' ' || t1.m2 || ' ', ' ' || t1.m1 || t1.m2 || ' ')) AS sym, v.cnt
+        |  FROM v CROSS JOIN t1),
+        |pr2 AS (SELECT s.tk[CAST(t.i AS INTEGER)] AS p1, s.tk[CAST(t.i AS INTEGER) + 1] AS p2,
+        |    CAST(SUM(s.cnt) AS BIGINT) AS pair_count
+        |  FROM (SELECT str_split(sym, ' ') AS tk, cnt FROM m WHERE len(str_split(sym, ' ')) >= 2) s,
+        |    UNNEST(range(1, len(s.tk))) AS t(i)
+        |  GROUP BY 1, 2),
+        |ms AS (SELECT m1 || m2 AS merged_symbol FROM t1)
+        |SELECT pr2.p1, pr2.p2, pr2.pair_count, ms.merged_symbol
+        |FROM pr2 CROSS JOIN ms ORDER BY pair_count DESC, p1, p2 LIMIT 10""".stripMargin,
+    // q183: both engines carry exact micro-dollar integers through the
+    // discount and tax legs; the histogram is pure integer classify.
+    "q183_order_reconciliation" ->
+      """WITH l AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT)
+        |      * CAST((1 - l_discount) * 100 AS BIGINT)
+        |      * CAST((1 + l_tax) * 100 AS BIGINT)) AS BIGINT) AS lines_u
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 10000 AS hdr_u FROM orders),
+        |d AS (SELECT ABS(o.hdr_u - COALESCE(l.lines_u, 0)) AS diff_u, l.lines_u IS NULL AS lineless
+        |  FROM o LEFT JOIN l ON o.o_orderkey = l.l_orderkey),
+        |b AS (SELECT CASE WHEN lineless THEN 'no_lines' WHEN diff_u = 0 THEN 'exact'
+        |    WHEN diff_u < 1000000 THEN 'lt_1_dollar' WHEN diff_u < 10000000 THEN 'lt_10_dollars'
+        |    ELSE 'gte_10_dollars' END AS bucket, diff_u FROM d)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders, CAST(SUM(diff_u) AS BIGINT) AS sum_diff_u
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q184: same two simulated layouts, same integer band, same zone-map
+    // skip rule.
+    "q184_zonemap_audit" ->
+      s"""WITH mx AS (SELECT MAX(user_id) AS maxu FROM events),
+         |f AS (SELECT layout, file, MIN(user_id) AS mn, MAX(user_id) AS mx_u,
+         |    CAST(COUNT(*) AS BIGINT) AS rows_
+         |  FROM (SELECT user_id, 'time' AS layout, epoch_us(ts) // 3600000000 AS file FROM events
+         |    UNION ALL
+         |    SELECT e.user_id, 'user_clustered', e.user_id * $ZoneMapBuckets // (mx.maxu + 1)
+         |    FROM events e CROSS JOIN mx)
+         |  GROUP BY 1, 2),
+         |s AS (SELECT f.layout, f.rows_,
+         |    CAST((f.mx_u < mx.maxu * 4 // 10 OR f.mn > mx.maxu * 5 // 10) AS BIGINT) AS skip
+         |  FROM f CROSS JOIN mx)
+         |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(skip) AS BIGINT) AS n_skippable,
+         |  CAST(SUM(skip) AS BIGINT) * 10000 // COUNT(*) AS skip_bp,
+         |  CAST(SUM(rows_) AS BIGINT) AS rows_total,
+         |  CAST(SUM(CASE WHEN skip = 0 THEN rows_ ELSE 0 END) AS BIGINT) AS rows_scanned
+         |FROM s GROUP BY layout ORDER BY layout""".stripMargin,
+    // q185: identical ascending (v, user_id) rank, identical integer
+    // Gini divisions, identical decile arithmetic.
+    "q185_revenue_concentration" ->
+      """WITH u AS (SELECT user_id, CAST(SUM(CAST(value * 100 AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r1 AS (SELECT user_id, v, CAST(ROW_NUMBER() OVER (ORDER BY v, user_id) AS BIGINT) AS i FROM u),
+        |r2 AS (SELECT v, i, CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(v) OVER () AS BIGINT) AS tot, CAST(SUM(i * v) OVER () AS BIGINT) AS iv FROM r1),
+        |d0 AS (SELECT (i - 1) * 10 // n AS decile, v, tot,
+        |    (2 * iv * 10000 // (n * tot)) - ((n + 1) * 10000 // n) AS gini_bp FROM r2),
+        |d AS (SELECT decile, tot, gini_bp, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(v) AS BIGINT) AS revenue_cents FROM d0 GROUP BY 1, 2, 3),
+        |c AS (SELECT decile, n_users, revenue_cents, tot, gini_bp,
+        |    CAST(SUM(revenue_cents) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM d)
+        |SELECT decile, n_users, revenue_cents, revenue_cents * 10000 // tot AS share_bp,
+        |  cum * 10000 // tot AS cum_share_bp, gini_bp
+        |FROM c ORDER BY decile""".stripMargin,
+    // q186: same 60-bit portable bigram hashes, same per-occurrence ppm
+    // division, same integer means and floor rule.
+    "q186_bigram_fluency" -> {
+      import graft.functions.Md5Hash.duckH60
+      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
+      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
+      s"""WITH tk AS (SELECT doc_id, lang, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bg AS (SELECT tk.doc_id, tk.lang, $h1 AS h1, $h2 AS h2
+         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
+         |c12 AS (SELECT h1, h2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT h1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+         |sc AS (SELECT bg.doc_id, bg.lang,
+         |    CAST(SUM(c12.c12 * 1000000 // c1.c1) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM bg JOIN c12 ON bg.h1 = c12.h1 AND bg.h2 = c12.h2
+         |  JOIN c1 ON bg.h1 = c1.h1 GROUP BY 1, 2),
+         |d AS (SELECT lang, s // c AS score_ppm FROM sc),
+         |gm AS (SELECT CAST(SUM(score_ppm) AS BIGINT) // COUNT(*) AS gm FROM d)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS avg_score_ppm,
+         |  CAST(COUNT(*) FILTER (score_ppm < gm.gm // $FluencyFloorDiv) AS BIGINT) AS n_low_fluency
+         |FROM d CROSS JOIN gm GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    // q187: same month truncation, same cent·pct units, same share.
+    "q187_promo_share" ->
+      """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |    CAST(l_extendedprice * 100 AS BIGINT) * CAST((1 - l_discount) * 100 AS BIGINT) AS rev_u,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT month,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END) AS BIGINT) AS promo_u,
+        |  CAST(SUM(rev_u) AS BIGINT) AS total_u,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END) AS BIGINT) * 10000
+        |    // CAST(SUM(rev_u) AS BIGINT) AS promo_bp
+        |FROM r GROUP BY month ORDER BY month""".stripMargin,
     // q101: the q81 SQL with the quantizer-training CTEs (cells +
     // codebook seeds) restricted to the BASE corpus — assignment, encode,
     // and search still span base ∪ delta, exactly the frozen-quantizer

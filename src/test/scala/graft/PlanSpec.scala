@@ -820,6 +820,81 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q181: assignment is map-only (in-expression centroids); cell stats broadcast back") {
+    val p = planOf("q181_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k-row cell stats must broadcast into the outlier pass:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q182: the corpus tokenizes ONCE — every consumer reads the vocab memo") {
+    // String counting is unreliable here: each InMemoryRelation RE-PRINTS
+    // its cached plan (twice once AQE finalizes it), so the scan appears
+    // in the text without being live. Traverse the physical tree instead —
+    // a cached plan is not a child node, so collect sees only LIVE scans.
+    val df = SparkEntry.queries("q182_bpe_merge_round")(spark, TestSpark.SfDir)
+    // (Logical tree, not physical: AQE wraps the physical plan and hides
+    // children from collect; the cache-substituted optimizedPlan keeps the
+    // real shape and an InMemoryRelation's cached plan is not a child.)
+    val live = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.toString.contains("documents.parquet") => r
+    }
+    assert(live.isEmpty,
+      s"live corpus re-scan outside the vocab memo (q109 trap): ${live.size}")
+    val cached = df.queryExecution.optimizedPlan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(cached.size >= 3, s"expected the three consumers on the memo, got ${cached.size}")
+    val p = planOf("q182_bpe_merge_round")
+    assert(p.sliding("InMemoryTableScan".length).count(_ == "InMemoryTableScan") >= 3,
+      s"all three consumers must read the memoized vocab:\n$p")
+  }
+
+  test("q183: one fact-fact join on the order key; histogram partial-combines") {
+    val p = planOf("q183_order_reconciliation")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q184: zone maps partial-combine map-side; verdicts run on file-count rows") {
+    val p = planOf("q184_zonemap_audit")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"per-file zone maps must combine map-side:\n$p")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 2,
+      s"both layouts share one scan (explode, not union-of-scans) + the 1-row bounds pass:\n$p")
+  }
+
+  test("q185: purchase filter pushed; ONE events scan feeds rank, Gini, and deciles") {
+    val p = planOf("q185_revenue_concentration")
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      s"the purchase slice must reach the scan:\n$p")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1,
+      s"the Gini scalars must ride windows on the user frame, not a second branch:\n$p")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q186: all three model consumers read the bigram memo; no live corpus re-scan") {
+    val df = SparkEntry.queries("q186_bigram_fluency")(spark, TestSpark.SfDir)
+    val live = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.toString.contains("documents.parquet") => r
+    }
+    assert(live.isEmpty,
+      s"live corpus re-scan outside the bigram memo (q109 trap): ${live.size}")
+    val cached = df.queryExecution.optimizedPlan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(cached.size >= 3, s"expected three consumers on the memo, got ${cached.size}")
+  }
+
+  test("q187: promo share is one fact join + one month aggregate, partial-combined") {
+    val p = planOf("q187_promo_share")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

@@ -1578,6 +1578,75 @@ class QueriesSpec extends AnyFunSuite {
       ("sum_n_chars", 30L, 10L, -6666L))) // div truncates toward zero in BOTH engines
   }
 
+  test("q182 BPE: greedy leftmost merge — 'aaa' becomes [aa, a], round 2 recounts") {
+    import spark.implicits._
+    // vocab: aaab×2, ab×1. Round 1: (a,a)=4, (a,b)=3 → merge (a,a)→aa.
+    // aaab → [aa, a, b] (leftmost, non-overlapping); round 2: (a,b)=3, (aa,a)=2.
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val out = graft.analytics.PipelineQueries.bpeMergeRoundOf(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(("a", "b", 3L, "aa"), ("aa", "a", 2L, "aa")))
+  }
+
+  test("q183 reconciliation: planted discrepancies land in their exact buckets") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 10.00), (2L, 10.50), (3L, 100.00), (4L, 20.00), (5L, 50.00))
+      .toDF("o_orderkey", "o_totalprice")
+    val lines = Seq(
+      (1L, 10.00, 0.00, 0.00),  // exact
+      (2L, 10.00, 0.00, 0.00),  // +0.50 → lt_1_dollar
+      (4L, 10.00, 0.10, 0.20),  // lines = 10.80 → diff 9.20 → lt_10
+      (5L, 10.00, 0.00, 0.00))  // diff 40 → gte_10; order 3 has no lines
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val out = graft.analytics.PipelineQueries.orderReconciliationOf(orders, lines)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("exact", 1L, 0L), ("gte_10_dollars", 1L, 40000000L),
+      ("lt_10_dollars", 1L, 9200000L), ("lt_1_dollar", 1L, 500000L),
+      ("no_lines", 1L, 100000000L)))
+  }
+
+  test("q184 zone maps: clustered layout skips the out-of-band buckets exactly") {
+    import spark.implicits._
+    val mkTs = (h: Long, i: Long) => new java.sql.Timestamp((h * 3600000000L + i) / 1000)
+    // Users 0..9, one event in each of two hours. Band = [3, 4] (maxu 9).
+    val rows = for (u <- 0L to 9L; h <- 0L to 1L) yield (mkTs(h, u), u)
+    val out = graft.analytics.PipelineQueries.zoneMapAuditOf(
+      rows.toDF("ts", "user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("time", 2L, 0L, 0L, 20L, 20L),            // every hour holds every user
+      ("user_clustered", 10L, 8L, 8000L, 20L, 4L))) // only users 3,4 in-band
+  }
+
+  test("q185 concentration: planted linear values give the exact textbook Gini") {
+    import spark.implicits._
+    // Values 10/20/30/40 → Σi·v = 30000, G = 15000 − 12500 = 2500 bp.
+    val ev = Seq((1L, "purchase", 10.0), (2L, "purchase", 20.0),
+      (3L, "purchase", 30.0), (4L, "purchase", 40.0), (1L, "view", 99.0))
+      .toDF("user_id", "event_type", "value")
+    val out = graft.analytics.PipelineQueries.revenueConcentrationOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 1000L, 1000L, 1000L, 2500L), (2L, 1L, 2000L, 2000L, 3000L, 2500L),
+      (5L, 1L, 3000L, 3000L, 6000L, 2500L), (7L, 1L, 4000L, 4000L, 10000L, 2500L)))
+  }
+
+  test("q186 fluency: planted bigram model scores in exact ppm") {
+    import spark.implicits._
+    // c12: (a,b)=2 (b,a)=1 (a,c)=1 (a,d)=1; c1: a=4, b=1.
+    // doc1 = (2·500000 + 1000000)/3 = 666666; docs 2,3 = 250000 each;
+    // mean 388888, floor 194444 → nothing low.
+    val docs = Seq((1L, "a b a b", "xx"), (2L, "a c", "xx"), (3L, "a d", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.analytics.PipelineQueries.bigramFluencyOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("xx", 3L, 388888L, 0L)))
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -4437,16 +4437,32 @@ object PipelineQueries {
     * Σ deg² and dies on the first whale part. The count is
     * orientation-independent, so the DuckDB oracle replays the cheap
     * id-ordered variant and must land on the identical integers. */
+  /** Distinct co-purchase edges (u < v), memoized per (session, dir) —
+    * shared by the q177 triangle census and the q190 degree profile, and
+    * persisted because the wedge/orientation pipeline reads it three
+    * times (a per-call persist would leak one cache entry per bench
+    * repeat — the IncrementalDedup advice-item pattern). */
+  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.memo(spark, s"q177edges|$dir") {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      li.alias("a")
+        .join(li.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def triangleCensus(spark: SparkSession, dir: String): DataFrame =
     triangleCensusOf(Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+      Some(coPurchaseEdges(spark, dir)))
 
-  private[graft] def triangleCensusOf(orderParts: DataFrame): DataFrame = {
+  private[graft] def triangleCensusOf(orderParts: DataFrame,
+      memoEdges: Option[DataFrame] = None): DataFrame = {
     val li = orderParts.select(col("ok"), col("pk")).distinct()
-    val edges = li.alias("a")
+    val edges = memoEdges.getOrElse(li.alias("a")
       .join(li.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct())
     val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -4875,6 +4891,114 @@ object PipelineQueries {
       .orderBy(col("month"))
   }
 
+  /** q188 constants, shared with the oracle generator. */
+  private[graft] val PowerIters = 3
+  private[graft] val PowerScale = 1000000L
+
+  /** Integer power iteration for the dominant PCA direction (q188) —
+    * distributed linear algebra with the q86/q139 exactness discipline
+    * taken further: because every float product is floored to fixed
+    * point PER ELEMENT before any sum, the ENTIRE iteration (not just
+    * iteration 0) is order-free integer arithmetic, and the DuckDB
+    * oracle replays all [[PowerIters]] rounds with unrolled CTEs. Per
+    * round: uᵢ = Σⱼ ⌊xᵢⱼ·vⱼ⌋ fused into ONE map-only projection
+    * (64-term codegen'd sum, v in-expression); wⱼ = Σᵢ ⌊xᵢⱼ·uᵢ⌋ via
+    * posexplode + a 64-key aggregate that partial-combines map-side;
+    * the 64-row w collects to the driver (the Ivf/Kmeans seed-sized
+    * collect), renormalizes to v·10⁶/max|w|, and feeds the next round.
+    * Emitted per round: dominant dimension, growth factor max|w|, and
+    * the alignment ⟨vₖ, vₖ₊₁⟩/10⁶ (→10⁶ at convergence). */
+  def powerIteration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Pq.Dim
+    val e = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= Dim)
+    var v = Array.tabulate(Dim)(j => if (j == 0) PowerScale else 0L)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+    for (k <- 1 to PowerIters) {
+      val uExpr = (0 until Dim).filter(j => v(j) != 0L)
+        .map(j => s"floor(CAST(embedding[$j] AS DOUBLE) * ${v(j)}L)")
+        .mkString(" + ")
+      val w = new Array[Long](Dim)
+      e.select(expr(uExpr).as("u"), posexplode(col("embedding")).as(Seq("j", "x")))
+        .select(col("j"), expr("floor(CAST(x AS DOUBLE) * u)").as("c"))
+        .groupBy(col("j")).agg(sum(col("c")).as("w"))
+        .collect().foreach(r => w(r.getInt(0)) = r.getLong(1))
+      val m = w.map(math.abs).max
+      require(m > 0L, "degenerate corpus: zero matvec")
+      val vNext = w.map(wj => wj * PowerScale / m) // Long / truncates like div and //
+      val dom = (0 until Dim).minBy(j => (-math.abs(w(j)), j))
+      val align = (0 until Dim).map(j => v(j) * vNext(j)).sum / PowerScale
+      rows += ((k, dom, m, align))
+      v = vNext
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("iter", "dominant_dim", "growth", "align_fp")
+      .orderBy(col("iter"))
+  }
+
+  /** q189 constants: micro-batch width (in event_id space) and the
+    * watermark delay, shared with the oracle and the streaming twin. */
+  private[graft] val WmBatchIds = 10000L
+  private[graft] val WmDelayUs = 600000000L
+
+  /** Watermark lateness audit (q189) — what a Structured Streaming
+    * watermark WOULD do to this corpus, computed batch-side: events
+    * arrive in event_id order in [[WmBatchIds]]-wide micro-batches; the
+    * watermark entering batch b is max event-time over batches < b minus
+    * [[WmDelayUs]] (watermarks advance at batch boundaries — the engine
+    * semantic). Rows classify as dropped (< watermark), late-but-kept
+    * (out-of-order but ≥ watermark), or on-time. The per-batch stats
+    * frame is BATCH-count-sized; the running max rides a window over it;
+    * the row classification is one broadcast join back over the corpus —
+    * no corpus-sized window anywhere. StreamingSpec proves the real
+    * engine (MemoryStream + withWatermark) drops exactly the rows this
+    * audit predicts on planted batches. */
+  def watermarkAudit(spark: SparkSession, dir: String): DataFrame =
+    watermarkAuditOf(Tables.events(spark, dir))
+
+  private[graft] def watermarkAuditOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.select(col("event_id"), expr("unix_micros(ts)").as("us"),
+      expr(s"event_id div $WmBatchIds").as("batch"))
+    val stats = e.groupBy(col("batch")).agg(max(col("us")).as("mx"))
+      .withColumn("wm",
+        max(col("mx")).over(Window.orderBy(col("batch"))
+          .rowsBetween(Window.unboundedPreceding, -1)) - WmDelayUs)
+      .withColumn("prev_mx",
+        max(col("mx")).over(Window.orderBy(col("batch"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    e.join(broadcast(stats.select(col("batch"), col("wm"), col("prev_mx"))), "batch")
+      .select(col("batch"),
+        when(col("wm").isNotNull && col("us") < col("wm"), "dropped")
+          .when(col("prev_mx").isNotNull && col("us") < col("prev_mx"), "late_kept")
+          .otherwise("on_time").as("status"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("status") === "on_time", 1L).otherwise(0L)).as("n_on_time"),
+        sum(when(col("status") === "late_kept", 1L).otherwise(0L)).as("n_late_kept"),
+        sum(when(col("status") === "dropped", 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy(col("batch"))
+  }
+
+  /** Degree profile of the co-purchase graph (q190) — the log₂-bucketed
+    * degree histogram that diagnoses hub structure before any graph
+    * algorithm is priced (q139/q149 iteration cost and q177 wedge
+    * fan-out are both degree-distribution questions). Shares the q177
+    * edge memo; degrees are one aggregate; the histogram is a second,
+    * bucket-count-sized. `length(bin(deg)) − 1` is exact integer
+    * ⌊log₂⌋ in both engines — no float log. */
+  def degreeProfile(spark: SparkSession, dir: String): DataFrame =
+    degreeProfileOf(coPurchaseEdges(spark, dir))
+
+  private[graft] def degreeProfileOf(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node")).union(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .select(col("deg"), (length(expr("bin(deg)")) - 1).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"), sum(col("deg")).as("sum_deg"))
+      .orderBy(col("bucket"))
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5013,7 +5137,10 @@ object PipelineQueries {
     "q184_zonemap_audit" -> (zoneMapAudit _),
     "q185_revenue_concentration" -> (revenueConcentration _),
     "q186_bigram_fluency" -> (bigramFluency _),
-    "q187_promo_share" -> (promoShare _))
+    "q187_promo_share" -> (promoShare _),
+    "q188_power_iteration" -> (powerIteration _),
+    "q189_watermark_audit" -> (watermarkAudit _),
+    "q190_degree_profile" -> (degreeProfile _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -6572,6 +6699,67 @@ object PipelineQueries {
          |  CAST(COUNT(*) FILTER (score_ppm < gm.gm // $FluencyFloorDiv) AS BIGINT) AS n_low_fluency
          |FROM d CROSS JOIN gm GROUP BY lang ORDER BY lang""".stripMargin
     },
+    // q188: the WHOLE iteration is order-free integers (per-element
+    // floors before every sum), so the oracle unrolls all rounds — the
+    // q139 unrolled-CTE pattern applied to linear algebra.
+    "q188_power_iteration" -> {
+      import graft.similarity.Pq.Dim
+      val S = PowerScale
+      def iter(k: Int): String = {
+        val vp = s"v${k - 1}"
+        s"""u$k AS (SELECT e.vec_id,
+           |    CAST(SUM(CAST(FLOOR(CAST(e.embedding[d.j + 1] AS DOUBLE) * d.v) AS BIGINT)) AS BIGINT) AS u
+           |  FROM e CROSS JOIN $vp d GROUP BY e.vec_id),
+           |w$k AS (SELECT d.j,
+           |    CAST(SUM(CAST(FLOOR(CAST(e.embedding[d.j + 1] AS DOUBLE) * u$k.u) AS BIGINT)) AS BIGINT) AS w
+           |  FROM e JOIN u$k ON e.vec_id = u$k.vec_id CROSS JOIN dims d GROUP BY d.j),
+           |m$k AS (SELECT CAST(MAX(ABS(w)) AS BIGINT) AS m FROM w$k),
+           |v$k AS (SELECT w$k.j, CAST(w$k.w * $S // m$k.m AS BIGINT) AS v FROM w$k CROSS JOIN m$k),
+           |r$k AS (SELECT CAST($k AS INTEGER) AS iter,
+           |  (SELECT CAST(w$k.j AS INTEGER) FROM w$k CROSS JOIN m$k
+           |     WHERE ABS(w$k.w) = m$k.m ORDER BY w$k.j LIMIT 1) AS dominant_dim,
+           |  (SELECT m FROM m$k) AS growth,
+           |  (SELECT CAST(SUM(a.v * b.v) // $S AS BIGINT) FROM $vp a JOIN v$k b ON a.j = b.j) AS align_fp)"""
+      }
+      val body = (1 to PowerIters).map(iter).mkString(",\n")
+      val union = (1 to PowerIters).map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) >= $Dim),
+         |dims AS (SELECT CAST(t.j AS INTEGER) AS j FROM range(0, $Dim) t(j)),
+         |v0 AS (SELECT CAST(t.j AS INTEGER) AS j,
+         |    CAST(CASE WHEN t.j = 0 THEN $S ELSE 0 END AS BIGINT) AS v FROM range(0, $Dim) t(j)),
+         |$body
+         |$union ORDER BY iter""".stripMargin
+    },
+    // q189: same micro-batch width, same batch-boundary watermark
+    // advance, same integer classification.
+    "q189_watermark_audit" ->
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS us, event_id // $WmBatchIds AS batch FROM events),
+         |st AS (SELECT batch, MAX(us) AS mx FROM e GROUP BY batch),
+         |st2 AS (SELECT batch,
+         |    MAX(mx) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_mx
+         |  FROM st),
+         |c AS (SELECT e.batch,
+         |    CASE WHEN st2.prev_mx IS NOT NULL AND e.us < st2.prev_mx - $WmDelayUs THEN 'dropped'
+         |         WHEN st2.prev_mx IS NOT NULL AND e.us < st2.prev_mx THEN 'late_kept'
+         |         ELSE 'on_time' END AS status
+         |  FROM e JOIN st2 ON e.batch = st2.batch)
+         |SELECT batch, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(*) FILTER (status = 'on_time') AS BIGINT) AS n_on_time,
+         |  CAST(COUNT(*) FILTER (status = 'late_kept') AS BIGINT) AS n_late_kept,
+         |  CAST(COUNT(*) FILTER (status = 'dropped') AS BIGINT) AS n_dropped
+         |FROM c GROUP BY batch ORDER BY batch""".stripMargin,
+    // q190: same edge set, same integer log2 via binary-string length.
+    "q190_degree_profile" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |h AS (SELECT deg, CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket FROM deg)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_nodes, CAST(MIN(deg) AS BIGINT) AS min_deg,
+        |  CAST(MAX(deg) AS BIGINT) AS max_deg, CAST(SUM(deg) AS BIGINT) AS sum_deg
+        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

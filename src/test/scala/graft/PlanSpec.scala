@@ -895,6 +895,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q189: batch stats broadcast back; the corpus is never globally windowed") {
+    val p = planOf("q189_watermark_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the batch-frame watermark stats must broadcast into the classify pass:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_max"), p)
+  }
+
+  test("q190: degrees ride the shared co-purchase edge memo") {
+    val p = planOf("q190_degree_profile")
+    assert(p.contains("InMemoryTableScan"),
+      s"q190 must read the q177 edge cache, not rebuild the projection:\n$p")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

@@ -1647,6 +1647,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("xx", 3L, 388888L, 0L)))
   }
 
+  test("q190 degrees: the planted graph buckets by exact integer log2") {
+    import spark.implicits._
+    // Same planted graph as q177: degrees 2,2,3,1 → buckets ⌊log2⌋ =
+    // 1,1,1,0 → bucket 0: one node (deg 1); bucket 1: three nodes (2,2,3).
+    val op = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 1L), (3L, 2L))
+      .toDF("ok", "pk")
+    val li = op.distinct()
+    val edges = li.alias("a")
+      .join(li.alias("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("u"), $"b.pk".as("v")).distinct()
+    val out = graft.analytics.PipelineQueries.degreeProfileOf(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 1L, 1L, 1L, 1L), (1L, 3L, 2L, 3L, 7L)))
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -514,4 +514,33 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(view.toSeq == Seq((1L, "click", 200L), (2L, "view", 100L)))
   }
+
+  test("q189 twin: the real watermark drops exactly the rows the audit predicts") {
+    def tm(min: Long) = new Timestamp(min * 60000L)
+    // Batch 1 (audit batch 0): ids 0–3, times 10:00/10:05/10:08/10:10.
+    // Batch 2 (audit batch 1, ids ≥ WmBatchIds): 9:55 (< wm 10:00 →
+    // dropped), 10:02 (out-of-order but ≥ wm → kept), 10:20 (on-time).
+    val b1 = Seq((0L, tm(600)), (1L, tm(605)), (2L, tm(608)), (3L, tm(610)))
+    val b2 = Seq((10000L, tm(595)), (10001L, tm(602)), (10002L, tm(620)))
+    val audit = graft.analytics.PipelineQueries
+      .watermarkAuditOf((b1 ++ b2).toDF("event_id", "ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(audit.toSeq == Seq((0L, 4L, 4L, 0L, 0L), (1L, 3L, 1L, 1L, 1L)))
+
+    val ms = MemoryStream[(Long, Timestamp)](spark)
+    val q = ms.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes")).count()
+      .writeStream.format("memory").queryName("t_wm_audit").outputMode("update").start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable(); q.stop()
+    // Update mode re-emits a window per change; counts only grow, so the
+    // engine's kept total is Σ (max count per window).
+    val kept = spark.table("t_wm_audit")
+      .groupBy(col("window")).agg(max(col("count")).as("c"))
+      .agg(sum(col("c"))).collect()(0).getLong(0)
+    val (total, dropped) = (audit.map(_._2).sum, audit.map(_._5).sum)
+    assert(kept == total - dropped,
+      s"engine kept $kept rows, audit predicts ${total - dropped}")
+  }
 }

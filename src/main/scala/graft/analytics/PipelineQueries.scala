@@ -4999,6 +4999,122 @@ object PipelineQueries {
         max(col("deg")).as("max_deg"), sum(col("deg")).as("sum_deg"))
       .orderBy(col("bucket"))
 
+  /** q191 sketch geometry, shared with the oracle. */
+  private[graft] val CmsDepth = 5
+  private[graft] val CmsWidth = 2048L
+
+  /** CMS/AMS self-join size estimation (q191) — the cardinality-
+    * estimation primitive under every cost-based join planner: the
+    * self-join size Σₖ c(k)² of lineitem on l_partkey, estimated from a
+    * count-min sketch's inner product with itself (minᵈ Σ_w cell²) and
+    * audited against the exact value. The sketch is built from first
+    * principles on PORTABLE md5 row hashes (depth [[CmsDepth]] × width
+    * [[CmsWidth]]), so unlike a library sketch the ESTIMATE ITSELF is
+    * oracle-replayable exactly — stronger than the q79 bounded claim.
+    * Estimator guarantee (est ≥ exact, overestimate ≤ ε·N² w.h.p.)
+    * emitted as integancy columns. Scale shape: the sketch build is one
+    * map-only ×depth explode into a (depth·width)-row aggregate that
+    * partial-combines — the mergeable-sketch family (HLL q42 / GK q69 /
+    * CMS q79 / Bloom q84); the exact branch is the harness audit, dropped
+    * at corpus scale where the sketch is the product. */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame =
+    joinSizeEstimateOf(Tables.lineitem(spark, dir).select(col("l_partkey").as("k")))
+
+  private[graft] def joinSizeEstimateOf(keys: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val cells = keys
+      .select(explode(expr(
+        s"transform(sequence(0, ${CmsDepth - 1}), d -> struct(d AS d, concat(d, ':', k) AS s))"))
+        .as("p"))
+      .select(col("p.d").as("d"),
+        (element_at(md5_token_hashes(array(col("p.s")), 31), 1) % CmsWidth).as("w"))
+      .groupBy(col("d"), col("w")).agg(count(lit(1)).as("c"))
+    val est = cells
+      .groupBy(col("d")).agg(sum(expr("c * c")).as("ip"))
+      .agg(min(col("ip")).as("est_selfjoin"))
+    val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * c")).as("exact_selfjoin"), count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_rows"), col("n_keys"), col("exact_selfjoin"), col("est_selfjoin"),
+        expr("(est_selfjoin - exact_selfjoin) * 10000L div exact_selfjoin").as("over_bp"),
+        (col("est_selfjoin") >= col("exact_selfjoin")).as("never_under"))
+  }
+
+  /** Mergeable exact moment statistics (q192) — distributed mean /
+    * variance / third-central-moment per event type WITHOUT Welford
+    * float state: the raw power sums Σv, Σv², Σv³ (cents, DECIMAL(38,0)
+    * for the cube) partial-combine map-side, and every derived statistic
+    * is an integer expression over them — `n·Σv² − S²` is exactly
+    * n²·variance, `n²Σv³ − 3nSΣv² + 2S³ = Σ(nv−S)³/n` scales to the
+    * mean third central moment. Order-free, mergeable across segments
+    * (the q135 incremental-stats algebra extended to higher moments),
+    * bit-identical in both engines. */
+  def momentStats(spark: SparkSession, dir: String): DataFrame =
+    momentStatsOf(Tables.events(spark, dir))
+
+  private[graft] def momentStatsOf(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("CAST(value * 100 AS DECIMAL(14,0))").cast("long").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("s2"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v * v")).as("s3"))
+      .select(col("event_type"), col("n"), col("s").as("sum_cents"),
+        expr("s div n").as("mean_cents"),
+        expr("CAST((n * s2 - CAST(s AS DECIMAL(38,0)) * s) div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)")
+          .as("var_cents2"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * n * s3
+          |  - 3 * CAST(n AS DECIMAL(38,0)) * s * s2
+          |  + 2 * CAST(s AS DECIMAL(38,0)) * s * s)
+          |  div (CAST(n AS DECIMAL(38,0)) * n * n) AS BIGINT)""".stripMargin)
+          .as("m3_scaled"),
+        expr("""CAST(n AS DECIMAL(38,0)) * n * s3
+          |  - 3 * CAST(n AS DECIMAL(38,0)) * s * s2
+          |  + 2 * CAST(s AS DECIMAL(38,0)) * s * s > 0""".stripMargin)
+          .as("right_skewed"))
+      .orderBy(col("event_type"))
+
+  /** q193 audit constants, shared with the oracle. */
+  private[graft] val QuantileEpsBp = 100L // approx_percentile accuracy 1/eps = 10000/QuantileEpsBp
+
+  /** Quantile-sketch accuracy audit (q193) — the production check on the
+    * q69 approximate-quantile path: for each decile, the engine's
+    * approx_percentile estimate is rank-audited EXACTLY (one conditional
+    * aggregate computes every estimate's true rank in a single corpus
+    * pass) and the GK-style guarantee `|rank/n − q| ≤ ε` becomes the
+    * portable claim row (the q42/q79 bounded-claim pattern: the raw
+    * estimate is engine-internal, the guarantee is the contract). A
+    * violated bound names the decile on stderr and breaks the hash. */
+  def quantileAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.lineitem(spark, dir)
+      .select(expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long").as("v"))
+    val qs = (1 to 9).map(_ * 0.1)
+    val accuracy = (10000L / QuantileEpsBp) * 100L // eps = QuantileEpsBp/1e4 → acc 1e4/..·..
+    val row = cents.agg(
+      expr(s"approx_percentile(v, array(${qs.mkString(",")}), $accuracy)").as("est"),
+      count(lit(1)).as("n")).head()
+    val ests = row.getSeq[Long](0)
+    val n = row.getLong(1)
+    val rankAggs = ests.zipWithIndex.map { case (e, i) =>
+      sum(when(col("v") <= e, 1L).otherwise(0L)).as(s"r$i")
+    }
+    val ranks = cents.agg(rankAggs.head, rankAggs.tail: _*).head()
+    val out = qs.zipWithIndex.map { case (q, i) =>
+      val qBp = math.round(q * 10000).toLong
+      val rank = ranks.getLong(i)
+      val errBp = math.abs(rank * 10000L / n - qBp)
+      val ok = errBp <= QuantileEpsBp
+      if (!ok) System.err.println(
+        s"[q193] quantile bound VIOLATED at q=$qBp bp: rank=$rank n=$n err=$errBp bp " +
+          "— the oracle's TRUE row will hash-mismatch")
+      (qBp, n, QuantileEpsBp, ok)
+    }
+    out.toDF("quantile_bp", "n", "eps_bp", "within_bound").orderBy(col("quantile_bp"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5140,7 +5256,10 @@ object PipelineQueries {
     "q187_promo_share" -> (promoShare _),
     "q188_power_iteration" -> (powerIteration _),
     "q189_watermark_audit" -> (watermarkAudit _),
-    "q190_degree_profile" -> (degreeProfile _))
+    "q190_degree_profile" -> (degreeProfile _),
+    "q191_join_size_estimate" -> (joinSizeEstimate _),
+    "q192_moment_stats" -> (momentStats _),
+    "q193_quantile_accuracy" -> (quantileAccuracy _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -6760,6 +6879,44 @@ object PipelineQueries {
         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_nodes, CAST(MIN(deg) AS BIGINT) AS min_deg,
         |  CAST(MAX(deg) AS BIGINT) AS max_deg, CAST(SUM(deg) AS BIGINT) AS sum_deg
         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q191: the sketch is portable-hash built, so the ESTIMATE replays
+    // exactly — both engines fold the same md5 cells.
+    "q191_join_size_estimate" -> {
+      import graft.functions.Md5Hash.duckH31
+      val h = duckH31("CAST(t.d AS VARCHAR) || ':' || CAST(l.l_partkey AS VARCHAR)")
+      s"""WITH cells AS (SELECT t.d, ($h) % $CmsWidth AS w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lineitem l CROSS JOIN range(0, $CmsDepth) t(d) GROUP BY 1, 2),
+         |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_selfjoin FROM (
+         |  SELECT d, SUM(c * c) AS ip FROM cells GROUP BY d)),
+         |ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_selfjoin,
+         |    CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows FROM (
+         |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1))
+         |SELECT ex.n_rows, ex.n_keys, ex.exact_selfjoin, est.est_selfjoin,
+         |  (est.est_selfjoin - ex.exact_selfjoin) * 10000 // ex.exact_selfjoin AS over_bp,
+         |  est.est_selfjoin >= ex.exact_selfjoin AS never_under
+         |FROM ex CROSS JOIN est""".stripMargin
+    },
+    // q192: HUGEINT mirrors DECIMAL(38,0); // and div both truncate
+    // toward zero, so the signed m3 replays exactly.
+    "q192_moment_stats" ->
+      """WITH e AS (SELECT event_type, CAST(value * 100 AS BIGINT) AS v FROM events),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) AS s2, SUM(CAST(v AS HUGEINT) * v * v) AS s3
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n, s AS sum_cents, s // n AS mean_cents,
+        |  CAST((n * s2 - CAST(s AS HUGEINT) * s) // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS var_cents2,
+        |  CAST((CAST(n AS HUGEINT) * n * s3 - 3 * CAST(n AS HUGEINT) * s * s2
+        |    + 2 * CAST(s AS HUGEINT) * s * s) // (CAST(n AS HUGEINT) * n * n) AS BIGINT) AS m3_scaled,
+        |  (CAST(n AS HUGEINT) * n * s3 - 3 * CAST(n AS HUGEINT) * s * s2
+        |    + 2 * CAST(s AS HUGEINT) * s * s) > 0 AS right_skewed
+        |FROM a ORDER BY event_type""".stripMargin,
+    // q193: the bounded-claim pattern — the estimates are engine-internal,
+    // the GK guarantee rows are the portable contract.
+    "q193_quantile_accuracy" ->
+      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
+         |SELECT CAST(t.q * 1000 AS BIGINT) AS quantile_bp, n.n,
+         |  CAST($QuantileEpsBp AS BIGINT) AS eps_bp, TRUE AS within_bound
+         |FROM range(1, 10) t(q) CROSS JOIN n ORDER BY quantile_bp""".stripMargin,
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

@@ -911,6 +911,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q191: the sketch cells partial-combine; the estimate is sketch-sized work") {
+    val p = planOf("q191_join_size_estimate")
+    assert(p.contains("partial_count"),
+      s"the (d, w) cells must combine map-side (mergeable-sketch shape):\n$p")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q192: all moments share one scan — no join, partial power sums") {
+    val p = planOf("q192_moment_stats")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

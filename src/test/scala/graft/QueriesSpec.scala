@@ -1662,6 +1662,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 1L, 1L, 1L, 1L), (1L, 3L, 2L, 3L, 7L)))
   }
 
+  test("q191 join-size estimate: planted keys give the exact AMS inner product") {
+    import spark.implicits._
+    // Keys [1,1,2] → exact self-join 2²+1² = 5; with 2048 cells and 5
+    // depths the deterministic md5 layout is collision-free → est = 5.
+    val out = graft.analytics.PipelineQueries.joinSizeEstimateOf(
+      Seq(1L, 1L, 2L).toDF("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq((3L, 2L, 5L, 5L, 0L, true)))
+  }
+
+  test("q192 moments: planted symmetric and skewed series give exact integers") {
+    import spark.implicits._
+    val ev = Seq(("view", 1.0), ("view", 2.0), ("view", 3.0),
+      ("purchase", 1.0), ("purchase", 1.0), ("purchase", 4.0))
+      .toDF("event_type", "value")
+    val out = graft.analytics.PipelineQueries.momentStatsOf(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(out.toSeq == Seq(
+      // mean third central moment: Σ(v−μ)³/n = 6e6/3 = 2e6; right-skewed.
+      ("purchase", 3L, 600L, 200L, 30000L, 2000000L, true),
+      // Symmetric 100/200/300: var 10000, m3 exactly 0.
+      ("view", 3L, 600L, 200L, 10000L, 0L, false)))
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

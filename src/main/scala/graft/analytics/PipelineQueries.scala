@@ -5115,6 +5115,133 @@ object PipelineQueries {
     out.toDF("quantile_bp", "n", "eps_bp", "within_bound").orderBy(col("quantile_bp"))
   }
 
+  /** q194 session gap (the q23 sessionize constant) — a session interval
+    * is [first event, last event + 0]; concurrency counts overlapping
+    * session extents. */
+  private[graft] val ConcurrencySessionGapUs = 1800000000L
+
+  /** Peak session concurrency (q194) — the sweep-line interval-overlap
+    * counter behind capacity planning: per-user 30-min-gap sessions
+    * become (+1 at start, −1 after end) deltas; concurrency at t is the
+    * prefix sum of deltas ≤ t. The prefix sum is TWO-LEVEL (the q144
+    * sharded-PrefixSum idea expressed in windows): a running sum WITHIN
+    * each day partition plus a day-frame carry window — no global
+    * single-partition ordering ever touches event-sized data. Ties
+    * order (us, delta DESC): a session starting at the exact instant
+    * another ends counts as overlapping. Output: per-day session
+    * starts/ends and the exact peak concurrency. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame =
+    peakConcurrencyOf(Tables.events(spark, dir))
+
+  private[graft] def peakConcurrencyOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.select(col("user_id"), expr("unix_micros(ts)").as("us"))
+    val wGap = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val sessions = e
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(wGap) > ConcurrencySessionGapUs
+          || lag(col("us"), 1).over(wGap).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        wGap.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+    val deltas = sessions.select(col("s_start").as("us"), lit(1L).as("d"))
+      .union(sessions.select(col("s_end").as("us"), lit(-1L).as("d")))
+      .withColumn("day", expr("us div 86400000000L"))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("us"), col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDay = deltas
+      .withColumn("run", sum(col("d")).over(wDay))
+      .groupBy(col("day"))
+      .agg(sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("d") === -1L, 1L).otherwise(0L)).as("n_ends"),
+        max(col("run")).as("peak_in_day"), sum(col("d")).as("net"))
+    val wCarry = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("carry", coalesce(sum(col("net")).over(wCarry), lit(0L)))
+      // A session spanning midnight leaves carry > 0 with only a −1
+      // delta inside the day: the day's true peak is the GREATER of the
+      // carried-in concurrency and any within-day prefix.
+      .select(col("day"), col("n_starts"), col("n_ends"),
+        greatest(col("carry"), col("carry") + col("peak_in_day")).as("peak_concurrency"))
+      .orderBy(col("day"))
+  }
+
+  /** q195 constants, shared with the oracle generator. */
+  private[graft] val KCoreK = 3L
+  private[graft] val KCoreRounds = 3
+
+  /** k-core peeling trace (q195) — the graph-pruning primitive under
+    * community mining and graph sampling: [[KCoreRounds]] rounds of
+    * "drop nodes with degree < [[KCoreK]], keep only edges between
+    * survivors" over the shared co-purchase edge memo, emitting the
+    * surviving node/edge counts per round. Each round is one degree
+    * aggregate + two semi-joins on 8-byte keys; intermediate edge
+    * frames persist so round r reads round r−1's cache rather than
+    * re-deriving a 2^r-deep lineage (the q149 label-frame lesson). The
+    * fixed-round trace (not run-to-convergence) keeps the oracle an
+    * unrolled-CTE replay, the q139/q188 discipline. */
+  def kCorePeeling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var edges = coPurchaseEdges(spark, dir)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to KCoreRounds) {
+      val deg = edges.select(col("u").as("node")).union(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val kept = deg.filter(col("deg") >= KCoreK).select(col("node"))
+      val next = edges
+        .join(kept.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(kept.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += next
+      val nEdges = next.count()
+      val nNodes = next.select(col("u").as("n")).union(next.select(col("v").as("n")))
+        .distinct().count()
+      rows += ((r, nNodes, nEdges))
+      edges = next
+    }
+    cached.foreach(_.unpersist(blocking = false))
+    rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy(col("round"))
+  }
+
+  /** Point-in-time loyalty attribution (q196) — the as-was vs as-is
+    * reporting correctness every SCD2 warehouse must get right: per
+    * customer a deterministic tier history (bronze until the 2nd order
+    * instant, silver until the 4th, gold after — boundaries from the
+    * customer's own order sequence), then every order attributed BOTH to
+    * the tier valid at its own timestamp (as-was: strictly-after
+    * semantics — the boundary order itself still counts in the lower
+    * tier) and to the customer's final tier (as-is). Revenue in exact
+    * cents. One custkey shuffle shared by the sequence window, the
+    * boundary aggregate, and the attribution join; the report is
+    * tier-sized. */
+  def pitLoyalty(spark: SparkSession, dir: String): DataFrame =
+    pitLoyaltyOf(Tables.orders(spark, dir))
+
+  private[graft] def pitLoyaltyOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = orders.select(col("o_custkey"), col("o_orderkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"),
+      expr("CAST(o_totalprice * 100 AS DECIMAL(14,0))").cast("long").as("cents"))
+    // One custkey partitioning serves both the sequence rank (as-was)
+    // and the final count (as-is) — no join, one shuffle.
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("us"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_custkey"))
+    o.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .select(col("cents"),
+        when(col("rn") <= 2L, "bronze").when(col("rn") <= 4L, "silver")
+          .otherwise("gold").as("tier_as_was"),
+        when(col("cnt") <= 2L, "bronze").when(col("cnt") <= 4L, "silver")
+          .otherwise("gold").as("tier_as_is"))
+      .groupBy(col("tier_as_was"), col("tier_as_is"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+      .orderBy(col("tier_as_was"), col("tier_as_is"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5259,7 +5386,10 @@ object PipelineQueries {
     "q190_degree_profile" -> (degreeProfile _),
     "q191_join_size_estimate" -> (joinSizeEstimate _),
     "q192_moment_stats" -> (momentStats _),
-    "q193_quantile_accuracy" -> (quantileAccuracy _))
+    "q193_quantile_accuracy" -> (quantileAccuracy _),
+    "q194_peak_concurrency" -> (peakConcurrency _),
+    "q195_kcore_peeling" -> (kCorePeeling _),
+    "q196_pit_loyalty" -> (pitLoyalty _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -6917,6 +7047,68 @@ object PipelineQueries {
          |SELECT CAST(t.q * 1000 AS BIGINT) AS quantile_bp, n.n,
          |  CAST($QuantileEpsBp AS BIGINT) AS eps_bp, TRUE AS within_bound
          |FROM range(1, 10) t(q) CROSS JOIN n ORDER BY quantile_bp""".stripMargin,
+    // q194: same sessionization, same tie order (+1 before −1 at the
+    // same instant), same two-level prefix decomposition.
+    "q194_peak_concurrency" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |g AS (SELECT user_id, us,
+         |    CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         |      OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > $ConcurrencySessionGapUs
+         |      THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |s AS (SELECT user_id, us, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+         |iv AS (SELECT user_id, sid, MIN(us) AS s_start, MAX(us) AS s_end FROM s GROUP BY 1, 2),
+         |dl AS (SELECT s_start AS us, 1 AS d FROM iv UNION ALL SELECT s_end, -1 FROM iv),
+         |dd AS (SELECT us, d, us // 86400000000 AS day FROM dl),
+         |rn AS (SELECT day, us, d, SUM(d) OVER (PARTITION BY day ORDER BY us, d DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM dd),
+         |pd AS (SELECT day, CAST(COUNT(*) FILTER (d = 1) AS BIGINT) AS n_starts,
+         |    CAST(COUNT(*) FILTER (d = -1) AS BIGINT) AS n_ends,
+         |    MAX(run) AS peak_in_day, SUM(d) AS net FROM rn GROUP BY day),
+         |cr AS (SELECT day, n_starts, n_ends, peak_in_day,
+         |    COALESCE(SUM(net) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry FROM pd)
+         |SELECT day, n_starts, n_ends,
+         |  CAST(GREATEST(carry, carry + peak_in_day) AS BIGINT) AS peak_concurrency
+         |FROM cr ORDER BY day""".stripMargin,
+    // q195: unrolled peel rounds (q139/q188 discipline) over the same
+    // id-ordered edge set.
+    "q195_kcore_peeling" -> {
+      def round(r: Int): String = {
+        val prev = s"e${r - 1}"
+        s"""d$r AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+           |  (SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev) GROUP BY 1),
+           |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $KCoreK),
+           |e$r AS MATERIALIZED (SELECT $prev.u, $prev.v FROM $prev
+           |  JOIN k$r a ON $prev.u = a.node JOIN k$r b ON $prev.v = b.node),
+           |r$r AS (SELECT CAST($r AS INTEGER) AS round,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT n FROM
+           |    (SELECT u AS n FROM e$r UNION ALL SELECT v FROM e$r))) AS n_nodes,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r) AS n_edges)"""
+      }
+      val body = (1 to KCoreRounds).map(round).mkString(",\n")
+      val union = (1 to KCoreRounds).map(r => s"SELECT * FROM r$r").mkString(" UNION ALL ")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a
+         |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |$body
+         |$union ORDER BY round""".stripMargin
+    },
+    // q196: same (date, orderkey) sequence, same tier cuts, exact cents.
+    "q196_pit_loyalty" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us,
+        |    CAST(o_totalprice * 100 AS BIGINT) AS cents FROM orders),
+        |s AS (SELECT cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY us, o_orderkey) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS cnt FROM o),
+        |t AS (SELECT cents,
+        |    CASE WHEN rn <= 2 THEN 'bronze' WHEN rn <= 4 THEN 'silver' ELSE 'gold' END AS tier_as_was,
+        |    CASE WHEN cnt <= 2 THEN 'bronze' WHEN cnt <= 4 THEN 'silver' ELSE 'gold' END AS tier_as_is
+        |  FROM s)
+        |SELECT tier_as_was, tier_as_is, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

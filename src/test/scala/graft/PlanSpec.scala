@@ -926,6 +926,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q194: session and sweep windows are partitioned — no global event ordering") {
+    val p = planOf("q194_peak_concurrency")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"sessionization must partition by user:\n$p")
+    assert(p.contains("windowspecdefinition(day"),
+      s"the sweep prefix must partition by day (two-level PrefixSum):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q195: each peel round is semi-joins on 8-byte keys over the cached previous round") {
+    val p = planOf("q195_kcore_peeling")
+    assert(p.contains("LocalTableScan") || p.contains("localtablescan"),
+      s"the trace rows are driver-emitted (q86/q188 pattern):\n$p")
+  }
+
+  test("q196: both tiers ride ONE custkey partitioning — no join, one scan") {
+    val p = planOf("q196_pit_loyalty")
+    assert(p.contains("windowspecdefinition(o_custkey"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.sliding("orders.parquet".length).count(_ == "orders.parquet") == 1, p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

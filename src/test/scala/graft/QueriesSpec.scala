@@ -1688,6 +1688,36 @@ class QueriesSpec extends AnyFunSuite {
       ("view", 3L, 600L, 200L, 10000L, 0L, false)))
   }
 
+  test("q194 concurrency: ties overlap, midnight-spanning sessions carry their peak") {
+    import spark.implicits._
+    val mkTs = (min: Long) => new java.sql.Timestamp(min * 60000L)
+    // Day 0: u1 session [0,10], u2 point-session at 5 (overlap → peak 2),
+    // u3 point at 100. u4 session 23:50 → day1 00:10 (spans midnight:
+    // day 1 holds only its −1 delta, peak must read the carry, = 1).
+    val ev = Seq((1L, 0L), (1L, 10L), (2L, 5L), (3L, 100L),
+      (4L, 1430L), (4L, 1450L))
+      .map { case (u, m) => (u, mkTs(m)) }.toDF("user_id", "ts")
+    val out = graft.analytics.PipelineQueries.peakConcurrencyOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 4L, 3L, 2L), (1L, 0L, 1L, 1L)))
+  }
+
+  test("q196 loyalty: the boundary order itself stays in the lower tier") {
+    import spark.implicits._
+    val mkTs = (d: Long) => new java.sql.Timestamp(d * 86400000L)
+    // Customer 1: five orders → as-was bronze,bronze,silver,silver,gold;
+    // as-is gold. Customer 2: one order → bronze/bronze.
+    val orders = (1L to 5L).map(i => (1L, i, mkTs(i), i * 10.0)) :+ (2L, 9L, mkTs(1), 5.0)
+    val out = graft.analytics.PipelineQueries.pitLoyaltyOf(
+      orders.toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("bronze", "bronze", 1L, 500L),      // customer 2
+      ("bronze", "gold", 2L, 3000L),       // orders 1–2 of customer 1
+      ("gold", "gold", 1L, 5000L),         // order 5
+      ("silver", "gold", 2L, 7000L)))      // orders 3–4
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -5242,6 +5242,126 @@ object PipelineQueries {
       .orderBy(col("tier_as_was"), col("tier_as_is"))
   }
 
+  /** q197 batch width, shared with the oracle. */
+  private[graft] val InferBatchSize = 32L
+
+  /** Inference batch-padding economics (q197) — the serving-cost readout
+    * behind length-sorted batching: documents batched [[InferBatchSize]]
+    * at a time, padded to each batch's max length, under two policies —
+    * arrival order (doc_id) vs length-sorted. Both global ranks run on
+    * the SHARDED [[graft.operators.PrefixSum]] (bucket = leading bits of
+    * the order key), bit-identical to a serial row_number with no
+    * single-task corpus sort; per-batch stats and the 2-row report are
+    * aggregates. The emitted waste_bp difference IS the GPU-hours
+    * argument for sorted batching. */
+  def batchPadding(spark: SparkSession, dir: String): DataFrame =
+    batchPaddingOf(Tables.documents(spark, dir))
+
+  private[graft] def batchPaddingOf(docs: DataFrame): DataFrame = {
+    import graft.operators.PrefixSum
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      .withColumn("one", lit(1L))
+    val arrival = PrefixSum.runningSum(lens, Seq.empty, Seq("doc_id"), "one",
+        expr("doc_id div 4096"), "rn")
+      .select(lit("arrival").as("policy"), col("len"), col("rn"))
+    val sorted = PrefixSum.runningSum(lens, Seq.empty, Seq("len", "doc_id"), "one",
+        expr("len div 64"), "rn")
+      .select(lit("sorted").as("policy"), col("len"), col("rn"))
+    arrival.union(sorted)
+      .select(col("policy"), expr(s"(rn - 1) div $InferBatchSize").as("batch"), col("len"))
+      .groupBy(col("policy"), col("batch"))
+      .agg(count(lit(1)).as("n"), max(col("len")).as("mx"), sum(col("len")).as("s"))
+      .groupBy(col("policy"))
+      .agg(count(lit(1)).as("n_batches"), sum(col("s")).as("total_tokens"),
+        sum(expr("n * mx")).as("capacity"))
+      .select(col("policy"), col("n_batches"), col("total_tokens"),
+        expr("capacity - total_tokens").as("padded_tokens"),
+        expr("(capacity - total_tokens) * 10000L div capacity").as("waste_bp"))
+      .orderBy(col("policy"))
+  }
+
+  /** q198 bootstrap constants, shared with the oracle: resample count,
+    * CI order-statistic ranks, and the Poisson(1) CDF cut points on the
+    * 31-bit uniform hash (⌊CDF·2³¹⌋ for k = 0..3; mass above is w=4). */
+  private[graft] val BootB = 200L
+  private[graft] val BootCiLoRank = 5L   // ceil(0.025 · B)
+  private[graft] val BootCiHiRank = 196L // B − ceil(0.025·B) + 1
+  private[graft] val BootPoissonCuts = Seq(790015084L, 1580030168L, 1975037710L, 2106706891L)
+
+  /** Deterministic Poisson-bootstrap confidence interval (q198) — the
+    * statistical-rigor primitive an experimentation platform needs at
+    * corpus scale: the per-user conversion metric resampled [[BootB]]
+    * times with Poisson(1) weights derived from a PORTABLE md5 hash of
+    * (resample, user) — no RNG state, identical in both engines, and
+    * embarrassingly parallel (the resample dimension explodes map-side,
+    * weights partial-combine into B rows). The 95% CI is exact order
+    * statistics over the B-row rate frame. The same shape bootstraps
+    * any per-entity metric (eval scores, revenue/user) at any scale:
+    * corpus work is one user aggregate + one ×B map-only pass. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    bootstrapCiOf(Tables.events(spark, dir))
+
+  private[graft] def bootstrapCiOf(events: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    import org.apache.spark.sql.expressions.Window
+    val users = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    val Seq(t0, t1, t2, t3) = BootPoissonCuts
+    val rates = users
+      .select(col("user_id"), col("conv"),
+        explode(expr(s"sequence(0L, ${BootB - 1}L)")).as("b"))
+      .select(col("b"), col("conv"),
+        element_at(md5_token_hashes(array(concat(col("b"), lit(":"), col("user_id"))), 31), 1)
+          .as("h"))
+      .select(col("b"), col("conv"),
+        when(col("h") < t0, 0L).when(col("h") < t1, 1L)
+          .when(col("h") < t2, 2L).when(col("h") < t3, 3L).otherwise(4L).as("w"))
+      .groupBy(col("b"))
+      .agg(sum(expr("w * conv")).as("wc"), sum(col("w")).as("wt"))
+      .select(expr("wc * 10000L div wt").as("rate_bp"))
+    val ci = rates
+      .withColumn("rk", row_number().over(Window.orderBy(col("rate_bp"))).cast("long"))
+      .agg(max(when(col("rk") === BootCiLoRank, col("rate_bp"))).as("ci_lo_bp"),
+        max(when(col("rk") === BootCiHiRank, col("rate_bp"))).as("ci_hi_bp"))
+    users.agg(count(lit(1)).as("n_users"),
+        expr("sum(conv) * 10000L div count(1)").as("base_rate_bp"))
+      .crossJoin(broadcast(ci))
+      .select(col("n_users"), col("base_rate_bp"), lit(BootB).as("n_resamples"),
+        col("ci_lo_bp"), col("ci_hi_bp"))
+  }
+
+  /** q199 vocabulary cut points, shared with the oracle. */
+  private[graft] val VocabCurveSizes = Seq(100L, 1000L, 10000L)
+
+  /** Vocabulary-size coverage curve (q199) — the tokenizer-budget
+    * decision: what share of corpus tokens the top-V vocabulary covers,
+    * at [[VocabCurveSizes]] cut points. One corpus tokenization into
+    * vocab counts; the rank and cumulative share ride the VOCAB frame
+    * (bounded by the language's lexicon, not the corpus — the q168 size
+    * class); the report is |cuts| rows. */
+  def vocabSizeCurve(spark: SparkSession, dir: String): DataFrame =
+    vocabSizeCurveOf(Tables.documents(spark, dir))
+
+  private[graft] def vocabSizeCurveOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = counts
+      .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("token"))).cast("long"))
+      .withColumn("total", sum(col("c")).over(wAll))
+      .withColumn("nv", count(lit(1)).over(wAll))
+    ranked
+      .select(explode(expr(s"array(${VocabCurveSizes.mkString("L,")}L)")).as("v"),
+        col("rk"), col("c"), col("total"), col("nv"))
+      .filter(col("rk") <= col("v"))
+      .groupBy(col("v"), col("total"), col("nv"))
+      .agg(sum(col("c")).as("covered"))
+      .select(col("v"), least(col("v"), col("nv")).as("n_vocab_used"),
+        expr("covered * 10000L div total").as("coverage_bp"))
+      .orderBy(col("v"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5389,7 +5509,10 @@ object PipelineQueries {
     "q193_quantile_accuracy" -> (quantileAccuracy _),
     "q194_peak_concurrency" -> (peakConcurrency _),
     "q195_kcore_peeling" -> (kCorePeeling _),
-    "q196_pit_loyalty" -> (pitLoyalty _))
+    "q196_pit_loyalty" -> (pitLoyalty _),
+    "q197_batch_padding" -> (batchPadding _),
+    "q198_bootstrap_ci" -> (bootstrapCi _),
+    "q199_vocab_curve" -> (vocabSizeCurve _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -7109,6 +7232,60 @@ object PipelineQueries {
         |SELECT tier_as_was, tier_as_is, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(cents) AS BIGINT) AS rev_cents
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q197: the oracle's serial row_number is bit-identical to the
+    // engine's sharded PrefixSum rank (the q144 contract).
+    "q197_batch_padding" ->
+      s"""WITH l AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS len FROM documents),
+         |a AS (SELECT 'arrival' AS policy, len,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn FROM l
+         |  UNION ALL SELECT 'sorted', len,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY len, doc_id) AS BIGINT) FROM l),
+         |b AS (SELECT policy, (rn - 1) // $InferBatchSize AS batch,
+         |    CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(len) AS BIGINT) AS mx,
+         |    CAST(SUM(len) AS BIGINT) AS s
+         |  FROM a GROUP BY 1, 2),
+         |r AS (SELECT policy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+         |    CAST(SUM(s) AS BIGINT) AS total_tokens, CAST(SUM(n * mx) AS BIGINT) AS capacity
+         |  FROM b GROUP BY 1)
+         |SELECT policy, n_batches, total_tokens, capacity - total_tokens AS padded_tokens,
+         |  (capacity - total_tokens) * 10000 // capacity AS waste_bp
+         |FROM r ORDER BY policy""".stripMargin,
+    // q198: identical portable hash, identical Poisson cut points,
+    // identical order statistics.
+    "q198_bootstrap_ci" -> {
+      import graft.functions.Md5Hash.duckH31
+      val h = duckH31("CAST(t.b AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR)")
+      val Seq(t0, t1, t2, t3) = BootPoissonCuts
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+         |  FROM events GROUP BY 1),
+         |w AS (SELECT t.b, u.conv,
+         |    CASE WHEN $h < $t0 THEN 0 WHEN $h < $t1 THEN 1 WHEN $h < $t2 THEN 2
+         |         WHEN $h < $t3 THEN 3 ELSE 4 END AS w
+         |  FROM u CROSS JOIN range(0, $BootB) t(b)),
+         |r AS (SELECT b, CAST(SUM(w * conv) AS BIGINT) * 10000
+         |    // CAST(SUM(w) AS BIGINT) AS rate_bp FROM w GROUP BY b),
+         |o AS (SELECT rate_bp, CAST(ROW_NUMBER() OVER (ORDER BY rate_bp) AS BIGINT) AS rk FROM r),
+         |ci AS (SELECT MAX(CASE WHEN rk = $BootCiLoRank THEN rate_bp END) AS ci_lo_bp,
+         |    MAX(CASE WHEN rk = $BootCiHiRank THEN rate_bp END) AS ci_hi_bp FROM o),
+         |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(conv) AS BIGINT) * 10000 // CAST(COUNT(*) AS BIGINT) AS base_rate_bp FROM u)
+         |SELECT base.n_users, base.base_rate_bp, CAST($BootB AS BIGINT) AS n_resamples,
+         |  ci.ci_lo_bp, ci.ci_hi_bp
+         |FROM base CROSS JOIN ci""".stripMargin
+    },
+    // q199: same (count desc, token) vocabulary order, same cut points.
+    "q199_vocab_curve" ->
+      s"""WITH c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents) GROUP BY 1),
+         |r AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS BIGINT) AS rk,
+         |    CAST(SUM(c) OVER () AS BIGINT) AS total, CAST(COUNT(*) OVER () AS BIGINT) AS nv
+         |  FROM c),
+         |v AS (SELECT UNNEST(ARRAY[${VocabCurveSizes.mkString(", ")}]) AS v)
+         |SELECT CAST(v.v AS BIGINT) AS v, CAST(LEAST(v.v, r.nv) AS BIGINT) AS n_vocab_used,
+         |  CAST(SUM(r.c) AS BIGINT) * 10000 // r.total AS coverage_bp
+         |FROM r JOIN v ON r.rk <= v.v
+         |GROUP BY v.v, r.total, r.nv ORDER BY v""".stripMargin,
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

@@ -948,6 +948,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.sliding("orders.parquet".length).count(_ == "orders.parquet") == 1, p)
   }
 
+  test("q197: both ranks shard via PrefixSum buckets — no single-partition corpus sort") {
+    val p = planOf("q197_batch_padding")
+    assert(p.contains("windowspecdefinition(__ps_bucket"),
+      s"global ranks must run the sharded PrefixSum (q144 contract):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q198: the resample dimension explodes map-side and combines to B rows") {
+    val p = planOf("q198_bootstrap_ci")
+    assert(p.contains("Generate"),
+      s"resamples must fan out as a projection, not a join:\n$p")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

@@ -1718,6 +1718,36 @@ class QueriesSpec extends AnyFunSuite {
       ("silver", "gold", 2L, 7000L)))      // orders 3–4
   }
 
+  test("q197 padding: sorted batching eliminates the planted interleaved waste") {
+    import spark.implicits._
+    // 64 docs alternating 10-token / 2-token. Arrival order mixes them
+    // (both batches pad to 10 → 256 wasted); sorted order separates them
+    // (zero waste).
+    val docs = (1L to 64L).map(i =>
+      (i, (if (i % 2 == 1) Seq.fill(10)("w") else Seq.fill(2)("w")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.analytics.PipelineQueries.batchPaddingOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("arrival", 2L, 384L, 256L, 4000L), ("sorted", 2L, 384L, 0L, 0L)))
+  }
+
+  test("q198 bootstrap: an all-converting population pins the CI to the point") {
+    import spark.implicits._
+    val ev = (1L to 10L).map(u => (u, "purchase")).toDF("user_id", "event_type")
+    val out = graft.analytics.PipelineQueries.bootstrapCiOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((10L, 10000L, 200L, 10000L, 10000L)))
+  }
+
+  test("q199 vocab curve: a vocabulary smaller than every cut reads full coverage") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "a a b b c")).toDF("doc_id", "text")
+    val out = graft.analytics.PipelineQueries.vocabSizeCurveOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((100L, 3L, 10000L), (1000L, 3L, 10000L), (10000L, 3L, 10000L)))
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -5362,6 +5362,45 @@ object PipelineQueries {
       .orderBy(col("v"))
   }
 
+  /** Streaming fuzzy ingest dedup (q200) — the near-dup completion of
+    * the ingest-dedup progression (q84 exact batch sketch → q100 exact
+    * streaming Bloom → q200 FUZZY streaming): arrivals (every 7th doc)
+    * land in four sequential micro-batches against a pre-seeded standing
+    * corpus (the rest); each batch drops within-batch dominated near-dups
+    * (smaller-id Jaccard ≥ 0.8 twin in the same batch) and arrivals
+    * fuzzy-matching the standing corpus (banded LSH candidates, exact
+    * verification — [[graft.dedup.IncrementalDedup.fuzzyIngestBatch]]),
+    * then appends survivors to its own batch partition. The registered
+    * row replays the batch loop deterministically and reports the
+    * published arrival survivors; the oracle replays all four batches
+    * SEQUENTIALLY with brute-force Jaccard (the q62 recall-exactness
+    * argument: the 48×4 banding misses nothing at the 0.8 gate, so
+    * hash-equality against brute force proves both the recall and the
+    * sequencing). StreamingSpec drives the same core through a real
+    * MemoryStream and pins the drop semantics batch by batch. */
+  def streamingFuzzyDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.SessionMemo.memo(spark, s"q200|$dir") {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val work = java.nio.file.Files.createTempDirectory("graft_fuzzy_ingest").toString
+      val corpus = s"$work/corpus"
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"), lit(-1L).as("batch_id"))
+        .write.partitionBy("batch_id").parquet(corpus)
+      (0 to 3).foreach { b =>
+        val slice = docs
+          .filter(col("doc_id") % 7 === 0 && expr("(doc_id div 7) % 4") === b)
+          .select(col("doc_id"), col("text"))
+        graft.dedup.IncrementalDedup.fuzzyIngestBatch(slice, corpus, b.toLong)
+      }
+      spark.read.parquet(corpus)
+        .where(col("batch_id") >= 0)
+        .select(col("batch_id").cast("long").as("batch_id"), col("doc_id"))
+        .orderBy(col("batch_id"), col("doc_id"))
+    }
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5512,7 +5551,8 @@ object PipelineQueries {
     "q196_pit_loyalty" -> (pitLoyalty _),
     "q197_batch_padding" -> (batchPadding _),
     "q198_bootstrap_ci" -> (bootstrapCi _),
-    "q199_vocab_curve" -> (vocabSizeCurve _))
+    "q199_vocab_curve" -> (vocabSizeCurve _),
+    "q200_stream_fuzzy_dedup" -> (streamingFuzzyDedup _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -7286,6 +7326,36 @@ object PipelineQueries {
          |  CAST(SUM(r.c) AS BIGINT) * 10000 // r.total AS coverage_bp
          |FROM r JOIN v ON r.rk <= v.v
          |GROUP BY v.v, r.total, r.nv ORDER BY v""".stripMargin,
+    // q200: sequential-batch replay with brute-force Jaccard — the q62
+    // recall-exactness argument batch by batch; the length prefilter
+    // (5·min ≥ 4·max ⟸ j ≥ 0.8) is a pure optimization.
+    "q200_stream_fuzzy_dedup" -> {
+      def jac(a: String, x: String) =
+        s"CAST(len(list_intersect($a.toks, $x.toks)) AS DOUBLE) / " +
+          s"($a.nt + $x.nt - len(list_intersect($a.toks, $x.toks))) >= 0.8"
+      def lenPre(a: String, x: String) =
+        s"5 * LEAST($a.nt, $x.nt) >= 4 * GREATEST($a.nt, $x.nt)"
+      def batch(b: Int): String = {
+        val corpusUnion = ("SELECT doc_id, toks, nt FROM st" +:
+          (0 until b).map(i => s"SELECT doc_id, toks, nt FROM s$i")).mkString(" UNION ALL ")
+        s"""a$b AS MATERIALIZED (SELECT * FROM arr WHERE (doc_id // 7) % 4 = $b),
+           |wd$b AS (SELECT DISTINCT a.doc_id FROM a$b a JOIN a$b x
+           |  ON x.doc_id < a.doc_id AND ${lenPre("a", "x")} AND ${jac("a", "x")}),
+           |k$b AS MATERIALIZED (SELECT * FROM a$b WHERE doc_id NOT IN (SELECT doc_id FROM wd$b)),
+           |c$b AS MATERIALIZED ($corpusUnion),
+           |cd$b AS (SELECT DISTINCT k.doc_id FROM k$b k JOIN c$b c
+           |  ON ${lenPre("k", "c")} AND ${jac("k", "c")}),
+           |s$b AS MATERIALIZED (SELECT * FROM k$b WHERE doc_id NOT IN (SELECT doc_id FROM cd$b))"""
+      }
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks,
+         |    len(list_distinct(str_split(text, ' '))) AS nt FROM documents),
+         |st AS MATERIALIZED (SELECT doc_id, toks, nt FROM d WHERE doc_id % 7 <> 0),
+         |arr AS MATERIALIZED (SELECT doc_id, toks, nt FROM d WHERE doc_id % 7 = 0),
+         |${(0 to 3).map(batch).mkString(",\n")}
+         |${(0 to 3).map(b => s"SELECT CAST($b AS BIGINT) AS batch_id, doc_id FROM s$b")
+            .mkString(" UNION ALL ")}
+         |ORDER BY batch_id, doc_id""".stripMargin
+    },
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

@@ -250,4 +250,63 @@ object IncrementalDedup {
       }
       .start()
   }
+
+  /** One micro-batch of FUZZY (MinHash-LSH) ingest-time dedup — the
+    * near-dup completion of the exact/Bloom progression above (q84 exact
+    * batch → q100 exact streaming → q200 fuzzy streaming): within the
+    * batch, a document is dropped when a smaller-id near-dup (token
+    * Jaccard ≥ `threshold`, the q27/q62 semantics) exists in the SAME
+    * batch (pair-dominance — replayable, no CC chase at ingest); the
+    * remainder probes the STANDING corpus via the banded cross join
+    * ([[Dedup.crossNearDups]] — candidates from 48×4 band buckets, exact
+    * Jaccard verification of candidates only, never all-pairs); the
+    * survivors append as this batch's own partition via dynamic
+    * partition overwrite — a replayed batch re-reads the corpus
+    * EXCLUDING its own batch_id and re-derives identical survivors
+    * (idempotent under restart, the q100 contract).
+    *
+    * 100 TB shape: the arrival batch is the small side — it persists
+    * inside the banded join while the corpus side streams through the
+    * band-bucket exchange; nothing corpus-sized collects or persists
+    * per batch. At scale the corpus band keys would live as a committed
+    * layout (the q98 index pattern applied to text); here they derive
+    * per batch, which the harness SF prices fine. */
+  def fuzzyIngestBatch(batch: DataFrame, corpusDir: String, batchId: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8): Unit = {
+    val spark = batch.sparkSession
+    val standing = spark.read.parquet(corpusDir)
+      .where(col("batch_id") =!= batchId)
+      .select(col(idCol), col(textCol))
+    val dominated = Dedup.crossNearDups(batch, batch, idCol, textCol, threshold)
+      .filter(col("id_b") < col("id_a"))
+      .select(col("id_a").as(idCol)).distinct()
+    val kept = batch.join(dominated, Seq(idCol), "left_anti")
+    val crossDropped = Dedup.crossNearDups(standing, kept, idCol, textCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    kept.join(crossDropped, Seq(idCol), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(corpusDir)
+  }
+
+  /** Structured Streaming driver for [[fuzzyIngestBatch]]: each
+    * micro-batch runs the full within-batch + against-corpus fuzzy
+    * dedup and appends its survivors. StreamingSpec drives planted
+    * batches through a MemoryStream and pins the drop semantics. */
+  def streamingFuzzyIngest(incoming: DataFrame, corpusDir: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        fuzzyIngestBatch(b, corpusDir, id, idCol, textCol, threshold)
+      }
+      .start()
 }

@@ -543,4 +543,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == total - dropped,
       s"engine kept $kept rows, audit predicts ${total - dropped}")
   }
+
+  test("q200 fuzzy ingest: within-batch dominance, corpus match, and cross-batch carry") {
+    val work = java.nio.file.Files.createTempDirectory("graft_fuzzy_spec").toString
+    val corpus = s"$work/corpus"
+    // Standing corpus: doc 100.
+    Seq((100L, "p q r s", -1L)).toDF("doc_id", "text", "batch_id")
+      .write.partitionBy("batch_id").parquet(corpus)
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = graft.dedup.IncrementalDedup.streamingFuzzyIngest(
+      ms.toDF().toDF("doc_id", "text"), corpus, s"$work/_ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // Batch 1: docs 1 and 2 are 0.8-Jaccard twins → 2 dominated by 1.
+    ms.addData(Seq((1L, "x y z w"), (2L, "x y z w v")))
+    q.processAllAvailable()
+    // Batch 2: 3 matches the STANDING corpus (dropped), 4 is fresh
+    // (kept), 5 duplicates batch-1 SURVIVOR 1 (dropped — cross-batch
+    // carry through the published partitions).
+    ms.addData(Seq((3L, "p q r s t"), (4L, "a b c d"), (5L, "x y z w")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(corpus).where(col("batch_id") >= 0)
+      .select(col("batch_id").cast("long"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((0L, 1L), (1L, 4L)))
+  }
 }

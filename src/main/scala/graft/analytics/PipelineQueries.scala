@@ -5401,6 +5401,118 @@ object PipelineQueries {
     }
   }
 
+  /** q201 SLO constants (99% availability → 100 bp error budget), shared
+    * with the oracle: fast-burn pages at 14.4× budget over 1 h AND 6×
+    * over 6 h (the Google SRE multiwindow rule, in integer bp). */
+  private[graft] val SloPage1hBp = 1440L
+  private[graft] val SloPage6hBp = 600L
+  private[graft] val SloTicket24hBp = 300L
+
+  /** Multi-window SLO burn-rate alerts (q201) — the error-budget
+    * monitoring rule production services page on: per-hour error rates
+    * plus trailing 6 h and 24 h RANGE windows over the HOUR frame
+    * (metadata-sized — events aggregate once, windows never see rows),
+    * with the two-window fast-burn page and the slow-burn ticket as
+    * integer-bp comparisons. Gap hours follow the q128 observed-hours
+    * contract. */
+  def sloBurnRate(spark: SparkSession, dir: String): DataFrame =
+    sloBurnRateOf(Tables.events(spark, dir))
+
+  private[graft] def sloBurnRateOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .select(expr("unix_micros(ts) div 3600000000L").as("hour_id"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .groupBy(col("hour_id"))
+      .agg(count(lit(1)).as("n_total"), sum(col("is_err")).as("n_err"))
+    def trailing(hours: Long) = Window.orderBy(col("hour_id"))
+      .rangeBetween(-(hours - 1), Window.currentRow)
+    hourly
+      .withColumn("e6", sum(col("n_err")).over(trailing(6L)))
+      .withColumn("t6", sum(col("n_total")).over(trailing(6L)))
+      .withColumn("e24", sum(col("n_err")).over(trailing(24L)))
+      .withColumn("t24", sum(col("n_total")).over(trailing(24L)))
+      .select(col("hour_id"), col("n_total"),
+        expr("n_err * 10000L div n_total").as("err_1h_bp"),
+        expr("e6 * 10000L div t6").as("err_6h_bp"),
+        expr("e24 * 10000L div t24").as("err_24h_bp"))
+      .withColumn("page",
+        col("err_1h_bp") >= SloPage1hBp && col("err_6h_bp") >= SloPage6hBp)
+      .withColumn("ticket", col("err_24h_bp") >= SloTicket24hBp)
+      .orderBy(col("hour_id"))
+  }
+
+  /** q202 pixel budget per GPU batch, shared with the oracle. */
+  private[graft] val PixelBudget = 1048576L
+
+  /** Pixel-budget media batching (q202) — q197's packing economics for
+    * the MULTIMODAL side: variable-resolution images (deterministic
+    * per-doc dimensions — the decode stubs' metadata contract) packed in
+    * arrival order into GPU batches by cumulative pixel count. The
+    * global running sum is the sharded PrefixSum (no single-partition
+    * sort); batch assignment is start-offset div budget (streaming-fill
+    * semantics: the straddling item overflows its batch by < one item —
+    * the DALI-style contract, documented rather than hidden). Per-batch
+    * fill factors price the padding the serving tier will pay. */
+  def pixelPacking(spark: SparkSession, dir: String): DataFrame =
+    pixelPackingOf(Tables.documents(spark, dir))
+
+  private[graft] def pixelPackingOf(docs: DataFrame): DataFrame = {
+    import graft.operators.PrefixSum
+    val media = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        (lit(32L) + (col("doc_id") % 8) * 16L).as("w"),
+        (lit(32L) + (col("doc_id") % 5) * 32L).as("h"))
+      .withColumn("px", col("w") * col("h"))
+    PrefixSum.runningSum(media, Seq.empty, Seq("doc_id"), "px",
+        expr("doc_id div 4096"), "cum")
+      .select(expr(s"(cum - px) div $PixelBudget").as("batch"), col("px"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_items"), sum(col("px")).as("px_total"))
+      .select(col("batch"), col("n_items"), col("px_total"),
+        expr(s"px_total * 10000L div $PixelBudget").as("fill_bp"))
+      .orderBy(col("batch"))
+  }
+
+  /** q203 assembly constants, shared with the oracle. */
+  private[graft] val CtxTokenBudget = 512L
+  private[graft] val CtxDedupJaccard = 0.5
+
+  /** RAG context assembly (q203) — the serving step after hybrid
+    * retrieval: q127's RRF fusion produces the candidate ranking
+    * (corpus cost = exactly the two rankers); the top-10 then attach
+    * text, drop passages whose token Jaccard vs a BETTER-ranked passage
+    * is ≥ [[CtxDedupJaccard]] (context diversity — redundant passages
+    * waste budget), and pack greedily in rank order into a
+    * [[CtxTokenBudget]]-token context window. Everything above the
+    * rankers is 10-row metadata work. The emitted `included` column IS
+    * the context the generator would see. */
+  def contextAssembly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fused = rrfFusion(spark, dir).limit(10)
+      .withColumn("rn0",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+    val withText = fused
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("rn0"),
+        expr("array_distinct(split(text, ' '))").as("toks"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val inter = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double")
+    val dropped = withText.alias("a")
+      .join(withText.alias("b"), col("b.rn0") < col("a.rn0") &&
+        inter / (size(col("a.toks")) + size(col("b.toks"))
+          - size(array_intersect(col("a.toks"), col("b.toks")))) >= CtxDedupJaccard)
+      .select(col("a.doc_id").as("doc_id")).distinct()
+    withText.join(dropped, Seq("doc_id"), "left_anti")
+      .withColumn("ctx_rank", row_number().over(Window.orderBy(col("rn0"))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.orderBy(col("rn0"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("ctx_rank"), col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= CtxTokenBudget).as("included"))
+      .orderBy(col("ctx_rank"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5552,7 +5664,10 @@ object PipelineQueries {
     "q197_batch_padding" -> (batchPadding _),
     "q198_bootstrap_ci" -> (bootstrapCi _),
     "q199_vocab_curve" -> (vocabSizeCurve _),
-    "q200_stream_fuzzy_dedup" -> (streamingFuzzyDedup _))
+    "q200_stream_fuzzy_dedup" -> (streamingFuzzyDedup _),
+    "q201_slo_burn_rate" -> (sloBurnRate _),
+    "q202_pixel_packing" -> (pixelPacking _),
+    "q203_context_assembly" -> (contextAssembly _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -7356,6 +7471,77 @@ object PipelineQueries {
             .mkString(" UNION ALL ")}
          |ORDER BY batch_id, doc_id""".stripMargin
     },
+    // q201: same hour aggregate, same trailing RANGE windows, same
+    // integer thresholds.
+    "q201_slo_burn_rate" ->
+      s"""WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_total,
+         |    CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_err
+         |  FROM events GROUP BY 1),
+         |w AS (SELECT hour_id, n_total, n_err,
+         |    SUM(n_err) OVER w6 AS e6, SUM(n_total) OVER w6 AS t6,
+         |    SUM(n_err) OVER w24 AS e24, SUM(n_total) OVER w24 AS t24
+         |  FROM h WINDOW
+         |    w6 AS (ORDER BY hour_id RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
+         |    w24 AS (ORDER BY hour_id RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
+         |SELECT hour_id, n_total, n_err * 10000 // n_total AS err_1h_bp,
+         |  CAST(e6 * 10000 // t6 AS BIGINT) AS err_6h_bp,
+         |  CAST(e24 * 10000 // t24 AS BIGINT) AS err_24h_bp,
+         |  (n_err * 10000 // n_total >= $SloPage1hBp AND e6 * 10000 // t6 >= $SloPage6hBp) AS page,
+         |  (e24 * 10000 // t24 >= $SloTicket24hBp) AS ticket
+         |FROM w ORDER BY hour_id""".stripMargin,
+    // q202: the serial running sum is bit-identical to the sharded
+    // PrefixSum (q144 contract); same start-offset batch rule.
+    "q202_pixel_packing" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    (32 + (doc_id % 8) * 16) * (32 + (doc_id % 5) * 32) AS px
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |c AS (SELECT doc_id, px, SUM(px) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m),
+         |b AS (SELECT (cum - px) // $PixelBudget AS batch, px FROM c)
+         |SELECT CAST(batch AS BIGINT) AS batch, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  CAST(SUM(px) AS BIGINT) AS px_total,
+         |  CAST(SUM(px) AS BIGINT) * 10000 // $PixelBudget AS fill_bp
+         |FROM b GROUP BY batch ORDER BY batch""".stripMargin,
+    // q203: the q127 fusion chain verbatim, then 10-row assembly —
+    // diversity drop vs better-ranked passages, greedy budget pack.
+    "q203_context_assembly" ->
+      s"""WITH td AS (SELECT token, doc_id, dl, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, len(str_split(text, ' ')) AS dl, unnest(str_split(text, ' ')) AS token FROM documents)
+         |  GROUP BY token, doc_id, dl),
+         |q AS (SELECT DISTINCT unnest(str_split(text, ' ')) AS token
+         |  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+         |n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens FROM documents),
+         |qtd AS (SELECT td.token, td.doc_id, td.dl, td.tf FROM td JOIN q USING (token)),
+         |d AS (SELECT token, COUNT(*) AS df FROM qtd GROUP BY token),
+         |tfidf AS (SELECT qtd.doc_id, CAST(SUM(tf * (n_docs * 1000000 // df)) AS BIGINT) AS score
+         |  FROM qtd JOIN d USING (token) CROSS JOIN n
+         |  GROUP BY qtd.doc_id ORDER BY score DESC, doc_id LIMIT 10),
+         |bm AS (SELECT qtd.doc_id, CAST(SUM(CAST(FLOOR(CAST(n_docs * 1000000 // df AS DOUBLE)
+         |    * (CAST(tf AS DOUBLE) * 2.2)
+         |    / (CAST(tf AS DOUBLE) + (0.3 + 0.9 * (CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))) AS BIGINT)) AS BIGINT) AS score
+         |  FROM qtd JOIN d USING (token) CROSS JOIN n
+         |  GROUP BY qtd.doc_id ORDER BY score DESC, doc_id LIMIT 10),
+         |tr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS tfidf_rank FROM tfidf),
+         |br AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm25_rank FROM bm),
+         |fused AS (SELECT COALESCE(tr.doc_id, br.doc_id) AS doc_id,
+         |  CAST(COALESCE(1000000 // ($RrfK + tfidf_rank), 0)
+         |    + COALESCE(1000000 // ($RrfK + bm25_rank), 0) AS BIGINT) AS rrf_score
+         |  FROM tr FULL OUTER JOIN br ON tr.doc_id = br.doc_id),
+         |f AS (SELECT doc_id, rrf_score FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10),
+         |fr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rn0 FROM f),
+         |wt AS (SELECT fr.doc_id, fr.rn0, list_distinct(str_split(dd.text, ' ')) AS toks,
+         |    CAST(len(str_split(dd.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM fr JOIN documents dd USING (doc_id)),
+         |dr AS (SELECT DISTINCT a.doc_id FROM wt a JOIN wt b ON b.rn0 < a.rn0
+         |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= $CtxDedupJaccard),
+         |k AS (SELECT * FROM wt WHERE doc_id NOT IN (SELECT doc_id FROM dr)),
+         |r AS (SELECT doc_id, n_tokens, CAST(ROW_NUMBER() OVER (ORDER BY rn0) AS BIGINT) AS ctx_rank,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY rn0
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM k)
+         |SELECT ctx_rank, doc_id, n_tokens, cum AS cum_tokens, cum <= $CtxTokenBudget AS included
+         |FROM r ORDER BY ctx_rank""".stripMargin,
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

@@ -963,6 +963,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q201: one events scan; burn windows run on the hour frame only") {
+    val p = planOf("q201_slo_burn_rate")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q202: the pixel running sum shards via PrefixSum buckets") {
+    val p = planOf("q202_pixel_packing")
+    assert(p.contains("windowspecdefinition(__ps_bucket"),
+      s"the global pixel cumsum must shard (q144 contract):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

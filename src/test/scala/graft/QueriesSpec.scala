@@ -1748,6 +1748,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((100L, 3L, 10000L), (1000L, 3L, 10000L), (10000L, 3L, 10000L)))
   }
 
+  test("q201 SLO: the fast burn pages only when BOTH windows exceed budget") {
+    import spark.implicits._
+    val mkTs = (h: Long, i: Long) => new java.sql.Timestamp((h * 3600000000L + i) / 1000)
+    // Hours 0–4: 1% errors (quiet). Hour 5: 50% — 1 h and 6 h windows
+    // both breach → page; 24 h breaches the slow-burn ticket.
+    val rows = for {
+      h <- 0L to 5L; i <- 0L until 100L
+      t = if (h == 5 && i < 50) "error" else if (i == 0) "error" else "view"
+    } yield (mkTs(h, i), t)
+    val out = graft.analytics.PipelineQueries.sloBurnRateOf(rows.toDF("ts", "event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5), r.getBoolean(6)))
+    assert(out.take(5).forall { case (_, e1, e6, e24, p, t) =>
+      e1 == 100L && e6 == 100L && e24 == 100L && !p && !t })
+    assert(out(5) == ((5L, 5000L, 916L, 916L, true, true)))
+  }
+
+  test("q202 pixels: planted dimensions pack into one batch with exact fill") {
+    import spark.implicits._
+    // ids 0/3/6 → 32×32 + 80×128 + 128×64 = 19456 px, all in batch 0.
+    val docs = Seq(0L, 1L, 2L, 3L, 5L, 6L).map(i => (i, "t")).toDF("doc_id", "text")
+    val out = graft.analytics.PipelineQueries.pixelPackingOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 3L, 19456L, 185L)))
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

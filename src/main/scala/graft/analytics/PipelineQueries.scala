@@ -5513,6 +5513,111 @@ object PipelineQueries {
       .orderBy(col("ctx_rank"))
   }
 
+  /** Metadata-filtered ANN search (q204) — the vector-DB feature every
+    * production deployment needs and most indexes get wrong: top-k
+    * cosine neighbors RESTRICTED to rows sharing the query's label
+    * (pre-filtering, not post-filtering — a post-filtered top-k can
+    * return fewer than k or miss true neighbors entirely). Here the
+    * label predicate joins INTO the candidate stream before scoring
+    * (the q33 broadcast shape with an equi-key), so the map-side
+    * TopKAggregator ranks only eligible rows; at 100 TB the same
+    * predicate becomes a partition filter on a label-partitioned q98
+    * index layout. Bit-exact oracle (the q33 cosine folds). */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val embs = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    val q = broadcast(embs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("label").as("ql")))
+    val scored = embs
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("neighbor_vec"),
+        col("label").as("nl"))
+      .join(q, col("nl") === col("ql") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec")))
+    graft.similarity.Ann.topKRanked(scored, 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q205 constants, shared with the oracle. */
+  private[graft] val BfsHops = 3
+
+  /** k-hop reachability (q205) — breadth-first frontier expansion from
+    * the smallest part node of the co-purchase graph, [[BfsHops]]
+    * unrolled rounds: each hop is one equi-join of the (persisted,
+    * node-sized) frontier against the shared edge memo plus an anti-join
+    * against the visited set — the per-iteration shape of every
+    * distributed BFS/shortest-path job. Frontier/visited frames persist
+    * so round r never re-derives round r−1's lineage (the q149/q195
+    * lesson); counts collect as hop-sized driver rows (q86/q188
+    * emission); the oracle replays the unrolled rounds. */
+  def kHopReachability(spark: SparkSession, dir: String): DataFrame =
+    kHopReachabilityOf(spark, coPurchaseEdges(spark, dir))
+
+  private[graft] def kHopReachabilityOf(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sym = edges.select(col("u").as("s"), col("v").as("t"))
+      .union(edges.select(col("v").as("s"), col("u").as("t")))
+    val seed = edges.agg(min(col("u"))).head().getLong(0)
+    var frontier = Seq(seed).toDF("node")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = frontier
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    for (hop <- 1 to BfsHops) {
+      val next = sym.join(frontier.withColumnRenamed("node", "s"), Seq("s"), "left_semi")
+        .select(col("t").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newVisited = visited.union(next).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += next; cached += newVisited
+      rows += ((hop, next.count(), newVisited.count()))
+      frontier = next
+      visited = newVisited
+    }
+    cached.foreach(_.unpersist(blocking = false))
+    rows.toSeq.toDF("hop", "frontier_size", "visited_size").orderBy(col("hop"))
+  }
+
+  /** Incremental view maintenance (q206) — the delta-join algebra under
+    * every continuously-maintained warehouse view:
+    * `ΔV = γ(ΔA⋈B₀) ⊎ γ(A₀⋈ΔB) ⊎ γ(ΔA⋈ΔB)` for the revenue-per-customer
+    * view over orders⋈lineitem, with SUM's additivity making the merge a
+    * co-group sum. The registered row computes the view BOTH ways —
+    * incrementally from the base snapshot + deltas, and by full
+    * recompute — and emits the top-20 with the equality verdict, so the
+    * hash proves the maintenance algebra exactly. Maintenance cost is
+    * proportional to |Δ| (each delta join has one pruned side), which is
+    * the entire point at 100 TB. */
+  def incrementalView(spark: SparkSession, dir: String): DataFrame =
+    incrementalViewOf(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  private[graft] def incrementalViewOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val o = orders
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+        (col("o_orderkey") % 5 === 0).as("od"))
+    val l = lineitem
+      .select(col("l_orderkey").as("ok"),
+        (expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long") *
+          expr("CAST((1 - l_discount) * 100 AS DECIMAL(5,0))").cast("long")).as("rev_u"),
+        (expr("l_orderkey * 10 + l_linenumber") % 7 === 0).as("ld"))
+    def view(os: DataFrame, ls: DataFrame): DataFrame = os
+      .join(ls, "ok").groupBy(col("ck")).agg(sum(col("rev_u")).as("rev"))
+    val o0 = o.filter(!col("od")); val dO = o.filter(col("od"))
+    val l0 = l.filter(!col("ld")); val dL = l.filter(col("ld"))
+    val inc = view(o0, l0).union(view(dO, l0)).union(view(o0, dL)).union(view(dO, dL))
+      .groupBy(col("ck")).agg(sum(col("rev")).as("rev_ivm"))
+    val full = view(o, l).withColumnRenamed("rev", "rev_full")
+    full.join(inc, Seq("ck"), "full_outer")
+      .select(col("ck").as("custkey"),
+        coalesce(col("rev_full"), lit(0L)).as("rev_full"),
+        coalesce(col("rev_ivm"), lit(0L)).as("rev_ivm"),
+        (coalesce(col("rev_full"), lit(0L)) === coalesce(col("rev_ivm"), lit(0L)))
+          .as("ivm_exact"))
+      .orderBy(col("rev_full").desc, col("custkey"))
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5667,7 +5772,10 @@ object PipelineQueries {
     "q200_stream_fuzzy_dedup" -> (streamingFuzzyDedup _),
     "q201_slo_burn_rate" -> (sloBurnRate _),
     "q202_pixel_packing" -> (pixelPacking _),
-    "q203_context_assembly" -> (contextAssembly _))
+    "q203_context_assembly" -> (contextAssembly _),
+    "q204_ann_filtered" -> (annFiltered _),
+    "q205_khop_reach" -> (kHopReachability _),
+    "q206_incremental_view" -> (incrementalView _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -7542,6 +7650,61 @@ object PipelineQueries {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM k)
          |SELECT ctx_rank, doc_id, n_tokens, cum AS cum_tokens, cum <= $CtxTokenBudget AS included
          |FROM r ORDER BY ctx_rank""".stripMargin,
+    // q204: the q33 bit-exact cosine folds restricted by the label
+    // equi-predicate — pre-filtered, so top-k ranks eligible rows only.
+    "q204_ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql FROM embeddings
+         |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  ${VectorOracles.cosine("q.qv", "e.embedding")} AS cosine
+         |  FROM embeddings e JOIN q ON e.label = q.ql AND e.vec_id <> q.query_id
+         |  WHERE e.embedding IS NOT NULL),
+         |${VectorOracles.topKTail(5)}""".stripMargin,
+    // q205: unrolled BFS rounds over the id-ordered edge set.
+    "q205_khop_reach" -> {
+      def hop(h: Int): String =
+        s"""f$h AS MATERIALIZED (SELECT DISTINCT t AS node FROM sym
+           |  JOIN f${h - 1} ON sym.s = f${h - 1}.node
+           |  WHERE t NOT IN (SELECT node FROM v${h - 1})),
+           |v$h AS MATERIALIZED (SELECT node FROM v${h - 1} UNION SELECT node FROM f$h),
+           |r$h AS (SELECT CAST($h AS INTEGER) AS hop,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f$h) AS frontier_size,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v$h) AS visited_size)"""
+      val body = (1 to BfsHops).map(hop).mkString(",\n")
+      val union = (1 to BfsHops).map(h => s"SELECT * FROM r$h").mkString(" UNION ALL ")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a
+         |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |sym AS MATERIALIZED (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v AS s, u AS t FROM e0),
+         |sd AS (SELECT MIN(u) AS seed FROM e0),
+         |f0 AS MATERIALIZED (SELECT seed AS node FROM sd),
+         |v0 AS MATERIALIZED (SELECT node FROM f0),
+         |$body
+         |$union ORDER BY hop""".stripMargin
+    },
+    // q206: same delta split, same four-term delta-join algebra, exact
+    // integer revenue; hash equality proves ΔV = γ(ΔA⋈B)⊎γ(A⋈ΔB)⊎γ(ΔA⋈ΔB).
+    "q206_incremental_view" ->
+      """WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck, o_orderkey % 5 = 0 AS od FROM orders),
+        |l AS (SELECT l_orderkey AS ok,
+        |    CAST(l_extendedprice * 100 AS BIGINT) * CAST((1 - l_discount) * 100 AS BIGINT) AS rev_u,
+        |    (l_orderkey * 10 + l_linenumber) % 7 = 0 AS ld FROM lineitem),
+        |v00 AS (SELECT ck, CAST(SUM(rev_u) AS BIGINT) AS rev FROM o JOIN l USING (ok)
+        |  WHERE NOT od AND NOT ld GROUP BY ck),
+        |vd0 AS (SELECT ck, CAST(SUM(rev_u) AS BIGINT) AS rev FROM o JOIN l USING (ok)
+        |  WHERE od AND NOT ld GROUP BY ck),
+        |v0d AS (SELECT ck, CAST(SUM(rev_u) AS BIGINT) AS rev FROM o JOIN l USING (ok)
+        |  WHERE NOT od AND ld GROUP BY ck),
+        |vdd AS (SELECT ck, CAST(SUM(rev_u) AS BIGINT) AS rev FROM o JOIN l USING (ok)
+        |  WHERE od AND ld GROUP BY ck),
+        |inc AS (SELECT ck, CAST(SUM(rev) AS BIGINT) AS rev_ivm FROM
+        |  (SELECT * FROM v00 UNION ALL SELECT * FROM vd0
+        |   UNION ALL SELECT * FROM v0d UNION ALL SELECT * FROM vdd) GROUP BY ck),
+        |fv AS (SELECT ck, CAST(SUM(rev_u) AS BIGINT) AS rf FROM o JOIN l USING (ok) GROUP BY ck)
+        |SELECT COALESCE(fv.ck, inc.ck) AS custkey, COALESCE(rf, 0) AS rev_full,
+        |  COALESCE(rev_ivm, 0) AS rev_ivm, COALESCE(rf, 0) = COALESCE(rev_ivm, 0) AS ivm_exact
+        |FROM fv FULL OUTER JOIN inc ON fv.ck = inc.ck
+        |ORDER BY rev_full DESC, custkey LIMIT 20""".stripMargin,
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

@@ -977,6 +977,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q204: label predicate prunes BEFORE the map-side top-k ranks") {
+    val p = planOf("q204_ann_filtered")
+    assert(p.contains("partial_topkaggregator"),
+      s"only k buffered rows per query may cross the exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the labeled query set must broadcast as an equi-join:\n$p")
+  }
+
+  test("q206: both view paths are equi-joins with partial sums — no cartesian") {
+    val p = planOf("q206_incremental_view")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("FullOuter"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

@@ -1774,6 +1774,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 3L, 19456L, 185L)))
   }
 
+  test("q205 BFS: planted graph expands hop by hop and stops when exhausted") {
+    import spark.implicits._
+    // Edges (1,2),(1,3),(2,3),(3,4); seed = 1. Hop1 → {2,3}; hop2 → {4};
+    // hop3 → nothing new.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val out = graft.analytics.PipelineQueries.kHopReachabilityOf(spark, edges)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 2L, 3L), (2, 1L, 4L), (3, 0L, 4L)))
+  }
+
+  test("q206 IVM: the four-term delta algebra reconstructs the planted view exactly") {
+    import spark.implicits._
+    val orders = Seq((1L, 1L), (5L, 2L)).toDF("o_orderkey", "o_custkey")
+    val lines = Seq(
+      (1L, 1, 10.00, 0.0),  // base (14 % 7 ≠ 0? no — ln 1 → 11 % 7 = 4, base)
+      (1L, 4, 5.00, 0.0),   // 14 % 7 = 0 → DELTA
+      (5L, 1, 20.00, 0.0))  // order 5 is an orders-side DELTA (5 % 5 = 0)
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    val out = graft.analytics.PipelineQueries.incrementalViewOf(orders, lines)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq((2L, 200000L, 200000L, true), (1L, 150000L, 150000L, true)))
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

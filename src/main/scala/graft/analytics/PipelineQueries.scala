@@ -5618,6 +5618,88 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Skyline / Pareto frontier (q207) — the classic multi-criteria
+    * dominance query (min price, max size over parts): a part survives
+    * iff no part is at-least-as-good on both axes and strictly better on
+    * one. Computed sort-free of the O(n²) formulation: one RANGE window
+    * (max size over strictly-cheaper rows) + one per-price partition max
+    * — a part is dominated iff a strictly-cheaper part matches its size
+    * or a same-price part strictly beats it. Runs on the PART frame
+    * (dimension-sized; the q168 size class — the q144 range-sharded
+    * decomposition is the documented path if the dimension ever grows
+    * corpus-shaped). */
+  def skyline(spark: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables.part(spark, dir))
+
+  private[graft] def skylineOf(part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = part.select(col("p_partkey"),
+      expr("CAST(p_retailprice * 100 AS DECIMAL(14,0))").cast("long").as("price_cents"),
+      col("p_size").cast("long").as("p_size"))
+    val wBefore = Window.orderBy(col("price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy(col("price_cents"))
+    p.withColumn("best_cheaper", max(col("p_size")).over(wBefore))
+      .withColumn("best_same", max(col("p_size")).over(wSame))
+      .filter((col("best_cheaper").isNull || col("best_cheaper") < col("p_size")) &&
+        col("best_same") === col("p_size"))
+      .select(col("p_partkey"), col("price_cents"), col("p_size"))
+      .orderBy(col("price_cents"), col("p_partkey"))
+  }
+
+  /** q208 sample size, shared with the oracle. */
+  private[graft] val UncertaintyK = 20
+
+  /** Uncertainty sampling for labeling (q208) — the active-learning
+    * primitive of a curation pipeline: the [[UncertaintyK]] documents
+    * per language whose q37 quality score sits CLOSEST to that
+    * language's q87 keep threshold (the p25 cut) — exactly the examples
+    * where a human label or a stronger model buys the most decision
+    * information. The per-language bounded top-k is the map-side
+    * [[graft.similarity.Ann.TopKAggregator]] keyed by language (the
+    * q118 shape — ≤ partitions·K rows cross the exchange, never a
+    * per-language corpus window); thresholds are a 5-row broadcast. */
+  def uncertaintySample(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.text.TextAnalysis.qualityScore(Tables.documents(spark, dir))
+      .select(col("lang"), col("doc_id"),
+        floor(col("quality_score") * 1e6).cast("long").as("qfp"))
+    val thr = scored.groupBy(col("lang")).agg(expr("percentile(qfp, 0.25)").as("p25_fp"))
+    val withDiff = scored.join(broadcast(thr), Seq("lang"))
+      .withColumn("dist", abs(col("qfp").cast("double") - col("p25_fp")))
+    val kept = graft.similarity.Ann.topKRanked(
+      withDiff.select(xxhash64(col("lang")).as("query_id"),
+        col("doc_id").as("neighbor_id"), negate(col("dist")).as("cosine")),
+      UncertaintyK)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    withDiff.join(broadcast(kept), Seq("doc_id"))
+      .select(col("lang"), col("rank").cast("long").as("rank"), col("doc_id"),
+        col("qfp").as("quality_fp"), floor(col("dist")).cast("long").as("dist_fp"))
+      .orderBy(col("lang"), col("rank"), col("doc_id"))
+  }
+
+  /** Per-dimension whitening statistics (q209) — the mean/variance
+    * normalization every embedding pipeline runs before PCA/IVF
+    * training, computed EXACTLY: per-element floors (f = ⌊x·10⁶⌋) make
+    * the per-dimension sums order-free integers, and the q192 power-sum
+    * algebra (`n·Σf² − S²` = n²·variance) yields exact fixed-point
+    * whitening parameters — no float mean ever crosses an aggregation
+    * boundary. One posexplode pass, 64-row output, fully
+    * oracle-replayed (not a bounded claim). */
+  def whiteningStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Pq.Dim
+    Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= Dim)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), floor(expr("CAST(x AS DOUBLE) * 1000000")).cast("long").as("f"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("f")).as("s"),
+        sum(expr("CAST(f AS DECIMAL(38,0)) * f")).as("s2"))
+      .select(col("dim"), col("n"), expr("s div n").as("mean_fp"),
+        expr("CAST((n * s2 - CAST(s AS DECIMAL(38,0)) * s) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("var_fp2"))
+      .orderBy(col("dim"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5775,7 +5857,10 @@ object PipelineQueries {
     "q203_context_assembly" -> (contextAssembly _),
     "q204_ann_filtered" -> (annFiltered _),
     "q205_khop_reach" -> (kHopReachability _),
-    "q206_incremental_view" -> (incrementalView _))
+    "q206_incremental_view" -> (incrementalView _),
+    "q207_skyline" -> (skyline _),
+    "q208_uncertainty_sample" -> (uncertaintySample _),
+    "q209_whitening_stats" -> (whiteningStats _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -7705,6 +7790,54 @@ object PipelineQueries {
         |  COALESCE(rev_ivm, 0) AS rev_ivm, COALESCE(rf, 0) = COALESCE(rev_ivm, 0) AS ivm_exact
         |FROM fv FULL OUTER JOIN inc ON fv.ck = inc.ck
         |ORDER BY rev_full DESC, custkey LIMIT 20""".stripMargin,
+    // q207: same dominance rewrite — strictly-cheaper RANGE max + same-
+    // price partition max.
+    "q207_skyline" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_retailprice * 100 AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS p_size FROM part),
+        |w AS (SELECT p_partkey, price_cents, p_size,
+        |    MAX(p_size) OVER (ORDER BY price_cents
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper,
+        |    MAX(p_size) OVER (PARTITION BY price_cents) AS best_same
+        |  FROM p)
+        |SELECT p_partkey, price_cents, p_size FROM w
+        |WHERE (best_cheaper IS NULL OR best_cheaper < p_size) AND best_same = p_size
+        |ORDER BY price_cents, p_partkey""".stripMargin,
+    // q208: the q37/q87 scoring + threshold CTEs, then (dist, doc_id)
+    // rank — identical to the TopKAggregator's better() order.
+    "q208_uncertainty_sample" ->
+      s"""WITH m AS (SELECT lang, doc_id, len(str_split(text, ' ')) AS n_tokens,
+         |  CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
+         |  CAST(len(list_filter(str_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+         |    / len(str_split(text, ' ')) AS stopword_ratio
+         |FROM documents),
+         |q AS (SELECT lang, doc_id,
+         |  CAST(FLOOR(LEAST(1.0, (CAST(n_tokens AS DOUBLE)/100.0)*0.4 + stopword_ratio*3.0*0.3
+         |    + CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) * 1000000.0) AS BIGINT) AS quality_fp
+         |FROM m),
+         |t AS (SELECT lang, quantile_cont(quality_fp, 0.25) AS p25_fp FROM q GROUP BY lang),
+         |d AS (SELECT q.lang, q.doc_id, q.quality_fp,
+         |    ABS(CAST(q.quality_fp AS DOUBLE) - t.p25_fp) AS dist
+         |  FROM q JOIN t USING (lang)),
+         |r AS (SELECT lang, doc_id, quality_fp, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY dist, doc_id) AS rk FROM d)
+         |SELECT lang, CAST(rk AS BIGINT) AS "rank", doc_id, quality_fp,
+         |  CAST(FLOOR(dist) AS BIGINT) AS dist_fp
+         |FROM r WHERE rk <= $UncertaintyK ORDER BY lang, rk, doc_id""".stripMargin,
+    // q209: per-element floors before the sums; HUGEINT mirrors
+    // DECIMAL(38,0) and // mirrors div.
+    "q209_whitening_stats" -> {
+      import graft.similarity.Pq.Dim
+      s"""WITH f AS (SELECT CAST(t.j AS INTEGER) - 1 AS dim,
+         |    CAST(FLOOR(CAST(e.embedding[CAST(t.j AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS f
+         |  FROM embeddings e, UNNEST(range(1, $Dim + 1)) AS t(j)
+         |  WHERE e.embedding IS NOT NULL AND len(e.embedding) >= $Dim),
+         |a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(f) AS BIGINT) AS s,
+         |    SUM(CAST(f AS HUGEINT) * f) AS s2 FROM f GROUP BY dim)
+         |SELECT dim, n, s // n AS mean_fp,
+         |  CAST((n * s2 - CAST(s AS HUGEINT) * s) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_fp2
+         |FROM a ORDER BY dim""".stripMargin
+    },
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

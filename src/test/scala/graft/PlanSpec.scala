@@ -992,6 +992,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), p)
   }
 
+  test("q208: the per-language top-k is the map-side bounded aggregator, never a window") {
+    val p = planOf("q208_uncertainty_sample")
+    assert(p.contains("partial_topkaggregator"),
+      s"per-language corpus windows don't scale; the keyed top-k must combine map-side:\n$p")
+    assert(!p.contains("windowspecdefinition(lang"), p)
+  }
+
+  test("q209: one posexplode pass, 64-key aggregate partial-combines, no join") {
+    val p = planOf("q209_whitening_stats")
+    assert(p.sliding("embeddings.parquet".length).count(_ == "embeddings.parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

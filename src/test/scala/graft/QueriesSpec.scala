@@ -1797,6 +1797,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((2L, 200000L, 200000L, true), (1L, 150000L, 150000L, true)))
   }
 
+  test("q207 skyline: dominated points drop, same-price ties both survive") {
+    import spark.implicits._
+    // (key, price, size): 1 (1.00, 5) frontier; 2 (2.00, 5) dominated by
+    // 1 (same size, pricier); 3 (2.00, 9) frontier; 4 (3.00, 9) dominated;
+    // 5 (3.00, 12) and 6 (3.00, 12) same-price tie → BOTH survive;
+    // 7 (0.50, 2) frontier (cheapest).
+    val parts = Seq((1L, 1.00, 5), (2L, 2.00, 5), (3L, 2.00, 9), (4L, 3.00, 9),
+      (5L, 3.00, 12), (6L, 3.00, 12), (7L, 0.50, 2))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+    val out = graft.analytics.PipelineQueries.skylineOf(parts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((7L, 50L, 2L), (1L, 100L, 5L), (3L, 200L, 9L),
+      (5L, 300L, 12L), (6L, 300L, 12L)))
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

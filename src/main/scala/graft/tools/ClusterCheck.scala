@@ -43,7 +43,13 @@ object ClusterCheck {
     "q01_pricing_summary", "q27_minhash_neardup", "q80_ann_ivfpq",
     "q86_kmeans_inertia", "q102_training_shards", "q106_scd2_merge",
     "q131_lsh_banding_sweep", "q137_rolling_active",
-    "q139_pagerank", "q153_phrase_search", "q162_recs_backtest")
+    "q139_pagerank", "q153_phrase_search", "q162_recs_backtest",
+    // This session's additions: the degree-ordered wedge/semi-join chain
+    // over the shared edge memo (q177 — executor-resident cache blocks
+    // feed three consumers), the driver-looped integer matvec with
+    // in-expression v literals (q188 — 64-term codegen per round), and
+    // the keyed bounded top-k with a broadcast threshold frame (q208).
+    "q177_triangles", "q188_power_iteration", "q208_uncertainty_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -62,7 +62,10 @@ object SpillCheck {
       spark.sparkContext.addSparkListener(l)
       try {
         val hashes = Seq("q27_minhash_neardup", "q64_repeated_ngrams",
-          "q117_exact_gram_dedup").map { name =>
+          "q117_exact_gram_dedup",
+          // The degree-ordered wedge join — this session's heaviest new
+          // shuffle shape (oriented-edge self-join + LeftSemi closure).
+          "q177_triangles").map { name =>
           val df = graft.SparkEntry.queries(name)(spark, sfDir)
           val row = df
             .select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))

@@ -5700,6 +5700,132 @@ object PipelineQueries {
       .orderBy(col("dim"))
   }
 
+  /** q210 bound: |HLL inclusion–exclusion − exact| ≤ 6% of the exact
+    * union (three ~1.6%-σ estimates compose; 6% is ≳3σ slack). */
+  private[graft] val HllInterBoundPct = 6L
+
+  /** Sketch-algebra audience intersection (q210) — the segment-overlap
+    * question answered from MERGEABLE state only: per event-type pair,
+    * |A∩B| estimated by inclusion–exclusion over HLL sketches
+    * (est(A) + est(B) − est(A∪B), the union being a lossless sketch
+    * merge), audited against the exact intersection. The exact branch
+    * is ONE aggregate pass — per-user presence flags, then every pair's
+    * AND/OR counts fold in a single conditional aggregate (no joins,
+    * no per-pair scans). The estimates are engine-internal, so the
+    * portable contract is the [[HllInterBoundPct]] claim row (q42/q79
+    * pattern); the exact integers hash directly. KMV (q121) answers the
+    * same question with bottom-k sketches — HLL trades resampling
+    * support for fixed memory. */
+  def hllIntersection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val flagCols = types.map(t =>
+      max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"f_$t"))
+    val flags = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(flagCols.head, flagCols.tail: _*)
+    val pairs = for {
+      i <- types.indices; j <- types.indices if i < j
+    } yield (types(i), types(j))
+    val exactAggs = pairs.flatMap { case (a, b) => Seq(
+      sum(when(col(s"f_$a") === 1L && col(s"f_$b") === 1L, 1L).otherwise(0L))
+        .as(s"i_${a}_$b"),
+      sum(when(col(s"f_$a") === 1L || col(s"f_$b") === 1L, 1L).otherwise(0L))
+        .as(s"u_${a}_$b"))
+    }
+    val exactRow = flags.agg(exactAggs.head, exactAggs.tail: _*).head()
+    val sk = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val est = { (a: String, b: String) =>
+      val s = spark.createDataset(Seq((sk(a), sk(b))))
+        .toDF("sa", "sb")
+        .select(expr("hll_sketch_estimate(sa)").as("ea"),
+          expr("hll_sketch_estimate(sb)").as("eb"),
+          expr("hll_sketch_estimate(hll_union(sa, sb))").as("eu"))
+        .head()
+      s.getLong(0) + s.getLong(1) - s.getLong(2)
+    }
+    val out = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val exI = exactRow.getLong(2 * i)
+      val exU = exactRow.getLong(2 * i + 1)
+      val e = est(a, b)
+      val ok = math.abs(e - exI) <= HllInterBoundPct * exU / 100L
+      if (!ok) System.err.println(
+        s"[q210] HLL intersection bound VIOLATED for ($a,$b): est=$e exact=$exI union=$exU")
+      (a, b, exI, exU, ok)
+    }
+    out.toDF("type_a", "type_b", "exact_inter", "exact_union", "within_bound")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** q211 outlier count, shared with the oracle. */
+  private[graft] val PathOutlierK = 20L
+
+  /** Behavioral path-likelihood outliers (q211) — the q186 bigram-LM
+    * idea on EVENT SEQUENCES: a first-order transition model (q119's
+    * matrix, in integer ppm) trained on the corpus scores every user's
+    * own journey; the [[PathOutlierK]] least-likely journeys surface
+    * for review (session hijacking, automation, and logging bugs all
+    * live in the improbable-path tail). One user-keyed window serves
+    * the transition extraction; the 25-row model broadcasts back; the
+    * bottom-k is a single TakeOrdered. */
+  def pathLikelihood(spark: SparkSession, dir: String): DataFrame =
+    pathLikelihoodOf(Tables.events(spark, dir))
+
+  private[graft] def pathLikelihoodOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val steps = events
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
+        col("event_type").as("f"))
+      .withColumn("t", lead(col("f"), 1).over(w))
+      .filter(col("t").isNotNull)
+      .select(col("user_id"), col("f"), col("t"))
+    val model = steps.groupBy(col("f"), col("t")).agg(count(lit(1)).as("c"))
+      .withColumn("cf", sum(col("c")).over(Window.partitionBy(col("f"))))
+      .select(col("f"), col("t"), expr("c * 1000000L div cf").as("p_ppm"))
+    steps.join(broadcast(model), Seq("f", "t"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_steps"), expr("sum(p_ppm) div count(1)").as("score_ppm"))
+      .orderBy(col("score_ppm"), col("user_id"))
+      .limit(PathOutlierK.toInt)
+  }
+
+  /** Clustering-factor audit (q212) — the ordering-quality companion to
+    * q184's zone maps: within each simulated file, how well does the
+    * arrival order cluster user_id? Breaks (a row whose user_id drops
+    * below its predecessor, in event_id order) count monotone runs;
+    * rows div runs is the average run length — the quantity that decides
+    * whether min/max pruning and dictionary encoding actually bite. The
+    * time layout interleaves every user (run length ≈ 1); the
+    * user-clustered layout concentrates them. Per-(layout, file) windows
+    * only; two-row report. */
+  def clusteringFactor(spark: SparkSession, dir: String): DataFrame =
+    clusteringFactorOf(Tables.events(spark, dir))
+
+  private[graft] def clusteringFactorOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = events.agg(max(col("user_id")).as("maxu"))
+    val rows = events
+      .select(col("event_id"), col("user_id"), expr("unix_micros(ts) div 3600000000L").as("hour"))
+      .crossJoin(broadcast(mx))
+      .select(col("event_id"), col("user_id"), explode(expr(
+        s"map('time', hour, 'user_clustered', user_id * $ZoneMapBuckets div (maxu + 1))"))
+        .as(Seq("layout", "file")))
+    val w = Window.partitionBy(col("layout"), col("file")).orderBy(col("event_id"))
+    rows
+      .withColumn("brk",
+        when(lag(col("user_id"), 1).over(w).isNull
+          || col("user_id") < lag(col("user_id"), 1).over(w), 1L).otherwise(0L))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("brk")).as("n_runs"))
+      .select(col("layout"), col("n_rows"), col("n_runs"),
+        expr("n_rows * 100L div n_runs").as("avg_run_len_x100"))
+      .orderBy(col("layout"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5860,7 +5986,10 @@ object PipelineQueries {
     "q206_incremental_view" -> (incrementalView _),
     "q207_skyline" -> (skyline _),
     "q208_uncertainty_sample" -> (uncertaintySample _),
-    "q209_whitening_stats" -> (whiteningStats _))
+    "q209_whitening_stats" -> (whiteningStats _),
+    "q210_hll_intersection" -> (hllIntersection _),
+    "q211_path_likelihood" -> (pathLikelihood _),
+    "q212_clustering_factor" -> (clusteringFactor _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -7838,6 +7967,52 @@ object PipelineQueries {
          |  CAST((n * s2 - CAST(s AS HUGEINT) * s) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_fp2
          |FROM a ORDER BY dim""".stripMargin
     },
+    // q210: exact pair counts replay; the HLL estimate rows are the
+    // bounded claim (q42/q79 pattern).
+    "q210_hll_intersection" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val flagCols = types.map(t =>
+        s"MAX(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS f_$t").mkString(", ")
+      val pairRows = (for {
+        i <- types.indices; j <- types.indices if i < j
+        (a, b) = (types(i), types(j))
+      } yield
+        s"""SELECT '$a' AS type_a, '$b' AS type_b,
+           |  CAST(SUM(CASE WHEN f_$a = 1 AND f_$b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter,
+           |  CAST(SUM(CASE WHEN f_$a = 1 OR f_$b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_union,
+           |  TRUE AS within_bound FROM fl""").mkString("\nUNION ALL ")
+      s"""WITH fl AS (SELECT user_id, $flagCols FROM events GROUP BY user_id)
+         |$pairRows
+         |ORDER BY type_a, type_b""".stripMargin
+    },
+    // q211: same (us, event_id) step order, same integer ppm model.
+    "q211_path_likelihood" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type AS f FROM events),
+         |s AS (SELECT user_id, f,
+         |    LEAD(f) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t FROM e),
+         |st AS (SELECT user_id, f, t FROM s WHERE t IS NOT NULL),
+         |m AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c FROM st GROUP BY 1, 2),
+         |m2 AS (SELECT f, t, CAST(c * 1000000 // SUM(c) OVER (PARTITION BY f) AS BIGINT) AS p_ppm FROM m),
+         |sc AS (SELECT st.user_id, CAST(COUNT(*) AS BIGINT) AS n_steps,
+         |    CAST(SUM(m2.p_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+         |  FROM st JOIN m2 USING (f, t) GROUP BY 1)
+         |SELECT user_id, n_steps, score_ppm FROM sc
+         |ORDER BY score_ppm, user_id LIMIT $PathOutlierK""".stripMargin,
+    // q212: same layouts, same (event_id) within-file order, same break
+    // rule.
+    "q212_clustering_factor" ->
+      s"""WITH mx AS (SELECT MAX(user_id) AS maxu FROM events),
+         |r AS (SELECT e.event_id, e.user_id, 'time' AS layout,
+         |    epoch_us(ts) // 3600000000 AS file FROM events e
+         |  UNION ALL SELECT e.event_id, e.user_id, 'user_clustered',
+         |    e.user_id * $ZoneMapBuckets // (mx.maxu + 1) FROM events e CROSS JOIN mx),
+         |b AS (SELECT layout,
+         |    CASE WHEN LAG(user_id) OVER w IS NULL OR user_id < LAG(user_id) OVER w
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM r WINDOW w AS (PARTITION BY layout, file ORDER BY event_id))
+         |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(brk) AS BIGINT) AS n_runs,
+         |  CAST(COUNT(*) AS BIGINT) * 100 // CAST(SUM(brk) AS BIGINT) AS avg_run_len_x100
+         |FROM b GROUP BY layout ORDER BY layout""".stripMargin,
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

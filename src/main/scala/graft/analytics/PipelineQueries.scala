@@ -5826,6 +5826,90 @@ object PipelineQueries {
       .orderBy(col("layout"))
   }
 
+  /** q213 geometry, shared with the oracle. */
+  private[graft] val HistBins = 8L
+  private[graft] val HistPreds = 10L
+
+  /** Histogram cardinality-estimation study (q213) — the optimizer-
+    * statistics question behind every cost-based plan: how well do
+    * equi-width vs equi-depth histograms ([[HistBins]] bins each, built
+    * from the same data) estimate range-predicate selectivity? Ten
+    * deterministic range predicates are estimated from each histogram
+    * (uniform-within-bin interpolation, pure integer pro-rata) and
+    * audited against the exact counts; the per-predicate error in bp IS
+    * the argument for equi-depth statistics on skewed columns. All bin
+    * math runs on the bounded-value-domain histogram frame (the q113
+    * argument — the domain, not the corpus, bounds it); the exact
+    * branch is one ×10 map-only conditional pass. Every division is
+    * integer, so the oracle replays the estimates bit-for-bit — the
+    * q191 companion for RANGE predicates. */
+  def histogramAccuracy(spark: SparkSession, dir: String): DataFrame =
+    histogramAccuracyOf(Tables.lineitem(spark, dir)
+      .select(expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long").as("v")))
+
+  private[graft] def histogramAccuracyOf(values: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = HistBins
+    val stats = values.agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+      max(col("v")).as("mx"))
+    // Bounded-domain value histogram + cumulative counts (q113 idiom).
+    val hist = values.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // Equi-depth boundaries: b_k = min value with cum ≥ k·n div B.
+    val depthAggs = (1L until B).map(k =>
+      min(when(col("cum") >= expr(s"$k * n div $B"), col("v"))).as(s"b$k"))
+    val bounds = hist.crossJoin(broadcast(stats))
+      .agg(depthAggs.head, depthAggs.tail: _*)
+      .crossJoin(broadcast(stats))
+    // 8 bins per histogram type as [lo, hi) rows; final bin ends mx+1.
+    val widthBinExpr = (0L until B).map(b =>
+      s"struct('width' AS htype, ${b}L AS bin, mn + $b * (mx - mn + 1) div $B AS lo, " +
+        s"mn + ${b + 1} * (mx - mn + 1) div $B AS hi)").mkString(", ")
+    val depthBinExpr = (0L until B).map { b =>
+      val lo = if (b == 0) "mn" else s"b$b"
+      val hi = if (b == B - 1) "mx + 1" else s"b${b + 1}"
+      s"struct('depth' AS htype, ${b}L AS bin, $lo AS lo, $hi AS hi)"
+    }.mkString(", ")
+    val bins = bounds.select(explode(expr(s"array($widthBinExpr, $depthBinExpr)")).as("b"))
+      .select(col("b.htype"), col("b.bin"), col("b.lo"), col("b.hi"))
+    // Per-bin counts: one broadcast range join (16 bin rows).
+    val binCounts = values.join(broadcast(bins),
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .groupBy(col("htype"), col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("c"))
+    // Deterministic range predicates p_i = [mn + i·span/20, mn + (i+5)·span/20].
+    val preds = stats.select(explode(expr(
+      s"transform(sequence(0L, ${HistPreds - 1}L), i -> struct(i AS pred, " +
+        "mn + i * (mx - mn) div 20 AS p_lo, mn + (i + 5) * (mx - mn) div 20 AS p_hi))"))
+      .as("p")).select(col("p.pred"), col("p.p_lo"), col("p.p_hi"))
+    // Histogram estimates: uniform-within-bin integer pro-rata.
+    val est = binCounts.crossJoin(broadcast(preds))
+      .select(col("htype"), col("pred"),
+        // hi > lo guard: duplicate equi-depth boundaries make a
+        // zero-width bin — contribution 0, never a division by zero.
+        when(col("hi") > col("lo"),
+          expr("""c * greatest(0L, least(hi, p_hi + 1) - greatest(lo, p_lo))
+            |  div (hi - lo)""".stripMargin)).otherwise(lit(0L)).as("contrib"))
+      .groupBy(col("pred"), col("htype")).agg(sum(col("contrib")).as("est"))
+      .groupBy(col("pred"))
+      .agg(max(when(col("htype") === "width", col("est"))).as("est_width"),
+        max(when(col("htype") === "depth", col("est"))).as("est_depth"))
+    // Exact counts: one ×10 map-only pass; preds stays the base frame so
+    // an (impossible-on-real-data) empty predicate still emits its row.
+    val exactAgg = values.crossJoin(broadcast(preds))
+      .filter(col("v") >= col("p_lo") && col("v") <= col("p_hi"))
+      .groupBy(col("pred")).agg(count(lit(1)).as("exact0"))
+    preds.join(exactAgg, Seq("pred"), "left")
+      .withColumn("exact", coalesce(col("exact0"), lit(0L)))
+      .join(est, "pred").crossJoin(broadcast(stats.select(col("n"))))
+      .select(col("pred"), col("p_lo"), col("p_hi"), col("exact"),
+        col("est_width"), col("est_depth"),
+        expr("abs(est_width - exact) * 10000L div n").as("err_width_bp"),
+        expr("abs(est_depth - exact) * 10000L div n").as("err_depth_bp"))
+      .orderBy(col("pred"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5989,7 +6073,8 @@ object PipelineQueries {
     "q209_whitening_stats" -> (whiteningStats _),
     "q210_hll_intersection" -> (hllIntersection _),
     "q211_path_likelihood" -> (pathLikelihood _),
-    "q212_clustering_factor" -> (clusteringFactor _))
+    "q212_clustering_factor" -> (clusteringFactor _),
+    "q213_histogram_accuracy" -> (histogramAccuracy _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -8013,6 +8098,52 @@ object PipelineQueries {
          |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(brk) AS BIGINT) AS n_runs,
          |  CAST(COUNT(*) AS BIGINT) * 100 // CAST(SUM(brk) AS BIGINT) AS avg_run_len_x100
          |FROM b GROUP BY layout ORDER BY layout""".stripMargin,
+    // q213: same boundaries, same integer pro-rata interpolation, same
+    // zero-width guard — the estimates replay exactly.
+    "q213_histogram_accuracy" -> {
+      val B = HistBins
+      val depthSel = (1L until B).map(k =>
+        s"MIN(CASE WHEN cum >= $k * s.n // $B THEN v END) AS b$k").mkString(", ")
+      val depthBins = (0L until B).map { b =>
+        val lo = if (b == 0) "s.mn" else s"bd.b$b"
+        val hi = if (b == B - 1) "s.mx + 1" else s"bd.b${b + 1}"
+        s"SELECT 'depth' AS htype, CAST($b AS BIGINT) AS bin, $lo AS lo, $hi AS hi FROM bd CROSS JOIN s"
+      }.mkString("\nUNION ALL ")
+      s"""WITH vals AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v FROM lineitem),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(v) AS BIGINT) AS mn,
+         |    CAST(MAX(v) AS BIGINT) AS mx FROM vals),
+         |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY v),
+         |hc AS (SELECT v, c, SUM(c) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+         |bd AS (SELECT $depthSel FROM hc CROSS JOIN s),
+         |bins AS (
+         |  SELECT 'width' AS htype, CAST(t.b AS BIGINT) AS bin,
+         |    s.mn + t.b * (s.mx - s.mn + 1) // $B AS lo,
+         |    s.mn + (t.b + 1) * (s.mx - s.mn + 1) // $B AS hi
+         |  FROM range(0, $B) t(b) CROSS JOIN s
+         |  UNION ALL $depthBins),
+         |bc AS (SELECT bins.htype, bins.bin, bins.lo, bins.hi, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM bins JOIN vals ON vals.v >= bins.lo AND vals.v < bins.hi
+         |  GROUP BY 1, 2, 3, 4),
+         |p AS (SELECT CAST(t.i AS BIGINT) AS pred, s.mn + t.i * (s.mx - s.mn) // 20 AS p_lo,
+         |    s.mn + (t.i + 5) * (s.mx - s.mn) // 20 AS p_hi
+         |  FROM range(0, $HistPreds) t(i) CROSS JOIN s),
+         |e AS (SELECT p.pred, bc.htype,
+         |    CAST(SUM(CASE WHEN bc.hi > bc.lo THEN
+         |      bc.c * GREATEST(0, LEAST(bc.hi, p.p_hi + 1) - GREATEST(bc.lo, p.p_lo)) // (bc.hi - bc.lo)
+         |      ELSE 0 END) AS BIGINT) AS est
+         |  FROM bc CROSS JOIN p GROUP BY 1, 2),
+         |ew AS (SELECT pred, MAX(CASE WHEN htype = 'width' THEN est END) AS est_width,
+         |    MAX(CASE WHEN htype = 'depth' THEN est END) AS est_depth FROM e GROUP BY pred),
+         |ex AS (SELECT p.pred, CAST(COUNT(*) AS BIGINT) AS exact0
+         |  FROM vals JOIN p ON vals.v >= p.p_lo AND vals.v <= p.p_hi GROUP BY 1)
+         |SELECT p.pred, p.p_lo, p.p_hi, COALESCE(ex.exact0, 0) AS exact,
+         |  ew.est_width, ew.est_depth,
+         |  ABS(ew.est_width - COALESCE(ex.exact0, 0)) * 10000 // s.n AS err_width_bp,
+         |  ABS(ew.est_depth - COALESCE(ex.exact0, 0)) * 10000 // s.n AS err_depth_bp
+         |FROM p LEFT JOIN ex ON p.pred = ex.pred JOIN ew ON p.pred = ew.pred CROSS JOIN s
+         |ORDER BY p.pred""".stripMargin
+    },
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

@@ -1852,6 +1852,22 @@ class QueriesSpec extends AnyFunSuite {
       ("user_clustered", 12L, 4L, 300L)))
   }
 
+  test("q213 histograms: equi-depth beats equi-width on a planted skewed column") {
+    import spark.implicits._
+    // 900 values at 0..99 (dense) + 100 at 10000..10099 (sparse tail):
+    // equi-width spends 7 bins on emptiness; equi-depth adapts.
+    val vals = ((0L until 900L).map(i => i % 100) ++ (0L until 100L).map(10000L + _))
+      .toDF("v")
+    val out = graft.analytics.PipelineQueries.histogramAccuracyOf(vals)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    assert(out.length == 10)
+    // Estimates can't exceed n, errors are sane, and on this skew the
+    // depth histogram's TOTAL error is strictly smaller.
+    val (wErr, dErr) = (out.map(_._5).sum, out.map(_._6).sum)
+    assert(dErr < wErr, s"equi-depth should win on skew: depth=$dErr width=$wErr")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

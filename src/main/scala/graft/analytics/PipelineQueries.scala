@@ -5910,6 +5910,60 @@ object PipelineQueries {
       .orderBy(col("pred"))
   }
 
+  /** Near-dup difference explanations (q214) — the review surface a
+    * dedup pipeline owes its operators: for every q27 near-dup pair
+    * (memoized tier — the LSH work is not re-paid), the shared/only-a/
+    * only-b token counts and a deterministic 3-token sample of what the
+    * duplicate ADDS. Pair-sized work on id equi-joins; the sample is
+    * sorted-then-sliced so both engines emit identical strings. Dedup
+    * decisions that can't be explained don't survive review — this row
+    * is the explanation. */
+  def nearDupDiff(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDup(spark, dir).select(col("id_a"), col("id_b"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("toks"))
+    pairs
+      .join(toks, col("id_a") === col("doc_id"))
+      .withColumnRenamed("toks", "ta").drop("doc_id")
+      .join(toks, col("id_b") === col("doc_id"))
+      .withColumnRenamed("toks", "tb").drop("doc_id")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("shared"),
+        size(array_except(col("ta"), col("tb"))).cast("long").as("only_a"),
+        size(array_except(col("tb"), col("ta"))).cast("long").as("only_b"),
+        array_join(slice(array_sort(array_except(col("tb"), col("ta"))), 1, 3), ",")
+          .as("added_sample"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Corpus-composition independence test (q215) — is source independent
+    * of language? The q145 exact integer chi-square generalized to the
+    * r×c contingency table: per cell, observed count, expected×100, and
+    * the cell's chi-square contribution in bp — `(o·N − r·c)²·10⁴ div
+    * (N·r·c)` — with the table total repeated per row. One corpus scan
+    * to the cell counts; margins and totals ride windows on the
+    * CELL frame (≤ langs·sources rows). A drifted crawler or a
+    * mislabeled source shows up as one fat cell. */
+  def independenceTest(spark: SparkSession, dir: String): DataFrame =
+    independenceTestOf(Tables.documents(spark, dir))
+
+  private[graft] def independenceTestOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("lang"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("source"))))
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("cell_bp",
+        // DECIMAL(38,0): (o·N−r·c)²·10⁴ overflows BIGINT past ~30k docs.
+        expr("""CAST((CAST(o * n - r * c AS DECIMAL(38,0)) * (o * n - r * c) * 10000)
+          |  div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)""".stripMargin))
+      .withColumn("total_bp", sum(col("cell_bp")).over(wAll))
+      .select(col("lang"), col("source"), col("o"),
+        expr("r * c * 100L div n").as("expected_x100"), col("cell_bp"), col("total_bp"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6074,7 +6128,9 @@ object PipelineQueries {
     "q210_hll_intersection" -> (hllIntersection _),
     "q211_path_likelihood" -> (pathLikelihood _),
     "q212_clustering_factor" -> (clusteringFactor _),
-    "q213_histogram_accuracy" -> (histogramAccuracy _))
+    "q213_histogram_accuracy" -> (histogramAccuracy _),
+    "q214_neardup_diff" -> (nearDupDiff _),
+    "q215_independence_test" -> (independenceTest _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -8144,6 +8200,35 @@ object PipelineQueries {
          |FROM p LEFT JOIN ex ON p.pred = ex.pred JOIN ew ON p.pred = ew.pred CROSS JOIN s
          |ORDER BY p.pred""".stripMargin
     },
+    // q214: the q27 pair CTE + identical list algebra; the sample is
+    // sorted-then-sliced so the strings match byte for byte.
+    "q214_neardup_diff" ->
+      """WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95)
+        |SELECT id_a, id_b,
+        |  CAST(len(list_intersect(ta, tb)) AS BIGINT) AS shared,
+        |  CAST(len(list_filter(ta, x -> NOT list_contains(tb, x))) AS BIGINT) AS only_a,
+        |  CAST(len(list_filter(tb, x -> NOT list_contains(ta, x))) AS BIGINT) AS only_b,
+        |  COALESCE(array_to_string(list_sort(list_filter(tb, x -> NOT list_contains(ta, x)))[1:3], ','), '') AS added_sample
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
+    // q215: HUGEINT mirrors DECIMAL(38,0); same margins, same integer
+    // chi-square cells.
+    "q215_independence_test" ->
+      """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT lang, source, o,
+        |    CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
+        |    CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS c,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n FROM c),
+        |k AS (SELECT lang, source, o, r * c * 100 // n AS expected_x100,
+        |    CAST((CAST(o * n - r * c AS HUGEINT) * (o * n - r * c) * 10000)
+        |      // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS cell_bp FROM m)
+        |SELECT lang, source, o, expected_x100, cell_bp,
+        |  CAST(SUM(cell_bp) OVER () AS BIGINT) AS total_bp
+        |FROM k ORDER BY lang, source""".stripMargin,
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

@@ -1868,6 +1868,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(dErr < wErr, s"equi-depth should win on skew: depth=$dErr width=$wErr")
   }
 
+  test("q215 independence: a planted dependent table concentrates in its fat cell") {
+    import spark.implicits._
+    // lang xx comes (almost) only from A; yy only from B — strong
+    // dependence. Cells: (xx,A)=9 (xx,B)=1 (yy,A)=1 (yy,B)=9 → N=20,
+    // all margins 10. (o·N−r·c)² = (180−100)² = 6400 for every cell;
+    // cell_bp = 6400·10⁴ div 2000 = 32000; total 128000 (χ²=12.8).
+    val docs = (
+      (1L to 9L).map(i => (i, "xx", "A")) ++ Seq((10L, "xx", "B")) ++
+      Seq((11L, "yy", "A")) ++ (12L to 20L).map(i => (i, "yy", "B")))
+      .toDF("doc_id", "lang", "source")
+    val out = graft.analytics.PipelineQueries.independenceTestOf(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("xx", "A", 9L, 500L, 32000L, 128000L), ("xx", "B", 1L, 500L, 32000L, 128000L),
+      ("yy", "A", 1L, 500L, 32000L, 128000L), ("yy", "B", 9L, 500L, 32000L, 128000L)))
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -5964,6 +5964,68 @@ object PipelineQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Priority counts over an EXISTS predicate (q216, TPC-H Q4 shape) —
+    * orders having at least one returned line, counted by priority: the
+    * semi-join-then-aggregate pattern (the EXISTS must stay a LeftSemi;
+    * materializing the inner join would multiply orders by their
+    * matching lines and corrupt the count). The returnflag slice is a
+    * pushed scan filter; the priority aggregate partial-combines. */
+  def priorityReturns(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q217 constants, shared with the oracle. */
+  private[graft] val KeynessMinCount = 10L
+  private[graft] val KeynessK = 20L
+
+  /** Corpus keyness / token shift (q217) — the corpus-linguistics
+    * monitor for topic drift between crawls: which tokens are over-
+    * represented in snapshot A (even doc ids) vs snapshot B, by
+    * add-one-smoothed rate ratio in basis points —
+    * `(ca+1)·(tb+V)·10⁴ div ((cb+1)·(ta+V))` — all integer, so the
+    * ranking replays exactly. Tokens below [[KeynessMinCount]] total
+    * occurrences are noise-gated; the top-[[KeynessK]] per direction
+    * surface. One tokenization into the vocab frame; totals ride
+    * unbounded windows over it; the report is 2·K rows. */
+  def tokenKeyness(spark: SparkSession, dir: String): DataFrame =
+    tokenKeynessOf(Tables.documents(spark, dir),
+      c => graft.SessionMemo.memo(spark, s"q217counts|$dir") {
+        c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
+  /** `memoCounts` pins the vocab-sized keyness frame — its two direction
+    * consumers would otherwise re-tokenize the corpus twice (q182
+    * pattern). */
+  private[graft] def tokenKeynessOf(docs: DataFrame,
+      memoCounts: DataFrame => DataFrame = identity): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val counts = memoCounts(docs
+      .select(expr("doc_id % 2").as("snap"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("snap") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("snap") === 1L, 1L).otherwise(0L)).as("cb"))
+      .withColumn("ta", sum(col("ca")).over(wAll))
+      .withColumn("tb", sum(col("cb")).over(wAll))
+      .withColumn("v", count(lit(1)).over(wAll))
+      .filter(col("ca") + col("cb") >= KeynessMinCount)
+      .select(col("token"), col("ca"), col("cb"),
+        expr("(ca + 1) * (tb + v) * 10000L div ((cb + 1) * (ta + v))").as("ab_bp"),
+        expr("(cb + 1) * (ta + v) * 10000L div ((ca + 1) * (tb + v))").as("ba_bp")))
+    val topA = counts.orderBy(col("ab_bp").desc, col("token")).limit(KeynessK.toInt)
+      .select(lit("a_over_b").as("direction"), col("token"), col("ca"), col("cb"),
+        col("ab_bp").as("ratio_bp"))
+    val topB = counts.orderBy(col("ba_bp").desc, col("token")).limit(KeynessK.toInt)
+      .select(lit("b_over_a").as("direction"), col("token"), col("ca"), col("cb"),
+        col("ba_bp").as("ratio_bp"))
+    topA.union(topB).orderBy(col("direction"), col("ratio_bp").desc, col("token"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6130,7 +6192,9 @@ object PipelineQueries {
     "q212_clustering_factor" -> (clusteringFactor _),
     "q213_histogram_accuracy" -> (histogramAccuracy _),
     "q214_neardup_diff" -> (nearDupDiff _),
-    "q215_independence_test" -> (independenceTest _))
+    "q215_independence_test" -> (independenceTest _),
+    "q216_priority_returns" -> (priorityReturns _),
+    "q217_token_keyness" -> (tokenKeyness _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -8229,6 +8293,35 @@ object PipelineQueries {
         |SELECT lang, source, o, expected_x100, cell_bp,
         |  CAST(SUM(cell_bp) OVER () AS BIGINT) AS total_bp
         |FROM k ORDER BY lang, source""".stripMargin,
+    // q216: the EXISTS stays a semi-join in both engines — DuckDB's
+    // EXISTS, Spark's LeftSemi.
+    "q216_priority_returns" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q217: same smoothed integer rate ratios, same (ratio desc, token)
+    // cuts per direction.
+    "q217_token_keyness" ->
+      s"""WITH t AS (SELECT doc_id % 2 AS snap, unnest(str_split(text, ' ')) AS token FROM documents),
+         |c0 AS (SELECT token,
+         |    CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM t GROUP BY token),
+         |c1 AS (SELECT token, ca, cb,
+         |    CAST(SUM(ca) OVER () AS BIGINT) AS ta, CAST(SUM(cb) OVER () AS BIGINT) AS tb,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS v FROM c0),
+         |c AS (SELECT token, ca, cb,
+         |    (ca + 1) * (tb + v) * 10000 // ((cb + 1) * (ta + v)) AS ab_bp,
+         |    (cb + 1) * (ta + v) * 10000 // ((ca + 1) * (tb + v)) AS ba_bp
+         |  FROM c1 WHERE ca + cb >= $KeynessMinCount),
+         |ta2 AS (SELECT 'a_over_b' AS direction, token, ca, cb, ab_bp AS ratio_bp
+         |  FROM c ORDER BY ab_bp DESC, token LIMIT $KeynessK),
+         |tb2 AS (SELECT 'b_over_a' AS direction, token, ca, cb, ba_bp AS ratio_bp
+         |  FROM c ORDER BY ba_bp DESC, token LIMIT $KeynessK)
+         |SELECT * FROM (SELECT * FROM ta2 UNION ALL SELECT * FROM tb2)
+         |ORDER BY direction, ratio_bp DESC, token""".stripMargin,
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

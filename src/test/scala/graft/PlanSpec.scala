@@ -1021,6 +1021,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q216: the EXISTS stays a semi-join; the returnflag slice is pushed") {
+    val p = planOf("q216_priority_returns")
+    assert(p.contains("LeftSemi"),
+      s"materializing the inner join would multiply orders by lines:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q217: both direction cuts read the keyness memo; top-k is TakeOrdered") {
+    val df = SparkEntry.queries("q217_token_keyness")(spark, TestSpark.SfDir)
+    val live = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.toString.contains("documents.parquet") => r
+    }
+    assert(live.isEmpty, s"live corpus re-scan outside the keyness memo: ${live.size}")
+    val p = planOf("q217_token_keyness")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

@@ -1886,6 +1886,19 @@ class QueriesSpec extends AnyFunSuite {
       ("yy", "A", 1L, 500L, 32000L, 128000L), ("yy", "B", 9L, 500L, 32000L, 128000L)))
   }
 
+  test("q217 keyness: a token planted only in snapshot A tops the A-over-B cut") {
+    import spark.implicits._
+    // 'zzz' appears 10× in even docs only; 'common' is balanced filler.
+    val docs = (
+      (0L until 10L).map(i => (i * 2, "zzz " + Seq.fill(5)("common").mkString(" "))) ++
+      (0L until 10L).map(i => (i * 2 + 1, Seq.fill(6)("common").mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = graft.analytics.PipelineQueries.tokenKeynessOf(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.head == ("a_over_b", "zzz"),
+      s"the A-only token must lead the A-over-B direction: ${out.toSeq}")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -4455,10 +4455,17 @@ object PipelineQueries {
   def triangleCensus(spark: SparkSession, dir: String): DataFrame =
     triangleCensusOf(Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
-      Some(coPurchaseEdges(spark, dir)))
+      Some(coPurchaseEdges(spark, dir)),
+      // The oriented frame has THREE consumers (both wedge sides + the
+      // closure semi-join) — unmemoized, each re-pays the two degree
+      // joins over the edge cache.
+      o => graft.SessionMemo.memo(spark, s"q177oriented|$dir") {
+        o.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
 
   private[graft] def triangleCensusOf(orderParts: DataFrame,
-      memoEdges: Option[DataFrame] = None): DataFrame = {
+      memoEdges: Option[DataFrame] = None,
+      memoOriented: DataFrame => DataFrame = identity): DataFrame = {
     val li = orderParts.select(col("ok"), col("pk")).distinct()
     val edges = memoEdges.getOrElse(li.alias("a")
       .join(li.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -4468,7 +4475,7 @@ object PipelineQueries {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // Orient u→v iff (deg(u), u) < (deg(v), v); carry the endpoint degree
     // so the wedge pair can be ordered by the SAME total order.
-    val oriented = edges
+    val oriented = memoOriented(edges
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
       .select(
@@ -4476,7 +4483,7 @@ object PipelineQueries {
           struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
           .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
           .as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt")))
     val wedges = oriented.alias("x")
       .join(oriented.alias("y"),
         col("x.s") === col("y.s") &&

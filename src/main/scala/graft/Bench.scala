@@ -37,10 +37,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Interleave the calibration probe after every N suite queries. ~7
-    * probes over the 97-query suite at ≲0.5 s each — cheap enough to run
-    * always, dense enough to localize a contention window to a segment. */
-  val ProbeEvery = 15
+  /** Interleave the calibration probe after every N suite queries. Round-6
+    * verdict #3: 15 let a ~45 s contention window hide between probes
+    * (13 queries apart); 7 guarantees every query sits ≤ 8 queries from a
+    * bracketing probe. ~31 probes over the 217-query suite at ~0.2–0.35 s
+    * each — still <3% of suite time. */
+  val ProbeEvery = 7
 
   /** Fixed-work probe: ~200M xxhash64+sum across all cores. Data-size
     * independent, so its runtime measures the MACHINE, not the suite. */

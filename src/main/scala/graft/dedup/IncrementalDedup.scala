@@ -140,8 +140,9 @@ object IncrementalDedup {
     *      partial output survived the crash;
     *   4. appends survivors via dynamic partition overwrite of the
     *      batch's own partition (idempotent under replay — the demux
-    *      sink's exactly-once pattern; an empty survivor set writes no
-    *      partition and clobbers nothing);
+    *      sink's exactly-once pattern; an empty survivor set explicitly
+    *      clears the batch's partition, since DPO only overwrites
+    *      partitions present in the written frame);
     *   5. folds the survivors' fingerprints into the sketch by Bloom
     *      bit-OR ([[mergeBlooms]]) so the NEXT batch sees them without a
     *      corpus rescan, and rebuilds the sketch from the corpus every
@@ -232,19 +233,23 @@ object IncrementalDedup {
               .join(others, Seq("fp"), "left_anti"))
           .persist()
         try {
-          // 4. idempotent append: DPO of this batch's own partition.
-          survivors
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(corpusDir)
-          // 5. fold survivors into the sketch (same sizing ⇒ mergeable).
           if (survivors.limit(1).count() > 0) {
+            // 4. idempotent append: DPO of this batch's own partition.
+            survivors
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(corpusDir)
+            // 5. fold survivors into the sketch (same sizing ⇒ mergeable).
             val add = snapshotBloom(survivors, col("fp"),
               expectedItems = sizingN, fpp = fpp)
             sketch = mergeBlooms(sketch, add)
-          }
+          } else
+            // Zero survivors: DPO would write no partition, so a replay
+            // whose original run published rows must clear them explicitly
+            // (round-6 advice — same guard as fuzzyIngestBatch).
+            clearBatchPartition(spark, corpusDir, batchId)
           sinceRefresh += 1
         } finally { survivors.unpersist(); () }
       }
@@ -284,12 +289,35 @@ object IncrementalDedup {
     val kept = batch.join(dominated, Seq(idCol), "left_anti")
     val crossDropped = Dedup.crossNearDups(standing, kept, idCol, textCol, threshold)
       .select(col("id_b").as(idCol)).distinct()
-    kept.join(crossDropped, Seq(idCol), "left_anti")
+    val survivors = kept.join(crossDropped, Seq(idCol), "left_anti")
       .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(corpusDir)
+      .persist()
+    // Zero-survivor replay guard (round-6 advice): DPO writes NO partition
+    // when the frame is empty, so a replay that legitimately derives zero
+    // survivors (the standing corpus grew between original run and replay)
+    // would leave the previously published non-empty partition standing.
+    // Exact replay semantics require clearing it explicitly.
+    try {
+      if (survivors.limit(1).count() == 0) clearBatchPartition(spark, corpusDir, batchId)
+      else survivors
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(corpusDir)
+    } finally { survivors.unpersist(); () }
+  }
+
+  /** Truncate one batch's partition directory — the explicit complement of
+    * dynamic partition overwrite for the empty-survivor case (DPO only
+    * overwrites partitions PRESENT in the written frame). Path-based
+    * tables only; a catalog-managed table would route through
+    * `ALTER TABLE … DROP PARTITION`. */
+  private[graft] def clearBatchPartition(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, batchId: Long): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$corpusDir/batch_id=$batchId")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    ()
   }
 
   /** Structured Streaming driver for [[fuzzyIngestBatch]]: each

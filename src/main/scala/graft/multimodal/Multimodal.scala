@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * no external codec needed) inside the executors, with the stub as
   * fallback for payloads that aren't decodable media (the harness
   * documents corpus carries text bytes as stand-in payloads).
-  * VIDEO decode remains a STUB (`StubCodec` — the JDK has no video
-  * codec and none exists in this container): deterministic fake
-  * features from the bytes. The
+  * VIDEO splits honestly in two: CONTAINER metadata is REAL — [[Mp4]]
+  * walks the ISO-BMFF box structure (public format, no codec needed)
+  * for duration/tracks/dimensions/handlers — while frame-PIXEL decode
+  * remains a STUB (`StubCodec` — the JDK has no video codec and none
+  * exists in this container): deterministic fake features from the
+  * bytes. The
   * Spark-side contract — schema, binary column handling, partition-wise
   * batching, feature shape — is identical either way, which is the point:
   * swapping a codec changes nothing upstream (MultimodalSpec proves it by
@@ -234,6 +237,11 @@ object Multimodal {
         val features = m.modality match {
           case "image" => ImageIoCodec.tryDecode(m.content).getOrElse(StubCodec.decode(m.content))
           case "audio" => AudioIoCodec.tryDecode(m.content).getOrElse(StubCodec.decode(m.content))
+          case "video" => Mp4.tryParse(m.content).map(v => Array(
+            (v.duration_ms.toDouble / 1000.0).toFloat, v.timescale.toFloat,
+            v.n_tracks.toFloat, v.width.toFloat, v.height.toFloat,
+            if (v.has_video) 1f else 0f, if (v.has_audio) 1f else 0f, 0f))
+            .getOrElse(StubCodec.decode(m.content))
           case _ => StubCodec.decode(m.content)
         }
         MediaFeatures(

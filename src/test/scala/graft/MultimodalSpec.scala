@@ -109,4 +109,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.StubCodec.checksum("abc".getBytes) !=
       Multimodal.StubCodec.checksum("abd".getBytes))
   }
+
+  test("MP4 box walk recovers real container metadata, no codec needed") {
+    import graft.multimodal.Mp4
+    val payload = "hello video".getBytes
+    val bytes = Mp4.build(timescale = 600L, durationTicks = 1800L,
+      width = 640, height = 360, audioTrack = true, payload = payload)
+    val m = Mp4.tryParse(bytes).get
+    assert(m.brand == "isom")
+    assert(m.timescale == 600L && m.duration_ms == 3000L)
+    assert(m.n_tracks == 2 && m.width == 640 && m.height == 360)
+    assert(m.has_video && m.has_audio)
+    val m2 = Mp4.tryParse(Mp4.build(1000L, 500L, 320, 240, audioTrack = false, payload)).get
+    assert(m2.n_tracks == 1 && m2.duration_ms == 500L && m2.has_video && !m2.has_audio)
+    // Malformed inputs parse to None, never throw.
+    assert(Mp4.tryParse(bytes.take(30)).isEmpty)
+    assert(Mp4.tryParse("plain text, not a container".getBytes).isEmpty)
+    assert(Mp4.tryParse(Array.empty[Byte]).isEmpty)
+  }
+
+  test("MP4 walk handles largesize (64-bit) boxes and version-1 movie headers") {
+    import graft.multimodal.Mp4
+    def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    // mvhd version 1: 64-bit creation/modification/duration times.
+    val mvhd = be32(40) ++ "mvhd".getBytes("ISO-8859-1") ++
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++ be32(600) ++ be64(1200)
+    // moov wrapped in a size==1 largesize header (16-byte header).
+    val moov = be32(1) ++ "moov".getBytes("ISO-8859-1") ++
+      be64(16L + mvhd.length) ++ mvhd
+    val m = Mp4.tryParse(moov).get
+    assert(m.timescale == 600L && m.duration_ms == 2000L)
+    assert(m.n_tracks == 0 && !m.has_video && !m.has_audio && m.brand == "")
+  }
+
+  test("MP4 container metadata flows through the video branch of extractFeatures") {
+    import graft.multimodal.Mp4
+    val mp4 = Mp4.build(timescale = 1000L, durationTicks = 2500L,
+      width = 320, height = 240, audioTrack = true, payload = "frames".getBytes)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", mp4, 320, 240, 2500L),
+      Multimodal.MediaRecord(2L, "video", "not a container".getBytes, 0, 0, 0L)).toDF()
+    val got = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.media_id -> f.features).toMap
+    // [duration s, timescale, n_tracks, w, h, has_video, has_audio, 0]
+    assert(got(1L).toSeq == Seq(2.5f, 1000f, 2f, 320f, 240f, 1f, 1f, 0f))
+    // non-container video payloads still fall back to the stub, same shape
+    assert(got(2L).toSeq == Multimodal.StubCodec.decode("not a container".getBytes).toSeq)
+  }
 }

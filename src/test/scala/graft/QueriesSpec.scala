@@ -1588,6 +1588,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", "b", 3L, "aa"), ("aa", "a", 2L, "aa")))
   }
 
+  test("q182 BPE: boundary-sharing adjacent occurrences all merge ('a b a b' → [ab, ab])") {
+    import spark.implicits._
+    // Round-6 advice regression: the single-pass replace consumed the
+    // separating space, so 'abab' under merge (a,b) yielded [ab, a, b].
+    // The space-doubling pass gives the real greedy semantics [ab, ab].
+    val docs = Seq((1L, "abab")).toDF("doc_id", "text")
+    val out = graft.analytics.PipelineQueries.bpeMergeRoundOf(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(("ab", "ab", 1L, "ab")))
+  }
+
   test("q183 reconciliation: planted discrepancies land in their exact buckets") {
     import spark.implicits._
     val orders = Seq(

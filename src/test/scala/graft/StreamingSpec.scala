@@ -567,4 +567,27 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(got.toSeq == Seq((0L, 1L), (1L, 4L)))
   }
+
+  test("q200 replay guard: a zero-survivor replay clears the stale partition") {
+    // Round-6 advice: DPO writes no partition for an empty frame, so a
+    // replay that legitimately derives zero survivors (the corpus grew
+    // between the original run and the replay) must truncate explicitly.
+    val work = java.nio.file.Files.createTempDirectory("graft_fuzzy_replay").toString
+    val corpus = s"$work/corpus"
+    Seq((100L, "p q r s", -1L)).toDF("doc_id", "text", "batch_id")
+      .write.partitionBy("batch_id").parquet(corpus)
+    // Original run of batch 0: doc 1 is fresh → published.
+    val b = Seq((1L, "x y z w")).toDF("doc_id", "text")
+    graft.dedup.IncrementalDedup.fuzzyIngestBatch(b, corpus, 0L)
+    assert(spark.read.parquet(corpus).where(col("batch_id") === 0).count() == 1)
+    // The corpus then gains an exact twin of doc 1 in another batch; a
+    // replay of batch 0 now derives ZERO survivors — the stale batch-0
+    // partition must come out, not linger.
+    Seq((50L, "x y z w", 1L)).toDF("doc_id", "text", "batch_id")
+      .write.mode("append").partitionBy("batch_id").parquet(corpus)
+    graft.dedup.IncrementalDedup.fuzzyIngestBatch(b, corpus, 0L)
+    assert(spark.read.parquet(corpus).where(col("batch_id") === 0).count() == 0)
+    assert(spark.read.parquet(corpus).select(col("doc_id")).as[Long]
+      .collect().toSet == Set(100L, 50L))
+  }
 }

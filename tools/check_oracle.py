@@ -18,6 +18,26 @@ con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+def _dtype_compatible(spark_t, duck_t):
+    """Type pairs the driver's hash empirically tolerates (both sides encode
+    to the same hashed value). Anything outside this set is drift."""
+    if spark_t == duck_t:
+        return True
+    pair = (spark_t, duck_t)
+    # integer-width pairs: pandas materializes both as int64, and the 215
+    # green r06 rows include INTEGER/BIGINT mixes — values identical.
+    ints = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+    if spark_t in ints and duck_t in ints:
+        return True
+    # float width: Spark writes DOUBLE; DuckDB FLOAT only via explicit cast.
+    if pair == ("DOUBLE", "FLOAT") or pair == ("FLOAT", "DOUBLE"):
+        return True
+    # timestamp flavors carry the same micros value.
+    ts = {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE", "TIMESTAMP_NS"}
+    if spark_t in ts and duck_t in ts:
+        return True
+    return False
+
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results = {}
 def emit(name):
@@ -47,6 +67,28 @@ for name in sorted(oracle):
     sc = sorted(spark_df.columns); dc = sorted(duck_df.columns)
     if sc != dc:
         results[name] = f"SCHEMA-MISMATCH spark={sc} duck={dc}"
+        emit(name); continue
+    # dtype-strict gate: the driver's value hash is dtype-sensitive (DuckDB
+    # promoting SUM(BIGINT) to HUGEINT broke q139/q143 in r06 while this
+    # replica's check_dtype=False stayed green). Compare the DuckDB-native
+    # logical types of both sides and hard-fail on any unexplained drift;
+    # HUGEINT anywhere in an oracle result is an automatic fail.
+    try:
+        stypes = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{pq}/*.parquet'").fetchall()}
+        dtypes_ = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+        bad_types = []
+        for c in sc:
+            st, dt = stypes.get(c), dtypes_.get(c)
+            if dt in ("HUGEINT", "UHUGEINT"):
+                bad_types.append(f"{c}: oracle={dt} (INT128 never matches a Spark type)")
+            elif st != dt and not _dtype_compatible(st, dt):
+                bad_types.append(f"{c}: spark={st} oracle={dt}")
+        if bad_types:
+            results[name] = "DTYPE-MISMATCH " + "; ".join(bad_types)
+            emit(name); continue
+    except Exception as e:
+        results[name] = f"DTYPE-CHECK-ERROR {e}"
         emit(name); continue
     a = spark_df[sc]; b = duck_df[sc]
     if len(a) != len(b):

@@ -2466,6 +2466,209 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Header-only image metadata (q219) — the q218 discipline on the image
+    * side: each document payload is wrapped in a PNG / GIF / JPEG
+    * container (format rotating on doc_id; dimensions and bit depth pure
+    * functions of the id) by [[graft.multimodal.ImageHeaders]]'s builders,
+    * and the engine's header walk recovers format/width/height/depth
+    * WITHOUT decoding pixels — the only access pattern that survives
+    * 100 TB of images (first ~60 bytes per object, never the body). The
+    * oracle replays the expected values arithmetically, hash-checking the
+    * build→parse round-trip: PNG big-endian IHDR fields, GIF little-endian
+    * screen descriptor + colour-resolution bits, JPEG marker-segment scan
+    * to SOF0. Map-only until the output sort. */
+  def imageHeaders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.ImageHeaders
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, text) =>
+          val w = 16 + (docId % 1009).toInt
+          val h = 16 + (docId % 797).toInt
+          val payload = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+          val bytes = (docId % 3) match {
+            case 0 => ImageHeaders.buildPng(w, h, bitDepth = 8, payload)
+            case 1 => ImageHeaders.buildGif(w, h, bitDepth = (docId % 8).toInt + 1, payload)
+            case _ => ImageHeaders.buildJpeg(w, h, payload)
+          }
+          val m = ImageHeaders.tryParse(bytes).getOrElse(
+            sys.error(s"q219: generated image header failed to parse for doc $docId"))
+          (docId, m.format, m.width.toLong, m.height.toLong, m.bit_depth.toLong,
+            bytes.length.toLong)
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "bit_depth", "n_bytes")
+      .orderBy(col("media_id"))
+  }
+
+  /** q220 cosine band, shared with the oracle: hard negatives live in
+    * [HardNegLo, HardNegHi) — above random noise, below the near-dup /
+    * positive ceiling. */
+  private[graft] val HardNegLo = 0.3
+  private[graft] val HardNegHi = 0.8
+
+  /** Hard-negative mining (q221) — the contrastive-training sampler: for
+    * each anchor (every 50th vector), the top-5 corpus vectors by cosine
+    * RESTRICTED to the [[HardNegLo]]/[[HardNegHi]] band. Too-similar
+    * neighbors are likely positives/near-dups (they poison the negative
+    * set); too-dissimilar ones carry no gradient — the band is where
+    * embedding training gets its signal. Anchors broadcast; the corpus
+    * side is one map-only scan into the per-anchor top-k aggregator
+    * (q33's shape + a band predicate); scores are the bit-portable
+    * left-fold cosine, so ranks replay exactly in the oracle. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    Ann.bruteForceBandTopK(embs.filter(col("vec_id") % 50 === 0), embs,
+      "vec_id", "embedding", lo = HardNegLo, hi = HardNegHi, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q221 SNM constants, shared with the oracle: sliding-window width and
+    * the sort-key block granularity ($250 bands over offset cents). */
+  private[graft] val SnmWindow = 4L
+  private[graft] val SnmBlockCents = 25000L
+
+  /** Sorted-neighborhood entity blocking (q221) — the classic
+    * Hernández–Stolfo merge/purge alternative to LSH blocking: records
+    * sort by a key (account cents), each record compares only against the
+    * next [[SnmWindow]] records in sort order, and candidates verify with
+    * an exact matcher (same nation + name edit distance ≤ 1). Done the
+    * way a 1000-executor sort must: ranks are computed WITHIN
+    * [[SnmBlockCents]]-wide key blocks (partitionBy windows — never a
+    * global single-partition ORDER BY), and boundary pairs stitch through
+    * an adjacent-block equi-join (`a` in its block's last w, `b` in the
+    * next block's first w, combined distance ≤ w). Block-local SNM equals
+    * the global sliding window whenever every block is nonempty; an empty
+    * intermediate block truncates the window at its boundary — both
+    * engines implement the IDENTICAL rule (so the oracle replays exactly),
+    * and a production deployment tunes block width to key density.
+    * Shuffle shape: two equi-joins on block id + one levenshtein filter —
+    * candidate volume is n·w, never n². */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodOf(Tables.customer(spark, dir))
+
+  private[graft] def sortedNeighborhoodOf(customer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = customer
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)").as("cents"))
+      .withColumn("blk", expr(s"(cents + 1000000) div $SnmBlockCents"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("blk")).orderBy(col("cents"), col("c_custkey"))).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("blk"))))
+    val a = r.select(col("blk").as("blk_a"), col("rn").as("rn_a"), col("cnt").as("cnt_a"),
+      col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+      col("c_nationkey").as("nk_a"), col("cents").as("cents_a"))
+    val b = r.select(col("blk").as("blk_b"), col("rn").as("rn_b"),
+      col("c_custkey").as("id_b"), col("c_name").as("name_b"),
+      col("c_nationkey").as("nk_b"), col("cents").as("cents_b"))
+    val within = a.join(b, col("blk_a") === col("blk_b") &&
+      col("rn_b") - col("rn_a") >= 1L && col("rn_b") - col("rn_a") <= SnmWindow)
+    val across = a.join(b, col("blk_a") + 1L === col("blk_b") &&
+      col("cnt_a") - col("rn_a") + col("rn_b") <= SnmWindow)
+    within.unionByName(across)
+      .filter(col("nk_a") === col("nk_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("id_a"), col("id_b"), col("cents_a"), col("cents_b"),
+        (col("cents_b") - col("cents_a")).as("cents_gap"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q222 length gate, shared with the oracle. The other filter
+    * thresholds are structural: stopword ratio ≥ 0.05 as the integer
+    * cross-multiply hits·20 ≥ n_tokens; mean token length in [3, 8] as
+    * 3n ≤ chars − n + 1 ≤ 8n; language agreement; zero PII spans. */
+  private[graft] val AblationMinTokens = 20L
+
+  /** Quality-filter ablation (q222) — the report every curation pipeline
+    * owner asks for before tightening a gate: per filter, how many
+    * documents it rejects (n_fail), how many it UNIQUELY rejects
+    * (n_unique_fail — the docs that would come back if only this filter
+    * were dropped; every other filter passes them), and the all-pass
+    * survivor count. Marginal attribution tells you which filter is
+    * actually shaping the corpus and which is redundant shadowing.
+    * All five predicates are integer/exact (the q37/q38/q65 primitives),
+    * so the whole matrix hash-replays in the oracle. One map-only scan +
+    * one 11-sum aggregate; the 5-row report explodes from the single
+    * aggregate row — corpus is touched once. */
+  def filterAblation(spark: SparkSession, dir: String): DataFrame =
+    filterAblationOf(Tables.documents(spark, dir))
+
+  /** Dedup cascade funnel (q223) — the stage-attribution audit of the
+    * dedup pipeline a training run actually executes: raw → exact
+    * (byte-identical content, q25 rule) → token-set (reordered/repeated
+    * copies, q26 rule) → near-dup (MinHash component keep-min, q56
+    * semantics), each stage applied to the PREVIOUS stage's survivors,
+    * reporting per stage how many docs entered, survived, and were
+    * removed. The marginal numbers are the decision input for "is the
+    * fuzzy tier worth its cost on this corpus". Reuses the shared
+    * [[nearDupTiers]] memo (q27's payer) — no LSH recomputation; the
+    * exact tiers are two hash aggregates on fingerprint keys; the final
+    * report is a 4-row frame windowed into the funnel. */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val s1 = docs.groupBy(TextAnalysis.contentFingerprint(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val s2 = docs.join(s1, Seq("doc_id"), "left_semi")
+      .groupBy(TextAnalysis.tokenSetKey(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val (members, setPairs) = nearDupTiers(spark, dir)
+    val clusters = Dedup.clustersOfTiered(members, setPairs)
+      .select(col("id").as("doc_id"), col("comp"))
+    val d2c = s2.join(clusters, Seq("doc_id"), "left")
+    val keepPerComp = d2c.filter(col("comp").isNotNull)
+      .groupBy(col("comp")).agg(min(col("doc_id")).as("keep_id"))
+    val s3 = d2c.join(keepPerComp, Seq("comp"), "left")
+      .filter(col("comp").isNull || col("doc_id") === col("keep_id"))
+      .select(col("doc_id"))
+    def cnt(df: DataFrame, idx: Int, name: String) =
+      df.agg(count(lit(1)).as("n")).select(lit(idx).as("idx"), lit(name).as("stage"), col("n"))
+    cnt(docs, 0, "raw")
+      .unionByName(cnt(s1, 1, "exact"))
+      .unionByName(cnt(s2, 2, "tokenset"))
+      .unionByName(cnt(s3, 3, "neardup"))
+      .withColumn("n_in", lag(col("n"), 1).over(Window.orderBy(col("idx"))))
+      .filter(col("idx") > 0)
+      .select(col("stage"), col("n_in"), col("n").as("n_out"),
+        (col("n_in") - col("n")).as("n_removed"),
+        expr("(n_in - n) * 10000L div n_in").as("removed_bp"))
+      .orderBy(col("stage"))
+  }
+
+  private[graft] def filterAblationOf(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val flags = docs.filter(col("text").isNotNull).select(
+      (nTok >= AblationMinTokens).as("p_len"),
+      (TextAnalysis.stopwordHits(toks, "en").cast("long") * 20L >= nTok).as("p_stop"),
+      (nChars - nTok + 1L >= nTok * 3L && nChars - nTok + 1L <= nTok * 8L).as("p_tlen"),
+      (TextAnalysis.langId(col("text")) === col("lang")).as("p_lang"),
+      ((TextAnalysis.emailCount(col("text")) + TextAnalysis.phoneCount(col("text"))) === 0)
+        .as("p_pii"))
+    val names = Seq("len", "stop", "tlen", "lang", "pii")
+    def p(n: String) = col(s"p_$n")
+    val aggs =
+      names.map(n => sum(when(!p(n), 1L).otherwise(0L)).as(s"f_$n")) ++
+      names.map(n => sum(when(!p(n) &&
+        names.filter(_ != n).map(p).reduce(_ && _), 1L).otherwise(0L)).as(s"u_$n")) :+
+      sum(when(names.map(p).reduce(_ && _), 1L).otherwise(0L)).as("pass_all")
+    val agg = flags.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    agg
+      .select(explode(array(names.map(n =>
+        struct(lit(n).as("filter"), col(s"f_$n").as("n_fail"),
+          col(s"u_$n").as("n_unique_fail"))): _*)).as("r"),
+        col("n_docs"), col("pass_all").as("n_pass_all"))
+      .select(col("r.filter").as("filter"), col("n_docs"),
+        col("r.n_fail").as("n_fail"),
+        expr("r.n_fail * 10000L div n_docs").as("fail_bp"),
+        col("r.n_unique_fail").as("n_unique_fail"), col("n_pass_all"))
+      .orderBy(col("filter"))
+  }
+
   /** Approximate quantiles (QuantileSummaries/GK sketch — the distributed
     * quantile path at 100 TB, constant memory + mergeable partials) as a
     * BOUNDED driver-checked claim, same pattern as q42: the sketch output
@@ -6266,7 +6469,12 @@ object PipelineQueries {
     "q215_independence_test" -> (independenceTest _),
     "q216_priority_returns" -> (priorityReturns _),
     "q217_token_keyness" -> (tokenKeyness _),
-    "q218_mp4_metadata" -> (mp4Metadata _))
+    "q218_mp4_metadata" -> (mp4Metadata _),
+    "q219_image_headers" -> (imageHeaders _),
+    "q220_hard_negatives" -> (hardNegatives _),
+    "q221_sorted_neighborhood" -> (sortedNeighborhood _),
+    "q222_filter_ablation" -> (filterAblation _),
+    "q223_dedup_funnel" -> (dedupFunnel _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -8413,6 +8621,123 @@ object PipelineQueries {
         |  CAST(148 + 173 * (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)
         |    + coalesce(length(text), 0) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+    // q219: same round-trip discipline as q218 for PNG/GIF/JPEG headers —
+    // every generated field is a pure function of doc_id; container sizes
+    // derive from the fixed layouts (PNG 57 + body, GIF 14 + body,
+    // JPEG 23 + body; ASCII corpus, the q50 precedent).
+    "q219_image_headers" ->
+      """SELECT doc_id AS media_id,
+        |  (['png','gif','jpeg'])[CAST(doc_id % 3 AS INTEGER) + 1] AS format,
+        |  CAST(16 + doc_id % 1009 AS BIGINT) AS width,
+        |  CAST(16 + doc_id % 797 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 8 + 1 ELSE 8 END AS BIGINT) AS bit_depth,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 57 WHEN 1 THEN 14 ELSE 23 END
+        |    + coalesce(length(text), 0) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // q220: the q33 brute-force oracle with the hard-negative band filter
+    // applied before ranking — cosine is the identical left fold, so band
+    // membership and ranks replay bit-for-bit.
+    "q220_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+         |s0 AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  ${VectorOracles.cosine("q.qv", "e.embedding")} AS cosine
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+         |  WHERE e.embedding IS NOT NULL),
+         |s AS (SELECT * FROM s0 WHERE cosine >= $HardNegLo AND cosine < $HardNegHi),
+         |${VectorOracles.topKTail(5)}""".stripMargin,
+    // q221: identical block / rank / boundary-stitch rule, identical
+    // verifier — integer window math plus levenshtein, both portable.
+    "q221_sorted_neighborhood" ->
+      s"""WITH c0 AS (SELECT c_custkey, c_name, c_nationkey,
+         |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+         |r AS (SELECT *, (cents + 1000000) // $SnmBlockCents AS blk FROM c0),
+         |r2 AS (SELECT *,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY blk ORDER BY cents, c_custkey) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY blk) AS BIGINT) AS cnt FROM r),
+         |p AS (
+         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, a.c_name AS na, b.c_name AS nb,
+         |    a.c_nationkey AS nka, b.c_nationkey AS nkb, a.cents AS cents_a, b.cents AS cents_b
+         |  FROM r2 a JOIN r2 b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND $SnmWindow
+         |  UNION ALL
+         |  SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name,
+         |    a.c_nationkey, b.c_nationkey, a.cents, b.cents
+         |  FROM r2 a JOIN r2 b ON a.blk + 1 = b.blk AND a.cnt - a.rn + b.rn <= $SnmWindow)
+         |SELECT id_a, id_b, cents_a, cents_b, cents_b - cents_a AS cents_gap
+         |FROM p WHERE nka = nkb AND levenshtein(na, nb) <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
+    // q222: the q36/q37/q38/q65 primitive replications composed into the
+    // same five predicates; the sums and the unpivot are plain integers.
+    "q222_filter_ablation" -> {
+      val en = TextAnalysis.StopwordProfiles("en").map(w => s"'$w'").mkString(", ")
+      val names = Seq("len", "stop", "tlen", "lang", "pii")
+      val fails = names
+        .map(n => s"CAST(SUM(CASE WHEN NOT p_$n THEN 1 ELSE 0 END) AS BIGINT) AS f_$n")
+        .mkString(",\n    ")
+      val uniques = names.map { n =>
+        val others = names.filter(_ != n).map(o => s"p_$o").mkString(" AND ")
+        s"CAST(SUM(CASE WHEN NOT p_$n AND $others THEN 1 ELSE 0 END) AS BIGINT) AS u_$n"
+      }.mkString(",\n    ")
+      val allPass = names.map(n => s"p_$n").mkString(" AND ")
+      val stack = names
+        .map(n => s"SELECT '$n' AS filter, n_docs, f_$n AS n_fail, u_$n AS n_unique_fail, pass_all FROM a")
+        .mkString("\n  UNION ALL ")
+      s"""WITH m AS (SELECT doc_id, lang, text,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(str_split(text, ' '), x -> x IN ($en))) AS BIGINT) AS hits,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    list_distinct(str_split(lower(text), ' ')) AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT *, $duckLangIdBest AS best FROM m),
+         |f AS (SELECT
+         |    n_tokens >= $AblationMinTokens AS p_len,
+         |    hits * 20 >= n_tokens AS p_stop,
+         |    n_chars - n_tokens + 1 >= n_tokens * 3 AND n_chars - n_tokens + 1 <= n_tokens * 8 AS p_tlen,
+         |    ($duckLangIdDecode) = lang AS p_lang,
+         |    len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}'))
+         |      + len(regexp_extract_all(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |          '${TextAnalysis.PhonePattern}')) = 0 AS p_pii
+         |  FROM s),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    $fails,
+         |    $uniques,
+         |    CAST(SUM(CASE WHEN $allPass THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+         |  FROM f),
+         |l AS ($stack)
+         |SELECT filter, n_docs, n_fail, n_fail * 10000 // n_docs AS fail_bp,
+         |  n_unique_fail, pass_all AS n_pass_all
+         |FROM l ORDER BY filter""".stripMargin
+    },
+    // q223: the q25/q26 keep-min rules chained, near-dup components from
+    // the q56 recursive-reachability CTE, keep-min restricted to the
+    // tokenset-stage survivors — the exact cascade the engine runs.
+    "q223_dedup_funnel" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id),
+        |s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |s2 AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM s1)
+        |  GROUP BY md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))),
+        |d2 AS (SELECT s2.doc_id, comp.comp FROM s2 LEFT JOIN comp ON s2.doc_id = comp.id),
+        |keep AS (SELECT comp, MIN(doc_id) AS keep_id FROM d2 WHERE comp IS NOT NULL GROUP BY comp),
+        |s3 AS (SELECT d2.doc_id FROM d2 LEFT JOIN keep USING (comp)
+        |  WHERE d2.comp IS NULL OR d2.doc_id = keep.keep_id),
+        |n AS (SELECT 0 AS idx, 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        |  UNION ALL SELECT 1, 'exact', CAST(COUNT(*) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 2, 'tokenset', CAST(COUNT(*) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'neardup', CAST(COUNT(*) AS BIGINT) FROM s3),
+        |w AS (SELECT idx, stage, n, LAG(n) OVER (ORDER BY idx) AS n_in FROM n)
+        |SELECT stage, n_in, n AS n_out, n_in - n AS n_removed,
+        |  (n_in - n) * 10000 // n_in AS removed_bp
+        |FROM w WHERE idx > 0 ORDER BY stage""".stripMargin,
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

@@ -104,6 +104,26 @@ object Ann {
     topKRanked(scored, k)
   }
 
+  /** Hard-negative mining: exact top-k per query restricted to the cosine
+    * band [lo, hi) — neighbors similar enough to be informative negatives
+    * for contrastive training but below the near-duplicate/positive
+    * ceiling. Same broadcast + map-side TopKAggregator shape as
+    * [[bruteForceTopK]] (no corpus-wide window, no O(n²) shuffle); at
+    * corpus scale the band predicate composes with the IVF route
+    * unchanged — probe cells as usual, band-filter candidates before the
+    * ranking aggregate (an upper-bound-prune on cell distance can also
+    * skip cells whose best possible cosine is below `lo`). */
+  def bruteForceBandTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, lo: Double, hi: Double, k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
+    val scored = c
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec")))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+    topKRanked(scored, k)
+  }
+
   /** LSH top-k: candidates from any shared bucket across `tables` tables,
     * exact cosine rank among candidates. Recall is tunable via
     * tables/bits; misses only reduce recall, never produce false

@@ -144,6 +144,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.n_tracks == 0 && !m.has_video && !m.has_audio && m.brand == "")
   }
 
+  test("image header walk: PNG/GIF/JPEG round-trip, real-ImageIO cross-check, malformed → None") {
+    import graft.multimodal.ImageHeaders
+    val payload = "opaque body".getBytes
+    val png = ImageHeaders.tryParse(ImageHeaders.buildPng(640, 360, 16, payload)).get
+    assert(png == ImageHeaders.Meta("png", 640, 360, 16))
+    val gif = ImageHeaders.tryParse(ImageHeaders.buildGif(1023, 7, 5, payload)).get
+    assert(gif == ImageHeaders.Meta("gif", 1023, 7, 5))
+    val jpg = ImageHeaders.tryParse(ImageHeaders.buildJpeg(4096, 2160, payload)).get
+    assert(jpg == ImageHeaders.Meta("jpeg", 4096, 2160, 8))
+    // Sizes match the q219 oracle arithmetic.
+    assert(ImageHeaders.buildPng(1, 1, 8, payload).length == 57 + payload.length)
+    assert(ImageHeaders.buildGif(1, 1, 1, payload).length == 14 + payload.length)
+    assert(ImageHeaders.buildJpeg(1, 1, payload).length == 23 + payload.length)
+    // Third-party writer cross-check: a REAL ImageIO PNG parses to the
+    // same dimensions the encoder was given (bit depth 8, RGB).
+    val img = new java.awt.image.BufferedImage(12, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val real = ImageHeaders.tryParse(bos.toByteArray).get
+    assert(real.format == "png" && real.width == 12 && real.height == 5 && real.bit_depth == 8)
+    // Malformed inputs parse to None, never throw.
+    assert(ImageHeaders.tryParse("plain text".getBytes).isEmpty)
+    assert(ImageHeaders.tryParse(Array.empty[Byte]).isEmpty)
+    assert(ImageHeaders.tryParse(ImageHeaders.buildPng(9, 9, 8, payload).take(20)).isEmpty)
+  }
+
   test("MP4 container metadata flows through the video branch of extractFeatures") {
     import graft.multimodal.Mp4
     val mp4 = Mp4.build(timescale = 1000L, durationTicks = 2500L,

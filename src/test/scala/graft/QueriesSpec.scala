@@ -1599,6 +1599,63 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("ab", "ab", 1L, "ab")))
   }
 
+  test("q221 SNM: within-block window, boundary stitch, and the verifier") {
+    import spark.implicits._
+    // Block width 25000 over offset cents ⇒ block = (cents+1000000)/25000.
+    // Planted: ids 1,2 adjacent in one block (verified twins); id 3 in the
+    // same block but failing the nation check; ids 4,5 straddling a block
+    // boundary within window reach (verified twins); id 6 far away.
+    val cust = Seq(
+      (1L, "Customer#000000001", 7L, 100.00), // cents 10000 → blk 40, rn 1
+      (2L, "Customer#000000002", 7L, 101.00), // cents 10100 → blk 40, rn 2
+      (3L, "Customer#000000003", 9L, 102.00), // blk 40, rn 3 — wrong nation
+      (4L, "Customer#000000004", 7L, 249.99), // cents 24999 → blk 40, rn 4 (last)
+      (5L, "Customer#000000005", 7L, 250.01), // cents 25001 → blk 41, rn 1 (first)
+      (6L, "Customer#000000006", 7L, 900.00)) // cents 90000 → blk 43 — not adjacent
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val out = graft.analytics.PipelineQueries.sortedNeighborhoodOf(cust)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // All names are levenshtein-1 apart; id 3's nation filters its pairs;
+    // (4,5) is the boundary stitch; id 6 is beyond the adjacent block.
+    assert(out.toSeq == Seq((1L, 2L, 100L), (1L, 4L, 14999L), (1L, 5L, 15001L),
+      (2L, 4L, 14899L), (2L, 5L, 14901L), (4L, 5L, 2L)), out.toSeq.mkString(","))
+  }
+
+  test("q222 ablation: planted docs attribute failures to the right filters") {
+    import spark.implicits._
+    // 20 tokens, 2 en stopword hits (ratio 0.10 ≥ 0.05), mean token length
+    // 120/20 = 6 ∈ [3,8], langid 'en' (only profile with any hits), no PII.
+    val good = "the and office buildings rather simple windows monitor keyboard cable " +
+      "garden stone river mountain yellow purple orange silver copper bronze"
+    val docs = Seq(
+      (1L, good, "en"), // passes everything
+      (2L, "short doc", "und"), // fails len (2 toks), stop (0 hits); langid und == label
+      (3L, null.asInstanceOf[String], "en")) // null text: excluded entirely
+      .toDF("doc_id", "text", "lang")
+    val out = graft.analytics.PipelineQueries.filterAblationOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    val byName = out.map(r => r._1 -> r).toMap
+    assert(out.forall(_._2 == 2L)) // n_docs excludes the null-text row
+    assert(byName("len")._3 == 1L && byName("stop")._3 == 1L)
+    // doc 2 fails BOTH len and stop → neither failure is unique to one filter
+    assert(byName("len")._4 == 0L && byName("stop")._4 == 0L)
+    assert(out.forall(_._5 == 1L)) // doc 1 survives all five
+  }
+
+  test("q220 hard negatives: every result sits inside the band, ranked by cosine") {
+    val out = graft.analytics.PipelineQueries.hardNegatives(spark, TestSpark.SfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, _, c) =>
+      c >= graft.analytics.PipelineQueries.HardNegLo &&
+        c < graft.analytics.PipelineQueries.HardNegHi })
+    out.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq) // cosine desc by rank
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+    }
+  }
+
   test("q183 reconciliation: planted discrepancies land in their exact buckets") {
     import spark.implicits._
     val orders = Seq(

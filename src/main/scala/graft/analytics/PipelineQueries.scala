@@ -2525,6 +2525,134 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q224 constants, shared with the oracle. */
+  private[graft] val BinaryAnnCandidates = 20
+  private[graft] val BinaryAnnK = 5
+
+  /** Binary-quantized ANN (q224) — the 1-bit compression point of the
+    * quantization spectrum next to scalar (q70) and product (q76/q80)
+    * codes: each 64-dim vector compresses to ONE sign bit per dimension
+    * (64 bits ≈ 0.4% of the float payload), candidate generation ranks by
+    * Hamming distance on the packed bits (two 32-bit halves so the word
+    * arithmetic stays inside portable BIGINT in both engines), and the
+    * top-[[BinaryAnnCandidates]] candidates rerank by exact cosine into
+    * the top-[[BinaryAnnK]]. The asymmetric cost profile is the 100 TB
+    * point: the Hamming pass scans 8-byte codes (xor + popcount — no
+    * floats, no vectors), and only candidates·k vectors are ever fetched
+    * for the rerank — the q80 codes-only discipline at 1 bit/dim.
+    * Both stages are map-side top-k aggregators; ties break
+    * (distance, id) / (cosine DESC, id), replayed exactly by the
+    * oracle. */
+  def annBinaryQuant(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val signBits = (lohi: (Int, Int)) => expr(
+      (lohi._1 until lohi._2).map(i =>
+        s"CAST(CASE WHEN embedding[$i] > 0.0 THEN ${1L << (i % 32)} ELSE 0 END AS BIGINT)")
+        .mkString(" + "))
+    val coded = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+      .select(col("vec_id"), col("embedding"),
+        signBits((0, 32)).as("b_lo"), signBits((32, 64)).as("b_hi"))
+    val q = coded.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("b_lo").as("q_lo"), col("b_hi").as("q_hi"))
+    // Stage 1: Hamming candidates over CODES only (q_lo/q_hi broadcast).
+    val ham = coded
+      .join(broadcast(q.select(col("query_id"), col("q_lo"), col("q_hi"))),
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("bit_count(b_lo ^ q_lo)") + expr("bit_count(b_hi ^ q_hi)")).as("hamming"))
+    val cand = Ann.topKRanked(
+      ham.select(col("query_id"), col("neighbor_id"),
+        // reuse the (score DESC, id ASC) aggregator: negate the distance
+        (-col("hamming")).cast("double").as("cosine")),
+      BinaryAnnCandidates)
+      .select(col("query_id"), col("neighbor_id"), (-col("cosine")).cast("int").as("hamming"))
+    // Stage 2: exact cosine rerank of candidates only.
+    val rerank = cand
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .join(coded.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qv"), col("nv")).as("cosine"))
+    Ann.topKRanked(rerank, BinaryAnnK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Native recursive-CTE hierarchy rollup (q225) — Spark 4's
+    * `WITH RECURSIVE` executed IN the engine (the UnionLoop operator),
+    * the SQL surface a category tree / org chart / reply-thread rollup
+    * needs: every node walks its ancestor chain to the root, per-node
+    * depth is the walk length, and the report aggregates per level. The
+    * schema carries no parent pointer, so the heap-tree relation
+    * parent(k) = (k−1) div 2 over customer keys stands in — the relation
+    * is synthetic, the CAPABILITY (iterative self-referencing SQL with a
+    * monotone termination argument, n·log n total work) is real. The
+    * oracle runs the dialect-equivalent recursion in DuckDB; Spark's
+    * recursion-depth guard (spark.sql.cteRecursionLevelLimit, default
+    * 100) comfortably covers log₂ of any key domain. UNION ALL only —
+    * the walk is acyclic by construction (anc strictly decreases), which
+    * is why this shape terminates where a graph closure would not
+    * (Spark does not yet support UNION-distinct recursion; cyclic
+    * reachability stays on the q56/q140 iterative-DataFrame path). */
+  def recursiveHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)").as("cents"))
+      .createOrReplaceTempView("graft_q225_nodes")
+    spark.sql(
+      """WITH RECURSIVE walk(id, anc, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM graft_q225_nodes
+        |  UNION ALL
+        |  SELECT id, (anc - 1) div 2, depth + 1 FROM walk WHERE anc > 0),
+        |d AS (SELECT id, MAX(depth) AS depth FROM walk GROUP BY id)
+        |SELECT d.depth, COUNT(*) AS n_nodes, MIN(d.id) AS min_id, MAX(d.id) AS max_id,
+        |  CAST(SUM(n.cents) AS BIGINT) AS sum_cents
+        |FROM d JOIN graft_q225_nodes n ON d.id = n.c_custkey
+        |GROUP BY d.depth ORDER BY d.depth""".stripMargin)
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift (q226) — the
+    * distribution-shift detector between the purchase and view value
+    * populations, in EXACT integers end to end: histogram per cent value
+    * (bounded support — the q143 discipline), running CDFs as windows
+    * over the histogram frame, and the KS statistic as
+    * max |cum₁·n₂ − cum₂·n₁| lifted through DECIMAL(38,0) (the cross
+    * product reaches n₁·n₂ ≈ 10²⁰ at production scale — the q185/q192
+    * wide-product rule), reported in basis points with the value at
+    * which the gap peaks (min cents among argmax ties). The corpus-sized
+    * work is ONE aggregate; every window runs on the histogram frame. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDriftOf(Tables.events(spark, dir))
+
+  private[graft] def ksDriftOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = events
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"),
+        expr("CAST(value * 100 AS DECIMAL(14,0))").cast("long").as("cents"))
+      .groupBy(col("cents"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("cum2", sum(col("c2")).over(wCum))
+      .withColumn("dnum",
+        abs(expr("CAST(cum1 AS DECIMAL(38,0)) * n2 - CAST(cum2 AS DECIMAL(38,0)) * n1")))
+      .withColumn("mx", max(col("dnum")).over(wAll))
+      .filter(col("dnum") === col("mx"))
+      .groupBy(col("n1"), col("n2"), col("mx"))
+      .agg(min(col("cents")).as("ks_at_cents"))
+      .select(col("n1"), col("n2"),
+        expr("CAST(mx * 10000 div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("ks_bp"),
+        col("ks_at_cents"))
+  }
+
   /** q221 SNM constants, shared with the oracle: sliding-window width and
     * the sort-key block granularity ($250 bands over offset cents). */
   private[graft] val SnmWindow = 4L
@@ -6474,7 +6602,10 @@ object PipelineQueries {
     "q220_hard_negatives" -> (hardNegatives _),
     "q221_sorted_neighborhood" -> (sortedNeighborhood _),
     "q222_filter_ablation" -> (filterAblation _),
-    "q223_dedup_funnel" -> (dedupFunnel _))
+    "q223_dedup_funnel" -> (dedupFunnel _),
+    "q224_ann_binary_quant" -> (annBinaryQuant _),
+    "q225_recursive_hierarchy" -> (recursiveHierarchy _),
+    "q226_ks_drift" -> (ksDrift _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -8738,6 +8869,66 @@ object PipelineQueries {
         |SELECT stage, n_in, n AS n_out, n_in - n AS n_removed,
         |  (n_in - n) * 10000 // n_in AS removed_bp
         |FROM w WHERE idx > 0 ORDER BY stage""".stripMargin,
+    // q224: sign bits replayed per dimension (DuckDB arrays are 1-based),
+    // Hamming via xor+bit_count on the two BIGINT halves, identical
+    // candidate and rerank tie-breaks.
+    "q224_ann_binary_quant" -> {
+      def bits(lo: Int, hi: Int) = (lo until hi).map(i =>
+        s"CAST(CASE WHEN e.embedding[${i + 1}] > 0.0 THEN ${1L << (i % 32)} ELSE 0 END AS BIGINT)")
+        .mkString("\n    + ")
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |    ${bits(0, 32)} AS b_lo,
+         |    ${bits(32, 64)} AS b_hi
+         |  FROM embeddings e WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, b_lo AS q_lo, b_hi AS q_hi
+         |  FROM c WHERE vec_id % 50 = 0),
+         |h AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    CAST(bit_count(xor(c.b_lo, q.q_lo)) + bit_count(xor(c.b_hi, q.q_hi)) AS BIGINT) AS hamming
+         |  FROM q JOIN c ON c.vec_id <> q.query_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS crn
+         |    FROM h) WHERE crn <= $BinaryAnnCandidates),
+         |s AS (SELECT cand.query_id, cand.neighbor_id,
+         |    ${VectorOracles.cosine("q.qv", "n.embedding")} AS cosine
+         |  FROM cand JOIN q ON cand.query_id = q.query_id
+         |  JOIN c n ON cand.neighbor_id = n.vec_id),
+         |${VectorOracles.topKTail(BinaryAnnK)}""".stripMargin
+    },
+    // q225: dialect-equivalent recursion (div → //); same heap-parent
+    // relation, same per-level rollup.
+    "q225_recursive_hierarchy" ->
+      """WITH RECURSIVE walk(id, anc, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT id, (anc - 1) // 2, depth + 1 FROM walk WHERE anc > 0),
+        |d AS (SELECT id, MAX(depth) AS depth FROM walk GROUP BY id)
+        |SELECT d.depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  MIN(d.id) AS min_id, MAX(d.id) AS max_id,
+        |  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM d JOIN customer ON d.id = c_custkey
+        |GROUP BY d.depth ORDER BY d.depth""".stripMargin,
+    // q226: identical histogram → CDF windows → HUGEINT cross products →
+    // bp division; argmax location ties resolved by MIN(cents).
+    "q226_ks_drift" ->
+      """WITH ev AS (SELECT event_type, CAST(value * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |h AS (SELECT cents,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM ev GROUP BY cents),
+        |c AS (SELECT cents,
+        |    CAST(SUM(c1) OVER () AS BIGINT) AS n1, CAST(SUM(c2) OVER () AS BIGINT) AS n2,
+        |    SUM(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum1,
+        |    SUM(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum2
+        |  FROM h),
+        |d AS (SELECT cents, n1, n2,
+        |    abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1) AS dnum FROM c),
+        |m AS (SELECT cents, n1, n2, dnum, MAX(dnum) OVER () AS mx FROM d)
+        |SELECT n1, n2,
+        |  CAST(mx * 10000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_bp,
+        |  MIN(cents) AS ks_at_cents
+        |FROM m WHERE dnum = mx GROUP BY n1, n2, mx""".stripMargin,
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

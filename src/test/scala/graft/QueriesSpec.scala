@@ -1656,6 +1656,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q226 KS: planted distributions give the exact integer statistic and location") {
+    import spark.implicits._
+    // purchases: {1.00×1, 2.00×1, 3.00×2} (n1=4); views: {1.00×2, 3.00×2}
+    // (n2=4). CDF gap |cum1·n2 − cum2·n1| peaks at cents=100 with 4 →
+    // ks_bp = 4·10⁴/16 = 2500.
+    val ev = Seq(
+      ("purchase", 1.00), ("purchase", 2.00), ("purchase", 3.00), ("purchase", 3.00),
+      ("view", 1.00), ("view", 1.00), ("view", 3.00), ("view", 3.00),
+      ("click", 9.99)) // other types excluded
+      .toDF("event_type", "value")
+    val out = graft.analytics.PipelineQueries.ksDriftOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((4L, 4L, 2500L, 100L)))
+  }
+
   test("q183 reconciliation: planted discrepancies land in their exact buckets") {
     import spark.implicits._
     val orders = Seq(

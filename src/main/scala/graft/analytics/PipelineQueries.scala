@@ -2653,6 +2653,69 @@ object PipelineQueries {
         col("ks_at_cents"))
   }
 
+  /** q227 seed count, shared with the oracle. */
+  private[graft] val KCenterSeeds = 4
+
+  /** Farthest-first traversal / k-center seeding (q227) — the Gonzalez
+    * 2-approximation that coreset selection, k-means++-style seeding,
+    * and diversity sampling all build on: start from the smallest-id
+    * vector, then [[KCenterSeeds]]−1 times pick the vector FARTHEST from
+    * its nearest already-chosen seed; the final row reports the covering
+    * radius (the max-min distance after all seeds — the k-center
+    * objective value). Each round is ONE map-only corpus scan against
+    * the broadcast seed set (the q181 pq_encode quantizer — nearest-seed
+    * distance in-expression, zero Exchange) plus a 1-row argmax collect;
+    * distances are floor(d²·10⁶) fixed-point with (dist DESC, id) ties,
+    * so the whole trajectory — which seeds get picked, in which order —
+    * replays exactly in the oracle's chained-CTE unroll. Sequential
+    * rounds are inherent to the algorithm; the per-round cost is the
+    * 100 TB-shape: scan + aggregate, nothing pairwise. */
+  def kcenterSeeds(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions.pq_encode
+    import graft.similarity.Pq.Dim
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= Dim)
+    def distFp(cents: Array[Array[Double]]) =
+      floor(element_at(pq_encode(col("embedding"), Array(cents)), 1)
+        .getField("dist") * 1e6).cast("long").as("dist_fp")
+    val first = base.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding")).head()
+    var seeds = Vector(first.getSeq[Float](1).toArray.map(_.toDouble))
+    val picks = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
+    picks += (("seed", 1L, first.getLong(0), 0L))
+    for (k <- 2 to KCenterSeeds) {
+      val far = base.select(col("vec_id"), col("embedding"), distFp(seeds.toArray))
+        .orderBy(col("dist_fp").desc, col("vec_id")).limit(1).head()
+      picks += (("seed", k.toLong, far.getLong(0), far.getLong(2)))
+      seeds = seeds :+ far.getSeq[Float](1).toArray.map(_.toDouble)
+    }
+    val rad = base.select(col("vec_id"), distFp(seeds.toArray))
+      .orderBy(col("dist_fp").desc, col("vec_id")).limit(1).head()
+    picks += (("radius", KCenterSeeds + 1L, rad.getLong(0), rad.getLong(1)))
+    picks.toSeq.toDF("role", "seed_idx", "vec_id", "dist_fp")
+      .orderBy(col("seed_idx"))
+  }
+
+  /** Semi-structured VARIANT path (q228) — Spark 4's headline
+    * open-format feature driven in the engine: the events `props` JSON
+    * ingests once through `parse_json` into a VariantType value and
+    * fields extract with `variant_get` (typed, shredding-friendly — the
+    * 100 TB path where a JSON column is parsed once at ingest and
+    * queried many times, vs per-query from_json reparsing, which q07
+    * covers). The report is per-event-type integer stats of the
+    * extracted field, so the whole surface — parse, typed get, aggregate
+    * — is oracle-checked against DuckDB's native JSON extraction. */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("ndv_k"))
+      .orderBy(col("event_type"))
+
   /** q221 SNM constants, shared with the oracle: sliding-window width and
     * the sort-key block granularity ($250 bands over offset cents). */
   private[graft] val SnmWindow = 4L
@@ -6605,7 +6668,9 @@ object PipelineQueries {
     "q223_dedup_funnel" -> (dedupFunnel _),
     "q224_ann_binary_quant" -> (annBinaryQuant _),
     "q225_recursive_hierarchy" -> (recursiveHierarchy _),
-    "q226_ks_drift" -> (ksDrift _))
+    "q226_ks_drift" -> (ksDrift _),
+    "q227_kcenter_seeds" -> (kcenterSeeds _),
+    "q228_variant_extract" -> (variantExtract _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -8929,6 +8994,48 @@ object PipelineQueries {
         |  CAST(mx * 10000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_bp,
         |  MIN(cents) AS ks_at_cents
         |FROM m WHERE dnum = mx GROUP BY n1, n2, mx""".stripMargin,
+    // q227: the greedy trajectory unrolled as chained CTEs — the q181
+    // (x−y)² fold per pair, LEAST over raw doubles, floor once, argmax on
+    // (floored dist DESC, vec_id) — exactly the engine's selection rule.
+    "q227_kcenter_seeds" -> {
+      import graft.similarity.Pq.Dim
+      def fold(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
+          s"j -> (CAST($a[j] AS DOUBLE) - CAST($b[j] AS DOUBLE)) * (CAST($a[j] AS DOUBLE) - CAST($b[j] AS DOUBLE))), " +
+          "(acc, v) -> acc + v)"
+      val chain = (2 to KCenterSeeds).map { k =>
+        val pf = s"f${k - 1}"
+        s"""s$k AS (SELECT vec_id, embedding, dfp FROM $pf ORDER BY dfp DESC, vec_id LIMIT 1),
+           |d$k AS (SELECT $pf.vec_id, $pf.embedding,
+           |    LEAST($pf.dd, ${fold(s"$pf.embedding", s"s$k.embedding")}) AS dd
+           |  FROM $pf CROSS JOIN s$k),
+           |f$k AS (SELECT vec_id, embedding, dd, CAST(FLOOR(dd * 1000000.0) AS BIGINT) AS dfp FROM d$k)""".stripMargin
+      }.mkString(",\n")
+      val seedRows = (2 to KCenterSeeds)
+        .map(k => s"UNION ALL SELECT 'seed', $k, vec_id, dfp FROM s$k").mkString("\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) >= $Dim),
+         |s1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+         |d1 AS (SELECT e.vec_id, e.embedding, ${fold("e.embedding", "s1.embedding")} AS dd
+         |  FROM e CROSS JOIN s1),
+         |f1 AS (SELECT vec_id, embedding, dd, CAST(FLOOR(dd * 1000000.0) AS BIGINT) AS dfp FROM d1),
+         |$chain,
+         |rad AS (SELECT vec_id, dfp FROM f$KCenterSeeds ORDER BY dfp DESC, vec_id LIMIT 1)
+         |SELECT 'seed' AS role, CAST(1 AS BIGINT) AS seed_idx, s1.vec_id, CAST(0 AS BIGINT) AS dist_fp FROM s1
+         |$seedRows
+         |UNION ALL SELECT 'radius', ${KCenterSeeds + 1}, vec_id, dfp FROM rad
+         |ORDER BY seed_idx""".stripMargin
+    },
+    // q228: DuckDB's native JSON extraction replays the VARIANT path's
+    // typed field get; the stats are plain integers.
+    "q228_variant_extract" ->
+      """WITH x AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(k) AS BIGINT) AS n_with_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS ndv_k
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q187: same month truncation, same cent·pct units, same share.
     "q187_promo_share" ->
       """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

@@ -1040,6 +1040,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q218/q219: container round-trips are map-only typed pipelines — no join, no aggregate") {
+    Seq("q218_mp4_metadata", "q219_image_headers").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"), p)
+      assert(!p.contains("Join") && !p.contains("HashAggregate") && !p.contains("Window"), (q, p))
+    }
+  }
+
+  test("q220/q224: ANN candidate stages broadcast the query side and aggregate map-side") {
+    Seq("q220_hard_negatives", "q224_ann_binary_quant").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), (q, p))
+      assert(p.contains("ObjectHashAggregate"), (q, p)) // the TopKAggregator pair
+      assert(!p.contains("SortMergeJoin") || q == "q224_ann_binary_quant", (q, p))
+    }
+  }
+
+  test("q221: both SNM joins are equi-joins on block id — no cartesian, no nested loop") {
+    val p = planOf("q221_sorted_neighborhood")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q222: ablation is one corpus scan into one aggregate pair — no join") {
+    val p = planOf("q222_filter_ablation")
+    assert(!p.contains("Join"), p)
+    assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q226: KS windows run over the histogram aggregate, never raw events") {
+    val p = planOf("q226_ks_drift")
+    // the cent histogram reduces BEFORE any Window touches the data
+    assert(p.contains("HashAggregate") && p.contains("Window"), p)
+    assert(p.indexOf("Window") < p.indexOf("events.parquet"), // plan prints top-down
+      s"Window below the aggregate would order event-sized data:\n$p")
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

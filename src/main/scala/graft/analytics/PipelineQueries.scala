@@ -2716,6 +2716,90 @@ object PipelineQueries {
         countDistinct(col("k")).as("ndv_k"))
       .orderBy(col("event_type"))
 
+  /** q229 segment threshold, shared with the oracle. */
+  private[graft] val BitmapValueFloor = 90.0
+
+  /** Bitmap membership index (q229) — the exact-audience structure next
+    * to the approximate sketches (q42 HLL, q210 HLL∩, q121 KMV): per
+    * event type, user membership packs into 32-bit words keyed by
+    * `user_id div 32` (a word-sharded roaring-style bitmap — BIGINT
+    * carriers so the shift math is portable; 32 bits per word keeps
+    * `1 << k` inside both engines' safe range), built by ONE
+    * map-side-combinable `bit_or` aggregate. Segment intersections are
+    * then equi-joins ON THE WORD INDEX (co-partitioned, linear in bitmap
+    * words — never a user-level distinct-join), popcounted and summed;
+    * the report is exact pairwise overlap + Jaccard in basis points for
+    * every type pair. At 100 TB the bitmap is ~n_users/8 bytes per
+    * segment, shardable by word range — the standard OLAP audience
+    * index. */
+  def bitmapMembership(spark: SparkSession, dir: String): DataFrame = {
+    // The word frame feeds three consumers (cardinalities + both join
+    // sides) — one session memo, the q182/q217 discipline.
+    // Segment = "did event_type at high value" — the threshold keeps the
+    // audiences from being the degenerate all-users set on a corpus where
+    // every user touches every type.
+    val bm = graft.SessionMemo.memo(spark, s"q229bitmap|$dir") {
+      Tables.events(spark, dir)
+        .filter(col("value") >= BitmapValueFloor)
+        .select(col("event_type"), expr("user_id div 32").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("bit"))
+        .groupBy(col("event_type"), col("w"))
+        .agg(expr("bit_or(bit)").as("word"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val card = bm.groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(word)")).as("n"))
+    val pairs = bm.as("a")
+      .join(bm.as("b"),
+        col("a.w") === col("b.w") && col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        expr("bit_count(a.word & b.word)").as("c"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(col("c")).as("n_both"))
+    pairs
+      .join(card.select(col("event_type").as("type_a"), col("n").as("n_a")), Seq("type_a"))
+      .join(card.select(col("event_type").as("type_b"), col("n").as("n_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        expr("n_both * 10000L div (n_a + n_b - n_both)").as("jaccard_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** MinHash union algebra (q230) — the mergeability contract that makes
+    * MinHash a distributed sketch, demonstrated and VERIFIED exactly:
+    * the element-wise MIN of per-document signatures equals the
+    * signature of the UNION of their token sets (min commutes with set
+    * union), so per-language corpus signatures build by aggregation —
+    * never by re-tokenizing the merged corpus. The engine computes BOTH
+    * sides — the aggregated per-doc mins and the direct union-set
+    * signature — and emits their equality next to the merged value; the
+    * oracle recomputes the union-set signature from the same md5-h31
+    * permutations, so a FALSE anywhere (or a value drift) breaks the
+    * hash. This is how segment/shard sketches roll up at 100 TB: partial
+    * signatures per shard, one min-combine — the q42/q171 HLL shape for
+    * near-dup similarity. */
+  def minhashUnion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val merged = docs
+      .select(col("lang"),
+        posexplode(Dedup.minhashSignature(col("text"))).as(Seq("sig_idx", "mh")))
+      .groupBy(col("lang"), col("sig_idx"))
+      .agg(min(col("mh")).as("minhash"))
+    // Direct union-set signature: the signature is order-insensitive over
+    // the DISTINCT token set, so collect_set's nondeterministic order is
+    // immaterial — the same expression over any permutation agrees.
+    val direct = docs
+      .select(col("lang"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .distinct()
+      .groupBy(col("lang"))
+      .agg(concat_ws(" ", collect_set(col("token"))).as("union_text"))
+      .select(col("lang"),
+        posexplode(Dedup.minhashSignature(col("union_text"))).as(Seq("sig_idx", "direct_mh")))
+    merged.join(direct, Seq("lang", "sig_idx"))
+      .select(col("lang"), col("sig_idx"), col("minhash"),
+        (col("minhash") === col("direct_mh")).as("merge_exact"))
+      .orderBy(col("lang"), col("sig_idx"))
+  }
+
   /** q221 SNM constants, shared with the oracle: sliding-window width and
     * the sort-key block granularity ($250 bands over offset cents). */
   private[graft] val SnmWindow = 4L
@@ -6670,7 +6754,9 @@ object PipelineQueries {
     "q225_recursive_hierarchy" -> (recursiveHierarchy _),
     "q226_ks_drift" -> (ksDrift _),
     "q227_kcenter_seeds" -> (kcenterSeeds _),
-    "q228_variant_extract" -> (variantExtract _))
+    "q228_variant_extract" -> (variantExtract _),
+    "q229_bitmap_membership" -> (bitmapMembership _),
+    "q230_minhash_union" -> (minhashUnion _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -9026,6 +9112,37 @@ object PipelineQueries {
          |UNION ALL SELECT 'radius', ${KCenterSeeds + 1}, vec_id, dfp FROM rad
          |ORDER BY seed_idx""".stripMargin
     },
+    // q229: identical word packing (32-bit payloads in BIGINT carriers),
+    // bit_or aggregate, popcount intersections, integer Jaccard.
+    "q229_bitmap_membership" ->
+      s"""WITH b AS (SELECT event_type, user_id // 32 AS w,
+        |    CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS BIGINT) AS word
+        |  FROM events WHERE value >= $BitmapValueFloor GROUP BY 1, 2),
+        |card AS (SELECT event_type, CAST(SUM(bit_count(word)) AS BIGINT) AS n FROM b GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b2.event_type AS type_b,
+        |    CAST(SUM(bit_count(a.word & b2.word)) AS BIGINT) AS n_both
+        |  FROM b a JOIN b b2 ON a.w = b2.w AND a.event_type < b2.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, ca.n AS n_a, cb.n AS n_b, p.n_both,
+        |  CAST(p.n_both * 10000 // (ca.n + cb.n - p.n_both) AS BIGINT) AS jaccard_bp
+        |FROM p JOIN card ca ON p.type_a = ca.event_type
+        |JOIN card cb ON p.type_b = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+    // q230: the union-set signature recomputed from the same md5-h31
+    // permutation family (q29's parameters); TRUE is the mergeability
+    // claim — the engine's aggregated per-doc mins must equal it.
+    "q230_minhash_union" ->
+      s"""WITH t AS (SELECT lang, unnest(list_distinct(str_split(text, ' '))) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |u AS (SELECT DISTINCT lang, token FROM t),
+         |h AS (SELECT lang, ${duckH31("token")} AS th FROM u),
+         |s AS (SELECT lang, p.sig_idx,
+         |    MIN((p.pa * th + p.pb) % 2147483647) AS minhash
+         |  FROM h CROSS JOIN (VALUES $minhashParamValues) AS p(sig_idx, pa, pb)
+         |  GROUP BY lang, p.sig_idx)
+         |SELECT lang, CAST(sig_idx AS INTEGER) AS sig_idx,
+         |  CAST(minhash AS BIGINT) AS minhash, TRUE AS merge_exact
+         |FROM s ORDER BY lang, sig_idx""".stripMargin,
     // q228: DuckDB's native JSON extraction replays the VARIANT path's
     // typed field get; the stats are plain integers.
     "q228_variant_extract" ->

@@ -2800,6 +2800,101 @@ object PipelineQueries {
       .orderBy(col("lang"), col("sig_idx"))
   }
 
+  /** q231 multi-vector constants, shared with the oracle. */
+  private[graft] val MaxSimSlots = 4L
+  private[graft] val MaxSimQueryMod = 25L
+  private[graft] val MaxSimK = 5
+
+  /** Late-interaction MaxSim retrieval (q231) — the ColBERT scoring shape
+    * for multi-vector documents: each document is a BAG of token vectors
+    * (here: [[MaxSimSlots]] consecutive embedding rows per doc — the
+    * harness has no native multi-vector table, so the grouping is the
+    * deterministic stand-in; the operator is the point), and
+    * score(q, d) = Σ_{i∈q} max_{j∈d} cos(qᵢ, dⱼ). Query token vectors
+    * broadcast; one scan of corpus token vectors scores all (query token
+    * × doc token) cosines, a first aggregate takes the per-slot max, and
+    * the per-pair score folds the slot maxes IN SLOT ORDER (sorted
+    * collect + left fold — float addition order pinned, so the oracle
+    * replays it bit-for-bit); ranking is the map-side top-k aggregator.
+    * At 100 TB the candidate set comes from a token-level ANN route
+    * (q98's committed index per token vector) with MaxSim only on
+    * candidates — the exact-scoring stage here is that reranker. */
+  def maxsimRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val e = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+      .select(expr(s"vec_id div $MaxSimSlots").as("doc"),
+        expr(s"vec_id % $MaxSimSlots").as("slot"), col("embedding"))
+    val q = e.filter(col("doc") % MaxSimQueryMod === 0)
+      .select(col("doc").as("query_id"), col("slot").as("qslot"),
+        col("embedding").as("qv"))
+    val slotMax = e.join(broadcast(q), col("doc") =!= col("query_id"))
+      .select(col("query_id"), col("doc").as("neighbor_id"), col("qslot"),
+        cosine_sim(col("qv"), col("embedding")).as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy(col("query_id"), col("neighbor_id"), col("qslot"))
+      .agg(max(col("c")).as("m"))
+    val scored = slotMax.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(qslot, m))), x -> x.m), 0D, (a, x) -> a + x)")
+        .as("cosine"))
+    Ann.topKRanked(scored, MaxSimK)
+      .withColumnRenamed("cosine", "maxsim")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q232 sweep bound: the Manku 6-choose-3 banding guarantees COMPLETE
+    * candidate recall only to hamming ≤ 3, so the sweep stays inside the
+    * guarantee region — points beyond it would silently undercount. */
+  private[graft] val SimhashSweepMax = 3
+
+  /** SimHash precision/recall sweep (q232) — the q131 tuning-curve
+    * discipline applied to the OTHER near-dup family: for each hamming
+    * threshold t ∈ [0, [[SimhashSweepMax]]], the banded SimHash candidate
+    * pairs at distance ≤ t are scored against the exact MinHash-verified
+    * truth (Jaccard ≥ 0.95 — the shared [[nearDupTiers]] memo), emitting
+    * exact predicted/truth/hit counts and integer precision/recall basis
+    * points. ONE banded candidate pass serves every operating point
+    * (candidates carry their hamming; thresholds are a 4-row explode) —
+    * the sweep never re-pairs the corpus. This is the report that decides
+    * whether the 64-bit fingerprint can replace the 192-slot signature
+    * family on a given corpus. */
+  def simhashPrSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sigs = docs.select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(Dedup.simhashBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
+    val l = banded.select(col("band_idx"), col("band_key"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band_idx"), col("band_key"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val cand = l.join(r, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimhashSweepMax)
+    val (members, setPairs) = nearDupTiers(spark, dir)
+    val truth = Dedup.pairsOfTiered(members, setPairs)
+      .select(col("id_a"), col("id_b"), lit(1L).as("is_true"))
+    val joined = cand.join(truth, Seq("id_a", "id_b"), "left")
+    val nTruth = truth.count()
+    val sweep = joined
+      .select(explode(expr(s"sequence(hamming, $SimhashSweepMax)")).as("t"),
+        coalesce(col("is_true"), lit(0L)).as("hit"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_pred"), sum(col("hit")).as("n_hit"))
+    val recall =
+      if (nTruth == 0L) lit(null).cast("long")
+      else expr(s"n_hit * 10000L div $nTruth")
+    sweep
+      .select(col("t").cast("int").as("max_hamming"), col("n_pred"),
+        lit(nTruth).as("n_truth"), col("n_hit"),
+        expr("n_hit * 10000L div n_pred").as("precision_bp"),
+        recall.as("recall_bp"))
+      .orderBy(col("max_hamming"))
+  }
+
   /** q221 SNM constants, shared with the oracle: sliding-window width and
     * the sort-key block granularity ($250 bands over offset cents). */
   private[graft] val SnmWindow = 4L
@@ -6756,7 +6851,9 @@ object PipelineQueries {
     "q227_kcenter_seeds" -> (kcenterSeeds _),
     "q228_variant_extract" -> (variantExtract _),
     "q229_bitmap_membership" -> (bitmapMembership _),
-    "q230_minhash_union" -> (minhashUnion _))
+    "q230_minhash_union" -> (minhashUnion _),
+    "q231_maxsim_retrieval" -> (maxsimRetrieval _),
+    "q232_simhash_pr_sweep" -> (simhashPrSweep _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -9143,6 +9240,55 @@ object PipelineQueries {
          |SELECT lang, CAST(sig_idx AS INTEGER) AS sig_idx,
          |  CAST(minhash AS BIGINT) AS minhash, TRUE AS merge_exact
          |FROM s ORDER BY lang, sig_idx""".stripMargin,
+    // q231: per-slot max + slot-ordered left fold — float addition order
+    // pinned on both sides, so the MaxSim scores (and therefore ranks)
+    // replay bit-for-bit; DuckDB arrays are 1-based only inside the
+    // cosine fold, which VectorOracles already handles.
+    "q231_maxsim_retrieval" ->
+      s"""WITH e AS (SELECT vec_id, vec_id // $MaxSimSlots AS doc,
+         |    vec_id % $MaxSimSlots AS slot, embedding
+         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+         |q AS (SELECT doc AS query_id, slot AS qslot, embedding AS qv
+         |  FROM e WHERE doc % $MaxSimQueryMod = 0),
+         |sc AS (SELECT q.query_id, e.doc AS neighbor_id, q.qslot,
+         |    ${VectorOracles.cosine("q.qv", "e.embedding")} AS c
+         |  FROM q JOIN e ON e.doc <> q.query_id),
+         |sm AS (SELECT query_id, neighbor_id, qslot, MAX(c) AS m
+         |  FROM sc WHERE c IS NOT NULL GROUP BY 1, 2, 3),
+         |s AS (SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(m ORDER BY qslot)),
+         |      (a, x) -> a + x) AS cosine
+         |  FROM sm GROUP BY 1, 2),
+         |rk AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM s WHERE cosine IS NOT NULL)
+         |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", cosine AS maxsim
+         |FROM rk WHERE rn <= $MaxSimK ORDER BY query_id, rn""".stripMargin,
+    // q232: brute-force pairs replay the banded candidates exactly (the
+    // banding guarantee is complete at hamming ≤ 3); truth is the q27
+    // brute-force Jaccard ≥ 0.95 pair set.
+    "q232_simhash_pr_sweep" ->
+      s"""WITH $duckSimhash,
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashSweepMax),
+         |t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+         |tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tp),
+         |j AS (SELECT c.hamming,
+         |    CASE WHEN tp.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM cand c LEFT JOIN tp ON c.id_a = tp.id_a AND c.id_b = tp.id_b),
+         |sw AS (SELECT u.t, CAST(COUNT(*) AS BIGINT) AS n_pred, CAST(SUM(hit) AS BIGINT) AS n_hit
+         |  FROM j, UNNEST(range(j.hamming, ${SimhashSweepMax + 1})) AS u(t) GROUP BY u.t)
+         |SELECT CAST(t AS INTEGER) AS max_hamming, n_pred, nt.n_truth, n_hit,
+         |  n_hit * 10000 // n_pred AS precision_bp,
+         |  CASE WHEN nt.n_truth = 0 THEN NULL
+         |       ELSE n_hit * 10000 // nt.n_truth END AS recall_bp
+         |FROM sw CROSS JOIN nt ORDER BY max_hamming""".stripMargin,
     // q228: DuckDB's native JSON extraction replays the VARIANT path's
     // typed field get; the stats are plain integers.
     "q228_variant_extract" ->

@@ -2895,6 +2895,47 @@ object PipelineQueries {
       .orderBy(col("max_hamming"))
   }
 
+  /** q233 corruption modulus, shared with the oracle. */
+  private[graft] val JsonlCorruptMod = 97L
+
+  /** JSONL ingest robustness audit (q233) — the schema-on-read path a
+    * web-scale text pipeline actually ingests through, with the failure
+    * accounting that separates a production reader from a demo: each
+    * event serializes to a JSON line (`to_json` over the typed row), a
+    * deterministic slice (event_id % [[JsonlCorruptMod]] == 0) is
+    * GARBLED at the first byte — total parse failure by construction, so
+    * the audit is insensitive to Spark's partial-result JSON recovery
+    * (`spark.sql.json.enablePartialResults`, on by default, can salvage
+    * leading fields from a merely TRUNCATED line) — and the re-parse
+    * (`from_json`, PERMISSIVE semantics —
+    * corrupt input yields a null row, never a job failure) is audited
+    * per event type: lines in, parsed, corrupt, corrupt share in bp,
+    * and an exact value checksum over the SURVIVING rows proving the
+    * parser neither dropped good lines nor hallucinated fields. DuckDB
+    * replays the same serialize → truncate → validity test with its
+    * native JSON machinery. Map-only until the per-type aggregate. */
+  def jsonlCorruptAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(value * 100 AS DECIMAL(14,0))").cast("long").as("cents"))).as("line"))
+      .select(col("event_type"),
+        when(col("event_id") % JsonlCorruptMod === 0L,
+          concat(lit("X"), expr("substring(line, 2, length(line))"))).otherwise(col("line")).as("line"))
+      .select(col("event_type"),
+        from_json(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT")).as("p"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("p.event_id")).as("n_parsed"),
+        sum(when(col("p.event_id").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(coalesce(col("p.cents"), lit(0L))).as("parsed_cents"))
+      .select(col("event_type"), col("n_lines"), col("n_parsed"), col("n_corrupt"),
+        expr("n_corrupt * 10000L div n_lines").as("corrupt_bp"),
+        col("parsed_cents"))
+      .orderBy(col("event_type"))
+
   /** q221 SNM constants, shared with the oracle: sliding-window width and
     * the sort-key block granularity ($250 bands over offset cents). */
   private[graft] val SnmWindow = 4L
@@ -6853,7 +6894,8 @@ object PipelineQueries {
     "q229_bitmap_membership" -> (bitmapMembership _),
     "q230_minhash_union" -> (minhashUnion _),
     "q231_maxsim_retrieval" -> (maxsimRetrieval _),
-    "q232_simhash_pr_sweep" -> (simhashPrSweep _))
+    "q232_simhash_pr_sweep" -> (simhashPrSweep _),
+    "q233_jsonl_corrupt_audit" -> (jsonlCorruptAudit _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -9289,6 +9331,21 @@ object PipelineQueries {
          |  CASE WHEN nt.n_truth = 0 THEN NULL
          |       ELSE n_hit * 10000 // nt.n_truth END AS recall_bp
          |FROM sw CROSS JOIN nt ORDER BY max_hamming""".stripMargin,
+    // q233: the corruption rule is structural (first byte mangled → the
+    // line can never parse as JSON), so the oracle encodes the expected
+    // accounting directly from the slice rule — the engine must arrive at
+    // the same numbers THROUGH the real serialize → garble → parse path,
+    // which is exactly the audit: a parser dropping good lines, keeping
+    // bad ones, or mangling values breaks a count or the checksum.
+    "q233_jsonl_corrupt_audit" ->
+      s"""WITH e AS (SELECT event_type, event_id, CAST(value * 100 AS BIGINT) AS cents FROM events)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(SUM(CASE WHEN event_id % $JsonlCorruptMod <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+         |  CAST(SUM(CASE WHEN event_id % $JsonlCorruptMod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+         |  CAST(SUM(CASE WHEN event_id % $JsonlCorruptMod = 0 THEN 1 ELSE 0 END) * 10000
+         |    // COUNT(*) AS BIGINT) AS corrupt_bp,
+         |  CAST(SUM(CASE WHEN event_id % $JsonlCorruptMod <> 0 THEN cents ELSE 0 END) AS BIGINT) AS parsed_cents
+         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q228: DuckDB's native JSON extraction replays the VARIANT path's
     // typed field get; the stats are plain integers.
     "q228_variant_extract" ->

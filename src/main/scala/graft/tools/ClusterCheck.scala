@@ -49,7 +49,14 @@ object ClusterCheck {
     // feed three consumers), the driver-looped integer matvec with
     // in-expression v literals (q188 — 64-term codegen per round), and
     // the keyed bounded top-k with a broadcast threshold frame (q208).
-    "q177_triangles", "q188_power_iteration", "q208_uncertainty_sample")
+    "q177_triangles", "q188_power_iteration", "q208_uncertainty_sample",
+    // Round-7 additions: the codes-only Hamming broadcast + typed top-k
+    // rerank chain (q224 — sign-bit words and candidate lists cross real
+    // process boundaries), the word-sharded bitmap memo feeding three
+    // consumers from executor-resident cache (q229), and the typed
+    // mapPartitions container round-trip (q218 — the Mp4 builder/parser
+    // closures must serialize to worker JVMs).
+    "q218_mp4_metadata", "q224_ann_binary_quant", "q229_bitmap_membership")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

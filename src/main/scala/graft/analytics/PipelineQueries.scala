@@ -3155,14 +3155,21 @@ object PipelineQueries {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
-      .agg(sum(expr(
-        """CAST(FLOOR(CAST(n_docs * 1000000L div df AS DOUBLE)
-          |  * (CAST(tf AS DOUBLE) * 2.2)
-          |  / (CAST(tf AS DOUBLE) + (0.3 + 0.9 * (CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))) AS BIGINT)"""
-          .stripMargin)).as("score"))
+      .agg(sum(expr(BmTermSpark)).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(10)
   }
+
+  /** Per-term BM25 contribution (k1 = 1.2, b = 0.75, ⌊idf·10⁶⌋ fixed-point)
+    * over columns (tf, df, dl, n_docs, total_tokens) — shared verbatim by
+    * q126's ranker and q234's multi-query eval run, so the scorer under
+    * evaluation can never drift from the scorer in production. The oracle
+    * twin is [[BmTermSql]]: every IEEE op in the same order. */
+  private[analytics] val BmTermSpark =
+    """CAST(FLOOR(CAST(n_docs * 1000000L div df AS DOUBLE)
+      |  * (CAST(tf AS DOUBLE) * 2.2)
+      |  / (CAST(tf AS DOUBLE) + (0.3 + 0.9 * (CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))) AS BIGINT)"""
+      .stripMargin
 
   /** Reciprocal-rank-fusion constant (Cormack et al. 2009's k = 60),
     * shared with the q127 oracle (generated-constant pattern). */
@@ -6711,6 +6718,304 @@ object PipelineQueries {
     topA.union(topB).orderBy(col("direction"), col("ratio_bp").desc, col("token"))
   }
 
+  /** q234 IR-eval constants, shared with the oracle: the query-doc
+    * selector modulus (doc_id ≡ 1 picks 1% of the corpus as queries), the
+    * graded-relevance Jaccard threshold in basis points, and the run
+    * cutoff k. */
+  private[analytics] val IrQMod = 100L
+  private[analytics] val IrRelBp = 9000L
+  private[analytics] val IrK = 10
+
+  /** Retrieval-quality evaluation harness (q234): a multi-query BM25 run
+    * (the exact q126 scorer via [[BmTermSpark]], one query per
+    * doc_id ≡ 1 mod [[IrQMod]]) graded against an exact token-set-Jaccard
+    * relevance truth (rel(q,d) ⇔ J(q,d) ≥ [[IrRelBp]], d ≠ q). Emits
+    * per-query precision@k, recall@k and reciprocal-rank in integer basis
+    * points — the eval loop every retrieval stack ships with, here as a
+    * single declarative plan instead of a driver-side harness.
+    *
+    * Scale shape: query terms and their per-token document frequencies are
+    * query-sized (broadcast); the corpus-sized work is one postings
+    * aggregation sharded on token and one (qid, doc) score aggregation —
+    * never a corpus×corpus product. Truth pairs exist only for documents
+    * sharing ≥1 token with a query (the same postings join). */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame =
+    retrievalEvalOf(Tables.documents(spark, dir))
+
+  private[graft] def retrievalEvalOf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents.select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"),
+      explode(split(col("text"), " ")).as("token"))
+    val td = toks.groupBy(col("token"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val qt = toks.filter(col("doc_id") % IrQMod === 1L)
+      .select(col("doc_id").as("qid"), col("token")).distinct()
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+    val tdq = td.join(broadcast(qt.select(col("token")).distinct()), Seq("token"))
+    val dfTok = tdq.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val run = broadcast(qt).join(tdq, Seq("token"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(dfTok), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(expr(BmTermSpark)).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= IrK)
+    // Exact relevance truth: token-set Jaccard ≥ IrRelBp against each query
+    // doc, computed only for docs sharing ≥ 1 token (postings join).
+    val dt = toks.select(col("doc_id"), col("token")).distinct()
+    val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val qdt = dt.filter(col("doc_id") % IrQMod === 1L)
+      .select(col("doc_id").as("qid"), col("token"))
+    val rel = dt.join(broadcast(qdt), Seq("token"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("inter"))
+      .join(broadcast(sz.select(col("doc_id").as("qid"), col("sz").as("qsz"))), Seq("qid"))
+      .join(sz, Seq("doc_id"))
+      .filter(col("inter") * 10000L >= lit(IrRelBp) * (col("qsz") + col("sz") - col("inter")))
+      .select(col("qid"), col("doc_id"))
+    val nrel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val hits = run.join(rel, Seq("qid", "doc_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("hits"), min(col("rank")).as("first_rank"))
+    docs.filter(col("doc_id") % IrQMod === 1L).select(col("doc_id").as("qid"))
+      .join(nrel, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("hits_at_k", coalesce(col("hits"), lit(0L)))
+      .select(col("qid"), col("n_rel"), col("hits_at_k"),
+        expr(s"hits_at_k * 10000L div $IrK").as("p_at_k_bp"),
+        expr("CASE WHEN n_rel = 0 THEN 0L ELSE hits_at_k * 10000L div n_rel END")
+          .as("recall_at_k_bp"),
+        expr("CASE WHEN first_rank IS NULL THEN 0L ELSE 10000L div first_rank END")
+          .as("mrr_bp"))
+      .orderBy(col("qid"))
+  }
+
+  /** q235 prefix-filter join threshold (Jaccard, basis points). 0.95 — the
+    * near-identical band, where the prefix is 1–2 tokens and candidate
+    * volume stays near-linear even on this densely-duplicated corpus. */
+  private[graft] val PfxJacBp = 9500L
+
+  /** Exact similarity self-join via prefix filtering (q235) — the
+    * PPJoin/AllPairs family (Bayardo et al. 2007, Xiao et al. 2008): under
+    * a global rarest-first token order, two sets with Jaccard ≥ t MUST
+    * share a token inside each other's first |x| − ⌈t·|x|⌉ + 1 tokens, so
+    * candidate generation joins only those prefixes (plus the length
+    * filter t·max ≤ min) and verification touches candidate pairs only.
+    * Unlike the MinHash/SimHash paths this is EXACT — zero false
+    * negatives by theorem, verified pairs only — the right tool when the
+    * dedup policy must be auditable. The per-doc prefix rank is computed
+    * with a PER-DOCUMENT window over the global (frequency, token) key —
+    * never a vocabulary-sized single-partition sort. */
+  def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame =
+    prefixFilterJoinOf(Tables.documents(spark, dir))
+
+  private[graft] def prefixFilterJoinOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token")).distinct()
+    val cnt = dt.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pfx = dt.join(cnt, Seq("token"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("cnt"), col("token"))).cast("long"))
+      .join(sz, Seq("doc_id"))
+      .filter(col("rn") <= col("sz") - expr(s"($PfxJacBp * sz + 9999) div 10000") + 1L)
+    val cands = pfx.select(col("token"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+      .join(pfx.select(col("token"), col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("token"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) * 10000L >= lit(PfxJacBp) * greatest(col("sz_a"), col("sz_b")))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b")).distinct()
+    // Verification: exact intersections for CANDIDATE pairs only, via each
+    // side's sorted token-set array (O(|x|+|y|) per pair, no re-shuffle of
+    // the postings).
+    val sets = dt.groupBy(col("doc_id")).agg(sort_array(collect_set(col("token"))).as("toks"))
+    val pairs = cands
+      .join(sets.select(col("doc_id").as("id_a"), col("toks").as("ta")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("toks").as("tb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * 10000L >= lit(PfxJacBp) * col("uni"))
+      .select(col("id_a"), col("id_b"), expr("inter * 10000L div uni").as("jac_bp"))
+    // Per-document summary — output stays O(corpus) at any SF even though
+    // the verified pair set is quadratic in each duplicate clique.
+    val sym = pairs
+      .select(col("id_a").as("doc_id"), col("id_b").as("partner"), col("jac_bp"))
+      .unionByName(pairs
+        .select(col("id_b").as("doc_id"), col("id_a").as("partner"), col("jac_bp")))
+    sym
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("jac_bp").desc, col("partner"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("jac_bp")).as("min_jac_bp"),
+        max(col("jac_bp")).as("max_jac_bp"),
+        min(when(col("rk") === 1, col("partner"))).as("best_partner"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q236 storage-encoding advisor: rows per storage block (the parquet
+    * page/row-group proxy — runs are counted within blocks because that is
+    * the granularity an encoder actually sees). */
+  private[analytics] val EncBlockRows = 8192L
+
+  /** Storage-encoding advisor (q236) — the layout decision a columnar
+    * writer makes per column chunk, surfaced as a query: for each audited
+    * column, NDV, storage-order run count (within [[EncBlockRows]]-row
+    * blocks, never a global single-partition sort), and the exact byte
+    * cost of PLAIN vs DICTIONARY (entries + ⌈log₂ ndv⌉-bit codes — the
+    * `length(bin(...))` integer-log idiom) vs RLE (one value + length per
+    * run) under a documented cost model; the advisor picks the argmin.
+    * At 100 TB this is the query you run before rewriting a table — the
+    * same statistics parquet-mr consults per chunk, here exact and
+    * engine-portable. Cost model (documented, shared with the oracle):
+    * ints are 8-byte PLAIN entries, strings are len+4; DICT codes pack at
+    * ⌈log₂ ndv⌉ bits; an RLE run stores its value + a 4-byte length. */
+  def encodingAudit(spark: SparkSession, dir: String): DataFrame =
+    encodingAuditOf(Tables.events(spark, dir))
+
+  private[graft] def encodingAuditOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col("event_id"), col("user_id"), col("event_type"),
+      expr("CAST(value * 100 AS DECIMAL(14,0))").cast("long").as("cents"))
+    def one(name: String, vExpr: String, stringy: Boolean): DataFrame =
+      base.select(lit(name).as("col_name"),
+        col("event_id").as("ord"),
+        expr(s"event_id div $EncBlockRows").as("blk"),
+        expr(vExpr).cast("string").as("v"),
+        (if (stringy) length(expr(vExpr).cast("string")).cast("long") + 4L
+         else lit(8L)).as("vbytes"))
+    val u = one("user_id", "user_id", stringy = false)
+      .unionByName(one("event_type", "event_type", stringy = true))
+      .unionByName(one("cents", "cents", stringy = false))
+    val w = Window.partitionBy(col("col_name"), col("blk")).orderBy(col("ord"))
+    val runs = u.withColumn("is_start",
+      when(lag(col("v"), 1).over(w).isNull || lag(col("v"), 1).over(w) =!= col("v"), 1L)
+        .otherwise(0L))
+    val perCol = runs.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("v")).as("ndv"),
+      sum(col("is_start")).as("n_runs"),
+      sum(col("vbytes")).as("plain_bytes"),
+      sum(when(col("is_start") === 1L, col("vbytes") + 4L).otherwise(0L)).as("rle_bytes"))
+    val dictEntries = u.select(col("col_name"), col("v"), col("vbytes")).distinct()
+      .groupBy(col("col_name")).agg(sum(col("vbytes")).as("dict_entry_bytes"))
+    perCol.join(dictEntries, Seq("col_name"))
+      .withColumn("bits",
+        expr("CASE WHEN ndv <= 1 THEN 1L ELSE CAST(length(bin(ndv - 1)) AS BIGINT) END"))
+      .withColumn("dict_bytes", expr("dict_entry_bytes + (bits * n_rows + 7) div 8"))
+      .withColumn("encoding", expr(
+        """CASE WHEN plain_bytes <= dict_bytes AND plain_bytes <= rle_bytes THEN 'plain'
+          |     WHEN dict_bytes <= rle_bytes THEN 'dict' ELSE 'rle' END""".stripMargin))
+      .select(col("col_name"), col("n_rows"), col("ndv"), col("n_runs"),
+        col("plain_bytes"), col("dict_bytes"), col("rle_bytes"), col("encoding"))
+      .orderBy(col("col_name"))
+  }
+
+  /** q237 shard-rebalance constants: the before/after shard counts. */
+  private[analytics] val ShardsOld = 8L
+  private[analytics] val ShardsNew = 9L
+
+  /** Consistent-placement audit (q237) — what adding one shard costs under
+    * two routing disciplines, measured exactly: naive `hash mod N` (every
+    * key whose residue changes moves — ~(N−1)/N of the corpus re-shuffles)
+    * vs rendezvous/HRW hashing (Thaler–Ravishankar: route to
+    * argmaxₛ h(key,s); adding shard N+1 moves ONLY keys whose new
+    * candidate wins — ~1/(N+1)). Emits per strategy the moved fraction
+    * and the max-shard load imbalance before/after, integer bp. Hashes
+    * are the portable md5-h60, so the oracle replays routing bit-exactly.
+    * Scale shape: distinct keys → one map-side explode ([[ShardsNew]]
+    * rows per key) → one aggregate; no shuffle beyond the distinct. */
+  def shardRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val keys = Tables.events(spark, dir).select(col("user_id")).distinct()
+    val h = md5_token_hashes(array(col("user_id").cast("string")), bits = 60).getItem(0)
+    val mod = keys.select(col("user_id"),
+      pmod(h, lit(ShardsOld)).as("s_old"), pmod(h, lit(ShardsNew)).as("s_new"))
+    val hrw = keys
+      .select(col("user_id"), explode(expr(s"sequence(0L, ${ShardsNew - 1L})")).as("s"))
+      .withColumn("hw", md5_token_hashes(
+        array(concat(col("user_id").cast("string"), lit("#"), col("s").cast("string"))),
+        bits = 60).getItem(0))
+      // Pack (h, s) into one orderable BIGINT: drop h's lowest bit so the
+      // shard id fits below it — both engines take the identical argmax.
+      .withColumn("packed", expr("(hw div 2) * 16 + s"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("s") < ShardsOld, col("packed"))).as("po"),
+        max(col("packed")).as("pn"))
+      .select(col("user_id"), pmod(col("po"), lit(16L)).as("s_old"),
+        pmod(col("pn"), lit(16L)).as("s_new"))
+    val both = mod.select(lit("mod").as("strategy"), col("user_id"), col("s_old"), col("s_new"))
+      .unionByName(hrw.select(lit("hrw").as("strategy"), col("user_id"), col("s_old"), col("s_new")))
+    val moved = both.groupBy(col("strategy")).agg(count(lit(1)).as("n_keys"),
+      sum(when(col("s_old") =!= col("s_new"), 1L).otherwise(0L)).as("n_moved"))
+    val loadOld = both.groupBy(col("strategy"), col("s_old")).agg(count(lit(1)).as("c"))
+      .groupBy(col("strategy")).agg(max(col("c")).as("max_old"))
+    val loadNew = both.groupBy(col("strategy"), col("s_new")).agg(count(lit(1)).as("c"))
+      .groupBy(col("strategy")).agg(max(col("c")).as("max_new"))
+    moved.join(loadOld, Seq("strategy")).join(loadNew, Seq("strategy"))
+      .select(col("strategy"), col("n_keys"), col("n_moved"),
+        expr("n_moved * 10000L div n_keys").as("moved_bp"),
+        expr(s"max_old * 10000L * $ShardsOld div n_keys").as("max_load_old_bp"),
+        expr(s"max_new * 10000L * $ShardsNew div n_keys").as("max_load_new_bp"))
+      .orderBy(col("strategy"))
+  }
+
+  /** q238 Bloom runtime-filter constants: bit-array size and hash count
+    * (m = 2¹⁷, k = 3 — sized so the sf0.1 build side loads the filter to
+    * a measurable false-positive regime instead of a trivial one). */
+  private[analytics] val BloomM = 131072L
+  private[analytics] val BloomK = 3
+
+  /** Bloom runtime-filter join pruning (q238) — the semi-join reduction
+    * every warehouse applies before an expensive fact-side join (Spark's
+    * own InjectRuntimeFilter, here engine-portable and exactly audited):
+    * build a k-hash Bloom filter over the filtered dimension's keys, probe
+    * every fact key, and join only survivors. Because the filter is
+    * portable md5 arithmetic, the oracle replays membership bit-for-bit,
+    * and the audit row reports EXACT false-positive accounting (the part
+    * production systems estimate): keys/rows passing, truly matching, and
+    * the FP rate among true negatives. Zero false negatives by
+    * construction — asserted in spec, not just claimed. Scale shape: fact
+    * keys pre-aggregate (dedup) before hashing; the filter's set bit
+    * positions travel as a broadcast; nothing corpus-sized shuffles. */
+  def bloomJoinPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    def positions(key: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+      (0 until BloomK).map(i =>
+      pmod(md5_token_hashes(
+        array(concat(key.cast("string"), lit("/"), lit(i.toString))), bits = 60).getItem(0),
+        lit(BloomM)))
+    val build = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey")).distinct()
+    val bits = build.select(explode(array(positions(col("o_orderkey")): _*)).as("pos")).distinct()
+    val probe = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_rows"))
+    val passKeys = probe
+      .select(col("l_orderkey"), col("n_rows"),
+        explode(array(positions(col("l_orderkey")): _*)).as("pos"))
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(col("l_orderkey"), col("n_rows")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomK)
+    val truth = probe.join(
+      broadcast(build.withColumnRenamed("o_orderkey", "l_orderkey")), Seq("l_orderkey"))
+    probe.agg(sum(col("n_rows")).as("n_probe"), count(lit(1)).as("n_probe_keys"))
+      .crossJoin(passKeys.agg(coalesce(sum(col("n_rows")), lit(0L)).as("n_pass")))
+      .crossJoin(truth.agg(coalesce(sum(col("n_rows")), lit(0L)).as("n_true")))
+      .crossJoin(build.agg(count(lit(1)).as("n_build")))
+      .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+      .select(col("n_build"), col("bits_set"), lit(BloomM).as("m_bits"),
+        col("n_probe_keys"), col("n_probe"), col("n_pass"), col("n_true"),
+        (col("n_pass") - col("n_true")).as("n_false_pos"),
+        expr("CASE WHEN n_probe = n_true THEN 0L ELSE (n_pass - n_true) * 10000L div (n_probe - n_true) END")
+          .as("fp_bp"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6895,7 +7200,12 @@ object PipelineQueries {
     "q230_minhash_union" -> (minhashUnion _),
     "q231_maxsim_retrieval" -> (maxsimRetrieval _),
     "q232_simhash_pr_sweep" -> (simhashPrSweep _),
-    "q233_jsonl_corrupt_audit" -> (jsonlCorruptAudit _))
+    "q233_jsonl_corrupt_audit" -> (jsonlCorruptAudit _),
+    "q234_retrieval_eval" -> (retrievalEval _),
+    "q235_prefix_filter_join" -> (prefixFilterJoin _),
+    "q236_encoding_audit" -> (encodingAudit _),
+    "q237_shard_rebalance" -> (shardRebalance _),
+    "q238_bloom_join_prune" -> (bloomJoinPrune _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -9337,6 +9647,165 @@ object PipelineQueries {
     // the same numbers THROUGH the real serialize → garble → parse path,
     // which is exactly the audit: a parser dropping good lines, keeping
     // bad ones, or mangling values breaks a count or the checksum.
+    // q234: the whole eval harness replays — the q126 per-term scorer
+    // (BmTermSql, IEEE ops in engine order), per-query ROW_NUMBER cutoffs
+    // with the same (score DESC, doc_id) tie-break, the exact Jaccard
+    // truth, and the integer-bp metrics.
+    "q234_retrieval_eval" ->
+      s"""WITH toks AS (SELECT doc_id, len(str_split(text, ' ')) AS dl, unnest(str_split(text, ' ')) AS token FROM documents),
+         |td AS (SELECT token, doc_id, dl, COUNT(*) AS tf FROM toks GROUP BY token, doc_id, dl),
+         |qt AS (SELECT DISTINCT doc_id AS qid, token FROM toks WHERE doc_id % $IrQMod = 1),
+         |n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens FROM documents),
+         |tdq AS (SELECT * FROM td WHERE token IN (SELECT token FROM qt)),
+         |d AS (SELECT token, COUNT(*) AS df FROM tdq GROUP BY token),
+         |sc AS (SELECT qt.qid, tdq.doc_id, CAST(SUM($BmTermSql) AS BIGINT) AS score
+         |  FROM qt JOIN tdq ON qt.token = tdq.token AND tdq.doc_id <> qt.qid
+         |  JOIN d ON d.token = qt.token CROSS JOIN n
+         |  GROUP BY qt.qid, tdq.doc_id),
+         |topk AS (SELECT * FROM (SELECT qid, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |  WHERE rank <= $IrK),
+         |dt AS (SELECT DISTINCT doc_id, token FROM toks),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
+         |qdt AS (SELECT doc_id AS qid, token FROM dt WHERE doc_id % $IrQMod = 1),
+         |rel AS (SELECT i.qid, i.doc_id FROM (
+         |    SELECT q.qid, dt.doc_id, COUNT(*) AS i FROM qdt q
+         |    JOIN dt ON q.token = dt.token AND dt.doc_id <> q.qid
+         |    GROUP BY q.qid, dt.doc_id) i
+         |  JOIN sz sq ON sq.doc_id = i.qid JOIN sz sd ON sd.doc_id = i.doc_id
+         |  WHERE i.i * 10000 >= $IrRelBp * (sq.sz + sd.sz - i.i)),
+         |nrel AS (SELECT qid, COUNT(*) AS n_rel FROM rel GROUP BY qid),
+         |hit AS (SELECT t.qid, COUNT(*) AS hits, MIN(t.rank) AS first_rank
+         |  FROM topk t JOIN rel r ON t.qid = r.qid AND t.doc_id = r.doc_id GROUP BY t.qid)
+         |SELECT q.qid, CAST(COALESCE(n_rel, 0) AS BIGINT) AS n_rel,
+         |  CAST(COALESCE(hits, 0) AS BIGINT) AS hits_at_k,
+         |  CAST(COALESCE(hits, 0) * 10000 // $IrK AS BIGINT) AS p_at_k_bp,
+         |  CAST(CASE WHEN COALESCE(n_rel, 0) = 0 THEN 0
+         |    ELSE COALESCE(hits, 0) * 10000 // n_rel END AS BIGINT) AS recall_at_k_bp,
+         |  CAST(CASE WHEN first_rank IS NULL THEN 0 ELSE 10000 // first_rank END AS BIGINT) AS mrr_bp
+         |FROM (SELECT doc_id AS qid FROM documents WHERE doc_id % $IrQMod = 1) q
+         |LEFT JOIN nrel ON nrel.qid = q.qid LEFT JOIN hit ON hit.qid = q.qid
+         |ORDER BY q.qid""".stripMargin,
+    // q236: identical block-local run counting (lag within col×blk), the
+    // same byte cost model, the same length(bin())-as-⌈log₂⌉ idiom.
+    "q236_encoding_audit" ->
+      s"""WITH u AS (
+         |  SELECT 'user_id' AS col_name, event_id AS ord, event_id // $EncBlockRows AS blk,
+         |    CAST(user_id AS VARCHAR) AS v, CAST(8 AS BIGINT) AS vbytes FROM events
+         |  UNION ALL SELECT 'event_type', event_id, event_id // $EncBlockRows,
+         |    event_type, CAST(length(event_type) + 4 AS BIGINT) FROM events
+         |  UNION ALL SELECT 'cents', event_id, event_id // $EncBlockRows,
+         |    CAST(CAST(value * 100 AS BIGINT) AS VARCHAR), CAST(8 AS BIGINT) FROM events),
+         |r AS (SELECT *, CASE WHEN lag(v) OVER (PARTITION BY col_name, blk ORDER BY ord) IS NULL
+         |    OR lag(v) OVER (PARTITION BY col_name, blk ORDER BY ord) <> v THEN 1 ELSE 0 END AS is_start FROM u),
+         |p AS (SELECT col_name, COUNT(*) AS n_rows, COUNT(DISTINCT v) AS ndv,
+         |    CAST(SUM(is_start) AS BIGINT) AS n_runs, CAST(SUM(vbytes) AS BIGINT) AS plain_bytes,
+         |    CAST(SUM(CASE WHEN is_start = 1 THEN vbytes + 4 ELSE 0 END) AS BIGINT) AS rle_bytes
+         |  FROM r GROUP BY col_name),
+         |de AS (SELECT col_name, CAST(SUM(vbytes) AS BIGINT) AS dict_entry_bytes
+         |  FROM (SELECT DISTINCT col_name, v, vbytes FROM u) GROUP BY col_name),
+         |b AS (SELECT p.*, de.dict_entry_bytes,
+         |    CASE WHEN ndv <= 1 THEN 1 ELSE length(bin(ndv - 1)) END AS bits
+         |  FROM p JOIN de USING (col_name))
+         |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows, CAST(ndv AS BIGINT) AS ndv, n_runs,
+         |  plain_bytes,
+         |  CAST(dict_entry_bytes + (bits * n_rows + 7) // 8 AS BIGINT) AS dict_bytes,
+         |  rle_bytes,
+         |  CASE WHEN plain_bytes <= dict_entry_bytes + (bits * n_rows + 7) // 8
+         |         AND plain_bytes <= rle_bytes THEN 'plain'
+         |       WHEN dict_entry_bytes + (bits * n_rows + 7) // 8 <= rle_bytes THEN 'dict'
+         |       ELSE 'rle' END AS encoding
+         |FROM b ORDER BY col_name""".stripMargin,
+    // q237: both routings replay on the portable h60 — mod residues
+    // directly, HRW via the identical (h div 2)·16 + s packed argmax.
+    "q237_shard_rebalance" -> {
+      val hKey = duckH60("CAST(user_id AS VARCHAR)")
+      val hCand = duckH60("CAST(user_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)")
+      s"""WITH k AS (SELECT DISTINCT user_id FROM events),
+         |h AS (SELECT user_id, $hKey AS h FROM k),
+         |md AS (SELECT 'mod' AS strategy, user_id, h % $ShardsOld AS s_old, h % $ShardsNew AS s_new FROM h),
+         |c AS (SELECT user_id, s, ($hCand // 2) * 16 + s AS packed
+         |  FROM k, (SELECT unnest(range(0, $ShardsNew)) AS s)),
+         |hrw AS (SELECT 'hrw' AS strategy, user_id,
+         |    MAX(CASE WHEN s < $ShardsOld THEN packed END) % 16 AS s_old,
+         |    MAX(packed) % 16 AS s_new
+         |  FROM c GROUP BY user_id),
+         |b AS (SELECT * FROM md UNION ALL SELECT * FROM hrw),
+         |m AS (SELECT strategy, COUNT(*) AS n_keys,
+         |    CAST(SUM(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |  FROM b GROUP BY strategy),
+         |lo AS (SELECT strategy, MAX(c) AS max_old FROM
+         |  (SELECT strategy, s_old, COUNT(*) AS c FROM b GROUP BY 1, 2) GROUP BY strategy),
+         |ln AS (SELECT strategy, MAX(c) AS max_new FROM
+         |  (SELECT strategy, s_new, COUNT(*) AS c FROM b GROUP BY 1, 2) GROUP BY strategy)
+         |SELECT m.strategy, CAST(n_keys AS BIGINT) AS n_keys, n_moved,
+         |  CAST(n_moved * 10000 // n_keys AS BIGINT) AS moved_bp,
+         |  CAST(max_old * 10000 * $ShardsOld // n_keys AS BIGINT) AS max_load_old_bp,
+         |  CAST(max_new * 10000 * $ShardsNew // n_keys AS BIGINT) AS max_load_new_bp
+         |FROM m JOIN lo USING (strategy) JOIN ln USING (strategy)
+         |ORDER BY strategy""".stripMargin
+    },
+    // q238: the filter's k positions, its set bits, and every membership
+    // probe replay on the portable h60 — the FP accounting is exact.
+    "q238_bloom_join_prune" -> {
+      // NB: the hash index column must NOT be named `i` — duckH60 expands
+      // to a list_transform lambda whose variable `i` would shadow it.
+      val hB = duckH60("CAST(o_orderkey AS VARCHAR) || '/' || CAST(hi AS VARCHAR)")
+      val hP = duckH60("CAST(l_orderkey AS VARCHAR) || '/' || CAST(hi AS VARCHAR)")
+      s"""WITH build AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         |bpos AS (SELECT DISTINCT ($hB) % $BloomM AS pos
+         |  FROM build, (SELECT unnest(range(0, $BloomK)) AS hi)),
+         |probe AS (SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_orderkey),
+         |ppos AS (SELECT l_orderkey, n_rows, ($hP) % $BloomM AS pos
+         |  FROM probe, (SELECT unnest(range(0, $BloomK)) AS hi)),
+         |pass AS (SELECT l_orderkey, n_rows FROM (
+         |    SELECT p.l_orderkey, p.n_rows, COUNT(*) AS hits
+         |    FROM ppos p JOIN bpos USING (pos) GROUP BY 1, 2)
+         |  WHERE hits = $BloomK),
+         |tr AS (SELECT p.l_orderkey, p.n_rows FROM probe p JOIN build b ON p.l_orderkey = b.o_orderkey)
+         |SELECT (SELECT COUNT(*) FROM build) AS n_build,
+         |  (SELECT COUNT(*) FROM bpos) AS bits_set,
+         |  CAST($BloomM AS BIGINT) AS m_bits,
+         |  (SELECT COUNT(*) FROM probe) AS n_probe_keys,
+         |  (SELECT CAST(SUM(n_rows) AS BIGINT) FROM probe) AS n_probe,
+         |  (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM pass) AS n_pass,
+         |  (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM tr) AS n_true,
+         |  (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM pass)
+         |    - (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM tr) AS n_false_pos,
+         |  CASE WHEN (SELECT SUM(n_rows) FROM probe) = (SELECT COALESCE(SUM(n_rows), 0) FROM tr) THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(((SELECT COALESCE(SUM(n_rows), 0) FROM pass) - (SELECT COALESCE(SUM(n_rows), 0) FROM tr)) * 10000
+         |      // ((SELECT SUM(n_rows) FROM probe) - (SELECT COALESCE(SUM(n_rows), 0) FROM tr)) AS BIGINT) END AS fp_bp""".stripMargin
+    },
+    // q235: same global (frequency, token) order, same per-doc prefix cut,
+    // same length filter, intersections recomputed for candidates only —
+    // the theorem (no false negatives) holds identically on both sides.
+    "q235_prefix_filter_join" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+         |cnt AS (SELECT token, COUNT(*) AS cnt FROM dt GROUP BY token),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
+         |pfx AS (SELECT * FROM (
+         |    SELECT dt.doc_id, dt.token, sz.sz,
+         |      ROW_NUMBER() OVER (PARTITION BY dt.doc_id ORDER BY cnt.cnt, dt.token) AS rn
+         |    FROM dt JOIN cnt ON dt.token = cnt.token JOIN sz ON dt.doc_id = sz.doc_id)
+         |  WHERE rn <= sz - (($PfxJacBp * sz + 9999) // 10000) + 1),
+         |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+         |  FROM pfx a JOIN pfx b ON a.token = b.token AND a.doc_id < b.doc_id
+         |  WHERE LEAST(a.sz, b.sz) * 10000 >= $PfxJacBp * GREATEST(a.sz, b.sz)),
+         |i AS (SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, COUNT(*) AS inter
+         |  FROM cands c JOIN dt x ON x.doc_id = c.id_a
+         |  JOIN dt y ON y.doc_id = c.id_b AND x.token = y.token
+         |  GROUP BY c.id_a, c.id_b, c.sz_a, c.sz_b),
+         |pairs AS (SELECT id_a, id_b,
+         |    CAST(inter * 10000 // (sz_a + sz_b - inter) AS BIGINT) AS jac_bp
+         |  FROM i WHERE inter * 10000 >= $PfxJacBp * (sz_a + sz_b - inter)),
+         |sym AS (SELECT id_a AS doc_id, id_b AS partner, jac_bp FROM pairs
+         |  UNION ALL SELECT id_b, id_a, jac_bp FROM pairs),
+         |rk AS (SELECT doc_id, partner, jac_bp,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jac_bp DESC, partner) AS rk FROM sym)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         |  MIN(jac_bp) AS min_jac_bp, MAX(jac_bp) AS max_jac_bp,
+         |  MIN(CASE WHEN rk = 1 THEN partner END) AS best_partner
+         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q233_jsonl_corrupt_audit" ->
       s"""WITH e AS (SELECT event_type, event_id, CAST(value * 100 AS BIGINT) AS cents FROM events)
          |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_lines,

@@ -1078,6 +1078,36 @@ class PlanSpec extends AnyFunSuite {
       s"Window below the aggregate would order event-sized data:\n$p")
   }
 
+  test("q234: query-sized sides broadcast; no cartesian anywhere in the eval plan") {
+    val p = planOf("q234_retrieval_eval")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q235: candidate generation is an equi-join on token — no cartesian, no nested loop") {
+    val p = planOf("q235_prefix_filter_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q236: run counting windows are block-local (hash-partitioned, never one partition)") {
+    val p = planOf("q236_encoding_audit")
+    assert(p.contains("hashpartitioning(col_name"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q237: routing is map-side explode + aggregate — no cartesian, no extra joins") {
+    val p = planOf("q237_shard_rebalance")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q238: the Bloom bit set and the truth side travel as broadcasts") {
+    val p = planOf("q238_bloom_join_prune")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

@@ -1982,6 +1982,100 @@ class QueriesSpec extends AnyFunSuite {
       s"the A-only token must lead the A-over-B direction: ${out.toSeq}")
   }
 
+  test("q234 IR eval: planted corpus grades the BM25 run exactly") {
+    import spark.implicits._
+    // qid 1 (1 % 100 == 1). doc 2 is an exact dup (J = 1.0 ≥ 0.9 →
+    // relevant, ranked 1 by BM25); doc 3 overlaps at J = 0.6 (retrieved
+    // but NOT relevant); doc 4 shares nothing (never scored).
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x"), (4L, "z z z"))
+      .toDF("doc_id", "text")
+    val out = graft.analytics.PipelineQueries.retrievalEvalOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq((1L, 1L, 1L, 1000L, 10000L, 10000L)), out.toSeq.mkString(","))
+  }
+
+  test("q235 prefix filter: planted clique found; sub-threshold overlap excluded") {
+    import spark.implicits._
+    val ten = (0 until 10).map(i => s"t$i").mkString(" ")
+    val nine = (0 until 9).map(i => s"t$i").mkString(" ") + " u0" // J = 9/11 < 0.95
+    val docs = Seq((1L, ten), (2L, ten), (3L, nine), (4L, "q r s"))
+      .toDF("doc_id", "text")
+    val out = graft.analytics.PipelineQueries.prefixFilterJoinOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 1L, 10000L, 2L), (2L, 1L, 10000L, 1L)), out.toSeq.mkString(","))
+  }
+
+  test("q235 prefix filter: zero false negatives vs the brute-force join at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, TestSpark.SfDir)
+    val dt = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token")).distinct()
+    val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val brute = dt.select(col("doc_id").as("id_a"), col("token"))
+      .join(dt.select(col("doc_id").as("id_b"), col("token")), Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .filter(col("inter") * 10000L >=
+        lit(graft.analytics.PipelineQueries.PfxJacBp) * (col("sz_a") + col("sz_b") - col("inter")))
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "the sf0.001 corpus should contain ≥1 pair at J ≥ 0.95")
+    // Reconstruct the pair count from the summary: Σ n_matches == 2·|pairs|.
+    val summary = graft.analytics.PipelineQueries.prefixFilterJoin(spark, TestSpark.SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(summary.values.sum == 2L * brute.size,
+      s"summary links ${summary.values.sum} != 2×${brute.size} brute pairs")
+    // And every doc in a brute pair appears in the summary (no dropped doc).
+    val docsInPairs = brute.flatMap(p => Seq(p._1, p._2))
+    assert(docsInPairs.subsetOf(summary.keySet))
+  }
+
+  test("q236 encoding advisor: planted column shapes pick dict/dict/plain") {
+    import spark.implicits._
+    // user_id constant (ndv 1 → tiny dict), event_type alternating (ndv 2,
+    // max runs → dict), cents all-distinct (dict codes cost more than
+    // plain → plain). Cost model documented on encodingAuditOf.
+    val ev = (0L until 6L).map(i =>
+      (i, 1L, if (i % 2 == 0) "a" else "b", (i + 1) * 1.00))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val out = graft.analytics.PipelineQueries.encodingAuditOf(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+    val byCol = out.map(r => r._1 -> r).toMap
+    assert(byCol("user_id") == ("user_id", 6L, 1L, 1L, 48L, 9L, 12L, "dict"))
+    assert(byCol("event_type") == ("event_type", 6L, 2L, 6L, 30L, 11L, 54L, "dict"))
+    assert(byCol("cents") == ("cents", 6L, 6L, 6L, 48L, 51L, 72L, "plain"))
+  }
+
+  test("q237 rebalance: HRW moves far fewer keys than mod-N for the same shard add") {
+    val out = graft.analytics.PipelineQueries.shardRebalance(spark, TestSpark.SfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set("hrw", "mod"))
+    val (nk, hrwMoved, _) = out("hrw")
+    val (_, modMoved, _) = out("mod")
+    // mod-N reshuffles ~(N-1)/N of keys; HRW only those won by the new shard.
+    assert(hrwMoved < modMoved, s"hrw=$hrwMoved mod=$modMoved")
+    assert(modMoved * 10L > nk * 7L, s"mod should move ~8/9 of $nk keys, moved $modMoved")
+    assert(hrwMoved * 4L < nk, s"hrw should move ~1/9 of $nk keys, moved $hrwMoved")
+  }
+
+  test("q238 Bloom pruning: zero false negatives, exact truth, FP only additive") {
+    val r = graft.analytics.PipelineQueries.bloomJoinPrune(spark, TestSpark.SfDir).collect()(0)
+    val (nPass, nTrue, nFp) = (r.getAs[Long]("n_pass"), r.getAs[Long]("n_true"), r.getAs[Long]("n_false_pos"))
+    assert(nPass >= nTrue && nFp == nPass - nTrue)
+    // independent truth: broadcast semi-join row count
+    import org.apache.spark.sql.functions._
+    val truth = graft.Tables.lineitem(spark, TestSpark.SfDir).join(
+      graft.Tables.orders(spark, TestSpark.SfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_semi").count()
+    assert(nTrue == truth, s"n_true=$nTrue != semi-join truth=$truth")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

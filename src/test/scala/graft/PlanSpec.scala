@@ -715,9 +715,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("q168: quintile windows run over the user-sized frame; no cartesian blowup") {
+  test("q168: quintile ranks shard via GlobalRank; no single-partition user window") {
     val p = planOf("q168_rfm_scores")
-    assert(p.contains("windowspecdefinition"), p)
+    // Round-8: all three ranks run through GlobalRank — range exchange +
+    // pid-partitioned block-local rank + broadcast offsets.
+    assert(p.contains("rangepartitioning"),
+      s"ranks must range-shard, not single-partition sort:\n$p")
+    Seq("recency_days", "frequency", "monetary_cents").foreach { m =>
+      assert(!s"""windowspecdefinition\\($m#\\d+""".r.findFirstIn(p).isDefined,
+        s"unpartitioned window ordered by $m (the round-7 scale-killer):\n$p")
+    }
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_sum"),
       s"the per-user reduction must combine map-side:\n$p")
@@ -866,12 +873,20 @@ class PlanSpec extends AnyFunSuite {
       s"both layouts share one scan (explode, not union-of-scans) + the 1-row bounds pass:\n$p")
   }
 
-  test("q185: purchase filter pushed; ONE events scan feeds rank, Gini, and deciles") {
+  test("q185: purchase filter pushed; the Gini rank shards via GlobalRank") {
     val p = planOf("q185_revenue_concentration")
     assert(p.contains("EqualTo(event_type,purchase)"),
       s"the purchase slice must reach the scan:\n$p")
-    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1,
-      s"the Gini scalars must ride windows on the user frame, not a second branch:\n$p")
+    // Round-8: the rank runs through GlobalRank (range exchange +
+    // pid-partitioned block rank) — no window may order the user frame
+    // unpartitioned. The scalar branch re-states the user aggregate
+    // (2 printed scans); AQE stage reuse executes the identical
+    // scan+aggregate subtree once at runtime.
+    assert(p.contains("rangepartitioning"),
+      s"the rank must range-shard, not single-partition sort:\n$p")
+    assert(!"""windowspecdefinition\(v#\d+""".r.findFirstIn(p).isDefined,
+      s"unpartitioned window over the user frame (the round-7 scale-killer):\n$p")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") <= 2, p)
     assert(p.contains("partial_sum"), p)
   }
 

@@ -208,6 +208,24 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("GlobalRank: sharded global rank is bit-identical to the serial window") {
+    import org.apache.spark.sql.expressions.Window
+    // Heavily tied metric (v = id % 7) exercises tie routing across range
+    // shards; user_id is the unique tiebreaker the contract requires.
+    val df = spark.range(0L, 10000L).selectExpr("id AS user_id", "id % 7 AS v")
+    val sharded = graft.operators.GlobalRank
+      .rowNumber(df, Seq(col("v").desc, col("user_id").asc), "rk", shards = 8)
+    val serial = df.withColumn("rk",
+      row_number().over(Window.orderBy(col("v").desc, col("user_id").asc)).cast("long"))
+    assert(sharded.count() == 10000L)
+    assert(sharded.exceptAll(serial).isEmpty && serial.exceptAll(sharded).isEmpty)
+    // And the sharding is real: the executed plan range-partitions and no
+    // window orders the data frame unpartitioned.
+    val p = sharded.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p)
+    assert(!"""windowspecdefinition\(v#\d+""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("partitioned layout prunes directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val events = Tables.events(spark, TestSpark.SfDir)

@@ -34,6 +34,15 @@ import org.apache.spark.sql.SparkSession
   * in "query_start_ms" (epoch millis) and its offset from suite start in
   * "query_offset_sec", so an external load spike can be intersected with
   * the affected query segment without re-running anything.
+  *
+  * Attribution channels (round-7 verdict #6/#7): per query, "gc_ms" (JVM
+  * GC delta — separates allocation-pressure windows from host
+  * contention), "shuffle_bytes" (task-metrics shuffle read+write — a
+  * query whose time doubled at unchanged shuffle volume did not change
+  * its plan), and "layout_builds" (tag + seconds of every committed
+  * layout BUILT during that query via [[LayoutLog]] — the post-`sbt test`
+  * cold-rebuild cost of q75/q98/q101/q116 reads as layout cost on the
+  * first query to touch it, not as regression).
   */
 object Bench {
 
@@ -52,6 +61,29 @@ object Bench {
       .selectExpr("bit_xor(xxhash64(id))") // xor: overflow-free under ANSI
       .collect()
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Cumulative JVM GC milliseconds across all collectors — per-query
+    * deltas let a GC-pressure window be told apart from host contention
+    * (round-7 verdict #7) without a judge re-run. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Task-metrics accumulator: shuffle bytes (read + written) observed by
+    * completed tasks. Listener delivery is asynchronous, so per-query
+    * deltas are approximate at the boundary (a trailing task may land on
+    * the next query) — fine for attributing a 2–5× contention window. */
+  private final class ShuffleBytesListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) bytes.addAndGet(
+        m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten)
+    }
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,9 +117,18 @@ object Bench {
     val probes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     // name -> (epoch_ms at start, offset from suite start in sec)
     val starts = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
+    // Per-query attribution channels (round-7 verdict #6/#7).
+    val gcMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val shufBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val layoutBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
+    val shufListener = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(shufListener)
+    LayoutLog.drain() // discard warmup-phase builds
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = ordered.zipWithIndex.flatMap { case ((name, fn), i) =>
       starts(name) = (System.currentTimeMillis(), (System.nanoTime() - suiteT0) / 1e9)
+      val gc0 = gcMillis()
+      val sb0 = shufListener.bytes.get()
       val t0 = System.nanoTime()
       val r =
         try {
@@ -99,6 +140,10 @@ object Bench {
             System.err.println(s"[bench] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
             None
         }
+      gcMs(name) = gcMillis() - gc0
+      shufBytes(name) = shufListener.bytes.get() - sb0
+      val lb = LayoutLog.drain()
+      if (lb.nonEmpty) layoutBuilds(name) = lb
       if ((i + 1) % ProbeEvery == 0 && i + 1 < ordered.size)
         probes += ((name, calibration(spark)))
       r
@@ -115,12 +160,19 @@ object Bench {
       .map { case (k, (ms, _)) => "\"" + k + "\":" + ms }.mkString("{", ",", "}")
     val offsetJson = starts
       .map { case (k, (_, off)) => "\"" + k + "\":" + off }.mkString("{", ",", "}")
+    val gcJson = gcMs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val shufJson = shufBytes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val layoutJson = layoutBuilds.map { case (k, bs) =>
+      "\"" + k + "\":" + bs.map { case (tag, s) => s"""{"tag":"$tag","sec":$s}""" }
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,""" +
         s""""calibration_pre_sec":$calPre,"calibration_post_sec":$calPost,""" +
         s""""calibration_probes":$probesJson,"query_start_ms":$startMsJson,""" +
-        s""""query_offset_sec":$offsetJson,"sf":"$sfDir"}"""
+        s""""query_offset_sec":$offsetJson,"gc_ms":$gcJson,"shuffle_bytes":$shufJson,""" +
+        s""""layout_builds":$layoutJson,"sf":"$sfDir"}"""
     // Mirror guard (round-4 verdict #6): every run writes an sf-STAMPED
     // mirror; the unstamped BENCH_LAST.json — the artifact BASELINE.md pins
     // against — is written only by sf0.1 runs, so a smaller-sf dev run can

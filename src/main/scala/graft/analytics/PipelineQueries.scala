@@ -1906,7 +1906,10 @@ object PipelineQueries {
                |LOCATION '${loc.toString}'""".stripMargin)
         } else {
           if (fs.exists(loc)) fs.delete(loc, true)
+          val t0 = System.nanoTime()
           write()
+          // Cold-build attribution (round-7 verdict #6) — see LayoutLog.
+          graft.LayoutLog.record(t, (System.nanoTime() - t0) / 1e9)
         }
       }
       ensure(lt, LineitemDdl, "l_orderkey", () =>

@@ -139,7 +139,11 @@ object IvfPqIndex {
       // meta commits LAST, so meta+codes complete ⇒ the layout is whole.
       if (!(done("codes") && done("meta"))) {
         if (fs.exists(loc)) fs.delete(loc, true)
+        val t0 = System.nanoTime()
         build(spark, corpus, idCol, vecCol, p, loc.toString)
+        // Cold-build attribution (round-7 verdict #6): the bench drains
+        // this after each query, so a rebuild reads as layout cost there.
+        graft.LayoutLog.record(s"ivfpq_$tag", (System.nanoTime() - t0) / 1e9)
       }
       load(spark, loc.toString, p)
     })

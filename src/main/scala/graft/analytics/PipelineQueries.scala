@@ -7180,6 +7180,19 @@ object PipelineQueries {
       .orderBy(col("rk"))
   }
 
+  /** Online SemDedup ingest admission (q240) — the sequential-semantics
+    * streaming variant of q78: see
+    * [[graft.similarity.SemDedup.onlineAdmission]]. Every intermediate
+    * wave frame memoizes + persists per (session, dir) so wave k never
+    * re-derives waves 0..k−1 by lineage (and repeated bench calls reuse
+    * one cache entry, the IncrementalDedup discipline). */
+  def onlineSemDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.SemDedup.onlineAdmission(spark,
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      memoFrame = (key, mk) => graft.SessionMemo.memo(spark, s"q240$key|$dir") {
+        mk().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7370,7 +7383,8 @@ object PipelineQueries {
     "q236_encoding_audit" -> (encodingAudit _),
     "q237_shard_rebalance" -> (shardRebalance _),
     "q238_bloom_join_prune" -> (bloomJoinPrune _),
-    "q239_global_rank" -> (globalRankQuery _))
+    "q239_global_rank" -> (globalRankQuery _),
+    "q240_online_semdedup" -> (onlineSemDedup _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -10818,7 +10832,60 @@ object PipelineQueries {
         |  FROM u)
         |SELECT user_id, total_cents, n_events, rk,
         |  CAST(rk * 10000 // n_users AS BIGINT) AS pctile_bp
-        |FROM r ORDER BY rk""".stripMargin)
+        |FROM r ORDER BY rk""".stripMargin,
+    // q240: the online admission recursion unrolls over the fixed wave
+    // count — wave b admits against adm0..adm(b−1) plus the order-free
+    // lower-id rule within its own wave; same seeded cells, same
+    // bit-exact cosine fold as q78.
+    "q240_online_semdedup" -> {
+      import graft.similarity.SemDedup.{Nlist, OnlineBatches, Tau}
+      val cosXY = VectorOracles.cosine("a.embedding", "b.embedding")
+      val waves = 0 until OnlineBatches
+      val waveCtes = waves.map { b =>
+        val dp =
+          if (b == 0) s"dp$b AS (SELECT vec_id FROM assigned WHERE 1 = 0)"
+          else {
+            val prior = (0 until b).map(i => s"SELECT vec_id, cell FROM adm$i")
+              .mkString(" UNION ALL ")
+            s"""dp$b AS (SELECT DISTINCT x.vec_id
+               |  FROM assigned x JOIN ($prior) p ON p.cell = x.cell
+               |  JOIN embeddings a ON a.vec_id = x.vec_id
+               |  JOIN embeddings b ON b.vec_id = p.vec_id
+               |  WHERE x.batch = $b AND $cosXY >= $Tau)""".stripMargin
+          }
+        val adm =
+          s"""adm$b AS (SELECT x.vec_id, x.cell FROM assigned x
+             |  WHERE x.batch = $b
+             |    AND x.vec_id NOT IN (SELECT vec_id FROM dp$b)
+             |    AND NOT EXISTS (SELECT 1 FROM assigned y
+             |      JOIN embeddings a ON a.vec_id = x.vec_id
+             |      JOIN embeddings b ON b.vec_id = y.vec_id
+             |      WHERE y.batch = $b AND y.cell = x.cell
+             |        AND y.vec_id < x.vec_id AND $cosXY >= $Tau))""".stripMargin
+        s"$dp,\n$adm"
+      }.mkString(",\n")
+      val statRows = waves.map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS batch,
+           |  (SELECT COUNT(*) FROM assigned WHERE batch = $b) AS n_arrived,
+           |  (SELECT COUNT(*) FROM adm$b) AS n_admitted,
+           |  (SELECT COUNT(*) FROM dp$b) AS n_dropped_prior,
+           |  (SELECT COUNT(*) FROM assigned WHERE batch = $b)
+           |    - (SELECT COUNT(*) FROM adm$b)
+           |    - (SELECT COUNT(*) FROM dp$b) AS n_dropped_within,
+           |  (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) FROM adm$b) AS admitted_id_sum""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $Nlist)),
+         |sims AS (SELECT e.vec_id, cen.cell,
+         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
+         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
+         |assigned AS (SELECT vec_id, cell, vec_id % $OnlineBatches AS batch FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |$waveCtes
+         |$statRows
+         |ORDER BY batch""".stripMargin
+    })
 
   /** Full oracle surface (split only so the shared q81/q98 SQL can sit
     * between the two literals). */

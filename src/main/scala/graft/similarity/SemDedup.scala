@@ -108,4 +108,91 @@ object SemDedup {
       if (trained) Ivf.trainedMatrix(spark, corpus, idCol, vecCol, nlist, dim) else null
     keepDecisions(spark, corpus, idCol, vecCol, tau, nlist, centroids)
   }
+
+  /** Arrival waves for the ONLINE variant (q240): wave = id % OnlineBatches
+    * — a deterministic stand-in for ingest micro-batches. */
+  val OnlineBatches = 4
+
+  /** ONLINE SemDedup (q240; round-7 verdict #8's suggested headroom):
+    * the ingest-time admission gate a training-data pipeline actually
+    * runs — new vectors arrive in waves against an ALREADY-ADMITTED
+    * corpus, and a vector is admitted iff no admitted vector from an
+    * EARLIER wave and no lower-id vector of its OWN wave sits within the
+    * semantic radius (cosine ≥ tau) in its IVF cell. Unlike the batch
+    * rule ([[keepDecisions]], where a dominated vector's dominator may
+    * itself be dominated), admission here is against the REAL admitted
+    * set — the sequential semantics of an online system, made exact and
+    * oracle-replayable by unrolling over a fixed wave count (the
+    * within-wave rule stays the order-free lower-id form, q78's
+    * documented price for declarative semantics).
+    *
+    * Per wave the output reports: arrivals, admissions, drops against
+    * the prior corpus, first-seen-in-wave drops, and the admitted-id sum
+    * (a portable checksum the oracle hash-matches).
+    *
+    * Scale shape: cell assignment is map-only; each wave's work is one
+    * cell-keyed join against the (persisted, memoized via `memoFrame`)
+    * admitted frame plus one within-wave cell self-join — Σ|cell|² per
+    * wave, the SemDeDup knob. Wave count is fixed and small; each
+    * admitted frame materializes once per session, so wave k never
+    * re-derives waves 0..k−1 by lineage. */
+  def onlineAdmission(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
+      tau: Double = Tau, nlist: Int = Nlist, nBatches: Int = OnlineBatches,
+      memoFrame: (String, () => DataFrame) => DataFrame = (_, mk) => mk()): DataFrame = {
+    val indexable = corpus.filter(col(vecCol).isNotNull)
+    val cellMatrix = indexable
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(cellMatrix.nonEmpty, "empty corpus: no vectors to build cells from")
+    val assigned = memoFrame("assigned", () => indexable.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      element_at(nearest_cells(col(vecCol), cellMatrix, 1), 1).as("cell"),
+      (col(idCol) % nBatches).as("batch")))
+    // admitted(b) = wave b's admitted rows (id, cell, v); memoized so the
+    // recursion never re-derives a prior wave.
+    lazy val admitted: Int => DataFrame = {
+      val cache = scala.collection.mutable.Map.empty[Int, DataFrame]
+      b => cache.getOrElseUpdate(b, memoFrame(s"adm$b", () => {
+        val wave = assigned.filter(col("batch") === b)
+        val prior =
+          if (b == 0) null
+          else (0 until b).map(admitted).reduce(_ unionByName _)
+        val dropPrior =
+          if (prior == null) null
+          else wave.join(prior.select(col("cell"), col("v").as("vp")), Seq("cell"))
+            .filter(cosine_sim(col("v"), col("vp")) >= tau)
+            .select(col("id")).distinct()
+        val dropWithin = wave.alias("x")
+          .join(wave.select(col("cell"), col("id").as("id_b"), col("v").as("vb")), Seq("cell"))
+          .filter(col("id_b") < col("id") && cosine_sim(col("v"), col("vb")) >= tau)
+          .select(col("id")).distinct()
+        val dropped = if (dropPrior == null) dropWithin
+          else dropPrior.unionByName(dropWithin).distinct()
+        wave.join(dropped, Seq("id"), "left_anti").select(col("id"), col("cell"), col("v"))
+      }))
+    }
+    val stats = (0 until nBatches).map { b =>
+      val wave = assigned.filter(col("batch") === b)
+      val adm = admitted(b)
+      val prior =
+        if (b == 0) null
+        else (0 until b).map(admitted).reduce(_ unionByName _)
+      val dropPrior =
+        if (prior == null) wave.limit(0).select(col("id"))
+        else wave.join(prior.select(col("cell"), col("v").as("vp")), Seq("cell"))
+          .filter(cosine_sim(col("v"), col("vp")) >= tau)
+          .select(col("id")).distinct()
+      wave.agg(count(lit(1)).as("n_arrived"))
+        .crossJoin(broadcast(adm.agg(count(lit(1)).as("n_admitted"),
+          coalesce(sum(col("id")), lit(0L)).as("admitted_id_sum"))))
+        .crossJoin(broadcast(dropPrior.agg(count(lit(1)).as("n_dropped_prior"))))
+        .select(lit(b.toLong).as("batch"), col("n_arrived"), col("n_admitted"),
+          col("n_dropped_prior"),
+          (col("n_arrived") - col("n_admitted") - col("n_dropped_prior"))
+            .as("n_dropped_within"),
+          col("admitted_id_sum"))
+    }
+    stats.reduce(_ unionByName _).orderBy(col("batch"))
+  }
 }

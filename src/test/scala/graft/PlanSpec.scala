@@ -1123,6 +1123,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q239: rank runs a range exchange + pid-local window; no unpartitioned data window") {
+    val p = planOf("q239_global_rank")
+    assert(p.contains("rangepartitioning"), p)
+    assert(!"""windowspecdefinition\(total_cents#\d+""".r.findFirstIn(p).isDefined,
+      s"unpartitioned window over the user frame:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q240: wave admission joins are cell-keyed hash joins over memoized frames") {
+    val p = planOf("q240_online_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // Prior-corpus and within-wave candidate joins key on the IVF cell.
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    // Wave frames come from the session memo, not lineage re-derivation.
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

@@ -2062,6 +2062,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(hrwMoved * 4L < nk, s"hrw should move ~1/9 of $nk keys, moved $hrwMoved")
   }
 
+  test("q240 online SemDedup: sequential admission differs from the batch rule") {
+    import spark.implicits._
+    // Angles 0°/23°/46°/5°: id2 (wave 0) is dominated by id0 (cos 0.92 ≥
+    // 0.9 → dropped within wave); id1 (wave 1) is near the DROPPED id2
+    // (0.92) but far from the admitted id0 (0.69) → the online rule
+    // ADMITS it (q78's batch rule would have dropped it against the
+    // lower id regardless of admission); id3 is near the prior-admitted
+    // id0 (0.996) → dropped against the prior corpus.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.6947f, 0.7193f)),
+      (2L, Array(0.9205f, 0.3907f)), (3L, Array(0.9962f, 0.0872f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.similarity.SemDedup
+      .onlineAdmission(spark, vecs, "vec_id", "embedding",
+        tau = 0.9, nlist = 1, nBatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 0L, 1L, 0L),   // wave 0: id0 admitted, id2 dropped within
+      (1L, 2L, 1L, 1L, 0L, 1L)),  // wave 1: id1 admitted, id3 dropped vs prior
+      out.toSeq.mkString(","))
+  }
+
   test("q238 Bloom pruning: zero false negatives, exact truth, FP only additive") {
     val r = graft.analytics.PipelineQueries.bloomJoinPrune(spark, TestSpark.SfDir).collect()(0)
     val (nPass, nTrue, nFp) = (r.getAs[Long]("n_pass"), r.getAs[Long]("n_true"), r.getAs[Long]("n_false_pos"))

@@ -5879,19 +5879,27 @@ object PipelineQueries {
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (r <- 1 to KCoreRounds) {
-      val deg = edges.select(col("u").as("node")).union(edges.select(col("v").as("node")))
+      // Degrees in ONE edge pass (explode both endpoints, not a
+      // union-of-projections that scans the cache twice); the survivor
+      // list persists because BOTH semi-joins consume it — unpersisted,
+      // each re-derived the degree aggregate (round-8: that duplication
+      // plus per-action planning on the 2^r-deep lineage was most of the
+      // 7.7 s this query cost at sf0.01).
+      val kept = edges.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val kept = deg.filter(col("deg") >= KCoreK).select(col("node"))
+        .filter(col("deg") >= KCoreK).select(col("node"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += kept
       val next = edges
         .join(kept.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(kept.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached += next
-      val nEdges = next.count()
-      val nNodes = next.select(col("u").as("n")).union(next.select(col("v").as("n")))
-        .distinct().count()
-      rows += ((r, nNodes, nEdges))
+      // Node and edge counts from ONE action over the cached frame.
+      val stats = next.select(explode(array(col("u"), col("v"))).as("n"))
+        .agg(count(lit(1)).as("ends"), countDistinct(col("n")).as("nodes")).head()
+      rows += ((r, stats.getLong(1), stats.getLong(0) / 2))
       edges = next
     }
     cached.foreach(_.unpersist(blocking = false))
@@ -6246,8 +6254,12 @@ object PipelineQueries {
 
   private[graft] def kHopReachabilityOf(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val sym = edges.select(col("u").as("s"), col("v").as("t"))
-      .union(edges.select(col("v").as("s"), col("u").as("t")))
+    // Symmetrize in ONE cache pass (explode, not union-of-projections —
+    // the union scanned the edge cache twice per frontier expansion).
+    val sym = edges.select(explode(array(
+        struct(col("u").as("s"), col("v").as("t")),
+        struct(col("v").as("s"), col("u").as("t")))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
     val seed = edges.agg(min(col("u"))).head().getLong(0)
     var frontier = Seq(seed).toDF("node")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -7180,6 +7192,68 @@ object PipelineQueries {
       .orderBy(col("rk"))
   }
 
+  /** Exact distributed quantiles (q241) — the selection complement to
+    * q69's `approx_percentile`: p50/p90/p99/p99.9 of the event-value
+    * distribution EXACTLY, via [[graft.operators.GlobalRank]] (sampled
+    * range exchange + block-local rank — no single-task sort) and the
+    * textbook ceiling-rank selection rk = ⌈p·n⌉. The 4-row quantile spec
+    * broadcasts and matches ranks map-side, so the corpus-sized work is
+    * one range shuffle; `approx_percentile`'s error bound becomes an
+    * equality the oracle hash-checks. At 100 TB this is the exact-SLA
+    * readout (p99.9 latency, p99 spend) a sketch can only bracket. */
+  def exactQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    val ranked = graft.operators.GlobalRank
+      .rowNumber(v, Seq(col("cents").asc, col("event_id").asc), "rk")
+    val n = v.agg(count(lit(1)).as("n_rows"))
+    val quants = Seq(("p50", 50L, 100L), ("p90", 90L, 100L),
+      ("p99", 99L, 100L), ("p999", 999L, 1000L)).toDF("quantile", "p_num", "p_den")
+    ranked.crossJoin(broadcast(n))
+      .join(broadcast(quants),
+        col("rk") === expr("(n_rows * p_num + p_den - 1) div p_den"))
+      .select(col("quantile"), col("rk").as("rank"), col("n_rows"), col("cents"))
+      .orderBy(col("quantile"))
+  }
+
+  /** q242 skew-audit constants, shared with the oracle: the simulated
+    * shuffle width and the candidate salt factors. */
+  private[graft] val SkewParts = 32L
+  private[graft] val SkewSalts = Seq(1L, 2L, 4L, 8L)
+
+  /** Shuffle-skew audit with salt sweep (q242) — the MEASURE step after
+    * q107's diagnose step: q107 recommends a salt factor from per-key
+    * counts; this query verifies what each factor actually buys at the
+    * reducer. Route every
+    * event row by the portable md5-h60 of `user_id#(event_id % s)` into
+    * [[SkewParts]] reducers for each candidate salt factor
+    * s ∈ [[SkewSalts]] (s = 1 is the unsalted baseline), and report per
+    * factor the reducers used, the hottest reducer's load, and the
+    * max/avg imbalance in bp (10000 = perfectly even). The routing hash
+    * is the same engine-portable arithmetic as q237, so DuckDB replays
+    * the placement bit-exactly — the salt recommendation is a measured
+    * fact, not a heuristic. One map-side explode (|salts| rows per
+    * event) + one aggregate pair; nothing corpus-sized joins. */
+  def saltSweepAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val salts = SkewSalts.mkString("array(", "L,", "L)")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), explode(expr(salts)).as("salt"))
+    val h = md5_token_hashes(
+      array(concat(col("user_id").cast("string"), lit("#"),
+        (col("event_id") % col("salt")).cast("string"))), bits = 60).getItem(0)
+    ev.withColumn("part", pmod(h, lit(SkewParts)))
+      .groupBy(col("salt"), col("part")).agg(count(lit(1)).as("load"))
+      .groupBy(col("salt"))
+      .agg(sum(col("load")).as("n_rows"), count(lit(1)).as("parts_used"),
+        max(col("load")).as("max_load"))
+      .select(col("salt"), col("n_rows"), col("parts_used"), col("max_load"),
+        expr(s"max_load * 10000L * $SkewParts div n_rows").as("skew_bp"))
+      .orderBy(col("salt"))
+  }
+
   /** Online SemDedup ingest admission (q240) — the sequential-semantics
     * streaming variant of q78: see
     * [[graft.similarity.SemDedup.onlineAdmission]]. Every intermediate
@@ -7384,7 +7458,9 @@ object PipelineQueries {
     "q237_shard_rebalance" -> (shardRebalance _),
     "q238_bloom_join_prune" -> (bloomJoinPrune _),
     "q239_global_rank" -> (globalRankQuery _),
-    "q240_online_semdedup" -> (onlineSemDedup _))
+    "q240_online_semdedup" -> (onlineSemDedup _),
+    "q241_exact_quantiles" -> (exactQuantiles _),
+    "q242_salt_sweep" -> (saltSweepAudit _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -10885,6 +10961,30 @@ object PipelineQueries {
          |$waveCtes
          |$statRows
          |ORDER BY batch""".stripMargin
+    },
+    // q241: ceiling-rank selection replayed serially; value ties break on
+    // event_id in BOTH engines, so the selected row is unique and exact.
+    "q241_exact_quantiles" ->
+      """WITH v AS (SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, event_id) AS BIGINT) AS rk,
+        |    COUNT(*) OVER () AS n_rows FROM v),
+        |q(quantile, p_num, p_den) AS (VALUES
+        |  ('p50', 50, 100), ('p90', 90, 100), ('p99', 99, 100), ('p999', 999, 1000))
+        |SELECT q.quantile, r.rk AS rank, CAST(r.n_rows AS BIGINT) AS n_rows, r.cents
+        |FROM r JOIN q ON r.rk = (r.n_rows * q.p_num + q.p_den - 1) // q.p_den
+        |ORDER BY q.quantile""".stripMargin,
+    // q242: identical md5-h60 routing per (key, salt residue) — placement
+    // replays bit-exactly, so the imbalance numbers match by hash.
+    "q242_salt_sweep" -> {
+      val hR = duckH60("CAST(user_id AS VARCHAR) || '#' || CAST(event_id % salt AS VARCHAR)")
+      s"""WITH s(salt) AS (VALUES (${SkewSalts.mkString("), (")})),
+         |p AS (SELECT salt, ($hR) % $SkewParts AS part, COUNT(*) AS load
+         |  FROM events CROSS JOIN s GROUP BY 1, 2)
+         |SELECT CAST(salt AS BIGINT) AS salt, CAST(SUM(load) AS BIGINT) AS n_rows,
+         |  COUNT(*) AS parts_used, CAST(MAX(load) AS BIGINT) AS max_load,
+         |  CAST(MAX(load) * 10000 * $SkewParts // SUM(load) AS BIGINT) AS skew_bp
+         |FROM p GROUP BY salt ORDER BY salt""".stripMargin
     })
 
   /** Full oracle surface (split only so the shared q81/q98 SQL can sit

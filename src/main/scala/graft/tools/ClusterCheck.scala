@@ -56,7 +56,14 @@ object ClusterCheck {
     // consumers from executor-resident cache (q229), and the typed
     // mapPartitions container round-trip (q218 — the Mp4 builder/parser
     // closures must serialize to worker JVMs).
-    "q218_mp4_metadata", "q224_ann_binary_quant", "q229_bitmap_membership")
+    "q218_mp4_metadata", "q224_ann_binary_quant", "q229_bitmap_membership",
+    // Round-8 additions: the set-collapse prefix join's persisted
+    // sets/members hubs feeding five lineage branches from
+    // executor-resident cache (q235), GlobalRank's range exchange +
+    // spark_partition_id block ranks (q239 — pid semantics must hold
+    // when partitions live in separate worker JVMs), and the online
+    // SemDedup wave recursion over per-wave persisted frames (q240).
+    "q235_prefix_filter_join", "q239_global_rank", "q240_online_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -879,15 +879,21 @@ class PlanSpec extends AnyFunSuite {
       s"the purchase slice must reach the scan:\n$p")
     // Round-8: the rank runs through GlobalRank (range exchange +
     // pid-partitioned block rank) — no window may order the user frame
-    // unpartitioned. The scalar branch re-states the user aggregate
-    // (2 printed scans); AQE stage reuse executes the identical
-    // scan+aggregate subtree once at runtime.
+    // unpartitioned. The initial plan RE-STATES the user aggregate in the
+    // rank/offset/scalar branches (4 printed scans); at runtime AQE stage
+    // reuse collapses the identical scan+aggregate subtrees — asserted on
+    // the executed plan below.
     assert(p.contains("rangepartitioning"),
       s"the rank must range-shard, not single-partition sort:\n$p")
     assert(!"""windowspecdefinition\(v#\d+""".r.findFirstIn(p).isDefined,
       s"unpartitioned window over the user frame (the round-7 scale-killer):\n$p")
-    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") <= 2, p)
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") <= 4, p)
     assert(p.contains("partial_sum"), p)
+    val df = SparkEntry.queries("q185_revenue_concentration")(spark, TestSpark.SfDir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"identical user-aggregate subtrees must reuse at runtime:\n$executed")
   }
 
   test("q186: all three model consumers read the bigram memo; no live corpus re-scan") {

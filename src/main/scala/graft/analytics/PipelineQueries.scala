@@ -7254,6 +7254,62 @@ object PipelineQueries {
       .orderBy(col("salt"))
   }
 
+  /** q243 patterns, shared with the oracle. Chosen to span the precision
+    * spectrum: an adjacent-word literal, a rare collocation, and a
+    * cross-word fragment whose trigrams are individually common. */
+  private[graft] val TrigramPatterns = Seq("merge batch", "slow fast", "k agg r")
+
+  /** Trigram-index substring search (q243) — how a code-search engine
+    * greps 100 TB (Google Code Search / Zoekt / Sourcegraph): build
+    * character-trigram postings ONCE, answer a substring query by
+    * intersecting the postings of the pattern's trigrams (conjunctive —
+    * necessary but not sufficient, since grams can match out of order),
+    * and verify only the candidates with a real `contains`. Per pattern
+    * the audit reports candidates, verified matches, the index's
+    * precision (what fraction of candidate I/O was real — the number
+    * that justifies the index), and corpus selectivity, all in bp.
+    * Distinct from q153's token-level positional phrase search: this is
+    * SUBSTRING semantics over raw characters, and the candidate set
+    * comes from an index intersection, not position arithmetic.
+    *
+    * Scale shape: the postings build is one map-side explode + distinct
+    * (exactly the layout a search cluster materializes once and
+    * bucket-joins forever); per query the work is |patterns| broadcast
+    * joins over gram-keyed postings and a verify touch of candidates
+    * only. Nothing corpus × corpus. */
+  def trigramSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val grams = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+      .as("gram")).distinct()
+    val pats = TrigramPatterns.toDF("pattern")
+      .select(col("pattern"), explode(expr(
+        "transform(sequence(1, length(pattern) - 2), i -> substring(pattern, i, 3))"))
+        .as("gram")).distinct()
+    val patSizes = pats.groupBy(col("pattern")).agg(count(lit(1)).as("n_grams"))
+    val cands = grams.join(broadcast(pats), Seq("gram"))
+      .groupBy(col("pattern"), col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(patSizes), Seq("pattern"))
+      .filter(col("n_hit") === col("n_grams"))
+      .select(col("pattern"), col("doc_id"))
+    val verified = cands.join(docs, Seq("doc_id"))
+      .filter(expr("instr(text, pattern) > 0"))
+      .select(col("pattern"), col("doc_id"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    broadcast(patSizes)
+      .join(cands.groupBy(col("pattern")).agg(count(lit(1)).as("n_candidates")), Seq("pattern"), "left")
+      .join(verified.groupBy(col("pattern")).agg(count(lit(1)).as("n_matches")), Seq("pattern"), "left")
+      .crossJoin(broadcast(nDocs))
+      .select(col("pattern"), col("n_grams"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        expr("CASE WHEN coalesce(n_candidates, 0) = 0 THEN 10000L ELSE coalesce(n_matches, 0) * 10000L div n_candidates END")
+          .as("precision_bp"),
+        expr("coalesce(n_matches, 0) * 10000L div n_docs").as("selectivity_bp"))
+      .orderBy(col("pattern"))
+  }
+
   /** Online SemDedup ingest admission (q240) — the sequential-semantics
     * streaming variant of q78: see
     * [[graft.similarity.SemDedup.onlineAdmission]]. Every intermediate
@@ -7460,7 +7516,8 @@ object PipelineQueries {
     "q239_global_rank" -> (globalRankQuery _),
     "q240_online_semdedup" -> (onlineSemDedup _),
     "q241_exact_quantiles" -> (exactQuantiles _),
-    "q242_salt_sweep" -> (saltSweepAudit _))
+    "q242_salt_sweep" -> (saltSweepAudit _),
+    "q243_trigram_search" -> (trigramSearch _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -10985,6 +11042,37 @@ object PipelineQueries {
          |  COUNT(*) AS parts_used, CAST(MAX(load) AS BIGINT) AS max_load,
          |  CAST(MAX(load) * 10000 * $SkewParts // SUM(load) AS BIGINT) AS skew_bp
          |FROM p GROUP BY salt ORDER BY salt""".stripMargin
+    },
+    // q243: identical trigram extraction windows, identical conjunctive
+    // candidate rule, identical substring verification — counts replay
+    // exactly on both engines.
+    "q243_trigram_search" -> {
+      val pv = TrigramPatterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH pat(pattern) AS (VALUES $pv),
+         |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+         |    i -> substr(text, CAST(i AS INTEGER), 3))) AS gram
+         |  FROM documents),
+         |pg AS (SELECT DISTINCT pattern, unnest(list_transform(range(1, length(pattern) - 2 + 1),
+         |    i -> substr(pattern, CAST(i AS INTEGER), 3))) AS gram
+         |  FROM pat),
+         |ps AS (SELECT pattern, COUNT(*) AS n_grams FROM pg GROUP BY pattern),
+         |c AS (SELECT g2.pattern, g2.doc_id FROM (
+         |    SELECT pg.pattern, g.doc_id, COUNT(*) AS n_hit
+         |    FROM g JOIN pg ON g.gram = pg.gram GROUP BY 1, 2) g2
+         |  JOIN ps ON ps.pattern = g2.pattern WHERE g2.n_hit = ps.n_grams),
+         |v AS (SELECT c.pattern, c.doc_id FROM c JOIN documents d ON d.doc_id = c.doc_id
+         |  WHERE position(c.pattern IN d.text) > 0),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT ps.pattern, ps.n_grams,
+         |  CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_candidates,
+         |  CAST(COALESCE(vv.n, 0) AS BIGINT) AS n_matches,
+         |  CAST(CASE WHEN COALESCE(cc.n, 0) = 0 THEN 10000
+         |    ELSE COALESCE(vv.n, 0) * 10000 // cc.n END AS BIGINT) AS precision_bp,
+         |  CAST(COALESCE(vv.n, 0) * 10000 // (SELECT n_docs FROM nd) AS BIGINT) AS selectivity_bp
+         |FROM ps
+         |LEFT JOIN (SELECT pattern, COUNT(*) AS n FROM c GROUP BY 1) cc ON cc.pattern = ps.pattern
+         |LEFT JOIN (SELECT pattern, COUNT(*) AS n FROM v GROUP BY 1) vv ON vv.pattern = ps.pattern
+         |ORDER BY ps.pattern""".stripMargin
     })
 
   /** Full oracle surface (split only so the shared q81/q98 SQL can sit

@@ -7310,6 +7310,51 @@ object PipelineQueries {
       .orderBy(col("pattern"))
   }
 
+  /** q244 Benford expected first-digit shares in basis points —
+    * ⌊log10(1 + 1/d)·10⁴⌋ for d = 1..9, public constants (the floor makes
+    * them sum to 9998; the statistic uses them verbatim on both engines,
+    * so the 2 bp of rounding cancels in the compare). */
+  private[graft] val BenfordBp = Seq(3010L, 1760L, 1249L, 969L, 791L, 669L, 579L, 511L, 457L)
+
+  /** Benford first-digit conformance audit (q244) — the forensic
+    * data-quality screen run on financial columns before trusting them
+    * (fabricated or capped numbers flunk it): the first significant
+    * digit of every positive order total, observed vs Benford-expected
+    * share, per-digit deviation, and the Pearson χ² statistic — all in
+    * exact integer arithmetic against the published constants
+    * ([[BenfordBp]]), no libm log in either engine. Emits one row per
+    * digit plus the χ² ride-along; the digit extraction is pure string
+    * arithmetic on exact cents (`substring` of the BIGINT — never float
+    * formatting). One scan → 9-key aggregate; nothing shuffles but the
+    * 9-row digit frame. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.orders(spark, dir)
+      .select(expr("CAST(o_totalprice * 100 AS DECIMAL(14,0))").cast("long").as("cents"))
+      .filter(col("cents") > 0L)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)").as("digit"))
+    val expected = BenfordBp.zipWithIndex
+      .map { case (bp, i) => (i + 1L, bp) }.toDF("digit", "expected_bp")
+    val obs = cents.groupBy(col("digit")).agg(count(lit(1)).as("n_observed"))
+    val joined = broadcast(expected).join(obs, Seq("digit"), "left")
+      .withColumn("n_observed", coalesce(col("n_observed"), lit(0L)))
+    val tot = cents.agg(count(lit(1)).as("n_total"))
+    // χ² = Σ (obs − exp)² / exp with exp = n·p; in integer bp:
+    // Σ (obs·10⁴ − n·p_bp)² · 10⁴ div (n · p_bp · 10⁴) — DECIMAL(38,0)
+    // for the squared term (obs·10⁴ ~ 10¹¹ at production counts squares
+    // past BIGINT, the q185/q192 wide-product discipline).
+    joined.crossJoin(broadcast(tot))
+      .withColumn("observed_bp", expr("n_observed * 10000L div n_total"))
+      .withColumn("dev_bp", col("observed_bp") - col("expected_bp"))
+      .withColumn("chi2_x10000",
+        expr("""CAST((CAST(n_observed AS DECIMAL(38,0)) * 10000 - CAST(n_total AS DECIMAL(38,0)) * expected_bp)
+               |  * (CAST(n_observed AS DECIMAL(38,0)) * 10000 - CAST(n_total AS DECIMAL(38,0)) * expected_bp)
+               |  div (CAST(n_total AS DECIMAL(38,0)) * expected_bp * 10000) AS BIGINT)""".stripMargin))
+      .select(col("digit"), col("n_observed"), col("n_total"),
+        col("expected_bp"), col("observed_bp"), col("dev_bp"), col("chi2_x10000"))
+      .orderBy(col("digit"))
+  }
+
   /** Online SemDedup ingest admission (q240) — the sequential-semantics
     * streaming variant of q78: see
     * [[graft.similarity.SemDedup.onlineAdmission]]. Every intermediate
@@ -7517,7 +7562,8 @@ object PipelineQueries {
     "q240_online_semdedup" -> (onlineSemDedup _),
     "q241_exact_quantiles" -> (exactQuantiles _),
     "q242_salt_sweep" -> (saltSweepAudit _),
-    "q243_trigram_search" -> (trigramSearch _))
+    "q243_trigram_search" -> (trigramSearch _),
+    "q244_benford_audit" -> (benfordAudit _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -11073,6 +11119,30 @@ object PipelineQueries {
          |LEFT JOIN (SELECT pattern, COUNT(*) AS n FROM c GROUP BY 1) cc ON cc.pattern = ps.pattern
          |LEFT JOIN (SELECT pattern, COUNT(*) AS n FROM v GROUP BY 1) vv ON vv.pattern = ps.pattern
          |ORDER BY ps.pattern""".stripMargin
+    },
+    // q244: same public Benford bp constants, same exact-cents digit
+    // extraction, same integer χ² arithmetic (HUGEINT mirrors the
+    // engine's DECIMAL(38,0) wide products).
+    "q244_benford_audit" -> {
+      val ev = BenfordBp.zipWithIndex
+        .map { case (bp, i) => s"(${i + 1}, $bp)" }.mkString(", ")
+      s"""WITH c AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM (
+         |    SELECT CAST(CAST(o_totalprice * 100 AS DECIMAL(14,0)) AS BIGINT) AS cents FROM orders)
+         |  WHERE cents > 0),
+         |e(digit, expected_bp) AS (VALUES $ev),
+         |o AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS n_total FROM c)
+         |SELECT CAST(e.digit AS BIGINT) AS digit,
+         |  CAST(COALESCE(o.n, 0) AS BIGINT) AS n_observed,
+         |  CAST(t.n_total AS BIGINT) AS n_total,
+         |  CAST(e.expected_bp AS BIGINT) AS expected_bp,
+         |  CAST(COALESCE(o.n, 0) * 10000 // t.n_total AS BIGINT) AS observed_bp,
+         |  CAST(COALESCE(o.n, 0) * 10000 // t.n_total - e.expected_bp AS BIGINT) AS dev_bp,
+         |  CAST((CAST(COALESCE(o.n, 0) AS HUGEINT) * 10000 - CAST(t.n_total AS HUGEINT) * e.expected_bp)
+         |    * (CAST(COALESCE(o.n, 0) AS HUGEINT) * 10000 - CAST(t.n_total AS HUGEINT) * e.expected_bp)
+         |    // (CAST(t.n_total AS HUGEINT) * e.expected_bp * 10000) AS BIGINT) AS chi2_x10000
+         |FROM e CROSS JOIN t LEFT JOIN o ON o.digit = e.digit
+         |ORDER BY e.digit""".stripMargin
     })
 
   /** Full oracle surface (split only so the shared q81/q98 SQL can sit

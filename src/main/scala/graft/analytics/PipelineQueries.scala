@@ -7355,6 +7355,105 @@ object PipelineQueries {
       .orderBy(col("digit"))
   }
 
+  /** Exact community-quality scoring (q245) — Newman modularity of the
+    * q149 min-label communities, in exact integers: for each community c
+    * the contribution Qc = (2m·E2c − Dc²) / (2m)² with E2c = internal
+    * edge-ENDPOINT count and Dc = degree sum, emitted ×10⁸ with
+    * DECIMAL(38,0) wide products (Dc² reaches (2m)² ≈ 4·10¹⁸ at graph
+    * scale — the q185/q192 discipline), plus the whole-partition total
+    * (the sum of the per-community FLOORED contributions — both engines
+    * floor identically, so the total replays exactly). This is the
+    * detector-quality readout run after every community detection: label
+    * propagation PARTITIONS the graph (q149), modularity says whether
+    * the partition means anything. Scale shape: one edge pass keyed by
+    * endpoint labels (two node-sized broadcast-able label joins over the
+    * persisted symmetric edge memo) + node-sized aggregates; the 1-row
+    * 2m scalar broadcasts back. */
+  def modularityScore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graph.Graph
+    val symDeg = graft.SessionMemo.memo(spark, s"q139symdeg|$dir") {
+      val s = Graph.symmetricWithDegrees(
+        Graph.purchaseEdges(Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
+      s.count()
+      s
+    }
+    val labels = graft.SessionMemo.memo(spark, s"q149labels|$dir") {
+      Graph.labelPropagation(symDeg)
+    }
+    val e2 = symDeg.select(col("src"), col("dst"))
+      .join(labels.select(col("node").as("src"), col("lbl").as("la")), Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("lbl").as("lb")), Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("int_endpoints"))
+    val degC = symDeg.select(col("src"), col("outdeg")).distinct()
+      .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("outdeg")).as("deg_sum"), count(lit(1)).as("n_members"))
+    val m2 = symDeg.agg(count(lit(1)).as("m2"))
+    val per = degC.join(e2, Seq("lbl"), "left")
+      .withColumn("int_endpoints", coalesce(col("int_endpoints"), lit(0L)))
+      .crossJoin(broadcast(m2))
+      .withColumn("q_contrib_x1e8", expr(
+        """CAST((CAST(m2 AS DECIMAL(38,0)) * int_endpoints
+          |  - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum) * 100000000
+          |  div (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)""".stripMargin))
+    val total = per.agg(sum(col("q_contrib_x1e8")).as("q_total_x1e8"))
+    per.crossJoin(broadcast(total))
+      .select(col("lbl").as("community_lbl"), col("n_members"), col("deg_sum"),
+        col("int_endpoints"), col("q_contrib_x1e8"), col("q_total_x1e8"))
+      .orderBy(col("n_members").desc, col("community_lbl"))
+      .limit(20)
+  }
+
+  /** Schema-evolution audit (q246) — the reference repo's own migration
+    * problem (SURVEY §0.1: gen-1 payloads carry `sword_type`/`guild_name`,
+    * gen-2 replaces them with `direction`/`event_detail`) surfaced as the
+    * audit a lakehouse runs before merging mixed-generation JSON: both
+    * generations serialize (deterministic field synthesis from the typed
+    * rows), re-parse under the MERGED superset schema (PERMISSIVE —
+    * absent fields read as null, exactly how schema-on-read sees old
+    * files), and every field reports per-generation non-null coverage in
+    * bp plus its migration status (common / removed_in_gen2 /
+    * added_in_gen2). Map-only serialize+parse, one 5-key aggregate; the
+    * oracle replays the field-synthesis rules directly — a parser that
+    * dropped or hallucinated a field breaks the hash. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val gen1 = ev.filter(col("event_id") % 2 === 0)
+      .select(lit(1L).as("gen"), to_json(struct(
+        col("event_type"),
+        concat(lit("sword_"), (col("user_id") % 3).cast("string")).as("sword_type"),
+        concat(lit("guild_"), (col("user_id") % 5).cast("string")).as("guild_name"))).as("line"))
+    val gen2 = ev.filter(col("event_id") % 2 === 1)
+      .select(lit(2L).as("gen"), to_json(struct(
+        col("event_type"),
+        when(col("user_id") % 2 === 0, "increase").otherwise("reduce").as("direction"),
+        concat(lit("detail_"), (col("user_id") % 7).cast("string")).as("event_detail"))).as("line"))
+    val merged = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_type STRING, sword_type STRING, guild_name STRING, direction STRING, event_detail STRING")
+    val fields = Seq("event_type", "sword_type", "guild_name", "direction", "event_detail")
+    val stackExpr = "stack(" + fields.size + ", " +
+      fields.map(f => s"'$f', CASE WHEN p.$f IS NOT NULL THEN 1L ELSE 0L END").mkString(", ") +
+      ") AS (field, present)"
+    gen1.unionByName(gen2)
+      .select(col("gen"), from_json(col("line"), merged).as("p"))
+      .select(col("gen"), expr(stackExpr))
+      .groupBy(col("field"))
+      .agg(sum(when(col("gen") === 1L, col("present")).otherwise(0L)).as("gen1_nonnull"),
+        sum(when(col("gen") === 1L, 1L).otherwise(0L)).as("gen1_rows"),
+        sum(when(col("gen") === 2L, col("present")).otherwise(0L)).as("gen2_nonnull"),
+        sum(when(col("gen") === 2L, 1L).otherwise(0L)).as("gen2_rows"))
+      .select(col("field"), col("gen1_nonnull"), col("gen2_nonnull"),
+        expr("gen1_nonnull * 10000L div gen1_rows").as("gen1_coverage_bp"),
+        expr("gen2_nonnull * 10000L div gen2_rows").as("gen2_coverage_bp"),
+        expr("""CASE WHEN gen1_nonnull > 0 AND gen2_nonnull > 0 THEN 'common'
+               |  WHEN gen1_nonnull > 0 THEN 'removed_in_gen2'
+               |  WHEN gen2_nonnull > 0 THEN 'added_in_gen2'
+               |  ELSE 'absent' END""".stripMargin).as("status"))
+      .orderBy(col("field"))
+  }
+
   /** Online SemDedup ingest admission (q240) — the sequential-semantics
     * streaming variant of q78: see
     * [[graft.similarity.SemDedup.onlineAdmission]]. Every intermediate
@@ -7563,7 +7662,9 @@ object PipelineQueries {
     "q241_exact_quantiles" -> (exactQuantiles _),
     "q242_salt_sweep" -> (saltSweepAudit _),
     "q243_trigram_search" -> (trigramSearch _),
-    "q244_benford_audit" -> (benfordAudit _))
+    "q244_benford_audit" -> (benfordAudit _),
+    "q245_modularity" -> (modularityScore _),
+    "q246_schema_evolution" -> (schemaEvolution _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -11143,7 +11244,70 @@ object PipelineQueries {
          |    // (CAST(t.n_total AS HUGEINT) * e.expected_bp * 10000) AS BIGINT) AS chi2_x10000
          |FROM e CROSS JOIN t LEFT JOIN o ON o.digit = e.digit
          |ORDER BY e.digit""".stripMargin
-    })
+    },
+    // q245: the q149 unrolled label CTEs + the same integer modularity
+    // arithmetic (HUGEINT mirrors the engine's DECIMAL(38,0) products;
+    // both engines floor per community, so the total matches too).
+    "q245_modularity" -> {
+      import graft.graph.Graph
+      def step(prev: String, next: String): String =
+        s"""$next AS (SELECT node, MIN(lbl) AS lbl FROM (
+           |  SELECT e.src AS node, p.lbl FROM se e JOIN $prev p ON p.node = e.dst
+           |  UNION ALL SELECT node, lbl FROM $prev) GROUP BY node)""".stripMargin
+      val steps = (1 to Graph.LpIters).map(i => step(s"l${i - 1}", s"l$i")).mkString(",\n")
+      val lN = s"l${Graph.LpIters}"
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |se AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM se),
+         |$steps,
+         |m AS (SELECT COUNT(*) AS m2 FROM se),
+         |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM se GROUP BY src),
+         |dc AS (SELECT l.lbl, CAST(SUM(d.outdeg) AS BIGINT) AS deg_sum,
+         |    COUNT(*) AS n_members
+         |  FROM $lN l JOIN deg d ON d.node = l.node GROUP BY l.lbl),
+         |e2 AS (SELECT a.lbl, COUNT(*) AS int_endpoints
+         |  FROM se JOIN $lN a ON a.node = se.src JOIN $lN b ON b.node = se.dst
+         |  WHERE a.lbl = b.lbl GROUP BY a.lbl),
+         |per AS (SELECT dc.lbl, dc.n_members, dc.deg_sum,
+         |    CAST(COALESCE(e2.int_endpoints, 0) AS BIGINT) AS int_endpoints,
+         |    CAST((CAST(m.m2 AS HUGEINT) * COALESCE(e2.int_endpoints, 0)
+         |      - CAST(dc.deg_sum AS HUGEINT) * dc.deg_sum) * 100000000
+         |      // (CAST(m.m2 AS HUGEINT) * m.m2) AS BIGINT) AS q_contrib_x1e8
+         |  FROM dc CROSS JOIN m LEFT JOIN e2 ON e2.lbl = dc.lbl)
+         |SELECT lbl AS community_lbl, n_members, deg_sum, int_endpoints,
+         |  q_contrib_x1e8,
+         |  (SELECT CAST(SUM(q_contrib_x1e8) AS BIGINT) FROM per) AS q_total_x1e8
+         |FROM per ORDER BY n_members DESC, community_lbl LIMIT 20""".stripMargin
+    },
+    // q246: the oracle replays the field-synthesis rules directly (no
+    // JSON round-trip) — the engine's serialize→merged-schema-parse path
+    // must land on exactly these counts or the hash breaks. direction is
+    // non-null even for null user_id (the otherwise-branch), the
+    // user_id-derived fields are not — mirrored per field.
+    "q246_schema_evolution" ->
+      """WITH g1 AS (SELECT event_type, user_id FROM events WHERE event_id % 2 = 0),
+        |g2 AS (SELECT event_type, user_id FROM events WHERE event_id % 2 = 1),
+        |s AS (
+        |  SELECT 'event_type' AS field,
+        |    (SELECT COUNT(event_type) FROM g1) AS g1n, (SELECT COUNT(*) FROM g1) AS g1r,
+        |    (SELECT COUNT(event_type) FROM g2) AS g2n, (SELECT COUNT(*) FROM g2) AS g2r
+        |  UNION ALL SELECT 'sword_type', (SELECT COUNT(user_id) FROM g1),
+        |    (SELECT COUNT(*) FROM g1), 0, (SELECT COUNT(*) FROM g2)
+        |  UNION ALL SELECT 'guild_name', (SELECT COUNT(user_id) FROM g1),
+        |    (SELECT COUNT(*) FROM g1), 0, (SELECT COUNT(*) FROM g2)
+        |  UNION ALL SELECT 'direction', 0, (SELECT COUNT(*) FROM g1),
+        |    (SELECT COUNT(*) FROM g2), (SELECT COUNT(*) FROM g2)
+        |  UNION ALL SELECT 'event_detail', 0, (SELECT COUNT(*) FROM g1),
+        |    (SELECT COUNT(user_id) FROM g2), (SELECT COUNT(*) FROM g2))
+        |SELECT field, CAST(g1n AS BIGINT) AS gen1_nonnull,
+        |  CAST(g2n AS BIGINT) AS gen2_nonnull,
+        |  CAST(g1n * 10000 // g1r AS BIGINT) AS gen1_coverage_bp,
+        |  CAST(g2n * 10000 // g2r AS BIGINT) AS gen2_coverage_bp,
+        |  CASE WHEN g1n > 0 AND g2n > 0 THEN 'common'
+        |    WHEN g1n > 0 THEN 'removed_in_gen2'
+        |    WHEN g2n > 0 THEN 'added_in_gen2' ELSE 'absent' END AS status
+        |FROM s ORDER BY field""".stripMargin)
 
   /** Full oracle surface (split only so the shared q81/q98 SQL can sit
     * between the two literals). */

@@ -7454,6 +7454,70 @@ object PipelineQueries {
       .orderBy(col("field"))
   }
 
+  /** Source cross-contamination matrix (q247) — the provenance question
+    * a dedup run should answer but usually doesn't: WHICH sources
+    * duplicate WHICH (same-source crawl redundancy vs cross-source
+    * mirroring), from the already-verified Jaccard ≥ 0.95 pair tier (the
+    * shared [[nearDupTiers]] memo — zero additional similarity work).
+    * Emits the canonical (source_a ≤ source_b) matrix with pair counts
+    * and each cell's share of all near-dup pairs in bp. At 100 TB this
+    * is the table that decides "drop mirror X" vs "dedup within crawl
+    * Y" — policy from provenance, not just pair counts. Scale shape:
+    * pair-sized joins against a broadcast-able (doc, source) projection;
+    * the matrix is |sources|²-bounded. */
+  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val (members, setPairs) = nearDupTiers(spark, dir)
+    val pairs = Dedup.pairsOfTiered(members, setPairs).select(col("id_a"), col("id_b"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val cells = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    val tot = cells.agg(count(lit(1)).as("n_total"))
+    cells.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        expr("n_pairs * 10000L div n_total").as("share_bp"),
+        (col("source_a") =!= col("source_b")).as("is_cross_source"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Committed-index cell-balance audit (q248) — the index health check
+    * run against the LAYOUT ON DISK, not a recomputation: read the
+    * committed IVFPQ layout's cell-partitioned code files (the same
+    * layout q98 searches), and report per cell its occupancy and share,
+    * plus the ride-along imbalance (max/avg in bp, with 10000 = even)
+    * and empty-cell count — the numbers that decide "re-train the coarse
+    * quantizer" at 100 TB, where a hot cell IS a hot partition. The
+    * oracle recomputes the assignment independently from the embeddings
+    * (the q81/q98 seeded-cell CTEs), so a STALE or corrupted committed
+    * layout — not just a wrong aggregate — breaks the hash. Scale shape:
+    * one scan of code rows (cell column only, partition-pruned by
+    * layout), one nlist-key aggregate. */
+  def cellBalanceAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.IvfPqIndex
+    val embs = Tables.embeddings(spark, dir)
+    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
+    val nlist = idx.cellMatrix.length.toLong
+    val occ = spark.read.parquet(s"${idx.location}/codes")
+      .select(col("cell").cast("long").as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val full = spark.range(0L, nlist).select(col("id").as("cell"))
+      .join(occ, Seq("cell"), "left")
+      .withColumn("n_vecs", coalesce(col("n_vecs"), lit(0L)))
+    val tot = full.agg(sum(col("n_vecs")).as("n_total"),
+      max(col("n_vecs")).as("max_occ"),
+      sum(when(col("n_vecs") === 0L, 1L).otherwise(0L)).as("n_empty"))
+    full.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 10000L div n_total").as("share_bp"),
+        expr(s"max_occ * 10000L * $nlist div n_total").as("imbalance_bp"),
+        col("n_empty"))
+      .orderBy(col("cell"))
+  }
+
   /** Online SemDedup ingest admission (q240) — the sequential-semantics
     * streaming variant of q78: see
     * [[graft.similarity.SemDedup.onlineAdmission]]. Every intermediate
@@ -7664,7 +7728,9 @@ object PipelineQueries {
     "q243_trigram_search" -> (trigramSearch _),
     "q244_benford_audit" -> (benfordAudit _),
     "q245_modularity" -> (modularityScore _),
-    "q246_schema_evolution" -> (schemaEvolution _))
+    "q246_schema_evolution" -> (schemaEvolution _),
+    "q247_source_dup_matrix" -> (sourceDupMatrix _),
+    "q248_cell_balance" -> (cellBalanceAudit _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -11307,7 +11373,50 @@ object PipelineQueries {
         |  CASE WHEN g1n > 0 AND g2n > 0 THEN 'common'
         |    WHEN g1n > 0 THEN 'removed_in_gen2'
         |    WHEN g2n > 0 THEN 'added_in_gen2' ELSE 'absent' END AS status
-        |FROM s ORDER BY field""".stripMargin)
+        |FROM s ORDER BY field""".stripMargin,
+    // q247: the q27 brute-force pair truth aggregated to the canonical
+    // source matrix — the engine's LSH tier must surface EXACTLY these
+    // pairs (zero false negatives by parameter choice) or a cell count
+    // drifts.
+    "q247_source_dup_matrix" ->
+      """WITH t AS (SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT least(a.source, b.source) AS source_a,
+        |    greatest(a.source, b.source) AS source_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+        |tot AS (SELECT COUNT(*) AS n_total FROM p)
+        |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+        |  CAST(COUNT(*) * 10000 // (SELECT n_total FROM tot) AS BIGINT) AS share_bp,
+        |  source_a <> source_b AS is_cross_source
+        |FROM p GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    // q248: the oracle recomputes cell assignment from the embeddings
+    // (seeded-cell CTEs identical to q78/q98) — the engine reads the
+    // COMMITTED layout, so staleness or partition corruption in the
+    // on-disk index breaks the hash, not just arithmetic drift.
+    "q248_cell_balance" ->
+      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |sims AS (SELECT e.vec_id, cen.cell,
+         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
+         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |occ AS (SELECT CAST(c.cell AS BIGINT) AS cell,
+         |    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_vecs
+         |  FROM (SELECT unnest(range(0, 16)) AS cell) c
+         |  LEFT JOIN (SELECT cell, COUNT(*) AS n FROM assigned GROUP BY cell) a
+         |    ON a.cell = c.cell),
+         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+         |    CAST(MAX(n_vecs) AS BIGINT) AS max_occ,
+         |    CAST(SUM(CASE WHEN n_vecs = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+         |  FROM occ)
+         |SELECT occ.cell, occ.n_vecs,
+         |  CAST(occ.n_vecs * 10000 // tot.n_total AS BIGINT) AS share_bp,
+         |  CAST(tot.max_occ * 10000 * 16 // tot.n_total AS BIGINT) AS imbalance_bp,
+         |  tot.n_empty
+         |FROM occ CROSS JOIN tot ORDER BY occ.cell""".stripMargin)
 
   /** Full oracle surface (split only so the shared q81/q98 SQL can sit
     * between the two literals). */

@@ -7518,6 +7518,84 @@ object PipelineQueries {
       .orderBy(col("cell"))
   }
 
+  /** q249 n-gram width, shared with the oracle. */
+  private[graft] val NovN = 5
+
+  /** Snapshot n-gram novelty (q249) — the freshness metric behind
+    * "how much of today's crawl is actually NEW text" (the RefinedWeb /
+    * memorization-risk readout, one level finer than q104's doc-level
+    * diff): word [[NovN]]-grams of the NEW snapshot, marked against the
+    * OLD snapshot's distinct gram set (q104's exact snapshot
+    * derivation), reported per language at both the INSTANCE level
+    * (token-mass novelty — what training actually sees) and the TYPE
+    * level (distinct-gram novelty — what memorization studies count).
+    * Scale shape: one explode per snapshot, one gram-keyed join (the old
+    * side pre-distincts — at 100 TB that side is the gram dictionary, a
+    * bucketed layout in practice), one lang-keyed aggregate. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def gramsOf(textExpr: String): org.apache.spark.sql.Column = explode(expr(
+      s"""transform(sequence(1, greatest(size(split($textExpr, ' ')) - ${NovN - 1}, 0)),
+         |  i -> array_join(slice(split($textExpr, ' '), i, $NovN), ' '))""".stripMargin))
+    val oldGrams = docs.filter(col("doc_id") % 5 =!= 1)
+      .select(gramsOf("text").as("gram")).distinct()
+    val newInst = docs.filter(col("doc_id") % 5 =!= 3)
+      .withColumn("t",
+        when(col("doc_id") % 5 === 2, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .select(col("lang"), gramsOf("t").as("gram"))
+    newInst.join(oldGrams.withColumn("seen", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_instances"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("novel_instances"),
+        countDistinct(col("gram")).as("n_types"),
+        countDistinct(when(col("seen").isNull, col("gram"))).as("novel_types"))
+      .select(col("lang"), col("n_instances"), col("novel_instances"),
+        expr("novel_instances * 10000L div n_instances").as("instance_novelty_bp"),
+        col("n_types"), col("novel_types"),
+        expr("novel_types * 10000L div n_types").as("type_novelty_bp"))
+      .orderBy(col("lang"))
+  }
+
+  /** PQ reconstruction-error audit (q250) — the quantization-quality
+    * complement to q248's occupancy audit: per IVF cell, the exact
+    * fixed-point residual-PQ reconstruction error under the COMMITTED
+    * quantizer (centroids + codebooks from the layout sidecar, the same
+    * objects q98 searches with). Per vector the error is the
+    * subspace-ordered double fold of per-subspace best-centroid
+    * distances (PqEncode's own `dist` field), floored ×10⁶ to a BIGINT
+    * so the per-cell SUM is order-free and hash-exact (the q82
+    * discipline). A hot cell with high mean error is the cell whose
+    * vectors the coarse quantizer serves worst — the re-train trigger,
+    * per cell instead of global. Scale shape: one map-only
+    * assign+encode projection over the corpus (identical to the build's
+    * encode pass), one nlist-key aggregate. */
+  def pqReconError(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.IvfPqIndex
+    import graft.functions.IvfFunctions.nearest_cells
+    import graft.functions.PqFunctions.pq_encode
+    val embs = Tables.embeddings(spark, dir)
+    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
+    val indexable = embs.filter(col("embedding").isNotNull &&
+      size(col("embedding")) >= idx.params.dim)
+    val withRes = indexable
+      .select(col("vec_id"),
+        element_at(nearest_cells(col("embedding"), idx.cellMatrix, 1), 1).as("cell"),
+        col("embedding"))
+      .withColumn("rvec", IvfPqIndex.residual(idx.cellMatrix)(col("embedding"), col("cell")))
+    withRes
+      .select(col("cell").cast("long").as("cell"),
+        pq_encode(col("rvec"), idx.codebooks).as("enc"))
+      .filter(col("enc").isNotNull)
+      .select(col("cell"), expr(
+        "CAST(FLOOR(aggregate(enc, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.dist) * 1000000.0) AS BIGINT)")
+        .as("err_fp"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("err_fp")).as("sum_err_fp"))
+      .select(col("cell"), col("n_vecs"), col("sum_err_fp"),
+        expr("sum_err_fp div n_vecs").as("mean_err_fp"))
+      .orderBy(col("cell"))
+  }
+
   /** Online SemDedup ingest admission (q240) — the sequential-semantics
     * streaming variant of q78: see
     * [[graft.similarity.SemDedup.onlineAdmission]]. Every intermediate
@@ -7730,7 +7808,9 @@ object PipelineQueries {
     "q245_modularity" -> (modularityScore _),
     "q246_schema_evolution" -> (schemaEvolution _),
     "q247_source_dup_matrix" -> (sourceDupMatrix _),
-    "q248_cell_balance" -> (cellBalanceAudit _))
+    "q248_cell_balance" -> (cellBalanceAudit _),
+    "q249_ngram_novelty" -> (ngramNovelty _),
+    "q250_pq_recon_error" -> (pqReconError _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -11416,7 +11496,68 @@ object PipelineQueries {
          |  CAST(occ.n_vecs * 10000 // tot.n_total AS BIGINT) AS share_bp,
          |  CAST(tot.max_occ * 10000 * 16 // tot.n_total AS BIGINT) AS imbalance_bp,
          |  tot.n_empty
-         |FROM occ CROSS JOIN tot ORDER BY occ.cell""".stripMargin)
+         |FROM occ CROSS JOIN tot ORDER BY occ.cell""".stripMargin,
+    // q249: identical q104 snapshot derivation, identical word 5-gram
+    // windows — instance and type counts replay exactly.
+    "q249_ngram_novelty" ->
+      s"""WITH og AS (SELECT DISTINCT array_to_string(tk[i:i + ${NovN - 1}], ' ') AS gram
+         |  FROM (SELECT str_split(text, ' ') AS tk FROM documents WHERE doc_id % 5 <> 1),
+         |    LATERAL (SELECT unnest(range(1, greatest(len(tk) - ${NovN - 1}, 0) + 1)) AS i)),
+         |ni AS (SELECT lang, array_to_string(tk[i:i + ${NovN - 1}], ' ') AS gram
+         |  FROM (SELECT lang, str_split(CASE WHEN doc_id % 5 = 2 THEN text || ' v2' ELSE text END, ' ') AS tk
+         |    FROM documents WHERE doc_id % 5 <> 3),
+         |    LATERAL (SELECT unnest(range(1, greatest(len(tk) - ${NovN - 1}, 0) + 1)) AS i)),
+         |m AS (SELECT ni.lang, ni.gram, og.gram IS NOT NULL AS seen
+         |  FROM ni LEFT JOIN og ON og.gram = ni.gram)
+         |SELECT lang, COUNT(*) AS n_instances,
+         |  CAST(SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT) AS novel_instances,
+         |  CAST(SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS instance_novelty_bp,
+         |  CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_types,
+         |  CAST(COUNT(DISTINCT CASE WHEN NOT seen THEN gram END) AS BIGINT) AS novel_types,
+         |  CAST(COUNT(DISTINCT CASE WHEN NOT seen THEN gram END) * 10000
+         |    // COUNT(DISTINCT gram) AS BIGINT) AS type_novelty_bp
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // q250: the q81/q98 residual-encode CTEs up to the per-subspace best
+    // centroid, folded per vector IN SUBSPACE ORDER and floored ×10⁶
+    // BEFORE the per-cell sum (the q82 fixed-point discipline) — both
+    // engines' cell sums are order-free BIGINTs.
+    "q250_pq_recon_error" -> {
+      import graft.similarity.Pq.{Dim, Ksub, M, SubDim}
+      val rx = s"res.rvec[psub.subspace * $SubDim + j]"
+      val rc = s"psub.sv[psub.subspace * $SubDim + j]"
+      val codeFold =
+        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($rx) - ($rc)) * (($rx) - ($rc))), (acc, v) -> acc + v)"
+      val resOf = (vec: String, cvec: String) =>
+        s"list_transform(range(1, ${Dim + 1}), j -> CAST($vec[j] AS DOUBLE) - CAST($cvec[j] AS DOUBLE))"
+      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, vec_id AS cid, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |sims AS (SELECT e.vec_id, cen.cell,
+         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
+         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |res AS (SELECT a.vec_id, a.cell, ${resOf("e.embedding", "c.cvec")} AS rvec
+         |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id JOIN cen c ON c.cell = a.cell),
+         |rs AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, rvec AS sv
+         |  FROM (SELECT vec_id, rvec FROM res WHERE vec_id NOT IN (SELECT cid FROM cen)
+         |        ORDER BY vec_id LIMIT $Ksub)),
+         |psub AS (SELECT CAST(g.s AS INTEGER) AS subspace, rs.code, rs.sv
+         |  FROM rs CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
+         |pdist AS (SELECT res.vec_id, res.cell, psub.subspace, psub.code, $codeFold AS dist
+         |  FROM res CROSS JOIN psub),
+         |best AS (SELECT vec_id, cell, subspace, dist FROM (
+         |  SELECT vec_id, cell, subspace, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
+         |  FROM pdist) WHERE rn = 1),
+         |verr AS (SELECT vec_id, cell,
+         |  CAST(FLOOR(list_reduce(list(dist ORDER BY subspace), (x, y) -> x + y) * 1000000.0) AS BIGINT) AS err_fp
+         |  FROM best GROUP BY vec_id, cell)
+         |SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vecs,
+         |  CAST(SUM(err_fp) AS BIGINT) AS sum_err_fp,
+         |  CAST(SUM(err_fp) // COUNT(*) AS BIGINT) AS mean_err_fp
+         |FROM verr GROUP BY cell ORDER BY cell""".stripMargin
+    })
 
   /** Full oracle surface (split only so the shared q81/q98 SQL can sit
     * between the two literals). */

@@ -276,35 +276,183 @@ object IncrementalDedup {
     * per batch. At scale the corpus band keys would live as a committed
     * layout (the q98 index pattern applied to text); here they derive
     * per batch, which the harness SF prices fine. */
+  /** MinHash params for the fuzzy-ingest path — the [[Dedup.crossNearDups]]
+    * cross-dedup operating point, shared by the signature store so stored
+    * band keys and fresh batch band keys live in the same key space. */
+  private val FuzzyParams = Dedup.MinHashParams(bands = 48, rowsPerBand = 4)
+
+  /** Signature store `_fuzzy_sigs` — one row per (doc, band): the LSH
+    * bucket keys of every standing-corpus doc, partitioned by batch_id
+    * to mirror the corpus partitions. Underscore-prefixed so corpus
+    * reads (`spark.read.parquet(corpusDir)`) never see it (the parquet
+    * convention for `_SUCCESS`/`_metadata`). A `_partition_state` digest
+    * file records WHICH corpus partition content each store partition
+    * reflects — consistency is structural, not trusted. */
+  private def sigDir(corpusDir: String) = s"$corpusDir/_fuzzy_sigs"
+
+  /** File-metadata digest of one partition directory (name, length,
+    * mtime — the IvfPqIndex staleness idiom). */
+  private def partitionDigest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val parts = fs.listStatus(p).filter(_.isFile)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private val SigSchema = "sid BIGINT, band_idx INT, band_key BIGINT, batch_id BIGINT"
+
+  private def toksOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("sid"),
+      sort_array(array_distinct(graft.text.TextAnalysis.tokens(col(textCol)))).as("toks"))
+
+  private def bandsOf(toks: DataFrame): DataFrame =
+    toks.select(col("sid"),
+      posexplode(Dedup.bandKeysOf(col("toks"), FuzzyParams)).as(Seq("band_idx", "band_key")))
+
+  /** Write ONE store partition by direct path — a plain overwrite of the
+    * single partition directory, skipping dynamic-partition-overwrite's
+    * staging/listing (safe here because the digest file, not the write
+    * protocol, carries the store's consistency). */
+  private def writeSigPartition(toks: DataFrame, corpusDir: String, batchId: Long): Unit =
+    bandsOf(toks).coalesce(1).write.mode("overwrite")
+      .parquet(s"${sigDir(corpusDir)}/batch_id=$batchId")
+
+  private def readState(fs: org.apache.hadoop.fs.FileSystem,
+      corpusDir: String): Map[Long, String] = {
+    val statePath = new org.apache.hadoop.fs.Path(sigDir(corpusDir), "_partition_state")
+    if (!fs.exists(statePath)) Map.empty
+    else {
+      val in = fs.open(statePath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      txt.split("\n").filter(_.nonEmpty).map { l =>
+        val Array(b, d) = l.split("=", 2); b.toLong -> d
+      }.toMap
+    }
+  }
+
+  private def writeState(fs: org.apache.hadoop.fs.FileSystem, corpusDir: String,
+      state: Map[Long, String]): Unit = {
+    val statePath = new org.apache.hadoop.fs.Path(sigDir(corpusDir), "_partition_state")
+    val out = fs.create(statePath, true)
+    try out.write(state.toSeq.sortBy(_._1)
+      .map { case (b, d) => s"$b=$d" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Sync the signature store to mirror the corpus EXACTLY, by partition
+    * digest: list the corpus's batch partitions, digest each one's file
+    * metadata, diff against the recorded state, and re-sign ONLY the
+    * changed/new partitions (dropping store partitions whose corpus
+    * partition vanished). First call = full seed (every partition is
+    * "new"); steady state = an empty diff, because [[fuzzyIngestBatch]]
+    * publishes its own partition's signatures in lockstep; an EXTERNALLY
+    * modified corpus (a writer that bypasses the ingest, or a replay
+    * that cleared a partition) is caught structurally instead of
+    * trusted away. Driver work is one directory listing; cluster work is
+    * signing only the stale slices. */
+  private def syncSigStore(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, idCol: String, textCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cp = new Path(corpusDir)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cp)) return
+    fs.mkdirs(new Path(sigDir(corpusDir)))
+    val current: Map[Long, String] = fs.listStatus(cp)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(s => s.getPath.getName.stripPrefix("batch_id=").toLong ->
+        partitionDigest(fs, s.getPath))
+      .toMap
+    val prev = readState(fs, corpusDir)
+    if (current == prev) return
+    (prev.keySet -- current.keySet)
+      .foreach(b => clearBatchPartition(spark, sigDir(corpusDir), b))
+    current.filter { case (b, d) => !prev.get(b).contains(d) }.keys.foreach { b =>
+      val slice = spark.read.parquet(corpusDir)
+        .where(col("batch_id") === b)
+        .select(col(idCol), col(textCol))
+      writeSigPartition(toksOf(slice, idCol, textCol), corpusDir, b)
+    }
+    writeState(fs, corpusDir, current)
+  }
+
   def fuzzyIngestBatch(batch: DataFrame, corpusDir: String, batchId: Long,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.8): Unit = {
     val spark = batch.sparkSession
-    val standing = spark.read.parquet(corpusDir)
-      .where(col("batch_id") =!= batchId)
-      .select(col(idCol), col(textCol))
+    // Incremental-signature discipline (round 8): the standing corpus is
+    // NEVER re-signed per batch — its band keys live in the digest-synced
+    // store ([[syncSigStore]]: first call seeds, later calls re-sign only
+    // partitions whose corpus content changed out-of-band); an ingest
+    // batch signs only itself, and exact verification tokenizes only the
+    // CANDIDATE partners (a semi-joined slice of the corpus — at 100 TB
+    // an id-bucketed point lookup). Per-batch work is
+    // O(batch + Δcorpus + candidates), not O(corpus) — the difference
+    // between an ingest pipeline and a nightly rebuild.
+    syncSigStore(spark, corpusDir, idCol, textCol)
     val dominated = Dedup.crossNearDups(batch, batch, idCol, textCol, threshold)
       .filter(col("id_b") < col("id_a"))
       .select(col("id_a").as(idCol)).distinct()
     val kept = batch.join(dominated, Seq(idCol), "left_anti")
-    val crossDropped = Dedup.crossNearDups(standing, kept, idCol, textCol, threshold)
-      .select(col("id_b").as(idCol)).distinct()
-    val survivors = kept.join(crossDropped, Seq(idCol), "left_anti")
+    val keptToks = toksOf(kept, idCol, textCol).persist()
+    val standingSigs = spark.read.schema(SigSchema).parquet(sigDir(corpusDir))
+      .where(col("batch_id") =!= batchId)
+    val candPairs = bandsOf(keptToks)
+      .withColumnRenamed("sid", "new_sid")
+      .join(standingSigs.select(col("sid").as("std_sid"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .filter(col("std_sid") =!= col("new_sid"))
+      .select(col("std_sid"), col("new_sid")).distinct()
+      // Two consumers (the corpus verify slice and the verify join) —
+      // unpersisted, the store-join lineage executes twice.
+      .persist()
+    val stdToks = toksOf(
+      spark.read.parquet(corpusDir)
+        .where(col("batch_id") =!= batchId)
+        .select(col(idCol), col(textCol))
+        .join(candPairs.select(col("std_sid").cast("long").as(idCol)).distinct(),
+          Seq(idCol), "left_semi"),
+      idCol, textCol)
+    val crossDropped = candPairs
+      .join(stdToks.select(col("sid").as("std_sid"), col("toks").as("toks_std")), Seq("std_sid"))
+      .join(keptToks.select(col("sid").as("new_sid"), col("toks").as("toks_new")), Seq("new_sid"))
+      .filter(Dedup.jaccardSorted(col("toks_std"), col("toks_new")) >= threshold)
+      .select(col("new_sid").cast("long").as(idCol)).distinct()
+    val survivors = kept
+      .join(crossDropped, Seq(idCol), "left_anti")
       .withColumn("batch_id", lit(batchId))
       .persist()
     // Zero-survivor replay guard (round-6 advice): DPO writes NO partition
     // when the frame is empty, so a replay that legitimately derives zero
     // survivors (the standing corpus grew between original run and replay)
     // would leave the previously published non-empty partition standing.
-    // Exact replay semantics require clearing it explicitly.
+    // Exact replay semantics require clearing it explicitly — and the
+    // store partition follows in lockstep, with the recorded digest
+    // refreshed so the next sync's diff stays empty absent out-of-band
+    // writers.
     try {
-      if (survivors.limit(1).count() == 0) clearBatchPartition(spark, corpusDir, batchId)
-      else survivors
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(corpusDir)
-    } finally { survivors.unpersist(); () }
+      if (survivors.limit(1).count() == 0) {
+        clearBatchPartition(spark, corpusDir, batchId)
+        clearBatchPartition(spark, sigDir(corpusDir), batchId)
+      } else {
+        survivors
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(corpusDir)
+        writeSigPartition(keptToks
+          .join(survivors.select(col(idCol).cast("long").as("sid")), Seq("sid"), "left_semi"),
+          corpusDir, batchId)
+      }
+      val fs = new org.apache.hadoop.fs.Path(corpusDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pDir = new org.apache.hadoop.fs.Path(corpusDir, s"batch_id=$batchId")
+      val prev = readState(fs, corpusDir)
+      writeState(fs, corpusDir,
+        if (!fs.exists(pDir)) prev - batchId
+        else prev + (batchId -> partitionDigest(fs, pDir)))
+    } finally { survivors.unpersist(); keptToks.unpersist(); candPairs.unpersist(); () }
   }
 
   /** Truncate one batch's partition directory — the explicit complement of

@@ -5123,18 +5123,25 @@ object PipelineQueries {
       // joins over the edge cache.
       o => graft.SessionMemo.memo(spark, s"q177oriented|$dir") {
         o.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      },
+      d => graft.SessionMemo.memo(spark, s"q177deg|$dir") {
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
 
   private[graft] def triangleCensusOf(orderParts: DataFrame,
       memoEdges: Option[DataFrame] = None,
-      memoOriented: DataFrame => DataFrame = identity): DataFrame = {
+      memoOriented: DataFrame => DataFrame = identity,
+      memoDeg: DataFrame => DataFrame = identity): DataFrame = {
     val li = orderParts.select(col("ok"), col("pk")).distinct()
     val edges = memoEdges.getOrElse(li.alias("a")
       .join(li.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct())
-    val deg = edges.select(col("u").as("node"))
-      .union(edges.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // Degrees in ONE edge-cache pass (explode of both endpoints — the
+    // q195 idiom), memoized: three lineage consumers (two orientation
+    // joins + the wedge-count stats) otherwise each re-pay the build.
+    val deg = memoDeg(edges
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
     // Orient u→v iff (deg(u), u) < (deg(v), v); carry the endpoint degree
     // so the wedge pair can be ordered by the SAME total order.
     val oriented = memoOriented(edges

@@ -6088,6 +6088,12 @@ object PipelineQueries {
     graft.SessionMemo.memo(spark, s"q200|$dir") {
       val s = spark.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "4")
+      // The ingest path is ~15 tiny sequential exchanges per batch; AQE's
+      // per-stage re-planning turns each into its own job round-trip and
+      // dominates wall-clock at this batch size. Static planning for the
+      // ingest session only (the frames are KB-sized; nothing AQE would
+      // fix), ~2× on the four-batch run.
+      s.conf.set("spark.sql.adaptive.enabled", "false")
       val work = java.nio.file.Files.createTempDirectory("graft_fuzzy_ingest").toString
       val corpus = s"$work/corpus"
       val docs = Tables.documents(s, dir)

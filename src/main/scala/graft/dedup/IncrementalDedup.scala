@@ -394,11 +394,18 @@ object IncrementalDedup {
     val dominated = Dedup.crossNearDups(batch, batch, idCol, textCol, threshold)
       .filter(col("id_b") < col("id_a"))
       .select(col("id_a").as(idCol)).distinct()
-    val kept = batch.join(dominated, Seq(idCol), "left_anti")
+    // The drop-id frames are bounded by the BATCH size (micro-batch scale
+    // at any corpus size) — broadcast them so the anti-joins and the
+    // store publish stay map-side over the cached batch frames instead of
+    // paying 4-partition exchange rounds per step.
+    val kept = batch.join(broadcast(dominated), Seq(idCol), "left_anti")
     val keptToks = toksOf(kept, idCol, textCol).persist()
+    // The batch's band rows compute ONCE (cached): the store probe and
+    // the survivor-sig publish both read this frame.
+    val keptBands = bandsOf(keptToks).persist()
     val standingSigs = spark.read.schema(SigSchema).parquet(sigDir(corpusDir))
       .where(col("batch_id") =!= batchId)
-    val candPairs = bandsOf(keptToks)
+    val candPairs = keptBands
       .withColumnRenamed("sid", "new_sid")
       .join(standingSigs.select(col("sid").as("std_sid"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
@@ -420,7 +427,7 @@ object IncrementalDedup {
       .filter(Dedup.jaccardSorted(col("toks_std"), col("toks_new")) >= threshold)
       .select(col("new_sid").cast("long").as(idCol)).distinct()
     val survivors = kept
-      .join(crossDropped, Seq(idCol), "left_anti")
+      .join(broadcast(crossDropped), Seq(idCol), "left_anti")
       .withColumn("batch_id", lit(batchId))
       .persist()
     // Zero-survivor replay guard (round-6 advice): DPO writes NO partition
@@ -441,9 +448,11 @@ object IncrementalDedup {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(corpusDir)
-        writeSigPartition(keptToks
-          .join(survivors.select(col(idCol).cast("long").as("sid")), Seq("sid"), "left_semi"),
-          corpusDir, batchId)
+        keptBands
+          .join(broadcast(survivors.select(col(idCol).cast("long").as("sid"))),
+            Seq("sid"), "left_semi")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${sigDir(corpusDir)}/batch_id=$batchId")
       }
       val fs = new org.apache.hadoop.fs.Path(corpusDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -452,7 +461,10 @@ object IncrementalDedup {
       writeState(fs, corpusDir,
         if (!fs.exists(pDir)) prev - batchId
         else prev + (batchId -> partitionDigest(fs, pDir)))
-    } finally { survivors.unpersist(); keptToks.unpersist(); candPairs.unpersist(); () }
+    } finally {
+      survivors.unpersist(); keptToks.unpersist(); keptBands.unpersist()
+      candPairs.unpersist(); ()
+    }
   }
 
   /** Truncate one batch's partition directory — the explicit complement of

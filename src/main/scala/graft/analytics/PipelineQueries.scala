@@ -7214,9 +7214,12 @@ object PipelineQueries {
     * one range shuffle; `approx_percentile`'s error bound becomes an
     * equality the oracle hash-checks. At 100 TB this is the exact-SLA
     * readout (p99.9 latency, p99 spend) a sketch can only bracket. */
-  def exactQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val v = Tables.events(spark, dir)
+  def exactQuantiles(spark: SparkSession, dir: String): DataFrame =
+    exactQuantilesOf(Tables.events(spark, dir))
+
+  private[graft] def exactQuantilesOf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val v = events
       .filter(col("value").isNotNull)
       .select(col("event_id"), expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
     val ranked = graft.operators.GlobalRank
@@ -7545,8 +7548,10 @@ object PipelineQueries {
     * Scale shape: one explode per snapshot, one gram-keyed join (the old
     * side pre-distincts — at 100 TB that side is the gram dictionary, a
     * bucketed layout in practice), one lang-keyed aggregate. */
-  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOf(Tables.documents(spark, dir))
+
+  private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
     def gramsOf(textExpr: String): org.apache.spark.sql.Column = explode(expr(
       s"""transform(sequence(1, greatest(size(split($textExpr, ' ')) - ${NovN - 1}, 0)),
          |  i -> array_join(slice(split($textExpr, ' '), i, $NovN), ' '))""".stripMargin))

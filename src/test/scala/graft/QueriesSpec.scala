@@ -2085,6 +2085,34 @@ class QueriesSpec extends AnyFunSuite {
       out.toSeq.mkString(","))
   }
 
+  test("q241 exact quantiles: planted 100-value frame selects the textbook ceiling ranks") {
+    import spark.implicits._
+    // values 1..100 whole dollars (exact at double precision — cents
+    // i·100): ceil-rank selection → p50 = rank 50, p90 = 90, p99 = 99,
+    // p99.9 = 100.
+    val ev = (1L to 100L).map(i => (i, i.toDouble)).toDF("event_id", "value")
+    val out = graft.analytics.PipelineQueries.exactQuantilesOf(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq(("p50", 50L, 5000L), ("p90", 90L, 9000L),
+      ("p99", 99L, 9900L), ("p999", 100L, 10000L)), out.toSeq.mkString(","))
+  }
+
+  test("q249 novelty: a changed doc's new grams are novel; unchanged text is not") {
+    import spark.implicits._
+    // doc_id 2 (%5==2) is in BOTH snapshots but gains " v2" in the new
+    // one: its last 5-gram is novel; doc 0 (%5==0) is unchanged (zero
+    // novelty); doc 3 (%5==3) is old-only (absent from the new side).
+    val docs = Seq(
+      (0L, "a b c d e f", "en"), (2L, "a b c d e f", "en"), (3L, "x y z w q v", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.analytics.PipelineQueries.ngramNoveltyOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // New snapshot: docs 0 and 2 → doc 0 has 2 instances (grams of 6
+    // tokens), doc 2 has 3 (7 tokens after " v2"); novel = the
+    // "c d e f v2" and "b c d e f"→… only grams containing v2: exactly 1.
+    assert(out.toSeq == Seq(("en", 5L, 1L)), out.toSeq.mkString(","))
+  }
+
   test("q238 Bloom pruning: zero false negatives, exact truth, FP only additive") {
     val r = graft.analytics.PipelineQueries.bloomJoinPrune(spark, TestSpark.SfDir).collect()(0)
     val (nPass, nTrue, nFp) = (r.getAs[Long]("n_pass"), r.getAs[Long]("n_true"), r.getAs[Long]("n_false_pos"))

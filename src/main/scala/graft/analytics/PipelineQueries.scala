@@ -7343,9 +7343,12 @@ object PipelineQueries {
     * arithmetic on exact cents (`substring` of the BIGINT — never float
     * formatting). One scan → 9-key aggregate; nothing shuffles but the
     * 9-row digit frame. */
-  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val cents = Tables.orders(spark, dir)
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
+    benfordAuditOf(Tables.orders(spark, dir))
+
+  private[graft] def benfordAuditOf(orders: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
+    val cents = orders
       .select(expr("CAST(o_totalprice * 100 AS DECIMAL(14,0))").cast("long").as("cents"))
       .filter(col("cents") > 0L)
       .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)").as("digit"))
@@ -7396,6 +7399,10 @@ object PipelineQueries {
     val labels = graft.SessionMemo.memo(spark, s"q149labels|$dir") {
       Graph.labelPropagation(symDeg)
     }
+    modularityOf(symDeg, labels)
+  }
+
+  private[graft] def modularityOf(symDeg: DataFrame, labels: DataFrame): DataFrame = {
     val e2 = symDeg.select(col("src"), col("dst"))
       .join(labels.select(col("node").as("src"), col("lbl").as("la")), Seq("src"))
       .join(labels.select(col("node").as("dst"), col("lbl").as("lb")), Seq("dst"))

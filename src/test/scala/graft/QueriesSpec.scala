@@ -2113,6 +2113,44 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("en", 5L, 1L)), out.toSeq.mkString(","))
   }
 
+  test("q244 Benford: planted digit distribution reproduces counts, shares, chi-square") {
+    import spark.implicits._
+    // 10 orders: four leading-1 values, six leading-9 — digit 1 at 4000 bp
+    // (expected 3010), digit 9 at 6000 bp (expected 457), others absent.
+    val orders = ((1 to 4).map(_ => 1.23) ++ (1 to 6).map(_ => 9.87))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("o_orderkey", "o_totalprice")
+    val out = graft.analytics.PipelineQueries.benfordAuditOf(orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(6)))
+    val byDigit = out.map(t => t._1 -> t).toMap
+    assert(out.length == 9)
+    assert(byDigit(1L)._2 == 4L && byDigit(1L)._3 == 4000L)
+    assert(byDigit(9L)._2 == 6L && byDigit(9L)._3 == 6000L)
+    assert(byDigit(2L)._2 == 0L && byDigit(2L)._3 == 0L)
+    // χ² contribution for digit 1: (4·10⁴ − 10·3010)² div (10·3010·10⁴)
+    // = 9900² div 3.01e8 = 98010000 div 301000000 = 0 (×10⁴ scale ⇒ 3256).
+    assert(byDigit(1L)._4 ==
+      (4L * 10000 - 10L * 3010) * (4L * 10000 - 10L * 3010) / (10L * 3010 * 10000L))
+  }
+
+  test("q245 modularity: two disjoint triangles score the textbook Q = 0.5") {
+    import spark.implicits._
+    import graft.graph.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("u", "v")
+    val symDeg = Graph.symmetricWithDegrees(edges)
+    val labels = Graph.labelPropagation(symDeg)
+    val out = graft.analytics.PipelineQueries.modularityOf(symDeg, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // Each triangle: 3 members, degree sum 6, internal endpoints 6,
+    // Qc = (12·6 − 36)·10⁸ / 144 = 0.25 → 25 000 000; total 0.5.
+    assert(out.toSeq == Seq(
+      (1L, 3L, 6L, 6L, 25000000L, 50000000L),
+      (10L, 3L, 6L, 6L, 25000000L, 50000000L)), out.toSeq.mkString(","))
+    symDeg.unpersist(); labels.unpersist()
+    ()
+  }
+
   test("q238 Bloom pruning: zero false negatives, exact truth, FP only additive") {
     val r = graft.analytics.PipelineQueries.bloomJoinPrune(spark, TestSpark.SfDir).collect()(0)
     val (nPass, nTrue, nFp) = (r.getAs[Long]("n_pass"), r.getAs[Long]("n_true"), r.getAs[Long]("n_false_pos"))

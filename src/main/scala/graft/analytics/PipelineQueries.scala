@@ -7621,6 +7621,52 @@ object PipelineQueries {
       .orderBy(col("cell"))
   }
 
+  /** q251 allocation constants, shared with the oracle: per-source epoch
+    * cap (×100 — 200 = at most 2 epochs of any one source) and the
+    * budget as a fraction of total corpus tokens (½ — scale-free, so the
+    * greedy binds mid-list at every SF). */
+  private[graft] val MixMaxEpochsX100 = 200L
+  private[graft] val MixBudgetDen = 2L
+
+  /** Greedy mixture allocation under a token budget (q251) — the
+    * data-mixing DECISION next to q77's fixed weights and q108's
+    * temperature reweighting: rank sources by an integer diversity
+    * quality (per-doc distinct/total token ratio in bp, source-averaged),
+    * cap each source at [[MixMaxEpochsX100]]/100 epochs of its own
+    * tokens, and water-fill a budget of total/[[MixBudgetDen]] tokens
+    * down the quality ranking — exactly the greedy that maximizes
+    * Σ quality·tokens under per-source caps. Emits per source its
+    * quality, cap, exact allocation, and realized epochs ×100. All
+    * arithmetic integer; the ranking/running-sum frame is SOURCE-sized
+    * (a catalog, bounded at any corpus scale), so its windows are
+    * metadata windows; the corpus-sized stage is one per-source
+    * aggregate. */
+  def mixAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Tables.documents(spark, dir).select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_dist"))
+    val src = perDoc.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("src_tokens"), count(lit(1)).as("n_docs"),
+        sum(expr("n_dist * 10000 div n_tok")).as("qsum"))
+      .select(col("source"), col("src_tokens"),
+        expr("qsum div n_docs").as("quality_bp"))
+    val tot = src.agg(sum(col("src_tokens")).as("total_tokens"))
+    src.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("quality_bp").desc, col("source"))).cast("long"))
+      .withColumn("cap_tokens", expr(s"src_tokens * $MixMaxEpochsX100 div 100"))
+      .withColumn("cum_before", coalesce(sum(col("cap_tokens")).over(
+        Window.orderBy(col("rk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("budget", expr(s"total_tokens div $MixBudgetDen"))
+      .withColumn("allocated_tokens",
+        greatest(lit(0L), least(col("cap_tokens"), col("budget") - col("cum_before"))))
+      .select(col("source"), col("quality_bp"), col("src_tokens"), col("cap_tokens"),
+        col("allocated_tokens"),
+        expr("allocated_tokens * 100 div src_tokens").as("epochs_x100"))
+      .orderBy(col("source"))
+  }
+
   /** Online SemDedup ingest admission (q240) — the sequential-semantics
     * streaming variant of q78: see
     * [[graft.similarity.SemDedup.onlineAdmission]]. Every intermediate
@@ -7835,7 +7881,8 @@ object PipelineQueries {
     "q247_source_dup_matrix" -> (sourceDupMatrix _),
     "q248_cell_balance" -> (cellBalanceAudit _),
     "q249_ngram_novelty" -> (ngramNovelty _),
-    "q250_pq_recon_error" -> (pqReconError _))
+    "q250_pq_recon_error" -> (pqReconError _),
+    "q251_mix_allocation" -> (mixAllocation _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -11582,7 +11629,30 @@ object PipelineQueries {
          |  CAST(SUM(err_fp) AS BIGINT) AS sum_err_fp,
          |  CAST(SUM(err_fp) // COUNT(*) AS BIGINT) AS mean_err_fp
          |FROM verr GROUP BY cell ORDER BY cell""".stripMargin
-    })
+    },
+    // q251: same integer quality, same (quality DESC, source) greedy
+    // order, same cap/budget arithmetic — the allocation replays exactly.
+    "q251_mix_allocation" ->
+      s"""WITH d AS (SELECT source, len(str_split(text, ' ')) AS n_tok,
+         |    len(list_distinct(str_split(text, ' '))) AS n_dist FROM documents),
+         |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+         |    CAST(SUM(n_dist * 10000 // n_tok) // COUNT(*) AS BIGINT) AS quality_bp
+         |  FROM d GROUP BY source),
+         |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens FROM s),
+         |r AS (SELECT s.*, t.total_tokens,
+         |    ROW_NUMBER() OVER (ORDER BY quality_bp DESC, source) AS rk,
+         |    CAST(src_tokens * $MixMaxEpochsX100 // 100 AS BIGINT) AS cap_tokens
+         |  FROM s CROSS JOIN t),
+         |c AS (SELECT r.*,
+         |    CAST(COALESCE(SUM(cap_tokens) OVER (ORDER BY rk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM r)
+         |SELECT source, quality_bp, src_tokens, cap_tokens,
+         |  CAST(GREATEST(0, LEAST(cap_tokens, total_tokens // $MixBudgetDen - cum_before)) AS BIGINT)
+         |    AS allocated_tokens,
+         |  CAST(GREATEST(0, LEAST(cap_tokens, total_tokens // $MixBudgetDen - cum_before)) * 100
+         |    // src_tokens AS BIGINT) AS epochs_x100
+         |FROM c ORDER BY source""".stripMargin)
 
   /** Full oracle surface (split only so the shared q81/q98 SQL can sit
     * between the two literals). */

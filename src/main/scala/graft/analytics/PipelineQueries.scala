@@ -7680,6 +7680,77 @@ object PipelineQueries {
         mk().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
 
+  /** q252 labeler thresholds, shared with the oracle: 3-class cuts on
+    * lexical diversity (distinct/total tokens, bp) and mean word length
+    * (chars per token ×100) — picked at the testdata terciles so every
+    * cell of the 3×3 table is populated at each SF. */
+  private[graft] val AgreeDivLo = 4000L
+  private[graft] val AgreeDivHi = 5500L
+  private[graft] val AgreeCtokLo = 540L
+  private[graft] val AgreeCtokHi = 556L
+
+  /** Inter-labeler agreement / Cohen's kappa (q252) — the calibration
+    * audit a labeling pipeline owes its heuristic raters before either
+    * gates data: two independent integer quality labelers (A = lexical
+    * diversity terciles, B = mean-word-length terciles) label every
+    * document; the 3×3 confusion table, its marginals, and the
+    * chance-corrected agreement κ = (pₒ−pₑ)/(1−pₑ) come back in exact
+    * basis points. κ ≈ 0 says the raters agree no better than chance —
+    * composing them as AND/OR gates is then a coin flip, which is
+    * precisely what this row detects. All arithmetic integer; the
+    * numerator can be negative (agreement BELOW chance), so the division
+    * is sign-split to keep Spark `div` and DuckDB `//` on the same
+    * truncate-toward-zero semantics. Scale shape: one corpus scan →
+    * map-side CASE labels → a ≤9-row hash aggregate; marginals, pₑ, and
+    * κ ride joins/aggregates on that 9-row frame (the q215 discipline),
+    * with the 1-row scalar frame broadcast back onto the cells. Products
+    * ride DECIMAL(38,0): n² at a 10¹¹-doc corpus is 10²², past BIGINT. */
+  def labelerAgreement(spark: SparkSession, dir: String): DataFrame =
+    labelerAgreementOf(Tables.documents(spark, dir))
+
+  private[graft] def labelerAgreementOf(docs: DataFrame): DataFrame = {
+    // One corpus scan: both labels are map-side integer CASEs.
+    val cells = docs.select(
+        expr(s"""CASE WHEN size(array_distinct(split(text, ' '))) * 10000L
+          |    div size(split(text, ' ')) < $AgreeDivLo THEN 0L
+          |  WHEN size(array_distinct(split(text, ' '))) * 10000L
+          |    div size(split(text, ' ')) < $AgreeDivHi THEN 1L
+          |  ELSE 2L END""".stripMargin).as("label_a"),
+        expr(s"""CASE WHEN n_chars * 100L div size(split(text, ' ')) < $AgreeCtokLo THEN 0L
+          |  WHEN n_chars * 100L div size(split(text, ' ')) < $AgreeCtokHi THEN 1L
+          |  ELSE 2L END""".stripMargin).as("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      // ≤9 rows, but FOUR consumers below — without the pin each would
+      // re-scan the corpus by lineage (the q217 memo discipline).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowm = cells.groupBy(col("label_a")).agg(sum(col("n_docs")).as("row_n"))
+    val colm = cells.groupBy(col("label_b")).agg(sum(col("n_docs")).as("col_n"))
+    // pₑ numerator: Σ_k row_k·col_k — an inner join on the class id is
+    // exact (a class absent from either marginal contributes 0).
+    val scalars = cells.agg(
+        sum(col("n_docs")).as("n"),
+        sum(when(col("label_a") === col("label_b"), col("n_docs"))
+          .otherwise(0L)).as("diag_n"))
+      .crossJoin(broadcast(rowm.join(colm, col("label_a") === col("label_b"))
+        .agg(coalesce(sum(expr("CAST(row_n AS DECIMAL(38,0)) * col_n")),
+          lit(0).cast("decimal(38,0)")).as("pe_num"))))
+      .select(col("n"), col("diag_n"), col("pe_num"),
+        expr("CAST(n AS DECIMAL(38,0)) * diag_n - pe_num").as("kn"),
+        expr("CAST(n AS DECIMAL(38,0)) * n - pe_num").as("kd"))
+    cells
+      .join(rowm, "label_a").join(colm, "label_b")
+      .crossJoin(broadcast(scalars))
+      .select(col("label_a"), col("label_b"), col("n_docs"),
+        col("row_n"), col("col_n"),
+        expr("diag_n * 10000L div n").as("po_bp"),
+        expr("CAST((pe_num * 10000) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("pe_bp"),
+        expr("""CAST(CASE WHEN kd = 0 THEN 0
+          |  WHEN kn >= 0 THEN (kn * 10000) div kd
+          |  ELSE -((-kn * 10000) div kd) END AS BIGINT)""".stripMargin).as("kappa_bp"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7882,7 +7953,8 @@ object PipelineQueries {
     "q248_cell_balance" -> (cellBalanceAudit _),
     "q249_ngram_novelty" -> (ngramNovelty _),
     "q250_pq_recon_error" -> (pqReconError _),
-    "q251_mix_allocation" -> (mixAllocation _))
+    "q251_mix_allocation" -> (mixAllocation _),
+    "q252_labeler_agreement" -> (labelerAgreement _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -11652,7 +11724,45 @@ object PipelineQueries {
          |    AS allocated_tokens,
          |  CAST(GREATEST(0, LEAST(cap_tokens, total_tokens // $MixBudgetDen - cum_before)) * 100
          |    // src_tokens AS BIGINT) AS epochs_x100
-         |FROM c ORDER BY source""".stripMargin)
+         |FROM c ORDER BY source""".stripMargin,
+    // q252: same integer CASE labels, same marginal/pe/kappa arithmetic;
+    // the kappa division is sign-split in BOTH engines so DuckDB's
+    // floor-div `//` and Spark's truncating `div` see only non-negative
+    // operands (identical results). HUGEINT mirrors the DECIMAL(38,0)
+    // headroom for n² at corpus scale.
+    "q252_labeler_agreement" ->
+      s"""WITH l AS (SELECT
+         |    CASE WHEN len(list_distinct(str_split(text, ' '))) * 10000
+         |        // len(str_split(text, ' ')) < $AgreeDivLo THEN 0
+         |      WHEN len(list_distinct(str_split(text, ' '))) * 10000
+         |        // len(str_split(text, ' ')) < $AgreeDivHi THEN 1
+         |      ELSE 2 END AS label_a,
+         |    CASE WHEN n_chars * 100 // len(str_split(text, ' ')) < $AgreeCtokLo THEN 0
+         |      WHEN n_chars * 100 // len(str_split(text, ' ')) < $AgreeCtokHi THEN 1
+         |      ELSE 2 END AS label_b
+         |  FROM documents),
+         |cells AS (SELECT label_a, label_b, COUNT(*) AS n_docs FROM l GROUP BY 1, 2),
+         |rowm AS (SELECT label_a, SUM(n_docs) AS row_n FROM cells GROUP BY 1),
+         |colm AS (SELECT label_b, SUM(n_docs) AS col_n FROM cells GROUP BY 1),
+         |sc AS (SELECT
+         |    (SELECT SUM(n_docs) FROM cells) AS n,
+         |    (SELECT COALESCE(SUM(n_docs), 0) FROM cells WHERE label_a = label_b) AS diag_n,
+         |    (SELECT COALESCE(SUM(CAST(row_n AS HUGEINT) * col_n), 0)
+         |       FROM rowm JOIN colm ON rowm.label_a = colm.label_b) AS pe_num),
+         |k AS (SELECT n, diag_n, pe_num,
+         |    CAST(n AS HUGEINT) * diag_n - pe_num AS kn,
+         |    CAST(n AS HUGEINT) * n - pe_num AS kd FROM sc)
+         |SELECT CAST(cells.label_a AS BIGINT) AS label_a,
+         |  CAST(cells.label_b AS BIGINT) AS label_b,
+         |  CAST(cells.n_docs AS BIGINT) AS n_docs,
+         |  CAST(rowm.row_n AS BIGINT) AS row_n, CAST(colm.col_n AS BIGINT) AS col_n,
+         |  CAST(k.diag_n * 10000 // k.n AS BIGINT) AS po_bp,
+         |  CAST((k.pe_num * 10000) // (CAST(k.n AS HUGEINT) * k.n) AS BIGINT) AS pe_bp,
+         |  CAST(CASE WHEN k.kd = 0 THEN 0
+         |    WHEN k.kn >= 0 THEN (k.kn * 10000) // k.kd
+         |    ELSE -((-k.kn * 10000) // k.kd) END AS BIGINT) AS kappa_bp
+         |FROM cells JOIN rowm USING (label_a) JOIN colm USING (label_b) CROSS JOIN k
+         |ORDER BY label_a, label_b""".stripMargin)
 
   /** Full oracle surface (split only so the shared q81/q98 SQL can sit
     * between the two literals). */

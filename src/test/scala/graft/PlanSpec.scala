@@ -1147,6 +1147,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("q252: confusion cells come from the memo pin; scalars broadcast; no cartesian") {
+    val p = planOf("q252_labeler_agreement")
+    // Four consumers of the ≤9-row cell frame read the persisted cache,
+    // not four corpus re-scans by lineage.
+    assert(p.contains("InMemoryTableScan"), p)
+    // The 1-row kappa scalar frame rides a broadcast back onto the cells.
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q117: corpus tokenizes ONCE — single scan, no join, window on the pair exchange") {
     val p = planOf("q117_exact_gram_dedup")
     assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,

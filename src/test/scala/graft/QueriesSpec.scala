@@ -1969,6 +1969,36 @@ class QueriesSpec extends AnyFunSuite {
       ("yy", "A", 1L, 500L, 32000L, 128000L), ("yy", "B", 9L, 500L, 32000L, 128000L)))
   }
 
+  test("q252 kappa: perfect agreement is +10000 bp; anti-diagonal is -10000 bp") {
+    import spark.implicits._
+    // Texts pin label_a by lexical diversity (3000 / 5000 / 10000 bp →
+    // classes 0/1/2); n_chars pins label_b (500 / 550 / 600 ×100 chars
+    // per token → classes 0/1/2). 10 whitespace tokens each.
+    val t0 = "a a a a b b b b c c"
+    val t1 = "a a b b c c d d e e"
+    val t2 = "a b c d e f g h i j"
+    // One doc per diagonal cell: pₒ = 1, pₑ = 3/9 → κ = 1 exactly.
+    val perfect = Seq((1L, t0, 50L), (2L, t1, 55L), (3L, t2, 60L))
+      .toDF("doc_id", "text", "n_chars")
+    val outP = graft.analytics.PipelineQueries.labelerAgreementOf(perfect)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(outP.toSeq == Seq(
+      (0L, 0L, 1L, 10000L, 3333L, 10000L),
+      (1L, 1L, 1L, 10000L, 3333L, 10000L),
+      (2L, 2L, 1L, 10000L, 3333L, 10000L)))
+    // Pure anti-diagonal 2×2: pₒ = 0, pₑ = 1/2 → κ = −1 — the
+    // below-chance branch the sign-split division exists for.
+    val anti = Seq((1L, t0, 55L), (2L, t1, 50L))
+      .toDF("doc_id", "text", "n_chars")
+    val outA = graft.analytics.PipelineQueries.labelerAgreementOf(anti)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    assert(outA.toSeq == Seq(
+      (0L, 1L, 0L, 5000L, -10000L),
+      (1L, 0L, 0L, 5000L, -10000L)))
+  }
+
   test("q217 keyness: a token planted only in snapshot A tops the A-over-B cut") {
     import spark.implicits._
     // 'zzz' appears 10× in even docs only; 'common' is balanced filler.

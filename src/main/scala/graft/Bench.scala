@@ -121,9 +121,14 @@ object Bench {
     val gcMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val shufBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val layoutBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
+    // Streaming-engine startup per query (round-8 verdict #6): sum of
+    // time-to-first-batch across the query's streaming runs — the
+    // data-size-CONSTANT share of its wall time.
+    val streamStartup = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val shufListener = new ShuffleBytesListener
     spark.sparkContext.addSparkListener(shufListener)
     LayoutLog.drain() // discard warmup-phase builds
+    StreamLog.drain()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = ordered.zipWithIndex.flatMap { case ((name, fn), i) =>
       starts(name) = (System.currentTimeMillis(), (System.nanoTime() - suiteT0) / 1e9)
@@ -144,6 +149,8 @@ object Bench {
       shufBytes(name) = shufListener.bytes.get() - sb0
       val lb = LayoutLog.drain()
       if (lb.nonEmpty) layoutBuilds(name) = lb
+      val ss = StreamLog.drain()
+      if (ss.nonEmpty) streamStartup(name) = ss.sum
       if ((i + 1) % ProbeEvery == 0 && i + 1 < ordered.size)
         probes += ((name, calibration(spark)))
       r
@@ -166,13 +173,15 @@ object Bench {
       "\"" + k + "\":" + bs.map { case (tag, s) => s"""{"tag":"$tag","sec":$s}""" }
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val streamJson = streamStartup
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,""" +
         s""""calibration_pre_sec":$calPre,"calibration_post_sec":$calPost,""" +
         s""""calibration_probes":$probesJson,"query_start_ms":$startMsJson,""" +
         s""""query_offset_sec":$offsetJson,"gc_ms":$gcJson,"shuffle_bytes":$shufJson,""" +
-        s""""layout_builds":$layoutJson,"sf":"$sfDir"}"""
+        s""""layout_builds":$layoutJson,"stream_startup_sec":$streamJson,"sf":"$sfDir"}"""
     // Mirror guard (round-4 verdict #6): every run writes an sf-STAMPED
     // mirror; the unstamped BENCH_LAST.json — the artifact BASELINE.md pins
     // against — is written only by sf0.1 runs, so a smaller-sf dev run can

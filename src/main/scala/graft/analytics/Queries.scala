@@ -324,13 +324,14 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("n"))
     val sinkName = "graft_stream_hourly"
+    val t0 = System.currentTimeMillis()
     val q = counts.writeStream
       .format("memory")
       .queryName(sinkName)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    graft.StreamLog.await(t0, q)
     s.table(sinkName).orderBy(col("hour_start"))
   }
 

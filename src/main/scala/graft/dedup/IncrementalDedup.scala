@@ -311,13 +311,33 @@ object IncrementalDedup {
     toks.select(col("sid"),
       posexplode(Dedup.bandKeysOf(col("toks"), FuzzyParams)).as(Seq("band_idx", "band_key")))
 
+  /** Band rows per store file — sizes the partition write's parallelism
+    * with the batch (round-8 verdict #3: a fixed `coalesce(1)` made every
+    * store write single-task, the one scale-hostile line in the ingest
+    * path — a production batch of millions of docs × 48 bands must write
+    * wide). The digest consistency scheme is file-count-agnostic, so only
+    * throughput rides on this. */
+  private val SigRowsPerFile = 4000000L
+
   /** Write ONE store partition by direct path — a plain overwrite of the
     * single partition directory, skipping dynamic-partition-overwrite's
     * staging/listing (safe here because the digest file, not the write
-    * protocol, carries the store's consistency). */
+    * protocol, carries the store's consistency). File count scales with
+    * the band-row count (one count pass over the persisted frame, then a
+    * round-robin repartition for balanced files): sf-scale batches still
+    * land one file; corpus-scale batches write `n / SigRowsPerFile`-wide. */
+  private def writeSigBands(bands: DataFrame, corpusDir: String, batchId: Long): Unit = {
+    val cached = bands.persist()
+    try {
+      val files = math.max(1L,
+        (cached.count() + SigRowsPerFile - 1) / SigRowsPerFile).toInt
+      cached.repartition(files).write.mode("overwrite")
+        .parquet(s"${sigDir(corpusDir)}/batch_id=$batchId")
+    } finally { cached.unpersist(); () }
+  }
+
   private def writeSigPartition(toks: DataFrame, corpusDir: String, batchId: Long): Unit =
-    bandsOf(toks).coalesce(1).write.mode("overwrite")
-      .parquet(s"${sigDir(corpusDir)}/batch_id=$batchId")
+    writeSigBands(bandsOf(toks), corpusDir, batchId)
 
   private def readState(fs: org.apache.hadoop.fs.FileSystem,
       corpusDir: String): Map[Long, String] = {
@@ -448,11 +468,10 @@ object IncrementalDedup {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(corpusDir)
-        keptBands
-          .join(broadcast(survivors.select(col(idCol).cast("long").as("sid"))),
-            Seq("sid"), "left_semi")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"${sigDir(corpusDir)}/batch_id=$batchId")
+        writeSigBands(
+          keptBands.join(broadcast(survivors.select(col(idCol).cast("long").as("sid"))),
+            Seq("sid"), "left_semi"),
+          corpusDir, batchId)
       }
       val fs = new org.apache.hadoop.fs.Path(corpusDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

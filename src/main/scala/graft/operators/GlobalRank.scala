@@ -62,4 +62,61 @@ object GlobalRank {
       .withColumn(outCol, col(off) + col(lrk))
       .drop(pid, lrk, off)
   }
+
+  /** Adds `outCol` = max(`valCol`) over (ORDER BY `orderCol` RANGE BETWEEN
+    * UNBOUNDED PRECEDING AND -1) — the running prefix-max over STRICTLY
+    * smaller order values — computed with the same range-sharded two-pass
+    * as [[rowNumber]] (PrefixSum generalized from sum to max; round-8
+    * verdict #1: q207's skyline dominance test was the suite's last
+    * unpartitioned running window over a data-scaling frame).
+    *
+    * Decomposition: ties colocate under `repartitionByRange` (the
+    * RangePartitioner routes by key compare, so equal keys share a
+    * shard), hence every strictly-smaller row is either in the same shard
+    * (covered by the block-local RANGE window) or in an earlier shard
+    * (covered by the broadcast running max of whole-shard maxima, which
+    * by the range invariant holds only strictly-smaller keys). `greatest`
+    * merges the two, staying NULL only when no strictly-smaller row
+    * exists anywhere (SQL max-over-empty-frame semantics).
+    *
+    * `inclusiveOut` (optional) additionally emits the INCLUSIVE prefix
+    * max (RANGE ≤ 0 — order-value peers and self included) from the same
+    * sort: both frames share one window spec, so Spark evaluates them in
+    * a single WindowExec with no extra exchange.
+    *
+    * REQUIREMENT: `orderCol` must be numeric (RANGE frame arithmetic). */
+  def prefixMax(df: DataFrame, orderCol: Column, valCol: Column, outCol: String,
+      inclusiveOut: String = null, shards: Int = 0): DataFrame = {
+    val n =
+      if (shards > 0) shards
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val pid = "__gm_pid"
+    val locS = "__gm_loc_strict"
+    val locI = "__gm_loc_incl"
+    val mx = "__gm_shard_max"
+    val off = "__gm_off"
+    val parted = df.repartitionByRange(n, orderCol)
+      .withColumn(pid, spark_partition_id().cast("long"))
+    val wStrict = Window.partitionBy(col(pid)).orderBy(orderCol)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wIncl = Window.partitionBy(col(pid)).orderBy(orderCol)
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val localStrict = parted.withColumn(locS, max(valCol).over(wStrict))
+    val local =
+      if (inclusiveOut == null) localStrict
+      else localStrict.withColumn(locI, max(valCol).over(wIncl))
+    // Whole-shard maxima are a ≤`n`-row metadata frame; the EXCLUSIVE
+    // running max over shard order is each shard's carry-in.
+    val offsets = parted.groupBy(col(pid)).agg(max(valCol).as(mx))
+      .withColumn(off,
+        max(col(mx)).over(Window.orderBy(col(pid))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col(pid), col(off))
+    val merged = local.join(broadcast(offsets), pid)
+      .withColumn(outCol, greatest(col(locS), col(off)))
+    val out =
+      if (inclusiveOut == null) merged
+      else merged.withColumn(inclusiveOut, greatest(col(locI), col(off)))
+    out.drop(pid, locS, locI, off)
+  }
 }

@@ -175,24 +175,84 @@ object SemDedup {
     val stats = (0 until nBatches).map { b =>
       val wave = assigned.filter(col("batch") === b)
       val adm = admitted(b)
-      val prior =
-        if (b == 0) null
-        else (0 until b).map(admitted).reduce(_ unionByName _)
-      val dropPrior =
-        if (prior == null) wave.limit(0).select(col("id"))
-        else wave.join(prior.select(col("cell"), col("v").as("vp")), Seq("cell"))
-          .filter(cosine_sim(col("v"), col("vp")) >= tau)
-          .select(col("id")).distinct()
-      wave.agg(count(lit(1)).as("n_arrived"))
-        .crossJoin(broadcast(adm.agg(count(lit(1)).as("n_admitted"),
-          coalesce(sum(col("id")), lit(0L)).as("admitted_id_sum"))))
-        .crossJoin(broadcast(dropPrior.agg(count(lit(1)).as("n_dropped_prior"))))
-        .select(lit(b.toLong).as("batch"), col("n_arrived"), col("n_admitted"),
-          col("n_dropped_prior"),
-          (col("n_arrived") - col("n_admitted") - col("n_dropped_prior"))
-            .as("n_dropped_within"),
-          col("admitted_id_sum"))
+      statsRow(b, wave, adm, if (b == 0) null
+        else (0 until b).map(admitted).reduce(_ unionByName _), tau)
     }
     stats.reduce(_ unionByName _).orderBy(col("batch"))
+  }
+
+  private def statsRow(b: Int, wave: DataFrame, adm: DataFrame,
+      prior: DataFrame, tau: Double): DataFrame = {
+    val dropPrior =
+      if (prior == null) wave.limit(0).select(col("id"))
+      else wave.join(prior.select(col("cell"), col("v").as("vp")), Seq("cell"))
+        .filter(cosine_sim(col("v"), col("vp")) >= tau)
+        .select(col("id")).distinct()
+    wave.agg(count(lit(1)).as("n_arrived"))
+      .crossJoin(broadcast(adm.agg(count(lit(1)).as("n_admitted"),
+        coalesce(sum(col("id")), lit(0L)).as("admitted_id_sum"))))
+      .crossJoin(broadcast(dropPrior.agg(count(lit(1)).as("n_dropped_prior"))))
+      .select(lit(b.toLong).as("batch"), col("n_arrived"), col("n_admitted"),
+        col("n_dropped_prior"),
+        (col("n_arrived") - col("n_admitted") - col("n_dropped_prior"))
+          .as("n_dropped_within"),
+        col("admitted_id_sum"))
+  }
+
+  /** ONLINE SemDedup admission against a COMMITTED on-disk store (q254;
+    * round-8 verdict #5) — [[onlineAdmission]]'s sequential semantics
+    * with the q200 signature-store discipline applied to vectors:
+    * admission state lives in a wave-partitioned parquet store
+    * (`batch_id=b/` of (id, cell, vector)), so a NEW session — or a
+    * second ingest process — admits against the PUBLISHED corpus rather
+    * than per-session memoized lineage, and a crashed run resumes from
+    * the last published wave. Wave b reads only `batch_id < b`
+    * (partition-pruned), decides drops (prior-corpus cell join + the
+    * order-free within-wave lower-id rule, both identical to q240), and
+    * publishes survivors to its OWN partition by direct path (the
+    * writeSigPartition discipline — replaying a wave rewrites the same
+    * content, so the loop is replay-idempotent; the spec pins it).
+    * Returns the ON-DISK admitted set — a stale or corrupt store breaks
+    * the oracle hash, the q248/q250 audit argument. */
+  def committedAdmission(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, storeDir: String, tau: Double = Tau, nlist: Int = Nlist,
+      nBatches: Int = OnlineBatches): DataFrame = {
+    val indexable = corpus.filter(col(vecCol).isNotNull)
+    val cellMatrix = indexable
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(cellMatrix.nonEmpty, "empty corpus: no vectors to build cells from")
+    val assigned = indexable.select(
+        col(idCol).as("id"), col(vecCol).as("v"),
+        element_at(nearest_cells(col(vecCol), cellMatrix, 1), 1)
+          .cast("long").as("cell"),
+        (col(idCol) % nBatches).as("batch"))
+      .persist()
+    try {
+      (0 until nBatches).foreach { b =>
+        val wave = assigned.filter(col("batch") === b)
+          .select(col("id"), col("cell"), col("v"))
+        val dropPrior =
+          if (b == 0) wave.limit(0).select(col("id"))
+          else wave.join(
+              spark.read.parquet(storeDir).where(col("batch_id") < b)
+                .select(col("cell"), col("v").as("vp")),
+              Seq("cell"))
+            .filter(cosine_sim(col("v"), col("vp")) >= tau)
+            .select(col("id")).distinct()
+        val dropWithin = wave
+          .join(wave.select(col("cell"), col("id").as("id_b"), col("v").as("vb")),
+            Seq("cell"))
+          .filter(col("id_b") < col("id") && cosine_sim(col("v"), col("vb")) >= tau)
+          .select(col("id")).distinct()
+        wave.join(dropPrior.unionByName(dropWithin).distinct(), Seq("id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$storeDir/batch_id=$b")
+      }
+      spark.read.parquet(storeDir)
+        .select(col("batch_id").cast("long").as("batch"),
+          col("id").as(idCol), col("cell"))
+        .orderBy(col("batch"), col(idCol))
+    } finally { assigned.unpersist(); () }
   }
 }

@@ -408,13 +408,14 @@ object StreamPipeline {
     * for streaming plans. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
       outputMode: String = "append"): DataFrame = {
+    val t0 = System.currentTimeMillis()
     val q = stream.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    graft.StreamLog.await(t0, q)
     spark.table(name)
   }
 }

@@ -63,7 +63,15 @@ object ClusterCheck {
     // spark_partition_id block ranks (q239 — pid semantics must hold
     // when partitions live in separate worker JVMs), and the online
     // SemDedup wave recursion over per-wave persisted frames (q240).
-    "q235_prefix_filter_join", "q239_global_rank", "q240_online_semdedup")
+    "q235_prefix_filter_join", "q239_global_rank", "q240_online_semdedup",
+    // Round-10 additions (round-8 verdict #7): the two audits that read
+    // the COMMITTED IVFPQ layout from executor JVMs — cell-balance
+    // occupancy (q248) and reconstruction error (q250) are the queries
+    // most likely to break if the on-disk layout or its broadcast
+    // codebooks don't survive a real process boundary — plus the new
+    // range-sharded prefix-max dominance pass (q207: pid carry-in
+    // offsets must hold across worker JVMs, the q239 argument).
+    "q207_skyline", "q248_cell_balance", "q250_pq_recon_error")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -873,6 +873,36 @@ class PlanSpec extends AnyFunSuite {
       s"both layouts share one scan (explode, not union-of-scans) + the 1-row bounds pass:\n$p")
   }
 
+  test("q199: vocabulary rank shards via GlobalRank; no unpartitioned window over the vocab frame") {
+    val p = planOf("q199_vocab_curve")
+    // Round-10 (round-8 verdict #1): the vocab of a web corpus is
+    // billions of distinct tokens — the rank must range-shard and the
+    // corpus totals must be a 1-row broadcast aggregate, never an
+    // unbounded window over the whole vocab frame.
+    assert(p.contains("rangepartitioning"),
+      s"the vocab rank must range-shard, not single-partition sort:\n$p")
+    assert(!"""windowspecdefinition\(c#\d+L DESC""".r.findFirstIn(p).isDefined,
+      s"unpartitioned window ordered by the count column:\n$p")
+    assert(!"""windowspecdefinition\(unspecifiedframe""".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the token count must combine map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the totals frame must broadcast:\n$p")
+  }
+
+  test("q207: skyline prefix-max shards via GlobalRank.prefixMax; no unpartitioned window over part") {
+    val p = planOf("q207_skyline")
+    // Round-10 (round-8 verdict #1): the running dominance max must
+    // range-shard — no window may order the part frame unpartitioned.
+    assert(p.contains("rangepartitioning"),
+      s"the prefix-max must range-shard, not single-partition sort:\n$p")
+    assert(!"""windowspecdefinition\(price_cents#\d+L ASC NULLS FIRST, specifiedwindowframe\(RangeFrame, unboundedpreceding""".r
+      .findFirstIn(p).isDefined,
+      s"unpartitioned RANGE window over the part frame (the round-8 scale-killer):\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the shard offsets must broadcast:\n$p")
+  }
+
   test("q185: purchase filter pushed; the Gini rank shards via GlobalRank") {
     val p = planOf("q185_revenue_concentration")
     assert(p.contains("EqualTo(event_type,purchase)"),

@@ -2115,6 +2115,39 @@ class QueriesSpec extends AnyFunSuite {
       out.toSeq.mkString(","))
   }
 
+  test("q254 committed admission: matches q240's sequential semantics from the on-disk store and replays idempotently") {
+    import spark.implicits._
+    // Same planted angles as the q240 spec — the case where the online
+    // rule and the batch rule DISAGREE (id1 is admitted online because
+    // its dominator id2 was itself dropped), so store-vs-lineage parity
+    // here proves the committed path carries the sequential semantics.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.6947f, 0.7193f)),
+      (2L, Array(0.9205f, 0.3907f)), (3L, Array(0.9962f, 0.0872f)))
+      .toDF("vec_id", "embedding")
+    val store = java.nio.file.Files.createTempDirectory("graft_admit_spec").toString + "/s"
+    val out1 = graft.similarity.SemDedup
+      .committedAdmission(spark, vecs, "vec_id", "embedding", store,
+        tau = 0.9, nlist = 1, nBatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out1.toSeq == Seq((0L, 0L, 0L), (1L, 1L, 0L)), out1.toSeq.mkString(","))
+    // Per-wave (count, id-sum) from the STORE equal q240's lineage stats.
+    val stats = graft.similarity.SemDedup
+      .onlineAdmission(spark, vecs, "vec_id", "embedding",
+        tau = 0.9, nlist = 1, nBatches = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(5))).toMap
+    val fromStore = out1.groupBy(_._1)
+      .map { case (b, rs) => b -> (rs.size.toLong, rs.map(_._2).sum) }
+    assert(fromStore == stats, s"store=$fromStore lineage=$stats")
+    // Replay over the already-published store: identical content (each
+    // wave reads only batch_id < b and rewrites its own partition).
+    val out2 = graft.similarity.SemDedup
+      .committedAdmission(spark, vecs, "vec_id", "embedding", store,
+        tau = 0.9, nlist = 1, nBatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out2.toSeq == out1.toSeq)
+  }
+
   test("q241 exact quantiles: planted 100-value frame selects the textbook ceiling ranks") {
     import spark.implicits._
     // values 1..100 whole dollars (exact at double precision — cents
@@ -2193,6 +2226,33 @@ class QueriesSpec extends AnyFunSuite {
         .select(col("o_orderkey").as("l_orderkey")),
       Seq("l_orderkey"), "left_semi").count()
     assert(nTrue == truth, s"n_true=$nTrue != semi-join truth=$truth")
+  }
+
+  test("q253 repeat spans: overlapping, nested, self-overlapping and split repeats merge to maximal spans") {
+    import spark.implicits._
+    // L = 8. Hand-derived expectations:
+    //  doc 1 shares the 10-token run a..j with doc 2 → three consecutive
+    //    duplicated 8-gram starts (1,2,3) merge to span [1,10];
+    //  doc 2's copy is offset by one → starts (2,3,4) → span [2,11];
+    //  doc 3 is "p"×9: its single 8-gram occurs at starts 1 AND 2 (a
+    //    SELF-overlap) → span [1,9];
+    //  doc 4 repeats doc 1's head (start 1) and doc 3's p-run (start 15)
+    //    with unique filler between → TWO islands [1,8] and [15,22];
+    //  doc 5 is 8 unique tokens → no duplicated gram, no rows.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "x a b c d e f g h i j y"),
+      (3L, "p p p p p p p p p"),
+      (4L, "a b c d e f g h z1 z2 z3 z4 z5 z6 p p p p p p p p q"),
+      (5L, "u1 u2 u3 u4 u5 u6 u7 u8")).toDF("doc_id", "text")
+    val out = graft.analytics.PipelineQueries.maximalRepeatSpansOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 10L, 10L),
+      (2L, 2L, 11L, 10L),
+      (3L, 1L, 9L, 9L),
+      (4L, 1L, 8L, 8L),
+      (4L, 15L, 22L, 8L)), out.toSeq.toString)
   }
 
   private val mayBeEmpty = Set.empty[String]

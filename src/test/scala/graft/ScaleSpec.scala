@@ -226,6 +226,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(!"""windowspecdefinition\(v#\d+""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("GlobalRank.prefixMax: sharded prefix-max is bit-identical to the serial RANGE window") {
+    import org.apache.spark.sql.expressions.Window
+    // Heavy order-key ties (k = id % 50) exercise the tie-colocation
+    // invariant; v is deliberately non-monotone in k so shard carry-ins
+    // matter. Both the strict (-1) and inclusive (0) frames are checked.
+    val df = spark.range(0L, 10000L)
+      .selectExpr("id", "id % 50 AS k", "(id * 2654435761) % 1000 AS v")
+    val sharded = graft.operators.GlobalRank
+      .prefixMax(df, col("k"), col("v"), "pm", inclusiveOut = "pmi", shards = 8)
+    val wS = Window.orderBy(col("k")).rangeBetween(Window.unboundedPreceding, -1)
+    val wI = Window.orderBy(col("k")).rangeBetween(Window.unboundedPreceding, 0)
+    val serial = df.withColumn("pm", max(col("v")).over(wS))
+      .withColumn("pmi", max(col("v")).over(wI))
+    assert(sharded.count() == 10000L)
+    assert(sharded.exceptAll(serial).isEmpty && serial.exceptAll(sharded).isEmpty)
+    // The first order-key group's strict prefix is genuinely NULL.
+    assert(sharded.filter(col("k") === 0 && col("pm").isNull).count() == 200L)
+    // And the sharding is real: range exchange present, no window orders
+    // the data frame unpartitioned.
+    val p = sharded.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p)
+    assert(!"""windowspecdefinition\(k#\d+L, """.r.findFirstIn(p).isDefined, p)
+  }
+
   test("partitioned layout prunes directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val events = Tables.events(spark, TestSpark.SfDir)

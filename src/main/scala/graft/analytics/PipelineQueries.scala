@@ -6090,6 +6090,19 @@ object PipelineQueries {
     * MemoryStream and pins the drop semantics batch by batch. */
   def streamingFuzzyDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.SessionMemo.memo(spark, s"q200|$dir") {
+      val corpus = fuzzyIngestCorpus(spark, dir)
+      spark.read.parquet(corpus)
+        .where(col("batch_id") >= 0)
+        .select(col("batch_id").cast("long").as("batch_id"), col("doc_id"))
+        .orderBy(col("batch_id"), col("doc_id"))
+    }
+  }
+
+  /** The q200 batch-loop replay, memoized ONCE per (session, dir) and
+    * shared by q200 (survivor frame) and q256 (store compaction) —
+    * returns the work corpus dir. */
+  private def fuzzyIngestCorpus(spark: SparkSession, dir: String): String =
+    graft.SessionMemo.memo(spark, s"q200corpus|$dir") {
       val s = spark.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "4")
       // The ingest path is ~15 tiny sequential exchanges per batch; AQE's
@@ -6110,10 +6123,30 @@ object PipelineQueries {
           .select(col("doc_id"), col("text"))
         graft.dedup.IncrementalDedup.fuzzyIngestBatch(slice, corpus, b.toLong)
       }
-      spark.read.parquet(corpus)
-        .where(col("batch_id") >= 0)
-        .select(col("batch_id").cast("long").as("batch_id"), col("doc_id"))
-        .orderBy(col("batch_id"), col("doc_id"))
+      corpus
+    }
+
+  /** Signature-store nightly compaction (q256) — see
+    * [[graft.dedup.IncrementalDedup.compactSigStore]]: fold the q200
+    * store's per-batch partitions into a band-segmented, band_key-sorted
+    * base layout with a digest manifest, then report the BASE's content
+    * stats read back from disk (folded partitions, bands, rows, distinct
+    * docs, id-sum checksum) — a lossy or stale compaction breaks the
+    * oracle hash, whose expected values come from replaying the
+    * sequential ingest. Shares q200's memoized ingest replay, so the
+    * bench pays the four-batch loop once across both rows. */
+  def sigStoreCompaction(spark: SparkSession, dir: String): DataFrame = {
+    graft.SessionMemo.memo(spark, s"q256|$dir") {
+      val corpus = fuzzyIngestCorpus(spark, dir)
+      graft.dedup.IncrementalDedup.compactSigStore(spark, corpus)
+      spark.read.parquet(s"$corpus/_fuzzy_sigs/_base")
+        .agg(countDistinct(col("batch_id")).as("n_folded_partitions"),
+          countDistinct(col("band_idx")).as("n_bands"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("sid")).as("n_distinct_sids"),
+          sum_distinct(col("sid")).as("sid_sum"))
+        .select(col("n_folded_partitions"), col("n_bands"), col("n_rows"),
+          col("n_distinct_sids"), col("sid_sum").cast("long").as("sid_sum"))
     }
   }
 
@@ -7833,6 +7866,90 @@ object PipelineQueries {
     }
   }
 
+  /** q255 merge-list length, shared with the oracle: enough rounds that
+    * multi-character symbols chain (merged symbols re-merge) while the
+    * unrolled oracle CTE stays tractable. */
+  private[graft] val BpeEncodeMerges = 6
+
+  /** Weighted adjacent-pair counts over a symbolized vocab frame — the
+    * q182 aggregation, shared by the q255 learner loop. */
+  private def bpePairCounts(v: DataFrame): DataFrame = v
+    .select(split(col("sym"), " ").as("t"), col("cnt"))
+    .filter(size(col("t")) >= 2)
+    .select(explode(expr(
+      "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS p1, t[i] AS p2))")).as("p"),
+      col("cnt"))
+    .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+    .agg(sum(col("cnt")).as("pair_count"))
+
+  /** End-to-end BPE encode (q255) — the missing half of q182 (round-8
+    * verdict #8a): LEARN [[BpeEncodeMerges]] merges on the vocab frame
+    * (k rounds of pair-count → top-1 → space-doubled replace — all
+    * vocab-sized work on the memoized one-scan tokenization; each
+    * round's top-1 is a 1-row bounded collect), then APPLY the ordered
+    * merge list to the WHOLE corpus in one map-only pass via the
+    * [[graft.functions.BpeDocSymbols]] expression (merge list baked into
+    * the plan — no join, no explode, no shuffle until the per-language
+    * aggregate). Reports per language the exact token/char-symbol/
+    * BPE-symbol counts and the compression ratio in bp — the
+    * tokenizer-budget readout (symbols ≈ what the training run pays).
+    * Merge semantics are greedy left-to-right non-overlapping in learned
+    * order — Sennrich et al. 2016 — identical in the expression, the
+    * learner's replace chain, and the oracle's unrolled k-round CTEs. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeOf(Tables.documents(spark, dir), BpeEncodeMerges,
+      v => graft.SessionMemo.memo(spark, s"q255vocab|$dir") {
+        v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
+  private[graft] def bpeEncodeOf(docs: DataFrame, k: Int,
+      memoVocab: DataFrame => DataFrame = identity): DataFrame = {
+    val vocab = memoVocab(docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("token")) >= 2)
+      .select(expr(
+        "array_join(transform(sequence(1, length(token)), i -> substring(token, i, 1)), ' ')")
+        .as("sym"), col("cnt")))
+    // Learner loop: k bounded 1-row collects, each over vocab-frame
+    // lineage (cached base + r literal replaces). Stops early if the
+    // vocab runs out of pairs; the oracle's sentinel rounds then no-op.
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var v = vocab
+    var r = 0
+    var exhausted = false
+    while (r < k && !exhausted) {
+      val top = bpePairCounts(v)
+        .orderBy(col("pair_count").desc, col("p1"), col("p2")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (m1, m2) = (top(0).getString(0), top(0).getString(1))
+        merges += ((m1, m2))
+        // Literal columns (never SQL-interpolated): token text can hold
+        // any punctuation. Space-doubling realizes exact greedy
+        // left-to-right semantics (q182's round-6 derivation).
+        v = v.select(trim(replace(
+            replace(
+              replace(concat(lit(" "), col("sym"), lit(" ")), lit(" "), lit("  ")),
+              lit(s" $m1  $m2 "), lit(s" $m1$m2 ")),
+            lit("  "), lit(" "))).as("sym"), col("cnt"))
+      }
+      r += 1
+    }
+    import graft.functions.BpeFunctions.bpe_doc_symbols
+    docs.select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        length(replace(col("text"), lit(" "), lit(""))).cast("long").as("n_cp"),
+        bpe_doc_symbols(col("text"), merges.toSeq).as("n_sym"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_cp")).as("n_char_symbols"),
+        sum(col("n_sym")).as("n_bpe_symbols"))
+      .select(col("lang"), col("n_tokens"), col("n_char_symbols"), col("n_bpe_symbols"),
+        expr("n_bpe_symbols * 10000L div n_char_symbols").as("compression_bp"))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8038,7 +8155,9 @@ object PipelineQueries {
     "q251_mix_allocation" -> (mixAllocation _),
     "q252_labeler_agreement" -> (labelerAgreement _),
     "q253_repeat_spans" -> (maximalRepeatSpans _),
-    "q254_committed_admission" -> (committedSemDedupAdmission _))
+    "q254_committed_admission" -> (committedSemDedupAdmission _),
+    "q255_bpe_encode" -> (bpeEncode _),
+    "q256_sig_compaction" -> (sigStoreCompaction _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -8905,6 +9024,34 @@ object PipelineQueries {
        |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
        |  FROM sims) WHERE rn = 1),
        |$waveCtes""".stripMargin
+  }
+
+  /** Shared CTE prefix of the q200/q256 oracles (no leading WITH): the
+    * sequential four-batch fuzzy-ingest replay — brute-force Jaccard with
+    * the q62 recall-exactness argument standing in for the banding. */
+  private def fuzzyIngestCtePrefix: String = {
+    def jac(a: String, x: String) =
+      s"CAST(len(list_intersect($a.toks, $x.toks)) AS DOUBLE) / " +
+        s"($a.nt + $x.nt - len(list_intersect($a.toks, $x.toks))) >= 0.8"
+    def lenPre(a: String, x: String) =
+      s"5 * LEAST($a.nt, $x.nt) >= 4 * GREATEST($a.nt, $x.nt)"
+    def batch(b: Int): String = {
+      val corpusUnion = ("SELECT doc_id, toks, nt FROM st" +:
+        (0 until b).map(i => s"SELECT doc_id, toks, nt FROM s$i")).mkString(" UNION ALL ")
+      s"""a$b AS MATERIALIZED (SELECT * FROM arr WHERE (doc_id // 7) % 4 = $b),
+         |wd$b AS (SELECT DISTINCT a.doc_id FROM a$b a JOIN a$b x
+         |  ON x.doc_id < a.doc_id AND ${lenPre("a", "x")} AND ${jac("a", "x")}),
+         |k$b AS MATERIALIZED (SELECT * FROM a$b WHERE doc_id NOT IN (SELECT doc_id FROM wd$b)),
+         |c$b AS MATERIALIZED ($corpusUnion),
+         |cd$b AS (SELECT DISTINCT k.doc_id FROM k$b k JOIN c$b c
+         |  ON ${lenPre("k", "c")} AND ${jac("k", "c")}),
+         |s$b AS MATERIALIZED (SELECT * FROM k$b WHERE doc_id NOT IN (SELECT doc_id FROM cd$b))"""
+    }
+    s"""d AS MATERIALIZED (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks,
+       |    len(list_distinct(str_split(text, ' '))) AS nt FROM documents),
+       |st AS MATERIALIZED (SELECT doc_id, toks, nt FROM d WHERE doc_id % 7 <> 0),
+       |arr AS MATERIALIZED (SELECT doc_id, toks, nt FROM d WHERE doc_id % 7 = 0),
+       |${(0 to 3).map(batch).mkString(",\n")}""".stripMargin
   }
 
   private val oracleTail: Map[String, String] = Map(
@@ -9860,32 +10007,28 @@ object PipelineQueries {
     // q200: sequential-batch replay with brute-force Jaccard — the q62
     // recall-exactness argument batch by batch; the length prefilter
     // (5·min ≥ 4·max ⟸ j ≥ 0.8) is a pure optimization.
-    "q200_stream_fuzzy_dedup" -> {
-      def jac(a: String, x: String) =
-        s"CAST(len(list_intersect($a.toks, $x.toks)) AS DOUBLE) / " +
-          s"($a.nt + $x.nt - len(list_intersect($a.toks, $x.toks))) >= 0.8"
-      def lenPre(a: String, x: String) =
-        s"5 * LEAST($a.nt, $x.nt) >= 4 * GREATEST($a.nt, $x.nt)"
-      def batch(b: Int): String = {
-        val corpusUnion = ("SELECT doc_id, toks, nt FROM st" +:
-          (0 until b).map(i => s"SELECT doc_id, toks, nt FROM s$i")).mkString(" UNION ALL ")
-        s"""a$b AS MATERIALIZED (SELECT * FROM arr WHERE (doc_id // 7) % 4 = $b),
-           |wd$b AS (SELECT DISTINCT a.doc_id FROM a$b a JOIN a$b x
-           |  ON x.doc_id < a.doc_id AND ${lenPre("a", "x")} AND ${jac("a", "x")}),
-           |k$b AS MATERIALIZED (SELECT * FROM a$b WHERE doc_id NOT IN (SELECT doc_id FROM wd$b)),
-           |c$b AS MATERIALIZED ($corpusUnion),
-           |cd$b AS (SELECT DISTINCT k.doc_id FROM k$b k JOIN c$b c
-           |  ON ${lenPre("k", "c")} AND ${jac("k", "c")}),
-           |s$b AS MATERIALIZED (SELECT * FROM k$b WHERE doc_id NOT IN (SELECT doc_id FROM cd$b))"""
-      }
-      s"""WITH d AS MATERIALIZED (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks,
-         |    len(list_distinct(str_split(text, ' '))) AS nt FROM documents),
-         |st AS MATERIALIZED (SELECT doc_id, toks, nt FROM d WHERE doc_id % 7 <> 0),
-         |arr AS MATERIALIZED (SELECT doc_id, toks, nt FROM d WHERE doc_id % 7 = 0),
-         |${(0 to 3).map(batch).mkString(",\n")}
-         |${(0 to 3).map(b => s"SELECT CAST($b AS BIGINT) AS batch_id, doc_id FROM s$b")
-            .mkString(" UNION ALL ")}
-         |ORDER BY batch_id, doc_id""".stripMargin
+    "q200_stream_fuzzy_dedup" ->
+      s"""WITH $fuzzyIngestCtePrefix,
+         |r AS (${(0 to 3).map(b => s"SELECT CAST($b AS BIGINT) AS batch_id, doc_id FROM s$b")
+            .mkString(" UNION ALL ")})
+         |SELECT batch_id, doc_id FROM r ORDER BY batch_id, doc_id""".stripMargin,
+    // q256: the compacted base must carry EXACTLY 48 band rows for every
+    // doc of the replayed final corpus (seed + sequential survivors) —
+    // the oracle recomputes membership from the q200 replay CTEs and the
+    // store's expected multiplicity from the banding constant.
+    "q256_sig_compaction" -> {
+      val bands = graft.dedup.IncrementalDedup.FuzzyParams.bands
+      s"""WITH $fuzzyIngestCtePrefix,
+         |corpus AS (SELECT doc_id FROM st UNION ALL ${(0 to 3)
+            .map(b => s"SELECT doc_id FROM s$b").mkString(" UNION ALL ")}),
+         |parts AS (SELECT DISTINCT pid FROM (
+         |  SELECT -1 AS pid FROM st UNION ALL ${(0 to 3)
+            .map(b => s"SELECT $b AS pid FROM s$b").mkString(" UNION ALL ")}))
+         |SELECT CAST((SELECT COUNT(*) FROM parts) AS BIGINT) AS n_folded_partitions,
+         |  CAST($bands AS BIGINT) AS n_bands,
+         |  CAST((SELECT COUNT(*) FROM corpus) * $bands AS BIGINT) AS n_rows,
+         |  CAST((SELECT COUNT(DISTINCT doc_id) FROM corpus) AS BIGINT) AS n_distinct_sids,
+         |  CAST((SELECT SUM(DISTINCT doc_id) FROM corpus) AS BIGINT) AS sid_sum""".stripMargin
     },
     // q201: same hour aggregate, same trailing RANGE windows, same
     // integer thresholds.
@@ -11558,6 +11701,50 @@ object PipelineQueries {
       s"""$onlineAdmissionCtePrefix
          |$setRows
          |ORDER BY batch, vec_id""".stripMargin
+    },
+    // q255: the learner's k rounds unroll as CTE triples (pairs → top-1
+    // → space-doubled replace), then the SAME replace chain encodes the
+    // distinct-token frame and doc tokens join to their encoded lengths.
+    // A round with no pairs left yields the chr(1) sentinel merge, which
+    // can never match — mirroring the Spark learner's early stop.
+    "q255_bpe_encode" -> {
+      val k = BpeEncodeMerges
+      def pairsCte(src: String, out: String) =
+        s"""$out AS (SELECT s.tk[CAST(t.i AS INTEGER)] AS p1, s.tk[CAST(t.i AS INTEGER) + 1] AS p2,
+           |    CAST(SUM(s.cnt) AS BIGINT) AS pair_count
+           |  FROM (SELECT str_split(sym, ' ') AS tk, cnt FROM $src WHERE len(str_split(sym, ' ')) >= 2) s,
+           |    UNNEST(range(1, len(s.tk))) AS t(i)
+           |  GROUP BY 1, 2)""".stripMargin
+      def topCte(src: String, out: String) =
+        s"""$out AS (SELECT COALESCE(MAX(m1), chr(1)) AS m1, COALESCE(MAX(m2), chr(1)) AS m2
+           |  FROM (SELECT p1 AS m1, p2 AS m2 FROM $src ORDER BY pair_count DESC, p1, p2 LIMIT 1))""".stripMargin
+      def applyCte(src: String, top: String, out: String, extra: String) =
+        s"""$out AS (SELECT trim(replace(replace(replace(' ' || $src.sym || ' ', ' ', '  '),
+           |    ' ' || $top.m1 || '  ' || $top.m2 || ' ', ' ' || $top.m1 || $top.m2 || ' '), '  ', ' ')) AS sym, $src.$extra
+           |  FROM $src CROSS JOIN $top)""".stripMargin
+      val learn = (1 to k).map { r =>
+        Seq(pairsCte(s"v${r - 1}", s"pr$r"), topCte(s"pr$r", s"t$r"),
+          applyCte(s"v${r - 1}", s"t$r", s"v$r", "cnt")).mkString(",\n")
+      }.mkString(",\n")
+      val enc = (1 to k)
+        .map(r => applyCte(s"e${r - 1}", s"t$r", s"e$r", "token")).mkString(",\n")
+      s"""WITH tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents) GROUP BY token),
+         |v0 AS (SELECT array_to_string(list_transform(range(1, length(token) + 1),
+         |    i -> substring(token, CAST(i AS INTEGER), 1)), ' ') AS sym, cnt
+         |  FROM tc WHERE length(token) >= 2),
+         |$learn,
+         |e0 AS (SELECT array_to_string(list_transform(range(1, length(token) + 1),
+         |    i -> substring(token, CAST(i AS INTEGER), 1)), ' ') AS sym, token FROM tc),
+         |$enc,
+         |encf AS (SELECT token, CAST(len(str_split(sym, ' ')) AS BIGINT) AS n_sym FROM e$k),
+         |u AS (SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents),
+         |j AS (SELECT u.lang, encf.n_sym, length(u.token) AS n_cp FROM u JOIN encf USING (token))
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_cp) AS BIGINT) AS n_char_symbols,
+         |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_symbols,
+         |  CAST(SUM(n_sym) * 10000 // SUM(n_cp) AS BIGINT) AS compression_bp
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
     },
     // q241: ceiling-rank selection replayed serially; value ties break on
     // event_id in BOTH engines, so the selected row is unique and exact.

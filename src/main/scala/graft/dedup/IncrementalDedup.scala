@@ -279,7 +279,7 @@ object IncrementalDedup {
   /** MinHash params for the fuzzy-ingest path — the [[Dedup.crossNearDups]]
     * cross-dedup operating point, shared by the signature store so stored
     * band keys and fresh batch band keys live in the same key space. */
-  private val FuzzyParams = Dedup.MinHashParams(bands = 48, rowsPerBand = 4)
+  private[graft] val FuzzyParams = Dedup.MinHashParams(bands = 48, rowsPerBand = 4)
 
   /** Signature store `_fuzzy_sigs` — one row per (doc, band): the LSH
     * bucket keys of every standing-corpus doc, partitioned by batch_id
@@ -339,9 +339,9 @@ object IncrementalDedup {
   private def writeSigPartition(toks: DataFrame, corpusDir: String, batchId: Long): Unit =
     writeSigBands(bandsOf(toks), corpusDir, batchId)
 
-  private def readState(fs: org.apache.hadoop.fs.FileSystem,
-      corpusDir: String): Map[Long, String] = {
-    val statePath = new org.apache.hadoop.fs.Path(sigDir(corpusDir), "_partition_state")
+  private def readStateFile(fs: org.apache.hadoop.fs.FileSystem,
+      corpusDir: String, name: String): Map[Long, String] = {
+    val statePath = new org.apache.hadoop.fs.Path(sigDir(corpusDir), name)
     if (!fs.exists(statePath)) Map.empty
     else {
       val in = fs.open(statePath)
@@ -352,13 +352,83 @@ object IncrementalDedup {
     }
   }
 
-  private def writeState(fs: org.apache.hadoop.fs.FileSystem, corpusDir: String,
-      state: Map[Long, String]): Unit = {
-    val statePath = new org.apache.hadoop.fs.Path(sigDir(corpusDir), "_partition_state")
+  private def writeStateFile(fs: org.apache.hadoop.fs.FileSystem, corpusDir: String,
+      name: String, state: Map[Long, String]): Unit = {
+    val statePath = new org.apache.hadoop.fs.Path(sigDir(corpusDir), name)
     val out = fs.create(statePath, true)
     try out.write(state.toSeq.sortBy(_._1)
       .map { case (b, d) => s"$b=$d" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  private def readState(fs: org.apache.hadoop.fs.FileSystem,
+      corpusDir: String): Map[Long, String] =
+    readStateFile(fs, corpusDir, "_partition_state")
+
+  private def writeState(fs: org.apache.hadoop.fs.FileSystem, corpusDir: String,
+      state: Map[Long, String]): Unit =
+    writeStateFile(fs, corpusDir, "_partition_state", state)
+
+  /** Compacted-base layout: `_fuzzy_sigs/_base/band_idx=k/` (underscore
+    * prefix — invisible to the per-batch partition discovery read) plus a
+    * `_base_manifest` snapshot of the per-batch digests folded in. */
+  private def baseDir(corpusDir: String) = s"${sigDir(corpusDir)}/_base"
+  private val BaseManifest = "_base_manifest"
+
+  /** Nightly compaction of the signature store (q256; round-8 verdict
+    * #8b — the q99 compaction pattern applied to `_fuzzy_sigs`): after
+    * thousands of ingest batches the store is thousands of small
+    * per-batch partitions, and every probe pays their listing + open
+    * cost. This folds the CURRENT synced state into a band-segmented,
+    * band_key-sorted base layout (one segment per band; at production
+    * scale the repartition key gains a band_key bucket so segments stay
+    * bounded), recording the folded per-batch digests in a manifest.
+    * The per-batch partitions stay on disk as the source of truth — the
+    * base is a redundant read-optimized copy (a production deployment
+    * ages folded deltas out after a retention window): if ANY folded
+    * partition is later re-signed, removed, or republished, its digest
+    * diverges from the manifest and [[readSigStore]] falls back to the
+    * per-batch layout wholesale — stale bases are structurally unusable,
+    * never trusted. Write order (base, then manifest) makes a torn
+    * compaction invisible: no matching manifest, no base reads. */
+  def compactSigStore(spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    syncSigStore(spark, corpusDir, idCol, textCol)
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = readState(fs, corpusDir)
+    if (state.isEmpty) return
+    spark.read.schema(SigSchema).parquet(sigDir(corpusDir))
+      .repartition(col("band_idx"))
+      .sortWithinPartitions(col("band_idx"), col("band_key"))
+      .write.mode("overwrite").partitionBy("band_idx")
+      .parquet(baseDir(corpusDir))
+    writeStateFile(fs, corpusDir, BaseManifest, state)
+  }
+
+  /** The standing store a probe reads: the compacted base when its
+    * manifest matches the current synced digests, plus the per-batch
+    * delta partitions published AFTER compaction; the per-batch layout
+    * wholesale otherwise. Bit-identical rows either way (DedupSpec pins
+    * probe equality and the staleness fallback). */
+  private def readSigStore(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String): DataFrame = {
+    def deltas = spark.read.schema(SigSchema).parquet(sigDir(corpusDir))
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = readStateFile(fs, corpusDir, BaseManifest)
+    if (manifest.isEmpty) return deltas
+    val state = readState(fs, corpusDir)
+    val valid = manifest.forall { case (b, d) => state.get(b).contains(d) }
+    if (!valid) deltas
+    else {
+      val base = spark.read.parquet(baseDir(corpusDir))
+        .select(col("sid"), col("band_idx").cast("int").as("band_idx"),
+          col("band_key"), col("batch_id"))
+      val residual = (state.keySet -- manifest.keySet).toSeq
+      if (residual.isEmpty) base
+      else base.unionByName(deltas.where(col("batch_id").isin(residual: _*)))
+    }
   }
 
   /** Sync the signature store to mirror the corpus EXACTLY, by partition
@@ -423,7 +493,7 @@ object IncrementalDedup {
     // The batch's band rows compute ONCE (cached): the store probe and
     // the survivor-sig publish both read this frame.
     val keptBands = bandsOf(keptToks).persist()
-    val standingSigs = spark.read.schema(SigSchema).parquet(sigDir(corpusDir))
+    val standingSigs = readSigStore(spark, corpusDir)
       .where(col("batch_id") =!= batchId)
     val candPairs = keptBands
       .withColumnRenamed("sid", "new_sid")

@@ -903,6 +903,27 @@ class PlanSpec extends AnyFunSuite {
       s"the shard offsets must broadcast:\n$p")
   }
 
+  test("q253: repeat-span detection is gram-hash-keyed — no pairwise join, doc-partitioned islands") {
+    val p = planOf("q253_repeat_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span detection must never go all-pairs:\n$p")
+    assert(p.contains("LeftSemi"), s"coverage must be a semi join on the gram hash:\n$p")
+    assert(p.contains("partial_count"), s"gram counts must combine map-side:\n$p")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"island merge must partition by doc:\n$p")
+  }
+
+  test("q255: the corpus encode pass is map-only — one scan, no explode, no join") {
+    val p = planOf("q255_bpe_encode")
+    // The learner's k rounds run at plan-build time (bounded collects);
+    // the PLAN here is only the corpus pass + per-language aggregate.
+    assert(!p.contains("Generate"), s"the encode pass must not explode tokens:\n$p")
+    assert(!p.contains("Join"), s"the encode pass must not join:\n$p")
+    assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,
+      s"exactly one corpus scan:\n$p")
+    assert(p.contains("partial_sum"), s"the language aggregate must combine map-side:\n$p")
+  }
+
   test("q185: purchase filter pushed; the Gini rank shards via GlobalRank") {
     val p = planOf("q185_revenue_concentration")
     assert(p.contains("EqualTo(event_type,purchase)"),

@@ -568,6 +568,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 1L), (1L, 4L)))
   }
 
+  test("q256 compaction: probes read base+deltas bit-identically; a stale base falls back") {
+    // Two identical work dirs; only A compacts — every subsequent ingest
+    // must publish the SAME survivors from either read path.
+    def mkCorpus(): String = {
+      val corpus = java.nio.file.Files
+        .createTempDirectory("graft_sig_compact_spec").toString + "/corpus"
+      Seq((100L, "p q r s", -1L)).toDF("doc_id", "text", "batch_id")
+        .write.partitionBy("batch_id").parquet(corpus)
+      graft.dedup.IncrementalDedup.fuzzyIngestBatch(
+        Seq((1L, "x y z w")).toDF("doc_id", "text"), corpus, 0L)
+      corpus
+    }
+    def published(c: String) = spark.read.parquet(c).where(col("batch_id") >= 0)
+      .select(col("batch_id").cast("long"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val corpusA = mkCorpus()
+    val corpusB = mkCorpus()
+    graft.dedup.IncrementalDedup.compactSigStore(spark, corpusA)
+    // The base holds exactly 48 band rows per corpus doc (seed + survivor).
+    assert(spark.read.parquet(s"$corpusA/_fuzzy_sigs/_base").count() == 2L * 48L)
+    // Batch 1: doc 5 twins the batch-0 SURVIVOR (must drop via the BASE
+    // read on A, the per-batch read on B); doc 6 is fresh.
+    val b1 = Seq((5L, "x y z w"), (6L, "a b c d")).toDF("doc_id", "text")
+    graft.dedup.IncrementalDedup.fuzzyIngestBatch(b1, corpusA, 1L)
+    graft.dedup.IncrementalDedup.fuzzyIngestBatch(b1, corpusB, 1L)
+    assert(published(corpusA) == published(corpusB))
+    assert(published(corpusA) == Seq((0L, 1L), (1L, 6L)))
+    // Re-compact A (folds −1/0/1), then edit a FOLDED corpus partition
+    // out-of-band: the digest diverges from the manifest, so the base
+    // must be ignored wholesale — the re-signed per-batch layout decides.
+    graft.dedup.IncrementalDedup.compactSigStore(spark, corpusA)
+    Seq(corpusA, corpusB).foreach { c =>
+      Seq((201L, "q w e r", 0L)).toDF("doc_id", "text", "batch_id")
+        .write.mode("append").partitionBy("batch_id").parquet(c)
+    }
+    // Doc 7 twins the out-of-band doc (Jaccard 4/5 = 0.8): only the
+    // re-signed store can drop it. Doc 8 is fresh.
+    val b2 = Seq((7L, "q w e r t"), (8L, "f g h i")).toDF("doc_id", "text")
+    graft.dedup.IncrementalDedup.fuzzyIngestBatch(b2, corpusA, 2L)
+    graft.dedup.IncrementalDedup.fuzzyIngestBatch(b2, corpusB, 2L)
+    assert(published(corpusA) == published(corpusB))
+    // The out-of-band doc 201 sits in batch 0's partition, so it reads
+    // back as published; 7 dropped against it, 8 survived.
+    assert(published(corpusA) == Seq((0L, 1L), (0L, 201L), (1L, 6L), (2L, 8L)))
+  }
+
   test("q200 replay guard: a zero-survivor replay clears the stale partition") {
     // Round-6 advice: DPO writes no partition for an empty frame, so a
     // replay that legitimately derives zero survivors (the corpus grew

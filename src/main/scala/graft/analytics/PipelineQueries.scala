@@ -7950,6 +7950,156 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** q257 constants, shared with the oracle: the hashed-feature bucket
+    * count (the DSIR paper's hashed bigrams), the target slice, and the
+    * selection quota (top 1/[[DsirQuotaDiv]] of candidates by score). */
+  private[graft] val DsirBuckets = 4096L
+  private[graft] val DsirTargetLang = "en"
+  private[graft] val DsirQuotaDiv = 5L
+
+  /** Hashed-n-gram importance selection (q257) — the DSIR data-selection
+    * recipe (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling": fit bag-of-hashed-bigrams models of a
+    * TARGET distribution and of the RAW pool, weight every raw document
+    * by its feature likelihood ratio, keep the top quota) in the repo's
+    * exact-integer discipline. The paper's per-feature log λ is replaced
+    * by the per-occurrence ratio λ in milli-units (the q146/q186
+    * "integer stand-in for the log-space score" rule — libm log bits
+    * differ across engines; integer ppm/milli ratios do not): per bucket
+    * λ_milli = ⌊(p_b+1)·(Q+B)·1000 / ((q_b+1)·(P+B))⌋ (Laplace-smoothed,
+    * B = [[DsirBuckets]]), per document the c-weighted mean over its
+    * bucket counts, selection = top ⌊n/[[DsirQuotaDiv]]⌋ by
+    * (score desc, doc_id) via the range-sharded [[graft.operators.GlobalRank]]
+    * — no single-partition sort anywhere.
+    *
+    * Scale shape: ONE tokenize+hash pass feeds all three consumers (the
+    * memoized bigram-bucket stream — the q186 memo discipline); bucket
+    * hashes are (h60 % B) pair-folds, so every exchange carries small
+    * longs; the two model frames are ≤B rows and broadcast; the doc
+    * scoring aggregate partial-combines map-side; the smoothed-ratio
+    * products ride DECIMAL(38,0) (the q252 headroom rule — bigram counts
+    * at a 10¹²-gram corpus square past BIGINT). */
+  def dsirSelection(spark: SparkSession, dir: String): DataFrame =
+    dsirSelectionOf(Tables.documents(spark, dir),
+      b => graft.SessionMemo.memo(spark, s"q257bg|$dir") {
+        b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
+  private[graft] def dsirSelectionOf(docs: DataFrame,
+      memoBg: DataFrame => DataFrame = identity): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val B = DsirBuckets
+    val bg = memoBg(docs
+      .select(col("doc_id"), col("lang"),
+        md5_token_hashes(split(col("text"), " "), 60).as("h"))
+      .filter(size(col("h")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        s"transform(sequence(1, size(h) - 1), i -> (((h[i-1] % $B) * 31 + h[i] % $B) % $B))"))
+        .as("b")))
+    val pC = bg.filter(col("lang") === DsirTargetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("p_c"))
+    val cand = bg.filter(col("lang") =!= DsirTargetLang)
+    val qC = cand.groupBy(col("b")).agg(count(lit(1)).as("q_c"))
+    val tots = bg.agg(
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("p_tot"),
+      sum(when(col("lang") =!= DsirTargetLang, 1L).otherwise(0L)).as("q_tot"))
+    // Candidate bucket counts: doc-keyed, map-side combinable. Every
+    // candidate bucket appears in qC by construction (left join only on
+    // the target side).
+    val scored = cand.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(pC, Seq("b"), "left")
+      .join(qC, Seq("b"))
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"), col("lang"), col("c"),
+        expr(s"""CAST((CAST(coalesce(p_c, 0L) + 1 AS DECIMAL(38,0)) * (q_tot + $B) * 1000)
+          | div (CAST(q_c + 1 AS DECIMAL(38,0)) * (p_tot + $B)) AS BIGINT)""".stripMargin)
+          .as("lr_milli"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("sum(c * lr_milli) div sum(c)").as("score_milli"))
+    val k = scored.agg(expr(s"count(1) div $DsirQuotaDiv").as("kq"))
+    graft.operators.GlobalRank
+      .rowNumber(scored, Seq(col("score_milli").desc, col("doc_id").asc), "rk")
+      .crossJoin(broadcast(k))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("rk") <= col("kq"), 1L).otherwise(0L)).as("n_selected"),
+        expr("sum(score_milli) div count(1)").as("avg_score_milli"),
+        expr("""CASE WHEN sum(CASE WHEN rk <= kq THEN 1L ELSE 0L END) = 0L THEN 0L
+          |  ELSE sum(CASE WHEN rk <= kq THEN score_milli ELSE 0L END)
+          |    div sum(CASE WHEN rk <= kq THEN 1L ELSE 0L END) END""".stripMargin)
+          .as("avg_sel_score_milli"))
+      .select(col("lang"), col("n_candidates"), col("n_selected"),
+        expr("n_selected * 10000L div n_candidates").as("selected_bp"),
+        col("avg_score_milli"), col("avg_sel_score_milli"))
+      .orderBy(col("lang"))
+  }
+
+  /** q258 constants, shared with the oracle: the pair-hash modulus and
+    * the boundary gate (expected chunk length ≈ [[CdcGate]] tokens). */
+  private[graft] val CdcMod = 1048576L
+  private[graft] val CdcGate = 16L
+
+  /** Content-defined chunk dedup (q258) — the LBFS/rsync chunking idea
+    * (Muthitacharoen et al. 2001, "A Low-Bandwidth Network File System")
+    * applied to token streams: a chunk boundary opens wherever the
+    * rolling context hash gates to zero (here: the adjacent-token-pair
+    * fold ((h₁%M)·31+h₂%M) % M ≡ 0 mod [[CdcGate]]), so boundaries are a
+    * function of LOCAL content only — inserting or deleting a prefix
+    * re-synchronizes at the next gate and every downstream chunk hashes
+    * identically. That shift-invariance is what fixed-n gram dedup
+    * (q64/q117) and whole-doc hashing (q25) both lack, and it is the
+    * standard storage-dedup primitive for detecting near-identical
+    * documents that differ by splices.
+    *
+    * Scale shape: positions explode map-side; the chunk-id prefix sum is
+    * a window PARTITIONED BY DOC (bounded by document length, never
+    * corpus-shaped — the q253 island rule); the doc-local chunk
+    * reassembly groups on (doc_id, chunk), reusing the window's exchange;
+    * chunk text hashes to an 8-byte h60 BEFORE the corpus-wide
+    * (lang, chunk-hash) exchange (the q64 no-string-shuffles discipline);
+    * both aggregates partial-combine map-side. */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkDedupOf(Tables.documents(spark, dir))
+
+  private[graft] def cdcChunkDedupOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val M = CdcMod
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val pos = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"),
+        md5_token_hashes(split(col("text"), " "), 60).as("h"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        s"""transform(sequence(0, size(t) - 1), i -> struct(
+           |  CAST(i AS BIGINT) AS pos, t[i] AS tok,
+           |  CASE WHEN i = 0 THEN 0L
+           |    WHEN ((h[i-1] % $M) * 31 + h[i] % $M) % $M % $CdcGate = 0 THEN 1L
+           |    ELSE 0L END AS bd))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.pos").as("pos"),
+        col("p.tok").as("tok"), col("p.bd").as("bd"))
+    val chunks = pos
+      .withColumn("chunk", sum(col("bd")).over(w))
+      .groupBy(col("doc_id"), col("lang"), col("chunk"))
+      .agg(count(lit(1)).as("n_tok"),
+        array_join(expr("transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok)"),
+          " ").as("ctext"))
+      .select(col("lang"), col("n_tok"),
+        element_at(md5_token_hashes(array(col("ctext")), 60), 1).as("chash"))
+    chunks
+      .groupBy(col("lang"), col("chash"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_tok")).as("toks"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        expr("(sum(cnt) - count(1)) * 10000L div sum(cnt)").as("dup_bp"),
+        expr("sum(toks) div sum(cnt)").as("avg_chunk_tokens"),
+        max(col("cnt")).as("max_reuse"))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8157,7 +8307,9 @@ object PipelineQueries {
     "q253_repeat_spans" -> (maximalRepeatSpans _),
     "q254_committed_admission" -> (committedSemDedupAdmission _),
     "q255_bpe_encode" -> (bpeEncode _),
-    "q256_sig_compaction" -> (sigStoreCompaction _))
+    "q256_sig_compaction" -> (sigStoreCompaction _),
+    "q257_dsir_selection" -> (dsirSelection _),
+    "q258_cdc_chunks" -> (cdcChunkDedup _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -12069,7 +12221,69 @@ object PipelineQueries {
          |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
          |  CAST(MAX(pos) + ${RepeatSeedN - 1} AS BIGINT) AS span_end,
          |  CAST(MAX(pos) + ${RepeatSeedN - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens
-         |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin)
+         |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+    // q257: same h60 pair-fold buckets, same Laplace-smoothed integer
+    // milli ratio, same quota rank (score desc, doc_id tiebreak).
+    "q257_dsir_selection" -> {
+      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
+      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
+      val B = DsirBuckets
+      s"""WITH tk AS (SELECT doc_id, lang, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bg AS (SELECT tk.doc_id, tk.lang,
+         |    ((($h1) % $B) * 31 + ($h2) % $B) % $B AS b
+         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
+         |pc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS p_c FROM bg
+         |  WHERE lang = '$DsirTargetLang' GROUP BY 1),
+         |qc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS q_c FROM bg
+         |  WHERE lang <> '$DsirTargetLang' GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) FILTER (lang = '$DsirTargetLang') AS BIGINT) AS p_tot,
+         |  CAST(COUNT(*) FILTER (lang <> '$DsirTargetLang') AS BIGINT) AS q_tot FROM bg),
+         |db AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg
+         |  WHERE lang <> '$DsirTargetLang' GROUP BY 1, 2, 3),
+         |sc AS (SELECT db.doc_id, db.lang,
+         |    CAST(SUM(db.c * (((COALESCE(pc.p_c, 0) + 1) * (tot.q_tot + $B) * 1000)
+         |      // ((qc.q_c + 1) * (tot.p_tot + $B)))) // SUM(db.c) AS BIGINT) AS score
+         |  FROM db LEFT JOIN pc USING (b) JOIN qc USING (b) CROSS JOIN tot GROUP BY 1, 2),
+         |r AS (SELECT lang, doc_id, score,
+         |  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc),
+         |k AS (SELECT CAST(COUNT(*) // $DsirQuotaDiv AS BIGINT) AS kq FROM sc)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |  CAST(COUNT(*) FILTER (rk <= k.kq) AS BIGINT) AS n_selected,
+         |  CAST(COUNT(*) FILTER (rk <= k.kq) * 10000 // COUNT(*) AS BIGINT) AS selected_bp,
+         |  CAST(SUM(score) // COUNT(*) AS BIGINT) AS avg_score_milli,
+         |  CAST(CASE WHEN COUNT(*) FILTER (rk <= k.kq) = 0 THEN 0
+         |    ELSE SUM(score) FILTER (rk <= k.kq) // COUNT(*) FILTER (rk <= k.kq)
+         |    END AS BIGINT) AS avg_sel_score_milli
+         |FROM r CROSS JOIN k GROUP BY lang, k.kq ORDER BY lang""".stripMargin
+    },
+    // q258: same pair-fold gate, same doc-local chunk prefix sum, same
+    // ordered reassembly, same h60 chunk hash.
+    "q258_cdc_chunks" -> {
+      val hprev = duckH60("p.t[CAST(p.i AS INTEGER)]")
+      val hcur = duckH60("p.t[CAST(p.i AS INTEGER) + 1]")
+      val M = CdcMod
+      s"""WITH tk AS (SELECT doc_id, lang, str_split(text, ' ') AS t FROM documents),
+         |p AS (SELECT doc_id, lang, t, UNNEST(range(0, len(t))) AS i FROM tk),
+         |h AS (SELECT doc_id, lang, i, t[CAST(i AS INTEGER) + 1] AS tok,
+         |    CASE WHEN i = 0 THEN 0
+         |      WHEN ((($hprev) % $M) * 31 + ($hcur) % $M) % $M % $CdcGate = 0 THEN 1
+         |      ELSE 0 END AS bd
+         |  FROM p),
+         |c AS (SELECT doc_id, lang, i, tok,
+         |  SUM(bd) OVER (PARTITION BY doc_id ORDER BY i) AS chunk FROM h),
+         |ct AS (SELECT doc_id, lang, chunk, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  string_agg(tok, ' ' ORDER BY i) AS ctext FROM c GROUP BY 1, 2, 3),
+         |ch AS (SELECT lang, n_tok, ${duckH60("ctext")} AS chash FROM ct),
+         |g AS (SELECT lang, chash, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(n_tok) AS BIGINT) AS toks FROM ch GROUP BY 1, 2)
+         |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+         |  CAST((SUM(cnt) - COUNT(*)) * 10000 // SUM(cnt) AS BIGINT) AS dup_bp,
+         |  CAST(SUM(toks) // SUM(cnt) AS BIGINT) AS avg_chunk_tokens,
+         |  CAST(MAX(cnt) AS BIGINT) AS max_reuse
+         |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+    })
 
   /** Full oracle surface (split only so the shared q81/q98 SQL can sit
     * between the two literals). */

@@ -71,7 +71,13 @@ object ClusterCheck {
     // codebooks don't survive a real process boundary — plus the new
     // range-sharded prefix-max dominance pass (q207: pid carry-in
     // offsets must hold across worker JVMs, the q239 argument).
-    "q207_skyline", "q248_cell_balance", "q250_pq_recon_error")
+    "q207_skyline", "q248_cell_balance", "q250_pq_recon_error",
+    // Round-10 batch-3 additions: the ExactSubstr gram-island chain
+    // (q253 — semi join + doc-windows across workers), DSIR's memoized
+    // bigram stream feeding three consumers from executor-resident
+    // cache plus a GlobalRank quota rank (q257), and the CDC chunk
+    // pipeline's window→reuse-exchange→hash-keyed dedup (q258).
+    "q253_repeat_spans", "q257_dsir_selection", "q258_cdc_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -913,6 +913,40 @@ class PlanSpec extends AnyFunSuite {
       s"island merge must partition by doc:\n$p")
   }
 
+  test("q257: DSIR rank range-shards; model frames broadcast; no all-pairs work") {
+    val p = planOf("q257_dsir_selection")
+    assert(p.contains("rangepartitioning"),
+      s"the quota rank must run through GlobalRank's range exchange:\n$p")
+    // BNLJ appears only as the repo-standard crossJoin(broadcast(scalar))
+    // — the 1-row totals/quota frames; a CartesianProduct would mean real
+    // all-pairs work.
+    assert(!p.contains("CartesianProduct"),
+      s"importance weighting must never go all-pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"bucket-model counts must combine map-side:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the totals/quota scalars must broadcast:\n$p")
+    // The corpus-sized exchanges carry only the folded bucket long —
+    // never a raw token string (the q64 discipline): no shuffle keyed on
+    // a string-typed hash partitioning of the bigram stream.
+    assert(!"""hashpartitioning\((?:tok|w1|w2|gram)#""".r.findFirstIn(p).isDefined,
+      s"no string-keyed exchange in the bigram stream:\n$p")
+  }
+
+  test("q258: CDC chunk assignment windows per doc; chunk hashes shuffle as longs") {
+    val p = planOf("q258_cdc_chunks")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"the chunk prefix sum must partition by doc:\n$p")
+    assert(!"""windowspecdefinition\((?:pos|chunk)#\d+L ASC""".r.findFirstIn(p).isDefined,
+      s"no unpartitioned window over the position stream:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk dedup must never go all-pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"chunk-reuse counts must combine map-side:\n$p")
+    assert(!"""hashpartitioning\(lang#\d+, ctext#""".r.findFirstIn(p).isDefined,
+      s"the corpus-wide chunk exchange must carry the h60, not the text:\n$p")
+  }
+
   test("q255: the corpus encode pass is map-only — one scan, no explode, no join") {
     val p = planOf("q255_bpe_encode")
     // The learner's k rounds run at plan-build time (bounded collects);

@@ -2295,6 +2295,104 @@ class QueriesSpec extends AnyFunSuite {
       (4L, 15L, 22L, 8L)), out.toSeq.toString)
   }
 
+  test("q257 DSIR selection: matches a sequential reference replica and prefers target-like candidates") {
+    import spark.implicits._
+    import graft.analytics.PipelineQueries.{DsirBuckets => B, DsirQuotaDiv, DsirTargetLang}
+    def h(s: String): Long = graft.functions.Md5Hash.h60(s.getBytes) % B
+    def bkts(text: String): Seq[Long] =
+      text.split(" ").toSeq.sliding(2).collect {
+        case Seq(x, y) => ((h(x) * 31 + h(y)) % B)
+      }.toSeq
+    // Target vocabulary {a,b,c}; 5 target-like candidates (lang aa) and
+    // 5 disjoint-vocab candidates (lang bb). kq = 10 div 5 = 2, and the
+    // two top scores must both be target-like.
+    val docs = Seq(
+      (1L, DsirTargetLang, "a b c a b c a b"),
+      (2L, DsirTargetLang, "b c a b c a"),
+      (10L, "aa", "a b c a b"), (11L, "aa", "b c a b"), (12L, "aa", "c a b c"),
+      (13L, "aa", "a b c"), (14L, "aa", "b c a"),
+      (20L, "bb", "z w v z w"), (21L, "bb", "w v z w"), (22L, "bb", "v z w v"),
+      (23L, "bb", "z w v"), (24L, "bb", "w v z")).toDF("doc_id", "lang", "text")
+    // Sequential replica on plain collections — independent of every
+    // Spark code path under test.
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val pCnt = rows.filter(_._2 == DsirTargetLang).flatMap(r => bkts(r._3))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val candRows = rows.filter(_._2 != DsirTargetLang)
+    val qCnt = candRows.flatMap(r => bkts(r._3))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val (pTot, qTot) = (pCnt.values.sum, qCnt.values.sum)
+    val scores = candRows.map { case (id, lang, text) =>
+      val cs = bkts(text).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val num = cs.map { case (b, c) =>
+        c * (((pCnt.getOrElse(b, 0L) + 1) * (qTot + B) * 1000L) /
+          ((qCnt(b) + 1) * (pTot + B)))
+      }.sum
+      (id, lang, num / cs.values.sum)
+    }
+    val kq = scores.length / DsirQuotaDiv.toInt
+    val ranked = scores.sortBy { case (id, _, s) => (-s, id) }
+    val selected = ranked.take(kq)
+    assert(selected.forall(_._2 == "aa"),
+      s"top-$kq must be target-like: ${ranked.mkString(", ")}")
+    val expected = scores.groupBy(_._2).toSeq.sortBy(_._1).map { case (lang, ss) =>
+      val sel = selected.filter(_._2 == lang)
+      (lang, ss.length.toLong, sel.length.toLong,
+        sel.length.toLong * 10000L / ss.length,
+        ss.map(_._3).sum / ss.length,
+        if (sel.isEmpty) 0L else sel.map(_._3).sum / sel.length)
+    }
+    val got = graft.analytics.PipelineQueries.dsirSelectionOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
+  test("q258 CDC chunks: matches a sequential reference replica; boundaries are shift-invariant") {
+    import spark.implicits._
+    import graft.analytics.PipelineQueries.{CdcMod => M, CdcGate}
+    def h(s: String): Long = graft.functions.Md5Hash.h60(s.getBytes) % M
+    def chunksOf(text: String): Seq[String] = {
+      val t = text.split(" ")
+      val out = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      for (i <- t.indices) {
+        val bd = i > 0 && ((h(t(i - 1)) * 31 + h(t(i))) % M % CdcGate == 0)
+        if (bd && cur.nonEmpty) { out += cur.reverse; cur = Nil }
+        cur = t(i) :: cur
+      }
+      if (cur.nonEmpty) out += cur.reverse
+      out.map(_.mkString(" ")).toSeq
+    }
+    // A long pseudo-word stream with guaranteed repeats; B = A behind an
+    // inserted prefix — downstream of the first resync boundary, every
+    // chunk of A must reappear verbatim in B (the CDC property fixed-n
+    // grams lack).
+    val aTokens = (0 until 400).map(i => s"w${i % 23}").mkString(" ")
+    val bTokens = "pfx1 pfx2 pfx3 " + aTokens
+    val aChunks = chunksOf(aTokens)
+    val bChunks = chunksOf(bTokens)
+    assert(aChunks.length >= 3, s"planted doc must produce several chunks: $aChunks")
+    val bSet = bChunks.groupBy(identity).map { case (k, v) => k -> v.length }
+    val aTail = aChunks.drop(1)
+    assert(aTail.groupBy(identity).forall { case (c, occ) =>
+      bSet.getOrElse(c, 0) >= occ.length
+    }, "every post-resync chunk of A must appear in B")
+    val docs = Seq((1L, "en", aTokens), (2L, "en", bTokens),
+      (3L, "xx", "solo tokens only once here")).toDF("doc_id", "lang", "text")
+    val expected = Seq(("en", aChunks ++ bChunks), ("xx", chunksOf("solo tokens only once here")))
+      .map { case (lang, cs) =>
+        val byChunk = cs.groupBy(identity).map { case (_, v) => v.length.toLong }
+        val n = cs.length.toLong
+        (lang, n, byChunk.size.toLong, (n - byChunk.size) * 10000L / n,
+          cs.map(c => c.split(" ").length.toLong).sum / n, byChunk.max)
+      }
+    val got = graft.analytics.PipelineQueries.cdcChunkDedupOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

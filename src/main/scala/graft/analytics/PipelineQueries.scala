@@ -8100,6 +8100,71 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Split-leakage audit (q259) — the eval-contamination question a
+    * train/val/test split owes its users: how many VERIFIED near-dup
+    * pairs (the shared [[nearDupTiers]] Jaccard ≥ 0.95 memo — zero new
+    * similarity work) cross the q60 hash-split boundary? A val/test doc
+    * with a near-identical train twin is a leaked eval item; this emits
+    * the canonical split×split pair matrix with shares and the leak
+    * flag.
+    *
+    * Scale twist over q247's source matrix: the pair counts are computed
+    * WITHOUT materializing doc pairs. [[graft.dedup.Dedup.pairsOfTiered]]
+    * is quadratic in duplicate-group size by design (its docstring says
+    * so); a leak COUNT doesn't need the pairs — per set-group, the
+    * (set_key, split) histogram (≤3 rows per set) gives exact
+    * combinatorics: within-group pairs n·(n−1)/2 per split and nₓ·n_y
+    * across splits, and each verified set-pair contributes
+    * n_a[s]·n_b[s'] per split combo. A 10⁶-doc duplicate group costs 3
+    * histogram rows instead of 5·10¹¹ pairs. PlanSpec pins that no
+    * member×member self-join appears in the plan; the DuckDB oracle
+    * brute-forces the same counts from first principles (all-pairs exact
+    * Jaccard + the q60 split rule), so both the LSH recall and the
+    * combinatorics are checked. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageOf(Tables.documents(spark, dir), Some(nearDupTiers(spark, dir)))
+
+  private[graft] def splitLeakageOf(docs: DataFrame,
+      tiers: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (members, setPairs) = tiers.getOrElse(
+      graft.dedup.Dedup.tieredSetPairs(docs, "doc_id", "text", 0.95))
+    val bucket = pmod(
+      graft.functions.PortableHashFunctions
+        .md5_token_hashes(array(col("text")), bits = 31)
+        .getItem(0),
+      lit(100))
+    val split = docs.select(col("doc_id").as("id"),
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+    // One row per (set group, split): linear in docs, ≤3 rows per group.
+    val hist = members.join(split, Seq("id"))
+      .groupBy(col("set_key"), col("split")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tierASame = hist.select(col("split").as("split_a"), col("split").as("split_b"),
+      expr("n * (n - 1) div 2").as("n_pairs"))
+    val tierACross = hist.as("x").join(hist.as("y"), Seq("set_key"))
+      .filter(col("x.split") < col("y.split"))
+      .select(col("x.split").as("split_a"), col("y.split").as("split_b"),
+        (col("x.n") * col("y.n")).as("n_pairs"))
+    val tierB = setPairs
+      .join(hist.select(col("set_key").as("key_a"), col("split").as("sa"),
+        col("n").as("na")), Seq("key_a"))
+      .join(hist.select(col("set_key").as("key_b"), col("split").as("sb"),
+        col("n").as("nb")), Seq("key_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"),
+        (col("na") * col("nb")).as("n_pairs"))
+    val cells = tierASame.union(tierACross).union(tierB)
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(sum(col("n_pairs")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+    val tot = cells.agg(sum(col("n_pairs")).as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        expr("n_pairs * 10000L div n_total").as("share_bp"),
+        (col("split_a") =!= col("split_b")).as("is_leak"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8309,7 +8374,8 @@ object PipelineQueries {
     "q255_bpe_encode" -> (bpeEncode _),
     "q256_sig_compaction" -> (sigStoreCompaction _),
     "q257_dsir_selection" -> (dsirSelection _),
-    "q258_cdc_chunks" -> (cdcChunkDedup _))
+    "q258_cdc_chunks" -> (cdcChunkDedup _),
+    "q259_split_leakage" -> (splitLeakage _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -12283,7 +12349,25 @@ object PipelineQueries {
          |  CAST(SUM(toks) // SUM(cnt) AS BIGINT) AS avg_chunk_tokens,
          |  CAST(MAX(cnt) AS BIGINT) AS max_reuse
          |FROM g GROUP BY lang ORDER BY lang""".stripMargin
-    })
+    },
+    // q259: the oracle brute-forces all-pairs exact Jaccard ≥ 0.95 plus
+    // the q60 split rule — checking BOTH the LSH tier recall and the
+    // histogram combinatorics (Spark never materializes doc pairs).
+    "q259_split_leakage" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks,
+         |    CASE WHEN (${duckH31("text")} % 100) < 90 THEN 'train'
+         |         WHEN (${duckH31("text")} % 100) < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |p AS (SELECT LEAST(a.split, b.split) AS split_a, GREATEST(a.split, b.split) AS split_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95),
+         |c AS (SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1, 2),
+         |tt AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM c)
+         |SELECT split_a, split_b, n_pairs,
+         |  CAST(n_pairs * 10000 // tt.n_total AS BIGINT) AS share_bp,
+         |  split_a <> split_b AS is_leak
+         |FROM c CROSS JOIN tt ORDER BY split_a, split_b""".stripMargin)
 
   /** Full oracle surface (split only so the shared q81/q98 SQL can sit
     * between the two literals). */

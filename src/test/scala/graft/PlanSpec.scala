@@ -947,6 +947,18 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus-wide chunk exchange must carry the h60, not the text:\n$p")
   }
 
+  test("q259: leak counts come from split histograms — the doc-pair expansion never materializes") {
+    val p = planOf("q259_split_leakage")
+    // pairsOfTiered's expansion would surface its id_a/id_b pair columns
+    // (as q247's plan does); the combinatorial path must not.
+    assert(!p.contains("id_a#") && !p.contains("id_b#"),
+      s"no member-pair expansion in the leak audit:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"leak counting must never go all-pairs:\n$p")
+    assert(p.contains("partial_count"),
+      s"the split histograms must combine map-side:\n$p")
+  }
+
   test("q255: the corpus encode pass is map-only — one scan, no explode, no join") {
     val p = planOf("q255_bpe_encode")
     // The learner's k rounds run at plan-build time (bounded collects);

@@ -2393,6 +2393,46 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q259 split leakage: histogram combinatorics equal a brute-force all-pairs replica") {
+    import spark.implicits._
+    def toks(s: String) = s.split(" ").toSet
+    def jac(a: Set[String], b: Set[String]) =
+      a.intersect(b).size.toDouble / (a.size + b.size - a.intersect(b).size)
+    def split(text: String): String = {
+      val b = ((graft.functions.Md5Hash.h31(text.getBytes) % 100) + 100) % 100
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    // A 9-doc identical group (tier-A combinatorics with n·(n−1)/2 and
+    // cross terms), a near-identical tier-B pair family, and noise.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lam mu nu xi omicron pi rho sigma tau upsilon"
+    val texts =
+      (0 until 9).map(_ => base) ++                       // identical group
+      (0 until 4).map(i => base + s" extra$i") ++          // J = 20/21 ≥ 0.95 vs base and each other? (20/22 < 0.95 pairwise)
+      Seq("totally different words here nothing shared at all with others")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, "en", t) }
+      .toDF("doc_id", "lang", "text")
+    // Brute-force replica on plain collections.
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(2)))
+    val pairs = for {
+      (ia, ta) <- rows; (ib, tb) <- rows
+      if ia < ib && jac(toks(ta), toks(tb)) >= 0.95
+    } yield {
+      val (sa, sb) = (split(ta), split(tb))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }
+    assert(pairs.nonEmpty, "planted corpus must contain near-dup pairs")
+    val total = pairs.length.toLong
+    val expected = pairs.groupBy(identity).toSeq
+      .map { case ((a, b), ps) =>
+        (a, b, ps.length.toLong, ps.length.toLong * 10000L / total, a != b)
+      }.sortBy(t => (t._1, t._2))
+    val got = graft.analytics.PipelineQueries.splitLeakageOf(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

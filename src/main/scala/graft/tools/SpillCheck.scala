@@ -65,7 +65,13 @@ object SpillCheck {
           "q117_exact_gram_dedup",
           // The degree-ordered wedge join — this session's heaviest new
           // shuffle shape (oriented-edge self-join + LeftSemi closure).
-          "q177_triangles").map { name =>
+          "q177_triangles",
+          // Round-10 additions: the ExactSubstr position explosion
+          // (gram-hash aggregate + LeftSemi + doc windows — the widest
+          // new exchange) and the CDC chunk pipeline (doc windows +
+          // ordered reassembly collect_list buffers, the
+          // spillable-window/aggregate-buffer path).
+          "q253_repeat_spans", "q258_cdc_chunks").map { name =>
           val df = graft.SparkEntry.queries(name)(spark, sfDir)
           val row = df
             .select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))

@@ -8165,6 +8165,60 @@ object PipelineQueries {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  /** Leak-quarantine manifest (q260) — the REPAIR step q259 only counts:
+    * which TRAIN documents must be dropped because they are verified
+    * near-duplicates (Jaccard ≥ 0.95, the shared [[nearDupTiers]] memo)
+    * of a val/test document. Emits the per-language quarantine summary a
+    * rebuild would act on. Same no-expansion discipline as q259: a train
+    * doc is quarantined iff its SET either contains an eval member
+    * (tier A — identical text across the boundary) or is a verified
+    * set-pair away from a set that does (tier B) — both are semi-joins
+    * on set keys, linear in docs and set-pairs, never doc×doc. The
+    * oracle brute-forces ∃-eval-near-dup per train doc from first
+    * principles. */
+  def leakQuarantine(spark: SparkSession, dir: String): DataFrame =
+    leakQuarantineOf(Tables.documents(spark, dir), Some(nearDupTiers(spark, dir)))
+
+  private[graft] def leakQuarantineOf(docs: DataFrame,
+      tiers: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (members, setPairs) = tiers.getOrElse(
+      graft.dedup.Dedup.tieredSetPairs(docs, "doc_id", "text", 0.95))
+    val bucket = pmod(
+      graft.functions.PortableHashFunctions
+        .md5_token_hashes(array(col("text")), bits = 31)
+        .getItem(0),
+      lit(100))
+    val m = members.join(
+      docs.select(col("doc_id").as("id"), col("lang"),
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+          .as("split")),
+      Seq("id"))
+    // Sets holding at least one eval (val/test) member — set-key-sized.
+    val evalSets = m.filter(col("split") =!= "train")
+      .select(col("set_key")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Tier B reach: sets one verified pair away from an eval-holding set
+    // (both directions — setPairs is canonicalized key_a < key_b).
+    val paired = setPairs
+      .join(evalSets.withColumnRenamed("set_key", "key_b"), Seq("key_b"))
+      .select(col("key_a").as("set_key"))
+      .union(setPairs
+        .join(evalSets.withColumnRenamed("set_key", "key_a"), Seq("key_a"))
+        .select(col("key_b").as("set_key")))
+    val leakSets = evalSets.union(paired).distinct()
+    val train = m.filter(col("split") === "train")
+    train
+      .join(leakSets, Seq("set_key"), "left_semi")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_quarantined"))
+      .join(train.groupBy(col("lang")).agg(count(lit(1)).as("n_train")),
+        Seq("lang"), "right")
+      .select(col("lang"), col("n_train"),
+        coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"),
+        expr("coalesce(n_quarantined, 0L) * 10000L div n_train")
+          .as("quarantine_bp"))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8375,7 +8429,8 @@ object PipelineQueries {
     "q256_sig_compaction" -> (sigStoreCompaction _),
     "q257_dsir_selection" -> (dsirSelection _),
     "q258_cdc_chunks" -> (cdcChunkDedup _),
-    "q259_split_leakage" -> (splitLeakage _))
+    "q259_split_leakage" -> (splitLeakage _),
+    "q260_leak_quarantine" -> (leakQuarantine _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -12367,7 +12422,24 @@ object PipelineQueries {
          |SELECT split_a, split_b, n_pairs,
          |  CAST(n_pairs * 10000 // tt.n_total AS BIGINT) AS share_bp,
          |  split_a <> split_b AS is_leak
-         |FROM c CROSS JOIN tt ORDER BY split_a, split_b""".stripMargin)
+         |FROM c CROSS JOIN tt ORDER BY split_a, split_b""".stripMargin,
+    // q260: brute-force ∃-eval-near-dup per train doc — checks the
+    // tier-A/tier-B semi-join reachability against first principles.
+    "q260_leak_quarantine" ->
+      s"""WITH t AS (SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS toks,
+         |    CASE WHEN (${duckH31("text")} % 100) < 90 THEN 'train'
+         |         WHEN (${duckH31("text")} % 100) < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |tr AS (SELECT * FROM t WHERE split = 'train'),
+         |ev AS (SELECT * FROM t WHERE split <> 'train'),
+         |q AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON
+         |  CAST(len(list_intersect(tr.toks, ev.toks)) AS DOUBLE)
+         |    / (len(tr.toks) + len(ev.toks) - len(list_intersect(tr.toks, ev.toks))) >= 0.95)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_train,
+         |  CAST(COUNT(*) FILTER (doc_id IN (SELECT doc_id FROM q)) AS BIGINT) AS n_quarantined,
+         |  CAST(COUNT(*) FILTER (doc_id IN (SELECT doc_id FROM q)) * 10000
+         |    // COUNT(*) AS BIGINT) AS quarantine_bp
+         |FROM tr GROUP BY lang ORDER BY lang""".stripMargin)
 
   /** Full oracle surface (split only so the shared q81/q98 SQL can sit
     * between the two literals). */

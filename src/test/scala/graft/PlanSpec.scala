@@ -959,6 +959,16 @@ class PlanSpec extends AnyFunSuite {
       s"the split histograms must combine map-side:\n$p")
   }
 
+  test("q260: quarantine reaches leaked sets via semi-joins — no doc-pair expansion") {
+    val p = planOf("q260_leak_quarantine")
+    assert(p.contains("LeftSemi"),
+      s"train docs must reach leaked sets by semi join on the set key:\n$p")
+    assert(!p.contains("id_a#") && !p.contains("id_b#"),
+      s"no member-pair expansion in the quarantine manifest:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"quarantine must never go all-pairs:\n$p")
+  }
+
   test("q255: the corpus encode pass is map-only — one scan, no explode, no join") {
     val p = planOf("q255_bpe_encode")
     // The learner's k rounds run at plan-build time (bounded collects);

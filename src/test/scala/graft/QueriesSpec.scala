@@ -2433,6 +2433,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q260 leak quarantine: set-reachability equals a brute-force per-doc replica") {
+    import spark.implicits._
+    def toks(s: String) = s.split(" ").toSet
+    def jac(a: Set[String], b: Set[String]) =
+      a.intersect(b).size.toDouble / (a.size + b.size - a.intersect(b).size)
+    def split(text: String): String = {
+      val b = ((graft.functions.Md5Hash.h31(text.getBytes) % 100) + 100) % 100
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lam mu nu xi omicron pi rho sigma tau upsilon"
+    val texts =
+      (0 until 9).map(_ => base) ++
+      (0 until 4).map(i => base + s" extra$i") ++
+      Seq("totally different words here nothing shared at all with others")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, "en", t) }
+      .toDF("doc_id", "lang", "text")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val train = rows.filter(r => split(r._3) == "train")
+    val eval = rows.filter(r => split(r._3) != "train")
+    assert(train.nonEmpty && eval.nonEmpty, "planted corpus must straddle the split")
+    val quarantined = train.filter { case (_, _, t) =>
+      eval.exists { case (_, _, e) => jac(toks(t), toks(e)) >= 0.95 }
+    }
+    val expected = train.groupBy(_._2).toSeq.sortBy(_._1).map { case (lang, tr) =>
+      val nq = quarantined.count(_._2 == lang).toLong
+      (lang, tr.length.toLong, nq, nq * 10000L / tr.length)
+    }
+    val got = graft.analytics.PipelineQueries.leakQuarantineOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -46,8 +46,21 @@ object GlobalRank {
     val lrk = "__gr_lrk"
     val cnt = "__gr_cnt"
     val off = "__gr_off"
+    // PERSIST is load-bearing, not an optimization: the sharded frame has
+    // two consumers (block-local ranks, per-shard offsets). Un-persisted,
+    // each consumer re-executes the range exchange as a SEPARATE shuffle
+    // whose sampled boundaries depend on the RDD id (RangePartitioner
+    // seeds its reservoir sample with it) — under heavy ordering-key ties
+    // the two executions can draw DIFFERENT boundaries, and offsets
+    // computed against one sharding join local ranks computed against
+    // another (observed at sf0.1: 1344/1500 tied recency keys → whole
+    // shards scored one quintile off, nondeterministically per run). One
+    // materialized sharding makes both consumers see the same boundaries;
+    // the result is then the exact serial rank regardless of which
+    // boundaries the sample drew.
     val parted = df.repartitionByRange(n, order: _*)
       .withColumn(pid, spark_partition_id().cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Window.partitionBy(pid) re-shuffles by pid hash, but each shard
     // moves as ONE block to one reducer — the per-shard sort is the same
     // work the serial window would have done on 1/n of the data.
@@ -95,8 +108,12 @@ object GlobalRank {
     val locI = "__gm_loc_incl"
     val mx = "__gm_shard_max"
     val off = "__gm_off"
+    // Same load-bearing persist as [[rowNumber]]: local window and shard
+    // maxima must read ONE materialized sharding, or tied order values
+    // can land either side of independently-sampled boundaries.
     val parted = df.repartitionByRange(n, orderCol)
       .withColumn(pid, spark_partition_id().cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wStrict = Window.partitionBy(col(pid)).orderBy(orderCol)
       .rangeBetween(Window.unboundedPreceding, -1)
     val wIncl = Window.partitionBy(col(pid)).orderBy(orderCol)

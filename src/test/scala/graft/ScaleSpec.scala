@@ -226,6 +226,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(!"""windowspecdefinition\(v#\d+""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("GlobalRank: offsets and local ranks read ONE materialized sharding (sf0.1 regression)") {
+    import org.apache.spark.sql.expressions.Window
+    // The round-10 q168 failure shape: an UPSTREAM SHUFFLED aggregate
+    // feeding the rank, with ~90% of the ordering metric tied — the two
+    // GlobalRank consumers (block ranks, shard offsets), if they
+    // re-executed the range exchange independently, could draw different
+    // sampled boundaries for the giant tie block and mis-join offsets to
+    // blocks. The persist pins one sharding; this spec pins the persist
+    // (InMemoryTableScan feeds BOTH consumers) and bit-equality with the
+    // serial window on exactly that shape.
+    val df = spark.range(0L, 20000L)
+      .selectExpr("id % 2000 AS user_id", "CASE WHEN id % 2000 < 1800 THEN 0L ELSE id % 7 END AS m")
+      .groupBy("user_id").agg(max(col("m")).as("v"))
+    val sharded = graft.operators.GlobalRank
+      .rowNumber(df, Seq(col("v").asc, col("user_id").asc), "rk", shards = 8)
+    val serial = df.withColumn("rk",
+      row_number().over(Window.orderBy(col("v").asc, col("user_id").asc)).cast("long"))
+    assert(sharded.exceptAll(serial).isEmpty && serial.exceptAll(sharded).isEmpty)
+    val p = sharded.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"the sharded frame must be materialized once and read by both consumers:\n$p")
+  }
+
   test("GlobalRank.prefixMax: sharded prefix-max is bit-identical to the serial RANGE window") {
     import org.apache.spark.sql.expressions.Window
     // Heavy order-key ties (k = id % 50) exercise the tie-colocation

@@ -8219,6 +8219,285 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** q261 constants, shared with the oracle: the class vocabulary in FIELD
+    * order (class i's per-token weight unpacks from bit field 15·i of ONE
+    * h60 digest per token) and the weight modulus (weights in
+    * [-1000, 1000]). */
+  private[graft] val ClsClasses = Seq("chat", "code", "news", "wiki")
+  private[graft] val ClsWeightMod = 2001L
+
+  /** Hashed linear classifier scoring (q261) — the fastText-shape model
+    * inference every model-based curation pipeline runs over the FULL
+    * corpus (the FineWeb-Edu / DCLM recipe: a cheap linear classifier
+    * scores every document; the score gates, buckets, or mixes the doc).
+    * Per token ONE md5 digest ([[graft.functions.Md5Hash.h60]], the
+    * portable-hash discipline); per class a disjoint 15-bit field of that
+    * digest folds to an integer weight in [-1000, 1000]; a document's
+    * class score is the weight sum over its token STREAM (multiplicity
+    * counts — fastText's bag-of-features with integer weights standing in
+    * for the learned vector; a LEARNED model would broadcast a weight map
+    * and the plan shape would not change). Prediction is the argmax (ties
+    * to the lowest class index), margin is best − runner-up.
+    *
+    * Scale shape: scoring is a MAP-ONLY array fold — one digest per
+    * token, all [[ClsClasses]] weights from its bit fields, no token
+    * explode, no shuffle until the final (source, class) aggregate, which
+    * partial-combines to ≤ |sources|·|classes| rows. At 100 TB this is
+    * the textbook single-pass corpus scan with a result-sized exchange. */
+  def classifierScores(spark: SparkSession, dir: String): DataFrame =
+    classifierScoresOf(Tables.documents(spark, dir))
+
+  /** Per-document classifier outputs (doc_id, source, pred_class, margin)
+    * — the map-only scoring pass shared by q261's corpus aggregate and
+    * the q264 incremental score store. */
+  private[graft] def classifierDocScores(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val nC = ClsClasses.size
+    val scoreCols = ClsClasses.indices.map { i =>
+      expr(s"aggregate(h, 0L, (acc, x) -> " +
+        s"acc + ((shiftright(x, ${15 * i}) & 32767) % $ClsWeightMod) - 1000)").as(s"s$i")
+    }
+    // First-max argmax in class-index order — ties resolve to the lowest
+    // index, mirroring the oracle's CASE chain exactly.
+    val pred = ClsClasses.indices.init.foldRight(lit(ClsClasses.last)) { (i, rest) =>
+      val geRest = ClsClasses.indices.drop(i + 1)
+        .map(j => col(s"s$i") >= col(s"s$j")).reduce(_ && _)
+      when(geRest, lit(ClsClasses(i))).otherwise(rest)
+    }
+    docs
+      .select(col("doc_id"), col("source"),
+        md5_token_hashes(split(col("text"), " "), 60).as("h"))
+      .select(col("doc_id") +: col("source") +: scoreCols: _*)
+      .select(col("doc_id"), col("source"), pred.as("pred_class"),
+        sort_array(array(ClsClasses.indices.map(i => col(s"s$i")): _*)).as("ss"))
+      .select(col("doc_id"), col("source"), col("pred_class"),
+        (element_at(col("ss"), nC) - element_at(col("ss"), nC - 1)).as("margin"))
+  }
+
+  private[graft] def classifierScoresOf(docs: DataFrame): DataFrame = {
+    val scored = classifierDocScores(docs)
+    // Per-source totals via a window over the CELLS frame — bounded at
+    // ≤ |classes| rows per source partition (result-sized, never
+    // corpus-shaped), so the corpus scans exactly once.
+    scored.groupBy(col("source"), col("pred_class"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("margin")).as("margin_sum"))
+      .withColumn("n_src", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .select(col("source"), col("pred_class"), col("n_docs"),
+        expr("n_docs * 10000L div n_src").as("share_bp"),
+        expr("margin_sum div n_docs").as("avg_margin"))
+      .orderBy(col("source"), col("pred_class"))
+  }
+
+  /** Locality layout audit (q262) — LSH-clustered STORAGE ORDERING, the
+    * layout trick that buys compression at rest: near-duplicate documents
+    * written adjacently compress each other away under any window codec
+    * (zstd/LZ4 see the shared bytes), so a corpus rewrite orders docs by
+    * a similarity-preserving key instead of arrival order. The key here
+    * is the bottom-1 MinHash (min over token h60s — P[key_a = key_b] =
+    * Jaccard(a,b); a production rewrite would widen to the full signature
+    * lexicographically, same machinery); the audit measures what the
+    * rewrite would buy: mean adjacent-pair token Jaccard (bp) under the
+    * clustered order vs the incumbent doc_id order, per language.
+    *
+    * Scale shape: both orderings rank through the range-sharded
+    * [[graft.operators.GlobalRank]] (an ORDER BY over the corpus is
+    * exactly the shape that must never hit one reducer); adjacent pairs
+    * come from a rank⋈rank+1 self-join — rank-keyed exchange, no window
+    * over an unpartitioned frame; the doc scan recomputes per consumer
+    * (map-only split+hash work) rather than pinning a corpus-sized cache.
+    * The per-pair Jaccard is the sorted-merge intersect expression
+    * (single pass, no array allocation per comparison). */
+  def localityLayout(spark: SparkSession, dir: String): DataFrame =
+    localityLayoutOf(Tables.documents(spark, dir))
+
+  private[graft] def localityLayoutOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    import graft.functions.VectorFunctions.sorted_intersect_size
+    val base = docs.select(col("doc_id"), col("lang"),
+      sort_array(array_distinct(split(col("text"), " "))).as("toks"),
+      array_min(md5_token_hashes(split(col("text"), " "), 60)).as("mh"))
+    // Mean adjacent-pair Jaccard per lang under the given total order.
+    // Global rank sorts lang first, so within-lang adjacency == global
+    // adjacency with cross-lang boundary pairs filtered.
+    def adjacency(order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val ranked = graft.operators.GlobalRank.rowNumber(base, order, "rk")
+      val lhs = ranked.select(col("rk"), col("lang"), col("toks").as("toks_a"))
+      val rhs = ranked.select((col("rk") - 1).as("rk"),
+        col("lang").as("lang_b"), col("toks").as("toks_b"))
+      lhs.join(rhs, Seq("rk"))
+        .filter(col("lang") === col("lang_b"))
+        .select(col("lang"),
+          sorted_intersect_size(col("toks_a"), col("toks_b")).cast("long").as("ni"),
+          (size(col("toks_a")) + size(col("toks_b"))).cast("long").as("sz"))
+        .select(col("lang"), expr("ni * 10000L div (sz - ni)").as("bp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("bp")).as("bp_sum"))
+    }
+    val clustered = adjacency(Seq(col("lang").asc, col("mh").asc, col("doc_id").asc))
+      .select(col("lang"), col("n_pairs"), col("bp_sum").as("bp_c"))
+    val baseline = adjacency(Seq(col("lang").asc, col("doc_id").asc))
+      .select(col("lang"), col("bp_sum").as("bp_b"))
+    val counts = base.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    counts
+      .join(clustered, Seq("lang"), "left")
+      .join(baseline, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_adj_pairs"),
+        coalesce(expr("bp_c div n_pairs"), lit(0L)).as("clustered_adj_bp"),
+        coalesce(expr("bp_b div n_pairs"), lit(0L)).as("baseline_adj_bp"))
+      .withColumn("locality_gain_bp",
+        col("clustered_adj_bp") - col("baseline_adj_bp"))
+      .orderBy(col("lang"))
+  }
+
+  /** q263 constant, shared with the oracle: every stratum contributes
+    * EXACTLY ⌊n/[[StratQuotaDiv]]⌋ documents. */
+  private[graft] val StratQuotaDiv = 8L
+
+  /** Exact-quota stratified sampling (q263) — the deterministic holdout
+    * builder q67's rate-based Bernoulli sampler cannot be: per stratum
+    * (language) EXACTLY ⌊n/8⌋ documents, chosen as the first ⌊n/8⌋ in
+    * (content-hash, doc_id) order — uniform-at-random in expectation,
+    * reproducible bit-for-bit, and quota-exact by construction (a
+    * hash-threshold sampler's count is binomial, not exact; audits and
+    * eval-set budgets want exact).
+    *
+    * Scale shape: the naive plan — `row_number() OVER (PARTITION BY lang
+    * ORDER BY hash)` — is corpus-hostile: strata are corpus-shaped (one
+    * language can be half of 100 TB), so a per-stratum window is a
+    * stratum-sized single sort. Instead ONE range-sharded
+    * [[graft.operators.GlobalRank]] over the composite (lang, hash, id)
+    * key ranks everything, a stratum-sized aggregate (≤ |langs| rows,
+    * broadcast) yields each stratum's first-rank offset and quota, and
+    * per-stratum rank = global rank − offset: exact per-stratum ranks,
+    * no stratum-sized sort anywhere. The selection witness (token sum +
+    * hash sum over the selected set) makes any mis-ranked boundary doc
+    * break the oracle hash. */
+  def exactStratifiedQuota(spark: SparkSession, dir: String): DataFrame =
+    exactStratifiedQuotaOf(Tables.documents(spark, dir))
+
+  private[graft] def exactStratifiedQuotaOf(docs: DataFrame): DataFrame = {
+    val h = graft.functions.PortableHashFunctions
+      .md5_token_hashes(array(col("text")), bits = 31).getItem(0)
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("hkey"))
+    val ranked = graft.operators.GlobalRank.rowNumber(
+      base, Seq(col("lang").asc, col("hkey").asc, col("doc_id").asc), "rk")
+    val strata = ranked.groupBy(col("lang"))
+      .agg(min(col("rk")).as("rk0"), count(lit(1)).as("n_total"))
+      .withColumn("quota", expr(s"n_total div $StratQuotaDiv"))
+    ranked.join(broadcast(strata), Seq("lang"))
+      .withColumn("sel", col("rk") - col("rk0") + lit(1L) <= col("quota"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_total")).as("n_total"), max(col("quota")).as("quota"),
+        sum(when(col("sel"), col("n_tokens")).otherwise(0L)).as("sel_tokens"),
+        sum(when(col("sel"), col("hkey")).otherwise(0L)).as("sel_h31_sum"))
+      .orderBy(col("lang"))
+  }
+
+  /** Incremental inference score store (q264) — the q200/q256 digest-sync
+    * discipline applied to MODEL SCORES ([[graft.operators.ScoreStore]]):
+    * at 100 TB the classifier pass is the priciest stage of a curation
+    * pipeline (GPU-bound, orders past the scan), so a re-curation must
+    * re-score ONLY what changed. The query replays the full lifecycle
+    * deterministically: seed a partition-mirrored `_scores` sidecar for a
+    * 3-partition work corpus, EDIT one partition out-of-band (partition
+    * 1's docs get re-texted — the upstream-refresh event), re-sync (the
+    * digest diff confines inference to the touched partition — the spec
+    * pins untouched store files byte-stable by mtime), and report the
+    * per-(partition, class) summary read from the ON-DISK store. The
+    * oracle scores the FINAL corpus state from first principles, so a
+    * stale store — a sync that trusted instead of diffing — breaks the
+    * hash. */
+  def scoreStoreIncremental(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.memo(spark, s"q264|$dir") {
+      val work = java.nio.file.Files.createTempDirectory("graft_score_store").toString
+      val corpus = s"$work/corpus"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          pmod(col("doc_id"), lit(3L)).as("part_id"))
+      docs.write.partitionBy("part_id").parquet(corpus)
+      val score = (slice: DataFrame) => classifierDocScores(slice)
+        .select(col("doc_id"), col("pred_class"), col("margin"))
+      graft.operators.ScoreStore.sync(spark, corpus, score) // full seed
+      // Out-of-band partition edit (the re-curation event) — derived from
+      // the SOURCE frame, so the overwrite never reads its own target.
+      docs.filter(col("part_id") === 1L)
+        .withColumn("text", concat(col("text"), lit(" edited")))
+        .drop("part_id")
+        .write.mode("overwrite").parquet(s"$corpus/part_id=1")
+      graft.operators.ScoreStore.sync(spark, corpus, score) // digest diff: part 1 only
+      graft.operators.ScoreStore.read(spark, corpus)
+        .groupBy(col("part_id"), col("pred_class"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("margin")).as("margin_sum"))
+        .select(col("part_id").cast("long").as("part_id"), col("pred_class"),
+          col("n_docs"), col("margin_sum"))
+        .orderBy(col("part_id"), col("pred_class"))
+    }
+
+  /** q265 constants, shared with the oracle: marginal utility of a
+    * source's r-th epoch in milli (δ = 0.6 diminishing returns —
+    * 1000·δ^(r−1), precomputed so the engine divides once), and the
+    * token budget denominator (budget = total/2, the q251 figure). */
+  private[graft] val RepeatDecayMilli = Seq(1000L, 600L, 360L, 216L)
+  private[graft] val RepeatBudgetDen = 2L
+
+  /** Repeat-aware token allocation (q265) — the data-constrained-scaling
+    * recipe (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models": repeated epochs are worth less than fresh data, with
+    * near-geometric decay): where q251 water-fills a budget under a flat
+    * per-source epoch cap, q265 makes epochs COMPETE — each (source,
+    * epoch r ≤ [[RepeatDecayMilli]].size) unit carries marginal utility
+    * quality_bp·δ^(r−1), and the greedy fill takes units in utility
+    * order until the budget exhausts, so a strong source's 2nd epoch can
+    * out-rank a weak source's 1st. Since δ < 1 makes per-source utility
+    * strictly decreasing in r, greedy order takes epochs in sequence
+    * automatically — the allocation is the exact greedy optimum for the
+    * separable concave objective.
+    *
+    * Scale shape: identical to q251 — the corpus reduces in ONE
+    * map-combinable aggregate to a |sources|-row frame; the epoch grid
+    * (|sources|·4 rows), ranking window, and running sum are all
+    * metadata-sized; the corpus itself never shuffles. */
+  def repeatAllocation(spark: SparkSession, dir: String): DataFrame =
+    repeatAllocationOf(Tables.documents(spark, dir))
+
+  private[graft] def repeatAllocationOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_dist"))
+    val src = perDoc.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("src_tokens"), count(lit(1)).as("n_docs"),
+        sum(expr("n_dist * 10000 div n_tok")).as("qsum"))
+      .select(col("source"), col("src_tokens"),
+        expr("qsum div n_docs").as("quality_bp"))
+    val tot = src.agg(sum(col("src_tokens")).as("total_tokens"))
+    val epochGrid = array(RepeatDecayMilli.zipWithIndex.map { case (f, i) =>
+      struct(lit(i + 1L).as("r"), lit(f).as("fac"))
+    }: _*)
+    src.crossJoin(broadcast(tot))
+      .select(col("*"), explode(epochGrid).as("e"))
+      .select(col("source"), col("src_tokens"), col("quality_bp"),
+        col("total_tokens"), col("e.r").as("r"),
+        expr("quality_bp * e.fac div 1000").as("util"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("util").desc, col("source"), col("r"))).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("src_tokens")).over(
+        Window.orderBy(col("rk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("alloc", greatest(lit(0L), least(col("src_tokens"),
+        expr(s"total_tokens div $RepeatBudgetDen") - col("cum_before"))))
+      .groupBy(col("source"))
+      .agg(max(col("quality_bp")).as("quality_bp"),
+        max(col("src_tokens")).as("src_tokens"),
+        sum(col("alloc")).as("allocated_tokens"))
+      .select(col("source"), col("quality_bp"), col("src_tokens"),
+        col("allocated_tokens"),
+        expr("allocated_tokens * 100 div src_tokens").as("epochs_x100"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8430,7 +8709,12 @@ object PipelineQueries {
     "q257_dsir_selection" -> (dsirSelection _),
     "q258_cdc_chunks" -> (cdcChunkDedup _),
     "q259_split_leakage" -> (splitLeakage _),
-    "q260_leak_quarantine" -> (leakQuarantine _))
+    "q260_leak_quarantine" -> (leakQuarantine _),
+    "q261_classifier_scores" -> (classifierScores _),
+    "q262_locality_layout" -> (localityLayout _),
+    "q263_stratified_quota" -> (exactStratifiedQuota _),
+    "q264_score_store" -> (scoreStoreIncremental _),
+    "q265_repeat_allocation" -> (repeatAllocation _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -12439,7 +12723,127 @@ object PipelineQueries {
          |  CAST(COUNT(*) FILTER (doc_id IN (SELECT doc_id FROM q)) AS BIGINT) AS n_quarantined,
          |  CAST(COUNT(*) FILTER (doc_id IN (SELECT doc_id FROM q)) * 10000
          |    // COUNT(*) AS BIGINT) AS quarantine_bp
-         |FROM tr GROUP BY lang ORDER BY lang""".stripMargin)
+         |FROM tr GROUP BY lang ORDER BY lang""".stripMargin,
+    // q261: ONE h60 per token, per-class weights from disjoint 15-bit
+    // fields, argmax with lowest-index tie-break — the CASE chain must
+    // stay in ClsClasses order.
+    "q261_classifier_scores" ->
+      s"""WITH u AS (SELECT doc_id, source, UNNEST(str_split(text, ' ')) AS tok FROM documents),
+         |w AS (SELECT doc_id, source, ${duckH60("tok")} AS h FROM u),
+         |s AS (SELECT doc_id, source,
+         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
+         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
+         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
+         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
+         |  FROM w GROUP BY 1, 2),
+         |p AS (SELECT source,
+         |    CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'chat'
+         |         WHEN s1 >= s2 AND s1 >= s3 THEN 'code'
+         |         WHEN s2 >= s3 THEN 'news' ELSE 'wiki' END AS pred_class,
+         |    list_sort([s0, s1, s2, s3]) AS ss FROM s),
+         |g AS (SELECT source, pred_class, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    SUM(ss[4] - ss[3]) AS margin_sum FROM p GROUP BY 1, 2),
+         |t AS (SELECT source, SUM(n_docs) AS n_src FROM g GROUP BY 1)
+         |SELECT g.source, pred_class, n_docs,
+         |  CAST(n_docs * 10000 // n_src AS BIGINT) AS share_bp,
+         |  CAST(margin_sum // n_docs AS BIGINT) AS avg_margin
+         |FROM g JOIN t ON g.source = t.source
+         |ORDER BY g.source, pred_class""".stripMargin,
+    // q262: per-lang lead() windows replay the global (lang, mh, doc_id)
+    // rank's within-lang adjacency exactly (lang blocks are contiguous
+    // in the global order; boundary pairs are filtered on the Spark side).
+    "q262_locality_layout" -> {
+      val tokH = duckH60("tok")
+      s"""WITH b AS (SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS toks,
+         |    list_aggregate(list_transform(str_split(text, ' '), tok -> $tokH), 'min') AS mh
+         |  FROM documents),
+         |c AS (SELECT lang, toks,
+         |    lead(toks) OVER (PARTITION BY lang ORDER BY mh, doc_id) AS nxt_c,
+         |    lead(toks) OVER (PARTITION BY lang ORDER BY doc_id) AS nxt_b FROM b),
+         |pc AS (SELECT lang, CAST(len(list_intersect(toks, nxt_c)) AS BIGINT) * 10000
+         |    // (len(toks) + len(nxt_c) - len(list_intersect(toks, nxt_c))) AS bp
+         |  FROM c WHERE nxt_c IS NOT NULL),
+         |pb AS (SELECT lang, CAST(len(list_intersect(toks, nxt_b)) AS BIGINT) * 10000
+         |    // (len(toks) + len(nxt_b) - len(list_intersect(toks, nxt_b))) AS bp
+         |  FROM c WHERE nxt_b IS NOT NULL),
+         |gc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs, SUM(bp) AS s FROM pc GROUP BY 1),
+         |gb AS (SELECT lang, SUM(bp) AS s FROM pb GROUP BY 1),
+         |n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY 1)
+         |SELECT n.lang, n_docs,
+         |  CAST(coalesce(gc.n_pairs, 0) AS BIGINT) AS n_adj_pairs,
+         |  CAST(coalesce(gc.s // gc.n_pairs, 0) AS BIGINT) AS clustered_adj_bp,
+         |  CAST(coalesce(gb.s // gc.n_pairs, 0) AS BIGINT) AS baseline_adj_bp,
+         |  CAST(coalesce(gc.s // gc.n_pairs, 0) - coalesce(gb.s // gc.n_pairs, 0) AS BIGINT)
+         |    AS locality_gain_bp
+         |FROM n LEFT JOIN gc ON n.lang = gc.lang LEFT JOIN gb ON n.lang = gb.lang
+         |ORDER BY n.lang""".stripMargin
+    },
+    // q264: the oracle scores the FINAL corpus state (partition-1 texts
+    // re-texted) from first principles — a stale on-disk store breaks
+    // the hash. Same bit-field weights and argmax chain as q261.
+    "q264_score_store" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CASE WHEN doc_id % 3 = 1 THEN text || ' edited' ELSE text END AS text,
+         |    doc_id % 3 AS part_id FROM documents),
+         |u AS (SELECT doc_id, part_id, UNNEST(str_split(text, ' ')) AS tok FROM d),
+         |w AS (SELECT doc_id, part_id, ${duckH60("tok")} AS h FROM u),
+         |s AS (SELECT doc_id, part_id,
+         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
+         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
+         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
+         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
+         |  FROM w GROUP BY 1, 2),
+         |p AS (SELECT part_id,
+         |    CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'chat'
+         |         WHEN s1 >= s2 AND s1 >= s3 THEN 'code'
+         |         WHEN s2 >= s3 THEN 'news' ELSE 'wiki' END AS pred_class,
+         |    list_sort([s0, s1, s2, s3]) AS ss FROM s)
+         |SELECT CAST(part_id AS BIGINT) AS part_id, pred_class,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(ss[4] - ss[3]) AS BIGINT) AS margin_sum
+         |FROM p GROUP BY part_id, pred_class
+         |ORDER BY part_id, pred_class""".stripMargin,
+    // q265: the epoch-grid VALUES carry the same precomputed milli decay
+    // factors; the greedy order is (util DESC, source, r) in both engines.
+    "q265_repeat_allocation" -> {
+      val grid = RepeatDecayMilli.zipWithIndex
+        .map { case (f, i) => s"(${i + 1}, $f)" }.mkString(", ")
+      s"""WITH d AS (SELECT source, len(str_split(text, ' ')) AS n_tok,
+         |    len(list_distinct(str_split(text, ' '))) AS n_dist FROM documents),
+         |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+         |    CAST(SUM(n_dist * 10000 // n_tok) // COUNT(*) AS BIGINT) AS quality_bp
+         |  FROM d GROUP BY source),
+         |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens FROM s),
+         |f(r, fac) AS (VALUES $grid),
+         |u AS (SELECT source, src_tokens, quality_bp, total_tokens, r,
+         |    quality_bp * fac // 1000 AS util
+         |  FROM s CROSS JOIN t CROSS JOIN f),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY util DESC, source, r) AS rk FROM u),
+         |c AS (SELECT *, COALESCE(SUM(src_tokens) OVER (ORDER BY rk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM rk),
+         |a AS (SELECT source, quality_bp, src_tokens,
+         |    GREATEST(0, LEAST(src_tokens, total_tokens // $RepeatBudgetDen - cum_before)) AS alloc
+         |  FROM c)
+         |SELECT source, CAST(MAX(quality_bp) AS BIGINT) AS quality_bp,
+         |  CAST(MAX(src_tokens) AS BIGINT) AS src_tokens,
+         |  CAST(SUM(alloc) AS BIGINT) AS allocated_tokens,
+         |  CAST(SUM(alloc) * 100 // MAX(src_tokens) AS BIGINT) AS epochs_x100
+         |FROM a GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q263: per-stratum row_number replays the global-rank + offset
+    // arithmetic; the FILTER sums are the selection witnesses.
+    "q263_stratified_quota" ->
+      s"""WITH b AS (SELECT doc_id, lang, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${duckH31("text")} AS hkey FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS lrk,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n_total FROM b)
+         |SELECT lang, CAST(MAX(n_total) AS BIGINT) AS n_total,
+         |  CAST(MAX(n_total) // $StratQuotaDiv AS BIGINT) AS quota,
+         |  CAST(coalesce(SUM(n_tokens) FILTER (lrk <= n_total // $StratQuotaDiv), 0) AS BIGINT)
+         |    AS sel_tokens,
+         |  CAST(coalesce(SUM(hkey) FILTER (lrk <= n_total // $StratQuotaDiv), 0) AS BIGINT)
+         |    AS sel_h31_sum
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin)
 
   /** Full oracle surface (split only so the shared q81/q98 SQL can sit
     * between the two literals). */

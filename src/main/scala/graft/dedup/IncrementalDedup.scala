@@ -292,7 +292,7 @@ object IncrementalDedup {
 
   /** File-metadata digest of one partition directory (name, length,
     * mtime — the IvfPqIndex staleness idiom). */
-  private def partitionDigest(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def partitionDigest(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): String = {
     val parts = fs.listStatus(p).filter(_.isFile)
       .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
@@ -339,9 +339,12 @@ object IncrementalDedup {
   private def writeSigPartition(toks: DataFrame, corpusDir: String, batchId: Long): Unit =
     writeSigBands(bandsOf(toks), corpusDir, batchId)
 
-  private def readStateFile(fs: org.apache.hadoop.fs.FileSystem,
-      corpusDir: String, name: String): Map[Long, String] = {
-    val statePath = new org.apache.hadoop.fs.Path(sigDir(corpusDir), name)
+  /** Read a `batch -> digest` state file under `baseDir` (any
+    * digest-synced store — the fuzzy signature store and the q264 score
+    * store share this format). */
+  private[graft] def readStateFile(fs: org.apache.hadoop.fs.FileSystem,
+      baseDir: String, name: String): Map[Long, String] = {
+    val statePath = new org.apache.hadoop.fs.Path(baseDir, name)
     if (!fs.exists(statePath)) Map.empty
     else {
       val in = fs.open(statePath)
@@ -352,9 +355,9 @@ object IncrementalDedup {
     }
   }
 
-  private def writeStateFile(fs: org.apache.hadoop.fs.FileSystem, corpusDir: String,
+  private[graft] def writeStateFile(fs: org.apache.hadoop.fs.FileSystem, baseDir: String,
       name: String, state: Map[Long, String]): Unit = {
-    val statePath = new org.apache.hadoop.fs.Path(sigDir(corpusDir), name)
+    val statePath = new org.apache.hadoop.fs.Path(baseDir, name)
     val out = fs.create(statePath, true)
     try out.write(state.toSeq.sortBy(_._1)
       .map { case (b, d) => s"$b=$d" }.mkString("\n").getBytes("UTF-8"))
@@ -363,11 +366,11 @@ object IncrementalDedup {
 
   private def readState(fs: org.apache.hadoop.fs.FileSystem,
       corpusDir: String): Map[Long, String] =
-    readStateFile(fs, corpusDir, "_partition_state")
+    readStateFile(fs, sigDir(corpusDir), "_partition_state")
 
   private def writeState(fs: org.apache.hadoop.fs.FileSystem, corpusDir: String,
       state: Map[Long, String]): Unit =
-    writeStateFile(fs, corpusDir, "_partition_state", state)
+    writeStateFile(fs, sigDir(corpusDir), "_partition_state", state)
 
   /** Compacted-base layout: `_fuzzy_sigs/_base/band_idx=k/` (underscore
     * prefix — invisible to the per-batch partition discovery read) plus a
@@ -403,7 +406,7 @@ object IncrementalDedup {
       .sortWithinPartitions(col("band_idx"), col("band_key"))
       .write.mode("overwrite").partitionBy("band_idx")
       .parquet(baseDir(corpusDir))
-    writeStateFile(fs, corpusDir, BaseManifest, state)
+    writeStateFile(fs, sigDir(corpusDir), BaseManifest, state)
   }
 
   /** The standing store a probe reads: the compacted base when its
@@ -416,7 +419,7 @@ object IncrementalDedup {
     def deltas = spark.read.schema(SigSchema).parquet(sigDir(corpusDir))
     val fs = new org.apache.hadoop.fs.Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = readStateFile(fs, corpusDir, BaseManifest)
+    val manifest = readStateFile(fs, sigDir(corpusDir), BaseManifest)
     if (manifest.isEmpty) return deltas
     val state = readState(fs, corpusDir)
     val valid = manifest.forall { case (b, d) => state.get(b).contains(d) }

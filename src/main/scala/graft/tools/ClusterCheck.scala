@@ -77,7 +77,19 @@ object ClusterCheck {
     // bigram stream feeding three consumers from executor-resident
     // cache plus a GlobalRank quota rank (q257), and the CDC chunk
     // pipeline's window→reuse-exchange→hash-keyed dedup (q258).
-    "q253_repeat_spans", "q257_dsir_selection", "q258_cdc_chunks")
+    "q253_repeat_spans", "q257_dsir_selection", "q258_cdc_chunks",
+    // Round-10 continuation: the map-only classifier fold (q261 — the
+    // four-field bit unpack and argmax CASE run entirely in executor
+    // codegen), the double-GlobalRank adjacency join (q262 — two
+    // independent range exchanges whose pid block ranks must agree
+    // across worker JVMs before the rank⋈rank+1 join lines up), and the
+    // composite-key stratified quota (q263 — broadcast stratum offsets
+    // against executor-resident ranked blocks).
+    "q261_classifier_scores", "q262_locality_layout", "q263_stratified_quota",
+    // ...and the digest-synced score store lifecycle (q264 — partition
+    // slices score in executor JVMs and publish by direct path; the
+    // driver-side digest diff must still confine the second sync).
+    "q264_score_store")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

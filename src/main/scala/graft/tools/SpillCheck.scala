@@ -71,7 +71,12 @@ object SpillCheck {
           // new exchange) and the CDC chunk pipeline (doc windows +
           // ordered reassembly collect_list buffers, the
           // spillable-window/aggregate-buffer path).
-          "q253_repeat_spans", "q258_cdc_chunks").map { name =>
+          "q253_repeat_spans", "q258_cdc_chunks",
+          // Round-10 continuation: the double-GlobalRank adjacency join
+          // (q262 — token-array rows ride two range exchanges, two
+          // pid-window sorts, and a rank⋈rank+1 sort-merge join; the
+          // widest array-carrying sort path in the suite).
+          "q262_locality_layout").map { name =>
           val df = graft.SparkEntry.queries(name)(spark, sfDir)
           val row = df
             .select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))

@@ -903,6 +903,40 @@ class PlanSpec extends AnyFunSuite {
       s"the shard offsets must broadcast:\n$p")
   }
 
+  test("q261: classifier scoring is one map-only pass — no token explode, no pre-agg exchange") {
+    val p = planOf("q261_classifier_scores")
+    assert(!p.toLowerCase.contains("generate explode"),
+      s"scoring must fold the hash array in place, never explode tokens:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"the (source, class) cells must combine map-side:\n$p")
+    assert(p.contains("windowspecdefinition(source"),
+      s"per-source totals must come from the result-sized cells window:\n$p")
+    assert(p.sliding("documents.parquet".length).count(_ == "documents.parquet") == 1,
+      s"one corpus scan feeds the whole score pipeline:\n$p")
+  }
+
+  test("q262: both layout orders rank via GlobalRank's range exchange — no lang-partitioned window") {
+    val p = planOf("q262_locality_layout")
+    assert(p.sliding("rangepartitioning".length).count(_ == "rangepartitioning") >= 2,
+      s"both orderings must range-shard (lang strata are corpus-shaped):\n$p")
+    assert(!"""windowspecdefinition\(lang#\d+""".r.findFirstIn(p).isDefined,
+      s"a lang-partitioned window puts a whole language on one reducer:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the shard offsets must broadcast:\n$p")
+  }
+
+  test("q263: stratified quota ranks ONCE via GlobalRank — no per-stratum window, offsets broadcast") {
+    val p = planOf("q263_stratified_quota")
+    assert(p.contains("rangepartitioning"),
+      s"the composite (lang, hash, id) rank must range-shard:\n$p")
+    assert(!"""windowspecdefinition\(lang#\d+""".r.findFirstIn(p).isDefined,
+      s"a per-stratum window is a stratum-sized single sort:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the stratum offsets/quotas must broadcast:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"the stratum frame must combine map-side:\n$p")
+  }
+
   test("q253: repeat-span detection is gram-hash-keyed — no pairwise join, doc-partitioned islands") {
     val p = planOf("q253_repeat_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -2466,6 +2466,220 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q261 classifier scores: map-only fold equals a per-token brute-force replica") {
+    import spark.implicits._
+    val data = Seq(
+      (1L, "en", "wiki", "alpha beta gamma alpha"),
+      (2L, "en", "wiki", "delta epsilon"),
+      (3L, "en", "web", "alpha alpha alpha zeta"),
+      (4L, "de", "web", "zeta eta theta iota kappa"),
+      (5L, "fr", "web", "beta"),
+      (6L, "fr", "web", "gamma delta beta alpha"))
+    val docs = data.toDF("doc_id", "lang", "source", "text")
+    val classes = graft.analytics.PipelineQueries.ClsClasses
+    def scores(text: String): Seq[Long] =
+      classes.indices.map { i =>
+        text.split(" ").map { t =>
+          ((graft.functions.Md5Hash.h60(t.getBytes) >> (15 * i)) & 32767L) % 2001L - 1000L
+        }.sum
+      }
+    val per = data.map { case (_, _, src, text) =>
+      val s = scores(text)
+      val pred = classes(s.indexWhere(_ == s.max)) // first argmax == the CASE chain
+      val sorted = s.sorted
+      (src, pred, sorted(3) - sorted(2))
+    }
+    val expected = per.groupBy(p => (p._1, p._2)).toSeq.map { case ((src, pred), ps) =>
+      val n = ps.size.toLong
+      val tot = per.count(_._1 == src).toLong
+      (src, pred, n, n * 10000L / tot, ps.map(_._3).sum / n)
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.analytics.PipelineQueries.classifierScoresOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
+  test("q262 locality layout: GlobalRank adjacency equals a serial-sort replica") {
+    import spark.implicits._
+    val data = Seq(
+      (1L, "en", "a b c d"),
+      (2L, "en", "x y z"),
+      (3L, "en", "a b c e"),
+      (4L, "en", "x y w"),
+      (5L, "de", "p q r"),
+      (6L, "de", "p q r s"),
+      (7L, "fr", "solo only"))
+    val docs = data.toDF("doc_id", "lang", "text")
+    def toks(t: String) = t.split(" ").distinct.toSet
+    def jacBp(a: Set[String], b: Set[String]): Long = {
+      val ni = a.intersect(b).size.toLong
+      ni * 10000L / (a.size + b.size - ni)
+    }
+    def minh(t: String): Long =
+      t.split(" ").map(x => graft.functions.Md5Hash.h60(x.getBytes)).min
+    val expected = data.groupBy(_._2).toSeq.map { case (lang, ds) =>
+      val cl = ds.sortBy(d => (minh(d._3), d._1)).map(d => toks(d._3))
+      val bl = ds.sortBy(_._1).map(d => toks(d._3))
+      def meanBp(seq: Seq[Set[String]]): (Long, Long) = {
+        val bps = seq.zip(seq.drop(1)).map { case (a, b) => jacBp(a, b) }
+        if (bps.isEmpty) (0L, 0L) else (bps.size.toLong, bps.sum / bps.size)
+      }
+      val (np, cbp) = meanBp(cl)
+      val (_, bbp) = meanBp(bl)
+      (lang, ds.size.toLong, np, cbp, bbp, cbp - bbp)
+    }.sortBy(_._1)
+    val got = graft.analytics.PipelineQueries.localityLayoutOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+    // The planted near-dup pairs (1,3) and (5,6) must cluster adjacent
+    // under the minhash order: the en/de clustered means beat doc_id order.
+    val gain = got.map(g => g._1 -> g._6).toMap
+    assert(gain("de") >= 0L && got.map(_._6).exists(_ > 0L),
+      s"clustering should improve at least one lang's adjacency: $got")
+  }
+
+  test("q263 stratified quota: global-rank offsets equal a per-stratum serial replica") {
+    import spark.implicits._
+    // en: 9 docs (quota 1), de: 16 (quota 2), fr: 3 (quota 0 — the
+    // below-divisor stratum must emit zero witnesses, not null).
+    val data =
+      (1 to 9).map(i => (i.toLong, "en", s"alpha beta tok$i")) ++
+      (10 to 25).map(i => (i.toLong, "de", s"gamma tok$i extra pad")) ++
+      (26 to 28).map(i => (i.toLong, "fr", s"only tok$i"))
+    val docs = data.toDF("doc_id", "lang", "text")
+    def h31(t: String) = graft.functions.Md5Hash.h31(t.getBytes)
+    val div = graft.analytics.PipelineQueries.StratQuotaDiv
+    val expected = data.groupBy(_._2).toSeq.map { case (lang, ds) =>
+      val q = ds.size.toLong / div
+      val sel = ds.sortBy(d => (h31(d._3), d._1)).take(q.toInt)
+      (lang, ds.size.toLong, q,
+        sel.map(_._3.split(" ").length.toLong).sum,
+        sel.map(d => h31(d._3)).sum)
+    }.sortBy(_._1)
+    val got = graft.analytics.PipelineQueries.exactStratifiedQuotaOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
+  test("q264 score store: digest sync re-scores ONLY the edited partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_q264_spec").toString
+    val corpus = s"$work/corpus"
+    val docs = Seq(
+      (0L, "s0", "alpha beta gamma"),
+      (1L, "s0", "delta epsilon"),
+      (2L, "s1", "zeta eta"),
+      (3L, "s1", "theta iota kappa"),
+      (4L, "s0", "mu nu"),
+      (5L, "s1", "xi omicron pi"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("part_id", pmod(col("doc_id"), lit(3L)))
+    docs.write.partitionBy("part_id").parquet(corpus)
+    val score = (slice: org.apache.spark.sql.DataFrame) =>
+      graft.analytics.PipelineQueries.classifierDocScores(slice)
+        .select(col("doc_id"), col("pred_class"), col("margin"))
+    graft.operators.ScoreStore.sync(spark, corpus, score)
+    def files(p: String) = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(p)).filter(_.isFile)
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .sortBy(_._1).toSeq
+    }
+    val part0Before = files(s"$corpus/_scores/part_id=0")
+    val part1Before = files(s"$corpus/_scores/part_id=1")
+    Thread.sleep(1100) // local-fs mtime can be second-granular
+    // Out-of-band edit of corpus partition 1 (derived from the source
+    // frame — the overwrite never reads its own target).
+    docs.filter(col("part_id") === 1L)
+      .withColumn("text", concat(col("text"), lit(" edited")))
+      .drop("part_id").write.mode("overwrite").parquet(s"$corpus/part_id=1")
+    graft.operators.ScoreStore.sync(spark, corpus, score)
+    assert(files(s"$corpus/_scores/part_id=0") == part0Before,
+      "untouched partition must not re-score")
+    assert(files(s"$corpus/_scores/part_id=1") != part1Before,
+      "edited partition must re-score")
+    // No-op sync: digests match the state — nothing rewritten.
+    val part1After = files(s"$corpus/_scores/part_id=1")
+    graft.operators.ScoreStore.sync(spark, corpus, score)
+    assert(files(s"$corpus/_scores/part_id=1") == part1After,
+      "a no-diff sync must not rewrite the store")
+    // Store contents == a fresh full score of the FINAL corpus state.
+    val expected = graft.analytics.PipelineQueries.classifierDocScores(
+        docs.withColumn("text",
+          when(col("part_id") === 1L, concat(col("text"), lit(" edited")))
+            .otherwise(col("text"))))
+      .select(col("doc_id"), col("pred_class"), col("margin"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val got = graft.operators.ScoreStore.read(spark, corpus)
+      .select(col("doc_id"), col("pred_class"), col("margin"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
+  test("q265 repeat allocation: greedy epoch competition equals a sequential replica") {
+    import spark.implicits._
+    // Three sources with separated quality so the strong source's 2nd and
+    // 3rd epochs outrank the weak source's 1st; token masses differ so
+    // the budget boundary lands mid-unit (partial allocation covered).
+    val data = Seq(
+      (1L, "hi", "a b c d e f g h"),          // 8 distinct / 8 -> 10000 bp
+      (2L, "hi", "p q r s t u"),              // 10000 bp
+      (3L, "mid", "a a b b c c"),             // 3/6 -> 5000 bp
+      (4L, "mid", "x x y y"),                 // 5000 bp
+      (5L, "lo", "z z z z z z z z z z"),      // 1/10 -> 1000 bp
+      (6L, "lo", "w w w w"))                  // 1/4 -> 2500 bp
+    val docs = data.map { case (id, src, t) => (id, src, t) }
+      .toDF("doc_id", "source", "text")
+    val decay = graft.analytics.PipelineQueries.RepeatDecayMilli
+    val den = graft.analytics.PipelineQueries.RepeatBudgetDen
+    val srcStats = data.groupBy(_._2).map { case (src, ds) =>
+      val toks = ds.map(_._3.split(" ").length.toLong).sum
+      val q = ds.map { d =>
+        val t = d._3.split(" "); t.distinct.length.toLong * 10000L / t.length
+      }.sum / ds.size
+      (src, toks, q)
+    }.toSeq
+    val total = srcStats.map(_._2).sum
+    val budget = total / den
+    val units = (for {
+      (src, toks, q) <- srcStats
+      (fac, i) <- decay.zipWithIndex
+    } yield (src, toks, q, i + 1L, q * fac / 1000L))
+      .sortBy { case (src, _, _, r, util) => (-util, src, r) }
+    var remaining = budget
+    val allocBySrc = scala.collection.mutable.Map.empty[String, Long]
+    units.foreach { case (src, toks, _, _, _) =>
+      val a = math.max(0L, math.min(toks, remaining))
+      remaining -= toks // window semantics: cum_before grows by FULL unit size
+      allocBySrc(src) = allocBySrc.getOrElse(src, 0L) + a
+    }
+    val expected = srcStats.map { case (src, toks, q) =>
+      val a = allocBySrc(src)
+      (src, q, toks, a, a * 100L / toks)
+    }.sortBy(_._1)
+    val got = graft.analytics.PipelineQueries.repeatAllocationOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+    // The diminishing-returns economics must bite: the hi source gets >1
+    // epoch, the lo source is rationed below a full epoch of allocation.
+    val epochs = got.map(g => g._1 -> g._5).toMap
+    assert(epochs("hi") > 100L, s"strong source should repeat: $got")
+    assert(epochs("lo") < epochs("hi"), s"weak source should be rationed: $got")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -8498,6 +8498,57 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** q266 constant, shared with the oracle: context length (the K most
+    * recent event types form an example's input). */
+  private[graft] val BehaviorCtxLen = 3
+
+  /** Behavior-model training-example assembly (q266) — the LLM-era
+    * completion of the reference's user-behavior domain: turn the event
+    * log into (context → next action) training examples for a behavior
+    * sequence model. Per user, events order by (ts, event_id); an
+    * example is the last [[BehaviorCtxLen]] event types (the context, as
+    * fixed lag columns — no variable-length buffers) predicting the
+    * current event type (the target). The report is the dataset card a
+    * training run consumes: per target class, example count, user
+    * coverage, distinct-context count (label entropy's denominator), and
+    * the exact decimal value mass (the q-family DECIMAL(12,2) double
+    * discipline).
+    *
+    * Scale shape: ONE user-keyed exchange (the window partitions by
+    * user — bounded by a user's retained history, the q119/q23
+    * discipline, never corpus-shaped); the lag columns and the context
+    * signature (one md5 h60 of the joined context — 8 bytes into the
+    * aggregate, the q64 no-string-shuffles rule) are map work on the
+    * sorted partition; the final per-class aggregate partial-combines.
+    * At 100 TB: one shuffle of the event log, result-sized everything
+    * else. */
+  def behaviorExamples(spark: SparkSession, dir: String): DataFrame =
+    behaviorExamplesOf(Tables.events(spark, dir))
+
+  private[graft] def behaviorExamplesOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lags = (1 to BehaviorCtxLen).map(i =>
+      lag(col("event_type"), i).over(w).as(s"l$i"))
+    val ctx = concat_ws(" ",
+      (BehaviorCtxLen to 1 by -1).map(i => col(s"l$i")): _*)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .select(Seq(col("user_id"), col("event_type"), col("value")) ++ lags: _*)
+      .filter(col(s"l$BehaviorCtxLen").isNotNull)
+      .select(col("event_type").as("target_event"), col("user_id"),
+        md5_token_hashes(array(ctx), bits = 60).getItem(0).as("ctx_sig"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .groupBy(col("target_event"))
+      .agg(count(lit(1)).as("n_examples"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("ctx_sig")).as("n_contexts"),
+        expr("CAST(sum(v) * 100 AS BIGINT)").as("value_cents_sum"))
+      .orderBy(col("target_event"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8714,7 +8765,8 @@ object PipelineQueries {
     "q262_locality_layout" -> (localityLayout _),
     "q263_stratified_quota" -> (exactStratifiedQuota _),
     "q264_score_store" -> (scoreStoreIncremental _),
-    "q265_repeat_allocation" -> (repeatAllocation _))
+    "q265_repeat_allocation" -> (repeatAllocation _),
+    "q266_behavior_examples" -> (behaviorExamples _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -12829,6 +12881,24 @@ object PipelineQueries {
          |  CAST(SUM(alloc) AS BIGINT) AS allocated_tokens,
          |  CAST(SUM(alloc) * 100 // MAX(src_tokens) AS BIGINT) AS epochs_x100
          |FROM a GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q266: the lag-window context replays per user ordered by
+    // (ts, event_id); the context signature is the same h60 of the
+    // space-joined lag triple; the value mass rides DECIMAL(12,2).
+    "q266_behavior_examples" -> {
+      val ctxH = duckH60("l3 || ' ' || l2 || ' ' || l1")
+      s"""WITH e AS (SELECT user_id, event_type, value,
+         |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1,
+         |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
+         |    lag(event_type, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l3
+         |  FROM events),
+         |x AS (SELECT event_type AS target_event, user_id, $ctxH AS ctx_sig,
+         |    CAST(value AS DECIMAL(12,2)) AS v FROM e WHERE l3 IS NOT NULL)
+         |SELECT target_event, CAST(COUNT(*) AS BIGINT) AS n_examples,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(COUNT(DISTINCT ctx_sig) AS BIGINT) AS n_contexts,
+         |  CAST(SUM(v) * 100 AS BIGINT) AS value_cents_sum
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // q263: per-stratum row_number replays the global-rank + offset
     // arithmetic; the FILTER sums are the selection witnesses.

@@ -2680,6 +2680,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(epochs("lo") < epochs("hi"), s"weak source should be rationed: $got")
   }
 
+  test("q266 behavior examples: lag-window assembly equals a sequential per-user replica") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user 1: 5 events -> 2 examples (the 4th and 5th events have a full
+    // 3-lag context); user 2: 3 events -> 0 examples (context short).
+    val events = Seq(
+      (1L, t(0), 1L, "view", 1.50),
+      (2L, t(1), 1L, "view", 2.25),
+      (3L, t(2), 1L, "cart", 0.75),
+      (4L, t(3), 1L, "purchase", 10.00),
+      (5L, t(4), 1L, "view", 1.00),
+      (6L, t(0), 2L, "view", 3.00),
+      (7L, t(1), 2L, "error", 0.10),
+      (8L, t(2), 2L, "view", 0.20))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.analytics.PipelineQueries.behaviorExamplesOf(events)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val expected = Seq(
+      ("purchase", 1L, 1L, 1L, 1000L), // ctx "view view cart"
+      ("view", 1L, 1L, 1L, 100L))      // ctx "view cart purchase"
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

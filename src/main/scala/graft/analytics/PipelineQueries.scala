@@ -8527,19 +8527,29 @@ object PipelineQueries {
 
   private[graft] def behaviorExamplesOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.PortableHashFunctions.md5_token_hashes
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val lags = (1 to BehaviorCtxLen).map(i =>
       lag(col("event_type"), i).over(w).as(s"l$i"))
     val ctx = concat_ws(" ",
       (BehaviorCtxLen to 1 by -1).map(i => col(s"l$i")): _*)
-    events
+    behaviorCardOf(events
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value"))
       .select(Seq(col("user_id"), col("event_type"), col("value")) ++ lags: _*)
       .filter(col(s"l$BehaviorCtxLen").isNotNull)
       .select(col("event_type").as("target_event"), col("user_id"),
-        md5_token_hashes(array(ctx), bits = 60).getItem(0).as("ctx_sig"),
+        ctx.as("ctx"), col("value")))
+  }
+
+  /** (target_event, user_id, ctx, value) example stream → per-class
+    * dataset card. Shared by the batch lag-window formulation (q266) and
+    * the streaming per-user-state formulation (q267) so the two can
+    * never drift — they also share one oracle ([[BehaviorOracleSql]]). */
+  private[graft] def behaviorCardOf(examples: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    examples
+      .select(col("target_event"), col("user_id"),
+        md5_token_hashes(array(col("ctx")), bits = 60).getItem(0).as("ctx_sig"),
         col("value").cast("decimal(12,2)").as("v"))
       .groupBy(col("target_event"))
       .agg(count(lit(1)).as("n_examples"),
@@ -8547,6 +8557,62 @@ object PipelineQueries {
         countDistinct(col("ctx_sig")).as("n_contexts"),
         expr("CAST(sum(v) * 100 AS BIGINT)").as("value_cents_sum"))
       .orderBy(col("target_event"))
+  }
+
+  /** Streaming behavior-example assembly (q267) — the ingest-time twin
+    * of q266 (see [[graft.streaming.StreamPipeline.behaviorExamples]]):
+    * per-user rolling-context state in flatMapGroupsWithState emits each
+    * training example the moment its target event lands, and the sink's
+    * cumulative card is produced by the same [[behaviorCardOf]] the
+    * batch path uses — one oracle for both, so a hash divergence reads
+    * as "streaming state drifted from the window semantics" (the
+    * q119/q120 discipline). State is a constant few bytes per user
+    * (RocksDB-backed); the shuffle is the user_id Exchange the state
+    * store already requires; the sink carries examples, not events. */
+  def streamBehaviorExamples(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val examples = graft.streaming.StreamPipeline
+      .behaviorExamples(s, Tables.eventsStream(s, dir), BehaviorCtxLen)
+    behaviorCardOf(graft.streaming.StreamPipeline
+      .runToMemory(s, examples.toDF(), "graft_stream_behavior"))
+  }
+
+  /** Per-stratum exact quantiles (q268) — the score-calibration card a
+    * cross-source gate needs: classifier margins (q261's per-doc pass)
+    * are NOT comparable across sources, so a global threshold must be
+    * set per source from its own margin distribution; this emits each
+    * source's exact margin deciles. The corpus-hostile plan is
+    * `row_number() OVER (PARTITION BY source ORDER BY margin)` — strata
+    * are corpus-shaped — so the ranks come from ONE range-sharded
+    * [[graft.operators.GlobalRank]] over (source, margin, doc_id) with
+    * per-stratum offsets from a ≤|sources|-row broadcast aggregate (the
+    * q263 discipline applied to order-statistic EXTRACTION rather than
+    * selection: q241's exact quantiles are global; these are per
+    * stratum). The decile row is the exact order statistic at
+    * per-stratum rank max(1, ⌊n·q/10⌋). */
+  def stratumQuantiles(spark: SparkSession, dir: String): DataFrame =
+    stratumQuantilesOf(Tables.documents(spark, dir))
+
+  private[graft] def stratumQuantilesOf(docs: DataFrame): DataFrame = {
+    val scored = classifierDocScores(docs)
+      .select(col("source"), col("margin"), col("doc_id"))
+    val ranked = graft.operators.GlobalRank.rowNumber(
+      scored, Seq(col("source").asc, col("margin").asc, col("doc_id").asc), "rk")
+    val targets = ranked.groupBy(col("source"))
+      .agg(min(col("rk")).as("rk0"), count(lit(1)).as("n"))
+      .select(col("source").as("t_source"), col("rk0"), col("n"),
+        explode(expr("sequence(1, 9)")).as("decile"))
+      .select(col("t_source"), col("decile"),
+        (col("rk0") - 1 + greatest(lit(1L), expr("n * decile div 10"))).as("trk"))
+    ranked.join(broadcast(targets),
+        ranked("rk") === targets("trk") && ranked("source") === targets("t_source"))
+      .select(col("source"), col("decile").cast("long").as("decile"),
+        col("margin").as("margin_at"))
+      .orderBy(col("source"), col("decile"))
   }
 
   // ---------------------------------------------------------------------------
@@ -8766,7 +8832,9 @@ object PipelineQueries {
     "q263_stratified_quota" -> (exactStratifiedQuota _),
     "q264_score_store" -> (scoreStoreIncremental _),
     "q265_repeat_allocation" -> (repeatAllocation _),
-    "q266_behavior_examples" -> (behaviorExamples _))
+    "q266_behavior_examples" -> (behaviorExamples _),
+    "q267_stream_behavior" -> (streamBehaviorExamples _),
+    "q268_stratum_quantiles" -> (stratumQuantiles _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -12882,23 +12950,33 @@ object PipelineQueries {
          |  CAST(SUM(alloc) * 100 // MAX(src_tokens) AS BIGINT) AS epochs_x100
          |FROM a GROUP BY source ORDER BY source""".stripMargin
     },
-    // q266: the lag-window context replays per user ordered by
-    // (ts, event_id); the context signature is the same h60 of the
-    // space-joined lag triple; the value mass rides DECIMAL(12,2).
-    "q266_behavior_examples" -> {
-      val ctxH = duckH60("l3 || ' ' || l2 || ' ' || l1")
-      s"""WITH e AS (SELECT user_id, event_type, value,
-         |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1,
-         |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
-         |    lag(event_type, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l3
-         |  FROM events),
-         |x AS (SELECT event_type AS target_event, user_id, $ctxH AS ctx_sig,
-         |    CAST(value AS DECIMAL(12,2)) AS v FROM e WHERE l3 IS NOT NULL)
-         |SELECT target_event, CAST(COUNT(*) AS BIGINT) AS n_examples,
-         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-         |  CAST(COUNT(DISTINCT ctx_sig) AS BIGINT) AS n_contexts,
-         |  CAST(SUM(v) * 100 AS BIGINT) AS value_cents_sum
-         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+    // q266/q267: one oracle for the batch lag-window and the streaming
+    // per-user-state formulations (the q119/q120 shared-oracle rule).
+    "q266_behavior_examples" -> BehaviorOracleSql,
+    "q267_stream_behavior" -> BehaviorOracleSql,
+    // q268: per-source row_number windows replay the global-rank +
+    // offset arithmetic over the same q261 per-doc margins; the decile
+    // row is the exact order statistic at rank max(1, n*q//10).
+    "q268_stratum_quantiles" -> {
+      s"""WITH u AS (SELECT doc_id, source, UNNEST(str_split(text, ' ')) AS tok FROM documents),
+         |w AS (SELECT doc_id, source, ${duckH60("tok")} AS h FROM u),
+         |s AS (SELECT doc_id, source,
+         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
+         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
+         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
+         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
+         |  FROM w GROUP BY 1, 2),
+         |m AS (SELECT doc_id, source,
+         |    CAST(list_sort([s0, s1, s2, s3])[4] - list_sort([s0, s1, s2, s3])[3] AS BIGINT)
+         |      AS margin FROM s),
+         |r AS (SELECT source, doc_id, margin,
+         |    row_number() OVER (PARTITION BY source ORDER BY margin, doc_id) AS lrk,
+         |    COUNT(*) OVER (PARTITION BY source) AS n FROM m),
+         |dec AS (SELECT UNNEST(range(1, 10)) AS decile)
+         |SELECT source, CAST(decile AS BIGINT) AS decile,
+         |  CAST(margin AS BIGINT) AS margin_at
+         |FROM r JOIN dec ON lrk = GREATEST(1, (n * decile) // 10)
+         |ORDER BY source, decile""".stripMargin
     },
     // q263: per-stratum row_number replays the global-rank + offset
     // arithmetic; the FILTER sums are the selection witnesses.
@@ -12914,6 +12992,25 @@ object PipelineQueries {
          |  CAST(coalesce(SUM(hkey) FILTER (lrk <= n_total // $StratQuotaDiv), 0) AS BIGINT)
          |    AS sel_h31_sum
          |FROM r GROUP BY lang ORDER BY lang""".stripMargin)
+
+  /** Shared q266/q267 oracle: the lag-window context replays per user
+    * ordered by (ts, event_id); the context signature is the same h60 of
+    * the space-joined lag triple; the value mass rides DECIMAL(12,2). */
+  private[graft] lazy val BehaviorOracleSql: String = {
+    val ctxH = graft.functions.Md5Hash.duckH60("l3 || ' ' || l2 || ' ' || l1")
+    s"""WITH e AS (SELECT user_id, event_type, value,
+       |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1,
+       |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
+       |    lag(event_type, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l3
+       |  FROM events),
+       |x AS (SELECT event_type AS target_event, user_id, $ctxH AS ctx_sig,
+       |    CAST(value AS DECIMAL(12,2)) AS v FROM e WHERE l3 IS NOT NULL)
+       |SELECT target_event, CAST(COUNT(*) AS BIGINT) AS n_examples,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(COUNT(DISTINCT ctx_sig) AS BIGINT) AS n_contexts,
+       |  CAST(SUM(v) * 100 AS BIGINT) AS value_cents_sum
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** Full oracle surface (split only so the shared q81/q98 SQL can sit
     * between the two literals). */

@@ -188,6 +188,48 @@ object StreamPipeline {
         })
   }
 
+  /** Rolling context state for [[behaviorExamples]]: the key's last K
+    * event types, oldest first — constant bytes per user. */
+  case class BehaviorCtx(types: Vector[String])
+  case class BehaviorOut(target_event: String, user_id: Long,
+      ctx: String, value: Option[Double])
+
+  /** Ingest-time behavior-example assembly — the streaming twin of the
+    * batch lag-window dataset builder (q266): per-user state holds the
+    * last `k` event types (a constant few bytes per key, the
+    * [[transitionPairs]] state discipline generalized from 1 to k), and
+    * each arrival with a full context emits one (context → target)
+    * training example the moment it lands — an online dataset builder
+    * whose cumulative sink equals the batch formulation row-for-row.
+    * Same per-key ordering contract as [[transitionPairs]]: in-batch
+    * rows sort by (event-time µs, event_id); cross-batch order is the
+    * keyed topic's per-partition guarantee. */
+  def behaviorExamples(spark: SparkSession, events: DataFrame, k: Int,
+      keyCol: String = "user_id", tsCol: String = "ts")
+      : org.apache.spark.sql.Dataset[BehaviorOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long").as("u"), col("event_id").as("eid"),
+        col(tsCol).as("t"), col("event_type").as("et"), col("value").as("v"))
+      .as[(Long, Long, java.sql.Timestamp, String, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (u: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String, Option[Double])],
+            state: GroupState[BehaviorCtx]) => {
+          val sorted = rows.map(r => (microsOf(r._3), r._2, r._4, r._5)).toArray
+            .sortBy(r => (r._1, r._2))
+          var ctx = state.getOption.map(_.types).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[BehaviorOut]
+          sorted.foreach { case (_, _, typ, v) =>
+            if (ctx.length == k) out += BehaviorOut(typ, u, ctx.mkString(" "), v)
+            ctx = (ctx :+ typ).takeRight(k)
+          }
+          state.update(BehaviorCtx(ctx))
+          out.result().iterator
+        })
+  }
+
   /** Latest-record CDC state for [[upsertLatest]]: the max-(us, eid)
     * version seen so far for one key. */
   case class UpsertState(us: Long, eid: Long, typ: String, cents: Long, centsNull: Boolean)

@@ -88,8 +88,10 @@ object ClusterCheck {
     "q261_classifier_scores", "q262_locality_layout", "q263_stratified_quota",
     // ...and the digest-synced score store lifecycle (q264 — partition
     // slices score in executor JVMs and publish by direct path; the
-    // driver-side digest diff must still confine the second sync).
-    "q264_score_store")
+    // driver-side digest diff must still confine the second sync), plus
+    // the stratum-quantile order-statistic extraction (q268 — broadcast
+    // decile targets probing executor-resident ranked blocks).
+    "q264_score_store", "q268_stratum_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

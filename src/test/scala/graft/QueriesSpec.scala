@@ -2706,6 +2706,50 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q267 streaming behavior card equals the batch q266 card at sf0.001") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val batch = rows(graft.analytics.PipelineQueries
+      .behaviorExamples(spark, TestSpark.SfDir))
+    val stream = rows(graft.analytics.PipelineQueries
+      .streamBehaviorExamples(spark, TestSpark.SfDir))
+    assert(batch.nonEmpty, "batch card must be non-empty")
+    assert(stream == batch, s"stream=$stream batch=$batch")
+  }
+
+  test("q268 stratum quantiles: global-rank order statistics equal a per-source serial replica") {
+    import spark.implicits._
+    // Two sources with enough docs that deciles land on distinct ranks,
+    // plus a tiny source exercising the max(1, ...) floor.
+    val data =
+      (1 to 25).map(i => (i.toLong, "sA", s"alpha tok$i beta gamma")) ++
+      (26 to 40).map(i => (i.toLong, "sB", s"delta tok$i")) ++
+      (41 to 43).map(i => (i.toLong, "sC", s"solo tok$i"))
+    val docs = data.toDF("doc_id", "source", "text")
+    // Brute per-doc margin replica (same bit-field weights as q261).
+    val classes = graft.analytics.PipelineQueries.ClsClasses
+    def margin(text: String): Long = {
+      val s = classes.indices.map { i =>
+        text.split(" ").map { t =>
+          ((graft.functions.Md5Hash.h60(t.getBytes) >> (15 * i)) & 32767L) % 2001L - 1000L
+        }.sum
+      }.sorted
+      s(3) - s(2)
+    }
+    val expected = data.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val sorted = ds.map(d => (margin(d._3), d._1)).sortBy(identity)
+      val n = sorted.size.toLong
+      (1 to 9).map { q =>
+        val rk = math.max(1L, n * q / 10L)
+        (src, q.toLong, sorted((rk - 1).toInt)._1)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.analytics.PipelineQueries.stratumQuantilesOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -8615,6 +8615,61 @@ object PipelineQueries {
       .orderBy(col("source"), col("decile"))
   }
 
+  /** Off-policy evaluation via inverse propensity scoring (q269) — the
+    * counterfactual question every logged-interaction dataset gets asked
+    * before a new policy ships: "what reward WOULD the candidate policy
+    * have earned on this logged traffic?" (Horvitz–Thompson / IPS, the
+    * standard estimator for bandit logs). Logged propensities are the
+    * empirical action frequencies (bp); the candidate policy is a
+    * deterministic hash policy π(user) = argmax over the action
+    * vocabulary of h31(user:action) — a reproducible stand-in for a
+    * learned scorer (swap in a broadcast model table, same plan). Each
+    * logged event matching π(user) contributes reward/propensity
+    * (floor-cents · 10000 div prop_bp — exact integers end to end); the
+    * per-action card reports logged mass, match rate, the IPS-weighted
+    * reward, and the naive logged reward for contrast.
+    *
+    * Scale shape: the action vocabulary and its frequency/propensity
+    * frame are result-sized (broadcast); π(user) derives from a
+    * |users|·|actions| grid that aggregates per user (user-keyed,
+    * map-side combinable — never event-scaled); the event scan joins
+    * the tiny propensity frame and the per-user policy by broadcast +
+    * user-keyed join respectively, then reduces to |actions| rows. */
+  def ipsPolicyEval(spark: SparkSession, dir: String): DataFrame =
+    ipsPolicyEvalOf(Tables.events(spark, dir))
+
+  private[graft] def ipsPolicyEvalOf(events: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val logged = events.select(col("user_id"), col("event_type").as("action"),
+      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+    val freq = logged.groupBy(col("action")).agg(count(lit(1)).as("n_logged"))
+    val tot = freq.agg(sum(col("n_logged")).as("n_total"))
+    val prop = freq.crossJoin(broadcast(tot))
+      .select(col("action"), col("n_logged"),
+        expr("n_logged * 10000L div n_total").as("prop_bp"))
+    // π(user): argmax_{a ∈ vocab} h31(user:a) — ties broken by action
+    // name via the (h, action) struct max, replayed exactly in SQL.
+    val policy = logged.select(col("user_id")).distinct()
+      .crossJoin(broadcast(prop.select(col("action"))))
+      .select(col("user_id"), col("action"),
+        md5_token_hashes(
+          array(concat(col("user_id").cast("string"), lit(":"), col("action"))),
+          bits = 31).getItem(0).as("h"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("h"), col("action"))).as("m"))
+      .select(col("user_id"), col("m.action").as("pi_action"))
+    logged
+      .join(policy, Seq("user_id"))
+      .join(broadcast(prop), Seq("action"))
+      .groupBy(col("action"))
+      .agg(max(col("n_logged")).as("n_logged"), max(col("prop_bp")).as("prop_bp"),
+        sum(when(col("action") === col("pi_action"), 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("action") === col("pi_action"),
+          expr("cents * 10000L div prop_bp")).otherwise(0L)).as("ips_cents"),
+        sum(col("cents")).as("logged_cents"))
+      .orderBy(col("action"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8834,7 +8889,8 @@ object PipelineQueries {
     "q265_repeat_allocation" -> (repeatAllocation _),
     "q266_behavior_examples" -> (behaviorExamples _),
     "q267_stream_behavior" -> (streamBehaviorExamples _),
-    "q268_stratum_quantiles" -> (stratumQuantiles _))
+    "q268_stratum_quantiles" -> (stratumQuantiles _),
+    "q269_ips_policy_eval" -> (ipsPolicyEval _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -12949,6 +13005,32 @@ object PipelineQueries {
          |  CAST(SUM(alloc) AS BIGINT) AS allocated_tokens,
          |  CAST(SUM(alloc) * 100 // MAX(src_tokens) AS BIGINT) AS epochs_x100
          |FROM a GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q269: same floor-cents, same bp propensities, same hash-argmax
+    // policy (row_number over h DESC, action DESC == the struct max).
+    "q269_ips_policy_eval" -> {
+      val h = duckH31("CAST(u.user_id AS VARCHAR) || ':' || p.action")
+      s"""WITH l AS (SELECT user_id, event_type AS action,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |f AS (SELECT action, CAST(COUNT(*) AS BIGINT) AS n_logged FROM l GROUP BY 1),
+         |t AS (SELECT SUM(n_logged) AS n_total FROM f),
+         |p AS (SELECT action, n_logged,
+         |    CAST(n_logged * 10000 // n_total AS BIGINT) AS prop_bp FROM f CROSS JOIN t),
+         |g AS (SELECT u.user_id, p.action, $h AS h
+         |  FROM (SELECT DISTINCT user_id FROM l) u CROSS JOIN p),
+         |pi AS (SELECT user_id, action AS pi_action FROM (
+         |    SELECT user_id, action,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY h DESC, action DESC) AS rn
+         |    FROM g) WHERE rn = 1),
+         |j AS (SELECT l.action, l.cents, pi.pi_action, p.prop_bp, p.n_logged
+         |  FROM l JOIN pi USING (user_id) JOIN p USING (action))
+         |SELECT action, CAST(MAX(n_logged) AS BIGINT) AS n_logged,
+         |  CAST(MAX(prop_bp) AS BIGINT) AS prop_bp,
+         |  CAST(SUM(CASE WHEN action = pi_action THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         |  CAST(SUM(CASE WHEN action = pi_action THEN cents * 10000 // prop_bp ELSE 0 END)
+         |    AS BIGINT) AS ips_cents,
+         |  CAST(SUM(cents) AS BIGINT) AS logged_cents
+         |FROM j GROUP BY action ORDER BY action""".stripMargin
     },
     // q266/q267: one oracle for the batch lag-window and the streaming
     // per-user-state formulations (the q119/q120 shared-oracle rule).

@@ -903,6 +903,19 @@ class PlanSpec extends AnyFunSuite {
       s"the shard offsets must broadcast:\n$p")
   }
 
+  test("q15: rank filter plans through WindowGroupLimit — top-k prunes BEFORE the exchange") {
+    // Spark 4's InferWindowGroupLimit rewrites filter(rank <= k) over a
+    // window into partial (map-side) + final WindowGroupLimit operators:
+    // each input partition forwards at most k rows per key into the
+    // shuffle — at 100 TB the difference between shuffling the corpus
+    // and shuffling k·|keys| rows. Pin both stages so a refactor that
+    // breaks the rewrite pattern (non-literal k, expression over rank)
+    // reads as a plan regression here, not a cluster incident.
+    val p = planOf("q15_window_topk")
+    assert(p.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit") >= 2,
+      s"partial+final WindowGroupLimit must bracket the exchange:\n$p")
+  }
+
   test("q261: classifier scoring is one map-only pass — no token explode, no pre-agg exchange") {
     val p = planOf("q261_classifier_scores")
     assert(!p.toLowerCase.contains("generate explode"),

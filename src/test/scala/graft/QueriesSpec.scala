@@ -2750,6 +2750,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q269 IPS policy eval: hash-argmax policy and weighted estimate equal a sequential replica") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val data = Seq(
+      (1L, 1L, "view", 2.00), (2L, 1L, "click", 1.00), (3L, 1L, "view", 4.00),
+      (4L, 2L, "click", 3.00), (5L, 2L, "buy", 10.00),
+      (6L, 3L, "view", 0.50), (7L, 3L, "buy", 7.25), (8L, 3L, "click", 0.25))
+    val events = data.map { case (e, u, a, v) => (e, ts0, u, a, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def h31(s: String) = graft.functions.Md5Hash.h31(s.getBytes)
+    val actions = data.map(_._3).distinct.sorted
+    val total = data.size.toLong
+    val nLogged = data.groupBy(_._3).map { case (a, xs) => a -> xs.size.toLong }
+    val propBp = nLogged.map { case (a, n) => a -> n * 10000L / total }
+    def pi(u: Long): String =
+      actions.map(a => ((h31(s"$u:$a"), a), a)).maxBy(_._1)._2
+    val expected = actions.map { a =>
+      val rows = data.filter(_._3 == a)
+      val matched = rows.filter(r => pi(r._2) == a)
+      val ips = matched.map(r => math.floor(r._4 * 100).toLong * 10000L / propBp(a)).sum
+      (a, nLogged(a), propBp(a), matched.size.toLong, ips,
+        rows.map(r => math.floor(r._4 * 100).toLong).sum)
+    }
+    val got = graft.analytics.PipelineQueries.ipsPolicyEvalOf(events)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -950,6 +950,38 @@ class PlanSpec extends AnyFunSuite {
       s"the stratum frame must combine map-side:\n$p")
   }
 
+  test("q266: example assembly is ONE user-keyed window — no event-scaled joins") {
+    val p = planOf("q266_behavior_examples")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"the lag context must ride the user-partitioned window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs anywhere in example assembly:\n$p")
+    assert(p.contains("partial_count"),
+      s"the dataset card must combine map-side:\n$p")
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1,
+      s"one event-log scan feeds the card:\n$p")
+  }
+
+  test("q268: decile extraction range-shards via GlobalRank — no source-partitioned window sort") {
+    val p = planOf("q268_stratum_quantiles")
+    assert(p.contains("rangepartitioning"),
+      s"the margin rank must range-shard (sources are corpus-shaped):\n$p")
+    assert(!"""windowspecdefinition\(source#\d+""".r.findFirstIn(p).isDefined,
+      s"a source-partitioned window is a stratum-sized single sort:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the decile targets must broadcast onto the ranked corpus:\n$p")
+  }
+
+  test("q269: IPS estimate broadcasts the propensity/action frames — no event-scaled all-pairs") {
+    val p = planOf("q269_ips_policy_eval")
+    assert(!p.contains("CartesianProduct"),
+      s"the only cross joins are broadcast result-sized frames:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"propensities and the action vocabulary must broadcast:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_sum"),
+      s"the policy argmax and the estimate must combine map-side:\n$p")
+  }
+
   test("q253: repeat-span detection is gram-hash-keyed — no pairwise join, doc-partitioned islands") {
     val p = planOf("q253_repeat_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -2781,6 +2781,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q264 score store: a vanished corpus partition drops its score partition on sync") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_q264_gc_spec").toString
+    val corpus = s"$work/corpus"
+    val docs = Seq(
+      (0L, "s0", "alpha beta"), (1L, "s0", "gamma delta"), (2L, "s1", "zeta eta"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("part_id", pmod(col("doc_id"), lit(3L)))
+    docs.write.partitionBy("part_id").parquet(corpus)
+    val score = (slice: org.apache.spark.sql.DataFrame) =>
+      graft.analytics.PipelineQueries.classifierDocScores(slice)
+        .select(col("doc_id"), col("pred_class"), col("margin"))
+    graft.operators.ScoreStore.sync(spark, corpus, score)
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$corpus/_scores/part_id=2")))
+    // The retention/GDPR event: corpus partition 2 is deleted out-of-band.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$corpus/part_id=2"), true)
+    graft.operators.ScoreStore.sync(spark, corpus, score)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$corpus/_scores/part_id=2")),
+      "deletion must propagate into the derived score store")
+    val got = graft.operators.ScoreStore.read(spark, corpus)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(0L, 1L), s"store must hold exactly the surviving docs: $got")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -8670,6 +8670,134 @@ object PipelineQueries {
       .orderBy(col("action"))
   }
 
+  /** Non-overlapping segment width (tokens) and the distinct-doc count at
+    * which a segment counts as boilerplate — shared by the q270 engine
+    * path and its oracle so the two can never drift. */
+  private[graft] val BoilerSegTokens = 5
+  private[graft] val BoilerMinDocs = 3
+
+  /** Segment-frequency boilerplate audit (q270) — the CCNet/RefinedWeb
+    * move: chunk every document into fixed-width token segments, hash
+    * them, and call a segment boilerplate when it recurs VERBATIM across
+    * enough distinct documents (navigation chrome, license headers,
+    * cookie banners — the text that inflates token counts without adding
+    * information). The card reports, per source, the segment volume, how
+    * many segment INSTANCES are boilerplate, the boilerplate share (bp),
+    * and how many distinct boilerplate segments drive it — the numbers a
+    * curation pass needs before deciding to strip or down-weight.
+    *
+    * Scale shape: the corpus explodes to segments once (map-only split +
+    * slice + h60); the segment document-frequency is a two-phase
+    * hash-partitioned aggregate on the 60-bit segment key (never
+    * all-pairs, never a window); instances rejoin the frequency frame on
+    * that same key (hash join, both sides already segment-keyed), and the
+    * final card is a ≤|sources|-row aggregate. At 100 TB each stage is
+    * embarrassingly key-parallel — the exact q25 exact-dedup discipline
+    * applied at sub-document granularity. */
+  def segmentBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    segmentBoilerplateOf(Tables.documents(spark, dir))
+
+  private[graft] def segmentBoilerplateOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val k = BoilerSegTokens
+    // Docs shorter than one segment contribute zero segments (the oracle's
+    // range() emits nothing there; the filter keeps Spark's sequence() from
+    // seeing a negative upper bound).
+    val segs = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"transform(sequence(0, CAST(size(toks) div $k AS INT) - 1), " +
+          s"g -> array_join(slice(toks, g*$k + 1, $k), ' '))")).as("seg"))
+      .select(col("doc_id"), col("source"),
+        md5_token_hashes(array(col("seg")), 60).getItem(0).as("segh"))
+    val freq = segs.groupBy(col("segh"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+    segs.join(freq, Seq("segh"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("doc_freq") >= BoilerMinDocs, 1L).otherwise(0L))
+          .as("n_boiler_instances"),
+        countDistinct(when(col("doc_freq") >= BoilerMinDocs, col("segh")))
+          .as("n_boiler_segments"))
+      .select(col("source"), col("n_segments"), col("n_boiler_instances"),
+        expr("n_boiler_instances * 10000L div n_segments").as("boiler_share_bp"),
+        col("n_boiler_segments"))
+      .orderBy(col("source"))
+  }
+
+  /** Winnowing parameters (Schleimer–Wilkerson–Aiken, SIGMOD 2003): gram
+    * width in tokens, window of consecutive gram hashes per fingerprint,
+    * the document-frequency cap that drops promiscuous fingerprints
+    * before pairing, and the minimum shared-fingerprint count for a pair
+    * to surface. */
+  private[graft] val WinnowGram = 4
+  private[graft] val WinnowWindow = 4
+  private[graft] val WinnowFpMaxDocs = 16
+  private[graft] val WinnowMinShared = 2
+
+  /** Winnowing fingerprint overlap (q271) — the MOSS plagiarism/clone
+    * detector shape: every document selects the MINIMUM gram hash out of
+    * each sliding window of [[WinnowWindow]] consecutive token-gram
+    * hashes, guaranteeing at least one fingerprint per window while
+    * keeping the selected set ~1/w of the grams — position-robust
+    * (an insertion shifts grams but local minima survive) where q40's
+    * single rolling fingerprint is not. Documents sharing ≥
+    * [[WinnowMinShared]] fingerprints surface as clone-pair candidates
+    * with their overlap coefficient (shared / min fingerprint set, bp).
+    *
+    * Scale shape: gram hashing is map-only; the window minimum runs
+    * PARTITIONED BY doc (per-doc frames, never corpus-wide); fingerprints
+    * dedup per doc via a two-phase aggregate; the pair join is
+    * fingerprint-keyed with a document-frequency cap ([[WinnowFpMaxDocs]])
+    * bounding each posting list, so candidate generation is
+    * Σ df² over capped lists — the q31/q235 banded-join discipline, not
+    * an all-pairs product. */
+  def winnowingPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowingPairsOf(Tables.documents(spark, dir))
+
+  private[graft] def winnowingPairsOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    import org.apache.spark.sql.expressions.Window
+    val k = WinnowGram
+    val w = WinnowWindow
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k + w - 1) // at least one full window
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - $k + 1), " +
+          s"p -> array_join(slice(toks, p, $k), ' '))")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        md5_token_hashes(array(col("gram")), 60).getItem(0).as("gh"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = grams
+      .withColumn("n_grams", count(lit(1)).over(perDoc))
+      .withColumn("fp", min(col("gh")).over(winMin))
+      .filter(col("pos") <= col("n_grams") - w) // pos is 0-based: starts 0..n-w
+      .select(col("doc_id"), col("fp")).distinct()
+    val kept = fps.join(
+      fps.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= WinnowFpMaxDocs),
+      Seq("fp"))
+    val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= WinnowMinShared)
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_fp", "fp_a"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_fp", "fp_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared_fps"),
+        col("fp_a"), col("fp_b"),
+        expr("shared_fps * 10000L div least(fp_a, fp_b)").as("overlap_bp"))
+      .orderBy(col("shared_fps").desc, col("doc_a"), col("doc_b"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8890,7 +9018,9 @@ object PipelineQueries {
     "q266_behavior_examples" -> (behaviorExamples _),
     "q267_stream_behavior" -> (streamBehaviorExamples _),
     "q268_stratum_quantiles" -> (stratumQuantiles _),
-    "q269_ips_policy_eval" -> (ipsPolicyEval _))
+    "q269_ips_policy_eval" -> (ipsPolicyEval _),
+    "q270_segment_boilerplate" -> (segmentBoilerplate _),
+    "q271_winnowing_pairs" -> (winnowingPairs _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -13073,7 +13203,60 @@ object PipelineQueries {
          |    AS sel_tokens,
          |  CAST(coalesce(SUM(hkey) FILTER (lrk <= n_total // $StratQuotaDiv), 0) AS BIGINT)
          |    AS sel_h31_sum
-         |FROM r GROUP BY lang ORDER BY lang""".stripMargin)
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    // q270: range() emits no segment for docs under one segment width, so
+    // no length filter is needed oracle-side; doc-frequency is DISTINCT
+    // doc_id per 60-bit segment hash, exactly the engine's key.
+    "q270_segment_boilerplate" -> {
+      val k = BoilerSegTokens
+      s"""WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id, source,
+         |    array_to_string(toks[(CAST(g AS INT)*$k + 1):(CAST(g AS INT)*$k + $k)], ' ') AS seg
+         |  FROM t, UNNEST(range(CAST(floor(len(toks) / $k) AS BIGINT))) AS u(g)),
+         |h AS (SELECT doc_id, source, ${duckH60("seg")} AS segh FROM c),
+         |f AS (SELECT segh, COUNT(DISTINCT doc_id) AS doc_freq FROM h GROUP BY 1),
+         |j AS (SELECT h.source, h.segh, f.doc_freq FROM h JOIN f USING (segh))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         |  CAST(SUM(CASE WHEN doc_freq >= $BoilerMinDocs THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boiler_instances,
+         |  CAST(SUM(CASE WHEN doc_freq >= $BoilerMinDocs THEN 1 ELSE 0 END) * 10000
+         |    // COUNT(*) AS BIGINT) AS boiler_share_bp,
+         |  CAST(COUNT(DISTINCT CASE WHEN doc_freq >= $BoilerMinDocs THEN segh END) AS BIGINT)
+         |    AS n_boiler_segments
+         |FROM j GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q271: the window minimum replays per doc over 0-based gram
+    // positions with the same ROWS frame; fingerprint selection keeps
+    // window starts only (pos <= n_grams - w).
+    "q271_winnowing_pairs" -> {
+      val k = WinnowGram
+      val w = WinnowWindow
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+         |  WHERE len(str_split(text, ' ')) >= ${k + w - 1}),
+         |g AS (SELECT doc_id, CAST(p AS BIGINT) - 1 AS pos,
+         |    array_to_string(toks[CAST(p AS INT):(CAST(p AS INT) + $k - 1)], ' ') AS gram
+         |  FROM t, UNNEST(range(1, CAST(len(toks) - $k + 2 AS BIGINT))) AS u(p)),
+         |gh AS (SELECT doc_id, pos, ${duckH60("gram")} AS h FROM g),
+         |wm AS (SELECT doc_id, pos,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams FROM gh),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_grams - $w),
+         |kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN (
+         |    SELECT fp FROM fps GROUP BY fp
+         |    HAVING COUNT(DISTINCT doc_id) <= $WinnowFpMaxDocs) d USING (fp)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS shared_fps
+         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared)
+         |SELECT doc_a, doc_b, shared_fps,
+         |  CAST(ca.n_fp AS BIGINT) AS fp_a, CAST(cb.n_fp AS BIGINT) AS fp_b,
+         |  CAST(shared_fps * 10000 // LEAST(ca.n_fp, cb.n_fp) AS BIGINT) AS overlap_bp
+         |FROM pr JOIN cnt ca ON pr.doc_a = ca.doc_id
+         |  JOIN cnt cb ON pr.doc_b = cb.doc_id
+         |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin
+    })
 
   /** Shared q266/q267 oracle: the lag-window context replays per user
     * ordered by (ts, event_id); the context signature is the same h60 of

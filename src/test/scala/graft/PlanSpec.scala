@@ -1361,4 +1361,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.sliding("Generate".length).count(_ == "Generate") == 1, p)
     assert(p.contains("Window"), p)
   }
+
+  test("q270: boilerplate is segment-hash-keyed aggregates + an equi-join — never all-pairs, no windows") {
+    val p = planOf("q270_segment_boilerplate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"segment frequency must never go all-pairs:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the source card must combine map-side:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window anywhere — frequency is a keyed aggregate:\n$p")
+    assert(p.contains("[segh") || p.contains("segh#"),
+      s"the instance-frequency join must be keyed on the segment hash:\n$p")
+  }
+
+  test("q271: winnowing windows are doc-partitioned; the pair join is fingerprint-keyed") {
+    val p = planOf("q271_winnowing_pairs")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"window min must partition by doc:\n$p")
+    // Guard the corpus-hostile shape: no window runs without a PARTITION BY.
+    assert(!"windowspecdefinition\\((pos|fp|gh)".r.findFirstIn(p).isDefined,
+      s"no unpartitioned window over gram/fingerprint frames:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay fingerprint-keyed:\n$p")
+  }
 }

@@ -2781,6 +2781,59 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q270 segment boilerplate: planted recurring segment flags across sources, short docs emit nothing") {
+    import spark.implicits._
+    // "a b c d e" recurs in 4 docs (3 in s0, 1 in s1) => boilerplate at
+    // MinDocs=3; every other segment is unique; the 2-token doc must
+    // contribute zero segments on both engines.
+    val docs = Seq(
+      (0L, "s0", "a b c d e x1 x2 x3 x4 x5"),
+      (1L, "s0", "a b c d e y1 y2 y3 y4 y5"),
+      (2L, "s0", "a b c d e z1 z2 z3 z4 z5"),
+      (3L, "s1", "a b c d e w1 w2 w3 w4 w5"),
+      (4L, "s1", "p q")).toDF("doc_id", "source", "text")
+    val got = graft.analytics.PipelineQueries.segmentBoilerplateOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      ("s0", 6L, 3L, 5000L, 1L),
+      ("s1", 2L, 1L, 5000L, 1L)), s"got $got")
+  }
+
+  test("q271 winnowing: fingerprints and pair overlap equal a sequential replica") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"t$i")
+    // d0/d1 share a 12-token run (positions differ — winnowing is
+    // position-robust); d2 is disjoint.
+    val docs = Seq(
+      (0L, "s0", (base.take(12) ++ Seq("u1", "u2", "u3", "u4", "u5", "u6", "u7", "u8")).mkString(" ")),
+      (1L, "s0", (Seq("v1", "v2", "v3", "v4", "v5") ++ base.take(12) ++ Seq("v6", "v7", "v8")).mkString(" ")),
+      (2L, "s1", (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "source", "text")
+    val k = graft.analytics.PipelineQueries.WinnowGram
+    val w = graft.analytics.PipelineQueries.WinnowWindow
+    def fingerprints(text: String): Set[Long] = {
+      val toks = text.split(" ")
+      val ghs = toks.sliding(k).map(g =>
+        graft.functions.Md5Hash.h60(g.mkString(" ").getBytes)).toVector
+      (0 to ghs.size - w).map(p => ghs.slice(p, p + w).min).toSet
+    }
+    val fps = docs.collect().map(r => r.getLong(0) -> fingerprints(r.getString(2))).toMap
+    val expected = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      shared = (fps(a) intersect fps(b)).size.toLong if shared >= 2
+    } yield (a, b, shared, fps(a).size.toLong, fps(b).size.toLong,
+      shared * 10000L / math.min(fps(a).size, fps(b).size)))
+      .toSeq.sortBy(t => (-t._3, t._1, t._2))
+    assert(expected.nonEmpty, "planted clone pair must survive winnowing")
+    val got = graft.analytics.PipelineQueries.winnowingPairsOf(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   test("q264 score store: a vanished corpus partition drops its score partition on sync") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -8798,6 +8798,129 @@ object PipelineQueries {
       .orderBy(col("shared_fps").desc, col("doc_a"), col("doc_b"))
   }
 
+  /** Second-labeler weight modulus for q272 — decorrelates the agreement
+    * labeler from q261's scorer (same h60 lanes, rotated class→lane map,
+    * different modulus), shared with the oracle. */
+  private[graft] val ClsAltMod = 1999L
+
+  /** Classifier calibration / reliability card (q272) — the audit run
+    * before TRUSTING a quality classifier's confidence for threshold
+    * gating (q268 sets thresholds; this asks whether confidence means
+    * anything): bucket the corpus by confidence decile and check that
+    * agreement with an independent labeler RISES with confidence. The
+    * stand-in pair is q261's hashed scorer vs a decorrelated second
+    * labeler (rotated bit-lanes, different weight modulus) — swap either
+    * for a learned model's broadcast score table, same plan. Per decile:
+    * doc count, mean margin, agreement count/rate (bp). A flat or
+    * inverted curve = the confidence is noise; monotone = calibrated
+    * enough to gate on.
+    *
+    * Scale shape: both labelers are ONE map-only pass over the token
+    * hashes (shared h60 array, eight lane-sums in one projection); the
+    * confidence decile comes from the range-sharded
+    * [[graft.operators.GlobalRank]] over (margin, doc_id) — the
+    * corpus-hostile global sort shape, never an unpartitioned window —
+    * with the decile from rank arithmetic against a 1-row broadcast
+    * count; the card is a 10-row final aggregate. */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame =
+    scoreCalibrationOf(Tables.documents(spark, dir))
+
+  private[graft] def scoreCalibrationOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val nC = ClsClasses.size
+    val sCols = ClsClasses.indices.map { i =>
+      expr(s"aggregate(h, 0L, (acc, x) -> " +
+        s"acc + ((shiftright(x, ${15 * i}) & 32767) % $ClsWeightMod) - 1000)").as(s"s$i")
+    }
+    // Labeler 2: class i reads lane (i+2) mod nC under the alternate
+    // modulus — same hash array, decorrelated argmax.
+    val tCols = ClsClasses.indices.map { i =>
+      val lane = (i + 2) % nC
+      expr(s"aggregate(h, 0L, (acc, x) -> " +
+        s"acc + ((shiftright(x, ${15 * lane}) & 32767) % $ClsAltMod) - 1000)").as(s"t$i")
+    }
+    def argmaxFirst(prefix: String): org.apache.spark.sql.Column =
+      ClsClasses.indices.init.foldRight(lit(ClsClasses.last)) { (i, rest) =>
+        val geRest = ClsClasses.indices.drop(i + 1)
+          .map(j => col(s"$prefix$i") >= col(s"$prefix$j")).reduce(_ && _)
+        when(geRest, lit(ClsClasses(i))).otherwise(rest)
+      }
+    val scored = docs
+      .select(col("doc_id"),
+        md5_token_hashes(split(col("text"), " "), 60).as("h"))
+      .select(col("doc_id") +: (sCols ++ tCols): _*)
+      .select(col("doc_id"), argmaxFirst("s").as("pred"), argmaxFirst("t").as("label"),
+        sort_array(array(ClsClasses.indices.map(i => col(s"s$i")): _*)).as("ss"))
+      .select(col("doc_id"), col("pred"), col("label"),
+        (element_at(col("ss"), nC) - element_at(col("ss"), nC - 1)).as("margin"))
+    val ranked = graft.operators.GlobalRank.rowNumber(
+      scored, Seq(col("margin").asc, col("doc_id").asc), "rk")
+    val n = ranked.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("pred"), col("label"), col("margin"),
+        least(lit(9L), expr("(rk - 1) * 10 div n_total")).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(margin) div count(1)").as("avg_margin"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("agree_n"))
+      .select(col("decile"), col("n_docs"), col("avg_margin"), col("agree_n"),
+        expr("agree_n * 10000L div n_docs").as("agree_bp"))
+      .orderBy(col("decile"))
+  }
+
+  /** Deterministic-context threshold for q273: a context counts as
+    * memorization-risky when it always continues the same way and has
+    * been seen at least this often. */
+  private[graft] val BranchMinOcc = 3
+
+  /** Next-token branching-factor card (q273) — the memorization-risk
+    * audit: for every 2-token context, how many DISTINCT third tokens
+    * follow it, and how concentrated is the continuation distribution?
+    * Contexts that always continue identically (branching = 1) despite
+    * many occurrences are exactly the spans a model memorizes verbatim
+    * (Lee et al. 2022's motivation, measured at the distribution level
+    * rather than q253's span level). Per-source card: context count,
+    * trigram volume, deterministic-context count and share (bp), and
+    * the mean top-continuation share (bp) — the corpus-level
+    * "predictability" number that rises as boilerplate accumulates.
+    *
+    * Scale shape: trigram explode is map-only; both aggregation levels
+    * — (source, context, next) counts, then (source, context) branching
+    * — are hash-partitioned two-phase aggregates on gram keys (the
+    * 60-bit context hash keys the exchange, so vocabulary size never
+    * matters); the card is a ≤|sources|-row rollup. No windows, no
+    * joins, nothing corpus-collected. */
+  def contextBranching(spark: SparkSession, dir: String): DataFrame =
+    contextBranchingOf(Tables.documents(spark, dir))
+
+  private[graft] def contextBranchingOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val tri = docs
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "p -> struct(array_join(slice(toks, p, 2), ' ') AS ctx, toks[p+1] AS nxt))")).as("g"))
+      .select(col("source"),
+        md5_token_hashes(array(col("g.ctx")), 60).getItem(0).as("ctxh"),
+        md5_token_hashes(array(col("g.nxt")), 60).getItem(0).as("nxth"))
+    val perNext = tri.groupBy(col("source"), col("ctxh"), col("nxth"))
+      .agg(count(lit(1)).as("n"))
+    val perCtx = perNext.groupBy(col("source"), col("ctxh"))
+      .agg(sum(col("n")).as("n_occ"), count(lit(1)).as("n_next"), max(col("n")).as("top_n"))
+    perCtx.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contexts"),
+        sum(col("n_occ")).as("n_trigrams"),
+        sum(when(col("n_next") === 1 && col("n_occ") >= BranchMinOcc, 1L)
+          .otherwise(0L)).as("n_deterministic"),
+        sum(expr("top_n * 10000L div n_occ")).as("top_share_sum"))
+      .select(col("source"), col("n_contexts"), col("n_trigrams"),
+        col("n_deterministic"),
+        expr("n_deterministic * 10000L div n_contexts").as("det_share_bp"),
+        expr("top_share_sum div n_contexts").as("avg_top_share_bp"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9020,7 +9143,9 @@ object PipelineQueries {
     "q268_stratum_quantiles" -> (stratumQuantiles _),
     "q269_ips_policy_eval" -> (ipsPolicyEval _),
     "q270_segment_boilerplate" -> (segmentBoilerplate _),
-    "q271_winnowing_pairs" -> (winnowingPairs _))
+    "q271_winnowing_pairs" -> (winnowingPairs _),
+    "q272_score_calibration" -> (scoreCalibration _),
+    "q273_context_branching" -> (contextBranching _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -13256,6 +13381,66 @@ object PipelineQueries {
          |FROM pr JOIN cnt ca ON pr.doc_a = ca.doc_id
          |  JOIN cnt cb ON pr.doc_b = cb.doc_id
          |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin
+    },
+    // q272: the global row_number window replays GlobalRank's
+    // (margin, doc_id) order; labeler 2 reads lane (i+2) mod 4 under
+    // the alternate modulus; decile = (rk-1)*10 // n.
+    "q272_score_calibration" -> {
+      s"""WITH u AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok FROM documents),
+         |w AS (SELECT doc_id, ${duckH60("tok")} AS h FROM u),
+         |s AS (SELECT doc_id,
+         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
+         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
+         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
+         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3,
+         |    SUM((((h >> 30) & 32767) % $ClsAltMod) - 1000) AS t0,
+         |    SUM((((h >> 45) & 32767) % $ClsAltMod) - 1000) AS t1,
+         |    SUM(((h & 32767) % $ClsAltMod) - 1000) AS t2,
+         |    SUM((((h >> 15) & 32767) % $ClsAltMod) - 1000) AS t3
+         |  FROM w GROUP BY 1),
+         |p AS (SELECT doc_id,
+         |    CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'chat'
+         |         WHEN s1 >= s2 AND s1 >= s3 THEN 'code'
+         |         WHEN s2 >= s3 THEN 'news' ELSE 'wiki' END AS pred,
+         |    CASE WHEN t0 >= t1 AND t0 >= t2 AND t0 >= t3 THEN 'chat'
+         |         WHEN t1 >= t2 AND t1 >= t3 THEN 'code'
+         |         WHEN t2 >= t3 THEN 'news' ELSE 'wiki' END AS label,
+         |    list_sort([s0, s1, s2, s3])[4] - list_sort([s0, s1, s2, s3])[3] AS margin
+         |  FROM s),
+         |r AS (SELECT pred, label, margin,
+         |    row_number() OVER (ORDER BY margin, doc_id) AS rk,
+         |    COUNT(*) OVER () AS n FROM p),
+         |d AS (SELECT pred, label, margin,
+         |    LEAST(9, (rk - 1) * 10 // n) AS decile FROM r)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(margin) // COUNT(*) AS BIGINT) AS avg_margin,
+         |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS agree_n,
+         |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         |    AS agree_bp
+         |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+    },
+    // q273: trigram contexts via 1-based list slices; both aggregation
+    // levels replay on the same 60-bit context/next hashes.
+    "q273_context_branching" -> {
+      s"""WITH t AS (SELECT source, str_split(text, ' ') AS toks FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 3),
+         |g AS (SELECT source,
+         |    array_to_string(toks[CAST(p AS INT):(CAST(p AS INT) + 1)], ' ') AS ctx,
+         |    toks[CAST(p AS INT) + 2] AS nxt
+         |  FROM t, UNNEST(range(1, CAST(len(toks) - 1 AS BIGINT))) AS u(p)),
+         |h AS (SELECT source, ${duckH60("ctx")} AS ctxh, ${duckH60("nxt")} AS nxth FROM g),
+         |pn AS (SELECT source, ctxh, nxth, COUNT(*) AS n FROM h GROUP BY 1, 2, 3),
+         |pc AS (SELECT source, ctxh, SUM(n) AS n_occ, COUNT(*) AS n_next, MAX(n) AS top_n
+         |  FROM pn GROUP BY 1, 2)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_contexts,
+         |  CAST(SUM(n_occ) AS BIGINT) AS n_trigrams,
+         |  CAST(SUM(CASE WHEN n_next = 1 AND n_occ >= $BranchMinOcc THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_deterministic,
+         |  CAST(SUM(CASE WHEN n_next = 1 AND n_occ >= $BranchMinOcc THEN 1 ELSE 0 END)
+         |    * 10000 // COUNT(*) AS BIGINT) AS det_share_bp,
+         |  CAST(SUM(top_n * 10000 // n_occ) // COUNT(*) AS BIGINT) AS avg_top_share_bp
+         |FROM pc GROUP BY source ORDER BY source""".stripMargin
     })
 
   /** Shared q266/q267 oracle: the lag-window context replays per user

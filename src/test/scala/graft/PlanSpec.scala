@@ -1384,4 +1384,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair generation must stay fingerprint-keyed:\n$p")
   }
+
+  test("q272: confidence decile range-shards via GlobalRank; both labelers are one map pass") {
+    val p = planOf("q272_score_calibration")
+    assert(p.contains("rangepartitioning"),
+      s"the margin rank must run through GlobalRank's range exchange:\n$p")
+    // The only window is GlobalRank's internal pid-sharded row_number —
+    // never a window over the raw margin frame.
+    assert("windowspecdefinition\\((?!__gr_pid)".r.findFirstIn(p).isEmpty,
+      s"any non-pid-partitioned window means an unsharded sort crept in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the only cross join is the broadcast 1-row count:\n$p")
+    // One scan computes all eight lane sums: the corpus is read once per
+    // GlobalRank consumer, never once per labeler.
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"the decile card must combine map-side:\n$p")
+  }
+
+  test("q273: branching factor is two keyed aggregate levels — no joins, no windows") {
+    val p = planOf("q273_context_branching")
+    assert(!p.contains("Join"), s"nothing to join — pure aggregation pipeline:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"trigram counts must combine map-side:\n$p")
+  }
 }

@@ -2834,6 +2834,61 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q272 calibration: two-labeler agreement by margin decile equals a sequential replica") {
+    import spark.implicits._
+    val classes = graft.analytics.PipelineQueries.ClsClasses
+    val texts = Seq("alpha beta gamma", "delta epsilon", "zeta eta theta iota",
+      "kappa", "lambda mu nu xi omicron", "pi rho sigma")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, "s0", t) }.toDF("doc_id", "source", "text")
+    def lanes(text: String, mod: Long, rot: Int): Seq[Long] =
+      classes.indices.map { i =>
+        val lane = (i + rot) % classes.size
+        text.split(" ").map { t =>
+          ((graft.functions.Md5Hash.h60(t.getBytes) >> (15 * lane)) & 32767L) % mod - 1000L
+        }.sum
+      }
+    // first-max semantics: lowest index among ties of the max (the
+    // engine's when-chain resolves ties to the lowest class index).
+    def firstMax(s: Seq[Long]): String = classes(s.indexOf(s.max))
+    val perDoc = texts.zipWithIndex.map { case (t, i) =>
+      val s = lanes(t, 2001L, 0)
+      val alt = lanes(t, 1999L, 2)
+      val sorted = s.sorted
+      (i.toLong, firstMax(s), firstMax(alt), sorted(3) - sorted(2))
+    }
+    val n = perDoc.size.toLong
+    val ranked = perDoc.sortBy(d => (d._4, d._1)).zipWithIndex
+      .map { case ((_, p, l, m), idx) => (math.min(9L, idx.toLong * 10 / n), p, l, m) }
+    val expected = ranked.groupBy(_._1).toSeq.sortBy(_._1).map { case (dec, xs) =>
+      val agree = xs.count(x => x._2 == x._3).toLong
+      (dec, xs.size.toLong, xs.map(_._4).sum / xs.size, agree,
+        agree * 10000L / xs.size)
+    }
+    val got = graft.analytics.PipelineQueries.scoreCalibrationOf(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
+  test("q273 context branching: deterministic and branching contexts count by hand") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "s0", "a b c a b c a b c"),   // "a b"->c x3 (deterministic), "b c"->a x2, "c a"->b x2
+      (1L, "s1", "x y p x y q x y p"),   // "x y"->{p:2,q:1}, four 1-shot contexts
+      (2L, "s2", "k l")                   // too short: no trigram
+    ).toDF("doc_id", "source", "text")
+    val got = graft.analytics.PipelineQueries.contextBranchingOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      ("s0", 3L, 7L, 1L, 3333L, 10000L),
+      ("s1", 5L, 7L, 0L, 0L, (6666L + 4 * 10000L) / 5L)), s"got $got")
+  }
+
   test("q264 score store: a vanished corpus partition drops its score partition on sync") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

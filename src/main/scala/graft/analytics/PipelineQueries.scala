@@ -8921,6 +8921,120 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Bradley–Terry fixed-point scale: per-term divisions carry 10⁸ so two
+    * MM rounds keep 4 significant digits in bp; shared with the oracle. */
+  private[graft] val BtScale = 100000000L
+
+  /** Bradley–Terry preference strength (q274) — the RLHF-side aggregate:
+    * given pairwise duels ("which of A/B won for this user?"), estimate a
+    * per-item strength s such that P(A beats B) = s_A/(s_A+s_B) — the
+    * model behind reward-model training data audits and arena-style
+    * leaderboards. Duels here are deterministic stand-ins (within each
+    * user, action A beats B when A's total spend exceeds B's; ties
+    * drop); two unrolled minorize-maximize rounds run in exact integer
+    * arithmetic — s'ₓ = winsₓ·C div Σ_y(n_xy·C div (sₓ+s_y)), mean
+    * renormalized to 10000 bp and clamped ≥1 each round — so both
+    * engines replay the identical fixed point (the q252 floor-div
+    * discipline; headroom note: wins·10⁸ fits BIGINT to ~9·10⁹ wins,
+    * past that lift to DECIMAL(38,0) like q145).
+    *
+    * Scale shape: the ONLY corpus-scale work is the (user, action)
+    * spend aggregate and the user-keyed duel self-join (≤|actions|² rows
+    * per user); everything after is |actions|- or |actions|²-sized, with
+    * the strength vector broadcast into each MM round. The duel matrix
+    * is persisted (3 consumers — totals + two rounds — must not re-scan
+    * the event log by lineage). */
+  def bradleyTerry(spark: SparkSession, dir: String): DataFrame =
+    bradleyTerryOf(Tables.events(spark, dir))
+
+  private[graft] def bradleyTerryOf(events: DataFrame): DataFrame = {
+    val ua = events
+      .select(col("user_id"), col("event_type").as("action"),
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"), col("action")).agg(sum(col("cents")).as("cents"))
+    val a = ua.select(col("user_id"), col("action").as("xa"), col("cents").as("ca"))
+    val b = ua.select(col("user_id"), col("action").as("xb"), col("cents").as("cb"))
+    val half = a.join(b, Seq("user_id"))
+      .filter(col("xa") < col("xb") && col("ca") =!= col("cb"))
+      .groupBy(col("xa"), col("xb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ca") > col("cb"), 1L).otherwise(0L)).as("w"))
+    val pairs = half.select(col("xa").as("x"), col("xb").as("y"), col("n"), col("w"))
+      .unionByName(half.select(col("xb").as("x"), col("xa").as("y"), col("n"),
+        (col("n") - col("w")).as("w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = pairs.groupBy(col("x"))
+      .agg(sum(col("w")).as("wins"), sum(col("n")).as("games"))
+    def mmRound(s: DataFrame): DataFrame = {
+      val denom = pairs
+        .join(broadcast(s.select(col("x"), col("s_bp").as("s_x"))), Seq("x"))
+        .join(broadcast(s.select(col("x").as("y"), col("s_bp").as("s_y"))), Seq("y"))
+        .groupBy(col("x"))
+        .agg(sum(expr(s"n * ${BtScale}L div (s_x + s_y)")).as("denom"))
+      val raw = totals.join(denom, Seq("x"))
+        .select(col("x"), expr(s"wins * ${BtScale}L div denom").as("raw"))
+      raw
+        .crossJoin(broadcast(raw.agg(sum(col("raw")).as("tot"), count(lit(1)).as("na"))))
+        .select(col("x"),
+          greatest(lit(1L), expr("raw * na * 10000L div tot")).as("s_bp"))
+    }
+    val s1 = mmRound(totals.select(col("x"), lit(10000L).as("s_bp")))
+    val s2 = mmRound(s1)
+    totals
+      .join(s1.withColumnRenamed("s_bp", "s1_bp"), Seq("x"))
+      .join(s2.withColumnRenamed("s_bp", "s2_bp"), Seq("x"))
+      .select(col("x").as("action"), col("games"), col("wins"),
+        col("s1_bp"), col("s2_bp"))
+      .orderBy(col("action"))
+  }
+
+  /** Length-bias audit via Spearman rank correlation (q275) — the
+    * fairness check every quality classifier owes its corpus: if the
+    * margin RANK tracks the document-length rank inside a source, the
+    * "quality" signal is substantially a length proxy and any
+    * margin-thresholded gate (q268) silently becomes a length filter.
+    * Emits per source the exact Spearman ρ (bp) between margin rank and
+    * n_chars rank — ρ = 1 − 6Σd²/(n(n²−1)), ties broken by doc_id in
+    * both orderings so the statistic is a deterministic integer.
+    *
+    * Scale shape: margins join n_chars doc-keyed; BOTH rankings run
+    * through the range-sharded [[graft.operators.GlobalRank]] over
+    * (source, metric, doc_id) with per-source offsets from ≤|sources|-row
+    * broadcast aggregates (per-stratum ranks, q268's discipline — never
+    * a source-partitioned window over a corpus-shaped frame); the rank
+    * pairing is a doc-keyed join and the card is a ≤|sources|-row
+    * aggregate. Σd² and n(n²−1) ride DECIMAL(38,0)/HUGEINT — exact to
+    * ~10¹² docs per source (the q252 headroom rule). */
+  def lengthBias(spark: SparkSession, dir: String): DataFrame =
+    lengthBiasOf(Tables.documents(spark, dir))
+
+  private[graft] def lengthBiasOf(docs: DataFrame): DataFrame = {
+    val scored = classifierDocScores(docs)
+      .select(col("doc_id"), col("source"), col("margin"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    def stratumRank(df: DataFrame, metric: String, out: String): DataFrame = {
+      val g = graft.operators.GlobalRank.rowNumber(
+        df, Seq(col("source").asc, col(metric).asc, col("doc_id").asc), "grk")
+      val off = g.groupBy(col("source")).agg(min(col("grk")).as("off"))
+      g.join(broadcast(off), Seq("source"))
+        .select(col("doc_id"), col("source"), (col("grk") - col("off") + 1L).as(out))
+    }
+    val rm = stratumRank(scored, "margin", "rank_m")
+    val rl = stratumRank(scored, "n_chars", "rank_l").drop("source")
+    rm.join(rl, Seq("doc_id"))
+      .select(col("source"), (col("rank_m") - col("rank_l")).as("d"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("sd2"))
+      .filter(col("n_docs") >= 2)
+      .select(col("source"), col("n_docs"),
+        col("sd2").cast("long").as("sum_d2"),
+        expr("""CAST(10000 - (CAST(60000 AS DECIMAL(38,0)) * sd2)
+          |  div (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs - n_docs)
+          |  AS BIGINT)""".stripMargin).as("rho_bp"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9145,7 +9259,9 @@ object PipelineQueries {
     "q270_segment_boilerplate" -> (segmentBoilerplate _),
     "q271_winnowing_pairs" -> (winnowingPairs _),
     "q272_score_calibration" -> (scoreCalibration _),
-    "q273_context_branching" -> (contextBranching _))
+    "q273_context_branching" -> (contextBranching _),
+    "q274_bradley_terry" -> (bradleyTerry _),
+    "q275_length_bias" -> (lengthBias _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -13441,6 +13557,63 @@ object PipelineQueries {
          |    * 10000 // COUNT(*) AS BIGINT) AS det_share_bp,
          |  CAST(SUM(top_n * 10000 // n_occ) // COUNT(*) AS BIGINT) AS avg_top_share_bp
          |FROM pc GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q274: the two MM rounds replay the identical div-inside-sum
+    // algebra; round 1's uniform s0=10000 makes every denominator term
+    // n·C//20000 on both engines.
+    "q274_bradley_terry" -> {
+      s"""WITH ua AS (SELECT user_id, event_type AS action,
+         |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents FROM events GROUP BY 1, 2),
+         |du AS (SELECT a.action AS xa, b.action AS xb, a.cents AS ca, b.cents AS cb
+         |  FROM ua a JOIN ua b ON a.user_id = b.user_id AND a.action < b.action
+         |  WHERE a.cents <> b.cents),
+         |hf AS (SELECT xa, xb, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN ca > cb THEN 1 ELSE 0 END) AS BIGINT) AS w
+         |  FROM du GROUP BY 1, 2),
+         |pr AS (SELECT xa AS x, xb AS y, n, w FROM hf
+         |  UNION ALL SELECT xb, xa, n, n - w FROM hf),
+         |tt AS (SELECT x, SUM(w) AS wins, SUM(n) AS games FROM pr GROUP BY 1),
+         |d1 AS (SELECT x, SUM(n * $BtScale // 20000) AS denom FROM pr GROUP BY 1),
+         |r1 AS (SELECT tt.x, wins * $BtScale // denom AS raw FROM tt JOIN d1 USING (x)),
+         |n1 AS (SELECT x, GREATEST(1, raw * (SELECT COUNT(*) FROM r1) * 10000
+         |    // (SELECT SUM(raw) FROM r1)) AS s FROM r1),
+         |d2 AS (SELECT pr.x, SUM(n * $BtScale // (sx.s + sy.s)) AS denom
+         |  FROM pr JOIN n1 sx ON pr.x = sx.x JOIN n1 sy ON pr.y = sy.x GROUP BY 1),
+         |r2 AS (SELECT tt.x, wins * $BtScale // denom AS raw FROM tt JOIN d2 USING (x)),
+         |n2 AS (SELECT x, GREATEST(1, raw * (SELECT COUNT(*) FROM r2) * 10000
+         |    // (SELECT SUM(raw) FROM r2)) AS s FROM r2)
+         |SELECT tt.x AS action, CAST(games AS BIGINT) AS games,
+         |  CAST(wins AS BIGINT) AS wins,
+         |  CAST(n1.s AS BIGINT) AS s1_bp, CAST(n2.s AS BIGINT) AS s2_bp
+         |FROM tt JOIN n1 ON tt.x = n1.x JOIN n2 ON tt.x = n2.x
+         |ORDER BY action""".stripMargin
+    },
+    // q275: per-source row_number windows replay the two GlobalRank +
+    // offset rankings (ties broken by doc_id in both orders); Σd² and
+    // n(n²−1) ride HUGEINT to mirror Spark's DECIMAL(38,0).
+    "q275_length_bias" -> {
+      s"""WITH u AS (SELECT doc_id, source, UNNEST(str_split(text, ' ')) AS tok FROM documents),
+         |w AS (SELECT doc_id, source, ${duckH60("tok")} AS h FROM u),
+         |s AS (SELECT doc_id, source,
+         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
+         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
+         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
+         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
+         |  FROM w GROUP BY 1, 2),
+         |m AS (SELECT s.doc_id, s.source,
+         |    list_sort([s0, s1, s2, s3])[4] - list_sort([s0, s1, s2, s3])[3] AS margin,
+         |    d.n_chars
+         |  FROM s JOIN documents d ON s.doc_id = d.doc_id),
+         |r AS (SELECT source,
+         |    row_number() OVER (PARTITION BY source ORDER BY margin, doc_id) AS rm,
+         |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rl
+         |  FROM m),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(rm - rl AS HUGEINT) * (rm - rl)) AS sd2 FROM r GROUP BY 1)
+         |SELECT source, n AS n_docs, CAST(sd2 AS BIGINT) AS sum_d2,
+         |  CAST(10000 - (60000 * sd2) // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
+         |    AS rho_bp
+         |FROM g WHERE n >= 2 ORDER BY source""".stripMargin
     })
 
   /** Shared q266/q267 oracle: the lag-window context replays per user

@@ -1408,4 +1408,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"trigram counts must combine map-side:\n$p")
   }
+
+  test("q274: the duel matrix is persisted and the MM rounds broadcast the strength vector") {
+    val p = planOf("q274_bradley_terry")
+    assert(p.contains("InMemoryTableScan"),
+      s"three consumers must read the persisted duel matrix, not re-scan events:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the only cross joins are broadcast 1-row normalizers:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-round strength vector must broadcast into the pair frame:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no windows anywhere:\n$p")
+  }
+
+  test("q275: both rankings range-shard via GlobalRank; no source-partitioned corpus window") {
+    val p = planOf("q275_length_bias")
+    assert(p.contains("rangepartitioning"),
+      s"stratum ranks must run through GlobalRank's range exchange:\n$p")
+    assert("windowspecdefinition\\((?!__gr_pid)".r.findFirstIn(p).isEmpty,
+      s"any non-pid-partitioned window means an unsharded stratum sort crept in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"rank pairing is a doc-keyed equi-join:\n$p")
+  }
 }

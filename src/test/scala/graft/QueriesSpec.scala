@@ -2889,6 +2889,83 @@ class QueriesSpec extends AnyFunSuite {
       ("s1", 5L, 7L, 0L, 0L, (6666L + 4 * 10000L) / 5L)), s"got $got")
   }
 
+  test("q274 Bradley-Terry: two MM rounds equal a sequential fixed-point replica") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // u1: A>B, A>C, B>C ; u2: A>B, C>A, C>B ; u3: B>A (and only A/B play)
+    val data = Seq(
+      (1L, 1L, "A", 5.00), (2L, 1L, "B", 3.00), (3L, 1L, "C", 1.00),
+      (4L, 2L, "A", 2.00), (5L, 2L, "B", 1.00), (6L, 2L, "C", 4.00),
+      (7L, 3L, "A", 1.00), (8L, 3L, "B", 2.00))
+    val events = data.map { case (e, u, a, v) => (e, ts0, u, a, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val C = graft.analytics.PipelineQueries.BtScale
+    // duels per unordered pair (x<y): (n, wins of x)
+    val cents = data.groupBy(d => (d._2, d._3)).map { case (k, xs) =>
+      k -> xs.map(r => math.floor(r._4 * 100).toLong).sum
+    }
+    val users = data.map(_._2).distinct
+    val acts = data.map(_._3).distinct.sorted
+    val half = (for {
+      u <- users; i <- acts.indices; j <- (i + 1) until acts.size
+      ca <- cents.get((u, acts(i))); cb <- cents.get((u, acts(j))) if ca != cb
+    } yield ((acts(i), acts(j)), if (ca > cb) 1L else 0L))
+      .groupBy(_._1).map { case (k, xs) => (k._1, k._2, xs.size.toLong, xs.map(_._2).sum) }
+    val pairs = half.flatMap { case (x, y, n, w) => Seq((x, y, n, w), (y, x, n, n - w)) }.toSeq
+    val wins = pairs.groupBy(_._1).map { case (x, xs) => x -> xs.map(_._4).sum }
+    val games = pairs.groupBy(_._1).map { case (x, xs) => x -> xs.map(_._3).sum }
+    def round(s: Map[String, Long]): Map[String, Long] = {
+      val denom = pairs.groupBy(_._1).map { case (x, xs) =>
+        x -> xs.map { case (_, y, n, _) => n * C / (s(x) + s(y)) }.sum
+      }
+      val raw = denom.map { case (x, d) => x -> wins(x) * C / d }
+      val tot = raw.values.sum
+      raw.map { case (x, r) => x -> math.max(1L, r * raw.size * 10000L / tot) }
+    }
+    val s1 = round(acts.map(_ -> 10000L).toMap)
+    val s2 = round(s1)
+    val expected = acts.map(x => (x, games(x), wins(x), s1(x), s2(x)))
+    val got = graft.analytics.PipelineQueries.bradleyTerryOf(events)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+    // sanity on the planted pattern: strength must move away from uniform
+    assert(s2.values.toSet.size > 1, "planted duels must separate the actions")
+  }
+
+  test("q275 length bias: per-source Spearman rho equals a sequential ranked replica") {
+    import spark.implicits._
+    val texts = Seq(
+      (0L, "s0", "alpha beta gamma delta", 40L), (1L, "s0", "epsilon zeta", 12L),
+      (2L, "s0", "eta theta iota", 77L), (3L, "s0", "kappa", 5L),
+      (4L, "s1", "lambda mu", 20L), (5L, "s1", "nu xi omicron pi", 31L),
+      (6L, "s1", "rho sigma tau", 8L))
+    val docs = texts.toDF("doc_id", "source", "text", "n_chars")
+    def margin(text: String): Long = {
+      val s = (0 until 4).map { i =>
+        text.split(" ").map { t =>
+          ((graft.functions.Md5Hash.h60(t.getBytes) >> (15 * i)) & 32767L) % 2001L - 1000L
+        }.sum
+      }.sorted
+      s(3) - s(2)
+    }
+    val expected = texts.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val rm = ds.sortBy(d => (margin(d._3), d._1)).zipWithIndex
+        .map { case (d, i) => d._1 -> (i + 1L) }.toMap
+      val rl = ds.sortBy(d => (d._4, d._1)).zipWithIndex
+        .map { case (d, i) => d._1 -> (i + 1L) }.toMap
+      val sd2 = ds.map(d => { val x = rm(d._1) - rl(d._1); x * x }).sum
+      val n = ds.size.toLong
+      (src, n, sd2, 10000L - 60000L * sd2 / (n * n * n - n))
+    }
+    val got = graft.analytics.PipelineQueries.lengthBiasOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   test("q264 score store: a vanished corpus partition drops its score partition on sync") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

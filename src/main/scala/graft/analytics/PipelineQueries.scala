@@ -9035,6 +9035,71 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** q276 params, shared with the oracle: projection width, plane seed,
+    * the probe-panel selector/size, and the sampled-corpus selector. */
+  private[graft] val JlDims = 8
+  private[graft] val JlSeed = 11L
+  private[graft] val JlPanelMod = 97L
+  private[graft] val JlPanelSize = 100
+  private[graft] val JlSampleMod = 50L
+
+  /** Johnson–Lindenstrauss projection distortion audit (q276) — the
+    * go/no-go check before ROUTING similarity work through a cheap
+    * projection: project 64-d embeddings to [[JlDims]] dims with a
+    * Gaussian plane matrix (the q34 hyperplane generator, keeping the
+    * dot VALUES instead of the sign bits) and measure how well projected
+    * pairwise distances track true ones — E‖PΔ‖² = k·‖Δ‖², so
+    * distortion_bp = ⌊‖Δy‖²·10⁴/(k·‖Δx‖²)⌋ concentrates at 10000 when
+    * the projection is usable and smears when k is too small. The card
+    * is a distortion histogram (1000-bp buckets) over sampled-corpus ×
+    * fixed-probe-panel pairs — the number that decides whether IVF/LSH
+    * recall work (q49/q34) can run in projected space at 1/8 the
+    * bandwidth.
+    *
+    * Scale shape: the probe panel is FIXED-size (deterministic
+    * mod-filter + orderBy + limit, broadcast), so pair volume is linear
+    * in the corpus sample — never a corpus×corpus product; projections
+    * are map-only DotProduct folds (same left-fold doubles as the q33
+    * cosine family, bit-replayable in DuckDB); the histogram is a
+    * ≤40-row aggregate. */
+  def jlDistortion(spark: SparkSession, dir: String): DataFrame =
+    jlDistortionOf(Tables.embeddings(spark, dir))
+
+  private[graft] def jlDistortionOf(embs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val planes = graft.similarity.Ann.hyperplanes(1, JlDims, 64, JlSeed)(0)
+    def withProj(df: DataFrame): DataFrame = df.select(
+      col("vec_id"), col("embedding"),
+      array(planes.map(p => dot_product(col("embedding"),
+        typedLit(p.toSeq))): _*).as("y"),
+      dot_product(col("embedding"), col("embedding")).as("nn"))
+    val base = embs.filter(col("embedding").isNotNull)
+    val sample = withProj(base.filter(col("vec_id") % JlSampleMod === 0))
+      .select(col("vec_id").as("a_id"), col("embedding").as("xa"),
+        col("y").as("ya"), col("nn").as("na"))
+    val panel = withProj(
+        base.filter(col("vec_id") % JlPanelMod === 1)
+          .orderBy(col("vec_id")).limit(JlPanelSize))
+      .select(col("vec_id").as("b_id"), col("embedding").as("xb"),
+        col("y").as("yb"), col("nn").as("nb"))
+    sample.join(broadcast(panel), col("a_id") =!= col("b_id"))
+      .select(
+        (col("na") + col("nb") - lit(2.0) * dot_product(col("xa"), col("xb")))
+          .as("dx2"),
+        expr(s"aggregate(sequence(1, $JlDims), 0D, (acc, j) -> " +
+          "acc + (element_at(ya, j) - element_at(yb, j)) * " +
+          "(element_at(ya, j) - element_at(yb, j)))").as("dy2"))
+      .filter(col("dx2") > 0.0)
+      .select(expr(s"CAST(FLOOR(dy2 * 10000.0D / (CAST($JlDims AS DOUBLE) * dx2)) AS BIGINT)")
+        .as("distortion_bp"))
+      .select(least(lit(39L), expr("distortion_bp div 1000")).as("bucket"),
+        col("distortion_bp"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("distortion_bp")).as("min_bp"), max(col("distortion_bp")).as("max_bp"))
+      .orderBy(col("bucket"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9261,7 +9326,8 @@ object PipelineQueries {
     "q272_score_calibration" -> (scoreCalibration _),
     "q273_context_branching" -> (contextBranching _),
     "q274_bradley_terry" -> (bradleyTerry _),
-    "q275_length_bias" -> (lengthBias _))
+    "q275_length_bias" -> (lengthBias _),
+    "q276_jl_distortion" -> (jlDistortion _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -13614,6 +13680,45 @@ object PipelineQueries {
          |  CAST(10000 - (60000 * sd2) // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
          |    AS rho_bp
          |FROM g WHERE n >= 2 ORDER BY source""".stripMargin
+    },
+    // q276: planes are literal DOUBLE[] generated from the same
+    // Ann.hyperplanes call the engine projects with (toString
+    // round-trips the exact double — the q34 plane-values pattern);
+    // every fold is the VectorOracles left fold, so distortions match
+    // bit-for-bit before the floor.
+    "q276_jl_distortion" -> {
+      val planes = graft.similarity.Ann.hyperplanes(1, JlDims, 64, JlSeed)(0)
+      val planeVals = planes.zipWithIndex.map { case (p, j) =>
+        s"($j, [${p.map(_.toString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n")
+      val fold = "list_reduce(list_transform(range(1, len(e.embedding) + 1), " +
+        "i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]), (acc, v) -> acc + v)"
+      val dab = "list_reduce(list_transform(range(1, len(a.xa) + 1), " +
+        "i -> CAST(a.xa[i] AS DOUBLE) * CAST(b.xb[i] AS DOUBLE)), (acc, v) -> acc + v)"
+      val nfold = "list_reduce(list_transform(range(1, len(e.embedding) + 1), " +
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (acc, v) -> acc + v)"
+      s"""WITH pl(b, p) AS (VALUES $planeVals),
+         |e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+         |pj AS (SELECT vec_id, list(d ORDER BY b) AS y FROM (
+         |    SELECT e.vec_id, pl.b, $fold AS d FROM e CROSS JOIN pl) GROUP BY vec_id),
+         |nn AS (SELECT vec_id, $nfold AS n2 FROM e),
+         |sa AS (SELECT e.vec_id AS a_id, e.embedding AS xa, pj.y AS ya, nn.n2 AS na
+         |  FROM e JOIN pj USING (vec_id) JOIN nn USING (vec_id)
+         |  WHERE vec_id % $JlSampleMod = 0),
+         |pn AS (SELECT e.vec_id AS b_id, e.embedding AS xb, pj.y AS yb, nn.n2 AS nb
+         |  FROM e JOIN pj USING (vec_id) JOIN nn USING (vec_id)
+         |  WHERE vec_id % $JlPanelMod = 1 ORDER BY e.vec_id LIMIT $JlPanelSize),
+         |d AS (SELECT a.na + b.nb - 2.0 * $dab AS dx2,
+         |    list_reduce(list_transform(range(1, ${JlDims + 1}),
+         |      j -> (a.ya[j] - b.yb[j]) * (a.ya[j] - b.yb[j])), (acc, v) -> acc + v) AS dy2
+         |  FROM sa a CROSS JOIN pn b WHERE a.a_id <> b.b_id),
+         |z AS (SELECT CAST(FLOOR(dy2 * 10000.0 / (CAST($JlDims AS DOUBLE) * dx2)) AS BIGINT)
+         |    AS distortion_bp FROM d WHERE dx2 > 0)
+         |SELECT LEAST(39, distortion_bp // 1000) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(MIN(distortion_bp) AS BIGINT) AS min_bp,
+         |  CAST(MAX(distortion_bp) AS BIGINT) AS max_bp
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     })
 
   /** Shared q266/q267 oracle: the lag-window context replays per user

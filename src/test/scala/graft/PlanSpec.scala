@@ -1429,4 +1429,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"rank pairing is a doc-keyed equi-join:\n$p")
   }
+
+  test("q276: the probe panel broadcasts (bounded BNLJ) — pair volume is linear in the sample") {
+    val p = planOf("q276_jl_distortion")
+    // The BNLJ is the DESIGNED shape here: the build side is the
+    // limit(JlPanelSize) panel, so each sample row scans a fixed-size
+    // broadcast — linear, not quadratic, in the corpus.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the fixed-size panel must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"an unbroadcast product would be corpus-quadratic:\n$p")
+    assert(p.contains("GlobalLimit") || p.contains("TakeOrderedAndProject"),
+      s"the panel must be limit-bounded before broadcasting:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
+  }
 }

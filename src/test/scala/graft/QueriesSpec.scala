@@ -2966,6 +2966,48 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q276 JL distortion: histogram equals a sequential left-fold replica") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // ids cover the sample selector (%50==0), the panel selector
+    // (%97==1), and bystanders that must not pair at all.
+    val ids = Seq(0L, 1L, 50L, 98L, 100L, 7L)
+    val vecs = ids.map(i => i -> Array.fill(64)(rnd.nextFloat() * 2f - 1f)).toMap
+    val embs = ids.map(i => (i, vecs(i), 0)).toDF("vec_id", "embedding", "label")
+    val k = graft.analytics.PipelineQueries.JlDims
+    val planes = graft.similarity.Ann.hyperplanes(
+      1, k, 64, graft.analytics.PipelineQueries.JlSeed)(0)
+    def dot(a: Array[Float], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }; acc
+    }
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }; acc
+    }
+    val sampleIds = ids.filter(_ % 50 == 0).sorted
+    val panelIds = ids.filter(_ % 97 == 1).sorted.take(100)
+    val dists = for {
+      a <- sampleIds; b <- panelIds if a != b
+      xa = vecs(a); xb = vecs(b)
+      dx2 = dotF(xa, xa) + dotF(xb, xb) - 2.0 * dotF(xa, xb) if dx2 > 0
+    } yield {
+      val ya = planes.map(p => dot(xa, p))
+      val yb = planes.map(p => dot(xb, p))
+      var dy2 = 0.0; var j = 0
+      while (j < k) { dy2 += (ya(j) - yb(j)) * (ya(j) - yb(j)); j += 1 }
+      math.floor(dy2 * 10000.0 / (k.toDouble * dx2)).toLong
+    }
+    val expected = dists.groupBy(d => math.min(39L, d / 1000L)).toSeq.sortBy(_._1)
+      .map { case (bkt, xs) => (bkt, xs.size.toLong, xs.min, xs.max) }
+    assert(expected.nonEmpty, "planted ids must produce at least one pair")
+    val got = graft.analytics.PipelineQueries.jlDistortionOf(embs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   test("q264 score store: a vanished corpus partition drops its score partition on sync") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -8697,13 +8697,14 @@ object PipelineQueries {
   def segmentBoilerplate(spark: SparkSession, dir: String): DataFrame =
     segmentBoilerplateOf(Tables.documents(spark, dir))
 
-  private[graft] def segmentBoilerplateOf(docs: DataFrame): DataFrame = {
+  /** The (doc_id, source, segh) segment explode shared by q270 and the
+    * q277 store partials. Docs shorter than one segment contribute zero
+    * segments (the oracle's range() emits nothing there; the filter keeps
+    * Spark's sequence() from seeing a negative upper bound). */
+  private[graft] def docSegments(docs: DataFrame): DataFrame = {
     import graft.functions.PortableHashFunctions.md5_token_hashes
     val k = BoilerSegTokens
-    // Docs shorter than one segment contribute zero segments (the oracle's
-    // range() emits nothing there; the filter keeps Spark's sequence() from
-    // seeing a negative upper bound).
-    val segs = docs
+    docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), col("source"), explode(expr(
@@ -8711,6 +8712,10 @@ object PipelineQueries {
           s"g -> array_join(slice(toks, g*$k + 1, $k), ' '))")).as("seg"))
       .select(col("doc_id"), col("source"),
         md5_token_hashes(array(col("seg")), 60).getItem(0).as("segh"))
+  }
+
+  private[graft] def segmentBoilerplateOf(docs: DataFrame): DataFrame = {
+    val segs = docSegments(docs)
     val freq = segs.groupBy(col("segh"))
       .agg(countDistinct(col("doc_id")).as("doc_freq"))
     segs.join(freq, Seq("segh"))
@@ -9100,6 +9105,69 @@ object PipelineQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Incremental boilerplate store (q277) — the q264 digest-sync
+    * discipline applied to the q270 SEGMENT FREQUENCIES, proving
+    * [[graft.operators.ScoreStore]] is a general incremental-
+    * materialization primitive, not a scores-only one: the sidecar holds
+    * per-partition PARTIAL aggregates (source, segh, n_inst, n_docs) —
+    * legal because documents never span partitions, so the global
+    * document frequency is the SUM of per-partition distinct counts —
+    * and an ingest batch re-aggregates only its own partition while the
+    * committed partials stand. The lifecycle replayed here: seed a
+    * 3-partition corpus, land an ingest batch as partition 3 (every
+    * batch doc opens with the same 5-token promo banner — fresh
+    * boilerplate by construction), re-sync (digest diff confines the
+    * segment scan to the new partition), and emit the q270 card for the
+    * UNION corpus from the ON-DISK partials. The oracle recomputes the
+    * card from first principles over documents ∪ batch, so a store that
+    * under- or over-merged partials breaks the hash.
+    *
+    * Scale shape: steady-state sync cost is O(changed partitions) — the
+    * q200/q256/q264 argument; the card read merges partials with one
+    * segh-keyed aggregate + equi-join (never re-scanning the corpus).
+    * The banner prefix is exactly [[BoilerSegTokens]] wide, so original
+    * chunk boundaries shift by one whole segment and stay comparable. */
+  def boilerStoreIncremental(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.memo(spark, s"q277|$dir") {
+      val work = java.nio.file.Files.createTempDirectory("graft_boiler_store").toString
+      val corpus = s"$work/corpus"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          pmod(col("doc_id"), lit(3L)).as("part_id"))
+      docs.write.partitionBy("part_id").parquet(corpus)
+      val partials = (slice: DataFrame) => docSegments(slice)
+        .groupBy(col("source"), col("segh"))
+        .agg(count(lit(1)).as("n_inst"), countDistinct(col("doc_id")).as("n_docs"))
+      graft.operators.ScoreStore.sync(spark, corpus, partials) // full seed
+      // Ingest batch lands as a NEW partition: re-texted sample with a
+      // constant one-segment banner prefix (derived from the source
+      // frame — the overwrite never reads its own target).
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          concat(lit("promo sale banner click here "), col("text")).as("text"))
+        .write.mode("overwrite").parquet(s"$corpus/part_id=3")
+      graft.operators.ScoreStore.sync(spark, corpus, partials) // diff: part 3 only
+      boilerCardFromPartials(graft.operators.ScoreStore.read(spark, corpus))
+    }
+
+  /** The q270 card from committed per-partition partials: global doc
+    * frequency = Σ partition-local distinct counts (docs never span
+    * partitions); instances rejoin on the segment key. */
+  private[graft] def boilerCardFromPartials(store: DataFrame): DataFrame = {
+    val freq = store.groupBy(col("segh")).agg(sum(col("n_docs")).as("doc_freq"))
+    store.join(freq, Seq("segh"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_inst")).as("n_segments"),
+        sum(when(col("doc_freq") >= BoilerMinDocs, col("n_inst")).otherwise(0L))
+          .as("n_boiler_instances"),
+        countDistinct(when(col("doc_freq") >= BoilerMinDocs, col("segh")))
+          .as("n_boiler_segments"))
+      .select(col("source"), col("n_segments"), col("n_boiler_instances"),
+        expr("n_boiler_instances * 10000L div n_segments").as("boiler_share_bp"),
+        col("n_boiler_segments"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9327,7 +9395,8 @@ object PipelineQueries {
     "q273_context_branching" -> (contextBranching _),
     "q274_bradley_terry" -> (bradleyTerry _),
     "q275_length_bias" -> (lengthBias _),
-    "q276_jl_distortion" -> (jlDistortion _))
+    "q276_jl_distortion" -> (jlDistortion _),
+    "q277_boiler_store" -> (boilerStoreIncremental _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -9341,6 +9410,29 @@ object PipelineQueries {
     (0 until p.k)
       .map(i => s"($i, ${p.as(i)}::BIGINT, ${p.bs(i)}::BIGINT)")
       .mkString(", ")
+  }
+
+  /** DuckDB SQL for the q270 boilerplate card over an arbitrary
+    * (doc_id, source, text) corpus expression — shared by q270 (the raw
+    * documents table) and q277 (documents ∪ the ingest batch). */
+  private def boilerCardSql(corpusSql: String): String = {
+    val k = BoilerSegTokens
+    s"""WITH corpus AS ($corpusSql),
+       |t AS (SELECT doc_id, source, str_split(text, ' ') AS toks FROM corpus),
+       |c AS (SELECT doc_id, source,
+       |    array_to_string(toks[(CAST(g AS INT)*$k + 1):(CAST(g AS INT)*$k + $k)], ' ') AS seg
+       |  FROM t, UNNEST(range(CAST(floor(len(toks) / $k) AS BIGINT))) AS u(g)),
+       |h AS (SELECT doc_id, source, ${duckH60("seg")} AS segh FROM c),
+       |f AS (SELECT segh, COUNT(DISTINCT doc_id) AS doc_freq FROM h GROUP BY 1),
+       |j AS (SELECT h.source, h.segh, f.doc_freq FROM h JOIN f USING (segh))
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |  CAST(SUM(CASE WHEN doc_freq >= $BoilerMinDocs THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_boiler_instances,
+       |  CAST(SUM(CASE WHEN doc_freq >= $BoilerMinDocs THEN 1 ELSE 0 END) * 10000
+       |    // COUNT(*) AS BIGINT) AS boiler_share_bp,
+       |  CAST(COUNT(DISTINCT CASE WHEN doc_freq >= $BoilerMinDocs THEN segh END) AS BIGINT)
+       |    AS n_boiler_segments
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** DuckDB SQL for the portable 60-bit simhash per document:
@@ -13514,24 +13606,16 @@ object PipelineQueries {
     // q270: range() emits no segment for docs under one segment width, so
     // no length filter is needed oracle-side; doc-frequency is DISTINCT
     // doc_id per 60-bit segment hash, exactly the engine's key.
-    "q270_segment_boilerplate" -> {
-      val k = BoilerSegTokens
-      s"""WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents),
-         |c AS (SELECT doc_id, source,
-         |    array_to_string(toks[(CAST(g AS INT)*$k + 1):(CAST(g AS INT)*$k + $k)], ' ') AS seg
-         |  FROM t, UNNEST(range(CAST(floor(len(toks) / $k) AS BIGINT))) AS u(g)),
-         |h AS (SELECT doc_id, source, ${duckH60("seg")} AS segh FROM c),
-         |f AS (SELECT segh, COUNT(DISTINCT doc_id) AS doc_freq FROM h GROUP BY 1),
-         |j AS (SELECT h.source, h.segh, f.doc_freq FROM h JOIN f USING (segh))
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segments,
-         |  CAST(SUM(CASE WHEN doc_freq >= $BoilerMinDocs THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_boiler_instances,
-         |  CAST(SUM(CASE WHEN doc_freq >= $BoilerMinDocs THEN 1 ELSE 0 END) * 10000
-         |    // COUNT(*) AS BIGINT) AS boiler_share_bp,
-         |  CAST(COUNT(DISTINCT CASE WHEN doc_freq >= $BoilerMinDocs THEN segh END) AS BIGINT)
-         |    AS n_boiler_segments
-         |FROM j GROUP BY source ORDER BY source""".stripMargin
-    },
+    "q270_segment_boilerplate" ->
+      boilerCardSql("SELECT doc_id, source, text FROM documents"),
+    // q277: the same card over documents ∪ the promo-banner ingest batch
+    // — computed from first principles, so mis-merged store partials
+    // (double-counted docs, stale partition) break the hash.
+    "q277_boiler_store" -> boilerCardSql(
+      """SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, source,
+        |    'promo sale banner click here ' || text FROM documents
+        |  WHERE doc_id % 7 = 0""".stripMargin),
     // q271: the window minimum replays per doc over 0-based gram
     // positions with the same ROWS frame; fingerprint selection keeps
     // window starts only (pos <= n_grams - w).

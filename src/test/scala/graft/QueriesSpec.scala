@@ -3008,6 +3008,54 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q277 boiler store: partial-merge card equals the direct q270 card; ingest sync touches only the new partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_q277_spec").toString
+    val corpus = s"$work/corpus"
+    val base = Seq(
+      (0L, "s0", "a b c d e x1 x2 x3 x4 x5"),
+      (1L, "s0", "a b c d e y1 y2 y3 y4 y5"),
+      (2L, "s1", "a b c d e z1 z2 z3 z4 z5"),
+      (3L, "s1", "q r s t u v w x y z"))
+    val docs = base.toDF("doc_id", "source", "text")
+      .withColumn("part_id", pmod(col("doc_id"), lit(3L)))
+    docs.write.partitionBy("part_id").parquet(corpus)
+    val partials = (slice: org.apache.spark.sql.DataFrame) =>
+      graft.analytics.PipelineQueries.docSegments(slice)
+        .groupBy(col("source"), col("segh"))
+        .agg(count(lit(1)).as("n_inst"), countDistinct(col("doc_id")).as("n_docs"))
+    graft.operators.ScoreStore.sync(spark, corpus, partials)
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes(): Map[String, Long] = (0 to 2).flatMap { p =>
+      val d = new org.apache.hadoop.fs.Path(s"$corpus/_scores/part_id=$p")
+      fs.listStatus(d).map(s => s.getPath.toString -> s.getModificationTime)
+    }.toMap
+    val before = mtimes()
+    // Ingest batch: a new partition whose docs share a banner segment
+    // with each other AND the seed's recurring segment.
+    val batch = Seq(
+      (100L, "s0", "a b c d e b1 b2 b3 b4 b5"),
+      (101L, "s1", "a b c d e b1 b2 b3 b4 b5"))
+    batch.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$corpus/part_id=3")
+    graft.operators.ScoreStore.sync(spark, corpus, partials)
+    assert(mtimes() == before,
+      "committed seed partials must be byte-stable across the ingest sync")
+    val got = graft.analytics.PipelineQueries
+      .boilerCardFromPartials(graft.operators.ScoreStore.read(spark, corpus))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val direct = graft.analytics.PipelineQueries
+      .segmentBoilerplateOf((base ++ batch).toDF("doc_id", "source", "text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == direct, s"store card $got must equal direct card $direct")
+    // the recurring "a b c d e" must actually be flagged (4 seed+batch docs)
+    assert(got.exists(_._3 > 0), "planted boilerplate must surface in the card")
+  }
+
   test("q264 score store: a vanished corpus partition drops its score partition on sync") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -9168,6 +9168,87 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** q278 params, shared with the oracle: the overlap the splitter
+    * leaves (and the candidate join keys on), the max overlap probed,
+    * the minimum doc length to participate, and the split selector. */
+  private[graft] val ReasmOverlap = 5
+  private[graft] val ReasmMaxOverlap = 10
+  private[graft] val ReasmMinTokens = 10
+  private[graft] val ReasmSplitMod = 11L
+
+  /** Scraper-chunk reassembly (q278) — the inverse of the crawler
+    * failure every web corpus carries: long pages arrive SPLIT into
+    * chunks (pagination, extraction windows, retry overlap), usually
+    * with a few repeated tokens at the seam. Training on the pieces
+    * loses long-range structure and double-counts the seam; the
+    * reassembly pass finds (tail of A == head of B) seams and emits the
+    * verified continuation pairs with their exact overlap. The query
+    * first REPLAYS the damage deterministically (docs with
+    * doc_id % [[ReasmSplitMod]] = 0 and ≥ 2·[[ReasmMinTokens]] tokens
+    * split at the midpoint with a [[ReasmOverlap]]-token seam), then
+    * runs reassembly over the damaged corpus: candidates join on the
+    * h60 of the [[ReasmOverlap]]-token tail/head (8-byte keys, the q146
+    * discipline), the seam is verified by direct token-slice equality,
+    * and the true overlap is probed up to [[ReasmMaxOverlap]] tokens.
+    *
+    * Scale shape: one map-only pass computes each doc's head/tail
+    * signature arrays; the candidate join is hash-keyed on the seam
+    * signature (never all-pairs — seam hashes are near-unique, and a
+    * pathological repeated seam is exactly the boilerplate q270 already
+    * flags); verification is a bounded per-pair expression. */
+  def chunkReassembly(spark: SparkSession, dir: String): DataFrame =
+    chunkReassemblyOf(Tables.documents(spark, dir))
+
+  private[graft] def chunkReassemblyOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val ov = ReasmOverlap
+    val mx = ReasmMaxOverlap
+    val base = docs.select(col("doc_id"), col("source"),
+      split(col("text"), " ").as("toks"))
+    // Replay the splitter: midpoint cut with an ov-token seam.
+    val victims = base.filter(
+      col("doc_id") % ReasmSplitMod === 0 && size(col("toks")) >= 2 * ReasmMinTokens)
+    val chunk1 = victims.select(
+      (col("doc_id") * 2 + 2000000L).as("doc_id"), col("source"),
+      expr(s"slice(toks, 1, size(toks) div 2 + $ov)").as("toks"))
+    val chunk2 = victims.select(
+      (col("doc_id") * 2 + 2000001L).as("doc_id"), col("source"),
+      expr("slice(toks, size(toks) div 2 + 1, size(toks) - size(toks) div 2)").as("toks"))
+    val corpus = base
+      .filter(!(col("doc_id") % ReasmSplitMod === 0 && size(col("toks")) >= 2 * ReasmMinTokens))
+      .unionByName(chunk1).unionByName(chunk2)
+      .filter(size(col("toks")) >= ReasmMinTokens)
+    val sigs = corpus.select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+      expr(s"slice(toks, size(toks) - ${mx - 1}, $mx)").as("tt"),
+      expr(s"slice(toks, 1, $mx)").as("hh"))
+    val tails = sigs.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("tt"),
+      md5_token_hashes(
+        array(expr(s"array_join(slice(tt, ${mx - ov + 1}, $ov), ' ')")), 60)
+        .getItem(0).as("seam_h"))
+    // An overlap of l ∈ [ov, mx] puts A's ov-token tail at position
+    // l−ov+1 of B's head window, so every head position p ∈ [1, mx−ov+1]
+    // emits a join key; the candidate's implied overlap is l = p+ov−1.
+    val heads = sigs
+      .select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("hh"),
+        explode(expr(s"sequence(1, ${mx - ov + 1})")).as("p"))
+      .select(col("doc_b"), col("n_b"), col("hh"),
+        (col("p") + lit(ov - 1)).cast("long").as("l"),
+        md5_token_hashes(
+          array(expr(s"array_join(slice(hh, p, $ov), ' ')")), 60)
+          .getItem(0).as("seam_h"))
+    tails.join(heads, Seq("seam_h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      // hash candidates verify the FULL implied overlap by direct slice
+      // equality; periodic seams can verify at several l — keep the max
+      .filter(expr(s"slice(tt, $mx + 1 - l, CAST(l AS INT)) = slice(hh, 1, CAST(l AS INT))"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("l")).as("overlap_len"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("overlap_len"),
+        (col("n_a") + col("n_b") - col("overlap_len")).as("merged_tokens"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9396,7 +9477,8 @@ object PipelineQueries {
     "q274_bradley_terry" -> (bradleyTerry _),
     "q275_length_bias" -> (lengthBias _),
     "q276_jl_distortion" -> (jlDistortion _),
-    "q277_boiler_store" -> (boilerStoreIncremental _))
+    "q277_boiler_store" -> (boilerStoreIncremental _),
+    "q278_chunk_reassembly" -> (chunkReassembly _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -13803,6 +13885,43 @@ object PipelineQueries {
          |  CAST(MIN(distortion_bp) AS BIGINT) AS min_bp,
          |  CAST(MAX(distortion_bp) AS BIGINT) AS max_bp
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // q278: the splitter replay and the seam probe use the same token
+    // slices; candidates join on the seam h60 and verify by direct list
+    // equality, so a hash-only false pair can never survive.
+    "q278_chunk_reassembly" -> {
+      val ov = ReasmOverlap
+      val mx = ReasmMaxOverlap
+      val seamT = duckH60(s"array_to_string(tt[${mx - ov + 1}:$mx], ' ')")
+      val seamH = duckH60(
+        s"array_to_string(hh[CAST(p AS INT):(CAST(p AS INT) + ${ov - 1})], ' ')")
+      s"""WITH b AS (SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents),
+         |v AS (SELECT * FROM b
+         |  WHERE doc_id % $ReasmSplitMod = 0 AND len(toks) >= ${2 * ReasmMinTokens}),
+         |c1 AS (SELECT doc_id * 2 + 2000000 AS doc_id, source,
+         |    toks[1:(len(toks) // 2 + $ov)] AS toks FROM v),
+         |c2 AS (SELECT doc_id * 2 + 2000001 AS doc_id, source,
+         |    toks[(len(toks) // 2 + 1):len(toks)] AS toks FROM v),
+         |cp AS (SELECT * FROM (
+         |    SELECT doc_id, source, toks FROM b
+         |    WHERE NOT (doc_id % $ReasmSplitMod = 0 AND len(toks) >= ${2 * ReasmMinTokens})
+         |    UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+         |  WHERE len(toks) >= $ReasmMinTokens),
+         |sg AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+         |    toks[(len(toks) - ${mx - 1}):len(toks)] AS tt, toks[1:$mx] AS hh FROM cp),
+         |ta AS (SELECT doc_id AS doc_a, n AS n_a, tt, $seamT AS seam_h FROM sg),
+         |hd AS (SELECT doc_id AS doc_b, n AS n_b, hh,
+         |    CAST(p AS BIGINT) + ${ov - 1} AS l, $seamH AS seam_h
+         |  FROM sg, UNNEST(range(1, ${mx - ov + 2})) AS u(p)),
+         |pr AS (SELECT doc_a, doc_b, l, n_a, n_b
+         |  FROM ta JOIN hd USING (seam_h)
+         |  WHERE doc_a <> doc_b
+         |    AND tt[CAST($mx + 1 - l AS INT):$mx] = hh[1:CAST(l AS INT)]),
+         |ol AS (SELECT doc_a, doc_b, MAX(l) AS overlap_len,
+         |    MAX(n_a) AS n_a, MAX(n_b) AS n_b FROM pr GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(overlap_len AS BIGINT) AS overlap_len,
+         |  CAST(n_a + n_b - overlap_len AS BIGINT) AS merged_tokens
+         |FROM ol ORDER BY doc_a, doc_b""".stripMargin
     })
 
   /** Shared q266/q267 oracle: the lag-window context replays per user

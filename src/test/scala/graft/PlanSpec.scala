@@ -1443,4 +1443,14 @@ class PlanSpec extends AnyFunSuite {
       s"the panel must be limit-bounded before broadcasting:\n$p")
     assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
   }
+
+  test("q278: seam candidates join hash-keyed; pair dedup combines map-side; never all-pairs") {
+    val p = planOf("q278_chunk_reassembly")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"seam detection must stay signature-keyed:\n$p")
+    assert(p.contains("seam_h"), s"the candidate join must key on the seam hash:\n$p")
+    assert(p.contains("partial_max"),
+      s"the per-pair overlap max must combine map-side:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
+  }
 }

@@ -3056,6 +3056,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "planted boilerplate must surface in the card")
   }
 
+  test("q278 chunk reassembly: finds 5- and 7-token seams and replays the splitter") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    val o7 = toks("o", 7); val s5 = toks("s", 5)
+    val docs = Seq(
+      // true 7-token overlap (a shifted seam the fixed-width key misses)
+      (1L, "s0", (toks("a", 10) ++ o7).mkString(" ")),
+      (2L, "s0", (o7 ++ toks("b", 10)).mkString(" ")),
+      // true 5-token overlap
+      (4L, "s1", (toks("c", 10) ++ s5).mkString(" ")),
+      (5L, "s1", (s5 ++ toks("d", 10)).mkString(" ")),
+      // bystander
+      (6L, "s1", toks("e", 12).mkString(" ")),
+      // splitter-replay victim: doc_id % 11 == 0, 20 tokens
+      (0L, "s2", toks("t", 20).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = graft.analytics.PipelineQueries.chunkReassemblyOf(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, 7L, 27L),
+      (4L, 5L, 5L, 25L),
+      // 15-token chunk1 + 10-token chunk2 − 5 seam = the original 20
+      (2000000L, 2000001L, 5L, 20L)), s"got $got")
+  }
+
   test("q264 score store: a vanished corpus partition drops its score partition on sync") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

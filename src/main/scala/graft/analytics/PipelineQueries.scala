@@ -9249,6 +9249,74 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q279 params, shared with the oracle: a span STARTS at token i when
+    * h31(doc_id:i) ≡ 0 mod [[SpanEvery]] (≈1/17 of positions) and runs
+    * 1 + (h31 >> 5) mod [[SpanMaxLen]] tokens — ≈12% masked before
+    * overlap merging, the T5 operating point. */
+  private[graft] val SpanEvery = 17L
+  private[graft] val SpanMaxLen = 3L
+
+  /** Span-corruption example assembly (q279) — the T5/UL2 pretraining
+    * objective's DATA side: every document gets deterministic mask
+    * spans (PRNG replaced by the portable h31 of doc_id:position, so
+    * re-runs and engines agree bit-for-bit), overlapping spans merge,
+    * and the card reports per source what the objective will see —
+    * masked-token share, merged span count, mean span length, and the
+    * sentinel budget (max merged spans in any one doc, which bounds the
+    * sentinel vocabulary the tokenizer must reserve).
+    *
+    * Scale shape: span starts and lengths are map-only hash
+    * expressions; spans explode to covered positions and dedup with a
+    * doc-keyed two-phase aggregate (overlap merging NEEDS no interval
+    * logic at the count level — distinct covered positions IS the
+    * merged mass); merged-span counting is the gaps-and-islands lag
+    * over per-doc frames (the q169/q253 discipline — windows partition
+    * by doc, never corpus-wide); the card is a ≤|sources|-row rollup. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame =
+    spanCorruptionOf(Tables.documents(spark, dir))
+
+  private[graft] def spanCorruptionOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val starts = base
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        explode(expr("sequence(1, CAST(n_tok AS INT))")).as("i"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("i"),
+        md5_token_hashes(
+          array(concat(col("doc_id").cast("string"), lit(":"), col("i").cast("string"))),
+          bits = 31).getItem(0).as("h"))
+      .filter(col("h") % SpanEvery === 0)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("i"),
+        (lit(1L) + expr(s"shiftright(h, 5) % $SpanMaxLen")).as("len"))
+    val covered = starts
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        explode(expr("sequence(CAST(i AS BIGINT), " +
+          "least(CAST(n_tok AS BIGINT), i + len - 1))")).as("pos"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val perDoc = covered
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(col("n_tok")).as("n_tok"), count(lit(1)).as("n_masked"),
+        sum(when(col("prev").isNull || col("pos") - col("prev") > 1, 1L)
+          .otherwise(0L)).as("n_spans"))
+    val srcTot = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val spanTot = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_masked_docs"), sum(col("n_masked")).as("n_masked"),
+        sum(col("n_spans")).as("n_spans"), max(col("n_spans")).as("sentinel_budget"))
+    srcTot.join(spanTot, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_masked_docs"),
+        col("n_masked"),
+        expr("n_masked * 10000L div n_tokens").as("masked_bp"),
+        col("n_spans"),
+        expr("n_masked * 100L div n_spans").as("avg_span_len_x100"),
+        col("sentinel_budget"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9478,7 +9546,8 @@ object PipelineQueries {
     "q275_length_bias" -> (lengthBias _),
     "q276_jl_distortion" -> (jlDistortion _),
     "q277_boiler_store" -> (boilerStoreIncremental _),
-    "q278_chunk_reassembly" -> (chunkReassembly _))
+    "q278_chunk_reassembly" -> (chunkReassembly _),
+    "q279_span_corruption" -> (spanCorruption _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -13922,6 +13991,38 @@ object PipelineQueries {
          |SELECT doc_a, doc_b, CAST(overlap_len AS BIGINT) AS overlap_len,
          |  CAST(n_a + n_b - overlap_len AS BIGINT) AS merged_tokens
          |FROM ol ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // q279: the same h31(doc:i) start schedule and span lengths; merged
+    // mass = DISTINCT covered positions, island count via per-doc lag.
+    "q279_span_corruption" -> {
+      // NB: the position variable must not be named `i` — duckH31's
+      // internal list_transform lambda binds `i` and would capture it.
+      val h = duckH31("CAST(doc_id AS VARCHAR) || ':' || CAST(ti AS VARCHAR)")
+      s"""WITH b AS (SELECT doc_id, source,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         |st AS (SELECT doc_id, source, n_tok, CAST(ti AS BIGINT) AS i, $h AS h
+         |  FROM b, UNNEST(range(1, CAST(n_tok + 1 AS BIGINT))) AS u(ti)),
+         |sp AS (SELECT doc_id, source, n_tok, i,
+         |    1 + ((h >> 5) % $SpanMaxLen) AS len FROM st WHERE h % $SpanEvery = 0),
+         |cv AS (SELECT DISTINCT doc_id, source, pos FROM sp,
+         |    UNNEST(range(i, LEAST(n_tok, i + len - 1) + 1)) AS g(pos)),
+         |pd AS (SELECT doc_id, source, COUNT(*) AS n_masked,
+         |    SUM(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END) AS n_spans
+         |  FROM (SELECT doc_id, source, pos,
+         |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM cv)
+         |  GROUP BY 1, 2),
+         |tt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    SUM(n_tok) AS n_tokens FROM b GROUP BY 1),
+         |ss AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_masked_docs,
+         |    SUM(n_masked) AS n_masked, SUM(n_spans) AS n_spans,
+         |    MAX(n_spans) AS sentinel_budget FROM pd GROUP BY 1)
+         |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  n_masked_docs, CAST(n_masked AS BIGINT) AS n_masked,
+         |  CAST(n_masked * 10000 // n_tokens AS BIGINT) AS masked_bp,
+         |  CAST(n_spans AS BIGINT) AS n_spans,
+         |  CAST(n_masked * 100 // n_spans AS BIGINT) AS avg_span_len_x100,
+         |  CAST(sentinel_budget AS BIGINT) AS sentinel_budget
+         |FROM tt JOIN ss USING (source) ORDER BY source""".stripMargin
     })
 
   /** Shared q266/q267 oracle: the lag-window context replays per user

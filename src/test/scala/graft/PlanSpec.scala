@@ -1453,4 +1453,16 @@ class PlanSpec extends AnyFunSuite {
       s"the per-pair overlap max must combine map-side:\n$p")
     assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
   }
+
+  test("q279: the island window partitions by doc; mask schedule is map-only hash work") {
+    val p = planOf("q279_span_corruption")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"island counting must partition by doc:\n$p")
+    assert(!"windowspecdefinition\\((?!doc_id)".r.findFirstIn(p).isDefined,
+      s"no window may run on anything but the doc key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the card join is source-keyed:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the rollup must combine map-side:\n$p")
+  }
 }

@@ -3083,6 +3083,52 @@ class QueriesSpec extends AnyFunSuite {
       (2000000L, 2000001L, 5L, 20L)), s"got $got")
   }
 
+  test("q279 span corruption: mask schedule and island count equal a sequential replica") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "s0", (1 to 80).map(i => s"w$i").mkString(" ")),
+      (1L, "s0", (1 to 40).map(i => s"v$i").mkString(" ")),
+      (2L, "s1", (1 to 60).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val every = graft.analytics.PipelineQueries.SpanEvery
+    val maxLen = graft.analytics.PipelineQueries.SpanMaxLen
+    def replica(docId: Long, n: Int): (Long, Long) = { // (masked, spans)
+      val covered = scala.collection.mutable.SortedSet.empty[Long]
+      for (i <- 1 to n) {
+        val h = graft.functions.Md5Hash.h31(s"$docId:$i".getBytes)
+        if (h % every == 0) {
+          val len = 1 + ((h >> 5) % maxLen)
+          (i.toLong to math.min(n.toLong, i + len - 1)).foreach(covered += _)
+        }
+      }
+      val spans = covered.toSeq.foldLeft((0L, -10L)) { case ((s, prev), p) =>
+        (if (p - prev > 1) s + 1 else s, p)
+      }._1
+      (covered.size.toLong, spans)
+    }
+    val lens = Map(0L -> 80, 1L -> 40, 2L -> 60)
+    val reps = lens.map { case (id, n) => id -> replica(id, n) }
+    assert(reps.values.exists(_._1 > 0), "planted docs must produce spans")
+    val bySrc = Map("s0" -> Seq(0L, 1L), "s1" -> Seq(2L))
+    val expected = bySrc.toSeq.sortBy(_._1).flatMap { case (src, ids) =>
+      val masked = ids.filter(reps(_)._1 > 0)
+      if (masked.isEmpty) None else Some {
+        val nTok = ids.map(lens(_).toLong).sum
+        val nMask = masked.map(reps(_)._1).sum
+        val nSpan = masked.map(reps(_)._2).sum
+        (src, ids.size.toLong, nTok, masked.size.toLong, nMask,
+          nMask * 10000L / nTok, nSpan, nMask * 100L / nSpan,
+          masked.map(reps(_)._2).max)
+      }
+    }
+    val got = graft.analytics.PipelineQueries.spanCorruptionOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   test("q264 score store: a vanished corpus partition drops its score partition on sync") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -8964,32 +8964,33 @@ object PipelineQueries {
       .groupBy(col("xa"), col("xb"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("ca") > col("cb"), 1L).otherwise(0L)).as("w"))
-    val pairs = half.select(col("xa").as("x"), col("xb").as("y"), col("n"), col("w"))
+    // The symmetric duel matrix is |actions|² ≤ result-sized² — the
+    // distributed reduction ends here; the MM solve is a driver-side
+    // loop over the collected matrix (the q255 learner-loop rule: a
+    // bounded, result-sized collect beats ~20 micro-jobs of |A|-row
+    // frame algebra — measured 7.9 s of pure scheduling at ANY sf).
+    val pairRows = half
+      .select(col("xa").as("x"), col("xb").as("y"), col("n"), col("w"))
       .unionByName(half.select(col("xb").as("x"), col("xa").as("y"), col("n"),
         (col("n") - col("w")).as("w")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = pairs.groupBy(col("x"))
-      .agg(sum(col("w")).as("wins"), sum(col("n")).as("games"))
-    def mmRound(s: DataFrame): DataFrame = {
-      val denom = pairs
-        .join(broadcast(s.select(col("x"), col("s_bp").as("s_x"))), Seq("x"))
-        .join(broadcast(s.select(col("x").as("y"), col("s_bp").as("s_y"))), Seq("y"))
-        .groupBy(col("x"))
-        .agg(sum(expr(s"n * ${BtScale}L div (s_x + s_y)")).as("denom"))
-      val raw = totals.join(denom, Seq("x"))
-        .select(col("x"), expr(s"wins * ${BtScale}L div denom").as("raw"))
-      raw
-        .crossJoin(broadcast(raw.agg(sum(col("raw")).as("tot"), count(lit(1)).as("na"))))
-        .select(col("x"),
-          greatest(lit(1L), expr("raw * na * 10000L div tot")).as("s_bp"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val acts = pairRows.map(_._1).distinct.sorted
+    val wins = pairRows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val games = pairRows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    def mmRound(s: Map[String, Long]): Map[String, Long] = {
+      val raw = pairRows.groupBy(_._1).map { case (x, xs) =>
+        x -> wins(x) * BtScale / xs.map { case (_, y, n, _) => n * BtScale / (s(x) + s(y)) }.sum
+      }
+      val tot = raw.values.sum
+      raw.map { case (x, r) => x -> math.max(1L, r * raw.size * 10000L / tot) }
     }
-    val s1 = mmRound(totals.select(col("x"), lit(10000L).as("s_bp")))
+    val s1 = mmRound(acts.map(_ -> 10000L).toMap)
     val s2 = mmRound(s1)
-    totals
-      .join(s1.withColumnRenamed("s_bp", "s1_bp"), Seq("x"))
-      .join(s2.withColumnRenamed("s_bp", "s2_bp"), Seq("x"))
-      .select(col("x").as("action"), col("games"), col("wins"),
-        col("s1_bp"), col("s2_bp"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    acts.map(x => (x, games(x), wins(x), s1(x), s2(x))).toSeq
+      .toDF("action", "games", "wins", "s1_bp", "s2_bp")
       .orderBy(col("action"))
   }
 

@@ -1409,15 +1409,14 @@ class PlanSpec extends AnyFunSuite {
       s"trigram counts must combine map-side:\n$p")
   }
 
-  test("q274: the duel matrix is persisted and the MM rounds broadcast the strength vector") {
+  test("q274: the result frame is literal — all corpus work ended at the bounded duel-matrix collect") {
     val p = planOf("q274_bradley_terry")
-    assert(p.contains("InMemoryTableScan"),
-      s"three consumers must read the persisted duel matrix, not re-scan events:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"the only cross joins are broadcast 1-row normalizers:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the per-round strength vector must broadcast into the pair frame:\n$p")
-    assert(!p.contains("windowspecdefinition"), s"no windows anywhere:\n$p")
+    // The distributed stage reduces events to the |actions|² duel matrix
+    // and collects it (bounded, result-sized — the q255 learner rule);
+    // the MM solve is driver-side, so the RETURNED frame must be a
+    // LocalTableScan with no residual corpus lineage.
+    assert(p.contains("LocalTableScan"), s"expected a literal result frame:\n$p")
+    assert(!p.contains("parquet"), s"no corpus lineage may survive the solve:\n$p")
   }
 
   test("q275: both rankings range-shard via GlobalRank; no source-partitioned corpus window") {

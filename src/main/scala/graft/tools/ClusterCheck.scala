@@ -91,7 +91,16 @@ object ClusterCheck {
     // driver-side digest diff must still confine the second sync), plus
     // the stratum-quantile order-statistic extraction (q268 — broadcast
     // decile targets probing executor-resident ranked blocks).
-    "q264_score_store", "q268_stratum_quantiles")
+    "q264_score_store", "q268_stratum_quantiles",
+    // Round-10 session additions: the incremental boilerplate store
+    // (q277 — partial aggregates computed in executor JVMs per corpus
+    // partition, merged from the committed sidecar: the store-partial
+    // soundness argument only holds if partition slices really are
+    // disjoint across processes), the positional seam join (q278 —
+    // head-window explode + 60-bit seam-hash shuffle across workers),
+    // and the JL panel broadcast (q276 — a limit-bounded build side
+    // crossing a real process boundary into the BNLJ).
+    "q276_jl_distortion", "q277_boiler_store", "q278_chunk_reassembly")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

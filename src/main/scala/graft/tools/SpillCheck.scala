@@ -76,7 +76,12 @@ object SpillCheck {
           // (q262 — token-array rows ride two range exchanges, two
           // pid-window sorts, and a rank⋈rank+1 sort-merge join; the
           // widest array-carrying sort path in the suite).
-          "q262_locality_layout").map { name =>
+          "q262_locality_layout",
+          // Round-10 session addition: the winnowing pipeline (q271 —
+          // gram explode + per-doc window minima + fingerprint distinct
+          // + df-capped pair self-join; the widest explode→window→join
+          // chain among the session's new text operators).
+          "q271_winnowing_pairs").map { name =>
           val df = graft.SparkEntry.queries(name)(spark, sfDir)
           val row = df
             .select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))

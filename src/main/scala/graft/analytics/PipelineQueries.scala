@@ -9318,6 +9318,58 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** q280: positional-stability threshold (bp of a template's instances
+    * that sit at its modal chunk index) — shared with the oracle. */
+  private[graft] val TemplatePosBp = 8000L
+
+  /** Template extraction by positional stability (q280) — the
+    * header/footer refinement of q270: a segment that recurs across
+    * documents AND at the SAME chunk index is structural chrome (page
+    * headers at g=0, footers at the end, injected banners at a fixed
+    * offset), strippable with positional confidence; a recurring
+    * segment that floats is quotation/copy, which dedup (not template
+    * stripping) should handle. Emits one row per template: the segment
+    * key, document frequency, instance count, modal chunk index, and
+    * the modal-position share (bp) that crossed [[TemplatePosBp]].
+    *
+    * Scale shape: the explode carries the chunk index alongside the
+    * q270 hash (same map-only pass); (segh, g) and segh aggregates are
+    * two stacked hash-keyed two-phase aggregates; the modal position is
+    * a max-of-struct (count, g) — map-combinable, no window; the
+    * template list is frequency-filtered (df ≥ [[BoilerMinDocs]])
+    * before the stability join, so output is boilerplate-sized. */
+  def templatePositions(spark: SparkSession, dir: String): DataFrame =
+    templatePositionsOf(Tables.documents(spark, dir))
+
+  private[graft] def templatePositionsOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val k = BoilerSegTokens
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(size(toks) div $k AS INT) - 1), " +
+          s"g -> array_join(slice(toks, g*$k + 1, $k), ' '))")).as(Seq("g", "seg")))
+      .select(col("doc_id"), col("g").cast("long").as("g"),
+        md5_token_hashes(array(col("seg")), 60).getItem(0).as("segh"))
+    val byPos = segs.groupBy(col("segh"), col("g"))
+      .agg(count(lit(1)).as("n_at"))
+    val bySeg = segs.groupBy(col("segh"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("n_inst"))
+      .filter(col("doc_freq") >= BoilerMinDocs)
+    // modal index: max over (count, -g) — ties resolve to the LOWEST g,
+    // replayed in SQL as a (n_at, -g) struct max.
+    bySeg.join(
+        byPos.groupBy(col("segh"))
+          .agg(max(struct(col("n_at"), (-col("g")).as("ng"))).as("m")),
+        Seq("segh"))
+      .select(col("segh"), col("doc_freq"), col("n_inst"),
+        (-col("m.ng")).as("modal_g"),
+        expr("m.n_at * 10000L div n_inst").as("pos_share_bp"))
+      .filter(col("pos_share_bp") >= TemplatePosBp)
+      .orderBy(col("doc_freq").desc, col("segh"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9548,7 +9600,8 @@ object PipelineQueries {
     "q276_jl_distortion" -> (jlDistortion _),
     "q277_boiler_store" -> (boilerStoreIncremental _),
     "q278_chunk_reassembly" -> (chunkReassembly _),
-    "q279_span_corruption" -> (spanCorruption _))
+    "q279_span_corruption" -> (spanCorruption _),
+    "q280_template_positions" -> (templatePositions _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -14024,6 +14077,29 @@ object PipelineQueries {
          |  CAST(n_masked * 100 // n_spans AS BIGINT) AS avg_span_len_x100,
          |  CAST(sentinel_budget AS BIGINT) AS sentinel_budget
          |FROM tt JOIN ss USING (source) ORDER BY source""".stripMargin
+    },
+    // q280: the same q270 chunking with the chunk index kept; the modal
+    // position replays the (n_at, -g) struct max via arg-ordering.
+    "q280_template_positions" -> {
+      val k = BoilerSegTokens
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id, CAST(g AS BIGINT) AS g,
+         |    array_to_string(toks[(CAST(g AS INT)*$k + 1):(CAST(g AS INT)*$k + $k)], ' ') AS seg
+         |  FROM t, UNNEST(range(CAST(floor(len(toks) / $k) AS BIGINT))) AS u(g)),
+         |h AS (SELECT doc_id, g, ${duckH60("seg")} AS segh FROM c),
+         |bp AS (SELECT segh, g, COUNT(*) AS n_at FROM h GROUP BY 1, 2),
+         |bs AS (SELECT segh, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS n_inst
+         |  FROM h GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= $BoilerMinDocs),
+         |md AS (SELECT segh, n_at, g FROM (
+         |    SELECT segh, n_at, g,
+         |      row_number() OVER (PARTITION BY segh ORDER BY n_at DESC, g) AS rn
+         |    FROM bp) WHERE rn = 1)
+         |SELECT bs.segh, CAST(doc_freq AS BIGINT) AS doc_freq,
+         |  CAST(n_inst AS BIGINT) AS n_inst, CAST(md.g AS BIGINT) AS modal_g,
+         |  CAST(md.n_at * 10000 // n_inst AS BIGINT) AS pos_share_bp
+         |FROM bs JOIN md USING (segh)
+         |WHERE md.n_at * 10000 // n_inst >= $TemplatePosBp
+         |ORDER BY doc_freq DESC, bs.segh""".stripMargin
     })
 
   /** Shared q266/q267 oracle: the lag-window context replays per user

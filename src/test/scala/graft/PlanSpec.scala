@@ -1464,4 +1464,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"the rollup must combine map-side:\n$p")
   }
+
+  test("q280: the modal position is a struct max, not a per-segment rank window") {
+    val p = planOf("q280_template_positions")
+    assert(!p.contains("windowspecdefinition"),
+      s"modal index must be a map-combinable (count, -g) max — no window:\n$p")
+    assert(p.contains("partial_max"),
+      s"the struct max must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"stability joins stay segment-keyed:\n$p")
+  }
 }

@@ -3129,6 +3129,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q280 template positions: stable header surfaces, floating repeat is rejected") {
+    import spark.implicits._
+    val h5 = "h1 h2 h3 h4 h5" // header at g=0 in all three docs
+    val f5 = "f1 f2 f3 f4 f5" // floats: g=1, g=2, g=1 -> 6666 bp < 8000
+    val docs = Seq(
+      (0L, "s0", s"$h5 $f5 a1 a2 a3 a4 a5"),
+      (1L, "s0", s"$h5 b1 b2 b3 b4 b5 $f5"),
+      (2L, "s1", s"$h5 $f5 c1 c2 c3 c4 c5"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.analytics.PipelineQueries.templatePositionsOf(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val hKey = graft.functions.Md5Hash.h60(h5.getBytes)
+    assert(got == Seq((hKey, 3L, 3L, 0L, 10000L)), s"got $got")
+  }
+
   test("q264 score store: a vanished corpus partition drops its score partition on sync") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -9370,6 +9370,98 @@ object PipelineQueries {
       .orderBy(col("doc_freq").desc, col("segh"))
   }
 
+  /** q281 labeler panel: (weight modulus, lane rotation) per labeler —
+    * labeler 0 is q261's scorer, 1 and 2 are decorrelated variants
+    * (the q272 construction widened to a panel); shared with the oracle. */
+  private[graft] val AggLabelers = Seq((2001L, 0), (1999L, 2), (1997L, 1))
+
+  /** Weighted label aggregation (q281) — the Dawid–Skene move every
+    * multi-annotator pipeline runs after q252's agreement check says
+    * "the labelers disagree": estimate each labeler's reliability from
+    * majority agreement, then RE-VOTE with reliability weights, so one
+    * good labeler outvotes two correlated noisy ones. One exact
+    * integer round: majority vote (2-of-3, ties → lowest class index),
+    * per-labeler accuracy vs majority (bp), then weighted argmax with
+    * those accuracies as weights. The card reports per labeler its
+    * accuracy against both rounds plus how many documents the
+    * re-weighting flipped — the number that says whether a second
+    * Dawid–Skene iteration is worth running.
+    *
+    * Scale shape: all three labels are ONE map pass over the shared
+    * h60 token hashes (twelve lane sums in one projection); the
+    * majority and weighted votes are per-row CASE chains; accuracies
+    * are a 3-row aggregate broadcast back into the re-vote; the card
+    * is a 3-row result. Nothing corpus-scaled shuffles except the one
+    * doc-level aggregate. */
+  def labelAggregation(spark: SparkSession, dir: String): DataFrame =
+    labelAggregationOf(Tables.documents(spark, dir))
+
+  private[graft] def labelAggregationOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val nC = ClsClasses.size
+    val labelCols = AggLabelers.zipWithIndex.flatMap { case ((mod, rot), li) =>
+      ClsClasses.indices.map { i =>
+        val lane = (i + rot) % nC
+        expr(s"aggregate(h, 0L, (acc, x) -> " +
+          s"acc + ((shiftright(x, ${15 * lane}) & 32767) % $mod) - 1000)").as(s"s${li}_$i")
+      }
+    }
+    def argmaxFirst(li: Int): org.apache.spark.sql.Column =
+      ClsClasses.indices.init.foldRight(lit(nC - 1)) { (i, rest) =>
+        val geRest = ClsClasses.indices.drop(i + 1)
+          .map(j => col(s"s${li}_$i") >= col(s"s${li}_$j")).reduce(_ && _)
+        when(geRest, lit(i)).otherwise(rest)
+      }
+    val labeled = docs
+      .select(col("doc_id"), md5_token_hashes(split(col("text"), " "), 60).as("h"))
+      .select(col("doc_id") +: labelCols: _*)
+      .select(col("doc_id"), argmaxFirst(0).as("l0"), argmaxFirst(1).as("l1"),
+        argmaxFirst(2).as("l2"))
+      // 2-of-3 majority; full disagreement → lowest class index among
+      // the three votes (deterministic, replayed in SQL).
+      .withColumn("maj",
+        when(col("l0") === col("l1") || col("l0") === col("l2"), col("l0"))
+          .when(col("l1") === col("l2"), col("l1"))
+          .otherwise(least(col("l0"), col("l1"), col("l2"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val acc = labeled.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("l0") === col("maj"), 1L).otherwise(0L)).as("a0"),
+      sum(when(col("l1") === col("maj"), 1L).otherwise(0L)).as("a1"),
+      sum(when(col("l2") === col("maj"), 1L).otherwise(0L)).as("a2"))
+      .select(col("n_docs"),
+        expr("a0 * 10000L div n_docs").as("w0"),
+        expr("a1 * 10000L div n_docs").as("w1"),
+        expr("a2 * 10000L div n_docs").as("w2"))
+    // Weighted re-vote: score(c) = Σ_l w_l·[vote_l = c]; argmax with
+    // ties to the lowest class index.
+    val revoted = labeled.crossJoin(broadcast(acc))
+      .withColumn("wl", expr(
+        ClsClasses.indices.map { c =>
+          s"(CASE WHEN l0 = $c THEN w0 ELSE 0L END + " +
+            s"CASE WHEN l1 = $c THEN w1 ELSE 0L END + " +
+            s"CASE WHEN l2 = $c THEN w2 ELSE 0L END)"
+        }.mkString("array(", ", ", ")")))
+      .withColumn("wvote", expr(
+        s"array_position(wl, array_max(wl)) - 1"))
+    val flips = revoted.agg(
+      sum(when(col("wvote") =!= col("maj"), 1L).otherwise(0L)).as("n_flipped"),
+      sum(when(col("l0") === col("wvote"), 1L).otherwise(0L)).as("b0"),
+      sum(when(col("l1") === col("wvote"), 1L).otherwise(0L)).as("b1"),
+      sum(when(col("l2") === col("wvote"), 1L).otherwise(0L)).as("b2"),
+      count(lit(1)).as("n_docs"))
+    flips.crossJoin(broadcast(acc.select(col("w0"), col("w1"), col("w2"))))
+      .select(explode(expr(
+        "array(struct(0L AS labeler, w0 AS acc_majority_bp, b0 AS n_agree_weighted), " +
+          "struct(1L AS labeler, w1 AS acc_majority_bp, b1 AS n_agree_weighted), " +
+          "struct(2L AS labeler, w2 AS acc_majority_bp, b2 AS n_agree_weighted))")).as("r"),
+        col("n_docs"), col("n_flipped"))
+      .select(col("r.labeler"), col("r.acc_majority_bp"),
+        expr("r.n_agree_weighted * 10000L div n_docs").as("acc_weighted_bp"),
+        col("n_docs"), col("n_flipped"))
+      .orderBy(col("labeler"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9601,7 +9693,8 @@ object PipelineQueries {
     "q277_boiler_store" -> (boilerStoreIncremental _),
     "q278_chunk_reassembly" -> (chunkReassembly _),
     "q279_span_corruption" -> (spanCorruption _),
-    "q280_template_positions" -> (templatePositions _))
+    "q280_template_positions" -> (templatePositions _),
+    "q281_label_aggregation" -> (labelAggregation _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -14100,6 +14193,58 @@ object PipelineQueries {
          |FROM bs JOIN md USING (segh)
          |WHERE md.n_at * 10000 // n_inst >= $TemplatePosBp
          |ORDER BY doc_freq DESC, bs.segh""".stripMargin
+    },
+    // q281: twelve lane sums replay the three-labeler panel; majority,
+    // accuracies, and the weighted argmax use the same tie rules
+    // (lowest class index) as the engine's CASE chains.
+    "q281_label_aggregation" -> {
+      val lanes = AggLabelers.zipWithIndex.flatMap { case ((mod, rot), li) =>
+        ClsClasses.indices.map { i =>
+          val lane = (i + rot) % ClsClasses.size
+          val sh = if (lane == 0) "h" else s"(h >> ${15 * lane})"
+          s"SUM((($sh & 32767) % $mod) - 1000) AS s${li}_$i"
+        }
+      }.mkString(",\n|    ")
+      def vote(li: Int): String =
+        s"""CASE WHEN s${li}_0 >= s${li}_1 AND s${li}_0 >= s${li}_2 AND s${li}_0 >= s${li}_3 THEN 0
+           |      WHEN s${li}_1 >= s${li}_2 AND s${li}_1 >= s${li}_3 THEN 1
+           |      WHEN s${li}_2 >= s${li}_3 THEN 2 ELSE 3 END""".stripMargin
+      val wScore = (0 until 4).map { c =>
+        s"(CASE WHEN l0 = $c THEN w0 ELSE 0 END + CASE WHEN l1 = $c THEN w1 ELSE 0 END" +
+          s" + CASE WHEN l2 = $c THEN w2 ELSE 0 END) AS c$c"
+      }.mkString(", ")
+      s"""WITH u AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok FROM documents),
+         |w AS (SELECT doc_id, ${duckH60("tok")} AS h FROM u),
+         |s AS (SELECT doc_id,
+         |    $lanes
+         |  FROM w GROUP BY 1),
+         |v AS (SELECT doc_id, ${vote(0)} AS l0, ${vote(1)} AS l1, ${vote(2)} AS l2 FROM s),
+         |m AS (SELECT doc_id, l0, l1, l2,
+         |    CASE WHEN l0 = l1 OR l0 = l2 THEN l0 WHEN l1 = l2 THEN l1
+         |         ELSE LEAST(l0, l1, l2) END AS maj FROM v),
+         |a AS (SELECT COUNT(*) AS n_docs,
+         |    SUM(CASE WHEN l0 = maj THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS w0,
+         |    SUM(CASE WHEN l1 = maj THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS w1,
+         |    SUM(CASE WHEN l2 = maj THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS w2
+         |  FROM m),
+         |r AS (SELECT m.*, $wScore FROM m CROSS JOIN a),
+         |g AS (SELECT *, CASE WHEN c0 >= c1 AND c0 >= c2 AND c0 >= c3 THEN 0
+         |      WHEN c1 >= c2 AND c1 >= c3 THEN 1 WHEN c2 >= c3 THEN 2 ELSE 3 END AS wvote
+         |  FROM r),
+         |f AS (SELECT COUNT(*) AS n_docs,
+         |    SUM(CASE WHEN wvote <> maj THEN 1 ELSE 0 END) AS n_flipped,
+         |    SUM(CASE WHEN l0 = wvote THEN 1 ELSE 0 END) AS b0,
+         |    SUM(CASE WHEN l1 = wvote THEN 1 ELSE 0 END) AS b1,
+         |    SUM(CASE WHEN l2 = wvote THEN 1 ELSE 0 END) AS b2
+         |  FROM g)
+         |SELECT CAST(t.labeler AS BIGINT) AS labeler,
+         |  CAST(CASE t.labeler WHEN 0 THEN a.w0 WHEN 1 THEN a.w1 ELSE a.w2 END AS BIGINT)
+         |    AS acc_majority_bp,
+         |  CAST((CASE t.labeler WHEN 0 THEN f.b0 WHEN 1 THEN f.b1 ELSE f.b2 END)
+         |    * 10000 // f.n_docs AS BIGINT) AS acc_weighted_bp,
+         |  CAST(f.n_docs AS BIGINT) AS n_docs, CAST(f.n_flipped AS BIGINT) AS n_flipped
+         |FROM (VALUES (0), (1), (2)) t(labeler) CROSS JOIN a CROSS JOIN f
+         |ORDER BY labeler""".stripMargin
     })
 
   /** Shared q266/q267 oracle: the lag-window context replays per user

@@ -1474,4 +1474,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"stability joins stay segment-keyed:\n$p")
   }
+
+  test("q281: the labeled frame is pinned; re-vote and accuracies read the cache, not the corpus") {
+    val p = planOf("q281_label_aggregation")
+    assert(p.contains("InMemoryTableScan"),
+      s"both vote rounds must read the persisted label frame:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the only cross joins are broadcast 1-row weight frames:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
+  }
 }

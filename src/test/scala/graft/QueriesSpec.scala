@@ -3146,6 +3146,43 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == Seq((hKey, 3L, 3L, 0L, 10000L)), s"got $got")
   }
 
+  test("q281 label aggregation: majority, weights, and weighted re-vote equal a sequential replica") {
+    import spark.implicits._
+    val texts = Seq("alpha beta gamma", "delta epsilon zeta", "eta theta",
+      "iota kappa lambda mu", "nu xi", "omicron pi rho")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, "s0", t) }
+      .toDF("doc_id", "source", "text")
+    val panel = graft.analytics.PipelineQueries.AggLabelers
+    def votes(text: String): Seq[Int] = panel.map { case (mod, rot) =>
+      val s = (0 until 4).map { c =>
+        val lane = (c + rot) % 4
+        text.split(" ").map { t =>
+          ((graft.functions.Md5Hash.h60(t.getBytes) >> (15 * lane)) & 32767L) % mod - 1000L
+        }.sum
+      }
+      s.indexOf(s.max)
+    }
+    val vs = texts.map(votes)
+    val majs = vs.map { case Seq(l0, l1, l2) =>
+      if (l0 == l1 || l0 == l2) l0 else if (l1 == l2) l1 else Seq(l0, l1, l2).min
+    }
+    val n = texts.size.toLong
+    val w = (0 until 3).map(li => vs.indices.count(d => vs(d)(li) == majs(d)) * 10000L / n)
+    val wvotes = vs.map { v =>
+      val sc = (0 until 4).map(c => (0 until 3).map(li => if (v(li) == c) w(li) else 0L).sum)
+      sc.indexOf(sc.max)
+    }
+    val flips = wvotes.zip(majs).count { case (a, b) => a != b }.toLong
+    val expected = (0 until 3).map { li =>
+      (li.toLong, w(li), vs.indices.count(d => vs(d)(li) == wvotes(d)) * 10000L / n, n, flips)
+    }
+    val got = graft.analytics.PipelineQueries.labelAggregationOf(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   test("q264 score store: a vanished corpus partition drops its score partition on sync") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

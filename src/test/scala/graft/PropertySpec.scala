@@ -130,4 +130,85 @@ class PropertySpec extends AnyFunSuite {
       assert(viaExpr(id) == want, s"id $id")
     }
   }
+
+  private def randomCorpus(seed: Long, nDocs: Int, minTok: Int, maxTok: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until nDocs).map { i =>
+      val n = minTok + rnd.nextInt(maxTok - minTok + 1)
+      (i.toLong, s"s${i % 3}", (1 to n).map(_ => s"w${rnd.nextInt(40)}").mkString(" "))
+    }
+  }
+
+  test("q277 partial-merge soundness: partition partials recompose the direct q270 card for arbitrary corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    (0 until 3).foreach { s =>
+      val corpus = randomCorpus(100L + s, 40, 2, 30)
+      val docs = corpus.toDF("doc_id", "source", "text")
+      // arbitrary disjoint 3-way partitioning by doc_id
+      val partials = (0 until 3).map { p =>
+        graft.analytics.PipelineQueries
+          .docSegments(docs.filter(pmod(col("doc_id"), lit(3)) === p))
+          .groupBy(col("source"), col("segh"))
+          .agg(count(lit(1)).as("n_inst"), countDistinct(col("doc_id")).as("n_docs"))
+      }.reduce(_ unionByName _)
+      val viaStore = graft.analytics.PipelineQueries.boilerCardFromPartials(partials)
+        .collect().map(_.toSeq).toSeq
+      val direct = graft.analytics.PipelineQueries.segmentBoilerplateOf(docs)
+        .collect().map(_.toSeq).toSeq
+      assert(viaStore == direct, s"seed $s")
+    }
+  }
+
+  test("q271 winnowing: a planted duplicate always surfaces at full overlap") {
+    import spark.implicits._
+    (0 until 3).foreach { s =>
+      val base = randomCorpus(200L + s, 20, 12, 40)
+      // duplicate doc 0 under a fresh id; winnowing must pair them at
+      // overlap_bp = 10000 (identical fingerprint sets)
+      val corpus = base :+ ((900L, "s0", base.head._3))
+      val got = graft.analytics.PipelineQueries
+        .winnowingPairsOf(corpus.toDF("doc_id", "source", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSeq
+      val hit = got.find(p => p._1 == 0L && p._2 == 900L)
+      assert(hit.exists(_._3 == 10000L),
+        s"seed $s: duplicate pair missing or partial: $got")
+    }
+  }
+
+  test("q278 reassembly: every splitter victim reconstructs with seam >= 5 and merged <= original") {
+    import spark.implicits._
+    (0 until 3).foreach { s =>
+      val corpus = randomCorpus(300L + s, 30, 20, 45)
+      val docs = corpus.toDF("doc_id", "source", "text")
+      val victims = corpus.filter(d => d._1 % 11 == 0 && d._3.split(" ").length >= 20)
+      val got = graft.analytics.PipelineQueries.chunkReassemblyOf(docs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      victims.foreach { case (id, _, text) =>
+        val n = text.split(" ").length.toLong
+        val pair = got.find(p => p._1 == id * 2 + 2000000L && p._2 == id * 2 + 2000001L)
+        assert(pair.isDefined, s"seed $s: victim $id not reassembled")
+        assert(pair.get._3 >= 5L && pair.get._4 <= n,
+          s"seed $s: victim $id seam/merge out of bounds: ${pair.get}")
+      }
+    }
+  }
+
+  test("q279 span corruption: card invariants hold for arbitrary corpora") {
+    import spark.implicits._
+    (0 until 3).foreach { s =>
+      val docs = randomCorpus(400L + s, 40, 5, 120).toDF("doc_id", "source", "text")
+      val rows = graft.analytics.PipelineQueries.spanCorruptionOf(docs)
+        .collect()
+        .map(r => (r.getLong(2), r.getLong(4), r.getLong(6), r.getLong(7), r.getLong(8)))
+      rows.foreach { case (nTok, nMasked, nSpans, avgLen, sentinel) =>
+        assert(nMasked <= nTok, s"seed $s: masked mass exceeds tokens")
+        assert(nSpans >= 1L && nSpans <= nMasked, s"seed $s: span count out of range")
+        assert(avgLen >= 100L && avgLen <= 300L,
+          s"seed $s: mean span length outside the 1..3-token schedule: $avgLen")
+        assert(sentinel <= nSpans, s"seed $s: sentinel budget exceeds span total")
+      }
+    }
+  }
 }

@@ -9136,10 +9136,7 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("text"),
           pmod(col("doc_id"), lit(3L)).as("part_id"))
       docs.write.partitionBy("part_id").parquet(corpus)
-      val partials = (slice: DataFrame) => docSegments(slice)
-        .groupBy(col("source"), col("segh"))
-        .agg(count(lit(1)).as("n_inst"), countDistinct(col("doc_id")).as("n_docs"))
-      graft.operators.ScoreStore.sync(spark, corpus, partials) // full seed
+      graft.operators.ScoreStore.sync(spark, corpus, segmentPartials) // full seed
       // Ingest batch lands as a NEW partition: re-texted sample with a
       // constant one-segment banner prefix (derived from the source
       // frame — the overwrite never reads its own target).
@@ -9147,9 +9144,16 @@ object PipelineQueries {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
           concat(lit("promo sale banner click here "), col("text")).as("text"))
         .write.mode("overwrite").parquet(s"$corpus/part_id=3")
-      graft.operators.ScoreStore.sync(spark, corpus, partials) // diff: part 3 only
+      graft.operators.ScoreStore.sync(spark, corpus, segmentPartials) // diff: part 3 only
       boilerCardFromPartials(graft.operators.ScoreStore.read(spark, corpus))
     }
+
+  /** Per-partition segment partials (source, segh, n_inst, n_docs) —
+    * the q277 store payload, shared with the q282 streaming gate. */
+  private[graft] def segmentPartials(slice: DataFrame): DataFrame =
+    docSegments(slice)
+      .groupBy(col("source"), col("segh"))
+      .agg(count(lit(1)).as("n_inst"), countDistinct(col("doc_id")).as("n_docs"))
 
   /** The q270 card from committed per-partition partials: global doc
     * frequency = Σ partition-local distinct counts (docs never span
@@ -9462,6 +9466,90 @@ object PipelineQueries {
       .orderBy(col("labeler"))
   }
 
+  /** q282 gate: reject a streamed doc when its boilerplate segment share
+    * reaches this (bp) — shared with the oracle. */
+  private[graft] val BoilerGateBp = 3000L
+
+  /** Boilerplate-gated streaming ingest (q282) — the q277 committed
+    * store applied at ADMISSION time: the nightly sync publishes the
+    * segment-frequency partials; the ingest stream scores every
+    * incoming document against that committed model (share of its
+    * segments that are known boilerplate) and rejects chrome-heavy
+    * docs before they ever join the corpus — the online half of the
+    * q270 curation decision, exactly how a production gate consumes a
+    * batch-built model (the q240/q254 admission pattern, with segments
+    * instead of vectors). The lifecycle replayed: seed documents ∪ the
+    * promo-banner batch, sync the store, stream a derived batch (half
+    * the docs carry the banner — known boilerplate; half are clean
+    * heads), and emit every admission decision read from the ON-DISK
+    * decision log. Gate semantics are deliberately committed-model-only
+    * (admitted docs do NOT update frequencies mid-stream — the model
+    * refreshes on the next nightly sync), so decisions are
+    * batch-order-free and the oracle replays them from first
+    * principles.
+    *
+    * Scale shape: per micro-batch, work is batch-segments ⋈ the
+    * committed boilerplate KEY SET (boilerplate-sized, broadcast) +
+    * one doc-keyed aggregate — O(batch), never O(corpus); the decision
+    * log appends per batch. */
+  def streamBoilerGate(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.memo(spark, s"q282|$dir") {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val work = java.nio.file.Files.createTempDirectory("graft_boiler_gate").toString
+      val corpus = s"$work/corpus"
+      val docs = Tables.documents(s, dir)
+      val banner = "promo sale banner click here "
+      // Seed = the q277 final corpus: documents ∪ the banner batch.
+      docs.select(col("doc_id"), col("source"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            concat(lit(banner), col("text")).as("text")))
+        .withColumn("part_id", pmod(col("doc_id"), lit(4L)))
+        .write.partitionBy("part_id").parquet(corpus)
+      graft.operators.ScoreStore.sync(s, corpus, segmentPartials)
+      val boilerKeys = graft.operators.ScoreStore.read(s, corpus)
+        .groupBy(col("segh")).agg(sum(col("n_docs")).as("df"))
+        .filter(col("df") >= BoilerMinDocs)
+        .select(col("segh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Incoming: short heads of mod-5 docs; half carry the banner.
+      val staged = s"$work/incoming"
+      val toks = split(col("text"), " ")
+      docs.filter(col("doc_id") % 5 === 0 && size(toks) >= 20)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit(banner), array_join(expr("slice(split(text, ' '), 1, 10)"), " ")))
+            .otherwise(array_join(expr("slice(split(text, ' '), 1, 15)"), " "))
+            .as("text"))
+        .write.parquet(staged)
+      val decisions = s"$work/decisions"
+      val t0 = System.currentTimeMillis()
+      val q = s.readStream.schema(s.read.parquet(staged).schema).parquet(staged)
+        .writeStream
+        .option("checkpointLocation", s"$work/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val scored = docSegments(batch)
+            .join(broadcast(boilerKeys.withColumn("is_b", lit(1L))), Seq("segh"), "left")
+            .groupBy(col("doc_id"), col("source"))
+            .agg(count(lit(1)).as("n_segments"),
+              sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
+            .select(col("doc_id"), col("source"), col("n_segments"), col("n_boiler"),
+              expr("n_boiler * 10000L div n_segments").as("boiler_bp"))
+            .withColumn("admitted", col("boiler_bp") < BoilerGateBp)
+          scored.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(decisions)
+          ()
+        }
+        .start()
+      graft.StreamLog.await(t0, q)
+      spark.read.parquet(decisions)
+        .select(col("doc_id"), col("source"), col("n_segments"), col("n_boiler"),
+          col("boiler_bp"), col("admitted"))
+        .orderBy(col("doc_id"))
+    }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9694,7 +9782,8 @@ object PipelineQueries {
     "q278_chunk_reassembly" -> (chunkReassembly _),
     "q279_span_corruption" -> (spanCorruption _),
     "q280_template_positions" -> (templatePositions _),
-    "q281_label_aggregation" -> (labelAggregation _))
+    "q281_label_aggregation" -> (labelAggregation _),
+    "q282_stream_boiler_gate" -> (streamBoilerGate _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -14245,6 +14334,40 @@ object PipelineQueries {
          |  CAST(f.n_docs AS BIGINT) AS n_docs, CAST(f.n_flipped AS BIGINT) AS n_flipped
          |FROM (VALUES (0), (1), (2)) t(labeler) CROSS JOIN a CROSS JOIN f
          |ORDER BY labeler""".stripMargin
+    },
+    // q282: the committed boilerplate key set replays as seed-corpus
+    // segment doc-frequencies (store partials sum to exactly that);
+    // decisions replay per streamed doc, order-free by design.
+    "q282_stream_boiler_gate" -> {
+      val k = BoilerSegTokens
+      val banner = "promo sale banner click here "
+      def segs(cte: String, out: String): String =
+        s"""$out AS (SELECT doc_id, ${duckH60("seg")} AS segh FROM (
+           |    SELECT doc_id, array_to_string(
+           |        toks[(CAST(g AS INT)*$k + 1):(CAST(g AS INT)*$k + $k)], ' ') AS seg
+           |    FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM $cte),
+           |      UNNEST(range(CAST(floor(len(toks) / $k) AS BIGINT))) AS u(g)))""".stripMargin
+      s"""WITH seed AS (SELECT doc_id, source, text FROM documents
+         |    UNION ALL SELECT doc_id + 1000000, source, '$banner' || text
+         |    FROM documents WHERE doc_id % 7 = 0),
+         |${segs("seed", "ss")},
+         |f AS (SELECT segh FROM ss GROUP BY segh
+         |  HAVING COUNT(DISTINCT doc_id) >= $BoilerMinDocs),
+         |inc AS (SELECT doc_id + 3000000 AS doc_id, source,
+         |    CASE WHEN doc_id % 10 = 0 THEN '$banner' || array_to_string(toks[1:10], ' ')
+         |         ELSE array_to_string(toks[1:15], ' ') END AS text
+         |  FROM (SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents)
+         |  WHERE doc_id % 5 = 0 AND len(toks) >= 20),
+         |${segs("inc", "ic")},
+         |per AS (SELECT ic.doc_id, COUNT(*) AS n_segments,
+         |    SUM(CASE WHEN f.segh IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+         |  FROM ic LEFT JOIN f ON ic.segh = f.segh GROUP BY 1)
+         |SELECT per.doc_id, inc.source, CAST(n_segments AS BIGINT) AS n_segments,
+         |  CAST(n_boiler AS BIGINT) AS n_boiler,
+         |  CAST(n_boiler * 10000 // n_segments AS BIGINT) AS boiler_bp,
+         |  (n_boiler * 10000 // n_segments) < $BoilerGateBp AS admitted
+         |FROM per JOIN inc ON per.doc_id = inc.doc_id
+         |ORDER BY per.doc_id""".stripMargin
     })
 
   /** Shared q266/q267 oracle: the lag-window context replays per user

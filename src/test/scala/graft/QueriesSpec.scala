@@ -3183,6 +3183,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString
+    def twenty(prefix: String) = (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    // ids 0/7/14 feed the seed banner batch (banner df=3 => boilerplate);
+    // ids 0/10/15 stream (0 and 10 with banner, 15 clean); 3 is a bystander.
+    Seq(
+      (0L, "s0", twenty("a")), (3L, "s0", twenty("b")), (7L, "s1", twenty("c")),
+      (10L, "s1", twenty("d")), (14L, "s2", twenty("e")), (15L, "s2", twenty("f")))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$work/documents.parquet")
+    val got = graft.analytics.PipelineQueries.streamBoilerGate(spark, work)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+      .toSeq
+    assert(got == Seq(
+      (3000000L, "s0", 3L, 1L, 3333L, false),
+      (3000010L, "s1", 3L, 1L, 3333L, false),
+      (3000015L, "s2", 3L, 0L, 0L, true)), s"got $got")
+  }
+
   test("q264 score store: a vanished corpus partition drops its score partition on sync") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -9550,6 +9550,75 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }
 
+  /** q283 selection quota divisor (keep the top 1/N of the corpus by
+    * fused rank), shared with the oracle. */
+  private[graft] val BordaQuotaDiv = 4L
+
+  /** Borda rank fusion selection (q283) — the multi-signal curation
+    * vote: three independent quality signals (token length, lexical
+    * diversity, classifier margin) each rank the whole corpus, the
+    * ranks SUM (Borda count — scale-free, so a signal with a huge
+    * dynamic range can't drown the others the way raw-score averaging
+    * does), and the top 1/[[BordaQuotaDiv]] by fused rank is selected.
+    * q127's RRF fuses per-query RETRIEVAL lists (tens of rows); this is
+    * the corpus-wide SELECTION twin, where every rank is a global sort
+    * of the full document frame. Card per source: docs, selected share,
+    * and the mean fused rank of selected vs all — the readout that says
+    * which sources the fused vote actually favors.
+    *
+    * Scale shape: all three signals come from ONE map-only projection
+    * (split once, h60 once — no explode, no token shuffle); each global
+    * rank routes through the sharded [[graft.operators.GlobalRank]]
+    * (sampled range exchange + pid-local window + broadcast offsets —
+    * never a single-partition sort), and the fused rank is a fourth
+    * GlobalRank over the (ranksum, doc_id) key; the quota is a 1-row
+    * broadcast; the card is a ≤|sources|-row aggregate. Four range
+    * exchanges over slim (doc_id, longs) rows is the honest cost of
+    * four independent total orders — nothing corpus-sized is ever
+    * windowed unpartitioned or collected. */
+  def bordaFusion(spark: SparkSession, dir: String): DataFrame =
+    bordaFusionOf(Tables.documents(spark, dir))
+
+  private[graft] def bordaFusionOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val nC = ClsClasses.size
+    val scoreCols = ClsClasses.indices.map { i =>
+      expr(s"aggregate(h, 0L, (acc, x) -> " +
+        s"acc + ((shiftright(x, ${15 * i}) & 32767) % $ClsWeightMod) - 1000)").as(s"s$i")
+    }
+    val sigs = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("s_len"),
+        expr("CAST(size(array_distinct(t)) AS BIGINT) * 10000L div size(t)").as("s_div"),
+        md5_token_hashes(col("t"), 60).as("h"))
+      .select(col("doc_id") +: col("source") +: col("s_len") +: col("s_div") +: scoreCols: _*)
+      .withColumn("ss", sort_array(array(ClsClasses.indices.map(i => col(s"s$i")): _*)))
+      .select(col("doc_id"), col("source"), col("s_len"), col("s_div"),
+        (element_at(col("ss"), nC) - element_at(col("ss"), nC - 1)).as("s_mgn"))
+    import graft.operators.GlobalRank.rowNumber
+    val ranked = rowNumber(rowNumber(rowNumber(sigs,
+        Seq(col("s_len").desc, col("doc_id").asc), "r_len"),
+        Seq(col("s_div").desc, col("doc_id").asc), "r_div"),
+        Seq(col("s_mgn").desc, col("doc_id").asc), "r_mgn")
+      .withColumn("ranksum", col("r_len") + col("r_div") + col("r_mgn"))
+    val fused = rowNumber(ranked, Seq(col("ranksum").asc, col("doc_id").asc), "rk")
+    val kq = fused.agg(expr(s"count(1) div $BordaQuotaDiv").as("kq"))
+    fused.crossJoin(broadcast(kq))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= col("kq"), 1L).otherwise(0L)).as("n_selected"),
+        expr("sum(ranksum) div count(1)").as("avg_ranksum_all"),
+        expr("""CASE WHEN sum(CASE WHEN rk <= kq THEN 1L ELSE 0L END) = 0L THEN 0L
+          |  ELSE sum(CASE WHEN rk <= kq THEN ranksum ELSE 0L END)
+          |    div sum(CASE WHEN rk <= kq THEN 1L ELSE 0L END) END""".stripMargin)
+          .as("avg_ranksum_sel"))
+      .select(col("source"), col("n_docs"), col("n_selected"),
+        expr("n_selected * 10000L div n_docs").as("selected_bp"),
+        col("avg_ranksum_all"), col("avg_ranksum_sel"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9783,7 +9852,8 @@ object PipelineQueries {
     "q279_span_corruption" -> (spanCorruption _),
     "q280_template_positions" -> (templatePositions _),
     "q281_label_aggregation" -> (labelAggregation _),
-    "q282_stream_boiler_gate" -> (streamBoilerGate _))
+    "q282_stream_boiler_gate" -> (streamBoilerGate _),
+    "q283_borda_fusion" -> (bordaFusion _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -14368,6 +14438,41 @@ object PipelineQueries {
          |  (n_boiler * 10000 // n_segments) < $BoilerGateBp AS admitted
          |FROM per JOIN inc ON per.doc_id = inc.doc_id
          |ORDER BY per.doc_id""".stripMargin
+    },
+    // q283: three serial row_number windows replay the sharded global
+    // ranks (GlobalRank is bit-identical to the serial window); the
+    // quota and fused rank use the same (ranksum, doc_id) tie rule.
+    "q283_borda_fusion" -> {
+      val tokH = duckH60("tok")
+      s"""WITH u AS (SELECT doc_id, source, str_split(text, ' ') AS t FROM documents),
+         |w AS (SELECT doc_id, source,
+         |    CAST(len(t) AS BIGINT) AS s_len,
+         |    CAST(len(list_distinct(t)) AS BIGINT) * 10000 // len(t) AS s_div,
+         |    list_transform(t, tok -> $tokH) AS h FROM u),
+         |m AS (SELECT doc_id, source, s_len, s_div, list_sort([
+         |    list_aggregate(list_transform(h, x -> ((x & 32767) % $ClsWeightMod) - 1000), 'sum'),
+         |    list_aggregate(list_transform(h, x -> (((x >> 15) & 32767) % $ClsWeightMod) - 1000), 'sum'),
+         |    list_aggregate(list_transform(h, x -> (((x >> 30) & 32767) % $ClsWeightMod) - 1000), 'sum'),
+         |    list_aggregate(list_transform(h, x -> (((x >> 45) & 32767) % $ClsWeightMod) - 1000), 'sum')
+         |  ]) AS ss FROM w),
+         |g AS (SELECT doc_id, source, ss[4] - ss[3] AS s_mgn, s_len, s_div FROM m),
+         |r AS (SELECT doc_id, source,
+         |    row_number() OVER (ORDER BY s_len DESC, doc_id)
+         |      + row_number() OVER (ORDER BY s_div DESC, doc_id)
+         |      + row_number() OVER (ORDER BY s_mgn DESC, doc_id) AS ranksum
+         |  FROM g),
+         |f AS (SELECT doc_id, source, ranksum,
+         |    row_number() OVER (ORDER BY ranksum, doc_id) AS rk FROM r),
+         |k AS (SELECT COUNT(*) // $BordaQuotaDiv AS kq FROM f)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN rk <= kq THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+         |  CAST(SUM(CASE WHEN rk <= kq THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         |    AS selected_bp,
+         |  CAST(SUM(ranksum) // COUNT(*) AS BIGINT) AS avg_ranksum_all,
+         |  CAST(CASE WHEN SUM(CASE WHEN rk <= kq THEN 1 ELSE 0 END) = 0 THEN 0
+         |    ELSE SUM(CASE WHEN rk <= kq THEN ranksum ELSE 0 END)
+         |      // SUM(CASE WHEN rk <= kq THEN 1 ELSE 0 END) END AS BIGINT) AS avg_ranksum_sel
+         |FROM f, k GROUP BY source ORDER BY source""".stripMargin
     })
 
   /** Shared q266/q267 oracle: the lag-window context replays per user

@@ -972,6 +972,18 @@ class PlanSpec extends AnyFunSuite {
       s"the decile targets must broadcast onto the ranked corpus:\n$p")
   }
 
+  test("q283: all four global ranks range-shard — no unpartitioned signal window, no cartesian") {
+    val p = planOf("q283_borda_fusion")
+    assert(p.contains("rangepartitioning"),
+      s"every Borda rank must route through the sharded GlobalRank:\n$p")
+    assert(!"""windowspecdefinition\((s_len|s_div|s_mgn|ranksum)#\d+""".r.findFirstIn(p).isDefined,
+      s"an unpartitioned window over a signal column is a corpus-sized single sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the quota is a broadcast 1-row frame, never a cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the source card must combine map-side:\n$p")
+  }
+
   test("q269: IPS estimate broadcasts the propensity/action frames — no event-scaled all-pairs") {
     val p = planOf("q269_ips_policy_eval")
     assert(!p.contains("CartesianProduct"),

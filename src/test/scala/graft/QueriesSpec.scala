@@ -3183,6 +3183,53 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q283 borda fusion: card equals a sequential three-signal Borda replica") {
+    import spark.implicits._
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta", // long, diverse
+      "alpha alpha alpha alpha alpha alpha",           // long, repetitive
+      "iota kappa lambda",                             // short, diverse
+      "mu mu nu",                                      // short, repetitive
+      "xi omicron pi rho sigma",                       // mid
+      "tau upsilon phi chi psi omega alef bet gimel dalet", // longest
+      "he vav zayin",                                  // short
+      "het tet yod yod")                               // short, one repeat
+    val srcs = Seq("s0", "s1", "s0", "s1", "s0", "s1", "s0", "s1")
+    val docs = texts.zip(srcs).zipWithIndex
+      .map { case ((t, s), i) => (i.toLong, s, t) }.toDF("doc_id", "source", "text")
+    // Sequential replica: signals, three serial ranks, fused rank, quota.
+    val sigs = texts.zipWithIndex.map { case (t, i) =>
+      val toks = t.split(" ").toSeq
+      val lanes = (0 until 4).map { c =>
+        toks.map(tok =>
+          ((graft.functions.Md5Hash.h60(tok.getBytes) >> (15 * c)) & 32767L) %
+            graft.analytics.PipelineQueries.ClsWeightMod - 1000L).sum
+      }.sorted
+      (i.toLong, toks.size.toLong, toks.distinct.size.toLong * 10000L / toks.size,
+        lanes(3) - lanes(2))
+    }
+    def rankBy(key: ((Long, Long, Long, Long)) => Long): Map[Long, Long] =
+      sigs.sortBy(s => (-key(s), s._1)).zipWithIndex
+        .map { case (s, r) => s._1 -> (r + 1L) }.toMap
+    val (rl, rd, rm) = (rankBy(_._2), rankBy(_._3), rankBy(_._4))
+    val ranksum = sigs.map(s => s._1 -> (rl(s._1) + rd(s._1) + rm(s._1))).toMap
+    val kq = texts.size / 4
+    val sel = ranksum.toSeq.sortBy { case (id, rs) => (rs, id) }.take(kq).map(_._1).toSet
+    val expected = Seq("s0", "s1").map { s =>
+      val ids = srcs.zipWithIndex.filter(_._1 == s).map(_._2.toLong)
+      val nSel = ids.count(sel)
+      (s, ids.size.toLong, nSel.toLong, nSel * 10000L / ids.size,
+        ids.map(ranksum).sum / ids.size,
+        if (nSel == 0) 0L else ids.filter(sel).map(ranksum).sum / nSel)
+    }
+    val got = graft.analytics.PipelineQueries.bordaFusionOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

@@ -9619,6 +9619,186 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** q284 schedule constants, shared with the oracle: docs per training
+    * shard and the number of epochs scheduled. */
+  private[graft] val EpochShardDocs = 16L
+  private[graft] val EpochCount = 3
+
+  /** Deterministic multi-epoch shuffle schedule (q284) — the training
+    * loader's reproducible shard order: epoch e orders every shard by
+    * h31(source:shard:e), so each epoch is an independent pseudo-random
+    * permutation that any worker can recompute from the shard id alone
+    * (no stored permutation table, no driver-held state — the property
+    * that makes checkpoint resume trivial). The card audits what the
+    * shuffle is FOR: per epoch, the share of adjacent shard pairs from
+    * the same source (same-source runs starve the mixer) and the mean
+    * displacement from the epoch-0 order (zero displacement would mean
+    * the "shuffle" repeats and multi-epoch training sees the same
+    * curriculum every pass).
+    *
+    * Scale shape: the shard frame is corpus/[[EpochShardDocs]]-sized —
+    * corpus-shaped, so each epoch's position comes from the sharded
+    * [[graft.operators.GlobalRank]] (never a single-partition sort, and
+    * never a window partitioned by epoch, which would put a whole epoch
+    * on one reducer); adjacency is a hash self-join on (epoch, pos+1);
+    * displacement joins each epoch to epoch 0 on the shard key. Only
+    * slim (key, longs) rows ever shuffle; the card is E rows. */
+  def epochSchedule(spark: SparkSession, dir: String): DataFrame =
+    epochScheduleOf(Tables.documents(spark, dir))
+
+  private[graft] def epochScheduleOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    import graft.operators.GlobalRank.rowNumber
+    val shards = docs
+      .groupBy(col("source"), expr(s"doc_id div $EpochShardDocs").as("shard_no"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perEpoch = (0 until EpochCount).map { e =>
+      val keyed = shards.withColumn("ek",
+        md5_token_hashes(array(concat_ws(":", col("source"), col("shard_no"), lit(e))), 31)
+          .getItem(0))
+      rowNumber(keyed, Seq(col("ek").asc, col("source").asc, col("shard_no").asc), "pos")
+        .select(lit(e.toLong).as("epoch"), col("source"), col("shard_no"), col("pos"))
+    }.reduce(_ unionByName _)
+    val adj = perEpoch.alias("a")
+      .join(perEpoch.alias("b"),
+        col("a.epoch") === col("b.epoch") && (col("a.pos") + 1L) === col("b.pos"))
+      .groupBy(col("a.epoch").as("epoch"))
+      .agg(count(lit(1)).as("n_adj"),
+        sum(when(col("a.source") === col("b.source"), 1L).otherwise(0L)).as("n_same"))
+    val disp = perEpoch.alias("e")
+      .join(perEpoch.filter(col("epoch") === 0L)
+          .select(col("source"), col("shard_no"), col("pos").as("pos0")),
+        Seq("source", "shard_no"))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(abs(col("pos") - col("pos0"))).as("disp_sum"))
+    disp.join(adj, Seq("epoch"))
+      .select(col("epoch"), col("n_shards"),
+        expr("n_same * 10000L div n_adj").as("same_src_adj_bp"),
+        expr("disp_sum * 100L div n_shards").as("mean_disp_x100"))
+      .orderBy(col("epoch"))
+  }
+
+  /** Text-normalization audit + dedup gain (q285) — the canonicalization
+    * step every scrape pipeline runs before exact dedup (casefold,
+    * whitespace-run collapse, edge trim), audited for what it actually
+    * buys: the corpus here is born clean (the generator emits lowercase
+    * single-spaced text), so the query replays the LIFECYCLE the q246/
+    * q282 way — a deterministic "raw scrape" twin is derived in-query
+    * (every 7th document re-enters as an UPPERCASED, double-spaced
+    * variant, the classic same-page-different-markup shape), and the
+    * card reports per source how many docs normalization rewrites, the
+    * character mass it sheds, and the exact-dup pairs that exist ONLY
+    * after normalization (distinct raw hashes minus distinct normalized
+    * hashes) — the dedup gain that justifies the pass.
+    *
+    * Scale shape: the variant union and the normalization are map-only
+    * (regexp + lower + trim inside one codegen stage); both distinct
+    * counts ride h60 hashes (the q64 no-string-shuffles rule) in ONE
+    * per-source aggregate; the card is ≤|sources| rows. */
+  def normalizationAudit(spark: SparkSession, dir: String): DataFrame =
+    normalizationAuditOf(Tables.documents(spark, dir))
+
+  private[graft] def normalizationAuditOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val raw = docs.select(col("doc_id"), col("source"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("source"),
+          replace(upper(col("text")), lit(" "), lit("  ")).as("text")))
+    val normed = raw.withColumn("norm",
+      lower(trim(regexp_replace(col("text"), lit(" +"), lit(" ")))))
+    normed
+      .select(col("source"),
+        when(col("norm") =!= col("text"), 1L).otherwise(0L).as("chg"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(col("norm")).cast("long").as("len_norm"),
+        md5_token_hashes(array(col("text")), 60).getItem(0).as("h_raw"),
+        md5_token_hashes(array(col("norm")), 60).getItem(0).as("h_norm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chg")).as("n_changed"),
+        sum(col("len_raw")).as("chars_raw"), sum(col("len_norm")).as("chars_norm"),
+        countDistinct(col("h_raw")).as("d_raw"),
+        countDistinct(col("h_norm")).as("d_norm"))
+      .select(col("source"), col("n_docs"), col("n_changed"),
+        expr("n_changed * 10000L div n_docs").as("changed_bp"),
+        expr("(chars_raw - chars_norm) * 10000L div chars_raw").as("shed_bp"),
+        (col("d_raw") - col("d_norm")).as("dup_gain"))
+      .orderBy(col("source"))
+  }
+
+  /** q286 fixed-point scale (loadings live in [-Scale, Scale]) and power
+    * iteration count, shared with the oracle. */
+  private[graft] val PcaScale = 10000L
+  private[graft] val PcaIters = 6
+
+  /** Top principal component by exact integer power iteration (q286) —
+    * the rotation prerequisite for OPQ/whitening that q209's diagonal
+    * stats can't answer: WHERE does the embedding cloud actually vary?
+    * The centered scatter matrix rides the q192/q209 power-sum algebra
+    * (M_ij = n·Σf_i f_j − S_i·S_j over per-element floors f = ⌊x·10⁴⌋ —
+    * exact integers, order-free), and [[PcaIters]] rounds of
+    * v ← (M·v)·Scale / max|M·v| (L∞ normalization — no sqrt, so the
+    * iterate stays an exact integer vector; divisions are sign-split to
+    * keep Spark/driver truncation and DuckDB `//` identical, the q252
+    * rule) converge the iterate onto the dominant eigenvector. Output:
+    * per-dimension loading plus the explained-variance share
+    * (Rayleigh λ = vᵀMv/vᵀv over trace(M), in bp) — the number that
+    * says whether one rotation axis is worth storing.
+    *
+    * Scale shape: the scatter pass is the honest O(n·d²) covariance
+    * explode — two stacked posexplodes shuffling only (i, j, Σfᵢfⱼ)
+    * partials into d² = 4096 keys (map-side combine does the heavy
+    * reduction); the collected state is d²+d numbers (the q274
+    * result-sized-matrix rule — never corpus-shaped), and the iteration
+    * is O(d²·k) driver arithmetic on BigInt (overflow-free); products
+    * ride DECIMAL(38,0) on the cluster side. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    pcaPowerOf(Tables.embeddings(spark, dir))
+
+  private[graft] def pcaPowerOf(emb: DataFrame): DataFrame = {
+    import graft.similarity.Pq.Dim
+    val d = Dim
+    val f = emb.filter(col("embedding").isNotNull && size(col("embedding")) >= d)
+      .select(expr(s"transform(slice(embedding, 1, $d), " +
+        s"x -> CAST(floor(CAST(x AS DOUBLE) * $PcaScale) AS BIGINT))").as("f"))
+    val pairSums = f
+      .select(col("f"), posexplode(col("f")).as(Seq("i", "fi")))
+      .select(col("i"), col("fi"), posexplode(col("f")).as(Seq("j", "fj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(expr("CAST(fi AS DECIMAL(38,0)) * fj")).as("sff"))
+      .collect()
+    val dimSums = f
+      .select(posexplode(col("f")).as(Seq("i", "fi")))
+      .groupBy(col("i"))
+      .agg(sum(col("fi")).as("si"), count(lit(1)).as("n"))
+      .collect()
+    val si = Array.fill(d)(BigInt(0))
+    var n = BigInt(0)
+    dimSums.foreach { r => si(r.getInt(0)) = BigInt(r.getLong(1)); n = BigInt(r.getLong(2)) }
+    val m = Array.ofDim[BigInt](d, d)
+    pairSums.foreach { r =>
+      m(r.getInt(0))(r.getInt(1)) =
+        n * BigInt(r.getDecimal(2).toBigInteger) - si(r.getInt(0)) * si(r.getInt(1))
+    }
+    var v = Array.fill(d)(BigInt(PcaScale))
+    (1 to PcaIters).foreach { _ =>
+      val u = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+      val mx = u.map(_.abs).max
+      if (mx.signum != 0)
+        v = u.map(x => if (x.signum >= 0) x * PcaScale / mx else -((-x) * PcaScale / mx))
+    }
+    val tr = (0 until d).map(i => m(i)(i)).sum
+    val num = (for { i <- 0 until d; j <- 0 until d } yield v(i) * m(i)(j) * v(j)).sum
+    val den = v.map(x => x * x).sum
+    val evBp = if (den.signum == 0 || tr.signum == 0) 0L
+      else (num * 10000 / (den * tr)).toLong
+    val sq = emb.sparkSession
+    import sq.implicits._
+    (0 until d).map(i => (i.toLong, v(i).toLong, evBp))
+      .toDF("dim", "loading_fp", "ev_bp")
+      .orderBy(col("dim"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9853,7 +10033,10 @@ object PipelineQueries {
     "q280_template_positions" -> (templatePositions _),
     "q281_label_aggregation" -> (labelAggregation _),
     "q282_stream_boiler_gate" -> (streamBoilerGate _),
-    "q283_borda_fusion" -> (bordaFusion _))
+    "q283_borda_fusion" -> (bordaFusion _),
+    "q284_epoch_schedule" -> (epochSchedule _),
+    "q285_normalization_audit" -> (normalizationAudit _),
+    "q286_pca_power" -> (pcaPower _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -14473,6 +14656,88 @@ object PipelineQueries {
          |    ELSE SUM(CASE WHEN rk <= kq THEN ranksum ELSE 0 END)
          |      // SUM(CASE WHEN rk <= kq THEN 1 ELSE 0 END) END AS BIGINT) AS avg_ranksum_sel
          |FROM f, k GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q284: per-epoch serial row_number windows replay the sharded
+    // GlobalRank positions; adjacency and displacement use the same
+    // (epoch, pos+1) and epoch-0 joins.
+    "q284_epoch_schedule" -> {
+      val keyH = duckH31("source || ':' || CAST(shard_no AS VARCHAR) || ':' || CAST(e AS VARCHAR)")
+      s"""WITH s AS (SELECT source, doc_id // $EpochShardDocs AS shard_no
+         |  FROM documents GROUP BY 1, 2),
+         |p AS (SELECT e, source, shard_no,
+         |    row_number() OVER (PARTITION BY e ORDER BY h, source, shard_no) AS pos
+         |  FROM (SELECT e, source, shard_no, $keyH AS h
+         |        FROM s, UNNEST(range($EpochCount)) AS u(e))),
+         |adj AS (SELECT a.e AS epoch, COUNT(*) AS n_adj,
+         |    SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END) AS n_same
+         |  FROM p a JOIN p b ON a.e = b.e AND a.pos + 1 = b.pos GROUP BY 1),
+         |d AS (SELECT p.e AS epoch, COUNT(*) AS n_shards,
+         |    SUM(ABS(p.pos - p0.pos)) AS ds
+         |  FROM p JOIN (SELECT source, shard_no, pos FROM p WHERE e = 0) p0
+         |    USING (source, shard_no) GROUP BY 1)
+         |SELECT CAST(d.epoch AS BIGINT) AS epoch, CAST(n_shards AS BIGINT) AS n_shards,
+         |  CAST(n_same * 10000 // n_adj AS BIGINT) AS same_src_adj_bp,
+         |  CAST(ds * 100 // n_shards AS BIGINT) AS mean_disp_x100
+         |FROM d JOIN adj ON d.epoch = adj.epoch ORDER BY epoch""".stripMargin
+    },
+    // q285: the variant union and the normalization replay 1:1; both
+    // distinct counts hash the md5-h60 of the (raw, normalized) text.
+    "q285_normalization_audit" -> {
+      val hRaw = duckH60("text")
+      val hNorm = duckH60("norm")
+      s"""WITH raw AS (SELECT doc_id, source, text FROM documents
+         |    UNION ALL SELECT doc_id + 5000000, source,
+         |      replace(upper(text), ' ', '  ') FROM documents WHERE doc_id % 7 = 0),
+         |n AS (SELECT source, text,
+         |    lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm FROM raw),
+         |h AS (SELECT source,
+         |    CASE WHEN norm <> text THEN 1 ELSE 0 END AS chg,
+         |    CAST(len(text) AS BIGINT) AS len_raw, CAST(len(norm) AS BIGINT) AS len_norm,
+         |    $hRaw AS h_raw, $hNorm AS h_norm FROM n)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(chg) AS BIGINT) AS n_changed,
+         |  CAST(SUM(chg) * 10000 // COUNT(*) AS BIGINT) AS changed_bp,
+         |  CAST((SUM(len_raw) - SUM(len_norm)) * 10000 // SUM(len_raw) AS BIGINT) AS shed_bp,
+         |  CAST(COUNT(DISTINCT h_raw) - COUNT(DISTINCT h_norm) AS BIGINT) AS dup_gain
+         |FROM h GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q286: the power iteration unrolls as CTE rounds (the q255 learner
+    // rule); every division is the same sign-split truncation, every
+    // product rides HUGEINT.
+    "q286_pca_power" -> {
+      import graft.similarity.Pq.Dim
+      val d = Dim
+      val rounds = (1 to PcaIters).map { r =>
+        s"""u$r AS (SELECT m.i AS i, SUM(m.c * v${r - 1}.v) AS u
+           |  FROM m JOIN v${r - 1} ON m.j = v${r - 1}.i GROUP BY 1),
+           |x$r AS (SELECT MAX(ABS(u)) AS mx FROM u$r),
+           |v$r AS (SELECT i, CASE WHEN u >= 0 THEN u * $PcaScale // mx
+           |    ELSE -((-u) * $PcaScale // mx) END AS v FROM u$r, x$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT list_transform(embedding[1:$d],
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * $PcaScale) AS BIGINT)) AS f
+         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= $d),
+         |p AS (SELECT CAST(t1.i AS BIGINT) AS i, CAST(t2.j AS BIGINT) AS j,
+         |    SUM(CAST(f[CAST(t1.i AS INTEGER) + 1] AS HUGEINT)
+         |      * f[CAST(t2.j AS INTEGER) + 1]) AS sff
+         |  FROM e, range($d) t1(i), range($d) t2(j) GROUP BY 1, 2),
+         |s AS (SELECT CAST(t.i AS BIGINT) AS i,
+         |    CAST(SUM(f[CAST(t.i AS INTEGER) + 1]) AS HUGEINT) AS si
+         |  FROM e, range($d) t(i) GROUP BY 1),
+         |cnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e),
+         |m AS (SELECT p.i, p.j, n * sff - sa.si * sb.si AS c
+         |  FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i, cnt),
+         |v0 AS (SELECT CAST(t.i AS BIGINT) AS i, CAST($PcaScale AS HUGEINT) AS v
+         |  FROM range($d) t(i)),
+         |$rounds,
+         |tr AS (SELECT SUM(c) AS tr FROM m WHERE i = j),
+         |ray AS (SELECT SUM(va.v * m.c * vb.v) AS num
+         |  FROM m JOIN v$PcaIters va ON m.i = va.i JOIN v$PcaIters vb ON m.j = vb.i),
+         |dn AS (SELECT SUM(v * v) AS den FROM v$PcaIters)
+         |SELECT CAST(vf.i AS BIGINT) AS dim, CAST(vf.v AS BIGINT) AS loading_fp,
+         |  CAST(CASE WHEN den = 0 OR tr = 0 THEN 0
+         |    ELSE num * 10000 // (den * tr) END AS BIGINT) AS ev_bp
+         |FROM v$PcaIters vf, ray, dn, tr ORDER BY dim""".stripMargin
     })
 
   /** Shared q266/q267 oracle: the lag-window context replays per user

@@ -984,6 +984,15 @@ class PlanSpec extends AnyFunSuite {
       s"the source card must combine map-side:\n$p")
   }
 
+  test("q284: every epoch position range-shards; no epoch-partitioned window, no cartesian") {
+    val p = planOf("q284_epoch_schedule")
+    assert(p.contains("rangepartitioning"),
+      s"per-epoch positions must route through the sharded GlobalRank:\n$p")
+    assert(!"""windowspecdefinition\((ek|epoch)#\d+""".r.findFirstIn(p).isDefined,
+      s"an epoch-keyed window puts a whole epoch on one reducer:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q269: IPS estimate broadcasts the propensity/action frames — no event-scaled all-pairs") {
     val p = planOf("q269_ips_policy_eval")
     assert(!p.contains("CartesianProduct"),

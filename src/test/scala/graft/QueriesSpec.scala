@@ -3230,6 +3230,73 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q284 epoch schedule: positions, adjacency, displacement equal a sequential replica") {
+    import spark.implicits._
+    val n = 96
+    val src = (0 until n).map(i => if (i % 3 == 0) "s0" else "s1")
+    val docs = (0 until n).map(i => (i.toLong, src(i), s"tok$i"))
+      .toDF("doc_id", "source", "text")
+    val shardDocs = graft.analytics.PipelineQueries.EpochShardDocs
+    val epochs = graft.analytics.PipelineQueries.EpochCount
+    val shards = (0 until n).map(i => (src(i), i / shardDocs)).distinct
+    def posOf(e: Int): Map[(String, Long), Long] =
+      shards.sortBy { case (s, no) =>
+        (graft.functions.Md5Hash.h31(s"$s:$no:$e".getBytes), s, no)
+      }.zipWithIndex.map { case (k, p) => k -> (p + 1L) }.toMap
+    val p0 = posOf(0)
+    val expected = (0 until epochs).map { e =>
+      val pos = posOf(e)
+      val byPos = pos.toSeq.sortBy(_._2).map(_._1)
+      val same = byPos.sliding(2).count { case Seq(a, b) => a._1 == b._1 }
+      val disp = shards.map(k => math.abs(pos(k) - p0(k))).sum
+      (e.toLong, shards.size.toLong, same * 10000L / (shards.size - 1),
+        disp * 100L / shards.size)
+    }
+    val got = graft.analytics.PipelineQueries.epochScheduleOf(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+    // The shuffle must actually decorrelate: epochs 1+ displace from epoch 0.
+    assert(expected.drop(1).forall(_._4 > 0L), s"epochs 1+ must move shards: $expected")
+  }
+
+  test("q285 normalization: variants collapse onto their originals; clean source untouched") {
+    import spark.implicits._
+    // ids 0 and 7 re-enter as uppercased double-spaced variants; id 3 is clean.
+    val docs = Seq((0L, "s0", "a b"), (7L, "s0", "c d"), (3L, "s1", "e f"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.analytics.PipelineQueries.normalizationAuditOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    // s0: 4 rows (2 originals + 2 variants), both variants rewritten and
+    // re-collapsed onto their originals: 14 raw chars -> 12, 4 distinct -> 2.
+    assert(got == Seq(
+      ("s0", 4L, 2L, 5000L, 1428L, 2L),
+      ("s1", 1L, 0L, 0L, 0L, 0L)), s"got $got")
+  }
+
+  test("q286 pca power: planted rank-1 cloud converges to the (1,2) axis with full variance share") {
+    import spark.implicits._
+    val d = graft.similarity.Pq.Dim
+    // Five points along direction (0.25, 0.5, 0...), t in -2..2: the scatter
+    // matrix is exactly c*[[1,2],[2,4]] on dims (0,1); L-inf-normalized top
+    // eigenvector is (5000, 10000, 0...) and it carries ALL the variance.
+    val emb = Seq(-2, -1, 0, 1, 2).zipWithIndex.map { case (t, i) =>
+      (i.toLong, Seq.tabulate(d)(k =>
+        if (k == 0) 0.25f * t else if (k == 1) 0.5f * t else 0f))
+    }.toDF("vec_id", "embedding")
+    val got = graft.analytics.PipelineQueries.pcaPowerOf(emb)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val expected = (0 until d).map(i =>
+      (i.toLong, if (i == 0) 5000L else if (i == 1) 10000L else 0L, 10000L))
+    assert(got == expected, s"got ${got.take(4)}..., expected ${expected.take(4)}...")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

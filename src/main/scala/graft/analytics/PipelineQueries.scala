@@ -9799,6 +9799,153 @@ object PipelineQueries {
       .orderBy(col("dim"))
   }
 
+  /** q287 decay constants, shared with the oracle: scores carry a ×256
+    * fixed-point weight halved per hour of age; contributions older than
+    * [[DecayMaxAge]] hours round to zero exactly. */
+  private[graft] val DecayScale = 256L
+  private[graft] val DecayMaxAge = 8L
+  private[graft] val DecayTopK = 20
+
+  /** Half-life-decayed heavy hitters (q287) — the TRENDING twin of q79:
+    * a static count answers "who is big", a decayed count answers "who
+    * is big NOW". Each user's hourly activity enters with weight
+    * 2^−age (age in hours from the corpus's latest hour), in exact
+    * integer arithmetic: weight = [[DecayScale]] >> age, zero beyond
+    * [[DecayMaxAge]] — so the score is order-free, mergeable, and
+    * replayable bit-for-bit (no float pow, the q146 integer stand-in
+    * rule). Top [[DecayTopK]] by (decayed score, user_id).
+    *
+    * Scale shape: one (user, hour) aggregate with map-side partials
+    * (the shuffle carries counts, not events), the latest-hour frame is
+    * a 1-row broadcast, the per-user fold is a second keyed aggregate,
+    * and the top-k is a TakeOrdered (no global sort materializes — the
+    * k-row heap merges per partition). The decayed score is exactly the
+    * state a streaming trender would keep per key. */
+  def decayedHitters(spark: SparkSession, dir: String): DataFrame =
+    decayedHittersOf(Tables.events(spark, dir))
+
+  private[graft] def decayedHittersOf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 3600000000L").as("hour_id"))
+      .agg(count(lit(1)).as("n"))
+    val latest = hourly.agg(max(col("hour_id")).as("latest"))
+    hourly.crossJoin(broadcast(latest))
+      .select(col("user_id"), col("n"), col("hour_id"),
+        (col("latest") - col("hour_id")).as("age"))
+      .groupBy(col("user_id"))
+      .agg(sum(expr(s"n * (CASE WHEN age > $DecayMaxAge THEN 0L " +
+          s"ELSE shiftright(${DecayScale}L, CAST(age AS INT)) END)")).as("decayed_x256"),
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_hours"))
+      .orderBy(col("decayed_x256").desc, col("user_id"))
+      .limit(DecayTopK)
+  }
+
+  /** q288 worker count, shared with the oracle. */
+  private[graft] val LptWorkers = 4
+
+  /** LPT shard-assignment makespan card (q288) — the job-scheduling
+    * half of data layout: q237's HRW rebalance places shards by HASH
+    * (stable, size-blind); this places SOURCES by SIZE — the classic
+    * Longest-Processing-Time greedy (sort by token mass desc, assign
+    * each to the least-loaded of [[LptWorkers]] workers), whose
+    * makespan is provably ≤ 4/3·OPT. The card reports per worker its
+    * source count, token load, and load share, plus the makespan
+    * against the trivial lower bound max(⌈total/k⌉, largest source) —
+    * the number that says whether source granularity itself (one
+    * monster source) is the bottleneck.
+    *
+    * Scale shape: ONE corpus scan (per-source token mass, map-side
+    * combining); the greedy runs driver-side over the collected
+    * ≤|sources|-row catalog (the q251/q274 metadata-frame rule — the
+    * source catalog is never corpus-shaped), and ties break to the
+    * lowest worker index so the oracle's recursive replay lands on
+    * identical assignments. */
+  def lptMakespan(spark: SparkSession, dir: String): DataFrame =
+    lptMakespanOf(Tables.documents(spark, dir))
+
+  private[graft] def lptMakespanOf(docs: DataFrame): DataFrame = {
+    val k = LptWorkers
+    val srcs = docs.groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, t) => (-t, s) }
+    val loads = Array.fill(k)(0L)
+    val cnts = Array.fill(k)(0L)
+    srcs.foreach { case (_, t) =>
+      val w = loads.zipWithIndex.minBy { case (l, i) => (l, i) }._2
+      loads(w) += t; cnts(w) += 1
+    }
+    val total = math.max(loads.sum, 1L)
+    val mk = loads.max
+    val lb = math.max(math.max((loads.sum + k - 1) / k,
+      srcs.headOption.map(_._2).getOrElse(0L)), 1L)
+    val sq = docs.sparkSession
+    import sq.implicits._
+    (0 until k).map(i => ((i + 1).toLong, cnts(i), loads(i),
+        loads(i) * 10000L / total, mk * 10000L / lb))
+      .toDF("worker", "n_sources", "load_tokens", "load_share_bp", "makespan_vs_lb_bp")
+      .orderBy(col("worker"))
+  }
+
+  /** q289 margin constants, shared with the oracle: the neighborhood
+    * size k of the margin denominator and the acceptance ratio. */
+  private[graft] val BitextK = 4
+  private[graft] val BitextMargin = 1.05
+
+  /** Margin-based bitext mining (q289) — the parallel-corpus miner
+    * (Artetxe & Schwenk 2019, the CCMatrix/LASER recipe): a candidate
+    * translation pair is NOT just a mutual nearest neighbor (q157's
+    * criterion) — hub vectors are everyone's neighbor — it must beat
+    * its LOCAL neighborhoods by a ratio margin:
+    * margin = 2·cos(x,y) / (avgₖcos(x,·) + avgₖcos(y,·)). Source side =
+    * every 10th embedding (the low-resource language), target side =
+    * the rest; emits each mutual top-1 pair with its margin and the
+    * ≥[[BitextMargin]] acceptance.
+    *
+    * Scale shape: the forward pass broadcasts only the source side
+    * (sample-sized, the q157 rule); the reverse pass queries ONLY the
+    * distinct forward top-1 candidates (≤|source| rows — never the full
+    * target corpus), so both brute passes broadcast bounded frames and
+    * at corpus scale both compose with the IVF route unchanged. The
+    * margin denominators fold rank-ordered cosines (array_sort before
+    * the left fold), so the doubles are order-free and bit-identical to
+    * the oracle's list_reduce. */
+  def bitextMining(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    bitextMiningOf(
+      embs.filter(col("vec_id") % 10 === 1),
+      embs.filter(col("vec_id") % 10 =!= 1))
+  }
+
+  private[graft] def bitextMiningOf(src: DataFrame, tgt: DataFrame): DataFrame = {
+    def denOf(t: DataFrame): DataFrame = t
+      .groupBy(col("query_id"))
+      .agg(expr("aggregate(transform(array_sort(collect_list(struct(rank, cosine))), " +
+          "s -> s.cosine), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("csum"),
+        count(lit(1)).as("cn"))
+      .select(col("query_id"), (col("csum") / col("cn")).as("den"))
+    val fwd = Ann.bruteForceTopK(src, tgt, "vec_id", "embedding", k = BitextK)
+    val nnF = fwd.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val cand = tgt.join(
+      nnF.select(col("neighbor_id").as("vec_id")).distinct(), Seq("vec_id"))
+    val rev = Ann.bruteForceTopK(cand, src, "vec_id", "embedding", k = BitextK)
+    val nnR = rev.filter(col("rank") === 1)
+      .select(col("query_id").as("r_query"), col("neighbor_id").as("r_neighbor"))
+    nnF
+      .join(nnR, col("neighbor_id") === col("r_query") && col("query_id") === col("r_neighbor"))
+      .join(denOf(fwd).withColumnRenamed("den", "den_f"), Seq("query_id"))
+      .join(denOf(rev).select(col("query_id").as("neighbor_id"), col("den").as("den_r")),
+        Seq("neighbor_id"))
+      .select(col("query_id").as("id_src"), col("neighbor_id").as("id_tgt"),
+        col("cosine"),
+        (col("cosine") * 2.0d / (col("den_f") + col("den_r"))).as("margin"))
+      .withColumn("accepted", col("margin") >= BitextMargin)
+      .orderBy(col("id_src"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10036,7 +10183,10 @@ object PipelineQueries {
     "q283_borda_fusion" -> (bordaFusion _),
     "q284_epoch_schedule" -> (epochSchedule _),
     "q285_normalization_audit" -> (normalizationAudit _),
-    "q286_pca_power" -> (pcaPower _))
+    "q286_pca_power" -> (pcaPower _),
+    "q287_decayed_hitters" -> (decayedHitters _),
+    "q288_lpt_makespan" -> (lptMakespan _),
+    "q289_bitext_mining" -> (bitextMining _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -14738,6 +14888,97 @@ object PipelineQueries {
          |  CAST(CASE WHEN den = 0 OR tr = 0 THEN 0
          |    ELSE num * 10000 // (den * tr) END AS BIGINT) AS ev_bp
          |FROM v$PcaIters vf, ray, dn, tr ORDER BY dim""".stripMargin
+    },
+    // q287: same (user, hour) counts, same shift-decay weights, same
+    // (decayed, user_id) top-k order.
+    "q287_decayed_hitters" ->
+      s"""WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         |l AS (SELECT MAX(hour_id) AS latest FROM h)
+         |SELECT user_id,
+         |  CAST(SUM(n * (CASE WHEN latest - hour_id > $DecayMaxAge THEN 0
+         |    ELSE $DecayScale >> CAST(latest - hour_id AS INTEGER) END)) AS BIGINT)
+         |    AS decayed_x256,
+         |  CAST(SUM(n) AS BIGINT) AS n_events,
+         |  CAST(COUNT(*) AS BIGINT) AS n_hours
+         |FROM h, l GROUP BY user_id
+         |ORDER BY decayed_x256 DESC, user_id LIMIT $DecayTopK""".stripMargin,
+    // q288: the LPT greedy replays as a linear recursive CTE over the
+    // (tok DESC, source) order; the four load columns update in lock
+    // step and ties take the lowest worker via the <= CASE chain.
+    "q288_lpt_makespan" ->
+      s"""WITH RECURSIVE s0 AS (SELECT source,
+         |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS tok
+         |  FROM documents GROUP BY 1),
+         |o AS (SELECT source, tok,
+         |    row_number() OVER (ORDER BY tok DESC, source) AS rn FROM s0),
+         |r AS (
+         |  SELECT 0 AS rn, CAST(NULL AS VARCHAR) AS source, 0 AS w,
+         |    CAST(0 AS BIGINT) AS l1, CAST(0 AS BIGINT) AS l2,
+         |    CAST(0 AS BIGINT) AS l3, CAST(0 AS BIGINT) AS l4
+         |  UNION ALL
+         |  SELECT rn, source, w,
+         |    l1 + CASE WHEN w = 1 THEN tok ELSE 0 END,
+         |    l2 + CASE WHEN w = 2 THEN tok ELSE 0 END,
+         |    l3 + CASE WHEN w = 3 THEN tok ELSE 0 END,
+         |    l4 + CASE WHEN w = 4 THEN tok ELSE 0 END
+         |  FROM (SELECT o.rn, o.source, o.tok, r.l1, r.l2, r.l3, r.l4,
+         |      CASE WHEN r.l1 <= r.l2 AND r.l1 <= r.l3 AND r.l1 <= r.l4 THEN 1
+         |           WHEN r.l2 <= r.l3 AND r.l2 <= r.l4 THEN 2
+         |           WHEN r.l3 <= r.l4 THEN 3 ELSE 4 END AS w
+         |    FROM r JOIN o ON o.rn = r.rn + 1)),
+         |a AS (SELECT r.source, r.w, o.tok FROM r JOIN o USING (rn) WHERE r.rn > 0),
+         |g AS (SELECT CAST(t.w + 1 AS BIGINT) AS worker,
+         |    CAST(COALESCE(COUNT(a.source), 0) AS BIGINT) AS n_sources,
+         |    CAST(COALESCE(SUM(a.tok), 0) AS BIGINT) AS load_tokens
+         |  FROM range($LptWorkers) t(w) LEFT JOIN a ON a.w = t.w + 1 GROUP BY 1),
+         |t AS (SELECT GREATEST(SUM(load_tokens), 1) AS total,
+         |    MAX(load_tokens) AS mk FROM g),
+         |lb AS (SELECT GREATEST((t.total + $LptWorkers - 1) // $LptWorkers,
+         |    COALESCE((SELECT MAX(tok) FROM s0), 0), 1) AS lb FROM t)
+         |SELECT worker, n_sources, load_tokens,
+         |  CAST(load_tokens * 10000 // total AS BIGINT) AS load_share_bp,
+         |  CAST(mk * 10000 // lb AS BIGINT) AS makespan_vs_lb_bp
+         |FROM g, t, lb ORDER BY worker""".stripMargin,
+    // q289: both brute passes, the rank-ordered margin folds, and the
+    // mutual join replay 1:1; cosines are the shared bit-exact fold.
+    "q289_bitext_mining" -> {
+      val cosF = VectorOracles.cosine("a.embedding", "b.embedding")
+      val cosR = VectorOracles.cosine("c.embedding", "a.embedding")
+      s"""WITH a AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id % 10 = 1),
+         |b AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id % 10 <> 1),
+         |sf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosF AS cosine
+         |  FROM a, b WHERE a.vec_id <> b.vec_id),
+         |rf AS (SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM sf WHERE cosine IS NOT NULL),
+         |kf AS (SELECT * FROM rf WHERE rn <= $BitextK),
+         |df AS (SELECT query_id,
+         |    list_reduce(list(cosine ORDER BY rn), (x, y) -> x + y) / COUNT(*) AS den_f
+         |  FROM kf GROUP BY query_id),
+         |nf AS (SELECT query_id, neighbor_id, cosine FROM kf WHERE rn = 1),
+         |c AS (SELECT b.vec_id, b.embedding FROM b
+         |  JOIN (SELECT DISTINCT neighbor_id FROM nf) d ON b.vec_id = d.neighbor_id),
+         |sr AS (SELECT c.vec_id AS query_id, a.vec_id AS neighbor_id, $cosR AS cosine
+         |  FROM c, a WHERE c.vec_id <> a.vec_id),
+         |rr AS (SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM sr WHERE cosine IS NOT NULL),
+         |kr AS (SELECT * FROM rr WHERE rn <= $BitextK),
+         |dr AS (SELECT query_id,
+         |    list_reduce(list(cosine ORDER BY rn), (x, y) -> x + y) / COUNT(*) AS den_r
+         |  FROM kr GROUP BY query_id),
+         |nr AS (SELECT query_id, neighbor_id FROM kr WHERE rn = 1)
+         |SELECT nf.query_id AS id_src, nf.neighbor_id AS id_tgt, nf.cosine,
+         |  nf.cosine * 2 / (df.den_f + dr.den_r) AS margin,
+         |  (nf.cosine * 2 / (df.den_f + dr.den_r)) >= $BitextMargin AS accepted
+         |FROM nf
+         |JOIN nr ON nf.neighbor_id = nr.query_id AND nf.query_id = nr.neighbor_id
+         |JOIN df ON nf.query_id = df.query_id
+         |JOIN dr ON nf.neighbor_id = dr.query_id
+         |ORDER BY id_src""".stripMargin
     })
 
   /** Shared q266/q267 oracle: the lag-window context replays per user

@@ -993,6 +993,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q287: decayed top-k is a TakeOrdered over keyed aggregates — no global sort, no cartesian") {
+    val p = planOf("q287_decayed_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must ride the k-row heap, not a full sort:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the (user, hour) counts must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the latest-hour frame is a broadcast 1-row cross join:\n$p")
+  }
+
   test("q269: IPS estimate broadcasts the propensity/action frames — no event-scaled all-pairs") {
     val p = planOf("q269_ips_policy_eval")
     assert(!p.contains("CartesianProduct"),

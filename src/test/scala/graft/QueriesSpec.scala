@@ -3297,6 +3297,83 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.take(4)}..., expected ${expected.take(4)}...")
   }
 
+  test("q287 decayed hitters: planted ages weight 256>>age; stale mass rounds to zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // latest hour is h=100. user 1: 3 events age 0; user 2: 5 events age 1;
+    // user 3: 100 events age 9 (fully decayed); user 4: 2 events age 8.
+    val rows = Seq.fill(3)((1L, 100L)) ++ Seq.fill(5)((2L, 99L)) ++
+      Seq.fill(100)((3L, 91L)) ++ Seq.fill(2)((4L, 92L))
+    val events = rows.toDF("user_id", "h")
+      .withColumn("ts", timestamp_seconds(col("h") * 3600L))
+    val got = graft.analytics.PipelineQueries.decayedHittersOf(events)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 768L, 3L, 1L), (2L, 640L, 5L, 1L),
+      (4L, 2L, 2L, 1L), (3L, 0L, 100L, 1L)), s"got $got")
+  }
+
+  test("q288 LPT: planted source sizes land the textbook greedy assignment") {
+    import spark.implicits._
+    // token masses 10,7,5,3,2 over 4 workers: 10|7|5|3+2 — makespan 10 = LB.
+    val docs = Seq(("s_a", 10), ("s_b", 7), ("s_c", 5), ("s_d", 3), ("s_e", 2))
+      .zipWithIndex.map { case ((s, n), i) =>
+        (i.toLong, s, (1 to n).map(j => s"t$j").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+    val got = graft.analytics.PipelineQueries.lptMakespanOf(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1L, 10L, 3703L, 10000L), (2L, 1L, 7L, 2592L, 10000L),
+      (3L, 1L, 5L, 1851L, 10000L), (4L, 2L, 5L, 1851L, 10000L)), s"got $got")
+  }
+
+  test("q289 bitext: mutual pairs and ratio margins equal a sequential replica") {
+    import spark.implicits._
+    val d = graft.similarity.Pq.Dim
+    def v(x: Double, y: Double): Seq[Float] =
+      Seq.tabulate(d)(k => if (k == 0) x.toFloat else if (k == 1) y.toFloat else 0f)
+    val rows = Seq(
+      (1L, v(1, 0)), (11L, v(0.6, 0.8)), (21L, v(0, 1)),
+      (2L, v(0.9, 0.1)), (3L, v(0.5, 0.9)), (4L, v(-1, 0)), (12L, v(0.1, 1.0)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val srcS = rows.filter(_._1 % 10 == 1)
+    val tgtS = rows.filter(_._1 % 10 != 1)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.zip(b).foreach { case (x, y) =>
+        dot += x.toDouble * y.toDouble; na += x.toDouble * x.toDouble
+        nb += y.toDouble * y.toDouble
+      }
+      dot / math.sqrt(na * nb)
+    }
+    def topk(q: (Long, Seq[Float]), corpus: Seq[(Long, Seq[Float])]): Seq[(Long, Double)] =
+      corpus.filter(_._1 != q._1).map { case (id, vv) => (id, cos(q._2, vv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(graft.analytics.PipelineQueries.BitextK)
+    val fwd = srcS.map(s => s._1 -> topk(s, tgtS)).toMap
+    val candIds = fwd.values.map(_.head._1).toSet
+    val rev = tgtS.filter(t => candIds(t._1)).map(t => t._1 -> topk(t, srcS)).toMap
+    val expected = fwd.toSeq.flatMap { case (sid, nbrs) =>
+      val (tid, c) = nbrs.head
+      rev.get(tid).filter(_.head._1 == sid).map { rn =>
+        val denF = nbrs.foldLeft(0.0)(_ + _._2) / nbrs.size
+        val denR = rn.foldLeft(0.0)(_ + _._2) / rn.size
+        val margin = c * 2 / (denF + denR)
+        (sid, tid, c, margin, margin >= graft.analytics.PipelineQueries.BitextMargin)
+      }
+    }.sortBy(_._1)
+    val got = graft.analytics.PipelineQueries.bitextMiningOf(
+        emb.filter($"vec_id" % 10 === 1), emb.filter($"vec_id" % 10 =!= 1))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+    assert(got.size == 3, s"all three planted pairs are mutual: $got")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

@@ -9946,6 +9946,117 @@ object PipelineQueries {
       .orderBy(col("id_src"))
   }
 
+  /** Cluster-safe dataset split (q290) — the REMEDIATION for what q259
+    * measures: q60's split hashes raw content, so near-duplicate
+    * variants of one page can land in train AND test (exactly the
+    * leaked pairs q259 counts). The fix every eval-hygiene pipeline
+    * ships: hash the near-dup CLUSTER representative instead (component
+    * min doc id from the shared MinHash tiers; singletons fall back to
+    * their own id), so an entire duplicate family moves between splits
+    * as one unit — cross-split near-dup pairs are zero BY CONSTRUCTION.
+    * The card proves it: per split, docs / share / distinct groups,
+    * plus the leaked-pair count under the old content-hash rule vs
+    * under this rule (the second column is computed, not asserted).
+    *
+    * Scale shape: clusters come from the SHARED memoized tier outputs
+    * (the q56 discipline — no LSH recompute); the rep fallback is a
+    * left join on doc_id; both leak counts are two stacked keyed
+    * aggregates over CLUSTERED docs only (Σ per component of total
+    * pairs minus within-split pairs — combinatorial counting, no pair
+    * materialization); the card is 3 rows + two broadcast scalars. */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val (members, setPairs) = nearDupTiers(spark, dir)
+    clusterSafeSplitOf(Tables.documents(spark, dir),
+      Dedup.clustersOfTiered(members, setPairs))
+  }
+
+  private[graft] def clusterSafeSplitOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    def splitOf(bucket: org.apache.spark.sql.Column) =
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    val assigned = docs
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("comp"), col("doc_id")))
+      .select(col("doc_id"), col("comp"), col("rep"),
+        splitOf(pmod(md5_token_hashes(array(col("text")), 31).getItem(0), lit(100L)))
+          .as("split_content"),
+        splitOf(pmod(md5_token_hashes(array(col("rep").cast("string")), 31).getItem(0),
+          lit(100L))).as("split_cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def leakUnder(splitCol: String, out: String): DataFrame = assigned
+      .filter(col("comp").isNotNull)
+      .groupBy(col("comp"), col(splitCol)).agg(count(lit(1)).as("ns"))
+      .groupBy(col("comp")).agg(sum(col("ns")).as("n"),
+        sum(expr("ns * (ns - 1) div 2")).as("inp"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2 - inp")), lit(0L)).as(out))
+    val total = assigned.agg(count(lit(1)).as("n_total"))
+    assigned
+      .groupBy(col("split_cluster").as("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("rep")).as("n_groups"))
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(leakUnder("split_content", "leak_pairs_content")))
+      .crossJoin(broadcast(leakUnder("split_cluster", "leak_pairs_cluster")))
+      .select(col("split"), col("n_docs"),
+        expr("n_docs * 10000L div n_total").as("share_bp"),
+        col("n_groups"), col("leak_pairs_content"), col("leak_pairs_cluster"))
+      .orderBy(col("split"))
+  }
+
+  /** Stride interleave schedule (q291) — q251/q77 decide HOW MUCH of
+    * each source to train on; this decides IN WHAT ORDER: the k-th doc
+    * of a source with n_s docs gets the closed-form slot key
+    * (2k−1)·N·10⁶ / (2·n_s) (each source evenly spaced at stride
+    * N/n_s, offset half a stride — deterministic error diffusion), so
+    * ANY training prefix sees every source near its target share — no
+    * stored schedule, no driver loop, any worker recomputes its slots
+    * from (k, n_s, N) alone. The card audits exactly that promise: per
+    * source, the max deviation (bp) between realized and target share
+    * across the ten decile checkpoints of the schedule.
+    *
+    * Scale shape: per-source indices come from ONE GlobalRank over
+    * (source, doc_id) plus a catalog-sized min-offset broadcast (the
+    * q268 rule — never a source-partitioned window over the corpus);
+    * slot keys are map-only DECIMAL arithmetic; the global order is a
+    * second GlobalRank; the decile audit runs on a |sources|×10 grid
+    * (metadata-sized windows by design). */
+  def interleaveSchedule(spark: SparkSession, dir: String): DataFrame =
+    interleaveScheduleOf(Tables.documents(spark, dir))
+
+  private[graft] def interleaveScheduleOf(docs: DataFrame): DataFrame = {
+    import graft.operators.GlobalRank.rowNumber
+    val slim = docs.select(col("doc_id"), col("source"))
+    val g1 = rowNumber(slim, Seq(col("source").asc, col("doc_id").asc), "grk")
+    val offs = g1.groupBy(col("source"))
+      .agg(min(col("grk")).as("off"), count(lit(1)).as("n_s"))
+    val tot = offs.agg(sum(col("n_s")).as("n_total"))
+    val keyed = g1.join(broadcast(offs), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("k", col("grk") - col("off") + 1L)
+      .withColumn("slot_key", expr(
+        "CAST(CAST(2*k - 1 AS DECIMAL(38,0)) * n_total * 1000000 div (2 * n_s) AS BIGINT)"))
+    val pos = rowNumber(keyed,
+        Seq(col("slot_key").asc, col("source").asc, col("k").asc), "pos")
+      .withColumn("dec", expr("(pos - 1) * 10 div n_total"))
+    val counts = pos.groupBy(col("source"), col("dec")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("dec"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val grid = offs
+      .select(col("source"), col("n_s"), explode(expr("sequence(0L, 9L)")).as("dec"))
+      .join(counts, Seq("source", "dec"), "left")
+      .withColumn("cum", sum(coalesce(col("c"), lit(0L))).over(w))
+    val prefix = grid.groupBy(col("dec")).agg(sum(col("cum")).as("p"))
+    grid.join(prefix, Seq("dec"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        expr("abs(cum * 10000L div p - n_s * 10000L div n_total)").as("dev"),
+        expr("n_s * 10000L div n_total").as("share_bp"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"), max(col("share_bp")).as("share_bp"),
+        max(col("dev")).as("max_dev_bp"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10186,7 +10297,9 @@ object PipelineQueries {
     "q286_pca_power" -> (pcaPower _),
     "q287_decayed_hitters" -> (decayedHitters _),
     "q288_lpt_makespan" -> (lptMakespan _),
-    "q289_bitext_mining" -> (bitextMining _))
+    "q289_bitext_mining" -> (bitextMining _),
+    "q290_cluster_safe_split" -> (clusterSafeSplit _),
+    "q291_interleave_schedule" -> (interleaveSchedule _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -14979,7 +15092,75 @@ object PipelineQueries {
          |JOIN df ON nf.query_id = df.query_id
          |JOIN dr ON nf.neighbor_id = dr.query_id
          |ORDER BY id_src""".stripMargin
-    })
+    },
+    // q290: the q56 exact-Jaccard CC replays the clusters; both split
+    // rules and both combinatorial leak counts replay 1:1.
+    "q290_cluster_safe_split" -> {
+      val hText = duckH31("text")
+      val hRep = duckH31("CAST(rep AS VARCHAR)")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+         |cc AS (SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id),
+         |d0 AS (SELECT doc_id, cc.comp, COALESCE(cc.comp, doc_id) AS rep, text
+         |  FROM documents LEFT JOIN cc ON doc_id = cc.id),
+         |s AS (SELECT doc_id, comp, rep,
+         |    CASE WHEN $hText % 100 < 90 THEN 'train'
+         |         WHEN $hText % 100 < 95 THEN 'val' ELSE 'test' END AS sc,
+         |    CASE WHEN $hRep % 100 < 90 THEN 'train'
+         |         WHEN $hRep % 100 < 95 THEN 'val' ELSE 'test' END AS sk FROM d0),
+         |gc AS (SELECT comp, SUM(ns) AS n, SUM(ns * (ns - 1) // 2) AS inp FROM (
+         |    SELECT comp, sc, COUNT(*) AS ns FROM s WHERE comp IS NOT NULL GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |lc AS (SELECT COALESCE(SUM(n * (n - 1) // 2 - inp), 0) AS leak_pairs_content FROM gc),
+         |gk AS (SELECT comp, SUM(ns) AS n, SUM(ns * (ns - 1) // 2) AS inp FROM (
+         |    SELECT comp, sk, COUNT(*) AS ns FROM s WHERE comp IS NOT NULL GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |lk AS (SELECT COALESCE(SUM(n * (n - 1) // 2 - inp), 0) AS leak_pairs_cluster FROM gk),
+         |tot AS (SELECT COUNT(*) AS n_total FROM s)
+         |SELECT sk AS split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) * 10000 // n_total AS BIGINT) AS share_bp,
+         |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_groups,
+         |  CAST(leak_pairs_content AS BIGINT) AS leak_pairs_content,
+         |  CAST(leak_pairs_cluster AS BIGINT) AS leak_pairs_cluster
+         |FROM s, tot, lc, lk GROUP BY sk, n_total, leak_pairs_content, leak_pairs_cluster
+         |ORDER BY split""".stripMargin
+    },
+    // q291: serial windows replay both GlobalRanks; the slot key, the
+    // decile grid, and the deviation arithmetic replay over HUGEINT.
+    "q291_interleave_schedule" ->
+      s"""WITH d AS (SELECT doc_id, source FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_total FROM d),
+         |o AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
+         |k AS (SELECT d.source, o.n_s,
+         |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS k
+         |  FROM d JOIN o ON d.source = o.source),
+         |sk AS (SELECT source, n_s, k,
+         |    CAST(CAST(2*k - 1 AS HUGEINT) * n_total * 1000000 // (2 * n_s) AS BIGINT)
+         |      AS slot_key
+         |  FROM k, n),
+         |ps AS (SELECT source, n_s,
+         |    row_number() OVER (ORDER BY slot_key, source, k) AS pos FROM sk),
+         |dc AS (SELECT source, (pos - 1) * 10 // CAST(n_total AS BIGINT) AS dec,
+         |    COUNT(*) AS c FROM ps, n GROUP BY 1, 2),
+         |grid AS (SELECT g.source, g.n_s, g.dec,
+         |    SUM(COALESCE(dc.c, 0)) OVER (PARTITION BY g.source ORDER BY g.dec
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM (SELECT o.source, o.n_s, t.dec FROM o, range(10) t(dec)) g
+         |  LEFT JOIN dc ON dc.source = g.source AND dc.dec = g.dec),
+         |p AS (SELECT dec, SUM(cum) AS p FROM grid GROUP BY 1)
+         |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+         |  CAST(MAX(n_s * 10000 // CAST(n_total AS BIGINT)) AS BIGINT) AS share_bp,
+         |  CAST(MAX(ABS(cum * 10000 // p.p
+         |    - n_s * 10000 // CAST(n_total AS BIGINT))) AS BIGINT) AS max_dev_bp
+         |FROM grid JOIN p USING (dec), n GROUP BY source ORDER BY source""".stripMargin
+    )
 
   /** Shared q266/q267 oracle: the lag-window context replays per user
     * ordered by (ts, event_id); the context signature is the same h60 of

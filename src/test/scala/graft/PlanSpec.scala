@@ -1003,6 +1003,25 @@ class PlanSpec extends AnyFunSuite {
       s"the latest-hour frame is a broadcast 1-row cross join:\n$p")
   }
 
+  test("q290: leak counts are combinatorial aggregates over memoized tiers — no pair materialization") {
+    val p = planOf("q290_cluster_safe_split")
+    assert(!p.contains("CartesianProduct"),
+      s"the leak scalars are broadcast 1-row frames:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"clusters must come from the shared memoized tier outputs:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the split card must combine map-side:\n$p")
+  }
+
+  test("q291: both schedule ranks range-shard; the audit windows ride the 10-row decile grid") {
+    val p = planOf("q291_interleave_schedule")
+    assert(p.contains("rangepartitioning"),
+      s"per-source indices and global positions must route through GlobalRank:\n$p")
+    assert(!"""windowspecdefinition\((slot_key|grk|doc_id)#\d+""".r.findFirstIn(p).isDefined,
+      s"an unpartitioned window over the corpus-sized schedule frame:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q269: IPS estimate broadcasts the propensity/action frames — no event-scaled all-pairs") {
     val p = planOf("q269_ips_policy_eval")
     assert(!p.contains("CartesianProduct"),

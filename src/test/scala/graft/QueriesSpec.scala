@@ -3374,6 +3374,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.size == 3, s"all three planted pairs are mutual: $got")
   }
 
+  test("q290 cluster-safe split: dup family moves as one unit; content rule's leak is counted") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    // d0 ("val" under the content rule, h31%100 = 90) and d1 (same token SET,
+    // "train" at 17) are near-dups that the content split separates — one
+    // leaked pair. Cluster rule hashes rep=0 ("train" at 68) for both; the
+    // singleton d2 hashes rep=2 ("train" at 57). All three land in train.
+    val docs = Seq((0L, base), (1L, s"$base w1"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val clusters = graft.dedup.Dedup.nearDupClusters(docs, "doc_id", "text")
+    val got = graft.analytics.PipelineQueries.clusterSafeSplitOf(docs, clusters)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(("train", 3L, 10000L, 2L, 1L, 0L)), s"got $got")
+  }
+
+  test("q291 interleave: 4:2 planted sources land the hand-computed a,b,a,a,b,a order and deviations") {
+    import spark.implicits._
+    // a has 4 docs, b has 2, N=6: slot keys 0.75/2.25/3.75/5.25M (a) and
+    // 1.5/4.5M (b) give order a,b,a,a,b,a at positions 1..6 -> deciles
+    // 0,1,3,5,6,8; the decile-checkpoint deviations peak at d0 (only an
+    // 'a' has arrived: a sits at 10000 vs 6666, b at 0 vs 3333).
+    val docs = (1 to 4).map(i => (i.toLong, "a")) ++ Seq((5L, "b"), (6L, "b"))
+    val got = graft.analytics.PipelineQueries.interleaveScheduleOf(
+        docs.toDF("doc_id", "source"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(("a", 4L, 6666L, 3334L), ("b", 2L, 3333L, 3333L)), s"got $got")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

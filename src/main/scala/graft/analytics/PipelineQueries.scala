@@ -10057,6 +10057,88 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** q292 layout constants, shared with the oracle: leaf bucket width
+    * (doc ids per leaf) and the layer-2 fan-in (leaves per group). */
+  private[graft] val MerkleLeafDocs = 64L
+  private[graft] val MerkleFanIn = 16L
+
+  /** Merkle snapshot diff (q292) — q104 diffs two snapshots row by row
+    * (a full scan of both); a Merkle layout answers "WHERE did the
+    * corpus change" with O(changed · log) digest comparisons instead:
+    * leaf digest = order-free integer fold (sum of per-doc h60(id:text)
+    * mod 2⁶⁰) over a doc-id bucket, layer-2 digest = fold of
+    * [[MerkleFanIn]] leaf digests, root = fold of layer-2 digests. The
+    * "tomorrow" snapshot derives in-query (every 13th doc edited — the
+    * q285 lifecycle rule), and the card reports, per layer, how many
+    * digests differ and how many comparisons the hierarchical probe
+    * performs (root + the children of every changed group) vs the flat
+    * leaf-by-leaf scan — the arithmetic that justifies shipping the
+    * tree.
+    *
+    * Scale shape: both digest pyramids are stacked hash-keyed
+    * aggregates over map-only per-doc hashes (sums are order-free, so
+    * every layer partial-combines); the diff joins are keyed on bucket
+    * ids; the card is 3 rows. Digests live mod 2⁴⁰ so every bounded
+    * fan-in sum (64 docs/leaf, 16 leaves/group) stays far inside
+    * BIGINT; only the unbounded root fold rides DECIMAL(38,0). */
+  def merkleDiff(spark: SparkSession, dir: String): DataFrame =
+    merkleDiffOf(Tables.documents(spark, dir))
+
+  private[graft] def merkleDiffOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val M = 1L << 40
+    def pyramid(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val leaves = d
+        .select(expr(s"doc_id div $MerkleLeafDocs").as("leaf"),
+          md5_token_hashes(
+            array(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 60)
+            .getItem(0).as("h"))
+        .groupBy(col("leaf")).agg(expr(s"sum(h % $M) % $M").as("dig"))
+      val l2 = leaves.groupBy(expr(s"leaf div $MerkleFanIn").as("grp"))
+        .agg(expr(s"sum(dig) % $M").as("dig"))
+      val root = l2.agg(
+        expr(s"CAST(sum(CAST(dig AS DECIMAL(38,0))) % $M AS BIGINT)").as("dig"))
+      (leaves, l2, root)
+    }
+    val edited = docs.select(col("doc_id"),
+      when(col("doc_id") % 13 === 0, concat(col("text"), lit(" edited")))
+        .otherwise(col("text")).as("text"))
+    val (la, ga, ra) = pyramid(docs.select(col("doc_id"), col("text")))
+    val (lb, gb, rb) = pyramid(edited)
+    val leafDiff = la.withColumnRenamed("dig", "da")
+      .join(lb.withColumnRenamed("dig", "db"), Seq("leaf"), "full")
+      .select(expr(s"leaf div $MerkleFanIn").as("grp"),
+        when(not(col("da") <=> col("db")), 1L).otherwise(0L).as("chg"))
+    val grpDiff = ga.withColumnRenamed("dig", "da")
+      .join(gb.withColumnRenamed("dig", "db"), Seq("grp"), "full")
+      .select(col("grp"), when(not(col("da") <=> col("db")), 1L).otherwise(0L).as("chg"))
+    val rootDiff = ra.withColumnRenamed("dig", "da")
+      .crossJoin(rb.withColumnRenamed("dig", "db"))
+      .select(when(not(col("da") <=> col("db")), 1L).otherwise(0L).as("chg"))
+    val leafAgg = leafDiff.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_leaves"), sum(col("chg")).as("n_chg"))
+    val card = leafAgg
+      .join(grpDiff, Seq("grp"))
+      .agg(sum(col("n_leaves")).as("n_leaf"),
+        sum(col("n_chg")).as("n_leaf_chg"),
+        count(lit(1)).as("n_grp"),
+        sum(col("chg")).as("n_grp_chg"),
+        // hierarchical probe: 1 root compare + every group's digest +
+        // the leaves under CHANGED groups only.
+        (lit(1L) + count(lit(1)) +
+          sum(when(col("chg") === 1L, col("n_leaves")).otherwise(0L))).as("probes_tree"))
+    card.crossJoin(broadcast(rootDiff))
+      .select(explode(expr(
+        """array(
+          |struct('leaf' AS layer, n_leaf AS n_nodes, n_leaf_chg AS n_changed),
+          |struct('group' AS layer, n_grp AS n_nodes, n_grp_chg AS n_changed),
+          |struct('root' AS layer, 1L AS n_nodes, chg AS n_changed))""".stripMargin)).as("r"),
+        col("probes_tree"), col("n_leaf").as("probes_flat"))
+      .select(col("r.layer"), col("r.n_nodes"), col("r.n_changed"),
+        col("probes_tree"), col("probes_flat"))
+      .orderBy(col("layer"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10299,7 +10381,8 @@ object PipelineQueries {
     "q288_lpt_makespan" -> (lptMakespan _),
     "q289_bitext_mining" -> (bitextMining _),
     "q290_cluster_safe_split" -> (clusterSafeSplit _),
-    "q291_interleave_schedule" -> (interleaveSchedule _))
+    "q291_interleave_schedule" -> (interleaveSchedule _),
+    "q292_merkle_diff" -> (merkleDiff _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -15159,8 +15242,48 @@ object PipelineQueries {
          |  CAST(MAX(n_s * 10000 // CAST(n_total AS BIGINT)) AS BIGINT) AS share_bp,
          |  CAST(MAX(ABS(cum * 10000 // p.p
          |    - n_s * 10000 // CAST(n_total AS BIGINT))) AS BIGINT) AS max_dev_bp
-         |FROM grid JOIN p USING (dec), n GROUP BY source ORDER BY source""".stripMargin
-    )
+         |FROM grid JOIN p USING (dec), n GROUP BY source ORDER BY source""".stripMargin,
+    // q292: both digest pyramids, the per-layer diffs, and the probe
+    // arithmetic replay 1:1; DuckDB's HUGEINT sums make the mod-2^40
+    // folds exact at every layer.
+    "q292_merkle_diff" -> {
+      val m = 1L << 40
+      val h = graft.functions.Md5Hash.duckH60("CAST(doc_id AS VARCHAR) || ':' || text")
+      def pyr(src: String, pfx: String): String =
+        s"""l$pfx AS (SELECT doc_id // $MerkleLeafDocs AS leaf,
+           |    CAST(SUM(h % $m) % $m AS BIGINT) AS dig
+           |  FROM (SELECT doc_id, $h AS h FROM $src) GROUP BY 1),
+           |g$pfx AS (SELECT leaf // $MerkleFanIn AS grp,
+           |    CAST(SUM(dig) % $m AS BIGINT) AS dig FROM l$pfx GROUP BY 1),
+           |r$pfx AS (SELECT CAST(SUM(dig) % $m AS BIGINT) AS dig FROM g$pfx)""".stripMargin
+      s"""WITH a AS (SELECT doc_id, text FROM documents),
+         |b AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' edited'
+         |    ELSE text END AS text FROM documents),
+         |${pyr("a", "a")},
+         |${pyr("b", "b")},
+         |ld AS (SELECT leaf // $MerkleFanIn AS grp,
+         |    CASE WHEN la.dig IS DISTINCT FROM lb.dig THEN 1 ELSE 0 END AS chg
+         |  FROM la FULL JOIN lb USING (leaf)),
+         |gd AS (SELECT grp, CASE WHEN ga.dig IS DISTINCT FROM gb.dig THEN 1 ELSE 0 END AS chg
+         |  FROM ga FULL JOIN gb USING (grp)),
+         |rd AS (SELECT CASE WHEN ra.dig IS DISTINCT FROM rb.dig THEN 1 ELSE 0 END AS chg
+         |  FROM ra, rb),
+         |lag_ AS (SELECT grp, COUNT(*) AS n_leaves, SUM(chg) AS n_chg FROM ld GROUP BY 1),
+         |card AS (SELECT SUM(n_leaves) AS n_leaf, SUM(n_chg) AS n_leaf_chg,
+         |    COUNT(*) AS n_grp, SUM(gd.chg) AS n_grp_chg,
+         |    1 + COUNT(*) + SUM(CASE WHEN gd.chg = 1 THEN n_leaves ELSE 0 END) AS probes_tree
+         |  FROM lag_ JOIN gd USING (grp))
+         |SELECT layer, CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(n_changed AS BIGINT) AS n_changed,
+         |  CAST(probes_tree AS BIGINT) AS probes_tree,
+         |  CAST(probes_flat AS BIGINT) AS probes_flat
+         |FROM (
+         |  SELECT 'leaf' AS layer, n_leaf AS n_nodes, n_leaf_chg AS n_changed,
+         |    probes_tree, n_leaf AS probes_flat FROM card, rd
+         |  UNION ALL SELECT 'group', n_grp, n_grp_chg, probes_tree, n_leaf FROM card, rd
+         |  UNION ALL SELECT 'root', 1, rd.chg, probes_tree, n_leaf FROM card, rd)
+         |ORDER BY layer""".stripMargin
+    })
 
   /** Shared q266/q267 oracle: the lag-window context replays per user
     * ordered by (ts, event_id); the context signature is the same h60 of

@@ -100,7 +100,16 @@ object ClusterCheck {
     // head-window explode + 60-bit seam-hash shuffle across workers),
     // and the JL panel broadcast (q276 — a limit-bounded build side
     // crossing a real process boundary into the BNLJ).
-    "q276_jl_distortion", "q277_boiler_store", "q278_chunk_reassembly")
+    "q276_jl_distortion", "q277_boiler_store", "q278_chunk_reassembly",
+    // Continuation batch-2 additions: the quadruple-GlobalRank Borda
+    // fusion (q283 — four independent range exchanges whose pid block
+    // ranks and broadcast offsets must all agree across worker JVMs
+    // before the fused rank lines up), the cluster-safe split's leak
+    // contrast over the memoized tier outputs (q290 — executor-resident
+    // cluster cache feeding three aggregate consumers), and the stride
+    // interleave schedule (q291 — two chained GlobalRanks where the
+    // second ranks a frame derived from the first's broadcast offsets).
+    "q283_borda_fusion", "q290_cluster_safe_split", "q291_interleave_schedule")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

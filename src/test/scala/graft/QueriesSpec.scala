@@ -3407,6 +3407,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == Seq(("a", 4L, 6666L, 3334L), ("b", 2L, 3333L, 3333L)), s"got $got")
   }
 
+  test("q292 merkle diff: planted edit localizes to its leaf/group; probe count is hierarchical") {
+    import spark.implicits._
+    // ids 0,1 -> leaf 0; 64 -> leaf 1 (both group 0); 2048 -> leaf 32
+    // (group 2). Only id 0 is %13==0, so exactly leaf 0 / group 0 / root
+    // change. Tree probes: 1 root + 2 groups + 2 leaves under group 0 = 5;
+    // a flat scan compares all 3 leaves.
+    val docs = Seq((0L, "a b"), (1L, "c d"), (64L, "e f"), (2048L, "g h"))
+      .toDF("doc_id", "text")
+    val got = graft.analytics.PipelineQueries.merkleDiffOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      ("group", 2L, 1L, 5L, 3L),
+      ("leaf", 3L, 1L, 5L, 3L),
+      ("root", 1L, 1L, 5L, 3L)), s"got $got")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

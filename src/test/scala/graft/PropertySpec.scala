@@ -195,6 +195,76 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q283/q285/q290/q291/q292: card invariants hold for arbitrary corpora") {
+    import spark.implicits._
+    val P = graft.analytics.PipelineQueries
+    (0 until 2).foreach { s =>
+      val n = 36
+      val docs = randomCorpus(700L + s, n, 3, 40).toDF("doc_id", "source", "text")
+      // q283: the quota is exact; within a source the selected members are
+      // its lowest fused ranks, so their mean never exceeds the overall mean.
+      val borda = P.bordaFusionOf(docs).collect()
+      assert(borda.map(_.getLong(2)).sum == n / 4, s"seed $s: quota drift")
+      borda.filter(_.getLong(2) > 0).foreach { r =>
+        assert(r.getLong(5) <= r.getLong(4), s"seed $s: selection raised the mean rank")
+      }
+      // q284: epoch 0 never displaces from itself; shard counts agree.
+      val ep = P.epochScheduleOf(docs).collect()
+      assert(ep.head.getLong(3) == 0L, s"seed $s: epoch 0 displaced")
+      assert(ep.map(_.getLong(1)).distinct.length == 1, s"seed $s: shard counts differ")
+      // q285: normalization only collapses — gains and sheds are non-negative.
+      P.normalizationAuditOf(docs).collect().foreach { r =>
+        assert(r.getLong(4) >= 0L && r.getLong(5) >= 0L, s"seed $s: negative shed/gain")
+      }
+      // q290: the cluster rule never leaks, by construction.
+      val split = P.clusterSafeSplitOf(docs,
+        graft.dedup.Dedup.nearDupClusters(docs, "doc_id", "text")).collect()
+      assert(split.map(_.getLong(1)).sum == n.toLong, s"seed $s: split loses docs")
+      split.foreach(r => assert(r.getLong(5) == 0L, s"seed $s: cluster split leaked"))
+      // q291: every doc is scheduled; deviations are shares (≤ 10000 bp).
+      val il = P.interleaveScheduleOf(docs).collect()
+      assert(il.map(_.getLong(1)).sum == n.toLong, s"seed $s: schedule loses docs")
+      il.foreach(r => assert(r.getLong(3) <= 10000L, s"seed $s: deviation out of range"))
+      // q292: changes cascade upward; the tree never probes more than the
+      // flat scan plus the internal nodes.
+      val mk = P.merkleDiffOf(docs).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val (lc, gc, rc) = (mk("leaf").getLong(2), mk("group").getLong(2),
+        mk("root").getLong(2))
+      assert(lc >= gc && gc >= rc && rc == 1L, s"seed $s: change cascade broken")
+      assert(mk("root").getLong(3) <= 1L + mk("group").getLong(1) + mk("root").getLong(4),
+        s"seed $s: tree probes exceed flat + internals")
+    }
+  }
+
+  test("q286/q287/q288: bound invariants on arbitrary inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val P = graft.analytics.PipelineQueries
+    val rnd = new scala.util.Random(42L)
+    // q286: loadings are L∞-normalized; the variance share is a share.
+    val emb = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(graft.similarity.Pq.Dim)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val pca = P.pcaPowerOf(emb).collect()
+    assert(pca.map(r => math.abs(r.getLong(1))).max == 10000L, "L-inf norm drift")
+    pca.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) <= 10000L))
+    // q287: a decayed score can never exceed 256× the raw count, and the
+    // card is ordered by it.
+    val events = (0 until 300).map { _ =>
+      (rnd.nextInt(20).toLong, (90L + rnd.nextInt(12)) * 3600L)
+    }.toDF("user_id", "secs").withColumn("ts", timestamp_seconds(col("secs")))
+    val hit = P.decayedHittersOf(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    hit.foreach { case (_, d, c) => assert(d <= 256L * c, "decay exceeds raw mass") }
+    assert(hit.sortBy { case (u, d, _) => (-d, u) }.toSeq == hit.toSeq, "order drift")
+    // q288: the makespan is never under the lower bound; loads cover the corpus.
+    val docs = randomCorpus(900L, 24, 3, 40).toDF("doc_id", "source", "text")
+    val lpt = P.lptMakespanOf(docs).collect()
+    assert(lpt.forall(_.getLong(4) >= 10000L), "makespan under the lower bound")
+    assert(lpt.map(_.getLong(1)).sum == 3L, "source count drift")
+  }
+
   test("q279 span corruption: card invariants hold for arbitrary corpora") {
     import spark.implicits._
     (0 until 3).foreach { s =>

@@ -9824,10 +9824,16 @@ object PipelineQueries {
   def decayedHitters(spark: SparkSession, dir: String): DataFrame =
     decayedHittersOf(Tables.events(spark, dir))
 
-  private[graft] def decayedHittersOf(events: DataFrame): DataFrame = {
-    val hourly = events
+  private[graft] def decayedHittersOf(events: DataFrame): DataFrame =
+    decayedFold(events
       .groupBy(col("user_id"), expr("unix_micros(ts) div 3600000000L").as("hour_id"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The q287 decay fold over a merged (user_id, hour_id, n) frame —
+    * shared with the q293 streaming store (the fold is exactly the
+    * mergeable-state contract: partial hourly counts from any number of
+    * micro-batches sum into the same card). */
+  private[graft] def decayedFold(hourly: DataFrame): DataFrame = {
     val latest = hourly.agg(max(col("hour_id")).as("latest"))
     hourly.crossJoin(broadcast(latest))
       .select(col("user_id"), col("n"), col("hour_id"),
@@ -9840,6 +9846,54 @@ object PipelineQueries {
       .orderBy(col("decayed_x256").desc, col("user_id"))
       .limit(DecayTopK)
   }
+
+  /** Streaming trender (q293) — q287's decayed heavy hitters run the
+    * way a production trender actually runs: the event stream folds
+    * per micro-batch into (user, hour) count PARTIALS appended to an
+    * on-disk store (order-free, commutative — the mergeable-state
+    * property q287's docstring promises, here exercised for real), and
+    * the card reads the store, merges partials, and applies the same
+    * decay fold. Because partial hourly counts commute, the streaming
+    * card is IDENTICAL to the batch card — q293 shares q287's oracle
+    * verbatim, which is the strongest streaming/batch equivalence
+    * statement the gate can make.
+    *
+    * Scale shape: per micro-batch work is one keyed aggregate over the
+    * batch + an append (O(batch), never O(history)); the store holds
+    * (user, hour) partials — bounded by active keys × retention, not by
+    * event volume; the final fold is the q287 plan over the merged
+    * store. */
+  def streamTrender(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.memo(spark, s"q293|$dir") {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val work = java.nio.file.Files.createTempDirectory("graft_stream_trender").toString
+      val staged = s"$work/incoming"
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .repartition(4, pmod(col("event_id"), lit(4L)))
+        .write.parquet(staged)
+      val store = s"$work/partials"
+      val t0 = System.currentTimeMillis()
+      val q = s.readStream.schema(s.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream
+        .option("checkpointLocation", s"$work/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch
+            .groupBy(col("user_id"),
+              expr("unix_micros(ts) div 3600000000L").as("hour_id"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(store)
+          ()
+        }
+        .start()
+      graft.StreamLog.await(t0, q)
+      decayedFold(spark.read.parquet(store)
+        .groupBy(col("user_id"), col("hour_id")).agg(sum(col("n")).as("n")))
+    }
 
   /** q288 worker count, shared with the oracle. */
   private[graft] val LptWorkers = 4
@@ -10382,7 +10436,8 @@ object PipelineQueries {
     "q289_bitext_mining" -> (bitextMining _),
     "q290_cluster_safe_split" -> (clusterSafeSplit _),
     "q291_interleave_schedule" -> (interleaveSchedule _),
-    "q292_merkle_diff" -> (merkleDiff _))
+    "q292_merkle_diff" -> (merkleDiff _),
+    "q293_stream_trender" -> (streamTrender _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -15086,19 +15141,11 @@ object PipelineQueries {
          |FROM v$PcaIters vf, ray, dn, tr ORDER BY dim""".stripMargin
     },
     // q287: same (user, hour) counts, same shift-decay weights, same
-    // (decayed, user_id) top-k order.
-    "q287_decayed_hitters" ->
-      s"""WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
-         |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
-         |l AS (SELECT MAX(hour_id) AS latest FROM h)
-         |SELECT user_id,
-         |  CAST(SUM(n * (CASE WHEN latest - hour_id > $DecayMaxAge THEN 0
-         |    ELSE $DecayScale >> CAST(latest - hour_id AS INTEGER) END)) AS BIGINT)
-         |    AS decayed_x256,
-         |  CAST(SUM(n) AS BIGINT) AS n_events,
-         |  CAST(COUNT(*) AS BIGINT) AS n_hours
-         |FROM h, l GROUP BY user_id
-         |ORDER BY decayed_x256 DESC, user_id LIMIT $DecayTopK""".stripMargin,
+    // (decayed, user_id) top-k order. q293 shares this SQL verbatim:
+    // the streaming store's merged partials equal the batch hourly
+    // counts exactly (commutative sums), which IS the equivalence claim.
+    "q287_decayed_hitters" -> DecayedHittersOracleSql,
+    "q293_stream_trender" -> DecayedHittersOracleSql,
     // q288: the LPT greedy replays as a linear recursive CTE over the
     // (tok DESC, source) order; the four load columns update in lock
     // step and ties take the lowest worker via the <= CASE chain.
@@ -15284,6 +15331,22 @@ object PipelineQueries {
          |  UNION ALL SELECT 'root', 1, rd.chg, probes_tree, n_leaf FROM card, rd)
          |ORDER BY layer""".stripMargin
     })
+
+  /** Shared q287/q293 oracle: the decay fold over exact hourly counts —
+    * the streaming store's merged partials are identical by sum
+    * commutativity. */
+  private[graft] lazy val DecayedHittersOracleSql: String =
+    s"""WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+       |l AS (SELECT MAX(hour_id) AS latest FROM h)
+       |SELECT user_id,
+       |  CAST(SUM(n * (CASE WHEN latest - hour_id > $DecayMaxAge THEN 0
+       |    ELSE $DecayScale >> CAST(latest - hour_id AS INTEGER) END)) AS BIGINT)
+       |    AS decayed_x256,
+       |  CAST(SUM(n) AS BIGINT) AS n_events,
+       |  CAST(COUNT(*) AS BIGINT) AS n_hours
+       |FROM h, l GROUP BY user_id
+       |ORDER BY decayed_x256 DESC, user_id LIMIT $DecayTopK""".stripMargin
 
   /** Shared q266/q267 oracle: the lag-window context replays per user
     * ordered by (ts, event_id); the context signature is the same h60 of

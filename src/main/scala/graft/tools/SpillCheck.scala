@@ -81,7 +81,13 @@ object SpillCheck {
           // gram explode + per-doc window minima + fingerprint distinct
           // + df-capped pair self-join; the widest explode→window→join
           // chain among the session's new text operators).
-          "q271_winnowing_pairs").map { name =>
+          "q271_winnowing_pairs",
+          // Continuation batch-2 addition: the quadruple-GlobalRank Borda
+          // fusion (q283 — four range exchanges + four pid-window sorts
+          // over the full signal frame; the most sort-heavy new query,
+          // exactly the path that must stay hash-stable under forced
+          // spills).
+          "q283_borda_fusion").map { name =>
           val df = graft.SparkEntry.queries(name)(spark, sfDir)
           val row = df
             .select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))

@@ -3425,6 +3425,26 @@ class QueriesSpec extends AnyFunSuite {
       ("root", 1L, 1L, 5L, 3L)), s"got $got")
   }
 
+  test("q293 stream trender: micro-batch partials merge to exactly the batch q287 card") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val work = java.nio.file.Files.createTempDirectory("graft_q293_spec").toString
+    val rows = Seq.fill(3)((1L, 100L)) ++ Seq.fill(5)((2L, 99L)) ++
+      Seq.fill(100)((3L, 91L)) ++ Seq.fill(2)((4L, 92L))
+    val events = rows.zipWithIndex.map { case ((u, h), i) => (i.toLong, u, h) }
+      .toDF("event_id", "user_id", "h")
+      .withColumn("ts", timestamp_seconds(col("h") * 3600L))
+      .select(col("event_id"), col("ts"), col("user_id"))
+    events.write.parquet(s"$work/events.parquet")
+    val got = graft.analytics.PipelineQueries.streamTrender(spark, work)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 768L, 3L, 1L), (2L, 640L, 5L, 1L),
+      (4L, 2L, 2L, 1L), (3L, 0L, 100L, 1L)), s"got $got")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

@@ -10193,6 +10193,52 @@ object PipelineQueries {
       .orderBy(col("layer"))
   }
 
+  /** q294 eligibility floor (tokens), shared with the oracle. */
+  private[graft] val FimMinTokens = 8L
+
+  /** Fill-in-middle assembly card (q294) — the FIM pretraining
+    * objective's data side (Bavarian et al. 2022, "Efficient Training
+    * of Language Models to Fill in the Middle"): unlike q279's T5-style
+    * multi-span masking, FIM cuts ONE contiguous middle per document
+    * and reorders to PSM (prefix-suffix-middle) or SPM, 50/50. The PRNG
+    * is replaced by the portable h31(doc_id:fim) (the q279 rule): the
+    * two cut points are h mod n and (h≫7) mod n, the mode bit is
+    * (h≫15) mod 2. Card per source: eligible docs, docs with a
+    * non-empty middle, the middle token share (what the objective
+    * actually trains to infill), mean middle length, and the PSM share
+    * — the numbers a tokenizer/budget plan needs before reserving
+    * sentinel tokens.
+    *
+    * Scale shape: the whole schedule is ONE map-only projection (no
+    * explode — only lengths and hash arithmetic leave the row) followed
+    * by a ≤|sources|-row aggregate. */
+  def fimAssembly(spark: SparkSession, dir: String): DataFrame =
+    fimAssemblyOf(Tables.documents(spark, dir))
+
+  private[graft] def fimAssemblyOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        md5_token_hashes(array(concat(col("doc_id").cast("string"), lit(":fim"))), 31)
+          .getItem(0).as("h"))
+      .filter(col("n") >= FimMinTokens)
+      .select(col("source"), col("n"),
+        greatest(expr("h % n"), expr("shiftright(h, 7) % n")).minus(
+          least(expr("h % n"), expr("shiftright(h, 7) % n"))).as("mid"),
+        expr("shiftright(h, 15) % 2").as("mode"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mid") > 0L, 1L).otherwise(0L)).as("n_fim"),
+        sum(col("mid")).as("mid_sum"), sum(col("n")).as("tok_sum"),
+        sum(when(col("mode") === 0L, 1L).otherwise(0L)).as("n_psm"))
+      .select(col("source"), col("n_docs"), col("n_fim"),
+        expr("mid_sum * 10000L div tok_sum").as("mid_share_bp"),
+        expr("mid_sum * 100L div n_docs").as("avg_mid_x100"),
+        expr("n_psm * 10000L div n_docs").as("psm_bp"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10437,7 +10483,8 @@ object PipelineQueries {
     "q290_cluster_safe_split" -> (clusterSafeSplit _),
     "q291_interleave_schedule" -> (interleaveSchedule _),
     "q292_merkle_diff" -> (merkleDiff _),
-    "q293_stream_trender" -> (streamTrender _))
+    "q293_stream_trender" -> (streamTrender _),
+    "q294_fim_assembly" -> (fimAssembly _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -15330,6 +15377,24 @@ object PipelineQueries {
          |  UNION ALL SELECT 'group', n_grp, n_grp_chg, probes_tree, n_leaf FROM card, rd
          |  UNION ALL SELECT 'root', 1, rd.chg, probes_tree, n_leaf FROM card, rd)
          |ORDER BY layer""".stripMargin
+    },
+    // q294: the cut-point and mode arithmetic replays over the same
+    // portable h31; `%` on non-negative operands agrees across engines.
+    "q294_fim_assembly" -> {
+      val h = duckH31("CAST(doc_id AS VARCHAR) || ':fim'")
+      s"""WITH d AS (SELECT source, CAST(len(str_split(text, ' ')) AS BIGINT) AS n,
+         |    $h AS h FROM documents),
+         |e AS (SELECT source, n,
+         |    GREATEST(h % n, (h >> 7) % n) - LEAST(h % n, (h >> 7) % n) AS mid,
+         |    (h >> 15) % 2 AS mode
+         |  FROM d WHERE n >= $FimMinTokens)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN mid > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fim,
+         |  CAST(SUM(mid) * 10000 // SUM(n) AS BIGINT) AS mid_share_bp,
+         |  CAST(SUM(mid) * 100 // COUNT(*) AS BIGINT) AS avg_mid_x100,
+         |  CAST(SUM(CASE WHEN mode = 0 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         |    AS psm_bp
+         |FROM e GROUP BY source ORDER BY source""".stripMargin
     })
 
   /** Shared q287/q293 oracle: the decay fold over exact hourly counts —

@@ -3445,6 +3445,32 @@ class QueriesSpec extends AnyFunSuite {
       (4L, 2L, 2L, 1L), (3L, 0L, 100L, 1L)), s"got $got")
   }
 
+  test("q294 FIM: cut points, modes, and shares equal a sequential replica") {
+    import spark.implicits._
+    val texts = Seq.tabulate(10)(i => (8 + i * 3, i)).map { case (n, i) =>
+      (i.toLong, s"s${i % 2}", (1 to n).map(j => s"t$j").mkString(" "))
+    } :+ ((99L, "s0", "too short"))
+    val docs = texts.toDF("doc_id", "source", "text")
+    val elig = texts.filter(_._3.split(" ").length >= 8)
+    val rows = elig.map { case (id, src, t) =>
+      val n = t.split(" ").length.toLong
+      val h = graft.functions.Md5Hash.h31(s"$id:fim".getBytes)
+      val (a, b) = (h % n, (h >> 7) % n)
+      (src, n, math.max(a, b) - math.min(a, b), (h >> 15) % 2)
+    }
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, g) =>
+      val (nd, mid, tok) = (g.size.toLong, g.map(_._3).sum, g.map(_._2).sum)
+      (src, nd, g.count(_._3 > 0).toLong, mid * 10000L / tok, mid * 100L / nd,
+        g.count(_._4 == 0).toLong * 10000L / nd)
+    }
+    val got = graft.analytics.PipelineQueries.fimAssemblyOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

@@ -10239,6 +10239,142 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** q295 LSH operating point, shared with the oracle: few tables ×
+    * wide keys — the regime where multi-probe pays. */
+  private[graft] val MpTables = 4
+  private[graft] val MpBits = 8
+  private[graft] val MpSeed = 7L
+
+  /** Multi-probe LSH recall/cost card (q295) — the Lv et al. 2007
+    * improvement over q34's single-probe LSH: instead of adding hash
+    * tables (more signatures, more index), the QUERY also probes each
+    * table's bucket with its lowest-margin bit flipped — the bit whose
+    * |dot| sits closest to the plane is the one a true neighbor most
+    * likely crossed. The card puts the trade in one place: for the same
+    * signatures, candidate pairs generated and recall@10 against the
+    * exact brute-force truth, single-probe vs two-probe.
+    *
+    * Scale shape: both variants share ONE corpus signature pass
+    * (probing is query-side only — zero extra index); candidate joins
+    * are hash joins on (table, bucket); exact rerank touches candidates
+    * only and ranks via the map-side-bounded TopKAggregator; the card
+    * is 2 rows. */
+  def multiProbeLsh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val embs = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val truth = Ann.bruteForceTopK(queries, embs, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = Ann.bucketed(embs, "vec_id", "embedding", MpTables, MpBits, MpSeed)
+      .select(col("table_idx"), col("bucket"), col("id").as("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def card(qside: DataFrame, name: String): DataFrame = {
+      val pairs = qside.join(cb, Seq("table_idx", "bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val scored = pairs
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))), Seq("query_id"))
+        .join(embs.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("neighbor_vec")), Seq("neighbor_id"))
+        .withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec")))
+      val hits = Ann.topKRanked(scored, 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      truth.agg(countDistinct(col("query_id")).as("n_queries"))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(lit(name).as("variant"), col("n_queries"), col("n_pairs"),
+          col("n_hits"), expr("n_hits * 10000L div (n_queries * 10)").as("recall_bp"))
+    }
+    val qb1 = Ann.bucketed(queries, "vec_id", "embedding", MpTables, MpBits, MpSeed)
+      .select(col("table_idx"), col("bucket"), col("id").as("query_id"))
+    val qb2 = Ann.probed(queries, "vec_id", "embedding", MpTables, MpBits, MpSeed)
+      .select(col("table_idx"), col("bucket"), col("id").as("query_id"))
+    card(qb1, "single").unionByName(card(qb2, "two_probe"))
+      .orderBy(col("variant"))
+  }
+
+  /** KMV audience suppression (q296) — the set-DIFFERENCE estimate that
+    * completes the repo's mergeable-sketch algebra (union: q230,
+    * intersection: q121/q210): "users who did A but never B" is the
+    * suppression audience every activation pipeline prices before a
+    * send, and it is answerable from the SAME bottom-k sketches with no
+    * new state — the union's k-th-smallest threshold turns the two
+    * sketches into a uniform sample of A∪B, and the sample share that
+    * sits in A but not B scales the union estimate (both directions
+    * emitted). Estimates are exact integer arithmetic over the portable
+    * (user % P)·C1+C2 % P hashes — fully hash-checked, not a bounded
+    * claim — with the exact audit columns alongside (the q121 rule:
+    * estimate quality is data).
+    *
+    * Scale shape: identical to q121 — per-type bottom-k rides the
+    * map-side-bounded TopKAggregator (the shuffle carries ≤ k values
+    * per type per partition, never the distinct-user stream); all pair
+    * math runs on |types|²-row frames of k-length arrays; exact audits
+    * are one distinct + one self-join on user_id, dropped at scale. */
+  def kmvDifference(spark: SparkSession, dir: String): DataFrame = {
+    val distinctTV = Tables
+      .events(spark, dir)
+      .select(col("event_type"),
+        ((col("user_id") % SampleP) * SampleC1 + SampleC2) % SampleP as "v")
+      .distinct()
+    val sketches = graft.similarity.Ann.topKRanked(
+      distinctTV.select(
+        xxhash64(col("event_type")).as("query_id"),
+        col("v").as("neighbor_id"),
+        negate(col("v").cast("double")).as("cosine")),
+      KmvK)
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(col("neighbor_id"))).as("vs"))
+    val typeMap = Tables.events(spark, dir).select(col("event_type")).distinct()
+      .select(col("event_type"), xxhash64(col("event_type")).as("query_id"))
+    val s = sketches.join(broadcast(typeMap), Seq("query_id"))
+      .select(col("event_type"), col("vs"))
+    val exactPer = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("nd"))
+    val du = Tables.events(spark, dir).select(col("event_type"), col("user_id")).distinct()
+    val exactPair = du.as("a")
+      .join(du.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    s.as("sa")
+      .join(s.as("sb"), col("sa.event_type") < col("sb.event_type"))
+      .select(
+        col("sa.event_type").as("type_a"), col("sb.event_type").as("type_b"),
+        col("sa.vs").as("va"), col("sb.vs").as("vb"))
+      .withColumn("uk", array_sort(array_union(col("va"), col("vb"))))
+      .withColumn("m", least(lit(KmvK), size(col("uk"))))
+      .withColumn("kth", element_at(col("uk"), col("m")))
+      .withColumn("est_union", expr(s"(m - 1) * ${SampleP}L div kth"))
+      .withColumn("d_ab",
+        size(array_except(array_intersect(slice(col("uk"), lit(1), col("m")), col("va")),
+          col("vb"))))
+      .withColumn("d_ba",
+        size(array_except(array_intersect(slice(col("uk"), lit(1), col("m")), col("vb")),
+          col("va"))))
+      .withColumn("est_diff_ab", expr("est_union * d_ab div m"))
+      .withColumn("est_diff_ba", expr("est_union * d_ba div m"))
+      .join(exactPair, Seq("type_a", "type_b"), "left")
+      .join(exactPer.select(col("event_type").as("type_a"), col("nd").as("nd_a")), Seq("type_a"))
+      .join(exactPer.select(col("event_type").as("type_b"), col("nd").as("nd_b")), Seq("type_b"))
+      .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
+      .withColumn("exact_union", col("nd_a") + col("nd_b") - col("exact_overlap"))
+      .select(col("type_a"), col("type_b"),
+        (col("nd_a") - col("exact_overlap")).as("exact_diff_ab"),
+        (col("nd_b") - col("exact_overlap")).as("exact_diff_ba"),
+        col("est_diff_ab"), col("est_diff_ba"),
+        expr("abs(est_diff_ab - (nd_a - exact_overlap)) * 10000L div exact_union")
+          .as("diff_ab_err_bp"),
+        expr("abs(est_diff_ba - (nd_b - exact_overlap)) * 10000L div exact_union")
+          .as("diff_ba_err_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10484,7 +10620,9 @@ object PipelineQueries {
     "q291_interleave_schedule" -> (interleaveSchedule _),
     "q292_merkle_diff" -> (merkleDiff _),
     "q293_stream_trender" -> (streamTrender _),
-    "q294_fim_assembly" -> (fimAssembly _))
+    "q294_fim_assembly" -> (fimAssembly _),
+    "q295_multiprobe_lsh" -> (multiProbeLsh _),
+    "q296_kmv_difference" -> (kmvDifference _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -15395,7 +15533,83 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN mode = 0 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
          |    AS psm_bp
          |FROM e GROUP BY source ORDER BY source""".stripMargin
-    })
+    },
+    // q295: planes, per-bit dots, keys, the lowest-|dot| flip, both
+    // candidate sets, the exact rerank, and recall@10 replay 1:1; the
+    // cosine is the shared bit-exact left fold.
+    "q295_multiprobe_lsh" -> {
+      val cosT = VectorOracles.cosine("qe.embedding", "ne.embedding")
+      def variant(cand: String, name: String, out: String): String =
+        s"""s$out AS (SELECT c.query_id, c.neighbor_id,
+           |    $cosT AS cosine
+           |  FROM $cand c JOIN embeddings qe ON qe.vec_id = c.query_id
+           |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+           |k$out AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+           |    FROM s$out WHERE cosine IS NOT NULL) WHERE rn <= 10),
+           |h$out AS (SELECT COUNT(*) AS n_hits FROM k$out JOIN btk USING (query_id, neighbor_id)),
+           |n$out AS (SELECT COUNT(*) AS n_pairs FROM $cand),
+           |r$out AS (SELECT '$name' AS variant, qn.n_queries, n$out.n_pairs, h$out.n_hits,
+           |    CAST(h$out.n_hits * 10000 // (qn.n_queries * 10) AS BIGINT) AS recall_bp
+           |  FROM qn, n$out, h$out)""".stripMargin
+      s"""WITH ${VectorOracles.probeCte(MpTables, MpBits, 64, MpSeed)},
+         |bt AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${VectorOracles.cosine("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.embedding IS NOT NULL AND c.embedding IS NOT NULL
+         |    AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |btk AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |    FROM bt WHERE cosine IS NOT NULL) WHERE rn <= 10),
+         |qn AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM btk),
+         |c1 AS (SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id
+         |  FROM bk qb JOIN bk cb ON qb.t = cb.t AND qb.bucket = cb.bucket AND qb.id <> cb.id
+         |  WHERE qb.id % 50 = 0),
+         |c2 AS (SELECT DISTINCT qp.id AS query_id, cb.id AS neighbor_id
+         |  FROM pr qp JOIN bk cb ON qp.t = cb.t AND qp.bucket = cb.bucket AND qp.id <> cb.id
+         |  WHERE qp.id % 50 = 0),
+         |${variant("c1", "single", "1")},
+         |${variant("c2", "two_probe", "2")}
+         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY variant""".stripMargin
+    },
+    // q296: same sketches, same union-threshold sample as q121; the
+    // difference shares replay via list_filter(NOT list_contains).
+    "q296_kmv_difference" ->
+      s"""WITH v AS (SELECT DISTINCT event_type, ((user_id % $SampleP) * $SampleC1 + $SampleC2) % $SampleP AS v FROM events),
+         |r AS (SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn FROM v),
+         |s AS (SELECT event_type, list(v ORDER BY v) AS vs FROM r WHERE rn <= $KmvK GROUP BY event_type),
+         |e AS (SELECT DISTINCT event_type, user_id FROM events),
+         |nd AS (SELECT event_type, COUNT(*) AS nd FROM e GROUP BY event_type),
+         |ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS exact_overlap
+         |       FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |       GROUP BY 1, 2),
+         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, a.vs AS va, b.vs AS vb
+         |      FROM s a JOIN s b ON a.event_type < b.event_type),
+         |c AS (SELECT type_a, type_b, va, vb, list_sort(list_distinct(list_concat(va, vb))) AS uk FROM p),
+         |c2 AS (SELECT type_a, type_b, va, vb, uk, LEAST($KmvK, len(uk)) AS m FROM c),
+         |c3 AS (SELECT type_a, type_b, m, (m - 1) * $SampleP // uk[m] AS est_union,
+         |        len(list_filter(list_intersect(uk[1:m], va), x -> NOT list_contains(vb, x))) AS d_ab,
+         |        len(list_filter(list_intersect(uk[1:m], vb), x -> NOT list_contains(va, x))) AS d_ba
+         |       FROM c2),
+         |c4 AS (SELECT type_a, type_b, est_union,
+         |        est_union * d_ab // m AS est_diff_ab, est_union * d_ba // m AS est_diff_ba
+         |       FROM c3)
+         |SELECT c4.type_a, c4.type_b,
+         |  CAST(na.nd - COALESCE(ov.exact_overlap, 0) AS BIGINT) AS exact_diff_ab,
+         |  CAST(nb.nd - COALESCE(ov.exact_overlap, 0) AS BIGINT) AS exact_diff_ba,
+         |  CAST(est_diff_ab AS BIGINT) AS est_diff_ab,
+         |  CAST(est_diff_ba AS BIGINT) AS est_diff_ba,
+         |  CAST(abs(est_diff_ab - (na.nd - COALESCE(ov.exact_overlap, 0))) * 10000
+         |    // (na.nd + nb.nd - COALESCE(ov.exact_overlap, 0)) AS BIGINT) AS diff_ab_err_bp,
+         |  CAST(abs(est_diff_ba - (nb.nd - COALESCE(ov.exact_overlap, 0))) * 10000
+         |    // (na.nd + nb.nd - COALESCE(ov.exact_overlap, 0)) AS BIGINT) AS diff_ba_err_bp
+         |FROM c4
+         |JOIN nd na ON na.event_type = c4.type_a
+         |JOIN nd nb ON nb.event_type = c4.type_b
+         |LEFT JOIN ov ON ov.type_a = c4.type_a AND ov.type_b = c4.type_b
+         |ORDER BY c4.type_a, c4.type_b""".stripMargin)
 
   /** Shared q287/q293 oracle: the decay fold over exact hourly counts —
     * the streaming store's merged partials are identical by sum

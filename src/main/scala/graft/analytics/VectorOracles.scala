@@ -62,6 +62,27 @@ private[analytics] object VectorOracles {
        |  GROUP BY e.vec_id, pl.t)""".stripMargin
   }
 
+  /** WITH-fragments `pl` (planes), `pd` (per-(vec, table, bit) left-fold
+    * dots), `bk` (sign-bit keys, as [[bucketCte]]), `fb` (the
+    * lowest-|dot| bit per (vec, table) — ties to the lowest bit index,
+    * exactly [[graft.functions.HyperplaneProbes]]' strict-< scan), and
+    * `pr` (the two-probe set: bucket ∪ bucket ^ (1<<bmin)). */
+  def probeCte(tables: Int, bits: Int, dim: Int, seed: Long): String = {
+    val dot = foldSum(
+      "list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])")
+    s"""pl(t, b, p) AS (VALUES ${planeValues(tables, bits, dim, seed)}),
+       |pd AS (SELECT e.vec_id AS id, pl.t, pl.b, $dot AS dot
+       |  FROM embeddings e CROSS JOIN pl WHERE e.embedding IS NOT NULL),
+       |bk AS (SELECT id, t, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b)
+       |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket FROM pd GROUP BY 1, 2),
+       |fb AS (SELECT id, t, b AS bmin FROM (
+       |    SELECT id, t, b, ROW_NUMBER() OVER (PARTITION BY id, t ORDER BY ABS(dot), b) AS rn
+       |    FROM pd) WHERE rn = 1),
+       |pr AS (SELECT id, t, bucket FROM bk
+       |  UNION SELECT bk.id, bk.t, xor(bk.bucket, CAST(1 AS BIGINT) << fb.bmin)
+       |  FROM bk JOIN fb ON bk.id = fb.id AND bk.t = fb.t)""".stripMargin
+  }
+
   /** L2 norm — the same x² left fold as [[graft.functions.L2Norm]]
     * (sqrt of a sum of squares; 0.0, not NULL, for a zero vector). */
   def l2norm(a: String): String =

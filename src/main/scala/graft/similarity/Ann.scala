@@ -39,6 +39,23 @@ object Ann {
       .select(col("id"), col("vec"), posexplode(col("buckets")).as(Seq("table_idx", "bucket")))
   }
 
+  /** Multi-probe signature rows (Lv et al. 2007): per table the sign-bit
+    * bucket AND its lowest-|dot|-bit flip (see
+    * [[graft.functions.HyperplaneProbes]]) — the QUERY-side expansion
+    * that buys most of a second hash table's recall with zero extra
+    * corpus signatures. Result: (id, table_idx, bucket) with two rows
+    * per (id, table). */
+  private[graft] def probed(embs: DataFrame, idCol: String, vecCol: String,
+      tables: Int, bits: Int, seed: Long, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(tables, bits, dim, seed)
+    embs
+      .select(
+        col(idCol).as("id"),
+        graft.functions.HyperplaneFunctions.hyperplane_probes(col(vecCol), planes).as("ps"))
+      .select(col("id"), posexplode(col("ps")).as(Seq("table_idx", "keys")))
+      .select(col("id"), col("table_idx"), explode(col("keys")).as("bucket"))
+  }
+
   /** Typed bounded top-k accumulator over (id, score): kept sorted by
     * (score desc, id asc), capped at k. The selection is a pure function of
     * the input SET (merge-order independent), so the result is identical to

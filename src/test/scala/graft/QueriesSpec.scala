@@ -3471,6 +3471,104 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q295 multi-probe LSH: card equals a sequential replica; two-probe dominates single") {
+    import spark.implicits._
+    val P = graft.analytics.PipelineQueries
+    val d = graft.similarity.Pq.Dim
+    val rnd = new scala.util.Random(5L)
+    val vecs = (0 until 120).map(i => (i.toLong, Seq.fill(d)(rnd.nextFloat() - 0.5f)))
+    val work = java.nio.file.Files.createTempDirectory("graft_q295_spec").toString
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$work/embeddings.parquet")
+    // Sequential replica over the same planes.
+    val planes = graft.similarity.Ann.hyperplanes(P.MpTables, P.MpBits, d, P.MpSeed)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.zip(b).foreach { case (x, y) =>
+        dot += x.toDouble * y.toDouble; na += x.toDouble * x.toDouble
+        nb += y.toDouble * y.toDouble
+      }
+      dot / math.sqrt(na * nb)
+    }
+    def keyAndFlip(v: Seq[Float], t: Int): (Long, Long) = {
+      var key = 0L; var bestA = Double.MaxValue; var bestB = 0
+      for (b <- planes(t).indices) {
+        val dot = planes(t)(b).zipWithIndex.map { case (p, j) => v(j) * p }.sum
+        if (dot > 0) key |= (1L << b)
+        if (math.abs(dot) < bestA) { bestA = math.abs(dot); bestB = b }
+      }
+      (key, key ^ (1L << bestB))
+    }
+    val sig = vecs.map { case (id, v) =>
+      id -> (0 until P.MpTables).map(t => keyAndFlip(v, t))
+    }.toMap
+    val qs = vecs.filter(_._1 % 50 == 0)
+    val truth = qs.map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    }.toMap
+    def replicaCard(twoProbe: Boolean): (Long, Long, Long) = {
+      val cand = qs.flatMap { case (qid, _) =>
+        vecs.filter(_._1 != qid).collect { case (id, _) if (0 until P.MpTables).exists { t =>
+          val qk = sig(qid)(t); val ck = sig(id)(t)._1
+          ck == qk._1 || (twoProbe && ck == qk._2)
+        } => (qid, id) }
+      }
+      val hits = cand.groupBy(_._1).toSeq.map { case (qid, ps) =>
+        val qv = vecs(qid.toInt)._2
+        val top = ps.map(_._2).distinct
+          .map(id => (id, cos(qv, vecs(id.toInt)._2)))
+          .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+        top.count(truth(qid))
+      }.sum
+      (cand.distinct.size.toLong, hits.toLong,
+        hits.toLong * 10000L / (qs.size.toLong * 10L))
+    }
+    val (p1, h1, r1) = replicaCard(twoProbe = false)
+    val (p2, h2, r2) = replicaCard(twoProbe = true)
+    val got = P.multiProbeLsh(spark, work)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      ("single", qs.size.toLong, p1, h1, r1),
+      ("two_probe", qs.size.toLong, p2, h2, r2)), s"got $got vs $p1/$h1/$r1 $p2/$h2/$r2")
+    assert(p2 >= p1 && r2 >= r1, "two-probe must dominate single-probe")
+  }
+
+  test("q296 KMV difference: planted audiences land the exact threshold-sample arithmetic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val work = java.nio.file.Files.createTempDirectory("graft_q296_spec").toString
+    val usersA = (1L to 6L).toSeq
+    val usersB = (4L to 9L).toSeq
+    val rows = usersA.map(("a", _)) ++ usersB.map(("b", _))
+    rows.zipWithIndex.map { case ((t, u), i) => (i.toLong, t, u, 100L) }
+      .toDF("event_id", "event_type", "user_id", "h")
+      .withColumn("ts", timestamp_seconds(col("h") * 3600L))
+      .drop("h")
+      .write.parquet(s"$work/events.parquet")
+    val (p, c1, c2) = (2147483647L, 2654435761L, 1013904223L)
+    def hv(u: Long) = ((u % p) * c1 + c2) % p
+    val va = usersA.map(hv).distinct.sorted
+    val vb = usersB.map(hv).distinct.sorted
+    val uk = (va ++ vb).distinct.sorted
+    val m = uk.size // 9 < k=128: sketches hold everything
+    val estU = (m - 1).toLong * p / uk(m - 1)
+    val dAb = uk.take(m).count(x => va.contains(x) && !vb.contains(x))
+    val dBa = uk.take(m).count(x => vb.contains(x) && !va.contains(x))
+    val (estAb, estBa) = (estU * dAb / m, estU * dBa / m)
+    val exactU = 9L
+    val expected = Seq(("a", "b", 3L, 3L, estAb, estBa,
+      math.abs(estAb - 3L) * 10000L / exactU, math.abs(estBa - 3L) * 10000L / exactU))
+    val got = graft.analytics.PipelineQueries.kmvDifference(spark, work)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

@@ -10375,6 +10375,95 @@ object PipelineQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Median-centered binary quantization (q297) — why q224's sign codes
+    * underperform on uncentered data: a bit that is 1 for 90% of the
+    * corpus carries ~0.47 bits of entropy, so Hamming distances bunch
+    * and the candidate stage loses discrimination. Centering each
+    * dimension at its EXACT median (fixed-point ⌊x·10⁶⌋, the q209
+    * floors; lower median, rank ⌈n/2⌉) balances every bit by
+    * construction. The card proves the claim on this corpus: for the
+    * same candidate budget, recall@10 against the exact brute truth and
+    * the mean per-dimension bit imbalance (bp from 50/50), zero
+    * threshold vs median threshold.
+    *
+    * Scale shape: medians ride the q268 discipline — ONE GlobalRank
+    * over (dim, f) plus a 64-row offset broadcast, never a
+    * dim-partitioned window over the corpus; the 64 medians are a
+    * bounded collect baked into the packing expressions as literals
+    * (map-only codegen, the q224 shape); the Hamming stage runs on
+    * CODES only with broadcast query words and the map-side-bounded
+    * TopKAggregator; exact rerank touches candidates only. */
+  def medianBinaryQuant(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    import graft.operators.GlobalRank.rowNumber
+    val d = graft.similarity.Pq.Dim
+    val embs = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= d)
+    val f = embs.select(col("vec_id"),
+      expr(s"transform(slice(embedding, 1, $d), " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("f"))
+    val exploded = f.select(col("vec_id"), posexplode(col("f")).as(Seq("dim", "fv")))
+    val ranked = rowNumber(exploded,
+      Seq(col("dim").asc, col("fv").asc, col("vec_id").asc), "grk")
+    val offs = ranked.groupBy(col("dim"))
+      .agg(min(col("grk")).as("off"), count(lit(1)).as("cnt"))
+    val medians = ranked.join(broadcast(offs), Seq("dim"))
+      .filter(col("grk") - col("off") + 1L === expr("(cnt + 1) div 2"))
+      .select(col("dim"), col("fv").as("med"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val truth = Ann.bruteForceTopK(embs.filter(col("vec_id") % 50 === 0), embs,
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def card(med: Int => Long, name: String): DataFrame = {
+      def word(lohi: (Int, Int)) = expr(
+        (lohi._1 until lohi._2).map(i =>
+          s"CAST(CASE WHEN f[$i] > ${med(i)}L THEN ${1L << (i % 32)} ELSE 0 END AS BIGINT)")
+          .mkString(" + "))
+      val coded = f.select(col("vec_id"), col("f"),
+        word((0, 32)).as("b_lo"), word((32, d)).as("b_hi"))
+      val q = coded.filter(col("vec_id") % 50 === 0)
+      val ham = coded
+        .join(broadcast(q.select(col("vec_id").as("query_id"),
+          col("b_lo").as("q_lo"), col("b_hi").as("q_hi"))),
+          col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (expr("bit_count(b_lo ^ q_lo)") + expr("bit_count(b_hi ^ q_hi)")).as("hamming"))
+      val cand = Ann.topKRanked(
+        ham.select(col("query_id"), col("neighbor_id"),
+          (-col("hamming")).cast("double").as("cosine")),
+        BinaryAnnCandidates)
+        .select(col("query_id"), col("neighbor_id"))
+      val rerank = cand
+        .join(broadcast(embs.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))), Seq("query_id"))
+        .join(embs.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+          Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine_sim(col("qv"), col("nv")).as("cosine"))
+      val hits = Ann.topKRanked(rerank, 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      val imb = coded
+        .select(posexplode(col("f")).as(Seq("dim", "fv")))
+        .select(col("dim"),
+          when(col("fv") > expr("element_at(map(" +
+            (0 until d).map(i => s"$i, ${med(i)}L").mkString(", ") + "), dim)"), 1L)
+            .otherwise(0L).as("one"))
+        .groupBy(col("dim"))
+        .agg(expr("abs(sum(one) * 10000L div count(1) - 5000L)").as("imb"))
+        .agg(expr(s"sum(imb) div $d").as("imbalance_bp"))
+      truth.agg(countDistinct(col("query_id")).as("n_queries"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .crossJoin(broadcast(imb))
+        .select(lit(name).as("variant"), col("n_queries"), col("n_hits"),
+          expr("n_hits * 10000L div (n_queries * 10)").as("recall_bp"),
+          col("imbalance_bp"))
+    }
+    card(medians(_), "median").unionByName(card(_ => 0L, "zero"))
+      .orderBy(col("variant"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10622,7 +10711,8 @@ object PipelineQueries {
     "q293_stream_trender" -> (streamTrender _),
     "q294_fim_assembly" -> (fimAssembly _),
     "q295_multiprobe_lsh" -> (multiProbeLsh _),
-    "q296_kmv_difference" -> (kmvDifference _))
+    "q296_kmv_difference" -> (kmvDifference _),
+    "q297_median_binary_quant" -> (medianBinaryQuant _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -15609,7 +15699,67 @@ object PipelineQueries {
          |JOIN nd na ON na.event_type = c4.type_a
          |JOIN nd nb ON nb.event_type = c4.type_b
          |LEFT JOIN ov ON ov.type_a = c4.type_a AND ov.type_b = c4.type_b
-         |ORDER BY c4.type_a, c4.type_b""".stripMargin)
+         |ORDER BY c4.type_a, c4.type_b""".stripMargin,
+    // q297: medians (per-dim lower median over the same fixed-point
+    // floors), both code words, the Hamming candidate stage, the exact
+    // rerank, recall@10, and the bit-imbalance column replay 1:1.
+    "q297_median_binary_quant" -> {
+      import graft.similarity.Pq.Dim
+      val d = Dim
+      def word(thr: String, lohi: (Int, Int)): String =
+        s"""SUM(CASE WHEN dim >= ${lohi._1} AND dim < ${lohi._2} AND fv > $thr
+           | THEN (CAST(1 AS BIGINT) << (dim % 32)) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+      def variant(codes: String, thr: String, name: String, o: String): String =
+        s"""c$o AS (SELECT vec_id, ${word(thr, (0, 32))} AS b_lo,
+           |    ${word(thr, (32, d))} AS b_hi FROM $codes GROUP BY 1),
+           |hm$o AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    bit_count(xor(c.b_lo, q.b_lo)) + bit_count(xor(c.b_hi, q.b_hi)) AS hamming
+           |  FROM c$o c JOIN c$o q ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+           |cd$o AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn
+           |    FROM hm$o) WHERE rn <= $BinaryAnnCandidates),
+           |s$o AS (SELECT cd$o.query_id, cd$o.neighbor_id,
+           |    ${VectorOracles.cosine("qe.embedding", "ne.embedding")} AS cosine
+           |  FROM cd$o JOIN embeddings qe ON qe.vec_id = cd$o.query_id
+           |  JOIN embeddings ne ON ne.vec_id = cd$o.neighbor_id),
+           |k$o AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+           |    FROM s$o WHERE cosine IS NOT NULL) WHERE rn <= 10),
+           |h$o AS (SELECT COUNT(*) AS n_hits FROM k$o JOIN btk USING (query_id, neighbor_id)),
+           |im$o AS (SELECT SUM(imb) // $d AS imbalance_bp FROM (
+           |    SELECT dim, ABS(SUM(CASE WHEN fv > $thr THEN 1 ELSE 0 END) * 10000
+           |      // COUNT(*) - 5000) AS imb FROM $codes GROUP BY dim)),
+           |r$o AS (SELECT '$name' AS variant, qn.n_queries, h$o.n_hits,
+           |    CAST(h$o.n_hits * 10000 // (qn.n_queries * 10) AS BIGINT) AS recall_bp,
+           |    CAST(im$o.imbalance_bp AS BIGINT) AS imbalance_bp
+           |  FROM qn, h$o, im$o)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding[1:$d],
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS f
+         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= $d),
+         |x AS (SELECT vec_id, CAST(t.d AS INTEGER) AS dim,
+         |    f[CAST(t.d AS INTEGER) + 1] AS fv FROM e, range($d) t(d)),
+         |md AS (SELECT dim, fv AS med FROM (
+         |    SELECT dim, fv, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY dim ORDER BY fv, vec_id) AS rn,
+         |      COUNT(*) OVER (PARTITION BY dim) AS cnt FROM x) WHERE rn = (cnt + 1) // 2),
+         |xm AS (SELECT x.vec_id, x.dim, x.fv, md.med FROM x JOIN md USING (dim)),
+         |bt AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${VectorOracles.cosine("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.embedding IS NOT NULL AND c.embedding IS NOT NULL
+         |    AND len(q.embedding) >= $d AND len(c.embedding) >= $d
+         |    AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |btk AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |    FROM bt WHERE cosine IS NOT NULL) WHERE rn <= 10),
+         |qn AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM btk),
+         |${variant("xm", "med", "median", "m")},
+         |${variant("x", "0", "zero", "z")}
+         |SELECT * FROM rm UNION ALL SELECT * FROM rz ORDER BY variant""".stripMargin
+    })
 
   /** Shared q287/q293 oracle: the decay fold over exact hourly counts —
     * the streaming store's merged partials are identical by sum

@@ -3569,6 +3569,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("q297 median binary quant: planted skewed dim balances under the median threshold") {
+    import spark.implicits._
+    val d = graft.similarity.Pq.Dim
+    val work = java.nio.file.Files.createTempDirectory("graft_q297_spec").toString
+    // dim0 all-positive {0.25..1.25} (zero-threshold saturates: imb 5000;
+    // median 0.75 rebalances: ones=2, imb 1000); dim1 centered {-0.5..0.5}
+    // (both thresholds at 0: imb 1000); dims 2..63 constant zero (imb 5000
+    // under both). Only vec 0 queries; its brute top-10 is all 4 others and
+    // both candidate stages admit everything, so recall is 4000 bp on both
+    // variants — the card isolates the imbalance delta.
+    val vecs = (0 until 5).map { i =>
+      (i.toLong, Seq.tabulate(d)(k =>
+        if (k == 0) 0.25f * (i + 1) else if (k == 1) -0.5f + 0.25f * i else 0f))
+    }
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$work/embeddings.parquet")
+    val got = graft.analytics.PipelineQueries.medianBinaryQuant(spark, work)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val imbZero = (5000L * 62 + 5000L + 1000L) / d
+    val imbMed = (5000L * 62 + 1000L + 1000L) / d
+    assert(got == Seq(
+      ("median", 1L, 4L, 4000L, imbMed),
+      ("zero", 1L, 4L, 4000L, imbZero)), s"got $got")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

@@ -109,7 +109,15 @@ object ClusterCheck {
     // cluster cache feeding three aggregate consumers), and the stride
     // interleave schedule (q291 — two chained GlobalRanks where the
     // second ranks a frame derived from the first's broadcast offsets).
-    "q283_borda_fusion", "q290_cluster_safe_split", "q291_interleave_schedule")
+    "q283_borda_fusion", "q290_cluster_safe_split", "q291_interleave_schedule",
+    // ...and the two new ANN stages whose state must survive a real
+    // process boundary: the multi-probe card (q295 — the new
+    // HyperplaneProbes expression's plane matrix serializes into worker
+    // JVMs alongside both broadcast probe frames) and the
+    // median-threshold quantizer (q297 — collected medians baked as
+    // expression literals + a (dim, f) GlobalRank whose pid offsets
+    // must agree across executors).
+    "q295_multiprobe_lsh", "q297_median_binary_quant")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

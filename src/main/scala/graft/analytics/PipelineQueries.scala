@@ -10464,6 +10464,51 @@ object PipelineQueries {
       .orderBy(col("variant"))
   }
 
+  /** Temporal split + entity-reuse audit (q298) — the OTHER leakage
+    * axis: q290 keys the split on content (near-dup families), but a
+    * behavior model trained on a RANDOM split sees the future — the
+    * correct protocol is a time cutoff (train = first 80% of events by
+    * time, val = next 10%, test = last 10%), and the quantity to audit
+    * is ENTITY reuse: a test user whose history is in train is a
+    * memorization channel even with a clean time split. Card per
+    * split: events, distinct users, users already seen in an earlier
+    * split, and the reuse share.
+    *
+    * Scale shape: the exact time cutoffs come from ONE GlobalRank over
+    * (µs, event_id) (integer rank thresholds — no sampled
+    * approxQuantile drift, no single-task sort); first-seen split per
+    * user is a keyed min; the card is 3 rows. */
+  def temporalSplit(spark: SparkSession, dir: String): DataFrame =
+    temporalSplitOf(Tables.events(spark, dir))
+
+  private[graft] def temporalSplitOf(events: DataFrame): DataFrame = {
+    import graft.operators.GlobalRank.rowNumber
+    val slim = events.select(col("user_id"),
+      expr("unix_micros(ts)").as("us"), col("event_id"))
+    val ranked = rowNumber(slim, Seq(col("us").asc, col("event_id").asc), "rk")
+    val n = ranked.agg(count(lit(1)).as("n_total"))
+    val tagged = ranked.crossJoin(broadcast(n))
+      .withColumn("s",
+        when(col("rk") * 10 <= col("n_total") * 8, 0L)
+          .when(col("rk") * 10 <= col("n_total") * 9, 1L).otherwise(2L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstSeen = tagged.groupBy(col("user_id")).agg(min(col("s")).as("s0"))
+    tagged
+      .groupBy(col("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+      .join(firstSeen, Seq("user_id"))
+      .groupBy(col("s"))
+      .agg(sum(col("n_ev")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        sum(when(col("s0") < col("s"), 1L).otherwise(0L)).as("n_reused_users"))
+      .select(
+        when(col("s") === 0L, "train").when(col("s") === 1L, "val").otherwise("test")
+          .as("split"),
+        col("n_events"), col("n_users"), col("n_reused_users"),
+        expr("n_reused_users * 10000L div n_users").as("reused_bp"))
+      .orderBy(col("split"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10712,7 +10757,8 @@ object PipelineQueries {
     "q294_fim_assembly" -> (fimAssembly _),
     "q295_multiprobe_lsh" -> (multiProbeLsh _),
     "q296_kmv_difference" -> (kmvDifference _),
-    "q297_median_binary_quant" -> (medianBinaryQuant _))
+    "q297_median_binary_quant" -> (medianBinaryQuant _),
+    "q298_temporal_split" -> (temporalSplit _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -15759,7 +15805,26 @@ object PipelineQueries {
          |${variant("xm", "med", "median", "m")},
          |${variant("x", "0", "zero", "z")}
          |SELECT * FROM rm UNION ALL SELECT * FROM rz ORDER BY variant""".stripMargin
-    })
+    },
+    // q298: the serial (µs, event_id) row_number replays the GlobalRank
+    // cutoffs; first-seen split and reuse shares replay 1:1.
+    "q298_temporal_split" ->
+      """WITH r AS (SELECT user_id,
+        |    row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rk,
+        |    COUNT(*) OVER () AS n FROM events),
+        |t AS (SELECT user_id,
+        |    CASE WHEN rk * 10 <= n * 8 THEN 0 WHEN rk * 10 <= n * 9 THEN 1 ELSE 2 END AS s
+        |  FROM r),
+        |fs AS (SELECT user_id, MIN(s) AS s0 FROM t GROUP BY 1),
+        |g AS (SELECT s, t.user_id, COUNT(*) AS n_ev, ANY_VALUE(s0) AS s0
+        |  FROM t JOIN fs ON t.user_id = fs.user_id GROUP BY 1, 2),
+        |c AS (SELECT s, SUM(n_ev) AS n_events, COUNT(*) AS n_users,
+        |    SUM(CASE WHEN s0 < s THEN 1 ELSE 0 END) AS n_reused_users FROM g GROUP BY 1)
+        |SELECT CASE WHEN s = 0 THEN 'train' WHEN s = 1 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(n_events AS BIGINT) AS n_events, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_reused_users AS BIGINT) AS n_reused_users,
+        |  CAST(n_reused_users * 10000 // n_users AS BIGINT) AS reused_bp
+        |FROM c ORDER BY split""".stripMargin)
 
   /** Shared q287/q293 oracle: the decay fold over exact hourly counts —
     * the streaming store's merged partials are identical by sum

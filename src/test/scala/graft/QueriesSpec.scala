@@ -3595,6 +3595,30 @@ class QueriesSpec extends AnyFunSuite {
       ("zero", 1L, 4L, 4000L, imbZero)), s"got $got")
   }
 
+  test("q298 temporal split: planted timeline lands exact cutoffs and entity reuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // 10 events in time order: ranks 1..8 train, 9 val, 10 test.
+    // Users: u1 spans train+val+test (reused twice), u2 train-only,
+    // u3 appears first in val? no — u3 only in test (fresh).
+    val rows = Seq(
+      (1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 1L),
+      (6L, 2L), (7L, 1L), (8L, 2L), // train: u1 x4, u2 x4
+      (9L, 1L),                     // val:   u1 (reused)
+      (10L, 3L))                    // test:  u3 (fresh)
+    val events = rows.map { case (i, u) => (i, u, 1000L + i) }
+      .toDF("event_id", "user_id", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val got = graft.analytics.PipelineQueries.temporalSplitOf(events)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      ("test", 1L, 1L, 0L, 0L),
+      ("train", 8L, 2L, 0L, 0L),
+      ("val", 1L, 1L, 1L, 10000L)), s"got $got")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

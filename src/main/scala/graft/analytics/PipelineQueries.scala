@@ -10509,6 +10509,365 @@ object PipelineQueries {
       .orderBy(col("split"))
   }
 
+  /** q299 training block size (tokens), shared with the oracle. */
+  private[graft] val ChunkBlockTokens = 512L
+
+  /** Concat-and-chunk packing audit (q299) — the GPT-style pretraining
+    * batcher (the OTHER packing regime from q72's greedy bins and q197's
+    * pad-to-bucket): every document plus one EOS sentinel token is
+    * concatenated in corpus order and the stream is cut into fixed
+    * 512-token training blocks, so documents cross block boundaries and
+    * each crossing splits a context the model never sees whole. Card per
+    * source: docs, tokens contributed (incl. EOS), docs that cross a
+    * boundary (and the share), and blocks touched per doc — the numbers
+    * that decide between concat-chunking and padded packing for a corpus
+    * mix.
+    *
+    * Scale shape: the corpus-wide token offset is the q299 reason
+    * [[graft.operators.GlobalRank.prefixSum]] exists — ONE sampled range
+    * exchange on the unique (doc_id) order, block-local exclusive ROWS
+    * sums, and a ≤32-row broadcast carry-in; a serial
+    * `sum() OVER (ORDER BY doc_id)` would single-task the corpus and
+    * [[graft.operators.PrefixSum]]'s bucket decomposition would need a
+    * bucket count that grows with the corpus. Everything after the
+    * offset is map arithmetic on lengths feeding a ≤|sources|-row
+    * aggregate. */
+  def concatChunking(spark: SparkSession, dir: String): DataFrame =
+    concatChunkingOf(Tables.documents(spark, dir))
+
+  private[graft] def concatChunkingOf(docs: DataFrame): DataFrame = {
+    import graft.operators.GlobalRank.prefixSum
+    val slim = docs.select(col("doc_id"), col("source"),
+      (size(split(col("text"), " ")).cast("long") + 1L).as("len"))
+    prefixSum(slim, Seq(col("doc_id").asc), col("len"), "off")
+      .withColumn("spans",
+        expr(s"(off + len - 1) div ${ChunkBlockTokens}L")
+          .minus(expr(s"off div ${ChunkBlockTokens}L")).plus(1L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("n_tokens"),
+        sum(when(col("spans") > 1L, 1L).otherwise(0L)).as("n_crossing"),
+        sum(col("spans")).as("spans_sum"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_crossing"),
+        expr("n_crossing * 10000L div n_docs").as("crossing_bp"),
+        col("spans_sum"),
+        expr("spans_sum * 100L div n_docs").as("avg_spans_x100"))
+      .orderBy(col("source"))
+  }
+
+  /** Soft-dedup training weights (q300) — the DON'T-DROP alternative the
+    * data-constrained regime prefers (the q265 Muennighoff setting):
+    * instead of deleting near-duplicates, DOWN-WEIGHT them — each doc in
+    * a near-dup cluster (Jaccard ≥ 0.95, the shared [[nearDupTiers]]
+    * memo + set-level CC, q56's exact semantics) trains at weight
+    * 1/|cluster|, so every cluster contributes one doc's worth of
+    * gradient mass and no text is lost. Card per source: docs, docs
+    * carrying a near-dup, raw vs duplication-adjusted token mass
+    * (fixed-point ×10000 — per-doc floor division, replayed verbatim by
+    * the oracle), and the effective share.
+    *
+    * Scale shape: zero new similarity work — clusters come from the
+    * memoized tier outputs (set-level CC on compact longs, never an n²
+    * clique); cluster sizes are a comp-keyed aggregate; the weight join
+    * is doc-keyed; the card is ≤|sources| rows. The DuckDB oracle
+    * brute-forces all-pairs Jaccard + recursive-CTE reachability, so
+    * both the LSH recall and the CC labels stay checked. */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame =
+    softDedupWeightsOf(Tables.documents(spark, dir), Some(nearDupTiers(spark, dir)))
+
+  private[graft] def softDedupWeightsOf(docs: DataFrame,
+      tiers: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (members, setPairs) = tiers.getOrElse(
+      graft.dedup.Dedup.tieredSetPairs(docs, "doc_id", "text", 0.95))
+    val comp = graft.dedup.Dedup.clustersOfTiered(members, setPairs)
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(sizes, Seq("comp"), "left")
+      .withColumn("cs", coalesce(col("csize"), lit(1L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cs") > 1L, 1L).otherwise(0L)).as("n_weighted_down"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(expr("n_tokens * 10000L div cs")).as("eff_tokens_x10000"))
+      .select(col("source"), col("n_docs"), col("n_weighted_down"),
+        col("raw_tokens"), col("eff_tokens_x10000"),
+        expr("eff_tokens_x10000 div raw_tokens").as("eff_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** q301 minimum preference gap (margin units), shared with the oracle. */
+  private[graft] val PrefMinGap = 50L
+
+  /** Preference-pair assembly (q301) — the RLHF/DPO data shape: from a
+    * scored corpus, build (chosen, rejected) training pairs by matching
+    * the i-th MOST confident doc with the i-th LEAST confident doc
+    * within each source stratum (rank-symmetric pairing keeps both
+    * marginals balanced — no doc repeats, every pair spans the score
+    * distribution), dropping pairs whose score gap is under
+    * [[PrefMinGap]] (a near-tie teaches nothing). Scores are q261's
+    * deterministic hashed-classifier margins — one map-only pass. Card
+    * per source: docs, pairs kept, gap mass, mean gap, and the share of
+    * the corpus consumed by pairs.
+    *
+    * Scale shape: ONE GlobalRank over (source, margin desc, doc_id)
+    * (sampled range exchange — never a source-partitioned corpus
+    * window: "web" at 100 TB is half the corpus in one WindowExec
+    * partition); per-source offsets/counts are a ≤|sources|-row
+    * broadcast (the q268 stratum arithmetic); the chosen↔rejected match
+    * is a hash self-join on the reflected rank key, so pair volume is
+    * exactly n/2 per stratum — never all-pairs. */
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame =
+    preferencePairsOfScored(classifierDocScores(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("margin")))
+
+  /** Pairing core over a (doc_id, source, margin) frame — injectable so
+    * the planted spec drives hand-chosen margins through the reflected
+    * rank join and the gap gate. */
+  private[graft] def preferencePairsOfScored(scored: DataFrame): DataFrame = {
+    import graft.operators.GlobalRank.rowNumber
+    val ranked = rowNumber(scored,
+      Seq(col("source").asc, col("margin").desc, col("doc_id").asc), "grk")
+    val strata = ranked.groupBy(col("source"))
+      .agg(min(col("grk")).as("rk0"), count(lit(1)).as("n_src"))
+    val r = ranked.join(broadcast(strata), Seq("source"))
+      .select(col("source"), col("doc_id"), col("margin"),
+        (col("grk") - col("rk0") + 1L).as("r"), col("n_src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chosen = r.filter(col("r") * 2 < col("n_src") + 1)
+      .select(col("source"), col("r"),
+        col("doc_id").as("chosen_id"), col("margin").as("m_c"))
+    val rejected = r.select(col("source"),
+      (col("n_src") + 1L - col("r")).as("r"),
+      col("doc_id").as("rejected_id"), col("margin").as("m_r"))
+    val pairs = chosen.join(rejected, Seq("source", "r"))
+      .withColumn("gap", col("m_c") - col("m_r"))
+      .filter(col("gap") >= PrefMinGap)
+    pairs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("gap")).as("gap_sum"))
+      .join(r.groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+        Seq("source"), "right")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("gap_sum"), lit(0L)).as("gap_sum"),
+        expr("CASE WHEN coalesce(n_pairs, 0L) = 0 THEN 0L"
+          + " ELSE gap_sum div n_pairs END").as("avg_gap"),
+        expr("coalesce(n_pairs, 0L) * 2 * 10000L div n_docs").as("paired_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Dedup-aware loss-mask card (q302) — what ExactSubstr dedup does at
+    * TRAINING time instead of ingest time: rather than cutting q253's
+    * repeated spans out of the text (which splinters documents), the
+    * loss is simply not computed on tokens inside a repeated span. This
+    * prices that choice per source: total tokens, tokens under a mask
+    * (q253's merged maximal spans are disjoint by construction, so the
+    * masked mass is a plain sum — no interval arithmetic), the mask
+    * share, and how many docs carry any mask.
+    *
+    * Scale shape: one extra doc-keyed aggregate + join over the q253
+    * span frame (shared code path — the gram-window reduction's
+    * hash-keyed shuffles are the only corpus-wide work); the card is
+    * ≤|sources| rows. */
+  def lossMaskCard(spark: SparkSession, dir: String): DataFrame =
+    lossMaskCardOf(Tables.documents(spark, dir))
+
+  private[graft] def lossMaskCardOf(docs: DataFrame): DataFrame = {
+    val masked = maximalRepeatSpansOf(docs)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_tokens")).as("masked_toks"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .join(masked, Seq("doc_id"), "left")
+      .withColumn("mt", coalesce(col("masked_toks"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mt") > 0L, 1L).otherwise(0L)).as("n_masked_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(col("mt")).as("masked_tokens"))
+      .select(col("source"), col("n_docs"), col("n_masked_docs"),
+        col("total_tokens"), col("masked_tokens"),
+        expr("masked_tokens * 10000L div total_tokens").as("mask_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Within-source token-mass Gini (q303) — the inequality lens on
+    * corpus composition: a source whose token mass concentrates in a
+    * few giant documents (high Gini) behaves differently under doc-level
+    * sampling, packing, and dedup than one with uniform lengths, and
+    * the mixing plan (q251/q265) should know. Exact integer Gini in
+    * basis points via the rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) /
+    * (n·Σx) over docs ranked ascending by token count within source —
+    * non-negative by the Chebyshev sum inequality, so no sign-split
+    * division is needed; the Σ i·xᵢ product rides DECIMAL(38,0)
+    * (rank 10¹¹ × tokens 10⁴ × docs 10¹¹ overflows BIGINT).
+    *
+    * Scale shape: ONE GlobalRank over (source, n_tokens, doc_id) —
+    * never a source-partitioned corpus window — with the ≤|sources|-row
+    * min-rank broadcast (the q268/q301 stratum arithmetic); the card
+    * aggregate partial-combines into |sources| keys. */
+  def sourceGini(spark: SparkSession, dir: String): DataFrame =
+    sourceGiniOf(Tables.documents(spark, dir))
+
+  private[graft] def sourceGiniOf(docs: DataFrame): DataFrame = {
+    import graft.operators.GlobalRank.rowNumber
+    val slim = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("x"))
+    val ranked = rowNumber(slim,
+      Seq(col("source").asc, col("x").asc, col("doc_id").asc), "grk")
+    val strata = ranked.groupBy(col("source")).agg(min(col("grk")).as("rk0"))
+    ranked.join(broadcast(strata), Seq("source"))
+      .withColumn("r", col("grk") - col("rk0") + 1L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("total_tokens"),
+        sum(expr("CAST(r AS DECIMAL(38,0)) * x")).as("rx_sum"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr("""CAST((2 * rx_sum - (CAST(n_docs AS DECIMAL(38,0)) + 1) * total_tokens)
+          |  * 10000 div (CAST(n_docs AS DECIMAL(38,0)) * total_tokens) AS BIGINT)"""
+          .stripMargin).as("gini_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Exact integer log₂ in Q8.8 fixed point, identical on both engines:
+    * msb = length(bin(x)) − 1 (both engines' `bin` drops leading zeros),
+    * plus a linear 8-bit mantissa ((x·256 ≫ msb) − 256 ∈ [0, 256)). Not
+    * an approximation CLAIM — the same deterministic integer function
+    * evaluates on both sides, so hashes stay exact; the linear mantissa
+    * is within 0.09 of true log₂, which is all a filter threshold
+    * needs. Requires x ≥ 1. */
+  private def log2q8Spark(x: String): String =
+    s"((length(bin($x)) - 1) * 256 + shiftright(($x) * 256, length(bin($x)) - 1) - 256)"
+  private def log2q8Duck(x: String): String =
+    s"((length(bin($x)) - 1) * 256 + ((($x) * 256) >> (length(bin($x)) - 1)) - 256)"
+
+  /** q304 constants, shared with the oracle: context/next bucket count
+    * (the model is ≤ [[PplBuckets]]² rows at ANY corpus size), the
+    * reference language the LM is built from, and the keep threshold in
+    * Q8.8 surprisal units (1540/256 ≈ 6.0 bits/bigram — sits between the
+    * en median (~1528 at sf0.01) and the other-language medians (~1551),
+    * so the gate actually discriminates on the harness corpus). */
+  private[graft] val PplBuckets = 512L
+  private[graft] val PplRefLang = "en"
+  private[graft] val PplKeepMaxQ8 = 1540L
+
+  /** Perplexity-filter card (q304) — the CCNet/KenLM quality gate: score
+    * every document by its mean surprisal under a bigram LM built from
+    * the reference slice (lang = [[PplRefLang]]), keep docs under
+    * [[PplKeepMaxQ8]]. The LM is hashed-bucket (h60 % [[PplBuckets]] per
+    * side, the q257 DSIR shape) with add-one smoothing over the next
+    * vocabulary; surprisal is the EXACT integer Q8.8 log₂ — same bit
+    * arithmetic in Spark and DuckDB, so the filter is hash-checked, not
+    * a float claim. Card per source: scored docs, corpus-level mean
+    * surprisal, docs kept, keep share.
+    *
+    * Scale shape: model counts are two-phase aggregates bounded by the
+    * bucket constants (≤ B² pair rows, ≤ B context rows — metadata at
+    * any corpus size, so both sides BROADCAST into the scoring pass);
+    * scoring is one Generate + map arithmetic + a doc-keyed aggregate;
+    * the card is ≤|sources| rows. Two corpus scans total (model build,
+    * scoring) — the explode is cheap map work, not worth a corpus-sized
+    * cache (the q262 rule). */
+  def perplexityFilter(spark: SparkSession, dir: String): DataFrame =
+    perplexityFilterOf(Tables.documents(spark, dir))
+
+  private[graft] def perplexityFilterOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val B = PplBuckets
+    def bigrams(d: DataFrame) = d
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5_token_hashes(split(col("text"), " "), 60).as("h"))
+      .filter(size(col("h")) >= 2)
+      .select(col("doc_id"), col("source"), col("lang"), explode(expr(
+        s"transform(sequence(1, size(h) - 1), i -> struct(h[i-1] % $B AS bc, h[i] % $B AS bn))"))
+        .as("bg"))
+      .select(col("doc_id"), col("source"), col("bg.bc"), col("bg.bn"))
+    val model = bigrams(docs.filter(col("lang") === PplRefLang))
+      .groupBy(col("bc"), col("bn")).agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = model.groupBy(col("bc")).agg(sum(col("c2")).as("c1"))
+    val s = s"${log2q8Spark(s"c1 + $B")} - ${log2q8Spark("c2 + 1")}"
+    val perDoc = bigrams(docs)
+      .join(broadcast(model), Seq("bc", "bn"), "left")
+      .join(broadcast(ctx), Seq("bc"), "left")
+      .withColumn("c2", coalesce(col("c2"), lit(0L)))
+      .withColumn("c1", coalesce(col("c1"), lit(0L)))
+      .withColumn("s", expr(s))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("s")).as("s_sum"), count(lit(1)).as("nbg"))
+      .withColumn("avg_q8", expr("s_sum div nbg"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("s_sum")).as("ss"), sum(col("nbg")).as("nn"),
+        sum(when(col("avg_q8") <= PplKeepMaxQ8, 1L).otherwise(0L)).as("n_keep"))
+      .select(col("source"), col("n_docs"),
+        expr("ss div nn").as("avg_surprisal_q8"),
+        col("n_keep"), expr("n_keep * 10000L div n_docs").as("keep_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** q305 constants, shared with the oracle. */
+  private[graft] val PmiMinCount = 5L
+  private[graft] val PmiTopK = 20L
+
+  /** PMI collocations (q305) — the classic phrase-discovery table (the
+    * word2vec preprocessing step and every tokenizer-vocab proposal
+    * list): per language, the top-[[PmiTopK]] adjacent token pairs by
+    * pointwise mutual information, counted ≥ [[PmiMinCount]] times.
+    * PMI rides the same exact Q8.8 integer log₂ as q304, computed as
+    * L(c₁₂) + L(N) − L(c·) − L(·c) — four bounded terms, no product to
+    * overflow at any corpus size. Marginals come FROM the bigram frame
+    * (first-position / second-position sums), so edges and N are
+    * self-consistent.
+    *
+    * Scale shape: the bigram aggregate is keyed on (lang, t1, t2) token
+    * STRINGS deliberately — the collocation table IS the deliverable
+    * (the q53 vocabulary-frame rule: the strings are result payload,
+    * and hashing them would force a display rejoin for key-compare
+    * savings only); it is vocabulary-sized, not corpus-sized, after
+    * the map-side combine. Marginal joins are vocab-keyed hash joins;
+    * the per-lang top-k is ONE GlobalRank + a ≤|langs|-row min-rank
+    * broadcast — never a lang-partitioned window over the vocab frame
+    * ("en" is most of a web corpus's vocabulary). */
+  def tokenPmi(spark: SparkSession, dir: String): DataFrame =
+    tokenPmiOf(Tables.documents(spark, dir))
+
+  private[graft] def tokenPmiOf(docs: DataFrame): DataFrame = {
+    import graft.operators.GlobalRank.rowNumber
+    val pairs = docs.select(col("lang"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS t1, t[i] AS t2))"))
+        .as("p"))
+      .select(col("lang"), col("p.t1").as("t1"), col("p.t2").as("t2"))
+    val big = pairs.groupBy(col("lang"), col("t1"), col("t2"))
+      .agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ma = big.groupBy(col("lang"), col("t1")).agg(sum(col("c12")).as("ca"))
+    val mb = big.groupBy(col("lang"), col("t2")).agg(sum(col("c12")).as("cb"))
+    val tot = big.groupBy(col("lang")).agg(sum(col("c12")).as("nbg"))
+    val pmi = s"${log2q8Spark("c12")} + ${log2q8Spark("nbg")}" +
+      s" - ${log2q8Spark("ca")} - ${log2q8Spark("cb")}"
+    val scored = big.filter(col("c12") >= PmiMinCount)
+      .join(ma, Seq("lang", "t1"))
+      .join(mb, Seq("lang", "t2"))
+      .join(broadcast(tot), Seq("lang"))
+      .withColumn("pmi_q8", expr(pmi))
+    val ranked = rowNumber(scored,
+      Seq(col("lang").asc, col("pmi_q8").desc, col("t1").asc, col("t2").asc), "grk")
+    val strata = ranked.groupBy(col("lang")).agg(min(col("grk")).as("rk0"))
+    ranked.join(broadcast(strata), Seq("lang"))
+      .withColumn("rank", col("grk") - col("rk0") + 1L)
+      .filter(col("rank") <= PmiTopK)
+      .select(col("lang"), col("t1"), col("t2"), col("c12"), col("pmi_q8"),
+        col("rank"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10758,7 +11117,14 @@ object PipelineQueries {
     "q295_multiprobe_lsh" -> (multiProbeLsh _),
     "q296_kmv_difference" -> (kmvDifference _),
     "q297_median_binary_quant" -> (medianBinaryQuant _),
-    "q298_temporal_split" -> (temporalSplit _))
+    "q298_temporal_split" -> (temporalSplit _),
+    "q299_concat_chunking" -> (concatChunking _),
+    "q300_soft_dedup" -> (softDedupWeights _),
+    "q301_preference_pairs" -> (preferencePairs _),
+    "q302_loss_mask" -> (lossMaskCard _),
+    "q303_source_gini" -> (sourceGini _),
+    "q304_perplexity_filter" -> (perplexityFilter _),
+    "q305_token_pmi" -> (tokenPmi _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -15824,7 +16190,171 @@ object PipelineQueries {
         |  CAST(n_events AS BIGINT) AS n_events, CAST(n_users AS BIGINT) AS n_users,
         |  CAST(n_reused_users AS BIGINT) AS n_reused_users,
         |  CAST(n_reused_users * 10000 // n_users AS BIGINT) AS reused_bp
-        |FROM c ORDER BY split""".stripMargin)
+        |FROM c ORDER BY split""".stripMargin,
+    // q299: the exclusive corpus-order running sum replays the sharded
+    // prefixSum; block arithmetic is all non-negative, so `div` == `//`.
+    "q299_concat_chunking" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) + 1 AS len FROM documents),
+         |o AS (SELECT source, len,
+         |    COALESCE(SUM(len) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM d),
+         |s AS (SELECT source, len,
+         |    (off + len - 1) // $ChunkBlockTokens - off // $ChunkBlockTokens + 1 AS spans
+         |  FROM o)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN spans > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
+         |  CAST(SUM(CASE WHEN spans > 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         |    AS crossing_bp,
+         |  CAST(SUM(spans) AS BIGINT) AS spans_sum,
+         |  CAST(SUM(spans) * 100 // COUNT(*) AS BIGINT) AS avg_spans_x100
+         |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    // q300: brute-force all-pairs Jaccard + recursive-CTE components (the
+    // q56 replay) feed the 1/|cluster| weights; per-doc floor division
+    // replays before the sum, exactly as in Spark.
+    "q300_soft_dedup" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |cc AS (SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id),
+        |cs AS (SELECT comp, COUNT(*) AS csize FROM cc GROUP BY comp),
+        |d AS (SELECT doc_id, source, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |j AS (SELECT d.source, d.n_tokens, COALESCE(cs.csize, 1) AS c
+        |      FROM d LEFT JOIN cc ON d.doc_id = cc.id LEFT JOIN cs ON cc.comp = cs.comp)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_weighted_down,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+        |  CAST(SUM(n_tokens * 10000 // c) AS BIGINT) AS eff_tokens_x10000,
+        |  CAST(SUM(n_tokens * 10000 // c) // SUM(n_tokens) AS BIGINT) AS eff_bp
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // q301: q261's margin CTE + per-source rank-symmetric pairing; the
+    // reflected rank join and the gap gate replay 1:1.
+    "q301_preference_pairs" ->
+      s"""WITH u AS (SELECT doc_id, source, UNNEST(str_split(text, ' ')) AS tok FROM documents),
+         |w AS (SELECT doc_id, source, ${duckH60("tok")} AS h FROM u),
+         |s AS (SELECT doc_id, source,
+         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
+         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
+         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
+         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
+         |  FROM w GROUP BY 1, 2),
+         |m AS (SELECT doc_id, source, ss[4] - ss[3] AS margin
+         |  FROM (SELECT doc_id, source, list_sort([s0, s1, s2, s3]) AS ss FROM s)),
+         |r AS (SELECT doc_id, source, margin,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY margin DESC, doc_id) AS r,
+         |    COUNT(*) OVER (PARTITION BY source) AS n_src
+         |  FROM m),
+         |pr AS (SELECT c.source, c.margin - j.margin AS gap
+         |  FROM r c JOIN r j ON c.source = j.source AND j.r = c.n_src + 1 - c.r
+         |  WHERE c.r * 2 < c.n_src + 1 AND c.margin - j.margin >= $PrefMinGap),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(gap) AS BIGINT) AS gap_sum FROM pr GROUP BY 1),
+         |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM m GROUP BY 1)
+         |SELECT nd.source, nd.n_docs,
+         |  CAST(COALESCE(g.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(g.gap_sum, 0) AS BIGINT) AS gap_sum,
+         |  CAST(CASE WHEN COALESCE(g.n_pairs, 0) = 0 THEN 0
+         |    ELSE g.gap_sum // g.n_pairs END AS BIGINT) AS avg_gap,
+         |  CAST(COALESCE(g.n_pairs, 0) * 2 * 10000 // nd.n_docs AS BIGINT) AS paired_bp
+         |FROM nd LEFT JOIN g ON nd.source = g.source ORDER BY nd.source""".stripMargin,
+    // q302: q253's span CTE aggregated per doc, then per source — merged
+    // spans are disjoint, so the masked mass is a plain sum.
+    "q302_loss_mask" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS s FROM documents
+         |  WHERE len(str_split(text, ' ')) >= $RepeatSeedN),
+         |p AS (SELECT doc_id, unnest(range(1, len(s) - ${RepeatSeedN - 2})) AS pos, s FROM t),
+         |g AS (SELECT doc_id, pos,
+         |  array_to_string(s[pos:pos + ${RepeatSeedN - 1}], ' ') AS gram FROM p),
+         |dd AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+         |c AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dd)),
+         |i AS (SELECT doc_id, pos,
+         |  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM c),
+         |sp AS (SELECT doc_id, MAX(pos) + ${RepeatSeedN - 1} - MIN(pos) + 1 AS span_tokens
+         |  FROM i GROUP BY doc_id, isl),
+         |mk AS (SELECT doc_id, SUM(span_tokens) AS mt FROM sp GROUP BY doc_id),
+         |d AS (SELECT doc_id, source, CAST(len(str_split(text, ' ')) AS BIGINT) AS n FROM documents),
+         |j AS (SELECT d.source, d.n, COALESCE(mk.mt, 0) AS mt
+         |  FROM d LEFT JOIN mk ON d.doc_id = mk.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN mt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked_docs,
+         |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(mt) AS BIGINT) AS masked_tokens,
+         |  CAST(SUM(mt) * 10000 // SUM(n) AS BIGINT) AS mask_bp
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // q303: within-source ascending rank + the exact rank-formula Gini;
+    // HUGEINT covers the Σ i·xᵢ product DuckDB-side.
+    "q303_source_gini" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS x FROM documents),
+        |r AS (SELECT source, x,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS r FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(x) AS BIGINT) AS total_tokens,
+        |  CAST((2 * SUM(r * x) - (COUNT(*) + 1) * SUM(x)) * 10000
+        |    // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_bp
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // q304: same h60 buckets, same add-one-smoothed Q8.8 integer
+    // surprisal (bin()-msb + linear mantissa evaluates identically).
+    "q304_perplexity_filter" -> {
+      val B = PplBuckets
+      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
+      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
+      val sExpr = s"${log2q8Duck(s"c1 + $B")} - ${log2q8Duck("c2 + 1")}"
+      s"""WITH tk AS (SELECT doc_id, source, lang, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bg AS (SELECT tk.doc_id, tk.source, tk.lang,
+         |    ($h1) % $B AS bc, ($h2) % $B AS bn
+         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
+         |m AS (SELECT bc, bn, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
+         |cx AS (SELECT bc, CAST(SUM(c2) AS BIGINT) AS c1 FROM m GROUP BY 1),
+         |sc AS (SELECT bg.doc_id, bg.source,
+         |    COALESCE(m.c2, 0) AS c2, COALESCE(cx.c1, 0) AS c1
+         |  FROM bg LEFT JOIN m ON bg.bc = m.bc AND bg.bn = m.bn
+         |  LEFT JOIN cx ON bg.bc = cx.bc),
+         |pd AS (SELECT doc_id, source, SUM($sExpr) AS s_sum,
+         |    CAST(COUNT(*) AS BIGINT) AS nbg FROM sc GROUP BY 1, 2),
+         |pa AS (SELECT doc_id, source, s_sum, nbg, s_sum // nbg AS avg_q8 FROM pd)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(s_sum) // SUM(nbg) AS BIGINT) AS avg_surprisal_q8,
+         |  CAST(COUNT(*) FILTER (avg_q8 <= $PplKeepMaxQ8) AS BIGINT) AS n_keep,
+         |  CAST(COUNT(*) FILTER (avg_q8 <= $PplKeepMaxQ8) * 10000 // COUNT(*) AS BIGINT)
+         |    AS keep_bp
+         |FROM pa GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q305: marginals from the bigram table, the same four-term Q8.8
+    // PMI, and the per-lang rank replayed as a partitioned row_number.
+    "q305_token_pmi" -> {
+      val pmi = s"${log2q8Duck("c12")} + ${log2q8Duck("nbg")}" +
+        s" - ${log2q8Duck("ca")} - ${log2q8Duck("cb")}"
+      s"""WITH tk AS (SELECT lang, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bg AS (SELECT lang, t[CAST(u.i AS INTEGER)] AS t1,
+         |    t[CAST(u.i AS INTEGER) + 1] AS t2
+         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
+         |b AS (SELECT lang, t1, t2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2, 3),
+         |ma AS (SELECT lang, t1, CAST(SUM(c12) AS BIGINT) AS ca FROM b GROUP BY 1, 2),
+         |mb AS (SELECT lang, t2, CAST(SUM(c12) AS BIGINT) AS cb FROM b GROUP BY 1, 2),
+         |tt AS (SELECT lang, CAST(SUM(c12) AS BIGINT) AS nbg FROM b GROUP BY 1),
+         |sc AS (SELECT b.lang, b.t1, b.t2, b.c12, CAST($pmi AS BIGINT) AS pmi_q8
+         |  FROM b JOIN ma ON b.lang = ma.lang AND b.t1 = ma.t1
+         |  JOIN mb ON b.lang = mb.lang AND b.t2 = mb.t2
+         |  JOIN tt ON b.lang = tt.lang
+         |  WHERE b.c12 >= $PmiMinCount),
+         |r AS (SELECT lang, t1, t2, c12, pmi_q8,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pmi_q8 DESC, t1, t2) AS rank
+         |  FROM sc)
+         |SELECT lang, t1, t2, c12, pmi_q8, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= $PmiTopK ORDER BY lang, rank""".stripMargin
+    })
 
   /** Shared q287/q293 oracle: the decay fold over exact hourly counts —
     * the streaming store's merged partials are identical by sum

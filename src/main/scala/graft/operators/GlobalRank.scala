@@ -136,4 +136,50 @@ object GlobalRank {
       else merged.withColumn(inclusiveOut, greatest(col(locI), col(off)))
     out.drop(pid, locS, locI, off)
   }
+
+  /** Adds `outCol` = sum(`valCol`) over (ORDER BY `order`… ROWS BETWEEN
+    * UNBOUNDED PRECEDING AND 1 PRECEDING) — the EXCLUSIVE running sum over
+    * a total order (0 for the first row) — computed with the same
+    * range-sharded two-pass as [[rowNumber]]. This is the GLOBAL-order
+    * complement of [[PrefixSum.runningSum]]: that primitive shards a
+    * partitioned running sum over a caller-supplied monotone bucket key
+    * whose count grows with the frame; here the sampled range exchange
+    * keeps the offset frame ≤ `shards` rows at ANY corpus size, which is
+    * what a corpus-wide order (e.g. the GPT-style concat-and-chunk token
+    * offset) needs.
+    *
+    * Decomposition: block-local exclusive ROWS sums per range shard, plus
+    * the exclusive running sum of whole-shard totals (a ≤`shards`-row
+    * metadata window) broadcast back as each shard's carry-in.
+    *
+    * REQUIREMENT: `order` must be a TOTAL order (include a unique
+    * tiebreaker) — a ROWS frame over tied keys is otherwise
+    * nondeterministic across retries. */
+  def prefixSum(df: DataFrame, order: Seq[Column], valCol: Column,
+      outCol: String, shards: Int = 0): DataFrame = {
+    val n =
+      if (shards > 0) shards
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val pid = "__gs_pid"
+    val loc = "__gs_loc"
+    val tot = "__gs_shard_sum"
+    val off = "__gs_off"
+    // Same load-bearing persist as [[rowNumber]]: block-local sums and
+    // shard totals must read ONE materialized sharding, or independently
+    // sampled boundaries could route rows to different shards per consumer.
+    val parted = df.repartitionByRange(n, order: _*)
+      .withColumn(pid, spark_partition_id().cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col(pid)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn(loc, coalesce(sum(valCol).over(w), lit(0L)))
+    val offsets = parted.groupBy(col(pid)).agg(sum(valCol).as(tot))
+      .withColumn(off,
+        coalesce(sum(col(tot)).over(Window.orderBy(col(pid))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(pid), col(off))
+    local.join(broadcast(offsets), pid)
+      .withColumn(outCol, col(off) + col(loc))
+      .drop(pid, loc, off)
+  }
 }

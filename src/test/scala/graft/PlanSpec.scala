@@ -1533,4 +1533,80 @@ class PlanSpec extends AnyFunSuite {
       s"the only cross joins are broadcast 1-row weight frames:\n$p")
     assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
   }
+
+  test("q300: weights ride the memoized tier CC — no new similarity work, no doc-pair expansion") {
+    val p = planOf("q300_soft_dedup")
+    // Clusters come from the persisted nearDupTiers memo, not an LSH
+    // recompute by lineage.
+    assert(p.contains("InMemoryTableScan"), s"tier memo must be pinned:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // Cluster sizes and the card combine map-side.
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q301: one GlobalRank over (source, margin); pairing is a reflected-rank equi-join") {
+    val p = planOf("q301_preference_pairs")
+    assert(p.contains("rangepartitioning"),
+      s"the stratum rank must run through GlobalRank's range exchange:\n$p")
+    assert("windowspecdefinition\\((?!__gr_pid)".r.findFirstIn(p).isEmpty,
+      s"any non-pid-partitioned window means a source-partitioned corpus sort crept in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"chosen↔rejected match must stay a hash join on the reflected rank key:\n$p")
+  }
+
+  test("q302: the island window partitions by doc; the mask card is keyed aggregates only") {
+    val p = planOf("q302_loss_mask")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"span merging must stay doc-partitioned (bounded by doc length):\n$p")
+    assert("windowspecdefinition\\((?!doc_id)".r.findFirstIn(p).isEmpty,
+      s"no corpus-wide window may appear:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"coverage and the mask join stay hash-keyed:\n$p")
+  }
+
+  test("q303: the Gini rank range-shards via GlobalRank; no source-partitioned corpus window") {
+    val p = planOf("q303_source_gini")
+    assert(p.contains("rangepartitioning"), p)
+    assert("windowspecdefinition\\((?!__gr_pid)".r.findFirstIn(p).isEmpty,
+      s"any non-pid-partitioned window means an unsharded stratum sort crept in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), s"the card must combine map-side:\n$p")
+  }
+
+  test("q304: the bucket-bounded LM broadcasts into the scoring pass; no windows anywhere") {
+    val p = planOf("q304_perplexity_filter")
+    // Model (≤B² rows) and context (≤B rows) are constants-bounded —
+    // they must ride BroadcastHashJoins, never a corpus-wide shuffle join.
+    assert(p.contains("BroadcastHashJoin"), s"bounded LM frames must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-keyed shuffle join belongs in the scoring pass:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q305: the per-lang top-k range-shards via GlobalRank; marginals stay vocab-keyed") {
+    val p = planOf("q305_token_pmi")
+    assert(p.contains("rangepartitioning"),
+      s"the PMI rank must run through GlobalRank's range exchange:\n$p")
+    assert("windowspecdefinition\\((?!__gr_pid)".r.findFirstIn(p).isEmpty,
+      s"a lang-partitioned window over the vocab frame crept in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // The bigram frame persists once for its four consumers (marginals
+    // ×2, totals, scored filter) instead of four corpus explodes.
+    assert(p.contains("InMemoryTableScan"), s"the bigram frame must be pinned:\n$p")
+  }
+
+  test("q299: the token offset range-shards via prefixSum; no unpartitioned corpus window") {
+    val p = planOf("q299_concat_chunking")
+    assert(p.contains("rangepartitioning"), p)
+    // Every window in the plan is shard-local (__gs_pid-partitioned) —
+    // a serial ORDER BY doc_id running sum would single-task the corpus.
+    val bad = """windowspecdefinition\((?!__gs_pid)""".r.findFirstIn(p)
+    assert(bad.isEmpty, s"unpartitioned corpus window ($bad):\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"both prefixSum consumers must read one materialized sharding:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
 }

@@ -3619,6 +3619,134 @@ class QueriesSpec extends AnyFunSuite {
       ("val", 1L, 1L, 1L, 10000L)), s"got $got")
   }
 
+  test("q299 concat-chunk: planted lengths land exact offsets, crossings, and spans") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    // Block = 512. With +1 EOS per doc: doc0 len 511 (off 0, 1 block),
+    // doc1 len 3 (off 511 — straddles the 512 boundary, 2 blocks),
+    // doc2 len 513 (off 514 — blocks 1..2, 2 blocks), doc3 len 2
+    // (off 1027, 1 block).
+    val docs = Seq(
+      (0L, "s0", words(510)), (1L, "s1", words(2)),
+      (2L, "s0", words(512)), (3L, "s1", words(1)))
+      .toDF("doc_id", "source", "text")
+    val got = graft.analytics.PipelineQueries.concatChunkingOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    assert(got == Seq(
+      ("s0", 2L, 1024L, 1L, 5000L, 3L, 150L),
+      ("s1", 2L, 5L, 1L, 5000L, 3L, 150L)), s"got $got")
+  }
+
+  test("q300 soft dedup: a 3-doc cluster weights to 1/3, singletons keep full mass") {
+    import spark.implicits._
+    // Docs 0, 1, 3 share a token set (one cluster of 3); doc 2 is alone.
+    val docs = Seq(
+      (0L, "s0", "a b c d e"), (1L, "s0", "a b c d e"),
+      (2L, "s1", "x y z w v"), (3L, "s1", "a b c d e"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.analytics.PipelineQueries.softDedupWeightsOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    // 5 tokens/doc; weight 1/3 → 5*10000 div 3 = 16666 per clustered doc.
+    assert(got == Seq(
+      ("s0", 2L, 2L, 10L, 33332L, 3333L),
+      ("s1", 2L, 1L, 10L, 66666L, 6666L)), s"got $got")
+  }
+
+  test("q301 preference pairs: reflected ranks pair best-with-worst; near-ties gate out") {
+    import spark.implicits._
+    // s1: margins 100/90/50/10/0 → pairs (100,0) gap 100 and (90,10) gap
+    // 80, middle doc unpaired. s2: single pair gap 30 < 50 gates out.
+    val scored = Seq(
+      (1L, "s1", 100L), (2L, "s1", 90L), (3L, "s1", 50L),
+      (4L, "s1", 10L), (5L, "s1", 0L),
+      (6L, "s2", 60L), (7L, "s2", 30L))
+      .toDF("doc_id", "source", "margin")
+    val got = graft.analytics.PipelineQueries.preferencePairsOfScored(scored)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      ("s1", 5L, 2L, 180L, 90L, 8000L),
+      ("s2", 2L, 0L, 0L, 0L, 0L)), s"got $got")
+  }
+
+  test("q302 loss mask: a shared 8-gram masks 8 tokens in each carrier; short docs stay clean") {
+    import spark.implicits._
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (0L, "s0", s"$rep a b c"),   // 11 tokens, span 1..8 masked
+      (1L, "s1", s"x y $rep"),     // 10 tokens, span 3..10 masked
+      (2L, "s0", "p q"))           // under the seed length — no explode
+      .toDF("doc_id", "source", "text")
+    val got = graft.analytics.PipelineQueries.lossMaskCardOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      ("s0", 2L, 1L, 13L, 8L, 6153L),
+      ("s1", 1L, 1L, 10L, 8L, 8000L)), s"got $got")
+  }
+
+  test("q303 source gini: [1,3] lands 2500bp, uniform masses land 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "s0", "a"), (1L, "s0", "a b c"),
+      (2L, "s1", "a b"), (3L, "s1", "c d"), (4L, "s1", "e f"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.analytics.PipelineQueries.sourceGiniOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(("s0", 2L, 4L, 2500L), ("s1", 3L, 6L, 0L)), s"got $got")
+  }
+
+  test("q304 perplexity filter: seen bigrams score L(c1+B)-L(c2+1); unseen contexts hit the ceiling") {
+    import spark.implicits._
+    // Model = ALL en docs: 8 bigrams from doc 0 + 1 from doc 1 →
+    // c2(a,a)=9, c1(a)=9. Every seen bigram scores
+    // s = L(9+512) - L(9+1) = 2308 - 832 = 1476 (keep ≤ 1540);
+    // doc 2's context is unseen: s = L(512) - L(1) = 2304 (cut).
+    val docs = Seq(
+      (0L, "s0", "en", "a a a a a a a a a"),
+      (1L, "s0", "en", "a a"),
+      (2L, "s1", "fr", "b a"))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = graft.analytics.PipelineQueries.perplexityFilterOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      ("s0", 2L, 1476L, 2L, 10000L),
+      ("s1", 1L, 2304L, 0L, 0L)), s"got $got")
+  }
+
+  test("q305 token pmi: alternating pairs land PMI = L(10) - L(5) = 256 with t1-asc tie order") {
+    import spark.implicits._
+    // 11 alternating tokens → 5×(x,y), 5×(y,x); marginals all 5, N=10:
+    // PMI = L(5) + L(10) - L(5) - L(5) = 832 - 576 = 256 for both pairs.
+    val docs = Seq(
+      (0L, "en", "x y x y x y x y x y x"),
+      (1L, "fr", "p q p q p q p q p q p"))
+      .toDF("doc_id", "lang", "text")
+    val got = graft.analytics.PipelineQueries.tokenPmiOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      ("en", "x", "y", 5L, 256L, 1L), ("en", "y", "x", 5L, 256L, 2L),
+      ("fr", "p", "q", 5L, 256L, 1L), ("fr", "q", "p", 5L, 256L, 2L)), s"got $got")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

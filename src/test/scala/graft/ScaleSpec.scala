@@ -273,6 +273,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(!"""windowspecdefinition\(k#\d+L, """.r.findFirstIn(p).isDefined, p)
   }
 
+  test("GlobalRank.prefixSum: sharded exclusive running sum is bit-identical to the serial ROWS window") {
+    import org.apache.spark.sql.expressions.Window
+    // Non-monotone values under a unique total order (the contract);
+    // shards = 8 forces real carry-ins across range boundaries.
+    val df = spark.range(0L, 10000L)
+      .selectExpr("id", "(id * 2654435761) % 997 AS v")
+    val sharded = graft.operators.GlobalRank
+      .prefixSum(df, Seq(col("id").asc), col("v"), "ps", shards = 8)
+    val w = Window.orderBy(col("id").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val serial = df.withColumn("ps", coalesce(sum(col("v")).over(w), lit(0L)))
+    assert(sharded.count() == 10000L)
+    assert(sharded.exceptAll(serial).isEmpty && serial.exceptAll(sharded).isEmpty)
+    // The first row's exclusive prefix is 0, not NULL (sum-over-empty-frame
+    // is normalized so downstream div arithmetic never sees a NULL).
+    assert(sharded.filter(col("id") === 0L && col("ps") === 0L).count() == 1L)
+    // Sharding is real: range exchange present, no window orders the data
+    // frame unpartitioned, one materialized sharding feeds both consumers.
+    val p = sharded.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p)
+    assert(!"""windowspecdefinition\(id#\d+L ASC""".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("partitioned layout prunes directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val events = Tables.events(spark, TestSpark.SfDir)

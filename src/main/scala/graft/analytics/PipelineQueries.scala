@@ -10775,23 +10775,40 @@ object PipelineQueries {
   def perplexityFilter(spark: SparkSession, dir: String): DataFrame =
     perplexityFilterOf(Tables.documents(spark, dir))
 
-  private[graft] def perplexityFilterOf(docs: DataFrame): DataFrame = {
+  /** Hashed-bucket bigram explode (q304/q307 shared): the bucket ids are
+    * h60 % [[PplBuckets]] per side; gram strings never leave the map
+    * stage. Keeps (doc_id, source, lang) alongside each (bc, bn). */
+  private def pplBigrams(d: DataFrame): DataFrame = {
     import graft.functions.PortableHashFunctions.md5_token_hashes
     val B = PplBuckets
-    def bigrams(d: DataFrame) = d
-      .select(col("doc_id"), col("source"), col("lang"),
+    d.select(col("doc_id"), col("source"), col("lang"),
         md5_token_hashes(split(col("text"), " "), 60).as("h"))
       .filter(size(col("h")) >= 2)
       .select(col("doc_id"), col("source"), col("lang"), explode(expr(
         s"transform(sequence(1, size(h) - 1), i -> struct(h[i-1] % $B AS bc, h[i] % $B AS bn))"))
         .as("bg"))
       .select(col("doc_id"), col("source"), col("bg.bc"), col("bg.bn"))
-    val model = bigrams(docs.filter(col("lang") === PplRefLang))
+  }
+
+  /** The (model, context) count frames of the q304 reference LM — both
+    * bounded by the bucket constants, so downstream passes broadcast
+    * them. The model frame is persisted (two consumers: context sums,
+    * scoring join). */
+  private def pplModel(docs: DataFrame): (DataFrame, DataFrame) = {
+    val model = pplBigrams(docs.filter(col("lang") === PplRefLang))
       .groupBy(col("bc"), col("bn")).agg(count(lit(1)).as("c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx = model.groupBy(col("bc")).agg(sum(col("c2")).as("c1"))
-    val s = s"${log2q8Spark(s"c1 + $B")} - ${log2q8Spark("c2 + 1")}"
-    val perDoc = bigrams(docs)
+    (model, ctx)
+  }
+
+  /** Per-doc mean Q8.8 surprisal of `target` bigrams under the (model,
+    * ctx) LM frames — the q304 scoring pass, shared with the q307
+    * streaming gate. */
+  private def pplScore(target: DataFrame, model: DataFrame,
+      ctx: DataFrame): DataFrame = {
+    val s = s"${log2q8Spark(s"c1 + $PplBuckets")} - ${log2q8Spark("c2 + 1")}"
+    pplBigrams(target)
       .join(broadcast(model), Seq("bc", "bn"), "left")
       .join(broadcast(ctx), Seq("bc"), "left")
       .withColumn("c2", coalesce(col("c2"), lit(0L)))
@@ -10800,6 +10817,11 @@ object PipelineQueries {
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("s")).as("s_sum"), count(lit(1)).as("nbg"))
       .withColumn("avg_q8", expr("s_sum div nbg"))
+  }
+
+  private[graft] def perplexityFilterOf(docs: DataFrame): DataFrame = {
+    val (model, ctx) = pplModel(docs)
+    val perDoc = pplScore(docs, model, ctx)
     perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("s_sum")).as("ss"), sum(col("nbg")).as("nn"),
@@ -10867,6 +10889,103 @@ object PipelineQueries {
         col("rank"))
       .orderBy(col("lang"), col("rank"))
   }
+
+  /** Source datasheet (q306) — the per-source summary block of a
+    * "Datasheets for Datasets" card, all from linear aggregates: docs,
+    * tokens, exact-duplicate share (md5 text groups), language count,
+    * language-distribution Shannon entropy (Q8.8, the q304 integer log₂
+    * as H = L(n) − (Σ c·L(c)) div n — deterministic on both engines),
+    * and the Simpson concentration Σ c(c−1)/(n(n−1)) in bp (no logs —
+    * exact by construction; products ride DECIMAL(38,0) for 10¹¹-doc
+    * sources). The one-stop panel a mixing plan or release review reads
+    * before anything expensive runs.
+    *
+    * Scale shape: two corpus scans (lang cells, md5 distinct + token
+    * mass), both two-phase aggregates keyed by source; the entropy fold
+    * runs on the (source, lang) CELL frame (≤ |sources|·|langs| rows);
+    * the final join is catalog-sized. No windows, no joins over corpus
+    * rows. */
+  def sourceDatasheet(spark: SparkSession, dir: String): DataFrame =
+    sourceDatasheetOf(Tables.documents(spark, dir))
+
+  private[graft] def sourceDatasheetOf(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val langSide = cells.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_langs"),
+        sum(expr(s"c * ${log2q8Spark("c")}")).as("cl_sum"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("pair_sum"))
+      .select(col("source"), col("n_langs"),
+        expr(s"${log2q8Spark("n")} - cl_sum div n").as("lang_entropy_q8"),
+        expr("""CAST(CASE WHEN n < 2 THEN 0
+          |  ELSE (pair_sum * 10000) div (CAST(n AS DECIMAL(38,0)) * (n - 1))
+          |  END AS BIGINT)""".stripMargin).as("lang_simpson_bp"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_distinct"))
+      .join(langSide, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_docs - n_distinct) * 10000L div n_docs").as("exact_dup_bp"),
+        col("n_langs"), col("lang_entropy_q8"), col("lang_simpson_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Perplexity-gated streaming ingest (q307) — q304's LM applied at
+    * ADMISSION time (the q282 pattern with a language model instead of
+    * a boilerplate store): the reference LM is built ONCE from the
+    * committed corpus and broadcast into every micro-batch — it is
+    * bounded by the bucket constants (≤ B² rows), so unlike q282's
+    * boilerplate keys it needs no on-disk store to stay batch-sized;
+    * the gate is committed-model-only (admitted docs do NOT update
+    * counts mid-stream), so decisions are batch-order-free and the
+    * oracle replays them from first principles. The lifecycle: stage a
+    * derived head-truncated batch (the q282 incoming shape), stream it
+    * with AvailableNow, score each doc's mean Q8.8 surprisal against
+    * the broadcast LM in foreachBatch, append every decision to the
+    * on-disk log, and emit the log.
+    *
+    * Scale shape: per micro-batch work is the batch's own bigram
+    * explode + two broadcast hash joins + a doc-keyed aggregate + an
+    * append — strictly O(batch); the corpus is touched once at model
+    * build, never per batch. */
+  def streamPerplexityGate(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.memo(spark, s"q307|$dir") {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val work = java.nio.file.Files.createTempDirectory("graft_ppl_gate").toString
+      val docs = Tables.documents(s, dir)
+      val (model, ctx) = pplModel(docs)
+      // Incoming: 12-token heads of mod-6 docs (≥13 tokens), fresh ids —
+      // the q282 derived-batch shape, scored against the frozen LM.
+      val staged = s"$work/incoming"
+      docs.filter(col("doc_id") % 6 === 0
+          && size(split(col("text"), " ")) >= 13)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
+          col("lang"),
+          array_join(expr("slice(split(text, ' '), 1, 12)"), " ").as("text"))
+        .write.parquet(staged)
+      val decisions = s"$work/decisions"
+      val t0 = System.currentTimeMillis()
+      val q = s.readStream.schema(s.read.parquet(staged).schema).parquet(staged)
+        .writeStream
+        .option("checkpointLocation", s"$work/_checkpoint")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          pplScore(batch, model, ctx)
+            .withColumn("admitted", col("avg_q8") <= PplKeepMaxQ8)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(decisions)
+          ()
+        }
+        .start()
+      graft.StreamLog.await(t0, q)
+      spark.read.parquet(decisions)
+        .select(col("doc_id"), col("source"), col("nbg"), col("s_sum"),
+          col("avg_q8"), col("admitted"))
+        .orderBy(col("doc_id"))
+    }
 
   // ---------------------------------------------------------------------------
 
@@ -11124,7 +11243,9 @@ object PipelineQueries {
     "q302_loss_mask" -> (lossMaskCard _),
     "q303_source_gini" -> (sourceGini _),
     "q304_perplexity_filter" -> (perplexityFilter _),
-    "q305_token_pmi" -> (tokenPmi _))
+    "q305_token_pmi" -> (tokenPmi _),
+    "q306_source_datasheet" -> (sourceDatasheet _),
+    "q307_stream_ppl_gate" -> (streamPerplexityGate _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -16354,6 +16475,65 @@ object PipelineQueries {
          |  FROM sc)
          |SELECT lang, t1, t2, c12, pmi_q8, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= $PmiTopK ORDER BY lang, rank""".stripMargin
+    },
+    // q306: lang cells + md5 distinct + the same Q8.8 entropy fold;
+    // Simpson pairs ride HUGEINT.
+    "q306_source_datasheet" -> {
+      val lc = log2q8Duck("c")
+      val ln = log2q8Duck("n")
+      s"""WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |ls AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS n_langs,
+         |    CAST(SUM(c * ($lc)) AS BIGINT) AS cl_sum,
+         |    SUM(c * (c - 1)) AS pair_sum
+         |  FROM cells GROUP BY 1),
+         |le AS (SELECT source, n_langs,
+         |    CAST(($ln) - cl_sum // n AS BIGINT) AS lang_entropy_q8,
+         |    CAST(CASE WHEN n < 2 THEN 0
+         |      ELSE (pair_sum * 10000) // (n * (n - 1)) END AS BIGINT) AS lang_simpson_bp
+         |  FROM ls),
+         |ds AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+         |  FROM documents GROUP BY 1)
+         |SELECT ds.source, n_docs, n_tokens,
+         |  CAST((n_docs - n_distinct) * 10000 // n_docs AS BIGINT) AS exact_dup_bp,
+         |  n_langs, lang_entropy_q8, lang_simpson_bp
+         |FROM ds JOIN le ON ds.source = le.source ORDER BY ds.source""".stripMargin
+    },
+    // q307: the derived head batch scores against the full-corpus en LM;
+    // gate decisions are committed-model-only, so the replay is exact.
+    "q307_stream_ppl_gate" -> {
+      val B = PplBuckets
+      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
+      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
+      val sExpr = s"${log2q8Duck(s"c1 + $B")} - ${log2q8Duck("c2 + 1")}"
+      s"""WITH tk AS (SELECT doc_id, source, lang, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bg AS (SELECT tk.doc_id, tk.lang, ($h1) % $B AS bc, ($h2) % $B AS bn
+         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
+         |m AS (SELECT bc, bn, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
+         |cx AS (SELECT bc, CAST(SUM(c2) AS BIGINT) AS c1 FROM m GROUP BY 1),
+         |inc AS (SELECT doc_id + 3000000 AS doc_id, source,
+         |    str_split(text, ' ')[1:12] AS t
+         |  FROM documents
+         |  WHERE doc_id % 6 = 0 AND len(str_split(text, ' ')) >= 13),
+         |ib AS (SELECT inc.doc_id, inc.source,
+         |    (${duckH60("inc.t[CAST(u.i AS INTEGER)]")}) % $B AS bc,
+         |    (${duckH60("inc.t[CAST(u.i AS INTEGER) + 1]")}) % $B AS bn
+         |  FROM inc, UNNEST(range(1, len(inc.t))) AS u(i)),
+         |sc AS (SELECT ib.doc_id, ib.source,
+         |    COALESCE(m.c2, 0) AS c2, COALESCE(cx.c1, 0) AS c1
+         |  FROM ib LEFT JOIN m ON ib.bc = m.bc AND ib.bn = m.bn
+         |  LEFT JOIN cx ON ib.bc = cx.bc),
+         |pd AS (SELECT doc_id, source, CAST(SUM($sExpr) AS BIGINT) AS s_sum,
+         |    CAST(COUNT(*) AS BIGINT) AS nbg FROM sc GROUP BY 1, 2)
+         |SELECT doc_id, source, nbg, s_sum,
+         |  CAST(s_sum // nbg AS BIGINT) AS avg_q8,
+         |  s_sum // nbg <= $PplKeepMaxQ8 AS admitted
+         |FROM pd ORDER BY doc_id""".stripMargin
     })
 
   /** Shared q287/q293 oracle: the decay fold over exact hourly counts —

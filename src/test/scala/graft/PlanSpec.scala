@@ -1597,6 +1597,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), s"the bigram frame must be pinned:\n$p")
   }
 
+  test("q306: the datasheet is stacked keyed aggregates — no windows, no corpus joins") {
+    val p = planOf("q306_source_datasheet")
+    assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // The entropy fold runs on the (source, lang) CELL frame; the final
+    // join is catalog-sized and all aggregates combine map-side.
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("q299: the token offset range-shards via prefixSum; no unpartitioned corpus window") {
     val p = planOf("q299_concat_chunking")
     assert(p.contains("rangepartitioning"), p)

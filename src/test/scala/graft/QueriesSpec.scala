@@ -3747,6 +3747,49 @@ class QueriesSpec extends AnyFunSuite {
       ("fr", "p", "q", 5L, 256L, 1L), ("fr", "q", "p", 5L, 256L, 2L)), s"got $got")
   }
 
+  test("q306 datasheet: dup share, lang entropy, and Simpson land exact planted values") {
+    import spark.implicits._
+    // s0: en×3 (one exact dup pair), fr×1 → H = L(4) − (3·L(3))/4 =
+    // 512 − 288 = 224; Simpson = 6·10⁴/12 = 5000; dup 1/4 = 2500bp.
+    val docs = Seq(
+      (0L, "s0", "en", "a b"), (1L, "s0", "en", "a b"),
+      (2L, "s0", "fr", "c"), (3L, "s0", "en", "d e f"),
+      (4L, "s1", "zh", "g h i j"))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = graft.analytics.PipelineQueries.sourceDatasheetOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    assert(got == Seq(
+      ("s0", 4L, 8L, 2500L, 2L, 224L, 5000L),
+      ("s1", 1L, 4L, 0L, 1L, 0L, 0L)), s"got $got")
+  }
+
+  test("q307 ppl gate: in-model heads admit at 1225; unseen-context heads cut at 2304") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_q307_spec").toString
+    // doc 0 (en, 20×'a') is the whole model: c2(a,a)=19, c1=19. Its head
+    // replays seen bigrams: s = L(531) − L(20) = 2313 − 1088 = 1225
+    // (admit ≤ 1540). doc 6 (fr, 14×'b') streams an unseen context:
+    // s = L(512) − L(1) = 2304 (cut). doc 3 (fr — outside the model) has
+    // id % 6 ≠ 0, so it never stages.
+    val a20 = (1 to 20).map(_ => "a").mkString(" ")
+    val b14 = (1 to 14).map(_ => "b").mkString(" ")
+    Seq((0L, "s0", "en", a20), (3L, "s0", "fr", "c c c"),
+      (6L, "s1", "fr", b14))
+      .toDF("doc_id", "source", "lang", "text")
+      .write.parquet(s"$work/documents.parquet")
+    val got = graft.analytics.PipelineQueries.streamPerplexityGate(spark, work)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+      .toSeq
+    assert(got == Seq(
+      (3000000L, "s0", 11L, 13475L, 1225L, true),
+      (3000006L, "s1", 11L, 25344L, 2304L, false)), s"got $got")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

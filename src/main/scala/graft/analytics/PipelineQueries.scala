@@ -10987,6 +10987,132 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }
 
+  /** q308 constants, shared with the oracle: the Stupid Backoff penalty
+    * (−log₂ 0.4 in Q8.8 ≈ 338) and the trigram context bucket count
+    * ((h₁ % C)·31 + h₂ % C, folded mod C — the q257 pair-fold shape). */
+  private[graft] val SbPenaltyQ8 = 338L
+  private[graft] val SbCtxBuckets = 4096L
+
+  /** Stupid Backoff trigram scoring (q308) — the Brants et al. 2007
+    * web-scale LM recipe, which was DESIGNED for distributed count
+    * models: score each trigram position with the trigram estimate when
+    * the trigram was seen in the reference slice, else back off to
+    * q304's add-one bigram plus a fixed [[SbPenaltyQ8]] penalty (the
+    * 0.4 multiplier — no normalization, which is what makes the model
+    * embarrassingly mergeable). Card per source: docs, trigram hit
+    * share, mean backoff surprisal, and the bigram-only mean alongside
+    * (what q304 would have said) — the delta is the context-length
+    * dividend.
+    *
+    * Scale shape: the trigram model is two stacked aggregates bounded
+    * by [[SbCtxBuckets]]·[[PplBuckets]] keys (≈2M worst case — still a
+    * broadcastable constant, independent of corpus size), the bigram
+    * model is q304's; all four LM frames broadcast into ONE scoring
+    * pass (one Generate per corpus scan, both trigram and fallback
+    * lookups on the same exploded row); the card is ≤|sources| rows. */
+  def backoffLm(spark: SparkSession, dir: String): DataFrame =
+    backoffLmOf(Tables.documents(spark, dir))
+
+  /** Trigram position explode: (tc, tn) for the trigram lookup and
+    * (bc, bn) for the bigram fallback of the SAME position. */
+  private def sbTrigrams(d: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val B = PplBuckets
+    val C = SbCtxBuckets
+    d.select(col("doc_id"), col("source"), col("lang"),
+        md5_token_hashes(split(col("text"), " "), 60).as("h"))
+      .filter(size(col("h")) >= 3)
+      .select(col("doc_id"), col("source"), col("lang"), explode(expr(
+        s"""transform(sequence(2, size(h) - 1), i -> struct(
+           |  ((h[i-2] % $C) * 31 + h[i-1] % $C) % $C AS tc, h[i] % $B AS tn,
+           |  h[i-1] % $B AS bc, h[i] % $B AS bn))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("source"),
+        col("g.tc"), col("g.tn"), col("g.bc"), col("g.bn"))
+  }
+
+  private[graft] def backoffLmOf(docs: DataFrame): DataFrame = {
+    val B = PplBuckets
+    val (model, ctx) = pplModel(docs)
+    val tri = sbTrigrams(docs.filter(col("lang") === PplRefLang))
+      .groupBy(col("tc"), col("tn")).agg(count(lit(1)).as("c3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val triCtx = tri.groupBy(col("tc")).agg(sum(col("c3")).as("c2c"))
+    val s2 = s"${log2q8Spark(s"c1 + $B")} - ${log2q8Spark("c2 + 1")}"
+    val s3 = s"${log2q8Spark(s"c2c + $B")} - ${log2q8Spark("c3 + 1")}"
+    sbTrigrams(docs)
+      .join(broadcast(tri), Seq("tc", "tn"), "left")
+      .join(broadcast(triCtx), Seq("tc"), "left")
+      .join(broadcast(model), Seq("bc", "bn"), "left")
+      .join(broadcast(ctx), Seq("bc"), "left")
+      .withColumn("c3", coalesce(col("c3"), lit(0L)))
+      .withColumn("c2c", coalesce(col("c2c"), lit(0L)))
+      .withColumn("c2", coalesce(col("c2"), lit(0L)))
+      .withColumn("c1", coalesce(col("c1"), lit(0L)))
+      .withColumn("s2", expr(s2))
+      .withColumn("s", expr(s"CASE WHEN c3 > 0 THEN $s3 ELSE $SbPenaltyQ8 + s2 END"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_pos"),
+        sum(when(col("c3") > 0L, 1L).otherwise(0L)).as("n_hits"),
+        sum(col("s")).as("s_sum"), sum(col("s2")).as("s2_sum"))
+      .select(col("source"), col("n_docs"),
+        expr("n_hits * 10000L div n_pos").as("tri_hit_bp"),
+        expr("s_sum div n_pos").as("avg_backoff_q8"),
+        expr("s2_sum div n_pos").as("avg_bigram_q8"))
+      .orderBy(col("source"))
+  }
+
+  /** q309 constants, shared with the oracle: power-iteration rounds and
+    * the fixed-point scale (micro units). */
+  private[graft] val MkRounds = 6
+  private[graft] val MkScale = 1000000L
+
+  /** Markov stationary distribution (q309) — where user behavior
+    * SETTLES: the long-run occupancy of the event-type transition chain
+    * (q119's matrix), i.e. the attention budget each surface ultimately
+    * commands regardless of entry point. Power iteration in exact micro
+    * fixed point (floor per term, [[MkRounds]] rounds from uniform) over
+    * the recurrent core (types that appear as a transition SOURCE;
+    * edges into sink-only types are dropped and row sums recomputed, so
+    * the matrix is stochastic and no mass-leak fallback is needed).
+    *
+    * Scale shape: the corpus-sized work is q119's lead-window pair
+    * stream (user-partitioned window — bounded per user) + one keyed
+    * aggregate to the |types|² matrix; the iteration runs DRIVER-SIDE
+    * on the collected result-sized matrix (the q274/q286 rule — frame
+    * algebra would pay ~20 micro-jobs of scheduling for 8×8 math), so
+    * the returned frame is literal with no surviving corpus lineage. */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame =
+    markovStationaryOf(Tables.events(spark, dir))
+
+  private[graft] def markovStationaryOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUserTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUserTime))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = pairs.map(_._1).distinct.sorted
+    val core = pairs.filter(p => types.contains(p._2))
+    val rowsum = core.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pi: Map[String, Long] = types.map(_ -> MkScale / types.size).toMap
+    for (_ <- 1 to MkRounds)
+      pi = types.map { j =>
+        j -> core.filter(_._2 == j)
+          .map { case (i, _, n) => pi(i) * n / rowsum(i) }.sum
+      }.toMap
+    val spark = events.sparkSession
+    import spark.implicits._
+    types.map(t => (t, rowsum(t), pi(t))).toSeq
+      .toDF("event_type", "n_out", "pi_micro")
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -11245,7 +11371,9 @@ object PipelineQueries {
     "q304_perplexity_filter" -> (perplexityFilter _),
     "q305_token_pmi" -> (tokenPmi _),
     "q306_source_datasheet" -> (sourceDatasheet _),
-    "q307_stream_ppl_gate" -> (streamPerplexityGate _))
+    "q307_stream_ppl_gate" -> (streamPerplexityGate _),
+    "q308_backoff_lm" -> (backoffLm _),
+    "q309_markov_stationary" -> (markovStationary _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -16534,6 +16662,75 @@ object PipelineQueries {
          |  CAST(s_sum // nbg AS BIGINT) AS avg_q8,
          |  s_sum // nbg <= $PplKeepMaxQ8 AS admitted
          |FROM pd ORDER BY doc_id""".stripMargin
+    },
+    // q308: the q304 bigram model + the folded trigram model, both from
+    // the en slice; the backoff CASE and the Q8.8 terms replay 1:1.
+    "q308_backoff_lm" -> {
+      val B = PplBuckets
+      val C = SbCtxBuckets
+      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
+      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
+      val g1 = duckH60("tk.t[CAST(u.i AS INTEGER) - 1]")
+      val g2 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
+      val g3 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
+      val s2Expr = s"${log2q8Duck(s"c1 + $B")} - ${log2q8Duck("c2 + 1")}"
+      val s3Expr = s"${log2q8Duck(s"c2c + $B")} - ${log2q8Duck("c3 + 1")}"
+      s"""WITH tk AS (SELECT doc_id, source, lang, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bg AS (SELECT tk.doc_id, tk.lang, ($h1) % $B AS bc, ($h2) % $B AS bn
+         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
+         |m AS (SELECT bc, bn, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
+         |cx AS (SELECT bc, CAST(SUM(c2) AS BIGINT) AS c1 FROM m GROUP BY 1),
+         |tg AS (SELECT tk.doc_id, tk.source, tk.lang,
+         |    ((($g1) % $C) * 31 + ($g2) % $C) % $C AS tc, ($g3) % $B AS tn,
+         |    ($g2) % $B AS bc, ($g3) % $B AS bn
+         |  FROM tk, UNNEST(range(2, len(tk.t))) AS u(i)
+         |  WHERE len(tk.t) >= 3),
+         |m3 AS (SELECT tc, tn, CAST(COUNT(*) AS BIGINT) AS c3 FROM tg
+         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
+         |c3x AS (SELECT tc, CAST(SUM(c3) AS BIGINT) AS c2c FROM m3 GROUP BY 1),
+         |sc AS (SELECT tg.doc_id, tg.source,
+         |    COALESCE(m3.c3, 0) AS c3, COALESCE(c3x.c2c, 0) AS c2c,
+         |    COALESCE(m.c2, 0) AS c2, COALESCE(cx.c1, 0) AS c1
+         |  FROM tg LEFT JOIN m3 ON tg.tc = m3.tc AND tg.tn = m3.tn
+         |  LEFT JOIN c3x ON tg.tc = c3x.tc
+         |  LEFT JOIN m ON tg.bc = m.bc AND tg.bn = m.bn
+         |  LEFT JOIN cx ON tg.bc = cx.bc),
+         |sr AS (SELECT doc_id, source, c3, ($s2Expr) AS s2,
+         |    CASE WHEN c3 > 0 THEN ($s3Expr) ELSE $SbPenaltyQ8 + ($s2Expr) END AS s
+         |  FROM sc)
+         |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN c3 > 0 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         |    AS tri_hit_bp,
+         |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_backoff_q8,
+         |  CAST(SUM(s2) // COUNT(*) AS BIGINT) AS avg_bigram_q8
+         |FROM sr GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q309: the recurrent-core restriction, the per-term floor, and the
+    // six unrolled power-iteration rounds replay the driver loop.
+    "q309_markov_stationary" -> {
+      val rounds = (1 to MkRounds).map { k =>
+        s"""r$k AS (SELECT ty.type, COALESCE(s.pi, 0) AS pi FROM ty LEFT JOIN
+           |  (SELECT m.t AS type, CAST(SUM(r${k - 1}.pi * m.n // rs.rowsum) AS BIGINT) AS pi
+           |   FROM m JOIN r${k - 1} ON m.f = r${k - 1}.type JOIN rs ON m.f = rs.f
+           |   GROUP BY 1) s ON ty.type = s.type)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT event_type,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+         |  FROM events),
+         |p AS (SELECT event_type AS f, nt AS t, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM e WHERE nt IS NOT NULL GROUP BY 1, 2),
+         |ty AS (SELECT DISTINCT f AS type FROM p),
+         |m AS (SELECT f, t, n FROM p WHERE t IN (SELECT type FROM ty)),
+         |rs AS (SELECT f, CAST(SUM(n) AS BIGINT) AS rowsum FROM m GROUP BY 1),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ty),
+         |r0 AS (SELECT type, CAST($MkScale // k AS BIGINT) AS pi FROM ty, nt),
+         |$rounds
+         |SELECT ty.type AS event_type, rs.rowsum AS n_out,
+         |  r$MkRounds.pi AS pi_micro
+         |FROM ty JOIN rs ON ty.type = rs.f JOIN r$MkRounds ON ty.type = r$MkRounds.type
+         |ORDER BY event_type""".stripMargin
     })
 
   /** Shared q287/q293 oracle: the decay fold over exact hourly counts —

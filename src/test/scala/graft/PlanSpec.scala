@@ -1606,6 +1606,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("q308: all four LM frames broadcast into one scoring pass; no windows") {
+    val p = planOf("q308_backoff_lm")
+    assert(p.contains("BroadcastHashJoin"), s"bounded LM frames must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-keyed shuffle join belongs in the scoring pass:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q309: the stationary solve is driver-side — the returned frame is literal") {
+    val p = planOf("q309_markov_stationary")
+    // The distributed stage ends at the |types|² matrix collect (the
+    // q274 rule); no corpus lineage may survive into the result frame.
+    assert(p.contains("LocalTableScan"), s"expected a literal result frame:\n$p")
+    assert(!p.contains("parquet"), s"no corpus lineage may survive the solve:\n$p")
+  }
+
   test("q299: the token offset range-shards via prefixSum; no unpartitioned corpus window") {
     val p = planOf("q299_concat_chunking")
     assert(p.contains("rangepartitioning"), p)

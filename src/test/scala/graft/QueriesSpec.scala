@@ -3790,6 +3790,45 @@ class QueriesSpec extends AnyFunSuite {
       (3000006L, "s1", 11L, 25344L, 2304L, false)), s"got $got")
   }
 
+  test("q308 backoff: seen trigrams score the trigram term; unseen pay penalty + bigram") {
+    import spark.implicits._
+    // Model (en "a a a a"): c3(aaa)=2, c2c=2; bigram c2(a,a)=3, c1=3.
+    // doc 0 trigrams hit: s = L(514) − L(3) = 2305 − 384 = 1921; its
+    // bigram-only score is L(515) − L(4) = 2305 − 512 = 1793. doc 1 (fr)
+    // misses everything: s = 338 + L(512) − L(1) = 2642, s2 = 2304.
+    val docs = Seq(
+      (0L, "s0", "en", "a a a a"),
+      (1L, "s1", "fr", "b b b"))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = graft.analytics.PipelineQueries.backoffLmOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      ("s0", 1L, 10000L, 1921L, 1793L),
+      ("s1", 1L, 0L, 2642L, 2304L)), s"got $got")
+  }
+
+  test("q309 markov: 6 floor-exact power rounds over a 2-type chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // u1: A B A B A → (A,B)×2, (B,A)×2; u2: B B → (B,B). Matrix rows:
+    // A→B 2/2, B→{A:2, B:1}/3. Six floor-per-term rounds from 500000
+    // land π(A)=408778, π(B)=591219 (hand-iterated).
+    val ev = Seq(
+      (1L, 1L, "A"), (2L, 1L, "B"), (3L, 1L, "A"), (4L, 1L, "B"), (5L, 1L, "A"),
+      (6L, 2L, "B"), (7L, 2L, "B"))
+      .map { case (i, u, t) => (i, u, t, 1000L + i) }
+      .toDF("event_id", "user_id", "event_type", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val got = graft.analytics.PipelineQueries.markovStationaryOf(ev)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(("A", 2L, 408778L), ("B", 3L, 591219L)), s"got $got")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

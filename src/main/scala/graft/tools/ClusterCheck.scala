@@ -117,7 +117,16 @@ object ClusterCheck {
     // median-threshold quantizer (q297 — collected medians baked as
     // expression literals + a (dim, f) GlobalRank whose pid offsets
     // must agree across executors).
-    "q295_multiprobe_lsh", "q297_median_binary_quant")
+    "q295_multiprobe_lsh", "q297_median_binary_quant",
+    // Continuation batch-4 additions: the sharded exclusive prefix sum
+    // (q299 — GlobalRank.prefixSum's pid-local ROWS sums + broadcast
+    // carry-ins must agree across worker JVMs, the q239/q207 argument
+    // applied to SUM), the reflected-rank preference pairing (q301 —
+    // one GlobalRank + a rank-keyed self-join whose two sides live on
+    // different executors), and the broadcast bucket-LM scoring pass
+    // (q304 — four bounded LM frames crossing real process boundaries
+    // into the codegen'd Q8.8 arithmetic).
+    "q299_concat_chunking", "q301_preference_pairs", "q304_perplexity_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

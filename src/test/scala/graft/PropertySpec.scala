@@ -265,6 +265,99 @@ class PropertySpec extends AnyFunSuite {
     assert(lpt.map(_.getLong(1)).sum == 3L, "source count drift")
   }
 
+  test("q299-q306/q308: card invariants hold for arbitrary corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    val P = graft.analytics.PipelineQueries
+    (0 until 2).foreach { s =>
+      val n = 40
+      val base = randomCorpus(800L + s, n, 3, 60).toDF("doc_id", "source", "text")
+      val docs = base.withColumn("lang",
+        when(col("doc_id") % 3 === 0, "en")
+          .when(col("doc_id") % 3 === 1, "fr").otherwise("de"))
+      // q299: tokens conserve (+1 EOS per doc); a crossing doc has ≥ 2
+      // spans, so spans_sum ≥ n_docs + n_crossing; shares are shares.
+      val cc = P.concatChunkingOf(docs).collect()
+      assert(cc.map(_.getLong(1)).sum == n.toLong, s"seed $s: q299 doc loss")
+      cc.foreach { r =>
+        assert(r.getLong(5) >= r.getLong(1) + r.getLong(3), s"seed $s: q299 span math")
+        assert(r.getLong(4) <= 10000L, s"seed $s: q299 share range")
+      }
+      // q300: down-weighting only shrinks mass; a doc in no cluster keeps
+      // full mass, so eff ≤ raw·10⁴ with equality iff nothing clustered.
+      P.softDedupWeightsOf(docs).collect().foreach { r =>
+        assert(r.getLong(4) <= 10000L * r.getLong(3), s"seed $s: q300 mass grew")
+        assert((r.getLong(2) == 0L) == (r.getLong(4) == 10000L * r.getLong(3)),
+          s"seed $s: q300 equality iff unclustered")
+        assert(r.getLong(5) <= 10000L, s"seed $s: q300 share range")
+      }
+      // q301: every kept pair clears the gap gate; pairing consumes at
+      // most the stratum, two docs per pair.
+      P.preferencePairsOfScored(
+        P.classifierDocScores(docs).select(col("doc_id"), col("source"), col("margin")))
+        .collect().foreach { r =>
+          assert(2 * r.getLong(2) <= r.getLong(1), s"seed $s: q301 over-paired")
+          if (r.getLong(2) > 0)
+            assert(r.getLong(3) >= r.getLong(2) * P.PrefMinGap, s"seed $s: q301 gate leak")
+          assert(r.getLong(5) <= 10000L, s"seed $s: q301 share range")
+        }
+      // q302: the mask never exceeds the text; masked docs ≤ docs.
+      P.lossMaskCardOf(docs).collect().foreach { r =>
+        assert(r.getLong(4) <= r.getLong(3), s"seed $s: q302 mask exceeds tokens")
+        assert(r.getLong(2) <= r.getLong(1) && r.getLong(5) <= 10000L,
+          s"seed $s: q302 ranges")
+      }
+      // q303: Gini is a share in [0, 10000).
+      P.sourceGiniOf(docs).collect().foreach { r =>
+        assert(r.getLong(3) >= 0L && r.getLong(3) < 10000L, s"seed $s: q303 range")
+      }
+      // q304: surprisal is non-negative (c1 + B > c2 + 1 always) and the
+      // keep share is a share.
+      P.perplexityFilterOf(docs).collect().foreach { r =>
+        assert(r.getLong(2) >= 0L && r.getLong(4) <= 10000L, s"seed $s: q304 ranges")
+      }
+      // q305: ranks are contiguous from 1 per lang; the count gate held.
+      val pmi = P.tokenPmiOf(docs).collect()
+        .map(r => (r.getString(0), r.getLong(3), r.getLong(5)))
+      pmi.groupBy(_._1).foreach { case (lang, rows) =>
+        assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+          s"seed $s: q305 $lang ranks not contiguous")
+      }
+      pmi.foreach { case (_, c12, _) =>
+        assert(c12 >= P.PmiMinCount, s"seed $s: q305 count gate leak") }
+      // q306: entropy is non-negative and the floor arithmetic keeps it
+      // under L(n_langs) + the mantissa slack; Simpson/dup are shares.
+      P.sourceDatasheetOf(docs).collect().foreach { r =>
+        val hMax = (math.log(r.getLong(4).toDouble) / math.log(2.0) * 256).toLong + 46
+        assert(r.getLong(5) >= 0L && r.getLong(5) <= hMax, s"seed $s: q306 entropy range")
+        assert(r.getLong(3) <= 10000L && r.getLong(6) <= 10000L, s"seed $s: q306 shares")
+      }
+      // q308: the hit share is a share; both surprisal means non-negative.
+      P.backoffLmOf(docs).collect().foreach { r =>
+        assert(r.getLong(2) <= 10000L && r.getLong(3) >= 0L && r.getLong(4) >= 0L,
+          s"seed $s: q308 ranges")
+      }
+    }
+  }
+
+  test("q309 markov: floor iteration never grows mass; sinks drop from the core") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val rnd = new scala.util.Random(7L)
+    val ev = (0 until 400).map { i =>
+      (i.toLong, rnd.nextInt(25).toLong, s"t${rnd.nextInt(6)}", 1000L + i)
+    }.toDF("event_id", "user_id", "event_type", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val rows = graft.analytics.PipelineQueries.markovStationaryOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum <= graft.analytics.PipelineQueries.MkScale,
+      "floor iteration grew probability mass")
+    rows.foreach { case (t, out, pi) =>
+      assert(out > 0L, s"$t: sink-only type survived the core restriction")
+      assert(pi >= 0L, s"$t: negative mass")
+    }
+  }
+
   test("q279 span corruption: card invariants hold for arbitrary corpora") {
     import spark.implicits._
     (0 until 3).foreach { s =>

@@ -87,7 +87,14 @@ object SpillCheck {
           // over the full signal frame; the most sort-heavy new query,
           // exactly the path that must stay hash-stable under forced
           // spills).
-          "q283_borda_fusion").map { name =>
+          "q283_borda_fusion",
+          // Continuation batch-4 additions: the PMI pipeline (q305 —
+          // the widest STRING-keyed exchange among the new operators:
+          // bigram-pair aggregate + two vocab-keyed marginal joins + a
+          // GlobalRank over the scored frame) and the sharded exclusive
+          // prefix sum (q299 — pid-window running sums whose carry-in
+          // offsets must stay exact when the sort spills).
+          "q299_concat_chunking", "q305_token_pmi").map { name =>
           val df = graft.SparkEntry.queries(name)(spark, sfDir)
           val row = df
             .select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))

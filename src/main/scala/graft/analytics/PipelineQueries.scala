@@ -11113,6 +11113,94 @@ object PipelineQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Traffic burstiness via the Fano factor (q310) — the
+    * overdispersion test behind rate-limit sizing and bot triage
+    * (q148 flags WHO is a bot; this says which event TYPES arrive in
+    * bursts): for each type, the variance-to-mean ratio of hourly
+    * counts over the full corpus hour span (empty hours count as
+    * zeros through the span arithmetic — no row is ever materialized
+    * for them). Poisson traffic lands ≈10000; bursty types land
+    * higher. Exact integers: F×10⁴ = (N·Σc² − S²)·10⁴ div (N·S) with
+    * Σc² in DECIMAL(38,0) (hourly counts square past BIGINT at
+    * production volume).
+    *
+    * Scale shape: one scan → (type, hour) two-phase aggregate →
+    * |types|-row fold joined to a 1-row broadcast span frame. Nothing
+    * corpus-sized after the first aggregate. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    burstinessOf(Tables.events(spark, dir))
+
+  private[graft] def burstinessOf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000L").as("hour_id"))
+      .groupBy(col("event_type"), col("hour_id"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val span = hourly.agg(
+      (max(col("hour_id")) - min(col("hour_id")) + 1L).as("n_span"))
+    hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_active_hours"),
+        sum(col("c")).as("n_events"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("c2_sum"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("n_events"), col("n_active_hours"),
+        col("n_span"),
+        expr("""CAST((n_span * c2_sum - CAST(n_events AS DECIMAL(38,0)) * n_events)
+          |  * 10000 div (CAST(n_span AS DECIMAL(38,0)) * n_events) AS BIGINT)"""
+          .stripMargin).as("fano_x10000"),
+        expr("n_events * 100L div n_span").as("mean_per_hour_x100"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Shuffle-quality audit (q311) — does the training order actually
+    * decorrelate sources? For two deterministic orderings of the corpus
+    * — naive (source, doc_id) and hash-shuffled (h60(doc_id:shuffle),
+    * doc_id) — measure the share of ADJACENT pairs drawn from the same
+    * source, against the independence baseline Σ share² (what a
+    * perfect shuffle converges to). The naive order lands ≈10000 (runs
+    * of one source); a good shuffle lands at the baseline. This is the
+    * acceptance test for any q291-style schedule before it feeds a
+    * trainer (gradient noise is correlated exactly when adjacent
+    * examples share a source).
+    *
+    * Scale shape: each ordering is ONE GlobalRank over slim
+    * (key, doc_id, source) rows; adjacency is a rank⋈(rank+1) equi-join
+    * (the q262 shape); the baseline is a ≤|sources|-row aggregate with
+    * DECIMAL(38,0) share squares. Nothing is ever windowed
+    * unpartitioned or collected. */
+  def shuffleQuality(spark: SparkSession, dir: String): DataFrame =
+    shuffleQualityOf(Tables.documents(spark, dir))
+
+  private[graft] def shuffleQualityOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    import graft.operators.GlobalRank.rowNumber
+    val slim = docs.select(col("doc_id"), col("source"),
+      md5_token_hashes(array(concat(col("doc_id").cast("string"), lit(":shuffle"))), 60)
+        .getItem(0).as("hk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTotal = slim.agg(count(lit(1)).as("n"))
+    val baseline = slim.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      .crossJoin(broadcast(nTotal))
+      .agg(expr("""CAST(sum(CAST(ns AS DECIMAL(38,0)) * ns) * 10000
+        |  div (CAST(max(n) AS DECIMAL(38,0)) * max(n)) AS BIGINT)""".stripMargin)
+        .as("baseline_bp"))
+    def adjacency(order: Seq[org.apache.spark.sql.Column], name: String): DataFrame = {
+      val ranked = rowNumber(slim, order, "rk")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ranked.select(col("rk"), col("source").as("src_a"))
+        .join(ranked.select((col("rk") - 1L).as("rk"), col("source").as("src_b")),
+          Seq("rk"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("src_a") === col("src_b"), 1L).otherwise(0L)).as("n_same"))
+        .select(lit(name).as("ordering"), col("n_pairs"), col("n_same"),
+          expr("n_same * 10000L div n_pairs").as("same_source_bp"))
+    }
+    adjacency(Seq(col("source").asc, col("doc_id").asc), "naive")
+      .unionByName(adjacency(Seq(col("hk").asc, col("doc_id").asc), "shuffled"))
+      .crossJoin(broadcast(baseline))
+      .orderBy(col("ordering"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -11373,7 +11461,9 @@ object PipelineQueries {
     "q306_source_datasheet" -> (sourceDatasheet _),
     "q307_stream_ppl_gate" -> (streamPerplexityGate _),
     "q308_backoff_lm" -> (backoffLm _),
-    "q309_markov_stationary" -> (markovStationary _))
+    "q309_markov_stationary" -> (markovStationary _),
+    "q310_burstiness" -> (burstiness _),
+    "q311_shuffle_quality" -> (shuffleQuality _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -16731,6 +16821,42 @@ object PipelineQueries {
          |  r$MkRounds.pi AS pi_micro
          |FROM ty JOIN rs ON ty.type = rs.f JOIN r$MkRounds ON ty.type = r$MkRounds.type
          |ORDER BY event_type""".stripMargin
+    },
+    // q310: the same hourly cells; the span frame and the exact
+    // variance-to-mean integers replay 1:1 (HUGEINT covers Σc²).
+    "q310_burstiness" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |sp AS (SELECT MAX(hour_id) - MIN(hour_id) + 1 AS n_span FROM h)
+        |SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+        |  CAST(sp.n_span AS BIGINT) AS n_span,
+        |  CAST((sp.n_span * SUM(c * c) - SUM(c) * SUM(c)) * 10000
+        |    // (sp.n_span * SUM(c)) AS BIGINT) AS fano_x10000,
+        |  CAST(SUM(c) * 100 // sp.n_span AS BIGINT) AS mean_per_hour_x100
+        |FROM h, sp GROUP BY event_type, sp.n_span ORDER BY event_type""".stripMargin,
+    // q311: both serial row_numbers replay the GlobalRanks; adjacency is
+    // the same rank+1 join; the baseline squares ride HUGEINT.
+    "q311_shuffle_quality" -> {
+      val hk = duckH60("CAST(doc_id AS VARCHAR) || ':shuffle'")
+      s"""WITH d AS (SELECT doc_id, source, $hk AS hk FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+         |bl AS (SELECT CAST(SUM(ns * ns) * 10000 // (n.n * n.n) AS BIGINT) AS baseline_bp
+         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM d GROUP BY source), n
+         |  GROUP BY n.n),
+         |r1 AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source, doc_id) AS rk FROM d),
+         |a1 AS (SELECT 'naive' AS ordering, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN x.source = y.source THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+         |  FROM r1 x JOIN r1 y ON y.rk = x.rk + 1),
+         |r2 AS (SELECT source, ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rk FROM d),
+         |a2 AS (SELECT 'shuffled' AS ordering, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN x.source = y.source THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+         |  FROM r2 x JOIN r2 y ON y.rk = x.rk + 1),
+         |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+         |SELECT ordering, n_pairs, n_same,
+         |  CAST(n_same * 10000 // n_pairs AS BIGINT) AS same_source_bp,
+         |  bl.baseline_bp
+         |FROM u, bl ORDER BY ordering""".stripMargin
     })
 
   /** Shared q287/q293 oracle: the decay fold over exact hourly counts —

@@ -1623,6 +1623,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("parquet"), s"no corpus lineage may survive the solve:\n$p")
   }
 
+  test("q310: burstiness is a cell aggregate + a 1-row span broadcast — no windows") {
+    val p = planOf("q310_burstiness")
+    assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the hourly cells must combine map-side:\n$p")
+  }
+
+  test("q311: both orderings range-shard via GlobalRank; adjacency is a rank-keyed join") {
+    val p = planOf("q311_shuffle_quality")
+    assert(p.contains("rangepartitioning"), p)
+    assert("windowspecdefinition\\((?!__gr_pid)".r.findFirstIn(p).isEmpty,
+      s"an unsharded corpus sort crept in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q299: the token offset range-shards via prefixSum; no unpartitioned corpus window") {
     val p = planOf("q299_concat_chunking")
     assert(p.contains("rangepartitioning"), p)

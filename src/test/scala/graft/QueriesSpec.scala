@@ -3829,6 +3829,45 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == Seq(("A", 2L, 408778L), ("B", 3L, 591219L)), s"got $got")
   }
 
+  test("q310 burstiness: a 3-1 burst lands Fano 11666; uniform traffic lands 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // Span hours 0..2. A: (h0: 3, h2: 1) → (3·10 − 16)·10⁴ // 12 = 11666.
+    // B: one per hour → zero variance → 0.
+    val ev = Seq(
+      ("A", 0L), ("A", 0L), ("A", 0L), ("A", 2L),
+      ("B", 0L), ("B", 1L), ("B", 2L))
+      .zipWithIndex.map { case ((t, h), i) => (i.toLong, t, h * 3600L + 10L) }
+      .toDF("event_id", "event_type", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val got = graft.analytics.PipelineQueries.burstinessOf(ev)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      ("A", 4L, 2L, 3L, 11666L, 133L),
+      ("B", 3L, 3L, 3L, 0L, 100L)), s"got $got")
+  }
+
+  test("q311 shuffle quality: source-ordered adjacency is 2/3 same; baseline is 5000bp") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "s0", "x"), (1L, "s0", "x"), (2L, "s1", "x"), (3L, "s1", "x"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.analytics.PipelineQueries.shuffleQualityOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    val naive = got.find(_._1 == "naive").get
+    assert(naive == ("naive", 3L, 2L, 6666L, 5000L), s"got $got")
+    // The shuffled order is hash-determined; pin its invariants rather
+    // than the draw: 3 adjacent pairs, a valid share, the same baseline.
+    val sh = got.find(_._1 == "shuffled").get
+    assert(sh._2 == 3L && sh._3 <= 3L && sh._5 == 5000L, s"got $got")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

@@ -6812,8 +6812,12 @@ object PipelineQueries {
     retrievalEvalOf(Tables.documents(spark, dir),
       _ => docTokenSets(spark, dir))
 
-  private[graft] def retrievalEvalOf(documents: DataFrame,
-      memoDt: DataFrame => DataFrame = identity): DataFrame = {
+  /** The q234 BM25 run (top-[[IrK]] per query) and exact Jaccard
+    * relevance truth, factored so q313's NDCG grades the SAME run and
+    * truth (one scorer, several metrics — the eval-harness shape).
+    * Returns (run, rel, query-id frame). */
+  private def irRunRelOf(documents: DataFrame,
+      memoDt: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents.select(col("doc_id"), col("text"))
     val toks = docs.select(col("doc_id"),
@@ -6853,11 +6857,17 @@ object PipelineQueries {
       .join(sz, Seq("doc_id"))
       .filter(col("inter") * 10000L >= lit(IrRelBp) * (col("qsz") + col("sz") - col("inter")))
       .select(col("qid"), col("doc_id"))
+    (run, rel, docs.filter(col("doc_id") % IrQMod === 1L).select(col("doc_id").as("qid")))
+  }
+
+  private[graft] def retrievalEvalOf(documents: DataFrame,
+      memoDt: DataFrame => DataFrame = identity): DataFrame = {
+    val (run, rel, qids) = irRunRelOf(documents, memoDt)
     val nrel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
     val hits = run.join(rel, Seq("qid", "doc_id"))
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("hits"), min(col("rank")).as("first_rank"))
-    docs.filter(col("doc_id") % IrQMod === 1L).select(col("doc_id").as("qid"))
+    qids
       .join(nrel, Seq("qid"), "left")
       .join(hits, Seq("qid"), "left")
       .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
@@ -11201,6 +11211,85 @@ object PipelineQueries {
       .orderBy(col("ordering"))
   }
 
+  /** q312 excess-surprisal cap (Q8.8) — bounds the exp2 shift, shared
+    * with the oracle. */
+  private[graft] val DoremiCapQ8 = 2048L
+
+  /** DoReMi-style mixture reweighting (q312) — closing the q304 → q251
+    * loop: a domain the reference LM finds SURPRISING is the domain the
+    * next training round should upweight (the DoReMi intuition, with
+    * the proxy-model excess loss replaced by q304's exact Q8.8 bigram
+    * surprisal). Weight ∝ 2^(excess), where excess = source mean
+    * surprisal − corpus-min source mean, capped at [[DoremiCapQ8]];
+    * exp2 is EXACT integer arithmetic ((256 + frac) ≪ int — the q304
+    * log₂'s inverse, same linear-mantissa convention), so the emitted
+    * mixture shares are hash-checked.
+    *
+    * Scale shape: one q304 scoring pass → a ≤|sources|-row mean frame
+    * (persisted — min frame + weights both read it); everything after
+    * is metadata arithmetic with 1-row broadcasts. */
+  def doremiMix(spark: SparkSession, dir: String): DataFrame =
+    doremiMixOf(Tables.documents(spark, dir))
+
+  private[graft] def doremiMixOf(docs: DataFrame): DataFrame = {
+    val (model, ctx) = pplModel(docs)
+    val perSrc = pplScore(docs, model, ctx)
+      .groupBy(col("source"))
+      .agg(sum(col("s_sum")).as("ss"), sum(col("nbg")).as("nn"))
+      .select(col("source"), expr("ss div nn").as("avg_q8"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minAvg = perSrc.agg(min(col("avg_q8")).as("min_q8"))
+    val w = perSrc.crossJoin(broadcast(minAvg))
+      .withColumn("excess_q8",
+        least(col("avg_q8") - col("min_q8"), lit(DoremiCapQ8)))
+      .withColumn("w_raw",
+        expr("shiftleft(256 + excess_q8 % 256, CAST(excess_q8 div 256 AS INT))"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = w.agg(sum(col("w_raw")).as("wt"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("avg_q8"), col("excess_q8"), col("w_raw"),
+        expr("w_raw * 10000L div wt").as("mix_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Integer NDCG@k retrieval eval (q313) — the top-weighted metric
+    * q234's P@k/recall/MRR card lacks, graded on the SAME BM25 run and
+    * exact Jaccard truth (one scorer, several metrics — the shared
+    * [[irRunRelOf]] core, so q234 and q313 can never disagree about
+    * what was retrieved). The log₂ discount is q304's Q8.8 integer
+    * log (term(r) = 2 560 000 div L(r+1) — 10000 at rank 1), and the
+    * ideal DCG unrolls the same formula over a k-row literal sequence,
+    * so NDCG is hash-exact, not a float claim.
+    *
+    * Scale shape: q234's postings plans plus a per-query ≤k-row explode
+    * for the ideal — result-sized throughout. */
+  def irNdcg(spark: SparkSession, dir: String): DataFrame =
+    irNdcgOf(Tables.documents(spark, dir), _ => docTokenSets(spark, dir))
+
+  private[graft] def irNdcgOf(documents: DataFrame,
+      memoDt: DataFrame => DataFrame = identity): DataFrame = {
+    val (run, rel, qids) = irRunRelOf(documents, memoDt)
+    val term = (x: String) => s"2560000L div ${log2q8Spark(s"($x) + 1")}"
+    val dcg = run.join(rel, Seq("qid", "doc_id"))
+      .groupBy(col("qid")).agg(sum(expr(term("rank"))).as("dcg_x"))
+    val nrel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val idcg = nrel
+      .select(col("qid"), col("n_rel"), explode(expr(s"sequence(1, $IrK)")).as("i"))
+      .filter(col("i") <= col("n_rel"))
+      .groupBy(col("qid")).agg(sum(expr(term("i"))).as("idcg_x"))
+    qids
+      .join(nrel, Seq("qid"), "left")
+      .join(dcg, Seq("qid"), "left")
+      .join(idcg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("dcg_x"), lit(0L)).as("dcg_x"),
+        coalesce(col("idcg_x"), lit(0L)).as("idcg_x"),
+        expr("CASE WHEN coalesce(idcg_x, 0L) = 0 THEN 0L"
+          + " ELSE coalesce(dcg_x, 0L) * 10000L div idcg_x END").as("ndcg_bp"))
+      .orderBy(col("qid"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -11463,7 +11552,9 @@ object PipelineQueries {
     "q308_backoff_lm" -> (backoffLm _),
     "q309_markov_stationary" -> (markovStationary _),
     "q310_burstiness" -> (burstiness _),
-    "q311_shuffle_quality" -> (shuffleQuality _))
+    "q311_shuffle_quality" -> (shuffleQuality _),
+    "q312_doremi_mix" -> (doremiMix _),
+    "q313_ir_ndcg" -> (irNdcg _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -16857,6 +16948,79 @@ object PipelineQueries {
          |  CAST(n_same * 10000 // n_pairs AS BIGINT) AS same_source_bp,
          |  bl.baseline_bp
          |FROM u, bl ORDER BY ordering""".stripMargin
+    },
+    // q312: q304's surprisal CTEs aggregated per source, the same capped
+    // excess, and the exact (256 + frac) << int exp2.
+    "q312_doremi_mix" -> {
+      val B = PplBuckets
+      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
+      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
+      val sExpr = s"${log2q8Duck(s"c1 + $B")} - ${log2q8Duck("c2 + 1")}"
+      s"""WITH tk AS (SELECT doc_id, source, lang, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bg AS (SELECT tk.doc_id, tk.source, tk.lang,
+         |    ($h1) % $B AS bc, ($h2) % $B AS bn
+         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
+         |m AS (SELECT bc, bn, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
+         |cx AS (SELECT bc, CAST(SUM(c2) AS BIGINT) AS c1 FROM m GROUP BY 1),
+         |sc AS (SELECT bg.source, COALESCE(m.c2, 0) AS c2, COALESCE(cx.c1, 0) AS c1
+         |  FROM bg LEFT JOIN m ON bg.bc = m.bc AND bg.bn = m.bn
+         |  LEFT JOIN cx ON bg.bc = cx.bc),
+         |ps AS (SELECT source, SUM($sExpr) // COUNT(*) AS avg_q8 FROM sc GROUP BY 1),
+         |mn AS (SELECT MIN(avg_q8) AS min_q8 FROM ps),
+         |w AS (SELECT source, avg_q8,
+         |    LEAST(avg_q8 - min_q8, $DoremiCapQ8) AS excess_q8 FROM ps, mn),
+         |w2 AS (SELECT source, avg_q8, excess_q8,
+         |    (256 + excess_q8 % 256) << CAST(excess_q8 // 256 AS INTEGER) AS w_raw FROM w),
+         |t AS (SELECT SUM(w_raw) AS wt FROM w2)
+         |SELECT source, CAST(avg_q8 AS BIGINT) AS avg_q8,
+         |  CAST(excess_q8 AS BIGINT) AS excess_q8, CAST(w_raw AS BIGINT) AS w_raw,
+         |  CAST(w_raw * 10000 // wt AS BIGINT) AS mix_bp
+         |FROM w2, t ORDER BY source""".stripMargin
+    },
+    // q313: q234's run + truth verbatim; the discount and the unrolled
+    // ideal ride the same Q8.8 integer log₂.
+    "q313_ir_ndcg" -> {
+      val term = (x: String) => s"2560000 // ${log2q8Duck(s"($x) + 1")}"
+      s"""WITH toks AS (SELECT doc_id, len(str_split(text, ' ')) AS dl, unnest(str_split(text, ' ')) AS token FROM documents),
+         |td AS (SELECT token, doc_id, dl, COUNT(*) AS tf FROM toks GROUP BY token, doc_id, dl),
+         |qt AS (SELECT DISTINCT doc_id AS qid, token FROM toks WHERE doc_id % $IrQMod = 1),
+         |n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens FROM documents),
+         |tdq AS (SELECT * FROM td WHERE token IN (SELECT token FROM qt)),
+         |d AS (SELECT token, COUNT(*) AS df FROM tdq GROUP BY token),
+         |sc AS (SELECT qt.qid, tdq.doc_id, CAST(SUM($BmTermSql) AS BIGINT) AS score
+         |  FROM qt JOIN tdq ON qt.token = tdq.token AND tdq.doc_id <> qt.qid
+         |  JOIN d ON d.token = qt.token CROSS JOIN n
+         |  GROUP BY qt.qid, tdq.doc_id),
+         |topk AS (SELECT * FROM (SELECT qid, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |  WHERE rank <= $IrK),
+         |dt AS (SELECT DISTINCT doc_id, token FROM toks),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
+         |qdt AS (SELECT doc_id AS qid, token FROM dt WHERE doc_id % $IrQMod = 1),
+         |rel AS (SELECT i.qid, i.doc_id FROM (
+         |    SELECT q.qid, dt.doc_id, COUNT(*) AS i FROM qdt q
+         |    JOIN dt ON q.token = dt.token AND dt.doc_id <> q.qid
+         |    GROUP BY q.qid, dt.doc_id) i
+         |  JOIN sz sq ON sq.doc_id = i.qid JOIN sz sd ON sd.doc_id = i.doc_id
+         |  WHERE i.i * 10000 >= $IrRelBp * (sq.sz + sd.sz - i.i)),
+         |nrel AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
+         |dcg AS (SELECT t.qid, CAST(SUM(${term("t.rank")}) AS BIGINT) AS dcg_x
+         |  FROM topk t JOIN rel r ON t.qid = r.qid AND t.doc_id = r.doc_id GROUP BY t.qid),
+         |ii AS (SELECT qid, n_rel, UNNEST(range(1, $IrK + 1)) AS i FROM nrel),
+         |idcg AS (SELECT qid, CAST(SUM(${term("i")}) AS BIGINT) AS idcg_x
+         |  FROM ii WHERE i <= n_rel GROUP BY qid)
+         |SELECT q.qid, CAST(COALESCE(n_rel, 0) AS BIGINT) AS n_rel,
+         |  CAST(COALESCE(dcg_x, 0) AS BIGINT) AS dcg_x,
+         |  CAST(COALESCE(idcg_x, 0) AS BIGINT) AS idcg_x,
+         |  CAST(CASE WHEN COALESCE(idcg_x, 0) = 0 THEN 0
+         |    ELSE COALESCE(dcg_x, 0) * 10000 // idcg_x END AS BIGINT) AS ndcg_bp
+         |FROM (SELECT doc_id AS qid FROM documents WHERE doc_id % $IrQMod = 1) q
+         |LEFT JOIN nrel ON nrel.qid = q.qid
+         |LEFT JOIN dcg ON dcg.qid = q.qid
+         |LEFT JOIN idcg ON idcg.qid = q.qid
+         |ORDER BY q.qid""".stripMargin
     })
 
   /** Shared q287/q293 oracle: the decay fold over exact hourly counts —

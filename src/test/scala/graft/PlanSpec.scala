@@ -1639,6 +1639,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q312: one scoring pass; the mixture math is metadata-frame arithmetic") {
+    val p = planOf("q312_doremi_mix")
+    assert(p.contains("BroadcastHashJoin"), s"the bounded LM must broadcast:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // The per-source mean frame is persisted — min frame and weights
+    // must not re-run the corpus scoring pass by lineage.
+    assert(p.contains("InMemoryTableScan"), s"the source-mean frame must be pinned:\n$p")
+  }
+
+  test("q313: every window is qid-partitioned (per-query ranking, never corpus-wide)") {
+    val p = planOf("q313_ir_ndcg")
+    assert("windowspecdefinition\\((?!qid)".r.findFirstIn(p).isEmpty,
+      s"a non-qid window crept into the eval plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q299: the token offset range-shards via prefixSum; no unpartitioned corpus window") {
     val p = planOf("q299_concat_chunking")
     assert(p.contains("rangepartitioning"), p)

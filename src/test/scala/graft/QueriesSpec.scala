@@ -3868,6 +3868,44 @@ class QueriesSpec extends AnyFunSuite {
     assert(sh._2 == 3L && sh._3 <= 3L && sh._5 == 5000L, s"got $got")
   }
 
+  test("q312 doremi mix: zero-excess anchors 256; a 383-excess source gets (256+127)<<1") {
+    import spark.implicits._
+    // Model (en "a a a"): c2=2, c1=2 → s0's avg = L(514) − L(3) = 1921
+    // (the min). s1's unseen context scores 2304 → excess 383 →
+    // w = (256 + 127) << 1 = 766; shares 256/1022 and 766/1022.
+    val docs = Seq(
+      (0L, "s0", "en", "a a a"),
+      (1L, "s1", "fr", "b a"))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = graft.analytics.PipelineQueries.doremiMixOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      ("s0", 1921L, 0L, 256L, 2504L),
+      ("s1", 2304L, 383L, 766L, 7495L)), s"got $got")
+  }
+
+  test("q313 ndcg: a fully-relevant top-2 lands 10000; a truthless query lands zeros") {
+    import spark.implicits._
+    // Query 1 has two exact twins (5, 7): both retrieved and relevant →
+    // dcg = idcg = 10000 + 6666. Query 101 shares no token with anyone.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (5L, "alpha beta gamma delta"),
+      (7L, "alpha beta gamma delta"), (8L, "x y z w"),
+      (101L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val got = graft.analytics.PipelineQueries.irNdcgOf(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, 16666L, 16666L, 10000L),
+      (101L, 0L, 0L, 0L, 0L)), s"got $got")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

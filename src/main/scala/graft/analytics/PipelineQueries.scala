@@ -11290,6 +11290,110 @@ object PipelineQueries {
       .orderBy(col("qid"))
   }
 
+  /** q314 constants, shared with the oracle: m = 64 HLL buckets, 3
+    * propagation rounds, α₆₄·m²·1000 as a DEFINED integer literal
+    * (2904.064 → 2904064 — the standard HLL bias constant; both
+    * engines use the literal, so there is no float anywhere), and the
+    * 2^56 fixed-point scale for the harmonic sum. */
+  private[graft] val HbBuckets = 64L
+  private[graft] val HbRounds = 3
+  private[graft] val HbAlphaM2Milli = 2904064L
+  private[graft] val HbK = 56
+
+  /** HyperBall neighborhood function (q314) — Boldi & Vigna 2013: the
+    * per-node ball sizes |B(v,t)| that define a graph's effective
+    * diameter are EXACTLY what cannot be computed at scale (this
+    * corpus's co-purchase graph is an expander — its 3-hop closure is
+    * already near-complete, which is why the q205 BFS runs from ONE
+    * seed), so each node carries an m=64 HLL register vector instead
+    * and the ball union becomes a per-bucket MAX — mergeable,
+    * map-side-combinable, one keyed shuffle per round. Estimates use
+    * the raw harmonic estimator in exact integer fixed point (no
+    * small-range correction — the operating regime is balls ≫ m,
+    * disclosed); the DuckDB oracle replays the registers and the
+    * estimator bit-for-bit, so the card is hash-checked. Card per
+    * round: nodes, mean and max estimated ball (milli).
+    *
+    * Scale shape: rounds cost one (node, bucket)-keyed aggregate each
+    * (≤ 64 rows per node, `partial_max` map-side); the estimate is a
+    * node-keyed fold; cards are 1-row aggregates. Nothing is ever
+    * quadratic in the ball size — that is the entire point. */
+  def hyperBall(spark: SparkSession, dir: String): DataFrame =
+    hyperBallOf(coPurchaseEdges(spark, dir))
+
+  private[graft] def hyperBallOf(edges: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val MD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val m = HbBuckets.toInt
+    // Pre-partitioned ON THE JOIN KEY and persisted: an InMemoryTableScan
+    // keeps its outputPartitioning, so every round's sym ⋈ reg join
+    // shuffles only the |V|-sized register side — the 2·|E| edge frame
+    // crosses the wire once for the whole query, not once per round.
+    val sym = edges.select(explode(array(
+        struct(col("u").as("s"), col("v").as("t")),
+        struct(col("v").as("s"), col("u").as("t")))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .repartition(col("t"))
+      .persist(MD)
+    // One packed m-byte register vector per node (the [[RegMaxAggregator]]
+    // layout): a skinny (node, bucket, rho) frame shuffles |E|·m rows per
+    // round once the registers fill — measured 41 s at sf0.1 for the
+    // skinny formulation vs the packed merge whose combined partials are
+    // ≤ |V| packed rows per partition.
+    val r0 = sym.select(col("s").as("node")).distinct()
+      .select(col("node"),
+        md5_token_hashes(array(concat(col("node").cast("string"), lit(":hb"))), 60)
+          .getItem(0).as("h"))
+      .select(col("node"), expr(s"h % $HbBuckets").as("b"),
+        expr(s"CASE WHEN h div $HbBuckets = 0 THEN ${HbK - 1}L" +
+          s" ELSE ${HbK}L - length(bin(h div $HbBuckets)) END").as("r"))
+      .as[(Long, Long, Long)]
+      .map { case (node, b, r) =>
+        val regs = new Array[Byte](m); regs(b.toInt) = r.toByte; (node, regs)
+      }
+      .toDF("node", "regs")
+      .persist(MD)
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](sym, r0)
+    var reg = r0
+    val cards = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    for (t <- 1 to HbRounds) {
+      val next = sym.join(reg.withColumnRenamed("node", "t"), Seq("t"))
+        .select(col("s").as("node"), col("regs"))
+        .unionByName(reg)
+        .as[(Long, Array[Byte])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.graph.RegMaxAggregator(m).toColumn.name("regs"))
+        .toDF("node", "regs")
+        .persist(MD)
+      cached += next
+      // Estimate per node in exact BigInt integer arithmetic (the raw
+      // harmonic estimator; α·m²·2^K overflows a Long by design, the
+      // oracle rides HUGEINT for the same step).
+      val est = next.as[(Long, Array[Byte])].map { case (_, regs) =>
+        var fill = 0L
+        var i = 0
+        while (i < m) { fill += (1L << HbK) - (1L << (HbK - regs(i))); i += 1 }
+        val s = (HbBuckets << HbK) - fill
+        ((BigInt(HbAlphaM2Milli) * (BigInt(1) << HbK)) / s).toLong
+      }.toDF("est_milli")
+      // Cards are 3 rows of longs — collect eagerly (the q274 rule) so
+      // the round caches can be dropped and the returned frame is
+      // literal with no surviving iteration lineage.
+      val row = est.agg(count(lit(1)).as("n_nodes"),
+          expr("sum(est_milli) div count(1)").as("avg_ball_milli"),
+          max(col("est_milli")).as("max_ball_milli"))
+        .head()
+      cards += ((t.toLong, row.getLong(0), row.getLong(1), row.getLong(2)))
+      reg = next
+    }
+    cached.foreach(_.unpersist(blocking = false))
+    cards.toSeq.toDF("t", "n_nodes", "avg_ball_milli", "max_ball_milli")
+      .orderBy(col("t"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -11554,7 +11658,8 @@ object PipelineQueries {
     "q310_burstiness" -> (burstiness _),
     "q311_shuffle_quality" -> (shuffleQuality _),
     "q312_doremi_mix" -> (doremiMix _),
-    "q313_ir_ndcg" -> (irNdcg _))
+    "q313_ir_ndcg" -> (irNdcg _),
+    "q314_hyperball" -> (hyperBall _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -17021,6 +17126,41 @@ object PipelineQueries {
          |LEFT JOIN dcg ON dcg.qid = q.qid
          |LEFT JOIN idcg ON idcg.qid = q.qid
          |ORDER BY q.qid""".stripMargin
+    },
+    // q314: the register propagation (per-bucket MAX over neighbors ∪
+    // self) and the raw harmonic estimator replay round by round.
+    "q314_hyperball" -> {
+      val m = HbBuckets
+      val pow56 = 1L << HbK
+      val pow62 = m << HbK
+      val hk = duckH60("CAST(node AS VARCHAR) || ':hb'")
+      def estCte(t: Int): String =
+        s"""e$t AS (SELECT node,
+           |    (CAST($HbAlphaM2Milli AS HUGEINT) * $pow56)
+           |      // (CAST($pow62 AS HUGEINT)
+           |         - SUM(CAST($pow56 AS HUGEINT)
+           |               - (CAST(1 AS BIGINT) << CAST($HbK - r AS INTEGER)))) AS est
+           |  FROM r$t GROUP BY node),
+           |c$t AS (SELECT CAST($t AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           |    CAST(SUM(est) // COUNT(*) AS BIGINT) AS avg_ball_milli,
+           |    CAST(MAX(est) AS BIGINT) AS max_ball_milli FROM e$t)""".stripMargin
+      def roundCte(t: Int): String =
+        s"""r$t AS (SELECT node, b, MAX(r) AS r FROM (
+           |    SELECT s.s AS node, p.b, p.r FROM s JOIN r${t - 1} p ON s.t = p.node
+           |    UNION ALL SELECT node, b, r FROM r${t - 1}) GROUP BY 1, 2)""".stripMargin
+      val rounds = (1 to HbRounds).map(t => roundCte(t) + ",\n" + estCte(t)).mkString(",\n")
+      val sel = (1 to HbRounds).map(t => s"SELECT * FROM c$t").mkString(" UNION ALL ")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a JOIN li b
+         |  ON a.ok = b.ok AND a.pk < b.pk),
+         |s AS (SELECT u AS s, v AS t FROM e UNION SELECT v, u FROM e),
+         |nd AS (SELECT DISTINCT s AS node FROM s),
+         |h AS (SELECT node, $hk AS h FROM nd),
+         |r0 AS (SELECT node, h % $m AS b,
+         |    CASE WHEN h // $m = 0 THEN ${HbK - 1}
+         |      ELSE $HbK - length(bin(h // $m)) END AS r FROM h),
+         |$rounds
+         |$sel ORDER BY t""".stripMargin
     })
 
   /** Shared q287/q293 oracle: the decay fold over exact hourly counts —

@@ -1656,6 +1656,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q314: the card is literal (rounds collected); register merges combine map-side") {
+    val p = planOf("q314_hyperball")
+    // The 3-row card collects per round (the q274/q309 rule) — no
+    // iteration lineage may survive into the returned frame.
+    assert(p.contains("LocalTableScan"), s"expected a literal result frame:\n$p")
+    assert(!p.contains("parquet"), s"no corpus lineage may survive the rounds:\n$p")
+  }
+
   test("q299: the token offset range-shards via prefixSum; no unpartitioned corpus window") {
     val p = planOf("q299_concat_chunking")
     assert(p.contains("rangepartitioning"), p)

@@ -3906,6 +3906,26 @@ class QueriesSpec extends AnyFunSuite {
       (101L, 0L, 0L, 0L, 0L)), s"got $got")
   }
 
+  test("q314 hyperball: on K3 every node sees the same ball, so max == avg and rounds saturate") {
+    import spark.implicits._
+    // Complete triangle: ball(v, t) = {a, b, c} for every v at every
+    // t ≥ 1 — all three register vectors are computed from the SAME
+    // 3-element set, so the estimate is identical across nodes
+    // (max == avg) and constant across rounds (saturated at t = 1).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    val got = graft.analytics.PipelineQueries.hyperBallOf(edges)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), s"got $got")
+    got.foreach { case (t, n, avg, mx) =>
+      assert(n == 3L, s"t=$t: node count drift")
+      assert(avg == mx, s"t=$t: identical balls must estimate identically")
+      assert(avg > 0L, s"t=$t: estimate must be positive")
+    }
+    assert(got.map(_._3).distinct.size == 1, s"saturated graph drifted across rounds: $got")
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

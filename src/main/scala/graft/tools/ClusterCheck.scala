@@ -126,7 +126,12 @@ object ClusterCheck {
     // different executors), and the broadcast bucket-LM scoring pass
     // (q304 — four bounded LM frames crossing real process boundaries
     // into the codegen'd Q8.8 arithmetic).
-    "q299_concat_chunking", "q301_preference_pairs", "q304_perplexity_filter")
+    "q299_concat_chunking", "q301_preference_pairs", "q304_perplexity_filter",
+    // ...and the HyperBall register propagation (q314 — the
+    // RegMaxAggregator's packed 64-byte buffers must serialize, combine
+    // map-side, and merge across real executor JVMs; its copy-on-write
+    // reduce exists precisely because of typed-aggregate buffer sharing).
+    "q314_hyperball")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -340,6 +340,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q314 hyperball: ball estimates never shrink across rounds on arbitrary graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val edges = (0 until 60)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+      .distinct.toDF("u", "v")
+    val rows = graft.analytics.PipelineQueries.hyperBallOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Registers only grow, so the harmonic estimate is monotone in t;
+    // node counts are constant; max dominates avg.
+    assert(rows.map(_._2).distinct.length == 1, s"node count drift: ${rows.toSeq}")
+    rows.sliding(2).foreach {
+      case Array((_, _, a1, m1), (_, _, a2, m2)) =>
+        assert(a2 >= a1 && m2 >= m1, s"estimate shrank: ${rows.toSeq}")
+      case _ =>
+    }
+    rows.foreach { case (t, _, avg, mx) => assert(mx >= avg, s"t=$t: max < avg") }
+  }
+
   test("q309 markov: floor iteration never grows mass; sinks drop from the core") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}

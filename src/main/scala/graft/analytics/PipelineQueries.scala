@@ -10783,7 +10783,16 @@ object PipelineQueries {
     * scoring) — the explode is cheap map work, not worth a corpus-sized
     * cache (the q262 rule). */
   def perplexityFilter(spark: SparkSession, dir: String): DataFrame =
-    perplexityFilterOf(Tables.documents(spark, dir))
+    perplexityFilterOf(Tables.documents(spark, dir), Some(pplModelMemo(spark, dir)))
+
+  /** The q304 reference LM, built ONCE per (session, dir) and shared by
+    * its consumers (q304 scoring, q308 backoff fallback, q312
+    * reweighting; q307 builds in its own streaming session) — the
+    * "train the model once, serve it everywhere" shape. */
+  private def pplModelMemo(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.SessionMemo.memo(spark, s"pplmodel|$dir") {
+      pplModel(Tables.documents(spark, dir))
+    }
 
   /** Hashed-bucket bigram explode (q304/q307 shared): the bucket ids are
     * h60 % [[PplBuckets]] per side; gram strings never leave the map
@@ -10829,8 +10838,9 @@ object PipelineQueries {
       .withColumn("avg_q8", expr("s_sum div nbg"))
   }
 
-  private[graft] def perplexityFilterOf(docs: DataFrame): DataFrame = {
-    val (model, ctx) = pplModel(docs)
+  private[graft] def perplexityFilterOf(docs: DataFrame,
+      memoModel: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (model, ctx) = memoModel.getOrElse(pplModel(docs))
     val perDoc = pplScore(docs, model, ctx)
     perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -11021,7 +11031,7 @@ object PipelineQueries {
     * pass (one Generate per corpus scan, both trigram and fallback
     * lookups on the same exploded row); the card is ≤|sources| rows. */
   def backoffLm(spark: SparkSession, dir: String): DataFrame =
-    backoffLmOf(Tables.documents(spark, dir))
+    backoffLmOf(Tables.documents(spark, dir), Some(pplModelMemo(spark, dir)))
 
   /** Trigram position explode: (tc, tn) for the trigram lookup and
     * (bc, bn) for the bigram fallback of the SAME position. */
@@ -11040,9 +11050,10 @@ object PipelineQueries {
         col("g.tc"), col("g.tn"), col("g.bc"), col("g.bn"))
   }
 
-  private[graft] def backoffLmOf(docs: DataFrame): DataFrame = {
+  private[graft] def backoffLmOf(docs: DataFrame,
+      memoModel: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val B = PplBuckets
-    val (model, ctx) = pplModel(docs)
+    val (model, ctx) = memoModel.getOrElse(pplModel(docs))
     val tri = sbTrigrams(docs.filter(col("lang") === PplRefLang))
       .groupBy(col("tc"), col("tn")).agg(count(lit(1)).as("c3"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -11229,10 +11240,11 @@ object PipelineQueries {
     * (persisted — min frame + weights both read it); everything after
     * is metadata arithmetic with 1-row broadcasts. */
   def doremiMix(spark: SparkSession, dir: String): DataFrame =
-    doremiMixOf(Tables.documents(spark, dir))
+    doremiMixOf(Tables.documents(spark, dir), Some(pplModelMemo(spark, dir)))
 
-  private[graft] def doremiMixOf(docs: DataFrame): DataFrame = {
-    val (model, ctx) = pplModel(docs)
+  private[graft] def doremiMixOf(docs: DataFrame,
+      memoModel: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (model, ctx) = memoModel.getOrElse(pplModel(docs))
     val perSrc = pplScore(docs, model, ctx)
       .groupBy(col("source"))
       .agg(sum(col("s_sum")).as("ss"), sum(col("nbg")).as("nn"))

@@ -11406,6 +11406,75 @@ object PipelineQueries {
       .orderBy(col("t"))
   }
 
+  /** q315 constants, shared with the oracle: the 1%-FPR sizing rule
+    * (ln(1/p)/ln²2 = 9.5699 bits/key as the DEFINED integer literal
+    * 95699/10⁴ — no float anywhere), k = 7 hash functions (the optimal
+    * ⌈m/n·ln2⌉ at 1%), and the derived probe-set size. */
+  private[graft] val BfBitsPerKeyX10000 = 95699L
+  private[graft] val BfK = 7
+  private[graft] val BfProbes = 1000L
+
+  /** Bloom-filter sizing advisor (q315) — the capacity-planning card
+    * behind every Bloom deployment in the repo (the q84/q100 snapshot
+    * filters, q238's join pruning): per source, the exact distinct-doc
+    * count, the advised bit budget at 1% FPR, the power-of-two filter
+    * actually allocated (next-pow2 via the bin()-length idiom), its
+    * measured occupancy — and the MEASURED false-positive rate against
+    * a deterministic 1000-string non-member probe set, because a sizing
+    * rule that is never validated against the filter it sized is a
+    * guess. Every position is a portable h60 mod the pow2 size, so the
+    * whole filter (bit set, occupancy, probe verdicts) replays in
+    * DuckDB and the card is hash-checked.
+    *
+    * Scale shape: member positions explode k·|distinct docs| rows and
+    * two-phase-distinct to ≤ filter bits per source; the sizing frame
+    * is catalog-sized and broadcasts into the constant-size probe
+    * explode (|sources|·1000·k rows); the FP verdict is one
+    * (source, pos)-keyed semi-ish join + a probe-keyed count. Nothing
+    * corpus-sized crosses an exchange after the distinct. */
+  def bloomAdvisor(spark: SparkSession, dir: String): DataFrame =
+    bloomAdvisorOf(Tables.documents(spark, dir))
+
+  private[graft] def bloomAdvisorOf(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHashFunctions.md5_token_hashes
+    val members = docs.select(col("source"), col("text")).distinct()
+    val sizing = members.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"))
+      .withColumn("advised_bits",
+        expr(s"n_distinct * $BfBitsPerKeyX10000 div 10000 + 1"))
+      .withColumn("m2", expr("shiftleft(1L, length(bin(advised_bits - 1)))"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def positions(d: DataFrame, keyCol: String) = d
+      .select(col("source"), col("m2"), col(keyCol).as("k"),
+        explode(expr(s"sequence(0, ${BfK - 1})")).as("p"))
+      .select(col("source"), col("k"),
+        md5_token_hashes(
+          array(concat(col("k"), lit(":bf"), col("p").cast("string"))), 60)
+          .getItem(0).mod(col("m2")).as("pos"))
+    val bits = positions(members.join(broadcast(sizing), Seq("source")), "text")
+      .select(col("source"), col("pos")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occupancy = bits.groupBy(col("source")).agg(count(lit(1)).as("bits_set"))
+    val probes = positions(
+      sizing.select(col("source"), col("m2"),
+        explode(expr(s"transform(sequence(1, $BfProbes), j -> concat('probe:', j))"))
+          .as("pk")),
+      "pk")
+    val fp = probes
+      .join(bits.withColumn("hit", lit(1L)), Seq("source", "pos"), "left")
+      .groupBy(col("source"), col("k"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("hits") === BfK, 1L).otherwise(0L)).as("n_fp"))
+    sizing
+      .join(occupancy, Seq("source"))
+      .join(fp, Seq("source"))
+      .select(col("source"), col("n_distinct"), col("advised_bits"), col("m2"),
+        expr("bits_set * 10000L div m2").as("occupancy_bp"),
+        expr(s"n_fp * 10000L div $BfProbes").as("measured_fpr_bp"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -11671,7 +11740,8 @@ object PipelineQueries {
     "q311_shuffle_quality" -> (shuffleQuality _),
     "q312_doremi_mix" -> (doremiMix _),
     "q313_ir_ndcg" -> (irNdcg _),
-    "q314_hyperball" -> (hyperBall _))
+    "q314_hyperball" -> (hyperBall _),
+    "q315_bloom_advisor" -> (bloomAdvisor _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 
@@ -17173,6 +17243,37 @@ object PipelineQueries {
          |      ELSE $HbK - length(bin(h // $m)) END AS r FROM h),
          |$rounds
          |$sel ORDER BY t""".stripMargin
+    },
+    // q315: the sizing literal, the next-pow2 bin() idiom, the k·|docs|
+    // member positions, and the 1000-probe verdicts replay 1:1.
+    "q315_bloom_advisor" -> {
+      val hm = duckH60("m.text || ':bf' || CAST(u.p AS VARCHAR)")
+      val hp = duckH60("pr.pk || ':bf' || CAST(u.p AS VARCHAR)")
+      s"""WITH mem AS (SELECT DISTINCT source, text FROM documents),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |    CAST(COUNT(*) * $BfBitsPerKeyX10000 // 10000 + 1 AS BIGINT) AS advised_bits
+         |  FROM mem GROUP BY 1),
+         |sz2 AS (SELECT source, n_distinct, advised_bits,
+         |    (CAST(1 AS BIGINT) << length(bin(advised_bits - 1))) AS m2 FROM sz),
+         |mp AS (SELECT m.source, ($hm) % s.m2 AS pos
+         |  FROM mem m JOIN sz2 s ON m.source = s.source, UNNEST(range(0, $BfK)) u(p)),
+         |bits AS (SELECT DISTINCT source, pos FROM mp),
+         |occ AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits GROUP BY 1),
+         |pr AS (SELECT s.source, 'probe:' || CAST(j.j AS VARCHAR) AS pk, s.m2
+         |  FROM sz2 s, UNNEST(range(1, $BfProbes + 1)) j(j)),
+         |pp AS (SELECT pr.source, pr.pk, ($hp) % pr.m2 AS pos
+         |  FROM pr, UNNEST(range(0, $BfK)) u(p)),
+         |hits AS (SELECT pp.source, pp.pk,
+         |    SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS h
+         |  FROM pp LEFT JOIN bits b ON pp.source = b.source AND pp.pos = b.pos
+         |  GROUP BY 1, 2),
+         |fp AS (SELECT source, CAST(COUNT(*) FILTER (h = $BfK) AS BIGINT) AS n_fp
+         |  FROM hits GROUP BY 1)
+         |SELECT sz2.source, n_distinct, advised_bits, CAST(m2 AS BIGINT) AS m2,
+         |  CAST(bits_set * 10000 // m2 AS BIGINT) AS occupancy_bp,
+         |  CAST(n_fp * 10000 // $BfProbes AS BIGINT) AS measured_fpr_bp
+         |FROM sz2 JOIN occ USING (source) JOIN fp USING (source)
+         |ORDER BY source""".stripMargin
     })
 
   /** Shared q287/q293 oracle: the decay fold over exact hourly counts —

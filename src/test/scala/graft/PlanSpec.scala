@@ -1664,6 +1664,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("parquet"), s"no corpus lineage may survive the rounds:\n$p")
   }
 
+  test("q315: the sizing frame broadcasts; positions stay (source,pos)-keyed — no windows") {
+    val p = planOf("q315_bloom_advisor")
+    assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // The catalog-sized sizing frame rides broadcasts into the member
+    // and probe explodes; the bit set two-phase-distincts.
+    assert(p.contains("BroadcastHashJoin"), s"sizing frame must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("q299: the token offset range-shards via prefixSum; no unpartitioned corpus window") {
     val p = planOf("q299_concat_chunking")
     assert(p.contains("rangepartitioning"), p)

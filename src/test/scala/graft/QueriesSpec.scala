@@ -3926,6 +3926,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.map(_._3).distinct.size == 1, s"saturated graph drifted across rounds: $got")
   }
 
+  test("q315 bloom advisor: sizing and pow2 rounding are exact; occupancy bounded by k·n") {
+    import spark.implicits._
+    // s0: 1 distinct text → advised 95699//10⁴+1 = 10 bits → m2 = 16;
+    // at most k = 7 bits set. s1: 2 distinct → advised 20 → m2 = 32;
+    // at most 14 bits set.
+    val docs = Seq(
+      (0L, "s0", "alpha beta"), (1L, "s0", "alpha beta"),
+      (2L, "s1", "gamma delta"), (3L, "s1", "epsilon zeta"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.analytics.PipelineQueries.bloomAdvisorOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq(("s0", 1L, 10L, 16L), ("s1", 2L, 20L, 32L)), s"got $got")
+    got.foreach { case (src, n, _, m2, occBp, fprBp) =>
+      assert(occBp <= 7L * n * 10000L / m2, s"$src: occupancy exceeds k·n bits")
+      assert(fprBp >= 0L && fprBp <= 10000L, s"$src: fpr out of range")
+    }
+  }
+
   test("q282 boiler gate: banner-carrying streamed docs reject at 3333bp, clean heads admit") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_q282_spec").toString

@@ -53,6 +53,25 @@ object Bench {
     * each — still <3% of suite time. */
   val ProbeEvery = 7
 
+  /** Dispersion channel (round-10 verdict #1): same-day suite totals
+    * oscillated ±15% on byte-identical plans, which would swallow a real
+    * 10% regression read off a single timing. Each query therefore runs
+    * [[BenchReps]] times (override: SPARK_GRAFT_BENCH_REPS) and the JSON
+    * carries per-query "queries_min"/"queries_med" next to the existing
+    * single-run channels. Regression rule (PLANS_r11): compare MIN across
+    * rounds — host contention only ever ADDS time, so a plan/code
+    * regression moves the min while noise moves the mean/median; a >10%
+    * min inflation at unchanged shuffle_bytes is a real regression, not
+    * drift. The first (cold) run keeps feeding "queries"/"gc_ms"/
+    * "shuffle_bytes"/"layout_builds"/"stream_startup_sec" so those
+    * channels stay comparable with rounds ≤ 10; replays are timed-only
+    * (their LayoutLog/StreamLog events are drained and discarded, and
+    * their shuffle lands before the next query's baseline snapshot, so no
+    * first-run channel is polluted). Replays of memoizing queries price
+    * the post-memo path — cheaper, but byte-stable, which is exactly what
+    * a dispersion channel needs. */
+  val BenchReps = 3
+
   /** Fixed-work probe: ~200M xxhash64+sum across all cores. Data-size
     * independent, so its runtime measures the MACHINE, not the suite. */
   private def calibration(spark: SparkSession): Double = {
@@ -129,6 +148,11 @@ object Bench {
     spark.sparkContext.addSparkListener(shufListener)
     LayoutLog.drain() // discard warmup-phase builds
     StreamLog.drain()
+    val reps = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", BenchReps.toString).toInt)
+      .getOrElse(BenchReps))
+    // name -> all rep timings (first = the cold run feeding "queries").
+    val repTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = ordered.zipWithIndex.flatMap { case ((name, fn), i) =>
       starts(name) = (System.currentTimeMillis(), (System.nanoTime() - suiteT0) / 1e9)
@@ -151,6 +175,19 @@ object Bench {
       if (lb.nonEmpty) layoutBuilds(name) = lb
       val ss = StreamLog.drain()
       if (ss.nonEmpty) streamStartup(name) = ss.sum
+      // Dispersion replays: timed-only; channel events drained + discarded
+      // so the attribution channels above stay first-run-scoped.
+      r.foreach { case (_, cold) =>
+        val extra = (2 to reps).flatMap { _ =>
+          try {
+            val s0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - s0) / 1e9)
+          } catch { case _: Throwable => None }
+        }
+        LayoutLog.drain(); StreamLog.drain()
+        repTimes(name) = cold +: extra
+      }
       if ((i + 1) % ProbeEvery == 0 && i + 1 < ordered.size)
         probes += ((name, calibration(spark)))
       r
@@ -175,9 +212,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val streamJson = streamStartup
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Dispersion channel: min + lower-median over all reps of each query.
+    val minJson = repTimes
+      .map { case (k, ts) => "\"" + k + "\":" + ts.min }.mkString("{", ",", "}")
+    val medJson = repTimes
+      .map { case (k, ts) => "\"" + k + "\":" + ts.sorted.apply((ts.size - 1) / 2) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,""" +
+        s""""bench_reps":$reps,"queries_min":$minJson,"queries_med":$medJson,""" +
         s""""calibration_pre_sec":$calPre,"calibration_post_sec":$calPost,""" +
         s""""calibration_probes":$probesJson,"query_start_ms":$startMsJson,""" +
         s""""query_offset_sec":$offsetJson,"gc_ms":$gcJson,"shuffle_bytes":$shufJson,""" +

@@ -1,0 +1,2659 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.{Mp4, Multimodal}
+import graft.similarity.Ann
+import graft.text.TextAnalysis
+import graft.functions.Md5Hash.{duckH31, duckH60}
+
+/** DuckDB oracle SQL, tail map B (q140 onward) plus the shared lazy
+  * oracle-SQL builders that sit after the literal — a PURE MOVE out of
+  * the 17k-line PipelineQueries.scala (round-10 verdict #4). */
+trait PipelineOraclesTailB { this: PipelineQueries.type =>
+
+  private[analytics] val oracleTailB: Map[String, String] = Map(
+    // q140: same blocked levenshtein pairs; components via the q56
+    // recursive-reachability idiom; golden record in exact floor-cents.
+    "q140_entity_resolution" ->
+      """WITH RECURSIVE p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |   AND a.c_custkey < b.c_custkey
+        |   AND levenshtein(a.c_name, b.c_name) <= 1),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id),
+        |a AS (SELECT c.c_name, c.c_acctbal,
+        |    COALESCE(comp.comp, c.c_custkey) AS entity_id
+        |  FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id)
+        |SELECT entity_id, COUNT(*) AS n_members, MIN(c_name) AS canonical_name,
+        |  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents
+        |FROM a GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+    // q141: offset before the band division keeps negative balances on
+    // identical integer semantics in both engines.
+    "q141_k_anonymity" ->
+      s"""WITH qi AS (SELECT c_nationkey AS nk,
+         |    (CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 1000000) // 100000 AS band,
+         |    c_mktsegment AS sensitive
+         |  FROM customer),
+         |g AS (SELECT nk, band, CAST(COUNT(*) AS BIGINT) AS group_size,
+         |    CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_div
+         |  FROM qi GROUP BY nk, band)
+         |SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  group_size * COUNT(*) AS n_rows,
+         |  group_size < $KAnonymityK AS at_risk,
+         |  MIN(l_div) AS min_l_diversity, MAX(l_div) AS max_l_diversity
+         |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin,
+    // q142: brute-force rank-1 train neighbor per eval vector, cosine via
+    // the bit-portable left fold; threshold generated from the engine
+    // constant.
+    "q142_semantic_decontam" ->
+      s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id % 20 = 0),
+         |tr AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id % 20 <> 0),
+         |s AS (SELECT ev.vec_id AS query_id, tr.vec_id AS neighbor_id,
+         |    ${VectorOracles.cosine("ev.embedding", "tr.embedding")} AS cosine
+         |  FROM ev CROSS JOIN tr WHERE ev.vec_id <> tr.vec_id),
+         |rk AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM s WHERE cosine IS NOT NULL)
+         |SELECT query_id, neighbor_id, cosine,
+         |  cosine >= $SemanticLeakThreshold AS leaked
+         |FROM rk WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    // q143: identical histogram → running-sum median/MAD → fence counts,
+    // all on the whole-dollar domain in BIGINTs.
+    "q143_mad_outliers" ->
+      """WITH h AS (SELECT l_returnflag AS flag,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) // 100 AS dollars,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT flag, SUM(c) AS n FROM h GROUP BY flag),
+        |cm AS (SELECT flag, dollars, c,
+        |    SUM(c) OVER (PARTITION BY flag ORDER BY dollars
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |med AS (SELECT cm.flag, MIN(dollars) AS med_dollars
+        |  FROM cm JOIN t ON cm.flag = t.flag
+        |  WHERE cum >= (n + 1) // 2 GROUP BY cm.flag),
+        |dv AS (SELECT h.flag, abs(h.dollars - med.med_dollars) AS adev, SUM(h.c) AS c
+        |  FROM h JOIN med ON h.flag = med.flag GROUP BY 1, 2),
+        |cm2 AS (SELECT flag, adev, c,
+        |    SUM(c) OVER (PARTITION BY flag ORDER BY adev
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM dv),
+        |mad AS (SELECT cm2.flag, MIN(adev) AS mad_dollars
+        |  FROM cm2 JOIN t ON cm2.flag = t.flag
+        |  WHERE cum >= (n + 1) // 2 GROUP BY cm2.flag)
+        |SELECT h.flag, CAST(SUM(h.c) AS BIGINT) AS n_rows,
+        |  MIN(med.med_dollars) AS med_dollars, MIN(mad.mad_dollars) AS mad_dollars,
+        |  CAST(SUM(CASE WHEN abs(h.dollars - med.med_dollars) > mad.mad_dollars * 3
+        |    THEN h.c ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN abs(h.dollars - med.med_dollars) > mad.mad_dollars * 3
+        |    THEN h.c ELSE 0 END) * 10000 // SUM(h.c) AS BIGINT) AS outlier_bp
+        |FROM h JOIN med ON h.flag = med.flag JOIN mad ON h.flag = mad.flag
+        |GROUP BY h.flag ORDER BY h.flag""".stripMargin,
+    // q144: the same (rank−1)·10 // n bin rule — NOT NTILE, whose
+    // remainder placement differs — over the identical total order.
+    "q144_equal_freq_bins" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rnk,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n FROM o)
+        |SELECT (rnk - 1) * 10 // n AS bin, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q138: both directions are NOT-EXISTS anti-joins on the key alone;
+    // all counts and bp integers.
+    "q138_fk_integrity" ->
+      """WITH e1 AS (SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_name,
+        |    (SELECT COUNT(*) FROM lineitem) AS n_child,
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+        |    (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_parents,
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders) o WHERE NOT EXISTS
+        |      (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_unreferenced),
+        |e2 AS (SELECT 'orders.o_custkey->customer.c_custkey' AS fk_name,
+        |    (SELECT COUNT(*) FROM orders) AS n_child,
+        |    (SELECT COUNT(*) FROM orders r WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey)) AS n_orphans,
+        |    (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS n_parents,
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer) c WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders r WHERE r.o_custkey = c.c_custkey)) AS n_unreferenced),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        |SELECT fk_name, CAST(n_child AS BIGINT) AS n_child, CAST(n_orphans AS BIGINT) AS n_orphans,
+        |  n_orphans * 10000 // n_child AS orphan_bp,
+        |  CAST(n_parents AS BIGINT) AS n_parents, CAST(n_unreferenced AS BIGINT) AS n_unreferenced,
+        |  n_unreferenced * 10000 // n_parents AS unreferenced_bp
+        |FROM u ORDER BY fk_name""".stripMargin,
+    // q137: DAU per day; exact WAU via the 7-day fan-out, restricted to
+    // observed days.
+    "q137_rolling_active" ->
+      """WITH inc AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |mx AS (SELECT MAX(day) AS max_day FROM inc),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM inc GROUP BY day),
+        |f AS (SELECT DISTINCT user_id, day + CAST(g.i AS INTEGER) AS day
+        |  FROM inc, (SELECT unnest(range(0, 7)) AS i) g, mx
+        |  WHERE day + CAST(g.i AS INTEGER) <= mx.max_day),
+        |wau AS (SELECT day, COUNT(*) AS wau FROM f GROUP BY day)
+        |SELECT dau.day, dau.dau, wau.wau
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    // q132: q119's LEAD idiom at offsets 1 and 2; the top-20 cut is
+    // totally ordered by (n DESC, path) in both engines.
+    "q132_journey_paths" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS mid_type,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events)
+        |SELECT event_type AS from_type, mid_type, to_type, COUNT(*) AS n
+        |FROM p WHERE mid_type IS NOT NULL AND to_type IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, from_type, mid_type, to_type LIMIT 20""".stripMargin,
+    // q128: the 3σ test is evaluated entirely in BIGINTs on both sides
+    // ((n·h−T)² > 9·(h·Σn²−T²)) — no sqrt, no float, hash-exact.
+    "q128_event_anomaly" ->
+      """WITH m AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hour_id, CAST(n AS BIGINT) AS n,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS h,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+        |    CAST(SUM(n * n) OVER (PARTITION BY event_type) AS BIGINT) AS s2
+        |  FROM m)
+        |SELECT event_type, hour_id, n, h,
+        |  t * 1000000 // h AS mean_fp,
+        |  (n * h - t) * (n * h - t) AS dev2,
+        |  9 * (h * s2 - t * t) AS var9,
+        |  (n * h - t) * (n * h - t) > 9 * (h * s2 - t * t) AS anomalous
+        |FROM w ORDER BY event_type, hour_id""".stripMargin,
+    // q124: the segment-compacted rollup must equal a one-shot batch
+    // aggregate over the raw feed; cents are per-row floor then exact
+    // BIGINT sums in both engines.
+    "q124_incremental_rollup" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // q123: bucketing is one IEEE divide+multiply+floor per value with
+    // reference bounds, clamped identically; shares and TV pure integer.
+    "q123_embedding_drift" ->
+      s"""WITH u AS (SELECT vec_id % 2 AS snap, CAST(d.i - 1 AS INTEGER) AS dim_idx, embedding[d.i] AS v
+         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d WHERE embedding IS NOT NULL),
+         |b AS (SELECT dim_idx, MIN(v) AS dmin, MAX(v) AS dmax FROM u WHERE snap = 0 GROUP BY dim_idx),
+         |k AS (SELECT u.snap, u.dim_idx,
+         |    CASE WHEN b.dmax = b.dmin THEN 0
+         |         ELSE GREATEST(0, LEAST(${DriftBuckets - 1},
+         |           CAST(FLOOR((CAST(u.v AS DOUBLE) - CAST(b.dmin AS DOUBLE))
+         |             / (CAST(b.dmax AS DOUBLE) - CAST(b.dmin AS DOUBLE)) * $DriftBuckets) AS INTEGER)))
+         |    END AS bucket
+         |  FROM u JOIN b USING (dim_idx)),
+         |c AS (SELECT dim_idx, bucket,
+         |    CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |    CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand
+         |  FROM k GROUP BY dim_idx, bucket),
+         |c2 AS (SELECT dim_idx, n_ref, n_cand,
+         |    CAST(SUM(n_ref) OVER (PARTITION BY dim_idx) AS BIGINT) AS rt,
+         |    CAST(SUM(n_cand) OVER (PARTITION BY dim_idx) AS BIGINT) AS ct
+         |  FROM c),
+         |c3 AS (SELECT dim_idx, rt, ct, n_ref * 10000 // rt AS ref_bp, n_cand * 10000 // ct AS cand_bp FROM c2),
+         |c4 AS (SELECT dim_idx, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |    CAST(SUM(ABS(ref_bp - cand_bp)) AS BIGINT) // 2 AS tv_bp,
+         |    CAST(FLOOR(15000.0 * SQRT(CAST($DriftBuckets AS DOUBLE) / CAST(LEAST(MIN(rt), MIN(ct)) AS DOUBLE))) AS BIGINT) AS noise_bp
+         |  FROM c3 GROUP BY dim_idx)
+         |SELECT dim_idx, n_buckets, tv_bp, noise_bp, tv_bp >= noise_bp AS drifted
+         |FROM c4 ORDER BY dim_idx""".stripMargin,
+    // q122: per-source keep set replays as a row_number window (the
+    // engine's bounded aggregator equals it by construction); sums cast
+    // from HUGEINT; dropped share pure integer div.
+    "q122_source_cap" ->
+      s"""WITH r AS (SELECT source, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM documents),
+         |k AS (SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+         |  FROM r WHERE rn <= $SourceCap GROUP BY source),
+         |t AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |  FROM documents GROUP BY source)
+         |SELECT t.source, n_docs, n_kept, n_docs - n_kept AS n_dropped,
+         |  total_chars, kept_chars,
+         |  (total_chars - kept_chars) * 10000 // total_chars AS dropped_chars_bp
+         |FROM t JOIN k USING (source) ORDER BY t.source""".stripMargin,
+    // q119 (and q120, registered in Queries.scala): see TransitionOracleSql.
+    "q119_event_transitions" -> TransitionOracleSql,
+    // q121: the whole KMV estimate replays in SQL — the Lehmer uniform is
+    // exact BIGINT arithmetic (q118), bottom-k is a window over DISTINCT
+    // (type, v) so ranks are tie-free, and the sketch algebra is integer
+    // list ops; the exact audit columns join in the same way.
+    "q121_kmv_overlap" ->
+      s"""WITH v AS (SELECT DISTINCT event_type, ((user_id % $SampleP) * $SampleC1 + $SampleC2) % $SampleP AS v FROM events),
+         |r AS (SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn FROM v),
+         |s AS (SELECT event_type, list(v ORDER BY v) AS vs FROM r WHERE rn <= $KmvK GROUP BY event_type),
+         |e AS (SELECT DISTINCT event_type, user_id FROM events),
+         |nd AS (SELECT event_type, COUNT(*) AS nd FROM e GROUP BY event_type),
+         |ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS exact_overlap
+         |       FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |       GROUP BY 1, 2),
+         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, a.vs AS va, b.vs AS vb
+         |      FROM s a JOIN s b ON a.event_type < b.event_type),
+         |c AS (SELECT type_a, type_b, va, vb, list_sort(list_distinct(list_concat(va, vb))) AS uk FROM p),
+         |c2 AS (SELECT type_a, type_b, va, vb, uk, LEAST($KmvK, len(uk)) AS m FROM c),
+         |c3 AS (SELECT type_a, type_b, m, (m - 1) * $SampleP // uk[m] AS est_union,
+         |        len(list_intersect(uk[1:m], list_intersect(va, vb))) AS inter_m
+         |       FROM c2),
+         |c4 AS (SELECT type_a, type_b, est_union, est_union * inter_m // m AS est_overlap FROM c3)
+         |SELECT c4.type_a, c4.type_b,
+         |  CAST(na.nd + nb.nd - COALESCE(ov.exact_overlap, 0) AS BIGINT) AS exact_union,
+         |  CAST(COALESCE(ov.exact_overlap, 0) AS BIGINT) AS exact_overlap,
+         |  CAST(est_union AS BIGINT) AS est_union,
+         |  CAST(est_overlap AS BIGINT) AS est_overlap,
+         |  CAST(abs(est_union - (na.nd + nb.nd - COALESCE(ov.exact_overlap, 0))) * 10000
+         |    // (na.nd + nb.nd - COALESCE(ov.exact_overlap, 0)) AS BIGINT) AS union_err_bp
+         |FROM c4
+         |JOIN nd na ON na.event_type = c4.type_a
+         |JOIN nd nb ON nb.event_type = c4.type_b
+         |LEFT JOIN ov ON ov.type_a = c4.type_a AND ov.type_b = c4.type_b
+         |ORDER BY c4.type_a, c4.type_b""".stripMargin,
+    // q114: the pair list is the q27 oracle's brute-force near-dups;
+    // levenshtein is the standard DP distance in both engines, the
+    // ratio pure integer div vs the longer text.
+    "q114_edit_distance_audit" ->
+      """WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist,
+        |  levenshtein(da.text, db.text) * 10000 // greatest(length(da.text), length(db.text)) AS edit_bp
+        |FROM p JOIN documents da ON p.id_a = da.doc_id
+        |       JOIN documents db ON p.id_b = db.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q112: gid = 2*grouping(lang) + grouping(source) disambiguates
+    // aggregate-null from data-null identically in both engines.
+    "q112_grouping_sets" ->
+      """SELECT lang, source,
+        |  CAST(2 * GROUPING(lang) + GROUPING(source) AS INTEGER) AS gid,
+        |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    // q113: both engines aggregate the (lang, n_chars) histogram first;
+    // the cumulative window runs over histogram rows with a pinned ROWS
+    // frame ((lang, n_chars) is a unique ordering, so RANGE would agree
+    // anyway). Median = first row where 2*cum >= total.
+    "q113_weighted_median" ->
+      """WITH h AS (SELECT lang, n_chars, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang, n_chars),
+        |c AS (SELECT lang, n_chars, w,
+        |    SUM(w) OVER (PARTITION BY lang ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(w) OVER (PARTITION BY lang) AS total
+        |  FROM h)
+        |SELECT lang, MIN(n_chars) AS wmedian_chars, CAST(MAX(total) AS BIGINT) AS total_w
+        |FROM c WHERE cum * 2 >= total GROUP BY lang ORDER BY lang""".stripMargin,
+    // q110: query terms derive from the lowest-id doc in both engines;
+    // idf is integer div (N*1e6 // df), score a BIGINT sum — no floats
+    // anywhere, and (score DESC, doc_id) totally orders the cutoff.
+    "q110_tfidf_topk" ->
+      """WITH td AS (SELECT token, doc_id, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token, doc_id),
+        |q AS (SELECT DISTINCT unnest(str_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |qtd AS (SELECT td.token, td.doc_id, td.tf FROM td JOIN q USING (token)),
+        |d AS (SELECT token, COUNT(*) AS df FROM qtd GROUP BY token)
+        |SELECT qtd.doc_id, CAST(SUM(tf * (n_docs * 1000000 // df)) AS BIGINT) AS score
+        |FROM qtd JOIN d USING (token) CROSS JOIN n
+        |GROUP BY qtd.doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // q111: pair enumeration via 1-based substring over positions
+    // 1..len-1 — identical semantics in both engines (DuckDB range(a,b)
+    // is [a,b), Spark sequence(a,b) is inclusive, hence len-1 there).
+    "q111_bpe_pairs" ->
+      """WITH tc AS (SELECT token, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |p AS (SELECT substring(token, CAST(i AS INTEGER), 2) AS pair, cnt
+        |  FROM tc, UNNEST(range(1, length(token))) AS t(i)
+        |  WHERE length(token) >= 2)
+        |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+        |FROM p GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
+    // q104: both engines fingerprint with md5 over the same derived
+    // snapshots; the diff is pure string equality + integer counts.
+    "q104_snapshot_diff" ->
+      """WITH oldsnap AS (SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 5 <> 1),
+        |newsnap AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 2 THEN text || ' v2' ELSE text END) AS new_fp
+        |  FROM documents WHERE doc_id % 5 <> 3),
+        |d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.old_fp IS NULL THEN 'added'
+        |         WHEN n.new_fp IS NULL THEN 'deleted'
+        |         WHEN o.old_fp <> n.new_fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
+        |SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
+    // q103: boundaries are DATA VALUES selected by integer rank over the
+    // distinct-key cumulative histogram (no float arithmetic, no
+    // interpolation) — both engines pick identical doubles, so ranges,
+    // counts, and min/max hash-match. `//` is DuckDB integer division,
+    // mirroring the engine's Long rank math.
+    "q103_range_boundaries" ->
+      s"""WITH n AS (SELECT COUNT(*) AS n FROM lineitem),
+         |h AS (SELECT l_extendedprice AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+         |cum AS (SELECT k, SUM(c) OVER (ORDER BY k) AS cc FROM h),
+         |b AS (SELECT g.i AS i,
+         |    MIN(CASE WHEN cum.cc >= (g.i * n.n) // $RangeFanout THEN cum.k END) AS bk
+         |  FROM cum CROSS JOIN n CROSS JOIN
+         |    (SELECT UNNEST(range(1, $RangeFanout)) AS i) g
+         |  GROUP BY g.i),
+         |r AS (SELECT l.l_extendedprice AS k,
+         |    (SELECT COUNT(*) FROM b WHERE l.l_extendedprice > b.bk) AS range_id
+         |  FROM lineitem l)
+         |SELECT range_id, COUNT(*) AS n_rows, MIN(k) AS min_key, MAX(k) AS max_key,
+         |  (SELECT bk FROM b WHERE b.i = range_id + 1) AS hi_boundary
+         |FROM r GROUP BY range_id ORDER BY range_id""".stripMargin,
+    // q102: shard/bucket/padding all integers; the seed tag and shard
+    // count are the engine's own constants (generated-constant pattern).
+    "q102_training_shards" ->
+      s"""SELECT shard, len_bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  MAX(n_tokens) AS max_tokens,
+         |  CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS padding_tokens
+         |FROM (SELECT
+         |    ${graft.functions.Md5Hash.duckH31(s"'$EpochSeedTag|' || text")} % $TrainingShardCount AS shard,
+         |    length(bin(CAST(len(str_split(text, ' ')) AS BIGINT))) AS len_bucket,
+         |    len(str_split(text, ' ')) AS n_tokens
+         |  FROM documents)
+         |GROUP BY shard, len_bucket ORDER BY shard, len_bucket""".stripMargin,
+    // q100: the streamed ingest's appended rows == the batch anti-join
+    // with the min-id keeper (q25's rule) in SQL. Single AvailableNow
+    // batch keeps the keeper oracle-portable; multi-batch order effects
+    // are spec territory.
+    "q100_stream_ingest_dedup" ->
+      """WITH snap AS (SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |inc AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |k AS (SELECT fp, MIN(doc_id) AS doc_id FROM inc GROUP BY fp)
+        |SELECT k.doc_id, k.fp FROM k LEFT JOIN snap ON k.fp = snap.fp
+        |WHERE snap.fp IS NULL ORDER BY k.doc_id""".stripMargin,
+    // q99 re-reads the PUBLISHED (compacted) table; the oracle recomputes
+    // the same per-partition invariants from the raw events — equality IS
+    // the content-invariance proof. Gate booleans ride the bounded-claim
+    // pattern (TRUE; a false would have aborted before publish anyway).
+    "q99_compaction_publish" ->
+      s"""SELECT event_type, COUNT(*) AS n_rows,
+         |  CAST(SUM(${duckH31("CAST(event_id AS VARCHAR)")}) AS BIGINT) AS sum_id_hash,
+         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+         |  TRUE AS rows_unchanged, TRUE AS content_unchanged, TRUE AS files_not_increased
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q77_domain_mix" -> {
+      // Weights VALUES generated from DomainMixWeights — oracle can't drift.
+      val wvals = DomainMixWeights
+        .map { case (l, w) => s"('$l', CAST($w AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH w(lang, w) AS (VALUES $wvals),
+         |c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+         |cw AS (SELECT c.lang, c.n_docs, w.w FROM c JOIN w USING (lang)),
+         |t AS (SELECT MIN(CAST(n_docs AS DOUBLE) / w) AS t FROM cw),
+         |r AS (SELECT cw.lang, cw.n_docs,
+         |  LEAST(1.0, (cw.w * t.t) / CAST(cw.n_docs AS DOUBLE)) AS rate
+         |  FROM cw CROSS JOIN t),
+         |a AS (SELECT d.lang, COUNT(*) AS n_admitted
+         |  FROM documents d JOIN r ON d.lang = r.lang
+         |  WHERE CAST(${duckH31("d.text")} % 1000000 AS DOUBLE) < r.rate * 1000000.0
+         |  GROUP BY d.lang)
+         |SELECT r.lang, r.n_docs, r.rate, COALESCE(a.n_admitted, 0) AS n_admitted
+         |FROM r LEFT JOIN a ON r.lang = a.lang ORDER BY r.lang""".stripMargin
+    },
+    "q78_semdedup" -> {
+      // Seeded-cell assignment replicated from the q49 oracle; dominance =
+      // EXISTS lower-id same-cell neighbor at cosine ≥ Tau (same constant,
+      // same bit-exact fold).
+      import graft.similarity.SemDedup.{Nlist, Tau}
+      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $Nlist)),
+         |sims AS (SELECT e.vec_id, cen.cell,
+         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
+         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |dom AS (SELECT DISTINCT x.vec_id
+         |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND y.vec_id < x.vec_id
+         |  JOIN embeddings a ON a.vec_id = x.vec_id
+         |  JOIN embeddings b ON b.vec_id = y.vec_id
+         |  WHERE ${VectorOracles.cosine("a.embedding", "b.embedding")} >= $Tau)
+         |SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS kept
+         |FROM assigned s LEFT JOIN dom d ON s.vec_id = d.vec_id
+         |ORDER BY s.vec_id""".stripMargin
+    },
+    "q41_multimodal_features" ->
+      s"""SELECT doc_id AS media_id,
+         |  (['image','audio','video','text'])[(${duckH31("source")} % 4) + 1] AS modality,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  md5(text) AS content_fp
+         |FROM documents ORDER BY media_id""".stripMargin,
+    "q50_frame_samples" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n,
+         |  (['image','audio','video','text'])[(${duckH31("source")} % 4) + 1] AS modality
+         |  FROM documents),
+         |v AS (SELECT media_id, text, n FROM m WHERE modality = 'video' AND n > 0),
+         |f AS (SELECT media_id, text, n, unnest(range(0, 4)) AS fi FROM v)
+         |SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+         |  md5(substr(text, CAST(n*fi//4 + 1 AS INTEGER),
+         |    CAST(GREATEST(n*(fi+1)//4, n*fi//4 + 1) - n*fi//4 AS INTEGER))) AS frame_fp
+         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "q70_embed_quantize" ->
+      """WITH u AS (SELECT vec_id, CAST(d.i - 1 AS INTEGER) AS dim_idx, embedding[d.i] AS v
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d),
+        |b AS (SELECT dim_idx, MIN(v) AS dmin, MAX(v) AS dmax FROM u GROUP BY dim_idx)
+        |SELECT u.vec_id, u.dim_idx,
+        |  CASE WHEN b.dmax = b.dmin THEN 0
+        |       ELSE CAST(FLOOR((CAST(u.v AS DOUBLE) - CAST(b.dmin AS DOUBLE))
+        |         / (CAST(b.dmax AS DOUBLE) - CAST(b.dmin AS DOUBLE)) * 255.0 + 0.5) AS INTEGER)
+        |  END AS code
+        |FROM u JOIN b USING (dim_idx) WHERE u.vec_id % 25 = 0
+        |ORDER BY vec_id, dim_idx""".stripMargin,
+    "q71_embed_norms" ->
+      s"""SELECT vec_id, ${VectorOracles.l2norm("embedding")} AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // --- ANN family: exact left-fold cosine replicated in DuckDB (see
+    // VectorOracles — scores, and therefore ranks, are bit-identical) ------
+    "q33_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  ${VectorOracles.cosine("q.qv", "e.embedding")} AS cosine
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+         |  WHERE e.embedding IS NOT NULL),
+         |${VectorOracles.topKTail(10)}""".stripMargin,
+    "q34_ann_lsh" ->
+      s"""WITH ${VectorOracles.bucketCte(tables = 8, bits = 6, dim = 64, seed = 7L)},
+         |qb AS (SELECT * FROM bk WHERE id % 50 = 0),
+         |cand AS (SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id
+         |  FROM qb JOIN bk cb ON qb.table_idx = cb.table_idx AND qb.bucket = cb.bucket AND qb.id <> cb.id),
+         |s AS (SELECT c.query_id, c.neighbor_id,
+         |  ${VectorOracles.cosine("qe.embedding", "ne.embedding")} AS cosine
+         |  FROM cand c JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+         |${VectorOracles.topKTail(10)}""".stripMargin,
+    "q32_embed_neardup" ->
+      s"""WITH ${VectorOracles.bucketCte(tables = 8, bits = 6, dim = 64, seed = 7L)},
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bk a JOIN bk b ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.id < b.id),
+         |s AS (SELECT id_a, id_b,
+         |  ${VectorOracles.cosine("ea.embedding", "eb.embedding")} AS cosine
+         |  FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+         |  JOIN embeddings eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q49_ann_ivf" ->
+      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |sims AS (SELECT e.vec_id, cen.cell,
+         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
+         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |routed AS (SELECT vec_id AS query_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 4),
+         |s AS (SELECT r.query_id, a.vec_id AS neighbor_id,
+         |  ${VectorOracles.cosine("qe.embedding", "ne.embedding")} AS cosine
+         |  FROM routed r JOIN assigned a ON a.cell = r.cell AND a.vec_id <> r.query_id
+         |  JOIN embeddings qe ON qe.vec_id = r.query_id
+         |  JOIN embeddings ne ON ne.vec_id = a.vec_id),
+         |${VectorOracles.topKTail(10)}""".stripMargin,
+    // q239: the sharded GlobalRank must be bit-identical to the serial
+    // window the oracle runs — rank, tiebreak, and percentile division.
+    "q239_global_rank" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT user_id, total_cents, n_events,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY total_cents DESC, user_id) AS BIGINT) AS rk,
+        |    COUNT(*) OVER () AS n_users
+        |  FROM u)
+        |SELECT user_id, total_cents, n_events, rk,
+        |  CAST(rk * 10000 // n_users AS BIGINT) AS pctile_bp
+        |FROM r ORDER BY rk""".stripMargin,
+    // q240: the online admission recursion unrolls over the fixed wave
+    // count — wave b admits against adm0..adm(b−1) plus the order-free
+    // lower-id rule within its own wave; same seeded cells, same
+    // bit-exact cosine fold as q78.
+    "q240_online_semdedup" -> {
+      val statRows = (0 until graft.similarity.SemDedup.OnlineBatches).map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS batch,
+           |  (SELECT COUNT(*) FROM assigned WHERE batch = $b) AS n_arrived,
+           |  (SELECT COUNT(*) FROM adm$b) AS n_admitted,
+           |  (SELECT COUNT(*) FROM dp$b) AS n_dropped_prior,
+           |  (SELECT COUNT(*) FROM assigned WHERE batch = $b)
+           |    - (SELECT COUNT(*) FROM adm$b)
+           |    - (SELECT COUNT(*) FROM dp$b) AS n_dropped_within,
+           |  (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) FROM adm$b) AS admitted_id_sum""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$onlineAdmissionCtePrefix
+         |$statRows
+         |ORDER BY batch""".stripMargin
+    },
+    // q254: the same unrolled sequential semantics, but the compared
+    // frame is the admitted SET itself — the on-disk store the Spark
+    // side publishes wave by wave must hash-match it row for row.
+    "q254_committed_admission" -> {
+      val setRows = (0 until graft.similarity.SemDedup.OnlineBatches)
+        .map(b => s"SELECT CAST($b AS BIGINT) AS batch, vec_id, CAST(cell AS BIGINT) AS cell FROM adm$b")
+        .mkString("\nUNION ALL\n")
+      s"""$onlineAdmissionCtePrefix
+         |$setRows
+         |ORDER BY batch, vec_id""".stripMargin
+    },
+    // q255: the learner's k rounds unroll as CTE triples (pairs → top-1
+    // → space-doubled replace), then the SAME replace chain encodes the
+    // distinct-token frame and doc tokens join to their encoded lengths.
+    // A round with no pairs left yields the chr(1) sentinel merge, which
+    // can never match — mirroring the Spark learner's early stop.
+    "q255_bpe_encode" -> {
+      val k = BpeEncodeMerges
+      def pairsCte(src: String, out: String) =
+        s"""$out AS (SELECT s.tk[CAST(t.i AS INTEGER)] AS p1, s.tk[CAST(t.i AS INTEGER) + 1] AS p2,
+           |    CAST(SUM(s.cnt) AS BIGINT) AS pair_count
+           |  FROM (SELECT str_split(sym, ' ') AS tk, cnt FROM $src WHERE len(str_split(sym, ' ')) >= 2) s,
+           |    UNNEST(range(1, len(s.tk))) AS t(i)
+           |  GROUP BY 1, 2)""".stripMargin
+      def topCte(src: String, out: String) =
+        s"""$out AS (SELECT COALESCE(MAX(m1), chr(1)) AS m1, COALESCE(MAX(m2), chr(1)) AS m2
+           |  FROM (SELECT p1 AS m1, p2 AS m2 FROM $src ORDER BY pair_count DESC, p1, p2 LIMIT 1))""".stripMargin
+      def applyCte(src: String, top: String, out: String, extra: String) =
+        s"""$out AS (SELECT trim(replace(replace(replace(' ' || $src.sym || ' ', ' ', '  '),
+           |    ' ' || $top.m1 || '  ' || $top.m2 || ' ', ' ' || $top.m1 || $top.m2 || ' '), '  ', ' ')) AS sym, $src.$extra
+           |  FROM $src CROSS JOIN $top)""".stripMargin
+      val learn = (1 to k).map { r =>
+        Seq(pairsCte(s"v${r - 1}", s"pr$r"), topCte(s"pr$r", s"t$r"),
+          applyCte(s"v${r - 1}", s"t$r", s"v$r", "cnt")).mkString(",\n")
+      }.mkString(",\n")
+      val enc = (1 to k)
+        .map(r => applyCte(s"e${r - 1}", s"t$r", s"e$r", "token")).mkString(",\n")
+      s"""WITH tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents) GROUP BY token),
+         |v0 AS (SELECT array_to_string(list_transform(range(1, length(token) + 1),
+         |    i -> substring(token, CAST(i AS INTEGER), 1)), ' ') AS sym, cnt
+         |  FROM tc WHERE length(token) >= 2),
+         |$learn,
+         |e0 AS (SELECT array_to_string(list_transform(range(1, length(token) + 1),
+         |    i -> substring(token, CAST(i AS INTEGER), 1)), ' ') AS sym, token FROM tc),
+         |$enc,
+         |encf AS (SELECT token, CAST(len(str_split(sym, ' ')) AS BIGINT) AS n_sym FROM e$k),
+         |u AS (SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents),
+         |j AS (SELECT u.lang, encf.n_sym, length(u.token) AS n_cp FROM u JOIN encf USING (token))
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_cp) AS BIGINT) AS n_char_symbols,
+         |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_symbols,
+         |  CAST(SUM(n_sym) * 10000 // SUM(n_cp) AS BIGINT) AS compression_bp
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    // q241: ceiling-rank selection replayed serially; value ties break on
+    // event_id in BOTH engines, so the selected row is unique and exact.
+    "q241_exact_quantiles" ->
+      """WITH v AS (SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, event_id) AS BIGINT) AS rk,
+        |    COUNT(*) OVER () AS n_rows FROM v),
+        |q(quantile, p_num, p_den) AS (VALUES
+        |  ('p50', 50, 100), ('p90', 90, 100), ('p99', 99, 100), ('p999', 999, 1000))
+        |SELECT q.quantile, r.rk AS rank, CAST(r.n_rows AS BIGINT) AS n_rows, r.cents
+        |FROM r JOIN q ON r.rk = (r.n_rows * q.p_num + q.p_den - 1) // q.p_den
+        |ORDER BY q.quantile""".stripMargin,
+    // q242: identical md5-h60 routing per (key, salt residue) — placement
+    // replays bit-exactly, so the imbalance numbers match by hash.
+    "q242_salt_sweep" -> {
+      val hR = duckH60("CAST(user_id AS VARCHAR) || '#' || CAST(event_id % salt AS VARCHAR)")
+      s"""WITH s(salt) AS (VALUES (${SkewSalts.mkString("), (")})),
+         |p AS (SELECT salt, ($hR) % $SkewParts AS part, COUNT(*) AS load
+         |  FROM events CROSS JOIN s GROUP BY 1, 2)
+         |SELECT CAST(salt AS BIGINT) AS salt, CAST(SUM(load) AS BIGINT) AS n_rows,
+         |  COUNT(*) AS parts_used, CAST(MAX(load) AS BIGINT) AS max_load,
+         |  CAST(MAX(load) * 10000 * $SkewParts // SUM(load) AS BIGINT) AS skew_bp
+         |FROM p GROUP BY salt ORDER BY salt""".stripMargin
+    },
+    // q243: identical trigram extraction windows, identical conjunctive
+    // candidate rule, identical substring verification — counts replay
+    // exactly on both engines.
+    "q243_trigram_search" -> {
+      val pv = TrigramPatterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH pat(pattern) AS (VALUES $pv),
+         |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+         |    i -> substr(text, CAST(i AS INTEGER), 3))) AS gram
+         |  FROM documents),
+         |pg AS (SELECT DISTINCT pattern, unnest(list_transform(range(1, length(pattern) - 2 + 1),
+         |    i -> substr(pattern, CAST(i AS INTEGER), 3))) AS gram
+         |  FROM pat),
+         |ps AS (SELECT pattern, COUNT(*) AS n_grams FROM pg GROUP BY pattern),
+         |c AS (SELECT g2.pattern, g2.doc_id FROM (
+         |    SELECT pg.pattern, g.doc_id, COUNT(*) AS n_hit
+         |    FROM g JOIN pg ON g.gram = pg.gram GROUP BY 1, 2) g2
+         |  JOIN ps ON ps.pattern = g2.pattern WHERE g2.n_hit = ps.n_grams),
+         |v AS (SELECT c.pattern, c.doc_id FROM c JOIN documents d ON d.doc_id = c.doc_id
+         |  WHERE position(c.pattern IN d.text) > 0),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT ps.pattern, ps.n_grams,
+         |  CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_candidates,
+         |  CAST(COALESCE(vv.n, 0) AS BIGINT) AS n_matches,
+         |  CAST(CASE WHEN COALESCE(cc.n, 0) = 0 THEN 10000
+         |    ELSE COALESCE(vv.n, 0) * 10000 // cc.n END AS BIGINT) AS precision_bp,
+         |  CAST(COALESCE(vv.n, 0) * 10000 // (SELECT n_docs FROM nd) AS BIGINT) AS selectivity_bp
+         |FROM ps
+         |LEFT JOIN (SELECT pattern, COUNT(*) AS n FROM c GROUP BY 1) cc ON cc.pattern = ps.pattern
+         |LEFT JOIN (SELECT pattern, COUNT(*) AS n FROM v GROUP BY 1) vv ON vv.pattern = ps.pattern
+         |ORDER BY ps.pattern""".stripMargin
+    },
+    // q244: same public Benford bp constants, same exact-cents digit
+    // extraction, same integer χ² arithmetic (HUGEINT mirrors the
+    // engine's DECIMAL(38,0) wide products).
+    "q244_benford_audit" -> {
+      val ev = BenfordBp.zipWithIndex
+        .map { case (bp, i) => s"(${i + 1}, $bp)" }.mkString(", ")
+      s"""WITH c AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM (
+         |    SELECT CAST(CAST(o_totalprice * 100 AS DECIMAL(14,0)) AS BIGINT) AS cents FROM orders)
+         |  WHERE cents > 0),
+         |e(digit, expected_bp) AS (VALUES $ev),
+         |o AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS n_total FROM c)
+         |SELECT CAST(e.digit AS BIGINT) AS digit,
+         |  CAST(COALESCE(o.n, 0) AS BIGINT) AS n_observed,
+         |  CAST(t.n_total AS BIGINT) AS n_total,
+         |  CAST(e.expected_bp AS BIGINT) AS expected_bp,
+         |  CAST(COALESCE(o.n, 0) * 10000 // t.n_total AS BIGINT) AS observed_bp,
+         |  CAST(COALESCE(o.n, 0) * 10000 // t.n_total - e.expected_bp AS BIGINT) AS dev_bp,
+         |  CAST((CAST(COALESCE(o.n, 0) AS HUGEINT) * 10000 - CAST(t.n_total AS HUGEINT) * e.expected_bp)
+         |    * (CAST(COALESCE(o.n, 0) AS HUGEINT) * 10000 - CAST(t.n_total AS HUGEINT) * e.expected_bp)
+         |    // (CAST(t.n_total AS HUGEINT) * e.expected_bp * 10000) AS BIGINT) AS chi2_x10000
+         |FROM e CROSS JOIN t LEFT JOIN o ON o.digit = e.digit
+         |ORDER BY e.digit""".stripMargin
+    },
+    // q245: the q149 unrolled label CTEs + the same integer modularity
+    // arithmetic (HUGEINT mirrors the engine's DECIMAL(38,0) products;
+    // both engines floor per community, so the total matches too).
+    "q245_modularity" -> {
+      import graft.graph.Graph
+      def step(prev: String, next: String): String =
+        s"""$next AS (SELECT node, MIN(lbl) AS lbl FROM (
+           |  SELECT e.src AS node, p.lbl FROM se e JOIN $prev p ON p.node = e.dst
+           |  UNION ALL SELECT node, lbl FROM $prev) GROUP BY node)""".stripMargin
+      val steps = (1 to Graph.LpIters).map(i => step(s"l${i - 1}", s"l$i")).mkString(",\n")
+      val lN = s"l${Graph.LpIters}"
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |se AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM se),
+         |$steps,
+         |m AS (SELECT COUNT(*) AS m2 FROM se),
+         |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM se GROUP BY src),
+         |dc AS (SELECT l.lbl, CAST(SUM(d.outdeg) AS BIGINT) AS deg_sum,
+         |    COUNT(*) AS n_members
+         |  FROM $lN l JOIN deg d ON d.node = l.node GROUP BY l.lbl),
+         |e2 AS (SELECT a.lbl, COUNT(*) AS int_endpoints
+         |  FROM se JOIN $lN a ON a.node = se.src JOIN $lN b ON b.node = se.dst
+         |  WHERE a.lbl = b.lbl GROUP BY a.lbl),
+         |per AS (SELECT dc.lbl, dc.n_members, dc.deg_sum,
+         |    CAST(COALESCE(e2.int_endpoints, 0) AS BIGINT) AS int_endpoints,
+         |    CAST((CAST(m.m2 AS HUGEINT) * COALESCE(e2.int_endpoints, 0)
+         |      - CAST(dc.deg_sum AS HUGEINT) * dc.deg_sum) * 100000000
+         |      // (CAST(m.m2 AS HUGEINT) * m.m2) AS BIGINT) AS q_contrib_x1e8
+         |  FROM dc CROSS JOIN m LEFT JOIN e2 ON e2.lbl = dc.lbl)
+         |SELECT lbl AS community_lbl, n_members, deg_sum, int_endpoints,
+         |  q_contrib_x1e8,
+         |  (SELECT CAST(SUM(q_contrib_x1e8) AS BIGINT) FROM per) AS q_total_x1e8
+         |FROM per ORDER BY n_members DESC, community_lbl LIMIT 20""".stripMargin
+    },
+    // q246: the oracle replays the field-synthesis rules directly (no
+    // JSON round-trip) — the engine's serialize→merged-schema-parse path
+    // must land on exactly these counts or the hash breaks. direction is
+    // non-null even for null user_id (the otherwise-branch), the
+    // user_id-derived fields are not — mirrored per field.
+    "q246_schema_evolution" ->
+      """WITH g1 AS (SELECT event_type, user_id FROM events WHERE event_id % 2 = 0),
+        |g2 AS (SELECT event_type, user_id FROM events WHERE event_id % 2 = 1),
+        |s AS (
+        |  SELECT 'event_type' AS field,
+        |    (SELECT COUNT(event_type) FROM g1) AS g1n, (SELECT COUNT(*) FROM g1) AS g1r,
+        |    (SELECT COUNT(event_type) FROM g2) AS g2n, (SELECT COUNT(*) FROM g2) AS g2r
+        |  UNION ALL SELECT 'sword_type', (SELECT COUNT(user_id) FROM g1),
+        |    (SELECT COUNT(*) FROM g1), 0, (SELECT COUNT(*) FROM g2)
+        |  UNION ALL SELECT 'guild_name', (SELECT COUNT(user_id) FROM g1),
+        |    (SELECT COUNT(*) FROM g1), 0, (SELECT COUNT(*) FROM g2)
+        |  UNION ALL SELECT 'direction', 0, (SELECT COUNT(*) FROM g1),
+        |    (SELECT COUNT(*) FROM g2), (SELECT COUNT(*) FROM g2)
+        |  UNION ALL SELECT 'event_detail', 0, (SELECT COUNT(*) FROM g1),
+        |    (SELECT COUNT(user_id) FROM g2), (SELECT COUNT(*) FROM g2))
+        |SELECT field, CAST(g1n AS BIGINT) AS gen1_nonnull,
+        |  CAST(g2n AS BIGINT) AS gen2_nonnull,
+        |  CAST(g1n * 10000 // g1r AS BIGINT) AS gen1_coverage_bp,
+        |  CAST(g2n * 10000 // g2r AS BIGINT) AS gen2_coverage_bp,
+        |  CASE WHEN g1n > 0 AND g2n > 0 THEN 'common'
+        |    WHEN g1n > 0 THEN 'removed_in_gen2'
+        |    WHEN g2n > 0 THEN 'added_in_gen2' ELSE 'absent' END AS status
+        |FROM s ORDER BY field""".stripMargin,
+    // q247: the q27 brute-force pair truth aggregated to the canonical
+    // source matrix — the engine's LSH tier must surface EXACTLY these
+    // pairs (zero false negatives by parameter choice) or a cell count
+    // drifts.
+    "q247_source_dup_matrix" ->
+      """WITH t AS (SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT least(a.source, b.source) AS source_a,
+        |    greatest(a.source, b.source) AS source_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+        |tot AS (SELECT COUNT(*) AS n_total FROM p)
+        |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+        |  CAST(COUNT(*) * 10000 // (SELECT n_total FROM tot) AS BIGINT) AS share_bp,
+        |  source_a <> source_b AS is_cross_source
+        |FROM p GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    // q248: the oracle recomputes cell assignment from the embeddings
+    // (seeded-cell CTEs identical to q78/q98) — the engine reads the
+    // COMMITTED layout, so staleness or partition corruption in the
+    // on-disk index breaks the hash, not just arithmetic drift.
+    "q248_cell_balance" ->
+      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |sims AS (SELECT e.vec_id, cen.cell,
+         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
+         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |occ AS (SELECT CAST(c.cell AS BIGINT) AS cell,
+         |    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_vecs
+         |  FROM (SELECT unnest(range(0, 16)) AS cell) c
+         |  LEFT JOIN (SELECT cell, COUNT(*) AS n FROM assigned GROUP BY cell) a
+         |    ON a.cell = c.cell),
+         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+         |    CAST(MAX(n_vecs) AS BIGINT) AS max_occ,
+         |    CAST(SUM(CASE WHEN n_vecs = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+         |  FROM occ)
+         |SELECT occ.cell, occ.n_vecs,
+         |  CAST(occ.n_vecs * 10000 // tot.n_total AS BIGINT) AS share_bp,
+         |  CAST(tot.max_occ * 10000 * 16 // tot.n_total AS BIGINT) AS imbalance_bp,
+         |  tot.n_empty
+         |FROM occ CROSS JOIN tot ORDER BY occ.cell""".stripMargin,
+    // q249: identical q104 snapshot derivation, identical word 5-gram
+    // windows — instance and type counts replay exactly.
+    "q249_ngram_novelty" ->
+      s"""WITH og AS (SELECT DISTINCT array_to_string(tk[i:i + ${NovN - 1}], ' ') AS gram
+         |  FROM (SELECT str_split(text, ' ') AS tk FROM documents WHERE doc_id % 5 <> 1),
+         |    LATERAL (SELECT unnest(range(1, greatest(len(tk) - ${NovN - 1}, 0) + 1)) AS i)),
+         |ni AS (SELECT lang, array_to_string(tk[i:i + ${NovN - 1}], ' ') AS gram
+         |  FROM (SELECT lang, str_split(CASE WHEN doc_id % 5 = 2 THEN text || ' v2' ELSE text END, ' ') AS tk
+         |    FROM documents WHERE doc_id % 5 <> 3),
+         |    LATERAL (SELECT unnest(range(1, greatest(len(tk) - ${NovN - 1}, 0) + 1)) AS i)),
+         |m AS (SELECT ni.lang, ni.gram, og.gram IS NOT NULL AS seen
+         |  FROM ni LEFT JOIN og ON og.gram = ni.gram)
+         |SELECT lang, COUNT(*) AS n_instances,
+         |  CAST(SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT) AS novel_instances,
+         |  CAST(SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS instance_novelty_bp,
+         |  CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_types,
+         |  CAST(COUNT(DISTINCT CASE WHEN NOT seen THEN gram END) AS BIGINT) AS novel_types,
+         |  CAST(COUNT(DISTINCT CASE WHEN NOT seen THEN gram END) * 10000
+         |    // COUNT(DISTINCT gram) AS BIGINT) AS type_novelty_bp
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // q250: the q81/q98 residual-encode CTEs up to the per-subspace best
+    // centroid, folded per vector IN SUBSPACE ORDER and floored ×10⁶
+    // BEFORE the per-cell sum (the q82 fixed-point discipline) — both
+    // engines' cell sums are order-free BIGINTs.
+    "q250_pq_recon_error" -> {
+      import graft.similarity.Pq.{Dim, Ksub, M, SubDim}
+      val rx = s"res.rvec[psub.subspace * $SubDim + j]"
+      val rc = s"psub.sv[psub.subspace * $SubDim + j]"
+      val codeFold =
+        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($rx) - ($rc)) * (($rx) - ($rc))), (acc, v) -> acc + v)"
+      val resOf = (vec: String, cvec: String) =>
+        s"list_transform(range(1, ${Dim + 1}), j -> CAST($vec[j] AS DOUBLE) - CAST($cvec[j] AS DOUBLE))"
+      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, vec_id AS cid, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+         |sims AS (SELECT e.vec_id, cen.cell,
+         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
+         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |res AS (SELECT a.vec_id, a.cell, ${resOf("e.embedding", "c.cvec")} AS rvec
+         |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id JOIN cen c ON c.cell = a.cell),
+         |rs AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, rvec AS sv
+         |  FROM (SELECT vec_id, rvec FROM res WHERE vec_id NOT IN (SELECT cid FROM cen)
+         |        ORDER BY vec_id LIMIT $Ksub)),
+         |psub AS (SELECT CAST(g.s AS INTEGER) AS subspace, rs.code, rs.sv
+         |  FROM rs CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
+         |pdist AS (SELECT res.vec_id, res.cell, psub.subspace, psub.code, $codeFold AS dist
+         |  FROM res CROSS JOIN psub),
+         |best AS (SELECT vec_id, cell, subspace, dist FROM (
+         |  SELECT vec_id, cell, subspace, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
+         |  FROM pdist) WHERE rn = 1),
+         |verr AS (SELECT vec_id, cell,
+         |  CAST(FLOOR(list_reduce(list(dist ORDER BY subspace), (x, y) -> x + y) * 1000000.0) AS BIGINT) AS err_fp
+         |  FROM best GROUP BY vec_id, cell)
+         |SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vecs,
+         |  CAST(SUM(err_fp) AS BIGINT) AS sum_err_fp,
+         |  CAST(SUM(err_fp) // COUNT(*) AS BIGINT) AS mean_err_fp
+         |FROM verr GROUP BY cell ORDER BY cell""".stripMargin
+    },
+    // q251: same integer quality, same (quality DESC, source) greedy
+    // order, same cap/budget arithmetic — the allocation replays exactly.
+    "q251_mix_allocation" ->
+      s"""WITH d AS (SELECT source, len(str_split(text, ' ')) AS n_tok,
+         |    len(list_distinct(str_split(text, ' '))) AS n_dist FROM documents),
+         |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+         |    CAST(SUM(n_dist * 10000 // n_tok) // COUNT(*) AS BIGINT) AS quality_bp
+         |  FROM d GROUP BY source),
+         |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens FROM s),
+         |r AS (SELECT s.*, t.total_tokens,
+         |    ROW_NUMBER() OVER (ORDER BY quality_bp DESC, source) AS rk,
+         |    CAST(src_tokens * $MixMaxEpochsX100 // 100 AS BIGINT) AS cap_tokens
+         |  FROM s CROSS JOIN t),
+         |c AS (SELECT r.*,
+         |    CAST(COALESCE(SUM(cap_tokens) OVER (ORDER BY rk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM r)
+         |SELECT source, quality_bp, src_tokens, cap_tokens,
+         |  CAST(GREATEST(0, LEAST(cap_tokens, total_tokens // $MixBudgetDen - cum_before)) AS BIGINT)
+         |    AS allocated_tokens,
+         |  CAST(GREATEST(0, LEAST(cap_tokens, total_tokens // $MixBudgetDen - cum_before)) * 100
+         |    // src_tokens AS BIGINT) AS epochs_x100
+         |FROM c ORDER BY source""".stripMargin,
+    // q252: same integer CASE labels, same marginal/pe/kappa arithmetic;
+    // the kappa division is sign-split in BOTH engines so DuckDB's
+    // floor-div `//` and Spark's truncating `div` see only non-negative
+    // operands (identical results). HUGEINT mirrors the DECIMAL(38,0)
+    // headroom for n² at corpus scale.
+    "q252_labeler_agreement" ->
+      s"""WITH l AS (SELECT
+         |    CASE WHEN len(list_distinct(str_split(text, ' '))) * 10000
+         |        // len(str_split(text, ' ')) < $AgreeDivLo THEN 0
+         |      WHEN len(list_distinct(str_split(text, ' '))) * 10000
+         |        // len(str_split(text, ' ')) < $AgreeDivHi THEN 1
+         |      ELSE 2 END AS label_a,
+         |    CASE WHEN n_chars * 100 // len(str_split(text, ' ')) < $AgreeCtokLo THEN 0
+         |      WHEN n_chars * 100 // len(str_split(text, ' ')) < $AgreeCtokHi THEN 1
+         |      ELSE 2 END AS label_b
+         |  FROM documents),
+         |cells AS (SELECT label_a, label_b, COUNT(*) AS n_docs FROM l GROUP BY 1, 2),
+         |rowm AS (SELECT label_a, SUM(n_docs) AS row_n FROM cells GROUP BY 1),
+         |colm AS (SELECT label_b, SUM(n_docs) AS col_n FROM cells GROUP BY 1),
+         |sc AS (SELECT
+         |    (SELECT SUM(n_docs) FROM cells) AS n,
+         |    (SELECT COALESCE(SUM(n_docs), 0) FROM cells WHERE label_a = label_b) AS diag_n,
+         |    (SELECT COALESCE(SUM(CAST(row_n AS HUGEINT) * col_n), 0)
+         |       FROM rowm JOIN colm ON rowm.label_a = colm.label_b) AS pe_num),
+         |k AS (SELECT n, diag_n, pe_num,
+         |    CAST(n AS HUGEINT) * diag_n - pe_num AS kn,
+         |    CAST(n AS HUGEINT) * n - pe_num AS kd FROM sc)
+         |SELECT CAST(cells.label_a AS BIGINT) AS label_a,
+         |  CAST(cells.label_b AS BIGINT) AS label_b,
+         |  CAST(cells.n_docs AS BIGINT) AS n_docs,
+         |  CAST(rowm.row_n AS BIGINT) AS row_n, CAST(colm.col_n AS BIGINT) AS col_n,
+         |  CAST(k.diag_n * 10000 // k.n AS BIGINT) AS po_bp,
+         |  CAST((k.pe_num * 10000) // (CAST(k.n AS HUGEINT) * k.n) AS BIGINT) AS pe_bp,
+         |  CAST(CASE WHEN k.kd = 0 THEN 0
+         |    WHEN k.kn >= 0 THEN (k.kn * 10000) // k.kd
+         |    ELSE -((-k.kn * 10000) // k.kd) END AS BIGINT) AS kappa_bp
+         |FROM cells JOIN rowm USING (label_a) JOIN colm USING (label_b) CROSS JOIN k
+         |ORDER BY label_a, label_b""".stripMargin,
+    // q253: the oracle merges duplicated-gram start positions by the
+    // same pos − row_number island rule, grouping by the gram STRING
+    // (Spark groups by xxhash64 — the hash never surfaces).
+    "q253_repeat_spans" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS s FROM documents
+         |  WHERE len(str_split(text, ' ')) >= $RepeatSeedN),
+         |p AS (SELECT doc_id, unnest(range(1, len(s) - ${RepeatSeedN - 2})) AS pos, s FROM t),
+         |g AS (SELECT doc_id, pos,
+         |  array_to_string(s[pos:pos + ${RepeatSeedN - 1}], ' ') AS gram FROM p),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+         |c AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+         |i AS (SELECT doc_id, pos,
+         |  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM c)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         |  CAST(MAX(pos) + ${RepeatSeedN - 1} AS BIGINT) AS span_end,
+         |  CAST(MAX(pos) + ${RepeatSeedN - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens
+         |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+    // q257: same h60 pair-fold buckets, same Laplace-smoothed integer
+    // milli ratio, same quota rank (score desc, doc_id tiebreak).
+    "q257_dsir_selection" -> {
+      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
+      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
+      val B = DsirBuckets
+      s"""WITH tk AS (SELECT doc_id, lang, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bg AS (SELECT tk.doc_id, tk.lang,
+         |    ((($h1) % $B) * 31 + ($h2) % $B) % $B AS b
+         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
+         |pc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS p_c FROM bg
+         |  WHERE lang = '$DsirTargetLang' GROUP BY 1),
+         |qc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS q_c FROM bg
+         |  WHERE lang <> '$DsirTargetLang' GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) FILTER (lang = '$DsirTargetLang') AS BIGINT) AS p_tot,
+         |  CAST(COUNT(*) FILTER (lang <> '$DsirTargetLang') AS BIGINT) AS q_tot FROM bg),
+         |db AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg
+         |  WHERE lang <> '$DsirTargetLang' GROUP BY 1, 2, 3),
+         |sc AS (SELECT db.doc_id, db.lang,
+         |    CAST(SUM(db.c * (((COALESCE(pc.p_c, 0) + 1) * (tot.q_tot + $B) * 1000)
+         |      // ((qc.q_c + 1) * (tot.p_tot + $B)))) // SUM(db.c) AS BIGINT) AS score
+         |  FROM db LEFT JOIN pc USING (b) JOIN qc USING (b) CROSS JOIN tot GROUP BY 1, 2),
+         |r AS (SELECT lang, doc_id, score,
+         |  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc),
+         |k AS (SELECT CAST(COUNT(*) // $DsirQuotaDiv AS BIGINT) AS kq FROM sc)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |  CAST(COUNT(*) FILTER (rk <= k.kq) AS BIGINT) AS n_selected,
+         |  CAST(COUNT(*) FILTER (rk <= k.kq) * 10000 // COUNT(*) AS BIGINT) AS selected_bp,
+         |  CAST(SUM(score) // COUNT(*) AS BIGINT) AS avg_score_milli,
+         |  CAST(CASE WHEN COUNT(*) FILTER (rk <= k.kq) = 0 THEN 0
+         |    ELSE SUM(score) FILTER (rk <= k.kq) // COUNT(*) FILTER (rk <= k.kq)
+         |    END AS BIGINT) AS avg_sel_score_milli
+         |FROM r CROSS JOIN k GROUP BY lang, k.kq ORDER BY lang""".stripMargin
+    },
+    // q258: same pair-fold gate, same doc-local chunk prefix sum, same
+    // ordered reassembly, same h60 chunk hash.
+    "q258_cdc_chunks" -> {
+      val hprev = duckH60("p.t[CAST(p.i AS INTEGER)]")
+      val hcur = duckH60("p.t[CAST(p.i AS INTEGER) + 1]")
+      val M = CdcMod
+      s"""WITH tk AS (SELECT doc_id, lang, str_split(text, ' ') AS t FROM documents),
+         |p AS (SELECT doc_id, lang, t, UNNEST(range(0, len(t))) AS i FROM tk),
+         |h AS (SELECT doc_id, lang, i, t[CAST(i AS INTEGER) + 1] AS tok,
+         |    CASE WHEN i = 0 THEN 0
+         |      WHEN ((($hprev) % $M) * 31 + ($hcur) % $M) % $M % $CdcGate = 0 THEN 1
+         |      ELSE 0 END AS bd
+         |  FROM p),
+         |c AS (SELECT doc_id, lang, i, tok,
+         |  SUM(bd) OVER (PARTITION BY doc_id ORDER BY i) AS chunk FROM h),
+         |ct AS (SELECT doc_id, lang, chunk, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  string_agg(tok, ' ' ORDER BY i) AS ctext FROM c GROUP BY 1, 2, 3),
+         |ch AS (SELECT lang, n_tok, ${duckH60("ctext")} AS chash FROM ct),
+         |g AS (SELECT lang, chash, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(n_tok) AS BIGINT) AS toks FROM ch GROUP BY 1, 2)
+         |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+         |  CAST((SUM(cnt) - COUNT(*)) * 10000 // SUM(cnt) AS BIGINT) AS dup_bp,
+         |  CAST(SUM(toks) // SUM(cnt) AS BIGINT) AS avg_chunk_tokens,
+         |  CAST(MAX(cnt) AS BIGINT) AS max_reuse
+         |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    // q259: the oracle brute-forces all-pairs exact Jaccard ≥ 0.95 plus
+    // the q60 split rule — checking BOTH the LSH tier recall and the
+    // histogram combinatorics (Spark never materializes doc pairs).
+    "q259_split_leakage" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks,
+         |    CASE WHEN (${duckH31("text")} % 100) < 90 THEN 'train'
+         |         WHEN (${duckH31("text")} % 100) < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |p AS (SELECT LEAST(a.split, b.split) AS split_a, GREATEST(a.split, b.split) AS split_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95),
+         |c AS (SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1, 2),
+         |tt AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM c)
+         |SELECT split_a, split_b, n_pairs,
+         |  CAST(n_pairs * 10000 // tt.n_total AS BIGINT) AS share_bp,
+         |  split_a <> split_b AS is_leak
+         |FROM c CROSS JOIN tt ORDER BY split_a, split_b""".stripMargin,
+    // q260: brute-force ∃-eval-near-dup per train doc — checks the
+    // tier-A/tier-B semi-join reachability against first principles.
+    "q260_leak_quarantine" ->
+      s"""WITH t AS (SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS toks,
+         |    CASE WHEN (${duckH31("text")} % 100) < 90 THEN 'train'
+         |         WHEN (${duckH31("text")} % 100) < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |tr AS (SELECT * FROM t WHERE split = 'train'),
+         |ev AS (SELECT * FROM t WHERE split <> 'train'),
+         |q AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON
+         |  CAST(len(list_intersect(tr.toks, ev.toks)) AS DOUBLE)
+         |    / (len(tr.toks) + len(ev.toks) - len(list_intersect(tr.toks, ev.toks))) >= 0.95)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_train,
+         |  CAST(COUNT(*) FILTER (doc_id IN (SELECT doc_id FROM q)) AS BIGINT) AS n_quarantined,
+         |  CAST(COUNT(*) FILTER (doc_id IN (SELECT doc_id FROM q)) * 10000
+         |    // COUNT(*) AS BIGINT) AS quarantine_bp
+         |FROM tr GROUP BY lang ORDER BY lang""".stripMargin,
+    // q261: ONE h60 per token, per-class weights from disjoint 15-bit
+    // fields, argmax with lowest-index tie-break — the CASE chain must
+    // stay in ClsClasses order.
+    "q261_classifier_scores" ->
+      s"""WITH u AS (SELECT doc_id, source, UNNEST(str_split(text, ' ')) AS tok FROM documents),
+         |w AS (SELECT doc_id, source, ${duckH60("tok")} AS h FROM u),
+         |s AS (SELECT doc_id, source,
+         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
+         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
+         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
+         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
+         |  FROM w GROUP BY 1, 2),
+         |p AS (SELECT source,
+         |    CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'chat'
+         |         WHEN s1 >= s2 AND s1 >= s3 THEN 'code'
+         |         WHEN s2 >= s3 THEN 'news' ELSE 'wiki' END AS pred_class,
+         |    list_sort([s0, s1, s2, s3]) AS ss FROM s),
+         |g AS (SELECT source, pred_class, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    SUM(ss[4] - ss[3]) AS margin_sum FROM p GROUP BY 1, 2),
+         |t AS (SELECT source, SUM(n_docs) AS n_src FROM g GROUP BY 1)
+         |SELECT g.source, pred_class, n_docs,
+         |  CAST(n_docs * 10000 // n_src AS BIGINT) AS share_bp,
+         |  CAST(margin_sum // n_docs AS BIGINT) AS avg_margin
+         |FROM g JOIN t ON g.source = t.source
+         |ORDER BY g.source, pred_class""".stripMargin,
+    // q262: per-lang lead() windows replay the global (lang, mh, doc_id)
+    // rank's within-lang adjacency exactly (lang blocks are contiguous
+    // in the global order; boundary pairs are filtered on the Spark side).
+    "q262_locality_layout" -> {
+      val tokH = duckH60("tok")
+      s"""WITH b AS (SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS toks,
+         |    list_aggregate(list_transform(str_split(text, ' '), tok -> $tokH), 'min') AS mh
+         |  FROM documents),
+         |c AS (SELECT lang, toks,
+         |    lead(toks) OVER (PARTITION BY lang ORDER BY mh, doc_id) AS nxt_c,
+         |    lead(toks) OVER (PARTITION BY lang ORDER BY doc_id) AS nxt_b FROM b),
+         |pc AS (SELECT lang, CAST(len(list_intersect(toks, nxt_c)) AS BIGINT) * 10000
+         |    // (len(toks) + len(nxt_c) - len(list_intersect(toks, nxt_c))) AS bp
+         |  FROM c WHERE nxt_c IS NOT NULL),
+         |pb AS (SELECT lang, CAST(len(list_intersect(toks, nxt_b)) AS BIGINT) * 10000
+         |    // (len(toks) + len(nxt_b) - len(list_intersect(toks, nxt_b))) AS bp
+         |  FROM c WHERE nxt_b IS NOT NULL),
+         |gc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs, SUM(bp) AS s FROM pc GROUP BY 1),
+         |gb AS (SELECT lang, SUM(bp) AS s FROM pb GROUP BY 1),
+         |n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY 1)
+         |SELECT n.lang, n_docs,
+         |  CAST(coalesce(gc.n_pairs, 0) AS BIGINT) AS n_adj_pairs,
+         |  CAST(coalesce(gc.s // gc.n_pairs, 0) AS BIGINT) AS clustered_adj_bp,
+         |  CAST(coalesce(gb.s // gc.n_pairs, 0) AS BIGINT) AS baseline_adj_bp,
+         |  CAST(coalesce(gc.s // gc.n_pairs, 0) - coalesce(gb.s // gc.n_pairs, 0) AS BIGINT)
+         |    AS locality_gain_bp
+         |FROM n LEFT JOIN gc ON n.lang = gc.lang LEFT JOIN gb ON n.lang = gb.lang
+         |ORDER BY n.lang""".stripMargin
+    },
+    // q264: the oracle scores the FINAL corpus state (partition-1 texts
+    // re-texted) from first principles — a stale on-disk store breaks
+    // the hash. Same bit-field weights and argmax chain as q261.
+    "q264_score_store" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CASE WHEN doc_id % 3 = 1 THEN text || ' edited' ELSE text END AS text,
+         |    doc_id % 3 AS part_id FROM documents),
+         |u AS (SELECT doc_id, part_id, UNNEST(str_split(text, ' ')) AS tok FROM d),
+         |w AS (SELECT doc_id, part_id, ${duckH60("tok")} AS h FROM u),
+         |s AS (SELECT doc_id, part_id,
+         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
+         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
+         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
+         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
+         |  FROM w GROUP BY 1, 2),
+         |p AS (SELECT part_id,
+         |    CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'chat'
+         |         WHEN s1 >= s2 AND s1 >= s3 THEN 'code'
+         |         WHEN s2 >= s3 THEN 'news' ELSE 'wiki' END AS pred_class,
+         |    list_sort([s0, s1, s2, s3]) AS ss FROM s)
+         |SELECT CAST(part_id AS BIGINT) AS part_id, pred_class,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(ss[4] - ss[3]) AS BIGINT) AS margin_sum
+         |FROM p GROUP BY part_id, pred_class
+         |ORDER BY part_id, pred_class""".stripMargin,
+    // q265: the epoch-grid VALUES carry the same precomputed milli decay
+    // factors; the greedy order is (util DESC, source, r) in both engines.
+    "q265_repeat_allocation" -> {
+      val grid = RepeatDecayMilli.zipWithIndex
+        .map { case (f, i) => s"(${i + 1}, $f)" }.mkString(", ")
+      s"""WITH d AS (SELECT source, len(str_split(text, ' ')) AS n_tok,
+         |    len(list_distinct(str_split(text, ' '))) AS n_dist FROM documents),
+         |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+         |    CAST(SUM(n_dist * 10000 // n_tok) // COUNT(*) AS BIGINT) AS quality_bp
+         |  FROM d GROUP BY source),
+         |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens FROM s),
+         |f(r, fac) AS (VALUES $grid),
+         |u AS (SELECT source, src_tokens, quality_bp, total_tokens, r,
+         |    quality_bp * fac // 1000 AS util
+         |  FROM s CROSS JOIN t CROSS JOIN f),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY util DESC, source, r) AS rk FROM u),
+         |c AS (SELECT *, COALESCE(SUM(src_tokens) OVER (ORDER BY rk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM rk),
+         |a AS (SELECT source, quality_bp, src_tokens,
+         |    GREATEST(0, LEAST(src_tokens, total_tokens // $RepeatBudgetDen - cum_before)) AS alloc
+         |  FROM c)
+         |SELECT source, CAST(MAX(quality_bp) AS BIGINT) AS quality_bp,
+         |  CAST(MAX(src_tokens) AS BIGINT) AS src_tokens,
+         |  CAST(SUM(alloc) AS BIGINT) AS allocated_tokens,
+         |  CAST(SUM(alloc) * 100 // MAX(src_tokens) AS BIGINT) AS epochs_x100
+         |FROM a GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q269: same floor-cents, same bp propensities, same hash-argmax
+    // policy (row_number over h DESC, action DESC == the struct max).
+    "q269_ips_policy_eval" -> {
+      val h = duckH31("CAST(u.user_id AS VARCHAR) || ':' || p.action")
+      s"""WITH l AS (SELECT user_id, event_type AS action,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         |f AS (SELECT action, CAST(COUNT(*) AS BIGINT) AS n_logged FROM l GROUP BY 1),
+         |t AS (SELECT SUM(n_logged) AS n_total FROM f),
+         |p AS (SELECT action, n_logged,
+         |    CAST(n_logged * 10000 // n_total AS BIGINT) AS prop_bp FROM f CROSS JOIN t),
+         |g AS (SELECT u.user_id, p.action, $h AS h
+         |  FROM (SELECT DISTINCT user_id FROM l) u CROSS JOIN p),
+         |pi AS (SELECT user_id, action AS pi_action FROM (
+         |    SELECT user_id, action,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY h DESC, action DESC) AS rn
+         |    FROM g) WHERE rn = 1),
+         |j AS (SELECT l.action, l.cents, pi.pi_action, p.prop_bp, p.n_logged
+         |  FROM l JOIN pi USING (user_id) JOIN p USING (action))
+         |SELECT action, CAST(MAX(n_logged) AS BIGINT) AS n_logged,
+         |  CAST(MAX(prop_bp) AS BIGINT) AS prop_bp,
+         |  CAST(SUM(CASE WHEN action = pi_action THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         |  CAST(SUM(CASE WHEN action = pi_action THEN cents * 10000 // prop_bp ELSE 0 END)
+         |    AS BIGINT) AS ips_cents,
+         |  CAST(SUM(cents) AS BIGINT) AS logged_cents
+         |FROM j GROUP BY action ORDER BY action""".stripMargin
+    },
+    // q266/q267: one oracle for the batch lag-window and the streaming
+    // per-user-state formulations (the q119/q120 shared-oracle rule).
+    "q266_behavior_examples" -> BehaviorOracleSql,
+    "q267_stream_behavior" -> BehaviorOracleSql,
+    // q268: per-source row_number windows replay the global-rank +
+    // offset arithmetic over the same q261 per-doc margins; the decile
+    // row is the exact order statistic at rank max(1, n*q//10).
+    "q268_stratum_quantiles" -> {
+      s"""WITH u AS (SELECT doc_id, source, UNNEST(str_split(text, ' ')) AS tok FROM documents),
+         |w AS (SELECT doc_id, source, ${duckH60("tok")} AS h FROM u),
+         |s AS (SELECT doc_id, source,
+         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
+         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
+         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
+         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
+         |  FROM w GROUP BY 1, 2),
+         |m AS (SELECT doc_id, source,
+         |    CAST(list_sort([s0, s1, s2, s3])[4] - list_sort([s0, s1, s2, s3])[3] AS BIGINT)
+         |      AS margin FROM s),
+         |r AS (SELECT source, doc_id, margin,
+         |    row_number() OVER (PARTITION BY source ORDER BY margin, doc_id) AS lrk,
+         |    COUNT(*) OVER (PARTITION BY source) AS n FROM m),
+         |dec AS (SELECT UNNEST(range(1, 10)) AS decile)
+         |SELECT source, CAST(decile AS BIGINT) AS decile,
+         |  CAST(margin AS BIGINT) AS margin_at
+         |FROM r JOIN dec ON lrk = GREATEST(1, (n * decile) // 10)
+         |ORDER BY source, decile""".stripMargin
+    },
+    // q263: per-stratum row_number replays the global-rank + offset
+    // arithmetic; the FILTER sums are the selection witnesses.
+    "q263_stratified_quota" ->
+      s"""WITH b AS (SELECT doc_id, lang, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${duckH31("text")} AS hkey FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS lrk,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n_total FROM b)
+         |SELECT lang, CAST(MAX(n_total) AS BIGINT) AS n_total,
+         |  CAST(MAX(n_total) // $StratQuotaDiv AS BIGINT) AS quota,
+         |  CAST(coalesce(SUM(n_tokens) FILTER (lrk <= n_total // $StratQuotaDiv), 0) AS BIGINT)
+         |    AS sel_tokens,
+         |  CAST(coalesce(SUM(hkey) FILTER (lrk <= n_total // $StratQuotaDiv), 0) AS BIGINT)
+         |    AS sel_h31_sum
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    // q270: range() emits no segment for docs under one segment width, so
+    // no length filter is needed oracle-side; doc-frequency is DISTINCT
+    // doc_id per 60-bit segment hash, exactly the engine's key.
+    "q270_segment_boilerplate" ->
+      boilerCardSql("SELECT doc_id, source, text FROM documents"),
+    // q277: the same card over documents ∪ the promo-banner ingest batch
+    // — computed from first principles, so mis-merged store partials
+    // (double-counted docs, stale partition) break the hash.
+    "q277_boiler_store" -> boilerCardSql(
+      """SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, source,
+        |    'promo sale banner click here ' || text FROM documents
+        |  WHERE doc_id % 7 = 0""".stripMargin),
+    // q271: the window minimum replays per doc over 0-based gram
+    // positions with the same ROWS frame; fingerprint selection keeps
+    // window starts only (pos <= n_grams - w).
+    "q271_winnowing_pairs" -> {
+      val k = WinnowGram
+      val w = WinnowWindow
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+         |  WHERE len(str_split(text, ' ')) >= ${k + w - 1}),
+         |g AS (SELECT doc_id, CAST(p AS BIGINT) - 1 AS pos,
+         |    array_to_string(toks[CAST(p AS INT):(CAST(p AS INT) + $k - 1)], ' ') AS gram
+         |  FROM t, UNNEST(range(1, CAST(len(toks) - $k + 2 AS BIGINT))) AS u(p)),
+         |gh AS (SELECT doc_id, pos, ${duckH60("gram")} AS h FROM g),
+         |wm AS (SELECT doc_id, pos,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams FROM gh),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_grams - $w),
+         |kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN (
+         |    SELECT fp FROM fps GROUP BY fp
+         |    HAVING COUNT(DISTINCT doc_id) <= $WinnowFpMaxDocs) d USING (fp)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS shared_fps
+         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared)
+         |SELECT doc_a, doc_b, shared_fps,
+         |  CAST(ca.n_fp AS BIGINT) AS fp_a, CAST(cb.n_fp AS BIGINT) AS fp_b,
+         |  CAST(shared_fps * 10000 // LEAST(ca.n_fp, cb.n_fp) AS BIGINT) AS overlap_bp
+         |FROM pr JOIN cnt ca ON pr.doc_a = ca.doc_id
+         |  JOIN cnt cb ON pr.doc_b = cb.doc_id
+         |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin
+    },
+    // q272: the global row_number window replays GlobalRank's
+    // (margin, doc_id) order; labeler 2 reads lane (i+2) mod 4 under
+    // the alternate modulus; decile = (rk-1)*10 // n.
+    "q272_score_calibration" -> {
+      s"""WITH u AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok FROM documents),
+         |w AS (SELECT doc_id, ${duckH60("tok")} AS h FROM u),
+         |s AS (SELECT doc_id,
+         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
+         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
+         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
+         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3,
+         |    SUM((((h >> 30) & 32767) % $ClsAltMod) - 1000) AS t0,
+         |    SUM((((h >> 45) & 32767) % $ClsAltMod) - 1000) AS t1,
+         |    SUM(((h & 32767) % $ClsAltMod) - 1000) AS t2,
+         |    SUM((((h >> 15) & 32767) % $ClsAltMod) - 1000) AS t3
+         |  FROM w GROUP BY 1),
+         |p AS (SELECT doc_id,
+         |    CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'chat'
+         |         WHEN s1 >= s2 AND s1 >= s3 THEN 'code'
+         |         WHEN s2 >= s3 THEN 'news' ELSE 'wiki' END AS pred,
+         |    CASE WHEN t0 >= t1 AND t0 >= t2 AND t0 >= t3 THEN 'chat'
+         |         WHEN t1 >= t2 AND t1 >= t3 THEN 'code'
+         |         WHEN t2 >= t3 THEN 'news' ELSE 'wiki' END AS label,
+         |    list_sort([s0, s1, s2, s3])[4] - list_sort([s0, s1, s2, s3])[3] AS margin
+         |  FROM s),
+         |r AS (SELECT pred, label, margin,
+         |    row_number() OVER (ORDER BY margin, doc_id) AS rk,
+         |    COUNT(*) OVER () AS n FROM p),
+         |d AS (SELECT pred, label, margin,
+         |    LEAST(9, (rk - 1) * 10 // n) AS decile FROM r)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(margin) // COUNT(*) AS BIGINT) AS avg_margin,
+         |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS agree_n,
+         |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         |    AS agree_bp
+         |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+    },
+    // q273: trigram contexts via 1-based list slices; both aggregation
+    // levels replay on the same 60-bit context/next hashes.
+    "q273_context_branching" -> {
+      s"""WITH t AS (SELECT source, str_split(text, ' ') AS toks FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 3),
+         |g AS (SELECT source,
+         |    array_to_string(toks[CAST(p AS INT):(CAST(p AS INT) + 1)], ' ') AS ctx,
+         |    toks[CAST(p AS INT) + 2] AS nxt
+         |  FROM t, UNNEST(range(1, CAST(len(toks) - 1 AS BIGINT))) AS u(p)),
+         |h AS (SELECT source, ${duckH60("ctx")} AS ctxh, ${duckH60("nxt")} AS nxth FROM g),
+         |pn AS (SELECT source, ctxh, nxth, COUNT(*) AS n FROM h GROUP BY 1, 2, 3),
+         |pc AS (SELECT source, ctxh, SUM(n) AS n_occ, COUNT(*) AS n_next, MAX(n) AS top_n
+         |  FROM pn GROUP BY 1, 2)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_contexts,
+         |  CAST(SUM(n_occ) AS BIGINT) AS n_trigrams,
+         |  CAST(SUM(CASE WHEN n_next = 1 AND n_occ >= $BranchMinOcc THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_deterministic,
+         |  CAST(SUM(CASE WHEN n_next = 1 AND n_occ >= $BranchMinOcc THEN 1 ELSE 0 END)
+         |    * 10000 // COUNT(*) AS BIGINT) AS det_share_bp,
+         |  CAST(SUM(top_n * 10000 // n_occ) // COUNT(*) AS BIGINT) AS avg_top_share_bp
+         |FROM pc GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q274: the two MM rounds replay the identical div-inside-sum
+    // algebra; round 1's uniform s0=10000 makes every denominator term
+    // n·C//20000 on both engines.
+    "q274_bradley_terry" -> {
+      s"""WITH ua AS (SELECT user_id, event_type AS action,
+         |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents FROM events GROUP BY 1, 2),
+         |du AS (SELECT a.action AS xa, b.action AS xb, a.cents AS ca, b.cents AS cb
+         |  FROM ua a JOIN ua b ON a.user_id = b.user_id AND a.action < b.action
+         |  WHERE a.cents <> b.cents),
+         |hf AS (SELECT xa, xb, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN ca > cb THEN 1 ELSE 0 END) AS BIGINT) AS w
+         |  FROM du GROUP BY 1, 2),
+         |pr AS (SELECT xa AS x, xb AS y, n, w FROM hf
+         |  UNION ALL SELECT xb, xa, n, n - w FROM hf),
+         |tt AS (SELECT x, SUM(w) AS wins, SUM(n) AS games FROM pr GROUP BY 1),
+         |d1 AS (SELECT x, SUM(n * $BtScale // 20000) AS denom FROM pr GROUP BY 1),
+         |r1 AS (SELECT tt.x, wins * $BtScale // denom AS raw FROM tt JOIN d1 USING (x)),
+         |n1 AS (SELECT x, GREATEST(1, raw * (SELECT COUNT(*) FROM r1) * 10000
+         |    // (SELECT SUM(raw) FROM r1)) AS s FROM r1),
+         |d2 AS (SELECT pr.x, SUM(n * $BtScale // (sx.s + sy.s)) AS denom
+         |  FROM pr JOIN n1 sx ON pr.x = sx.x JOIN n1 sy ON pr.y = sy.x GROUP BY 1),
+         |r2 AS (SELECT tt.x, wins * $BtScale // denom AS raw FROM tt JOIN d2 USING (x)),
+         |n2 AS (SELECT x, GREATEST(1, raw * (SELECT COUNT(*) FROM r2) * 10000
+         |    // (SELECT SUM(raw) FROM r2)) AS s FROM r2)
+         |SELECT tt.x AS action, CAST(games AS BIGINT) AS games,
+         |  CAST(wins AS BIGINT) AS wins,
+         |  CAST(n1.s AS BIGINT) AS s1_bp, CAST(n2.s AS BIGINT) AS s2_bp
+         |FROM tt JOIN n1 ON tt.x = n1.x JOIN n2 ON tt.x = n2.x
+         |ORDER BY action""".stripMargin
+    },
+    // q275: per-source row_number windows replay the two GlobalRank +
+    // offset rankings (ties broken by doc_id in both orders); Σd² and
+    // n(n²−1) ride HUGEINT to mirror Spark's DECIMAL(38,0).
+    "q275_length_bias" -> {
+      s"""WITH u AS (SELECT doc_id, source, UNNEST(str_split(text, ' ')) AS tok FROM documents),
+         |w AS (SELECT doc_id, source, ${duckH60("tok")} AS h FROM u),
+         |s AS (SELECT doc_id, source,
+         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
+         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
+         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
+         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
+         |  FROM w GROUP BY 1, 2),
+         |m AS (SELECT s.doc_id, s.source,
+         |    list_sort([s0, s1, s2, s3])[4] - list_sort([s0, s1, s2, s3])[3] AS margin,
+         |    d.n_chars
+         |  FROM s JOIN documents d ON s.doc_id = d.doc_id),
+         |r AS (SELECT source,
+         |    row_number() OVER (PARTITION BY source ORDER BY margin, doc_id) AS rm,
+         |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rl
+         |  FROM m),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(rm - rl AS HUGEINT) * (rm - rl)) AS sd2 FROM r GROUP BY 1)
+         |SELECT source, n AS n_docs, CAST(sd2 AS BIGINT) AS sum_d2,
+         |  CAST(10000 - (60000 * sd2) // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
+         |    AS rho_bp
+         |FROM g WHERE n >= 2 ORDER BY source""".stripMargin
+    },
+    // q276: planes are literal DOUBLE[] generated from the same
+    // Ann.hyperplanes call the engine projects with (toString
+    // round-trips the exact double — the q34 plane-values pattern);
+    // every fold is the VectorOracles left fold, so distortions match
+    // bit-for-bit before the floor.
+    "q276_jl_distortion" -> {
+      val planes = graft.similarity.Ann.hyperplanes(1, JlDims, 64, JlSeed)(0)
+      val planeVals = planes.zipWithIndex.map { case (p, j) =>
+        s"($j, [${p.map(_.toString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n")
+      val fold = "list_reduce(list_transform(range(1, len(e.embedding) + 1), " +
+        "i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]), (acc, v) -> acc + v)"
+      val dab = "list_reduce(list_transform(range(1, len(a.xa) + 1), " +
+        "i -> CAST(a.xa[i] AS DOUBLE) * CAST(b.xb[i] AS DOUBLE)), (acc, v) -> acc + v)"
+      val nfold = "list_reduce(list_transform(range(1, len(e.embedding) + 1), " +
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (acc, v) -> acc + v)"
+      s"""WITH pl(b, p) AS (VALUES $planeVals),
+         |e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+         |pj AS (SELECT vec_id, list(d ORDER BY b) AS y FROM (
+         |    SELECT e.vec_id, pl.b, $fold AS d FROM e CROSS JOIN pl) GROUP BY vec_id),
+         |nn AS (SELECT vec_id, $nfold AS n2 FROM e),
+         |sa AS (SELECT e.vec_id AS a_id, e.embedding AS xa, pj.y AS ya, nn.n2 AS na
+         |  FROM e JOIN pj USING (vec_id) JOIN nn USING (vec_id)
+         |  WHERE vec_id % $JlSampleMod = 0),
+         |pn AS (SELECT e.vec_id AS b_id, e.embedding AS xb, pj.y AS yb, nn.n2 AS nb
+         |  FROM e JOIN pj USING (vec_id) JOIN nn USING (vec_id)
+         |  WHERE vec_id % $JlPanelMod = 1 ORDER BY e.vec_id LIMIT $JlPanelSize),
+         |d AS (SELECT a.na + b.nb - 2.0 * $dab AS dx2,
+         |    list_reduce(list_transform(range(1, ${JlDims + 1}),
+         |      j -> (a.ya[j] - b.yb[j]) * (a.ya[j] - b.yb[j])), (acc, v) -> acc + v) AS dy2
+         |  FROM sa a CROSS JOIN pn b WHERE a.a_id <> b.b_id),
+         |z AS (SELECT CAST(FLOOR(dy2 * 10000.0 / (CAST($JlDims AS DOUBLE) * dx2)) AS BIGINT)
+         |    AS distortion_bp FROM d WHERE dx2 > 0)
+         |SELECT LEAST(39, distortion_bp // 1000) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(MIN(distortion_bp) AS BIGINT) AS min_bp,
+         |  CAST(MAX(distortion_bp) AS BIGINT) AS max_bp
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // q278: the splitter replay and the seam probe use the same token
+    // slices; candidates join on the seam h60 and verify by direct list
+    // equality, so a hash-only false pair can never survive.
+    "q278_chunk_reassembly" -> {
+      val ov = ReasmOverlap
+      val mx = ReasmMaxOverlap
+      val seamT = duckH60(s"array_to_string(tt[${mx - ov + 1}:$mx], ' ')")
+      val seamH = duckH60(
+        s"array_to_string(hh[CAST(p AS INT):(CAST(p AS INT) + ${ov - 1})], ' ')")
+      s"""WITH b AS (SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents),
+         |v AS (SELECT * FROM b
+         |  WHERE doc_id % $ReasmSplitMod = 0 AND len(toks) >= ${2 * ReasmMinTokens}),
+         |c1 AS (SELECT doc_id * 2 + 2000000 AS doc_id, source,
+         |    toks[1:(len(toks) // 2 + $ov)] AS toks FROM v),
+         |c2 AS (SELECT doc_id * 2 + 2000001 AS doc_id, source,
+         |    toks[(len(toks) // 2 + 1):len(toks)] AS toks FROM v),
+         |cp AS (SELECT * FROM (
+         |    SELECT doc_id, source, toks FROM b
+         |    WHERE NOT (doc_id % $ReasmSplitMod = 0 AND len(toks) >= ${2 * ReasmMinTokens})
+         |    UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+         |  WHERE len(toks) >= $ReasmMinTokens),
+         |sg AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+         |    toks[(len(toks) - ${mx - 1}):len(toks)] AS tt, toks[1:$mx] AS hh FROM cp),
+         |ta AS (SELECT doc_id AS doc_a, n AS n_a, tt, $seamT AS seam_h FROM sg),
+         |hd AS (SELECT doc_id AS doc_b, n AS n_b, hh,
+         |    CAST(p AS BIGINT) + ${ov - 1} AS l, $seamH AS seam_h
+         |  FROM sg, UNNEST(range(1, ${mx - ov + 2})) AS u(p)),
+         |pr AS (SELECT doc_a, doc_b, l, n_a, n_b
+         |  FROM ta JOIN hd USING (seam_h)
+         |  WHERE doc_a <> doc_b
+         |    AND tt[CAST($mx + 1 - l AS INT):$mx] = hh[1:CAST(l AS INT)]),
+         |ol AS (SELECT doc_a, doc_b, MAX(l) AS overlap_len,
+         |    MAX(n_a) AS n_a, MAX(n_b) AS n_b FROM pr GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(overlap_len AS BIGINT) AS overlap_len,
+         |  CAST(n_a + n_b - overlap_len AS BIGINT) AS merged_tokens
+         |FROM ol ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // q279: the same h31(doc:i) start schedule and span lengths; merged
+    // mass = DISTINCT covered positions, island count via per-doc lag.
+    "q279_span_corruption" -> {
+      // NB: the position variable must not be named `i` — duckH31's
+      // internal list_transform lambda binds `i` and would capture it.
+      val h = duckH31("CAST(doc_id AS VARCHAR) || ':' || CAST(ti AS VARCHAR)")
+      s"""WITH b AS (SELECT doc_id, source,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         |st AS (SELECT doc_id, source, n_tok, CAST(ti AS BIGINT) AS i, $h AS h
+         |  FROM b, UNNEST(range(1, CAST(n_tok + 1 AS BIGINT))) AS u(ti)),
+         |sp AS (SELECT doc_id, source, n_tok, i,
+         |    1 + ((h >> 5) % $SpanMaxLen) AS len FROM st WHERE h % $SpanEvery = 0),
+         |cv AS (SELECT DISTINCT doc_id, source, pos FROM sp,
+         |    UNNEST(range(i, LEAST(n_tok, i + len - 1) + 1)) AS g(pos)),
+         |pd AS (SELECT doc_id, source, COUNT(*) AS n_masked,
+         |    SUM(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END) AS n_spans
+         |  FROM (SELECT doc_id, source, pos,
+         |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM cv)
+         |  GROUP BY 1, 2),
+         |tt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    SUM(n_tok) AS n_tokens FROM b GROUP BY 1),
+         |ss AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_masked_docs,
+         |    SUM(n_masked) AS n_masked, SUM(n_spans) AS n_spans,
+         |    MAX(n_spans) AS sentinel_budget FROM pd GROUP BY 1)
+         |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  n_masked_docs, CAST(n_masked AS BIGINT) AS n_masked,
+         |  CAST(n_masked * 10000 // n_tokens AS BIGINT) AS masked_bp,
+         |  CAST(n_spans AS BIGINT) AS n_spans,
+         |  CAST(n_masked * 100 // n_spans AS BIGINT) AS avg_span_len_x100,
+         |  CAST(sentinel_budget AS BIGINT) AS sentinel_budget
+         |FROM tt JOIN ss USING (source) ORDER BY source""".stripMargin
+    },
+    // q280: the same q270 chunking with the chunk index kept; the modal
+    // position replays the (n_at, -g) struct max via arg-ordering.
+    "q280_template_positions" -> {
+      val k = BoilerSegTokens
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id, CAST(g AS BIGINT) AS g,
+         |    array_to_string(toks[(CAST(g AS INT)*$k + 1):(CAST(g AS INT)*$k + $k)], ' ') AS seg
+         |  FROM t, UNNEST(range(CAST(floor(len(toks) / $k) AS BIGINT))) AS u(g)),
+         |h AS (SELECT doc_id, g, ${duckH60("seg")} AS segh FROM c),
+         |bp AS (SELECT segh, g, COUNT(*) AS n_at FROM h GROUP BY 1, 2),
+         |bs AS (SELECT segh, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS n_inst
+         |  FROM h GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= $BoilerMinDocs),
+         |md AS (SELECT segh, n_at, g FROM (
+         |    SELECT segh, n_at, g,
+         |      row_number() OVER (PARTITION BY segh ORDER BY n_at DESC, g) AS rn
+         |    FROM bp) WHERE rn = 1)
+         |SELECT bs.segh, CAST(doc_freq AS BIGINT) AS doc_freq,
+         |  CAST(n_inst AS BIGINT) AS n_inst, CAST(md.g AS BIGINT) AS modal_g,
+         |  CAST(md.n_at * 10000 // n_inst AS BIGINT) AS pos_share_bp
+         |FROM bs JOIN md USING (segh)
+         |WHERE md.n_at * 10000 // n_inst >= $TemplatePosBp
+         |ORDER BY doc_freq DESC, bs.segh""".stripMargin
+    },
+    // q281: twelve lane sums replay the three-labeler panel; majority,
+    // accuracies, and the weighted argmax use the same tie rules
+    // (lowest class index) as the engine's CASE chains.
+    "q281_label_aggregation" -> {
+      val lanes = AggLabelers.zipWithIndex.flatMap { case ((mod, rot), li) =>
+        ClsClasses.indices.map { i =>
+          val lane = (i + rot) % ClsClasses.size
+          val sh = if (lane == 0) "h" else s"(h >> ${15 * lane})"
+          s"SUM((($sh & 32767) % $mod) - 1000) AS s${li}_$i"
+        }
+      }.mkString(",\n|    ")
+      def vote(li: Int): String =
+        s"""CASE WHEN s${li}_0 >= s${li}_1 AND s${li}_0 >= s${li}_2 AND s${li}_0 >= s${li}_3 THEN 0
+           |      WHEN s${li}_1 >= s${li}_2 AND s${li}_1 >= s${li}_3 THEN 1
+           |      WHEN s${li}_2 >= s${li}_3 THEN 2 ELSE 3 END""".stripMargin
+      val wScore = (0 until 4).map { c =>
+        s"(CASE WHEN l0 = $c THEN w0 ELSE 0 END + CASE WHEN l1 = $c THEN w1 ELSE 0 END" +
+          s" + CASE WHEN l2 = $c THEN w2 ELSE 0 END) AS c$c"
+      }.mkString(", ")
+      s"""WITH u AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok FROM documents),
+         |w AS (SELECT doc_id, ${duckH60("tok")} AS h FROM u),
+         |s AS (SELECT doc_id,
+         |    $lanes
+         |  FROM w GROUP BY 1),
+         |v AS (SELECT doc_id, ${vote(0)} AS l0, ${vote(1)} AS l1, ${vote(2)} AS l2 FROM s),
+         |m AS (SELECT doc_id, l0, l1, l2,
+         |    CASE WHEN l0 = l1 OR l0 = l2 THEN l0 WHEN l1 = l2 THEN l1
+         |         ELSE LEAST(l0, l1, l2) END AS maj FROM v),
+         |a AS (SELECT COUNT(*) AS n_docs,
+         |    SUM(CASE WHEN l0 = maj THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS w0,
+         |    SUM(CASE WHEN l1 = maj THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS w1,
+         |    SUM(CASE WHEN l2 = maj THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS w2
+         |  FROM m),
+         |r AS (SELECT m.*, $wScore FROM m CROSS JOIN a),
+         |g AS (SELECT *, CASE WHEN c0 >= c1 AND c0 >= c2 AND c0 >= c3 THEN 0
+         |      WHEN c1 >= c2 AND c1 >= c3 THEN 1 WHEN c2 >= c3 THEN 2 ELSE 3 END AS wvote
+         |  FROM r),
+         |f AS (SELECT COUNT(*) AS n_docs,
+         |    SUM(CASE WHEN wvote <> maj THEN 1 ELSE 0 END) AS n_flipped,
+         |    SUM(CASE WHEN l0 = wvote THEN 1 ELSE 0 END) AS b0,
+         |    SUM(CASE WHEN l1 = wvote THEN 1 ELSE 0 END) AS b1,
+         |    SUM(CASE WHEN l2 = wvote THEN 1 ELSE 0 END) AS b2
+         |  FROM g)
+         |SELECT CAST(t.labeler AS BIGINT) AS labeler,
+         |  CAST(CASE t.labeler WHEN 0 THEN a.w0 WHEN 1 THEN a.w1 ELSE a.w2 END AS BIGINT)
+         |    AS acc_majority_bp,
+         |  CAST((CASE t.labeler WHEN 0 THEN f.b0 WHEN 1 THEN f.b1 ELSE f.b2 END)
+         |    * 10000 // f.n_docs AS BIGINT) AS acc_weighted_bp,
+         |  CAST(f.n_docs AS BIGINT) AS n_docs, CAST(f.n_flipped AS BIGINT) AS n_flipped
+         |FROM (VALUES (0), (1), (2)) t(labeler) CROSS JOIN a CROSS JOIN f
+         |ORDER BY labeler""".stripMargin
+    },
+    // q282: the committed boilerplate key set replays as seed-corpus
+    // segment doc-frequencies (store partials sum to exactly that);
+    // decisions replay per streamed doc, order-free by design.
+    "q282_stream_boiler_gate" -> {
+      val k = BoilerSegTokens
+      val banner = "promo sale banner click here "
+      def segs(cte: String, out: String): String =
+        s"""$out AS (SELECT doc_id, ${duckH60("seg")} AS segh FROM (
+           |    SELECT doc_id, array_to_string(
+           |        toks[(CAST(g AS INT)*$k + 1):(CAST(g AS INT)*$k + $k)], ' ') AS seg
+           |    FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM $cte),
+           |      UNNEST(range(CAST(floor(len(toks) / $k) AS BIGINT))) AS u(g)))""".stripMargin
+      s"""WITH seed AS (SELECT doc_id, source, text FROM documents
+         |    UNION ALL SELECT doc_id + 1000000, source, '$banner' || text
+         |    FROM documents WHERE doc_id % 7 = 0),
+         |${segs("seed", "ss")},
+         |f AS (SELECT segh FROM ss GROUP BY segh
+         |  HAVING COUNT(DISTINCT doc_id) >= $BoilerMinDocs),
+         |inc AS (SELECT doc_id + 3000000 AS doc_id, source,
+         |    CASE WHEN doc_id % 10 = 0 THEN '$banner' || array_to_string(toks[1:10], ' ')
+         |         ELSE array_to_string(toks[1:15], ' ') END AS text
+         |  FROM (SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents)
+         |  WHERE doc_id % 5 = 0 AND len(toks) >= 20),
+         |${segs("inc", "ic")},
+         |per AS (SELECT ic.doc_id, COUNT(*) AS n_segments,
+         |    SUM(CASE WHEN f.segh IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+         |  FROM ic LEFT JOIN f ON ic.segh = f.segh GROUP BY 1)
+         |SELECT per.doc_id, inc.source, CAST(n_segments AS BIGINT) AS n_segments,
+         |  CAST(n_boiler AS BIGINT) AS n_boiler,
+         |  CAST(n_boiler * 10000 // n_segments AS BIGINT) AS boiler_bp,
+         |  (n_boiler * 10000 // n_segments) < $BoilerGateBp AS admitted
+         |FROM per JOIN inc ON per.doc_id = inc.doc_id
+         |ORDER BY per.doc_id""".stripMargin
+    },
+    // q283: three serial row_number windows replay the sharded global
+    // ranks (GlobalRank is bit-identical to the serial window); the
+    // quota and fused rank use the same (ranksum, doc_id) tie rule.
+    "q283_borda_fusion" -> {
+      val tokH = duckH60("tok")
+      s"""WITH u AS (SELECT doc_id, source, str_split(text, ' ') AS t FROM documents),
+         |w AS (SELECT doc_id, source,
+         |    CAST(len(t) AS BIGINT) AS s_len,
+         |    CAST(len(list_distinct(t)) AS BIGINT) * 10000 // len(t) AS s_div,
+         |    list_transform(t, tok -> $tokH) AS h FROM u),
+         |m AS (SELECT doc_id, source, s_len, s_div, list_sort([
+         |    list_aggregate(list_transform(h, x -> ((x & 32767) % $ClsWeightMod) - 1000), 'sum'),
+         |    list_aggregate(list_transform(h, x -> (((x >> 15) & 32767) % $ClsWeightMod) - 1000), 'sum'),
+         |    list_aggregate(list_transform(h, x -> (((x >> 30) & 32767) % $ClsWeightMod) - 1000), 'sum'),
+         |    list_aggregate(list_transform(h, x -> (((x >> 45) & 32767) % $ClsWeightMod) - 1000), 'sum')
+         |  ]) AS ss FROM w),
+         |g AS (SELECT doc_id, source, ss[4] - ss[3] AS s_mgn, s_len, s_div FROM m),
+         |r AS (SELECT doc_id, source,
+         |    row_number() OVER (ORDER BY s_len DESC, doc_id)
+         |      + row_number() OVER (ORDER BY s_div DESC, doc_id)
+         |      + row_number() OVER (ORDER BY s_mgn DESC, doc_id) AS ranksum
+         |  FROM g),
+         |f AS (SELECT doc_id, source, ranksum,
+         |    row_number() OVER (ORDER BY ranksum, doc_id) AS rk FROM r),
+         |k AS (SELECT COUNT(*) // $BordaQuotaDiv AS kq FROM f)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN rk <= kq THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+         |  CAST(SUM(CASE WHEN rk <= kq THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         |    AS selected_bp,
+         |  CAST(SUM(ranksum) // COUNT(*) AS BIGINT) AS avg_ranksum_all,
+         |  CAST(CASE WHEN SUM(CASE WHEN rk <= kq THEN 1 ELSE 0 END) = 0 THEN 0
+         |    ELSE SUM(CASE WHEN rk <= kq THEN ranksum ELSE 0 END)
+         |      // SUM(CASE WHEN rk <= kq THEN 1 ELSE 0 END) END AS BIGINT) AS avg_ranksum_sel
+         |FROM f, k GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q284: per-epoch serial row_number windows replay the sharded
+    // GlobalRank positions; adjacency and displacement use the same
+    // (epoch, pos+1) and epoch-0 joins.
+    "q284_epoch_schedule" -> {
+      val keyH = duckH31("source || ':' || CAST(shard_no AS VARCHAR) || ':' || CAST(e AS VARCHAR)")
+      s"""WITH s AS (SELECT source, doc_id // $EpochShardDocs AS shard_no
+         |  FROM documents GROUP BY 1, 2),
+         |p AS (SELECT e, source, shard_no,
+         |    row_number() OVER (PARTITION BY e ORDER BY h, source, shard_no) AS pos
+         |  FROM (SELECT e, source, shard_no, $keyH AS h
+         |        FROM s, UNNEST(range($EpochCount)) AS u(e))),
+         |adj AS (SELECT a.e AS epoch, COUNT(*) AS n_adj,
+         |    SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END) AS n_same
+         |  FROM p a JOIN p b ON a.e = b.e AND a.pos + 1 = b.pos GROUP BY 1),
+         |d AS (SELECT p.e AS epoch, COUNT(*) AS n_shards,
+         |    SUM(ABS(p.pos - p0.pos)) AS ds
+         |  FROM p JOIN (SELECT source, shard_no, pos FROM p WHERE e = 0) p0
+         |    USING (source, shard_no) GROUP BY 1)
+         |SELECT CAST(d.epoch AS BIGINT) AS epoch, CAST(n_shards AS BIGINT) AS n_shards,
+         |  CAST(n_same * 10000 // n_adj AS BIGINT) AS same_src_adj_bp,
+         |  CAST(ds * 100 // n_shards AS BIGINT) AS mean_disp_x100
+         |FROM d JOIN adj ON d.epoch = adj.epoch ORDER BY epoch""".stripMargin
+    },
+    // q285: the variant union and the normalization replay 1:1; both
+    // distinct counts hash the md5-h60 of the (raw, normalized) text.
+    "q285_normalization_audit" -> {
+      val hRaw = duckH60("text")
+      val hNorm = duckH60("norm")
+      s"""WITH raw AS (SELECT doc_id, source, text FROM documents
+         |    UNION ALL SELECT doc_id + 5000000, source,
+         |      replace(upper(text), ' ', '  ') FROM documents WHERE doc_id % 7 = 0),
+         |n AS (SELECT source, text,
+         |    lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm FROM raw),
+         |h AS (SELECT source,
+         |    CASE WHEN norm <> text THEN 1 ELSE 0 END AS chg,
+         |    CAST(len(text) AS BIGINT) AS len_raw, CAST(len(norm) AS BIGINT) AS len_norm,
+         |    $hRaw AS h_raw, $hNorm AS h_norm FROM n)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(chg) AS BIGINT) AS n_changed,
+         |  CAST(SUM(chg) * 10000 // COUNT(*) AS BIGINT) AS changed_bp,
+         |  CAST((SUM(len_raw) - SUM(len_norm)) * 10000 // SUM(len_raw) AS BIGINT) AS shed_bp,
+         |  CAST(COUNT(DISTINCT h_raw) - COUNT(DISTINCT h_norm) AS BIGINT) AS dup_gain
+         |FROM h GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q286: the power iteration unrolls as CTE rounds (the q255 learner
+    // rule); every division is the same sign-split truncation, every
+    // product rides HUGEINT.
+    "q286_pca_power" -> {
+      import graft.similarity.Pq.Dim
+      val d = Dim
+      val rounds = (1 to PcaIters).map { r =>
+        s"""u$r AS (SELECT m.i AS i, SUM(m.c * v${r - 1}.v) AS u
+           |  FROM m JOIN v${r - 1} ON m.j = v${r - 1}.i GROUP BY 1),
+           |x$r AS (SELECT MAX(ABS(u)) AS mx FROM u$r),
+           |v$r AS (SELECT i, CASE WHEN u >= 0 THEN u * $PcaScale // mx
+           |    ELSE -((-u) * $PcaScale // mx) END AS v FROM u$r, x$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT list_transform(embedding[1:$d],
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * $PcaScale) AS BIGINT)) AS f
+         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= $d),
+         |p AS (SELECT CAST(t1.i AS BIGINT) AS i, CAST(t2.j AS BIGINT) AS j,
+         |    SUM(CAST(f[CAST(t1.i AS INTEGER) + 1] AS HUGEINT)
+         |      * f[CAST(t2.j AS INTEGER) + 1]) AS sff
+         |  FROM e, range($d) t1(i), range($d) t2(j) GROUP BY 1, 2),
+         |s AS (SELECT CAST(t.i AS BIGINT) AS i,
+         |    CAST(SUM(f[CAST(t.i AS INTEGER) + 1]) AS HUGEINT) AS si
+         |  FROM e, range($d) t(i) GROUP BY 1),
+         |cnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e),
+         |m AS (SELECT p.i, p.j, n * sff - sa.si * sb.si AS c
+         |  FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i, cnt),
+         |v0 AS (SELECT CAST(t.i AS BIGINT) AS i, CAST($PcaScale AS HUGEINT) AS v
+         |  FROM range($d) t(i)),
+         |$rounds,
+         |tr AS (SELECT SUM(c) AS tr FROM m WHERE i = j),
+         |ray AS (SELECT SUM(va.v * m.c * vb.v) AS num
+         |  FROM m JOIN v$PcaIters va ON m.i = va.i JOIN v$PcaIters vb ON m.j = vb.i),
+         |dn AS (SELECT SUM(v * v) AS den FROM v$PcaIters)
+         |SELECT CAST(vf.i AS BIGINT) AS dim, CAST(vf.v AS BIGINT) AS loading_fp,
+         |  CAST(CASE WHEN den = 0 OR tr = 0 THEN 0
+         |    ELSE num * 10000 // (den * tr) END AS BIGINT) AS ev_bp
+         |FROM v$PcaIters vf, ray, dn, tr ORDER BY dim""".stripMargin
+    },
+    // q287: same (user, hour) counts, same shift-decay weights, same
+    // (decayed, user_id) top-k order. q293 shares this SQL verbatim:
+    // the streaming store's merged partials equal the batch hourly
+    // counts exactly (commutative sums), which IS the equivalence claim.
+    "q287_decayed_hitters" -> DecayedHittersOracleSql,
+    "q293_stream_trender" -> DecayedHittersOracleSql,
+    // q288: the LPT greedy replays as a linear recursive CTE over the
+    // (tok DESC, source) order; the four load columns update in lock
+    // step and ties take the lowest worker via the <= CASE chain.
+    "q288_lpt_makespan" ->
+      s"""WITH RECURSIVE s0 AS (SELECT source,
+         |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS tok
+         |  FROM documents GROUP BY 1),
+         |o AS (SELECT source, tok,
+         |    row_number() OVER (ORDER BY tok DESC, source) AS rn FROM s0),
+         |r AS (
+         |  SELECT 0 AS rn, CAST(NULL AS VARCHAR) AS source, 0 AS w,
+         |    CAST(0 AS BIGINT) AS l1, CAST(0 AS BIGINT) AS l2,
+         |    CAST(0 AS BIGINT) AS l3, CAST(0 AS BIGINT) AS l4
+         |  UNION ALL
+         |  SELECT rn, source, w,
+         |    l1 + CASE WHEN w = 1 THEN tok ELSE 0 END,
+         |    l2 + CASE WHEN w = 2 THEN tok ELSE 0 END,
+         |    l3 + CASE WHEN w = 3 THEN tok ELSE 0 END,
+         |    l4 + CASE WHEN w = 4 THEN tok ELSE 0 END
+         |  FROM (SELECT o.rn, o.source, o.tok, r.l1, r.l2, r.l3, r.l4,
+         |      CASE WHEN r.l1 <= r.l2 AND r.l1 <= r.l3 AND r.l1 <= r.l4 THEN 1
+         |           WHEN r.l2 <= r.l3 AND r.l2 <= r.l4 THEN 2
+         |           WHEN r.l3 <= r.l4 THEN 3 ELSE 4 END AS w
+         |    FROM r JOIN o ON o.rn = r.rn + 1)),
+         |a AS (SELECT r.source, r.w, o.tok FROM r JOIN o USING (rn) WHERE r.rn > 0),
+         |g AS (SELECT CAST(t.w + 1 AS BIGINT) AS worker,
+         |    CAST(COALESCE(COUNT(a.source), 0) AS BIGINT) AS n_sources,
+         |    CAST(COALESCE(SUM(a.tok), 0) AS BIGINT) AS load_tokens
+         |  FROM range($LptWorkers) t(w) LEFT JOIN a ON a.w = t.w + 1 GROUP BY 1),
+         |t AS (SELECT GREATEST(SUM(load_tokens), 1) AS total,
+         |    MAX(load_tokens) AS mk FROM g),
+         |lb AS (SELECT GREATEST((t.total + $LptWorkers - 1) // $LptWorkers,
+         |    COALESCE((SELECT MAX(tok) FROM s0), 0), 1) AS lb FROM t)
+         |SELECT worker, n_sources, load_tokens,
+         |  CAST(load_tokens * 10000 // total AS BIGINT) AS load_share_bp,
+         |  CAST(mk * 10000 // lb AS BIGINT) AS makespan_vs_lb_bp
+         |FROM g, t, lb ORDER BY worker""".stripMargin,
+    // q289: both brute passes, the rank-ordered margin folds, and the
+    // mutual join replay 1:1; cosines are the shared bit-exact fold.
+    "q289_bitext_mining" -> {
+      val cosF = VectorOracles.cosine("a.embedding", "b.embedding")
+      val cosR = VectorOracles.cosine("c.embedding", "a.embedding")
+      s"""WITH a AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id % 10 = 1),
+         |b AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id % 10 <> 1),
+         |sf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosF AS cosine
+         |  FROM a, b WHERE a.vec_id <> b.vec_id),
+         |rf AS (SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM sf WHERE cosine IS NOT NULL),
+         |kf AS (SELECT * FROM rf WHERE rn <= $BitextK),
+         |df AS (SELECT query_id,
+         |    list_reduce(list(cosine ORDER BY rn), (x, y) -> x + y) / COUNT(*) AS den_f
+         |  FROM kf GROUP BY query_id),
+         |nf AS (SELECT query_id, neighbor_id, cosine FROM kf WHERE rn = 1),
+         |c AS (SELECT b.vec_id, b.embedding FROM b
+         |  JOIN (SELECT DISTINCT neighbor_id FROM nf) d ON b.vec_id = d.neighbor_id),
+         |sr AS (SELECT c.vec_id AS query_id, a.vec_id AS neighbor_id, $cosR AS cosine
+         |  FROM c, a WHERE c.vec_id <> a.vec_id),
+         |rr AS (SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM sr WHERE cosine IS NOT NULL),
+         |kr AS (SELECT * FROM rr WHERE rn <= $BitextK),
+         |dr AS (SELECT query_id,
+         |    list_reduce(list(cosine ORDER BY rn), (x, y) -> x + y) / COUNT(*) AS den_r
+         |  FROM kr GROUP BY query_id),
+         |nr AS (SELECT query_id, neighbor_id FROM kr WHERE rn = 1)
+         |SELECT nf.query_id AS id_src, nf.neighbor_id AS id_tgt, nf.cosine,
+         |  nf.cosine * 2 / (df.den_f + dr.den_r) AS margin,
+         |  (nf.cosine * 2 / (df.den_f + dr.den_r)) >= $BitextMargin AS accepted
+         |FROM nf
+         |JOIN nr ON nf.neighbor_id = nr.query_id AND nf.query_id = nr.neighbor_id
+         |JOIN df ON nf.query_id = df.query_id
+         |JOIN dr ON nf.neighbor_id = dr.query_id
+         |ORDER BY id_src""".stripMargin
+    },
+    // q290: the q56 exact-Jaccard CC replays the clusters; both split
+    // rules and both combinatorial leak counts replay 1:1.
+    "q290_cluster_safe_split" -> {
+      val hText = duckH31("text")
+      val hRep = duckH31("CAST(rep AS VARCHAR)")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+         |cc AS (SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id),
+         |d0 AS (SELECT doc_id, cc.comp, COALESCE(cc.comp, doc_id) AS rep, text
+         |  FROM documents LEFT JOIN cc ON doc_id = cc.id),
+         |s AS (SELECT doc_id, comp, rep,
+         |    CASE WHEN $hText % 100 < 90 THEN 'train'
+         |         WHEN $hText % 100 < 95 THEN 'val' ELSE 'test' END AS sc,
+         |    CASE WHEN $hRep % 100 < 90 THEN 'train'
+         |         WHEN $hRep % 100 < 95 THEN 'val' ELSE 'test' END AS sk FROM d0),
+         |gc AS (SELECT comp, SUM(ns) AS n, SUM(ns * (ns - 1) // 2) AS inp FROM (
+         |    SELECT comp, sc, COUNT(*) AS ns FROM s WHERE comp IS NOT NULL GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |lc AS (SELECT COALESCE(SUM(n * (n - 1) // 2 - inp), 0) AS leak_pairs_content FROM gc),
+         |gk AS (SELECT comp, SUM(ns) AS n, SUM(ns * (ns - 1) // 2) AS inp FROM (
+         |    SELECT comp, sk, COUNT(*) AS ns FROM s WHERE comp IS NOT NULL GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |lk AS (SELECT COALESCE(SUM(n * (n - 1) // 2 - inp), 0) AS leak_pairs_cluster FROM gk),
+         |tot AS (SELECT COUNT(*) AS n_total FROM s)
+         |SELECT sk AS split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) * 10000 // n_total AS BIGINT) AS share_bp,
+         |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_groups,
+         |  CAST(leak_pairs_content AS BIGINT) AS leak_pairs_content,
+         |  CAST(leak_pairs_cluster AS BIGINT) AS leak_pairs_cluster
+         |FROM s, tot, lc, lk GROUP BY sk, n_total, leak_pairs_content, leak_pairs_cluster
+         |ORDER BY split""".stripMargin
+    },
+    // q291: serial windows replay both GlobalRanks; the slot key, the
+    // decile grid, and the deviation arithmetic replay over HUGEINT.
+    "q291_interleave_schedule" ->
+      s"""WITH d AS (SELECT doc_id, source FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_total FROM d),
+         |o AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
+         |k AS (SELECT d.source, o.n_s,
+         |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS k
+         |  FROM d JOIN o ON d.source = o.source),
+         |sk AS (SELECT source, n_s, k,
+         |    CAST(CAST(2*k - 1 AS HUGEINT) * n_total * 1000000 // (2 * n_s) AS BIGINT)
+         |      AS slot_key
+         |  FROM k, n),
+         |ps AS (SELECT source, n_s,
+         |    row_number() OVER (ORDER BY slot_key, source, k) AS pos FROM sk),
+         |dc AS (SELECT source, (pos - 1) * 10 // CAST(n_total AS BIGINT) AS dec,
+         |    COUNT(*) AS c FROM ps, n GROUP BY 1, 2),
+         |grid AS (SELECT g.source, g.n_s, g.dec,
+         |    SUM(COALESCE(dc.c, 0)) OVER (PARTITION BY g.source ORDER BY g.dec
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM (SELECT o.source, o.n_s, t.dec FROM o, range(10) t(dec)) g
+         |  LEFT JOIN dc ON dc.source = g.source AND dc.dec = g.dec),
+         |p AS (SELECT dec, SUM(cum) AS p FROM grid GROUP BY 1)
+         |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+         |  CAST(MAX(n_s * 10000 // CAST(n_total AS BIGINT)) AS BIGINT) AS share_bp,
+         |  CAST(MAX(ABS(cum * 10000 // p.p
+         |    - n_s * 10000 // CAST(n_total AS BIGINT))) AS BIGINT) AS max_dev_bp
+         |FROM grid JOIN p USING (dec), n GROUP BY source ORDER BY source""".stripMargin,
+    // q292: both digest pyramids, the per-layer diffs, and the probe
+    // arithmetic replay 1:1; DuckDB's HUGEINT sums make the mod-2^40
+    // folds exact at every layer.
+    "q292_merkle_diff" -> {
+      val m = 1L << 40
+      val h = graft.functions.Md5Hash.duckH60("CAST(doc_id AS VARCHAR) || ':' || text")
+      def pyr(src: String, pfx: String): String =
+        s"""l$pfx AS (SELECT doc_id // $MerkleLeafDocs AS leaf,
+           |    CAST(SUM(h % $m) % $m AS BIGINT) AS dig
+           |  FROM (SELECT doc_id, $h AS h FROM $src) GROUP BY 1),
+           |g$pfx AS (SELECT leaf // $MerkleFanIn AS grp,
+           |    CAST(SUM(dig) % $m AS BIGINT) AS dig FROM l$pfx GROUP BY 1),
+           |r$pfx AS (SELECT CAST(SUM(dig) % $m AS BIGINT) AS dig FROM g$pfx)""".stripMargin
+      s"""WITH a AS (SELECT doc_id, text FROM documents),
+         |b AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' edited'
+         |    ELSE text END AS text FROM documents),
+         |${pyr("a", "a")},
+         |${pyr("b", "b")},
+         |ld AS (SELECT leaf // $MerkleFanIn AS grp,
+         |    CASE WHEN la.dig IS DISTINCT FROM lb.dig THEN 1 ELSE 0 END AS chg
+         |  FROM la FULL JOIN lb USING (leaf)),
+         |gd AS (SELECT grp, CASE WHEN ga.dig IS DISTINCT FROM gb.dig THEN 1 ELSE 0 END AS chg
+         |  FROM ga FULL JOIN gb USING (grp)),
+         |rd AS (SELECT CASE WHEN ra.dig IS DISTINCT FROM rb.dig THEN 1 ELSE 0 END AS chg
+         |  FROM ra, rb),
+         |lag_ AS (SELECT grp, COUNT(*) AS n_leaves, SUM(chg) AS n_chg FROM ld GROUP BY 1),
+         |card AS (SELECT SUM(n_leaves) AS n_leaf, SUM(n_chg) AS n_leaf_chg,
+         |    COUNT(*) AS n_grp, SUM(gd.chg) AS n_grp_chg,
+         |    1 + COUNT(*) + SUM(CASE WHEN gd.chg = 1 THEN n_leaves ELSE 0 END) AS probes_tree
+         |  FROM lag_ JOIN gd USING (grp))
+         |SELECT layer, CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(n_changed AS BIGINT) AS n_changed,
+         |  CAST(probes_tree AS BIGINT) AS probes_tree,
+         |  CAST(probes_flat AS BIGINT) AS probes_flat
+         |FROM (
+         |  SELECT 'leaf' AS layer, n_leaf AS n_nodes, n_leaf_chg AS n_changed,
+         |    probes_tree, n_leaf AS probes_flat FROM card, rd
+         |  UNION ALL SELECT 'group', n_grp, n_grp_chg, probes_tree, n_leaf FROM card, rd
+         |  UNION ALL SELECT 'root', 1, rd.chg, probes_tree, n_leaf FROM card, rd)
+         |ORDER BY layer""".stripMargin
+    },
+    // q294: the cut-point and mode arithmetic replays over the same
+    // portable h31; `%` on non-negative operands agrees across engines.
+    "q294_fim_assembly" -> {
+      val h = duckH31("CAST(doc_id AS VARCHAR) || ':fim'")
+      s"""WITH d AS (SELECT source, CAST(len(str_split(text, ' ')) AS BIGINT) AS n,
+         |    $h AS h FROM documents),
+         |e AS (SELECT source, n,
+         |    GREATEST(h % n, (h >> 7) % n) - LEAST(h % n, (h >> 7) % n) AS mid,
+         |    (h >> 15) % 2 AS mode
+         |  FROM d WHERE n >= $FimMinTokens)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN mid > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fim,
+         |  CAST(SUM(mid) * 10000 // SUM(n) AS BIGINT) AS mid_share_bp,
+         |  CAST(SUM(mid) * 100 // COUNT(*) AS BIGINT) AS avg_mid_x100,
+         |  CAST(SUM(CASE WHEN mode = 0 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         |    AS psm_bp
+         |FROM e GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q295: planes, per-bit dots, keys, the lowest-|dot| flip, both
+    // candidate sets, the exact rerank, and recall@10 replay 1:1; the
+    // cosine is the shared bit-exact left fold.
+    "q295_multiprobe_lsh" -> {
+      val cosT = VectorOracles.cosine("qe.embedding", "ne.embedding")
+      def variant(cand: String, name: String, out: String): String =
+        s"""s$out AS (SELECT c.query_id, c.neighbor_id,
+           |    $cosT AS cosine
+           |  FROM $cand c JOIN embeddings qe ON qe.vec_id = c.query_id
+           |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+           |k$out AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+           |    FROM s$out WHERE cosine IS NOT NULL) WHERE rn <= 10),
+           |h$out AS (SELECT COUNT(*) AS n_hits FROM k$out JOIN btk USING (query_id, neighbor_id)),
+           |n$out AS (SELECT COUNT(*) AS n_pairs FROM $cand),
+           |r$out AS (SELECT '$name' AS variant, qn.n_queries, n$out.n_pairs, h$out.n_hits,
+           |    CAST(h$out.n_hits * 10000 // (qn.n_queries * 10) AS BIGINT) AS recall_bp
+           |  FROM qn, n$out, h$out)""".stripMargin
+      s"""WITH ${VectorOracles.probeCte(MpTables, MpBits, 64, MpSeed)},
+         |bt AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${VectorOracles.cosine("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.embedding IS NOT NULL AND c.embedding IS NOT NULL
+         |    AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |btk AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |    FROM bt WHERE cosine IS NOT NULL) WHERE rn <= 10),
+         |qn AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM btk),
+         |c1 AS (SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id
+         |  FROM bk qb JOIN bk cb ON qb.t = cb.t AND qb.bucket = cb.bucket AND qb.id <> cb.id
+         |  WHERE qb.id % 50 = 0),
+         |c2 AS (SELECT DISTINCT qp.id AS query_id, cb.id AS neighbor_id
+         |  FROM pr qp JOIN bk cb ON qp.t = cb.t AND qp.bucket = cb.bucket AND qp.id <> cb.id
+         |  WHERE qp.id % 50 = 0),
+         |${variant("c1", "single", "1")},
+         |${variant("c2", "two_probe", "2")}
+         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY variant""".stripMargin
+    },
+    // q296: same sketches, same union-threshold sample as q121; the
+    // difference shares replay via list_filter(NOT list_contains).
+    "q296_kmv_difference" ->
+      s"""WITH v AS (SELECT DISTINCT event_type, ((user_id % $SampleP) * $SampleC1 + $SampleC2) % $SampleP AS v FROM events),
+         |r AS (SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn FROM v),
+         |s AS (SELECT event_type, list(v ORDER BY v) AS vs FROM r WHERE rn <= $KmvK GROUP BY event_type),
+         |e AS (SELECT DISTINCT event_type, user_id FROM events),
+         |nd AS (SELECT event_type, COUNT(*) AS nd FROM e GROUP BY event_type),
+         |ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS exact_overlap
+         |       FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |       GROUP BY 1, 2),
+         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, a.vs AS va, b.vs AS vb
+         |      FROM s a JOIN s b ON a.event_type < b.event_type),
+         |c AS (SELECT type_a, type_b, va, vb, list_sort(list_distinct(list_concat(va, vb))) AS uk FROM p),
+         |c2 AS (SELECT type_a, type_b, va, vb, uk, LEAST($KmvK, len(uk)) AS m FROM c),
+         |c3 AS (SELECT type_a, type_b, m, (m - 1) * $SampleP // uk[m] AS est_union,
+         |        len(list_filter(list_intersect(uk[1:m], va), x -> NOT list_contains(vb, x))) AS d_ab,
+         |        len(list_filter(list_intersect(uk[1:m], vb), x -> NOT list_contains(va, x))) AS d_ba
+         |       FROM c2),
+         |c4 AS (SELECT type_a, type_b, est_union,
+         |        est_union * d_ab // m AS est_diff_ab, est_union * d_ba // m AS est_diff_ba
+         |       FROM c3)
+         |SELECT c4.type_a, c4.type_b,
+         |  CAST(na.nd - COALESCE(ov.exact_overlap, 0) AS BIGINT) AS exact_diff_ab,
+         |  CAST(nb.nd - COALESCE(ov.exact_overlap, 0) AS BIGINT) AS exact_diff_ba,
+         |  CAST(est_diff_ab AS BIGINT) AS est_diff_ab,
+         |  CAST(est_diff_ba AS BIGINT) AS est_diff_ba,
+         |  CAST(abs(est_diff_ab - (na.nd - COALESCE(ov.exact_overlap, 0))) * 10000
+         |    // (na.nd + nb.nd - COALESCE(ov.exact_overlap, 0)) AS BIGINT) AS diff_ab_err_bp,
+         |  CAST(abs(est_diff_ba - (nb.nd - COALESCE(ov.exact_overlap, 0))) * 10000
+         |    // (na.nd + nb.nd - COALESCE(ov.exact_overlap, 0)) AS BIGINT) AS diff_ba_err_bp
+         |FROM c4
+         |JOIN nd na ON na.event_type = c4.type_a
+         |JOIN nd nb ON nb.event_type = c4.type_b
+         |LEFT JOIN ov ON ov.type_a = c4.type_a AND ov.type_b = c4.type_b
+         |ORDER BY c4.type_a, c4.type_b""".stripMargin,
+    // q297: medians (per-dim lower median over the same fixed-point
+    // floors), both code words, the Hamming candidate stage, the exact
+    // rerank, recall@10, and the bit-imbalance column replay 1:1.
+    "q297_median_binary_quant" -> {
+      import graft.similarity.Pq.Dim
+      val d = Dim
+      def word(thr: String, lohi: (Int, Int)): String =
+        s"""SUM(CASE WHEN dim >= ${lohi._1} AND dim < ${lohi._2} AND fv > $thr
+           | THEN (CAST(1 AS BIGINT) << (dim % 32)) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+      def variant(codes: String, thr: String, name: String, o: String): String =
+        s"""c$o AS (SELECT vec_id, ${word(thr, (0, 32))} AS b_lo,
+           |    ${word(thr, (32, d))} AS b_hi FROM $codes GROUP BY 1),
+           |hm$o AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    bit_count(xor(c.b_lo, q.b_lo)) + bit_count(xor(c.b_hi, q.b_hi)) AS hamming
+           |  FROM c$o c JOIN c$o q ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+           |cd$o AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn
+           |    FROM hm$o) WHERE rn <= $BinaryAnnCandidates),
+           |s$o AS (SELECT cd$o.query_id, cd$o.neighbor_id,
+           |    ${VectorOracles.cosine("qe.embedding", "ne.embedding")} AS cosine
+           |  FROM cd$o JOIN embeddings qe ON qe.vec_id = cd$o.query_id
+           |  JOIN embeddings ne ON ne.vec_id = cd$o.neighbor_id),
+           |k$o AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+           |    FROM s$o WHERE cosine IS NOT NULL) WHERE rn <= 10),
+           |h$o AS (SELECT COUNT(*) AS n_hits FROM k$o JOIN btk USING (query_id, neighbor_id)),
+           |im$o AS (SELECT SUM(imb) // $d AS imbalance_bp FROM (
+           |    SELECT dim, ABS(SUM(CASE WHEN fv > $thr THEN 1 ELSE 0 END) * 10000
+           |      // COUNT(*) - 5000) AS imb FROM $codes GROUP BY dim)),
+           |r$o AS (SELECT '$name' AS variant, qn.n_queries, h$o.n_hits,
+           |    CAST(h$o.n_hits * 10000 // (qn.n_queries * 10) AS BIGINT) AS recall_bp,
+           |    CAST(im$o.imbalance_bp AS BIGINT) AS imbalance_bp
+           |  FROM qn, h$o, im$o)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding[1:$d],
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS f
+         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= $d),
+         |x AS (SELECT vec_id, CAST(t.d AS INTEGER) AS dim,
+         |    f[CAST(t.d AS INTEGER) + 1] AS fv FROM e, range($d) t(d)),
+         |md AS (SELECT dim, fv AS med FROM (
+         |    SELECT dim, fv, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY dim ORDER BY fv, vec_id) AS rn,
+         |      COUNT(*) OVER (PARTITION BY dim) AS cnt FROM x) WHERE rn = (cnt + 1) // 2),
+         |xm AS (SELECT x.vec_id, x.dim, x.fv, md.med FROM x JOIN md USING (dim)),
+         |bt AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${VectorOracles.cosine("q.embedding", "c.embedding")} AS cosine
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.embedding IS NOT NULL AND c.embedding IS NOT NULL
+         |    AND len(q.embedding) >= $d AND len(c.embedding) >= $d
+         |    AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |btk AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+         |    FROM bt WHERE cosine IS NOT NULL) WHERE rn <= 10),
+         |qn AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM btk),
+         |${variant("xm", "med", "median", "m")},
+         |${variant("x", "0", "zero", "z")}
+         |SELECT * FROM rm UNION ALL SELECT * FROM rz ORDER BY variant""".stripMargin
+    },
+    // q298: the serial (µs, event_id) row_number replays the GlobalRank
+    // cutoffs; first-seen split and reuse shares replay 1:1.
+    "q298_temporal_split" ->
+      """WITH r AS (SELECT user_id,
+        |    row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rk,
+        |    COUNT(*) OVER () AS n FROM events),
+        |t AS (SELECT user_id,
+        |    CASE WHEN rk * 10 <= n * 8 THEN 0 WHEN rk * 10 <= n * 9 THEN 1 ELSE 2 END AS s
+        |  FROM r),
+        |fs AS (SELECT user_id, MIN(s) AS s0 FROM t GROUP BY 1),
+        |g AS (SELECT s, t.user_id, COUNT(*) AS n_ev, ANY_VALUE(s0) AS s0
+        |  FROM t JOIN fs ON t.user_id = fs.user_id GROUP BY 1, 2),
+        |c AS (SELECT s, SUM(n_ev) AS n_events, COUNT(*) AS n_users,
+        |    SUM(CASE WHEN s0 < s THEN 1 ELSE 0 END) AS n_reused_users FROM g GROUP BY 1)
+        |SELECT CASE WHEN s = 0 THEN 'train' WHEN s = 1 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(n_events AS BIGINT) AS n_events, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_reused_users AS BIGINT) AS n_reused_users,
+        |  CAST(n_reused_users * 10000 // n_users AS BIGINT) AS reused_bp
+        |FROM c ORDER BY split""".stripMargin,
+    // q299: the exclusive corpus-order running sum replays the sharded
+    // prefixSum; block arithmetic is all non-negative, so `div` == `//`.
+    "q299_concat_chunking" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(str_split(text, ' ')) AS BIGINT) + 1 AS len FROM documents),
+         |o AS (SELECT source, len,
+         |    COALESCE(SUM(len) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM d),
+         |s AS (SELECT source, len,
+         |    (off + len - 1) // $ChunkBlockTokens - off // $ChunkBlockTokens + 1 AS spans
+         |  FROM o)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN spans > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
+         |  CAST(SUM(CASE WHEN spans > 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         |    AS crossing_bp,
+         |  CAST(SUM(spans) AS BIGINT) AS spans_sum,
+         |  CAST(SUM(spans) * 100 // COUNT(*) AS BIGINT) AS avg_spans_x100
+         |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    // q300: brute-force all-pairs Jaccard + recursive-CTE components (the
+    // q56 replay) feed the 1/|cluster| weights; per-doc floor division
+    // replays before the sum, exactly as in Spark.
+    "q300_soft_dedup" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |cc AS (SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id),
+        |cs AS (SELECT comp, COUNT(*) AS csize FROM cc GROUP BY comp),
+        |d AS (SELECT doc_id, source, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |j AS (SELECT d.source, d.n_tokens, COALESCE(cs.csize, 1) AS c
+        |      FROM d LEFT JOIN cc ON d.doc_id = cc.id LEFT JOIN cs ON cc.comp = cs.comp)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_weighted_down,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+        |  CAST(SUM(n_tokens * 10000 // c) AS BIGINT) AS eff_tokens_x10000,
+        |  CAST(SUM(n_tokens * 10000 // c) // SUM(n_tokens) AS BIGINT) AS eff_bp
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // q301: q261's margin CTE + per-source rank-symmetric pairing; the
+    // reflected rank join and the gap gate replay 1:1.
+    "q301_preference_pairs" ->
+      s"""WITH u AS (SELECT doc_id, source, UNNEST(str_split(text, ' ')) AS tok FROM documents),
+         |w AS (SELECT doc_id, source, ${duckH60("tok")} AS h FROM u),
+         |s AS (SELECT doc_id, source,
+         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
+         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
+         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
+         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
+         |  FROM w GROUP BY 1, 2),
+         |m AS (SELECT doc_id, source, ss[4] - ss[3] AS margin
+         |  FROM (SELECT doc_id, source, list_sort([s0, s1, s2, s3]) AS ss FROM s)),
+         |r AS (SELECT doc_id, source, margin,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY margin DESC, doc_id) AS r,
+         |    COUNT(*) OVER (PARTITION BY source) AS n_src
+         |  FROM m),
+         |pr AS (SELECT c.source, c.margin - j.margin AS gap
+         |  FROM r c JOIN r j ON c.source = j.source AND j.r = c.n_src + 1 - c.r
+         |  WHERE c.r * 2 < c.n_src + 1 AND c.margin - j.margin >= $PrefMinGap),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(gap) AS BIGINT) AS gap_sum FROM pr GROUP BY 1),
+         |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM m GROUP BY 1)
+         |SELECT nd.source, nd.n_docs,
+         |  CAST(COALESCE(g.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(g.gap_sum, 0) AS BIGINT) AS gap_sum,
+         |  CAST(CASE WHEN COALESCE(g.n_pairs, 0) = 0 THEN 0
+         |    ELSE g.gap_sum // g.n_pairs END AS BIGINT) AS avg_gap,
+         |  CAST(COALESCE(g.n_pairs, 0) * 2 * 10000 // nd.n_docs AS BIGINT) AS paired_bp
+         |FROM nd LEFT JOIN g ON nd.source = g.source ORDER BY nd.source""".stripMargin,
+    // q302: q253's span CTE aggregated per doc, then per source — merged
+    // spans are disjoint, so the masked mass is a plain sum.
+    "q302_loss_mask" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS s FROM documents
+         |  WHERE len(str_split(text, ' ')) >= $RepeatSeedN),
+         |p AS (SELECT doc_id, unnest(range(1, len(s) - ${RepeatSeedN - 2})) AS pos, s FROM t),
+         |g AS (SELECT doc_id, pos,
+         |  array_to_string(s[pos:pos + ${RepeatSeedN - 1}], ' ') AS gram FROM p),
+         |dd AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+         |c AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dd)),
+         |i AS (SELECT doc_id, pos,
+         |  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM c),
+         |sp AS (SELECT doc_id, MAX(pos) + ${RepeatSeedN - 1} - MIN(pos) + 1 AS span_tokens
+         |  FROM i GROUP BY doc_id, isl),
+         |mk AS (SELECT doc_id, SUM(span_tokens) AS mt FROM sp GROUP BY doc_id),
+         |d AS (SELECT doc_id, source, CAST(len(str_split(text, ' ')) AS BIGINT) AS n FROM documents),
+         |j AS (SELECT d.source, d.n, COALESCE(mk.mt, 0) AS mt
+         |  FROM d LEFT JOIN mk ON d.doc_id = mk.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN mt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked_docs,
+         |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(mt) AS BIGINT) AS masked_tokens,
+         |  CAST(SUM(mt) * 10000 // SUM(n) AS BIGINT) AS mask_bp
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // q303: within-source ascending rank + the exact rank-formula Gini.
+    // The per-row product is forced to HUGEINT (CAST(r AS HUGEINT) * x):
+    // DuckDB evaluates a bare r*x in BIGINT and ERRORS on overflow rather
+    // than promoting — only SUM itself widens. The explicit cast matches
+    // the Spark side's DECIMAL(38,0) discipline at any corpus size.
+    "q303_source_gini" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS x FROM documents),
+        |r AS (SELECT source, x,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS r FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(x) AS BIGINT) AS total_tokens,
+        |  CAST((2 * SUM(CAST(r AS HUGEINT) * x) - (COUNT(*) + 1) * SUM(x)) * 10000
+        |    // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_bp
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // q304: same h60 buckets, same add-one-smoothed Q8.8 integer
+    // surprisal (bin()-msb + linear mantissa evaluates identically).
+    "q304_perplexity_filter" -> {
+      val B = PplBuckets
+      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
+      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
+      val sExpr = s"${log2q8Duck(s"c1 + $B")} - ${log2q8Duck("c2 + 1")}"
+      s"""WITH tk AS (SELECT doc_id, source, lang, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bg AS (SELECT tk.doc_id, tk.source, tk.lang,
+         |    ($h1) % $B AS bc, ($h2) % $B AS bn
+         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
+         |m AS (SELECT bc, bn, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
+         |cx AS (SELECT bc, CAST(SUM(c2) AS BIGINT) AS c1 FROM m GROUP BY 1),
+         |sc AS (SELECT bg.doc_id, bg.source,
+         |    COALESCE(m.c2, 0) AS c2, COALESCE(cx.c1, 0) AS c1
+         |  FROM bg LEFT JOIN m ON bg.bc = m.bc AND bg.bn = m.bn
+         |  LEFT JOIN cx ON bg.bc = cx.bc),
+         |pd AS (SELECT doc_id, source, SUM($sExpr) AS s_sum,
+         |    CAST(COUNT(*) AS BIGINT) AS nbg FROM sc GROUP BY 1, 2),
+         |pa AS (SELECT doc_id, source, s_sum, nbg, s_sum // nbg AS avg_q8 FROM pd)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(s_sum) // SUM(nbg) AS BIGINT) AS avg_surprisal_q8,
+         |  CAST(COUNT(*) FILTER (avg_q8 <= $PplKeepMaxQ8) AS BIGINT) AS n_keep,
+         |  CAST(COUNT(*) FILTER (avg_q8 <= $PplKeepMaxQ8) * 10000 // COUNT(*) AS BIGINT)
+         |    AS keep_bp
+         |FROM pa GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q305: marginals from the bigram table, the same four-term Q8.8
+    // PMI, and the per-lang rank replayed as a partitioned row_number.
+    "q305_token_pmi" -> {
+      val pmi = s"${log2q8Duck("c12")} + ${log2q8Duck("nbg")}" +
+        s" - ${log2q8Duck("ca")} - ${log2q8Duck("cb")}"
+      s"""WITH tk AS (SELECT lang, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bg AS (SELECT lang, t[CAST(u.i AS INTEGER)] AS t1,
+         |    t[CAST(u.i AS INTEGER) + 1] AS t2
+         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
+         |b AS (SELECT lang, t1, t2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2, 3),
+         |ma AS (SELECT lang, t1, CAST(SUM(c12) AS BIGINT) AS ca FROM b GROUP BY 1, 2),
+         |mb AS (SELECT lang, t2, CAST(SUM(c12) AS BIGINT) AS cb FROM b GROUP BY 1, 2),
+         |tt AS (SELECT lang, CAST(SUM(c12) AS BIGINT) AS nbg FROM b GROUP BY 1),
+         |sc AS (SELECT b.lang, b.t1, b.t2, b.c12, CAST($pmi AS BIGINT) AS pmi_q8
+         |  FROM b JOIN ma ON b.lang = ma.lang AND b.t1 = ma.t1
+         |  JOIN mb ON b.lang = mb.lang AND b.t2 = mb.t2
+         |  JOIN tt ON b.lang = tt.lang
+         |  WHERE b.c12 >= $PmiMinCount),
+         |r AS (SELECT lang, t1, t2, c12, pmi_q8,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pmi_q8 DESC, t1, t2) AS rank
+         |  FROM sc)
+         |SELECT lang, t1, t2, c12, pmi_q8, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= $PmiTopK ORDER BY lang, rank""".stripMargin
+    },
+    // q306: lang cells + md5 distinct + the same Q8.8 entropy fold;
+    // Simpson pairs ride HUGEINT.
+    "q306_source_datasheet" -> {
+      val lc = log2q8Duck("c")
+      val ln = log2q8Duck("n")
+      s"""WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |ls AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS n_langs,
+         |    CAST(SUM(c * ($lc)) AS BIGINT) AS cl_sum,
+         |    SUM(c * (c - 1)) AS pair_sum
+         |  FROM cells GROUP BY 1),
+         |le AS (SELECT source, n_langs,
+         |    CAST(($ln) - cl_sum // n AS BIGINT) AS lang_entropy_q8,
+         |    CAST(CASE WHEN n < 2 THEN 0
+         |      ELSE (pair_sum * 10000) // (n * (n - 1)) END AS BIGINT) AS lang_simpson_bp
+         |  FROM ls),
+         |ds AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+         |  FROM documents GROUP BY 1)
+         |SELECT ds.source, n_docs, n_tokens,
+         |  CAST((n_docs - n_distinct) * 10000 // n_docs AS BIGINT) AS exact_dup_bp,
+         |  n_langs, lang_entropy_q8, lang_simpson_bp
+         |FROM ds JOIN le ON ds.source = le.source ORDER BY ds.source""".stripMargin
+    },
+    // q307: the derived head batch scores against the full-corpus en LM;
+    // gate decisions are committed-model-only, so the replay is exact.
+    "q307_stream_ppl_gate" -> {
+      val B = PplBuckets
+      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
+      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
+      val sExpr = s"${log2q8Duck(s"c1 + $B")} - ${log2q8Duck("c2 + 1")}"
+      s"""WITH tk AS (SELECT doc_id, source, lang, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bg AS (SELECT tk.doc_id, tk.lang, ($h1) % $B AS bc, ($h2) % $B AS bn
+         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
+         |m AS (SELECT bc, bn, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
+         |cx AS (SELECT bc, CAST(SUM(c2) AS BIGINT) AS c1 FROM m GROUP BY 1),
+         |inc AS (SELECT doc_id + 3000000 AS doc_id, source,
+         |    str_split(text, ' ')[1:12] AS t
+         |  FROM documents
+         |  WHERE doc_id % 6 = 0 AND len(str_split(text, ' ')) >= 13),
+         |ib AS (SELECT inc.doc_id, inc.source,
+         |    (${duckH60("inc.t[CAST(u.i AS INTEGER)]")}) % $B AS bc,
+         |    (${duckH60("inc.t[CAST(u.i AS INTEGER) + 1]")}) % $B AS bn
+         |  FROM inc, UNNEST(range(1, len(inc.t))) AS u(i)),
+         |sc AS (SELECT ib.doc_id, ib.source,
+         |    COALESCE(m.c2, 0) AS c2, COALESCE(cx.c1, 0) AS c1
+         |  FROM ib LEFT JOIN m ON ib.bc = m.bc AND ib.bn = m.bn
+         |  LEFT JOIN cx ON ib.bc = cx.bc),
+         |pd AS (SELECT doc_id, source, CAST(SUM($sExpr) AS BIGINT) AS s_sum,
+         |    CAST(COUNT(*) AS BIGINT) AS nbg FROM sc GROUP BY 1, 2)
+         |SELECT doc_id, source, nbg, s_sum,
+         |  CAST(s_sum // nbg AS BIGINT) AS avg_q8,
+         |  s_sum // nbg <= $PplKeepMaxQ8 AS admitted
+         |FROM pd ORDER BY doc_id""".stripMargin
+    },
+    // q308: the q304 bigram model + the folded trigram model, both from
+    // the en slice; the backoff CASE and the Q8.8 terms replay 1:1.
+    "q308_backoff_lm" -> {
+      val B = PplBuckets
+      val C = SbCtxBuckets
+      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
+      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
+      val g1 = duckH60("tk.t[CAST(u.i AS INTEGER) - 1]")
+      val g2 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
+      val g3 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
+      val s2Expr = s"${log2q8Duck(s"c1 + $B")} - ${log2q8Duck("c2 + 1")}"
+      val s3Expr = s"${log2q8Duck(s"c2c + $B")} - ${log2q8Duck("c3 + 1")}"
+      s"""WITH tk AS (SELECT doc_id, source, lang, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bg AS (SELECT tk.doc_id, tk.lang, ($h1) % $B AS bc, ($h2) % $B AS bn
+         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
+         |m AS (SELECT bc, bn, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
+         |cx AS (SELECT bc, CAST(SUM(c2) AS BIGINT) AS c1 FROM m GROUP BY 1),
+         |tg AS (SELECT tk.doc_id, tk.source, tk.lang,
+         |    ((($g1) % $C) * 31 + ($g2) % $C) % $C AS tc, ($g3) % $B AS tn,
+         |    ($g2) % $B AS bc, ($g3) % $B AS bn
+         |  FROM tk, UNNEST(range(2, len(tk.t))) AS u(i)
+         |  WHERE len(tk.t) >= 3),
+         |m3 AS (SELECT tc, tn, CAST(COUNT(*) AS BIGINT) AS c3 FROM tg
+         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
+         |c3x AS (SELECT tc, CAST(SUM(c3) AS BIGINT) AS c2c FROM m3 GROUP BY 1),
+         |sc AS (SELECT tg.doc_id, tg.source,
+         |    COALESCE(m3.c3, 0) AS c3, COALESCE(c3x.c2c, 0) AS c2c,
+         |    COALESCE(m.c2, 0) AS c2, COALESCE(cx.c1, 0) AS c1
+         |  FROM tg LEFT JOIN m3 ON tg.tc = m3.tc AND tg.tn = m3.tn
+         |  LEFT JOIN c3x ON tg.tc = c3x.tc
+         |  LEFT JOIN m ON tg.bc = m.bc AND tg.bn = m.bn
+         |  LEFT JOIN cx ON tg.bc = cx.bc),
+         |sr AS (SELECT doc_id, source, c3, ($s2Expr) AS s2,
+         |    CASE WHEN c3 > 0 THEN ($s3Expr) ELSE $SbPenaltyQ8 + ($s2Expr) END AS s
+         |  FROM sc)
+         |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN c3 > 0 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         |    AS tri_hit_bp,
+         |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_backoff_q8,
+         |  CAST(SUM(s2) // COUNT(*) AS BIGINT) AS avg_bigram_q8
+         |FROM sr GROUP BY source ORDER BY source""".stripMargin
+    },
+    // q309: the recurrent-core restriction, the per-term floor, and the
+    // six unrolled power-iteration rounds replay the driver loop.
+    "q309_markov_stationary" -> {
+      val rounds = (1 to MkRounds).map { k =>
+        s"""r$k AS (SELECT ty.type, COALESCE(s.pi, 0) AS pi FROM ty LEFT JOIN
+           |  (SELECT m.t AS type, CAST(SUM(r${k - 1}.pi * m.n // rs.rowsum) AS BIGINT) AS pi
+           |   FROM m JOIN r${k - 1} ON m.f = r${k - 1}.type JOIN rs ON m.f = rs.f
+           |   GROUP BY 1) s ON ty.type = s.type)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT event_type,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+         |  FROM events),
+         |p AS (SELECT event_type AS f, nt AS t, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM e WHERE nt IS NOT NULL GROUP BY 1, 2),
+         |ty AS (SELECT DISTINCT f AS type FROM p),
+         |m AS (SELECT f, t, n FROM p WHERE t IN (SELECT type FROM ty)),
+         |rs AS (SELECT f, CAST(SUM(n) AS BIGINT) AS rowsum FROM m GROUP BY 1),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ty),
+         |r0 AS (SELECT type, CAST($MkScale // k AS BIGINT) AS pi FROM ty, nt),
+         |$rounds
+         |SELECT ty.type AS event_type, rs.rowsum AS n_out,
+         |  r$MkRounds.pi AS pi_micro
+         |FROM ty JOIN rs ON ty.type = rs.f JOIN r$MkRounds ON ty.type = r$MkRounds.type
+         |ORDER BY event_type""".stripMargin
+    },
+    // q310: the same hourly cells; the span frame and the exact
+    // variance-to-mean integers replay 1:1. Σc² rides an explicit
+    // CAST(c AS HUGEINT) * c — a bare c*c stays BIGINT per-row and DuckDB
+    // errors on overflow instead of promoting (SUM alone widens too late).
+    "q310_burstiness" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |sp AS (SELECT MAX(hour_id) - MIN(hour_id) + 1 AS n_span FROM h)
+        |SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+        |  CAST(sp.n_span AS BIGINT) AS n_span,
+        |  CAST((sp.n_span * SUM(CAST(c AS HUGEINT) * c) - SUM(c) * SUM(c)) * 10000
+        |    // (sp.n_span * SUM(c)) AS BIGINT) AS fano_x10000,
+        |  CAST(SUM(c) * 100 // sp.n_span AS BIGINT) AS mean_per_hour_x100
+        |FROM h, sp GROUP BY event_type, sp.n_span ORDER BY event_type""".stripMargin,
+    // q311: both serial row_numbers replay the GlobalRanks; adjacency is
+    // the same rank+1 join; the baseline squares ride HUGEINT.
+    "q311_shuffle_quality" -> {
+      val hk = duckH60("CAST(doc_id AS VARCHAR) || ':shuffle'")
+      s"""WITH d AS (SELECT doc_id, source, $hk AS hk FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+         |bl AS (SELECT CAST(SUM(ns * ns) * 10000 // (n.n * n.n) AS BIGINT) AS baseline_bp
+         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM d GROUP BY source), n
+         |  GROUP BY n.n),
+         |r1 AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source, doc_id) AS rk FROM d),
+         |a1 AS (SELECT 'naive' AS ordering, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN x.source = y.source THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+         |  FROM r1 x JOIN r1 y ON y.rk = x.rk + 1),
+         |r2 AS (SELECT source, ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rk FROM d),
+         |a2 AS (SELECT 'shuffled' AS ordering, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN x.source = y.source THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+         |  FROM r2 x JOIN r2 y ON y.rk = x.rk + 1),
+         |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+         |SELECT ordering, n_pairs, n_same,
+         |  CAST(n_same * 10000 // n_pairs AS BIGINT) AS same_source_bp,
+         |  bl.baseline_bp
+         |FROM u, bl ORDER BY ordering""".stripMargin
+    },
+    // q312: q304's surprisal CTEs aggregated per source, the same capped
+    // excess, and the exact (256 + frac) << int exp2.
+    "q312_doremi_mix" -> {
+      val B = PplBuckets
+      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
+      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
+      val sExpr = s"${log2q8Duck(s"c1 + $B")} - ${log2q8Duck("c2 + 1")}"
+      s"""WITH tk AS (SELECT doc_id, source, lang, str_split(text, ' ') AS t FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 2),
+         |bg AS (SELECT tk.doc_id, tk.source, tk.lang,
+         |    ($h1) % $B AS bc, ($h2) % $B AS bn
+         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
+         |m AS (SELECT bc, bn, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
+         |cx AS (SELECT bc, CAST(SUM(c2) AS BIGINT) AS c1 FROM m GROUP BY 1),
+         |sc AS (SELECT bg.source, COALESCE(m.c2, 0) AS c2, COALESCE(cx.c1, 0) AS c1
+         |  FROM bg LEFT JOIN m ON bg.bc = m.bc AND bg.bn = m.bn
+         |  LEFT JOIN cx ON bg.bc = cx.bc),
+         |ps AS (SELECT source, SUM($sExpr) // COUNT(*) AS avg_q8 FROM sc GROUP BY 1),
+         |mn AS (SELECT MIN(avg_q8) AS min_q8 FROM ps),
+         |w AS (SELECT source, avg_q8,
+         |    LEAST(avg_q8 - min_q8, $DoremiCapQ8) AS excess_q8 FROM ps, mn),
+         |w2 AS (SELECT source, avg_q8, excess_q8,
+         |    (256 + excess_q8 % 256) << CAST(excess_q8 // 256 AS INTEGER) AS w_raw FROM w),
+         |t AS (SELECT SUM(w_raw) AS wt FROM w2)
+         |SELECT source, CAST(avg_q8 AS BIGINT) AS avg_q8,
+         |  CAST(excess_q8 AS BIGINT) AS excess_q8, CAST(w_raw AS BIGINT) AS w_raw,
+         |  CAST(w_raw * 10000 // wt AS BIGINT) AS mix_bp
+         |FROM w2, t ORDER BY source""".stripMargin
+    },
+    // q313: q234's run + truth verbatim; the discount and the unrolled
+    // ideal ride the same Q8.8 integer log₂.
+    "q313_ir_ndcg" -> {
+      val term = (x: String) => s"2560000 // ${log2q8Duck(s"($x) + 1")}"
+      s"""WITH toks AS (SELECT doc_id, len(str_split(text, ' ')) AS dl, unnest(str_split(text, ' ')) AS token FROM documents),
+         |td AS (SELECT token, doc_id, dl, COUNT(*) AS tf FROM toks GROUP BY token, doc_id, dl),
+         |qt AS (SELECT DISTINCT doc_id AS qid, token FROM toks WHERE doc_id % $IrQMod = 1),
+         |n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens FROM documents),
+         |tdq AS (SELECT * FROM td WHERE token IN (SELECT token FROM qt)),
+         |d AS (SELECT token, COUNT(*) AS df FROM tdq GROUP BY token),
+         |sc AS (SELECT qt.qid, tdq.doc_id, CAST(SUM($BmTermSql) AS BIGINT) AS score
+         |  FROM qt JOIN tdq ON qt.token = tdq.token AND tdq.doc_id <> qt.qid
+         |  JOIN d ON d.token = qt.token CROSS JOIN n
+         |  GROUP BY qt.qid, tdq.doc_id),
+         |topk AS (SELECT * FROM (SELECT qid, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |  WHERE rank <= $IrK),
+         |dt AS (SELECT DISTINCT doc_id, token FROM toks),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
+         |qdt AS (SELECT doc_id AS qid, token FROM dt WHERE doc_id % $IrQMod = 1),
+         |rel AS (SELECT i.qid, i.doc_id FROM (
+         |    SELECT q.qid, dt.doc_id, COUNT(*) AS i FROM qdt q
+         |    JOIN dt ON q.token = dt.token AND dt.doc_id <> q.qid
+         |    GROUP BY q.qid, dt.doc_id) i
+         |  JOIN sz sq ON sq.doc_id = i.qid JOIN sz sd ON sd.doc_id = i.doc_id
+         |  WHERE i.i * 10000 >= $IrRelBp * (sq.sz + sd.sz - i.i)),
+         |nrel AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
+         |dcg AS (SELECT t.qid, CAST(SUM(${term("t.rank")}) AS BIGINT) AS dcg_x
+         |  FROM topk t JOIN rel r ON t.qid = r.qid AND t.doc_id = r.doc_id GROUP BY t.qid),
+         |ii AS (SELECT qid, n_rel, UNNEST(range(1, $IrK + 1)) AS i FROM nrel),
+         |idcg AS (SELECT qid, CAST(SUM(${term("i")}) AS BIGINT) AS idcg_x
+         |  FROM ii WHERE i <= n_rel GROUP BY qid)
+         |SELECT q.qid, CAST(COALESCE(n_rel, 0) AS BIGINT) AS n_rel,
+         |  CAST(COALESCE(dcg_x, 0) AS BIGINT) AS dcg_x,
+         |  CAST(COALESCE(idcg_x, 0) AS BIGINT) AS idcg_x,
+         |  CAST(CASE WHEN COALESCE(idcg_x, 0) = 0 THEN 0
+         |    ELSE COALESCE(dcg_x, 0) * 10000 // idcg_x END AS BIGINT) AS ndcg_bp
+         |FROM (SELECT doc_id AS qid FROM documents WHERE doc_id % $IrQMod = 1) q
+         |LEFT JOIN nrel ON nrel.qid = q.qid
+         |LEFT JOIN dcg ON dcg.qid = q.qid
+         |LEFT JOIN idcg ON idcg.qid = q.qid
+         |ORDER BY q.qid""".stripMargin
+    },
+    // q314: the register propagation (per-bucket MAX over neighbors ∪
+    // self) and the raw harmonic estimator replay round by round (shared
+    // CTE prefix with q316 — one definition, two final selects).
+    "q314_hyperball" -> {
+      val sel = (1 to HbRounds).map(t => s"SELECT * FROM c$t").mkString(" UNION ALL ")
+      s"""$hyperBallOracleCtes
+         |$sel ORDER BY t""".stripMargin
+    },
+    // q316: the same registers; N(t) = Σ est per round, N(0) = |V|·1000
+    // exact, and the τ-interpolated effective diameter in floor-division
+    // HUGEINT — the engine's driver-side BigInt math replayed 1:1.
+    "q316_hyperball_distance" -> {
+      val sums = (1 to HbRounds)
+        .map(t => s"SELECT CAST($t AS BIGINT) AS t, SUM(est) AS p FROM e$t")
+        .mkString(" UNION ALL ")
+      def eff(tauBp: Long): String =
+        s"""CASE WHEN (SELECT p FROM nn WHERE t = 0) * 10000
+           |      >= $tauBp * (SELECT p FROM nn WHERE t = $HbRounds) THEN 0
+           |  ELSE (SELECT (cur.t - 1) * 1000
+           |      + ($tauBp * (SELECT p FROM nn WHERE t = $HbRounds)
+           |         - 10000 * prev.p) * 1000 // (10000 * (cur.p - prev.p))
+           |    FROM nn cur JOIN nn prev ON prev.t = cur.t - 1
+           |    WHERE cur.p * 10000 >= $tauBp * (SELECT p FROM nn WHERE t = $HbRounds)
+           |    ORDER BY cur.t LIMIT 1) END""".stripMargin
+      s"""$hyperBallOracleCtes,
+         |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM nd),
+         |nn AS (SELECT CAST(0 AS BIGINT) AS t, CAST(v AS HUGEINT) * 1000 AS p FROM nv
+         |  UNION ALL $sums)
+         |SELECT cur.t, nv.v AS n_nodes,
+         |  CAST(cur.p AS BIGINT) AS pairs_milli,
+         |  CAST(cur.p - prev.p AS BIGINT) AS delta_milli,
+         |  CAST(cur.p * 10000 // (SELECT p FROM nn WHERE t = $HbRounds) AS BIGINT) AS cum_bp,
+         |  CAST(${eff(5000L)} AS BIGINT) AS eff_diam50_milli,
+         |  CAST(${eff(9000L)} AS BIGINT) AS eff_diam90_milli
+         |FROM nn cur JOIN nn prev ON prev.t = cur.t - 1, nv
+         |WHERE cur.t >= 1 ORDER BY cur.t""".stripMargin
+    },
+    // q317: the whole curation DAG recomputed from first principles over
+    // the FINAL corpus state (batch-1 texts edited): the q264 classifier
+    // scores + gate; the signature store's edited-partition content audit
+    // (engine: stored band rows ⊖ fresh re-derivation — the oracle pins
+    // the verdict literal 0, since the band-key VALUES are engine-internal
+    // xxhash64 by design); brute-force Jaccard standing in for the
+    // banding on the survivor set (the q200-oracle recall-exactness
+    // argument: miss prob (1−0.8⁴)⁴⁸ ≈ 10⁻¹¹); and the q254 admission
+    // CTEs over the survivor embeddings. Any store serving stale content
+    // diverges from this replay.
+    "q317_curation_dag" -> {
+      val fp = graft.dedup.IncrementalDedup.FuzzyParams
+      val nb = fp.bands
+      val jacc = "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)" +
+        " / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))"
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CASE WHEN doc_id % 3 = 1 THEN text || ' edited' ELSE text END AS text
+         |  FROM documents),
+         |u AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok FROM d),
+         |w AS (SELECT doc_id, ${duckH60("tok")} AS h FROM u),
+         |sc AS (SELECT doc_id,
+         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
+         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
+         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
+         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
+         |  FROM w GROUP BY 1),
+         |p AS (SELECT doc_id,
+         |    CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'chat'
+         |         WHEN s1 >= s2 AND s1 >= s3 THEN 'code'
+         |         WHEN s2 >= s3 THEN 'news' ELSE 'wiki' END AS pred_class,
+         |    list_sort([s0, s1, s2, s3]) AS ss FROM sc),
+         |st1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(ss[4] - ss[3]) AS BIGINT) AS margin_sum FROM p),
+         |g AS (SELECT doc_id FROM p WHERE pred_class <> '${ClsClasses.head}'),
+         |t AS (SELECT doc_id, list_sort(list_distinct(str_split(text, ' '))) AS toks FROM d),
+         |st2 AS (SELECT CAST(0 AS BIGINT) AS sig_checksum,
+         |    (SELECT CAST(COUNT(*) * $nb AS BIGINT) FROM d) AS n_sig_rows,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_gated),
+         |gt AS (SELECT t.doc_id, t.toks FROM t JOIN g USING (doc_id)),
+         |dom AS (SELECT DISTINCT b.doc_id FROM gt a JOIN gt b
+         |  ON a.doc_id < b.doc_id AND $jacc >= 0.8),
+         |sv AS (SELECT doc_id FROM g WHERE doc_id NOT IN (SELECT doc_id FROM dom)),
+         |es AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         |  JOIN sv ON sv.doc_id = e.vec_id WHERE e.embedding IS NOT NULL),
+         |${onlineAdmissionCtes("es")},
+         |adm AS (${(0 until graft.similarity.SemDedup.OnlineBatches)
+                      .map(b => s"SELECT vec_id FROM adm$b").mkString(" UNION ALL ")}),
+         |st3 AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM es) AS n_emb,
+         |    CAST(COUNT(*) AS BIGINT) AS n_adm,
+         |    CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) AS id_sum FROM adm)
+         |SELECT '1_score' AS stage, st1.n_docs AS n_input, st1.n_docs AS n_store_rows,
+         |  st1.margin_sum AS checksum, CAST(1 AS BIGINT) AS resynced_parts FROM st1
+         |UNION ALL
+         |SELECT '2_signature', st2.n_gated, st2.n_sig_rows, st2.sig_checksum,
+         |  CAST(1 AS BIGINT) FROM st2
+         |UNION ALL
+         |SELECT '3_admission', st3.n_emb, st3.n_adm, st3.id_sum,
+         |  CAST(${graft.similarity.SemDedup.OnlineBatches} AS BIGINT) FROM st3
+         |ORDER BY stage""".stripMargin
+    },
+    // q315: the sizing literal, the next-pow2 bin() idiom, the k·|docs|
+    // member positions, and the 1000-probe verdicts replay 1:1.
+    "q315_bloom_advisor" -> {
+      val hm = duckH60("m.text || ':bf' || CAST(u.p AS VARCHAR)")
+      val hp = duckH60("pr.pk || ':bf' || CAST(u.p AS VARCHAR)")
+      s"""WITH mem AS (SELECT DISTINCT source, text FROM documents),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |    CAST(COUNT(*) * $BfBitsPerKeyX10000 // 10000 + 1 AS BIGINT) AS advised_bits
+         |  FROM mem GROUP BY 1),
+         |sz2 AS (SELECT source, n_distinct, advised_bits,
+         |    (CAST(1 AS BIGINT) << length(bin(advised_bits - 1))) AS m2 FROM sz),
+         |mp AS (SELECT m.source, ($hm) % s.m2 AS pos
+         |  FROM mem m JOIN sz2 s ON m.source = s.source, UNNEST(range(0, $BfK)) u(p)),
+         |bits AS (SELECT DISTINCT source, pos FROM mp),
+         |occ AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits GROUP BY 1),
+         |pr AS (SELECT s.source, 'probe:' || CAST(j.j AS VARCHAR) AS pk, s.m2
+         |  FROM sz2 s, UNNEST(range(1, $BfProbes + 1)) j(j)),
+         |pp AS (SELECT pr.source, pr.pk, ($hp) % pr.m2 AS pos
+         |  FROM pr, UNNEST(range(0, $BfK)) u(p)),
+         |hits AS (SELECT pp.source, pp.pk,
+         |    SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS h
+         |  FROM pp LEFT JOIN bits b ON pp.source = b.source AND pp.pos = b.pos
+         |  GROUP BY 1, 2),
+         |fp AS (SELECT source, CAST(COUNT(*) FILTER (h = $BfK) AS BIGINT) AS n_fp
+         |  FROM hits GROUP BY 1)
+         |SELECT sz2.source, n_distinct, advised_bits, CAST(m2 AS BIGINT) AS m2,
+         |  CAST(bits_set * 10000 // m2 AS BIGINT) AS occupancy_bp,
+         |  CAST(n_fp * 10000 // $BfProbes AS BIGINT) AS measured_fpr_bp
+         |FROM sz2 JOIN occ USING (source) JOIN fp USING (source)
+         |ORDER BY source""".stripMargin
+    })
+
+  /** Shared q314/q316 oracle prefix: the co-purchase symmetric edge
+    * frame, the r0 registers, the per-round register propagation r1..rT,
+    * the per-node harmonic estimates e1..eT, and q314's per-round cards
+    * c1..cT (unused CTEs are pruned by DuckDB's optimizer). */
+  private[analytics] lazy val hyperBallOracleCtes: String = {
+    val m = HbBuckets
+    val pow56 = 1L << HbK
+    val pow62 = m << HbK
+    val hk = duckH60("CAST(node AS VARCHAR) || ':hb'")
+    def estCte(t: Int): String =
+      s"""e$t AS (SELECT node,
+         |    (CAST($HbAlphaM2Milli AS HUGEINT) * $pow56)
+         |      // (CAST($pow62 AS HUGEINT)
+         |         - SUM(CAST($pow56 AS HUGEINT)
+         |               - (CAST(1 AS BIGINT) << CAST($HbK - r AS INTEGER)))) AS est
+         |  FROM r$t GROUP BY node),
+         |c$t AS (SELECT CAST($t AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(SUM(est) // COUNT(*) AS BIGINT) AS avg_ball_milli,
+         |    CAST(MAX(est) AS BIGINT) AS max_ball_milli FROM e$t)""".stripMargin
+    def roundCte(t: Int): String =
+      s"""r$t AS (SELECT node, b, MAX(r) AS r FROM (
+         |    SELECT s.s AS node, p.b, p.r FROM s JOIN r${t - 1} p ON s.t = p.node
+         |    UNION ALL SELECT node, b, r FROM r${t - 1}) GROUP BY 1, 2)""".stripMargin
+    val rounds = (1 to HbRounds).map(t => roundCte(t) + ",\n" + estCte(t)).mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a JOIN li b
+       |  ON a.ok = b.ok AND a.pk < b.pk),
+       |s AS (SELECT u AS s, v AS t FROM e UNION SELECT v, u FROM e),
+       |nd AS (SELECT DISTINCT s AS node FROM s),
+       |h AS (SELECT node, $hk AS h FROM nd),
+       |r0 AS (SELECT node, h % $m AS b,
+       |    CASE WHEN h // $m = 0 THEN ${HbK - 1}
+       |      ELSE $HbK - length(bin(h // $m)) END AS r FROM h),
+       |$rounds""".stripMargin
+  }
+
+  /** Shared q287/q293 oracle: the decay fold over exact hourly counts —
+    * the streaming store's merged partials are identical by sum
+    * commutativity. */
+  private[graft] lazy val DecayedHittersOracleSql: String =
+    s"""WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+       |l AS (SELECT MAX(hour_id) AS latest FROM h)
+       |SELECT user_id,
+       |  CAST(SUM(n * (CASE WHEN latest - hour_id > $DecayMaxAge THEN 0
+       |    ELSE $DecayScale >> CAST(latest - hour_id AS INTEGER) END)) AS BIGINT)
+       |    AS decayed_x256,
+       |  CAST(SUM(n) AS BIGINT) AS n_events,
+       |  CAST(COUNT(*) AS BIGINT) AS n_hours
+       |FROM h, l GROUP BY user_id
+       |ORDER BY decayed_x256 DESC, user_id LIMIT $DecayTopK""".stripMargin
+
+  /** Shared q266/q267 oracle: the lag-window context replays per user
+    * ordered by (ts, event_id); the context signature is the same h60 of
+    * the space-joined lag triple; the value mass rides DECIMAL(12,2). */
+  private[graft] lazy val BehaviorOracleSql: String = {
+    val ctxH = graft.functions.Md5Hash.duckH60("l3 || ' ' || l2 || ' ' || l1")
+    s"""WITH e AS (SELECT user_id, event_type, value,
+       |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1,
+       |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
+       |    lag(event_type, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l3
+       |  FROM events),
+       |x AS (SELECT event_type AS target_event, user_id, $ctxH AS ctx_sig,
+       |    CAST(value AS DECIMAL(12,2)) AS v FROM e WHERE l3 IS NOT NULL)
+       |SELECT target_event, CAST(COUNT(*) AS BIGINT) AS n_examples,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(COUNT(DISTINCT ctx_sig) AS BIGINT) AS n_contexts,
+       |  CAST(SUM(v) * 100 AS BIGINT) AS value_cents_sum
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+}

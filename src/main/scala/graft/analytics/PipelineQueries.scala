@@ -17,17301 +17,17 @@ import graft.text.TextAnalysis
   * hashing (xxhash64) and float accumulation (cosine) are rows-only here
   * and exactness-tested in ScalaTest against in-engine brute force.
   */
-object PipelineQueries {
-
-  /** Exact dedup by content hash. */
-  def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Dedup
-      .exactDedup(Tables.documents(spark, dir), "doc_id", "text")
-      .orderBy(col("content_key"))
-
-  /** Token-set dedup: canonical key over the sorted distinct token set —
-    * catches reordered/repeated-word copies that byte-hashing misses. */
-  def dedupTokenSet(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
-      .groupBy(TextAnalysis.tokenSetKey(col("text")).as("set_key"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
-      .orderBy(col("set_key"))
-
-  /** The tiered near-dup core — (members, verified set pairs) — computed
-    * ONCE per (session, dir) and persisted: q27 expands it to the pair
-    * view and q56 clusters it at set level — without the memo each query
-    * re-runs the whole tokenize → minhash → LSH → verify pipeline (the
-    * round-1 bench's two heaviest entries did exactly that). Both frames
-    * are tiny (one row per doc / per verified set pair), so pinning them
-    * for the process lifetime is free. */
-  // WeakHashMap on the session OBJECT: identity-keyed while the session
-  // lives (no hash collisions with stopped sessions), and the whole
-  // per-session entry — including its persisted frames' references —
-  // becomes collectable when the session does.
-  private val nearDupTierCache =
-    new java.util.WeakHashMap[
-      SparkSession, scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
-  private[graft] def nearDupTiers(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val perSession = nearDupTierCache.synchronized {
-      var m = nearDupTierCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
-        nearDupTierCache.put(spark, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(dir, {
-      val (members, setPairs) = Dedup.tieredSetPairs(
-        Tables.documents(spark, dir), "doc_id", "text", threshold = 0.95)
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      (members.persist(MEMORY_AND_DISK), setPairs.persist(MEMORY_AND_DISK))
-    })
-  }
-
-  // Decontamination pairs (full corpus × benchmark at Jaccard ≥ 0.8) —
-  // computed once per (session, dir) and persisted, shared by q62 and
-  // q83: Jaccard is pairwise, so q83's survivors-only view is a semi-join
-  // of the full-corpus pairs (one row per verified pair — tiny).
-  private val crossPairCache =
-    new java.util.WeakHashMap[
-      SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
-  private def crossPairs(spark: SparkSession, dir: String): DataFrame = {
-    val perSession = crossPairCache.synchronized {
-      var m = crossPairCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        crossPairCache.put(spark, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(dir, {
-      val docs = Tables.documents(spark, dir)
-      Dedup
-        .crossNearDups(docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 0.8)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-  }
-
-  /** MinHash+LSH near-duplicates, exact-verified at Jaccard ≥ 0.95. The
-    * oracle brute-forces all pairs — LSH params are chosen so candidate
-    * recall at the threshold is 1 - 2·10⁻⁶ (see MinHashParams). */
-  def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val (members, setPairs) = nearDupTiers(spark, dir)
-    Dedup
-      .pairsOfTiered(members, setPairs)
-      .orderBy(col("id_a"), col("id_b"))
-  }
-
-  /** Blocked word-bigram Jaccard: exact pairwise similarity within
-    * (lang, source) blocks — the classic blocking tier of a dedup
-    * cascade. Fully deterministic → oracle-checked. */
-  def ngramBlockedJaccard(spark: SparkSession, dir: String): DataFrame =
-    blockedJaccardPairs(Tables.documents(spark, dir))
-      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-      .limit(100)
-
-  /** Exact pairwise bigram Jaccard within (lang, source) blocks.
-    *
-    * One shuffle groups each block; each group's pairwise scores are
-    * computed in a typed flatMapGroups with the gram sets held once in
-    * memory — no per-pair array duplication or shuffle. The executor
-    * memory bound is the block size, so blocks larger than `maxBlock`
-    * are SUB-SPLIT by doc_id hash into ⌈n/maxBlock⌉ shards and compared
-    * only within a shard — the standard blocking-cascade guard (block
-    * purging/splitting): a hot (lang, source) at 100 TB costs bounded
-    * memory and quadratic work only within shards, trading recall ON
-    * OVERSIZED BLOCKS ONLY (deterministically, given the hash). Blocks
-    * within the cap — all of them at harness scale, so the oracle is
-    * unaffected — are compared exactly. */
-  private[graft] def blockedJaccardPairs(
-      docs: DataFrame, maxBlock: Int = 10000): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sizes = docs
-      .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("block_n"))
-    val rows = docs
-      .join(sizes, Seq("lang", "source"))
-      .select(col("doc_id"), col("lang"), col("source"), col("text"),
-        pmod(col("doc_id"), ceil(col("block_n") / maxBlock)).cast("int").as("shard"))
-      .as[(Long, String, String, String, Int)]
-    rows
-      .groupByKey { case (_, lang, source, _, shard) => (lang, source, shard) }
-      .flatMapGroups { (_: (String, String, Int), it: Iterator[(Long, String, String, String, Int)]) =>
-        // Bigrams built here in plain Scala: the SQL-side transform()
-        // equivalent is an interpreted higher-order function.
-        val docs = it.map { case (id, _, _, text, _) =>
-          val t = text.split(' ')
-          val grams: Set[String] =
-            if (t.length >= 2) t.iterator.sliding(2).map(_.mkString(" ")).toSet
-            else Set(text)
-          (id, grams)
-        }.toArray.sortBy(_._1)
-        for {
-          i <- docs.indices.iterator
-          j <- (i + 1) until docs.length
-        } yield {
-          val (ia, ga) = docs(i); val (ib, gb) = docs(j)
-          val (small, big) = if (ga.size <= gb.size) (ga, gb) else (gb, ga)
-          val ni = small.count(big.contains)
-          (ia, ib, ni.toDouble / (ga.size + gb.size - ni))
-        }
-      }
-      .toDF("id_a", "id_b", "jaccard")
-  }
-
-  /** Linear keeper assignments over token-set groups: one row per dropped
-    * doc — the materialization shape of dedup at scale. */
-  def dedupAssignments(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("set_key")).orderBy(col("doc_id"))
-    Tables
-      .documents(spark, dir)
-      .select(TextAnalysis.tokenSetKey(col("text")).as("set_key"), col("doc_id"))
-      .withColumn("keep_id", first(col("doc_id")).over(w))
-      .filter(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id").as("dup_id"), col("keep_id"))
-      .orderBy(col("dup_id"))
-  }
-
-  /** Near-dup clusters: connected components at the SET level (a
-    * duplicate group is one CC node, never an n² clique), over the SHARED
-    * tier outputs — the LSH pipeline is not recomputed here. */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val (members, setPairs) = nearDupTiers(spark, dir)
-    Dedup
-      .clustersOfTiered(members, setPairs)
-      .orderBy(col("id"))
-  }
-
-  /** MinHash signatures, exploded to scalars (doc_id, sig_idx, minhash).
-    * Token hashes are md5-derived (portable), so every one of the k=192
-    * signature slots is oracle-checked against DuckDB recomputing the same
-    * (a·h+b) mod p permutations. Scalar output also keeps the verifier's
-    * pandas compare away from raw array columns. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), posexplode(Dedup.minhashSignature(col("text"))).as(Seq("sig_idx", "minhash")))
-      .orderBy(col("doc_id"), col("sig_idx"))
-
-  /** SimHash fingerprints via the custom Catalyst expression (md5-derived
-    * token hashes — oracle-checked bit-for-bit). */
-  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-      .orderBy(col("doc_id"))
-
-  /** Closest pairs by SimHash hamming distance (banded candidates). */
-  def simhashClosePairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashClosePairs(Tables.documents(spark, dir), "doc_id", "text")
-
-  /** Embedding-cosine near-duplicates (LSH buckets + exact verify). */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    Dedup
-      .embeddingNearDups(Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4)
-      .orderBy(col("id_a"), col("id_b"))
-
-  /** Exact cosine top-10 for sampled query vectors (ANN baseline). */
-  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables.embeddings(spark, dir)
-    Ann
-      .bruteForceTopK(embs.filter(col("vec_id") % 50 === 0), embs, "vec_id", "embedding", k = 10)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** LSH-bucketed ANN for the same probes (the 100 TB path). */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables.embeddings(spark, dir)
-    Ann
-      .lshTopK(embs.filter(col("vec_id") % 50 === 0), embs, "vec_id", "embedding", k = 10)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** IVF ANN over the seeded coarse quantizer (cells = first-nlist-id
-    * vectors; assignment/routing/scoring all bit-portable cosine folds →
-    * fully oracle-checked). The Lloyd-refined build stays in `Ivf.topK`,
-    * exercised by AnnSpec — its float-mean centroids aren't
-    * aggregation-order-portable across engines. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables.embeddings(spark, dir)
-    graft.similarity.Ivf
-      .topKSeeded(spark, embs.filter(col("vec_id") % 50 === 0), embs, "vec_id", "embedding", k = 10)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Product-quantization codes (seeded codebooks) — the 32× compression
-    * tier of a 100 TB ANN index: every embedding becomes [[graft.similarity.Pq.M]]
-    * codes, one argmin-L2² per subspace, plus that subspace's exact squared
-    * reconstruction error. Codebooks derive from the data (first-Ksub-id
-    * subvectors, the [[annIvf]] seeded-quantizer pattern), so the oracle
-    * rebuilds them in SQL; dist is the bit-portable (x−y)² left fold
-    * (VectorOracles family). Encoding itself is MAP-ONLY — the only
-    * Exchange in the plan is the presentation sort. */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables.embeddings(spark, dir)
-    val cbs = graft.similarity.Pq.seededCodebooks(embs, "vec_id", "embedding")
-    graft.similarity.Pq
-      .encode(embs, "vec_id", "embedding", cbs)
-      .orderBy(col("vec_id"), col("subspace"))
-  }
-
-  /** IVFPQ ANN (q80) — the production composed index: seeded coarse cells
-    * route the query, seeded PQ codes score the candidates (ADC), nothing
-    * re-reads vectors after the build. See [[graft.similarity.Pq.ivfPqTopK]]. */
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables.embeddings(spark, dir)
-    graft.similarity.Pq
-      .ivfPqTopK(spark, embs.filter(col("vec_id") % 50 === 0), embs, "vec_id", "embedding", k = 10)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Trained-PQ bounded claim (q82) — the driver-checked CORRECTNESS row
-    * for the PRODUCTION quantizer path (round-4 verdict #2). Trained
-    * codebooks are float means whose aggregation order is engine-internal,
-    * so the trained error itself can't be oracled; what CAN be is:
-    *   - the SEEDED total reconstruction error, summed as fixed-point
-    *     BIGINTs: each per-subspace dist is the bit-portable q76 fold, and
-    *     `floor(dist·10⁶)` is one IEEE multiply + exact floor, so the
-    *     integer SUM is order-free and hash-exact across engines;
-    *   - the CLAIM `trained_err ≤ seeded_err`, structural per Lloyd (the
-    *     mean minimizes within-cluster SSE; PqSpec proves it) — emitted as
-    *     a boolean the oracle hardcodes TRUE, the q42/q69/q79 pattern.
-    * The claim carries one 1e-6 unit of fixed-point slack per encoded row
-    * (`trainedFp ≤ seededFp + nRows`): Lloyd bounds the TRUE errors, but
-    * per-row `floor(dist·10⁶)` can move each row's floored value by <1
-    * unit in either direction, so when training yields little strict
-    * improvement the floored sums may cross without the real ones doing
-    * so. Same slack grant as [[graft.similarity.Kmeans.inertiaTrace]].
-    * A violation logs the actual errors to stderr so a q82 hash mismatch
-    * reads as "Lloyd monotonicity fired", never as silent drift. */
-  def pqTrainedClaim(spark: SparkSession, dir: String): DataFrame = {
-    import graft.similarity.Pq
-    val embs = Tables.embeddings(spark, dir)
-    val seeded = Pq.seededCodebooks(embs, "vec_id", "embedding")
-    val trained = Pq.trainedCodebooks(embs, "vec_id", "embedding")
-    def errFp(cbs: Array[Array[Array[Double]]]): (Long, Long) = {
-      val r = Pq.encode(embs, "vec_id", "embedding", cbs)
-        .agg(
-          sum(floor(col("dist") * 1e6).cast("long")).as("fp"),
-          count(lit(1)).as("n"))
-        .head()
-      (r.getLong(0), r.getLong(1))
-    }
-    val (seededFp, nRows) = errFp(seeded)
-    val (trainedFp, _) = errFp(trained)
-    if (trainedFp > seededFp + nRows)
-      System.err.println(
-        s"[q82] Lloyd monotonicity VIOLATED beyond fixed-point slack: " +
-          s"trained_fp=$trainedFp > seeded_fp=$seededFp + n=$nRows " +
-          "— the oracle's TRUE row will hash-mismatch")
-    import spark.implicits._
-    Seq((Pq.M, Pq.Ksub, nRows, seededFp, trainedFp <= seededFp + nRows))
-      .toDF("m", "ksub", "n_code_rows", "seeded_err_fp", "trained_improved")
-  }
-
-  /** Residual IVFPQ ANN (q81) — [[annIvfPq]] with FAISS IndexIVFPQ's
-    * residual encoding: PQ quantizes `x − centroid(cell)`, not raw `x`
-    * (see [[graft.similarity.Pq.ivfPqTopKResidual]]). Same oracle family:
-    * the subtraction is elementwise IEEE double arithmetic, so cells,
-    * residuals, codes, and the two-level ADC fold all replicate in SQL. */
-  def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables.embeddings(spark, dir)
-    graft.similarity.Pq
-      .ivfPqTopKResidual(spark, embs.filter(col("vec_id") % 50 === 0), embs,
-        "vec_id", "embedding", k = 10)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  // Compaction reports per (session, dir): the cycle mutates its working
-  // table, so the REPORT is memoized — not just the table — keeping the
-  // query idempotent within a session (verify and bench both run it once,
-  // but a re-run must not see the already-compacted layout as "before").
-  /** Small-file compaction + validated snapshot publish (q99) — see
-    * [[graft.operators.Compaction]]. The events table is staged into a
-    * Hive-partitioned copy fragmented to 32 files per event_type (the
-    * streaming-sink debris every lake job inherits), then compacted to
-    * 64 MB targets, content-gated, and atomically published via dynamic
-    * partition overwrite. The registered output re-reads the PUBLISHED
-    * table and emits per-partition invariants the oracle recomputes from
-    * the raw events: row count, the portable md5-h31 id-hash sum, the
-    * DECIMAL value sum — plus the gate booleans (oracle hardcodes TRUE;
-    * the q42/q69/q79 bounded-claim pattern). File-count assertions live
-    * in CompactionSpec (DuckDB cannot see layout). */
-  def compactionPublish(spark: SparkSession, dir: String): DataFrame = {
-    graft.SessionMemo.memo(spark, s"q99|$dir") {
-      val work = java.nio.file.Files.createTempDirectory("graft_compact").toString
-      val table = s"$work/events_by_type"
-      Tables.events(spark, dir)
-        .repartition(32)
-        .write.partitionBy("event_type").parquet(table)
-      val report = graft.operators.Compaction.compactAndPublish(
-        spark, table, "event_type", bucketKey = "event_id",
-        targetFileBytes = 64L << 20, stagingDir = s"$work/staging")
-      val published = spark.read.parquet(table)
-      val idHash = graft.functions.PortableHashFunctions
-        .md5_token_hashes(array(col("event_id").cast("string")), bits = 31)
-        .getItem(0)
-      published
-        .groupBy(col("event_type"))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum(idHash).as("sum_id_hash"),
-          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
-        .join(
-          report.select(col("event_type"),
-            col("rows_unchanged"), col("content_unchanged"),
-            (col("n_files_after") <= col("n_files_before")).as("files_not_increased")),
-          Seq("event_type"))
-        .orderBy(col("event_type"))
-    }
-  }
-
-  /** Residual IVFPQ from the COMMITTED index (q98) — the q75 layout
-    * amortization applied to vector search: [[graft.similarity.IvfPqIndex]]
-    * builds the index ONCE per corpus snapshot into the warehouse (codes
-    * partitioned by coarse cell + centroid/codebook sidecar, tagged by a
-    * metadata-only corpus signature) and every later search — across JVMs —
-    * joins the committed codes instead of re-reading vectors. Results are
-    * bit-identical to [[annIvfPqResidual]] (q81), so the two rows share one
-    * oracle; the spec surface (IvfPqIndexSpec) covers reuse-across-sessions,
-    * staleness-tagged rebuild, and partition pruning of the code scan. */
-  def annIndexed(spark: SparkSession, dir: String): DataFrame = {
-    import graft.similarity.IvfPqIndex
-    val embs = Tables.embeddings(spark, dir)
-    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
-    IvfPqIndex
-      .search(spark, idx, embs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 10)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Frozen-quantizer index append (q101) — FAISS add-to-trained-index as
-    * a committed-layout operation, the daily-ingest maintenance shape at
-    * 100 TB: the standing corpus (vec_id % 4 != 3) builds the layout once;
-    * the delta (% 4 == 3) is assigned + residual-encoded with the
-    * COMMITTED centroids/codebooks (one map-only projection over the
-    * delta alone — the standing corpus is neither re-read nor re-encoded)
-    * and committed as its own cell-partitioned segment; the search unions
-    * all committed segments. Encoding is per-vector under a frozen
-    * quantizer, so the union is bit-identical to a frozen-quantizer
-    * encode of the combined corpus — which is what the oracle replicates
-    * (the q81 SQL with its seed CTEs restricted to the base corpus). */
-  def annIndexedAppend(spark: SparkSession, dir: String): DataFrame = {
-    import graft.similarity.IvfPqIndex
-    val embs = Tables.embeddings(spark, dir)
-    val idx = IvfPqIndex.ensure(spark, embs.filter(col("vec_id") % 4 =!= 3),
-      "vec_id", "embedding")
-    IvfPqIndex.append(spark, idx, embs.filter(col("vec_id") % 4 === 3),
-      "vec_id", "embedding")
-    IvfPqIndex
-      .search(spark, idx, embs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 10)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Tombstone delete + delete-aware search (q116) — the third committed-
-    * index maintenance verb, completing the lifecycle: build (q98),
-    * frozen-quantizer append (q101), logical delete (this). A GDPR/
-    * curation removal batch (vec_id % 7 == 3 stands in) commits as an
-    * id-only tombstone segment; the search anti-joins candidates against
-    * it map-side — the standing codes table is never rewritten, and
-    * physical reclaim folds into the next snapshot rebuild (the delete-
-    * files contract of a table format, applied to a vector index).
-    *
-    * The layout carries `variant="del"` so its tombstones can never leak
-    * into q98's pristine layout over the same corpus. The oracle is the
-    * q81/q98 SQL with deleted ids excluded from the CANDIDATE join only —
-    * quantizer training, assignment, and encode still span the full
-    * corpus, exactly what a logical delete leaves in place. */
-  def annIndexedDelete(spark: SparkSession, dir: String): DataFrame = {
-    import graft.similarity.IvfPqIndex
-    val embs = Tables.embeddings(spark, dir)
-    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding",
-      IvfPqIndex.Params(variant = "del"))
-    IvfPqIndex.delete(spark, idx,
-      embs.filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
-    IvfPqIndex
-      .search(spark, idx, embs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 10)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Epoch seed for [[trainingShards]] — a NEW tag is a new deterministic
-    * permutation (the per-epoch reshuffle), with zero RNG state to
-    * checkpoint or coordinate across executors. Shared with the q102
-    * oracle (generated-constant pattern, as q77/q86). */
-  val EpochSeedTag = "epoch:1"
-
-  /** Shard fan-out for [[trainingShards]] — 8 at harness SF; at 100 TB
-    * this is the data-parallel worker count. */
-  val TrainingShardCount = 8
-
-  /** Training-order shuffle + length-bucketed batching (q102) — the
-    * serving step between packing (q72) and the trainer: every epoch
-    * needs a global permutation of the corpus, and naive implementations
-    * either globally sort (one total-order Exchange over everything) or
-    * keep RNG state per worker (irreproducible under retry). Here the
-    * permutation is a SEEDED CONTENT HASH: shard =
-    * h31(md5(seed | text)) mod [[TrainingShardCount]] — map-only, stable
-    * under repartitioning, retry, and engine change; a new
-    * [[EpochSeedTag]] is a fresh permutation. Within a shard, docs
-    * length-bucket by ⌊log₂(n_tokens)⌋ (`length(bin(n))` — exact integer
-    * in both engines), the dynamic-batching trick that bounds padding
-    * waste to <2× instead of max_len/len. Emits per (shard, bucket):
-    * docs, token sum, bucket max, and the exact padding overhead a
-    * pad-to-bucket-max batcher would spend — all integers, hash-exact.
-    * Scale shape: one map-only projection + one two-phase hash aggregate
-    * to shards×buckets rows; the corpus is never sorted and never
-    * shuffled beyond the output aggregate. */
-  def trainingShards(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("n_tokens", size(split(col("text"), " ")))
-      .withColumn("shard", pmod(
-        graft.functions.PortableHashFunctions
-          .md5_token_hashes(array(concat(lit(EpochSeedTag + "|"), col("text"))), bits = 31)
-          .getItem(0),
-        lit(TrainingShardCount)))
-      .withColumn("len_bucket", length(bin(col("n_tokens").cast("bigint"))))
-    docs
-      .groupBy(col("shard"), col("len_bucket"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens").cast("long")).as("sum_tokens"),
-        max(col("n_tokens")).as("max_tokens"))
-      .withColumn("padding_tokens",
-        col("max_tokens").cast("long") * col("n_docs") - col("sum_tokens"))
-      .orderBy(col("shard"), col("len_bucket"))
-  }
-
-  /** Range fan-out for [[rangeBoundaries]] (the target partition count of
-    * the sorted write; at 100 TB this is thousands). */
-  val RangeFanout = 8
-
-  /** Exact range-partition boundaries + balance audit (q103) — the op
-    * under every sorted table write and total-order job at scale: Spark's
-    * RangePartitioner SAMPLES the key column to pick boundaries; this is
-    * the exact equi-depth version, built scalably and auditable by hash:
-    *
-    *   1. distinct-key histogram (one two-phase aggregate; for a value
-    *      domain like prices the histogram is orders of magnitude smaller
-    *      than the data);
-    *   2. exact cumulative counts over the histogram via the sharded
-    *      [[graft.operators.PrefixSum]] (monotone `floor(k/1024)` shard
-    *      key — no single-reducer global window);
-    *   3. boundary i = smallest key with cumcount ≥ ⌊i·n/fanout⌋ — ONE
-    *      small aggregate, 7 doubles collected (sketch-sized);
-    *   4. range assignment is map-only (`Σ k > bᵢ` against broadcast
-    *      scalars); the audit emits per range: rows, min/max key, and the
-    *      hi boundary.
-    *
-    * No float arithmetic anywhere — boundaries are data values selected
-    * by integer rank, comparisons are raw-double compares — so the whole
-    * spec, including the balance proof, hash-checks against DuckDB.
-    * Heavy key ties can starve a range (both engines agree on the rule);
-    * the spec pins near-balance on this data. */
-  def rangeBoundaries(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("k"))
-    // The histogram serves three reads (total count, cumulative window,
-    // boundary aggregate) — persist it so the raw table is scanned once
-    // for the whole boundary phase, and derive n from it instead of a
-    // separate full-table count.
-    val hist = li.groupBy(col("k")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-    val n = hist.agg(sum(col("c"))).head().getLong(0)
-    require(n > 0, "range boundaries need a non-empty key column")
-    val cum = graft.operators.PrefixSum
-      .runningSum(hist, Seq.empty, Seq("k"), "c", floor(col("k") / 1024), "cc")
-    val ranks = (1 until RangeFanout).map(i => i.toLong * n / RangeFanout)
-    val bRow = cum
-      .agg(
-        min(when(col("cc") >= ranks.head, col("k"))).as("b0"),
-        ranks.tail.map(r => min(when(col("cc") >= r, col("k"))).as(s"b$r")): _*)
-      .head()
-    val bs = (0 until RangeFanout - 1).map(bRow.getDouble)
-    val rangeId = bs.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("k") > lit(b), 1).otherwise(0)
-    }
-    val hiBoundary = bs.zipWithIndex.foldLeft(lit(null).cast("double")) {
-      case (acc, (b, idx)) => when(col("range_id") === idx, lit(b)).otherwise(acc)
-    }
-    li.withColumn("range_id", rangeId)
-      .groupBy(col("range_id"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        min(col("k")).as("min_key"),
-        max(col("k")).as("max_key"))
-      .withColumn("hi_boundary", hiBoundary)
-      .orderBy(col("range_id"))
-    } finally hist.unpersist()
-  }
-
-  /** Corpus snapshot diff (q104) — the reconciliation/CDC-audit shape
-    * behind every snapshot publish and backfill: given yesterday's corpus
-    * and today's, classify every doc_id as added / deleted / changed /
-    * unchanged by CONTENT fingerprint, not by metadata. Shape: map-only
-    * md5 fingerprint on both sides, ONE full-outer equi-join on the
-    * 8-byte id, map-only classification — the diff costs one shuffle of
-    * (id, 16-byte fp) pairs regardless of document size, because the
-    * text never crosses the Exchange. Snapshots here are derived
-    * deterministically from the documents table (old = ids % 5 ∉ {1},
-    * new = ids % 5 ∉ {3} with % 5 == 2 texts revised), so the oracle
-    * replays the same derivation. */
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val fp = TextAnalysis.contentFingerprint(col("text"))
-    val oldSnap = docs.filter(col("doc_id") % 5 =!= 1)
-      .select(col("doc_id"), fp.as("old_fp"))
-    val newSnap = docs.filter(col("doc_id") % 5 =!= 3)
-      .select(col("doc_id"),
-        TextAnalysis.contentFingerprint(
-          when(col("doc_id") % 5 === 2, concat(col("text"), lit(" v2")))
-            .otherwise(col("text"))).as("new_fp"))
-    oldSnap
-      .join(newSnap, Seq("doc_id"), "full_outer")
-      .select(
-        col("doc_id"),
-        when(col("old_fp").isNull, "added")
-          .when(col("new_fp").isNull, "deleted")
-          .when(col("old_fp") =!= col("new_fp"), "changed")
-          .otherwise("unchanged").as("status"))
-      .groupBy(col("status"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
-      .orderBy(col("status"))
-  }
-
-  /** Morton-spread rounds shared by the engine and the q105 oracle
-    * (generated-constant pattern): OR-in a shifted copy, mask — after the
-    * four rounds a 16-bit value occupies the even bit positions. */
-  val MortonRounds: Seq[(Int, Long)] = Seq(
-    8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
-
-  /** Top-bits bucket shift for [[zorderLayout]]: with two ≤10-bit dims the
-    * z-value is ≤20 bits; dropping 12 keeps the top 4 bits of EACH dim, so
-    * within a bucket both dims span < 2⁶ — the guarantee the spec pins. */
-  val ZBucketShift = 12
-
-  private def mortonSpread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    MortonRounds.foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFL))) {
-      case (acc, (sh, mask)) => acc.bitwiseOR(shiftleft(acc, sh)).bitwiseAND(lit(mask))
-    }
-
-  private def duckMortonSpread(x: String): String =
-    MortonRounds.foldLeft(s"($x & 65535)") {
-      case (acc, (sh, mask)) => s"(($acc | ($acc << $sh)) & $mask)"
-    }
-
-  /** Z-order (Morton) clustering audit (q105) — the multi-dimensional
-    * lake layout (Delta/Iceberg `OPTIMIZE ZORDER BY`): a table sorted by
-    * ONE column gives min/max file skipping on that column only; sorting
-    * by the interleaved bits of TWO columns gives useful min/max ranges
-    * on BOTH at once. The z-value is pure integer bit arithmetic
-    * (identical in both engines); the audit buckets rows by the top z
-    * bits — each bucket is what one output file would hold after a
-    * z-ordered write — and emits per bucket the row count and BOTH dims'
-    * min/max, whose spans are < 2⁶ by construction (top 4 bits of each
-    * dim pinned). Hour index is relative to the corpus minimum (one
-    * sketch-sized collect) so both dims genuinely fit 16 bits. Scale
-    * shape: map-only z computation, one aggregate to ≤2¹² rows; the
-    * z-sorted WRITE itself is q103's range machinery applied to z. */
-  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), expr("cast(ts as long) div 3600").as("h"))
-    // Domain preconditions, checked loudly instead of silently aliasing:
-    // the spread masks to 16 bits (beyond that, distinct values COLLIDE
-    // into one z-cell), and the <2⁶-span bucket guarantee additionally
-    // assumes ≤10-bit dims (wider corpora still z-order correctly, with
-    // proportionally wider per-bucket spans at this shift).
-    val stats = ev.agg(
-      min(col("h")).as("hmin"), max(col("h")).as("hmax"),
-      min(col("user_id")).as("umin"), max(col("user_id")).as("umax")).head()
-    val hmin = stats.getLong(0)
-    require(stats.getLong(1) - hmin < (1 << 16) && stats.getLong(3) < (1 << 16)
-      && stats.getLong(2) >= 0,
-      s"z-order dims exceed the 16-bit spread domain: hours ${stats.getLong(1) - hmin}, " +
-        s"user ids ${stats.getLong(2)}..${stats.getLong(3)}")
-    val z = mortonSpread(col("user_id"))
-      .bitwiseOR(shiftleft(mortonSpread(col("h") - lit(hmin)), 1))
-    ev
-      .withColumn("hour_idx", col("h") - lit(hmin))
-      .withColumn("zbucket", shiftright(z, ZBucketShift))
-      .groupBy(col("zbucket"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
-        min(col("hour_idx")).as("min_hour"), max(col("hour_idx")).as("max_hour"))
-      .orderBy(col("zbucket"))
-  }
-
-  /** SCD Type-2 dimension merge (q106) — the MERGE/upsert every lake
-    * dimension table runs nightly: given the current versioned dimension
-    * and an incoming snapshot, close changed/deleted versions
-    * (valid_to stamped, is_current=false) and open new ones, without ever
-    * rewriting unchanged history. Shape: ONE full-outer equi-join on the
-    * key — each side carries only (key, attribute) — then a map-only
-    * explode emitting the 1–2 versioned rows each key produces; nothing
-    * else shuffles, so a 100 TB dimension merge costs one key-partitioned
-    * join regardless of row width (wide payloads would join by key +
-    * content fingerprint, the q104 trick). Snapshots are derived
-    * deterministically from customer (dim = keys % 5 ∉ {1} at version 1;
-    * incoming = keys % 5 ∉ {3} with % 5 == 2 segments changed) so the
-    * oracle replays the same derivation. */
-  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(spark, dir)
-    val dim = cust.filter(col("c_custkey") % 5 =!= 1)
-      .select(col("c_custkey"), col("c_mktsegment").as("dim_seg"))
-    val inc = cust.filter(col("c_custkey") % 5 =!= 3)
-      .select(col("c_custkey"),
-        when(col("c_custkey") % 5 === 2, concat(col("c_mktsegment"), lit("*")))
-          .otherwise(col("c_mktsegment")).as("inc_seg"))
-    dim.join(inc, Seq("c_custkey"), "full_outer")
-      .select(col("c_custkey"), explode(array(
-        // Close the standing version when the key vanished or changed.
-        when(col("dim_seg").isNotNull &&
-            (col("inc_seg").isNull || col("inc_seg") =!= col("dim_seg")),
-          struct(col("dim_seg").as("segment"),
-            lit(1).as("valid_from"), lit(2).cast("int").as("valid_to"),
-            lit(false).as("is_current"))),
-        // The surviving current version: unchanged keeps v1 open;
-        // new/changed keys open v2.
-        when(col("inc_seg").isNotNull,
-          struct(col("inc_seg").as("segment"),
-            when(col("dim_seg") <=> col("inc_seg"), lit(1)).otherwise(lit(2))
-              .as("valid_from"),
-            lit(null).cast("int").as("valid_to"),
-            lit(true).as("is_current"))))).as("v"))
-      .filter(col("v").isNotNull)
-      .select(col("c_custkey"), col("v.segment"), col("v.valid_from"),
-        col("v.valid_to"), col("v.is_current"))
-      .orderBy(col("c_custkey"), col("valid_from"))
-  }
-
-  /** Key-skew audit + salt recommendation (q107) — the diagnose step of
-    * the diagnose→salt loop Scale.saltedJoin implements: per-key row
-    * counts over events.user_id, the top 20 keys by volume with their
-    * multiple-of-mean (fixed-point, ×100) and the salt factor a join on
-    * that key needs to spread its rows across 32 target partitions
-    * (ceil(n_rows × 32 / total), the Scale.saltedJoin fan-out). All
-    * arithmetic is integer — floor-mean and ceil-salt identically in both
-    * engines. Scale shape: ONE shuffle of 8-byte keys to the count
-    * aggregate, a 1-row broadcast of the totals, TakeOrdered top-20 —
-    * the audit costs the same aggregate the skewed join itself would. */
-  def skewAudit(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.events(spark, dir)
-      .select(col("user_id"))
-      .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
-    val totals = counts.agg(
-      sum(col("n_rows")).as("total"), count(lit(1)).as("n_keys"))
-    counts.crossJoin(broadcast(totals))
-      .select(col("user_id"), col("n_rows"),
-        expr("n_rows * 100 div (total div n_keys)").as("mult_x100"),
-        expr("(n_rows * 32 + total - 1) div total").as("salt_factor"),
-        (col("n_rows") * 100 >= expr("total * 400 div n_keys")).as("needs_salt"))
-      .orderBy(col("n_rows").desc, col("user_id"))
-      .limit(20)
-  }
-
-  /** Temperature-scaled domain mixing (q108) — the multinomial
-    * temperature-sampling recipe (p_i ∝ n_i^τ) used to up-weight
-    * low-resource languages in LLM training mixes. τ = 1/2 on purpose:
-    * sqrt is correctly rounded under IEEE 754 in BOTH engines, so the
-    * tempered weight floor(√n_docs × 10⁶) is bit-identical cross-engine
-    * with no pow() libm drift; everything after is exact integer
-    * arithmetic (shares in basis points, expected doc draws, up/down-
-    * sampling factor vs the natural distribution). Scale shape: one
-    * two-phase count aggregate to ≤|langs| rows, a 1-row broadcast of the
-    * totals — the corpus is scanned once and never shuffled. */
-  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(spark, dir)
-      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("w_fp",
-        floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0)).cast("long"))
-    val totals = counts.agg(
-      sum(col("w_fp")).as("w_total"), sum(col("n_docs")).as("docs_total"))
-    counts.crossJoin(broadcast(totals))
-      .select(col("lang"), col("n_docs"), col("w_fp"),
-        expr("w_fp * 10000 div w_total").as("p_bp"),
-        expr("docs_total * w_fp div w_total").as("expected_docs"),
-        expr("(docs_total * w_fp div w_total) * 10000 div n_docs").as("epoch_bp"))
-      .orderBy(col("lang"))
-  }
-
-  /** Quality-priority keeper per near-dup cluster (q115) — the curation
-    * policy refinement over min-id keeping (q55): inside each connected
-    * near-dup cluster (q56), keep the LONGEST member (n_chars,
-    * tie-break lower id) — "keep the most complete version of the
-    * duplicated page", the policy C4-style pipelines actually want.
-    * Deterministic integer policy → fully oracle-checkable.
-    *
-    * Scale shape: operates on cluster MEMBERS only (near-dup docs — a
-    * sliver of the corpus); the quality column attaches by an 8-byte id
-    * equi-join with no forced build side; the argmax is one row_number
-    * window partitioned by component (cluster sizes are bounded by the
-    * dedup semantics, not the corpus). */
-  def clusterKeeper(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val clusters = nearDupClusters(spark, dir)
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
-    clusters.join(docs, col("id") === col("doc_id"))
-      .withColumn("is_keep",
-        row_number().over(
-          Window.partitionBy(col("comp")).orderBy(col("n_chars").desc, col("id"))) === 1)
-      .select(col("id"), col("comp"), col("n_chars"), col("is_keep"))
-      .orderBy(col("id"))
-  }
-
-  /** Char-level edit-distance audit of the near-dup decisions (q114) —
-    * the second opinion a curation pipeline wants before dropping a
-    * document: token-level Jaccard (q27) says near-dup, Levenshtein on
-    * the raw text says how close at character level (catches
-    * token-reordering false confidence). Integer output: distance and
-    * basis-point ratio vs the longer text.
-    *
-    * Scale shape: Levenshtein runs on the CANDIDATE PAIRS ONLY (the
-    * memoized q27 tier — banded LSH, never all pairs); texts attach via
-    * two equi-joins on the 8-byte ids with no forced build side, so AQE
-    * broadcasts the pair list while it is small and flips to shuffle
-    * joins when it is corpus-sized. levenshtein() is codegen'd in both
-    * engines. */
-  def editDistanceAudit(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashNearDup(spark, dir).select(col("id_a"), col("id_b"))
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    pairs
-      .join(docs, col("id_a") === col("doc_id"))
-      .withColumnRenamed("text", "text_a").drop("doc_id")
-      .join(docs, col("id_b") === col("doc_id"))
-      .withColumnRenamed("text", "text_b").drop("doc_id")
-      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
-      .select(col("id_a"), col("id_b"), col("edit_dist"),
-        expr("edit_dist * 10000L div greatest(length(text_a), length(text_b))").as("edit_bp"))
-      .orderBy(col("id_a"), col("id_b"))
-  }
-
-  /** GROUPING SETS (q112) — the remaining member of the grouping family
-    * next to ROLLUP (q19) and CUBE (q92): an arbitrary subset of
-    * groupings in ONE pass ((lang), (source), ()), with the grouping id
-    * distinguishing aggregate-null from data-null. Spark expands the
-    * sets before the aggregate exactly as for cube, so the cost is one
-    * corpus scan + one exchange of (keys × |sets|) partial rows. */
-  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .groupingSets(
-        Seq(Seq(col("lang")), Seq(col("source")), Seq.empty),
-        col("lang"), col("source"))
-      .agg(
-        (grouping(col("lang")) * 2 + grouping(col("source"))).cast("int").as("gid"),
-        count(lit(1)).as("n"),
-        sum(col("n_chars")).as("chars"))
-      .orderBy(col("gid"), col("lang").asc_nulls_first, col("source").asc_nulls_first)
-
-  /** Per-language weighted median document length (q113) — the robust
-    * location statistic quality dashboards want (outlier docs move a
-    * mean, not a weighted median). Weight = token count, value =
-    * n_chars, all integer-exact.
-    *
-    * Scale shape: the corpus-sized work is ONE map-side-combinable
-    * histogram aggregate groupBy(lang, n_chars); the cumulative window
-    * then runs over the HISTOGRAM (langs × distinct lengths — bounded
-    * domain, metadata-sized), never over corpus rows, so no per-lang
-    * corpus sort exists at any scale. The median is the first histogram
-    * row where 2·cum ≥ total (pinned ROWS frame; (lang, n_chars) is a
-    * unique ordering so RANGE-vs-ROWS ambiguity cannot arise). */
-  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hist = Tables.documents(spark, dir)
-      .select(col("lang"), col("n_chars"), size(split(col("text"), " ")).as("w"))
-      .groupBy(col("lang"), col("n_chars")).agg(sum(col("w")).as("w"))
-    val cumW = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totW = Window.partitionBy(col("lang"))
-    hist
-      .withColumn("cum", sum(col("w")).over(cumW))
-      .withColumn("total", sum(col("w")).over(totW))
-      .filter(col("cum") * 2 >= col("total"))
-      .groupBy(col("lang"))
-      .agg(min(col("n_chars")).as("wmedian_chars"), max(col("total")).as("total_w"))
-      .orderBy(col("lang"))
-  }
-
-  /** TF-IDF top-k retrieval (q110) — keyword search over the corpus, the
-    * lexical half of hybrid retrieval (the dense half is q80/q98). The
-    * query is derived deterministically (the distinct tokens of the
-    * lowest-id document) so both engines agree without a parameter
-    * channel. Scoring is integer-exact: idf = N·10⁶ div df (no libm
-    * drift), score = Σ tf·idf summed as longs.
-    *
-    * Scale shape: the corpus is scanned+exploded once, and the tiny
-    * query-term list broadcasts and PRUNES the token stream MAP-SIDE,
-    * BEFORE the tf aggregation — so every Exchange in the plan carries
-    * query-term postings only, never the corpus tokenization. df comes
-    * from a window over the pruned entries (token-partitioned, no
-    * self-join; df of a query term is unchanged by the pruning), the
-    * per-doc score is one aggregate over query-term postings only, and
-    * the top-10 is TakeOrdered — no global sort, no corpus shuffle. */
-  def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val qterms = docs.orderBy(col("doc_id")).limit(1)
-      .select(explode(split(col("text"), " ")).as("token")).distinct()
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .join(broadcast(qterms), Seq("token"))
-      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
-      .crossJoin(broadcast(nDocs))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf") * expr("n_docs * 1000000L div df")).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
-  }
-
-  /** One BPE merge iteration (q111) — tokenizer vocabulary induction:
-    * the most frequent adjacent symbol pairs, each token's pairs
-    * weighted by its corpus frequency. The scale trick is the real BPE
-    * trick: the corpus-sized work is ONE token-count aggregate; pair
-    * enumeration (explode over positions 1..len-1) runs over the
-    * VOCABULARY — distinct tokens, orders of magnitude smaller than the
-    * corpus — so iterating merges re-reads vocab-sized state, never the
-    * corpus. Pure integer counts; top-20 by (count, pair) total order. */
-  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
-    val tokCounts = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    tokCounts
-      .filter(length(col("token")) >= 2)
-      .select(explode(expr("transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))")).as("pair"),
-        col("cnt"))
-      .groupBy(col("pair")).agg(sum(col("cnt")).as("pair_count"))
-      .orderBy(col("pair_count").desc, col("pair"))
-      .limit(20)
-  }
-
-  /** Inverted-index / posting-list build (q109) — the serving structure
-    * behind exact-gram decontamination lookups and corpus search: per
-    * token its document frequency, total term frequency, and a BOUNDED
-    * sample of the posting list (the 5 smallest doc_ids). Two scale
-    * decisions:
-    *   - a naive `collect_list(doc_id)` would materialize a stopword's
-    *     corpus-sized posting list in one aggregation buffer; here the
-    *     list collects `when(rn <= 5, doc_id)` (collect_list skips
-    *     nulls), so aggregate state is O(5) per token at any corpus size
-    *     (full posting lists would be written cell-partitioned like the
-    *     q98 index, never aggregated into a row);
-    *   - stats and sample share ONE tokenization pass. The obvious
-    *     two-branch formulation (groupBy stats JOIN window-capped
-    *     sample) scans and explodes the corpus twice — column pruning
-    *     drops `tf` from the sample branch, the branches canonicalize
-    *     differently, and ReuseExchange never fires (observed on the
-    *     executed AQE plan). Fused: explode → (token, doc_id) partial
-    *     agg → window rn over token → one final aggregate. One scan,
-    *     two exchanges (posting-entry-sized, which exact df/tf_total
-    *     require anyway), no join. */
-  def postingLists(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tokDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
-    tokDoc
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(col("token")).orderBy(col("doc_id"))))
-      .groupBy(col("token"))
-      .agg(
-        count(lit(1)).as("df"),
-        sum(col("tf")).as("tf_total"),
-        expr("array_join(transform(sort_array(collect_list(CASE WHEN rn <= 5 THEN doc_id END)), x -> cast(x as string)), ',')")
-          .as("sample_docs"))
-      .orderBy(col("token"))
-  }
-
-  /** SemDeDup keep decisions over the embeddings table — see
-    * [[graft.similarity.SemDedup]]. Seeded cells (oracle-portable), exact
-    * cosine fold, order-free lower-id dominance → every keep bit
-    * hash-checked. */
-  def semDedup(spark: SparkSession, dir: String): DataFrame =
-    graft.similarity.SemDedup
-      .keepDecisions(spark, Tables.embeddings(spark, dir), "vec_id", "embedding")
-      .orderBy(col("vec_id"))
-
-  /** Scalar (int8) embedding quantization — the 4× memory-reduction tier
-    * of an ANN index at 100 TB: per-dimension [min, max] from exact float
-    * aggregates (order-independent), then a linear 0–255 code with
-    * explicitly portable rounding (`floor(x·255 + 0.5)` — engines differ
-    * on round()'s half-rule, floor they agree on). Codes are INTEGERS, so
-    * the whole quantizer — bounds, scale, rounding — is hash-checked
-    * exactly. Emits every 25th vector's codes (output stays linear). */
-  def embeddingQuantization(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = Tables
-      .embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
-    val bounds = exploded
-      .groupBy(col("dim_idx"))
-      .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
-    exploded
-      .filter(col("vec_id") % 25 === 0)
-      .join(broadcast(bounds), Seq("dim_idx"))
-      .select(col("vec_id"), col("dim_idx"),
-        when(col("dmax") === col("dmin"), lit(0)).otherwise(
-          floor(
-            (col("v").cast("double") - col("dmin").cast("double"))
-              / (col("dmax").cast("double") - col("dmin").cast("double")) * 255.0 + 0.5)
-            .cast("int")).as("code"))
-      .orderBy(col("vec_id"), col("dim_idx"))
-  }
-
-  /** Exact per-vector L2 norms (the cosine family's portable fold) —
-    * norm precomputation is what turns cosine into a plain dot product
-    * in a production ANN serving path. */
-  def embeddingNorms(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .embeddings(spark, dir)
-      .select(col("vec_id"),
-        graft.functions.VectorFunctions.l2_norm(col("embedding")).as("l2_norm"))
-      .orderBy(col("vec_id"))
-
-  /** Whitespace + BPE-ish token counts. */
-  def textTokens(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
-      .select(
-        col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).as("n_ws_tokens"),
-        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
-      .orderBy(col("doc_id"))
-
-  /** Quality metrics (deterministic single-division doubles). */
-  def textQuality(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis
-      .qualityMetrics(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"), col("stopword_ratio"))
-      .orderBy(col("doc_id"))
-
-  /** Composite quality score (deterministic IEEE arithmetic in a fixed
-    * association order — oracle-checked). */
-  def textQualityScore(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis
-      .qualityScore(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("quality_score"))
-      .orderBy(col("doc_id"))
-
-  /** Language-ID heuristic: predicted-vs-labeled confusion counts.
-    * Integer argmax (bit-packed greatest) — oracle-checked. */
-  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
-      .withColumn("predicted", TextAnalysis.langId(col("text")))
-      .groupBy(col("lang"), col("predicted"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("lang"), col("predicted"))
-
-  /** End-to-end curation report: the composed pipeline a training-data
-    * run actually executes — exact-dedup keep list (semi-join, no
-    * duplicate content), quality-score gate, language-ID agreement with
-    * the label, then the per-language doc/token budget. Every stage is
-    * individually oracled (q25/q37/q38/q35); composing them stays
-    * deterministic, so the whole pipeline is oracle-checked too.
-    * Scale shape: one hash-aggregate (keep list), one broadcast-able
-    * semi-join, map-only scoring, one final tiny aggregate. */
-  def curationReport(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val keepers = docs
-      .groupBy(TextAnalysis.contentFingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
-    TextAnalysis
-      .qualityScore(kept)
-      .withColumn("predicted", TextAnalysis.langId(col("text")))
-      .filter(col("quality_score") >= 0.5)
-      .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_lang_agree"))
-      .orderBy(col("lang"))
-  }
-
-  /** Token-budget sampling: per language, admit documents in a
-    * DETERMINISTIC pseudo-random order (md5 of the text — uncorrelated
-    * with any data attribute, reproducible everywhere) until the running
-    * token count reaches the budget; a document is kept iff it STARTS
-    * under budget. The training-mix primitive: "give me ~N tokens per
-    * language".
-    *
-    * Scale shape (the round-2 verdict's fix): the naive form is one
-    * running-sum window per lang = each language's ENTIRE corpus through
-    * one sorted reducer. Instead, decompose by the first `prefixLen` hex
-    * chars of the rand key (hex string order == numeric order, so bucket
-    * order is a prefix of the global (rand_key, doc_id) order):
-    *   1. per-(lang, bucket) token sums — an ordinary two-phase aggregate;
-    *   2. a window over those langs×16^prefixLen METADATA rows classifies
-    *      each bucket: admitted outright (bucket ends under budget),
-    *      rejected outright (starts at/over), or THE one boundary bucket;
-    *   3. full buckets admit via a broadcast-hash semi-join — map-only
-    *      over the corpus;
-    *   4. the exact running-sum window runs ONLY inside the boundary
-    *      bucket (1/16^prefixLen of one language), seeded with the
-    *      metadata prefix sum.
-    * The admitted set is IDENTICAL to the windowed form (the oracle/twin
-    * below, asserted in QueriesSpec) — this is an exact decomposition,
-    * not an approximation. At 100 TB, raise prefixLen: 4 hex chars =
-    * 65 536 buckets puts the boundary window at ~1/65536 of a language. */
-  def tokenBudgetSample(spark: SparkSession, dir: String, budget: Long = 5000L,
-      prefixLen: Int = 2): DataFrame = {
-    val base = Tables
-      .documents(spark, dir)
-      .select(col("lang"), col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
-        md5(col("text").cast("binary")).as("rand_key"))
-      .withColumn("bucket", substring(col("rand_key"), 1, prefixLen))
-    val metaW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("bucket"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val buckets = base
-      .groupBy(col("lang"), col("bucket"))
-      .agg(sum(col("n_tokens")).as("bucket_tokens"))
-      .withColumn("cum_end", sum(col("bucket_tokens")).over(metaW))
-      .withColumn("cum_start", col("cum_end") - col("bucket_tokens"))
-    val fullKeys = buckets.filter(col("cum_end") <= budget)
-      .select(col("lang"), col("bucket"))
-    val boundary = buckets
-      .filter(col("cum_start") < budget && col("cum_end") > budget)
-      .select(col("lang"), col("bucket"), col("cum_start"))
-    val admittedFull = base.join(broadcast(fullKeys), Seq("lang", "bucket"), "left_semi")
-    val bw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"), col("bucket"))
-      .orderBy(col("rand_key"), col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val admittedBoundary = base
-      .join(broadcast(boundary), Seq("lang", "bucket"))
-      .withColumn("cum_tokens", col("cum_start") + sum(col("n_tokens")).over(bw))
-      .filter(col("cum_tokens") - col("n_tokens") < budget)
-      .select(base.columns.map(col): _*)
-    admittedFull
-      .unionByName(admittedBoundary)
-      .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("sampled_tokens"))
-      .orderBy(col("lang"))
-  }
-
-  /** Document packing: concatenate documents (in the deterministic
-    * content-hash order) into fixed token windows of `windowTokens` — the
-    * pretraining sequence-packing primitive ("fill 2048-token contexts").
-    * A document lands in the window its FIRST token falls in:
-    * window_id = (cum_before) div windowTokens. The running sum uses the
-    * sharded [[graft.operators.PrefixSum]] decomposition — no
-    * per-language serial window (same scale fix as q59). Emits per-window
-    * occupancy, the packing QA surface (how full are contexts, how many
-    * docs straddle). */
-  def tokenPacking(spark: SparkSession, dir: String, windowTokens: Long = 2048L): DataFrame = {
-    val base = Tables
-      .documents(spark, dir)
-      .select(col("lang"), col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
-        md5(col("text").cast("binary")).as("rand_key"))
-    graft.operators.PrefixSum
-      .runningSum(base, Seq("lang"), Seq("rand_key", "doc_id"), "n_tokens",
-        substring(col("rand_key"), 1, 2), "cum_tokens")
-      .withColumn("window_id", expr(s"(cum_tokens - n_tokens) div $windowTokens"))
-      .groupBy(col("lang"), col("window_id"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("window_tokens"))
-      .orderBy(col("lang"), col("window_id"))
-  }
-
-  /** The single-window formulation of [[tokenBudgetSample]] — the
-    * small-scale twin the bucket decomposition must match exactly
-    * (QueriesSpec asserts equality; the DuckDB oracle is this shape). */
-  private[graft] def tokenBudgetSampleWindowed(spark: SparkSession, dir: String,
-      budget: Long = 5000L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
-      .orderBy(col("rand_key"), col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    Tables
-      .documents(spark, dir)
-      .select(col("lang"), col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
-        md5(col("text").cast("binary")).as("rand_key"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .filter(col("cum_tokens") - col("n_tokens") < budget)
-      .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("sampled_tokens"))
-      .orderBy(col("lang"))
-  }
-
-  /** Deterministic train/val/test split by content hash: bucket =
-    * h31(md5(text)) mod 100 → train <90, val <95, test otherwise. Pure
-    * map-side routing — the split is a property of the CONTENT (stable
-    * under re-partitioning, re-ingestion, engine change), not of row
-    * order or RNG state. */
-  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(
-      graft.functions.PortableHashFunctions
-        .md5_token_hashes(array(col("text")), bits = 31)
-        .getItem(0),
-      lit(100))
-    Tables
-      .documents(spark, dir)
-      .withColumn(
-        "split",
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
-      .groupBy(col("lang"), col("split"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("lang"), col("split"))
-  }
-
-  /** Target language shares for [[domainMix]] — ordered so the oracle SQL
-    * generated from it is stable. */
-  val DomainMixWeights: Seq[(String, Double)] =
-    Seq("de" -> 0.2, "en" -> 0.3, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
-
-  /** Domain-mix resampling (the DoReMi/Pile-style mixing step): downsample
-    * each language so the admitted corpus matches target shares, keeping as
-    * much data as feasible — T = min_l(count_l / w_l) is the largest total
-    * for which no language runs out; language l keeps rate_l = w_l·T /
-    * count_l of its docs (the binding language keeps 1.0). Admission is the
-    * deterministic content-hash threshold (h31(md5(text)) — a property of
-    * the DOCUMENT, stable under repartitioning and engine change, never an
-    * RNG). Scale shape: one small per-lang count aggregate, a one-row min,
-    * rates broadcast back, admission map-only, final small aggregate —
-    * the corpus is never shuffled. All rate arithmetic is fixed-order
-    * double ops, so the oracle's rates and admitted counts hash-match. */
-  def domainMix(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val weights = typedLit(DomainMixWeights.toMap)
-    val counts = docs
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"))
-      .withColumn("w", element_at(weights, col("lang")))
-      .filter(col("w").isNotNull)
-    val t = counts.agg(min(col("n_docs").cast("double") / col("w")).as("t"))
-    val rates = counts
-      .crossJoin(broadcast(t))
-      .withColumn("rate",
-        least(lit(1.0), (col("w") * col("t")) / col("n_docs").cast("double")))
-      .select(col("lang"), col("n_docs"), col("rate"))
-    val h = graft.functions.PortableHashFunctions
-      .md5_token_hashes(array(col("text")), bits = 31)
-      .getItem(0)
-    val admitted = docs
-      .join(broadcast(rates.select(col("lang"), col("rate"))), Seq("lang"))
-      .filter(pmod(h, lit(1000000L)).cast("double") < col("rate") * 1000000.0)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_admitted"))
-    rates
-      .join(admitted, Seq("lang"), "left")
-      .select(col("lang"), col("n_docs"), col("rate"),
-        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
-      .orderBy(col("lang"))
-  }
-
-  /** Intra-document repetition metrics (the Gopher/MassiveText-style
-    * repetition filters): duplicate-token fraction, duplicate-bigram
-    * fraction, and top-token frequency share. Map-only except the
-    * top-token mode (explode → two-level count-max, partial-aggregated);
-    * single int/int→double divisions keep every value bit-portable. */
-  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val toks = TextAnalysis.tokens(col("text"))
-    val bg = Dedup.wordNgrams(col("text"), 2)
-    val base = docs.select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      (((size(toks) - size(array_distinct(toks))).cast("double")) / size(toks))
-        .as("dup_token_frac"),
-      (((size(bg) - size(array_distinct(bg))).cast("double")) / size(bg))
-        .as("dup_bigram_frac"))
-    val topCnt = docs
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("max_cnt"))
-    base
-      .join(topCnt, Seq("doc_id"))
-      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"), col("dup_bigram_frac"),
-        (col("max_cnt").cast("double") / col("n_tokens")).as("top_token_frac"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Decontamination: corpus docs within 0.8 Jaccard of any "benchmark"
-    * doc (deterministic sample: doc_id % 97 == 0 stands in for an eval
-    * set). Oracle brute-forces corpus × benchmark — LSH recall at the
-    * threshold is 1 - 1·10⁻¹¹ per pair with the recall-heavy 48×4
-    * banding (verified == brute force at sf0.001/0.01/0.1; the earlier
-    * 32×6 tuning missed 3 of ~50k pairs at sf0.1). */
-  def decontamination(spark: SparkSession, dir: String): DataFrame =
-    crossPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
-
-  /** Repeated word-level n-grams across documents — the exact-substring
-    * dedup primitive (find training text memorized verbatim in many docs:
-    * boilerplate, licenses, templated spans).
-    *
-    * Two-pass heavy-hitter shape so the big shuffle never carries gram
-    * strings: pass 1 explodes and aggregates on an 8-byte xxhash64 of the
-    * gram (~10× narrower than a 10-gram string; xxhash64 is codegen'd and
-    * never oracle-surfaced, so it needn't be md5-portable); pass 2
-    * re-scans and recovers display strings for the repeated survivors
-    * only, via a broadcast semi-join that filters map-side before any
-    * shuffle. Survivor cardinality is the query's own output pre-limit
-    * (HAVING n_docs >= 2) — at a 100 TB corpus you'd raise that floor to
-    * keep the broadcast bounded. */
-  def repeatedNgrams(spark: SparkSession, dir: String, n: Int = 10): DataFrame = {
-    def exploded = Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), explode(Dedup.wordNgrams(col("text"), n)).as("gram"))
-    val counts = exploded
-      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
-      .groupBy(col("gram_h"))
-      .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"))
-      .filter(col("n_docs") >= 2)
-    val names = exploded
-      .select(xxhash64(col("gram")).as("gram_h"), col("gram"))
-      .join(broadcast(counts.select(col("gram_h"))), Seq("gram_h"), "left_semi")
-      .groupBy(col("gram_h"))
-      .agg(min(col("gram")).as("gram"))
-    counts
-      .join(broadcast(names), Seq("gram_h"))
-      .select(col("gram"), col("n_docs"), col("n_occurrences"))
-      .orderBy(col("n_docs").desc, col("gram"))
-      .limit(100)
-  }
-
-  /** Exact n-gram decontamination: corpus docs sharing at least one exact
-    * word n-gram with a BENCHMARK doc other than themselves (doc_id % 97
-    * == 0 stands in for the eval set, as in q62) — the classic "13-gram
-    * overlap" contamination check next to q62's fuzzy MinHash variant,
-    * run at n=4 so the short synthetic harness docs produce hits.
-    *
-    * Scale shape: grams hash to 8-byte xxhash64 keys at explode time
-    * (strings never shuffle — q64's trick); the benchmark gram set is
-    * distinct'd and BROADCAST (eval suites are bounded by construction —
-    * ~10⁶ grams even for a large one), so the corpus side is a map-only
-    * pass into a partial-aggregated count-distinct: no corpus-sized
-    * shuffle carries anything wider than (int64, int64). */
-  def ngramContamination(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
-    def grams = Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), explode(Dedup.wordNgrams(col("text"), n)).as("gram"))
-    val bench = grams
-      .filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("bench_id"), xxhash64(col("gram")).as("gram_h"))
-      .distinct()
-    grams
-      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
-      .join(broadcast(bench), Seq("gram_h"))
-      .filter(col("doc_id") =!= col("bench_id"))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("gram_h")).as("n_shared_grams"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Word n-gram size for [[exactGramDedup]], shared with the q117 oracle
-    * SQL (generated-constant pattern, as q74/q86). */
-  private[analytics] val ExactGramN = 8
-
-  /** Earliest-owner exact n-gram dedup (q117) — the "exact substring"
-    * dedup policy (Lee et al. 2022, "Deduplicating Training Data Makes
-    * Language Models Better"-style, at word granularity): every distinct
-    * word 8-gram is owned by the LOWEST doc_id containing it; a document
-    * whose grams are ≥80% already-owned-by-an-earlier-doc is a duplicate
-    * (the member of a boilerplate/copy chain that arrived later). Unlike
-    * q27/q62 (fuzzy MinHash) this is exact overlap, and unlike q73
-    * (contamination vs a small benchmark set) the ownership join is
-    * corpus×corpus — the policy for intra-corpus boilerplate removal.
-    *
-    * Scale shape: documents are scanned and tokenized ONCE and never
-    * shuffle — grams hash to 8-byte xxhash64 keys at explode time (q64's
-    * trick), so the only shuffled rows are (gram_h, doc_id) pairs, and
-    * they shuffle ONCE: the per-gram min owner is a window aggregate over
-    * gram_h on that single exchange (an aggregate-then-rejoin formulation
-    * would re-scan and re-explode the corpus — the q109 double-scan trap,
-    * since column pruning defeats exchange reuse across the two
-    * branches). gram_h is high-cardinality so the window parallelizes;
-    * a pathological boilerplate gram's frame buffers via the spillable
-    * window array rather than failing. Nothing is O(n²). */
-  def exactGramDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(Dedup.wordNgrams(col("text"), ExactGramN))).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
-      .withColumn("owner", min(col("doc_id")).over(Window.partitionBy(col("gram_h"))))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("shared_grams"))
-      .withColumn("dup_bp", expr("shared_grams * 10000L div n_grams"))
-      .withColumn("is_dup", col("dup_bp") >= 8000L)
-      .orderBy(col("doc_id"))
-  }
-
-  /** User-journey transition matrix (q119) — the Markov event-flow view
-    * of the reference's event stream (README.md:24's
-    * signup/login/purchase/view/click vocabulary): for every ordered pair
-    * of consecutive events WITHIN a user (ordered by ts, tie-broken by
-    * event_id), count (from_type → to_type) and emit the per-from
-    * transition probability in integer basis points. The missing classic
-    * next to funnel (q89) and retention cohorts (q90): "where do users go
-    * after X" drives drop-off analysis and journey design.
-    *
-    * Scale shape: ONE shuffle on user_id for the lead() window — per-user
-    * frames are small and lead(1) streams (no frame buffering); the pair
-    * stream then aggregates map-side to the ≤|types|² transition matrix,
-    * and the per-from normalization window runs over that METADATA-sized
-    * matrix, never over events. Oracle ordering is pinned at Spark's
-    * microsecond timestamp resolution (epoch_us) so a sub-microsecond
-    * tie can never order the two engines differently. */
-  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byUserTime = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    transitionMatrixOf(Tables
-      .events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .withColumn("next_type", lead(col("event_type"), 1).over(byUserTime))
-      .filter(col("next_type").isNotNull)
-      .select(col("event_type").as("from_type"), col("next_type").as("to_type")))
-  }
-
-  /** (from_type, to_type) pair stream → counted, per-from-normalized
-    * transition matrix. Shared by the batch lead()-window formulation
-    * (q119) and the streaming last-event-state formulation (q120) so the
-    * two can never drift — they also share one oracle
-    * ([[TransitionOracleSql]]). */
-  private[analytics] def transitionMatrixOf(pairs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    pairs
-      .groupBy(col("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("from_total",
-        sum(col("n")).over(Window.partitionBy(col("from_type"))))
-      .withColumn("prob_bp", expr("n * 10000L div from_total"))
-      .orderBy(col("from_type"), col("to_type"))
-  }
-
-  /** The q119/q120 oracle: LEAD over (user, time) replayed in SQL.
-    * Ordering is pinned at Spark's microsecond resolution via epoch_us so
-    * DuckDB's nanosecond view of the parquet timestamps can never break
-    * ties differently; window SUM(BIGINT)→HUGEINT cast back; prob pure
-    * integer div. */
-  private[analytics] val TransitionOracleSql: String =
-    """WITH p AS (SELECT user_id, event_type,
-      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
-      |  FROM events),
-      |c AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
-      |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
-      |SELECT from_type, to_type, n,
-      |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
-      |  n * 10000 // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
-      |FROM c ORDER BY from_type, to_type""".stripMargin
-
-  /** Incremental materialized rollup (q124) — the reference's standing-
-    * aggregate-tables model (README.md:819) as restart-safe streaming
-    * maintenance: the event feed arrives in micro-batches, and each batch
-    * commits its PARTIAL (day, event_type) aggregate as its own
-    * `batch_id=N` partition segment — never merging in place, so a
-    * replayed batch just dynamic-partition-overwrites its OWN segment and
-    * can never double-count (the q100 idempotence trick applied to
-    * aggregates; the same segment model Druid/Pinot use). The serving
-    * read is the compaction view — sum over segments — and q99's
-    * compaction machinery folds old segments whenever segment count, not
-    * correctness, demands it. Money sums are integer cents
-    * (⌊value·100+0.5⌋ per row — one IEEE multiply+floor, then exact
-    * BIGINT sums), so no double-summation order can flip a hash.
-    *
-    * Scale shape: per batch, one map-side-combinable aggregate of the
-    * batch only (the standing table is neither read nor rewritten —
-    * ingest cost is O(batch)); the serving view aggregates
-    * segments·(days·types) METADATA-sized rows. */
-  def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
-    graft.SessionMemo.memo(spark, s"q124|$dir") {
-      val s = spark.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      val work = java.nio.file.Files.createTempDirectory("graft_rollup")
-      val rollup = s"$work/rollup"
-      val staged = work.resolve("incoming")
-      java.nio.file.Files.createDirectories(staged)
-      // Three deterministic feed files → three micro-batches.
-      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"),
-        col("event_type"), col("value"))
-      (0 until 3).foreach { i =>
-        val tmp = java.nio.file.Files.createTempDirectory("graft_rollup_feed")
-          .resolve("out").toString
-        ev.filter(col("event_id") % 3 === i).coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        val dst = staged.resolve(s"b$i.parquet")
-        java.nio.file.Files.copy(part, dst)
-        dst.toFile.setLastModified(1000000L * (i + 1))
-        ()
-      }
-      rollupIngest(s, staged.toString, rollup, s"$work/_checkpoint")
-      spark.read.parquet(rollup)
-        .groupBy(col("day"), col("event_type"))
-        .agg(sum(col("n")).as("n"), sum(col("value_cents")).as("value_cents"))
-        .orderBy(col("day"), col("event_type"))
-    }
-  }
-
-  /** nprobe operating points for [[annNprobeSweep]] (q125), shared with
-    * the oracle SQL. Packing base for the (np, query) composite key fed
-    * to the TopKAggregator — query ids stay far below it at any harness
-    * SF; a production corpus would widen it or hash the pair. */
-  private[analytics] val SweepNprobes = Seq(1, 2, 4, 8, 16)
-  private[analytics] val SweepKeyBase = 1000000000000L
-
-  /** ANN recall-vs-cost tuning curve (q125) — the production question q88
-    * answers at ONE operating point, swept across nprobe ∈ {1,2,4,8,16}:
-    * per point, candidate volume (the cost axis — scanned pairs) and
-    * recall@10 vs exact brute force (integer basis points). One pass
-    * computes every point: each (query, neighbor) candidate is tagged
-    * with the ROUTE RANK of the cell it came from, and participates in
-    * every operating point with np ≥ that rank — the sweep costs one
-    * search at the widest setting, not five searches.
-    *
-    * Note the curve is NOT forced monotone: under quantized ADC ranking,
-    * widening the probe set admits candidates whose QUANTIZED distance
-    * beats a true neighbor's, which can push it out of the top-10 — at
-    * sf0.001 recall reads 800/1100/1600/1700/1600 bp across the sweep.
-    * That tail dip is exactly the effect (re-ranking by exact distance
-    * would remove it) and exactly why this audit exists: the serving
-    * nprobe should sit at the knee, not the maximum.
-    *
-    * Scale shape: routing and ADC scoring are the q98 committed-index
-    * shapes (codes-only join, broadcast routed queries); the per-(np,
-    * query) ranking reuses the map-side bounded TopKAggregator on a
-    * packed composite key; recall joins are on compact id pairs. The
-    * np=16 point probes every cell by design — the audit ceiling, not
-    * the serving configuration. */
-  def annNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.IvfFunctions.nearest_cells
-    import graft.functions.PqFunctions.pq_adc_dist
-    import graft.similarity.{Ann, IvfPqIndex}
-    val embs = Tables.embeddings(spark, dir)
-    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
-    val p = idx.params
-    val queries = embs.filter(col("vec_id") % 50 === 0)
-    val routed = queries
-      .filter(col("embedding").isNotNull && size(col("embedding")) >= p.dim)
-      .select(col("vec_id").as("query_id"),
-        posexplode(nearest_cells(col("embedding"), idx.cellMatrix, idx.cellMatrix.length))
-          .as(Seq("r0", "cell")),
-        col("embedding"))
-      .withColumn("route_rank", col("r0") + 1)
-      .withColumn("q_rvec", IvfPqIndex.residual(idx.cellMatrix)(col("embedding"), col("cell")))
-    val codes = IvfPqIndex.codeSegments(spark, idx)
-      .map(seg => spark.read.parquet(seg))
-      .reduce(_.unionByName(_))
-      .select(col("neighbor_id"), col("cell"),
-        transform(col("codes"),
-          c => struct(c.as("code"), lit(0.0d).as("dist"))).as("enc"))
-    val scored = routed
-      .join(codes, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("route_rank"), col("neighbor_id"),
-        pq_adc_dist(col("q_rvec"), col("enc"), idx.codebooks).as("adc_dist"))
-    import spark.implicits._
-    val nps = broadcast(SweepNprobes.toDF("np"))
-    val withNp = scored.join(nps, col("route_rank") <= col("np"))
-    val ranked = Ann.topKRanked(
-      withNp.select(
-        (col("np").cast("long") * SweepKeyBase + col("query_id")).as("query_id"),
-        col("neighbor_id"), negate(col("adc_dist")).as("cosine")),
-      10)
-      .select(expr(s"query_id div $SweepKeyBase").cast("int").as("np"),
-        expr(s"query_id % $SweepKeyBase").as("qid"), col("neighbor_id"))
-    val brute = Ann.bruteForceTopK(queries, embs, "vec_id", "embedding", k = 10)
-      .select(col("query_id").as("qid"), col("neighbor_id"))
-    val nQueries = brute.select(col("qid")).distinct().count()
-    val hits = ranked
-      .join(brute, Seq("qid", "neighbor_id"), "left_semi")
-      .groupBy(col("np")).agg(count(lit(1)).as("n_hits"))
-    val cands = withNp.groupBy(col("np")).agg(count(lit(1)).as("n_candidates"))
-    cands
-      .join(hits, Seq("np"))
-      .withColumn("n_queries", lit(nQueries))
-      .withColumn("recall_bp", expr("n_hits * 10000L div (n_queries * 10L)"))
-      .select(col("np"), col("n_queries"), col("n_candidates"),
-        col("n_hits"), col("recall_bp"))
-      .orderBy(col("np"))
-  }
-
-  /** The q124 ingest: one-file micro-batches, each committing its partial
-    * (day, event_type) aggregate as its own `batch_id` segment via
-    * dynamic partition overwrite — replaying a batch rewrites the SAME
-    * segment with the SAME content, so restarts can never double-count
-    * (StreamingSpec replays the whole feed to prove it). private[graft]
-    * so the spec can drive it against a fixed rollup dir. */
-  private[graft] def rollupIngest(s: SparkSession, staged: String,
-      rollup: String, checkpoint: String): Unit = {
-    val stream = s.readStream
-      .schema(s.read.parquet(staged).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged)
-    val t0 = System.currentTimeMillis()
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch
-          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("value_cents"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(rollup)
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    graft.StreamLog.await(t0, q)
-  }
-
-  /** Drift-histogram bucket count (q123), shared with the oracle SQL. */
-  private[analytics] val DriftBuckets = 16
-
-  /** Per-dimension embedding-distribution drift (q123) — the vector-store
-    * monitoring op next to q88's recall audit: bucket each dimension into
-    * [[DriftBuckets]] bins using the REFERENCE snapshot's min/max
-    * (candidate values clamp into range), compare the two snapshots'
-    * bucket shares, and report total-variation distance per dimension in
-    * integer basis points (vec_id parity stands in for the two corpus
-    * snapshots). An embedding-model change, a normalization bug, or a
-    * domain shift shows up as drifted dimensions BEFORE recall degrades.
-    * TV in integer bp (Σ|p_ref − p_cand| / 2) instead of PSI: no
-    * logarithms, so both engines compute it exactly. The drift flag
-    * compares TV against a SAMPLE-SIZE-AWARE noise floor,
-    * ⌊15000·√(B/n)⌋ bp (n = the smaller snapshot's per-dim count): two
-    * iid halves of one corpus sit under it at any SF, a real
-    * distribution shift clears it — a fixed threshold would fire on
-    * pure sampling noise at small n (IEEE √ is correctly rounded, so
-    * the floor is bit-identical across engines).
-    *
-    * Scale shape: one exploded pass over (vec_id, dim, v) — compact
-    * 20-byte rows; the reference bounds are a 64-row broadcast; bucket
-    * counts aggregate map-side to ≤ dims·buckets·2 rows and everything
-    * after (share windows, TV sum) is metadata-sized. */
-  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
-    embeddingDriftOf(Tables.embeddings(spark, dir))
-
-  /** [[embeddingDrift]] over an explicit embeddings frame — split out so
-    * QueriesSpec can plant a genuinely shifted candidate snapshot (the
-    * q83 planted-scenario pattern): the harness corpus's iid halves
-    * exercise only the no-drift side of the flag. */
-  private[graft] def embeddingDriftOf(embs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = embs
-      .filter(col("embedding").isNotNull)
-      .select((col("vec_id") % 2).as("snap"),
-        posexplode(col("embedding")).as(Seq("dim_idx", "v")))
-    val bounds = e.filter(col("snap") === 0)
-      .groupBy(col("dim_idx"))
-      .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
-    val byDim = Window.partitionBy(col("dim_idx"))
-    e.join(broadcast(bounds), Seq("dim_idx"))
-      .withColumn("bucket",
-        when(col("dmax") === col("dmin"), lit(0)).otherwise(
-          greatest(lit(0), least(lit(DriftBuckets - 1),
-            floor((col("v").cast("double") - col("dmin").cast("double"))
-              / (col("dmax").cast("double") - col("dmin").cast("double"))
-              * DriftBuckets).cast("int")))))
-      .groupBy(col("dim_idx"), col("bucket"))
-      .agg(
-        sum(when(col("snap") === 0, 1L).otherwise(0L)).as("n_ref"),
-        sum(when(col("snap") === 1, 1L).otherwise(0L)).as("n_cand"))
-      .withColumn("rt", sum(col("n_ref")).over(byDim))
-      .withColumn("ct", sum(col("n_cand")).over(byDim))
-      .withColumn("ref_bp", expr("n_ref * 10000L div rt"))
-      .withColumn("cand_bp", expr("n_cand * 10000L div ct"))
-      .groupBy(col("dim_idx"))
-      .agg(count(lit(1)).as("n_buckets"),
-        sum(abs(col("ref_bp") - col("cand_bp"))).as("tv2_bp"),
-        min(col("rt")).as("rt"), min(col("ct")).as("ct"))
-      .withColumn("tv_bp", expr("tv2_bp div 2"))
-      .withColumn("noise_bp",
-        floor(lit(15000.0) * sqrt(lit(DriftBuckets).cast("double")
-          / least(col("rt"), col("ct")).cast("double"))).cast("long"))
-      .withColumn("drifted", col("tv_bp") >= col("noise_bp"))
-      .select(col("dim_idx"), col("n_buckets"), col("tv_bp"),
-        col("noise_bp"), col("drifted"))
-      .orderBy(col("dim_idx"))
-  }
-
-  /** Per-source contribution cap (q122), shared with the oracle SQL. */
-  private[analytics] val SourceCap = 20
-
-  /** Per-source contribution caps (q122) — the GPT-3-style domain cap: no
-    * single source may contribute more than [[SourceCap]] documents; when
-    * a source exceeds it, keep the longest (n_chars desc, tie lower id)
-    * and report what the cap cost per source. The policy complement of
-    * q118 (weighted sampling draws ∝ quality; capping BOUNDS any one
-    * domain's influence regardless of quality) and of q85 (reputation
-    * gates on quality signals; capping is purely volumetric).
-    *
-    * Scale shape: the kept set is selected by the same map-side bounded
-    * TopKAggregator as q118/q121 (≤ partitions·cap rows per source cross
-    * the wire — a per-source row_number window would shuffle the corpus
-    * into #sources fat partitions); kept ids re-attach by broadcast for
-    * exact integer char sums; the per-source totals are one hash
-    * aggregate. Output is #sources report rows. */
-  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"), col("n_chars"))
-    val totals = docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
-    val keptIds = graft.similarity.Ann.topKRanked(
-      docs.select(
-        xxhash64(col("source")).as("query_id"),
-        col("doc_id").as("neighbor_id"),
-        col("n_chars").cast("double").as("cosine")),
-      SourceCap)
-      .select(col("neighbor_id").as("doc_id"))
-    val keptAgg = docs.join(broadcast(keptIds), Seq("doc_id"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
-    totals
-      .join(keptAgg, Seq("source"))
-      .withColumn("n_dropped", col("n_docs") - col("n_kept"))
-      .withColumn("dropped_chars_bp",
-        expr("(total_chars - kept_chars) * 10000L div total_chars"))
-      .select(col("source"), col("n_docs"), col("n_kept"), col("n_dropped"),
-        col("total_chars"), col("kept_chars"), col("dropped_chars_bp"))
-      .orderBy(col("source"))
-  }
-
-  /** KMV sketch size (q121), shared with the oracle SQL. 1/√128 ≈ 9%
-    * relative error on union estimates — the production trade-off. */
-  private[analytics] val KmvK = 128
-
-  /** Audience-overlap KMV sketches (q121) — the sketch-family member HLL
-    * cannot express: k-minimum-values (bottom-k) sketches support SET
-    * INTERSECTION estimation (Beyer et al. 2007, the theta-sketch idea),
-    * so "how many users did both A and B" is answerable from two
-    * constant-size sketches without re-scanning either side. Per
-    * event-type: the [[KmvK]] smallest distinct values of a portable
-    * Lehmer-mix hash of user_id (the q118 uniform — BOTH engines compute
-    * it exactly, so unlike q42/q69's bounded-claim rows, the ESTIMATES
-    * themselves are hash-exact oracled). Per type pair: the k-smallest
-    * union sketch, θ-based union estimate (m−1)·P/kth, intersection
-    * estimate via the Jaccard share of the union sketch, and the exact
-    * audit columns with integer basis-point errors.
-    *
-    * Scale shape: the corpus-sized work is one distinct on compact
-    * (type, v) pairs + the same map-side bounded TopKAggregator as
-    * q118/q80 (negated values → bottom-k) — the shuffle carries
-    * ≤ partitions·k rows per type, never the user set. Sketch algebra
-    * runs on ≤ types·k values (driver-scale); the exact audit join is
-    * harness-affordable and would be DROPPED at 100 TB — the sketches
-    * are the product there, mergeable across segments/days by k-min of
-    * concatenation exactly like the q84 Bloom bit-OR. */
-  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val distinctTV = Tables
-      .events(spark, dir)
-      .select(col("event_type"),
-        ((col("user_id") % SampleP) * SampleC1 + SampleC2) % SampleP as "v")
-      .distinct()
-    val sketches = graft.similarity.Ann.topKRanked(
-      distinctTV.select(
-        xxhash64(col("event_type")).as("query_id"),
-        col("v").as("neighbor_id"),
-        negate(col("v").cast("double")).as("cosine")),
-      KmvK)
-      .groupBy(col("query_id"))
-      .agg(sort_array(collect_list(col("neighbor_id"))).as("vs"))
-    val typeMap = Tables.events(spark, dir).select(col("event_type")).distinct()
-      .select(col("event_type"), xxhash64(col("event_type")).as("query_id"))
-    val s = sketches.join(broadcast(typeMap), Seq("query_id"))
-      .select(col("event_type"), col("vs"))
-    // Exact audit columns (dropped at scale; kept here so the estimate
-    // quality is itself data, not a claim).
-    val exactPer = Tables.events(spark, dir)
-      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("nd"))
-    val du = Tables.events(spark, dir).select(col("event_type"), col("user_id")).distinct()
-    val exactPair = du.as("a")
-      .join(du.as("b"),
-        col("a.user_id") === col("b.user_id")
-          && col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
-      .agg(count(lit(1)).as("exact_overlap"))
-    val pairs = s.as("sa")
-      .join(s.as("sb"), col("sa.event_type") < col("sb.event_type"))
-      .select(
-        col("sa.event_type").as("type_a"), col("sb.event_type").as("type_b"),
-        col("sa.vs").as("va"), col("sb.vs").as("vb"))
-      .withColumn("uk", array_sort(array_union(col("va"), col("vb"))))
-      .withColumn("m", least(lit(KmvK), size(col("uk"))))
-      .withColumn("kth", element_at(col("uk"), col("m")))
-      .withColumn("est_union", expr(s"(m - 1) * ${SampleP}L div kth"))
-      .withColumn("inter_m",
-        size(array_intersect(slice(col("uk"), lit(1), col("m")),
-          array_intersect(col("va"), col("vb")))))
-      .withColumn("est_overlap", expr("est_union * inter_m div m"))
-    pairs
-      .join(exactPair, Seq("type_a", "type_b"), "left")
-      .join(exactPer.select(col("event_type").as("type_a"), col("nd").as("nd_a")), Seq("type_a"))
-      .join(exactPer.select(col("event_type").as("type_b"), col("nd").as("nd_b")), Seq("type_b"))
-      .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
-      .withColumn("exact_union", col("nd_a") + col("nd_b") - col("exact_overlap"))
-      .withColumn("union_err_bp",
-        expr("abs(est_union - exact_union) * 10000L div exact_union"))
-      .select(col("type_a"), col("type_b"), col("exact_union"), col("exact_overlap"),
-        col("est_union"), col("est_overlap"), col("union_err_bp"))
-      .orderBy(col("type_a"), col("type_b"))
-  }
-
-  /** Sequential-Poisson sampling constants (q118), shared with the oracle
-    * SQL (generated-constant pattern). The hash is a Lehmer-style
-    * multiplicative mix mod the Mersenne prime 2^31-1: every intermediate
-    * fits a BIGINT ((P-1)·C1 < 2^63), so BOTH engines compute the uniform
-    * exactly in integer arithmetic — no RNG state, no transcendentals. */
-  private[analytics] val SampleK = 25
-  private[analytics] val SampleP = 2147483647L
-  private[analytics] val SampleC1 = 2654435761L
-  private[analytics] val SampleC2 = 1013904223L
-
-  /** Deterministic weighted corpus subsampling (q118) — sequential
-    * Poisson sampling (Ohlsson 1998), the πps scheme official statistics
-    * uses: each doc draws a deterministic uniform u from its id, gets
-    * priority u/w (w = n_chars — longer docs proportionally likelier),
-    * and the K lowest priorities PER LANGUAGE are kept. The sample is a
-    * pure function of (corpus, constants): reproducible across runs,
-    * re-runnable incrementally (a new doc's priority never changes old
-    * priorities — only the K-boundary moves), and auditable row by row.
-    *
-    * Scale shape: the priority is map-only; per-stratum selection reuses
-    * the ANN [[graft.similarity.Ann.TopKAggregator]] — partials combine
-    * MAP-SIDE, so the shuffle carries at most partitions·K rows per
-    * stratum instead of the corpus (a per-lang row_number window would
-    * shuffle every row into #langs fat partitions — the q15 shape is
-    * wrong when strata are few and huge). The kept list (strata·K rows)
-    * then re-attaches metadata by an 8-byte id broadcast join into the
-    * corpus — map-only. */
-  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables
-      .documents(spark, dir)
-      .select(col("lang"), col("doc_id"), col("n_chars").as("weight"))
-      .withColumn("v",
-        ((col("doc_id") % SampleP) * SampleC1 + SampleC2) % SampleP)
-      .withColumn("priority", (col("v") + lit(1L)).cast("double") / col("weight"))
-    val kept = graft.similarity.Ann.topKRanked(
-      docs.select(
-        xxhash64(col("lang")).as("query_id"),
-        col("doc_id").as("neighbor_id"),
-        negate(col("priority")).as("cosine")),
-      SampleK)
-      .select(col("neighbor_id").as("doc_id"), col("rank"))
-    docs
-      .join(broadcast(kept), Seq("doc_id"))
-      .select(col("lang"), col("doc_id"), col("weight"), col("priority"), col("rank"))
-      .orderBy(col("lang"), col("rank"))
-  }
-
-  /** Chunking constants, shared with the q74 oracle SQL (generated from
-    * these same values): 64-token windows, 16-token overlap → stride 48. */
-  private[analytics] val ChunkSize = 64
-  private[analytics] val ChunkOverlap = 16
-
-  /** Fixed-size token-window chunking with overlap — the map-only 1→N
-    * transform that turns documents into training-context windows (every
-    * pretraining pipeline's last text step before tokenization). Chunk k
-    * covers tokens [k·stride, k·stride + size); the final chunk truncates
-    * at the document end; docs at or under one window emit exactly one
-    * chunk. Pure per-row explode + slice: no shuffle at all until the
-    * harness ORDER BY, and chunk fingerprints are md5 (oracle-portable,
-    * the q39 pattern). */
-  def tokenChunks(spark: SparkSession, dir: String,
-      chunkSize: Int = ChunkSize, overlap: Int = ChunkOverlap): DataFrame =
-    tokenChunksOf(Tables.documents(spark, dir), chunkSize, overlap)
-
-  /** DataFrame-level core of [[tokenChunks]] (docs must carry doc_id,
-    * text); split out so specs can drive synthetic documents through it. */
-  def tokenChunksOf(docs: DataFrame,
-      chunkSize: Int = ChunkSize, overlap: Int = ChunkOverlap): DataFrame = {
-    require(overlap < chunkSize, "overlap must be smaller than the chunk size")
-    val stride = chunkSize - overlap
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("n", size(col("toks")))
-      .withColumn("n_chunks",
-        when(col("n") <= chunkSize, lit(1L))
-          .otherwise(expr(s"(n - $chunkSize + $stride - 1) div $stride") + lit(1L)))
-      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
-      .withColumn("chunk",
-        slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize)))
-      .select(
-        col("doc_id"),
-        col("chunk_idx").cast("int").as("chunk_idx"),
-        size(col("chunk")).cast("long").as("n_chunk_tokens"),
-        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
-  }
-
-  // Bucketed-layout spec constants — folded into the warehouse table tag so
-  // a layout written under different values can never be re-served.
-  private val BucketCount = 8
-  private val LineitemDdl = "l_orderkey BIGINT, l_quantity DOUBLE"
-  private val OrdersDdl = "o_orderkey BIGINT, o_orderpriority STRING"
-
-  // Bucketed twin tables per (session, dir) — written once into the
-  // session catalog/warehouse and reused (same WeakHashMap rationale as
-  // nearDupTierCache above).
-  private val bucketedTableCache =
-    new java.util.WeakHashMap[
-      SparkSession, scala.collection.concurrent.TrieMap[String, (String, String)]]()
-  private def bucketedTables(spark: SparkSession, dir: String): (String, String) = {
-    val perSession = bucketedTableCache.synchronized {
-      var m = bucketedTableCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-        bucketedTableCache.put(spark, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(dir, {
-      // The tag fingerprints dir + bucket count + column schemas (md5, not
-      // a 32-bit hashCode): a leftover layout written under a DIFFERENT
-      // bucket spec or schema version gets a different table name and is
-      // rewritten instead of silently served under the new spec.
-      val spec = s"$dir|buckets=$BucketCount|$LineitemDdl|$OrdersDdl"
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(spec.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-      val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
-      // A previous JVM's warehouse directory survives while the new
-      // session's catalog is empty. If the COMPLETE layout is still there
-      // (_SUCCESS from the committed write; bucket ids live in the file
-      // names, so re-declaring the bucket spec over the files is exact),
-      // re-register it as an external table instead of rewriting — the
-      // testdata dirs are immutable, and the bucketing cost is supposed
-      // to be paid once, not once per JVM. Anything partial (no
-      // _SUCCESS) is dropped and rewritten.
-      def ensure(t: String, ddlCols: String, key: String, write: () => Unit): Unit = {
-        require(ddlCols == LineitemDdl || ddlCols == OrdersDdl) // spec'd in the tag
-        spark.sql(s"DROP TABLE IF EXISTS `$t`")
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), t)
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
-          spark.sql(
-            s"""CREATE TABLE `$t` ($ddlCols) USING PARQUET
-               |CLUSTERED BY ($key) SORTED BY ($key) INTO $BucketCount BUCKETS
-               |LOCATION '${loc.toString}'""".stripMargin)
-        } else {
-          if (fs.exists(loc)) fs.delete(loc, true)
-          val t0 = System.nanoTime()
-          write()
-          // Cold-build attribution (round-7 verdict #6) — see LayoutLog.
-          graft.LayoutLog.record(t, (System.nanoTime() - t0) / 1e9)
-        }
-      }
-      ensure(lt, LineitemDdl, "l_orderkey", () =>
-        graft.operators.Scale.writeBucketed(
-          Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity")),
-          lt, Seq("l_orderkey"), buckets = BucketCount))
-      ensure(ot, OrdersDdl, "o_orderkey", () =>
-        graft.operators.Scale.writeBucketed(
-          Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-          ot, Seq("o_orderkey"), buckets = BucketCount))
-      (lt, ot)
-    })
-  }
-
-  /** Bucketed co-located fact⋈fact join as a query row: lineitem and
-    * orders are both written bucketed+sorted on the order key, so the join
-    * itself plans with ZERO Exchange on either side (scan → SortMergeJoin
-    * straight off the bucketed layout; PlanSpec pins exactly one Exchange
-    * in the whole plan — the tiny 5-row priority aggregate after the
-    * join). At 100 TB this is the difference between re-shuffling the
-    * fact table on every join and never shuffling it: the bucketing cost
-    * is paid once at WRITE time and amortized over every downstream
-    * join/aggregate on the same key. Result is bucketing-invariant, so
-    * the oracle is a plain join on the raw tables. */
-  def bucketedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
-    val (lt, ot) = bucketedTables(spark, dir)
-    spark.table(lt)
-      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
-      .orderBy(col("o_orderpriority"))
-  }
-
-  /** PII redaction: emails/phone-shaped spans → placeholder tokens, with
-    * per-doc match counts and the redacted-content fingerprint. Map-only
-    * regexp passes (RE2-safe patterns — identical semantics on the DuckDB
-    * oracle); the harness corpus is PII-free, so the oracle here checks
-    * engine parity of the regex machinery over 5K real strings while
-    * TextSpec proves actual redaction on synthetic PII. */
-  def piiRedaction(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
-      .select(
-        col("doc_id"),
-        TextAnalysis.emailCount(col("text")).as("n_emails"),
-        TextAnalysis.phoneCount(col("text")).as("n_phones"),
-        md5(TextAnalysis.redactPii(col("text")).cast("binary")).as("redacted_fp"))
-      .orderBy(col("doc_id"))
-
-  /** Per-language sampling rates in basis points (default 10000 = keep
-    * all) — "downsample the over-represented languages". One place, so the
-    * Spark predicate and the DuckDB oracle are generated from the SAME
-    * constants (the minhashParamValues pattern). */
-  private[analytics] val StratifiedRatesBp: Seq[(String, Int)] =
-    Seq("en" -> 5000, "de" -> 8000)
-
-  /** Deterministic rate-based stratified sampling: keep a document iff
-    * h31(md5(text)) mod 10000 < rate(lang). Content-hash Bernoulli — the
-    * third training-mix primitive next to q59 (token budget) and q60
-    * (split): stable under re-partitioning/re-ingestion/engine change,
-    * map-only + one tiny aggregate. */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(
-      graft.functions.PortableHashFunctions
-        .md5_token_hashes(array(col("text")), bits = 31)
-        .getItem(0),
-      lit(10000))
-    val rate = StratifiedRatesBp.foldLeft(lit(10000)) {
-      case (acc, (l, bp)) => when(col("lang") === l, lit(bp)).otherwise(acc)
-    }
-    Tables
-      .documents(spark, dir)
-      .select(col("lang"),
-        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
-        (bucket < rate).as("keep"))
-      .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_total"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("keep"), col("n_tokens").cast("long")).otherwise(0L)).as("kept_tokens"))
-      .orderBy(col("lang"))
-  }
-
-  /** md5 content fingerprints. */
-  def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.contentFingerprint(col("text")).as("fp"))
-      .orderBy(col("doc_id"))
-
-  /** Order-sensitive rolling fingerprints (md5-derived — oracle-checked). */
-  def fingerprintRolling(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
-      .orderBy(col("doc_id"))
-
-  /** Multimodal pipeline: binary payloads + metadata → partition-wise
-    * feature extraction (real imageio for images, stub for the rest). The
-    * projected surface is the PORTABLE subset — md5-h31 modality routing,
-    * byte counts, in-pipeline md5 fingerprint — so the binary-column
-    * plumbing and the typed mapPartitions hop are hash-checked by the
-    * driver; codec-specific outputs (checksum/features) stay covered by
-    * MultimodalSpec. */
-  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
-    Multimodal
-      .extractFeatures(spark, Multimodal.mediaFromDocuments(Tables.documents(spark, dir)))
-      .toDF()
-      .select(col("media_id"), col("modality"), col("n_bytes"), col("content_fp"))
-      .orderBy(col("media_id"))
-
-  /** Curation v2 (q83) — the round-4 operators chained the way a real
-    * training-data run executes them, in ONE registered query with no
-    * driver round-trip between stages:
-    *
-    *   1. exact dedup (q25's rule: keep the min doc_id per content md5);
-    *   2. fuzzy dedup (q27's verified MinHash pairs at Jaccard ≥ 0.95,
-    *      both ends restricted to exact-dedup survivors; the SemDeDup-style
-    *      order-free dominance rule drops the higher id of every pair);
-    *   3. decontamination against the benchmark set (doc_id % 97 == 0, as
-    *      in q62/q73): exact 4-gram overlap (broadcast hashed gram set)
-    *      OR fuzzy Jaccard ≥ 0.8 (48×4 recall-heavy banding);
-    *   4. domain-mix admission (q77's feasibility-capped rates computed
-    *      over the surviving corpus, content-hash Bernoulli admission);
-    *   5. token-window chunking of the admitted docs (q74's 64/16 windows)
-    *      and packing of the chunks into 2048-token contexts (q72's
-    *      sharded PrefixSum — no per-language serial window).
-    *
-    * Emits the per-language budget: admitted docs, chunks, kept tokens,
-    * packed windows. Every stage is individually oracled and the
-    * composition stays deterministic, so the whole pipeline hash-checks
-    * against one DuckDB SQL. Scale shape: two hash-aggregates + semi/anti
-    * joins on 8-byte ids (dedup), one broadcast gram join + one banded
-    * cross-join on compact keys (decontamination), map-only admission,
-    * map-only chunking, sharded prefix sum (packing) — the corpus text
-    * column never crosses an Exchange after stage 2's tokenize. */
-  def curationV2(spark: SparkSession, dir: String): DataFrame = {
-    val (members, setPairs) = nearDupTiers(spark, dir)
-    curationV2Of(Tables.documents(spark, dir), members, setPairs, crossPairs(spark, dir))
-  }
-
-  /** DataFrame-level core of [[curationV2]] (docs must carry doc_id, lang,
-    * text; tiers are [[graft.dedup.Dedup.tieredSetPairs]] outputs for the
-    * same docs) — split out so specs can drive planted scenarios through
-    * every stage (the harness corpus has no EXACT duplicates, so stage 1
-    * is only non-vacuous on synthetic input). */
-  /** Stage-1 joint of [[curationV2Of]]: the exact-dedup keep list applied
-    * back to the corpus as a LEFT SEMI join on doc_id. At harness SF the
-    * keep list fits a broadcast; at 100 TB it is corpus-sized and AQE
-    * flips the build side to a shuffle join — ScaleSpec pins that the
-    * flip changes the plan, not the survivors (the broadcast here is a
-    * size decision, never a correctness dependency). */
-  private[graft] def exactKeepSurvivors(docs: DataFrame): DataFrame = {
-    val keep1 = docs
-      .groupBy(TextAnalysis.contentFingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    docs.join(keep1, Seq("doc_id"), "left_semi")
-  }
-
-  private[graft] def curationV2Of(docs: DataFrame,
-      members: DataFrame, setPairs: DataFrame, contaminationPairs: DataFrame): DataFrame = {
-    // 1. exact dedup
-    val d1 = exactKeepSurvivors(docs)
-    // 2. fuzzy dedup over the SHARED memoized tier outputs (the q27/q56
-    //    pipeline is not recomputed); pairs(d1) = pairs(full) ∩ d1×d1
-    //    because Jaccard is pairwise.
-    val d1Ids = d1.select(col("doc_id"))
-    val dominated = Dedup
-      .pairsOfTiered(members, setPairs)
-      .join(d1Ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
-      .join(d1Ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
-      .select(col("id_b").as("doc_id"))
-      .distinct()
-    // The deduped corpus is consumed three times (exact-gram scan, fuzzy
-    // decontamination scan, the anti-join probe side) — persist it so the
-    // dedup subtree executes once. Phase boundary, same rationale as d3.
-    val d2 = d1
-      .join(dominated, Seq("doc_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 3. decontamination: the benchmark set is defined on the FULL corpus
-    //    (the eval suite exists independently of what dedup kept).
-    val bench = docs.filter(col("doc_id") % 97 === 0)
-    def grams(df: DataFrame) = df
-      .select(col("doc_id"), explode(Dedup.wordNgrams(col("text"), 4)).as("gram"))
-    val benchGrams = grams(bench)
-      .select(col("doc_id").as("bench_id"), xxhash64(col("gram")).as("gram_h"))
-      .distinct()
-    val contExact = grams(d2)
-      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
-      .join(broadcast(benchGrams), Seq("gram_h"))
-      .filter(col("doc_id") =!= col("bench_id"))
-      .select(col("doc_id"))
-      .distinct()
-    // Shared with q62 (memoized in the wrapper): Jaccard is pairwise, so
-    // the full-corpus pair list restricted by the anti-join below equals
-    // pairs(d2, bench) — ids outside d2 simply never match.
-    val contFuzzy = contaminationPairs
-      .select(col("id_a").as("doc_id"))
-      .distinct()
-    // The kept corpus is the pipeline's materialization point: the mix
-    // stage needs it twice (per-lang counts for the rates, then the
-    // admission pass), so persist it — the dedup/decontamination subtree
-    // executes exactly ONCE, and both consumers scan the same cache. At
-    // 100 TB this is where a real run checkpoints to parquet between the
-    // curation and mixing phases; in-memory persistence is the same shape
-    // without leaving the query. (It also sidesteps double-instantiating
-    // the LSH tier caches inside one AQE query, where stale cached
-    // partitioning claims can break stage zipping.)
-    val d3 = d2
-      .join(contExact.unionByName(contFuzzy), Seq("doc_id"), "left_anti")
-      .select(col("lang"), col("doc_id"), col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 4. domain-mix admission (rates from the surviving corpus)
-    val weights = typedLit(DomainMixWeights.toMap)
-    val counts = d3
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"))
-      .withColumn("w", element_at(weights, col("lang")))
-      .filter(col("w").isNotNull)
-    val t = counts.agg(min(col("n_docs").cast("double") / col("w")).as("t"))
-    val rates = counts
-      .crossJoin(broadcast(t))
-      .withColumn("rate",
-        least(lit(1.0), (col("w") * col("t")) / col("n_docs").cast("double")))
-      .select(col("lang"), col("rate"))
-    val h = graft.functions.PortableHashFunctions
-      .md5_token_hashes(array(col("text")), bits = 31)
-      .getItem(0)
-    val d4 = d3
-      .join(broadcast(rates), Seq("lang"))
-      .filter(pmod(h, lit(1000000L)).cast("double") < col("rate") * 1000000.0)
-      .select(col("lang"), col("doc_id"), col("text"))
-    // 5. chunk (q74's windows, with lang + the packing key kept) + pack
-    val stride = ChunkSize - ChunkOverlap
-    val chunks = d4
-      .select(col("lang"), col("doc_id"),
-        md5(col("text").cast("binary")).as("rand_key"),
-        split(col("text"), " ").as("toks"))
-      .withColumn("n", size(col("toks")))
-      .withColumn("n_chunks",
-        when(col("n") <= ChunkSize, lit(1L))
-          .otherwise(expr(s"(n - $ChunkSize + $stride - 1) div $stride") + lit(1L)))
-      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
-      .withColumn("n_chunk_tokens",
-        size(slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(ChunkSize)))
-          .cast("long"))
-      .select(col("lang"), col("doc_id"), col("rand_key"), col("chunk_idx"),
-        col("n_chunk_tokens"))
-    val packed = graft.operators.PrefixSum
-      .runningSum(chunks, Seq("lang"), Seq("rand_key", "doc_id", "chunk_idx"),
-        "n_chunk_tokens", substring(col("rand_key"), 1, 2), "cum_tokens")
-      .withColumn("window_id", expr("(cum_tokens - n_chunk_tokens) div 2048"))
-    packed
-      .groupBy(col("lang"))
-      .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_chunks"),
-        sum(col("n_chunk_tokens")).as("kept_tokens"),
-        countDistinct(col("window_id")).as("n_windows"))
-      .orderBy(col("lang"))
-  }
-
-  /** ANN index-quality audit (q88) — recall@10 of the composed IVFPQ
-    * index (q80) against exact brute-force cosine (q33), the metric a
-    * production vector-search deployment actually monitors. Both inputs
-    * are bit-exact deterministic (each is independently hash-oracled), so
-    * their per-query intersection — and therefore the recall — is exactly
-    * portable: emitted as integer counts plus basis points
-    * (`10000·hits / (k·n_queries)` in integer arithmetic, no float mean).
-    * Scale shape: two bounded top-k results (n_queries·k rows each)
-    * joined on compact id pairs — trivially small next to the searches
-    * themselves. */
-  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables.embeddings(spark, dir)
-    val queries = embs.filter(col("vec_id") % 50 === 0)
-    val brute = Ann
-      .bruteForceTopK(queries, embs, "vec_id", "embedding", k = 10)
-      .select(col("query_id"), col("neighbor_id"))
-    val ivfpq = graft.similarity.Pq
-      .ivfPqTopK(spark, queries, embs, "vec_id", "embedding", k = 10)
-      .select(col("query_id"), col("neighbor_id"))
-    val hits = ivfpq.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
-    brute
-      .agg(countDistinct(col("query_id")).as("n_queries"))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
-      .select(col("n_queries"), col("n_hits"),
-        expr("n_hits * 10000 div (n_queries * 10)").as("recall_bp"))
-  }
-
-  /** Adaptive per-language quality gate (q87) — quality thresholds in a
-    * multilingual corpus can't be absolute (languages score differently
-    * under any heuristic), so real curation gates RELATIVE to the
-    * language's own distribution: keep docs at/above their language's
-    * 25th percentile. Quality mass is q85's fixed-point integer (per-doc
-    * bit-identical across engines); the threshold is the exact
-    * interpolated percentile over those integers (the q51-proven portable
-    * interpolation); the gate compare is integer-vs-interpolated-double —
-    * deterministic everywhere. Scale shape: map-only scoring, one per-lang
-    * percentile aggregate (5 rows) broadcast back, map-only gate, final
-    * small aggregate — the q77 admission shape. */
-  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val scored = TextAnalysis
-      .qualityScore(docs)
-      .select(col("lang"),
-        floor(col("quality_score") * 1e6).cast("long").as("quality_fp"),
-        col("n_tokens").cast("long").as("n_tokens"))
-    val thresholds = scored
-      .groupBy(col("lang"))
-      .agg(expr("percentile(quality_fp, 0.25)").as("p25_fp"))
-    scored
-      .join(broadcast(thresholds), Seq("lang"))
-      .groupBy(col("lang"), col("p25_fp"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("quality_fp") >= col("p25_fp"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("quality_fp") >= col("p25_fp"), col("n_tokens")).otherwise(0L))
-          .as("kept_tokens"))
-      .select(col("lang"), col("p25_fp"), col("n_docs"), col("n_kept"), col("kept_tokens"))
-      .orderBy(col("lang"))
-  }
-
-  /** Distributed k-means inertia trace (q86) — see
-    * [[graft.similarity.Kmeans]]: 3 Lloyd iterations over the embeddings,
-    * iteration 0's inertia exact-oracled (seeded centroids + fixed-point
-    * BIGINT sum), later iterations pinned by the structural monotonicity
-    * claim. */
-  def kmeansInertia(spark: SparkSession, dir: String): DataFrame =
-    graft.similarity.Kmeans
-      .inertiaTrace(spark, Tables.embeddings(spark, dir), "vec_id", "embedding")
-
-  /** Blocklisted sources — one place, generated into the q85 oracle (the
-    * StratifiedRatesBp pattern) so Spark and DuckDB can never drift. */
-  private[analytics] val SourceBlocklist: Seq[String] = Seq("src3", "src7")
-
-  /** Per-source (domain) reputation & blocklist curation (q85) — the
-    * C4/RefinedWeb-style DOMAIN-level filtering step: web-scale curation
-    * decides per domain before it decides per document. One row per
-    * source: docs, tokens, exact-decimal quality mass, how many of its
-    * docs are corpus-wide token-set duplicates, and the keep decision =
-    * NOT blocklisted AND mean quality ≥ 0.4 — evaluated on q82's
-    * fixed-point BIGINTs (`Σ floor(quality·10⁶) ≥ 400000·n_docs`): per-doc
-    * scores are bit-identical across engines (q37), the floor is exact,
-    * and integer sums are aggregation-order-free — so the gate and the
-    * quality mass are hash-exact, never a float-mean comparison.
-    *
-    * Scale shape: the dup-key set is a hash-aggregate on compact md5 keys
-    * (broadcast here; at web scale it becomes the q84 Bloom side);
-    * everything else is one map-only scoring pass + one per-source
-    * aggregate. Sources are bounded (~10⁷ domains) — the output is always
-    * small. */
-  def sourceReputation(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val withKey = docs.withColumn("set_key", TextAnalysis.tokenSetKey(col("text")))
-    val dupKeys = withKey
-      .groupBy(col("set_key"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-      .select(col("set_key"), lit(true).as("is_dup"))
-    val scored = TextAnalysis
-      .qualityScore(withKey)
-      .join(broadcast(dupKeys), Seq("set_key"), "left")
-    scored
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens").cast("long")).as("n_tokens"),
-        sum(floor(col("quality_score") * 1e6).cast("long")).as("quality_fp"),
-        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"))
-      .withColumn("blocked", col("source").isin(SourceBlocklist: _*))
-      .withColumn("kept", !col("blocked") && col("quality_fp") >= lit(400000L) * col("n_docs"))
-      .orderBy(col("source"))
-  }
-
-  /** Incremental snapshot dedup via a distributed Bloom filter (q84) —
-    * the ingest-time dedup shape at 100 TB: the existing corpus (docs with
-    * doc_id % 3 != 0 stand in for the snapshot) compresses into Bloom bits
-    * built by Catalyst's own BloomFilterAggregate (bit-OR mergeable →
-    * map-side partials); the incoming batch (doc_id % 3 == 0) probes
-    * map-only via BloomFilterMightContain. Fingerprint = the q26 token-set
-    * key, so the harness corpus's reordered-copy duplicates make the check
-    * non-vacuous. Surfaced as the sketch-family bounded claim (q42/q69/
-    * q79/now q84): the exact semi-join audit twin next to the structural
-    * no-false-negative guarantee. See [[graft.dedup.IncrementalDedup]]. */
-  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    graft.dedup.IncrementalDedup
-      .flagIncoming(
-        docs.filter(col("doc_id") % 3 =!= 0),
-        docs.filter(col("doc_id") % 3 === 0),
-        "doc_id", TextAnalysis.tokenSetKey(col("text")))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Streaming ingest-time dedup (q100) — q84's Bloom snapshot composed
-    * with the streaming path ([[graft.dedup.IncrementalDedup.streamingIngest]]):
-    * the snapshot (doc_id % 3 != 0, fingerprints materialized, batch_id
-    * = -1) seeds a partitioned corpus table; the incoming docs (% 3 == 0)
-    * arrive as a file STREAM whose foreachBatch probes the driver-held
-    * sketch, exactly-verifies the flagged sliver, appends survivors
-    * idempotently (DPO of the batch's own partition), and folds them into
-    * the sketch. The registered row re-reads the PUBLISHED corpus and
-    * emits the appended (doc_id, fp) rows; the batch-twin oracle is the
-    * same min-id-keeper anti-join in SQL. Multi-batch + restart semantics
-    * are StreamingSpec territory (batch order isn't oracle-portable). */
-  def streamingIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    graft.SessionMemo.memo(spark, s"q100|$dir") {
-      val s = spark.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val work = java.nio.file.Files.createTempDirectory("graft_ingest_dedup").toString
-      val corpus = s"$work/corpus"
-      val docs = Tables.documents(s, dir)
-      // Seed schema must match the survivors the stream appends (full
-      // incoming row + materialized fp + the batch_id partition).
-      docs.filter(col("doc_id") % 3 =!= 0)
-        .select(col("doc_id"), col("text"),
-          TextAnalysis.tokenSetKey(col("text")).as("fp"), lit(-1L).as("batch_id"))
-        .write.partitionBy("batch_id").parquet(corpus)
-      val staged = s"$work/incoming"
-      docs.filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("text"))
-        .write.parquet(staged)
-      val stream = s.readStream
-        .schema(s.read.parquet(staged).schema)
-        .parquet(staged)
-      val t0 = System.currentTimeMillis()
-      val q = graft.dedup.IncrementalDedup.streamingIngest(
-        stream, corpus, "doc_id",
-        fpCol = TextAnalysis.tokenSetKey(col("text")),
-        checkpoint = s"$work/_checkpoint")
-      graft.StreamLog.await(t0, q)
-      spark.read.parquet(corpus)
-        .where(col("batch_id") >= 0)
-        .select(col("doc_id"), col("fp"))
-        .orderBy(col("doc_id"))
-    }
-  }
-
-  /** Heavy hitters via count-min sketch, surfaced as the q42-style BOUNDED
-    * claim: the top-k exact token counts (the audit twin) next to the CMS
-    * guarantee `exact ≤ estimate ≤ exact + ⌈eps·N⌉` as a boolean. The
-    * sketch is the 100 TB path — a fixed (depth × width) counter grid,
-    * merged map-side by plain addition, so the aggregate is one tiny
-    * mergeable state per partition regardless of corpus size; the exact
-    * top-k group-by is its audit at harness SF. Collections here are the
-    * legitimate kind: one sketch row + k report rows. Estimates are
-    * deterministic (fixed seed, merge-order-independent counter sums), so
-    * the bound either always holds or always breaks the hash. */
-  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20,
-      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
-    import spark.implicits._
-    val toks = Tables
-      .documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("token"))
-    val aggRow = toks
-      .agg(
-        expr(s"count_min_sketch(token, ${eps}d, ${confidence}d, $seed)").as("cms"),
-        count(lit(1)).as("n_total"))
-      .head()
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(aggRow.getAs[Array[Byte]]("cms")))
-    val bound = math.ceil(eps * aggRow.getLong(1)).toLong
-    val top = toks
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n_exact"))
-      .orderBy(col("n_exact").desc, col("token"))
-      .limit(k)
-      .as[(String, Long)]
-      .collect()
-    val out = top.toSeq.map { case (t, n) =>
-      val est = cms.estimateCount(t)
-      (t, n, est >= n && est <= n + bound)
-    }
-    // The oracle hardcodes within_bound = TRUE (the CMS upper bound holds
-    // w.p. ≥ confidence per token). If the sketch ever drifts out of bounds,
-    // name the offending tokens on stderr so the driver's q79 hash mismatch
-    // reads as "CMS bound fired", not as an engine divergence.
-    out.filterNot(_._3).foreach { case (t, n, _) =>
-      System.err.println(
-        s"[q79] CMS bound VIOLATED for token '$t': exact=$n est=${cms.estimateCount(t)} " +
-          s"allowed=[${n}, ${n + bound}] — the oracle's TRUE row will hash-mismatch")
-    }
-    spark.createDataFrame(out).toDF("token", "n_exact", "within_bound")
-  }
-
-  /** Approximate distinct (HLL++) per event type, surfaced as a BOUNDED
-    * check the driver's hash gate can verify: the raw estimate is
-    * engine-specific (un-oracle-able), but |approx − exact| / exact ≤ 0.1
-    * is a portable CLAIM — Spark emits the boolean next to the exact
-    * count, DuckDB's oracle emits the exact count with TRUE, and an
-    * estimator drifting out of bounds breaks the hash. At scale the HLL
-    * sketch is the production path (map-side mergeable, constant memory);
-    * the exact count-distinct here is its audit twin. */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("n_exact"))
-      .select(
-        col("event_type"), col("n_exact"),
-        (abs(col("approx_users") - col("n_exact")).cast("double") / col("n_exact") <= 0.1)
-          .as("within_bound"))
-      .orderBy(col("event_type"))
-
-  /** Frame samples from video assets (1→N decode). Same portable-surface
-    * idea as q41: the slice boundaries are integer arithmetic and the
-    * frame fingerprint is md5, so the video→frames explode is
-    * oracle-checked (the corpus payloads are ASCII, making byte and
-    * character offsets coincide in the SQL twin). */
-  def frameSamples(spark: SparkSession, dir: String): DataFrame =
-    Multimodal
-      .sampleFrames(spark, Multimodal.mediaFromDocuments(Tables.documents(spark, dir)))
-      .toDF()
-      .select(col("media_id"), col("frame_idx"), col("frame_fp"))
-      .orderBy(col("media_id"), col("frame_idx"))
-
-  /** MP4 container-metadata extraction (q218) — the real half of the video
-    * path (round-6 verdict #6): each document's payload is wrapped in a
-    * VALID ISO-BMFF container generated deterministically from doc_id
-    * ([[graft.multimodal.Mp4.build]] — timescale/duration/dimensions/
-    * track-count all pure functions of the id), and the engine's
-    * [[graft.multimodal.Mp4.tryParse]] box walk recovers the metadata
-    * inside the executors. The oracle replays the expected values
-    * arithmetically, so the build→parse round-trip — box lengths, 16.16
-    * fixed-point dimensions, handler discrimination, duration/timescale
-    * conversion, container byte count — is hash-checked end to end. Frame
-    * PIXELS stay honestly stubbed (no JDK video codec); container
-    * metadata is no longer fake. Map-only: one pass, no shuffle until the
-    * output sort. */
-  def mp4Metadata(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (docId, text) =>
-          val durTicks = docId % 900 + 100
-          val w = 320 + (docId % 4).toInt * 16
-          val h = 240 + (docId % 3).toInt * 16
-          val audio = docId % 2 == 0
-          val payload = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
-          val bytes = Mp4.build(timescale = 1000L, durationTicks = durTicks,
-            width = w, height = h, audioTrack = audio, payload = payload)
-          val m = Mp4.tryParse(bytes).getOrElse(
-            sys.error(s"q218: generated MP4 failed to parse for doc $docId"))
-          (docId, m.brand, m.duration_ms, m.n_tracks.toLong,
-            m.width.toLong, m.height.toLong, m.has_video, m.has_audio,
-            bytes.length.toLong)
-        }
-      }
-      .toDF("media_id", "brand", "duration_ms", "n_tracks", "width", "height",
-        "has_video", "has_audio", "n_bytes")
-      .orderBy(col("media_id"))
-  }
-
-  /** Header-only image metadata (q219) — the q218 discipline on the image
-    * side: each document payload is wrapped in a PNG / GIF / JPEG
-    * container (format rotating on doc_id; dimensions and bit depth pure
-    * functions of the id) by [[graft.multimodal.ImageHeaders]]'s builders,
-    * and the engine's header walk recovers format/width/height/depth
-    * WITHOUT decoding pixels — the only access pattern that survives
-    * 100 TB of images (first ~60 bytes per object, never the body). The
-    * oracle replays the expected values arithmetically, hash-checking the
-    * build→parse round-trip: PNG big-endian IHDR fields, GIF little-endian
-    * screen descriptor + colour-resolution bits, JPEG marker-segment scan
-    * to SOF0. Map-only until the output sort. */
-  def imageHeaders(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import graft.multimodal.ImageHeaders
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (docId, text) =>
-          val w = 16 + (docId % 1009).toInt
-          val h = 16 + (docId % 797).toInt
-          val payload = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
-          val bytes = (docId % 3) match {
-            case 0 => ImageHeaders.buildPng(w, h, bitDepth = 8, payload)
-            case 1 => ImageHeaders.buildGif(w, h, bitDepth = (docId % 8).toInt + 1, payload)
-            case _ => ImageHeaders.buildJpeg(w, h, payload)
-          }
-          val m = ImageHeaders.tryParse(bytes).getOrElse(
-            sys.error(s"q219: generated image header failed to parse for doc $docId"))
-          (docId, m.format, m.width.toLong, m.height.toLong, m.bit_depth.toLong,
-            bytes.length.toLong)
-        }
-      }
-      .toDF("media_id", "format", "width", "height", "bit_depth", "n_bytes")
-      .orderBy(col("media_id"))
-  }
-
-  /** q220 cosine band, shared with the oracle: hard negatives live in
-    * [HardNegLo, HardNegHi) — above random noise, below the near-dup /
-    * positive ceiling. */
-  private[graft] val HardNegLo = 0.3
-  private[graft] val HardNegHi = 0.8
-
-  /** Hard-negative mining (q221) — the contrastive-training sampler: for
-    * each anchor (every 50th vector), the top-5 corpus vectors by cosine
-    * RESTRICTED to the [[HardNegLo]]/[[HardNegHi]] band. Too-similar
-    * neighbors are likely positives/near-dups (they poison the negative
-    * set); too-dissimilar ones carry no gradient — the band is where
-    * embedding training gets its signal. Anchors broadcast; the corpus
-    * side is one map-only scan into the per-anchor top-k aggregator
-    * (q33's shape + a band predicate); scores are the bit-portable
-    * left-fold cosine, so ranks replay exactly in the oracle. */
-  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
-    Ann.bruteForceBandTopK(embs.filter(col("vec_id") % 50 === 0), embs,
-      "vec_id", "embedding", lo = HardNegLo, hi = HardNegHi, k = 5)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** q224 constants, shared with the oracle. */
-  private[graft] val BinaryAnnCandidates = 20
-  private[graft] val BinaryAnnK = 5
-
-  /** Binary-quantized ANN (q224) — the 1-bit compression point of the
-    * quantization spectrum next to scalar (q70) and product (q76/q80)
-    * codes: each 64-dim vector compresses to ONE sign bit per dimension
-    * (64 bits ≈ 0.4% of the float payload), candidate generation ranks by
-    * Hamming distance on the packed bits (two 32-bit halves so the word
-    * arithmetic stays inside portable BIGINT in both engines), and the
-    * top-[[BinaryAnnCandidates]] candidates rerank by exact cosine into
-    * the top-[[BinaryAnnK]]. The asymmetric cost profile is the 100 TB
-    * point: the Hamming pass scans 8-byte codes (xor + popcount — no
-    * floats, no vectors), and only candidates·k vectors are ever fetched
-    * for the rerank — the q80 codes-only discipline at 1 bit/dim.
-    * Both stages are map-side top-k aggregators; ties break
-    * (distance, id) / (cosine DESC, id), replayed exactly by the
-    * oracle. */
-  def annBinaryQuant(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.cosine_sim
-    val signBits = (lohi: (Int, Int)) => expr(
-      (lohi._1 until lohi._2).map(i =>
-        s"CAST(CASE WHEN embedding[$i] > 0.0 THEN ${1L << (i % 32)} ELSE 0 END AS BIGINT)")
-        .mkString(" + "))
-    val coded = Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
-      .select(col("vec_id"), col("embedding"),
-        signBits((0, 32)).as("b_lo"), signBits((32, 64)).as("b_hi"))
-    val q = coded.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("b_lo").as("q_lo"), col("b_hi").as("q_hi"))
-    // Stage 1: Hamming candidates over CODES only (q_lo/q_hi broadcast).
-    val ham = coded
-      .join(broadcast(q.select(col("query_id"), col("q_lo"), col("q_hi"))),
-        col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (expr("bit_count(b_lo ^ q_lo)") + expr("bit_count(b_hi ^ q_hi)")).as("hamming"))
-    val cand = Ann.topKRanked(
-      ham.select(col("query_id"), col("neighbor_id"),
-        // reuse the (score DESC, id ASC) aggregator: negate the distance
-        (-col("hamming")).cast("double").as("cosine")),
-      BinaryAnnCandidates)
-      .select(col("query_id"), col("neighbor_id"), (-col("cosine")).cast("int").as("hamming"))
-    // Stage 2: exact cosine rerank of candidates only.
-    val rerank = cand
-      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
-      .join(coded.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
-        Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine_sim(col("qv"), col("nv")).as("cosine"))
-    Ann.topKRanked(rerank, BinaryAnnK)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Native recursive-CTE hierarchy rollup (q225) — Spark 4's
-    * `WITH RECURSIVE` executed IN the engine (the UnionLoop operator),
-    * the SQL surface a category tree / org chart / reply-thread rollup
-    * needs: every node walks its ancestor chain to the root, per-node
-    * depth is the walk length, and the report aggregates per level. The
-    * schema carries no parent pointer, so the heap-tree relation
-    * parent(k) = (k−1) div 2 over customer keys stands in — the relation
-    * is synthetic, the CAPABILITY (iterative self-referencing SQL with a
-    * monotone termination argument, n·log n total work) is real. The
-    * oracle runs the dialect-equivalent recursion in DuckDB; Spark's
-    * recursion-depth guard (spark.sql.cteRecursionLevelLimit, default
-    * 100) comfortably covers log₂ of any key domain. UNION ALL only —
-    * the walk is acyclic by construction (anc strictly decreases), which
-    * is why this shape terminates where a graph closure would not
-    * (Spark does not yet support UNION-distinct recursion; cyclic
-    * reachability stays on the q56/q140 iterative-DataFrame path). */
-  def recursiveHierarchy(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir)
-      .select(col("c_custkey"),
-        expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)").as("cents"))
-      .createOrReplaceTempView("graft_q225_nodes")
-    spark.sql(
-      """WITH RECURSIVE walk(id, anc, depth) AS (
-        |  SELECT c_custkey, c_custkey, 0 FROM graft_q225_nodes
-        |  UNION ALL
-        |  SELECT id, (anc - 1) div 2, depth + 1 FROM walk WHERE anc > 0),
-        |d AS (SELECT id, MAX(depth) AS depth FROM walk GROUP BY id)
-        |SELECT d.depth, COUNT(*) AS n_nodes, MIN(d.id) AS min_id, MAX(d.id) AS max_id,
-        |  CAST(SUM(n.cents) AS BIGINT) AS sum_cents
-        |FROM d JOIN graft_q225_nodes n ON d.id = n.c_custkey
-        |GROUP BY d.depth ORDER BY d.depth""".stripMargin)
-  }
-
-  /** Exact two-sample Kolmogorov–Smirnov drift (q226) — the
-    * distribution-shift detector between the purchase and view value
-    * populations, in EXACT integers end to end: histogram per cent value
-    * (bounded support — the q143 discipline), running CDFs as windows
-    * over the histogram frame, and the KS statistic as
-    * max |cum₁·n₂ − cum₂·n₁| lifted through DECIMAL(38,0) (the cross
-    * product reaches n₁·n₂ ≈ 10²⁰ at production scale — the q185/q192
-    * wide-product rule), reported in basis points with the value at
-    * which the gap peaks (min cents among argmax ties). The corpus-sized
-    * work is ONE aggregate; every window runs on the histogram frame. */
-  def ksDrift(spark: SparkSession, dir: String): DataFrame =
-    ksDriftOf(Tables.events(spark, dir))
-
-  private[graft] def ksDriftOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hist = events
-      .filter(col("event_type").isin("purchase", "view"))
-      .select(col("event_type"),
-        expr("CAST(value * 100 AS DECIMAL(14,0))").cast("long").as("cents"))
-      .groupBy(col("cents"))
-      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
-        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val wCum = Window.orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist
-      .withColumn("n1", sum(col("c1")).over(wAll))
-      .withColumn("n2", sum(col("c2")).over(wAll))
-      .withColumn("cum1", sum(col("c1")).over(wCum))
-      .withColumn("cum2", sum(col("c2")).over(wCum))
-      .withColumn("dnum",
-        abs(expr("CAST(cum1 AS DECIMAL(38,0)) * n2 - CAST(cum2 AS DECIMAL(38,0)) * n1")))
-      .withColumn("mx", max(col("dnum")).over(wAll))
-      .filter(col("dnum") === col("mx"))
-      .groupBy(col("n1"), col("n2"), col("mx"))
-      .agg(min(col("cents")).as("ks_at_cents"))
-      .select(col("n1"), col("n2"),
-        expr("CAST(mx * 10000 div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("ks_bp"),
-        col("ks_at_cents"))
-  }
-
-  /** q227 seed count, shared with the oracle. */
-  private[graft] val KCenterSeeds = 4
-
-  /** Farthest-first traversal / k-center seeding (q227) — the Gonzalez
-    * 2-approximation that coreset selection, k-means++-style seeding,
-    * and diversity sampling all build on: start from the smallest-id
-    * vector, then [[KCenterSeeds]]−1 times pick the vector FARTHEST from
-    * its nearest already-chosen seed; the final row reports the covering
-    * radius (the max-min distance after all seeds — the k-center
-    * objective value). Each round is ONE map-only corpus scan against
-    * the broadcast seed set (the q181 pq_encode quantizer — nearest-seed
-    * distance in-expression, zero Exchange) plus a 1-row argmax collect;
-    * distances are floor(d²·10⁶) fixed-point with (dist DESC, id) ties,
-    * so the whole trajectory — which seeds get picked, in which order —
-    * replays exactly in the oracle's chained-CTE unroll. Sequential
-    * rounds are inherent to the algorithm; the per-round cost is the
-    * 100 TB-shape: scan + aggregate, nothing pairwise. */
-  def kcenterSeeds(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.PqFunctions.pq_encode
-    import graft.similarity.Pq.Dim
-    import spark.implicits._
-    val base = Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNotNull && size(col("embedding")) >= Dim)
-    def distFp(cents: Array[Array[Double]]) =
-      floor(element_at(pq_encode(col("embedding"), Array(cents)), 1)
-        .getField("dist") * 1e6).cast("long").as("dist_fp")
-    val first = base.orderBy(col("vec_id")).limit(1)
-      .select(col("vec_id"), col("embedding")).head()
-    var seeds = Vector(first.getSeq[Float](1).toArray.map(_.toDouble))
-    val picks = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
-    picks += (("seed", 1L, first.getLong(0), 0L))
-    for (k <- 2 to KCenterSeeds) {
-      val far = base.select(col("vec_id"), col("embedding"), distFp(seeds.toArray))
-        .orderBy(col("dist_fp").desc, col("vec_id")).limit(1).head()
-      picks += (("seed", k.toLong, far.getLong(0), far.getLong(2)))
-      seeds = seeds :+ far.getSeq[Float](1).toArray.map(_.toDouble)
-    }
-    val rad = base.select(col("vec_id"), distFp(seeds.toArray))
-      .orderBy(col("dist_fp").desc, col("vec_id")).limit(1).head()
-    picks += (("radius", KCenterSeeds + 1L, rad.getLong(0), rad.getLong(1)))
-    picks.toSeq.toDF("role", "seed_idx", "vec_id", "dist_fp")
-      .orderBy(col("seed_idx"))
-  }
-
-  /** Semi-structured VARIANT path (q228) — Spark 4's headline
-    * open-format feature driven in the engine: the events `props` JSON
-    * ingests once through `parse_json` into a VariantType value and
-    * fields extract with `variant_get` (typed, shredding-friendly — the
-    * 100 TB path where a JSON column is parsed once at ingest and
-    * queried many times, vs per-query from_json reparsing, which q07
-    * covers). The report is per-event-type integer stats of the
-    * extracted field, so the whole surface — parse, typed get, aggregate
-    * — is oracle-checked against DuckDB's native JSON extraction. */
-  def variantExtract(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(col("event_type"),
-        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_with_k"),
-        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"), max(col("k")).as("max_k"),
-        countDistinct(col("k")).as("ndv_k"))
-      .orderBy(col("event_type"))
-
-  /** q229 segment threshold, shared with the oracle. */
-  private[graft] val BitmapValueFloor = 90.0
-
-  /** Bitmap membership index (q229) — the exact-audience structure next
-    * to the approximate sketches (q42 HLL, q210 HLL∩, q121 KMV): per
-    * event type, user membership packs into 32-bit words keyed by
-    * `user_id div 32` (a word-sharded roaring-style bitmap — BIGINT
-    * carriers so the shift math is portable; 32 bits per word keeps
-    * `1 << k` inside both engines' safe range), built by ONE
-    * map-side-combinable `bit_or` aggregate. Segment intersections are
-    * then equi-joins ON THE WORD INDEX (co-partitioned, linear in bitmap
-    * words — never a user-level distinct-join), popcounted and summed;
-    * the report is exact pairwise overlap + Jaccard in basis points for
-    * every type pair. At 100 TB the bitmap is ~n_users/8 bytes per
-    * segment, shardable by word range — the standard OLAP audience
-    * index. */
-  def bitmapMembership(spark: SparkSession, dir: String): DataFrame = {
-    // The word frame feeds three consumers (cardinalities + both join
-    // sides) — one session memo, the q182/q217 discipline.
-    // Segment = "did event_type at high value" — the threshold keeps the
-    // audiences from being the degenerate all-users set on a corpus where
-    // every user touches every type.
-    val bm = graft.SessionMemo.memo(spark, s"q229bitmap|$dir") {
-      Tables.events(spark, dir)
-        .filter(col("value") >= BitmapValueFloor)
-        .select(col("event_type"), expr("user_id div 32").as("w"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("bit"))
-        .groupBy(col("event_type"), col("w"))
-        .agg(expr("bit_or(bit)").as("word"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-    val card = bm.groupBy(col("event_type"))
-      .agg(sum(expr("bit_count(word)")).as("n"))
-    val pairs = bm.as("a")
-      .join(bm.as("b"),
-        col("a.w") === col("b.w") && col("a.event_type") < col("b.event_type"))
-      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
-        expr("bit_count(a.word & b.word)").as("c"))
-      .groupBy(col("type_a"), col("type_b"))
-      .agg(sum(col("c")).as("n_both"))
-    pairs
-      .join(card.select(col("event_type").as("type_a"), col("n").as("n_a")), Seq("type_a"))
-      .join(card.select(col("event_type").as("type_b"), col("n").as("n_b")), Seq("type_b"))
-      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
-        expr("n_both * 10000L div (n_a + n_b - n_both)").as("jaccard_bp"))
-      .orderBy(col("type_a"), col("type_b"))
-  }
-
-  /** MinHash union algebra (q230) — the mergeability contract that makes
-    * MinHash a distributed sketch, demonstrated and VERIFIED exactly:
-    * the element-wise MIN of per-document signatures equals the
-    * signature of the UNION of their token sets (min commutes with set
-    * union), so per-language corpus signatures build by aggregation —
-    * never by re-tokenizing the merged corpus. The engine computes BOTH
-    * sides — the aggregated per-doc mins and the direct union-set
-    * signature — and emits their equality next to the merged value; the
-    * oracle recomputes the union-set signature from the same md5-h31
-    * permutations, so a FALSE anywhere (or a value drift) breaks the
-    * hash. This is how segment/shard sketches roll up at 100 TB: partial
-    * signatures per shard, one min-combine — the q42/q171 HLL shape for
-    * near-dup similarity. */
-  def minhashUnion(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
-    val merged = docs
-      .select(col("lang"),
-        posexplode(Dedup.minhashSignature(col("text"))).as(Seq("sig_idx", "mh")))
-      .groupBy(col("lang"), col("sig_idx"))
-      .agg(min(col("mh")).as("minhash"))
-    // Direct union-set signature: the signature is order-insensitive over
-    // the DISTINCT token set, so collect_set's nondeterministic order is
-    // immaterial — the same expression over any permutation agrees.
-    val direct = docs
-      .select(col("lang"), explode(array_distinct(split(col("text"), " "))).as("token"))
-      .distinct()
-      .groupBy(col("lang"))
-      .agg(concat_ws(" ", collect_set(col("token"))).as("union_text"))
-      .select(col("lang"),
-        posexplode(Dedup.minhashSignature(col("union_text"))).as(Seq("sig_idx", "direct_mh")))
-    merged.join(direct, Seq("lang", "sig_idx"))
-      .select(col("lang"), col("sig_idx"), col("minhash"),
-        (col("minhash") === col("direct_mh")).as("merge_exact"))
-      .orderBy(col("lang"), col("sig_idx"))
-  }
-
-  /** q231 multi-vector constants, shared with the oracle. */
-  private[graft] val MaxSimSlots = 4L
-  private[graft] val MaxSimQueryMod = 25L
-  private[graft] val MaxSimK = 5
-
-  /** Late-interaction MaxSim retrieval (q231) — the ColBERT scoring shape
-    * for multi-vector documents: each document is a BAG of token vectors
-    * (here: [[MaxSimSlots]] consecutive embedding rows per doc — the
-    * harness has no native multi-vector table, so the grouping is the
-    * deterministic stand-in; the operator is the point), and
-    * score(q, d) = Σ_{i∈q} max_{j∈d} cos(qᵢ, dⱼ). Query token vectors
-    * broadcast; one scan of corpus token vectors scores all (query token
-    * × doc token) cosines, a first aggregate takes the per-slot max, and
-    * the per-pair score folds the slot maxes IN SLOT ORDER (sorted
-    * collect + left fold — float addition order pinned, so the oracle
-    * replays it bit-for-bit); ranking is the map-side top-k aggregator.
-    * At 100 TB the candidate set comes from a token-level ANN route
-    * (q98's committed index per token vector) with MaxSim only on
-    * candidates — the exact-scoring stage here is that reranker. */
-  def maxsimRetrieval(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.cosine_sim
-    val e = Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
-      .select(expr(s"vec_id div $MaxSimSlots").as("doc"),
-        expr(s"vec_id % $MaxSimSlots").as("slot"), col("embedding"))
-    val q = e.filter(col("doc") % MaxSimQueryMod === 0)
-      .select(col("doc").as("query_id"), col("slot").as("qslot"),
-        col("embedding").as("qv"))
-    val slotMax = e.join(broadcast(q), col("doc") =!= col("query_id"))
-      .select(col("query_id"), col("doc").as("neighbor_id"), col("qslot"),
-        cosine_sim(col("qv"), col("embedding")).as("c"))
-      .filter(col("c").isNotNull)
-      .groupBy(col("query_id"), col("neighbor_id"), col("qslot"))
-      .agg(max(col("c")).as("m"))
-    val scored = slotMax.groupBy(col("query_id"), col("neighbor_id"))
-      .agg(expr(
-        "aggregate(transform(array_sort(collect_list(struct(qslot, m))), x -> x.m), 0D, (a, x) -> a + x)")
-        .as("cosine"))
-    Ann.topKRanked(scored, MaxSimK)
-      .withColumnRenamed("cosine", "maxsim")
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** q232 sweep bound: the Manku 6-choose-3 banding guarantees COMPLETE
-    * candidate recall only to hamming ≤ 3, so the sweep stays inside the
-    * guarantee region — points beyond it would silently undercount. */
-  private[graft] val SimhashSweepMax = 3
-
-  /** SimHash precision/recall sweep (q232) — the q131 tuning-curve
-    * discipline applied to the OTHER near-dup family: for each hamming
-    * threshold t ∈ [0, [[SimhashSweepMax]]], the banded SimHash candidate
-    * pairs at distance ≤ t are scored against the exact MinHash-verified
-    * truth (Jaccard ≥ 0.95 — the shared [[nearDupTiers]] memo), emitting
-    * exact predicted/truth/hit counts and integer precision/recall basis
-    * points. ONE banded candidate pass serves every operating point
-    * (candidates carry their hamming; thresholds are a 4-row explode) —
-    * the sweep never re-pairs the corpus. This is the report that decides
-    * whether the 64-bit fingerprint can replace the 192-slot signature
-    * family on a given corpus. */
-  def simhashPrSweep(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sigs = docs.select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(Dedup.simhashBandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
-    val l = banded.select(col("band_idx"), col("band_key"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band_idx"), col("band_key"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    val cand = l.join(r, Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Dedup.hamming(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= SimhashSweepMax)
-    val (members, setPairs) = nearDupTiers(spark, dir)
-    val truth = Dedup.pairsOfTiered(members, setPairs)
-      .select(col("id_a"), col("id_b"), lit(1L).as("is_true"))
-    val joined = cand.join(truth, Seq("id_a", "id_b"), "left")
-    val nTruth = truth.count()
-    val sweep = joined
-      .select(explode(expr(s"sequence(hamming, $SimhashSweepMax)")).as("t"),
-        coalesce(col("is_true"), lit(0L)).as("hit"))
-      .groupBy(col("t"))
-      .agg(count(lit(1)).as("n_pred"), sum(col("hit")).as("n_hit"))
-    val recall =
-      if (nTruth == 0L) lit(null).cast("long")
-      else expr(s"n_hit * 10000L div $nTruth")
-    sweep
-      .select(col("t").cast("int").as("max_hamming"), col("n_pred"),
-        lit(nTruth).as("n_truth"), col("n_hit"),
-        expr("n_hit * 10000L div n_pred").as("precision_bp"),
-        recall.as("recall_bp"))
-      .orderBy(col("max_hamming"))
-  }
-
-  /** q233 corruption modulus, shared with the oracle. */
-  private[graft] val JsonlCorruptMod = 97L
-
-  /** JSONL ingest robustness audit (q233) — the schema-on-read path a
-    * web-scale text pipeline actually ingests through, with the failure
-    * accounting that separates a production reader from a demo: each
-    * event serializes to a JSON line (`to_json` over the typed row), a
-    * deterministic slice (event_id % [[JsonlCorruptMod]] == 0) is
-    * GARBLED at the first byte — total parse failure by construction, so
-    * the audit is insensitive to Spark's partial-result JSON recovery
-    * (`spark.sql.json.enablePartialResults`, on by default, can salvage
-    * leading fields from a merely TRUNCATED line) — and the re-parse
-    * (`from_json`, PERMISSIVE semantics —
-    * corrupt input yields a null row, never a job failure) is audited
-    * per event type: lines in, parsed, corrupt, corrupt share in bp,
-    * and an exact value checksum over the SURVIVING rows proving the
-    * parser neither dropped good lines nor hallucinated fields. DuckDB
-    * replays the same serialize → truncate → validity test with its
-    * native JSON machinery. Map-only until the per-type aggregate. */
-  def jsonlCorruptAudit(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"),
-        to_json(struct(col("event_id"), col("user_id"), col("event_type"),
-          expr("CAST(value * 100 AS DECIMAL(14,0))").cast("long").as("cents"))).as("line"))
-      .select(col("event_type"),
-        when(col("event_id") % JsonlCorruptMod === 0L,
-          concat(lit("X"), expr("substring(line, 2, length(line))"))).otherwise(col("line")).as("line"))
-      .select(col("event_type"),
-        from_json(col("line"),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT")).as("p"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_lines"),
-        count(col("p.event_id")).as("n_parsed"),
-        sum(when(col("p.event_id").isNull, 1L).otherwise(0L)).as("n_corrupt"),
-        sum(coalesce(col("p.cents"), lit(0L))).as("parsed_cents"))
-      .select(col("event_type"), col("n_lines"), col("n_parsed"), col("n_corrupt"),
-        expr("n_corrupt * 10000L div n_lines").as("corrupt_bp"),
-        col("parsed_cents"))
-      .orderBy(col("event_type"))
-
-  /** q221 SNM constants, shared with the oracle: sliding-window width and
-    * the sort-key block granularity ($250 bands over offset cents). */
-  private[graft] val SnmWindow = 4L
-  private[graft] val SnmBlockCents = 25000L
-
-  /** Sorted-neighborhood entity blocking (q221) — the classic
-    * Hernández–Stolfo merge/purge alternative to LSH blocking: records
-    * sort by a key (account cents), each record compares only against the
-    * next [[SnmWindow]] records in sort order, and candidates verify with
-    * an exact matcher (same nation + name edit distance ≤ 1). Done the
-    * way a 1000-executor sort must: ranks are computed WITHIN
-    * [[SnmBlockCents]]-wide key blocks (partitionBy windows — never a
-    * global single-partition ORDER BY), and boundary pairs stitch through
-    * an adjacent-block equi-join (`a` in its block's last w, `b` in the
-    * next block's first w, combined distance ≤ w). Block-local SNM equals
-    * the global sliding window whenever every block is nonempty; an empty
-    * intermediate block truncates the window at its boundary — both
-    * engines implement the IDENTICAL rule (so the oracle replays exactly),
-    * and a production deployment tunes block width to key density.
-    * Shuffle shape: two equi-joins on block id + one levenshtein filter —
-    * candidate volume is n·w, never n². */
-  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
-    sortedNeighborhoodOf(Tables.customer(spark, dir))
-
-  private[graft] def sortedNeighborhoodOf(customer: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val r = customer
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-        expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)").as("cents"))
-      .withColumn("blk", expr(s"(cents + 1000000) div $SnmBlockCents"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("blk")).orderBy(col("cents"), col("c_custkey"))).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("blk"))))
-    val a = r.select(col("blk").as("blk_a"), col("rn").as("rn_a"), col("cnt").as("cnt_a"),
-      col("c_custkey").as("id_a"), col("c_name").as("name_a"),
-      col("c_nationkey").as("nk_a"), col("cents").as("cents_a"))
-    val b = r.select(col("blk").as("blk_b"), col("rn").as("rn_b"),
-      col("c_custkey").as("id_b"), col("c_name").as("name_b"),
-      col("c_nationkey").as("nk_b"), col("cents").as("cents_b"))
-    val within = a.join(b, col("blk_a") === col("blk_b") &&
-      col("rn_b") - col("rn_a") >= 1L && col("rn_b") - col("rn_a") <= SnmWindow)
-    val across = a.join(b, col("blk_a") + 1L === col("blk_b") &&
-      col("cnt_a") - col("rn_a") + col("rn_b") <= SnmWindow)
-    within.unionByName(across)
-      .filter(col("nk_a") === col("nk_b") &&
-        levenshtein(col("name_a"), col("name_b")) <= 1)
-      .select(col("id_a"), col("id_b"), col("cents_a"), col("cents_b"),
-        (col("cents_b") - col("cents_a")).as("cents_gap"))
-      .orderBy(col("id_a"), col("id_b"))
-  }
-
-  /** q222 length gate, shared with the oracle. The other filter
-    * thresholds are structural: stopword ratio ≥ 0.05 as the integer
-    * cross-multiply hits·20 ≥ n_tokens; mean token length in [3, 8] as
-    * 3n ≤ chars − n + 1 ≤ 8n; language agreement; zero PII spans. */
-  private[graft] val AblationMinTokens = 20L
-
-  /** Quality-filter ablation (q222) — the report every curation pipeline
-    * owner asks for before tightening a gate: per filter, how many
-    * documents it rejects (n_fail), how many it UNIQUELY rejects
-    * (n_unique_fail — the docs that would come back if only this filter
-    * were dropped; every other filter passes them), and the all-pass
-    * survivor count. Marginal attribution tells you which filter is
-    * actually shaping the corpus and which is redundant shadowing.
-    * All five predicates are integer/exact (the q37/q38/q65 primitives),
-    * so the whole matrix hash-replays in the oracle. One map-only scan +
-    * one 11-sum aggregate; the 5-row report explodes from the single
-    * aggregate row — corpus is touched once. */
-  def filterAblation(spark: SparkSession, dir: String): DataFrame =
-    filterAblationOf(Tables.documents(spark, dir))
-
-  /** Dedup cascade funnel (q223) — the stage-attribution audit of the
-    * dedup pipeline a training run actually executes: raw → exact
-    * (byte-identical content, q25 rule) → token-set (reordered/repeated
-    * copies, q26 rule) → near-dup (MinHash component keep-min, q56
-    * semantics), each stage applied to the PREVIOUS stage's survivors,
-    * reporting per stage how many docs entered, survived, and were
-    * removed. The marginal numbers are the decision input for "is the
-    * fuzzy tier worth its cost on this corpus". Reuses the shared
-    * [[nearDupTiers]] memo (q27's payer) — no LSH recomputation; the
-    * exact tiers are two hash aggregates on fingerprint keys; the final
-    * report is a 4-row frame windowed into the funnel. */
-  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-    val s1 = docs.groupBy(TextAnalysis.contentFingerprint(col("text")).as("k"))
-      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-    val s2 = docs.join(s1, Seq("doc_id"), "left_semi")
-      .groupBy(TextAnalysis.tokenSetKey(col("text")).as("k"))
-      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-    val (members, setPairs) = nearDupTiers(spark, dir)
-    val clusters = Dedup.clustersOfTiered(members, setPairs)
-      .select(col("id").as("doc_id"), col("comp"))
-    val d2c = s2.join(clusters, Seq("doc_id"), "left")
-    val keepPerComp = d2c.filter(col("comp").isNotNull)
-      .groupBy(col("comp")).agg(min(col("doc_id")).as("keep_id"))
-    val s3 = d2c.join(keepPerComp, Seq("comp"), "left")
-      .filter(col("comp").isNull || col("doc_id") === col("keep_id"))
-      .select(col("doc_id"))
-    def cnt(df: DataFrame, idx: Int, name: String) =
-      df.agg(count(lit(1)).as("n")).select(lit(idx).as("idx"), lit(name).as("stage"), col("n"))
-    cnt(docs, 0, "raw")
-      .unionByName(cnt(s1, 1, "exact"))
-      .unionByName(cnt(s2, 2, "tokenset"))
-      .unionByName(cnt(s3, 3, "neardup"))
-      .withColumn("n_in", lag(col("n"), 1).over(Window.orderBy(col("idx"))))
-      .filter(col("idx") > 0)
-      .select(col("stage"), col("n_in"), col("n").as("n_out"),
-        (col("n_in") - col("n")).as("n_removed"),
-        expr("(n_in - n) * 10000L div n_in").as("removed_bp"))
-      .orderBy(col("stage"))
-  }
-
-  private[graft] def filterAblationOf(docs: DataFrame): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    val nTok = size(toks).cast("long")
-    val nChars = length(col("text")).cast("long")
-    val flags = docs.filter(col("text").isNotNull).select(
-      (nTok >= AblationMinTokens).as("p_len"),
-      (TextAnalysis.stopwordHits(toks, "en").cast("long") * 20L >= nTok).as("p_stop"),
-      (nChars - nTok + 1L >= nTok * 3L && nChars - nTok + 1L <= nTok * 8L).as("p_tlen"),
-      (TextAnalysis.langId(col("text")) === col("lang")).as("p_lang"),
-      ((TextAnalysis.emailCount(col("text")) + TextAnalysis.phoneCount(col("text"))) === 0)
-        .as("p_pii"))
-    val names = Seq("len", "stop", "tlen", "lang", "pii")
-    def p(n: String) = col(s"p_$n")
-    val aggs =
-      names.map(n => sum(when(!p(n), 1L).otherwise(0L)).as(s"f_$n")) ++
-      names.map(n => sum(when(!p(n) &&
-        names.filter(_ != n).map(p).reduce(_ && _), 1L).otherwise(0L)).as(s"u_$n")) :+
-      sum(when(names.map(p).reduce(_ && _), 1L).otherwise(0L)).as("pass_all")
-    val agg = flags.agg(count(lit(1)).as("n_docs"), aggs: _*)
-    agg
-      .select(explode(array(names.map(n =>
-        struct(lit(n).as("filter"), col(s"f_$n").as("n_fail"),
-          col(s"u_$n").as("n_unique_fail"))): _*)).as("r"),
-        col("n_docs"), col("pass_all").as("n_pass_all"))
-      .select(col("r.filter").as("filter"), col("n_docs"),
-        col("r.n_fail").as("n_fail"),
-        expr("r.n_fail * 10000L div n_docs").as("fail_bp"),
-        col("r.n_unique_fail").as("n_unique_fail"), col("n_pass_all"))
-      .orderBy(col("filter"))
-  }
-
-  /** Approximate quantiles (QuantileSummaries/GK sketch — the distributed
-    * quantile path at 100 TB, constant memory + mergeable partials) as a
-    * BOUNDED driver-checked claim, same pattern as q42: the sketch output
-    * is merge-order-specific, but |approx − exact| ≤ tol is portable —
-    * Spark emits the booleans next to the exact quantiles, DuckDB emits
-    * TRUE, sketch drift breaks the hash. accuracy=1000 ⇒ rank error
-    * ≤ 0.1% ⇒ ≤ ~1 quantity unit on this distribution (tol 2.0 = 2×
-    * slack). */
-  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val tol = 2.0
-    Tables
-      .lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)").as("approx"),
-        expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("exact"))
-      .select(
-        col("l_returnflag"),
-        element_at(col("exact"), 1).as("p25"),
-        element_at(col("exact"), 2).as("p50"),
-        element_at(col("exact"), 3).as("p75"),
-        (abs(element_at(col("approx"), 1) - element_at(col("exact"), 1)) <= tol &&
-          abs(element_at(col("approx"), 2) - element_at(col("exact"), 2)) <= tol &&
-          abs(element_at(col("approx"), 3) - element_at(col("exact"), 3)) <= tol)
-          .as("within_bound"))
-      .orderBy(col("l_returnflag"))
-  }
-
-  /** Exact interpolated percentiles per group (matches DuckDB
-    * quantile_cont's linear interpolation). */
-  def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_quantity, 0.25)").as("p25"),
-        expr("percentile(l_quantity, 0.5)").as("p50"),
-        expr("percentile(l_quantity, 0.75)").as("p75"))
-      .orderBy(col("l_returnflag"))
-
-  /** Okapi BM25 top-k retrieval (q126) — the production-default lexical
-    * ranker (k1 = 1.2, b = 0.75) next to q110's raw TF-IDF: BM25's tf
-    * saturation and length normalization are what make keyword retrieval
-    * robust to stuffed/long documents, and it is the lexical half every
-    * hybrid-search deployment actually ships. Query terms derive
-    * deterministically as in q110 (distinct tokens of the lowest-id doc)
-    * so both engines agree without a parameter channel.
-    *
-    * Portability: idf stays the integer `n_docs·10⁶ div df` (no log —
-    * rank-equivalent within this corpus-constant family and libm-free);
-    * the per-term saturation factor is a FIXED parse tree of IEEE double
-    * ops — `dl·n_docs` multiplies exactly as BIGINT, ONE division by
-    * total_tokens, one multiply by b·k1, two adds, one divide — each
-    * correctly rounded, so both engines produce bit-identical doubles;
-    * per-term scores floor to BIGINT and SUM order-free. Scale shape is
-    * q110's: the broadcast query-term list prunes the exploded token
-    * stream MAP-SIDE before any exchange, df comes from a window over the
-    * pruned postings (no self-join), corpus-wide (n_docs, total_tokens)
-    * is a 1-row broadcast, and the top-10 is TakeOrdered. */
-  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val qterms = docs.orderBy(col("doc_id")).limit(1)
-      .select(explode(split(col("text"), " ")).as("token")).distinct()
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
-    docs
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
-        explode(split(col("text"), " ")).as("token"))
-      .join(broadcast(qterms), Seq("token"))
-      .groupBy(col("token"), col("doc_id"), col("dl")).agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
-      .crossJoin(broadcast(stats))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr(BmTermSpark)).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
-  }
-
-  /** Per-term BM25 contribution (k1 = 1.2, b = 0.75, ⌊idf·10⁶⌋ fixed-point)
-    * over columns (tf, df, dl, n_docs, total_tokens) — shared verbatim by
-    * q126's ranker and q234's multi-query eval run, so the scorer under
-    * evaluation can never drift from the scorer in production. The oracle
-    * twin is [[BmTermSql]]: every IEEE op in the same order. */
-  private[analytics] val BmTermSpark =
-    """CAST(FLOOR(CAST(n_docs * 1000000L div df AS DOUBLE)
-      |  * (CAST(tf AS DOUBLE) * 2.2)
-      |  / (CAST(tf AS DOUBLE) + (0.3 + 0.9 * (CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))) AS BIGINT)"""
-      .stripMargin
-
-  /** Reciprocal-rank-fusion constant (Cormack et al. 2009's k = 60),
-    * shared with the q127 oracle (generated-constant pattern). */
-  private[analytics] val RrfK = 60L
-
-  /** Hybrid-retrieval rank fusion (q127) — RRF over the two lexical
-    * rankers (q110 TF-IDF, q126 BM25): fused score
-    * Σ ⌊10⁶/(k + rank)⌋ with k = 60, ranks from each ranker's top-10.
-    * RRF is the standard score-free fusion for hybrid search (lexical +
-    * dense) precisely because it only consumes RANKS — incomparable score
-    * scales (here: raw tf·idf sums vs saturated BM25) fuse without
-    * calibration. Unranked sides contribute 0.
-    *
-    * Scale shape: both rankers run their corpus-scale plans (map-side
-    * broadcast pruning, TakeOrdered top-10 — see q110/q126); everything
-    * after is DRIVER-SIZED — two 10-row lists get rank columns via a
-    * window over 10 rows, full-outer join on doc_id, integer RRF
-    * arithmetic. At 100 TB the fusion cost is unchanged: it never touches
-    * the corpus. */
-  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def ranked(df: DataFrame, rankCol: String): DataFrame =
-      df.withColumn(rankCol,
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-        .select(col("doc_id"), col(rankCol))
-    ranked(tfidfTopk(spark, dir), "tfidf_rank")
-      .join(ranked(bm25Topk(spark, dir), "bm25_rank"), Seq("doc_id"), "full_outer")
-      .select(
-        col("doc_id"),
-        coalesce(col("tfidf_rank"), lit(0L)).as("tfidf_rank"),
-        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
-        (coalesce(expr(s"1000000L div ($RrfK + tfidf_rank)"), lit(0L))
-          + coalesce(expr(s"1000000L div ($RrfK + bm25_rank)"), lit(0L))).as("rrf_score"))
-      .orderBy(col("rrf_score").desc, col("doc_id"))
-  }
-
-  /** Event-rate anomaly detection (q128) — the operational-monitoring op
-    * next to q123's embedding drift: per (event_type, UTC hour) counts,
-    * flagged when the hour deviates from the type's own hourly mean by
-    * more than 3σ. The classic "did ingestion spike/stall this hour"
-    * alert over a 100 TB event firehose.
-    *
-    * Exactness: the 3σ test is evaluated ENTIRELY in integers — with
-    * h hours, total T and Σn², the test |n − μ| > 3σ rewrites as
-    * (n·h − T)² > 9·(h·Σn² − T²), so no sqrt/float ever runs and the
-    * flag is hash-exact (both sides of the inequality are emitted as
-    * auditable BIGINTs; magnitudes stay < 2⁶³ past 1000× this SF).
-    *
-    * Scale shape: ONE shuffle aggregates events to the (type, hour)
-    * matrix — map-side partials, metadata-sized output; the per-type
-    * stats are windows over that matrix, never over events. Observed
-    * hours only (an absent hour has no row — the zero-filled variant
-    * is a calendar cross-join away and deliberately not paid here). */
-  def eventRateAnomaly(spark: SparkSession, dir: String): DataFrame =
-    eventRateAnomalyOf(
-      Tables.events(spark, dir)
-        .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000L").as("hour_id"))
-        .agg(count(lit(1)).as("n")))
-
-  /** The stats/flag stage of [[eventRateAnomaly]] over a pre-aggregated
-    * (event_type, hour_id, n) matrix — split out so a spec can plant a
-    * synthetic spike and assert it flags (the q123 planted-scenario
-    * pattern). */
-  private[graft] def eventRateAnomalyOf(hourly: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byType = Window.partitionBy(col("event_type"))
-    hourly
-      .withColumn("h", count(lit(1)).over(byType))
-      .withColumn("t", sum(col("n")).over(byType))
-      .withColumn("s2", sum(col("n") * col("n")).over(byType))
-      .select(
-        col("event_type"), col("hour_id"), col("n"), col("h"),
-        expr("t * 1000000L div h").as("mean_fp"),
-        expr("(n * h - t) * (n * h - t)").as("dev2"),
-        expr("9L * (h * s2 - t * t)").as("var9"),
-        expr("(n * h - t) * (n * h - t) > 9L * (h * s2 - t * t)").as("anomalous"))
-      .orderBy(col("event_type"), col("hour_id"))
-  }
-
-  /** Vocabulary size for [[vocabCoverage]], shared with the q129 oracle
-    * (generated-constant pattern). Sized BELOW the synthetic corpus's
-    * distinct-token count (31 at every SF) so the cut genuinely binds at every SF (a
-    * vocabulary that admits every type audits nothing). */
-  private[graft] val VocabV = 16
-
-  /** Vocabulary coverage / OOV-rate audit (q129) — the tokenizer-sizing
-    * question every training pipeline answers before fixing a vocab:
-    * with the top-V corpus tokens as the vocabulary, what share of each
-    * language's token INSTANCES is covered, and what share of its
-    * distinct types is out-of-vocabulary? (BPE sizing runs exactly this
-    * curve; q111 is the merge-induction step, this is the evaluation
-    * step.) All integer arithmetic — counts and basis points.
-    *
-    * Scale shape: the corpus tokenizes ONCE into the (lang, token)
-    * count matrix (map-side partials — the only corpus-sized exchange).
-    * The matrix feeds BOTH the vocabulary derivation and the coverage
-    * join — a diamond Catalyst cannot dedupe (column pruning
-    * canonicalizes the two branches apart, so ReuseExchange never fires
-    * and the naive form re-scans and re-explodes the corpus — the q109
-    * trap, verified on the executed plan). So the matrix is persisted
-    * via the session memo: distinct-(lang,token)-sized (orders below
-    * the corpus), spillable, computed once per (session, dir). The
-    * vocabulary is then a vocab-sized re-aggregate + TakeOrdered top-V
-    * joined back as a BROADCAST flag; per-lang coverage is a
-    * metadata-sized rollup. */
-  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val langTok = graft.SessionMemo.memo(spark, s"q129matrix|$dir") {
-      val m = Tables.documents(spark, dir)
-        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
-        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      m.count() // materialize: both consumers below read the cached matrix
-      m
-    }
-    val vocab = langTok
-      .groupBy(col("token")).agg(sum(col("n")).as("cnt"))
-      .orderBy(col("cnt").desc, col("token"))
-      .limit(VocabV)
-      .select(col("token"))
-    langTok
-      .join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("token"), "left_outer")
-      .groupBy(col("lang"))
-      .agg(
-        sum(col("n")).as("n_instances"),
-        sum(when(col("in_vocab").isNotNull, col("n")).otherwise(0L)).as("covered_instances"),
-        count(lit(1)).as("n_types"),
-        sum(when(col("in_vocab").isNotNull, 1L).otherwise(0L)).as("covered_types"))
-      .select(
-        col("lang"), col("n_instances"), col("covered_instances"),
-        expr("covered_instances * 10000L div n_instances").as("coverage_bp"),
-        col("n_types"), col("covered_types"),
-        expr("(n_types - covered_types) * 10000L div n_types").as("oov_type_bp"))
-      .orderBy(col("lang"))
-  }
-
-  /** ANALYZE-style table statistics snapshot (q130) — the stats
-    * collection every CBO-driven 100 TB deployment schedules (Spark's
-    * `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`, emitted as data
-    * so it can be oracled): per column of `documents` — row count, null
-    * count, exact NDV, lexicographic/numeric min and max (as canonical
-    * strings), and average value width (chars ×100). The q107 skew audit
-    * diagnoses one join key; this is the standing per-column profile
-    * that feeds broadcast/skew/pruning decisions (the CBO pin in
-    * ScaleSpec consumes exactly these numbers via ANALYZE).
-    *
-    * Scale shape: ONE scan — all five columns profile in a single
-    * multi-distinct aggregate (Catalyst's Expand handles the distincts;
-    * map-side partials for the plain stats), then a 1-row explode to the
-    * 5-row long-format profile. Numeric min/max cast to string AFTER
-    * aggregation (5 values, not per-row). */
-  def tableStats(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val stats = d.agg(
-      count(lit(1)).as("n"),
-      // doc_id
-      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("doc_id_nulls"),
-      countDistinct(col("doc_id")).as("doc_id_ndv"),
-      min(col("doc_id")).cast("string").as("doc_id_min"),
-      max(col("doc_id")).cast("string").as("doc_id_max"),
-      expr("sum(length(cast(doc_id AS STRING)) * 100) div count(doc_id)").as("doc_id_w"),
-      // lang
-      sum(when(col("lang").isNull, 1L).otherwise(0L)).as("lang_nulls"),
-      countDistinct(col("lang")).as("lang_ndv"),
-      min(col("lang")).as("lang_min"),
-      max(col("lang")).as("lang_max"),
-      expr("sum(length(lang) * 100) div count(lang)").as("lang_w"),
-      // source
-      sum(when(col("source").isNull, 1L).otherwise(0L)).as("source_nulls"),
-      countDistinct(col("source")).as("source_ndv"),
-      min(col("source")).as("source_min"),
-      max(col("source")).as("source_max"),
-      expr("sum(length(source) * 100) div count(source)").as("source_w"),
-      // n_chars
-      sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_chars_nulls"),
-      countDistinct(col("n_chars")).as("n_chars_ndv"),
-      min(col("n_chars")).cast("string").as("n_chars_min"),
-      max(col("n_chars")).cast("string").as("n_chars_max"),
-      expr("sum(length(cast(n_chars AS STRING)) * 100) div count(n_chars)").as("n_chars_w"),
-      // text
-      sum(when(col("text").isNull, 1L).otherwise(0L)).as("text_nulls"),
-      countDistinct(col("text")).as("text_ndv"),
-      md5(min(col("text")).cast("binary")).as("text_min"),
-      md5(max(col("text")).cast("binary")).as("text_max"),
-      expr("sum(length(text) * 100) div count(text)").as("text_w"))
-    stats.selectExpr(
-      """stack(5,
-        |  'doc_id',  doc_id_nulls,  doc_id_ndv,  doc_id_min,  doc_id_max,  doc_id_w,
-        |  'lang',    lang_nulls,    lang_ndv,    lang_min,    lang_max,    lang_w,
-        |  'n_chars', n_chars_nulls, n_chars_ndv, n_chars_min, n_chars_max, n_chars_w,
-        |  'source',  source_nulls,  source_ndv,  source_min,  source_max,  source_w,
-        |  'text',    text_nulls,    text_ndv,    text_min,    text_max,    text_w
-        |) AS (col_name, n_nulls, ndv, min_val, max_val, avg_width_x100)""".stripMargin,
-      "n AS n_rows")
-      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"),
-        col("min_val"), col("max_val"), col("avg_width_x100"))
-      .orderBy(col("col_name"))
-  }
-
-  /** The (bands, rowsPerBand) operating points of the q131 sweep — every
-    * config reslices the SAME 192-slot MinHash family (b·r = 192 for
-    * all, seed-shared with q27/q29), so one signature pass feeds every
-    * point. Shared with the oracle (generated-constant pattern). */
-  private[graft] val SweepConfigs: Seq[(Int, Int)] = Seq((4, 48), (8, 24), (16, 12), (32, 6), (64, 3))
-
-  /** Exact-Jaccard truth threshold for the q131 recall axis. */
-  private[graft] val SweepJaccard = 0.9
-
-  /** MinHash-LSH banding parameter sweep (q131) — the dedup-tuning curve
-    * next to q125's ANN nprobe sweep: for each (b bands × r rows)
-    * operating point, candidate-pair volume (cost) and recall against an
-    * exact-Jaccard ≥ 0.9 truth set (the S-curve threshold (1/b)^(1/r)
-    * moves from ~0.97 at 4×48 to ~0.25 at 64×3 — the knee, not the
-    * maximum, is the production configuration). Candidates are SET-level
-    * (the q27 canonicalization: identical token sets collapse first, so
-    * a duplicate-heavy corpus can't quadratically collide in every
-    * bucket).
-    *
-    * Scale shape: the corpus tokenizes and signs ONCE — a 192-slot
-    * signature per distinct set, persisted via the session memo; every
-    * operating point derives its band keys by SLICING that signature
-    * (map-only transform over ≤64 slices), so adding a point costs one
-    * more bucket join over compact (band_idx, key) rows, never another
-    * corpus pass. Truth is verified ONCE over the union of all points'
-    * candidates (q125's one-widest-search trick: the 64×3 point's
-    * candidates contain every other point's), and per-point hits come
-    * from a broadcast of the verified pair list. */
-  def lshBandingSweep(spark: SparkSession, dir: String): DataFrame = {
-    val p = Dedup.MinHashParams()
-    require(SweepConfigs.forall { case (b, r) => b * r == p.k })
-    val (cand, verified) = graft.SessionMemo.memo(spark, s"q131cand|$dir") {
-      val sets = Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          sort_array(array_distinct(TextAnalysis.tokens(col("text")))).as("toks"))
-        .groupBy(col("toks")).agg(min(col("doc_id")).as("sid"))
-        .withColumn("sig",
-          graft.functions.MinHashFunctions
-            .minhash_signature(col("toks"), p.bands, p.rowsPerBand, p.seed))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sets.count()
-      def candsOf(b: Int, r: Int): DataFrame = {
-        val banded = sets.select(col("sid"),
-          explode(expr(
-            s"""transform(sequence(0, ${b - 1}),
-               |  i -> named_struct('band_idx', i,
-               |    'band_key', xxhash64(cast(slice(sig, i * $r + 1, $r) AS STRING))))"""
-              .stripMargin)).as("bk"))
-          .select(col("sid"), col("bk.band_idx").as("band_idx"), col("bk.band_key").as("band_key"))
-        val l = banded.select(col("band_idx"), col("band_key"), col("sid").as("id_a"))
-        val rr = banded.select(col("band_idx"), col("band_key"), col("sid").as("id_b"))
-        l.join(rr, Seq("band_idx", "band_key"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b")).distinct()
-          .withColumn("bands", lit(b)).withColumn("rows_per_band", lit(r))
-      }
-      val c = SweepConfigs.map { case (b, r) => candsOf(b, r) }.reduce(_ union _)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      c.count()
-      val uniq = c.select(col("id_a"), col("id_b")).distinct()
-      val v = uniq
-        .join(sets.select(col("sid").as("id_a"), col("toks").as("ta")), Seq("id_a"))
-        .join(sets.select(col("sid").as("id_b"), col("toks").as("tb")), Seq("id_b"))
-        .filter(Dedup.jaccardSorted(col("ta"), col("tb")) >= SweepJaccard)
-        .select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      v.count()
-      (c, v)
-    }
-    cand
-      .join(broadcast(verified.withColumn("hit", lit(1L))), Seq("id_a", "id_b"), "left_outer")
-      .groupBy(col("bands"), col("rows_per_band"))
-      .agg(count(lit(1)).as("n_candidates"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      .crossJoin(broadcast(verified.agg(count(lit(1)).as("n_truth"))))
-      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
-        col("n_truth"), col("n_hits"),
-        expr("n_hits * 10000L div n_truth").as("recall_bp"))
-      .orderBy(col("bands"))
-  }
-
-  /** Journey path mining (q132) — the sequential-pattern view one level
-    * up from q119's transition matrix: the top-20 THREE-step event paths
-    * (e₁→e₂→e₃ over consecutive events per user, ts order, event_id
-    * tie-break). The funnel-discovery question ("which 3-step journeys
-    * actually happen most") asked of the raw stream, where q89 checks
-    * ONE predeclared funnel.
-    *
-    * Scale shape: the SAME single user_id shuffle as q119 — both lead()
-    * offsets ride one window (per-user frames, streaming, no
-    * buffering); the path stream aggregates map-side to the ≤|types|³
-    * matrix and the top-20 is TakeOrdered over that metadata-sized
-    * frame. Ordering pinned at microsecond resolution like q119. */
-  def journeyPaths(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byUserTime = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .withColumn("mid_type", lead(col("event_type"), 1).over(byUserTime))
-      .withColumn("to_type", lead(col("event_type"), 2).over(byUserTime))
-      .filter(col("mid_type").isNotNull && col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("mid_type"), col("to_type"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("from_type"), col("mid_type"), col("to_type"))
-      .limit(20)
-  }
-
-  /** Event-type co-occurrence lift (q133) — association mining over
-    * (user, day) baskets: for every unordered type pair, basket support
-    * and lift (observed co-occurrence over the independence expectation),
-    * both in integer basis points (lift_bp = n_ab·N·10⁴ div (n_a·n_b);
-    * 10000 = independent, above = attraction). The classic
-    * "which behaviors travel together" read of the reference's event
-    * stream, complementing q119's DIRECTIONAL transitions with an
-    * order-free view.
-    *
-    * Scale shape: events collapse to the distinct (user, day, type)
-    * incidence frame ONCE (map-side partial distinct — the only
-    * corpus-sized exchange). That frame feeds FOUR consumers (basket
-    * total, type counts, both pair-join sides) — a diamond Catalyst
-    * cannot dedupe (the q129 lesson), so it is persisted via the
-    * session memo: ≤|types| rows per basket, orders below events. The
-    * pair join is a self-join ON THE BASKET KEY of the cached frame
-    * (blowup bounded by |types|² per basket, never corpus²); type
-    * counts and the basket total are metadata-sized broadcasts. */
-  def cooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
-    val bt = graft.SessionMemo.memo(spark, s"q133incidence|$dir") {
-      val m = Tables.events(spark, dir)
-        .select(col("user_id"), expr("CAST(ts AS DATE)").as("day"), col("event_type"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      m.count()
-      m
-    }
-    val nBaskets = bt.select(col("user_id"), col("day")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val typeCounts = bt.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
-    bt.select(col("user_id"), col("day"), col("event_type").as("type_a"))
-      .join(bt.select(col("user_id"), col("day"), col("event_type").as("type_b")),
-        Seq("user_id", "day"))
-      .filter(col("type_a") < col("type_b"))
-      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
-      .join(broadcast(typeCounts.select(col("event_type").as("type_a"), col("n_t").as("n_a"))), Seq("type_a"))
-      .join(broadcast(typeCounts.select(col("event_type").as("type_b"), col("n_t").as("n_b"))), Seq("type_b"))
-      .crossJoin(broadcast(nBaskets))
-      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_ab"),
-        expr("n_ab * 10000L div n_baskets").as("support_bp"),
-        expr("n_ab * n_baskets * 10000L div (n_a * n_b)").as("lift_bp"))
-      .orderBy(col("type_a"), col("type_b"))
-  }
-
-  /** Truncation dimensions for the q134 sweep (the full dim last — its
-    * row is the self-recall anchor). Shared with the oracle. */
-  private[graft] val MrlDims = Seq(16, 32, 48, 64)
-
-  /** Embedding dimension-truncation recall sweep (q134) — the
-    * Matryoshka-representation question (Kusupati et al. 2022) asked of
-    * the vector store: if search ran on only the first d dims (4×–1.3×
-    * cheaper memory/compute), what fraction of the full-dimension top-10
-    * survives? The third production tuning curve next to q125 (nprobe)
-    * and q131 (banding): pick the d at the knee, serve truncated.
-    *
-    * Exactness: each point is the q33 brute-force machinery over SLICED
-    * vectors — the cosine expression folds the same floats in the same
-    * order as the oracle's left-fold replication, so every ranked pair
-    * (and therefore every hit count) is bit-exact. Scale shape: queries
-    * broadcast (q33's shape) per point; hits against the full-dim truth
-    * via broadcast of the 10·n_q truth list; everything after ranking is
-    * metadata-sized. */
-  def mrlRecallSweep(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
-    def topAt(d: Int): DataFrame = Ann.bruteForceTopK(
-      embs.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding")),
-      embs.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding")),
-      "vec_id", "embedding", k = 10)
-    val truth = topAt(MrlDims.last).select(col("query_id"), col("neighbor_id"))
-    MrlDims
-      .map(d => topAt(d).select(lit(d).as("dim"), col("query_id"), col("neighbor_id")))
-      .reduce(_ union _)
-      .join(broadcast(truth.withColumn("hit", lit(1L))),
-        Seq("query_id", "neighbor_id"), "left_outer")
-      .groupBy(col("dim"))
-      .agg(count(lit(1)).as("n_ranked"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      .select(col("dim"), expr("n_ranked div 10").as("n_queries"), col("n_hits"),
-        expr("n_hits * 10000L div n_ranked").as("recall_bp"))
-      .orderBy(col("dim"))
-  }
-
-  /** Incremental (mergeable) table statistics (q135) — q130's profile
-    * restructured the way a 100 TB deployment actually maintains it: per
-    * ingest batch, each column's MERGEABLE stats (count, nulls, min,
-    * max, width sum — every one a semigroup) commit as a segment, and
-    * the serving profile is the segment MERGE — never a full-table
-    * rescan (the q124 segment model applied to statistics; exact NDV is
-    * deliberately absent — it does not merge, its incremental form is
-    * the HLL sketch q42 already covers). Here the corpus splits into
-    * three deterministic batches (doc_id mod 3) and the query computes
-    * the profile THROUGH the two-level path: per-batch aggregate →
-    * merge. The oracle recomputes the profile DIRECTLY over the full
-    * table — equality is the mergeability proof, hash-exact.
-    *
-    * Scale shape: one scan, two aggregates — the per-batch level is
-    * map-side-combinable to 3·|cols| rows, the merge level runs over
-    * that metadata. Text min/max go through min/max of md5 (mergeable),
-    * not md5 of min/max (not incremental). */
-  def incrementalStats(spark: SparkSession, dir: String): DataFrame = {
-    val perBatch = Tables.documents(spark, dir)
-      .groupBy((col("doc_id") % 3).as("batch_id"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("lang_nulls"),
-        min(col("lang")).as("lang_min"), max(col("lang")).as("lang_max"),
-        sum(length(col("lang")).cast("long")).as("lang_wsum"),
-        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_chars_nulls"),
-        // n_chars min/max stay NUMERIC through the merge — a string cast
-        // before merging would compare "1005" < "998" lexicographically.
-        min(col("n_chars")).as("n_chars_min"),
-        max(col("n_chars")).as("n_chars_max"),
-        sum(length(col("n_chars").cast("string")).cast("long")).as("n_chars_wsum"),
-        sum(when(col("text").isNull, 1L).otherwise(0L)).as("text_nulls"),
-        min(md5(col("text").cast("binary"))).as("text_min"),
-        max(md5(col("text").cast("binary"))).as("text_max"),
-        sum(length(col("text")).cast("long")).as("text_wsum"))
-    perBatch
-      .agg(
-        sum(col("n")).as("n_rows"),
-        sum(col("lang_nulls")).as("lang_nulls"),
-        min(col("lang_min")).as("lang_min"), max(col("lang_max")).as("lang_max"),
-        sum(col("lang_wsum")).as("lang_wsum"),
-        sum(col("n_chars_nulls")).as("n_chars_nulls"),
-        min(col("n_chars_min")).as("n_chars_min"), max(col("n_chars_max")).as("n_chars_max"),
-        sum(col("n_chars_wsum")).as("n_chars_wsum"),
-        sum(col("text_nulls")).as("text_nulls"),
-        min(col("text_min")).as("text_min"), max(col("text_max")).as("text_max"),
-        sum(col("text_wsum")).as("text_wsum"))
-      .selectExpr(
-        """stack(3,
-          |  'lang',    lang_nulls,    lang_min,                       lang_max,                       lang_wsum,
-          |  'n_chars', n_chars_nulls, CAST(n_chars_min AS STRING),    CAST(n_chars_max AS STRING),    n_chars_wsum,
-          |  'text',    text_nulls,    text_min,                       text_max,                       text_wsum
-          |) AS (col_name, n_nulls, min_val, max_val, wsum)""".stripMargin,
-        "n_rows")
-      .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("min_val"), col("max_val"),
-        expr("wsum * 100L div (n_rows - n_nulls)").as("avg_width_x100"))
-      .orderBy(col("col_name"))
-  }
-
-  /** Conversion window for [[conversionWindowFunnel]], shared with the
-    * q136 oracle: 24 h in microseconds. */
-  private[graft] val ConvWindowUs = 86400000000L
-
-  /** Conversion-window funnel (q136) — the time-bound attribution q89's
-    * predeclared funnel doesn't do: for every signup EVENT, did a
-    * purchase by the same user land within 24 h, and how fast? Emits
-    * one row: signups, conversions, conversion_bp, exact min/max
-    * time-to-convert in microseconds, and the lower-median
-    * time-to-convert in SECONDS. All integers.
-    *
-    * Scale shape: signups join purchases per USER (one user-key
-    * shuffle, co-partitioned; per-user event lists are small), first
-    * conversion per signup is a min-aggregate; min/max/count merge
-    * map-side. The median deliberately buckets deltas to SECONDS and
-    * ranks over the cumulative histogram (the q113 pattern) — a bounded
-    * 86 400-value domain at any corpus size, where ranking raw
-    * microsecond deltas would sort a conversions-sized list. */
-  def conversionWindowFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("unix_micros(ts)").as("us"))
-    val signups = ev.filter(col("event_type") === "signup")
-      .select(col("user_id"), col("event_id").as("signup_id"), col("us").as("s_us"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("us").as("p_us"))
-    val conv = signups.join(purchases, Seq("user_id"))
-      .filter(col("p_us") > col("s_us") && col("p_us") <= col("s_us") + lit(ConvWindowUs))
-      .groupBy(col("signup_id"))
-      .agg(min(col("p_us") - col("s_us")).as("delta_us"))
-    val deltaHist = conv
-      .groupBy(expr("delta_us div 1000000L").as("delta_s"))
-      .agg(count(lit(1)).as("c"))
-    val medianS = deltaHist
-      .withColumn("cum", sum(col("c")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("delta_s"))))
-      .crossJoin(broadcast(conv.agg(count(lit(1)).as("n_conv"))))
-      .filter(col("cum") >= expr("(n_conv + 1) div 2"))
-      .agg(min(col("delta_s")).as("median_delta_s"))
-    conv
-      .agg(count(lit(1)).as("n_conversions"),
-        min(col("delta_us")).as("min_delta_us"),
-        max(col("delta_us")).as("max_delta_us"))
-      .crossJoin(broadcast(signups.agg(count(lit(1)).as("n_signups"))))
-      .crossJoin(broadcast(medianS))
-      .select(col("n_signups"), col("n_conversions"),
-        expr("n_conversions * 10000L div n_signups").as("conversion_bp"),
-        col("min_delta_us"), col("max_delta_us"), col("median_delta_s"))
-  }
-
-  /** Rolling 7-day active users (q137) — DAU and exact WAU per observed
-    * day, the standing engagement metric of every event deployment.
-    * Exact distinct-users-in-window, not a sketch.
-    *
-    * Scale shape: events collapse to the distinct (user, day) incidence
-    * frame (map-side partial distinct; REUSES q133's memoized cache
-    * when both run in a session — same memo key family); each incidence
-    * row then fans out map-only to the ≤7 window days it supports
-    * (sequence + explode — no range join, no per-day rescan), and one
-    * distinct + count per day finishes it. The fan-out factor is the
-    * window length, constant in corpus size; days beyond the observed
-    * maximum are cut by a broadcast scalar. */
-  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
-    val incidence = graft.SessionMemo.memo(spark, s"q133incidence|$dir") {
-      val m = Tables.events(spark, dir)
-        .select(col("user_id"), expr("CAST(ts AS DATE)").as("day"), col("event_type"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      m.count()
-      m
-    }.select(col("user_id"), col("day")).distinct()
-    val maxDay = incidence.agg(max(col("day")).as("max_day"))
-    val dau = incidence.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
-    val wau = incidence
-      .select(col("user_id"),
-        explode(expr("sequence(day, date_add(day, 6))")).as("wday"))
-      .crossJoin(broadcast(maxDay))
-      .filter(col("wday") <= col("max_day"))
-      .select(col("user_id"), col("wday").as("day")).distinct()
-      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
-    dau.join(wau, Seq("day"))
-      .select(col("day"), col("dau"), col("wau"))
-      .orderBy(col("day"))
-  }
-
-  /** Referential-integrity audit (q138) — the cross-table data-quality
-    * gate next to q97's single-table invariants: for each foreign-key
-    * edge of the warehouse (lineitem→orders, orders→customer), orphan
-    * child rows (FK value with no parent) and unreferenced parent rows,
-    * both as counts and basis points. The audit every lake deployment
-    * runs after a backfill or a partial delete — on THIS data both
-    * orphan counts are zero, which is the point: the gate proves
-    * integrity holds (a spec plants a broken edge and watches the
-    * numbers move).
-    *
-    * Scale shape: each direction is a key-only anti-join — 8-byte keys,
-    * never payload — plus count aggregates; parent key sets distinct
-    * before the unreferenced probe. AQE picks build sides per edge. */
-  def fkIntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Seq(
-      ("lineitem.l_orderkey->orders.o_orderkey",
-        Tables.lineitem(spark, dir).select(col("l_orderkey").as("ck")),
-        Tables.orders(spark, dir).select(col("o_orderkey").as("pk"))),
-      ("orders.o_custkey->customer.c_custkey",
-        Tables.orders(spark, dir).select(col("o_custkey").as("ck")),
-        Tables.customer(spark, dir).select(col("c_custkey").as("pk"))))
-    edges.map { case (name, child, parent) => fkAuditOf(name, child, parent) }
-      .reduce(_ union _)
-      .orderBy(col("fk_name"))
-  }
-
-  /** One FK edge's audit row — split out so a spec can plant a broken
-    * edge (the q128 pattern). `child` is the FK column as `ck`, `parent`
-    * the PK column as `pk`. */
-  private[graft] def fkAuditOf(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
-    val stats = child.agg(count(lit(1)).as("n_child"))
-    val orphans = child.join(parent.distinct(), col("ck") === col("pk"), "left_anti")
-      .agg(count(lit(1)).as("n_orphans"))
-    val parents = parent.distinct().agg(count(lit(1)).as("n_parents"))
-    val unref = parent.distinct()
-      .join(child.distinct(), col("pk") === col("ck"), "left_anti")
-      .agg(count(lit(1)).as("n_unreferenced"))
-    stats.crossJoin(orphans).crossJoin(parents).crossJoin(unref)
-      .select(lit(name).as("fk_name"), col("n_child"), col("n_orphans"),
-        expr("n_orphans * 10000L div n_child").as("orphan_bp"),
-        col("n_parents"), col("n_unreferenced"),
-        expr("n_unreferenced * 10000L div n_parents").as("unreferenced_bp"))
-  }
-
-  /** PageRank over the purchase graph (q139) — iterative link analysis,
-    * the source-authority prior of web-corpus curation (site-level
-    * PageRank over the link graph is a standard quality signal for
-    * Common-Crawl-derived training corpora). Graph: customer ↔ part
-    * bipartite via orders⋈lineitem; 3 fixed-point iterations; top-20
-    * nodes by final rank.
-    *
-    * Scale shape: [[graft.graph.Graph]] — the degree-annotated edge list
-    * is built once per session (memoized, hash-partitioned by src,
-    * persisted); each iteration shuffles only the node-sized rank frame
-    * (the edge side reuses its cached partitioning), and the per-edge
-    * contribution is `rank div outdeg` in BIGINT micro-units, so sums are
-    * associative and the DuckDB oracle replays the exact iteration
-    * unrolled. The top-20 cut is TakeOrderedAndProject, never a global
-    * sort. */
-  def pageRankPurchases(spark: SparkSession, dir: String): DataFrame = {
-    import graft.graph.Graph
-    val symDeg = graft.SessionMemo.memo(spark, s"q139symdeg|$dir") {
-      val s = Graph.symmetricWithDegrees(
-        Graph.purchaseEdges(Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
-      s.count()
-      s
-    }
-    Graph.pageRank(symDeg)
-      .select(
-        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("part")).as("node_type"),
-        expr("node div 2").as("node_key"),
-        col("rank_fp"))
-      .orderBy(col("rank_fp").desc, col("node_type"), col("node_key"))
-      .limit(20)
-  }
-
-  /** Blocked entity resolution + golden record (q140) — the record-linkage
-    * pipeline every data lake runs over customer/account tables: block by
-    * coarse attributes, fuzzy-match names within blocks, take the
-    * transitive closure as the entity, emit one canonical (golden) record
-    * per entity. Here: blocks = (nation, market segment), match =
-    * levenshtein(name) ≤ 1, entity id = min member key, merged balance in
-    * exact integer cents.
-    *
-    * Scale shape: the pairwise comparison is an equi-join on the BLOCK KEY
-    * with the edit-distance predicate applied post-join, so the quadratic
-    * is bounded per block (at corpus scale you grow the blocking-key
-    * cardinality — add name prefixes — exactly as ER practice prescribes;
-    * AQE's skew split covers whale blocks). Clustering reuses
-    * [[graft.dedup.Dedup.connectedComponents]] (pointer-jumping at scale,
-    * driver union-find below the gate); the golden-record pass is one
-    * hash aggregate over entity id. */
-  def entityResolution(spark: SparkSession, dir: String): DataFrame =
-    entityResolutionOf(Tables.customer(spark, dir))
-
-  /** q140 on an arbitrary customer-shaped frame — split out so specs can
-    * plant known duplicate clusters and blocking-boundary cases. */
-  private[graft] def entityResolutionOf(c: DataFrame): DataFrame = {
-    val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
-      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-    val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"),
-      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-    val pairs = a.join(b, Seq("nk", "seg"))
-      .filter(col("id_a") < col("id_b") &&
-        levenshtein(col("name_a"), col("name_b")) <= 1)
-      .select(col("id_a"), col("id_b"))
-    val comps = Dedup.connectedComponents(pairs)
-    c.join(comps, col("c_custkey") === col("id"), "left")
-      .select(col("c_name"), col("c_acctbal"),
-        coalesce(col("comp"), col("c_custkey")).as("entity_id"))
-      .groupBy("entity_id")
-      .agg(count(lit(1)).as("n_members"),
-        min(col("c_name")).as("canonical_name"),
-        sum(expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)")).as("total_bal_cents"))
-      .orderBy(col("entity_id"))
-  }
-
-  /** k-anonymity / l-diversity audit (q141) — the privacy gate a
-    * training-data release runs before shipping user-derived tables:
-    * group by the quasi-identifier, measure how many rows sit in groups
-    * smaller than k (re-identifiable) and how diverse the sensitive
-    * attribute is within each group. QI = (nation, $1000 balance band),
-    * sensitive = market segment, k = [[KAnonymityK]].
-    *
-    * Scale shape: two chained hash aggregates (rows → QI groups → size
-    * histogram), both map-side combinable; the output is
-    * histogram-sized. The balance band is offset before integer division
-    * so negative balances can't split floor/truncate semantics across
-    * engines. */
-  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame =
-    kAnonymityOf(Tables.customer(spark, dir)
-      .select(col("c_nationkey").as("nk"),
-        expr("(CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 1000000L) div 100000").as("band"),
-        col("c_mktsegment").as("sensitive")))
-
-  /** q141 on an arbitrary (nk, band, sensitive) frame — for planted
-    * small-group / low-diversity spec scenarios. */
-  private[graft] def kAnonymityOf(qi: DataFrame): DataFrame = {
-    val groups = qi
-      .groupBy("nk", "band")
-      .agg(count(lit(1)).as("group_size"), countDistinct(col("sensitive")).as("l_div"))
-    groups.groupBy("group_size")
-      .agg(count(lit(1)).as("n_groups"),
-        min(col("l_div")).as("min_l_diversity"),
-        max(col("l_div")).as("max_l_diversity"))
-      .select(col("group_size"), col("n_groups"),
-        (col("group_size") * col("n_groups")).as("n_rows"),
-        (col("group_size") < KAnonymityK).as("at_risk"),
-        col("min_l_diversity"), col("max_l_diversity"))
-      .orderBy(col("group_size"))
-  }
-
-  /** q141's k threshold — referenced by engine and oracle alike. */
-  val KAnonymityK = 5
-
-  /** Cross-split semantic decontamination (q142) — the embedding-space
-    * twin of q62/q73's textual decontamination: an eval-split document
-    * whose nearest TRAIN-split neighbor by cosine exceeds
-    * [[SemanticLeakThreshold]] is a semantic leak (near-paraphrases that
-    * n-gram overlap misses). Output: each eval vector's rank-1 train
-    * neighbor and its leak verdict.
-    *
-    * Scale shape: the eval split is benchmark-suite-sized by construction,
-    * so it broadcasts and the train corpus is scanned ONCE with the
-    * per-query top-1 held in the map-side [[graft.similarity.TopKAggregator]]
-    * — no shuffle of scored pairs (the q33 shape). At 100 TB you route
-    * both sides through the IVF index first (q88's machinery) and re-rank
-    * exactly — the brute pass here is also the recall oracle for that. */
-  def semanticDecontamination(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
-    semanticDecontamOf(
-      embs.filter(col("vec_id") % 20 === 0),
-      embs.filter(col("vec_id") % 20 =!= 0))
-  }
-
-  /** q142 on arbitrary eval/train splits — for planted leak scenarios. */
-  private[graft] def semanticDecontamOf(evalSplit: DataFrame, trainSplit: DataFrame): DataFrame =
-    Ann.bruteForceTopK(evalSplit, trainSplit, "vec_id", "embedding", k = 1)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"),
-        (col("cosine") >= SemanticLeakThreshold).as("leaked"))
-      .orderBy(col("query_id"))
-
-  /** q142's cosine leak threshold — engine and oracle share it. */
-  val SemanticLeakThreshold = 0.40
-
-  /** Robust MAD outlier detection (q143) — median/MAD is the
-    * heavy-tail-safe outlier test (a single whale can't drag the fence
-    * the way q128's mean/σ can). Per return flag over lineitem prices
-    * binned to whole dollars: lower median, MAD, and the > 3·MAD outlier
-    * count — all exact integers on the binned domain.
-    *
-    * Scale shape: the corpus collapses ONCE to the (flag, dollar)
-    * histogram — map-side combinable, output bounded by the price domain,
-    * memoized for its two consumers (median pass and deviation pass).
-    * Medians come from running sums OVER THE HISTOGRAM (the q136 cum
-    * idiom) — windows only ever see histogram rows, never lineitem rows;
-    * the 3-row median/MAD frames broadcast back. */
-  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val hist = graft.SessionMemo.memo(spark, s"q143hist|$dir") {
-      val h = Tables.lineitem(spark, dir)
-        .select(col("l_returnflag").as("flag"),
-          expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT) div 100").as("dollars"))
-        .groupBy("flag", "dollars")
-        .agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      h.count()
-      h
-    }
-    madOutliersOfHist(hist)
-  }
-
-  /** q143 on an arbitrary (flag, dollars, c) histogram — for planted
-    * known-median/MAD spec scenarios. */
-  private[graft] def madOutliersOfHist(hist: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val totals = hist.groupBy("flag").agg(sum(col("c")).as("n"))
-    val cumW = Window.partitionBy(col("flag")).orderBy(col("dollars"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val med = hist.withColumn("cum", sum(col("c")).over(cumW))
-      .join(broadcast(totals), "flag")
-      .filter(col("cum") >= expr("(n + 1L) div 2"))
-      .groupBy("flag").agg(min(col("dollars")).as("med_dollars"))
-    val dev = hist.join(broadcast(med), "flag")
-      .select(col("flag"), abs(col("dollars") - col("med_dollars")).as("adev"), col("c"))
-      .groupBy("flag", "adev").agg(sum(col("c")).as("c"))
-    val cumW2 = Window.partitionBy(col("flag")).orderBy(col("adev"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val mad = dev.withColumn("cum", sum(col("c")).over(cumW2))
-      .join(broadcast(totals), "flag")
-      .filter(col("cum") >= expr("(n + 1L) div 2"))
-      .groupBy("flag").agg(min(col("adev")).as("mad_dollars"))
-    hist.join(broadcast(med), "flag").join(broadcast(mad), "flag")
-      .groupBy("flag")
-      .agg(sum(col("c")).as("n_rows"),
-        min(col("med_dollars")).as("med_dollars"),
-        min(col("mad_dollars")).as("mad_dollars"),
-        sum(when(abs(col("dollars") - col("med_dollars")) > col("mad_dollars") * 3L,
-          col("c")).otherwise(0L)).as("n_outliers"))
-      .select(col("flag"), col("n_rows"), col("med_dollars"), col("mad_dollars"),
-        col("n_outliers"), expr("n_outliers * 10000L div n_rows").as("outlier_bp"))
-      .orderBy(col("flag"))
-  }
-
-  /** Exact equal-frequency decile binning (q144) — the feature-engineering
-    * bucketizer (and training-curriculum difficulty binning) done EXACTLY:
-    * every order ranked by (price cents, key), bin = (rank−1)·10 div n.
-    *
-    * Scale shape: the global rank comes from [[graft.operators.PrefixSum]]
-    * — per-bucket window shards keyed by a monotone price prefix plus a
-    * histogram-sized offset frame — so there is NO single-partition
-    * window anywhere in the plan (PlanSpec pins it); the per-bin
-    * aggregate is one map-side-combinable shuffle of (bin, cents). */
-  def equalFreqBins(spark: SparkSession, dir: String): DataFrame =
-    equalFreqBinsOf(Tables.orders(spark, dir)
-      .select(col("o_orderkey"), expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents")))
-
-  /** q144 on an arbitrary (o_orderkey, cents) frame — for planted
-    * known-rank spec scenarios. */
-  private[graft] def equalFreqBinsOf(keyed: DataFrame): DataFrame = {
-    val o = keyed.withColumn("one", lit(1L))
-    val ranked = graft.operators.PrefixSum.runningSum(
-      o, Seq.empty, Seq("cents", "o_orderkey"), "one", expr("cents div 500000"), "rnk")
-    val n = o.agg(count(lit(1)).as("n"))
-    ranked.crossJoin(broadcast(n))
-      .select(col("cents"), expr("((rnk - 1L) * 10L) div n").as("bin"))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n_orders"), min(col("cents")).as("min_cents"),
-        max(col("cents")).as("max_cents"), sum(col("cents")).as("sum_cents"))
-      .orderBy(col("bin"))
-  }
-
-  /** q145 conversion rule: a user "converts" when they log at least this
-    * many purchase events (≈ the 46th percentile of the harness generator
-    * at every SF, so both experiment arms see a mixed outcome). Shared
-    * with the oracle builder — generated-constant pattern. */
-  private[graft] val AbConvPurchases = 14L
-
-  /** Deterministic A/B experiment readout (q145) — the product-analytics
-    * half of a training pipeline: every user is hash-assigned to an arm
-    * (portable md5-derived h31 of the user id, mod 2 — the standard
-    * stateless bucketing that needs no assignment table), the conversion
-    * metric is exact, and the 2×2 Pearson chi-square significance test is
-    * run in EXACT integer cross-multiplied form:
-    *
-    *   1000·N·(ad−bc)² ≥ 3841·r₁·r₂·c₁·c₂   (3.841 = χ²₀.₉₅, df=1)
-    *
-    * so the verdict is bit-portable (no float sqrt/ln anywhere). The
-    * cross-multiply is DECIMAL(38,0) — exact past 10⁷ users; beyond that
-    * a deployment divides all four cells by a common factor first (the
-    * test statistic is scale-invariant to first order and the verdict at
-    * that N is dominated by the lift sign — noted, not hidden).
-    *
-    * Scale shape: one user-keyed aggregate (map-side combinable), one
-    * 2-row arm aggregate, one broadcast of the 1-row scalar frame back.
-    * Nothing corpus-sized crosses the wire after the first shuffle. */
-  def abExperiment(spark: SparkSession, dir: String): DataFrame =
-    abExperimentOf(Tables.events(spark, dir))
-
-  private[graft] def abExperimentOf(events: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val users = events
-      .groupBy(col("user_id"))
-      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"))
-      .select(
-        when(col("n_purch") >= AbConvPurchases, 1L).otherwise(0L).as("conv"),
-        when(element_at(md5_token_hashes(array(col("user_id").cast("string")), 31), 1) % 2L === 0L,
-          "control").otherwise("treatment").as("variant"))
-    // ONE global reduction to the 2×2 table — everything downstream
-    // (arm rows, lift, significance) derives from this single row, so
-    // the corpus is scanned and user-aggregated exactly once.
-    val scalar = users.agg(
-      sum(when(col("variant") === "control", col("conv")).otherwise(0L)).as("a"),
-      sum(when(col("variant") === "control", lit(1L) - col("conv")).otherwise(0L)).as("b"),
-      sum(when(col("variant") === "treatment", col("conv")).otherwise(0L)).as("c"),
-      sum(when(col("variant") === "treatment", lit(1L) - col("conv")).otherwise(0L)).as("d"))
-    scalar
-      .select(
-        explode(array(
-          struct(lit("control").as("variant"), expr("a + b").as("n_users"),
-            col("a").as("n_converted")),
-          struct(lit("treatment").as("variant"), expr("c + d").as("n_users"),
-            col("c").as("n_converted")))).as("r"),
-        expr("c * 10000L div (c + d) - a * 10000L div (a + b)").as("lift_bp"),
-        (expr("CAST(1000 AS DECIMAL(38,0)) * CAST(a + b + c + d AS DECIMAL(38,0))" +
-          " * CAST(a * d - b * c AS DECIMAL(38,0)) * CAST(a * d - b * c AS DECIMAL(38,0))") >=
-          expr("CAST(3841 AS DECIMAL(38,0)) * CAST(a + b AS DECIMAL(38,0))" +
-            " * CAST(c + d AS DECIMAL(38,0)) * CAST(a + c AS DECIMAL(38,0))" +
-            " * CAST(b + d AS DECIMAL(38,0))")).as("significant_95"))
-      .select(col("r.variant"), col("r.n_users"), col("r.n_converted"),
-        expr("r.n_converted * 10000L div r.n_users").as("cvr_bp"),
-        col("lift_bp"), col("significant_95"))
-      .orderBy(col("variant"))
-  }
-
-  /** q146 IDF fixed point: one surprisal micro-unit = 1e-6 of an
-    * inverse-document-frequency ratio. */
-  private[graft] val IdfScale = 1000000L
-
-  /** IDF-surprisal document quality (q146) — the integer-exact stand-in
-    * for the CCNet/Gopher "LM perplexity" quality prior: a document full
-    * of corpus-common tokens scores low, one full of rare tokens scores
-    * high. Per distinct token, surprisal = ⌊1e6·N/df⌋ (df = number of
-    * docs containing the token); per doc, the mean over its distinct
-    * tokens; reported per language with min/max spread. All BIGINT — no
-    * ln(), so the oracle replays it exactly.
-    *
-    * Scale shape: tokens shuffle as 8-byte md5-h60 keys (the q64
-    * discipline — never raw strings); df is a vocab-sized aggregate with
-    * map-side partial combine absorbing stopword skew; the df join back
-    * to the (doc, token) frame is vocab-vs-corpus — AQE broadcasts the
-    * df side at harness SF and shuffle-joins at corpus scale; everything
-    * after is doc-keyed and map-side combinable. */
-  def idfQuality(spark: SparkSession, dir: String): DataFrame =
-    idfQualityOf(Tables.documents(spark, dir))
-
-  private[graft] def idfQualityOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val docTok = docs.select(col("doc_id"), col("lang"),
-      explode(md5_token_hashes(array_distinct(split(col("text"), " ")), 60)).as("tk"))
-    val dfCounts = docTok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_total"))
-    docTok
-      .join(dfCounts, "tk")
-      .crossJoin(broadcast(n))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(expr(s"($IdfScale * n_total) div df")).as("s"), count(lit(1)).as("c"))
-      .select(col("lang"), expr("s div c").as("surprisal_u"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        expr("sum(surprisal_u) div count(1)").as("mean_surprisal_u"),
-        min(col("surprisal_u")).as("min_surprisal_u"),
-        max(col("surprisal_u")).as("max_surprisal_u"))
-      .orderBy(col("lang"))
-  }
-
-  /** q148 burst-bot rule constants, shared with the oracle: a "fast"
-    * inter-event gap is ≤ 10 minutes (the harness median gap is ~7 h, so
-    * fast gaps are the ~1.5% tail); a user is flagged when they have ≥ 20
-    * events and ≥ 3% of their gaps are fast. */
-  private[graft] val BotFastGapUs = 600000000L
-  private[graft] val BotMinEvents = 20L
-  private[graft] val BotFastBp = 300L
-
-  /** Behavioral bot/burst detection (q148) — the abuse-filtering pass an
-    * event pipeline runs before events feed training or analytics: per
-    * user, exact inter-event gap statistics (ordered by microsecond
-    * timestamp with event_id as the deterministic tie-break) and a flag
-    * for burst-heavy actors. All integer microseconds.
-    *
-    * Scale shape: ONE corpus shuffle, keyed by user_id — the lag window
-    * and the aggregate share the user partitioning (the window's sort is
-    * per-user, never global; PlanSpec pins no single-partition window).
-    * Whale users are a bounded per-key sort; AQE's skew handling and the
-    * q107 salting audit cover the pathological case. */
-  def botDetection(spark: SparkSession, dir: String): DataFrame =
-    botDetectionOf(Tables.events(spark, dir))
-
-  private[graft] def botDetectionOf(events: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    events
-      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"))
-      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        (max(col("us")) - min(col("us"))).as("span_us"),
-        count(col("gap_us")).as("n_gaps"),
-        sum(when(col("gap_us") <= BotFastGapUs, 1L).otherwise(0L)).as("n_fast"),
-        sum(col("gap_us")).as("sum_gap"))
-      .filter(col("n_gaps") > 0)
-      .select(col("user_id"), col("n_events"), col("span_us"),
-        expr("sum_gap div n_gaps").as("mean_gap_us"),
-        expr("n_fast * 10000L div n_gaps").as("fast_bp"))
-      .withColumn("is_bot",
-        col("n_events") >= BotMinEvents && col("fast_bp") >= BotFastBp)
-      .orderBy(col("user_id"))
-  }
-
-  /** q147 containment constants, shared with the oracle: word-3-gram
-    * shingles, "discriminative" = gram appears in ≤ 50 docs (the
-    * hot-shingle cut that bounds the self-join fan-out at corpus scale),
-    * report pairs where ≥ 80% of the smaller doc's discriminative grams
-    * appear in the larger doc. */
-  private[graft] val ContainGramLen = 3
-  private[graft] val ContainMaxDf = 50L
-  private[graft] val ContainBp = 8000L
-
-  /** Asymmetric document containment (q147) — the quote/subset detector
-    * Jaccard dedup misses: a short doc pasted inside a longer one has low
-    * Jaccard but near-total containment |A∩B|/|A|. Computed exactly over
-    * each doc's DISTINCT word-3-gram shingles, restricted to
-    * discriminative grams (df ≤ [[ContainMaxDf]]) — boilerplate shingles
-    * shared by half the corpus carry no copy signal and would otherwise
-    * make the gram self-join quadratic in the hottest key. The cut is
-    * part of the operator's semantics and is mirrored verbatim in the
-    * oracle.
-    *
-    * Scale shape: grams shuffle as 8-byte md5-h60 keys; the df cut bounds
-    * every gram's join fan-out at ContainMaxDf², so candidate volume is
-    * ≤ df-capped-gram-count · ContainMaxDf — linear in the corpus, never
-    * all-pairs (the q27/q73 banding discipline, with df as the band). */
-  def docContainment(spark: SparkSession, dir: String): DataFrame =
-    docContainmentOf(Tables.documents(spark, dir))
-
-  private[graft] def docContainmentOf(
-      docs: DataFrame, maxDf: Long = ContainMaxDf): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val toks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= ContainGramLen)
-    val grams = toks
-      .select(col("doc_id"), explode(array_distinct(md5_token_hashes(
-        expr(s"transform(sequence(1, size(t) - ${ContainGramLen - 1})," +
-          s" i -> concat_ws(' ', slice(t, i, $ContainGramLen)))"), 60))).as("g"))
-    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-      .filter(col("gdf") <= maxDf)
-      .select(col("g"))
-    val rg = grams.join(rare, "g")
-    val sizes = rg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val pairs = rg.alias("a")
-      .join(rg.alias("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_grams").as("n_grams_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_grams").as("n_grams_b")), "id_b")
-      .select(col("id_a"), col("id_b"), col("n_grams_a"), col("n_grams_b"), col("shared"),
-        expr("shared * 10000L div n_grams_a").as("containment_bp"))
-      .filter(col("containment_bp") >= ContainBp &&
-        (col("n_grams_a") < col("n_grams_b") ||
-          (col("n_grams_a") === col("n_grams_b") && col("id_a") < col("id_b"))))
-      .orderBy(col("id_a"), col("id_b"))
-  }
-
-  /** Min-label community detection (q149) — the second iterative graph
-    * operator (q139's PageRank scores nodes; this one PARTITIONS them):
-    * three rounds of synchronous min-label propagation over the same
-    * memoized purchase graph, then the 20 largest communities. Labels are
-    * node ids and the reduction is MIN — associative, deterministic,
-    * replayed exactly by the oracle's unrolled CTEs (generated from
-    * [[graft.graph.Graph.LpIters]]). */
-  def labelCommunities(spark: SparkSession, dir: String): DataFrame = {
-    import graft.graph.Graph
-    val symDeg = graft.SessionMemo.memo(spark, s"q139symdeg|$dir") {
-      val s = Graph.symmetricWithDegrees(
-        Graph.purchaseEdges(Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
-      s.count()
-      s
-    }
-    val labels = graft.SessionMemo.memo(spark, s"q149labels|$dir") {
-      Graph.labelPropagation(symDeg)
-    }
-    labels
-      .groupBy(col("lbl"))
-      .agg(count(lit(1)).as("n_members"))
-      .select(
-        when(col("lbl") % 2 === 0, lit("customer")).otherwise(lit("part")).as("community_type"),
-        expr("lbl div 2").as("community_key"),
-        col("n_members"))
-      .orderBy(col("n_members").desc, col("community_type"), col("community_key"))
-      .limit(20)
-  }
-
-  /** Token-distribution concentration audit (q150) — the Zipf-shape
-    * check run before vocabulary/tokenizer decisions: per language, how
-    * much of the token mass the 10 most frequent types capture and how
-    * much of the vocabulary is hapax legomena (singletons). Exact
-    * integers; rank ties broken by token string so the top-10 cut is a
-    * total order in both engines.
-    *
-    * Scale shape: one corpus-sized map-side-combinable (lang, token)
-    * count; everything after (rank window, reductions) runs on the
-    * VOCAB-sized frame, partitioned by language. */
-  def tokenConcentration(spark: SparkSession, dir: String): DataFrame =
-    tokenConcentrationOf(Tables.documents(spark, dir))
-
-  private[graft] def tokenConcentrationOf(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("c").desc, col("tok"))
-    docs
-      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("lang"), col("tok"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("rnk", row_number().over(w))
-      .groupBy(col("lang"))
-      .agg(sum(col("c")).as("total_tokens"),
-        count(lit(1)).as("distinct_tokens"),
-        sum(when(col("rnk") <= 10, col("c")).otherwise(0L)).as("top10_mass"),
-        sum(when(col("c") === 1, 1L).otherwise(0L)).as("singletons"))
-      .select(col("lang"), col("total_tokens"), col("distinct_tokens"),
-        expr("top10_mass * 10000L div total_tokens").as("top10_bp"),
-        col("singletons"),
-        expr("singletons * 10000L div distinct_tokens").as("singleton_bp"))
-      .orderBy(col("lang"))
-  }
-
-  /** Positional phrase search (q153) — the inverted-index operation q109's
-    * posting lists exist FOR: find every occurrence of a phrase by
-    * intersecting the two terms' positional postings (term₁ at pos p,
-    * term₂ at p+1) instead of rescanning text. The query phrase is the
-    * corpus's most frequent word bigram ((count desc, w1, w2) total
-    * order — deterministic, so the oracle recomputes it identically).
-    *
-    * Scale shape: postings carry (doc_id, pos, 8-byte h60 key); the
-    * 1-row phrase frame broadcasts into the posting scan (map-only
-    * candidate filter — only the two terms' postings survive), and the
-    * positional intersection is an equi-join on (doc, adjacent pos) over
-    * those two tiny lists. The corpus is scanned twice (pair counts +
-    * postings) — both map-side-combinable; at serving scale the postings
-    * side is the committed q109 layout and only the intersection runs. */
-  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
-    phraseSearchOf(Tables.documents(spark, dir))
-
-  private[graft] def phraseSearchOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val toks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 2)
-    val top1 = toks
-      .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("p"))
-      .select(col("p.w1"), col("p.w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w1"), col("w2")).limit(1)
-      .select(col("w1"), col("w2"),
-        element_at(md5_token_hashes(array(col("w1")), 60), 1).as("h1"),
-        element_at(md5_token_hashes(array(col("w2")), 60), 1).as("h2"))
-    val postings = docs
-      .select(col("doc_id"),
-        posexplode(md5_token_hashes(split(col("text"), " "), 60)).as(Seq("pos", "h")))
-    val cand = postings
-      .join(broadcast(top1), col("h") === col("h1") || col("h") === col("h2"))
-    val a = cand.filter(col("h") === col("h1"))
-      .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
-    val b = cand.filter(col("h") === col("h2"))
-      .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
-    a.join(b, col("doc_id") === col("doc_b") && col("pos_b") === col("pos") + 1)
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n_matches"))
-      .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("phrase"),
-        col("n_matches"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Same-order co-purchase recommendations (q154) — the market-basket
-    * "customers who bought X also bought Y" primitive: distinct
-    * (order, part) incidence, within-order part pairs, top-20 by
-    * co-occurrence with exact integer lift vs independence (the q133
-    * basket idiom applied to the ITEM key space). The top-20 cut runs
-    * BEFORE the lift joins, so the per-part support lookups touch 20
-    * rows, not the pair space.
-    *
-    * Scale shape: pair fan-out is Σ_order |basket|² with baskets a few
-    * items each — linear in lineitem; the pair aggregate partial-combines
-    * map-side; the cut is TakeOrdered; support joins broadcast onto 20
-    * rows. A pathological whale basket is the q107 salting case. */
-  def coPurchase(spark: SparkSession, dir: String): DataFrame =
-    coPurchaseOf(Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
-
-  private[graft] def coPurchaseOf(orderParts: DataFrame): DataFrame = {
-    val li = orderParts.select(col("ok"), col("pk")).distinct()
-    val top = li.alias("a")
-      .join(li.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
-      .agg(count(lit(1)).as("n_co"))
-      .orderBy(col("n_co").desc, col("part_a"), col("part_b"))
-      .limit(20)
-    val support = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
-    val total = li.agg(countDistinct(col("ok")).as("total"))
-    top
-      .join(broadcast(support.select(col("pk").as("part_a"), col("n").as("n_a"))), "part_a")
-      .join(broadcast(support.select(col("pk").as("part_b"), col("n").as("n_b"))), "part_b")
-      .crossJoin(broadcast(total))
-      .select(col("part_a"), col("part_b"), col("n_co"), col("n_a"), col("n_b"),
-        expr("n_co * total * 10000L div (n_a * n_b)").as("lift_bp"))
-      .orderBy(col("n_co").desc, col("part_a"), col("part_b"))
-  }
-
-  /** q155 horizon: report the first 14 daily hazard rows. */
-  private[graft] val SurvivalDays = 14
-
-  /** Discrete survival / hazard curve (q155) — time-to-conversion the
-    * way survival analysis frames it, with CENSORING done right: per
-    * signup user, event time = days from first signup to first
-    * subsequent purchase; users without one are censored at the end of
-    * the observation window (global max event time). For each day d:
-    * at_risk(d) = users still unconverted AND uncensored entering d,
-    * events(d) = conversions on d, hazard_bp exact. The naive
-    * "conversion rate by day" over-counts late cohorts; the risk-set
-    * denominator is the correct estimator (discrete Kaplan–Meier).
-    *
-    * Scale shape: one user-keyed reduction to (offset, censor) — the
-    * corpus-sized work; exit/event histograms are day-count-sized, and
-    * the running risk-set sum is a window over that METADATA-sized frame
-    * (single partition of ~tens of rows — the q143 histogram idiom). */
-  def survivalHazard(spark: SparkSession, dir: String): DataFrame =
-    survivalHazardOf(Tables.events(spark, dir))
-
-  private[graft] def survivalHazardOf(events: DataFrame): DataFrame = {
-    val e = events.select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_type"))
-    val tEnd = e.agg(max(col("us")).as("t_end"))
-    val fs = e.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("us")).as("fs"))
-    val fp = e.filter(col("event_type") === "purchase")
-      .join(fs, "user_id")
-      .filter(col("us") >= col("fs"))
-      .groupBy(col("user_id")).agg(min(col("us")).as("fp"))
-    val users = fs.join(fp, Seq("user_id"), "left").crossJoin(broadcast(tEnd))
-      .select(
-        expr("(fp - fs) div 86400000000L").as("conv_off"), // null if unconverted
-        expr("(t_end - fs) div 86400000000L").as("cens_off"))
-      .select(col("conv_off"),
-        when(col("conv_off").isNotNull, least(col("conv_off"), col("cens_off")))
-          .otherwise(col("cens_off")).as("exit_off"))
-    val exits = users.groupBy(col("exit_off")).agg(
-      count(lit(1)).as("n_exit"),
-      sum(when(col("conv_off") === col("exit_off"), 1L).otherwise(0L)).as("n_events"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("exit_off"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    // n_total rides a second window over the SAME day-sized frame — a
-    // scalar-aggregate branch would re-derive the corpus pipeline twice.
-    val wAll = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    exits
-      .withColumn("exited_before", coalesce(sum(col("n_exit")).over(w), lit(0L)))
-      .withColumn("n_total", sum(col("n_exit")).over(wAll))
-      .select(col("exit_off").as("day"), expr("n_total - exited_before").as("at_risk"),
-        col("n_events"),
-        expr("n_events * 10000L div (n_total - exited_before)").as("hazard_bp"))
-      .filter(col("day") < SurvivalDays && col("day") >= 0)
-      .orderBy(col("day"))
-  }
-
-  /** Three-step ordered funnel (q156) — strict event-order funnels
-    * (signup → first view AFTER it → first purchase AFTER that view),
-    * where q89/q136 check one window-bound step and q132 discovers
-    * unordered paths. Each step's anchor is the MIN qualifying time
-    * after the previous step's anchor, per user.
-    *
-    * Scale shape: three user-keyed aggregates and two user-keyed joins —
-    * one natural partitioning end to end (the exchanges reuse it); the
-    * final 3-row readout derives from three scalar counts. */
-  def funnelThreeStep(spark: SparkSession, dir: String): DataFrame =
-    funnelThreeStepOf(Tables.events(spark, dir))
-
-  private[graft] def funnelThreeStepOf(events: DataFrame): DataFrame = {
-    val e = events.select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_type"))
-    val fs = e.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("us")).as("fs"))
-    val fv = e.filter(col("event_type") === "view").join(fs, "user_id")
-      .filter(col("us") > col("fs"))
-      .groupBy(col("user_id")).agg(min(col("us")).as("fv"))
-    val fp = e.filter(col("event_type") === "purchase").join(fv, "user_id")
-      .filter(col("us") > col("fv"))
-      .groupBy(col("user_id")).agg(min(col("us")).as("fp"))
-    // ONE per-user frame → one aggregate. The fs/fv subtrees recur in
-    // later branches (each anchor re-derives its predecessor); every
-    // branch is a type-filtered scan (predicate pushed to parquet) +
-    // user-keyed aggregate, so the repeated work is the signup/view
-    // slices, never the full corpus. A serving deployment memoizes the
-    // per-user anchor frame instead.
-    val scalar = fs
-      .join(fv, Seq("user_id"), "left")
-      .join(fp, Seq("user_id"), "left")
-      .agg(count(lit(1)).as("n0"), count(col("fv")).as("n1"), count(col("fp")).as("n2"))
-    scalar
-      .select(explode(array(
-        struct(lit(1).as("step_no"), lit("signup").as("step"),
-          col("n0").as("n_users"), lit(10000L).as("conv_bp")),
-        struct(lit(2).as("step_no"), lit("view_after_signup").as("step"),
-          col("n1").as("n_users"), expr("n1 * 10000L div n0").as("conv_bp")),
-        struct(lit(3).as("step_no"), lit("purchase_after_view").as("step"),
-          col("n2").as("n_users"), expr("n2 * 10000L div n1").as("conv_bp")))).as("r"))
-      .select(col("r.step_no"), col("r.step"), col("r.n_users"), col("r.conv_bp"))
-      .orderBy(col("step_no"))
-  }
-
-  /** Mutual nearest neighbors (q157) — the bitext-mining / dataset-pairing
-    * primitive (cf. margin-based mining for parallel corpora): pairs
-    * where each side is the OTHER's top-1 neighbor. Mutuality is the
-    * standard high-precision filter on top of raw top-1 retrieval; the
-    * globally closest pair is always mutual, so the result is never
-    * empty for n ≥ 2. Runs on the vec_id % 10 probe subset (the q33
-    * probe discipline); the rank-1 lists are row-per-point, so the
-    * mutuality self-join is metadata-sized.
-    *
-    * Scale shape: the scoring pass is the q33 broadcast shape (queries
-    * broadcast over one corpus scan, map-side TopKAggregator); at corpus
-    * scale the IVF route (q49/q80) generates the candidates and this
-    * brute pass is its recall oracle. */
-  def mutualNn(spark: SparkSession, dir: String): DataFrame =
-    mutualNnOf(Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % 10 === 0 && col("embedding").isNotNull))
-
-  private[graft] def mutualNnOf(s: DataFrame): DataFrame = {
-    val t1 = Ann.bruteForceTopK(s, s, "vec_id", "embedding", k = 1)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"))
-    t1.alias("x").join(t1.alias("y"),
-        col("x.query_id") === col("y.neighbor_id") &&
-        col("x.neighbor_id") === col("y.query_id") &&
-        col("x.query_id") < col("x.neighbor_id"))
-      .select(col("x.query_id").as("id_a"), col("x.neighbor_id").as("id_b"),
-        col("x.cosine").as("cosine"))
-      .orderBy(col("id_a"))
-  }
-
-  /** Daily OHLC bars (q158) — the time-series downsampling every metrics
-    * store runs (open/high/low/close per key per bucket): exact
-    * floor-cents, open/close picked by min_by/max_by over the
-    * deterministic (µs, event_id) total order — never a "first row in
-    * file order" nondeterminism. One map-side-combinable aggregate
-    * (min_by/max_by are semigroups), one shuffle on (type, day). */
-  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
-    ohlcBarsOf(Tables.events(spark, dir))
-
-  private[graft] def ohlcBarsOf(events: DataFrame): DataFrame =
-    events
-      .select(col("event_type"), expr("unix_micros(ts)").as("us"), col("event_id"),
-        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
-      .filter(col("cents").isNotNull)
-      .groupBy(col("event_type"), expr("us div 86400000000L").as("day"))
-      .agg(count(lit(1)).as("n_events"),
-        expr("min_by(cents, struct(us, event_id))").as("open_cents"),
-        max(col("cents")).as("high_cents"),
-        min(col("cents")).as("low_cents"),
-        expr("max_by(cents, struct(us, event_id))").as("close_cents"))
-      .orderBy(col("event_type"), col("day"))
-
-  /** Source-diversity audit (q159) — corpus-mix monitoring without
-    * logarithms: per language, the Simpson concentration Σpᵢ² in exact
-    * basis points (= collision probability of two random docs sharing a
-    * source) and the effective source count N²/Σnᵢ² ×100 — the
-    * integer-exact stand-ins for entropy/perplexity of the source mix.
-    * Two chained map-side-combinable aggregates; arithmetic is BIGINT
-    * (exact to ~4·10⁸ docs per language; past that, lift the squares to
-    * DECIMAL(38,0) — same bound note as q145). */
-  def sourceDiversity(spark: SparkSession, dir: String): DataFrame =
-    sourceDiversityOf(Tables.documents(spark, dir))
-
-  private[graft] def sourceDiversityOf(docs: DataFrame): DataFrame =
-    docs
-      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
-      .groupBy(col("lang"))
-      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_sources"),
-        sum(expr("n * n")).as("ss"))
-      .select(col("lang"), col("n_docs"), col("n_sources"),
-        expr("ss * 10000L div (n_docs * n_docs)").as("simpson_bp"),
-        expr("n_docs * n_docs * 100L div ss").as("eff_sources_x100"))
-      .orderBy(col("lang"))
-
-  /** q162 constants: per-item partner-list truncation (the production
-    * item-kNN index is a top-N similar-items table, not the full pair
-    * matrix) and the evaluated cutoff grid. */
-  private[graft] val RecsPartnerTopN = 10
-  private[graft] val RecsKs = Seq(1, 3, 5)
-
-  /** Offline recommendation backtest (q162) — the eval harness every
-    * recommender ships with: hold out each customer's LATEST order,
-    * train the q154-style co-occurrence model on the REMAINING orders
-    * only (no leakage), recommend by item-kNN (score(candidate) =
-    * Σ over history items of their train co-count, over each item's
-    * top-[[RecsPartnerTopN]] partner list), and report exact
-    * hit-rate@k for k ∈ {1,3,5}. All ranking orders are total
-    * ((score desc, part), (count desc, partner)) so the oracle replays
-    * them exactly.
-    *
-    * Scale shape: train pairs aggregate map-side; the partner-list
-    * truncation is a window over the PAIR frame (partitioned by item) —
-    * the same cut that bounds the history⋈partners fan-out at
-    * |history|·N per customer instead of |history|·deg(item); candidate
-    * scoring and the per-customer top-k are customer-keyed. */
-  def recsBacktest(spark: SparkSession, dir: String): DataFrame =
-    recsBacktestOf(
-      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
-      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
-
-  private[graft] def recsBacktestOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ow = Window.partitionBy("o_custkey")
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    val ord = orders
-      .withColumn("rn", row_number().over(ow))
-      .withColumn("n_orders", count(lit(1)).over(Window.partitionBy("o_custkey")))
-      .filter(col("n_orders") >= 2)
-      .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"),
-        (col("rn") === 1).as("holdout"))
-    val baskets = ord.join(lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")), "ok")
-      .select(col("cust"), col("ok"), col("pk"), col("holdout")).distinct()
-    val train = baskets.filter(!col("holdout"))
-    val test = baskets.filter(col("holdout")).select(col("cust"), col("pk")).distinct()
-    // symmetric train co-occurrence, truncated to each item's top-N.
-    val pairs = train.alias("a")
-      .join(train.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .groupBy(col("a.pk").as("item"), col("b.pk").as("partner"))
-      .agg(count(lit(1)).as("co"))
-    val pw = Window.partitionBy("item").orderBy(col("co").desc, col("partner"))
-    val topPartners = pairs.withColumn("prn", row_number().over(pw))
-      .filter(col("prn") <= RecsPartnerTopN)
-      .select(col("item"), col("partner"), col("co"))
-    // history items per customer → candidate scores.
-    val history = train.select(col("cust"), col("pk")).distinct()
-    val cands = history
-      .join(topPartners, col("pk") === col("item"))
-      .groupBy(col("cust"), col("partner"))
-      .agg(sum(col("co")).as("score"))
-      // never recommend something already in the history.
-      .join(history.select(col("cust"), col("pk").as("partner")), Seq("cust", "partner"), "left_anti")
-    val cw = Window.partitionBy("cust").orderBy(col("score").desc, col("partner"))
-    val ranked = cands.withColumn("crn", row_number().over(cw))
-      .filter(col("crn") <= RecsKs.max)
-    // hit@k: any rec with rank <= k inside the holdout basket. ONE
-    // aggregate produces every cutoff's count; the k-rows explode from
-    // the scalar (the q145 readout pattern — no per-k driver actions).
-    val hits = ranked.join(test.withColumnRenamed("pk", "partner"), Seq("cust", "partner"))
-      .groupBy(col("cust")).agg(min(col("crn")).as("best_rank"))
-    val scalar = test.select(col("cust")).distinct()
-      .join(hits, Seq("cust"), "left")
-      .agg(count(lit(1)).as("n_customers"),
-        RecsKs.map(k =>
-          sum(when(col("best_rank") <= k, 1L).otherwise(0L)).as(s"h$k")): _*)
-    scalar
-      .select(explode(array(RecsKs.map(k =>
-        struct(lit(k.toLong).as("k"), col("n_customers"),
-          col(s"h$k").as("n_hits"),
-          expr(s"h$k * 10000L div n_customers").as("hitrate_bp"))): _*)).as("r"))
-      .select(col("r.k"), col("r.n_customers"), col("r.n_hits"), col("r.hitrate_bp"))
-      .orderBy(col("k"))
-  }
-
-  /** Daily co-movement audit (q163) — does one event type's daily volume
-    * move with another's (error spikes tracking traffic, purchases
-    * tracking views)? Pearson correlation WITHOUT float division or
-    * sqrt: with per-day counts x, y over the n jointly-observed days,
-    *   cov_n  = n·Σxy − Σx·Σy,  varx_n = n·Σx² − (Σx)²  (exact BIGINT),
-    * sign(cov_n) = sign(r), and |r| ≥ ½  ⇔  4·cov_n² ≥ varx_n·vary_n —
-    * the q145 cross-multiply trick, so the strong-co-movement verdict is
-    * bit-portable.
-    *
-    * Scale shape: the corpus collapses to the (day, type) count frame —
-    * days×types rows, METADATA-sized — and everything after (the pair
-    * self-join on day, the pair reduction) runs on that frame. */
-  def dailyCorrelation(spark: SparkSession, dir: String): DataFrame =
-    dailyCorrelationOf(Tables.events(spark, dir))
-
-  private[graft] def dailyCorrelationOf(events: DataFrame): DataFrame = {
-    val daily = events
-      .groupBy(expr("unix_micros(ts) div 86400000000L").as("day"), col("event_type"))
-      .agg(count(lit(1)).as("c"))
-    daily.alias("a")
-      .join(daily.alias("b"),
-        col("a.day") === col("b.day") && col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
-      .agg(count(lit(1)).as("n_days"),
-        sum(col("a.c")).as("sx"), sum(col("b.c")).as("sy"),
-        sum(expr("a.c * a.c")).as("sxx"), sum(expr("b.c * b.c")).as("syy"),
-        sum(expr("a.c * b.c")).as("sxy"))
-      .select(col("type_a"), col("type_b"), col("n_days"),
-        expr("n_days * sxy - sx * sy").as("cov_n"),
-        expr("n_days * sxx - sx * sx").as("varx_n"),
-        expr("n_days * syy - sy * sy").as("vary_n"))
-      .select(col("type_a"), col("type_b"), col("n_days"), col("cov_n"),
-        (col("cov_n") > 0).as("positive"),
-        expr("4 * cov_n * cov_n >= varx_n * vary_n AND varx_n > 0 AND vary_n > 0")
-          .as("strong"))
-      .orderBy(col("type_a"), col("type_b"))
-  }
-
-  /** q164 constants: $10 value bins, week-1 vs rest split, drift flag at
-    * TVD ≥ 5%. */
-  private[graft] val DriftBinCents = 1000L
-  private[graft] val DriftSplitDay = 7L
-  private[graft] val DriftTvdBp = 500L
-
-  /** Purchase-value distribution drift (q164) — the data-drift monitor a
-    * serving pipeline runs between a reference window and fresh data:
-    * total-variation distance between the week-1 and rest-of-month
-    * purchase-value histograms ($10 bins), computed EXACTLY in integers
-    * with the common-denominator form
-    *   tvd_bp = 10⁴ · Σᵢ |aᵢ·N₂ − bᵢ·N₁| / (2·N₁·N₂)
-    * (no per-bin float division — the PSI/KL alternatives need ln and
-    * are not bit-portable).
-    *
-    * Scale shape: one pushed-filter scan → (bin, window) count →
-    * bin-count-sized reduction. */
-  def valueDrift(spark: SparkSession, dir: String): DataFrame =
-    valueDriftOf(Tables.events(spark, dir))
-
-  private[graft] def valueDriftOf(events: DataFrame): DataFrame = {
-    val p = events
-      .filter(col("event_type") === "purchase" && col("value").isNotNull)
-      .select(expr(s"CAST(FLOOR(value * 100) AS BIGINT) div $DriftBinCents").as("bin"),
-        expr("unix_micros(ts) div 86400000000L").as("day"))
-    // reference-window anchor as a broadcast scalar — an OVER () window
-    // here would be a corpus-sized single-partition sort.
-    val d0 = p.agg(min(col("day")).as("d0"))
-    val binned = p.crossJoin(broadcast(d0))
-      .select(col("bin"), (col("day") - col("d0") < DriftSplitDay).as("week1"))
-    val h = binned.groupBy(col("bin"))
-      .agg(sum(when(col("week1"), 1L).otherwise(0L)).as("a"),
-        sum(when(!col("week1"), 1L).otherwise(0L)).as("b"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    h
-      .withColumn("n1", sum(col("a")).over(wAll))
-      .withColumn("n2", sum(col("b")).over(wAll))
-      .agg(count(lit(1)).as("n_bins"),
-        min(col("n1")).as("n_week1"), min(col("n2")).as("n_rest"),
-        sum(expr("abs(a * n2 - b * n1)")).as("num"))
-      .select(col("n_bins"), col("n_week1"), col("n_rest"),
-        expr("num * 10000L div (2 * n_week1 * n_rest)").as("tvd_bp"))
-      .withColumn("drifted", col("tvd_bp") >= DriftTvdBp)
-  }
-
-  /** Weekly seasonality profile (q165) — the (day-of-week × hour) load
-    * matrix capacity planning and anomaly baselines read: exact counts,
-    * share of total in bp, and a peak flag at ≥ 2× the uniform share.
-    * Day-of-week is pure epoch arithmetic ((day+3) mod 7, Monday = 0 —
-    * 1970-01-01 was a Thursday) so both engines agree without calendar
-    * functions. One map-side-combinable aggregate to 168 rows. */
-  def seasonalityProfile(spark: SparkSession, dir: String): DataFrame =
-    seasonalityProfileOf(Tables.events(spark, dir))
-
-  private[graft] def seasonalityProfileOf(events: DataFrame): DataFrame = {
-    val wAll = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    events
-      .select(expr("unix_micros(ts) div 86400000000L").as("day_id"),
-        expr("(unix_micros(ts) div 3600000000L) % 24").as("hour"))
-      .groupBy(expr("(day_id + 3) % 7").as("dow"), col("hour"))
-      .agg(count(lit(1)).as("n_events"))
-      .withColumn("total", sum(col("n_events")).over(wAll))
-      .select(col("dow"), col("hour"), col("n_events"),
-        expr("n_events * 10000L div total").as("share_bp"),
-        expr("n_events * 168L >= 2L * total").as("peak"))
-      .orderBy(col("dow"), col("hour"))
-  }
-
-  /** Session trajectory export (q166) — the "agent trajectory" /
-    * clickstream serialization step of a behavioral training pipeline:
-    * each multi-event session (q23's 30-minute gap rule) becomes ONE
-    * ordered record — `type@offset_s` tokens joined in the deterministic
-    * (µs, event_id) order — ready to tokenize. Offsets are
-    * session-relative seconds, so the string is stable across time
-    * shifts of the whole session.
-    *
-    * Scale shape: one user-keyed shuffle shared by the gap window and
-    * the session aggregate; per-session state is the session's own
-    * events (array_sort over a collected struct list — bounded by
-    * session length, the same bound any sessionizer carries). */
-  def sessionExport(spark: SparkSession, dir: String): DataFrame =
-    sessionExportOf(Tables.events(spark, dir))
-
-  private[graft] def sessionExportOf(events: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    events
-      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
-        col("event_id"), col("event_type"))
-      .withColumn("new_s",
-        when(col("us") - lag(col("us"), 1).over(w) >= 1800000000L ||
-          lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
-      .withColumn("sid", sum(col("new_s")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .groupBy(col("user_id"), col("sid"))
-      .agg(min(col("us")).as("start_us"), count(lit(1)).as("n_events"),
-        expr("(max(us) - min(us)) div 1000000L").as("duration_s"),
-        collect_list(struct(col("us"), col("event_id"), col("event_type"))).as("evs"))
-      .filter(col("n_events") >= 2)
-      .select(col("user_id"), col("start_us"), col("n_events"), col("duration_s"),
-        expr("array_join(transform(array_sort(evs)," +
-          " x -> concat(x.event_type, '@', CAST((x.us - start_us) div 1000000L AS STRING))), ' ')")
-          .as("trajectory"))
-      .orderBy(col("user_id"), col("start_us"))
-  }
-
-  /** Right-to-be-forgotten purge (q167) — the GDPR deletion job every
-    * event store runs, composed from in-repo parts: tombstone list =
-    * q148's burst-bot flags (a deterministic stand-in for a deletion
-    * queue), purge = key-only anti-join rewrite of the published table,
-    * audit = counts + portable content hash computed FROM THE REWRITTEN
-    * FILES (the oracle computes the same from the source table — hash
-    * equality proves the rewrite removed exactly the flagged users'
-    * events and nothing else).
-    *
-    * Scale shape: the tombstone frame is key-only (broadcast at any
-    * realistic deletion-queue size); the rewrite is one anti-join scan;
-    * the audit is one aggregate over the rewritten table. Memoized per
-    * (session, dir) like the other maintenance rows (q99/q105). */
-  def gdprPurge(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionMemo.memo(spark, s"q167|$dir") {
-      gdprPurgeOf(Tables.events(spark, dir))
-    }
-
-  private[graft] def gdprPurgeOf(events: DataFrame): DataFrame = {
-      val spark = events.sparkSession
-      val work = java.nio.file.Files.createTempDirectory("graft_purge").toString
-      val tombstones = botDetectionOf(events)
-        .filter(col("is_bot")).select(col("user_id"))
-      events
-        .join(broadcast(tombstones), Seq("user_id"), "left_anti")
-        .write.parquet(s"$work/events_purged")
-      val after = spark.read.parquet(s"$work/events_purged")
-      val idHash = graft.functions.PortableHashFunctions
-        .md5_token_hashes(array(col("event_id").cast("string")), bits = 31)
-        .getItem(0)
-      val beforeCounts = events.agg(count(lit(1)).as("n_before"))
-      val flagged = tombstones.agg(count(lit(1)).as("n_users_flagged"))
-      after
-        .agg(count(lit(1)).as("n_after"), sum(idHash).as("sum_id_hash_after"),
-          sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("n_valued_after"))
-        .crossJoin(broadcast(beforeCounts))
-        .crossJoin(broadcast(flagged))
-        .select(col("n_users_flagged"), col("n_before"),
-          expr("n_before - n_after").as("n_removed"),
-          col("n_after"), col("n_valued_after"), col("sum_id_hash_after"))
-    }
-
-  /** RFM scoring (q168) — the classic customer-feature block (recency /
-    * frequency / monetary) with EXACT quintile scores: each dimension
-    * ranks all users by (metric, user_id) and scores with the q144 rule
-    * (rank−1)·5 div n (NTILE's remainder placement differs between
-    * engines — this rule is total and portable). Output: per-user R/F/M
-    * raw values + 1..5 scores + the combined segment code.
-    *
-    * Scale shape: one user-keyed reduction; the three exact quintile
-    * ranks run through [[graft.operators.GlobalRank]] — range-partitioned
-    * block-local rank + broadcast offsets (round-7 verdict #3: implement
-    * the sharded path, don't document it) — so no single-partition window
-    * ever touches the user-sized frame. n_users is a 1-row scalar
-    * aggregate broadcast back (the tEnd idiom). */
-  def rfmScores(spark: SparkSession, dir: String): DataFrame =
-    rfmScoresOf(Tables.events(spark, dir))
-
-  private[graft] def rfmScoresOf(events: DataFrame): DataFrame = {
-    val per = events
-      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
-        (col("event_type") === "purchase").as("isp"),
-        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
-      .groupBy(col("user_id"))
-      .agg(max(col("us")).as("last_us"),
-        sum(when(col("isp"), 1L).otherwise(0L)).as("frequency"),
-        sum(when(col("isp"), col("cents")).otherwise(0L)).as("monetary_cents"))
-    val tEnd = per.agg(max(col("last_us")).as("t_end"))
-    val nUsers = per.agg(count(lit(1)).as("n_users"))
-    val base = per.crossJoin(broadcast(tEnd))
-      .select(col("user_id"),
-        expr("(t_end - last_us) div 86400000000L").as("recency_days"),
-        col("frequency"), col("monetary_cents"))
-    def quint(metric: String): org.apache.spark.sql.Column =
-      expr(s"(rk_$metric - 1L) * 5L div n_users + 1L")
-    val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
-      ("rk_recency_days", Seq(col("recency_days").asc, col("user_id").asc)),
-      ("rk_frequency", Seq(col("frequency").desc, col("user_id").asc)),
-      ("rk_monetary_cents", Seq(col("monetary_cents").desc, col("user_id").asc)))
-      .foldLeft(base) { case (df, (out, ord)) =>
-        graft.operators.GlobalRank.rowNumber(df, ord, out) }
-      .crossJoin(broadcast(nUsers))
-    ranked
-      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary_cents"),
-        quint("recency_days").as("r_score"),
-        quint("frequency").as("f_score"),
-        quint("monetary_cents").as("m_score"))
-      .withColumn("segment", expr("r_score * 100L + f_score * 10L + m_score"))
-      .orderBy(col("user_id"))
-  }
-
-  /** Longest daily activity streak (q169) — the gaps-and-islands
-    * classic, exactly: per user the maximal run of CONSECUTIVE active
-    * days (island key = day − dense-rank, constant within a run), plus
-    * active-day count. One user-keyed reduction to distinct days; the
-    * windows run over the (user, day) incidence frame. */
-  def activityStreaks(spark: SparkSession, dir: String): DataFrame =
-    activityStreaksOf(Tables.events(spark, dir))
-
-  private[graft] def activityStreaksOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("day"))
-    events
-      .select(col("user_id"), expr("unix_micros(ts) div 86400000000L").as("day"))
-      .distinct()
-      .withColumn("island", col("day") - row_number().over(w))
-      .groupBy(col("user_id"), col("island"))
-      .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start_day"))
-      .groupBy(col("user_id"))
-      .agg(sum(col("len")).as("active_days"),
-        max(col("len")).as("longest_streak"),
-        expr("max_by(streak_start_day, struct(len, -streak_start_day))").as("best_streak_start"))
-      .orderBy(col("user_id"))
-  }
-
-  /** kNN label probe (q170) — the standard representation-quality eval
-    * (linear/kNN probing of embedding spaces): hold out every 20th
-    * vector (the q142 split), predict its label from its top-1 train
-    * neighbor (bit-portable cosine, (cosine desc, id) tie-break), and
-    * report per-label accuracy in exact bp. The broadcast + map-side
-    * TopKAggregator scoring shape; label joins are id-keyed. */
-  def knnLabelEval(spark: SparkSession, dir: String): DataFrame =
-    knnLabelEvalOf(Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNotNull && col("label").isNotNull))
-
-  private[graft] def knnLabelEvalOf(embs: DataFrame): DataFrame = {
-    val probes = embs.filter(col("vec_id") % 20 === 0)
-    val train = embs.filter(col("vec_id") % 20 =!= 0)
-    Ann.bruteForceTopK(probes, train, "vec_id", "embedding", k = 1)
-      .join(probes.select(col("vec_id").as("query_id"), col("label").as("true_label")),
-        "query_id")
-      .join(train.select(col("vec_id").as("neighbor_id"), col("label").as("pred_label")),
-        "neighbor_id")
-      .groupBy(col("true_label"))
-      .agg(count(lit(1)).as("n_probes"),
-        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
-      .select(col("true_label").as("label"), col("n_probes"), col("n_correct"),
-        expr("n_correct * 10000L div n_probes").as("acc_bp"))
-      .orderBy(col("label"))
-  }
-
-  /** Sliding sketch-merged WAU (q171) — the 100 TB form of q137's exact
-    * rolling distinct: ONE DataSketches HLL sketch per day (lgK = 14,
-    * mergeable), the 7-day window a SKETCH UNION over 7 day-rows — at
-    * scale this replaces the 7× user fan-out with constant-size state
-    * per day, the shape every metrics store actually ships. The sketch
-    * estimate is merge-order-specific, so the oracle checks the q42
-    * bounded-claim way: the engine emits the EXACT WAU next to a
-    * within-5% boolean (lgK = 14 ⇒ rel. σ ≈ 0.8%), the oracle emits
-    * exact + TRUE — sketch drift breaks the hash.
-    *
-    * Scale shape: per-day sketches are a map-side-combinable aggregate;
-    * the union window runs over the day-count-sized sketch frame; the
-    * exact twin (audit-only) is the q137 fan-out. */
-  def slidingHllWau(spark: SparkSession, dir: String): DataFrame =
-    slidingHllWauOf(Tables.events(spark, dir))
-
-  private[graft] def slidingHllWauOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val inc = events
-      .select(expr("unix_micros(ts) div 86400000000L").as("day"), col("user_id"))
-      .distinct()
-    val daily = inc.groupBy(col("day"))
-      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
-    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
-    val est = daily
-      .withColumn("wsk", expr("hll_union_agg(sk, false)").over(w))
-      .select(col("day"), expr("hll_sketch_estimate(wsk)").as("wau_est"))
-    val exact = inc
-      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
-      .join(inc.select(col("day")).distinct(), Seq("day"), "left_semi")
-      .groupBy(col("day"))
-      .agg(countDistinct(col("user_id")).as("wau_exact"))
-    est.join(exact, "day")
-      .select(col("day"), col("wau_exact"),
-        (abs(col("wau_est") - col("wau_exact")).cast("double") / col("wau_exact") <= 0.05)
-          .as("within_bound"))
-      .orderBy(col("day"))
-  }
-
-  /** A/B funnel readout (q172) — q145's hash arms composed with q89's
-    * signup→purchase-within-1h funnel: per arm, funnel conversion with
-    * the same exact integer chi-square verdict. The experimentation
-    * platform's bread-and-butter report, built from two already-proven
-    * parts; one user-keyed funnel pass, one 2×2 scalar, arm rows
-    * exploded (no join — the q145 shape). */
-  def abFunnel(spark: SparkSession, dir: String): DataFrame =
-    abFunnelOf(Tables.events(spark, dir))
-
-  private[graft] def abFunnelOf(events: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val e = events.select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_type"))
-    val fs = e.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("us")).as("fs"))
-    val conv = e.filter(col("event_type") === "purchase")
-      .join(fs, "user_id")
-      .filter(col("us") > col("fs") && col("us") <= col("fs") + 3600000000L)
-      .select(col("user_id")).distinct()
-      .withColumn("conv", lit(1L))
-    val users = fs
-      .join(conv, Seq("user_id"), "left")
-      .select(
-        coalesce(col("conv"), lit(0L)).as("conv"),
-        when(element_at(md5_token_hashes(array(col("user_id").cast("string")), 31), 1) % 2L === 0L,
-          "control").otherwise("treatment").as("variant"))
-    val scalar = users.agg(
-      sum(when(col("variant") === "control", col("conv")).otherwise(0L)).as("a"),
-      sum(when(col("variant") === "control", lit(1L) - col("conv")).otherwise(0L)).as("b"),
-      sum(when(col("variant") === "treatment", col("conv")).otherwise(0L)).as("c"),
-      sum(when(col("variant") === "treatment", lit(1L) - col("conv")).otherwise(0L)).as("d"))
-    scalar
-      .select(
-        explode(array(
-          struct(lit("control").as("variant"), expr("a + b").as("n_signup_users"),
-            col("a").as("n_converted")),
-          struct(lit("treatment").as("variant"), expr("c + d").as("n_signup_users"),
-            col("c").as("n_converted")))).as("r"),
-        expr("c * 10000L div (c + d) - a * 10000L div (a + b)").as("lift_bp"),
-        (expr("CAST(1000 AS DECIMAL(38,0)) * CAST(a + b + c + d AS DECIMAL(38,0))" +
-          " * CAST(a * d - b * c AS DECIMAL(38,0)) * CAST(a * d - b * c AS DECIMAL(38,0))") >=
-          expr("CAST(3841 AS DECIMAL(38,0)) * CAST(a + b AS DECIMAL(38,0))" +
-            " * CAST(c + d AS DECIMAL(38,0)) * CAST(a + c AS DECIMAL(38,0))" +
-            " * CAST(b + d AS DECIMAL(38,0))")).as("significant_95"))
-      .select(col("r.variant"), col("r.n_signup_users"), col("r.n_converted"),
-        expr("r.n_converted * 10000L div r.n_signup_users").as("conv_bp"),
-        col("lift_bp"), col("significant_95"))
-      .orderBy(col("variant"))
-  }
-
-  /** Shipping-lag analysis (q173) — the order-fulfilment temporal audit:
-    * per order priority, the distribution of (l_shipdate − o_orderdate)
-    * in whole days — exact mean, min/max, and the lower median ranked
-    * over the BOUNDED lag histogram (the q113/q136 discipline: windows
-    * only ever see histogram rows, never lineitem rows). */
-  def shipLag(spark: SparkSession, dir: String): DataFrame =
-    shipLagOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
-
-  private[graft] def shipLagOf(lineitem: DataFrame, orders: DataFrame): DataFrame = {
-    val li = lineitem.select(col("l_orderkey"), col("l_shipdate"))
-    val o = orders
-      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-    val lag = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_orderpriority").as("priority"),
-        expr("(unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
-          " - unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000L").as("lag_days"))
-    val hist = lag.groupBy(col("priority"), col("lag_days")).agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("priority").orderBy(col("lag_days"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("priority")
-    hist
-      .withColumn("cum", sum(col("c")).over(w))
-      .withColumn("n", sum(col("c")).over(wAll))
-      .withColumn("s", sum(expr("lag_days * c")).over(wAll))
-      .withColumn("mn", min(col("lag_days")).over(wAll))
-      .withColumn("mx", max(col("lag_days")).over(wAll))
-      .filter(col("cum") >= expr("(n + 1) div 2"))
-      .groupBy(col("priority"))
-      .agg(min(col("n")).as("n_lineitems"),
-        min(col("lag_days")).as("median_lag_days"),
-        min(expr("s div n")).as("mean_lag_days"),
-        min(col("mn")).as("min_lag_days"), min(col("mx")).as("max_lag_days"))
-      .orderBy(col("priority"))
-  }
-
-  /** Declarative expectation suite (q174) — the Great-Expectations /
-    * dbt-test operator ([[graft.operators.Expectations]]): a configured
-    * check list compiles to ONE aggregate pass per table (plus one
-    * group-by for uniqueness), emitting a pass/fail report row per
-    * expectation. Generalizes the hand-written q97/q138 audits into the
-    * reusable API; the suite here covers events (nulls, vocabulary,
-    * value range, event_id uniqueness, props JSON shape) and orders
-    * (status vocabulary, key uniqueness). */
-  def expectationSuite(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Expectations._
-    val ev = run(Tables.events(spark, dir), Seq(
-      NotNull("user_id"), NotNull("ts"),
-      InSet("event_type", Seq("click", "error", "purchase", "signup", "view")),
-      InRange("user_id", 0L, 1000000000L),
-      Matches("props", "^\\{.*\\}$"),
-      Unique("event_id")))
-      .withColumn("table_name", lit("events"))
-    val ord = run(Tables.orders(spark, dir), Seq(
-      InSet("o_orderstatus", Seq("F", "O", "P")),
-      NotNull("o_custkey"),
-      Unique("o_orderkey")))
-      .withColumn("table_name", lit("orders"))
-    ev.unionByName(ord)
-      .select(col("table_name"), col("expectation"), col("n_rows"),
-        col("n_violations"), col("violation_bp"), col("passed"))
-      .orderBy(col("table_name"), col("expectation"))
-  }
-
-  /** Market-share analysis (q175, the TPC-H Q8 shape) — per order year,
-    * the share of ASIA-region revenue contributed by suppliers of one
-    * focus nation, as EXACT INTEGERS: revenue units are cent·pct
-    * (price has 2 decimals → cents exact; 1−discount has 2 decimals →
-    * pct exact; their product is a BIGINT of 10⁻⁴ dollars), so the
-    * share needs no decimal division anywhere — the division-free twin
-    * of q160's DECIMAL fold. Focus nation = the lexicographically first
-    * ASIA nation (deterministic, schema-derived). */
-  def marketShare(spark: SparkSession, dir: String): DataFrame = {
-    val asiaNations = Tables.nation(spark, dir)
-      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey"), col("n_name"))
-    val focus = asiaNations.orderBy(col("n_name")).limit(1)
-      .select(col("n_nationkey").as("focus_key"), col("n_name").as("focus_nation"))
-    Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey"),
-        expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long").as("cents"),
-        expr("CAST((1 - l_discount) * 100 AS DECIMAL(5,0))").cast("long").as("pct"))
-      .join(Tables.orders(spark, dir)
-        .select(col("o_orderkey"), expr("year(o_orderdate)").as("o_year")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
-      .crossJoin(broadcast(focus))
-      .groupBy(col("o_year"), col("focus_nation"))
-      .agg(sum(expr("cents * pct")).as("asia_rev_u"),
-        sum(when(col("s_nationkey") === col("focus_key"), expr("cents * pct"))
-          .otherwise(0L)).as("focus_rev_u"))
-      .select(col("o_year"), col("focus_nation"), col("asia_rev_u"), col("focus_rev_u"),
-        expr("focus_rev_u * 10000L div asia_rev_u").as("share_bp"))
-      .orderBy(col("o_year"))
-  }
-
-  /** Year-over-year nation revenue rank movement (q176) — the league
-    * table every BI deployment ships: per (year, customer nation) exact
-    * integer revenue units (the q175 cent·pct trick), rank within year,
-    * and the rank delta vs the SAME nation's previous year (lag window
-    * keyed by nation). Windows run on the (year × nation) frame —
-    * metadata-sized. */
-  def revenueRankMovement(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rev = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"),
-        expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long").as("cents"),
-        expr("CAST((1 - l_discount) * 100 AS DECIMAL(5,0))").cast("long").as("pct"))
-      .join(Tables.orders(spark, dir)
-        .select(col("o_orderkey"), col("o_custkey"), expr("year(o_orderdate)").as("o_year")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
-        col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("o_year"), col("n_name"))
-      .agg(sum(expr("cents * pct")).as("rev_u"))
-    val wr = Window.partitionBy("o_year").orderBy(col("rev_u").desc, col("n_name"))
-    val wl = Window.partitionBy("n_name").orderBy(col("o_year"))
-    rev
-      .withColumn("rnk", row_number().over(wr).cast("long"))
-      .withColumn("prev_rnk", lag(col("rnk"), 1).over(wl))
-      .select(col("o_year"), col("n_name"), col("rev_u"), col("rnk"),
-        expr("prev_rnk - rnk").as("rank_delta"))
-      .orderBy(col("o_year"), col("rnk"))
-  }
-
-  /** Triangle census of the co-purchase graph (q177) — the standard
-    * graph-health readout (triangle count + global clustering
-    * coefficient) over the same-order part projection. Edges are the
-    * distinct within-order part pairs (the q154 incidence); triangles are
-    * counted ONCE each via degree-ordered orientation (Schank–Wagner
-    * node-iterator++): every edge points from the (deg, id)-smaller
-    * endpoint, wedges enumerate only ordered out-neighbor pairs, and a
-    * semi-join against the oriented edge set closes them. Orientation
-    * bounds wedge fan-out by the ORIENTED out-degree — O(m^1.5) total
-    * work regardless of hub nodes — where an unoriented wedge join pays
-    * Σ deg² and dies on the first whale part. The count is
-    * orientation-independent, so the DuckDB oracle replays the cheap
-    * id-ordered variant and must land on the identical integers. */
-  /** Distinct co-purchase edges (u < v), memoized per (session, dir) —
-    * shared by the q177 triangle census and the q190 degree profile, and
-    * persisted because the wedge/orientation pipeline reads it three
-    * times (a per-call persist would leak one cache entry per bench
-    * repeat — the IncrementalDedup advice-item pattern). */
-  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionMemo.memo(spark, s"q177edges|$dir") {
-      val li = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      li.alias("a")
-        .join(li.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-
-  def triangleCensus(spark: SparkSession, dir: String): DataFrame =
-    triangleCensusOf(Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
-      Some(coPurchaseEdges(spark, dir)),
-      // The oriented frame has THREE consumers (both wedge sides + the
-      // closure semi-join) — unmemoized, each re-pays the two degree
-      // joins over the edge cache.
-      o => graft.SessionMemo.memo(spark, s"q177oriented|$dir") {
-        o.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      },
-      d => graft.SessionMemo.memo(spark, s"q177deg|$dir") {
-        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
-
-  private[graft] def triangleCensusOf(orderParts: DataFrame,
-      memoEdges: Option[DataFrame] = None,
-      memoOriented: DataFrame => DataFrame = identity,
-      memoDeg: DataFrame => DataFrame = identity): DataFrame = {
-    val li = orderParts.select(col("ok"), col("pk")).distinct()
-    val edges = memoEdges.getOrElse(li.alias("a")
-      .join(li.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct())
-    // Degrees in ONE edge-cache pass (explode of both endpoints — the
-    // q195 idiom), memoized: three lineage consumers (two orientation
-    // joins + the wedge-count stats) otherwise each re-pay the build.
-    val deg = memoDeg(edges
-      .select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
-    // Orient u→v iff (deg(u), u) < (deg(v), v); carry the endpoint degree
-    // so the wedge pair can be ordered by the SAME total order.
-    val oriented = memoOriented(edges
-      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
-      .select(
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
-          .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
-          .as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt")))
-    val wedges = oriented.alias("x")
-      .join(oriented.alias("y"),
-        col("x.s") === col("y.s") &&
-          (col("x.dt") < col("y.dt") ||
-            (col("x.dt") === col("y.dt") && col("x.t") < col("y.t"))))
-      .select(col("x.t").as("b"), col("y.t").as("c"))
-    val tri = wedges
-      .join(oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-    val stats = deg.agg(
-      count(lit(1)).as("n_nodes"),
-      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-    val ecnt = edges.agg(count(lit(1)).as("n_edges"))
-    stats.crossJoin(broadcast(ecnt)).crossJoin(broadcast(tri))
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        expr("3 * n_triangles * 10000L div n_wedges").as("gcc_bp"))
-  }
-
-  /** CUSUM change-point scan (q178) — the classic drift detector over the
-    * daily purchase series: gap-filled day counts, integer fixed-point
-    * mean (total·10⁶ div n_days), cumulative sum of (count·10⁶ − mean),
-    * and the argmax |CUSUM| day flagged as the most likely level shift.
-    * The corpus-sized stage is one pushed-filter scan + one day aggregate;
-    * every window (running sum, global max) runs on the DAY-sized frame —
-    * tens of rows at any corpus size (the q143 histogram idiom). All
-    * arithmetic integer, so the oracle replays it exactly. */
-  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame =
-    cusumChangepointOf(Tables.events(spark, dir))
-
-  private[graft] def cusumChangepointOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val p = events.filter(col("event_type") === "purchase")
-      .select(expr("unix_micros(ts) div 86400000000L").as("day"))
-    val counts = p.groupBy(col("day")).agg(count(lit(1)).as("cnt"))
-    val bounds = p.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    val filled = bounds.select(explode(expr("sequence(d0, d1)")).as("day"))
-      .join(counts, Seq("day"), "left")
-      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-    val tot = filled.agg(sum(col("cnt")).as("total"), count(lit(1)).as("nd"))
-    val wRun = Window.orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    filled.crossJoin(broadcast(tot))
-      .withColumn("cusum_fp",
-        sum(expr("cnt * 1000000L - (total * 1000000L div nd)")).over(wRun))
-      .withColumn("peak", max(abs(col("cusum_fp"))).over(wAll))
-      .select(col("day"), col("cnt"), col("cusum_fp"),
-        (abs(col("cusum_fp")) === col("peak")).as("is_peak"))
-      .orderBy(col("day"))
-  }
-
-  /** q179 threshold: TPC-H Q18's large-order cut, scaled to the harness
-    * quantity distribution (25/204/2285 qualifying orders at the three
-    * SFs). */
-  private[graft] val LargeOrderQty = 250L
-
-  /** Large-volume orders (q179, TPC-H Q18 shape) — the group-by-HAVING
-    *-then-join pattern: per-order quantity sums filtered to >
-    * [[LargeOrderQty]], joined back to orders and customers, top-100 by
-    * price. The HAVING prunes the fact side to a sliver BEFORE any
-    * dimension join; the top-100 is TakeOrderedAndProject; no build side
-    * is forced — AQE broadcasts the pruned qualifying set at harness SF
-    * and shuffle-joins a corpus-sized one. Money in exact cents. */
-  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
-    val qty = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), expr("CAST(l_quantity AS BIGINT)").as("q"))
-      .groupBy(col("l_orderkey")).agg(sum(col("q")).as("sum_qty"))
-      .filter(col("sum_qty") > LargeOrderQty)
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"),
-        expr("CAST(o_totalprice * 100 AS DECIMAL(14,0))").cast("long").as("price_cents"),
-        expr("CAST(o_orderdate AS DATE)").as("o_date"))
-      .join(qty, col("o_orderkey") === col("l_orderkey"))
-      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_date"),
-        col("price_cents"), col("sum_qty"))
-      .orderBy(col("price_cents").desc, col("o_orderkey"))
-      .limit(100)
-  }
-
-  /** Per-column snapshot stats drift (q180) — the schema-stability
-    * monitor every production lake runs between ingest snapshots:
-    * row/null/exact-NDV (and numeric sum) per column for two snapshot
-    * halves of the documents table (doc_id parity stands in for the
-    * snapshot id), emitted long-format with an integer drift reading per
-    * (column, metric). ONE corpus scan: all metrics for both snapshots
-    * compute in a single conditional aggregate (the q130 multi-distinct
-    * Expand); the stack/compare runs on the metadata-sized metric rows.
-    * Complements q104 (row-level diff) at column granularity. */
-  def statsDrift(spark: SparkSession, dir: String): DataFrame =
-    statsDriftOf(Tables.documents(spark, dir))
-
-  private[graft] def statsDriftOf(docs: DataFrame): DataFrame = {
-    val wide = docs
-      .select(expr("doc_id % 2").as("snap"), col("text"), col("lang"),
-        col("source"), col("n_chars"))
-      .groupBy(col("snap"))
-      .agg(
-        count(lit(1)).as("rows"),
-        countDistinct(col("text")).as("ndv_text"),
-        countDistinct(col("lang")).as("ndv_lang"),
-        countDistinct(col("source")).as("ndv_source"),
-        sum(when(col("text").isNull, 1L).otherwise(0L)).as("nulls_text"),
-        sum(col("n_chars")).as("sum_n_chars"))
-    val long = wide.select(col("snap"), explode(expr(
-      """map('rows', rows, 'ndv_text', ndv_text, 'ndv_lang', ndv_lang,
-        |'ndv_source', ndv_source, 'nulls_text', nulls_text,
-        |'sum_n_chars', sum_n_chars)""".stripMargin)).as(Seq("metric", "val")))
-    long.groupBy(col("metric"))
-      .agg(max(when(col("snap") === 0L, col("val"))).as("snap_a"),
-        max(when(col("snap") === 1L, col("val"))).as("snap_b"))
-      .select(col("metric"), col("snap_a"), col("snap_b"),
-        when(col("snap_a") =!= 0L,
-          expr("(snap_b - snap_a) * 10000L div snap_a")).as("drift_bp"))
-      .orderBy(col("metric"))
-  }
-
-  /** Distance-to-centroid embedding outliers (q181) — the vector-space
-    * data-quality gate: assign every embedding to its nearest seeded
-    * centroid (the q86 iter-0 quantizer — map-only
-    * [[graft.functions.PqFunctions.pq_encode]], centroids in-expression,
-    * zero Exchange) and flag rows whose squared-L2 distance exceeds 2×
-    * their cell's mean — mislabeled/corrupted vectors in production
-    * embedding pipelines sit exactly there. Distances are per-row
-    * `floor(d²·10⁶)` fixed-point (the q86 exactness discipline: the
-    * oracle replays the identical (x−y)² fold bit-for-bit), so every
-    * output column is an integer. Cell stats are k rows — broadcast back
-    * for the outlier pass; the corpus is scanned twice, both map-only. */
-  def centroidOutliers(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.PqFunctions.pq_encode
-    import graft.similarity.Kmeans.DefaultK
-    import graft.similarity.Pq.Dim
-    val indexable = Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNotNull && size(col("embedding")) >= Dim)
-    val seeds = indexable.orderBy(col("vec_id")).limit(DefaultK)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    val a = indexable
-      .select(col("vec_id"),
-        element_at(pq_encode(col("embedding"), Array(seeds)), 1).as("enc"))
-      .select(col("vec_id"), col("enc.code").as("cell"),
-        floor(col("enc.dist") * 1e6).cast("long").as("dist_fp"))
-    val stats = a.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"), sum(col("dist_fp")).as("sum_dist_fp"))
-    a.join(broadcast(stats), "cell")
-      .select(col("cell"), col("n"), col("sum_dist_fp"),
-        (col("dist_fp") > lit(2L) * expr("sum_dist_fp div n")).cast("long").as("is_out"))
-      .groupBy(col("cell"), col("n"), col("sum_dist_fp"))
-      .agg(sum(col("is_out")).as("n_outliers"))
-      .select(col("cell"), col("n"), col("sum_dist_fp"),
-        expr("sum_dist_fp div n").as("avg_dist_fp"),
-        col("n_outliers"), expr("n_outliers * 10000L div n").as("outlier_bp"))
-      .orderBy(col("cell"))
-  }
-
-  /** One BPE merge round applied corpus-free (q182) — the tokenizer-
-    * training iteration factorized the way a 100 TB trainer must: the
-    * corpus is scanned ONCE for the (token, count) vocabulary; the
-    * symbol sequences, the round-1 pair count, the top-1 merge, the
-    * merge application, and the round-2 pair count all run on VOCAB
-    * rows. A naive trainer re-tokenizes the corpus per merge —
-    * thousands of corpus passes; this shape pays one. Merge semantics
-    * are left-to-right non-overlapping (both engines' `replace`), on
-    * space-separated symbol strings so a merged symbol is one unit in
-    * round 2. Output: round-2 top-10 pairs + the applied merge. */
-  def bpeMergeRound(spark: SparkSession, dir: String): DataFrame =
-    bpeMergeRoundOf(Tables.documents(spark, dir),
-      v => graft.SessionMemo.memo(spark, s"q182vocab|$dir") {
-        v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
-
-  /** `memoVocab` pins the vocab frame (vocab-sized, ~|distinct tokens|
-    * rows) so the three consumers (round-1 pairs, merge application, and
-    * the top-1's second reference) read ONE corpus tokenization — the
-    * naive form re-derived the scan+aggregate three times (the q109/q129
-    * diamond trap, observed on the executed plan before this memo). */
-  private[graft] def bpeMergeRoundOf(docs: DataFrame,
-      memoVocab: DataFrame => DataFrame = identity): DataFrame = {
-    val vocab = memoVocab(docs
-      .select(explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .filter(length(col("token")) >= 2)
-      .select(expr(
-        "array_join(transform(sequence(1, length(token)), i -> substring(token, i, 1)), ' ')")
-        .as("sym"), col("cnt")))
-    def pairsOf(v: DataFrame): DataFrame = v
-      .select(split(col("sym"), " ").as("t"), col("cnt"))
-      .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS p1, t[i] AS p2))")).as("p"),
-        col("cnt"))
-      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
-      .agg(sum(col("cnt")).as("pair_count"))
-    val top1 = pairsOf(vocab)
-      .orderBy(col("pair_count").desc, col("p1"), col("p2")).limit(1)
-      .select(col("p1").as("m1"), col("p2").as("m2"))
-    // Space-doubling trick (round-6 advice): a plain `replace(' m1 m2 ',…)`
-    // under-merges boundary-sharing occurrences because the match consumes
-    // the separating space ('a b a b' → [ab, a, b]). Doubling every space
-    // first gives each adjacent pair exclusive boundary spaces, so ONE
-    // left-to-right replace pass realizes exact greedy BPE semantics
-    // ('a b a b' → [ab, ab]; 'a a a' → [aa, a]); collapse + trim restores
-    // the single-space symbol encoding.
-    val merged = vocab.crossJoin(broadcast(top1))
-      .select(expr(
-        """trim(replace(replace(replace(concat(' ', sym, ' '), ' ', '  '),
-          |  concat(' ', m1, '  ', m2, ' '), concat(' ', m1, m2, ' ')), '  ', ' '))""".stripMargin)
-        .as("sym"), col("cnt"), concat(col("m1"), col("m2")).as("merged_symbol"))
-    pairsOf(merged)
-      .crossJoin(broadcast(top1.select(concat(col("m1"), col("m2")).as("merged_symbol"))))
-      .orderBy(col("pair_count").desc, col("p1"), col("p2"))
-      .limit(10)
-      .select(col("p1"), col("p2"), col("pair_count"), col("merged_symbol"))
-  }
-
-  /** Order-total reconciliation audit (q183) — the finance-grade exact
-    * check a billing lake runs daily: per order, the header total vs the
-    * line-derived total, both in EXACT integer micro-dollar units
-    * (cents · discount-pct · tax-pct — the q175 trick extended to the
-    * tax leg; header cents × 10⁴ puts both sides in the same unit).
-    * Orders bucket by absolute discrepancy magnitude; the report is the
-    * bucket histogram. One fact-fact shuffle (per-order line aggregate
-    * ⋈ orders on the order key) and a histogram-sized reduction —
-    * nothing else. Headerless/lineless orders surface in their own
-    * bucket rather than vanishing (left join, Σ=0). */
-  def orderReconciliation(spark: SparkSession, dir: String): DataFrame =
-    orderReconciliationOf(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
-
-  private[graft] def orderReconciliationOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val lines = lineitem
-      .select(col("l_orderkey"),
-        (expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long") *
-          expr("CAST((1 - l_discount) * 100 AS DECIMAL(5,0))").cast("long") *
-          expr("CAST((1 + l_tax) * 100 AS DECIMAL(5,0))").cast("long")).as("line_u"))
-      .groupBy(col("l_orderkey")).agg(sum(col("line_u")).as("lines_u"))
-    orders
-      .select(col("o_orderkey"),
-        (expr("CAST(o_totalprice * 100 AS DECIMAL(14,0))").cast("long") * 10000L).as("hdr_u"))
-      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
-      .select(abs(col("hdr_u") - coalesce(col("lines_u"), lit(0L))).as("diff_u"),
-        col("lines_u").isNull.as("lineless"))
-      .select(when(col("lineless"), "no_lines")
-        .when(col("diff_u") === 0L, "exact")
-        .when(col("diff_u") < 1000000L, "lt_1_dollar")
-        .when(col("diff_u") < 10000000L, "lt_10_dollars")
-        .otherwise("gte_10_dollars").as("bucket"), col("diff_u"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_orders"), sum(col("diff_u")).as("sum_diff_u"))
-      .orderBy(col("bucket"))
-  }
-
-  /** q184 layout constants: candidate file counts for the clustered
-    * layout and the probed user band (4/10 → 5/10 of the id space). */
-  private[graft] val ZoneMapBuckets = 32L
-
-  /** Zone-map file-skipping audit (q184) — the data-layout decision
-    * readout behind every min/max-pruning lake format (Parquet row
-    * groups, Iceberg/Delta file stats): simulate two physical layouts of
-    * the events table — time-partitioned (hour files) vs user-range-
-    * clustered ([[ZoneMapBuckets]] equal-width id buckets) — compute
-    * each file's (min, max) user_id zone map, and measure how many files
-    * a user-band predicate can skip under each. One corpus scan (the
-    * layout column pair explodes map-only ×2); per-(layout, file) zone
-    * maps partial-combine; the skip verdict runs on file-count-sized
-    * rows. The time layout skips ~nothing (every hour contains every
-    * user); the clustered layout skips ~27/32 — THE argument for
-    * clustering by the predicate column at 100 TB. */
-  def zoneMapAudit(spark: SparkSession, dir: String): DataFrame =
-    zoneMapAuditOf(Tables.events(spark, dir))
-
-  private[graft] def zoneMapAuditOf(events: DataFrame): DataFrame = {
-    val mx = events.agg(max(col("user_id")).as("maxu"))
-    val files = events
-      .select(col("user_id"), expr("unix_micros(ts) div 3600000000L").as("hour"))
-      .crossJoin(broadcast(mx))
-      .select(col("user_id"), col("maxu"), explode(expr(
-        s"map('time', hour, 'user_clustered', user_id * $ZoneMapBuckets div (maxu + 1))"))
-        .as(Seq("layout", "file")))
-      .groupBy(col("layout"), col("file"))
-      // maxu is constant per row — MAX() re-emits it per file, so the
-      // verdict below needs no second bounds pass over the corpus.
-      .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx_u"),
-        count(lit(1)).as("rows"), max(col("maxu")).as("maxu"))
-    files
-      .select(col("layout"), col("rows"),
-        (col("mx_u") < expr("maxu * 4 div 10") || col("mn") > expr("maxu * 5 div 10"))
-          .cast("long").as("skip"))
-      .groupBy(col("layout"))
-      .agg(count(lit(1)).as("n_files"), sum(col("skip")).as("n_skippable"),
-        sum(col("rows")).as("rows_total"),
-        sum(when(col("skip") === 0L, col("rows")).otherwise(0L)).as("rows_scanned"))
-      .select(col("layout"), col("n_files"), col("n_skippable"),
-        expr("n_skippable * 10000L div n_files").as("skip_bp"),
-        col("rows_total"), col("rows_scanned"))
-      .orderBy(col("layout"))
-  }
-
-  /** Revenue concentration / Pareto audit (q185) — the whale-user readout
-    * behind every monetization review: per-user purchase value in exact
-    * cents, users ranked by value, decile revenue shares, cumulative
-    * share, and an exact integer Gini coefficient (the ascending-rank
-    * formula `G = 2·Σ(i·vᵢ)/(n·Σv) − (n+1)/n`, emitted in basis points
-    * with both divisions replayed identically by the oracle). The
-    * corpus-sized stage is one per-user aggregate; ranking and every
-    * share run on the USER-sized frame (q168's size class — the q144
-    * sharded PrefixSum is the documented path if user cardinality ever
-    * outgrows it); the Gini/total scalars broadcast back as a 1-row
-    * frame. */
-  def revenueConcentration(spark: SparkSession, dir: String): DataFrame =
-    revenueConcentrationOf(Tables.events(spark, dir))
-
-  private[graft] def revenueConcentrationOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val users = events.filter(col("event_type") === "purchase")
-      .select(col("user_id"),
-        expr("CAST(value * 100 AS DECIMAL(14,0))").cast("long").as("cents"))
-      .groupBy(col("user_id")).agg(sum(col("cents")).as("v"))
-    // Ascending rank i = 1..n (value asc, id tiebreak) — the Gini basis —
-    // through the sharded GlobalRank (round-7 verdict #3: no
-    // single-partition window over the user-sized frame). n / tot / Σ(i·v)
-    // become a 1-row scalar aggregate broadcast back (the q168 tEnd
-    // idiom); the corpus-sized stage is still the one user reduction.
-    val rankedOnly = graft.operators.GlobalRank
-      .rowNumber(users, Seq(col("v").asc, col("user_id").asc), "i")
-    val scal = rankedOnly.agg(count(lit(1)).as("n"), sum(col("v")).as("tot"),
-      sum(expr("i * v")).as("iv"))
-    val ranked = rankedOnly.crossJoin(broadcast(scal))
-    // 2·iv·10⁴ rides DECIMAL(38,0) (round-6 advice): iv = Σ(i·v) can reach
-    // n·tot ≈ 10¹⁷ at production cardinalities, so the BIGINT product wraps
-    // silently past ~9.2·10¹⁸ — the q192 power-sum discipline applies. The
-    // oracle mirrors via HUGEINT; both floor-divide back to BIGINT.
-    val deciles = ranked
-      .select(expr("(i - 1) * 10 div n").as("decile"), col("v"), col("tot"),
-        (expr("CAST(2 AS DECIMAL(38,0)) * iv * 10000 div (CAST(n AS DECIMAL(38,0)) * tot)") -
-          expr("(n + 1) * 10000L div n"))
-          .as("gini_bp"))
-      .groupBy(col("decile"), col("tot"), col("gini_bp"))
-      .agg(count(lit(1)).as("n_users"), sum(col("v")).as("revenue_cents"))
-    // tot rides the decile keys, so the cumulative share needs no second
-    // derivation of the user aggregate (which would re-scan the corpus).
-    deciles
-      .withColumn("cum_cents",
-        sum(col("revenue_cents")).over(
-          Window.orderBy(col("decile"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("decile"), col("n_users"), col("revenue_cents"),
-        expr("revenue_cents * 10000L div tot").as("share_bp"),
-        expr("cum_cents * 10000L div tot").as("cum_share_bp"), col("gini_bp"))
-      .orderBy(col("decile"))
-  }
-
-  /** q186 smoothing + threshold constants, shared with the oracle. */
-  private[graft] val FluencyFloorDiv = 2L
-
-  /** Bigram-LM fluency scoring (q186) — the CCNet-style language-model
-    * quality filter in exact integers: a bigram model trained on the
-    * corpus itself (conditional probability c(w₁w₂)/c(w₁·) in parts per
-    * million, integer), each document scored by its mean bigram
-    * probability, languages report mean fluency and how many documents
-    * fall below half the GLOBAL mean ([[FluencyFloorDiv]]). Keys hash to
-    * 8-byte longs BEFORE the exchanges (the q146/q147 discipline — no
-    * string shuffles); the model frames are vocab-sized; the scoring
-    * join is the one corpus-sized equi-join; AQE picks its build side by
-    * size. Perplexity's log is deliberately avoided: libm log bits
-    * differ across engines, integer ppm probabilities do not. */
-  def bigramFluency(spark: SparkSession, dir: String): DataFrame =
-    bigramFluencyOf(Tables.documents(spark, dir),
-      b => graft.SessionMemo.memo(spark, s"q186bigrams|$dir") {
-        b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
-
-  /** `memoBigrams` pins the hashed bigram stream: its three consumers
-    * (bigram counts, prefix counts, the scoring join) would otherwise
-    * re-tokenize and re-hash the corpus three times — the q129 matrix
-    * memo applied to the bigram key space. */
-  private[graft] def bigramFluencyOf(docs: DataFrame,
-      memoBigrams: DataFrame => DataFrame = identity): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val bg = memoBigrams(docs
-      .select(col("doc_id"), col("lang"),
-        md5_token_hashes(split(col("text"), " "), 60).as("h"))
-      .filter(size(col("h")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, size(h) - 1), i -> struct(h[i-1] AS h1, h[i] AS h2))"))
-        .as("p"))
-      .select(col("doc_id"), col("lang"), col("p.h1").as("h1"), col("p.h2").as("h2")))
-    val bgCounts = bg.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("c12"))
-    val prefCounts = bg.groupBy(col("h1").as("ph1")).agg(count(lit(1)).as("c1"))
-    val scored = bg
-      .join(bgCounts, Seq("h1", "h2"))
-      .join(prefCounts, col("h1") === col("ph1"))
-      .select(col("doc_id"), col("lang"), expr("c12 * 1000000L div c1").as("p_ppm"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(expr("sum(p_ppm) div count(1)").as("score_ppm"))
-    val gmean = scored.agg(expr("sum(score_ppm) div count(1)").as("gm"))
-    scored.crossJoin(broadcast(gmean))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        expr("sum(score_ppm) div count(1)").as("avg_score_ppm"),
-        sum(when(col("score_ppm") < expr(s"gm div $FluencyFloorDiv"), 1L).otherwise(0L))
-          .as("n_low_fluency"))
-      .orderBy(col("lang"))
-  }
-
-  /** Promotional revenue share by ship month (q187, TPC-H Q14 shape) —
-    * the conditional-share-over-a-join pattern: lineitem ⋈ part (no
-    * forced build side — part is dimension-sized at harness SF and AQE
-    * broadcasts it; at 100 TB both sides shuffle on the part key),
-    * revenue in exact cent·pct units, promo share per month in basis
-    * points. One fact shuffle, month-sized output. */
-  def promoShare(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), expr("date_trunc('month', l_shipdate)").cast("date").as("month"),
-        (expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long") *
-          expr("CAST((1 - l_discount) * 100 AS DECIMAL(5,0))").cast("long")).as("rev_u"))
-      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy(col("month"))
-      .agg(sum(when(col("p_type") === "PROMO", col("rev_u")).otherwise(0L)).as("promo_u"),
-        sum(col("rev_u")).as("total_u"))
-      .select(col("month"), col("promo_u"), col("total_u"),
-        expr("promo_u * 10000L div total_u").as("promo_bp"))
-      .orderBy(col("month"))
-  }
-
-  /** q188 constants, shared with the oracle generator. */
-  private[graft] val PowerIters = 3
-  private[graft] val PowerScale = 1000000L
-
-  /** Integer power iteration for the dominant PCA direction (q188) —
-    * distributed linear algebra with the q86/q139 exactness discipline
-    * taken further: because every float product is floored to fixed
-    * point PER ELEMENT before any sum, the ENTIRE iteration (not just
-    * iteration 0) is order-free integer arithmetic, and the DuckDB
-    * oracle replays all [[PowerIters]] rounds with unrolled CTEs. Per
-    * round: uᵢ = Σⱼ ⌊xᵢⱼ·vⱼ⌋ fused into ONE map-only projection
-    * (64-term codegen'd sum, v in-expression); wⱼ = Σᵢ ⌊xᵢⱼ·uᵢ⌋ via
-    * posexplode + a 64-key aggregate that partial-combines map-side;
-    * the 64-row w collects to the driver (the Ivf/Kmeans seed-sized
-    * collect), renormalizes to v·10⁶/max|w|, and feeds the next round.
-    * Emitted per round: dominant dimension, growth factor max|w|, and
-    * the alignment ⟨vₖ, vₖ₊₁⟩/10⁶ (→10⁶ at convergence). */
-  def powerIteration(spark: SparkSession, dir: String): DataFrame = {
-    import graft.similarity.Pq.Dim
-    val e = Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNotNull && size(col("embedding")) >= Dim)
-    var v = Array.tabulate(Dim)(j => if (j == 0) PowerScale else 0L)
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
-    for (k <- 1 to PowerIters) {
-      val uExpr = (0 until Dim).filter(j => v(j) != 0L)
-        .map(j => s"floor(CAST(embedding[$j] AS DOUBLE) * ${v(j)}L)")
-        .mkString(" + ")
-      val w = new Array[Long](Dim)
-      e.select(expr(uExpr).as("u"), posexplode(col("embedding")).as(Seq("j", "x")))
-        .select(col("j"), expr("floor(CAST(x AS DOUBLE) * u)").as("c"))
-        .groupBy(col("j")).agg(sum(col("c")).as("w"))
-        .collect().foreach(r => w(r.getInt(0)) = r.getLong(1))
-      val m = w.map(math.abs).max
-      require(m > 0L, "degenerate corpus: zero matvec")
-      val vNext = w.map(wj => wj * PowerScale / m) // Long / truncates like div and //
-      val dom = (0 until Dim).minBy(j => (-math.abs(w(j)), j))
-      val align = (0 until Dim).map(j => v(j) * vNext(j)).sum / PowerScale
-      rows += ((k, dom, m, align))
-      v = vNext
-    }
-    import spark.implicits._
-    rows.toSeq.toDF("iter", "dominant_dim", "growth", "align_fp")
-      .orderBy(col("iter"))
-  }
-
-  /** q189 constants: micro-batch width (in event_id space) and the
-    * watermark delay, shared with the oracle and the streaming twin. */
-  private[graft] val WmBatchIds = 10000L
-  private[graft] val WmDelayUs = 600000000L
-
-  /** Watermark lateness audit (q189) — what a Structured Streaming
-    * watermark WOULD do to this corpus, computed batch-side: events
-    * arrive in event_id order in [[WmBatchIds]]-wide micro-batches; the
-    * watermark entering batch b is max event-time over batches < b minus
-    * [[WmDelayUs]] (watermarks advance at batch boundaries — the engine
-    * semantic). Rows classify as dropped (< watermark), late-but-kept
-    * (out-of-order but ≥ watermark), or on-time. The per-batch stats
-    * frame is BATCH-count-sized; the running max rides a window over it;
-    * the row classification is one broadcast join back over the corpus —
-    * no corpus-sized window anywhere. StreamingSpec proves the real
-    * engine (MemoryStream + withWatermark) drops exactly the rows this
-    * audit predicts on planted batches. */
-  def watermarkAudit(spark: SparkSession, dir: String): DataFrame =
-    watermarkAuditOf(Tables.events(spark, dir))
-
-  private[graft] def watermarkAuditOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = events.select(col("event_id"), expr("unix_micros(ts)").as("us"),
-      expr(s"event_id div $WmBatchIds").as("batch"))
-    val stats = e.groupBy(col("batch")).agg(max(col("us")).as("mx"))
-      .withColumn("wm",
-        max(col("mx")).over(Window.orderBy(col("batch"))
-          .rowsBetween(Window.unboundedPreceding, -1)) - WmDelayUs)
-      .withColumn("prev_mx",
-        max(col("mx")).over(Window.orderBy(col("batch"))
-          .rowsBetween(Window.unboundedPreceding, -1)))
-    e.join(broadcast(stats.select(col("batch"), col("wm"), col("prev_mx"))), "batch")
-      .select(col("batch"),
-        when(col("wm").isNotNull && col("us") < col("wm"), "dropped")
-          .when(col("prev_mx").isNotNull && col("us") < col("prev_mx"), "late_kept")
-          .otherwise("on_time").as("status"))
-      .groupBy(col("batch"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("status") === "on_time", 1L).otherwise(0L)).as("n_on_time"),
-        sum(when(col("status") === "late_kept", 1L).otherwise(0L)).as("n_late_kept"),
-        sum(when(col("status") === "dropped", 1L).otherwise(0L)).as("n_dropped"))
-      .orderBy(col("batch"))
-  }
-
-  /** Degree profile of the co-purchase graph (q190) — the log₂-bucketed
-    * degree histogram that diagnoses hub structure before any graph
-    * algorithm is priced (q139/q149 iteration cost and q177 wedge
-    * fan-out are both degree-distribution questions). Shares the q177
-    * edge memo; degrees are one aggregate; the histogram is a second,
-    * bucket-count-sized. `length(bin(deg)) − 1` is exact integer
-    * ⌊log₂⌋ in both engines — no float log. */
-  def degreeProfile(spark: SparkSession, dir: String): DataFrame =
-    degreeProfileOf(coPurchaseEdges(spark, dir))
-
-  private[graft] def degreeProfileOf(edges: DataFrame): DataFrame =
-    edges.select(col("u").as("node")).union(edges.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .select(col("deg"), (length(expr("bin(deg)")) - 1).cast("long").as("bucket"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
-        max(col("deg")).as("max_deg"), sum(col("deg")).as("sum_deg"))
-      .orderBy(col("bucket"))
-
-  /** q191 sketch geometry, shared with the oracle. */
-  private[graft] val CmsDepth = 5
-  private[graft] val CmsWidth = 2048L
-
-  /** CMS/AMS self-join size estimation (q191) — the cardinality-
-    * estimation primitive under every cost-based join planner: the
-    * self-join size Σₖ c(k)² of lineitem on l_partkey, estimated from a
-    * count-min sketch's inner product with itself (minᵈ Σ_w cell²) and
-    * audited against the exact value. The sketch is built from first
-    * principles on PORTABLE md5 row hashes (depth [[CmsDepth]] × width
-    * [[CmsWidth]]), so unlike a library sketch the ESTIMATE ITSELF is
-    * oracle-replayable exactly — stronger than the q79 bounded claim.
-    * Estimator guarantee (est ≥ exact, overestimate ≤ ε·N² w.h.p.)
-    * emitted as integancy columns. Scale shape: the sketch build is one
-    * map-only ×depth explode into a (depth·width)-row aggregate that
-    * partial-combines — the mergeable-sketch family (HLL q42 / GK q69 /
-    * CMS q79 / Bloom q84); the exact branch is the harness audit, dropped
-    * at corpus scale where the sketch is the product. */
-  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame =
-    joinSizeEstimateOf(Tables.lineitem(spark, dir).select(col("l_partkey").as("k")))
-
-  private[graft] def joinSizeEstimateOf(keys: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val cells = keys
-      .select(explode(expr(
-        s"transform(sequence(0, ${CmsDepth - 1}), d -> struct(d AS d, concat(d, ':', k) AS s))"))
-        .as("p"))
-      .select(col("p.d").as("d"),
-        (element_at(md5_token_hashes(array(col("p.s")), 31), 1) % CmsWidth).as("w"))
-      .groupBy(col("d"), col("w")).agg(count(lit(1)).as("c"))
-    val est = cells
-      .groupBy(col("d")).agg(sum(expr("c * c")).as("ip"))
-      .agg(min(col("ip")).as("est_selfjoin"))
-    val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
-      .agg(sum(expr("c * c")).as("exact_selfjoin"), count(lit(1)).as("n_keys"),
-        sum(col("c")).as("n_rows"))
-    exact.crossJoin(broadcast(est))
-      .select(col("n_rows"), col("n_keys"), col("exact_selfjoin"), col("est_selfjoin"),
-        expr("(est_selfjoin - exact_selfjoin) * 10000L div exact_selfjoin").as("over_bp"),
-        (col("est_selfjoin") >= col("exact_selfjoin")).as("never_under"))
-  }
-
-  /** Mergeable exact moment statistics (q192) — distributed mean /
-    * variance / third-central-moment per event type WITHOUT Welford
-    * float state: the raw power sums Σv, Σv², Σv³ (cents, DECIMAL(38,0)
-    * for the cube) partial-combine map-side, and every derived statistic
-    * is an integer expression over them — `n·Σv² − S²` is exactly
-    * n²·variance, `n²Σv³ − 3nSΣv² + 2S³ = Σ(nv−S)³/n` scales to the
-    * mean third central moment. Order-free, mergeable across segments
-    * (the q135 incremental-stats algebra extended to higher moments),
-    * bit-identical in both engines. */
-  def momentStats(spark: SparkSession, dir: String): DataFrame =
-    momentStatsOf(Tables.events(spark, dir))
-
-  private[graft] def momentStatsOf(events: DataFrame): DataFrame =
-    events
-      .select(col("event_type"),
-        expr("CAST(value * 100 AS DECIMAL(14,0))").cast("long").as("v"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
-        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("s2"),
-        sum(expr("CAST(v AS DECIMAL(38,0)) * v * v")).as("s3"))
-      .select(col("event_type"), col("n"), col("s").as("sum_cents"),
-        expr("s div n").as("mean_cents"),
-        expr("CAST((n * s2 - CAST(s AS DECIMAL(38,0)) * s) div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)")
-          .as("var_cents2"),
-        expr("""CAST((CAST(n AS DECIMAL(38,0)) * n * s3
-          |  - 3 * CAST(n AS DECIMAL(38,0)) * s * s2
-          |  + 2 * CAST(s AS DECIMAL(38,0)) * s * s)
-          |  div (CAST(n AS DECIMAL(38,0)) * n * n) AS BIGINT)""".stripMargin)
-          .as("m3_scaled"),
-        expr("""CAST(n AS DECIMAL(38,0)) * n * s3
-          |  - 3 * CAST(n AS DECIMAL(38,0)) * s * s2
-          |  + 2 * CAST(s AS DECIMAL(38,0)) * s * s > 0""".stripMargin)
-          .as("right_skewed"))
-      .orderBy(col("event_type"))
-
-  /** q193 audit constants, shared with the oracle. */
-  private[graft] val QuantileEpsBp = 100L // approx_percentile accuracy 1/eps = 10000/QuantileEpsBp
-
-  /** Quantile-sketch accuracy audit (q193) — the production check on the
-    * q69 approximate-quantile path: for each decile, the engine's
-    * approx_percentile estimate is rank-audited EXACTLY (one conditional
-    * aggregate computes every estimate's true rank in a single corpus
-    * pass) and the GK-style guarantee `|rank/n − q| ≤ ε` becomes the
-    * portable claim row (the q42/q79 bounded-claim pattern: the raw
-    * estimate is engine-internal, the guarantee is the contract). A
-    * violated bound names the decile on stderr and breaks the hash.
-    *
-    * The two aggregate passes are inherently sequential (the rank audit
-    * conditions on the first pass's estimates), but both now read ONE
-    * memoized `cents` frame (round-6 verdict #8) — a single projected
-    * long column, so the cache is the narrowest possible slice of the
-    * fact table, not the table itself; the parquet scan + DECIMAL cast
-    * is paid once instead of twice. */
-  def quantileAccuracy(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val cents = graft.SessionMemo.memo(spark, s"q193cents|$dir") {
-      Tables.lineitem(spark, dir)
-        .select(expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long").as("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-    val qs = (1 to 9).map(_ * 0.1)
-    val accuracy = (10000L / QuantileEpsBp) * 100L // eps = QuantileEpsBp/1e4 → acc 1e4/..·..
-    val row = cents.agg(
-      expr(s"approx_percentile(v, array(${qs.mkString(",")}), $accuracy)").as("est"),
-      count(lit(1)).as("n")).head()
-    val ests = row.getSeq[Long](0)
-    val n = row.getLong(1)
-    val rankAggs = ests.zipWithIndex.map { case (e, i) =>
-      sum(when(col("v") <= e, 1L).otherwise(0L)).as(s"r$i")
-    }
-    val ranks = cents.agg(rankAggs.head, rankAggs.tail: _*).head()
-    val out = qs.zipWithIndex.map { case (q, i) =>
-      val qBp = math.round(q * 10000).toLong
-      val rank = ranks.getLong(i)
-      val errBp = math.abs(rank * 10000L / n - qBp)
-      val ok = errBp <= QuantileEpsBp
-      if (!ok) System.err.println(
-        s"[q193] quantile bound VIOLATED at q=$qBp bp: rank=$rank n=$n err=$errBp bp " +
-          "— the oracle's TRUE row will hash-mismatch")
-      (qBp, n, QuantileEpsBp, ok)
-    }
-    out.toDF("quantile_bp", "n", "eps_bp", "within_bound").orderBy(col("quantile_bp"))
-  }
-
-  /** q194 session gap (the q23 sessionize constant) — a session interval
-    * is [first event, last event + 0]; concurrency counts overlapping
-    * session extents. */
-  private[graft] val ConcurrencySessionGapUs = 1800000000L
-
-  /** Peak session concurrency (q194) — the sweep-line interval-overlap
-    * counter behind capacity planning: per-user 30-min-gap sessions
-    * become (+1 at start, −1 after end) deltas; concurrency at t is the
-    * prefix sum of deltas ≤ t. The prefix sum is TWO-LEVEL (the q144
-    * sharded-PrefixSum idea expressed in windows): a running sum WITHIN
-    * each day partition plus a day-frame carry window — no global
-    * single-partition ordering ever touches event-sized data. Ties
-    * order (us, delta DESC): a session starting at the exact instant
-    * another ends counts as overlapping. Output: per-day session
-    * starts/ends and the exact peak concurrency. */
-  def peakConcurrency(spark: SparkSession, dir: String): DataFrame =
-    peakConcurrencyOf(Tables.events(spark, dir))
-
-  private[graft] def peakConcurrencyOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = events.select(col("user_id"), expr("unix_micros(ts)").as("us"))
-    val wGap = Window.partitionBy(col("user_id")).orderBy(col("us"))
-    val sessions = e
-      .withColumn("new_s",
-        when(col("us") - lag(col("us"), 1).over(wGap) > ConcurrencySessionGapUs
-          || lag(col("us"), 1).over(wGap).isNull, 1L).otherwise(0L))
-      .withColumn("sid", sum(col("new_s")).over(
-        wGap.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("sid"))
-      .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
-    val deltas = sessions.select(col("s_start").as("us"), lit(1L).as("d"))
-      .union(sessions.select(col("s_end").as("us"), lit(-1L).as("d")))
-      .withColumn("day", expr("us div 86400000000L"))
-    val wDay = Window.partitionBy(col("day"))
-      .orderBy(col("us"), col("d").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val perDay = deltas
-      .withColumn("run", sum(col("d")).over(wDay))
-      .groupBy(col("day"))
-      .agg(sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"),
-        sum(when(col("d") === -1L, 1L).otherwise(0L)).as("n_ends"),
-        max(col("run")).as("peak_in_day"), sum(col("d")).as("net"))
-    val wCarry = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)
-    perDay
-      .withColumn("carry", coalesce(sum(col("net")).over(wCarry), lit(0L)))
-      // A session spanning midnight leaves carry > 0 with only a −1
-      // delta inside the day: the day's true peak is the GREATER of the
-      // carried-in concurrency and any within-day prefix.
-      .select(col("day"), col("n_starts"), col("n_ends"),
-        greatest(col("carry"), col("carry") + col("peak_in_day")).as("peak_concurrency"))
-      .orderBy(col("day"))
-  }
-
-  /** q195 constants, shared with the oracle generator. */
-  private[graft] val KCoreK = 3L
-  private[graft] val KCoreRounds = 3
-
-  /** k-core peeling trace (q195) — the graph-pruning primitive under
-    * community mining and graph sampling: [[KCoreRounds]] rounds of
-    * "drop nodes with degree < [[KCoreK]], keep only edges between
-    * survivors" over the shared co-purchase edge memo, emitting the
-    * surviving node/edge counts per round. Each round is one degree
-    * aggregate + two semi-joins on 8-byte keys; intermediate edge
-    * frames persist so round r reads round r−1's cache rather than
-    * re-deriving a 2^r-deep lineage (the q149 label-frame lesson). The
-    * fixed-round trace (not run-to-convergence) keeps the oracle an
-    * unrolled-CTE replay, the q139/q188 discipline. */
-  def kCorePeeling(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    var edges = coPurchaseEdges(spark, dir)
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (r <- 1 to KCoreRounds) {
-      // Degrees in ONE edge pass (explode both endpoints, not a
-      // union-of-projections that scans the cache twice); the survivor
-      // list persists because BOTH semi-joins consume it — unpersisted,
-      // each re-derived the degree aggregate (round-8: that duplication
-      // plus per-action planning on the 2^r-deep lineage was most of the
-      // 7.7 s this query cost at sf0.01).
-      val kept = edges.select(explode(array(col("u"), col("v"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= KCoreK).select(col("node"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached += kept
-      val next = edges
-        .join(kept.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(kept.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached += next
-      // Node and edge counts from ONE action over the cached frame.
-      val stats = next.select(explode(array(col("u"), col("v"))).as("n"))
-        .agg(count(lit(1)).as("ends"), countDistinct(col("n")).as("nodes")).head()
-      rows += ((r, stats.getLong(1), stats.getLong(0) / 2))
-      edges = next
-    }
-    cached.foreach(_.unpersist(blocking = false))
-    rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy(col("round"))
-  }
-
-  /** Point-in-time loyalty attribution (q196) — the as-was vs as-is
-    * reporting correctness every SCD2 warehouse must get right: per
-    * customer a deterministic tier history (bronze until the 2nd order
-    * instant, silver until the 4th, gold after — boundaries from the
-    * customer's own order sequence), then every order attributed BOTH to
-    * the tier valid at its own timestamp (as-was: strictly-after
-    * semantics — the boundary order itself still counts in the lower
-    * tier) and to the customer's final tier (as-is). Revenue in exact
-    * cents. One custkey shuffle shared by the sequence window, the
-    * boundary aggregate, and the attribution join; the report is
-    * tier-sized. */
-  def pitLoyalty(spark: SparkSession, dir: String): DataFrame =
-    pitLoyaltyOf(Tables.orders(spark, dir))
-
-  private[graft] def pitLoyaltyOf(orders: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val o = orders.select(col("o_custkey"), col("o_orderkey"),
-      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"),
-      expr("CAST(o_totalprice * 100 AS DECIMAL(14,0))").cast("long").as("cents"))
-    // One custkey partitioning serves both the sequence rank (as-was)
-    // and the final count (as-is) — no join, one shuffle.
-    val w = Window.partitionBy(col("o_custkey")).orderBy(col("us"), col("o_orderkey"))
-    val wAll = Window.partitionBy(col("o_custkey"))
-    o.withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(wAll))
-      .select(col("cents"),
-        when(col("rn") <= 2L, "bronze").when(col("rn") <= 4L, "silver")
-          .otherwise("gold").as("tier_as_was"),
-        when(col("cnt") <= 2L, "bronze").when(col("cnt") <= 4L, "silver")
-          .otherwise("gold").as("tier_as_is"))
-      .groupBy(col("tier_as_was"), col("tier_as_is"))
-      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
-      .orderBy(col("tier_as_was"), col("tier_as_is"))
-  }
-
-  /** q197 batch width, shared with the oracle. */
-  private[graft] val InferBatchSize = 32L
-
-  /** Inference batch-padding economics (q197) — the serving-cost readout
-    * behind length-sorted batching: documents batched [[InferBatchSize]]
-    * at a time, padded to each batch's max length, under two policies —
-    * arrival order (doc_id) vs length-sorted. Both global ranks run on
-    * the SHARDED [[graft.operators.PrefixSum]] (bucket = leading bits of
-    * the order key), bit-identical to a serial row_number with no
-    * single-task corpus sort; per-batch stats and the 2-row report are
-    * aggregates. The emitted waste_bp difference IS the GPU-hours
-    * argument for sorted batching. */
-  def batchPadding(spark: SparkSession, dir: String): DataFrame =
-    batchPaddingOf(Tables.documents(spark, dir))
-
-  private[graft] def batchPaddingOf(docs: DataFrame): DataFrame = {
-    import graft.operators.PrefixSum
-    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
-      .withColumn("one", lit(1L))
-    val arrival = PrefixSum.runningSum(lens, Seq.empty, Seq("doc_id"), "one",
-        expr("doc_id div 4096"), "rn")
-      .select(lit("arrival").as("policy"), col("len"), col("rn"))
-    val sorted = PrefixSum.runningSum(lens, Seq.empty, Seq("len", "doc_id"), "one",
-        expr("len div 64"), "rn")
-      .select(lit("sorted").as("policy"), col("len"), col("rn"))
-    arrival.union(sorted)
-      .select(col("policy"), expr(s"(rn - 1) div $InferBatchSize").as("batch"), col("len"))
-      .groupBy(col("policy"), col("batch"))
-      .agg(count(lit(1)).as("n"), max(col("len")).as("mx"), sum(col("len")).as("s"))
-      .groupBy(col("policy"))
-      .agg(count(lit(1)).as("n_batches"), sum(col("s")).as("total_tokens"),
-        sum(expr("n * mx")).as("capacity"))
-      .select(col("policy"), col("n_batches"), col("total_tokens"),
-        expr("capacity - total_tokens").as("padded_tokens"),
-        expr("(capacity - total_tokens) * 10000L div capacity").as("waste_bp"))
-      .orderBy(col("policy"))
-  }
-
-  /** q198 bootstrap constants, shared with the oracle: resample count,
-    * CI order-statistic ranks, and the Poisson(1) CDF cut points on the
-    * 31-bit uniform hash (⌊CDF·2³¹⌋ for k = 0..3; mass above is w=4). */
-  private[graft] val BootB = 200L
-  private[graft] val BootCiLoRank = 5L   // ceil(0.025 · B)
-  private[graft] val BootCiHiRank = 196L // B − ceil(0.025·B) + 1
-  private[graft] val BootPoissonCuts = Seq(790015084L, 1580030168L, 1975037710L, 2106706891L)
-
-  /** Deterministic Poisson-bootstrap confidence interval (q198) — the
-    * statistical-rigor primitive an experimentation platform needs at
-    * corpus scale: the per-user conversion metric resampled [[BootB]]
-    * times with Poisson(1) weights derived from a PORTABLE md5 hash of
-    * (resample, user) — no RNG state, identical in both engines, and
-    * embarrassingly parallel (the resample dimension explodes map-side,
-    * weights partial-combine into B rows). The 95% CI is exact order
-    * statistics over the B-row rate frame. The same shape bootstraps
-    * any per-entity metric (eval scores, revenue/user) at any scale:
-    * corpus work is one user aggregate + one ×B map-only pass. */
-  def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
-    bootstrapCiOf(Tables.events(spark, dir))
-
-  private[graft] def bootstrapCiOf(events: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    import org.apache.spark.sql.expressions.Window
-    val users = events.groupBy(col("user_id"))
-      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
-    val Seq(t0, t1, t2, t3) = BootPoissonCuts
-    val rates = users
-      .select(col("user_id"), col("conv"),
-        explode(expr(s"sequence(0L, ${BootB - 1}L)")).as("b"))
-      .select(col("b"), col("conv"),
-        element_at(md5_token_hashes(array(concat(col("b"), lit(":"), col("user_id"))), 31), 1)
-          .as("h"))
-      .select(col("b"), col("conv"),
-        when(col("h") < t0, 0L).when(col("h") < t1, 1L)
-          .when(col("h") < t2, 2L).when(col("h") < t3, 3L).otherwise(4L).as("w"))
-      .groupBy(col("b"))
-      .agg(sum(expr("w * conv")).as("wc"), sum(col("w")).as("wt"))
-      .select(expr("wc * 10000L div wt").as("rate_bp"))
-    val ci = rates
-      .withColumn("rk", row_number().over(Window.orderBy(col("rate_bp"))).cast("long"))
-      .agg(max(when(col("rk") === BootCiLoRank, col("rate_bp"))).as("ci_lo_bp"),
-        max(when(col("rk") === BootCiHiRank, col("rate_bp"))).as("ci_hi_bp"))
-    users.agg(count(lit(1)).as("n_users"),
-        expr("sum(conv) * 10000L div count(1)").as("base_rate_bp"))
-      .crossJoin(broadcast(ci))
-      .select(col("n_users"), col("base_rate_bp"), lit(BootB).as("n_resamples"),
-        col("ci_lo_bp"), col("ci_hi_bp"))
-  }
-
-  /** q199 vocabulary cut points, shared with the oracle. */
-  private[graft] val VocabCurveSizes = Seq(100L, 1000L, 10000L)
-
-  /** Vocabulary-size coverage curve (q199) — the tokenizer-budget
-    * decision: what share of corpus tokens the top-V vocabulary covers,
-    * at [[VocabCurveSizes]] cut points. One corpus tokenization into
-    * vocab counts; the rank rides [[graft.operators.GlobalRank]] (round-8
-    * verdict #1: the vocabulary of a web-scale corpus is billions of
-    * distinct tokens, so an unpartitioned `row_number` over it is a
-    * single-task sort — the range-sharded two-pass is bit-identical);
-    * corpus totals are a 1-row aggregate broadcast back; the report is
-    * |cuts| rows. */
-  def vocabSizeCurve(spark: SparkSession, dir: String): DataFrame =
-    vocabSizeCurveOf(Tables.documents(spark, dir))
-
-  private[graft] def vocabSizeCurveOf(docs: DataFrame): DataFrame = {
-    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("c"))
-    val totals = counts.agg(sum(col("c")).as("total"), count(lit(1)).as("nv"))
-    val ranked = graft.operators.GlobalRank
-      .rowNumber(counts, Seq(col("c").desc, col("token")), "rk")
-      .filter(col("rk") <= lit(VocabCurveSizes.max))
-    ranked
-      .select(explode(expr(s"array(${VocabCurveSizes.mkString("L,")}L)")).as("v"),
-        col("rk"), col("c"))
-      .filter(col("rk") <= col("v"))
-      .groupBy(col("v"))
-      .agg(sum(col("c")).as("covered"))
-      .crossJoin(broadcast(totals))
-      .select(col("v"), least(col("v"), col("nv")).as("n_vocab_used"),
-        expr("covered * 10000L div total").as("coverage_bp"))
-      .orderBy(col("v"))
-  }
-
-  /** Streaming fuzzy ingest dedup (q200) — the near-dup completion of
-    * the ingest-dedup progression (q84 exact batch sketch → q100 exact
-    * streaming Bloom → q200 FUZZY streaming): arrivals (every 7th doc)
-    * land in four sequential micro-batches against a pre-seeded standing
-    * corpus (the rest); each batch drops within-batch dominated near-dups
-    * (smaller-id Jaccard ≥ 0.8 twin in the same batch) and arrivals
-    * fuzzy-matching the standing corpus (banded LSH candidates, exact
-    * verification — [[graft.dedup.IncrementalDedup.fuzzyIngestBatch]]),
-    * then appends survivors to its own batch partition. The registered
-    * row replays the batch loop deterministically and reports the
-    * published arrival survivors; the oracle replays all four batches
-    * SEQUENTIALLY with brute-force Jaccard (the q62 recall-exactness
-    * argument: the 48×4 banding misses nothing at the 0.8 gate, so
-    * hash-equality against brute force proves both the recall and the
-    * sequencing). StreamingSpec drives the same core through a real
-    * MemoryStream and pins the drop semantics batch by batch. */
-  def streamingFuzzyDedup(spark: SparkSession, dir: String): DataFrame = {
-    graft.SessionMemo.memo(spark, s"q200|$dir") {
-      val corpus = fuzzyIngestCorpus(spark, dir)
-      spark.read.parquet(corpus)
-        .where(col("batch_id") >= 0)
-        .select(col("batch_id").cast("long").as("batch_id"), col("doc_id"))
-        .orderBy(col("batch_id"), col("doc_id"))
-    }
-  }
-
-  /** The q200 batch-loop replay, memoized ONCE per (session, dir) and
-    * shared by q200 (survivor frame) and q256 (store compaction) —
-    * returns the work corpus dir. */
-  private def fuzzyIngestCorpus(spark: SparkSession, dir: String): String =
-    graft.SessionMemo.memo(spark, s"q200corpus|$dir") {
-      val s = spark.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      // The ingest path is ~15 tiny sequential exchanges per batch; AQE's
-      // per-stage re-planning turns each into its own job round-trip and
-      // dominates wall-clock at this batch size. Static planning for the
-      // ingest session only (the frames are KB-sized; nothing AQE would
-      // fix), ~2× on the four-batch run.
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      val work = java.nio.file.Files.createTempDirectory("graft_fuzzy_ingest").toString
-      val corpus = s"$work/corpus"
-      val docs = Tables.documents(s, dir)
-      docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"), col("text"), lit(-1L).as("batch_id"))
-        .write.partitionBy("batch_id").parquet(corpus)
-      (0 to 3).foreach { b =>
-        val slice = docs
-          .filter(col("doc_id") % 7 === 0 && expr("(doc_id div 7) % 4") === b)
-          .select(col("doc_id"), col("text"))
-        graft.dedup.IncrementalDedup.fuzzyIngestBatch(slice, corpus, b.toLong)
-      }
-      corpus
-    }
-
-  /** Signature-store nightly compaction (q256) — see
-    * [[graft.dedup.IncrementalDedup.compactSigStore]]: fold the q200
-    * store's per-batch partitions into a band-segmented, band_key-sorted
-    * base layout with a digest manifest, then report the BASE's content
-    * stats read back from disk (folded partitions, bands, rows, distinct
-    * docs, id-sum checksum) — a lossy or stale compaction breaks the
-    * oracle hash, whose expected values come from replaying the
-    * sequential ingest. Shares q200's memoized ingest replay, so the
-    * bench pays the four-batch loop once across both rows. */
-  def sigStoreCompaction(spark: SparkSession, dir: String): DataFrame = {
-    graft.SessionMemo.memo(spark, s"q256|$dir") {
-      val corpus = fuzzyIngestCorpus(spark, dir)
-      graft.dedup.IncrementalDedup.compactSigStore(spark, corpus)
-      spark.read.parquet(s"$corpus/_fuzzy_sigs/_base")
-        .agg(countDistinct(col("batch_id")).as("n_folded_partitions"),
-          countDistinct(col("band_idx")).as("n_bands"),
-          count(lit(1)).as("n_rows"),
-          countDistinct(col("sid")).as("n_distinct_sids"),
-          sum_distinct(col("sid")).as("sid_sum"))
-        .select(col("n_folded_partitions"), col("n_bands"), col("n_rows"),
-          col("n_distinct_sids"), col("sid_sum").cast("long").as("sid_sum"))
-    }
-  }
-
-  /** q201 SLO constants (99% availability → 100 bp error budget), shared
-    * with the oracle: fast-burn pages at 14.4× budget over 1 h AND 6×
-    * over 6 h (the Google SRE multiwindow rule, in integer bp). */
-  private[graft] val SloPage1hBp = 1440L
-  private[graft] val SloPage6hBp = 600L
-  private[graft] val SloTicket24hBp = 300L
-
-  /** Multi-window SLO burn-rate alerts (q201) — the error-budget
-    * monitoring rule production services page on: per-hour error rates
-    * plus trailing 6 h and 24 h RANGE windows over the HOUR frame
-    * (metadata-sized — events aggregate once, windows never see rows),
-    * with the two-window fast-burn page and the slow-burn ticket as
-    * integer-bp comparisons. Gap hours follow the q128 observed-hours
-    * contract. */
-  def sloBurnRate(spark: SparkSession, dir: String): DataFrame =
-    sloBurnRateOf(Tables.events(spark, dir))
-
-  private[graft] def sloBurnRateOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hourly = events
-      .select(expr("unix_micros(ts) div 3600000000L").as("hour_id"),
-        (col("event_type") === "error").cast("long").as("is_err"))
-      .groupBy(col("hour_id"))
-      .agg(count(lit(1)).as("n_total"), sum(col("is_err")).as("n_err"))
-    def trailing(hours: Long) = Window.orderBy(col("hour_id"))
-      .rangeBetween(-(hours - 1), Window.currentRow)
-    hourly
-      .withColumn("e6", sum(col("n_err")).over(trailing(6L)))
-      .withColumn("t6", sum(col("n_total")).over(trailing(6L)))
-      .withColumn("e24", sum(col("n_err")).over(trailing(24L)))
-      .withColumn("t24", sum(col("n_total")).over(trailing(24L)))
-      .select(col("hour_id"), col("n_total"),
-        expr("n_err * 10000L div n_total").as("err_1h_bp"),
-        expr("e6 * 10000L div t6").as("err_6h_bp"),
-        expr("e24 * 10000L div t24").as("err_24h_bp"))
-      .withColumn("page",
-        col("err_1h_bp") >= SloPage1hBp && col("err_6h_bp") >= SloPage6hBp)
-      .withColumn("ticket", col("err_24h_bp") >= SloTicket24hBp)
-      .orderBy(col("hour_id"))
-  }
-
-  /** q202 pixel budget per GPU batch, shared with the oracle. */
-  private[graft] val PixelBudget = 1048576L
-
-  /** Pixel-budget media batching (q202) — q197's packing economics for
-    * the MULTIMODAL side: variable-resolution images (deterministic
-    * per-doc dimensions — the decode stubs' metadata contract) packed in
-    * arrival order into GPU batches by cumulative pixel count. The
-    * global running sum is the sharded PrefixSum (no single-partition
-    * sort); batch assignment is start-offset div budget (streaming-fill
-    * semantics: the straddling item overflows its batch by < one item —
-    * the DALI-style contract, documented rather than hidden). Per-batch
-    * fill factors price the padding the serving tier will pay. */
-  def pixelPacking(spark: SparkSession, dir: String): DataFrame =
-    pixelPackingOf(Tables.documents(spark, dir))
-
-  private[graft] def pixelPackingOf(docs: DataFrame): DataFrame = {
-    import graft.operators.PrefixSum
-    val media = docs.filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"),
-        (lit(32L) + (col("doc_id") % 8) * 16L).as("w"),
-        (lit(32L) + (col("doc_id") % 5) * 32L).as("h"))
-      .withColumn("px", col("w") * col("h"))
-    PrefixSum.runningSum(media, Seq.empty, Seq("doc_id"), "px",
-        expr("doc_id div 4096"), "cum")
-      .select(expr(s"(cum - px) div $PixelBudget").as("batch"), col("px"))
-      .groupBy(col("batch"))
-      .agg(count(lit(1)).as("n_items"), sum(col("px")).as("px_total"))
-      .select(col("batch"), col("n_items"), col("px_total"),
-        expr(s"px_total * 10000L div $PixelBudget").as("fill_bp"))
-      .orderBy(col("batch"))
-  }
-
-  /** q203 assembly constants, shared with the oracle. */
-  private[graft] val CtxTokenBudget = 512L
-  private[graft] val CtxDedupJaccard = 0.5
-
-  /** RAG context assembly (q203) — the serving step after hybrid
-    * retrieval: q127's RRF fusion produces the candidate ranking
-    * (corpus cost = exactly the two rankers); the top-10 then attach
-    * text, drop passages whose token Jaccard vs a BETTER-ranked passage
-    * is ≥ [[CtxDedupJaccard]] (context diversity — redundant passages
-    * waste budget), and pack greedily in rank order into a
-    * [[CtxTokenBudget]]-token context window. Everything above the
-    * rankers is 10-row metadata work. The emitted `included` column IS
-    * the context the generator would see. */
-  def contextAssembly(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val fused = rrfFusion(spark, dir).limit(10)
-      .withColumn("rn0",
-        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
-    val withText = fused
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
-      .select(col("doc_id"), col("rn0"),
-        expr("array_distinct(split(text, ' '))").as("toks"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val inter = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double")
-    val dropped = withText.alias("a")
-      .join(withText.alias("b"), col("b.rn0") < col("a.rn0") &&
-        inter / (size(col("a.toks")) + size(col("b.toks"))
-          - size(array_intersect(col("a.toks"), col("b.toks")))) >= CtxDedupJaccard)
-      .select(col("a.doc_id").as("doc_id")).distinct()
-    withText.join(dropped, Seq("doc_id"), "left_anti")
-      .withColumn("ctx_rank", row_number().over(Window.orderBy(col("rn0"))).cast("long"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(
-        Window.orderBy(col("rn0"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("ctx_rank"), col("doc_id"), col("n_tokens"), col("cum_tokens"),
-        (col("cum_tokens") <= CtxTokenBudget).as("included"))
-      .orderBy(col("ctx_rank"))
-  }
-
-  /** Metadata-filtered ANN search (q204) — the vector-DB feature every
-    * production deployment needs and most indexes get wrong: top-k
-    * cosine neighbors RESTRICTED to rows sharing the query's label
-    * (pre-filtering, not post-filtering — a post-filtered top-k can
-    * return fewer than k or miss true neighbors entirely). Here the
-    * label predicate joins INTO the candidate stream before scoring
-    * (the q33 broadcast shape with an equi-key), so the map-side
-    * TopKAggregator ranks only eligible rows; at 100 TB the same
-    * predicate becomes a partition filter on a label-partitioned q98
-    * index layout. Bit-exact oracle (the q33 cosine folds). */
-  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.cosine_sim
-    val embs = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
-    val q = broadcast(embs.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
-        col("label").as("ql")))
-    val scored = embs
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("neighbor_vec"),
-        col("label").as("nl"))
-      .join(q, col("nl") === col("ql") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec")))
-    graft.similarity.Ann.topKRanked(scored, 5)
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** q205 constants, shared with the oracle. */
-  private[graft] val BfsHops = 3
-
-  /** k-hop reachability (q205) — breadth-first frontier expansion from
-    * the smallest part node of the co-purchase graph, [[BfsHops]]
-    * unrolled rounds: each hop is one equi-join of the (persisted,
-    * node-sized) frontier against the shared edge memo plus an anti-join
-    * against the visited set — the per-iteration shape of every
-    * distributed BFS/shortest-path job. Frontier/visited frames persist
-    * so round r never re-derives round r−1's lineage (the q149/q195
-    * lesson); counts collect as hop-sized driver rows (q86/q188
-    * emission); the oracle replays the unrolled rounds. */
-  def kHopReachability(spark: SparkSession, dir: String): DataFrame =
-    kHopReachabilityOf(spark, coPurchaseEdges(spark, dir))
-
-  private[graft] def kHopReachabilityOf(spark: SparkSession, edges: DataFrame): DataFrame = {
-    import spark.implicits._
-    // Symmetrize in ONE cache pass (explode, not union-of-projections —
-    // the union scanned the edge cache twice per frontier expansion).
-    val sym = edges.select(explode(array(
-        struct(col("u").as("s"), col("v").as("t")),
-        struct(col("v").as("s"), col("u").as("t")))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"))
-    val seed = edges.agg(min(col("u"))).head().getLong(0)
-    var frontier = Seq(seed).toDF("node")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var visited = frontier
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
-    for (hop <- 1 to BfsHops) {
-      val next = sym.join(frontier.withColumnRenamed("node", "s"), Seq("s"), "left_semi")
-        .select(col("t").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val newVisited = visited.union(next).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached += next; cached += newVisited
-      rows += ((hop, next.count(), newVisited.count()))
-      frontier = next
-      visited = newVisited
-    }
-    cached.foreach(_.unpersist(blocking = false))
-    rows.toSeq.toDF("hop", "frontier_size", "visited_size").orderBy(col("hop"))
-  }
-
-  /** Incremental view maintenance (q206) — the delta-join algebra under
-    * every continuously-maintained warehouse view:
-    * `ΔV = γ(ΔA⋈B₀) ⊎ γ(A₀⋈ΔB) ⊎ γ(ΔA⋈ΔB)` for the revenue-per-customer
-    * view over orders⋈lineitem, with SUM's additivity making the merge a
-    * co-group sum. The registered row computes the view BOTH ways —
-    * incrementally from the base snapshot + deltas, and by full
-    * recompute — and emits the top-20 with the equality verdict, so the
-    * hash proves the maintenance algebra exactly. Maintenance cost is
-    * proportional to |Δ| (each delta join has one pruned side), which is
-    * the entire point at 100 TB. */
-  def incrementalView(spark: SparkSession, dir: String): DataFrame =
-    incrementalViewOf(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
-
-  private[graft] def incrementalViewOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val o = orders
-      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
-        (col("o_orderkey") % 5 === 0).as("od"))
-    val l = lineitem
-      .select(col("l_orderkey").as("ok"),
-        (expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long") *
-          expr("CAST((1 - l_discount) * 100 AS DECIMAL(5,0))").cast("long")).as("rev_u"),
-        (expr("l_orderkey * 10 + l_linenumber") % 7 === 0).as("ld"))
-    def view(os: DataFrame, ls: DataFrame): DataFrame = os
-      .join(ls, "ok").groupBy(col("ck")).agg(sum(col("rev_u")).as("rev"))
-    val o0 = o.filter(!col("od")); val dO = o.filter(col("od"))
-    val l0 = l.filter(!col("ld")); val dL = l.filter(col("ld"))
-    val inc = view(o0, l0).union(view(dO, l0)).union(view(o0, dL)).union(view(dO, dL))
-      .groupBy(col("ck")).agg(sum(col("rev")).as("rev_ivm"))
-    val full = view(o, l).withColumnRenamed("rev", "rev_full")
-    full.join(inc, Seq("ck"), "full_outer")
-      .select(col("ck").as("custkey"),
-        coalesce(col("rev_full"), lit(0L)).as("rev_full"),
-        coalesce(col("rev_ivm"), lit(0L)).as("rev_ivm"),
-        (coalesce(col("rev_full"), lit(0L)) === coalesce(col("rev_ivm"), lit(0L)))
-          .as("ivm_exact"))
-      .orderBy(col("rev_full").desc, col("custkey"))
-      .limit(20)
-  }
-
-  /** Skyline / Pareto frontier (q207) — the classic multi-criteria
-    * dominance query (min price, max size over parts): a part survives
-    * iff no part is at-least-as-good on both axes and strictly better on
-    * one. Computed sort-free of the O(n²) formulation via
-    * [[graft.operators.GlobalRank.prefixMax]] (round-8 verdict #1: the
-    * old single RANGE window over the whole frame was an unpartitioned
-    * sort; the range-sharded two-pass is bit-identical and runs
-    * shards-wide): `best_cheaper` = max size over strictly-cheaper rows,
-    * `best_le` = the inclusive twin from the same WindowExec. A part is
-    * dominated iff a strictly-cheaper part matches-or-beats its size
-    * (best_le > size covers a same-price strict beat; best_le == size
-    * with best_cheaper == size covers a cheaper tie). */
-  def skyline(spark: SparkSession, dir: String): DataFrame =
-    skylineOf(Tables.part(spark, dir))
-
-  private[graft] def skylineOf(part: DataFrame): DataFrame = {
-    val p = part.select(col("p_partkey"),
-      expr("CAST(p_retailprice * 100 AS DECIMAL(14,0))").cast("long").as("price_cents"),
-      col("p_size").cast("long").as("p_size"))
-    graft.operators.GlobalRank
-      .prefixMax(p, col("price_cents"), col("p_size"), "best_cheaper",
-        inclusiveOut = "best_le")
-      .filter((col("best_cheaper").isNull || col("best_cheaper") < col("p_size")) &&
-        col("best_le") === col("p_size"))
-      .select(col("p_partkey"), col("price_cents"), col("p_size"))
-      .orderBy(col("price_cents"), col("p_partkey"))
-  }
-
-  /** q208 sample size, shared with the oracle. */
-  private[graft] val UncertaintyK = 20
-
-  /** Uncertainty sampling for labeling (q208) — the active-learning
-    * primitive of a curation pipeline: the [[UncertaintyK]] documents
-    * per language whose q37 quality score sits CLOSEST to that
-    * language's q87 keep threshold (the p25 cut) — exactly the examples
-    * where a human label or a stronger model buys the most decision
-    * information. The per-language bounded top-k is the map-side
-    * [[graft.similarity.Ann.TopKAggregator]] keyed by language (the
-    * q118 shape — ≤ partitions·K rows cross the exchange, never a
-    * per-language corpus window); thresholds are a 5-row broadcast. */
-  def uncertaintySample(spark: SparkSession, dir: String): DataFrame = {
-    val scored = graft.text.TextAnalysis.qualityScore(Tables.documents(spark, dir))
-      .select(col("lang"), col("doc_id"),
-        floor(col("quality_score") * 1e6).cast("long").as("qfp"))
-    val thr = scored.groupBy(col("lang")).agg(expr("percentile(qfp, 0.25)").as("p25_fp"))
-    val withDiff = scored.join(broadcast(thr), Seq("lang"))
-      .withColumn("dist", abs(col("qfp").cast("double") - col("p25_fp")))
-    val kept = graft.similarity.Ann.topKRanked(
-      withDiff.select(xxhash64(col("lang")).as("query_id"),
-        col("doc_id").as("neighbor_id"), negate(col("dist")).as("cosine")),
-      UncertaintyK)
-      .select(col("neighbor_id").as("doc_id"), col("rank"))
-    withDiff.join(broadcast(kept), Seq("doc_id"))
-      .select(col("lang"), col("rank").cast("long").as("rank"), col("doc_id"),
-        col("qfp").as("quality_fp"), floor(col("dist")).cast("long").as("dist_fp"))
-      .orderBy(col("lang"), col("rank"), col("doc_id"))
-  }
-
-  /** Per-dimension whitening statistics (q209) — the mean/variance
-    * normalization every embedding pipeline runs before PCA/IVF
-    * training, computed EXACTLY: per-element floors (f = ⌊x·10⁶⌋) make
-    * the per-dimension sums order-free integers, and the q192 power-sum
-    * algebra (`n·Σf² − S²` = n²·variance) yields exact fixed-point
-    * whitening parameters — no float mean ever crosses an aggregation
-    * boundary. One posexplode pass, 64-row output, fully
-    * oracle-replayed (not a bounded claim). */
-  def whiteningStats(spark: SparkSession, dir: String): DataFrame = {
-    import graft.similarity.Pq.Dim
-    Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNotNull && size(col("embedding")) >= Dim)
-      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("dim"), floor(expr("CAST(x AS DOUBLE) * 1000000")).cast("long").as("f"))
-      .groupBy(col("dim"))
-      .agg(count(lit(1)).as("n"), sum(col("f")).as("s"),
-        sum(expr("CAST(f AS DECIMAL(38,0)) * f")).as("s2"))
-      .select(col("dim"), col("n"), expr("s div n").as("mean_fp"),
-        expr("CAST((n * s2 - CAST(s AS DECIMAL(38,0)) * s) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
-          .as("var_fp2"))
-      .orderBy(col("dim"))
-  }
-
-  /** q210 bound: |HLL inclusion–exclusion − exact| ≤ 6% of the exact
-    * union (three ~1.6%-σ estimates compose; 6% is ≳3σ slack). */
-  private[graft] val HllInterBoundPct = 6L
-
-  /** Sketch-algebra audience intersection (q210) — the segment-overlap
-    * question answered from MERGEABLE state only: per event-type pair,
-    * |A∩B| estimated by inclusion–exclusion over HLL sketches
-    * (est(A) + est(B) − est(A∪B), the union being a lossless sketch
-    * merge), audited against the exact intersection. The exact branch
-    * is ONE aggregate pass — per-user presence flags, then every pair's
-    * AND/OR counts fold in a single conditional aggregate (no joins,
-    * no per-pair scans). The estimates are engine-internal, so the
-    * portable contract is the [[HllInterBoundPct]] claim row (q42/q79
-    * pattern); the exact integers hash directly. KMV (q121) answers the
-    * same question with bottom-k sketches — HLL trades resampling
-    * support for fixed memory. */
-  def hllIntersection(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val types = Seq("click", "error", "purchase", "signup", "view")
-    val flagCols = types.map(t =>
-      max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"f_$t"))
-    val flags = Tables.events(spark, dir)
-      .groupBy(col("user_id"))
-      .agg(flagCols.head, flagCols.tail: _*)
-    val pairs = for {
-      i <- types.indices; j <- types.indices if i < j
-    } yield (types(i), types(j))
-    val exactAggs = pairs.flatMap { case (a, b) => Seq(
-      sum(when(col(s"f_$a") === 1L && col(s"f_$b") === 1L, 1L).otherwise(0L))
-        .as(s"i_${a}_$b"),
-      sum(when(col(s"f_$a") === 1L || col(s"f_$b") === 1L, 1L).otherwise(0L))
-        .as(s"u_${a}_$b"))
-    }
-    val exactRow = flags.agg(exactAggs.head, exactAggs.tail: _*).head()
-    val sk = Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-    val est = { (a: String, b: String) =>
-      val s = spark.createDataset(Seq((sk(a), sk(b))))
-        .toDF("sa", "sb")
-        .select(expr("hll_sketch_estimate(sa)").as("ea"),
-          expr("hll_sketch_estimate(sb)").as("eb"),
-          expr("hll_sketch_estimate(hll_union(sa, sb))").as("eu"))
-        .head()
-      s.getLong(0) + s.getLong(1) - s.getLong(2)
-    }
-    val out = pairs.zipWithIndex.map { case ((a, b), i) =>
-      val exI = exactRow.getLong(2 * i)
-      val exU = exactRow.getLong(2 * i + 1)
-      val e = est(a, b)
-      val ok = math.abs(e - exI) <= HllInterBoundPct * exU / 100L
-      if (!ok) System.err.println(
-        s"[q210] HLL intersection bound VIOLATED for ($a,$b): est=$e exact=$exI union=$exU")
-      (a, b, exI, exU, ok)
-    }
-    out.toDF("type_a", "type_b", "exact_inter", "exact_union", "within_bound")
-      .orderBy(col("type_a"), col("type_b"))
-  }
-
-  /** q211 outlier count, shared with the oracle. */
-  private[graft] val PathOutlierK = 20L
-
-  /** Behavioral path-likelihood outliers (q211) — the q186 bigram-LM
-    * idea on EVENT SEQUENCES: a first-order transition model (q119's
-    * matrix, in integer ppm) trained on the corpus scores every user's
-    * own journey; the [[PathOutlierK]] least-likely journeys surface
-    * for review (session hijacking, automation, and logging bugs all
-    * live in the improbable-path tail). One user-keyed window serves
-    * the transition extraction; the 25-row model broadcasts back; the
-    * bottom-k is a single TakeOrdered. */
-  def pathLikelihood(spark: SparkSession, dir: String): DataFrame =
-    pathLikelihoodOf(Tables.events(spark, dir))
-
-  private[graft] def pathLikelihoodOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val steps = events
-      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"),
-        col("event_type").as("f"))
-      .withColumn("t", lead(col("f"), 1).over(w))
-      .filter(col("t").isNotNull)
-      .select(col("user_id"), col("f"), col("t"))
-    val model = steps.groupBy(col("f"), col("t")).agg(count(lit(1)).as("c"))
-      .withColumn("cf", sum(col("c")).over(Window.partitionBy(col("f"))))
-      .select(col("f"), col("t"), expr("c * 1000000L div cf").as("p_ppm"))
-    steps.join(broadcast(model), Seq("f", "t"))
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_steps"), expr("sum(p_ppm) div count(1)").as("score_ppm"))
-      .orderBy(col("score_ppm"), col("user_id"))
-      .limit(PathOutlierK.toInt)
-  }
-
-  /** Clustering-factor audit (q212) — the ordering-quality companion to
-    * q184's zone maps: within each simulated file, how well does the
-    * arrival order cluster user_id? Breaks (a row whose user_id drops
-    * below its predecessor, in event_id order) count monotone runs;
-    * rows div runs is the average run length — the quantity that decides
-    * whether min/max pruning and dictionary encoding actually bite. The
-    * time layout interleaves every user (run length ≈ 1); the
-    * user-clustered layout concentrates them. Per-(layout, file) windows
-    * only; two-row report. */
-  def clusteringFactor(spark: SparkSession, dir: String): DataFrame =
-    clusteringFactorOf(Tables.events(spark, dir))
-
-  private[graft] def clusteringFactorOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val mx = events.agg(max(col("user_id")).as("maxu"))
-    val rows = events
-      .select(col("event_id"), col("user_id"), expr("unix_micros(ts) div 3600000000L").as("hour"))
-      .crossJoin(broadcast(mx))
-      .select(col("event_id"), col("user_id"), explode(expr(
-        s"map('time', hour, 'user_clustered', user_id * $ZoneMapBuckets div (maxu + 1))"))
-        .as(Seq("layout", "file")))
-    val w = Window.partitionBy(col("layout"), col("file")).orderBy(col("event_id"))
-    rows
-      .withColumn("brk",
-        when(lag(col("user_id"), 1).over(w).isNull
-          || col("user_id") < lag(col("user_id"), 1).over(w), 1L).otherwise(0L))
-      .groupBy(col("layout"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("brk")).as("n_runs"))
-      .select(col("layout"), col("n_rows"), col("n_runs"),
-        expr("n_rows * 100L div n_runs").as("avg_run_len_x100"))
-      .orderBy(col("layout"))
-  }
-
-  /** q213 geometry, shared with the oracle. */
-  private[graft] val HistBins = 8L
-  private[graft] val HistPreds = 10L
-
-  /** Histogram cardinality-estimation study (q213) — the optimizer-
-    * statistics question behind every cost-based plan: how well do
-    * equi-width vs equi-depth histograms ([[HistBins]] bins each, built
-    * from the same data) estimate range-predicate selectivity? Ten
-    * deterministic range predicates are estimated from each histogram
-    * (uniform-within-bin interpolation, pure integer pro-rata) and
-    * audited against the exact counts; the per-predicate error in bp IS
-    * the argument for equi-depth statistics on skewed columns. All bin
-    * math runs on the bounded-value-domain histogram frame (the q113
-    * argument — the domain, not the corpus, bounds it); the exact
-    * branch is one ×10 map-only conditional pass. Every division is
-    * integer, so the oracle replays the estimates bit-for-bit — the
-    * q191 companion for RANGE predicates. */
-  def histogramAccuracy(spark: SparkSession, dir: String): DataFrame =
-    histogramAccuracyOf(Tables.lineitem(spark, dir)
-      .select(expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long").as("v")))
-
-  private[graft] def histogramAccuracyOf(values: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val B = HistBins
-    val stats = values.agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
-      max(col("v")).as("mx"))
-    // Bounded-domain value histogram + cumulative counts (q113 idiom).
-    val hist = values.groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(
-        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // Equi-depth boundaries: b_k = min value with cum ≥ k·n div B.
-    val depthAggs = (1L until B).map(k =>
-      min(when(col("cum") >= expr(s"$k * n div $B"), col("v"))).as(s"b$k"))
-    val bounds = hist.crossJoin(broadcast(stats))
-      .agg(depthAggs.head, depthAggs.tail: _*)
-      .crossJoin(broadcast(stats))
-    // 8 bins per histogram type as [lo, hi) rows; final bin ends mx+1.
-    val widthBinExpr = (0L until B).map(b =>
-      s"struct('width' AS htype, ${b}L AS bin, mn + $b * (mx - mn + 1) div $B AS lo, " +
-        s"mn + ${b + 1} * (mx - mn + 1) div $B AS hi)").mkString(", ")
-    val depthBinExpr = (0L until B).map { b =>
-      val lo = if (b == 0) "mn" else s"b$b"
-      val hi = if (b == B - 1) "mx + 1" else s"b${b + 1}"
-      s"struct('depth' AS htype, ${b}L AS bin, $lo AS lo, $hi AS hi)"
-    }.mkString(", ")
-    val bins = bounds.select(explode(expr(s"array($widthBinExpr, $depthBinExpr)")).as("b"))
-      .select(col("b.htype"), col("b.bin"), col("b.lo"), col("b.hi"))
-    // Per-bin counts: one broadcast range join (16 bin rows).
-    val binCounts = values.join(broadcast(bins),
-        col("v") >= col("lo") && col("v") < col("hi"))
-      .groupBy(col("htype"), col("bin"), col("lo"), col("hi"))
-      .agg(count(lit(1)).as("c"))
-    // Deterministic range predicates p_i = [mn + i·span/20, mn + (i+5)·span/20].
-    val preds = stats.select(explode(expr(
-      s"transform(sequence(0L, ${HistPreds - 1}L), i -> struct(i AS pred, " +
-        "mn + i * (mx - mn) div 20 AS p_lo, mn + (i + 5) * (mx - mn) div 20 AS p_hi))"))
-      .as("p")).select(col("p.pred"), col("p.p_lo"), col("p.p_hi"))
-    // Histogram estimates: uniform-within-bin integer pro-rata.
-    val est = binCounts.crossJoin(broadcast(preds))
-      .select(col("htype"), col("pred"),
-        // hi > lo guard: duplicate equi-depth boundaries make a
-        // zero-width bin — contribution 0, never a division by zero.
-        when(col("hi") > col("lo"),
-          expr("""c * greatest(0L, least(hi, p_hi + 1) - greatest(lo, p_lo))
-            |  div (hi - lo)""".stripMargin)).otherwise(lit(0L)).as("contrib"))
-      .groupBy(col("pred"), col("htype")).agg(sum(col("contrib")).as("est"))
-      .groupBy(col("pred"))
-      .agg(max(when(col("htype") === "width", col("est"))).as("est_width"),
-        max(when(col("htype") === "depth", col("est"))).as("est_depth"))
-    // Exact counts: one ×10 map-only pass; preds stays the base frame so
-    // an (impossible-on-real-data) empty predicate still emits its row.
-    val exactAgg = values.crossJoin(broadcast(preds))
-      .filter(col("v") >= col("p_lo") && col("v") <= col("p_hi"))
-      .groupBy(col("pred")).agg(count(lit(1)).as("exact0"))
-    preds.join(exactAgg, Seq("pred"), "left")
-      .withColumn("exact", coalesce(col("exact0"), lit(0L)))
-      .join(est, "pred").crossJoin(broadcast(stats.select(col("n"))))
-      .select(col("pred"), col("p_lo"), col("p_hi"), col("exact"),
-        col("est_width"), col("est_depth"),
-        expr("abs(est_width - exact) * 10000L div n").as("err_width_bp"),
-        expr("abs(est_depth - exact) * 10000L div n").as("err_depth_bp"))
-      .orderBy(col("pred"))
-  }
-
-  /** Near-dup difference explanations (q214) — the review surface a
-    * dedup pipeline owes its operators: for every q27 near-dup pair
-    * (memoized tier — the LSH work is not re-paid), the shared/only-a/
-    * only-b token counts and a deterministic 3-token sample of what the
-    * duplicate ADDS. Pair-sized work on id equi-joins; the sample is
-    * sorted-then-sliced so both engines emit identical strings. Dedup
-    * decisions that can't be explained don't survive review — this row
-    * is the explanation. */
-  def nearDupDiff(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashNearDup(spark, dir).select(col("id_a"), col("id_b"))
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("toks"))
-    pairs
-      .join(toks, col("id_a") === col("doc_id"))
-      .withColumnRenamed("toks", "ta").drop("doc_id")
-      .join(toks, col("id_b") === col("doc_id"))
-      .withColumnRenamed("toks", "tb").drop("doc_id")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("shared"),
-        size(array_except(col("ta"), col("tb"))).cast("long").as("only_a"),
-        size(array_except(col("tb"), col("ta"))).cast("long").as("only_b"),
-        array_join(slice(array_sort(array_except(col("tb"), col("ta"))), 1, 3), ",")
-          .as("added_sample"))
-      .orderBy(col("id_a"), col("id_b"))
-  }
-
-  /** Corpus-composition independence test (q215) — is source independent
-    * of language? The q145 exact integer chi-square generalized to the
-    * r×c contingency table: per cell, observed count, expected×100, and
-    * the cell's chi-square contribution in bp — `(o·N − r·c)²·10⁴ div
-    * (N·r·c)` — with the table total repeated per row. One corpus scan
-    * to the cell counts; margins and totals ride windows on the
-    * CELL frame (≤ langs·sources rows). A drifted crawler or a
-    * mislabeled source shows up as one fat cell. */
-  def independenceTest(spark: SparkSession, dir: String): DataFrame =
-    independenceTestOf(Tables.documents(spark, dir))
-
-  private[graft] def independenceTestOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
-      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("lang"))))
-      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("source"))))
-      .withColumn("n", sum(col("o")).over(wAll))
-      .withColumn("cell_bp",
-        // DECIMAL(38,0): (o·N−r·c)²·10⁴ overflows BIGINT past ~30k docs.
-        expr("""CAST((CAST(o * n - r * c AS DECIMAL(38,0)) * (o * n - r * c) * 10000)
-          |  div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)""".stripMargin))
-      .withColumn("total_bp", sum(col("cell_bp")).over(wAll))
-      .select(col("lang"), col("source"), col("o"),
-        expr("r * c * 100L div n").as("expected_x100"), col("cell_bp"), col("total_bp"))
-      .orderBy(col("lang"), col("source"))
-  }
-
-  /** Priority counts over an EXISTS predicate (q216, TPC-H Q4 shape) —
-    * orders having at least one returned line, counted by priority: the
-    * semi-join-then-aggregate pattern (the EXISTS must stay a LeftSemi;
-    * materializing the inner join would multiply orders by their
-    * matching lines and corrupt the count). The returnflag slice is a
-    * pushed scan filter; the priority aggregate partial-combines. */
-  def priorityReturns(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir)
-        .filter(col("l_returnflag") === "R").select(col("l_orderkey")),
-        col("o_orderkey") === col("l_orderkey"), "left_semi")
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"))
-      .orderBy(col("o_orderpriority"))
-
-  /** q217 constants, shared with the oracle. */
-  private[graft] val KeynessMinCount = 10L
-  private[graft] val KeynessK = 20L
-
-  /** Corpus keyness / token shift (q217) — the corpus-linguistics
-    * monitor for topic drift between crawls: which tokens are over-
-    * represented in snapshot A (even doc ids) vs snapshot B, by
-    * add-one-smoothed rate ratio in basis points —
-    * `(ca+1)·(tb+V)·10⁴ div ((cb+1)·(ta+V))` — all integer, so the
-    * ranking replays exactly. Tokens below [[KeynessMinCount]] total
-    * occurrences are noise-gated; the top-[[KeynessK]] per direction
-    * surface. One tokenization into the vocab frame; totals ride
-    * unbounded windows over it; the report is 2·K rows. */
-  def tokenKeyness(spark: SparkSession, dir: String): DataFrame =
-    tokenKeynessOf(Tables.documents(spark, dir),
-      c => graft.SessionMemo.memo(spark, s"q217counts|$dir") {
-        c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
-
-  /** `memoCounts` pins the vocab-sized keyness frame — its two direction
-    * consumers would otherwise re-tokenize the corpus twice (q182
-    * pattern). */
-  private[graft] def tokenKeynessOf(docs: DataFrame,
-      memoCounts: DataFrame => DataFrame = identity): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val counts = memoCounts(docs
-      .select(expr("doc_id % 2").as("snap"), explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("token"))
-      .agg(sum(when(col("snap") === 0L, 1L).otherwise(0L)).as("ca"),
-        sum(when(col("snap") === 1L, 1L).otherwise(0L)).as("cb"))
-      .withColumn("ta", sum(col("ca")).over(wAll))
-      .withColumn("tb", sum(col("cb")).over(wAll))
-      .withColumn("v", count(lit(1)).over(wAll))
-      .filter(col("ca") + col("cb") >= KeynessMinCount)
-      // (ca+1)·(tb+V)·10⁴ rides DECIMAL(38,0) (round-6 advice): tb is the
-      // snapshot token total (~10¹² at 100 TB), so the BIGINT triple
-      // product wraps silently — same q192/q185 wide-product discipline.
-      .select(col("token"), col("ca"), col("cb"),
-        expr("CAST(ca + 1 AS DECIMAL(38,0)) * (tb + v) * 10000 div (CAST(cb + 1 AS DECIMAL(38,0)) * (ta + v))").as("ab_bp"),
-        expr("CAST(cb + 1 AS DECIMAL(38,0)) * (ta + v) * 10000 div (CAST(ca + 1 AS DECIMAL(38,0)) * (tb + v))").as("ba_bp")))
-    val topA = counts.orderBy(col("ab_bp").desc, col("token")).limit(KeynessK.toInt)
-      .select(lit("a_over_b").as("direction"), col("token"), col("ca"), col("cb"),
-        col("ab_bp").as("ratio_bp"))
-    val topB = counts.orderBy(col("ba_bp").desc, col("token")).limit(KeynessK.toInt)
-      .select(lit("b_over_a").as("direction"), col("token"), col("ca"), col("cb"),
-        col("ba_bp").as("ratio_bp"))
-    topA.union(topB).orderBy(col("direction"), col("ratio_bp").desc, col("token"))
-  }
-
-  /** q234 IR-eval constants, shared with the oracle: the query-doc
-    * selector modulus (doc_id ≡ 1 picks 1% of the corpus as queries), the
-    * graded-relevance Jaccard threshold in basis points, and the run
-    * cutoff k. */
-  private[analytics] val IrQMod = 100L
-  private[analytics] val IrRelBp = 9000L
-  private[analytics] val IrK = 10
-
-  /** Retrieval-quality evaluation harness (q234): a multi-query BM25 run
-    * (the exact q126 scorer via [[BmTermSpark]], one query per
-    * doc_id ≡ 1 mod [[IrQMod]]) graded against an exact token-set-Jaccard
-    * relevance truth (rel(q,d) ⇔ J(q,d) ≥ [[IrRelBp]], d ≠ q). Emits
-    * per-query precision@k, recall@k and reciprocal-rank in integer basis
-    * points — the eval loop every retrieval stack ships with, here as a
-    * single declarative plan instead of a driver-side harness.
-    *
-    * Scale shape: the corpus-sized work is one postings aggregation
-    * sharded on token and one (qid, doc) score aggregation — never a
-    * corpus×corpus product. Truth pairs exist only for documents sharing
-    * ≥1 token with a query (the same postings join). The broadcast sides
-    * (query postings `qt`/`qdt`, their per-token document frequencies,
-    * and the QUERY-doc sizes only — round-7 advice: never the full
-    * corpus-cardinality size table) are all bounded by the query
-    * fraction: |queries| = |corpus| / [[IrQMod]], so the hints stay
-    * driver-safe exactly as long as the query set is capped — at
-    * production scale that cap is the eval-set size itself (thousands of
-    * queries), not a corpus percentage. */
-  def retrievalEval(spark: SparkSession, dir: String): DataFrame =
-    retrievalEvalOf(Tables.documents(spark, dir),
-      _ => docTokenSets(spark, dir))
-
-  /** The q234 BM25 run (top-[[IrK]] per query) and exact Jaccard
-    * relevance truth, factored so q313's NDCG grades the SAME run and
-    * truth (one scorer, several metrics — the eval-harness shape).
-    * Returns (run, rel, query-id frame). */
-  private def irRunRelOf(documents: DataFrame,
-      memoDt: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = documents.select(col("doc_id"), col("text"))
-    val toks = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"),
-      explode(split(col("text"), " ")).as("token"))
-    val td = toks.groupBy(col("token"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-    val qt = toks.filter(col("doc_id") % IrQMod === 1L)
-      .select(col("doc_id").as("qid"), col("token")).distinct()
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
-    val tdq = td.join(broadcast(qt.select(col("token")).distinct()), Seq("token"))
-    val dfTok = tdq.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val run = broadcast(qt).join(tdq, Seq("token"))
-      .filter(col("doc_id") =!= col("qid"))
-      .join(broadcast(dfTok), Seq("token"))
-      .crossJoin(broadcast(stats))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(expr(BmTermSpark)).as("score"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .filter(col("rank") <= IrK)
-    // Exact relevance truth: token-set Jaccard ≥ IrRelBp against each query
-    // doc, computed only for docs sharing ≥ 1 token (postings join).
-    val dt = memoDt(toks.select(col("doc_id"), col("token")).distinct())
-    val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val qdt = dt.filter(col("doc_id") % IrQMod === 1L)
-      .select(col("doc_id").as("qid"), col("token"))
-    // Query-doc sizes only ride the broadcast (round-7 advice: the
-    // unfiltered `sz` is corpus-cardinality — a driver hazard at scale).
-    val qsz = sz.filter(col("doc_id") % IrQMod === 1L)
-      .select(col("doc_id").as("qid"), col("sz").as("qsz"))
-    val rel = dt.join(broadcast(qdt), Seq("token"))
-      .filter(col("doc_id") =!= col("qid"))
-      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("inter"))
-      .join(broadcast(qsz), Seq("qid"))
-      .join(sz, Seq("doc_id"))
-      .filter(col("inter") * 10000L >= lit(IrRelBp) * (col("qsz") + col("sz") - col("inter")))
-      .select(col("qid"), col("doc_id"))
-    (run, rel, docs.filter(col("doc_id") % IrQMod === 1L).select(col("doc_id").as("qid")))
-  }
-
-  private[graft] def retrievalEvalOf(documents: DataFrame,
-      memoDt: DataFrame => DataFrame = identity): DataFrame = {
-    val (run, rel, qids) = irRunRelOf(documents, memoDt)
-    val nrel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
-    val hits = run.join(rel, Seq("qid", "doc_id"))
-      .groupBy(col("qid"))
-      .agg(count(lit(1)).as("hits"), min(col("rank")).as("first_rank"))
-    qids
-      .join(nrel, Seq("qid"), "left")
-      .join(hits, Seq("qid"), "left")
-      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
-      .withColumn("hits_at_k", coalesce(col("hits"), lit(0L)))
-      .select(col("qid"), col("n_rel"), col("hits_at_k"),
-        expr(s"hits_at_k * 10000L div $IrK").as("p_at_k_bp"),
-        expr("CASE WHEN n_rel = 0 THEN 0L ELSE hits_at_k * 10000L div n_rel END")
-          .as("recall_at_k_bp"),
-        expr("CASE WHEN first_rank IS NULL THEN 0L ELSE 10000L div first_rank END")
-          .as("mrr_bp"))
-      .orderBy(col("qid"))
-  }
-
-  /** q235 prefix-filter join threshold (Jaccard, basis points). 0.95 — the
-    * near-identical band, where the prefix is 1–2 tokens and candidate
-    * volume stays near-linear even on this densely-duplicated corpus. */
-  private[graft] val PfxJacBp = 9500L
-
-  /** Distinct (doc_id, token) postings under the whitespace tokenization,
-    * memoized + persisted per (session, dir) — the frame q234's relevance
-    * truth and q235's prefix-filter join both consume repeatedly. Round-7
-    * verdict #1: q235 alone re-derived this by lineage FOUR times (for
-    * token counts, set sizes, prefixes, and sorted sets) — four full
-    * corpus explode+distinct passes; one persisted scan serves them all,
-    * and q234 shares it instead of rebuilding its own copy. */
-  private[graft] def docTokenSets(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionMemo.memo(spark, s"docTokens|$dir") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-
-  /** Exact similarity self-join via prefix filtering (q235) — the
-    * PPJoin/AllPairs family (Bayardo et al. 2007, Xiao et al. 2008): under
-    * a global rarest-first token order, two sets with Jaccard ≥ t MUST
-    * share a token inside each other's first |x| − ⌈t·|x|⌉ + 1 tokens, so
-    * candidate generation joins only those prefixes (plus the length
-    * filter t·max ≤ min) and verification touches candidate pairs only.
-    * Unlike the MinHash/SimHash paths this is EXACT — zero false
-    * negatives by theorem, verified pairs only — the right tool when the
-    * dedup policy must be auditable. The per-doc prefix rank is computed
-    * with a PER-DOCUMENT window over the global (frequency, token) key —
-    * never a vocabulary-sized single-partition sort.
-    *
-    * Candidate pruning is the full PPJoin pair (round-7 verdict #1): the
-    * prefix + length filters, AND the POSITIONAL filter (Xiao et al. 2008
-    * §3.2) — the globally-first shared token of any pair with J ≥ t sits
-    * inside both prefixes, so per candidate pair the match with the
-    * minimal prefix rank IS that token, and its positions (i₁, j₁) bound
-    * the overlap by 1 + min(|x|−i₁, |y|−j₁); pairs whose bound misses the
-    * equivalent-overlap threshold α = ⌈t·(|x|+|y|)/(1+t)⌉ never reach
-    * verification. */
-  def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame =
-    prefixFilterJoinOf(Tables.documents(spark, dir),
-      // The sets/members frames feed MANY lineage branches (prefix sides,
-      // verify sides, clique expansion) — unpersisted, each branch re-runs
-      // the grouping shuffle; persisted once, they serve them all.
-      sm => graft.SessionMemo.memo(spark, s"q235sets|$dir") {
-        (sm._1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-          sm._2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      })
-
-  private[graft] def prefixFilterJoinOf(docs: DataFrame,
-      memoSets: ((DataFrame, DataFrame)) => (DataFrame, DataFrame) = identity(_)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Collapse identical token SETS first (the q131 discipline; round-7
-    // verdict #1's deeper fix): on a densely-duplicated corpus the exact
-    // duplicates form huge cliques whose pairs are quadratic, and a
-    // small vocabulary leaves the prefix/positional filters little to
-    // prune (sf0.1: 31-token vocabulary, 5 000 docs but only 3 935
-    // DISTINCT sets, max clique 248). Deduping sets first makes the
-    // quadratic stage scale with DISTINCT-set cardinality: every
-    // exact-dup clique verifies once, and doc-level results expand back
-    // by membership joins. The set id is the clique's MIN doc_id, which
-    // the expansion exploits. The per-doc token set itself is MAP-ONLY
-    // (array_distinct over the split — no explode/shuffle round-trip).
-    val docSets = docs.select(col("doc_id"),
-      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-    val sets0 = docSets.groupBy(col("toks"))
-      .agg(min(col("doc_id")).as("sid"), count(lit(1)).as("m"))
-    val members0 = docSets.join(sets0.select(col("toks"), col("sid")), Seq("toks"))
-      .select(col("doc_id"), col("sid"))
-    val (sets, members) = memoSets((sets0, members0))
-    // PPJoin over distinct sets: prefix + length + positional filters.
-    val shuffleN = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val sdt = sets.select(col("sid"), size(col("toks")).cast("long").as("sz"),
-      explode(col("toks")).as("token"))
-    val cnt = sdt.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val pfx = sdt.join(cnt, Seq("token"))
-      // Explicit width: the per-set rank window is CPU-shaped, and AQE's
-      // byte-based coalescing would run the whole postings frame through
-      // one sorted task (same rationale as the verify repartition below).
-      .repartition(shuffleN, col("sid"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("sid")).orderBy(col("cnt"), col("token"))).cast("long"))
-      .filter(col("rn") <= col("sz") - expr(s"($PfxJacBp * sz + 9999) div 10000") + 1L)
-    def side(s: String) = pfx.select(col("token"), col("sid").as(s"id_$s"),
-      col("sz").as(s"sz_$s"), col("rn").as(s"rn_$s"))
-    // Asymmetric AllPairs candidate join, two refinements over the naive
-    // prefix self-join:
-    //  (1) Length keys: the probe side explodes its compatible partner
-    //      sizes [⌈t·sz⌉, sz] into the join key, so size-incompatible
-    //      prefix collisions never materialize as join rows (14.3 M → ~1 M
-    //      raw candidates at sf0.1).
-    //  (2) Index prefix: pairs orient probe = larger set (ties: larger
-    //      sid), and the INDEX side only emits its first
-    //      sz − ⌈2t/(1+t)·sz⌉ + 1 tokens — the tighter bound that holds
-    //      because the required overlap α = t/(1+t)·(|x|+|y|) is
-    //      ≥ 2t/(1+t)·|y| whenever |y| ≤ |x|, halving the index postings
-    //      at t = 0.95 (1 token per set vs the probe's 2).
-    // Each unordered pair survives under exactly one orientation, so the
-    // positional groupBy below needs no id-order filter to dedupe.
-    val a = side("a").withColumn("sz_b", explode(expr(
-      s"sequence(($PfxJacBp * sz_a + 9999) div 10000, sz_a)")))
-    val idx = side("b").filter(col("rn_b") <=
-      col("sz_b") - expr(s"(2 * $PfxJacBp * sz_b + ${10000L + PfxJacBp} - 1) div ${10000L + PfxJacBp}") + 1L)
-    val cands = a.join(idx, Seq("token", "sz_b"))
-      .filter(col("sz_b") < col("sz_a") ||
-        (col("sz_b") === col("sz_a") && col("id_b") < col("id_a")))
-      // The groupBy both deduplicates multi-token candidates AND recovers
-      // the globally-first shared prefix token's positions: prefix ranks
-      // follow the global (frequency, token) order, so the minimal
-      // (rn_a, rn_b) — packed into one long so the aggregate stays a
-      // map-side-combining codegen HashAggregate instead of a min_by
-      // SortAggregate — selects it and carries its partner position.
-      // Pack shift 2²⁰ caps token-set size at ~1M, far above any
-      // whitespace-tokenized document.
-      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
-      .agg(min(col("rn_a") * lit(1048576L) + col("rn_b")).as("p1"))
-      .withColumn("i1", expr("p1 div 1048576"))
-      .withColumn("j1", expr("p1 % 1048576"))
-      // Positional filter: overlap ≤ 1 + min(|x|−i₁, |y|−j₁) must reach
-      // α = ⌈t·(|x|+|y|)/(1+t)⌉ ⇔ bound·(10⁴+t_bp) ≥ t_bp·(|x|+|y|).
-      .filter((lit(1L) + least(col("sz_a") - col("i1"), col("sz_b") - col("j1"))) *
-        (lit(10000L) + lit(PfxJacBp)) >= lit(PfxJacBp) * (col("sz_a") + col("sz_b")))
-      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
-      // The verify stage below is CPU-bound (per-pair array
-      // intersections), not byte-bound: AQE's size-based coalescing sees
-      // a few MB of candidate pairs and funnels them into ONE partition —
-      // an 8.5 s single task at sf0.1. Pin the stage to the session's
-      // shuffle width instead (explicit numPartitions disables AQE
-      // coalescing on this exchange).
-      .repartition(shuffleN, col("id_a"), col("id_b"))
-    // Verification: exact intersections for CANDIDATE set pairs only, via
-    // each side's sorted token array (no re-shuffle of the postings).
-    // Distinct sets intersect strictly below their union, so cross-set
-    // jac_bp < 10000 always — the expansion below leans on that.
-    val setsArr = sets.select(col("sid"), col("toks"))
-    val spairs = cands
-      .join(setsArr.select(col("sid").as("id_a"), col("toks").as("ta")), Seq("id_a"))
-      .join(setsArr.select(col("sid").as("id_b"), col("toks").as("tb")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
-      .filter(col("inter") * 10000L >= lit(PfxJacBp) * col("uni"))
-      .select(col("id_a"), col("id_b"), expr("inter * 10000L div uni").as("jac_bp"))
-    // Expansion back to the per-document summary — output stays O(corpus)
-    // at any SF. A doc's partners are (a) its clique co-members, all at
-    // J = 10000 bp, and (b) every member of each verified partner set.
-    // Symmetrize in ONE pass over the verified pairs (an explode of both
-    // directions) — a self-union would execute the whole verify subtree
-    // twice by lineage.
-    val ssym = spairs.select(explode(array(
-        struct(col("id_a").as("sid"), col("id_b").as("psid"), col("jac_bp")),
-        struct(col("id_b").as("sid"), col("id_a").as("psid"), col("jac_bp")))).as("e"))
-      .select(col("e.sid").as("sid"), col("e.psid").as("psid"), col("e.jac_bp").as("jac_bp"))
-      .join(sets.select(col("sid").as("psid"), col("m").as("pm")), Seq("psid"))
-    val cross = ssym.groupBy(col("sid")).agg(
-      sum(col("pm")).as("n_cross"),
-      min(col("jac_bp")).as("minx"),
-      max(col("jac_bp")).as("maxx"),
-      // Best cross partner doc = min member (= the sid itself) of the
-      // best-Jaccard partner set, ties to the smaller set id.
-      expr("min_by(psid, struct(-jac_bp, psid))").as("bestx_sid"))
-    // Second-smallest clique member — needed as best_partner only for the
-    // clique's own min doc; an aggregate over members, never a window.
-    val min2 = members.filter(col("doc_id") =!= col("sid"))
-      .groupBy(col("sid")).agg(min(col("doc_id")).as("min2"))
-    members
-      .join(sets.select(col("sid"), col("m")), Seq("sid"))
-      .join(min2, Seq("sid"), "left")
-      .join(cross, Seq("sid"), "left")
-      .filter(col("m") > 1L || col("n_cross").isNotNull)
-      .select(col("doc_id"),
-        (col("m") - 1L + coalesce(col("n_cross"), lit(0L))).as("n_matches"),
-        // Cross-set Jaccard sits strictly below 10000, so min/max/best
-        // resolve without comparing the two partner classes row-wise.
-        coalesce(col("minx"), lit(10000L)).as("min_jac_bp"),
-        when(col("m") > 1L, lit(10000L)).otherwise(col("maxx")).as("max_jac_bp"),
-        when(col("m") > 1L,
-          when(col("doc_id") === col("sid"), col("min2")).otherwise(col("sid")))
-          .otherwise(col("bestx_sid")).as("best_partner"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** q236 storage-encoding advisor: rows per storage block (the parquet
-    * page/row-group proxy — runs are counted within blocks because that is
-    * the granularity an encoder actually sees). */
-  private[analytics] val EncBlockRows = 8192L
-
-  /** Storage-encoding advisor (q236) — the layout decision a columnar
-    * writer makes per column chunk, surfaced as a query: for each audited
-    * column, NDV, storage-order run count (within [[EncBlockRows]]-row
-    * blocks, never a global single-partition sort), and the exact byte
-    * cost of PLAIN vs DICTIONARY (entries + ⌈log₂ ndv⌉-bit codes — the
-    * `length(bin(...))` integer-log idiom) vs RLE (one value + length per
-    * run) under a documented cost model; the advisor picks the argmin.
-    * At 100 TB this is the query you run before rewriting a table — the
-    * same statistics parquet-mr consults per chunk, here exact and
-    * engine-portable. Cost model (documented, shared with the oracle):
-    * ints are 8-byte PLAIN entries, strings are len+4; DICT codes pack at
-    * ⌈log₂ ndv⌉ bits; an RLE run stores its value + a 4-byte length. */
-  def encodingAudit(spark: SparkSession, dir: String): DataFrame =
-    encodingAuditOf(Tables.events(spark, dir))
-
-  private[graft] def encodingAuditOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = events.select(col("event_id"), col("user_id"), col("event_type"),
-      expr("CAST(value * 100 AS DECIMAL(14,0))").cast("long").as("cents"))
-    def one(name: String, vExpr: String, stringy: Boolean): DataFrame =
-      base.select(lit(name).as("col_name"),
-        col("event_id").as("ord"),
-        expr(s"event_id div $EncBlockRows").as("blk"),
-        expr(vExpr).cast("string").as("v"),
-        (if (stringy) length(expr(vExpr).cast("string")).cast("long") + 4L
-         else lit(8L)).as("vbytes"))
-    val u = one("user_id", "user_id", stringy = false)
-      .unionByName(one("event_type", "event_type", stringy = true))
-      .unionByName(one("cents", "cents", stringy = false))
-    val w = Window.partitionBy(col("col_name"), col("blk")).orderBy(col("ord"))
-    val runs = u.withColumn("is_start",
-      when(lag(col("v"), 1).over(w).isNull || lag(col("v"), 1).over(w) =!= col("v"), 1L)
-        .otherwise(0L))
-    val perCol = runs.groupBy(col("col_name")).agg(
-      count(lit(1)).as("n_rows"),
-      countDistinct(col("v")).as("ndv"),
-      sum(col("is_start")).as("n_runs"),
-      sum(col("vbytes")).as("plain_bytes"),
-      sum(when(col("is_start") === 1L, col("vbytes") + 4L).otherwise(0L)).as("rle_bytes"))
-    val dictEntries = u.select(col("col_name"), col("v"), col("vbytes")).distinct()
-      .groupBy(col("col_name")).agg(sum(col("vbytes")).as("dict_entry_bytes"))
-    perCol.join(dictEntries, Seq("col_name"))
-      .withColumn("bits",
-        expr("CASE WHEN ndv <= 1 THEN 1L ELSE CAST(length(bin(ndv - 1)) AS BIGINT) END"))
-      .withColumn("dict_bytes", expr("dict_entry_bytes + (bits * n_rows + 7) div 8"))
-      .withColumn("encoding", expr(
-        """CASE WHEN plain_bytes <= dict_bytes AND plain_bytes <= rle_bytes THEN 'plain'
-          |     WHEN dict_bytes <= rle_bytes THEN 'dict' ELSE 'rle' END""".stripMargin))
-      .select(col("col_name"), col("n_rows"), col("ndv"), col("n_runs"),
-        col("plain_bytes"), col("dict_bytes"), col("rle_bytes"), col("encoding"))
-      .orderBy(col("col_name"))
-  }
-
-  /** q237 shard-rebalance constants: the before/after shard counts. */
-  private[analytics] val ShardsOld = 8L
-  private[analytics] val ShardsNew = 9L
-
-  /** Consistent-placement audit (q237) — what adding one shard costs under
-    * two routing disciplines, measured exactly: naive `hash mod N` (every
-    * key whose residue changes moves — ~(N−1)/N of the corpus re-shuffles)
-    * vs rendezvous/HRW hashing (Thaler–Ravishankar: route to
-    * argmaxₛ h(key,s); adding shard N+1 moves ONLY keys whose new
-    * candidate wins — ~1/(N+1)). Emits per strategy the moved fraction
-    * and the max-shard load imbalance before/after, integer bp. Hashes
-    * are the portable md5-h60, so the oracle replays routing bit-exactly.
-    * Scale shape: distinct keys → one map-side explode ([[ShardsNew]]
-    * rows per key) → one aggregate; no shuffle beyond the distinct. */
-  def shardRebalance(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    // The 4-bit packing below holds shard ids 0..15 only (round-7 advice:
-    // guard the invariant instead of silently mis-decoding shard 16+).
-    require(ShardsNew <= 16L, s"packed-argmax routing supports ≤16 shards, got $ShardsNew")
-    val keys = Tables.events(spark, dir).select(col("user_id")).distinct()
-    val h = md5_token_hashes(array(col("user_id").cast("string")), bits = 60).getItem(0)
-    val mod = keys.select(col("user_id"),
-      pmod(h, lit(ShardsOld)).as("s_old"), pmod(h, lit(ShardsNew)).as("s_new"))
-    val hrw = keys
-      .select(col("user_id"), explode(expr(s"sequence(0L, ${ShardsNew - 1L})")).as("s"))
-      .withColumn("hw", md5_token_hashes(
-        array(concat(col("user_id").cast("string"), lit("#"), col("s").cast("string"))),
-        bits = 60).getItem(0))
-      // Pack (h, s) into one orderable BIGINT: drop h's low 4 bits so the
-      // shard id fits below them with explicit headroom (round-7 advice:
-      // the previous 1-bit drop relied on 59+4 bits landing EXACTLY on
-      // Long.MaxValue) — both engines take the identical argmax. h keeps
-      // 56 high bits; ties across shards are then h-collisions at 2⁻⁵⁶,
-      // and the +s low bits break even those deterministically.
-      .withColumn("packed", expr("(hw div 16) * 16 + s"))
-      .groupBy(col("user_id"))
-      .agg(max(when(col("s") < ShardsOld, col("packed"))).as("po"),
-        max(col("packed")).as("pn"))
-      .select(col("user_id"), pmod(col("po"), lit(16L)).as("s_old"),
-        pmod(col("pn"), lit(16L)).as("s_new"))
-    val both = mod.select(lit("mod").as("strategy"), col("user_id"), col("s_old"), col("s_new"))
-      .unionByName(hrw.select(lit("hrw").as("strategy"), col("user_id"), col("s_old"), col("s_new")))
-    val moved = both.groupBy(col("strategy")).agg(count(lit(1)).as("n_keys"),
-      sum(when(col("s_old") =!= col("s_new"), 1L).otherwise(0L)).as("n_moved"))
-    val loadOld = both.groupBy(col("strategy"), col("s_old")).agg(count(lit(1)).as("c"))
-      .groupBy(col("strategy")).agg(max(col("c")).as("max_old"))
-    val loadNew = both.groupBy(col("strategy"), col("s_new")).agg(count(lit(1)).as("c"))
-      .groupBy(col("strategy")).agg(max(col("c")).as("max_new"))
-    moved.join(loadOld, Seq("strategy")).join(loadNew, Seq("strategy"))
-      .select(col("strategy"), col("n_keys"), col("n_moved"),
-        expr("n_moved * 10000L div n_keys").as("moved_bp"),
-        expr(s"max_old * 10000L * $ShardsOld div n_keys").as("max_load_old_bp"),
-        expr(s"max_new * 10000L * $ShardsNew div n_keys").as("max_load_new_bp"))
-      .orderBy(col("strategy"))
-  }
-
-  /** q238 Bloom runtime-filter constants: bit-array size and hash count
-    * (m = 2¹⁷, k = 3 — sized so the sf0.1 build side loads the filter to
-    * a measurable false-positive regime instead of a trivial one). */
-  private[analytics] val BloomM = 131072L
-  private[analytics] val BloomK = 3
-
-  /** Bloom runtime-filter join pruning (q238) — the semi-join reduction
-    * every warehouse applies before an expensive fact-side join (Spark's
-    * own InjectRuntimeFilter, here engine-portable and exactly audited):
-    * build a k-hash Bloom filter over the filtered dimension's keys, probe
-    * every fact key, and join only survivors. Because the filter is
-    * portable md5 arithmetic, the oracle replays membership bit-for-bit,
-    * and the audit row reports EXACT false-positive accounting (the part
-    * production systems estimate): keys/rows passing, truly matching, and
-    * the FP rate among true negatives. Zero false negatives by
-    * construction — asserted in spec, not just claimed. Scale shape: fact
-    * keys pre-aggregate (dedup) before hashing; the filter's set bit
-    * positions travel as a broadcast; nothing corpus-sized shuffles. */
-  def bloomJoinPrune(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    def positions(key: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
-      (0 until BloomK).map(i =>
-      pmod(md5_token_hashes(
-        array(concat(key.cast("string"), lit("/"), lit(i.toString))), bits = 60).getItem(0),
-        lit(BloomM)))
-    val build = Tables.orders(spark, dir)
-      .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderkey")).distinct()
-    val bits = build.select(explode(array(positions(col("o_orderkey")): _*)).as("pos")).distinct()
-    val probe = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_rows"))
-    val passKeys = probe
-      .select(col("l_orderkey"), col("n_rows"),
-        explode(array(positions(col("l_orderkey")): _*)).as("pos"))
-      .join(broadcast(bits), Seq("pos"))
-      .groupBy(col("l_orderkey"), col("n_rows")).agg(count(lit(1)).as("hits"))
-      .filter(col("hits") === BloomK)
-    val truth = probe.join(
-      broadcast(build.withColumnRenamed("o_orderkey", "l_orderkey")), Seq("l_orderkey"))
-    probe.agg(sum(col("n_rows")).as("n_probe"), count(lit(1)).as("n_probe_keys"))
-      .crossJoin(passKeys.agg(coalesce(sum(col("n_rows")), lit(0L)).as("n_pass")))
-      .crossJoin(truth.agg(coalesce(sum(col("n_rows")), lit(0L)).as("n_true")))
-      .crossJoin(build.agg(count(lit(1)).as("n_build")))
-      .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
-      .select(col("n_build"), col("bits_set"), lit(BloomM).as("m_bits"),
-        col("n_probe_keys"), col("n_probe"), col("n_pass"), col("n_true"),
-        (col("n_pass") - col("n_true")).as("n_false_pos"),
-        expr("CASE WHEN n_probe = n_true THEN 0L ELSE (n_pass - n_true) * 10000L div (n_probe - n_true) END")
-          .as("fp_bp"))
-  }
-
-  /** Exact global ranking as a first-class query (q239) — the
-    * [[graft.operators.GlobalRank]] primitive (round-7 verdict #8: the
-    * range-partitioned two-pass that generalizes the q168/q185 fix)
-    * surfaced on the lifetime-value leaderboard every analytics stack
-    * ships: every user's exact spend rank and percentile, bit-identical
-    * to `row_number() OVER (ORDER BY total DESC, user_id)` but computed
-    * shard-parallel — block-local rank after a sampled range exchange,
-    * plus broadcast block offsets. The corpus-sized stage is one user
-    * reduction; the rank never funnels through a single sorted task. */
-  def globalRankQuery(spark: SparkSession, dir: String): DataFrame = {
-    val users = Tables.events(spark, dir)
-      .select(col("user_id"), expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
-      .groupBy(col("user_id"))
-      .agg(sum(col("cents")).as("total_cents"), count(lit(1)).as("n_events"))
-    val ranked = graft.operators.GlobalRank
-      .rowNumber(users, Seq(col("total_cents").desc, col("user_id").asc), "rk")
-    val n = users.agg(count(lit(1)).as("n_users"))
-    ranked.crossJoin(broadcast(n))
-      .select(col("user_id"), col("total_cents"), col("n_events"), col("rk"),
-        expr("rk * 10000L div n_users").as("pctile_bp"))
-      .orderBy(col("rk"))
-  }
-
-  /** Exact distributed quantiles (q241) — the selection complement to
-    * q69's `approx_percentile`: p50/p90/p99/p99.9 of the event-value
-    * distribution EXACTLY, via [[graft.operators.GlobalRank]] (sampled
-    * range exchange + block-local rank — no single-task sort) and the
-    * textbook ceiling-rank selection rk = ⌈p·n⌉. The 4-row quantile spec
-    * broadcasts and matches ranks map-side, so the corpus-sized work is
-    * one range shuffle; `approx_percentile`'s error bound becomes an
-    * equality the oracle hash-checks. At 100 TB this is the exact-SLA
-    * readout (p99.9 latency, p99 spend) a sketch can only bracket. */
-  def exactQuantiles(spark: SparkSession, dir: String): DataFrame =
-    exactQuantilesOf(Tables.events(spark, dir))
-
-  private[graft] def exactQuantilesOf(events: DataFrame): DataFrame = {
-    import events.sparkSession.implicits._
-    val v = events
-      .filter(col("value").isNotNull)
-      .select(col("event_id"), expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
-    val ranked = graft.operators.GlobalRank
-      .rowNumber(v, Seq(col("cents").asc, col("event_id").asc), "rk")
-    val n = v.agg(count(lit(1)).as("n_rows"))
-    val quants = Seq(("p50", 50L, 100L), ("p90", 90L, 100L),
-      ("p99", 99L, 100L), ("p999", 999L, 1000L)).toDF("quantile", "p_num", "p_den")
-    ranked.crossJoin(broadcast(n))
-      .join(broadcast(quants),
-        col("rk") === expr("(n_rows * p_num + p_den - 1) div p_den"))
-      .select(col("quantile"), col("rk").as("rank"), col("n_rows"), col("cents"))
-      .orderBy(col("quantile"))
-  }
-
-  /** q242 skew-audit constants, shared with the oracle: the simulated
-    * shuffle width and the candidate salt factors. */
-  private[graft] val SkewParts = 32L
-  private[graft] val SkewSalts = Seq(1L, 2L, 4L, 8L)
-
-  /** Shuffle-skew audit with salt sweep (q242) — the MEASURE step after
-    * q107's diagnose step: q107 recommends a salt factor from per-key
-    * counts; this query verifies what each factor actually buys at the
-    * reducer. Route every
-    * event row by the portable md5-h60 of `user_id#(event_id % s)` into
-    * [[SkewParts]] reducers for each candidate salt factor
-    * s ∈ [[SkewSalts]] (s = 1 is the unsalted baseline), and report per
-    * factor the reducers used, the hottest reducer's load, and the
-    * max/avg imbalance in bp (10000 = perfectly even). The routing hash
-    * is the same engine-portable arithmetic as q237, so DuckDB replays
-    * the placement bit-exactly — the salt recommendation is a measured
-    * fact, not a heuristic. One map-side explode (|salts| rows per
-    * event) + one aggregate pair; nothing corpus-sized joins. */
-  def saltSweepAudit(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val salts = SkewSalts.mkString("array(", "L,", "L)")
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), explode(expr(salts)).as("salt"))
-    val h = md5_token_hashes(
-      array(concat(col("user_id").cast("string"), lit("#"),
-        (col("event_id") % col("salt")).cast("string"))), bits = 60).getItem(0)
-    ev.withColumn("part", pmod(h, lit(SkewParts)))
-      .groupBy(col("salt"), col("part")).agg(count(lit(1)).as("load"))
-      .groupBy(col("salt"))
-      .agg(sum(col("load")).as("n_rows"), count(lit(1)).as("parts_used"),
-        max(col("load")).as("max_load"))
-      .select(col("salt"), col("n_rows"), col("parts_used"), col("max_load"),
-        expr(s"max_load * 10000L * $SkewParts div n_rows").as("skew_bp"))
-      .orderBy(col("salt"))
-  }
-
-  /** q243 patterns, shared with the oracle. Chosen to span the precision
-    * spectrum: an adjacent-word literal, a rare collocation, and a
-    * cross-word fragment whose trigrams are individually common. */
-  private[graft] val TrigramPatterns = Seq("merge batch", "slow fast", "k agg r")
-
-  /** Trigram-index substring search (q243) — how a code-search engine
-    * greps 100 TB (Google Code Search / Zoekt / Sourcegraph): build
-    * character-trigram postings ONCE, answer a substring query by
-    * intersecting the postings of the pattern's trigrams (conjunctive —
-    * necessary but not sufficient, since grams can match out of order),
-    * and verify only the candidates with a real `contains`. Per pattern
-    * the audit reports candidates, verified matches, the index's
-    * precision (what fraction of candidate I/O was real — the number
-    * that justifies the index), and corpus selectivity, all in bp.
-    * Distinct from q153's token-level positional phrase search: this is
-    * SUBSTRING semantics over raw characters, and the candidate set
-    * comes from an index intersection, not position arithmetic.
-    *
-    * Scale shape: the postings build is one map-side explode + distinct
-    * (exactly the layout a search cluster materializes once and
-    * bucket-joins forever); per query the work is |patterns| broadcast
-    * joins over gram-keyed postings and a verify touch of candidates
-    * only. Nothing corpus × corpus. */
-  def trigramSearch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val grams = docs.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
-      .as("gram")).distinct()
-    val pats = TrigramPatterns.toDF("pattern")
-      .select(col("pattern"), explode(expr(
-        "transform(sequence(1, length(pattern) - 2), i -> substring(pattern, i, 3))"))
-        .as("gram")).distinct()
-    val patSizes = pats.groupBy(col("pattern")).agg(count(lit(1)).as("n_grams"))
-    val cands = grams.join(broadcast(pats), Seq("gram"))
-      .groupBy(col("pattern"), col("doc_id")).agg(count(lit(1)).as("n_hit"))
-      .join(broadcast(patSizes), Seq("pattern"))
-      .filter(col("n_hit") === col("n_grams"))
-      .select(col("pattern"), col("doc_id"))
-    val verified = cands.join(docs, Seq("doc_id"))
-      .filter(expr("instr(text, pattern) > 0"))
-      .select(col("pattern"), col("doc_id"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    broadcast(patSizes)
-      .join(cands.groupBy(col("pattern")).agg(count(lit(1)).as("n_candidates")), Seq("pattern"), "left")
-      .join(verified.groupBy(col("pattern")).agg(count(lit(1)).as("n_matches")), Seq("pattern"), "left")
-      .crossJoin(broadcast(nDocs))
-      .select(col("pattern"), col("n_grams"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        expr("CASE WHEN coalesce(n_candidates, 0) = 0 THEN 10000L ELSE coalesce(n_matches, 0) * 10000L div n_candidates END")
-          .as("precision_bp"),
-        expr("coalesce(n_matches, 0) * 10000L div n_docs").as("selectivity_bp"))
-      .orderBy(col("pattern"))
-  }
-
-  /** q244 Benford expected first-digit shares in basis points —
-    * ⌊log10(1 + 1/d)·10⁴⌋ for d = 1..9, public constants (the floor makes
-    * them sum to 9998; the statistic uses them verbatim on both engines,
-    * so the 2 bp of rounding cancels in the compare). */
-  private[graft] val BenfordBp = Seq(3010L, 1760L, 1249L, 969L, 791L, 669L, 579L, 511L, 457L)
-
-  /** Benford first-digit conformance audit (q244) — the forensic
-    * data-quality screen run on financial columns before trusting them
-    * (fabricated or capped numbers flunk it): the first significant
-    * digit of every positive order total, observed vs Benford-expected
-    * share, per-digit deviation, and the Pearson χ² statistic — all in
-    * exact integer arithmetic against the published constants
-    * ([[BenfordBp]]), no libm log in either engine. Emits one row per
-    * digit plus the χ² ride-along; the digit extraction is pure string
-    * arithmetic on exact cents (`substring` of the BIGINT — never float
-    * formatting). One scan → 9-key aggregate; nothing shuffles but the
-    * 9-row digit frame. */
-  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
-    benfordAuditOf(Tables.orders(spark, dir))
-
-  private[graft] def benfordAuditOf(orders: DataFrame): DataFrame = {
-    import orders.sparkSession.implicits._
-    val cents = orders
-      .select(expr("CAST(o_totalprice * 100 AS DECIMAL(14,0))").cast("long").as("cents"))
-      .filter(col("cents") > 0L)
-      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)").as("digit"))
-    val expected = BenfordBp.zipWithIndex
-      .map { case (bp, i) => (i + 1L, bp) }.toDF("digit", "expected_bp")
-    val obs = cents.groupBy(col("digit")).agg(count(lit(1)).as("n_observed"))
-    val joined = broadcast(expected).join(obs, Seq("digit"), "left")
-      .withColumn("n_observed", coalesce(col("n_observed"), lit(0L)))
-    val tot = cents.agg(count(lit(1)).as("n_total"))
-    // χ² = Σ (obs − exp)² / exp with exp = n·p; in integer bp:
-    // Σ (obs·10⁴ − n·p_bp)² · 10⁴ div (n · p_bp · 10⁴) — DECIMAL(38,0)
-    // for the squared term (obs·10⁴ ~ 10¹¹ at production counts squares
-    // past BIGINT, the q185/q192 wide-product discipline).
-    joined.crossJoin(broadcast(tot))
-      .withColumn("observed_bp", expr("n_observed * 10000L div n_total"))
-      .withColumn("dev_bp", col("observed_bp") - col("expected_bp"))
-      .withColumn("chi2_x10000",
-        expr("""CAST((CAST(n_observed AS DECIMAL(38,0)) * 10000 - CAST(n_total AS DECIMAL(38,0)) * expected_bp)
-               |  * (CAST(n_observed AS DECIMAL(38,0)) * 10000 - CAST(n_total AS DECIMAL(38,0)) * expected_bp)
-               |  div (CAST(n_total AS DECIMAL(38,0)) * expected_bp * 10000) AS BIGINT)""".stripMargin))
-      .select(col("digit"), col("n_observed"), col("n_total"),
-        col("expected_bp"), col("observed_bp"), col("dev_bp"), col("chi2_x10000"))
-      .orderBy(col("digit"))
-  }
-
-  /** Exact community-quality scoring (q245) — Newman modularity of the
-    * q149 min-label communities, in exact integers: for each community c
-    * the contribution Qc = (2m·E2c − Dc²) / (2m)² with E2c = internal
-    * edge-ENDPOINT count and Dc = degree sum, emitted ×10⁸ with
-    * DECIMAL(38,0) wide products (Dc² reaches (2m)² ≈ 4·10¹⁸ at graph
-    * scale — the q185/q192 discipline), plus the whole-partition total
-    * (the sum of the per-community FLOORED contributions — both engines
-    * floor identically, so the total replays exactly). This is the
-    * detector-quality readout run after every community detection: label
-    * propagation PARTITIONS the graph (q149), modularity says whether
-    * the partition means anything. Scale shape: one edge pass keyed by
-    * endpoint labels (two node-sized broadcast-able label joins over the
-    * persisted symmetric edge memo) + node-sized aggregates; the 1-row
-    * 2m scalar broadcasts back. */
-  def modularityScore(spark: SparkSession, dir: String): DataFrame = {
-    import graft.graph.Graph
-    val symDeg = graft.SessionMemo.memo(spark, s"q139symdeg|$dir") {
-      val s = Graph.symmetricWithDegrees(
-        Graph.purchaseEdges(Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
-      s.count()
-      s
-    }
-    val labels = graft.SessionMemo.memo(spark, s"q149labels|$dir") {
-      Graph.labelPropagation(symDeg)
-    }
-    modularityOf(symDeg, labels)
-  }
-
-  private[graft] def modularityOf(symDeg: DataFrame, labels: DataFrame): DataFrame = {
-    val e2 = symDeg.select(col("src"), col("dst"))
-      .join(labels.select(col("node").as("src"), col("lbl").as("la")), Seq("src"))
-      .join(labels.select(col("node").as("dst"), col("lbl").as("lb")), Seq("dst"))
-      .filter(col("la") === col("lb"))
-      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("int_endpoints"))
-    val degC = symDeg.select(col("src"), col("outdeg")).distinct()
-      .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-      .groupBy(col("lbl"))
-      .agg(sum(col("outdeg")).as("deg_sum"), count(lit(1)).as("n_members"))
-    val m2 = symDeg.agg(count(lit(1)).as("m2"))
-    val per = degC.join(e2, Seq("lbl"), "left")
-      .withColumn("int_endpoints", coalesce(col("int_endpoints"), lit(0L)))
-      .crossJoin(broadcast(m2))
-      .withColumn("q_contrib_x1e8", expr(
-        """CAST((CAST(m2 AS DECIMAL(38,0)) * int_endpoints
-          |  - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum) * 100000000
-          |  div (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)""".stripMargin))
-    val total = per.agg(sum(col("q_contrib_x1e8")).as("q_total_x1e8"))
-    per.crossJoin(broadcast(total))
-      .select(col("lbl").as("community_lbl"), col("n_members"), col("deg_sum"),
-        col("int_endpoints"), col("q_contrib_x1e8"), col("q_total_x1e8"))
-      .orderBy(col("n_members").desc, col("community_lbl"))
-      .limit(20)
-  }
-
-  /** Schema-evolution audit (q246) — the reference repo's own migration
-    * problem (SURVEY §0.1: gen-1 payloads carry `sword_type`/`guild_name`,
-    * gen-2 replaces them with `direction`/`event_detail`) surfaced as the
-    * audit a lakehouse runs before merging mixed-generation JSON: both
-    * generations serialize (deterministic field synthesis from the typed
-    * rows), re-parse under the MERGED superset schema (PERMISSIVE —
-    * absent fields read as null, exactly how schema-on-read sees old
-    * files), and every field reports per-generation non-null coverage in
-    * bp plus its migration status (common / removed_in_gen2 /
-    * added_in_gen2). Map-only serialize+parse, one 5-key aggregate; the
-    * oracle replays the field-synthesis rules directly — a parser that
-    * dropped or hallucinated a field breaks the hash. */
-  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"))
-    val gen1 = ev.filter(col("event_id") % 2 === 0)
-      .select(lit(1L).as("gen"), to_json(struct(
-        col("event_type"),
-        concat(lit("sword_"), (col("user_id") % 3).cast("string")).as("sword_type"),
-        concat(lit("guild_"), (col("user_id") % 5).cast("string")).as("guild_name"))).as("line"))
-    val gen2 = ev.filter(col("event_id") % 2 === 1)
-      .select(lit(2L).as("gen"), to_json(struct(
-        col("event_type"),
-        when(col("user_id") % 2 === 0, "increase").otherwise("reduce").as("direction"),
-        concat(lit("detail_"), (col("user_id") % 7).cast("string")).as("event_detail"))).as("line"))
-    val merged = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_type STRING, sword_type STRING, guild_name STRING, direction STRING, event_detail STRING")
-    val fields = Seq("event_type", "sword_type", "guild_name", "direction", "event_detail")
-    val stackExpr = "stack(" + fields.size + ", " +
-      fields.map(f => s"'$f', CASE WHEN p.$f IS NOT NULL THEN 1L ELSE 0L END").mkString(", ") +
-      ") AS (field, present)"
-    gen1.unionByName(gen2)
-      .select(col("gen"), from_json(col("line"), merged).as("p"))
-      .select(col("gen"), expr(stackExpr))
-      .groupBy(col("field"))
-      .agg(sum(when(col("gen") === 1L, col("present")).otherwise(0L)).as("gen1_nonnull"),
-        sum(when(col("gen") === 1L, 1L).otherwise(0L)).as("gen1_rows"),
-        sum(when(col("gen") === 2L, col("present")).otherwise(0L)).as("gen2_nonnull"),
-        sum(when(col("gen") === 2L, 1L).otherwise(0L)).as("gen2_rows"))
-      .select(col("field"), col("gen1_nonnull"), col("gen2_nonnull"),
-        expr("gen1_nonnull * 10000L div gen1_rows").as("gen1_coverage_bp"),
-        expr("gen2_nonnull * 10000L div gen2_rows").as("gen2_coverage_bp"),
-        expr("""CASE WHEN gen1_nonnull > 0 AND gen2_nonnull > 0 THEN 'common'
-               |  WHEN gen1_nonnull > 0 THEN 'removed_in_gen2'
-               |  WHEN gen2_nonnull > 0 THEN 'added_in_gen2'
-               |  ELSE 'absent' END""".stripMargin).as("status"))
-      .orderBy(col("field"))
-  }
-
-  /** Source cross-contamination matrix (q247) — the provenance question
-    * a dedup run should answer but usually doesn't: WHICH sources
-    * duplicate WHICH (same-source crawl redundancy vs cross-source
-    * mirroring), from the already-verified Jaccard ≥ 0.95 pair tier (the
-    * shared [[nearDupTiers]] memo — zero additional similarity work).
-    * Emits the canonical (source_a ≤ source_b) matrix with pair counts
-    * and each cell's share of all near-dup pairs in bp. At 100 TB this
-    * is the table that decides "drop mirror X" vs "dedup within crawl
-    * Y" — policy from provenance, not just pair counts. Scale shape:
-    * pair-sized joins against a broadcast-able (doc, source) projection;
-    * the matrix is |sources|²-bounded. */
-  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val (members, setPairs) = nearDupTiers(spark, dir)
-    val pairs = Dedup.pairsOfTiered(members, setPairs).select(col("id_a"), col("id_b"))
-    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val cells = pairs
-      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
-      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
-      .select(least(col("sa"), col("sb")).as("source_a"),
-        greatest(col("sa"), col("sb")).as("source_b"))
-    val tot = cells.agg(count(lit(1)).as("n_total"))
-    cells.groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_pairs"))
-      .crossJoin(broadcast(tot))
-      .select(col("source_a"), col("source_b"), col("n_pairs"),
-        expr("n_pairs * 10000L div n_total").as("share_bp"),
-        (col("source_a") =!= col("source_b")).as("is_cross_source"))
-      .orderBy(col("source_a"), col("source_b"))
-  }
-
-  /** Committed-index cell-balance audit (q248) — the index health check
-    * run against the LAYOUT ON DISK, not a recomputation: read the
-    * committed IVFPQ layout's cell-partitioned code files (the same
-    * layout q98 searches), and report per cell its occupancy and share,
-    * plus the ride-along imbalance (max/avg in bp, with 10000 = even)
-    * and empty-cell count — the numbers that decide "re-train the coarse
-    * quantizer" at 100 TB, where a hot cell IS a hot partition. The
-    * oracle recomputes the assignment independently from the embeddings
-    * (the q81/q98 seeded-cell CTEs), so a STALE or corrupted committed
-    * layout — not just a wrong aggregate — breaks the hash. Scale shape:
-    * one scan of code rows (cell column only, partition-pruned by
-    * layout), one nlist-key aggregate. */
-  def cellBalanceAudit(spark: SparkSession, dir: String): DataFrame = {
-    import graft.similarity.IvfPqIndex
-    val embs = Tables.embeddings(spark, dir)
-    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
-    val nlist = idx.cellMatrix.length.toLong
-    val occ = spark.read.parquet(s"${idx.location}/codes")
-      .select(col("cell").cast("long").as("cell"))
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
-    val full = spark.range(0L, nlist).select(col("id").as("cell"))
-      .join(occ, Seq("cell"), "left")
-      .withColumn("n_vecs", coalesce(col("n_vecs"), lit(0L)))
-    val tot = full.agg(sum(col("n_vecs")).as("n_total"),
-      max(col("n_vecs")).as("max_occ"),
-      sum(when(col("n_vecs") === 0L, 1L).otherwise(0L)).as("n_empty"))
-    full.crossJoin(broadcast(tot))
-      .select(col("cell"), col("n_vecs"),
-        expr("n_vecs * 10000L div n_total").as("share_bp"),
-        expr(s"max_occ * 10000L * $nlist div n_total").as("imbalance_bp"),
-        col("n_empty"))
-      .orderBy(col("cell"))
-  }
-
-  /** q249 n-gram width, shared with the oracle. */
-  private[graft] val NovN = 5
-
-  /** Snapshot n-gram novelty (q249) — the freshness metric behind
-    * "how much of today's crawl is actually NEW text" (the RefinedWeb /
-    * memorization-risk readout, one level finer than q104's doc-level
-    * diff): word [[NovN]]-grams of the NEW snapshot, marked against the
-    * OLD snapshot's distinct gram set (q104's exact snapshot
-    * derivation), reported per language at both the INSTANCE level
-    * (token-mass novelty — what training actually sees) and the TYPE
-    * level (distinct-gram novelty — what memorization studies count).
-    * Scale shape: one explode per snapshot, one gram-keyed join (the old
-    * side pre-distincts — at 100 TB that side is the gram dictionary, a
-    * bucketed layout in practice), one lang-keyed aggregate. */
-  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
-    ngramNoveltyOf(Tables.documents(spark, dir))
-
-  private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
-    def gramsOf(textExpr: String): org.apache.spark.sql.Column = explode(expr(
-      s"""transform(sequence(1, greatest(size(split($textExpr, ' ')) - ${NovN - 1}, 0)),
-         |  i -> array_join(slice(split($textExpr, ' '), i, $NovN), ' '))""".stripMargin))
-    val oldGrams = docs.filter(col("doc_id") % 5 =!= 1)
-      .select(gramsOf("text").as("gram")).distinct()
-    val newInst = docs.filter(col("doc_id") % 5 =!= 3)
-      .withColumn("t",
-        when(col("doc_id") % 5 === 2, concat(col("text"), lit(" v2"))).otherwise(col("text")))
-      .select(col("lang"), gramsOf("t").as("gram"))
-    newInst.join(oldGrams.withColumn("seen", lit(1L)), Seq("gram"), "left")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_instances"),
-        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("novel_instances"),
-        countDistinct(col("gram")).as("n_types"),
-        countDistinct(when(col("seen").isNull, col("gram"))).as("novel_types"))
-      .select(col("lang"), col("n_instances"), col("novel_instances"),
-        expr("novel_instances * 10000L div n_instances").as("instance_novelty_bp"),
-        col("n_types"), col("novel_types"),
-        expr("novel_types * 10000L div n_types").as("type_novelty_bp"))
-      .orderBy(col("lang"))
-  }
-
-  /** PQ reconstruction-error audit (q250) — the quantization-quality
-    * complement to q248's occupancy audit: per IVF cell, the exact
-    * fixed-point residual-PQ reconstruction error under the COMMITTED
-    * quantizer (centroids + codebooks from the layout sidecar, the same
-    * objects q98 searches with). Per vector the error is the
-    * subspace-ordered double fold of per-subspace best-centroid
-    * distances (PqEncode's own `dist` field), floored ×10⁶ to a BIGINT
-    * so the per-cell SUM is order-free and hash-exact (the q82
-    * discipline). A hot cell with high mean error is the cell whose
-    * vectors the coarse quantizer serves worst — the re-train trigger,
-    * per cell instead of global. Scale shape: one map-only
-    * assign+encode projection over the corpus (identical to the build's
-    * encode pass), one nlist-key aggregate. */
-  def pqReconError(spark: SparkSession, dir: String): DataFrame = {
-    import graft.similarity.IvfPqIndex
-    import graft.functions.IvfFunctions.nearest_cells
-    import graft.functions.PqFunctions.pq_encode
-    val embs = Tables.embeddings(spark, dir)
-    val idx = IvfPqIndex.ensure(spark, embs, "vec_id", "embedding")
-    val indexable = embs.filter(col("embedding").isNotNull &&
-      size(col("embedding")) >= idx.params.dim)
-    val withRes = indexable
-      .select(col("vec_id"),
-        element_at(nearest_cells(col("embedding"), idx.cellMatrix, 1), 1).as("cell"),
-        col("embedding"))
-      .withColumn("rvec", IvfPqIndex.residual(idx.cellMatrix)(col("embedding"), col("cell")))
-    withRes
-      .select(col("cell").cast("long").as("cell"),
-        pq_encode(col("rvec"), idx.codebooks).as("enc"))
-      .filter(col("enc").isNotNull)
-      .select(col("cell"), expr(
-        "CAST(FLOOR(aggregate(enc, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.dist) * 1000000.0) AS BIGINT)")
-        .as("err_fp"))
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("err_fp")).as("sum_err_fp"))
-      .select(col("cell"), col("n_vecs"), col("sum_err_fp"),
-        expr("sum_err_fp div n_vecs").as("mean_err_fp"))
-      .orderBy(col("cell"))
-  }
-
-  /** q251 allocation constants, shared with the oracle: per-source epoch
-    * cap (×100 — 200 = at most 2 epochs of any one source) and the
-    * budget as a fraction of total corpus tokens (½ — scale-free, so the
-    * greedy binds mid-list at every SF). */
-  private[graft] val MixMaxEpochsX100 = 200L
-  private[graft] val MixBudgetDen = 2L
-
-  /** Greedy mixture allocation under a token budget (q251) — the
-    * data-mixing DECISION next to q77's fixed weights and q108's
-    * temperature reweighting: rank sources by an integer diversity
-    * quality (per-doc distinct/total token ratio in bp, source-averaged),
-    * cap each source at [[MixMaxEpochsX100]]/100 epochs of its own
-    * tokens, and water-fill a budget of total/[[MixBudgetDen]] tokens
-    * down the quality ranking — exactly the greedy that maximizes
-    * Σ quality·tokens under per-source caps. Emits per source its
-    * quality, cap, exact allocation, and realized epochs ×100. All
-    * arithmetic integer; the ranking/running-sum frame is SOURCE-sized
-    * (a catalog, bounded at any corpus scale), so its windows are
-    * metadata windows; the corpus-sized stage is one per-source
-    * aggregate. */
-  def mixAllocation(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perDoc = Tables.documents(spark, dir).select(col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_tok"),
-      size(array_distinct(split(col("text"), " "))).cast("long").as("n_dist"))
-    val src = perDoc.groupBy(col("source"))
-      .agg(sum(col("n_tok")).as("src_tokens"), count(lit(1)).as("n_docs"),
-        sum(expr("n_dist * 10000 div n_tok")).as("qsum"))
-      .select(col("source"), col("src_tokens"),
-        expr("qsum div n_docs").as("quality_bp"))
-    val tot = src.agg(sum(col("src_tokens")).as("total_tokens"))
-    src.crossJoin(broadcast(tot))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("quality_bp").desc, col("source"))).cast("long"))
-      .withColumn("cap_tokens", expr(s"src_tokens * $MixMaxEpochsX100 div 100"))
-      .withColumn("cum_before", coalesce(sum(col("cap_tokens")).over(
-        Window.orderBy(col("rk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("budget", expr(s"total_tokens div $MixBudgetDen"))
-      .withColumn("allocated_tokens",
-        greatest(lit(0L), least(col("cap_tokens"), col("budget") - col("cum_before"))))
-      .select(col("source"), col("quality_bp"), col("src_tokens"), col("cap_tokens"),
-        col("allocated_tokens"),
-        expr("allocated_tokens * 100 div src_tokens").as("epochs_x100"))
-      .orderBy(col("source"))
-  }
-
-  /** Online SemDedup ingest admission (q240) — the sequential-semantics
-    * streaming variant of q78: see
-    * [[graft.similarity.SemDedup.onlineAdmission]]. Every intermediate
-    * wave frame memoizes + persists per (session, dir) so wave k never
-    * re-derives waves 0..k−1 by lineage (and repeated bench calls reuse
-    * one cache entry, the IncrementalDedup discipline). */
-  def onlineSemDedup(spark: SparkSession, dir: String): DataFrame =
-    graft.similarity.SemDedup.onlineAdmission(spark,
-      Tables.embeddings(spark, dir), "vec_id", "embedding",
-      memoFrame = (key, mk) => graft.SessionMemo.memo(spark, s"q240$key|$dir") {
-        mk().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
-
-  /** q252 labeler thresholds, shared with the oracle: 3-class cuts on
-    * lexical diversity (distinct/total tokens, bp) and mean word length
-    * (chars per token ×100) — picked at the testdata terciles so every
-    * cell of the 3×3 table is populated at each SF. */
-  private[graft] val AgreeDivLo = 4000L
-  private[graft] val AgreeDivHi = 5500L
-  private[graft] val AgreeCtokLo = 540L
-  private[graft] val AgreeCtokHi = 556L
-
-  /** Inter-labeler agreement / Cohen's kappa (q252) — the calibration
-    * audit a labeling pipeline owes its heuristic raters before either
-    * gates data: two independent integer quality labelers (A = lexical
-    * diversity terciles, B = mean-word-length terciles) label every
-    * document; the 3×3 confusion table, its marginals, and the
-    * chance-corrected agreement κ = (pₒ−pₑ)/(1−pₑ) come back in exact
-    * basis points. κ ≈ 0 says the raters agree no better than chance —
-    * composing them as AND/OR gates is then a coin flip, which is
-    * precisely what this row detects. All arithmetic integer; the
-    * numerator can be negative (agreement BELOW chance), so the division
-    * is sign-split to keep Spark `div` and DuckDB `//` on the same
-    * truncate-toward-zero semantics. Scale shape: one corpus scan →
-    * map-side CASE labels → a ≤9-row hash aggregate; marginals, pₑ, and
-    * κ ride joins/aggregates on that 9-row frame (the q215 discipline),
-    * with the 1-row scalar frame broadcast back onto the cells. Products
-    * ride DECIMAL(38,0): n² at a 10¹¹-doc corpus is 10²², past BIGINT. */
-  def labelerAgreement(spark: SparkSession, dir: String): DataFrame =
-    labelerAgreementOf(Tables.documents(spark, dir))
-
-  private[graft] def labelerAgreementOf(docs: DataFrame): DataFrame = {
-    // One corpus scan: both labels are map-side integer CASEs.
-    val cells = docs.select(
-        expr(s"""CASE WHEN size(array_distinct(split(text, ' '))) * 10000L
-          |    div size(split(text, ' ')) < $AgreeDivLo THEN 0L
-          |  WHEN size(array_distinct(split(text, ' '))) * 10000L
-          |    div size(split(text, ' ')) < $AgreeDivHi THEN 1L
-          |  ELSE 2L END""".stripMargin).as("label_a"),
-        expr(s"""CASE WHEN n_chars * 100L div size(split(text, ' ')) < $AgreeCtokLo THEN 0L
-          |  WHEN n_chars * 100L div size(split(text, ' ')) < $AgreeCtokHi THEN 1L
-          |  ELSE 2L END""".stripMargin).as("label_b"))
-      .groupBy(col("label_a"), col("label_b"))
-      .agg(count(lit(1)).as("n_docs"))
-      // ≤9 rows, but FOUR consumers below — without the pin each would
-      // re-scan the corpus by lineage (the q217 memo discipline).
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rowm = cells.groupBy(col("label_a")).agg(sum(col("n_docs")).as("row_n"))
-    val colm = cells.groupBy(col("label_b")).agg(sum(col("n_docs")).as("col_n"))
-    // pₑ numerator: Σ_k row_k·col_k — an inner join on the class id is
-    // exact (a class absent from either marginal contributes 0).
-    val scalars = cells.agg(
-        sum(col("n_docs")).as("n"),
-        sum(when(col("label_a") === col("label_b"), col("n_docs"))
-          .otherwise(0L)).as("diag_n"))
-      .crossJoin(broadcast(rowm.join(colm, col("label_a") === col("label_b"))
-        .agg(coalesce(sum(expr("CAST(row_n AS DECIMAL(38,0)) * col_n")),
-          lit(0).cast("decimal(38,0)")).as("pe_num"))))
-      .select(col("n"), col("diag_n"), col("pe_num"),
-        expr("CAST(n AS DECIMAL(38,0)) * diag_n - pe_num").as("kn"),
-        expr("CAST(n AS DECIMAL(38,0)) * n - pe_num").as("kd"))
-    cells
-      .join(rowm, "label_a").join(colm, "label_b")
-      .crossJoin(broadcast(scalars))
-      .select(col("label_a"), col("label_b"), col("n_docs"),
-        col("row_n"), col("col_n"),
-        expr("diag_n * 10000L div n").as("po_bp"),
-        expr("CAST((pe_num * 10000) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("pe_bp"),
-        expr("""CAST(CASE WHEN kd = 0 THEN 0
-          |  WHEN kn >= 0 THEN (kn * 10000) div kd
-          |  ELSE -((-kn * 10000) div kd) END AS BIGINT)""".stripMargin).as("kappa_bp"))
-      .orderBy(col("label_a"), col("label_b"))
-  }
-
-  /** q253 seed length (tokens), shared with the oracle: the minimum
-    * repeated-substring length the dedup removes — 8 so the short
-    * synthetic harness docs produce hits (production ExactSubstr uses
-    * 50 tokens; only this constant changes). */
-  private[graft] val RepeatSeedN = 8
-
-  /** Maximal-repeat exact substring spans (q253) — the ExactSubstr dedup
-    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
-    * Models Better"): remove every substring of ≥ [[RepeatSeedN]] tokens
-    * that occurs more than once in the corpus (self-overlapping and
-    * same-doc repeats included). q64/q117 count FIXED-n gram repeats;
-    * this emits the maximal spans of ANY length, which is what the
-    * suffix-array pass computes — via the gram-window reduction: a
-    * repeated substring of length M ≥ L is exactly a maximal run of
-    * consecutive start positions whose L-gram occurs ≥ 2× corpus-wide
-    * (every window of a repeated substring is a repeated L-gram;
-    * conversely each repeated L-gram is itself a repeated substring), so
-    * the union of repeated spans = merged intervals over duplicated
-    * L-gram starts — no suffix array, no cross join.
-    *
-    * Scale shape: positions explode map-side and shuffle as
-    * (int64 doc, int64 pos, int64 xxhash64(gram)) — gram STRINGS never
-    * leave the map stage (the q64 trick); duplicated-gram detection is
-    * one map-side-combining count on the hash; coverage is a left-semi
-    * hash join on the same key; island-merging is a window partitioned
-    * BY DOC (bounded by document length, never corpus-shaped). */
-  def maximalRepeatSpans(spark: SparkSession, dir: String): DataFrame =
-    maximalRepeatSpansOf(Tables.documents(spark, dir))
-
-  private[graft] def maximalRepeatSpansOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val positions = docs
-      .select(col("doc_id"), split(col("text"), " ").as("s"))
-      .filter(size(col("s")) >= RepeatSeedN)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(1, size(s) - ${RepeatSeedN - 1}),
-           |  i -> array_join(slice(s, i, $RepeatSeedN), ' '))""".stripMargin))
-        .as(Seq("off", "gram")))
-      .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
-        xxhash64(col("gram")).as("gram_h"))
-    // ≥2 occurrences ANYWHERE (other docs or a self-overlap) makes the
-    // window a repeat — plain count, not countDistinct(doc).
-    val dup = positions.groupBy(col("gram_h"))
-      .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") >= 2)
-    val covered = positions.join(dup.select(col("gram_h")), Seq("gram_h"), "left_semi")
-    covered
-      .withColumn("isl", col("pos") -
-        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + (RepeatSeedN - 1)).as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_tokens"))
-      .orderBy(col("doc_id"), col("span_start"))
-  }
-
-  /** Committed-store online SemDedup admission (q254) — see
-    * [[graft.similarity.SemDedup.committedAdmission]]: q240's sequential
-    * wave semantics with admission state in an on-disk wave-partitioned
-    * store (the q200 signature-store pattern applied to vectors), so
-    * state survives sessions and a second ingest process admits against
-    * the PUBLISHED corpus. The registered row seeds a fresh store and
-    * replays the wave loop; the result is read back from DISK, so a
-    * stale or corrupt store breaks the oracle hash. Memoized per
-    * (session, dir) like q200. */
-  def committedSemDedupAdmission(spark: SparkSession, dir: String): DataFrame = {
-    graft.SessionMemo.memo(spark, s"q254|$dir") {
-      val s = spark.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val work = java.nio.file.Files.createTempDirectory("graft_admit_store").toString
-      graft.similarity.SemDedup.committedAdmission(
-        s, Tables.embeddings(s, dir), "vec_id", "embedding", s"$work/admitted")
-      spark.read.parquet(s"$work/admitted")
-        .select(col("batch_id").cast("long").as("batch"),
-          col("id").as("vec_id"), col("cell"))
-        .orderBy(col("batch"), col("vec_id"))
-    }
-  }
-
-  /** q255 merge-list length, shared with the oracle: enough rounds that
-    * multi-character symbols chain (merged symbols re-merge) while the
-    * unrolled oracle CTE stays tractable. */
-  private[graft] val BpeEncodeMerges = 6
-
-  /** Weighted adjacent-pair counts over a symbolized vocab frame — the
-    * q182 aggregation, shared by the q255 learner loop. */
-  private def bpePairCounts(v: DataFrame): DataFrame = v
-    .select(split(col("sym"), " ").as("t"), col("cnt"))
-    .filter(size(col("t")) >= 2)
-    .select(explode(expr(
-      "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS p1, t[i] AS p2))")).as("p"),
-      col("cnt"))
-    .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
-    .agg(sum(col("cnt")).as("pair_count"))
-
-  /** End-to-end BPE encode (q255) — the missing half of q182 (round-8
-    * verdict #8a): LEARN [[BpeEncodeMerges]] merges on the vocab frame
-    * (k rounds of pair-count → top-1 → space-doubled replace — all
-    * vocab-sized work on the memoized one-scan tokenization; each
-    * round's top-1 is a 1-row bounded collect), then APPLY the ordered
-    * merge list to the WHOLE corpus in one map-only pass via the
-    * [[graft.functions.BpeDocSymbols]] expression (merge list baked into
-    * the plan — no join, no explode, no shuffle until the per-language
-    * aggregate). Reports per language the exact token/char-symbol/
-    * BPE-symbol counts and the compression ratio in bp — the
-    * tokenizer-budget readout (symbols ≈ what the training run pays).
-    * Merge semantics are greedy left-to-right non-overlapping in learned
-    * order — Sennrich et al. 2016 — identical in the expression, the
-    * learner's replace chain, and the oracle's unrolled k-round CTEs. */
-  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
-    bpeEncodeOf(Tables.documents(spark, dir), BpeEncodeMerges,
-      v => graft.SessionMemo.memo(spark, s"q255vocab|$dir") {
-        v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
-
-  private[graft] def bpeEncodeOf(docs: DataFrame, k: Int,
-      memoVocab: DataFrame => DataFrame = identity): DataFrame = {
-    val vocab = memoVocab(docs
-      .select(explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .filter(length(col("token")) >= 2)
-      .select(expr(
-        "array_join(transform(sequence(1, length(token)), i -> substring(token, i, 1)), ' ')")
-        .as("sym"), col("cnt")))
-    // Learner loop: k bounded 1-row collects, each over vocab-frame
-    // lineage (cached base + r literal replaces). Stops early if the
-    // vocab runs out of pairs; the oracle's sentinel rounds then no-op.
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var v = vocab
-    var r = 0
-    var exhausted = false
-    while (r < k && !exhausted) {
-      val top = bpePairCounts(v)
-        .orderBy(col("pair_count").desc, col("p1"), col("p2")).limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (m1, m2) = (top(0).getString(0), top(0).getString(1))
-        merges += ((m1, m2))
-        // Literal columns (never SQL-interpolated): token text can hold
-        // any punctuation. Space-doubling realizes exact greedy
-        // left-to-right semantics (q182's round-6 derivation).
-        v = v.select(trim(replace(
-            replace(
-              replace(concat(lit(" "), col("sym"), lit(" ")), lit(" "), lit("  ")),
-              lit(s" $m1  $m2 "), lit(s" $m1$m2 ")),
-            lit("  "), lit(" "))).as("sym"), col("cnt"))
-      }
-      r += 1
-    }
-    import graft.functions.BpeFunctions.bpe_doc_symbols
-    docs.select(col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"),
-        length(replace(col("text"), lit(" "), lit(""))).cast("long").as("n_cp"),
-        bpe_doc_symbols(col("text"), merges.toSeq).as("n_sym"))
-      .groupBy(col("lang"))
-      .agg(sum(col("n_tok")).as("n_tokens"),
-        sum(col("n_cp")).as("n_char_symbols"),
-        sum(col("n_sym")).as("n_bpe_symbols"))
-      .select(col("lang"), col("n_tokens"), col("n_char_symbols"), col("n_bpe_symbols"),
-        expr("n_bpe_symbols * 10000L div n_char_symbols").as("compression_bp"))
-      .orderBy(col("lang"))
-  }
-
-  /** q257 constants, shared with the oracle: the hashed-feature bucket
-    * count (the DSIR paper's hashed bigrams), the target slice, and the
-    * selection quota (top 1/[[DsirQuotaDiv]] of candidates by score). */
-  private[graft] val DsirBuckets = 4096L
-  private[graft] val DsirTargetLang = "en"
-  private[graft] val DsirQuotaDiv = 5L
-
-  /** Hashed-n-gram importance selection (q257) — the DSIR data-selection
-    * recipe (Xie et al. 2023, "Data Selection for Language Models via
-    * Importance Resampling": fit bag-of-hashed-bigrams models of a
-    * TARGET distribution and of the RAW pool, weight every raw document
-    * by its feature likelihood ratio, keep the top quota) in the repo's
-    * exact-integer discipline. The paper's per-feature log λ is replaced
-    * by the per-occurrence ratio λ in milli-units (the q146/q186
-    * "integer stand-in for the log-space score" rule — libm log bits
-    * differ across engines; integer ppm/milli ratios do not): per bucket
-    * λ_milli = ⌊(p_b+1)·(Q+B)·1000 / ((q_b+1)·(P+B))⌋ (Laplace-smoothed,
-    * B = [[DsirBuckets]]), per document the c-weighted mean over its
-    * bucket counts, selection = top ⌊n/[[DsirQuotaDiv]]⌋ by
-    * (score desc, doc_id) via the range-sharded [[graft.operators.GlobalRank]]
-    * — no single-partition sort anywhere.
-    *
-    * Scale shape: ONE tokenize+hash pass feeds all three consumers (the
-    * memoized bigram-bucket stream — the q186 memo discipline); bucket
-    * hashes are (h60 % B) pair-folds, so every exchange carries small
-    * longs; the two model frames are ≤B rows and broadcast; the doc
-    * scoring aggregate partial-combines map-side; the smoothed-ratio
-    * products ride DECIMAL(38,0) (the q252 headroom rule — bigram counts
-    * at a 10¹²-gram corpus square past BIGINT). */
-  def dsirSelection(spark: SparkSession, dir: String): DataFrame =
-    dsirSelectionOf(Tables.documents(spark, dir),
-      b => graft.SessionMemo.memo(spark, s"q257bg|$dir") {
-        b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
-
-  private[graft] def dsirSelectionOf(docs: DataFrame,
-      memoBg: DataFrame => DataFrame = identity): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val B = DsirBuckets
-    val bg = memoBg(docs
-      .select(col("doc_id"), col("lang"),
-        md5_token_hashes(split(col("text"), " "), 60).as("h"))
-      .filter(size(col("h")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        s"transform(sequence(1, size(h) - 1), i -> (((h[i-1] % $B) * 31 + h[i] % $B) % $B))"))
-        .as("b")))
-    val pC = bg.filter(col("lang") === DsirTargetLang)
-      .groupBy(col("b")).agg(count(lit(1)).as("p_c"))
-    val cand = bg.filter(col("lang") =!= DsirTargetLang)
-    val qC = cand.groupBy(col("b")).agg(count(lit(1)).as("q_c"))
-    val tots = bg.agg(
-      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("p_tot"),
-      sum(when(col("lang") =!= DsirTargetLang, 1L).otherwise(0L)).as("q_tot"))
-    // Candidate bucket counts: doc-keyed, map-side combinable. Every
-    // candidate bucket appears in qC by construction (left join only on
-    // the target side).
-    val scored = cand.groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .join(pC, Seq("b"), "left")
-      .join(qC, Seq("b"))
-      .crossJoin(broadcast(tots))
-      .select(col("doc_id"), col("lang"), col("c"),
-        expr(s"""CAST((CAST(coalesce(p_c, 0L) + 1 AS DECIMAL(38,0)) * (q_tot + $B) * 1000)
-          | div (CAST(q_c + 1 AS DECIMAL(38,0)) * (p_tot + $B)) AS BIGINT)""".stripMargin)
-          .as("lr_milli"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(expr("sum(c * lr_milli) div sum(c)").as("score_milli"))
-    val k = scored.agg(expr(s"count(1) div $DsirQuotaDiv").as("kq"))
-    graft.operators.GlobalRank
-      .rowNumber(scored, Seq(col("score_milli").desc, col("doc_id").asc), "rk")
-      .crossJoin(broadcast(k))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("rk") <= col("kq"), 1L).otherwise(0L)).as("n_selected"),
-        expr("sum(score_milli) div count(1)").as("avg_score_milli"),
-        expr("""CASE WHEN sum(CASE WHEN rk <= kq THEN 1L ELSE 0L END) = 0L THEN 0L
-          |  ELSE sum(CASE WHEN rk <= kq THEN score_milli ELSE 0L END)
-          |    div sum(CASE WHEN rk <= kq THEN 1L ELSE 0L END) END""".stripMargin)
-          .as("avg_sel_score_milli"))
-      .select(col("lang"), col("n_candidates"), col("n_selected"),
-        expr("n_selected * 10000L div n_candidates").as("selected_bp"),
-        col("avg_score_milli"), col("avg_sel_score_milli"))
-      .orderBy(col("lang"))
-  }
-
-  /** q258 constants, shared with the oracle: the pair-hash modulus and
-    * the boundary gate (expected chunk length ≈ [[CdcGate]] tokens). */
-  private[graft] val CdcMod = 1048576L
-  private[graft] val CdcGate = 16L
-
-  /** Content-defined chunk dedup (q258) — the LBFS/rsync chunking idea
-    * (Muthitacharoen et al. 2001, "A Low-Bandwidth Network File System")
-    * applied to token streams: a chunk boundary opens wherever the
-    * rolling context hash gates to zero (here: the adjacent-token-pair
-    * fold ((h₁%M)·31+h₂%M) % M ≡ 0 mod [[CdcGate]]), so boundaries are a
-    * function of LOCAL content only — inserting or deleting a prefix
-    * re-synchronizes at the next gate and every downstream chunk hashes
-    * identically. That shift-invariance is what fixed-n gram dedup
-    * (q64/q117) and whole-doc hashing (q25) both lack, and it is the
-    * standard storage-dedup primitive for detecting near-identical
-    * documents that differ by splices.
-    *
-    * Scale shape: positions explode map-side; the chunk-id prefix sum is
-    * a window PARTITIONED BY DOC (bounded by document length, never
-    * corpus-shaped — the q253 island rule); the doc-local chunk
-    * reassembly groups on (doc_id, chunk), reusing the window's exchange;
-    * chunk text hashes to an 8-byte h60 BEFORE the corpus-wide
-    * (lang, chunk-hash) exchange (the q64 no-string-shuffles discipline);
-    * both aggregates partial-combine map-side. */
-  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
-    cdcChunkDedupOf(Tables.documents(spark, dir))
-
-  private[graft] def cdcChunkDedupOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val M = CdcMod
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val pos = docs
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"),
-        md5_token_hashes(split(col("text"), " "), 60).as("h"))
-      .select(col("doc_id"), col("lang"), explode(expr(
-        s"""transform(sequence(0, size(t) - 1), i -> struct(
-           |  CAST(i AS BIGINT) AS pos, t[i] AS tok,
-           |  CASE WHEN i = 0 THEN 0L
-           |    WHEN ((h[i-1] % $M) * 31 + h[i] % $M) % $M % $CdcGate = 0 THEN 1L
-           |    ELSE 0L END AS bd))""".stripMargin)).as("p"))
-      .select(col("doc_id"), col("lang"), col("p.pos").as("pos"),
-        col("p.tok").as("tok"), col("p.bd").as("bd"))
-    val chunks = pos
-      .withColumn("chunk", sum(col("bd")).over(w))
-      .groupBy(col("doc_id"), col("lang"), col("chunk"))
-      .agg(count(lit(1)).as("n_tok"),
-        array_join(expr("transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok)"),
-          " ").as("ctext"))
-      .select(col("lang"), col("n_tok"),
-        element_at(md5_token_hashes(array(col("ctext")), 60), 1).as("chash"))
-    chunks
-      .groupBy(col("lang"), col("chash"))
-      .agg(count(lit(1)).as("cnt"), sum(col("n_tok")).as("toks"))
-      .groupBy(col("lang"))
-      .agg(sum(col("cnt")).as("n_chunks"),
-        count(lit(1)).as("n_distinct_chunks"),
-        expr("(sum(cnt) - count(1)) * 10000L div sum(cnt)").as("dup_bp"),
-        expr("sum(toks) div sum(cnt)").as("avg_chunk_tokens"),
-        max(col("cnt")).as("max_reuse"))
-      .orderBy(col("lang"))
-  }
-
-  /** Split-leakage audit (q259) — the eval-contamination question a
-    * train/val/test split owes its users: how many VERIFIED near-dup
-    * pairs (the shared [[nearDupTiers]] Jaccard ≥ 0.95 memo — zero new
-    * similarity work) cross the q60 hash-split boundary? A val/test doc
-    * with a near-identical train twin is a leaked eval item; this emits
-    * the canonical split×split pair matrix with shares and the leak
-    * flag.
-    *
-    * Scale twist over q247's source matrix: the pair counts are computed
-    * WITHOUT materializing doc pairs. [[graft.dedup.Dedup.pairsOfTiered]]
-    * is quadratic in duplicate-group size by design (its docstring says
-    * so); a leak COUNT doesn't need the pairs — per set-group, the
-    * (set_key, split) histogram (≤3 rows per set) gives exact
-    * combinatorics: within-group pairs n·(n−1)/2 per split and nₓ·n_y
-    * across splits, and each verified set-pair contributes
-    * n_a[s]·n_b[s'] per split combo. A 10⁶-doc duplicate group costs 3
-    * histogram rows instead of 5·10¹¹ pairs. PlanSpec pins that no
-    * member×member self-join appears in the plan; the DuckDB oracle
-    * brute-forces the same counts from first principles (all-pairs exact
-    * Jaccard + the q60 split rule), so both the LSH recall and the
-    * combinatorics are checked. */
-  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
-    splitLeakageOf(Tables.documents(spark, dir), Some(nearDupTiers(spark, dir)))
-
-  private[graft] def splitLeakageOf(docs: DataFrame,
-      tiers: Option[(DataFrame, DataFrame)] = None): DataFrame = {
-    val (members, setPairs) = tiers.getOrElse(
-      graft.dedup.Dedup.tieredSetPairs(docs, "doc_id", "text", 0.95))
-    val bucket = pmod(
-      graft.functions.PortableHashFunctions
-        .md5_token_hashes(array(col("text")), bits = 31)
-        .getItem(0),
-      lit(100))
-    val split = docs.select(col("doc_id").as("id"),
-      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
-    // One row per (set group, split): linear in docs, ≤3 rows per group.
-    val hist = members.join(split, Seq("id"))
-      .groupBy(col("set_key"), col("split")).agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tierASame = hist.select(col("split").as("split_a"), col("split").as("split_b"),
-      expr("n * (n - 1) div 2").as("n_pairs"))
-    val tierACross = hist.as("x").join(hist.as("y"), Seq("set_key"))
-      .filter(col("x.split") < col("y.split"))
-      .select(col("x.split").as("split_a"), col("y.split").as("split_b"),
-        (col("x.n") * col("y.n")).as("n_pairs"))
-    val tierB = setPairs
-      .join(hist.select(col("set_key").as("key_a"), col("split").as("sa"),
-        col("n").as("na")), Seq("key_a"))
-      .join(hist.select(col("set_key").as("key_b"), col("split").as("sb"),
-        col("n").as("nb")), Seq("key_b"))
-      .select(least(col("sa"), col("sb")).as("split_a"),
-        greatest(col("sa"), col("sb")).as("split_b"),
-        (col("na") * col("nb")).as("n_pairs"))
-    val cells = tierASame.union(tierACross).union(tierB)
-      .groupBy(col("split_a"), col("split_b"))
-      .agg(sum(col("n_pairs")).as("n_pairs"))
-      .filter(col("n_pairs") > 0)
-    val tot = cells.agg(sum(col("n_pairs")).as("n_total"))
-    cells.crossJoin(broadcast(tot))
-      .select(col("split_a"), col("split_b"), col("n_pairs"),
-        expr("n_pairs * 10000L div n_total").as("share_bp"),
-        (col("split_a") =!= col("split_b")).as("is_leak"))
-      .orderBy(col("split_a"), col("split_b"))
-  }
-
-  /** Leak-quarantine manifest (q260) — the REPAIR step q259 only counts:
-    * which TRAIN documents must be dropped because they are verified
-    * near-duplicates (Jaccard ≥ 0.95, the shared [[nearDupTiers]] memo)
-    * of a val/test document. Emits the per-language quarantine summary a
-    * rebuild would act on. Same no-expansion discipline as q259: a train
-    * doc is quarantined iff its SET either contains an eval member
-    * (tier A — identical text across the boundary) or is a verified
-    * set-pair away from a set that does (tier B) — both are semi-joins
-    * on set keys, linear in docs and set-pairs, never doc×doc. The
-    * oracle brute-forces ∃-eval-near-dup per train doc from first
-    * principles. */
-  def leakQuarantine(spark: SparkSession, dir: String): DataFrame =
-    leakQuarantineOf(Tables.documents(spark, dir), Some(nearDupTiers(spark, dir)))
-
-  private[graft] def leakQuarantineOf(docs: DataFrame,
-      tiers: Option[(DataFrame, DataFrame)] = None): DataFrame = {
-    val (members, setPairs) = tiers.getOrElse(
-      graft.dedup.Dedup.tieredSetPairs(docs, "doc_id", "text", 0.95))
-    val bucket = pmod(
-      graft.functions.PortableHashFunctions
-        .md5_token_hashes(array(col("text")), bits = 31)
-        .getItem(0),
-      lit(100))
-    val m = members.join(
-      docs.select(col("doc_id").as("id"), col("lang"),
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
-          .as("split")),
-      Seq("id"))
-    // Sets holding at least one eval (val/test) member — set-key-sized.
-    val evalSets = m.filter(col("split") =!= "train")
-      .select(col("set_key")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Tier B reach: sets one verified pair away from an eval-holding set
-    // (both directions — setPairs is canonicalized key_a < key_b).
-    val paired = setPairs
-      .join(evalSets.withColumnRenamed("set_key", "key_b"), Seq("key_b"))
-      .select(col("key_a").as("set_key"))
-      .union(setPairs
-        .join(evalSets.withColumnRenamed("set_key", "key_a"), Seq("key_a"))
-        .select(col("key_b").as("set_key")))
-    val leakSets = evalSets.union(paired).distinct()
-    val train = m.filter(col("split") === "train")
-    train
-      .join(leakSets, Seq("set_key"), "left_semi")
-      .groupBy(col("lang")).agg(count(lit(1)).as("n_quarantined"))
-      .join(train.groupBy(col("lang")).agg(count(lit(1)).as("n_train")),
-        Seq("lang"), "right")
-      .select(col("lang"), col("n_train"),
-        coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"),
-        expr("coalesce(n_quarantined, 0L) * 10000L div n_train")
-          .as("quarantine_bp"))
-      .orderBy(col("lang"))
-  }
-
-  /** q261 constants, shared with the oracle: the class vocabulary in FIELD
-    * order (class i's per-token weight unpacks from bit field 15·i of ONE
-    * h60 digest per token) and the weight modulus (weights in
-    * [-1000, 1000]). */
-  private[graft] val ClsClasses = Seq("chat", "code", "news", "wiki")
-  private[graft] val ClsWeightMod = 2001L
-
-  /** Hashed linear classifier scoring (q261) — the fastText-shape model
-    * inference every model-based curation pipeline runs over the FULL
-    * corpus (the FineWeb-Edu / DCLM recipe: a cheap linear classifier
-    * scores every document; the score gates, buckets, or mixes the doc).
-    * Per token ONE md5 digest ([[graft.functions.Md5Hash.h60]], the
-    * portable-hash discipline); per class a disjoint 15-bit field of that
-    * digest folds to an integer weight in [-1000, 1000]; a document's
-    * class score is the weight sum over its token STREAM (multiplicity
-    * counts — fastText's bag-of-features with integer weights standing in
-    * for the learned vector; a LEARNED model would broadcast a weight map
-    * and the plan shape would not change). Prediction is the argmax (ties
-    * to the lowest class index), margin is best − runner-up.
-    *
-    * Scale shape: scoring is a MAP-ONLY array fold — one digest per
-    * token, all [[ClsClasses]] weights from its bit fields, no token
-    * explode, no shuffle until the final (source, class) aggregate, which
-    * partial-combines to ≤ |sources|·|classes| rows. At 100 TB this is
-    * the textbook single-pass corpus scan with a result-sized exchange. */
-  def classifierScores(spark: SparkSession, dir: String): DataFrame =
-    classifierScoresOf(Tables.documents(spark, dir))
-
-  /** Per-document classifier outputs (doc_id, source, pred_class, margin)
-    * — the map-only scoring pass shared by q261's corpus aggregate and
-    * the q264 incremental score store. */
-  private[graft] def classifierDocScores(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val nC = ClsClasses.size
-    val scoreCols = ClsClasses.indices.map { i =>
-      expr(s"aggregate(h, 0L, (acc, x) -> " +
-        s"acc + ((shiftright(x, ${15 * i}) & 32767) % $ClsWeightMod) - 1000)").as(s"s$i")
-    }
-    // First-max argmax in class-index order — ties resolve to the lowest
-    // index, mirroring the oracle's CASE chain exactly.
-    val pred = ClsClasses.indices.init.foldRight(lit(ClsClasses.last)) { (i, rest) =>
-      val geRest = ClsClasses.indices.drop(i + 1)
-        .map(j => col(s"s$i") >= col(s"s$j")).reduce(_ && _)
-      when(geRest, lit(ClsClasses(i))).otherwise(rest)
-    }
-    docs
-      .select(col("doc_id"), col("source"),
-        md5_token_hashes(split(col("text"), " "), 60).as("h"))
-      .select(col("doc_id") +: col("source") +: scoreCols: _*)
-      .select(col("doc_id"), col("source"), pred.as("pred_class"),
-        sort_array(array(ClsClasses.indices.map(i => col(s"s$i")): _*)).as("ss"))
-      .select(col("doc_id"), col("source"), col("pred_class"),
-        (element_at(col("ss"), nC) - element_at(col("ss"), nC - 1)).as("margin"))
-  }
-
-  private[graft] def classifierScoresOf(docs: DataFrame): DataFrame = {
-    val scored = classifierDocScores(docs)
-    // Per-source totals via a window over the CELLS frame — bounded at
-    // ≤ |classes| rows per source partition (result-sized, never
-    // corpus-shaped), so the corpus scans exactly once.
-    scored.groupBy(col("source"), col("pred_class"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("margin")).as("margin_sum"))
-      .withColumn("n_src", sum(col("n_docs")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
-      .select(col("source"), col("pred_class"), col("n_docs"),
-        expr("n_docs * 10000L div n_src").as("share_bp"),
-        expr("margin_sum div n_docs").as("avg_margin"))
-      .orderBy(col("source"), col("pred_class"))
-  }
-
-  /** Locality layout audit (q262) — LSH-clustered STORAGE ORDERING, the
-    * layout trick that buys compression at rest: near-duplicate documents
-    * written adjacently compress each other away under any window codec
-    * (zstd/LZ4 see the shared bytes), so a corpus rewrite orders docs by
-    * a similarity-preserving key instead of arrival order. The key here
-    * is the bottom-1 MinHash (min over token h60s — P[key_a = key_b] =
-    * Jaccard(a,b); a production rewrite would widen to the full signature
-    * lexicographically, same machinery); the audit measures what the
-    * rewrite would buy: mean adjacent-pair token Jaccard (bp) under the
-    * clustered order vs the incumbent doc_id order, per language.
-    *
-    * Scale shape: both orderings rank through the range-sharded
-    * [[graft.operators.GlobalRank]] (an ORDER BY over the corpus is
-    * exactly the shape that must never hit one reducer); adjacent pairs
-    * come from a rank⋈rank+1 self-join — rank-keyed exchange, no window
-    * over an unpartitioned frame; the doc scan recomputes per consumer
-    * (map-only split+hash work) rather than pinning a corpus-sized cache.
-    * The per-pair Jaccard is the sorted-merge intersect expression
-    * (single pass, no array allocation per comparison). */
-  def localityLayout(spark: SparkSession, dir: String): DataFrame =
-    localityLayoutOf(Tables.documents(spark, dir))
-
-  private[graft] def localityLayoutOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    import graft.functions.VectorFunctions.sorted_intersect_size
-    val base = docs.select(col("doc_id"), col("lang"),
-      sort_array(array_distinct(split(col("text"), " "))).as("toks"),
-      array_min(md5_token_hashes(split(col("text"), " "), 60)).as("mh"))
-    // Mean adjacent-pair Jaccard per lang under the given total order.
-    // Global rank sorts lang first, so within-lang adjacency == global
-    // adjacency with cross-lang boundary pairs filtered.
-    def adjacency(order: Seq[org.apache.spark.sql.Column]): DataFrame = {
-      val ranked = graft.operators.GlobalRank.rowNumber(base, order, "rk")
-      val lhs = ranked.select(col("rk"), col("lang"), col("toks").as("toks_a"))
-      val rhs = ranked.select((col("rk") - 1).as("rk"),
-        col("lang").as("lang_b"), col("toks").as("toks_b"))
-      lhs.join(rhs, Seq("rk"))
-        .filter(col("lang") === col("lang_b"))
-        .select(col("lang"),
-          sorted_intersect_size(col("toks_a"), col("toks_b")).cast("long").as("ni"),
-          (size(col("toks_a")) + size(col("toks_b"))).cast("long").as("sz"))
-        .select(col("lang"), expr("ni * 10000L div (sz - ni)").as("bp"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_pairs"), sum(col("bp")).as("bp_sum"))
-    }
-    val clustered = adjacency(Seq(col("lang").asc, col("mh").asc, col("doc_id").asc))
-      .select(col("lang"), col("n_pairs"), col("bp_sum").as("bp_c"))
-    val baseline = adjacency(Seq(col("lang").asc, col("doc_id").asc))
-      .select(col("lang"), col("bp_sum").as("bp_b"))
-    val counts = base.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    counts
-      .join(clustered, Seq("lang"), "left")
-      .join(baseline, Seq("lang"), "left")
-      .select(col("lang"), col("n_docs"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_adj_pairs"),
-        coalesce(expr("bp_c div n_pairs"), lit(0L)).as("clustered_adj_bp"),
-        coalesce(expr("bp_b div n_pairs"), lit(0L)).as("baseline_adj_bp"))
-      .withColumn("locality_gain_bp",
-        col("clustered_adj_bp") - col("baseline_adj_bp"))
-      .orderBy(col("lang"))
-  }
-
-  /** q263 constant, shared with the oracle: every stratum contributes
-    * EXACTLY ⌊n/[[StratQuotaDiv]]⌋ documents. */
-  private[graft] val StratQuotaDiv = 8L
-
-  /** Exact-quota stratified sampling (q263) — the deterministic holdout
-    * builder q67's rate-based Bernoulli sampler cannot be: per stratum
-    * (language) EXACTLY ⌊n/8⌋ documents, chosen as the first ⌊n/8⌋ in
-    * (content-hash, doc_id) order — uniform-at-random in expectation,
-    * reproducible bit-for-bit, and quota-exact by construction (a
-    * hash-threshold sampler's count is binomial, not exact; audits and
-    * eval-set budgets want exact).
-    *
-    * Scale shape: the naive plan — `row_number() OVER (PARTITION BY lang
-    * ORDER BY hash)` — is corpus-hostile: strata are corpus-shaped (one
-    * language can be half of 100 TB), so a per-stratum window is a
-    * stratum-sized single sort. Instead ONE range-sharded
-    * [[graft.operators.GlobalRank]] over the composite (lang, hash, id)
-    * key ranks everything, a stratum-sized aggregate (≤ |langs| rows,
-    * broadcast) yields each stratum's first-rank offset and quota, and
-    * per-stratum rank = global rank − offset: exact per-stratum ranks,
-    * no stratum-sized sort anywhere. The selection witness (token sum +
-    * hash sum over the selected set) makes any mis-ranked boundary doc
-    * break the oracle hash. */
-  def exactStratifiedQuota(spark: SparkSession, dir: String): DataFrame =
-    exactStratifiedQuotaOf(Tables.documents(spark, dir))
-
-  private[graft] def exactStratifiedQuotaOf(docs: DataFrame): DataFrame = {
-    val h = graft.functions.PortableHashFunctions
-      .md5_token_hashes(array(col("text")), bits = 31).getItem(0)
-    val base = docs.select(col("doc_id"), col("lang"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("hkey"))
-    val ranked = graft.operators.GlobalRank.rowNumber(
-      base, Seq(col("lang").asc, col("hkey").asc, col("doc_id").asc), "rk")
-    val strata = ranked.groupBy(col("lang"))
-      .agg(min(col("rk")).as("rk0"), count(lit(1)).as("n_total"))
-      .withColumn("quota", expr(s"n_total div $StratQuotaDiv"))
-    ranked.join(broadcast(strata), Seq("lang"))
-      .withColumn("sel", col("rk") - col("rk0") + lit(1L) <= col("quota"))
-      .groupBy(col("lang"))
-      .agg(max(col("n_total")).as("n_total"), max(col("quota")).as("quota"),
-        sum(when(col("sel"), col("n_tokens")).otherwise(0L)).as("sel_tokens"),
-        sum(when(col("sel"), col("hkey")).otherwise(0L)).as("sel_h31_sum"))
-      .orderBy(col("lang"))
-  }
-
-  /** Incremental inference score store (q264) — the q200/q256 digest-sync
-    * discipline applied to MODEL SCORES ([[graft.operators.ScoreStore]]):
-    * at 100 TB the classifier pass is the priciest stage of a curation
-    * pipeline (GPU-bound, orders past the scan), so a re-curation must
-    * re-score ONLY what changed. The query replays the full lifecycle
-    * deterministically: seed a partition-mirrored `_scores` sidecar for a
-    * 3-partition work corpus, EDIT one partition out-of-band (partition
-    * 1's docs get re-texted — the upstream-refresh event), re-sync (the
-    * digest diff confines inference to the touched partition — the spec
-    * pins untouched store files byte-stable by mtime), and report the
-    * per-(partition, class) summary read from the ON-DISK store. The
-    * oracle scores the FINAL corpus state from first principles, so a
-    * stale store — a sync that trusted instead of diffing — breaks the
-    * hash. */
-  def scoreStoreIncremental(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionMemo.memo(spark, s"q264|$dir") {
-      val work = java.nio.file.Files.createTempDirectory("graft_score_store").toString
-      val corpus = s"$work/corpus"
-      val docs = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text"),
-          pmod(col("doc_id"), lit(3L)).as("part_id"))
-      docs.write.partitionBy("part_id").parquet(corpus)
-      val score = (slice: DataFrame) => classifierDocScores(slice)
-        .select(col("doc_id"), col("pred_class"), col("margin"))
-      graft.operators.ScoreStore.sync(spark, corpus, score) // full seed
-      // Out-of-band partition edit (the re-curation event) — derived from
-      // the SOURCE frame, so the overwrite never reads its own target.
-      docs.filter(col("part_id") === 1L)
-        .withColumn("text", concat(col("text"), lit(" edited")))
-        .drop("part_id")
-        .write.mode("overwrite").parquet(s"$corpus/part_id=1")
-      graft.operators.ScoreStore.sync(spark, corpus, score) // digest diff: part 1 only
-      graft.operators.ScoreStore.read(spark, corpus)
-        .groupBy(col("part_id"), col("pred_class"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("margin")).as("margin_sum"))
-        .select(col("part_id").cast("long").as("part_id"), col("pred_class"),
-          col("n_docs"), col("margin_sum"))
-        .orderBy(col("part_id"), col("pred_class"))
-    }
-
-  /** q265 constants, shared with the oracle: marginal utility of a
-    * source's r-th epoch in milli (δ = 0.6 diminishing returns —
-    * 1000·δ^(r−1), precomputed so the engine divides once), and the
-    * token budget denominator (budget = total/2, the q251 figure). */
-  private[graft] val RepeatDecayMilli = Seq(1000L, 600L, 360L, 216L)
-  private[graft] val RepeatBudgetDen = 2L
-
-  /** Repeat-aware token allocation (q265) — the data-constrained-scaling
-    * recipe (Muennighoff et al. 2023, "Scaling Data-Constrained Language
-    * Models": repeated epochs are worth less than fresh data, with
-    * near-geometric decay): where q251 water-fills a budget under a flat
-    * per-source epoch cap, q265 makes epochs COMPETE — each (source,
-    * epoch r ≤ [[RepeatDecayMilli]].size) unit carries marginal utility
-    * quality_bp·δ^(r−1), and the greedy fill takes units in utility
-    * order until the budget exhausts, so a strong source's 2nd epoch can
-    * out-rank a weak source's 1st. Since δ < 1 makes per-source utility
-    * strictly decreasing in r, greedy order takes epochs in sequence
-    * automatically — the allocation is the exact greedy optimum for the
-    * separable concave objective.
-    *
-    * Scale shape: identical to q251 — the corpus reduces in ONE
-    * map-combinable aggregate to a |sources|-row frame; the epoch grid
-    * (|sources|·4 rows), ranking window, and running sum are all
-    * metadata-sized; the corpus itself never shuffles. */
-  def repeatAllocation(spark: SparkSession, dir: String): DataFrame =
-    repeatAllocationOf(Tables.documents(spark, dir))
-
-  private[graft] def repeatAllocationOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perDoc = docs.select(col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_tok"),
-      size(array_distinct(split(col("text"), " "))).cast("long").as("n_dist"))
-    val src = perDoc.groupBy(col("source"))
-      .agg(sum(col("n_tok")).as("src_tokens"), count(lit(1)).as("n_docs"),
-        sum(expr("n_dist * 10000 div n_tok")).as("qsum"))
-      .select(col("source"), col("src_tokens"),
-        expr("qsum div n_docs").as("quality_bp"))
-    val tot = src.agg(sum(col("src_tokens")).as("total_tokens"))
-    val epochGrid = array(RepeatDecayMilli.zipWithIndex.map { case (f, i) =>
-      struct(lit(i + 1L).as("r"), lit(f).as("fac"))
-    }: _*)
-    src.crossJoin(broadcast(tot))
-      .select(col("*"), explode(epochGrid).as("e"))
-      .select(col("source"), col("src_tokens"), col("quality_bp"),
-        col("total_tokens"), col("e.r").as("r"),
-        expr("quality_bp * e.fac div 1000").as("util"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("util").desc, col("source"), col("r"))).cast("long"))
-      .withColumn("cum_before", coalesce(sum(col("src_tokens")).over(
-        Window.orderBy(col("rk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("alloc", greatest(lit(0L), least(col("src_tokens"),
-        expr(s"total_tokens div $RepeatBudgetDen") - col("cum_before"))))
-      .groupBy(col("source"))
-      .agg(max(col("quality_bp")).as("quality_bp"),
-        max(col("src_tokens")).as("src_tokens"),
-        sum(col("alloc")).as("allocated_tokens"))
-      .select(col("source"), col("quality_bp"), col("src_tokens"),
-        col("allocated_tokens"),
-        expr("allocated_tokens * 100 div src_tokens").as("epochs_x100"))
-      .orderBy(col("source"))
-  }
-
-  /** q266 constant, shared with the oracle: context length (the K most
-    * recent event types form an example's input). */
-  private[graft] val BehaviorCtxLen = 3
-
-  /** Behavior-model training-example assembly (q266) — the LLM-era
-    * completion of the reference's user-behavior domain: turn the event
-    * log into (context → next action) training examples for a behavior
-    * sequence model. Per user, events order by (ts, event_id); an
-    * example is the last [[BehaviorCtxLen]] event types (the context, as
-    * fixed lag columns — no variable-length buffers) predicting the
-    * current event type (the target). The report is the dataset card a
-    * training run consumes: per target class, example count, user
-    * coverage, distinct-context count (label entropy's denominator), and
-    * the exact decimal value mass (the q-family DECIMAL(12,2) double
-    * discipline).
-    *
-    * Scale shape: ONE user-keyed exchange (the window partitions by
-    * user — bounded by a user's retained history, the q119/q23
-    * discipline, never corpus-shaped); the lag columns and the context
-    * signature (one md5 h60 of the joined context — 8 bytes into the
-    * aggregate, the q64 no-string-shuffles rule) are map work on the
-    * sorted partition; the final per-class aggregate partial-combines.
-    * At 100 TB: one shuffle of the event log, result-sized everything
-    * else. */
-  def behaviorExamples(spark: SparkSession, dir: String): DataFrame =
-    behaviorExamplesOf(Tables.events(spark, dir))
-
-  private[graft] def behaviorExamplesOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val lags = (1 to BehaviorCtxLen).map(i =>
-      lag(col("event_type"), i).over(w).as(s"l$i"))
-    val ctx = concat_ws(" ",
-      (BehaviorCtxLen to 1 by -1).map(i => col(s"l$i")): _*)
-    behaviorCardOf(events
-      .select(col("user_id"), col("event_id"), col("ts"),
-        col("event_type"), col("value"))
-      .select(Seq(col("user_id"), col("event_type"), col("value")) ++ lags: _*)
-      .filter(col(s"l$BehaviorCtxLen").isNotNull)
-      .select(col("event_type").as("target_event"), col("user_id"),
-        ctx.as("ctx"), col("value")))
-  }
-
-  /** (target_event, user_id, ctx, value) example stream → per-class
-    * dataset card. Shared by the batch lag-window formulation (q266) and
-    * the streaming per-user-state formulation (q267) so the two can
-    * never drift — they also share one oracle ([[BehaviorOracleSql]]). */
-  private[graft] def behaviorCardOf(examples: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    examples
-      .select(col("target_event"), col("user_id"),
-        md5_token_hashes(array(col("ctx")), bits = 60).getItem(0).as("ctx_sig"),
-        col("value").cast("decimal(12,2)").as("v"))
-      .groupBy(col("target_event"))
-      .agg(count(lit(1)).as("n_examples"),
-        countDistinct(col("user_id")).as("n_users"),
-        countDistinct(col("ctx_sig")).as("n_contexts"),
-        expr("CAST(sum(v) * 100 AS BIGINT)").as("value_cents_sum"))
-      .orderBy(col("target_event"))
-  }
-
-  /** Streaming behavior-example assembly (q267) — the ingest-time twin
-    * of q266 (see [[graft.streaming.StreamPipeline.behaviorExamples]]):
-    * per-user rolling-context state in flatMapGroupsWithState emits each
-    * training example the moment its target event lands, and the sink's
-    * cumulative card is produced by the same [[behaviorCardOf]] the
-    * batch path uses — one oracle for both, so a hash divergence reads
-    * as "streaming state drifted from the window semantics" (the
-    * q119/q120 discipline). State is a constant few bytes per user
-    * (RocksDB-backed); the shuffle is the user_id Exchange the state
-    * store already requires; the sink carries examples, not events. */
-  def streamBehaviorExamples(spark: SparkSession, dir: String): DataFrame = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val examples = graft.streaming.StreamPipeline
-      .behaviorExamples(s, Tables.eventsStream(s, dir), BehaviorCtxLen)
-    behaviorCardOf(graft.streaming.StreamPipeline
-      .runToMemory(s, examples.toDF(), "graft_stream_behavior"))
-  }
-
-  /** Per-stratum exact quantiles (q268) — the score-calibration card a
-    * cross-source gate needs: classifier margins (q261's per-doc pass)
-    * are NOT comparable across sources, so a global threshold must be
-    * set per source from its own margin distribution; this emits each
-    * source's exact margin deciles. The corpus-hostile plan is
-    * `row_number() OVER (PARTITION BY source ORDER BY margin)` — strata
-    * are corpus-shaped — so the ranks come from ONE range-sharded
-    * [[graft.operators.GlobalRank]] over (source, margin, doc_id) with
-    * per-stratum offsets from a ≤|sources|-row broadcast aggregate (the
-    * q263 discipline applied to order-statistic EXTRACTION rather than
-    * selection: q241's exact quantiles are global; these are per
-    * stratum). The decile row is the exact order statistic at
-    * per-stratum rank max(1, ⌊n·q/10⌋). */
-  def stratumQuantiles(spark: SparkSession, dir: String): DataFrame =
-    stratumQuantilesOf(Tables.documents(spark, dir))
-
-  private[graft] def stratumQuantilesOf(docs: DataFrame): DataFrame = {
-    val scored = classifierDocScores(docs)
-      .select(col("source"), col("margin"), col("doc_id"))
-    val ranked = graft.operators.GlobalRank.rowNumber(
-      scored, Seq(col("source").asc, col("margin").asc, col("doc_id").asc), "rk")
-    val targets = ranked.groupBy(col("source"))
-      .agg(min(col("rk")).as("rk0"), count(lit(1)).as("n"))
-      .select(col("source").as("t_source"), col("rk0"), col("n"),
-        explode(expr("sequence(1, 9)")).as("decile"))
-      .select(col("t_source"), col("decile"),
-        (col("rk0") - 1 + greatest(lit(1L), expr("n * decile div 10"))).as("trk"))
-    ranked.join(broadcast(targets),
-        ranked("rk") === targets("trk") && ranked("source") === targets("t_source"))
-      .select(col("source"), col("decile").cast("long").as("decile"),
-        col("margin").as("margin_at"))
-      .orderBy(col("source"), col("decile"))
-  }
-
-  /** Off-policy evaluation via inverse propensity scoring (q269) — the
-    * counterfactual question every logged-interaction dataset gets asked
-    * before a new policy ships: "what reward WOULD the candidate policy
-    * have earned on this logged traffic?" (Horvitz–Thompson / IPS, the
-    * standard estimator for bandit logs). Logged propensities are the
-    * empirical action frequencies (bp); the candidate policy is a
-    * deterministic hash policy π(user) = argmax over the action
-    * vocabulary of h31(user:action) — a reproducible stand-in for a
-    * learned scorer (swap in a broadcast model table, same plan). Each
-    * logged event matching π(user) contributes reward/propensity
-    * (floor-cents · 10000 div prop_bp — exact integers end to end); the
-    * per-action card reports logged mass, match rate, the IPS-weighted
-    * reward, and the naive logged reward for contrast.
-    *
-    * Scale shape: the action vocabulary and its frequency/propensity
-    * frame are result-sized (broadcast); π(user) derives from a
-    * |users|·|actions| grid that aggregates per user (user-keyed,
-    * map-side combinable — never event-scaled); the event scan joins
-    * the tiny propensity frame and the per-user policy by broadcast +
-    * user-keyed join respectively, then reduces to |actions| rows. */
-  def ipsPolicyEval(spark: SparkSession, dir: String): DataFrame =
-    ipsPolicyEvalOf(Tables.events(spark, dir))
-
-  private[graft] def ipsPolicyEvalOf(events: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val logged = events.select(col("user_id"), col("event_type").as("action"),
-      expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
-    val freq = logged.groupBy(col("action")).agg(count(lit(1)).as("n_logged"))
-    val tot = freq.agg(sum(col("n_logged")).as("n_total"))
-    val prop = freq.crossJoin(broadcast(tot))
-      .select(col("action"), col("n_logged"),
-        expr("n_logged * 10000L div n_total").as("prop_bp"))
-    // π(user): argmax_{a ∈ vocab} h31(user:a) — ties broken by action
-    // name via the (h, action) struct max, replayed exactly in SQL.
-    val policy = logged.select(col("user_id")).distinct()
-      .crossJoin(broadcast(prop.select(col("action"))))
-      .select(col("user_id"), col("action"),
-        md5_token_hashes(
-          array(concat(col("user_id").cast("string"), lit(":"), col("action"))),
-          bits = 31).getItem(0).as("h"))
-      .groupBy(col("user_id"))
-      .agg(max(struct(col("h"), col("action"))).as("m"))
-      .select(col("user_id"), col("m.action").as("pi_action"))
-    logged
-      .join(policy, Seq("user_id"))
-      .join(broadcast(prop), Seq("action"))
-      .groupBy(col("action"))
-      .agg(max(col("n_logged")).as("n_logged"), max(col("prop_bp")).as("prop_bp"),
-        sum(when(col("action") === col("pi_action"), 1L).otherwise(0L)).as("n_matched"),
-        sum(when(col("action") === col("pi_action"),
-          expr("cents * 10000L div prop_bp")).otherwise(0L)).as("ips_cents"),
-        sum(col("cents")).as("logged_cents"))
-      .orderBy(col("action"))
-  }
-
-  /** Non-overlapping segment width (tokens) and the distinct-doc count at
-    * which a segment counts as boilerplate — shared by the q270 engine
-    * path and its oracle so the two can never drift. */
-  private[graft] val BoilerSegTokens = 5
-  private[graft] val BoilerMinDocs = 3
-
-  /** Segment-frequency boilerplate audit (q270) — the CCNet/RefinedWeb
-    * move: chunk every document into fixed-width token segments, hash
-    * them, and call a segment boilerplate when it recurs VERBATIM across
-    * enough distinct documents (navigation chrome, license headers,
-    * cookie banners — the text that inflates token counts without adding
-    * information). The card reports, per source, the segment volume, how
-    * many segment INSTANCES are boilerplate, the boilerplate share (bp),
-    * and how many distinct boilerplate segments drive it — the numbers a
-    * curation pass needs before deciding to strip or down-weight.
-    *
-    * Scale shape: the corpus explodes to segments once (map-only split +
-    * slice + h60); the segment document-frequency is a two-phase
-    * hash-partitioned aggregate on the 60-bit segment key (never
-    * all-pairs, never a window); instances rejoin the frequency frame on
-    * that same key (hash join, both sides already segment-keyed), and the
-    * final card is a ≤|sources|-row aggregate. At 100 TB each stage is
-    * embarrassingly key-parallel — the exact q25 exact-dedup discipline
-    * applied at sub-document granularity. */
-  def segmentBoilerplate(spark: SparkSession, dir: String): DataFrame =
-    segmentBoilerplateOf(Tables.documents(spark, dir))
-
-  /** The (doc_id, source, segh) segment explode shared by q270 and the
-    * q277 store partials. Docs shorter than one segment contribute zero
-    * segments (the oracle's range() emits nothing there; the filter keeps
-    * Spark's sequence() from seeing a negative upper bound). */
-  private[graft] def docSegments(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val k = BoilerSegTokens
-    docs
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), col("source"), explode(expr(
-        s"transform(sequence(0, CAST(size(toks) div $k AS INT) - 1), " +
-          s"g -> array_join(slice(toks, g*$k + 1, $k), ' '))")).as("seg"))
-      .select(col("doc_id"), col("source"),
-        md5_token_hashes(array(col("seg")), 60).getItem(0).as("segh"))
-  }
-
-  private[graft] def segmentBoilerplateOf(docs: DataFrame): DataFrame = {
-    val segs = docSegments(docs)
-    val freq = segs.groupBy(col("segh"))
-      .agg(countDistinct(col("doc_id")).as("doc_freq"))
-    segs.join(freq, Seq("segh"))
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_segments"),
-        sum(when(col("doc_freq") >= BoilerMinDocs, 1L).otherwise(0L))
-          .as("n_boiler_instances"),
-        countDistinct(when(col("doc_freq") >= BoilerMinDocs, col("segh")))
-          .as("n_boiler_segments"))
-      .select(col("source"), col("n_segments"), col("n_boiler_instances"),
-        expr("n_boiler_instances * 10000L div n_segments").as("boiler_share_bp"),
-        col("n_boiler_segments"))
-      .orderBy(col("source"))
-  }
-
-  /** Winnowing parameters (Schleimer–Wilkerson–Aiken, SIGMOD 2003): gram
-    * width in tokens, window of consecutive gram hashes per fingerprint,
-    * the document-frequency cap that drops promiscuous fingerprints
-    * before pairing, and the minimum shared-fingerprint count for a pair
-    * to surface. */
-  private[graft] val WinnowGram = 4
-  private[graft] val WinnowWindow = 4
-  private[graft] val WinnowFpMaxDocs = 16
-  private[graft] val WinnowMinShared = 2
-
-  /** Winnowing fingerprint overlap (q271) — the MOSS plagiarism/clone
-    * detector shape: every document selects the MINIMUM gram hash out of
-    * each sliding window of [[WinnowWindow]] consecutive token-gram
-    * hashes, guaranteeing at least one fingerprint per window while
-    * keeping the selected set ~1/w of the grams — position-robust
-    * (an insertion shifts grams but local minima survive) where q40's
-    * single rolling fingerprint is not. Documents sharing ≥
-    * [[WinnowMinShared]] fingerprints surface as clone-pair candidates
-    * with their overlap coefficient (shared / min fingerprint set, bp).
-    *
-    * Scale shape: gram hashing is map-only; the window minimum runs
-    * PARTITIONED BY doc (per-doc frames, never corpus-wide); fingerprints
-    * dedup per doc via a two-phase aggregate; the pair join is
-    * fingerprint-keyed with a document-frequency cap ([[WinnowFpMaxDocs]])
-    * bounding each posting list, so candidate generation is
-    * Σ df² over capped lists — the q31/q235 banded-join discipline, not
-    * an all-pairs product. */
-  def winnowingPairs(spark: SparkSession, dir: String): DataFrame =
-    winnowingPairsOf(Tables.documents(spark, dir))
-
-  private[graft] def winnowingPairsOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    import org.apache.spark.sql.expressions.Window
-    val k = WinnowGram
-    val w = WinnowWindow
-    val grams = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= k + w - 1) // at least one full window
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(toks) - $k + 1), " +
-          s"p -> array_join(slice(toks, p, $k), ' '))")).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"),
-        md5_token_hashes(array(col("gram")), 60).getItem(0).as("gh"))
-    val perDoc = Window.partitionBy(col("doc_id"))
-    val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val fps = grams
-      .withColumn("n_grams", count(lit(1)).over(perDoc))
-      .withColumn("fp", min(col("gh")).over(winMin))
-      .filter(col("pos") <= col("n_grams") - w) // pos is 0-based: starts 0..n-w
-      .select(col("doc_id"), col("fp")).distinct()
-    val kept = fps.join(
-      fps.groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") <= WinnowFpMaxDocs),
-      Seq("fp"))
-    val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-    val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
-    val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared_fps"))
-      .filter(col("shared_fps") >= WinnowMinShared)
-      .join(counts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_fp", "fp_a"), Seq("doc_a"))
-      .join(counts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_fp", "fp_b"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("shared_fps"),
-        col("fp_a"), col("fp_b"),
-        expr("shared_fps * 10000L div least(fp_a, fp_b)").as("overlap_bp"))
-      .orderBy(col("shared_fps").desc, col("doc_a"), col("doc_b"))
-  }
-
-  /** Second-labeler weight modulus for q272 — decorrelates the agreement
-    * labeler from q261's scorer (same h60 lanes, rotated class→lane map,
-    * different modulus), shared with the oracle. */
-  private[graft] val ClsAltMod = 1999L
-
-  /** Classifier calibration / reliability card (q272) — the audit run
-    * before TRUSTING a quality classifier's confidence for threshold
-    * gating (q268 sets thresholds; this asks whether confidence means
-    * anything): bucket the corpus by confidence decile and check that
-    * agreement with an independent labeler RISES with confidence. The
-    * stand-in pair is q261's hashed scorer vs a decorrelated second
-    * labeler (rotated bit-lanes, different weight modulus) — swap either
-    * for a learned model's broadcast score table, same plan. Per decile:
-    * doc count, mean margin, agreement count/rate (bp). A flat or
-    * inverted curve = the confidence is noise; monotone = calibrated
-    * enough to gate on.
-    *
-    * Scale shape: both labelers are ONE map-only pass over the token
-    * hashes (shared h60 array, eight lane-sums in one projection); the
-    * confidence decile comes from the range-sharded
-    * [[graft.operators.GlobalRank]] over (margin, doc_id) — the
-    * corpus-hostile global sort shape, never an unpartitioned window —
-    * with the decile from rank arithmetic against a 1-row broadcast
-    * count; the card is a 10-row final aggregate. */
-  def scoreCalibration(spark: SparkSession, dir: String): DataFrame =
-    scoreCalibrationOf(Tables.documents(spark, dir))
-
-  private[graft] def scoreCalibrationOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val nC = ClsClasses.size
-    val sCols = ClsClasses.indices.map { i =>
-      expr(s"aggregate(h, 0L, (acc, x) -> " +
-        s"acc + ((shiftright(x, ${15 * i}) & 32767) % $ClsWeightMod) - 1000)").as(s"s$i")
-    }
-    // Labeler 2: class i reads lane (i+2) mod nC under the alternate
-    // modulus — same hash array, decorrelated argmax.
-    val tCols = ClsClasses.indices.map { i =>
-      val lane = (i + 2) % nC
-      expr(s"aggregate(h, 0L, (acc, x) -> " +
-        s"acc + ((shiftright(x, ${15 * lane}) & 32767) % $ClsAltMod) - 1000)").as(s"t$i")
-    }
-    def argmaxFirst(prefix: String): org.apache.spark.sql.Column =
-      ClsClasses.indices.init.foldRight(lit(ClsClasses.last)) { (i, rest) =>
-        val geRest = ClsClasses.indices.drop(i + 1)
-          .map(j => col(s"$prefix$i") >= col(s"$prefix$j")).reduce(_ && _)
-        when(geRest, lit(ClsClasses(i))).otherwise(rest)
-      }
-    val scored = docs
-      .select(col("doc_id"),
-        md5_token_hashes(split(col("text"), " "), 60).as("h"))
-      .select(col("doc_id") +: (sCols ++ tCols): _*)
-      .select(col("doc_id"), argmaxFirst("s").as("pred"), argmaxFirst("t").as("label"),
-        sort_array(array(ClsClasses.indices.map(i => col(s"s$i")): _*)).as("ss"))
-      .select(col("doc_id"), col("pred"), col("label"),
-        (element_at(col("ss"), nC) - element_at(col("ss"), nC - 1)).as("margin"))
-    val ranked = graft.operators.GlobalRank.rowNumber(
-      scored, Seq(col("margin").asc, col("doc_id").asc), "rk")
-    val n = ranked.agg(count(lit(1)).as("n_total"))
-    ranked.crossJoin(broadcast(n))
-      .select(col("pred"), col("label"), col("margin"),
-        least(lit(9L), expr("(rk - 1) * 10 div n_total")).as("decile"))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_docs"),
-        expr("sum(margin) div count(1)").as("avg_margin"),
-        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("agree_n"))
-      .select(col("decile"), col("n_docs"), col("avg_margin"), col("agree_n"),
-        expr("agree_n * 10000L div n_docs").as("agree_bp"))
-      .orderBy(col("decile"))
-  }
-
-  /** Deterministic-context threshold for q273: a context counts as
-    * memorization-risky when it always continues the same way and has
-    * been seen at least this often. */
-  private[graft] val BranchMinOcc = 3
-
-  /** Next-token branching-factor card (q273) — the memorization-risk
-    * audit: for every 2-token context, how many DISTINCT third tokens
-    * follow it, and how concentrated is the continuation distribution?
-    * Contexts that always continue identically (branching = 1) despite
-    * many occurrences are exactly the spans a model memorizes verbatim
-    * (Lee et al. 2022's motivation, measured at the distribution level
-    * rather than q253's span level). Per-source card: context count,
-    * trigram volume, deterministic-context count and share (bp), and
-    * the mean top-continuation share (bp) — the corpus-level
-    * "predictability" number that rises as boilerplate accumulates.
-    *
-    * Scale shape: trigram explode is map-only; both aggregation levels
-    * — (source, context, next) counts, then (source, context) branching
-    * — are hash-partitioned two-phase aggregates on gram keys (the
-    * 60-bit context hash keys the exchange, so vocabulary size never
-    * matters); the card is a ≤|sources|-row rollup. No windows, no
-    * joins, nothing corpus-collected. */
-  def contextBranching(spark: SparkSession, dir: String): DataFrame =
-    contextBranchingOf(Tables.documents(spark, dir))
-
-  private[graft] def contextBranchingOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val tri = docs
-      .select(col("source"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, size(toks) - 2), " +
-          "p -> struct(array_join(slice(toks, p, 2), ' ') AS ctx, toks[p+1] AS nxt))")).as("g"))
-      .select(col("source"),
-        md5_token_hashes(array(col("g.ctx")), 60).getItem(0).as("ctxh"),
-        md5_token_hashes(array(col("g.nxt")), 60).getItem(0).as("nxth"))
-    val perNext = tri.groupBy(col("source"), col("ctxh"), col("nxth"))
-      .agg(count(lit(1)).as("n"))
-    val perCtx = perNext.groupBy(col("source"), col("ctxh"))
-      .agg(sum(col("n")).as("n_occ"), count(lit(1)).as("n_next"), max(col("n")).as("top_n"))
-    perCtx.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_contexts"),
-        sum(col("n_occ")).as("n_trigrams"),
-        sum(when(col("n_next") === 1 && col("n_occ") >= BranchMinOcc, 1L)
-          .otherwise(0L)).as("n_deterministic"),
-        sum(expr("top_n * 10000L div n_occ")).as("top_share_sum"))
-      .select(col("source"), col("n_contexts"), col("n_trigrams"),
-        col("n_deterministic"),
-        expr("n_deterministic * 10000L div n_contexts").as("det_share_bp"),
-        expr("top_share_sum div n_contexts").as("avg_top_share_bp"))
-      .orderBy(col("source"))
-  }
-
-  /** Bradley–Terry fixed-point scale: per-term divisions carry 10⁸ so two
-    * MM rounds keep 4 significant digits in bp; shared with the oracle. */
-  private[graft] val BtScale = 100000000L
-
-  /** Bradley–Terry preference strength (q274) — the RLHF-side aggregate:
-    * given pairwise duels ("which of A/B won for this user?"), estimate a
-    * per-item strength s such that P(A beats B) = s_A/(s_A+s_B) — the
-    * model behind reward-model training data audits and arena-style
-    * leaderboards. Duels here are deterministic stand-ins (within each
-    * user, action A beats B when A's total spend exceeds B's; ties
-    * drop); two unrolled minorize-maximize rounds run in exact integer
-    * arithmetic — s'ₓ = winsₓ·C div Σ_y(n_xy·C div (sₓ+s_y)), mean
-    * renormalized to 10000 bp and clamped ≥1 each round — so both
-    * engines replay the identical fixed point (the q252 floor-div
-    * discipline; headroom note: wins·10⁸ fits BIGINT to ~9·10⁹ wins,
-    * past that lift to DECIMAL(38,0) like q145).
-    *
-    * Scale shape: the ONLY corpus-scale work is the (user, action)
-    * spend aggregate and the user-keyed duel self-join (≤|actions|² rows
-    * per user); everything after is |actions|- or |actions|²-sized, with
-    * the strength vector broadcast into each MM round. The duel matrix
-    * is persisted (3 consumers — totals + two rounds — must not re-scan
-    * the event log by lineage). */
-  def bradleyTerry(spark: SparkSession, dir: String): DataFrame =
-    bradleyTerryOf(Tables.events(spark, dir))
-
-  private[graft] def bradleyTerryOf(events: DataFrame): DataFrame = {
-    val ua = events
-      .select(col("user_id"), col("event_type").as("action"),
-        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
-      .groupBy(col("user_id"), col("action")).agg(sum(col("cents")).as("cents"))
-    val a = ua.select(col("user_id"), col("action").as("xa"), col("cents").as("ca"))
-    val b = ua.select(col("user_id"), col("action").as("xb"), col("cents").as("cb"))
-    val half = a.join(b, Seq("user_id"))
-      .filter(col("xa") < col("xb") && col("ca") =!= col("cb"))
-      .groupBy(col("xa"), col("xb"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("ca") > col("cb"), 1L).otherwise(0L)).as("w"))
-    // The symmetric duel matrix is |actions|² ≤ result-sized² — the
-    // distributed reduction ends here; the MM solve is a driver-side
-    // loop over the collected matrix (the q255 learner-loop rule: a
-    // bounded, result-sized collect beats ~20 micro-jobs of |A|-row
-    // frame algebra — measured 7.9 s of pure scheduling at ANY sf).
-    val pairRows = half
-      .select(col("xa").as("x"), col("xb").as("y"), col("n"), col("w"))
-      .unionByName(half.select(col("xb").as("x"), col("xa").as("y"), col("n"),
-        (col("n") - col("w")).as("w")))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    val acts = pairRows.map(_._1).distinct.sorted
-    val wins = pairRows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
-    val games = pairRows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-    def mmRound(s: Map[String, Long]): Map[String, Long] = {
-      val raw = pairRows.groupBy(_._1).map { case (x, xs) =>
-        x -> wins(x) * BtScale / xs.map { case (_, y, n, _) => n * BtScale / (s(x) + s(y)) }.sum
-      }
-      val tot = raw.values.sum
-      raw.map { case (x, r) => x -> math.max(1L, r * raw.size * 10000L / tot) }
-    }
-    val s1 = mmRound(acts.map(_ -> 10000L).toMap)
-    val s2 = mmRound(s1)
-    val spark = events.sparkSession
-    import spark.implicits._
-    acts.map(x => (x, games(x), wins(x), s1(x), s2(x))).toSeq
-      .toDF("action", "games", "wins", "s1_bp", "s2_bp")
-      .orderBy(col("action"))
-  }
-
-  /** Length-bias audit via Spearman rank correlation (q275) — the
-    * fairness check every quality classifier owes its corpus: if the
-    * margin RANK tracks the document-length rank inside a source, the
-    * "quality" signal is substantially a length proxy and any
-    * margin-thresholded gate (q268) silently becomes a length filter.
-    * Emits per source the exact Spearman ρ (bp) between margin rank and
-    * n_chars rank — ρ = 1 − 6Σd²/(n(n²−1)), ties broken by doc_id in
-    * both orderings so the statistic is a deterministic integer.
-    *
-    * Scale shape: margins join n_chars doc-keyed; BOTH rankings run
-    * through the range-sharded [[graft.operators.GlobalRank]] over
-    * (source, metric, doc_id) with per-source offsets from ≤|sources|-row
-    * broadcast aggregates (per-stratum ranks, q268's discipline — never
-    * a source-partitioned window over a corpus-shaped frame); the rank
-    * pairing is a doc-keyed join and the card is a ≤|sources|-row
-    * aggregate. Σd² and n(n²−1) ride DECIMAL(38,0)/HUGEINT — exact to
-    * ~10¹² docs per source (the q252 headroom rule). */
-  def lengthBias(spark: SparkSession, dir: String): DataFrame =
-    lengthBiasOf(Tables.documents(spark, dir))
-
-  private[graft] def lengthBiasOf(docs: DataFrame): DataFrame = {
-    val scored = classifierDocScores(docs)
-      .select(col("doc_id"), col("source"), col("margin"))
-      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-    def stratumRank(df: DataFrame, metric: String, out: String): DataFrame = {
-      val g = graft.operators.GlobalRank.rowNumber(
-        df, Seq(col("source").asc, col(metric).asc, col("doc_id").asc), "grk")
-      val off = g.groupBy(col("source")).agg(min(col("grk")).as("off"))
-      g.join(broadcast(off), Seq("source"))
-        .select(col("doc_id"), col("source"), (col("grk") - col("off") + 1L).as(out))
-    }
-    val rm = stratumRank(scored, "margin", "rank_m")
-    val rl = stratumRank(scored, "n_chars", "rank_l").drop("source")
-    rm.join(rl, Seq("doc_id"))
-      .select(col("source"), (col("rank_m") - col("rank_l")).as("d"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("sd2"))
-      .filter(col("n_docs") >= 2)
-      .select(col("source"), col("n_docs"),
-        col("sd2").cast("long").as("sum_d2"),
-        expr("""CAST(10000 - (CAST(60000 AS DECIMAL(38,0)) * sd2)
-          |  div (CAST(n_docs AS DECIMAL(38,0)) * n_docs * n_docs - n_docs)
-          |  AS BIGINT)""".stripMargin).as("rho_bp"))
-      .orderBy(col("source"))
-  }
-
-  /** q276 params, shared with the oracle: projection width, plane seed,
-    * the probe-panel selector/size, and the sampled-corpus selector. */
-  private[graft] val JlDims = 8
-  private[graft] val JlSeed = 11L
-  private[graft] val JlPanelMod = 97L
-  private[graft] val JlPanelSize = 100
-  private[graft] val JlSampleMod = 50L
-
-  /** Johnson–Lindenstrauss projection distortion audit (q276) — the
-    * go/no-go check before ROUTING similarity work through a cheap
-    * projection: project 64-d embeddings to [[JlDims]] dims with a
-    * Gaussian plane matrix (the q34 hyperplane generator, keeping the
-    * dot VALUES instead of the sign bits) and measure how well projected
-    * pairwise distances track true ones — E‖PΔ‖² = k·‖Δ‖², so
-    * distortion_bp = ⌊‖Δy‖²·10⁴/(k·‖Δx‖²)⌋ concentrates at 10000 when
-    * the projection is usable and smears when k is too small. The card
-    * is a distortion histogram (1000-bp buckets) over sampled-corpus ×
-    * fixed-probe-panel pairs — the number that decides whether IVF/LSH
-    * recall work (q49/q34) can run in projected space at 1/8 the
-    * bandwidth.
-    *
-    * Scale shape: the probe panel is FIXED-size (deterministic
-    * mod-filter + orderBy + limit, broadcast), so pair volume is linear
-    * in the corpus sample — never a corpus×corpus product; projections
-    * are map-only DotProduct folds (same left-fold doubles as the q33
-    * cosine family, bit-replayable in DuckDB); the histogram is a
-    * ≤40-row aggregate. */
-  def jlDistortion(spark: SparkSession, dir: String): DataFrame =
-    jlDistortionOf(Tables.embeddings(spark, dir))
-
-  private[graft] def jlDistortionOf(embs: DataFrame): DataFrame = {
-    import graft.functions.VectorFunctions.dot_product
-    val planes = graft.similarity.Ann.hyperplanes(1, JlDims, 64, JlSeed)(0)
-    def withProj(df: DataFrame): DataFrame = df.select(
-      col("vec_id"), col("embedding"),
-      array(planes.map(p => dot_product(col("embedding"),
-        typedLit(p.toSeq))): _*).as("y"),
-      dot_product(col("embedding"), col("embedding")).as("nn"))
-    val base = embs.filter(col("embedding").isNotNull)
-    val sample = withProj(base.filter(col("vec_id") % JlSampleMod === 0))
-      .select(col("vec_id").as("a_id"), col("embedding").as("xa"),
-        col("y").as("ya"), col("nn").as("na"))
-    val panel = withProj(
-        base.filter(col("vec_id") % JlPanelMod === 1)
-          .orderBy(col("vec_id")).limit(JlPanelSize))
-      .select(col("vec_id").as("b_id"), col("embedding").as("xb"),
-        col("y").as("yb"), col("nn").as("nb"))
-    sample.join(broadcast(panel), col("a_id") =!= col("b_id"))
-      .select(
-        (col("na") + col("nb") - lit(2.0) * dot_product(col("xa"), col("xb")))
-          .as("dx2"),
-        expr(s"aggregate(sequence(1, $JlDims), 0D, (acc, j) -> " +
-          "acc + (element_at(ya, j) - element_at(yb, j)) * " +
-          "(element_at(ya, j) - element_at(yb, j)))").as("dy2"))
-      .filter(col("dx2") > 0.0)
-      .select(expr(s"CAST(FLOOR(dy2 * 10000.0D / (CAST($JlDims AS DOUBLE) * dx2)) AS BIGINT)")
-        .as("distortion_bp"))
-      .select(least(lit(39L), expr("distortion_bp div 1000")).as("bucket"),
-        col("distortion_bp"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_pairs"),
-        min(col("distortion_bp")).as("min_bp"), max(col("distortion_bp")).as("max_bp"))
-      .orderBy(col("bucket"))
-  }
-
-  /** Incremental boilerplate store (q277) — the q264 digest-sync
-    * discipline applied to the q270 SEGMENT FREQUENCIES, proving
-    * [[graft.operators.ScoreStore]] is a general incremental-
-    * materialization primitive, not a scores-only one: the sidecar holds
-    * per-partition PARTIAL aggregates (source, segh, n_inst, n_docs) —
-    * legal because documents never span partitions, so the global
-    * document frequency is the SUM of per-partition distinct counts —
-    * and an ingest batch re-aggregates only its own partition while the
-    * committed partials stand. The lifecycle replayed here: seed a
-    * 3-partition corpus, land an ingest batch as partition 3 (every
-    * batch doc opens with the same 5-token promo banner — fresh
-    * boilerplate by construction), re-sync (digest diff confines the
-    * segment scan to the new partition), and emit the q270 card for the
-    * UNION corpus from the ON-DISK partials. The oracle recomputes the
-    * card from first principles over documents ∪ batch, so a store that
-    * under- or over-merged partials breaks the hash.
-    *
-    * Scale shape: steady-state sync cost is O(changed partitions) — the
-    * q200/q256/q264 argument; the card read merges partials with one
-    * segh-keyed aggregate + equi-join (never re-scanning the corpus).
-    * The banner prefix is exactly [[BoilerSegTokens]] wide, so original
-    * chunk boundaries shift by one whole segment and stay comparable. */
-  def boilerStoreIncremental(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionMemo.memo(spark, s"q277|$dir") {
-      val work = java.nio.file.Files.createTempDirectory("graft_boiler_store").toString
-      val corpus = s"$work/corpus"
-      val docs = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text"),
-          pmod(col("doc_id"), lit(3L)).as("part_id"))
-      docs.write.partitionBy("part_id").parquet(corpus)
-      graft.operators.ScoreStore.sync(spark, corpus, segmentPartials) // full seed
-      // Ingest batch lands as a NEW partition: re-texted sample with a
-      // constant one-segment banner prefix (derived from the source
-      // frame — the overwrite never reads its own target).
-      docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
-          concat(lit("promo sale banner click here "), col("text")).as("text"))
-        .write.mode("overwrite").parquet(s"$corpus/part_id=3")
-      graft.operators.ScoreStore.sync(spark, corpus, segmentPartials) // diff: part 3 only
-      boilerCardFromPartials(graft.operators.ScoreStore.read(spark, corpus))
-    }
-
-  /** Per-partition segment partials (source, segh, n_inst, n_docs) —
-    * the q277 store payload, shared with the q282 streaming gate. */
-  private[graft] def segmentPartials(slice: DataFrame): DataFrame =
-    docSegments(slice)
-      .groupBy(col("source"), col("segh"))
-      .agg(count(lit(1)).as("n_inst"), countDistinct(col("doc_id")).as("n_docs"))
-
-  /** The q270 card from committed per-partition partials: global doc
-    * frequency = Σ partition-local distinct counts (docs never span
-    * partitions); instances rejoin on the segment key. */
-  private[graft] def boilerCardFromPartials(store: DataFrame): DataFrame = {
-    val freq = store.groupBy(col("segh")).agg(sum(col("n_docs")).as("doc_freq"))
-    store.join(freq, Seq("segh"))
-      .groupBy(col("source"))
-      .agg(sum(col("n_inst")).as("n_segments"),
-        sum(when(col("doc_freq") >= BoilerMinDocs, col("n_inst")).otherwise(0L))
-          .as("n_boiler_instances"),
-        countDistinct(when(col("doc_freq") >= BoilerMinDocs, col("segh")))
-          .as("n_boiler_segments"))
-      .select(col("source"), col("n_segments"), col("n_boiler_instances"),
-        expr("n_boiler_instances * 10000L div n_segments").as("boiler_share_bp"),
-        col("n_boiler_segments"))
-      .orderBy(col("source"))
-  }
-
-  /** q278 params, shared with the oracle: the overlap the splitter
-    * leaves (and the candidate join keys on), the max overlap probed,
-    * the minimum doc length to participate, and the split selector. */
-  private[graft] val ReasmOverlap = 5
-  private[graft] val ReasmMaxOverlap = 10
-  private[graft] val ReasmMinTokens = 10
-  private[graft] val ReasmSplitMod = 11L
-
-  /** Scraper-chunk reassembly (q278) — the inverse of the crawler
-    * failure every web corpus carries: long pages arrive SPLIT into
-    * chunks (pagination, extraction windows, retry overlap), usually
-    * with a few repeated tokens at the seam. Training on the pieces
-    * loses long-range structure and double-counts the seam; the
-    * reassembly pass finds (tail of A == head of B) seams and emits the
-    * verified continuation pairs with their exact overlap. The query
-    * first REPLAYS the damage deterministically (docs with
-    * doc_id % [[ReasmSplitMod]] = 0 and ≥ 2·[[ReasmMinTokens]] tokens
-    * split at the midpoint with a [[ReasmOverlap]]-token seam), then
-    * runs reassembly over the damaged corpus: candidates join on the
-    * h60 of the [[ReasmOverlap]]-token tail/head (8-byte keys, the q146
-    * discipline), the seam is verified by direct token-slice equality,
-    * and the true overlap is probed up to [[ReasmMaxOverlap]] tokens.
-    *
-    * Scale shape: one map-only pass computes each doc's head/tail
-    * signature arrays; the candidate join is hash-keyed on the seam
-    * signature (never all-pairs — seam hashes are near-unique, and a
-    * pathological repeated seam is exactly the boilerplate q270 already
-    * flags); verification is a bounded per-pair expression. */
-  def chunkReassembly(spark: SparkSession, dir: String): DataFrame =
-    chunkReassemblyOf(Tables.documents(spark, dir))
-
-  private[graft] def chunkReassemblyOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val ov = ReasmOverlap
-    val mx = ReasmMaxOverlap
-    val base = docs.select(col("doc_id"), col("source"),
-      split(col("text"), " ").as("toks"))
-    // Replay the splitter: midpoint cut with an ov-token seam.
-    val victims = base.filter(
-      col("doc_id") % ReasmSplitMod === 0 && size(col("toks")) >= 2 * ReasmMinTokens)
-    val chunk1 = victims.select(
-      (col("doc_id") * 2 + 2000000L).as("doc_id"), col("source"),
-      expr(s"slice(toks, 1, size(toks) div 2 + $ov)").as("toks"))
-    val chunk2 = victims.select(
-      (col("doc_id") * 2 + 2000001L).as("doc_id"), col("source"),
-      expr("slice(toks, size(toks) div 2 + 1, size(toks) - size(toks) div 2)").as("toks"))
-    val corpus = base
-      .filter(!(col("doc_id") % ReasmSplitMod === 0 && size(col("toks")) >= 2 * ReasmMinTokens))
-      .unionByName(chunk1).unionByName(chunk2)
-      .filter(size(col("toks")) >= ReasmMinTokens)
-    val sigs = corpus.select(col("doc_id"), size(col("toks")).cast("long").as("n"),
-      expr(s"slice(toks, size(toks) - ${mx - 1}, $mx)").as("tt"),
-      expr(s"slice(toks, 1, $mx)").as("hh"))
-    val tails = sigs.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("tt"),
-      md5_token_hashes(
-        array(expr(s"array_join(slice(tt, ${mx - ov + 1}, $ov), ' ')")), 60)
-        .getItem(0).as("seam_h"))
-    // An overlap of l ∈ [ov, mx] puts A's ov-token tail at position
-    // l−ov+1 of B's head window, so every head position p ∈ [1, mx−ov+1]
-    // emits a join key; the candidate's implied overlap is l = p+ov−1.
-    val heads = sigs
-      .select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("hh"),
-        explode(expr(s"sequence(1, ${mx - ov + 1})")).as("p"))
-      .select(col("doc_b"), col("n_b"), col("hh"),
-        (col("p") + lit(ov - 1)).cast("long").as("l"),
-        md5_token_hashes(
-          array(expr(s"array_join(slice(hh, p, $ov), ' ')")), 60)
-          .getItem(0).as("seam_h"))
-    tails.join(heads, Seq("seam_h"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      // hash candidates verify the FULL implied overlap by direct slice
-      // equality; periodic seams can verify at several l — keep the max
-      .filter(expr(s"slice(tt, $mx + 1 - l, CAST(l AS INT)) = slice(hh, 1, CAST(l AS INT))"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("l")).as("overlap_len"),
-        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
-      .select(col("doc_a"), col("doc_b"), col("overlap_len"),
-        (col("n_a") + col("n_b") - col("overlap_len")).as("merged_tokens"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  /** q279 params, shared with the oracle: a span STARTS at token i when
-    * h31(doc_id:i) ≡ 0 mod [[SpanEvery]] (≈1/17 of positions) and runs
-    * 1 + (h31 >> 5) mod [[SpanMaxLen]] tokens — ≈12% masked before
-    * overlap merging, the T5 operating point. */
-  private[graft] val SpanEvery = 17L
-  private[graft] val SpanMaxLen = 3L
-
-  /** Span-corruption example assembly (q279) — the T5/UL2 pretraining
-    * objective's DATA side: every document gets deterministic mask
-    * spans (PRNG replaced by the portable h31 of doc_id:position, so
-    * re-runs and engines agree bit-for-bit), overlapping spans merge,
-    * and the card reports per source what the objective will see —
-    * masked-token share, merged span count, mean span length, and the
-    * sentinel budget (max merged spans in any one doc, which bounds the
-    * sentinel vocabulary the tokenizer must reserve).
-    *
-    * Scale shape: span starts and lengths are map-only hash
-    * expressions; spans explode to covered positions and dedup with a
-    * doc-keyed two-phase aggregate (overlap merging NEEDS no interval
-    * logic at the count level — distinct covered positions IS the
-    * merged mass); merged-span counting is the gaps-and-islands lag
-    * over per-doc frames (the q169/q253 discipline — windows partition
-    * by doc, never corpus-wide); the card is a ≤|sources|-row rollup. */
-  def spanCorruption(spark: SparkSession, dir: String): DataFrame =
-    spanCorruptionOf(Tables.documents(spark, dir))
-
-  private[graft] def spanCorruptionOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col("doc_id"), col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val starts = base
-      .select(col("doc_id"), col("source"), col("n_tok"),
-        explode(expr("sequence(1, CAST(n_tok AS INT))")).as("i"))
-      .select(col("doc_id"), col("source"), col("n_tok"), col("i"),
-        md5_token_hashes(
-          array(concat(col("doc_id").cast("string"), lit(":"), col("i").cast("string"))),
-          bits = 31).getItem(0).as("h"))
-      .filter(col("h") % SpanEvery === 0)
-      .select(col("doc_id"), col("source"), col("n_tok"), col("i"),
-        (lit(1L) + expr(s"shiftright(h, 5) % $SpanMaxLen")).as("len"))
-    val covered = starts
-      .select(col("doc_id"), col("source"), col("n_tok"),
-        explode(expr("sequence(CAST(i AS BIGINT), " +
-          "least(CAST(n_tok AS BIGINT), i + len - 1))")).as("pos"))
-      .distinct()
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val perDoc = covered
-      .withColumn("prev", lag(col("pos"), 1).over(w))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(max(col("n_tok")).as("n_tok"), count(lit(1)).as("n_masked"),
-        sum(when(col("prev").isNull || col("pos") - col("prev") > 1, 1L)
-          .otherwise(0L)).as("n_spans"))
-    val srcTot = base.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-    val spanTot = perDoc.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_masked_docs"), sum(col("n_masked")).as("n_masked"),
-        sum(col("n_spans")).as("n_spans"), max(col("n_spans")).as("sentinel_budget"))
-    srcTot.join(spanTot, Seq("source"))
-      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_masked_docs"),
-        col("n_masked"),
-        expr("n_masked * 10000L div n_tokens").as("masked_bp"),
-        col("n_spans"),
-        expr("n_masked * 100L div n_spans").as("avg_span_len_x100"),
-        col("sentinel_budget"))
-      .orderBy(col("source"))
-  }
-
-  /** q280: positional-stability threshold (bp of a template's instances
-    * that sit at its modal chunk index) — shared with the oracle. */
-  private[graft] val TemplatePosBp = 8000L
-
-  /** Template extraction by positional stability (q280) — the
-    * header/footer refinement of q270: a segment that recurs across
-    * documents AND at the SAME chunk index is structural chrome (page
-    * headers at g=0, footers at the end, injected banners at a fixed
-    * offset), strippable with positional confidence; a recurring
-    * segment that floats is quotation/copy, which dedup (not template
-    * stripping) should handle. Emits one row per template: the segment
-    * key, document frequency, instance count, modal chunk index, and
-    * the modal-position share (bp) that crossed [[TemplatePosBp]].
-    *
-    * Scale shape: the explode carries the chunk index alongside the
-    * q270 hash (same map-only pass); (segh, g) and segh aggregates are
-    * two stacked hash-keyed two-phase aggregates; the modal position is
-    * a max-of-struct (count, g) — map-combinable, no window; the
-    * template list is frequency-filtered (df ≥ [[BoilerMinDocs]])
-    * before the stability join, so output is boilerplate-sized. */
-  def templatePositions(spark: SparkSession, dir: String): DataFrame =
-    templatePositionsOf(Tables.documents(spark, dir))
-
-  private[graft] def templatePositionsOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val k = BoilerSegTokens
-    val segs = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, CAST(size(toks) div $k AS INT) - 1), " +
-          s"g -> array_join(slice(toks, g*$k + 1, $k), ' '))")).as(Seq("g", "seg")))
-      .select(col("doc_id"), col("g").cast("long").as("g"),
-        md5_token_hashes(array(col("seg")), 60).getItem(0).as("segh"))
-    val byPos = segs.groupBy(col("segh"), col("g"))
-      .agg(count(lit(1)).as("n_at"))
-    val bySeg = segs.groupBy(col("segh"))
-      .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("n_inst"))
-      .filter(col("doc_freq") >= BoilerMinDocs)
-    // modal index: max over (count, -g) — ties resolve to the LOWEST g,
-    // replayed in SQL as a (n_at, -g) struct max.
-    bySeg.join(
-        byPos.groupBy(col("segh"))
-          .agg(max(struct(col("n_at"), (-col("g")).as("ng"))).as("m")),
-        Seq("segh"))
-      .select(col("segh"), col("doc_freq"), col("n_inst"),
-        (-col("m.ng")).as("modal_g"),
-        expr("m.n_at * 10000L div n_inst").as("pos_share_bp"))
-      .filter(col("pos_share_bp") >= TemplatePosBp)
-      .orderBy(col("doc_freq").desc, col("segh"))
-  }
-
-  /** q281 labeler panel: (weight modulus, lane rotation) per labeler —
-    * labeler 0 is q261's scorer, 1 and 2 are decorrelated variants
-    * (the q272 construction widened to a panel); shared with the oracle. */
-  private[graft] val AggLabelers = Seq((2001L, 0), (1999L, 2), (1997L, 1))
-
-  /** Weighted label aggregation (q281) — the Dawid–Skene move every
-    * multi-annotator pipeline runs after q252's agreement check says
-    * "the labelers disagree": estimate each labeler's reliability from
-    * majority agreement, then RE-VOTE with reliability weights, so one
-    * good labeler outvotes two correlated noisy ones. One exact
-    * integer round: majority vote (2-of-3, ties → lowest class index),
-    * per-labeler accuracy vs majority (bp), then weighted argmax with
-    * those accuracies as weights. The card reports per labeler its
-    * accuracy against both rounds plus how many documents the
-    * re-weighting flipped — the number that says whether a second
-    * Dawid–Skene iteration is worth running.
-    *
-    * Scale shape: all three labels are ONE map pass over the shared
-    * h60 token hashes (twelve lane sums in one projection); the
-    * majority and weighted votes are per-row CASE chains; accuracies
-    * are a 3-row aggregate broadcast back into the re-vote; the card
-    * is a 3-row result. Nothing corpus-scaled shuffles except the one
-    * doc-level aggregate. */
-  def labelAggregation(spark: SparkSession, dir: String): DataFrame =
-    labelAggregationOf(Tables.documents(spark, dir))
-
-  private[graft] def labelAggregationOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val nC = ClsClasses.size
-    val labelCols = AggLabelers.zipWithIndex.flatMap { case ((mod, rot), li) =>
-      ClsClasses.indices.map { i =>
-        val lane = (i + rot) % nC
-        expr(s"aggregate(h, 0L, (acc, x) -> " +
-          s"acc + ((shiftright(x, ${15 * lane}) & 32767) % $mod) - 1000)").as(s"s${li}_$i")
-      }
-    }
-    def argmaxFirst(li: Int): org.apache.spark.sql.Column =
-      ClsClasses.indices.init.foldRight(lit(nC - 1)) { (i, rest) =>
-        val geRest = ClsClasses.indices.drop(i + 1)
-          .map(j => col(s"s${li}_$i") >= col(s"s${li}_$j")).reduce(_ && _)
-        when(geRest, lit(i)).otherwise(rest)
-      }
-    val labeled = docs
-      .select(col("doc_id"), md5_token_hashes(split(col("text"), " "), 60).as("h"))
-      .select(col("doc_id") +: labelCols: _*)
-      .select(col("doc_id"), argmaxFirst(0).as("l0"), argmaxFirst(1).as("l1"),
-        argmaxFirst(2).as("l2"))
-      // 2-of-3 majority; full disagreement → lowest class index among
-      // the three votes (deterministic, replayed in SQL).
-      .withColumn("maj",
-        when(col("l0") === col("l1") || col("l0") === col("l2"), col("l0"))
-          .when(col("l1") === col("l2"), col("l1"))
-          .otherwise(least(col("l0"), col("l1"), col("l2"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val acc = labeled.agg(
-      count(lit(1)).as("n_docs"),
-      sum(when(col("l0") === col("maj"), 1L).otherwise(0L)).as("a0"),
-      sum(when(col("l1") === col("maj"), 1L).otherwise(0L)).as("a1"),
-      sum(when(col("l2") === col("maj"), 1L).otherwise(0L)).as("a2"))
-      .select(col("n_docs"),
-        expr("a0 * 10000L div n_docs").as("w0"),
-        expr("a1 * 10000L div n_docs").as("w1"),
-        expr("a2 * 10000L div n_docs").as("w2"))
-    // Weighted re-vote: score(c) = Σ_l w_l·[vote_l = c]; argmax with
-    // ties to the lowest class index.
-    val revoted = labeled.crossJoin(broadcast(acc))
-      .withColumn("wl", expr(
-        ClsClasses.indices.map { c =>
-          s"(CASE WHEN l0 = $c THEN w0 ELSE 0L END + " +
-            s"CASE WHEN l1 = $c THEN w1 ELSE 0L END + " +
-            s"CASE WHEN l2 = $c THEN w2 ELSE 0L END)"
-        }.mkString("array(", ", ", ")")))
-      .withColumn("wvote", expr(
-        s"array_position(wl, array_max(wl)) - 1"))
-    val flips = revoted.agg(
-      sum(when(col("wvote") =!= col("maj"), 1L).otherwise(0L)).as("n_flipped"),
-      sum(when(col("l0") === col("wvote"), 1L).otherwise(0L)).as("b0"),
-      sum(when(col("l1") === col("wvote"), 1L).otherwise(0L)).as("b1"),
-      sum(when(col("l2") === col("wvote"), 1L).otherwise(0L)).as("b2"),
-      count(lit(1)).as("n_docs"))
-    flips.crossJoin(broadcast(acc.select(col("w0"), col("w1"), col("w2"))))
-      .select(explode(expr(
-        "array(struct(0L AS labeler, w0 AS acc_majority_bp, b0 AS n_agree_weighted), " +
-          "struct(1L AS labeler, w1 AS acc_majority_bp, b1 AS n_agree_weighted), " +
-          "struct(2L AS labeler, w2 AS acc_majority_bp, b2 AS n_agree_weighted))")).as("r"),
-        col("n_docs"), col("n_flipped"))
-      .select(col("r.labeler"), col("r.acc_majority_bp"),
-        expr("r.n_agree_weighted * 10000L div n_docs").as("acc_weighted_bp"),
-        col("n_docs"), col("n_flipped"))
-      .orderBy(col("labeler"))
-  }
-
-  /** q282 gate: reject a streamed doc when its boilerplate segment share
-    * reaches this (bp) — shared with the oracle. */
-  private[graft] val BoilerGateBp = 3000L
-
-  /** Boilerplate-gated streaming ingest (q282) — the q277 committed
-    * store applied at ADMISSION time: the nightly sync publishes the
-    * segment-frequency partials; the ingest stream scores every
-    * incoming document against that committed model (share of its
-    * segments that are known boilerplate) and rejects chrome-heavy
-    * docs before they ever join the corpus — the online half of the
-    * q270 curation decision, exactly how a production gate consumes a
-    * batch-built model (the q240/q254 admission pattern, with segments
-    * instead of vectors). The lifecycle replayed: seed documents ∪ the
-    * promo-banner batch, sync the store, stream a derived batch (half
-    * the docs carry the banner — known boilerplate; half are clean
-    * heads), and emit every admission decision read from the ON-DISK
-    * decision log. Gate semantics are deliberately committed-model-only
-    * (admitted docs do NOT update frequencies mid-stream — the model
-    * refreshes on the next nightly sync), so decisions are
-    * batch-order-free and the oracle replays them from first
-    * principles.
-    *
-    * Scale shape: per micro-batch, work is batch-segments ⋈ the
-    * committed boilerplate KEY SET (boilerplate-sized, broadcast) +
-    * one doc-keyed aggregate — O(batch), never O(corpus); the decision
-    * log appends per batch. */
-  def streamBoilerGate(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionMemo.memo(spark, s"q282|$dir") {
-      val s = spark.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val work = java.nio.file.Files.createTempDirectory("graft_boiler_gate").toString
-      val corpus = s"$work/corpus"
-      val docs = Tables.documents(s, dir)
-      val banner = "promo sale banner click here "
-      // Seed = the q277 final corpus: documents ∪ the banner batch.
-      docs.select(col("doc_id"), col("source"), col("text"))
-        .unionByName(docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
-            concat(lit(banner), col("text")).as("text")))
-        .withColumn("part_id", pmod(col("doc_id"), lit(4L)))
-        .write.partitionBy("part_id").parquet(corpus)
-      graft.operators.ScoreStore.sync(s, corpus, segmentPartials)
-      val boilerKeys = graft.operators.ScoreStore.read(s, corpus)
-        .groupBy(col("segh")).agg(sum(col("n_docs")).as("df"))
-        .filter(col("df") >= BoilerMinDocs)
-        .select(col("segh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Incoming: short heads of mod-5 docs; half carry the banner.
-      val staged = s"$work/incoming"
-      val toks = split(col("text"), " ")
-      docs.filter(col("doc_id") % 5 === 0 && size(toks) >= 20)
-        .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
-          when(col("doc_id") % 10 === 0,
-            concat(lit(banner), array_join(expr("slice(split(text, ' '), 1, 10)"), " ")))
-            .otherwise(array_join(expr("slice(split(text, ' '), 1, 15)"), " "))
-            .as("text"))
-        .write.parquet(staged)
-      val decisions = s"$work/decisions"
-      val t0 = System.currentTimeMillis()
-      val q = s.readStream.schema(s.read.parquet(staged).schema).parquet(staged)
-        .writeStream
-        .option("checkpointLocation", s"$work/_checkpoint")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val scored = docSegments(batch)
-            .join(broadcast(boilerKeys.withColumn("is_b", lit(1L))), Seq("segh"), "left")
-            .groupBy(col("doc_id"), col("source"))
-            .agg(count(lit(1)).as("n_segments"),
-              sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
-            .select(col("doc_id"), col("source"), col("n_segments"), col("n_boiler"),
-              expr("n_boiler * 10000L div n_segments").as("boiler_bp"))
-            .withColumn("admitted", col("boiler_bp") < BoilerGateBp)
-          scored.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(decisions)
-          ()
-        }
-        .start()
-      graft.StreamLog.await(t0, q)
-      spark.read.parquet(decisions)
-        .select(col("doc_id"), col("source"), col("n_segments"), col("n_boiler"),
-          col("boiler_bp"), col("admitted"))
-        .orderBy(col("doc_id"))
-    }
-
-  /** q283 selection quota divisor (keep the top 1/N of the corpus by
-    * fused rank), shared with the oracle. */
-  private[graft] val BordaQuotaDiv = 4L
-
-  /** Borda rank fusion selection (q283) — the multi-signal curation
-    * vote: three independent quality signals (token length, lexical
-    * diversity, classifier margin) each rank the whole corpus, the
-    * ranks SUM (Borda count — scale-free, so a signal with a huge
-    * dynamic range can't drown the others the way raw-score averaging
-    * does), and the top 1/[[BordaQuotaDiv]] by fused rank is selected.
-    * q127's RRF fuses per-query RETRIEVAL lists (tens of rows); this is
-    * the corpus-wide SELECTION twin, where every rank is a global sort
-    * of the full document frame. Card per source: docs, selected share,
-    * and the mean fused rank of selected vs all — the readout that says
-    * which sources the fused vote actually favors.
-    *
-    * Scale shape: all three signals come from ONE map-only projection
-    * (split once, h60 once — no explode, no token shuffle); each global
-    * rank routes through the sharded [[graft.operators.GlobalRank]]
-    * (sampled range exchange + pid-local window + broadcast offsets —
-    * never a single-partition sort), and the fused rank is a fourth
-    * GlobalRank over the (ranksum, doc_id) key; the quota is a 1-row
-    * broadcast; the card is a ≤|sources|-row aggregate. Four range
-    * exchanges over slim (doc_id, longs) rows is the honest cost of
-    * four independent total orders — nothing corpus-sized is ever
-    * windowed unpartitioned or collected. */
-  def bordaFusion(spark: SparkSession, dir: String): DataFrame =
-    bordaFusionOf(Tables.documents(spark, dir))
-
-  private[graft] def bordaFusionOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val nC = ClsClasses.size
-    val scoreCols = ClsClasses.indices.map { i =>
-      expr(s"aggregate(h, 0L, (acc, x) -> " +
-        s"acc + ((shiftright(x, ${15 * i}) & 32767) % $ClsWeightMod) - 1000)").as(s"s$i")
-    }
-    val sigs = docs
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), col("source"),
-        size(col("t")).cast("long").as("s_len"),
-        expr("CAST(size(array_distinct(t)) AS BIGINT) * 10000L div size(t)").as("s_div"),
-        md5_token_hashes(col("t"), 60).as("h"))
-      .select(col("doc_id") +: col("source") +: col("s_len") +: col("s_div") +: scoreCols: _*)
-      .withColumn("ss", sort_array(array(ClsClasses.indices.map(i => col(s"s$i")): _*)))
-      .select(col("doc_id"), col("source"), col("s_len"), col("s_div"),
-        (element_at(col("ss"), nC) - element_at(col("ss"), nC - 1)).as("s_mgn"))
-    import graft.operators.GlobalRank.rowNumber
-    val ranked = rowNumber(rowNumber(rowNumber(sigs,
-        Seq(col("s_len").desc, col("doc_id").asc), "r_len"),
-        Seq(col("s_div").desc, col("doc_id").asc), "r_div"),
-        Seq(col("s_mgn").desc, col("doc_id").asc), "r_mgn")
-      .withColumn("ranksum", col("r_len") + col("r_div") + col("r_mgn"))
-    val fused = rowNumber(ranked, Seq(col("ranksum").asc, col("doc_id").asc), "rk")
-    val kq = fused.agg(expr(s"count(1) div $BordaQuotaDiv").as("kq"))
-    fused.crossJoin(broadcast(kq))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("rk") <= col("kq"), 1L).otherwise(0L)).as("n_selected"),
-        expr("sum(ranksum) div count(1)").as("avg_ranksum_all"),
-        expr("""CASE WHEN sum(CASE WHEN rk <= kq THEN 1L ELSE 0L END) = 0L THEN 0L
-          |  ELSE sum(CASE WHEN rk <= kq THEN ranksum ELSE 0L END)
-          |    div sum(CASE WHEN rk <= kq THEN 1L ELSE 0L END) END""".stripMargin)
-          .as("avg_ranksum_sel"))
-      .select(col("source"), col("n_docs"), col("n_selected"),
-        expr("n_selected * 10000L div n_docs").as("selected_bp"),
-        col("avg_ranksum_all"), col("avg_ranksum_sel"))
-      .orderBy(col("source"))
-  }
-
-  /** q284 schedule constants, shared with the oracle: docs per training
-    * shard and the number of epochs scheduled. */
-  private[graft] val EpochShardDocs = 16L
-  private[graft] val EpochCount = 3
-
-  /** Deterministic multi-epoch shuffle schedule (q284) — the training
-    * loader's reproducible shard order: epoch e orders every shard by
-    * h31(source:shard:e), so each epoch is an independent pseudo-random
-    * permutation that any worker can recompute from the shard id alone
-    * (no stored permutation table, no driver-held state — the property
-    * that makes checkpoint resume trivial). The card audits what the
-    * shuffle is FOR: per epoch, the share of adjacent shard pairs from
-    * the same source (same-source runs starve the mixer) and the mean
-    * displacement from the epoch-0 order (zero displacement would mean
-    * the "shuffle" repeats and multi-epoch training sees the same
-    * curriculum every pass).
-    *
-    * Scale shape: the shard frame is corpus/[[EpochShardDocs]]-sized —
-    * corpus-shaped, so each epoch's position comes from the sharded
-    * [[graft.operators.GlobalRank]] (never a single-partition sort, and
-    * never a window partitioned by epoch, which would put a whole epoch
-    * on one reducer); adjacency is a hash self-join on (epoch, pos+1);
-    * displacement joins each epoch to epoch 0 on the shard key. Only
-    * slim (key, longs) rows ever shuffle; the card is E rows. */
-  def epochSchedule(spark: SparkSession, dir: String): DataFrame =
-    epochScheduleOf(Tables.documents(spark, dir))
-
-  private[graft] def epochScheduleOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    import graft.operators.GlobalRank.rowNumber
-    val shards = docs
-      .groupBy(col("source"), expr(s"doc_id div $EpochShardDocs").as("shard_no"))
-      .agg(count(lit(1)).as("n_docs"))
-    val perEpoch = (0 until EpochCount).map { e =>
-      val keyed = shards.withColumn("ek",
-        md5_token_hashes(array(concat_ws(":", col("source"), col("shard_no"), lit(e))), 31)
-          .getItem(0))
-      rowNumber(keyed, Seq(col("ek").asc, col("source").asc, col("shard_no").asc), "pos")
-        .select(lit(e.toLong).as("epoch"), col("source"), col("shard_no"), col("pos"))
-    }.reduce(_ unionByName _)
-    val adj = perEpoch.alias("a")
-      .join(perEpoch.alias("b"),
-        col("a.epoch") === col("b.epoch") && (col("a.pos") + 1L) === col("b.pos"))
-      .groupBy(col("a.epoch").as("epoch"))
-      .agg(count(lit(1)).as("n_adj"),
-        sum(when(col("a.source") === col("b.source"), 1L).otherwise(0L)).as("n_same"))
-    val disp = perEpoch.alias("e")
-      .join(perEpoch.filter(col("epoch") === 0L)
-          .select(col("source"), col("shard_no"), col("pos").as("pos0")),
-        Seq("source", "shard_no"))
-      .groupBy(col("epoch"))
-      .agg(count(lit(1)).as("n_shards"),
-        sum(abs(col("pos") - col("pos0"))).as("disp_sum"))
-    disp.join(adj, Seq("epoch"))
-      .select(col("epoch"), col("n_shards"),
-        expr("n_same * 10000L div n_adj").as("same_src_adj_bp"),
-        expr("disp_sum * 100L div n_shards").as("mean_disp_x100"))
-      .orderBy(col("epoch"))
-  }
-
-  /** Text-normalization audit + dedup gain (q285) — the canonicalization
-    * step every scrape pipeline runs before exact dedup (casefold,
-    * whitespace-run collapse, edge trim), audited for what it actually
-    * buys: the corpus here is born clean (the generator emits lowercase
-    * single-spaced text), so the query replays the LIFECYCLE the q246/
-    * q282 way — a deterministic "raw scrape" twin is derived in-query
-    * (every 7th document re-enters as an UPPERCASED, double-spaced
-    * variant, the classic same-page-different-markup shape), and the
-    * card reports per source how many docs normalization rewrites, the
-    * character mass it sheds, and the exact-dup pairs that exist ONLY
-    * after normalization (distinct raw hashes minus distinct normalized
-    * hashes) — the dedup gain that justifies the pass.
-    *
-    * Scale shape: the variant union and the normalization are map-only
-    * (regexp + lower + trim inside one codegen stage); both distinct
-    * counts ride h60 hashes (the q64 no-string-shuffles rule) in ONE
-    * per-source aggregate; the card is ≤|sources| rows. */
-  def normalizationAudit(spark: SparkSession, dir: String): DataFrame =
-    normalizationAuditOf(Tables.documents(spark, dir))
-
-  private[graft] def normalizationAuditOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val raw = docs.select(col("doc_id"), col("source"), col("text"))
-      .unionByName(docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 5000000L).as("doc_id"), col("source"),
-          replace(upper(col("text")), lit(" "), lit("  ")).as("text")))
-    val normed = raw.withColumn("norm",
-      lower(trim(regexp_replace(col("text"), lit(" +"), lit(" ")))))
-    normed
-      .select(col("source"),
-        when(col("norm") =!= col("text"), 1L).otherwise(0L).as("chg"),
-        length(col("text")).cast("long").as("len_raw"),
-        length(col("norm")).cast("long").as("len_norm"),
-        md5_token_hashes(array(col("text")), 60).getItem(0).as("h_raw"),
-        md5_token_hashes(array(col("norm")), 60).getItem(0).as("h_norm"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("chg")).as("n_changed"),
-        sum(col("len_raw")).as("chars_raw"), sum(col("len_norm")).as("chars_norm"),
-        countDistinct(col("h_raw")).as("d_raw"),
-        countDistinct(col("h_norm")).as("d_norm"))
-      .select(col("source"), col("n_docs"), col("n_changed"),
-        expr("n_changed * 10000L div n_docs").as("changed_bp"),
-        expr("(chars_raw - chars_norm) * 10000L div chars_raw").as("shed_bp"),
-        (col("d_raw") - col("d_norm")).as("dup_gain"))
-      .orderBy(col("source"))
-  }
-
-  /** q286 fixed-point scale (loadings live in [-Scale, Scale]) and power
-    * iteration count, shared with the oracle. */
-  private[graft] val PcaScale = 10000L
-  private[graft] val PcaIters = 6
-
-  /** Top principal component by exact integer power iteration (q286) —
-    * the rotation prerequisite for OPQ/whitening that q209's diagonal
-    * stats can't answer: WHERE does the embedding cloud actually vary?
-    * The centered scatter matrix rides the q192/q209 power-sum algebra
-    * (M_ij = n·Σf_i f_j − S_i·S_j over per-element floors f = ⌊x·10⁴⌋ —
-    * exact integers, order-free), and [[PcaIters]] rounds of
-    * v ← (M·v)·Scale / max|M·v| (L∞ normalization — no sqrt, so the
-    * iterate stays an exact integer vector; divisions are sign-split to
-    * keep Spark/driver truncation and DuckDB `//` identical, the q252
-    * rule) converge the iterate onto the dominant eigenvector. Output:
-    * per-dimension loading plus the explained-variance share
-    * (Rayleigh λ = vᵀMv/vᵀv over trace(M), in bp) — the number that
-    * says whether one rotation axis is worth storing.
-    *
-    * Scale shape: the scatter pass is the honest O(n·d²) covariance
-    * explode — two stacked posexplodes shuffling only (i, j, Σfᵢfⱼ)
-    * partials into d² = 4096 keys (map-side combine does the heavy
-    * reduction); the collected state is d²+d numbers (the q274
-    * result-sized-matrix rule — never corpus-shaped), and the iteration
-    * is O(d²·k) driver arithmetic on BigInt (overflow-free); products
-    * ride DECIMAL(38,0) on the cluster side. */
-  def pcaPower(spark: SparkSession, dir: String): DataFrame =
-    pcaPowerOf(Tables.embeddings(spark, dir))
-
-  private[graft] def pcaPowerOf(emb: DataFrame): DataFrame = {
-    import graft.similarity.Pq.Dim
-    val d = Dim
-    val f = emb.filter(col("embedding").isNotNull && size(col("embedding")) >= d)
-      .select(expr(s"transform(slice(embedding, 1, $d), " +
-        s"x -> CAST(floor(CAST(x AS DOUBLE) * $PcaScale) AS BIGINT))").as("f"))
-    val pairSums = f
-      .select(col("f"), posexplode(col("f")).as(Seq("i", "fi")))
-      .select(col("i"), col("fi"), posexplode(col("f")).as(Seq("j", "fj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(expr("CAST(fi AS DECIMAL(38,0)) * fj")).as("sff"))
-      .collect()
-    val dimSums = f
-      .select(posexplode(col("f")).as(Seq("i", "fi")))
-      .groupBy(col("i"))
-      .agg(sum(col("fi")).as("si"), count(lit(1)).as("n"))
-      .collect()
-    val si = Array.fill(d)(BigInt(0))
-    var n = BigInt(0)
-    dimSums.foreach { r => si(r.getInt(0)) = BigInt(r.getLong(1)); n = BigInt(r.getLong(2)) }
-    val m = Array.ofDim[BigInt](d, d)
-    pairSums.foreach { r =>
-      m(r.getInt(0))(r.getInt(1)) =
-        n * BigInt(r.getDecimal(2).toBigInteger) - si(r.getInt(0)) * si(r.getInt(1))
-    }
-    var v = Array.fill(d)(BigInt(PcaScale))
-    (1 to PcaIters).foreach { _ =>
-      val u = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
-      val mx = u.map(_.abs).max
-      if (mx.signum != 0)
-        v = u.map(x => if (x.signum >= 0) x * PcaScale / mx else -((-x) * PcaScale / mx))
-    }
-    val tr = (0 until d).map(i => m(i)(i)).sum
-    val num = (for { i <- 0 until d; j <- 0 until d } yield v(i) * m(i)(j) * v(j)).sum
-    val den = v.map(x => x * x).sum
-    val evBp = if (den.signum == 0 || tr.signum == 0) 0L
-      else (num * 10000 / (den * tr)).toLong
-    val sq = emb.sparkSession
-    import sq.implicits._
-    (0 until d).map(i => (i.toLong, v(i).toLong, evBp))
-      .toDF("dim", "loading_fp", "ev_bp")
-      .orderBy(col("dim"))
-  }
-
-  /** q287 decay constants, shared with the oracle: scores carry a ×256
-    * fixed-point weight halved per hour of age; contributions older than
-    * [[DecayMaxAge]] hours round to zero exactly. */
-  private[graft] val DecayScale = 256L
-  private[graft] val DecayMaxAge = 8L
-  private[graft] val DecayTopK = 20
-
-  /** Half-life-decayed heavy hitters (q287) — the TRENDING twin of q79:
-    * a static count answers "who is big", a decayed count answers "who
-    * is big NOW". Each user's hourly activity enters with weight
-    * 2^−age (age in hours from the corpus's latest hour), in exact
-    * integer arithmetic: weight = [[DecayScale]] >> age, zero beyond
-    * [[DecayMaxAge]] — so the score is order-free, mergeable, and
-    * replayable bit-for-bit (no float pow, the q146 integer stand-in
-    * rule). Top [[DecayTopK]] by (decayed score, user_id).
-    *
-    * Scale shape: one (user, hour) aggregate with map-side partials
-    * (the shuffle carries counts, not events), the latest-hour frame is
-    * a 1-row broadcast, the per-user fold is a second keyed aggregate,
-    * and the top-k is a TakeOrdered (no global sort materializes — the
-    * k-row heap merges per partition). The decayed score is exactly the
-    * state a streaming trender would keep per key. */
-  def decayedHitters(spark: SparkSession, dir: String): DataFrame =
-    decayedHittersOf(Tables.events(spark, dir))
-
-  private[graft] def decayedHittersOf(events: DataFrame): DataFrame =
-    decayedFold(events
-      .groupBy(col("user_id"), expr("unix_micros(ts) div 3600000000L").as("hour_id"))
-      .agg(count(lit(1)).as("n")))
-
-  /** The q287 decay fold over a merged (user_id, hour_id, n) frame —
-    * shared with the q293 streaming store (the fold is exactly the
-    * mergeable-state contract: partial hourly counts from any number of
-    * micro-batches sum into the same card). */
-  private[graft] def decayedFold(hourly: DataFrame): DataFrame = {
-    val latest = hourly.agg(max(col("hour_id")).as("latest"))
-    hourly.crossJoin(broadcast(latest))
-      .select(col("user_id"), col("n"), col("hour_id"),
-        (col("latest") - col("hour_id")).as("age"))
-      .groupBy(col("user_id"))
-      .agg(sum(expr(s"n * (CASE WHEN age > $DecayMaxAge THEN 0L " +
-          s"ELSE shiftright(${DecayScale}L, CAST(age AS INT)) END)")).as("decayed_x256"),
-        sum(col("n")).as("n_events"),
-        count(lit(1)).as("n_hours"))
-      .orderBy(col("decayed_x256").desc, col("user_id"))
-      .limit(DecayTopK)
-  }
-
-  /** Streaming trender (q293) — q287's decayed heavy hitters run the
-    * way a production trender actually runs: the event stream folds
-    * per micro-batch into (user, hour) count PARTIALS appended to an
-    * on-disk store (order-free, commutative — the mergeable-state
-    * property q287's docstring promises, here exercised for real), and
-    * the card reads the store, merges partials, and applies the same
-    * decay fold. Because partial hourly counts commute, the streaming
-    * card is IDENTICAL to the batch card — q293 shares q287's oracle
-    * verbatim, which is the strongest streaming/batch equivalence
-    * statement the gate can make.
-    *
-    * Scale shape: per micro-batch work is one keyed aggregate over the
-    * batch + an append (O(batch), never O(history)); the store holds
-    * (user, hour) partials — bounded by active keys × retention, not by
-    * event volume; the final fold is the q287 plan over the merged
-    * store. */
-  def streamTrender(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionMemo.memo(spark, s"q293|$dir") {
-      val s = spark.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val work = java.nio.file.Files.createTempDirectory("graft_stream_trender").toString
-      val staged = s"$work/incoming"
-      Tables.events(s, dir)
-        .select(col("event_id"), col("ts"), col("user_id"))
-        .repartition(4, pmod(col("event_id"), lit(4L)))
-        .write.parquet(staged)
-      val store = s"$work/partials"
-      val t0 = System.currentTimeMillis()
-      val q = s.readStream.schema(s.read.parquet(staged).schema)
-        .option("maxFilesPerTrigger", "1").parquet(staged)
-        .writeStream
-        .option("checkpointLocation", s"$work/_checkpoint")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch
-            .groupBy(col("user_id"),
-              expr("unix_micros(ts) div 3600000000L").as("hour_id"))
-            .agg(count(lit(1)).as("n"))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(store)
-          ()
-        }
-        .start()
-      graft.StreamLog.await(t0, q)
-      decayedFold(spark.read.parquet(store)
-        .groupBy(col("user_id"), col("hour_id")).agg(sum(col("n")).as("n")))
-    }
-
-  /** q288 worker count, shared with the oracle. */
-  private[graft] val LptWorkers = 4
-
-  /** LPT shard-assignment makespan card (q288) — the job-scheduling
-    * half of data layout: q237's HRW rebalance places shards by HASH
-    * (stable, size-blind); this places SOURCES by SIZE — the classic
-    * Longest-Processing-Time greedy (sort by token mass desc, assign
-    * each to the least-loaded of [[LptWorkers]] workers), whose
-    * makespan is provably ≤ 4/3·OPT. The card reports per worker its
-    * source count, token load, and load share, plus the makespan
-    * against the trivial lower bound max(⌈total/k⌉, largest source) —
-    * the number that says whether source granularity itself (one
-    * monster source) is the bottleneck.
-    *
-    * Scale shape: ONE corpus scan (per-source token mass, map-side
-    * combining); the greedy runs driver-side over the collected
-    * ≤|sources|-row catalog (the q251/q274 metadata-frame rule — the
-    * source catalog is never corpus-shaped), and ties break to the
-    * lowest worker index so the oracle's recursive replay lands on
-    * identical assignments. */
-  def lptMakespan(spark: SparkSession, dir: String): DataFrame =
-    lptMakespanOf(Tables.documents(spark, dir))
-
-  private[graft] def lptMakespanOf(docs: DataFrame): DataFrame = {
-    val k = LptWorkers
-    val srcs = docs.groupBy(col("source"))
-      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tok"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (s, t) => (-t, s) }
-    val loads = Array.fill(k)(0L)
-    val cnts = Array.fill(k)(0L)
-    srcs.foreach { case (_, t) =>
-      val w = loads.zipWithIndex.minBy { case (l, i) => (l, i) }._2
-      loads(w) += t; cnts(w) += 1
-    }
-    val total = math.max(loads.sum, 1L)
-    val mk = loads.max
-    val lb = math.max(math.max((loads.sum + k - 1) / k,
-      srcs.headOption.map(_._2).getOrElse(0L)), 1L)
-    val sq = docs.sparkSession
-    import sq.implicits._
-    (0 until k).map(i => ((i + 1).toLong, cnts(i), loads(i),
-        loads(i) * 10000L / total, mk * 10000L / lb))
-      .toDF("worker", "n_sources", "load_tokens", "load_share_bp", "makespan_vs_lb_bp")
-      .orderBy(col("worker"))
-  }
-
-  /** q289 margin constants, shared with the oracle: the neighborhood
-    * size k of the margin denominator and the acceptance ratio. */
-  private[graft] val BitextK = 4
-  private[graft] val BitextMargin = 1.05
-
-  /** Margin-based bitext mining (q289) — the parallel-corpus miner
-    * (Artetxe & Schwenk 2019, the CCMatrix/LASER recipe): a candidate
-    * translation pair is NOT just a mutual nearest neighbor (q157's
-    * criterion) — hub vectors are everyone's neighbor — it must beat
-    * its LOCAL neighborhoods by a ratio margin:
-    * margin = 2·cos(x,y) / (avgₖcos(x,·) + avgₖcos(y,·)). Source side =
-    * every 10th embedding (the low-resource language), target side =
-    * the rest; emits each mutual top-1 pair with its margin and the
-    * ≥[[BitextMargin]] acceptance.
-    *
-    * Scale shape: the forward pass broadcasts only the source side
-    * (sample-sized, the q157 rule); the reverse pass queries ONLY the
-    * distinct forward top-1 candidates (≤|source| rows — never the full
-    * target corpus), so both brute passes broadcast bounded frames and
-    * at corpus scale both compose with the IVF route unchanged. The
-    * margin denominators fold rank-ordered cosines (array_sort before
-    * the left fold), so the doubles are order-free and bit-identical to
-    * the oracle's list_reduce. */
-  def bitextMining(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
-    bitextMiningOf(
-      embs.filter(col("vec_id") % 10 === 1),
-      embs.filter(col("vec_id") % 10 =!= 1))
-  }
-
-  private[graft] def bitextMiningOf(src: DataFrame, tgt: DataFrame): DataFrame = {
-    def denOf(t: DataFrame): DataFrame = t
-      .groupBy(col("query_id"))
-      .agg(expr("aggregate(transform(array_sort(collect_list(struct(rank, cosine))), " +
-          "s -> s.cosine), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("csum"),
-        count(lit(1)).as("cn"))
-      .select(col("query_id"), (col("csum") / col("cn")).as("den"))
-    val fwd = Ann.bruteForceTopK(src, tgt, "vec_id", "embedding", k = BitextK)
-    val nnF = fwd.filter(col("rank") === 1)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"))
-    val cand = tgt.join(
-      nnF.select(col("neighbor_id").as("vec_id")).distinct(), Seq("vec_id"))
-    val rev = Ann.bruteForceTopK(cand, src, "vec_id", "embedding", k = BitextK)
-    val nnR = rev.filter(col("rank") === 1)
-      .select(col("query_id").as("r_query"), col("neighbor_id").as("r_neighbor"))
-    nnF
-      .join(nnR, col("neighbor_id") === col("r_query") && col("query_id") === col("r_neighbor"))
-      .join(denOf(fwd).withColumnRenamed("den", "den_f"), Seq("query_id"))
-      .join(denOf(rev).select(col("query_id").as("neighbor_id"), col("den").as("den_r")),
-        Seq("neighbor_id"))
-      .select(col("query_id").as("id_src"), col("neighbor_id").as("id_tgt"),
-        col("cosine"),
-        (col("cosine") * 2.0d / (col("den_f") + col("den_r"))).as("margin"))
-      .withColumn("accepted", col("margin") >= BitextMargin)
-      .orderBy(col("id_src"))
-  }
-
-  /** Cluster-safe dataset split (q290) — the REMEDIATION for what q259
-    * measures: q60's split hashes raw content, so near-duplicate
-    * variants of one page can land in train AND test (exactly the
-    * leaked pairs q259 counts). The fix every eval-hygiene pipeline
-    * ships: hash the near-dup CLUSTER representative instead (component
-    * min doc id from the shared MinHash tiers; singletons fall back to
-    * their own id), so an entire duplicate family moves between splits
-    * as one unit — cross-split near-dup pairs are zero BY CONSTRUCTION.
-    * The card proves it: per split, docs / share / distinct groups,
-    * plus the leaked-pair count under the old content-hash rule vs
-    * under this rule (the second column is computed, not asserted).
-    *
-    * Scale shape: clusters come from the SHARED memoized tier outputs
-    * (the q56 discipline — no LSH recompute); the rep fallback is a
-    * left join on doc_id; both leak counts are two stacked keyed
-    * aggregates over CLUSTERED docs only (Σ per component of total
-    * pairs minus within-split pairs — combinatorial counting, no pair
-    * materialization); the card is 3 rows + two broadcast scalars. */
-  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val (members, setPairs) = nearDupTiers(spark, dir)
-    clusterSafeSplitOf(Tables.documents(spark, dir),
-      Dedup.clustersOfTiered(members, setPairs))
-  }
-
-  private[graft] def clusterSafeSplitOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    def splitOf(bucket: org.apache.spark.sql.Column) =
-      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
-    val assigned = docs
-      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .withColumn("rep", coalesce(col("comp"), col("doc_id")))
-      .select(col("doc_id"), col("comp"), col("rep"),
-        splitOf(pmod(md5_token_hashes(array(col("text")), 31).getItem(0), lit(100L)))
-          .as("split_content"),
-        splitOf(pmod(md5_token_hashes(array(col("rep").cast("string")), 31).getItem(0),
-          lit(100L))).as("split_cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def leakUnder(splitCol: String, out: String): DataFrame = assigned
-      .filter(col("comp").isNotNull)
-      .groupBy(col("comp"), col(splitCol)).agg(count(lit(1)).as("ns"))
-      .groupBy(col("comp")).agg(sum(col("ns")).as("n"),
-        sum(expr("ns * (ns - 1) div 2")).as("inp"))
-      .agg(coalesce(sum(expr("n * (n - 1) div 2 - inp")), lit(0L)).as(out))
-    val total = assigned.agg(count(lit(1)).as("n_total"))
-    assigned
-      .groupBy(col("split_cluster").as("split"))
-      .agg(count(lit(1)).as("n_docs"), countDistinct(col("rep")).as("n_groups"))
-      .crossJoin(broadcast(total))
-      .crossJoin(broadcast(leakUnder("split_content", "leak_pairs_content")))
-      .crossJoin(broadcast(leakUnder("split_cluster", "leak_pairs_cluster")))
-      .select(col("split"), col("n_docs"),
-        expr("n_docs * 10000L div n_total").as("share_bp"),
-        col("n_groups"), col("leak_pairs_content"), col("leak_pairs_cluster"))
-      .orderBy(col("split"))
-  }
-
-  /** Stride interleave schedule (q291) — q251/q77 decide HOW MUCH of
-    * each source to train on; this decides IN WHAT ORDER: the k-th doc
-    * of a source with n_s docs gets the closed-form slot key
-    * (2k−1)·N·10⁶ / (2·n_s) (each source evenly spaced at stride
-    * N/n_s, offset half a stride — deterministic error diffusion), so
-    * ANY training prefix sees every source near its target share — no
-    * stored schedule, no driver loop, any worker recomputes its slots
-    * from (k, n_s, N) alone. The card audits exactly that promise: per
-    * source, the max deviation (bp) between realized and target share
-    * across the ten decile checkpoints of the schedule.
-    *
-    * Scale shape: per-source indices come from ONE GlobalRank over
-    * (source, doc_id) plus a catalog-sized min-offset broadcast (the
-    * q268 rule — never a source-partitioned window over the corpus);
-    * slot keys are map-only DECIMAL arithmetic; the global order is a
-    * second GlobalRank; the decile audit runs on a |sources|×10 grid
-    * (metadata-sized windows by design). */
-  def interleaveSchedule(spark: SparkSession, dir: String): DataFrame =
-    interleaveScheduleOf(Tables.documents(spark, dir))
-
-  private[graft] def interleaveScheduleOf(docs: DataFrame): DataFrame = {
-    import graft.operators.GlobalRank.rowNumber
-    val slim = docs.select(col("doc_id"), col("source"))
-    val g1 = rowNumber(slim, Seq(col("source").asc, col("doc_id").asc), "grk")
-    val offs = g1.groupBy(col("source"))
-      .agg(min(col("grk")).as("off"), count(lit(1)).as("n_s"))
-    val tot = offs.agg(sum(col("n_s")).as("n_total"))
-    val keyed = g1.join(broadcast(offs), Seq("source"))
-      .crossJoin(broadcast(tot))
-      .withColumn("k", col("grk") - col("off") + 1L)
-      .withColumn("slot_key", expr(
-        "CAST(CAST(2*k - 1 AS DECIMAL(38,0)) * n_total * 1000000 div (2 * n_s) AS BIGINT)"))
-    val pos = rowNumber(keyed,
-        Seq(col("slot_key").asc, col("source").asc, col("k").asc), "pos")
-      .withColumn("dec", expr("(pos - 1) * 10 div n_total"))
-    val counts = pos.groupBy(col("source"), col("dec")).agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("dec"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val grid = offs
-      .select(col("source"), col("n_s"), explode(expr("sequence(0L, 9L)")).as("dec"))
-      .join(counts, Seq("source", "dec"), "left")
-      .withColumn("cum", sum(coalesce(col("c"), lit(0L))).over(w))
-    val prefix = grid.groupBy(col("dec")).agg(sum(col("cum")).as("p"))
-    grid.join(prefix, Seq("dec"))
-      .crossJoin(broadcast(tot))
-      .select(col("source"), col("n_s"),
-        expr("abs(cum * 10000L div p - n_s * 10000L div n_total)").as("dev"),
-        expr("n_s * 10000L div n_total").as("share_bp"))
-      .groupBy(col("source"))
-      .agg(max(col("n_s")).as("n_docs"), max(col("share_bp")).as("share_bp"),
-        max(col("dev")).as("max_dev_bp"))
-      .orderBy(col("source"))
-  }
-
-  /** q292 layout constants, shared with the oracle: leaf bucket width
-    * (doc ids per leaf) and the layer-2 fan-in (leaves per group). */
-  private[graft] val MerkleLeafDocs = 64L
-  private[graft] val MerkleFanIn = 16L
-
-  /** Merkle snapshot diff (q292) — q104 diffs two snapshots row by row
-    * (a full scan of both); a Merkle layout answers "WHERE did the
-    * corpus change" with O(changed · log) digest comparisons instead:
-    * leaf digest = order-free integer fold (sum of per-doc h60(id:text)
-    * mod 2⁶⁰) over a doc-id bucket, layer-2 digest = fold of
-    * [[MerkleFanIn]] leaf digests, root = fold of layer-2 digests. The
-    * "tomorrow" snapshot derives in-query (every 13th doc edited — the
-    * q285 lifecycle rule), and the card reports, per layer, how many
-    * digests differ and how many comparisons the hierarchical probe
-    * performs (root + the children of every changed group) vs the flat
-    * leaf-by-leaf scan — the arithmetic that justifies shipping the
-    * tree.
-    *
-    * Scale shape: both digest pyramids are stacked hash-keyed
-    * aggregates over map-only per-doc hashes (sums are order-free, so
-    * every layer partial-combines); the diff joins are keyed on bucket
-    * ids; the card is 3 rows. Digests live mod 2⁴⁰ so every bounded
-    * fan-in sum (64 docs/leaf, 16 leaves/group) stays far inside
-    * BIGINT; only the unbounded root fold rides DECIMAL(38,0). */
-  def merkleDiff(spark: SparkSession, dir: String): DataFrame =
-    merkleDiffOf(Tables.documents(spark, dir))
-
-  private[graft] def merkleDiffOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val M = 1L << 40
-    def pyramid(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-      val leaves = d
-        .select(expr(s"doc_id div $MerkleLeafDocs").as("leaf"),
-          md5_token_hashes(
-            array(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 60)
-            .getItem(0).as("h"))
-        .groupBy(col("leaf")).agg(expr(s"sum(h % $M) % $M").as("dig"))
-      val l2 = leaves.groupBy(expr(s"leaf div $MerkleFanIn").as("grp"))
-        .agg(expr(s"sum(dig) % $M").as("dig"))
-      val root = l2.agg(
-        expr(s"CAST(sum(CAST(dig AS DECIMAL(38,0))) % $M AS BIGINT)").as("dig"))
-      (leaves, l2, root)
-    }
-    val edited = docs.select(col("doc_id"),
-      when(col("doc_id") % 13 === 0, concat(col("text"), lit(" edited")))
-        .otherwise(col("text")).as("text"))
-    val (la, ga, ra) = pyramid(docs.select(col("doc_id"), col("text")))
-    val (lb, gb, rb) = pyramid(edited)
-    val leafDiff = la.withColumnRenamed("dig", "da")
-      .join(lb.withColumnRenamed("dig", "db"), Seq("leaf"), "full")
-      .select(expr(s"leaf div $MerkleFanIn").as("grp"),
-        when(not(col("da") <=> col("db")), 1L).otherwise(0L).as("chg"))
-    val grpDiff = ga.withColumnRenamed("dig", "da")
-      .join(gb.withColumnRenamed("dig", "db"), Seq("grp"), "full")
-      .select(col("grp"), when(not(col("da") <=> col("db")), 1L).otherwise(0L).as("chg"))
-    val rootDiff = ra.withColumnRenamed("dig", "da")
-      .crossJoin(rb.withColumnRenamed("dig", "db"))
-      .select(when(not(col("da") <=> col("db")), 1L).otherwise(0L).as("chg"))
-    val leafAgg = leafDiff.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_leaves"), sum(col("chg")).as("n_chg"))
-    val card = leafAgg
-      .join(grpDiff, Seq("grp"))
-      .agg(sum(col("n_leaves")).as("n_leaf"),
-        sum(col("n_chg")).as("n_leaf_chg"),
-        count(lit(1)).as("n_grp"),
-        sum(col("chg")).as("n_grp_chg"),
-        // hierarchical probe: 1 root compare + every group's digest +
-        // the leaves under CHANGED groups only.
-        (lit(1L) + count(lit(1)) +
-          sum(when(col("chg") === 1L, col("n_leaves")).otherwise(0L))).as("probes_tree"))
-    card.crossJoin(broadcast(rootDiff))
-      .select(explode(expr(
-        """array(
-          |struct('leaf' AS layer, n_leaf AS n_nodes, n_leaf_chg AS n_changed),
-          |struct('group' AS layer, n_grp AS n_nodes, n_grp_chg AS n_changed),
-          |struct('root' AS layer, 1L AS n_nodes, chg AS n_changed))""".stripMargin)).as("r"),
-        col("probes_tree"), col("n_leaf").as("probes_flat"))
-      .select(col("r.layer"), col("r.n_nodes"), col("r.n_changed"),
-        col("probes_tree"), col("probes_flat"))
-      .orderBy(col("layer"))
-  }
-
-  /** q294 eligibility floor (tokens), shared with the oracle. */
-  private[graft] val FimMinTokens = 8L
-
-  /** Fill-in-middle assembly card (q294) — the FIM pretraining
-    * objective's data side (Bavarian et al. 2022, "Efficient Training
-    * of Language Models to Fill in the Middle"): unlike q279's T5-style
-    * multi-span masking, FIM cuts ONE contiguous middle per document
-    * and reorders to PSM (prefix-suffix-middle) or SPM, 50/50. The PRNG
-    * is replaced by the portable h31(doc_id:fim) (the q279 rule): the
-    * two cut points are h mod n and (h≫7) mod n, the mode bit is
-    * (h≫15) mod 2. Card per source: eligible docs, docs with a
-    * non-empty middle, the middle token share (what the objective
-    * actually trains to infill), mean middle length, and the PSM share
-    * — the numbers a tokenizer/budget plan needs before reserving
-    * sentinel tokens.
-    *
-    * Scale shape: the whole schedule is ONE map-only projection (no
-    * explode — only lengths and hash arithmetic leave the row) followed
-    * by a ≤|sources|-row aggregate. */
-  def fimAssembly(spark: SparkSession, dir: String): DataFrame =
-    fimAssemblyOf(Tables.documents(spark, dir))
-
-  private[graft] def fimAssemblyOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    docs
-      .select(col("source"),
-        size(split(col("text"), " ")).cast("long").as("n"),
-        md5_token_hashes(array(concat(col("doc_id").cast("string"), lit(":fim"))), 31)
-          .getItem(0).as("h"))
-      .filter(col("n") >= FimMinTokens)
-      .select(col("source"), col("n"),
-        greatest(expr("h % n"), expr("shiftright(h, 7) % n")).minus(
-          least(expr("h % n"), expr("shiftright(h, 7) % n"))).as("mid"),
-        expr("shiftright(h, 15) % 2").as("mode"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("mid") > 0L, 1L).otherwise(0L)).as("n_fim"),
-        sum(col("mid")).as("mid_sum"), sum(col("n")).as("tok_sum"),
-        sum(when(col("mode") === 0L, 1L).otherwise(0L)).as("n_psm"))
-      .select(col("source"), col("n_docs"), col("n_fim"),
-        expr("mid_sum * 10000L div tok_sum").as("mid_share_bp"),
-        expr("mid_sum * 100L div n_docs").as("avg_mid_x100"),
-        expr("n_psm * 10000L div n_docs").as("psm_bp"))
-      .orderBy(col("source"))
-  }
-
-  /** q295 LSH operating point, shared with the oracle: few tables ×
-    * wide keys — the regime where multi-probe pays. */
-  private[graft] val MpTables = 4
-  private[graft] val MpBits = 8
-  private[graft] val MpSeed = 7L
-
-  /** Multi-probe LSH recall/cost card (q295) — the Lv et al. 2007
-    * improvement over q34's single-probe LSH: instead of adding hash
-    * tables (more signatures, more index), the QUERY also probes each
-    * table's bucket with its lowest-margin bit flipped — the bit whose
-    * |dot| sits closest to the plane is the one a true neighbor most
-    * likely crossed. The card puts the trade in one place: for the same
-    * signatures, candidate pairs generated and recall@10 against the
-    * exact brute-force truth, single-probe vs two-probe.
-    *
-    * Scale shape: both variants share ONE corpus signature pass
-    * (probing is query-side only — zero extra index); candidate joins
-    * are hash joins on (table, bucket); exact rerank touches candidates
-    * only and ranks via the map-side-bounded TopKAggregator; the card
-    * is 2 rows. */
-  def multiProbeLsh(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.cosine_sim
-    val embs = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
-    val queries = embs.filter(col("vec_id") % 50 === 0)
-    val truth = Ann.bruteForceTopK(queries, embs, "vec_id", "embedding", k = 10)
-      .select(col("query_id"), col("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = Ann.bucketed(embs, "vec_id", "embedding", MpTables, MpBits, MpSeed)
-      .select(col("table_idx"), col("bucket"), col("id").as("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def card(qside: DataFrame, name: String): DataFrame = {
-      val pairs = qside.join(cb, Seq("table_idx", "bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val scored = pairs
-        .join(broadcast(queries.select(col("vec_id").as("query_id"),
-          col("embedding").as("query_vec"))), Seq("query_id"))
-        .join(embs.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("neighbor_vec")), Seq("neighbor_id"))
-        .withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec")))
-      val hits = Ann.topKRanked(scored, 10)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-      truth.agg(countDistinct(col("query_id")).as("n_queries"))
-        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
-        .select(lit(name).as("variant"), col("n_queries"), col("n_pairs"),
-          col("n_hits"), expr("n_hits * 10000L div (n_queries * 10)").as("recall_bp"))
-    }
-    val qb1 = Ann.bucketed(queries, "vec_id", "embedding", MpTables, MpBits, MpSeed)
-      .select(col("table_idx"), col("bucket"), col("id").as("query_id"))
-    val qb2 = Ann.probed(queries, "vec_id", "embedding", MpTables, MpBits, MpSeed)
-      .select(col("table_idx"), col("bucket"), col("id").as("query_id"))
-    card(qb1, "single").unionByName(card(qb2, "two_probe"))
-      .orderBy(col("variant"))
-  }
-
-  /** KMV audience suppression (q296) — the set-DIFFERENCE estimate that
-    * completes the repo's mergeable-sketch algebra (union: q230,
-    * intersection: q121/q210): "users who did A but never B" is the
-    * suppression audience every activation pipeline prices before a
-    * send, and it is answerable from the SAME bottom-k sketches with no
-    * new state — the union's k-th-smallest threshold turns the two
-    * sketches into a uniform sample of A∪B, and the sample share that
-    * sits in A but not B scales the union estimate (both directions
-    * emitted). Estimates are exact integer arithmetic over the portable
-    * (user % P)·C1+C2 % P hashes — fully hash-checked, not a bounded
-    * claim — with the exact audit columns alongside (the q121 rule:
-    * estimate quality is data).
-    *
-    * Scale shape: identical to q121 — per-type bottom-k rides the
-    * map-side-bounded TopKAggregator (the shuffle carries ≤ k values
-    * per type per partition, never the distinct-user stream); all pair
-    * math runs on |types|²-row frames of k-length arrays; exact audits
-    * are one distinct + one self-join on user_id, dropped at scale. */
-  def kmvDifference(spark: SparkSession, dir: String): DataFrame = {
-    val distinctTV = Tables
-      .events(spark, dir)
-      .select(col("event_type"),
-        ((col("user_id") % SampleP) * SampleC1 + SampleC2) % SampleP as "v")
-      .distinct()
-    val sketches = graft.similarity.Ann.topKRanked(
-      distinctTV.select(
-        xxhash64(col("event_type")).as("query_id"),
-        col("v").as("neighbor_id"),
-        negate(col("v").cast("double")).as("cosine")),
-      KmvK)
-      .groupBy(col("query_id"))
-      .agg(sort_array(collect_list(col("neighbor_id"))).as("vs"))
-    val typeMap = Tables.events(spark, dir).select(col("event_type")).distinct()
-      .select(col("event_type"), xxhash64(col("event_type")).as("query_id"))
-    val s = sketches.join(broadcast(typeMap), Seq("query_id"))
-      .select(col("event_type"), col("vs"))
-    val exactPer = Tables.events(spark, dir)
-      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("nd"))
-    val du = Tables.events(spark, dir).select(col("event_type"), col("user_id")).distinct()
-    val exactPair = du.as("a")
-      .join(du.as("b"),
-        col("a.user_id") === col("b.user_id")
-          && col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
-      .agg(count(lit(1)).as("exact_overlap"))
-    s.as("sa")
-      .join(s.as("sb"), col("sa.event_type") < col("sb.event_type"))
-      .select(
-        col("sa.event_type").as("type_a"), col("sb.event_type").as("type_b"),
-        col("sa.vs").as("va"), col("sb.vs").as("vb"))
-      .withColumn("uk", array_sort(array_union(col("va"), col("vb"))))
-      .withColumn("m", least(lit(KmvK), size(col("uk"))))
-      .withColumn("kth", element_at(col("uk"), col("m")))
-      .withColumn("est_union", expr(s"(m - 1) * ${SampleP}L div kth"))
-      .withColumn("d_ab",
-        size(array_except(array_intersect(slice(col("uk"), lit(1), col("m")), col("va")),
-          col("vb"))))
-      .withColumn("d_ba",
-        size(array_except(array_intersect(slice(col("uk"), lit(1), col("m")), col("vb")),
-          col("va"))))
-      .withColumn("est_diff_ab", expr("est_union * d_ab div m"))
-      .withColumn("est_diff_ba", expr("est_union * d_ba div m"))
-      .join(exactPair, Seq("type_a", "type_b"), "left")
-      .join(exactPer.select(col("event_type").as("type_a"), col("nd").as("nd_a")), Seq("type_a"))
-      .join(exactPer.select(col("event_type").as("type_b"), col("nd").as("nd_b")), Seq("type_b"))
-      .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
-      .withColumn("exact_union", col("nd_a") + col("nd_b") - col("exact_overlap"))
-      .select(col("type_a"), col("type_b"),
-        (col("nd_a") - col("exact_overlap")).as("exact_diff_ab"),
-        (col("nd_b") - col("exact_overlap")).as("exact_diff_ba"),
-        col("est_diff_ab"), col("est_diff_ba"),
-        expr("abs(est_diff_ab - (nd_a - exact_overlap)) * 10000L div exact_union")
-          .as("diff_ab_err_bp"),
-        expr("abs(est_diff_ba - (nd_b - exact_overlap)) * 10000L div exact_union")
-          .as("diff_ba_err_bp"))
-      .orderBy(col("type_a"), col("type_b"))
-  }
-
-  /** Median-centered binary quantization (q297) — why q224's sign codes
-    * underperform on uncentered data: a bit that is 1 for 90% of the
-    * corpus carries ~0.47 bits of entropy, so Hamming distances bunch
-    * and the candidate stage loses discrimination. Centering each
-    * dimension at its EXACT median (fixed-point ⌊x·10⁶⌋, the q209
-    * floors; lower median, rank ⌈n/2⌉) balances every bit by
-    * construction. The card proves the claim on this corpus: for the
-    * same candidate budget, recall@10 against the exact brute truth and
-    * the mean per-dimension bit imbalance (bp from 50/50), zero
-    * threshold vs median threshold.
-    *
-    * Scale shape: medians ride the q268 discipline — ONE GlobalRank
-    * over (dim, f) plus a 64-row offset broadcast, never a
-    * dim-partitioned window over the corpus; the 64 medians are a
-    * bounded collect baked into the packing expressions as literals
-    * (map-only codegen, the q224 shape); the Hamming stage runs on
-    * CODES only with broadcast query words and the map-side-bounded
-    * TopKAggregator; exact rerank touches candidates only. */
-  def medianBinaryQuant(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.cosine_sim
-    import graft.operators.GlobalRank.rowNumber
-    val d = graft.similarity.Pq.Dim
-    val embs = Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNotNull && size(col("embedding")) >= d)
-    val f = embs.select(col("vec_id"),
-      expr(s"transform(slice(embedding, 1, $d), " +
-        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("f"))
-    val exploded = f.select(col("vec_id"), posexplode(col("f")).as(Seq("dim", "fv")))
-    val ranked = rowNumber(exploded,
-      Seq(col("dim").asc, col("fv").asc, col("vec_id").asc), "grk")
-    val offs = ranked.groupBy(col("dim"))
-      .agg(min(col("grk")).as("off"), count(lit(1)).as("cnt"))
-    val medians = ranked.join(broadcast(offs), Seq("dim"))
-      .filter(col("grk") - col("off") + 1L === expr("(cnt + 1) div 2"))
-      .select(col("dim"), col("fv").as("med"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val truth = Ann.bruteForceTopK(embs.filter(col("vec_id") % 50 === 0), embs,
-        "vec_id", "embedding", k = 10)
-      .select(col("query_id"), col("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def card(med: Int => Long, name: String): DataFrame = {
-      def word(lohi: (Int, Int)) = expr(
-        (lohi._1 until lohi._2).map(i =>
-          s"CAST(CASE WHEN f[$i] > ${med(i)}L THEN ${1L << (i % 32)} ELSE 0 END AS BIGINT)")
-          .mkString(" + "))
-      val coded = f.select(col("vec_id"), col("f"),
-        word((0, 32)).as("b_lo"), word((32, d)).as("b_hi"))
-      val q = coded.filter(col("vec_id") % 50 === 0)
-      val ham = coded
-        .join(broadcast(q.select(col("vec_id").as("query_id"),
-          col("b_lo").as("q_lo"), col("b_hi").as("q_hi"))),
-          col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (expr("bit_count(b_lo ^ q_lo)") + expr("bit_count(b_hi ^ q_hi)")).as("hamming"))
-      val cand = Ann.topKRanked(
-        ham.select(col("query_id"), col("neighbor_id"),
-          (-col("hamming")).cast("double").as("cosine")),
-        BinaryAnnCandidates)
-        .select(col("query_id"), col("neighbor_id"))
-      val rerank = cand
-        .join(broadcast(embs.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))), Seq("query_id"))
-        .join(embs.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
-          Seq("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosine_sim(col("qv"), col("nv")).as("cosine"))
-      val hits = Ann.topKRanked(rerank, 10)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-      val imb = coded
-        .select(posexplode(col("f")).as(Seq("dim", "fv")))
-        .select(col("dim"),
-          when(col("fv") > expr("element_at(map(" +
-            (0 until d).map(i => s"$i, ${med(i)}L").mkString(", ") + "), dim)"), 1L)
-            .otherwise(0L).as("one"))
-        .groupBy(col("dim"))
-        .agg(expr("abs(sum(one) * 10000L div count(1) - 5000L)").as("imb"))
-        .agg(expr(s"sum(imb) div $d").as("imbalance_bp"))
-      truth.agg(countDistinct(col("query_id")).as("n_queries"))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
-        .crossJoin(broadcast(imb))
-        .select(lit(name).as("variant"), col("n_queries"), col("n_hits"),
-          expr("n_hits * 10000L div (n_queries * 10)").as("recall_bp"),
-          col("imbalance_bp"))
-    }
-    card(medians(_), "median").unionByName(card(_ => 0L, "zero"))
-      .orderBy(col("variant"))
-  }
-
-  /** Temporal split + entity-reuse audit (q298) — the OTHER leakage
-    * axis: q290 keys the split on content (near-dup families), but a
-    * behavior model trained on a RANDOM split sees the future — the
-    * correct protocol is a time cutoff (train = first 80% of events by
-    * time, val = next 10%, test = last 10%), and the quantity to audit
-    * is ENTITY reuse: a test user whose history is in train is a
-    * memorization channel even with a clean time split. Card per
-    * split: events, distinct users, users already seen in an earlier
-    * split, and the reuse share.
-    *
-    * Scale shape: the exact time cutoffs come from ONE GlobalRank over
-    * (µs, event_id) (integer rank thresholds — no sampled
-    * approxQuantile drift, no single-task sort); first-seen split per
-    * user is a keyed min; the card is 3 rows. */
-  def temporalSplit(spark: SparkSession, dir: String): DataFrame =
-    temporalSplitOf(Tables.events(spark, dir))
-
-  private[graft] def temporalSplitOf(events: DataFrame): DataFrame = {
-    import graft.operators.GlobalRank.rowNumber
-    val slim = events.select(col("user_id"),
-      expr("unix_micros(ts)").as("us"), col("event_id"))
-    val ranked = rowNumber(slim, Seq(col("us").asc, col("event_id").asc), "rk")
-    val n = ranked.agg(count(lit(1)).as("n_total"))
-    val tagged = ranked.crossJoin(broadcast(n))
-      .withColumn("s",
-        when(col("rk") * 10 <= col("n_total") * 8, 0L)
-          .when(col("rk") * 10 <= col("n_total") * 9, 1L).otherwise(2L))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val firstSeen = tagged.groupBy(col("user_id")).agg(min(col("s")).as("s0"))
-    tagged
-      .groupBy(col("s"), col("user_id"))
-      .agg(count(lit(1)).as("n_ev"))
-      .join(firstSeen, Seq("user_id"))
-      .groupBy(col("s"))
-      .agg(sum(col("n_ev")).as("n_events"),
-        count(lit(1)).as("n_users"),
-        sum(when(col("s0") < col("s"), 1L).otherwise(0L)).as("n_reused_users"))
-      .select(
-        when(col("s") === 0L, "train").when(col("s") === 1L, "val").otherwise("test")
-          .as("split"),
-        col("n_events"), col("n_users"), col("n_reused_users"),
-        expr("n_reused_users * 10000L div n_users").as("reused_bp"))
-      .orderBy(col("split"))
-  }
-
-  /** q299 training block size (tokens), shared with the oracle. */
-  private[graft] val ChunkBlockTokens = 512L
-
-  /** Concat-and-chunk packing audit (q299) — the GPT-style pretraining
-    * batcher (the OTHER packing regime from q72's greedy bins and q197's
-    * pad-to-bucket): every document plus one EOS sentinel token is
-    * concatenated in corpus order and the stream is cut into fixed
-    * 512-token training blocks, so documents cross block boundaries and
-    * each crossing splits a context the model never sees whole. Card per
-    * source: docs, tokens contributed (incl. EOS), docs that cross a
-    * boundary (and the share), and blocks touched per doc — the numbers
-    * that decide between concat-chunking and padded packing for a corpus
-    * mix.
-    *
-    * Scale shape: the corpus-wide token offset is the q299 reason
-    * [[graft.operators.GlobalRank.prefixSum]] exists — ONE sampled range
-    * exchange on the unique (doc_id) order, block-local exclusive ROWS
-    * sums, and a ≤32-row broadcast carry-in; a serial
-    * `sum() OVER (ORDER BY doc_id)` would single-task the corpus and
-    * [[graft.operators.PrefixSum]]'s bucket decomposition would need a
-    * bucket count that grows with the corpus. Everything after the
-    * offset is map arithmetic on lengths feeding a ≤|sources|-row
-    * aggregate. */
-  def concatChunking(spark: SparkSession, dir: String): DataFrame =
-    concatChunkingOf(Tables.documents(spark, dir))
-
-  private[graft] def concatChunkingOf(docs: DataFrame): DataFrame = {
-    import graft.operators.GlobalRank.prefixSum
-    val slim = docs.select(col("doc_id"), col("source"),
-      (size(split(col("text"), " ")).cast("long") + 1L).as("len"))
-    prefixSum(slim, Seq(col("doc_id").asc), col("len"), "off")
-      .withColumn("spans",
-        expr(s"(off + len - 1) div ${ChunkBlockTokens}L")
-          .minus(expr(s"off div ${ChunkBlockTokens}L")).plus(1L))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("len")).as("n_tokens"),
-        sum(when(col("spans") > 1L, 1L).otherwise(0L)).as("n_crossing"),
-        sum(col("spans")).as("spans_sum"))
-      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_crossing"),
-        expr("n_crossing * 10000L div n_docs").as("crossing_bp"),
-        col("spans_sum"),
-        expr("spans_sum * 100L div n_docs").as("avg_spans_x100"))
-      .orderBy(col("source"))
-  }
-
-  /** Soft-dedup training weights (q300) — the DON'T-DROP alternative the
-    * data-constrained regime prefers (the q265 Muennighoff setting):
-    * instead of deleting near-duplicates, DOWN-WEIGHT them — each doc in
-    * a near-dup cluster (Jaccard ≥ 0.95, the shared [[nearDupTiers]]
-    * memo + set-level CC, q56's exact semantics) trains at weight
-    * 1/|cluster|, so every cluster contributes one doc's worth of
-    * gradient mass and no text is lost. Card per source: docs, docs
-    * carrying a near-dup, raw vs duplication-adjusted token mass
-    * (fixed-point ×10000 — per-doc floor division, replayed verbatim by
-    * the oracle), and the effective share.
-    *
-    * Scale shape: zero new similarity work — clusters come from the
-    * memoized tier outputs (set-level CC on compact longs, never an n²
-    * clique); cluster sizes are a comp-keyed aggregate; the weight join
-    * is doc-keyed; the card is ≤|sources| rows. The DuckDB oracle
-    * brute-forces all-pairs Jaccard + recursive-CTE reachability, so
-    * both the LSH recall and the CC labels stay checked. */
-  def softDedupWeights(spark: SparkSession, dir: String): DataFrame =
-    softDedupWeightsOf(Tables.documents(spark, dir), Some(nearDupTiers(spark, dir)))
-
-  private[graft] def softDedupWeightsOf(docs: DataFrame,
-      tiers: Option[(DataFrame, DataFrame)] = None): DataFrame = {
-    val (members, setPairs) = tiers.getOrElse(
-      graft.dedup.Dedup.tieredSetPairs(docs, "doc_id", "text", 0.95))
-    val comp = graft.dedup.Dedup.clustersOfTiered(members, setPairs)
-    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
-    docs
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .join(sizes, Seq("comp"), "left")
-      .withColumn("cs", coalesce(col("csize"), lit(1L)))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("cs") > 1L, 1L).otherwise(0L)).as("n_weighted_down"),
-        sum(col("n_tokens")).as("raw_tokens"),
-        sum(expr("n_tokens * 10000L div cs")).as("eff_tokens_x10000"))
-      .select(col("source"), col("n_docs"), col("n_weighted_down"),
-        col("raw_tokens"), col("eff_tokens_x10000"),
-        expr("eff_tokens_x10000 div raw_tokens").as("eff_bp"))
-      .orderBy(col("source"))
-  }
-
-  /** q301 minimum preference gap (margin units), shared with the oracle. */
-  private[graft] val PrefMinGap = 50L
-
-  /** Preference-pair assembly (q301) — the RLHF/DPO data shape: from a
-    * scored corpus, build (chosen, rejected) training pairs by matching
-    * the i-th MOST confident doc with the i-th LEAST confident doc
-    * within each source stratum (rank-symmetric pairing keeps both
-    * marginals balanced — no doc repeats, every pair spans the score
-    * distribution), dropping pairs whose score gap is under
-    * [[PrefMinGap]] (a near-tie teaches nothing). Scores are q261's
-    * deterministic hashed-classifier margins — one map-only pass. Card
-    * per source: docs, pairs kept, gap mass, mean gap, and the share of
-    * the corpus consumed by pairs.
-    *
-    * Scale shape: ONE GlobalRank over (source, margin desc, doc_id)
-    * (sampled range exchange — never a source-partitioned corpus
-    * window: "web" at 100 TB is half the corpus in one WindowExec
-    * partition); per-source offsets/counts are a ≤|sources|-row
-    * broadcast (the q268 stratum arithmetic); the chosen↔rejected match
-    * is a hash self-join on the reflected rank key, so pair volume is
-    * exactly n/2 per stratum — never all-pairs. */
-  def preferencePairs(spark: SparkSession, dir: String): DataFrame =
-    preferencePairsOfScored(classifierDocScores(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("source"), col("margin")))
-
-  /** Pairing core over a (doc_id, source, margin) frame — injectable so
-    * the planted spec drives hand-chosen margins through the reflected
-    * rank join and the gap gate. */
-  private[graft] def preferencePairsOfScored(scored: DataFrame): DataFrame = {
-    import graft.operators.GlobalRank.rowNumber
-    val ranked = rowNumber(scored,
-      Seq(col("source").asc, col("margin").desc, col("doc_id").asc), "grk")
-    val strata = ranked.groupBy(col("source"))
-      .agg(min(col("grk")).as("rk0"), count(lit(1)).as("n_src"))
-    val r = ranked.join(broadcast(strata), Seq("source"))
-      .select(col("source"), col("doc_id"), col("margin"),
-        (col("grk") - col("rk0") + 1L).as("r"), col("n_src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chosen = r.filter(col("r") * 2 < col("n_src") + 1)
-      .select(col("source"), col("r"),
-        col("doc_id").as("chosen_id"), col("margin").as("m_c"))
-    val rejected = r.select(col("source"),
-      (col("n_src") + 1L - col("r")).as("r"),
-      col("doc_id").as("rejected_id"), col("margin").as("m_r"))
-    val pairs = chosen.join(rejected, Seq("source", "r"))
-      .withColumn("gap", col("m_c") - col("m_r"))
-      .filter(col("gap") >= PrefMinGap)
-    pairs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_pairs"), sum(col("gap")).as("gap_sum"))
-      .join(r.groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
-        Seq("source"), "right")
-      .select(col("source"), col("n_docs"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-        coalesce(col("gap_sum"), lit(0L)).as("gap_sum"),
-        expr("CASE WHEN coalesce(n_pairs, 0L) = 0 THEN 0L"
-          + " ELSE gap_sum div n_pairs END").as("avg_gap"),
-        expr("coalesce(n_pairs, 0L) * 2 * 10000L div n_docs").as("paired_bp"))
-      .orderBy(col("source"))
-  }
-
-  /** Dedup-aware loss-mask card (q302) — what ExactSubstr dedup does at
-    * TRAINING time instead of ingest time: rather than cutting q253's
-    * repeated spans out of the text (which splinters documents), the
-    * loss is simply not computed on tokens inside a repeated span. This
-    * prices that choice per source: total tokens, tokens under a mask
-    * (q253's merged maximal spans are disjoint by construction, so the
-    * masked mass is a plain sum — no interval arithmetic), the mask
-    * share, and how many docs carry any mask.
-    *
-    * Scale shape: one extra doc-keyed aggregate + join over the q253
-    * span frame (shared code path — the gram-window reduction's
-    * hash-keyed shuffles are the only corpus-wide work); the card is
-    * ≤|sources| rows. */
-  def lossMaskCard(spark: SparkSession, dir: String): DataFrame =
-    lossMaskCardOf(Tables.documents(spark, dir))
-
-  private[graft] def lossMaskCardOf(docs: DataFrame): DataFrame = {
-    val masked = maximalRepeatSpansOf(docs)
-      .groupBy(col("doc_id"))
-      .agg(sum(col("span_tokens")).as("masked_toks"))
-    docs
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n"))
-      .join(masked, Seq("doc_id"), "left")
-      .withColumn("mt", coalesce(col("masked_toks"), lit(0L)))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("mt") > 0L, 1L).otherwise(0L)).as("n_masked_docs"),
-        sum(col("n")).as("total_tokens"),
-        sum(col("mt")).as("masked_tokens"))
-      .select(col("source"), col("n_docs"), col("n_masked_docs"),
-        col("total_tokens"), col("masked_tokens"),
-        expr("masked_tokens * 10000L div total_tokens").as("mask_bp"))
-      .orderBy(col("source"))
-  }
-
-  /** Within-source token-mass Gini (q303) — the inequality lens on
-    * corpus composition: a source whose token mass concentrates in a
-    * few giant documents (high Gini) behaves differently under doc-level
-    * sampling, packing, and dedup than one with uniform lengths, and
-    * the mixing plan (q251/q265) should know. Exact integer Gini in
-    * basis points via the rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) /
-    * (n·Σx) over docs ranked ascending by token count within source —
-    * non-negative by the Chebyshev sum inequality, so no sign-split
-    * division is needed; the Σ i·xᵢ product rides DECIMAL(38,0)
-    * (rank 10¹¹ × tokens 10⁴ × docs 10¹¹ overflows BIGINT).
-    *
-    * Scale shape: ONE GlobalRank over (source, n_tokens, doc_id) —
-    * never a source-partitioned corpus window — with the ≤|sources|-row
-    * min-rank broadcast (the q268/q301 stratum arithmetic); the card
-    * aggregate partial-combines into |sources| keys. */
-  def sourceGini(spark: SparkSession, dir: String): DataFrame =
-    sourceGiniOf(Tables.documents(spark, dir))
-
-  private[graft] def sourceGiniOf(docs: DataFrame): DataFrame = {
-    import graft.operators.GlobalRank.rowNumber
-    val slim = docs
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("x"))
-    val ranked = rowNumber(slim,
-      Seq(col("source").asc, col("x").asc, col("doc_id").asc), "grk")
-    val strata = ranked.groupBy(col("source")).agg(min(col("grk")).as("rk0"))
-    ranked.join(broadcast(strata), Seq("source"))
-      .withColumn("r", col("grk") - col("rk0") + 1L)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("x")).as("total_tokens"),
-        sum(expr("CAST(r AS DECIMAL(38,0)) * x")).as("rx_sum"))
-      .select(col("source"), col("n_docs"), col("total_tokens"),
-        expr("""CAST((2 * rx_sum - (CAST(n_docs AS DECIMAL(38,0)) + 1) * total_tokens)
-          |  * 10000 div (CAST(n_docs AS DECIMAL(38,0)) * total_tokens) AS BIGINT)"""
-          .stripMargin).as("gini_bp"))
-      .orderBy(col("source"))
-  }
-
-  /** Exact integer log₂ in Q8.8 fixed point, identical on both engines:
-    * msb = length(bin(x)) − 1 (both engines' `bin` drops leading zeros),
-    * plus a linear 8-bit mantissa ((x·256 ≫ msb) − 256 ∈ [0, 256)). Not
-    * an approximation CLAIM — the same deterministic integer function
-    * evaluates on both sides, so hashes stay exact; the linear mantissa
-    * is within 0.09 of true log₂, which is all a filter threshold
-    * needs. Requires x ≥ 1. */
-  private def log2q8Spark(x: String): String =
-    s"((length(bin($x)) - 1) * 256 + shiftright(($x) * 256, length(bin($x)) - 1) - 256)"
-  private def log2q8Duck(x: String): String =
-    s"((length(bin($x)) - 1) * 256 + ((($x) * 256) >> (length(bin($x)) - 1)) - 256)"
-
-  /** q304 constants, shared with the oracle: context/next bucket count
-    * (the model is ≤ [[PplBuckets]]² rows at ANY corpus size), the
-    * reference language the LM is built from, and the keep threshold in
-    * Q8.8 surprisal units (1540/256 ≈ 6.0 bits/bigram — sits between the
-    * en median (~1528 at sf0.01) and the other-language medians (~1551),
-    * so the gate actually discriminates on the harness corpus). */
-  private[graft] val PplBuckets = 512L
-  private[graft] val PplRefLang = "en"
-  private[graft] val PplKeepMaxQ8 = 1540L
-
-  /** Perplexity-filter card (q304) — the CCNet/KenLM quality gate: score
-    * every document by its mean surprisal under a bigram LM built from
-    * the reference slice (lang = [[PplRefLang]]), keep docs under
-    * [[PplKeepMaxQ8]]. The LM is hashed-bucket (h60 % [[PplBuckets]] per
-    * side, the q257 DSIR shape) with add-one smoothing over the next
-    * vocabulary; surprisal is the EXACT integer Q8.8 log₂ — same bit
-    * arithmetic in Spark and DuckDB, so the filter is hash-checked, not
-    * a float claim. Card per source: scored docs, corpus-level mean
-    * surprisal, docs kept, keep share.
-    *
-    * Scale shape: model counts are two-phase aggregates bounded by the
-    * bucket constants (≤ B² pair rows, ≤ B context rows — metadata at
-    * any corpus size, so both sides BROADCAST into the scoring pass);
-    * scoring is one Generate + map arithmetic + a doc-keyed aggregate;
-    * the card is ≤|sources| rows. Two corpus scans total (model build,
-    * scoring) — the explode is cheap map work, not worth a corpus-sized
-    * cache (the q262 rule). */
-  def perplexityFilter(spark: SparkSession, dir: String): DataFrame =
-    perplexityFilterOf(Tables.documents(spark, dir), Some(pplModelMemo(spark, dir)))
-
-  /** The q304 reference LM, built ONCE per (session, dir) and shared by
-    * its consumers (q304 scoring, q308 backoff fallback, q312
-    * reweighting; q307 builds in its own streaming session) — the
-    * "train the model once, serve it everywhere" shape. */
-  private def pplModelMemo(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    graft.SessionMemo.memo(spark, s"pplmodel|$dir") {
-      pplModel(Tables.documents(spark, dir))
-    }
-
-  /** Hashed-bucket bigram explode (q304/q307 shared): the bucket ids are
-    * h60 % [[PplBuckets]] per side; gram strings never leave the map
-    * stage. Keeps (doc_id, source, lang) alongside each (bc, bn). */
-  private def pplBigrams(d: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val B = PplBuckets
-    d.select(col("doc_id"), col("source"), col("lang"),
-        md5_token_hashes(split(col("text"), " "), 60).as("h"))
-      .filter(size(col("h")) >= 2)
-      .select(col("doc_id"), col("source"), col("lang"), explode(expr(
-        s"transform(sequence(1, size(h) - 1), i -> struct(h[i-1] % $B AS bc, h[i] % $B AS bn))"))
-        .as("bg"))
-      .select(col("doc_id"), col("source"), col("bg.bc"), col("bg.bn"))
-  }
-
-  /** The (model, context) count frames of the q304 reference LM — both
-    * bounded by the bucket constants, so downstream passes broadcast
-    * them. The model frame is persisted (two consumers: context sums,
-    * scoring join). */
-  private def pplModel(docs: DataFrame): (DataFrame, DataFrame) = {
-    val model = pplBigrams(docs.filter(col("lang") === PplRefLang))
-      .groupBy(col("bc"), col("bn")).agg(count(lit(1)).as("c2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ctx = model.groupBy(col("bc")).agg(sum(col("c2")).as("c1"))
-    (model, ctx)
-  }
-
-  /** Per-doc mean Q8.8 surprisal of `target` bigrams under the (model,
-    * ctx) LM frames — the q304 scoring pass, shared with the q307
-    * streaming gate. */
-  private def pplScore(target: DataFrame, model: DataFrame,
-      ctx: DataFrame): DataFrame = {
-    val s = s"${log2q8Spark(s"c1 + $PplBuckets")} - ${log2q8Spark("c2 + 1")}"
-    pplBigrams(target)
-      .join(broadcast(model), Seq("bc", "bn"), "left")
-      .join(broadcast(ctx), Seq("bc"), "left")
-      .withColumn("c2", coalesce(col("c2"), lit(0L)))
-      .withColumn("c1", coalesce(col("c1"), lit(0L)))
-      .withColumn("s", expr(s))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("s")).as("s_sum"), count(lit(1)).as("nbg"))
-      .withColumn("avg_q8", expr("s_sum div nbg"))
-  }
-
-  private[graft] def perplexityFilterOf(docs: DataFrame,
-      memoModel: Option[(DataFrame, DataFrame)] = None): DataFrame = {
-    val (model, ctx) = memoModel.getOrElse(pplModel(docs))
-    val perDoc = pplScore(docs, model, ctx)
-    perDoc.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("s_sum")).as("ss"), sum(col("nbg")).as("nn"),
-        sum(when(col("avg_q8") <= PplKeepMaxQ8, 1L).otherwise(0L)).as("n_keep"))
-      .select(col("source"), col("n_docs"),
-        expr("ss div nn").as("avg_surprisal_q8"),
-        col("n_keep"), expr("n_keep * 10000L div n_docs").as("keep_bp"))
-      .orderBy(col("source"))
-  }
-
-  /** q305 constants, shared with the oracle. */
-  private[graft] val PmiMinCount = 5L
-  private[graft] val PmiTopK = 20L
-
-  /** PMI collocations (q305) — the classic phrase-discovery table (the
-    * word2vec preprocessing step and every tokenizer-vocab proposal
-    * list): per language, the top-[[PmiTopK]] adjacent token pairs by
-    * pointwise mutual information, counted ≥ [[PmiMinCount]] times.
-    * PMI rides the same exact Q8.8 integer log₂ as q304, computed as
-    * L(c₁₂) + L(N) − L(c·) − L(·c) — four bounded terms, no product to
-    * overflow at any corpus size. Marginals come FROM the bigram frame
-    * (first-position / second-position sums), so edges and N are
-    * self-consistent.
-    *
-    * Scale shape: the bigram aggregate is keyed on (lang, t1, t2) token
-    * STRINGS deliberately — the collocation table IS the deliverable
-    * (the q53 vocabulary-frame rule: the strings are result payload,
-    * and hashing them would force a display rejoin for key-compare
-    * savings only); it is vocabulary-sized, not corpus-sized, after
-    * the map-side combine. Marginal joins are vocab-keyed hash joins;
-    * the per-lang top-k is ONE GlobalRank + a ≤|langs|-row min-rank
-    * broadcast — never a lang-partitioned window over the vocab frame
-    * ("en" is most of a web corpus's vocabulary). */
-  def tokenPmi(spark: SparkSession, dir: String): DataFrame =
-    tokenPmiOf(Tables.documents(spark, dir))
-
-  private[graft] def tokenPmiOf(docs: DataFrame): DataFrame = {
-    import graft.operators.GlobalRank.rowNumber
-    val pairs = docs.select(col("lang"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("lang"), explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS t1, t[i] AS t2))"))
-        .as("p"))
-      .select(col("lang"), col("p.t1").as("t1"), col("p.t2").as("t2"))
-    val big = pairs.groupBy(col("lang"), col("t1"), col("t2"))
-      .agg(count(lit(1)).as("c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ma = big.groupBy(col("lang"), col("t1")).agg(sum(col("c12")).as("ca"))
-    val mb = big.groupBy(col("lang"), col("t2")).agg(sum(col("c12")).as("cb"))
-    val tot = big.groupBy(col("lang")).agg(sum(col("c12")).as("nbg"))
-    val pmi = s"${log2q8Spark("c12")} + ${log2q8Spark("nbg")}" +
-      s" - ${log2q8Spark("ca")} - ${log2q8Spark("cb")}"
-    val scored = big.filter(col("c12") >= PmiMinCount)
-      .join(ma, Seq("lang", "t1"))
-      .join(mb, Seq("lang", "t2"))
-      .join(broadcast(tot), Seq("lang"))
-      .withColumn("pmi_q8", expr(pmi))
-    val ranked = rowNumber(scored,
-      Seq(col("lang").asc, col("pmi_q8").desc, col("t1").asc, col("t2").asc), "grk")
-    val strata = ranked.groupBy(col("lang")).agg(min(col("grk")).as("rk0"))
-    ranked.join(broadcast(strata), Seq("lang"))
-      .withColumn("rank", col("grk") - col("rk0") + 1L)
-      .filter(col("rank") <= PmiTopK)
-      .select(col("lang"), col("t1"), col("t2"), col("c12"), col("pmi_q8"),
-        col("rank"))
-      .orderBy(col("lang"), col("rank"))
-  }
-
-  /** Source datasheet (q306) — the per-source summary block of a
-    * "Datasheets for Datasets" card, all from linear aggregates: docs,
-    * tokens, exact-duplicate share (md5 text groups), language count,
-    * language-distribution Shannon entropy (Q8.8, the q304 integer log₂
-    * as H = L(n) − (Σ c·L(c)) div n — deterministic on both engines),
-    * and the Simpson concentration Σ c(c−1)/(n(n−1)) in bp (no logs —
-    * exact by construction; products ride DECIMAL(38,0) for 10¹¹-doc
-    * sources). The one-stop panel a mixing plan or release review reads
-    * before anything expensive runs.
-    *
-    * Scale shape: two corpus scans (lang cells, md5 distinct + token
-    * mass), both two-phase aggregates keyed by source; the entropy fold
-    * runs on the (source, lang) CELL frame (≤ |sources|·|langs| rows);
-    * the final join is catalog-sized. No windows, no joins over corpus
-    * rows. */
-  def sourceDatasheet(spark: SparkSession, dir: String): DataFrame =
-    sourceDatasheetOf(Tables.documents(spark, dir))
-
-  private[graft] def sourceDatasheetOf(docs: DataFrame): DataFrame = {
-    val cells = docs.groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("c"))
-    val langSide = cells.groupBy(col("source"))
-      .agg(sum(col("c")).as("n"),
-        count(lit(1)).as("n_langs"),
-        sum(expr(s"c * ${log2q8Spark("c")}")).as("cl_sum"),
-        sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("pair_sum"))
-      .select(col("source"), col("n_langs"),
-        expr(s"${log2q8Spark("n")} - cl_sum div n").as("lang_entropy_q8"),
-        expr("""CAST(CASE WHEN n < 2 THEN 0
-          |  ELSE (pair_sum * 10000) div (CAST(n AS DECIMAL(38,0)) * (n - 1))
-          |  END AS BIGINT)""".stripMargin).as("lang_simpson_bp"))
-    docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
-        countDistinct(md5(col("text").cast("binary"))).as("n_distinct"))
-      .join(langSide, Seq("source"))
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        expr("(n_docs - n_distinct) * 10000L div n_docs").as("exact_dup_bp"),
-        col("n_langs"), col("lang_entropy_q8"), col("lang_simpson_bp"))
-      .orderBy(col("source"))
-  }
-
-  /** Perplexity-gated streaming ingest (q307) — q304's LM applied at
-    * ADMISSION time (the q282 pattern with a language model instead of
-    * a boilerplate store): the reference LM is built ONCE from the
-    * committed corpus and broadcast into every micro-batch — it is
-    * bounded by the bucket constants (≤ B² rows), so unlike q282's
-    * boilerplate keys it needs no on-disk store to stay batch-sized;
-    * the gate is committed-model-only (admitted docs do NOT update
-    * counts mid-stream), so decisions are batch-order-free and the
-    * oracle replays them from first principles. The lifecycle: stage a
-    * derived head-truncated batch (the q282 incoming shape), stream it
-    * with AvailableNow, score each doc's mean Q8.8 surprisal against
-    * the broadcast LM in foreachBatch, append every decision to the
-    * on-disk log, and emit the log.
-    *
-    * Scale shape: per micro-batch work is the batch's own bigram
-    * explode + two broadcast hash joins + a doc-keyed aggregate + an
-    * append — strictly O(batch); the corpus is touched once at model
-    * build, never per batch. */
-  def streamPerplexityGate(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionMemo.memo(spark, s"q307|$dir") {
-      val s = spark.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val work = java.nio.file.Files.createTempDirectory("graft_ppl_gate").toString
-      val docs = Tables.documents(s, dir)
-      val (model, ctx) = pplModel(docs)
-      // Incoming: 12-token heads of mod-6 docs (≥13 tokens), fresh ids —
-      // the q282 derived-batch shape, scored against the frozen LM.
-      val staged = s"$work/incoming"
-      docs.filter(col("doc_id") % 6 === 0
-          && size(split(col("text"), " ")) >= 13)
-        .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
-          col("lang"),
-          array_join(expr("slice(split(text, ' '), 1, 12)"), " ").as("text"))
-        .write.parquet(staged)
-      val decisions = s"$work/decisions"
-      val t0 = System.currentTimeMillis()
-      val q = s.readStream.schema(s.read.parquet(staged).schema).parquet(staged)
-        .writeStream
-        .option("checkpointLocation", s"$work/_checkpoint")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          pplScore(batch, model, ctx)
-            .withColumn("admitted", col("avg_q8") <= PplKeepMaxQ8)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(decisions)
-          ()
-        }
-        .start()
-      graft.StreamLog.await(t0, q)
-      spark.read.parquet(decisions)
-        .select(col("doc_id"), col("source"), col("nbg"), col("s_sum"),
-          col("avg_q8"), col("admitted"))
-        .orderBy(col("doc_id"))
-    }
-
-  /** q308 constants, shared with the oracle: the Stupid Backoff penalty
-    * (−log₂ 0.4 in Q8.8 ≈ 338) and the trigram context bucket count
-    * ((h₁ % C)·31 + h₂ % C, folded mod C — the q257 pair-fold shape). */
-  private[graft] val SbPenaltyQ8 = 338L
-  private[graft] val SbCtxBuckets = 4096L
-
-  /** Stupid Backoff trigram scoring (q308) — the Brants et al. 2007
-    * web-scale LM recipe, which was DESIGNED for distributed count
-    * models: score each trigram position with the trigram estimate when
-    * the trigram was seen in the reference slice, else back off to
-    * q304's add-one bigram plus a fixed [[SbPenaltyQ8]] penalty (the
-    * 0.4 multiplier — no normalization, which is what makes the model
-    * embarrassingly mergeable). Card per source: docs, trigram hit
-    * share, mean backoff surprisal, and the bigram-only mean alongside
-    * (what q304 would have said) — the delta is the context-length
-    * dividend.
-    *
-    * Scale shape: the trigram model is two stacked aggregates bounded
-    * by [[SbCtxBuckets]]·[[PplBuckets]] keys (≈2M worst case — still a
-    * broadcastable constant, independent of corpus size), the bigram
-    * model is q304's; all four LM frames broadcast into ONE scoring
-    * pass (one Generate per corpus scan, both trigram and fallback
-    * lookups on the same exploded row); the card is ≤|sources| rows. */
-  def backoffLm(spark: SparkSession, dir: String): DataFrame =
-    backoffLmOf(Tables.documents(spark, dir), Some(pplModelMemo(spark, dir)))
-
-  /** Trigram position explode: (tc, tn) for the trigram lookup and
-    * (bc, bn) for the bigram fallback of the SAME position. */
-  private def sbTrigrams(d: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val B = PplBuckets
-    val C = SbCtxBuckets
-    d.select(col("doc_id"), col("source"), col("lang"),
-        md5_token_hashes(split(col("text"), " "), 60).as("h"))
-      .filter(size(col("h")) >= 3)
-      .select(col("doc_id"), col("source"), col("lang"), explode(expr(
-        s"""transform(sequence(2, size(h) - 1), i -> struct(
-           |  ((h[i-2] % $C) * 31 + h[i-1] % $C) % $C AS tc, h[i] % $B AS tn,
-           |  h[i-1] % $B AS bc, h[i] % $B AS bn))""".stripMargin)).as("g"))
-      .select(col("doc_id"), col("source"),
-        col("g.tc"), col("g.tn"), col("g.bc"), col("g.bn"))
-  }
-
-  private[graft] def backoffLmOf(docs: DataFrame,
-      memoModel: Option[(DataFrame, DataFrame)] = None): DataFrame = {
-    val B = PplBuckets
-    val (model, ctx) = memoModel.getOrElse(pplModel(docs))
-    val tri = sbTrigrams(docs.filter(col("lang") === PplRefLang))
-      .groupBy(col("tc"), col("tn")).agg(count(lit(1)).as("c3"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val triCtx = tri.groupBy(col("tc")).agg(sum(col("c3")).as("c2c"))
-    val s2 = s"${log2q8Spark(s"c1 + $B")} - ${log2q8Spark("c2 + 1")}"
-    val s3 = s"${log2q8Spark(s"c2c + $B")} - ${log2q8Spark("c3 + 1")}"
-    sbTrigrams(docs)
-      .join(broadcast(tri), Seq("tc", "tn"), "left")
-      .join(broadcast(triCtx), Seq("tc"), "left")
-      .join(broadcast(model), Seq("bc", "bn"), "left")
-      .join(broadcast(ctx), Seq("bc"), "left")
-      .withColumn("c3", coalesce(col("c3"), lit(0L)))
-      .withColumn("c2c", coalesce(col("c2c"), lit(0L)))
-      .withColumn("c2", coalesce(col("c2"), lit(0L)))
-      .withColumn("c1", coalesce(col("c1"), lit(0L)))
-      .withColumn("s2", expr(s2))
-      .withColumn("s", expr(s"CASE WHEN c3 > 0 THEN $s3 ELSE $SbPenaltyQ8 + s2 END"))
-      .groupBy(col("source"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_pos"),
-        sum(when(col("c3") > 0L, 1L).otherwise(0L)).as("n_hits"),
-        sum(col("s")).as("s_sum"), sum(col("s2")).as("s2_sum"))
-      .select(col("source"), col("n_docs"),
-        expr("n_hits * 10000L div n_pos").as("tri_hit_bp"),
-        expr("s_sum div n_pos").as("avg_backoff_q8"),
-        expr("s2_sum div n_pos").as("avg_bigram_q8"))
-      .orderBy(col("source"))
-  }
-
-  /** q309 constants, shared with the oracle: power-iteration rounds and
-    * the fixed-point scale (micro units). */
-  private[graft] val MkRounds = 6
-  private[graft] val MkScale = 1000000L
-
-  /** Markov stationary distribution (q309) — where user behavior
-    * SETTLES: the long-run occupancy of the event-type transition chain
-    * (q119's matrix), i.e. the attention budget each surface ultimately
-    * commands regardless of entry point. Power iteration in exact micro
-    * fixed point (floor per term, [[MkRounds]] rounds from uniform) over
-    * the recurrent core (types that appear as a transition SOURCE;
-    * edges into sink-only types are dropped and row sums recomputed, so
-    * the matrix is stochastic and no mass-leak fallback is needed).
-    *
-    * Scale shape: the corpus-sized work is q119's lead-window pair
-    * stream (user-partitioned window — bounded per user) + one keyed
-    * aggregate to the |types|² matrix; the iteration runs DRIVER-SIDE
-    * on the collected result-sized matrix (the q274/q286 rule — frame
-    * algebra would pay ~20 micro-jobs of scheduling for 8×8 math), so
-    * the returned frame is literal with no surviving corpus lineage. */
-  def markovStationary(spark: SparkSession, dir: String): DataFrame =
-    markovStationaryOf(Tables.events(spark, dir))
-
-  private[graft] def markovStationaryOf(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byUserTime = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val pairs = events
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .withColumn("next_type", lead(col("event_type"), 1).over(byUserTime))
-      .filter(col("next_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
-      .agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val types = pairs.map(_._1).distinct.sorted
-    val core = pairs.filter(p => types.contains(p._2))
-    val rowsum = core.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-    var pi: Map[String, Long] = types.map(_ -> MkScale / types.size).toMap
-    for (_ <- 1 to MkRounds)
-      pi = types.map { j =>
-        j -> core.filter(_._2 == j)
-          .map { case (i, _, n) => pi(i) * n / rowsum(i) }.sum
-      }.toMap
-    val spark = events.sparkSession
-    import spark.implicits._
-    types.map(t => (t, rowsum(t), pi(t))).toSeq
-      .toDF("event_type", "n_out", "pi_micro")
-      .orderBy(col("event_type"))
-  }
-
-  /** Traffic burstiness via the Fano factor (q310) — the
-    * overdispersion test behind rate-limit sizing and bot triage
-    * (q148 flags WHO is a bot; this says which event TYPES arrive in
-    * bursts): for each type, the variance-to-mean ratio of hourly
-    * counts over the full corpus hour span (empty hours count as
-    * zeros through the span arithmetic — no row is ever materialized
-    * for them). Poisson traffic lands ≈10000; bursty types land
-    * higher. Exact integers: F×10⁴ = (N·Σc² − S²)·10⁴ div (N·S) with
-    * Σc² in DECIMAL(38,0) (hourly counts square past BIGINT at
-    * production volume).
-    *
-    * Scale shape: one scan → (type, hour) two-phase aggregate →
-    * |types|-row fold joined to a 1-row broadcast span frame. Nothing
-    * corpus-sized after the first aggregate. */
-  def burstiness(spark: SparkSession, dir: String): DataFrame =
-    burstinessOf(Tables.events(spark, dir))
-
-  private[graft] def burstinessOf(events: DataFrame): DataFrame = {
-    val hourly = events
-      .select(col("event_type"), expr("unix_micros(ts) div 3600000000L").as("hour_id"))
-      .groupBy(col("event_type"), col("hour_id"))
-      .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val span = hourly.agg(
-      (max(col("hour_id")) - min(col("hour_id")) + 1L).as("n_span"))
-    hourly.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_active_hours"),
-        sum(col("c")).as("n_events"),
-        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("c2_sum"))
-      .crossJoin(broadcast(span))
-      .select(col("event_type"), col("n_events"), col("n_active_hours"),
-        col("n_span"),
-        expr("""CAST((n_span * c2_sum - CAST(n_events AS DECIMAL(38,0)) * n_events)
-          |  * 10000 div (CAST(n_span AS DECIMAL(38,0)) * n_events) AS BIGINT)"""
-          .stripMargin).as("fano_x10000"),
-        expr("n_events * 100L div n_span").as("mean_per_hour_x100"))
-      .orderBy(col("event_type"))
-  }
-
-  /** Shuffle-quality audit (q311) — does the training order actually
-    * decorrelate sources? For two deterministic orderings of the corpus
-    * — naive (source, doc_id) and hash-shuffled (h60(doc_id:shuffle),
-    * doc_id) — measure the share of ADJACENT pairs drawn from the same
-    * source, against the independence baseline Σ share² (what a
-    * perfect shuffle converges to). The naive order lands ≈10000 (runs
-    * of one source); a good shuffle lands at the baseline. This is the
-    * acceptance test for any q291-style schedule before it feeds a
-    * trainer (gradient noise is correlated exactly when adjacent
-    * examples share a source).
-    *
-    * Scale shape: each ordering is ONE GlobalRank over slim
-    * (key, doc_id, source) rows; adjacency is a rank⋈(rank+1) equi-join
-    * (the q262 shape); the baseline is a ≤|sources|-row aggregate with
-    * DECIMAL(38,0) share squares. Nothing is ever windowed
-    * unpartitioned or collected. */
-  def shuffleQuality(spark: SparkSession, dir: String): DataFrame =
-    shuffleQualityOf(Tables.documents(spark, dir))
-
-  private[graft] def shuffleQualityOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    import graft.operators.GlobalRank.rowNumber
-    val slim = docs.select(col("doc_id"), col("source"),
-      md5_token_hashes(array(concat(col("doc_id").cast("string"), lit(":shuffle"))), 60)
-        .getItem(0).as("hk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nTotal = slim.agg(count(lit(1)).as("n"))
-    val baseline = slim.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-      .crossJoin(broadcast(nTotal))
-      .agg(expr("""CAST(sum(CAST(ns AS DECIMAL(38,0)) * ns) * 10000
-        |  div (CAST(max(n) AS DECIMAL(38,0)) * max(n)) AS BIGINT)""".stripMargin)
-        .as("baseline_bp"))
-    def adjacency(order: Seq[org.apache.spark.sql.Column], name: String): DataFrame = {
-      val ranked = rowNumber(slim, order, "rk")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ranked.select(col("rk"), col("source").as("src_a"))
-        .join(ranked.select((col("rk") - 1L).as("rk"), col("source").as("src_b")),
-          Seq("rk"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("src_a") === col("src_b"), 1L).otherwise(0L)).as("n_same"))
-        .select(lit(name).as("ordering"), col("n_pairs"), col("n_same"),
-          expr("n_same * 10000L div n_pairs").as("same_source_bp"))
-    }
-    adjacency(Seq(col("source").asc, col("doc_id").asc), "naive")
-      .unionByName(adjacency(Seq(col("hk").asc, col("doc_id").asc), "shuffled"))
-      .crossJoin(broadcast(baseline))
-      .orderBy(col("ordering"))
-  }
-
-  /** q312 excess-surprisal cap (Q8.8) — bounds the exp2 shift, shared
-    * with the oracle. */
-  private[graft] val DoremiCapQ8 = 2048L
-
-  /** DoReMi-style mixture reweighting (q312) — closing the q304 → q251
-    * loop: a domain the reference LM finds SURPRISING is the domain the
-    * next training round should upweight (the DoReMi intuition, with
-    * the proxy-model excess loss replaced by q304's exact Q8.8 bigram
-    * surprisal). Weight ∝ 2^(excess), where excess = source mean
-    * surprisal − corpus-min source mean, capped at [[DoremiCapQ8]];
-    * exp2 is EXACT integer arithmetic ((256 + frac) ≪ int — the q304
-    * log₂'s inverse, same linear-mantissa convention), so the emitted
-    * mixture shares are hash-checked.
-    *
-    * Scale shape: one q304 scoring pass → a ≤|sources|-row mean frame
-    * (persisted — min frame + weights both read it); everything after
-    * is metadata arithmetic with 1-row broadcasts. */
-  def doremiMix(spark: SparkSession, dir: String): DataFrame =
-    doremiMixOf(Tables.documents(spark, dir), Some(pplModelMemo(spark, dir)))
-
-  private[graft] def doremiMixOf(docs: DataFrame,
-      memoModel: Option[(DataFrame, DataFrame)] = None): DataFrame = {
-    val (model, ctx) = memoModel.getOrElse(pplModel(docs))
-    val perSrc = pplScore(docs, model, ctx)
-      .groupBy(col("source"))
-      .agg(sum(col("s_sum")).as("ss"), sum(col("nbg")).as("nn"))
-      .select(col("source"), expr("ss div nn").as("avg_q8"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val minAvg = perSrc.agg(min(col("avg_q8")).as("min_q8"))
-    val w = perSrc.crossJoin(broadcast(minAvg))
-      .withColumn("excess_q8",
-        least(col("avg_q8") - col("min_q8"), lit(DoremiCapQ8)))
-      .withColumn("w_raw",
-        expr("shiftleft(256 + excess_q8 % 256, CAST(excess_q8 div 256 AS INT))"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = w.agg(sum(col("w_raw")).as("wt"))
-    w.crossJoin(broadcast(tot))
-      .select(col("source"), col("avg_q8"), col("excess_q8"), col("w_raw"),
-        expr("w_raw * 10000L div wt").as("mix_bp"))
-      .orderBy(col("source"))
-  }
-
-  /** Integer NDCG@k retrieval eval (q313) — the top-weighted metric
-    * q234's P@k/recall/MRR card lacks, graded on the SAME BM25 run and
-    * exact Jaccard truth (one scorer, several metrics — the shared
-    * [[irRunRelOf]] core, so q234 and q313 can never disagree about
-    * what was retrieved). The log₂ discount is q304's Q8.8 integer
-    * log (term(r) = 2 560 000 div L(r+1) — 10000 at rank 1), and the
-    * ideal DCG unrolls the same formula over a k-row literal sequence,
-    * so NDCG is hash-exact, not a float claim.
-    *
-    * Scale shape: q234's postings plans plus a per-query ≤k-row explode
-    * for the ideal — result-sized throughout. */
-  def irNdcg(spark: SparkSession, dir: String): DataFrame =
-    irNdcgOf(Tables.documents(spark, dir), _ => docTokenSets(spark, dir))
-
-  private[graft] def irNdcgOf(documents: DataFrame,
-      memoDt: DataFrame => DataFrame = identity): DataFrame = {
-    val (run, rel, qids) = irRunRelOf(documents, memoDt)
-    val term = (x: String) => s"2560000L div ${log2q8Spark(s"($x) + 1")}"
-    val dcg = run.join(rel, Seq("qid", "doc_id"))
-      .groupBy(col("qid")).agg(sum(expr(term("rank"))).as("dcg_x"))
-    val nrel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
-    val idcg = nrel
-      .select(col("qid"), col("n_rel"), explode(expr(s"sequence(1, $IrK)")).as("i"))
-      .filter(col("i") <= col("n_rel"))
-      .groupBy(col("qid")).agg(sum(expr(term("i"))).as("idcg_x"))
-    qids
-      .join(nrel, Seq("qid"), "left")
-      .join(dcg, Seq("qid"), "left")
-      .join(idcg, Seq("qid"), "left")
-      .select(col("qid"),
-        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-        coalesce(col("dcg_x"), lit(0L)).as("dcg_x"),
-        coalesce(col("idcg_x"), lit(0L)).as("idcg_x"),
-        expr("CASE WHEN coalesce(idcg_x, 0L) = 0 THEN 0L"
-          + " ELSE coalesce(dcg_x, 0L) * 10000L div idcg_x END").as("ndcg_bp"))
-      .orderBy(col("qid"))
-  }
-
-  /** q314 constants, shared with the oracle: m = 64 HLL buckets, 3
-    * propagation rounds, α₆₄·m²·1000 as a DEFINED integer literal
-    * (2904.064 → 2904064 — the standard HLL bias constant; both
-    * engines use the literal, so there is no float anywhere), and the
-    * 2^56 fixed-point scale for the harmonic sum. */
-  private[graft] val HbBuckets = 64L
-  private[graft] val HbRounds = 3
-  private[graft] val HbAlphaM2Milli = 2904064L
-  private[graft] val HbK = 56
-
-  /** HyperBall neighborhood function (q314) — Boldi & Vigna 2013: the
-    * per-node ball sizes |B(v,t)| that define a graph's effective
-    * diameter are EXACTLY what cannot be computed at scale (this
-    * corpus's co-purchase graph is an expander — its 3-hop closure is
-    * already near-complete, which is why the q205 BFS runs from ONE
-    * seed), so each node carries an m=64 HLL register vector instead
-    * and the ball union becomes a per-bucket MAX — mergeable,
-    * map-side-combinable, one keyed shuffle per round. Estimates use
-    * the raw harmonic estimator in exact integer fixed point (no
-    * small-range correction — the operating regime is balls ≫ m,
-    * disclosed); the DuckDB oracle replays the registers and the
-    * estimator bit-for-bit, so the card is hash-checked. Card per
-    * round: nodes, mean and max estimated ball (milli).
-    *
-    * Scale shape: rounds cost one (node, bucket)-keyed aggregate each
-    * (≤ 64 rows per node, `partial_max` map-side); the estimate is a
-    * node-keyed fold; cards are 1-row aggregates. Nothing is ever
-    * quadratic in the ball size — that is the entire point. */
-  def hyperBall(spark: SparkSession, dir: String): DataFrame =
-    hyperBallOf(coPurchaseEdges(spark, dir))
-
-  private[graft] def hyperBallOf(edges: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val MD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val m = HbBuckets.toInt
-    // Pre-partitioned ON THE JOIN KEY and persisted: an InMemoryTableScan
-    // keeps its outputPartitioning, so every round's sym ⋈ reg join
-    // shuffles only the |V|-sized register side — the 2·|E| edge frame
-    // crosses the wire once for the whole query, not once per round.
-    val sym = edges.select(explode(array(
-        struct(col("u").as("s"), col("v").as("t")),
-        struct(col("v").as("s"), col("u").as("t")))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"))
-      .repartition(col("t"))
-      .persist(MD)
-    // One packed m-byte register vector per node (the [[RegMaxAggregator]]
-    // layout): a skinny (node, bucket, rho) frame shuffles |E|·m rows per
-    // round once the registers fill — measured 41 s at sf0.1 for the
-    // skinny formulation vs the packed merge whose combined partials are
-    // ≤ |V| packed rows per partition.
-    val r0 = sym.select(col("s").as("node")).distinct()
-      .select(col("node"),
-        md5_token_hashes(array(concat(col("node").cast("string"), lit(":hb"))), 60)
-          .getItem(0).as("h"))
-      .select(col("node"), expr(s"h % $HbBuckets").as("b"),
-        expr(s"CASE WHEN h div $HbBuckets = 0 THEN ${HbK - 1}L" +
-          s" ELSE ${HbK}L - length(bin(h div $HbBuckets)) END").as("r"))
-      .as[(Long, Long, Long)]
-      .map { case (node, b, r) =>
-        val regs = new Array[Byte](m); regs(b.toInt) = r.toByte; (node, regs)
-      }
-      .toDF("node", "regs")
-      .persist(MD)
-    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](sym, r0)
-    var reg = r0
-    val cards = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-    for (t <- 1 to HbRounds) {
-      val next = sym.join(reg.withColumnRenamed("node", "t"), Seq("t"))
-        .select(col("s").as("node"), col("regs"))
-        .unionByName(reg)
-        .as[(Long, Array[Byte])]
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .agg(new graft.graph.RegMaxAggregator(m).toColumn.name("regs"))
-        .toDF("node", "regs")
-        .persist(MD)
-      cached += next
-      // Estimate per node in exact BigInt integer arithmetic (the raw
-      // harmonic estimator; α·m²·2^K overflows a Long by design, the
-      // oracle rides HUGEINT for the same step).
-      val est = next.as[(Long, Array[Byte])].map { case (_, regs) =>
-        var fill = 0L
-        var i = 0
-        while (i < m) { fill += (1L << HbK) - (1L << (HbK - regs(i))); i += 1 }
-        val s = (HbBuckets << HbK) - fill
-        ((BigInt(HbAlphaM2Milli) * (BigInt(1) << HbK)) / s).toLong
-      }.toDF("est_milli")
-      // Cards are 3 rows of longs — collect eagerly (the q274 rule) so
-      // the round caches can be dropped and the returned frame is
-      // literal with no surviving iteration lineage.
-      val row = est.agg(count(lit(1)).as("n_nodes"),
-          expr("sum(est_milli) div count(1)").as("avg_ball_milli"),
-          max(col("est_milli")).as("max_ball_milli"))
-        .head()
-      cards += ((t.toLong, row.getLong(0), row.getLong(1), row.getLong(2)))
-      reg = next
-    }
-    cached.foreach(_.unpersist(blocking = false))
-    cards.toSeq.toDF("t", "n_nodes", "avg_ball_milli", "max_ball_milli")
-      .orderBy(col("t"))
-  }
-
-  /** q315 constants, shared with the oracle: the 1%-FPR sizing rule
-    * (ln(1/p)/ln²2 = 9.5699 bits/key as the DEFINED integer literal
-    * 95699/10⁴ — no float anywhere), k = 7 hash functions (the optimal
-    * ⌈m/n·ln2⌉ at 1%), and the derived probe-set size. */
-  private[graft] val BfBitsPerKeyX10000 = 95699L
-  private[graft] val BfK = 7
-  private[graft] val BfProbes = 1000L
-
-  /** Bloom-filter sizing advisor (q315) — the capacity-planning card
-    * behind every Bloom deployment in the repo (the q84/q100 snapshot
-    * filters, q238's join pruning): per source, the exact distinct-doc
-    * count, the advised bit budget at 1% FPR, the power-of-two filter
-    * actually allocated (next-pow2 via the bin()-length idiom), its
-    * measured occupancy — and the MEASURED false-positive rate against
-    * a deterministic 1000-string non-member probe set, because a sizing
-    * rule that is never validated against the filter it sized is a
-    * guess. Every position is a portable h60 mod the pow2 size, so the
-    * whole filter (bit set, occupancy, probe verdicts) replays in
-    * DuckDB and the card is hash-checked.
-    *
-    * Scale shape: member positions explode k·|distinct docs| rows and
-    * two-phase-distinct to ≤ filter bits per source; the sizing frame
-    * is catalog-sized and broadcasts into the constant-size probe
-    * explode (|sources|·1000·k rows); the FP verdict is one
-    * (source, pos)-keyed semi-ish join + a probe-keyed count. Nothing
-    * corpus-sized crosses an exchange after the distinct. */
-  def bloomAdvisor(spark: SparkSession, dir: String): DataFrame =
-    bloomAdvisorOf(Tables.documents(spark, dir))
-
-  private[graft] def bloomAdvisorOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val members = docs.select(col("source"), col("text")).distinct()
-    val sizing = members.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_distinct"))
-      .withColumn("advised_bits",
-        expr(s"n_distinct * $BfBitsPerKeyX10000 div 10000 + 1"))
-      .withColumn("m2", expr("shiftleft(1L, length(bin(advised_bits - 1)))"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def positions(d: DataFrame, keyCol: String) = d
-      .select(col("source"), col("m2"), col(keyCol).as("k"),
-        explode(expr(s"sequence(0, ${BfK - 1})")).as("p"))
-      .select(col("source"), col("k"),
-        md5_token_hashes(
-          array(concat(col("k"), lit(":bf"), col("p").cast("string"))), 60)
-          .getItem(0).mod(col("m2")).as("pos"))
-    val bits = positions(members.join(broadcast(sizing), Seq("source")), "text")
-      .select(col("source"), col("pos")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val occupancy = bits.groupBy(col("source")).agg(count(lit(1)).as("bits_set"))
-    val probes = positions(
-      sizing.select(col("source"), col("m2"),
-        explode(expr(s"transform(sequence(1, $BfProbes), j -> concat('probe:', j))"))
-          .as("pk")),
-      "pk")
-    val fp = probes
-      .join(bits.withColumn("hit", lit(1L)), Seq("source", "pos"), "left")
-      .groupBy(col("source"), col("k"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
-      .groupBy(col("source"))
-      .agg(sum(when(col("hits") === BfK, 1L).otherwise(0L)).as("n_fp"))
-    sizing
-      .join(occupancy, Seq("source"))
-      .join(fp, Seq("source"))
-      .select(col("source"), col("n_distinct"), col("advised_bits"), col("m2"),
-        expr("bits_set * 10000L div m2").as("occupancy_bp"),
-        expr(s"n_fp * 10000L div $BfProbes").as("measured_fpr_bp"))
-      .orderBy(col("source"))
-  }
-
-  // ---------------------------------------------------------------------------
-
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q25_dedup_exact" -> (dedupExact _),
-    "q26_dedup_tokenset" -> (dedupTokenSet _),
-    "q27_minhash_neardup" -> (minhashNearDup _),
-    "q28_ngram_blocked_jaccard" -> (ngramBlockedJaccard _),
-    "q29_minhash_signatures" -> (minhashSignatures _),
-    "q30_simhash" -> (simhashFingerprints _),
-    "q31_simhash_pairs" -> (simhashClosePairs _),
-    "q32_embed_neardup" -> (embeddingNearDup _),
-    "q33_ann_brute" -> (annBruteForce _),
-    "q34_ann_lsh" -> (annLsh _),
-    "q35_text_tokens" -> (textTokens _),
-    "q36_text_quality" -> (textQuality _),
-    "q37_quality_score" -> (textQualityScore _),
-    "q38_langid" -> (langIdConfusion _),
-    "q39_fingerprint_md5" -> (fingerprintMd5 _),
-    "q40_fingerprint_rolling" -> (fingerprintRolling _),
-    "q41_multimodal_features" -> (multimodalFeatures _),
-    "q42_approx_distinct" -> (approxDistinct _),
-    "q49_ann_ivf" -> (annIvf _),
-    "q50_frame_samples" -> (frameSamples _),
-    "q51_percentiles" -> (percentiles _),
-    "q55_dedup_assignments" -> (dedupAssignments _),
-    "q56_neardup_clusters" -> (nearDupClusters _),
-    "q57_curation_report" -> (curationReport _),
-    "q59_token_budget_sample" -> ((s: SparkSession, d: String) => tokenBudgetSample(s, d)),
-    "q60_dataset_split" -> (datasetSplit _),
-    "q61_repetition" -> (repetitionMetrics _),
-    "q62_decontamination" -> (decontamination _),
-    "q64_repeated_ngrams" -> ((s: SparkSession, d: String) => repeatedNgrams(s, d)),
-    "q65_pii_redaction" -> (piiRedaction _),
-    "q67_stratified_sample" -> (stratifiedSample _),
-    "q69_approx_quantiles" -> (approxQuantiles _),
-    "q70_embed_quantize" -> (embeddingQuantization _),
-    "q71_embed_norms" -> (embeddingNorms _),
-    "q72_token_packing" -> ((s: SparkSession, d: String) => tokenPacking(s, d)),
-    "q73_ngram_contamination" -> ((s: SparkSession, d: String) => ngramContamination(s, d)),
-    "q74_token_chunks" -> ((s: SparkSession, d: String) => tokenChunks(s, d)),
-    "q75_bucketed_join" -> (bucketedJoinAgg _),
-    "q76_pq_codes" -> (pqCodes _),
-    "q77_domain_mix" -> (domainMix _),
-    "q78_semdedup" -> (semDedup _),
-    "q79_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
-    "q80_ann_ivfpq" -> (annIvfPq _),
-    "q81_ann_ivfpq_residual" -> (annIvfPqResidual _),
-    "q82_pq_trained_claim" -> (pqTrainedClaim _),
-    "q83_curation_v2" -> (curationV2 _),
-    "q84_incremental_dedup" -> (incrementalDedup _),
-    "q85_source_reputation" -> (sourceReputation _),
-    "q86_kmeans_inertia" -> (kmeansInertia _),
-    "q87_quality_gate" -> (qualityGate _),
-    "q88_ann_recall" -> (annRecallAudit _),
-    "q98_ann_indexed" -> (annIndexed _),
-    "q99_compaction_publish" -> (compactionPublish _),
-    "q100_stream_ingest_dedup" -> (streamingIncrementalDedup _),
-    "q101_ann_index_append" -> (annIndexedAppend _),
-    "q102_training_shards" -> (trainingShards _),
-    "q103_range_boundaries" -> (rangeBoundaries _),
-    "q104_snapshot_diff" -> (snapshotDiff _),
-    "q105_zorder_layout" -> (zorderLayout _),
-    "q106_scd2_merge" -> (scd2Merge _),
-    "q107_skew_audit" -> (skewAudit _),
-    "q108_mix_temperature" -> (mixTemperature _),
-    "q109_posting_lists" -> (postingLists _),
-    "q110_tfidf_topk" -> (tfidfTopk _),
-    "q111_bpe_pairs" -> (bpePairs _),
-    "q112_grouping_sets" -> (groupingSetsAgg _),
-    "q113_weighted_median" -> (weightedMedian _),
-    "q114_edit_distance_audit" -> (editDistanceAudit _),
-    "q115_cluster_keeper" -> (clusterKeeper _),
-    "q116_ann_index_delete" -> (annIndexedDelete _),
-    "q117_exact_gram_dedup" -> (exactGramDedup _),
-    "q118_weighted_sample" -> (weightedSample _),
-    "q119_event_transitions" -> (eventTransitions _),
-    "q121_kmv_overlap" -> (kmvOverlap _),
-    "q122_source_cap" -> (sourceCap _),
-    "q123_embedding_drift" -> (embeddingDrift _),
-    "q124_incremental_rollup" -> (incrementalRollup _),
-    "q125_ann_nprobe_sweep" -> (annNprobeSweep _),
-    "q126_bm25_topk" -> (bm25Topk _),
-    "q127_rrf_fusion" -> (rrfFusion _),
-    "q128_event_anomaly" -> (eventRateAnomaly _),
-    "q129_vocab_coverage" -> (vocabCoverage _),
-    "q130_table_stats" -> (tableStats _),
-    "q131_lsh_banding_sweep" -> (lshBandingSweep _),
-    "q132_journey_paths" -> (journeyPaths _),
-    "q133_cooccurrence_lift" -> (cooccurrenceLift _),
-    "q134_mrl_recall_sweep" -> (mrlRecallSweep _),
-    "q135_incremental_stats" -> (incrementalStats _),
-    "q136_conversion_funnel" -> (conversionWindowFunnel _),
-    "q137_rolling_active" -> (rollingActiveUsers _),
-    "q138_fk_integrity" -> (fkIntegrityAudit _),
-    "q139_pagerank" -> (pageRankPurchases _),
-    "q140_entity_resolution" -> (entityResolution _),
-    "q141_k_anonymity" -> (kAnonymityAudit _),
-    "q142_semantic_decontam" -> (semanticDecontamination _),
-    "q143_mad_outliers" -> (madOutliers _),
-    "q144_equal_freq_bins" -> (equalFreqBins _),
-    "q145_ab_experiment" -> (abExperiment _),
-    "q146_idf_quality" -> (idfQuality _),
-    "q147_doc_containment" -> (docContainment _),
-    "q148_bot_detection" -> (botDetection _),
-    "q149_label_communities" -> (labelCommunities _),
-    "q150_token_concentration" -> (tokenConcentration _),
-    "q153_phrase_search" -> (phraseSearch _),
-    "q154_copurchase" -> (coPurchase _),
-    "q155_survival_hazard" -> (survivalHazard _),
-    "q156_funnel3" -> (funnelThreeStep _),
-    "q157_mutual_nn" -> (mutualNn _),
-    "q158_ohlc_bars" -> (ohlcBars _),
-    "q159_source_diversity" -> (sourceDiversity _),
-    "q162_recs_backtest" -> (recsBacktest _),
-    "q163_daily_correlation" -> (dailyCorrelation _),
-    "q164_value_drift" -> (valueDrift _),
-    "q165_seasonality" -> (seasonalityProfile _),
-    "q166_session_export" -> (sessionExport _),
-    "q167_gdpr_purge" -> (gdprPurge _),
-    "q168_rfm_scores" -> (rfmScores _),
-    "q169_activity_streaks" -> (activityStreaks _),
-    "q170_knn_label_eval" -> (knnLabelEval _),
-    "q171_sliding_hll_wau" -> (slidingHllWau _),
-    "q172_ab_funnel" -> (abFunnel _),
-    "q173_ship_lag" -> (shipLag _),
-    "q174_expectations" -> (expectationSuite _),
-    "q175_market_share" -> (marketShare _),
-    "q176_rank_movement" -> (revenueRankMovement _),
-    "q177_triangles" -> (triangleCensus _),
-    "q178_cusum" -> (cusumChangepoint _),
-    "q179_large_orders" -> (largeOrders _),
-    "q180_stats_drift" -> (statsDrift _),
-    "q181_centroid_outliers" -> (centroidOutliers _),
-    "q182_bpe_merge_round" -> (bpeMergeRound _),
-    "q183_order_reconciliation" -> (orderReconciliation _),
-    "q184_zonemap_audit" -> (zoneMapAudit _),
-    "q185_revenue_concentration" -> (revenueConcentration _),
-    "q186_bigram_fluency" -> (bigramFluency _),
-    "q187_promo_share" -> (promoShare _),
-    "q188_power_iteration" -> (powerIteration _),
-    "q189_watermark_audit" -> (watermarkAudit _),
-    "q190_degree_profile" -> (degreeProfile _),
-    "q191_join_size_estimate" -> (joinSizeEstimate _),
-    "q192_moment_stats" -> (momentStats _),
-    "q193_quantile_accuracy" -> (quantileAccuracy _),
-    "q194_peak_concurrency" -> (peakConcurrency _),
-    "q195_kcore_peeling" -> (kCorePeeling _),
-    "q196_pit_loyalty" -> (pitLoyalty _),
-    "q197_batch_padding" -> (batchPadding _),
-    "q198_bootstrap_ci" -> (bootstrapCi _),
-    "q199_vocab_curve" -> (vocabSizeCurve _),
-    "q200_stream_fuzzy_dedup" -> (streamingFuzzyDedup _),
-    "q201_slo_burn_rate" -> (sloBurnRate _),
-    "q202_pixel_packing" -> (pixelPacking _),
-    "q203_context_assembly" -> (contextAssembly _),
-    "q204_ann_filtered" -> (annFiltered _),
-    "q205_khop_reach" -> (kHopReachability _),
-    "q206_incremental_view" -> (incrementalView _),
-    "q207_skyline" -> (skyline _),
-    "q208_uncertainty_sample" -> (uncertaintySample _),
-    "q209_whitening_stats" -> (whiteningStats _),
-    "q210_hll_intersection" -> (hllIntersection _),
-    "q211_path_likelihood" -> (pathLikelihood _),
-    "q212_clustering_factor" -> (clusteringFactor _),
-    "q213_histogram_accuracy" -> (histogramAccuracy _),
-    "q214_neardup_diff" -> (nearDupDiff _),
-    "q215_independence_test" -> (independenceTest _),
-    "q216_priority_returns" -> (priorityReturns _),
-    "q217_token_keyness" -> (tokenKeyness _),
-    "q218_mp4_metadata" -> (mp4Metadata _),
-    "q219_image_headers" -> (imageHeaders _),
-    "q220_hard_negatives" -> (hardNegatives _),
-    "q221_sorted_neighborhood" -> (sortedNeighborhood _),
-    "q222_filter_ablation" -> (filterAblation _),
-    "q223_dedup_funnel" -> (dedupFunnel _),
-    "q224_ann_binary_quant" -> (annBinaryQuant _),
-    "q225_recursive_hierarchy" -> (recursiveHierarchy _),
-    "q226_ks_drift" -> (ksDrift _),
-    "q227_kcenter_seeds" -> (kcenterSeeds _),
-    "q228_variant_extract" -> (variantExtract _),
-    "q229_bitmap_membership" -> (bitmapMembership _),
-    "q230_minhash_union" -> (minhashUnion _),
-    "q231_maxsim_retrieval" -> (maxsimRetrieval _),
-    "q232_simhash_pr_sweep" -> (simhashPrSweep _),
-    "q233_jsonl_corrupt_audit" -> (jsonlCorruptAudit _),
-    "q234_retrieval_eval" -> (retrievalEval _),
-    "q235_prefix_filter_join" -> (prefixFilterJoin _),
-    "q236_encoding_audit" -> (encodingAudit _),
-    "q237_shard_rebalance" -> (shardRebalance _),
-    "q238_bloom_join_prune" -> (bloomJoinPrune _),
-    "q239_global_rank" -> (globalRankQuery _),
-    "q240_online_semdedup" -> (onlineSemDedup _),
-    "q241_exact_quantiles" -> (exactQuantiles _),
-    "q242_salt_sweep" -> (saltSweepAudit _),
-    "q243_trigram_search" -> (trigramSearch _),
-    "q244_benford_audit" -> (benfordAudit _),
-    "q245_modularity" -> (modularityScore _),
-    "q246_schema_evolution" -> (schemaEvolution _),
-    "q247_source_dup_matrix" -> (sourceDupMatrix _),
-    "q248_cell_balance" -> (cellBalanceAudit _),
-    "q249_ngram_novelty" -> (ngramNovelty _),
-    "q250_pq_recon_error" -> (pqReconError _),
-    "q251_mix_allocation" -> (mixAllocation _),
-    "q252_labeler_agreement" -> (labelerAgreement _),
-    "q253_repeat_spans" -> (maximalRepeatSpans _),
-    "q254_committed_admission" -> (committedSemDedupAdmission _),
-    "q255_bpe_encode" -> (bpeEncode _),
-    "q256_sig_compaction" -> (sigStoreCompaction _),
-    "q257_dsir_selection" -> (dsirSelection _),
-    "q258_cdc_chunks" -> (cdcChunkDedup _),
-    "q259_split_leakage" -> (splitLeakage _),
-    "q260_leak_quarantine" -> (leakQuarantine _),
-    "q261_classifier_scores" -> (classifierScores _),
-    "q262_locality_layout" -> (localityLayout _),
-    "q263_stratified_quota" -> (exactStratifiedQuota _),
-    "q264_score_store" -> (scoreStoreIncremental _),
-    "q265_repeat_allocation" -> (repeatAllocation _),
-    "q266_behavior_examples" -> (behaviorExamples _),
-    "q267_stream_behavior" -> (streamBehaviorExamples _),
-    "q268_stratum_quantiles" -> (stratumQuantiles _),
-    "q269_ips_policy_eval" -> (ipsPolicyEval _),
-    "q270_segment_boilerplate" -> (segmentBoilerplate _),
-    "q271_winnowing_pairs" -> (winnowingPairs _),
-    "q272_score_calibration" -> (scoreCalibration _),
-    "q273_context_branching" -> (contextBranching _),
-    "q274_bradley_terry" -> (bradleyTerry _),
-    "q275_length_bias" -> (lengthBias _),
-    "q276_jl_distortion" -> (jlDistortion _),
-    "q277_boiler_store" -> (boilerStoreIncremental _),
-    "q278_chunk_reassembly" -> (chunkReassembly _),
-    "q279_span_corruption" -> (spanCorruption _),
-    "q280_template_positions" -> (templatePositions _),
-    "q281_label_aggregation" -> (labelAggregation _),
-    "q282_stream_boiler_gate" -> (streamBoilerGate _),
-    "q283_borda_fusion" -> (bordaFusion _),
-    "q284_epoch_schedule" -> (epochSchedule _),
-    "q285_normalization_audit" -> (normalizationAudit _),
-    "q286_pca_power" -> (pcaPower _),
-    "q287_decayed_hitters" -> (decayedHitters _),
-    "q288_lpt_makespan" -> (lptMakespan _),
-    "q289_bitext_mining" -> (bitextMining _),
-    "q290_cluster_safe_split" -> (clusterSafeSplit _),
-    "q291_interleave_schedule" -> (interleaveSchedule _),
-    "q292_merkle_diff" -> (merkleDiff _),
-    "q293_stream_trender" -> (streamTrender _),
-    "q294_fim_assembly" -> (fimAssembly _),
-    "q295_multiprobe_lsh" -> (multiProbeLsh _),
-    "q296_kmv_difference" -> (kmvDifference _),
-    "q297_median_binary_quant" -> (medianBinaryQuant _),
-    "q298_temporal_split" -> (temporalSplit _),
-    "q299_concat_chunking" -> (concatChunking _),
-    "q300_soft_dedup" -> (softDedupWeights _),
-    "q301_preference_pairs" -> (preferencePairs _),
-    "q302_loss_mask" -> (lossMaskCard _),
-    "q303_source_gini" -> (sourceGini _),
-    "q304_perplexity_filter" -> (perplexityFilter _),
-    "q305_token_pmi" -> (tokenPmi _),
-    "q306_source_datasheet" -> (sourceDatasheet _),
-    "q307_stream_ppl_gate" -> (streamPerplexityGate _),
-    "q308_backoff_lm" -> (backoffLm _),
-    "q309_markov_stationary" -> (markovStationary _),
-    "q310_burstiness" -> (burstiness _),
-    "q311_shuffle_quality" -> (shuffleQuality _),
-    "q312_doremi_mix" -> (doremiMix _),
-    "q313_ir_ndcg" -> (irNdcg _),
-    "q314_hyperball" -> (hyperBall _),
-    "q315_bloom_advisor" -> (bloomAdvisor _))
-
-  // --- oracle SQL builders for the portable-hash family ---------------------
-
-  import graft.functions.Md5Hash.{duckH31, duckH60}
-
-  /** The k (sig_idx, a, b) permutation params as a DuckDB VALUES list —
-    * generated from the same MinHashParams the Spark expression uses, so
-    * the oracle can never drift from the engine. */
-  private def minhashParamValues: String = {
-    val p = Dedup.MinHashParams()
-    (0 until p.k)
-      .map(i => s"($i, ${p.as(i)}::BIGINT, ${p.bs(i)}::BIGINT)")
-      .mkString(", ")
-  }
-
-  /** DuckDB SQL for the q270 boilerplate card over an arbitrary
-    * (doc_id, source, text) corpus expression — shared by q270 (the raw
-    * documents table) and q277 (documents ∪ the ingest batch). */
-  private def boilerCardSql(corpusSql: String): String = {
-    val k = BoilerSegTokens
-    s"""WITH corpus AS ($corpusSql),
-       |t AS (SELECT doc_id, source, str_split(text, ' ') AS toks FROM corpus),
-       |c AS (SELECT doc_id, source,
-       |    array_to_string(toks[(CAST(g AS INT)*$k + 1):(CAST(g AS INT)*$k + $k)], ' ') AS seg
-       |  FROM t, UNNEST(range(CAST(floor(len(toks) / $k) AS BIGINT))) AS u(g)),
-       |h AS (SELECT doc_id, source, ${duckH60("seg")} AS segh FROM c),
-       |f AS (SELECT segh, COUNT(DISTINCT doc_id) AS doc_freq FROM h GROUP BY 1),
-       |j AS (SELECT h.source, h.segh, f.doc_freq FROM h JOIN f USING (segh))
-       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segments,
-       |  CAST(SUM(CASE WHEN doc_freq >= $BoilerMinDocs THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_boiler_instances,
-       |  CAST(SUM(CASE WHEN doc_freq >= $BoilerMinDocs THEN 1 ELSE 0 END) * 10000
-       |    // COUNT(*) AS BIGINT) AS boiler_share_bp,
-       |  CAST(COUNT(DISTINCT CASE WHEN doc_freq >= $BoilerMinDocs THEN segh END) AS BIGINT)
-       |    AS n_boiler_segments
-       |FROM j GROUP BY source ORDER BY source""".stripMargin
-  }
-
-  /** DuckDB SQL for the portable 60-bit simhash per document:
-    * (doc_id, sig) — shared by the q30 and q31 oracles. */
-  private def duckSimhash: String =
-    s"""h AS (SELECT doc_id, list_transform(str_split(text, ' '), tok -> ${duckH60("tok")}) AS hs FROM documents),
-       |b AS (SELECT doc_id, j,
-       |  CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-       |       THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END AS bitv
-       |  FROM h, (SELECT unnest(range(0, 60)) AS j)),
-       |s AS (SELECT doc_id, CAST(SUM(bitv) AS BIGINT) AS sig FROM b GROUP BY doc_id)""".stripMargin
-
-  /** DuckDB predicate mirroring Dedup.simhashBandKeys' Manku 6-choose-3
-    * candidate test — generated from the SAME block constants, so the
-    * Spark banding and the oracle's agree by construction. */
-  private def duckSimhashBandCond: String = {
-    val bits = Dedup.SimhashBlockBits
-    val mask = (1L << bits) - 1
-    Dedup.SimhashBandSubsets
-      .map(_.map(b => s"((a.sig >> ${b * bits}) & $mask) = ((b.sig >> ${b * bits}) & $mask)")
-        .mkString("(", " AND ", ")"))
-      .mkString("\n   OR ")
-  }
-
-  /** DuckDB SQL replicating the langId argmax: packed hits*256+idx reduced
-    * with GREATEST — generated from StopwordProfiles so both engines score
-    * the exact same token lists in the exact same tie-break order. */
-  private def duckLangIdBest: String = {
-    val packed = TextAnalysis.LangIdLangs.zipWithIndex.map { case (l, i) =>
-      val words = TextAnalysis.StopwordProfiles(l).map(w => s"'$w'").mkString(", ")
-      s"len(list_intersect(toks, [$words]))*256 + $i"
-    }
-    s"GREATEST(${packed.mkString(",\n  ")})"
-  }
-
-  private def duckLangIdDecode: String = {
-    val cases = TextAnalysis.LangIdLangs.zipWithIndex
-      .map { case (l, i) => s"WHEN best % 256 = $i THEN '$l'" }
-      .mkString(" ")
-    s"CASE WHEN best < 256 THEN 'und' $cases END"
-  }
-
-  private val oracleHead: Map[String, String] = Map(
-    "q25_dedup_exact" ->
-      """SELECT md5(text) AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY md5(text) ORDER BY content_key""".stripMargin,
-    "q26_dedup_tokenset" ->
-      """SELECT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS set_key,
-        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
-        |FROM documents GROUP BY 1 ORDER BY set_key""".stripMargin,
-    "q27_minhash_neardup" ->
-      """WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
-        |FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
-        |ORDER BY id_a, id_b""".stripMargin,
-    "q28_ngram_blocked_jaccard" ->
-      """WITH s AS (SELECT doc_id, lang, source, str_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT doc_id, lang, source,
-        |  CASE WHEN len(t) >= 2
-        |       THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
-        |       ELSE [array_to_string(t, ' ')] END AS grams
-        |  FROM s)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-        |FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
-    "q35_text_tokens" ->
-      s"""SELECT doc_id, len(str_split(text, ' ')) AS n_ws_tokens,
-         |  len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern}')) AS n_bpe_tokens
-         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q36_text_quality" ->
-      """SELECT doc_id, len(str_split(text, ' ')) AS n_tokens,
-        |  CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
-        |  CAST(len(list_filter(str_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
-        |    / len(str_split(text, ' ')) AS stopword_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q29_minhash_signatures" ->
-      s"""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
-         |h AS (SELECT doc_id, list_transform(toks, tok -> ${duckH31("tok")}) AS hs FROM t)
-         |SELECT h.doc_id, p.sig_idx,
-         |  list_min(list_transform(h.hs, x -> (p.pa * x + p.pb) % 2147483647)) AS minhash
-         |FROM h CROSS JOIN (VALUES $minhashParamValues) AS p(sig_idx, pa, pb)
-         |ORDER BY doc_id, sig_idx""".stripMargin,
-    "q30_simhash" ->
-      s"""WITH $duckSimhash
-         |SELECT doc_id, sig AS simhash FROM s ORDER BY doc_id""".stripMargin,
-    "q31_simhash_pairs" ->
-      s"""WITH $duckSimhash
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE $duckSimhashBandCond
-         |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin,
-    "q37_quality_score" ->
-      """WITH m AS (SELECT doc_id, len(str_split(text, ' ')) AS n_tokens,
-        |  CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
-        |  CAST(len(list_filter(str_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
-        |    / len(str_split(text, ' ')) AS stopword_ratio
-        |FROM documents)
-        |SELECT doc_id, LEAST(1.0, (CAST(n_tokens AS DOUBLE)/100.0)*0.4 + stopword_ratio*3.0*0.3
-        |  + CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) AS quality_score
-        |FROM m ORDER BY doc_id""".stripMargin,
-    "q38_langid" ->
-      s"""WITH t AS (SELECT lang, list_distinct(str_split(lower(text), ' ')) AS toks FROM documents),
-         |s AS (SELECT lang, $duckLangIdBest AS best FROM t)
-         |SELECT lang, $duckLangIdDecode AS predicted, COUNT(*) AS n
-         |FROM s GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
-    "q39_fingerprint_md5" ->
-      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
-    "q40_fingerprint_rolling" ->
-      s"""SELECT doc_id,
-         |  list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(str_split(text, ' '), tok -> ${duckH31("tok")})),
-         |    (acc, h) -> (acc*31 + h) % 2147483647) AS rolling_fp
-         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q56_neardup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |      FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
-        |SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
-    "q57_curation_report" ->
-      s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-         |d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
-         |m AS (SELECT doc_id, lang,
-         |  len(str_split(text, ' ')) AS n_tokens,
-         |  CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
-         |  CAST(len(list_filter(str_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
-         |    / len(str_split(text, ' ')) AS stopword_ratio,
-         |  list_distinct(str_split(lower(text), ' ')) AS toks
-         |FROM d),
-         |s AS (SELECT doc_id, lang, n_tokens,
-         |  LEAST(1.0, (CAST(n_tokens AS DOUBLE)/100.0)*0.4 + stopword_ratio*3.0*0.3
-         |    + CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) AS quality_score,
-         |  $duckLangIdBest AS best FROM m)
-         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-         |  CAST(SUM(CASE WHEN ($duckLangIdDecode) = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_agree
-         |FROM s WHERE quality_score >= 0.5
-         |GROUP BY lang ORDER BY lang""".stripMargin,
-    "q59_token_budget_sample" ->
-      """WITH t AS (SELECT lang, doc_id, len(str_split(text, ' ')) AS n_tokens, md5(text) AS rand_key FROM documents),
-        |c AS (SELECT lang, n_tokens,
-        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY rand_key, doc_id ROWS UNBOUNDED PRECEDING) AS cum
-        |FROM t)
-        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sampled_tokens
-        |FROM c WHERE cum - n_tokens < 5000
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-    "q60_dataset_split" ->
-      s"""SELECT lang,
-         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
-         |  COUNT(*) AS n_docs
-         |FROM (SELECT lang, ${duckH31("text")} % 100 AS b FROM documents)
-         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
-    "q62_decontamination" ->
-      """WITH d AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
-        |b AS (SELECT * FROM d WHERE doc_id % 97 = 0)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-        |FROM d a JOIN b ON a.doc_id != b.doc_id
-        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
-    "q61_repetition" ->
-      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS s FROM documents),
-        |b AS (SELECT doc_id, s,
-        |  CASE WHEN len(s) >= 2 THEN list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])
-        |       ELSE [text] END AS bg
-        |FROM (SELECT doc_id, s, text FROM t JOIN documents USING (doc_id))),
-        |u AS (SELECT doc_id, unnest(s) AS tok FROM t),
-        |m AS (SELECT doc_id, MAX(c) AS max_cnt FROM
-        |  (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY doc_id, tok) GROUP BY doc_id)
-        |SELECT b.doc_id, len(s) AS n_tokens,
-        |  CAST(len(s) - len(list_distinct(s)) AS DOUBLE) / len(s) AS dup_token_frac,
-        |  CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac,
-        |  CAST(m.max_cnt AS DOUBLE) / len(s) AS top_token_frac
-        |FROM b JOIN m ON b.doc_id = m.doc_id
-        |ORDER BY b.doc_id""".stripMargin,
-    "q51_percentiles" ->
-      """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25,
-        |  quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q69_approx_quantiles" ->
-      """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25,
-        |  quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75,
-        |  TRUE AS within_bound
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q55_dedup_assignments" ->
-      """WITH k AS (
-        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS set_key
-        |  FROM documents),
-        |m AS (SELECT set_key, MIN(doc_id) AS keep_id FROM k GROUP BY set_key)
-        |SELECT k.doc_id AS dup_id, m.keep_id
-        |FROM k JOIN m USING (set_key) WHERE k.doc_id <> m.keep_id
-        |ORDER BY dup_id""".stripMargin,
-    "q42_approx_distinct" ->
-      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // q79's TRUE is the bounded-claim pattern: a hash mismatch on this row
-    // means the CMS bound FIRED (the Spark side logs the offending token to
-    // stderr), not that the engines computed different counts.
-    "q79_heavy_hitters" ->
-      """SELECT token, n_exact, TRUE AS within_bound FROM (
-        |  SELECT token, COUNT(*) AS n_exact
-        |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
-        |  GROUP BY token ORDER BY n_exact DESC, token LIMIT 20)
-        |ORDER BY n_exact DESC, token""".stripMargin,
-    "q67_stratified_sample" -> {
-      val rateCase = "CASE " + StratifiedRatesBp
-        .map { case (l, bp) => s"WHEN lang = '$l' THEN $bp" }
-        .mkString(" ") + " ELSE 10000 END"
-      s"""WITH t AS (SELECT lang, len(str_split(text, ' ')) AS n_tok,
-         |  ${duckH31("text")} % 10000 AS b FROM documents)
-         |SELECT lang, COUNT(*) AS n_total,
-         |  CAST(SUM(CASE WHEN b < $rateCase THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |  CAST(SUM(CASE WHEN b < $rateCase THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
-         |FROM t GROUP BY lang ORDER BY lang""".stripMargin
-    },
-    "q64_repeated_ngrams" ->
-      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS s, text FROM documents),
-        |g AS (SELECT doc_id,
-        |  CASE WHEN len(s) >= 10 THEN list_transform(range(1, len(s) - 8), i -> array_to_string(s[i:i+9], ' '))
-        |       ELSE [text] END AS grams
-        |  FROM t),
-        |u AS (SELECT doc_id, unnest(grams) AS gram FROM g)
-        |SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
-        |FROM u GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
-        |ORDER BY n_docs DESC, gram LIMIT 100""".stripMargin,
-    "q65_pii_redaction" ->
-      s"""SELECT doc_id,
-         |  len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS n_emails,
-         |  len(regexp_extract_all(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'), '${TextAnalysis.PhonePattern}')) AS n_phones,
-         |  md5(regexp_replace(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'), '${TextAnalysis.PhonePattern}', '<PHONE>', 'g')) AS redacted_fp
-         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q72_token_packing" ->
-      """WITH t AS (SELECT lang, doc_id, len(str_split(text, ' ')) AS n, md5(text) AS rk FROM documents),
-        |c AS (SELECT lang, n,
-        |  SUM(n) OVER (PARTITION BY lang ORDER BY rk, doc_id ROWS UNBOUNDED PRECEDING) AS cum
-        |FROM t)
-        |SELECT lang, CAST((cum - n) // 2048 AS BIGINT) AS window_id,
-        |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS window_tokens
-        |FROM c GROUP BY lang, window_id ORDER BY lang, window_id""".stripMargin,
-    "q73_ngram_contamination" ->
-      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS s, text FROM documents),
-        |g AS (SELECT doc_id,
-        |  CASE WHEN len(s) >= 4 THEN list_transform(range(1, len(s) - 2), i -> array_to_string(s[i:i+3], ' '))
-        |       ELSE [text] END AS grams
-        |  FROM t),
-        |u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-        |b AS (SELECT DISTINCT doc_id AS bench_id, gram FROM u WHERE doc_id % 97 = 0)
-        |SELECT u.doc_id, COUNT(DISTINCT u.gram) AS n_shared_grams
-        |FROM u JOIN b ON u.gram = b.gram AND u.doc_id <> b.bench_id
-        |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin,
-    "q74_token_chunks" -> {
-      val (cs, st) = (ChunkSize, ChunkSize - ChunkOverlap)
-      val sliceExpr = s"s[CAST(ci*$st + 1 AS INTEGER):CAST(LEAST(ci*$st + $cs, n) AS INTEGER)]"
-      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS s FROM documents),
-         |c AS (SELECT doc_id, s, len(s) AS n,
-         |  CASE WHEN len(s) <= $cs THEN 1 ELSE (len(s) - $cs + ${st - 1}) // $st + 1 END AS nc FROM t),
-         |f AS (SELECT doc_id, s, n, unnest(range(0, nc)) AS ci FROM c)
-         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
-         |  CAST(len($sliceExpr) AS BIGINT) AS n_chunk_tokens,
-         |  md5(array_to_string($sliceExpr, ' ')) AS chunk_fp
-         |FROM f ORDER BY doc_id, chunk_idx""".stripMargin
-    },
-    "q75_bucketed_join" ->
-      """SELECT o_orderpriority, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q76_pq_codes" -> {
-      // Same constants as the Spark side (graft.similarity.Pq), same seeded
-      // codebooks (first-Ksub-id subvectors rebuilt in SQL), same left-fold
-      // (x−y)·(x−y) distance — dists and argmins agree bit-for-bit.
-      import graft.similarity.Pq.{Ksub, M, SubDim}
-      val x = s"CAST(e.embedding[sub.subspace * $SubDim + j] AS DOUBLE)"
-      val c = s"CAST(sub.sv[sub.subspace * $SubDim + j] AS DOUBLE)"
-      val fold =
-        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($x) - ($c)) * (($x) - ($c))), (acc, v) -> acc + v)"
-      s"""WITH seeds AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, embedding AS sv
-         |  FROM (SELECT vec_id, embedding FROM embeddings
-         |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $Ksub)),
-         |sub AS (SELECT CAST(g.s AS INTEGER) AS subspace, seeds.code, seeds.sv
-         |  FROM seeds CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
-         |d AS (SELECT e.vec_id, sub.subspace, sub.code, $fold AS dist
-         |  FROM embeddings e CROSS JOIN sub WHERE e.embedding IS NOT NULL),
-         |a AS (SELECT vec_id, subspace, code, dist,
-         |  ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn FROM d)
-         |SELECT vec_id, subspace, code, dist
-         |FROM a WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
-    },
-    "q80_ann_ivfpq" -> {
-      // q49's seeded-cell CTEs + q76's seeded-code CTEs; ADC = per-subspace
-      // (x−y)² fold (j order), partials summed in SUBSPACE order via
-      // list_reduce(list(p ORDER BY subspace)) — both folds match the
-      // PqAdcDist expression's loops exactly, so distances and ranks are
-      // bit-identical.
-      import graft.similarity.Pq.{Ksub, M, SubDim}
-      val x = s"CAST(e.embedding[psub.subspace * $SubDim + j] AS DOUBLE)"
-      val c = s"CAST(psub.sv[psub.subspace * $SubDim + j] AS DOUBLE)"
-      val codeFold =
-        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($x) - ($c)) * (($x) - ($c))), (acc, v) -> acc + v)"
-      val qx = s"CAST(qe.embedding[pc.subspace * $SubDim + j] AS DOUBLE)"
-      val qc = s"CAST(ps.sv[pc.subspace * $SubDim + j] AS DOUBLE)"
-      val adcFold =
-        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($qx) - ($qc)) * (($qx) - ($qc))), (acc, v) -> acc + v)"
-      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
-         |sims AS (SELECT e.vec_id, cen.cell,
-         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
-         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
-         |assigned AS (SELECT vec_id, cell FROM (
-         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
-         |  FROM sims) WHERE rn = 1),
-         |routed AS (SELECT vec_id AS query_id, cell FROM (
-         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
-         |  FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 4),
-         |ps AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, embedding AS sv
-         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $Ksub)),
-         |psub AS (SELECT CAST(g.s AS INTEGER) AS subspace, ps.code, ps.sv
-         |  FROM ps CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
-         |pdist AS (SELECT e.vec_id, psub.subspace, psub.code, $codeFold AS dist
-         |  FROM embeddings e CROSS JOIN psub WHERE e.embedding IS NOT NULL),
-         |pc AS (SELECT vec_id, subspace, code FROM (
-         |  SELECT vec_id, subspace, code, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
-         |  FROM pdist) WHERE rn = 1),
-         |partials AS (SELECT r.query_id, a.vec_id AS neighbor_id, pc.subspace, $adcFold AS p
-         |  FROM routed r
-         |  JOIN assigned a ON a.cell = r.cell AND a.vec_id <> r.query_id
-         |  JOIN pc ON pc.vec_id = a.vec_id
-         |  JOIN ps ON ps.code = pc.code
-         |  JOIN embeddings qe ON qe.vec_id = r.query_id),
-         |dist AS (SELECT query_id, neighbor_id,
-         |  list_reduce(list(p ORDER BY subspace), (x, y) -> x + y) AS adc_dist
-         |  FROM partials GROUP BY query_id, neighbor_id),
-         |rk AS (SELECT query_id, neighbor_id, adc_dist,
-         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
-         |  FROM dist)
-         |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adc_dist
-         |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
-    },
-    "q88_ann_recall" -> {
-      // q80's generated CTE chain (identical folds/constants) + q33's
-      // brute-force CTEs; both ranked sets are bit-deterministic, so the
-      // semi-join counts — and the integer basis-point recall — hash-match.
-      import graft.similarity.Pq.{Ksub, M, SubDim}
-      val x = s"CAST(e.embedding[psub.subspace * $SubDim + j] AS DOUBLE)"
-      val c = s"CAST(psub.sv[psub.subspace * $SubDim + j] AS DOUBLE)"
-      val codeFold =
-        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($x) - ($c)) * (($x) - ($c))), (acc, v) -> acc + v)"
-      val qx = s"CAST(qe.embedding[pc.subspace * $SubDim + j] AS DOUBLE)"
-      val qc = s"CAST(ps.sv[pc.subspace * $SubDim + j] AS DOUBLE)"
-      val adcFold =
-        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($qx) - ($qc)) * (($qx) - ($qc))), (acc, v) -> acc + v)"
-      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
-         |sims AS (SELECT e.vec_id, cen.cell,
-         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
-         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
-         |assigned AS (SELECT vec_id, cell FROM (
-         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
-         |  FROM sims) WHERE rn = 1),
-         |routed AS (SELECT vec_id AS query_id, cell FROM (
-         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
-         |  FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 4),
-         |ps AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, embedding AS sv
-         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $Ksub)),
-         |psub AS (SELECT CAST(g.s AS INTEGER) AS subspace, ps.code, ps.sv
-         |  FROM ps CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
-         |pdist AS (SELECT e.vec_id, psub.subspace, psub.code, $codeFold AS dist
-         |  FROM embeddings e CROSS JOIN psub WHERE e.embedding IS NOT NULL),
-         |pc AS (SELECT vec_id, subspace, code FROM (
-         |  SELECT vec_id, subspace, code, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
-         |  FROM pdist) WHERE rn = 1),
-         |partials AS (SELECT r.query_id, a.vec_id AS neighbor_id, pc.subspace, $adcFold AS p
-         |  FROM routed r
-         |  JOIN assigned a ON a.cell = r.cell AND a.vec_id <> r.query_id
-         |  JOIN pc ON pc.vec_id = a.vec_id
-         |  JOIN ps ON ps.code = pc.code
-         |  JOIN embeddings qe ON qe.vec_id = r.query_id),
-         |adist AS (SELECT query_id, neighbor_id,
-         |  list_reduce(list(p ORDER BY subspace), (x, y) -> x + y) AS adc_dist
-         |  FROM partials GROUP BY query_id, neighbor_id),
-         |ivf10 AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
-         |  FROM adist) WHERE rn <= 10),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-         |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
-         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-         |  ${VectorOracles.cosine("q.qv", "e.embedding")} AS cosine
-         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
-         |  WHERE e.embedding IS NOT NULL),
-         |bt AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-         |  FROM s WHERE cosine IS NOT NULL) WHERE rn <= 10),
-         |nq AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM bt),
-         |h AS (SELECT COUNT(*) AS n_hits FROM ivf10 JOIN bt USING (query_id, neighbor_id))
-         |SELECT nq.n_queries, h.n_hits,
-         |  CAST(h.n_hits * 10000 // (nq.n_queries * 10) AS BIGINT) AS recall_bp
-         |FROM nq CROSS JOIN h""".stripMargin
-    },
-    "q87_quality_gate" ->
-      """WITH m AS (SELECT lang, len(str_split(text, ' ')) AS n_tokens,
-        |  CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
-        |  CAST(len(list_filter(str_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
-        |    / len(str_split(text, ' ')) AS stopword_ratio
-        |FROM documents),
-        |q AS (SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(FLOOR(LEAST(1.0, (CAST(n_tokens AS DOUBLE)/100.0)*0.4 + stopword_ratio*3.0*0.3
-        |    + CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) * 1000000.0) AS BIGINT) AS quality_fp
-        |FROM m),
-        |t AS (SELECT lang, quantile_cont(quality_fp, 0.25) AS p25_fp FROM q GROUP BY lang)
-        |SELECT q.lang, t.p25_fp, COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN q.quality_fp >= t.p25_fp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(SUM(CASE WHEN q.quality_fp >= t.p25_fp THEN q.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
-        |FROM q JOIN t USING (lang)
-        |GROUP BY q.lang, t.p25_fp ORDER BY q.lang""".stripMargin,
-    "q86_kmeans_inertia" -> {
-      // Iteration 0 is exactly replicable: seeded centroids (first-K-id
-      // vectors), the q76 (x−y)² fold, MIN over cells, fixed-point BIGINT
-      // sum. Iterations ≥ 1 ride the structural Lloyd claim (TRUE; a
-      // violation logs both inertias to stderr on the Spark side). The
-      // seed LIMIT and the per-iteration rows are GENERATED from
-      // Kmeans.DefaultK/DefaultIters — the same constants inertiaTrace
-      // defaults to — so changing either cannot desynchronize the oracle
-      // (the q77/q83/q85 generated-constant pattern).
-      import graft.similarity.Kmeans.{DefaultIters, DefaultK}
-      import graft.similarity.Pq.Dim
-      val x = "CAST(e.embedding[j] AS DOUBLE)"
-      val c = "CAST(cen.cvec[j] AS DOUBLE)"
-      val fold =
-        s"list_reduce(list_transform(range(1, ${Dim + 1}), j -> (($x) - ($c)) * (($x) - ($c))), (acc, v) -> acc + v)"
-      val laterIters = (1 until DefaultIters)
-        .map(i => s"UNION ALL SELECT CAST($i AS INTEGER), CAST(NULL AS BIGINT), TRUE")
-        .mkString("\n")
-      s"""WITH cen AS (SELECT embedding AS cvec FROM (
-         |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $DefaultK)),
-         |d AS (SELECT e.vec_id, MIN($fold) AS dist
-         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL GROUP BY e.vec_id)
-         |SELECT CAST(0 AS INTEGER) AS iter,
-         |  CAST(SUM(CAST(FLOOR(dist * 1000000.0) AS BIGINT)) AS BIGINT) AS inertia_fp,
-         |  TRUE AS non_increasing
-         |FROM d
-         |$laterIters
-         |ORDER BY iter""".stripMargin
-    },
-    "q85_source_reputation" -> {
-      val blocked = SourceBlocklist.map(s => s"'$s'").mkString(", ")
-      s"""WITH k AS (SELECT source, doc_id,
-         |  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS set_key,
-         |  len(str_split(text, ' ')) AS n_tokens,
-         |  CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
-         |  CAST(len(list_filter(str_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
-         |    / len(str_split(text, ' ')) AS stopword_ratio
-         |  FROM documents),
-         |q AS (SELECT source, set_key, n_tokens,
-         |  LEAST(1.0, (CAST(n_tokens AS DOUBLE)/100.0)*0.4 + stopword_ratio*3.0*0.3
-         |    + CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) AS qs
-         |  FROM k),
-         |d AS (SELECT set_key FROM k GROUP BY set_key HAVING COUNT(*) > 1),
-         |a AS (SELECT q.source, COUNT(*) AS n_docs,
-         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(CAST(FLOOR(qs * 1000000.0) AS BIGINT)) AS BIGINT) AS quality_fp,
-         |  CAST(SUM(CASE WHEN d.set_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
-         |  FROM q LEFT JOIN d ON q.set_key = d.set_key GROUP BY q.source)
-         |SELECT source, n_docs, n_tokens, quality_fp, n_dup_docs,
-         |  (source IN ($blocked)) AS blocked,
-         |  (source NOT IN ($blocked) AND quality_fp >= 400000 * n_docs) AS kept
-         |FROM a ORDER BY source""".stripMargin
-    },
-    // q84's no_false_negative TRUE is the bounded-claim pattern (q42/q69/
-    // q79): a hash mismatch means the Bloom guarantee broke (impossible
-    // short of sketch-machinery corruption), not engine count drift.
-    "q84_incremental_dedup" ->
-      """WITH snap AS (SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
-        |  FROM documents WHERE doc_id % 3 <> 0),
-        |inc AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
-        |  FROM documents WHERE doc_id % 3 = 0)
-        |SELECT inc.doc_id, (snap.fp IS NOT NULL) AS is_dup_exact, TRUE AS no_false_negative
-        |FROM inc LEFT JOIN snap ON inc.fp = snap.fp
-        |ORDER BY doc_id""".stripMargin,
-    "q83_curation_v2" -> {
-      // The composed pipeline, stage by stage, each CTE the proven oracle
-      // form of its operator: q25 exact dedup → q27 brute-force pair
-      // dominance → q73 exact-gram + q62 brute-force fuzzy decontamination
-      // → q77 rates (weights VALUES generated from DomainMixWeights) →
-      // q74 chunking (constants generated from ChunkSize/ChunkOverlap) →
-      // q72's windowed packing twin (PrefixSum equality is spec-proven).
-      val wvals = DomainMixWeights
-        .map { case (l, w) => s"('$l', CAST($w AS DOUBLE))" }
-        .mkString(", ")
-      val (cs, st) = (ChunkSize, ChunkSize - ChunkOverlap)
-      val sliceLen = s"len(s[CAST(ci*$st + 1 AS INTEGER):CAST(LEAST(ci*$st + $cs, n) AS INTEGER)])"
-      s"""WITH keep1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-         |d1 AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN keep1 USING (doc_id)),
-         |t1 AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM d1),
-         |dom AS (SELECT DISTINCT b.doc_id
-         |  FROM t1 a JOIN t1 b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
-         |d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM dom)),
-         |gsrc AS (SELECT doc_id, str_split(text, ' ') AS s, text FROM documents),
-         |g AS (SELECT doc_id,
-         |  CASE WHEN len(s) >= 4 THEN list_transform(range(1, len(s) - 2), i -> array_to_string(s[i:i+3], ' '))
-         |       ELSE [text] END AS grams FROM gsrc),
-         |u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-         |bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM u WHERE doc_id % 97 = 0),
-         |cont1 AS (SELECT DISTINCT u.doc_id
-         |  FROM u JOIN d2 USING (doc_id) JOIN bg ON u.gram = bg.gram AND u.doc_id <> bg.bench_id),
-         |tb AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
-         |  FROM documents WHERE doc_id % 97 = 0),
-         |t2 AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM d2),
-         |cont2 AS (SELECT DISTINCT a.doc_id FROM t2 a JOIN tb b ON a.doc_id <> b.doc_id
-         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
-         |d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM cont1)
-         |                          AND doc_id NOT IN (SELECT doc_id FROM cont2)),
-         |w(lang, w) AS (VALUES $wvals),
-         |c AS (SELECT lang, COUNT(*) AS n_docs FROM d3 GROUP BY lang),
-         |cw AS (SELECT c.lang, c.n_docs, w.w FROM c JOIN w USING (lang)),
-         |tt AS (SELECT MIN(CAST(n_docs AS DOUBLE) / w) AS t FROM cw),
-         |r AS (SELECT cw.lang, LEAST(1.0, (cw.w * tt.t) / CAST(cw.n_docs AS DOUBLE)) AS rate
-         |  FROM cw CROSS JOIN tt),
-         |d4 AS (SELECT d3.lang, d3.doc_id, d3.text FROM d3 JOIN r ON d3.lang = r.lang
-         |  WHERE CAST(${duckH31("d3.text")} % 1000000 AS DOUBLE) < r.rate * 1000000.0),
-         |ct AS (SELECT lang, doc_id, md5(text) AS rk, str_split(text, ' ') AS s FROM d4),
-         |cc AS (SELECT lang, doc_id, rk, s, len(s) AS n,
-         |  CASE WHEN len(s) <= $cs THEN 1 ELSE (len(s) - $cs + ${st - 1}) // $st + 1 END AS nc FROM ct),
-         |cf AS (SELECT lang, doc_id, rk, ci AS chunk_idx, CAST($sliceLen AS BIGINT) AS n_chunk_tokens
-         |  FROM (SELECT lang, doc_id, rk, s, n, unnest(range(0, nc)) AS ci FROM cc)),
-         |pk AS (SELECT lang, doc_id, n_chunk_tokens,
-         |  SUM(n_chunk_tokens) OVER (PARTITION BY lang ORDER BY rk, doc_id, chunk_idx
-         |    ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM cf)
-         |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
-         |  CAST(SUM(n_chunk_tokens) AS BIGINT) AS kept_tokens,
-         |  COUNT(DISTINCT (cum - n_chunk_tokens) // 2048) AS n_windows
-         |FROM pk GROUP BY lang ORDER BY lang""".stripMargin
-    },
-    "q82_pq_trained_claim" -> {
-      // q76's seeded-codebook CTEs; the total error is summed as
-      // fixed-point BIGINTs (floor(dist·10⁶) — one IEEE multiply + exact
-      // floor on a bit-identical double), so the SUM is order-free and
-      // hash-exact. trained_improved = TRUE is the bounded-claim pattern:
-      // a mismatch means Lloyd monotonicity fired on the Spark side (which
-      // logs it to stderr), not engine drift.
-      import graft.similarity.Pq.{Ksub, M, SubDim}
-      val x = s"CAST(e.embedding[sub.subspace * $SubDim + j] AS DOUBLE)"
-      val c = s"CAST(sub.sv[sub.subspace * $SubDim + j] AS DOUBLE)"
-      val fold =
-        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($x) - ($c)) * (($x) - ($c))), (acc, v) -> acc + v)"
-      s"""WITH seeds AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, embedding AS sv
-         |  FROM (SELECT vec_id, embedding FROM embeddings
-         |        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $Ksub)),
-         |sub AS (SELECT CAST(g.s AS INTEGER) AS subspace, seeds.code, seeds.sv
-         |  FROM seeds CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
-         |d AS (SELECT e.vec_id, sub.subspace, sub.code, $fold AS dist
-         |  FROM embeddings e CROSS JOIN sub WHERE e.embedding IS NOT NULL),
-         |a AS (SELECT vec_id, subspace, code, dist,
-         |  ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn FROM d)
-         |SELECT CAST($M AS INTEGER) AS m, CAST($Ksub AS INTEGER) AS ksub,
-         |  COUNT(*) AS n_code_rows,
-         |  CAST(SUM(CAST(FLOOR(dist * 1000000.0) AS BIGINT)) AS BIGINT) AS seeded_err_fp,
-         |  TRUE AS trained_improved
-         |FROM a WHERE rn = 1""".stripMargin
-    },
-    // q98 runs the SAME residual-IVFPQ search as q81, from the COMMITTED
-    // index layout instead of a per-run rebuild — results are contractually
-    // bit-identical, so both rows share one oracle. A q98/q81 divergence
-    // reads as "the committed layout drifted from the build arithmetic".
-    "q98_ann_indexed" -> ivfPqResidualOracleSql,
-    "q81_ann_ivfpq_residual" -> ivfPqResidualOracleSql)
-
-  /** The q81/q98 oracle, parameterized by the predicate that selects the
-    * corpus the QUANTIZER is trained on (`seedWhere` restricts only the
-    * cell-seed and codebook-seed CTEs; assignment, encode, and search
-    * always span the full corpus). `TRUE` = the classic build; q101 passes
-    * the base-corpus predicate to replicate a frozen-quantizer append.
-    * `candWhere` (over `a.vec_id`) additionally restricts which encoded
-    * vectors may surface as CANDIDATES — the tombstone-delete semantics:
-    * quantizer, assignment, and encode still span the full corpus (a
-    * logical delete re-trains nothing), but deleted ids never reach the
-    * ADC ranking. q116 passes the deleted-id complement. */
-  private def ivfPqResidualOracleSqlSeeded(
-      seedWhere: String, candWhere: String = "TRUE"): String = {
-      // q80's oracle with the FAISS residual step spliced in: residuals are
-      // elementwise CAST-to-DOUBLE subtracts (one IEEE op per element, so
-      // corpus residuals, the residual-seeded codebooks, and both folds
-      // stay bit-identical to the PqEncode/PqAdcDist loops).
-      import graft.similarity.Pq.{Dim, Ksub, M, SubDim}
-      val rx = s"res.rvec[psub.subspace * $SubDim + j]"
-      val rc = s"psub.sv[psub.subspace * $SubDim + j]"
-      val codeFold =
-        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($rx) - ($rc)) * (($rx) - ($rc))), (acc, v) -> acc + v)"
-      val qx = s"qr.qrvec[pc.subspace * $SubDim + j]"
-      val qc = s"rs.sv[pc.subspace * $SubDim + j]"
-      val adcFold =
-        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($qx) - ($qc)) * (($qx) - ($qc))), (acc, v) -> acc + v)"
-      val resOf = (vec: String, cvec: String) =>
-        s"list_transform(range(1, ${Dim + 1}), j -> CAST($vec[j] AS DOUBLE) - CAST($cvec[j] AS DOUBLE))"
-      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, vec_id AS cid, embedding AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND ($seedWhere) ORDER BY vec_id LIMIT 16)),
-         |sims AS (SELECT e.vec_id, cen.cell,
-         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
-         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
-         |assigned AS (SELECT vec_id, cell FROM (
-         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
-         |  FROM sims) WHERE rn = 1),
-         |routed AS (SELECT vec_id AS query_id, cell FROM (
-         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
-         |  FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 4),
-         |res AS (SELECT a.vec_id, a.cell, ${resOf("e.embedding", "c.cvec")} AS rvec
-         |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id JOIN cen c ON c.cell = a.cell),
-         |rs AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, rvec AS sv
-         |  FROM (SELECT vec_id, rvec FROM res WHERE vec_id NOT IN (SELECT cid FROM cen) AND ($seedWhere)
-         |        ORDER BY vec_id LIMIT $Ksub)),
-         |psub AS (SELECT CAST(g.s AS INTEGER) AS subspace, rs.code, rs.sv
-         |  FROM rs CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
-         |pdist AS (SELECT res.vec_id, psub.subspace, psub.code, $codeFold AS dist
-         |  FROM res CROSS JOIN psub),
-         |pc AS (SELECT vec_id, subspace, code FROM (
-         |  SELECT vec_id, subspace, code, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
-         |  FROM pdist) WHERE rn = 1),
-         |qres AS (SELECT r.query_id, r.cell, ${resOf("qe.embedding", "c.cvec")} AS qrvec
-         |  FROM routed r JOIN embeddings qe ON qe.vec_id = r.query_id JOIN cen c ON c.cell = r.cell),
-         |partials AS (SELECT qr.query_id, a.vec_id AS neighbor_id, pc.subspace, $adcFold AS p
-         |  FROM qres qr
-         |  JOIN assigned a ON a.cell = qr.cell AND a.vec_id <> qr.query_id AND ($candWhere)
-         |  JOIN pc ON pc.vec_id = a.vec_id
-         |  JOIN rs ON rs.code = pc.code),
-         |dist AS (SELECT query_id, neighbor_id,
-         |  list_reduce(list(p ORDER BY subspace), (x, y) -> x + y) AS adc_dist
-         |  FROM partials GROUP BY query_id, neighbor_id),
-         |rk AS (SELECT query_id, neighbor_id, adc_dist,
-         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
-         |  FROM dist)
-         |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adc_dist
-         |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
-  }
-
-  private lazy val ivfPqResidualOracleSql: String = ivfPqResidualOracleSqlSeeded("TRUE")
-
-  /** The q125 oracle: the q81/q98 residual-IVFPQ SQL widened to keep the
-    * ROUTE RANK (rn ≤ nlist instead of ≤ nprobe), fanned across the
-    * operating points (a candidate participates where route_rank ≤ np),
-    * ranked per (np, query), and scored for recall against the exact
-    * brute-force top-10 (the q33 formulation). */
-  private lazy val annNprobeSweepOracleSql: String = {
-    import graft.similarity.Pq.{Dim, Ksub, M, SubDim}
-    val rx = s"res.rvec[psub.subspace * $SubDim + j]"
-    val rc = s"psub.sv[psub.subspace * $SubDim + j]"
-    val codeFold =
-      s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($rx) - ($rc)) * (($rx) - ($rc))), (acc, v) -> acc + v)"
-    val qx = s"qr.qrvec[pc.subspace * $SubDim + j]"
-    val qc = s"rs.sv[pc.subspace * $SubDim + j]"
-    val adcFold =
-      s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($qx) - ($qc)) * (($qx) - ($qc))), (acc, v) -> acc + v)"
-    val resOf = (vec: String, cvec: String) =>
-      s"list_transform(range(1, ${Dim + 1}), j -> CAST($vec[j] AS DOUBLE) - CAST($cvec[j] AS DOUBLE))"
-    val npList = SweepNprobes.mkString("[", ", ", "]")
-    s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, vec_id AS cid, embedding AS cvec
-       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
-       |sims AS (SELECT e.vec_id, cen.cell,
-       |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
-       |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
-       |assigned AS (SELECT vec_id, cell FROM (
-       |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
-       |  FROM sims) WHERE rn = 1),
-       |routed AS (SELECT vec_id AS query_id, cell, CAST(rn AS INTEGER) AS route_rank FROM (
-       |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
-       |  FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 16),
-       |res AS (SELECT a.vec_id, a.cell, ${resOf("e.embedding", "c.cvec")} AS rvec
-       |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id JOIN cen c ON c.cell = a.cell),
-       |rs AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, rvec AS sv
-       |  FROM (SELECT vec_id, rvec FROM res WHERE vec_id NOT IN (SELECT cid FROM cen)
-       |        ORDER BY vec_id LIMIT $Ksub)),
-       |psub AS (SELECT CAST(g.s AS INTEGER) AS subspace, rs.code, rs.sv
-       |  FROM rs CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
-       |pdist AS (SELECT res.vec_id, psub.subspace, psub.code, $codeFold AS dist
-       |  FROM res CROSS JOIN psub),
-       |pc AS (SELECT vec_id, subspace, code FROM (
-       |  SELECT vec_id, subspace, code, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
-       |  FROM pdist) WHERE rn = 1),
-       |qres AS (SELECT r.query_id, r.cell, r.route_rank, ${resOf("qe.embedding", "c.cvec")} AS qrvec
-       |  FROM routed r JOIN embeddings qe ON qe.vec_id = r.query_id JOIN cen c ON c.cell = r.cell),
-       |partials AS (SELECT qr.query_id, qr.route_rank, a.vec_id AS neighbor_id, pc.subspace, $adcFold AS p
-       |  FROM qres qr
-       |  JOIN assigned a ON a.cell = qr.cell AND a.vec_id <> qr.query_id
-       |  JOIN pc ON pc.vec_id = a.vec_id
-       |  JOIN rs ON rs.code = pc.code),
-       |dist AS (SELECT query_id, route_rank, neighbor_id,
-       |  list_reduce(list(p ORDER BY subspace), (x, y) -> x + y) AS adc_dist
-       |  FROM partials GROUP BY query_id, route_rank, neighbor_id),
-       |npx AS (SELECT d.query_id, d.route_rank, d.neighbor_id, d.adc_dist, CAST(n.np AS INTEGER) AS np
-       |  FROM dist d CROSS JOIN (SELECT UNNEST($npList) AS np) n WHERE d.route_rank <= n.np),
-       |rk AS (SELECT np, query_id, neighbor_id,
-       |  ROW_NUMBER() OVER (PARTITION BY np, query_id ORDER BY adc_dist, neighbor_id) AS rn
-       |  FROM npx),
-       |topk AS (SELECT np, query_id, neighbor_id FROM rk WHERE rn <= 10),
-       |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-       |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
-       |bs AS (SELECT bq.query_id, e.vec_id AS neighbor_id,
-       |  ${VectorOracles.cosine("bq.qv", "e.embedding")} AS cosine
-       |  FROM bq JOIN embeddings e ON e.vec_id <> bq.query_id WHERE e.embedding IS NOT NULL),
-       |br AS (SELECT query_id, neighbor_id FROM (
-       |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-       |  FROM bs WHERE cosine IS NOT NULL) WHERE rn <= 10),
-       |nq AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM br),
-       |cands AS (SELECT np, COUNT(*) AS n_candidates FROM npx GROUP BY np),
-       |hits AS (SELECT t.np, COUNT(*) AS n_hits FROM topk t
-       |  JOIN br ON br.query_id = t.query_id AND br.neighbor_id = t.neighbor_id GROUP BY t.np)
-       |SELECT c.np, CAST(nq.n_queries AS BIGINT) AS n_queries,
-       |  CAST(c.n_candidates AS BIGINT) AS n_candidates,
-       |  CAST(h.n_hits AS BIGINT) AS n_hits,
-       |  CAST(h.n_hits * 10000 // (nq.n_queries * 10) AS BIGINT) AS recall_bp
-       |FROM cands c JOIN hits h ON h.np = c.np CROSS JOIN nq ORDER BY c.np""".stripMargin
-  }
-
-  /** Shared lexical-retrieval CTE block — q110's derived query + pruned
-    * postings, extended with the per-doc length BM25 needs. Used by the
-    * q126/q127 oracles so the two rankers and the fusion can never drift
-    * from one another's postings. */
-  private val LexicalCtes =
-    """td AS (SELECT token, doc_id, dl, COUNT(*) AS tf
-      |  FROM (SELECT doc_id, len(str_split(text, ' ')) AS dl, unnest(str_split(text, ' ')) AS token FROM documents)
-      |  GROUP BY token, doc_id, dl),
-      |q AS (SELECT DISTINCT unnest(str_split(text, ' ')) AS token
-      |  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)),
-      |n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens FROM documents),
-      |qtd AS (SELECT td.token, td.doc_id, td.dl, td.tf FROM td JOIN q USING (token)),
-      |d AS (SELECT token, COUNT(*) AS df FROM qtd GROUP BY token)""".stripMargin
-
-  /** The per-term BM25 score (k1 = 1.2, b = 0.75) as the exact parse
-    * tree [[bm25Topk]] evaluates — every IEEE op in the same order. */
-  private val BmTermSql =
-    """CAST(FLOOR(CAST(n_docs * 1000000 // df AS DOUBLE)
-      |    * (CAST(tf AS DOUBLE) * 2.2)
-      |    / (CAST(tf AS DOUBLE) + (0.3 + 0.9 * (CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))) AS BIGINT)""".stripMargin
-
-  /** q131 oracle — the banding sweep replayed in SQL: distinct token
-    * sets, the same 192-slot signature family (minhashParamValues), band
-    * keys as slice TUPLES (the engine buckets by xxhash64 of the slice —
-    * identical partition of sets into buckets absent 64-bit collisions,
-    * the q64/q73 precedent), candidates unioned across the generated
-    * config list, truth verified once at the shared threshold. */
-  private def lshSweepOracleSql: String = {
-    val perConfig = SweepConfigs.map { case (b, r) =>
-      s"""SELECT $b AS bands, $r AS rows_per_band, a.sid AS id_a, b2.sid AS id_b
-         |  FROM (SELECT sid, i, array_to_string(sig[CAST(i*$r+1 AS INTEGER) : CAST(i*$r+$r AS INTEGER)], ',') AS key
-         |        FROM sg, (SELECT unnest(range(0, $b)) AS i)) a
-         |  JOIN (SELECT sid, i, array_to_string(sig[CAST(i*$r+1 AS INTEGER) : CAST(i*$r+$r AS INTEGER)], ',') AS key
-         |        FROM sg, (SELECT unnest(range(0, $b)) AS i)) b2
-         |    ON a.i = b2.i AND a.key = b2.key AND a.sid < b2.sid
-         |  GROUP BY ALL""".stripMargin
-    }.mkString("\n  UNION ALL\n")
-    s"""WITH t AS (SELECT MIN(doc_id) AS sid, ANY_VALUE(list_sort(list_distinct(str_split(text, ' ')))) AS toks
-       |  FROM documents GROUP BY md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))),
-       |h AS (SELECT sid, list_transform(toks, tok -> ${graft.functions.Md5Hash.duckH31("tok")}) AS hs FROM t),
-       |sg AS (SELECT sid, list(mh ORDER BY sig_idx) AS sig FROM (
-       |    SELECT h.sid, p.sig_idx, list_min(list_transform(h.hs, x -> (p.pa * x + p.pb) % 2147483647)) AS mh
-       |    FROM h CROSS JOIN (VALUES $minhashParamValues) AS p(sig_idx, pa, pb)) GROUP BY sid),
-       |cand AS (
-       |  $perConfig),
-       |uniq AS (SELECT DISTINCT id_a, id_b FROM cand),
-       |ver AS (SELECT u.id_a, u.id_b FROM uniq u JOIN t a ON a.sid = u.id_a JOIN t b ON b.sid = u.id_b
-       |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-       |    / len(list_distinct(list_concat(a.toks, b.toks))) >= $SweepJaccard),
-       |tot AS (SELECT COUNT(*) AS n_truth FROM ver)
-       |SELECT c.bands, c.rows_per_band, COUNT(*) AS n_candidates, tot.n_truth,
-       |  CAST(SUM(CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-       |  CAST(SUM(CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000 // tot.n_truth AS recall_bp
-       |FROM cand c LEFT JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b CROSS JOIN tot
-       |GROUP BY c.bands, c.rows_per_band, tot.n_truth
-       |ORDER BY c.bands""".stripMargin
-  }
-
-  /** q134 oracle — per truncation dimension, the q33 left-fold cosine
-    * over SLICED lists ranks top-10; hits against the full-dim point's
-    * list; generated from the shared MrlDims (the last dim IS the
-    * truth). */
-  private def mrlSweepOracleSql: String = {
-    val perDim = MrlDims.map { d =>
-      s"""SELECT $d AS dim, query_id, neighbor_id FROM (
-         |  SELECT s.query_id, s.neighbor_id,
-         |    ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.cosine DESC, s.neighbor_id) AS rn
-         |  FROM (SELECT q.query_id, e.vec_id AS neighbor_id,
-         |      ${VectorOracles.cosine(s"q.qv[1:$d]", s"e.embedding[1:$d]")} AS cosine
-         |    FROM q JOIN e ON e.vec_id <> q.query_id) s
-         |  WHERE s.cosine IS NOT NULL) WHERE rn <= 10""".stripMargin
-    }.mkString("\n  UNION ALL\n")
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-       |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
-       |e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-       |allr AS (
-       |  $perDim),
-       |truth AS (SELECT query_id, neighbor_id FROM allr WHERE dim = ${MrlDims.last})
-       |SELECT a.dim, COUNT(*) // 10 AS n_queries,
-       |  CAST(SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-       |  CAST(SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000
-       |    // COUNT(*) AS recall_bp
-       |FROM allr a LEFT JOIN truth t
-       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
-       |GROUP BY a.dim ORDER BY a.dim""".stripMargin
-  }
-
-  /** Shared CTE prefix of the q240/q254 online-admission oracles: seeded
-    * centroids → cell assignment → the unrolled per-wave drop/admit CTEs
-    * (`dp$b` / `adm$b`). q240 aggregates per-wave stats over it; q254
-    * selects the admitted SET itself (the frame its committed store must
-    * hash-match). */
-  private def onlineAdmissionCtePrefix: String = {
-    import graft.similarity.SemDedup.{Nlist, OnlineBatches, Tau}
-    val cosXY = VectorOracles.cosine("a.embedding", "b.embedding")
-    val waveCtes = (0 until OnlineBatches).map { b =>
-      val dp =
-        if (b == 0) s"dp$b AS (SELECT vec_id FROM assigned WHERE 1 = 0)"
-        else {
-          val prior = (0 until b).map(i => s"SELECT vec_id, cell FROM adm$i")
-            .mkString(" UNION ALL ")
-          s"""dp$b AS (SELECT DISTINCT x.vec_id
-             |  FROM assigned x JOIN ($prior) p ON p.cell = x.cell
-             |  JOIN embeddings a ON a.vec_id = x.vec_id
-             |  JOIN embeddings b ON b.vec_id = p.vec_id
-             |  WHERE x.batch = $b AND $cosXY >= $Tau)""".stripMargin
-        }
-      val adm =
-        s"""adm$b AS (SELECT x.vec_id, x.cell FROM assigned x
-           |  WHERE x.batch = $b
-           |    AND x.vec_id NOT IN (SELECT vec_id FROM dp$b)
-           |    AND NOT EXISTS (SELECT 1 FROM assigned y
-           |      JOIN embeddings a ON a.vec_id = x.vec_id
-           |      JOIN embeddings b ON b.vec_id = y.vec_id
-           |      WHERE y.batch = $b AND y.cell = x.cell
-           |        AND y.vec_id < x.vec_id AND $cosXY >= $Tau))""".stripMargin
-      s"$dp,\n$adm"
-    }.mkString(",\n")
-    s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
-       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $Nlist)),
-       |sims AS (SELECT e.vec_id, cen.cell,
-       |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
-       |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
-       |assigned AS (SELECT vec_id, cell, vec_id % $OnlineBatches AS batch FROM (
-       |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
-       |  FROM sims) WHERE rn = 1),
-       |$waveCtes""".stripMargin
-  }
-
-  /** Shared CTE prefix of the q200/q256 oracles (no leading WITH): the
-    * sequential four-batch fuzzy-ingest replay — brute-force Jaccard with
-    * the q62 recall-exactness argument standing in for the banding. */
-  private def fuzzyIngestCtePrefix: String = {
-    def jac(a: String, x: String) =
-      s"CAST(len(list_intersect($a.toks, $x.toks)) AS DOUBLE) / " +
-        s"($a.nt + $x.nt - len(list_intersect($a.toks, $x.toks))) >= 0.8"
-    def lenPre(a: String, x: String) =
-      s"5 * LEAST($a.nt, $x.nt) >= 4 * GREATEST($a.nt, $x.nt)"
-    def batch(b: Int): String = {
-      val corpusUnion = ("SELECT doc_id, toks, nt FROM st" +:
-        (0 until b).map(i => s"SELECT doc_id, toks, nt FROM s$i")).mkString(" UNION ALL ")
-      s"""a$b AS MATERIALIZED (SELECT * FROM arr WHERE (doc_id // 7) % 4 = $b),
-         |wd$b AS (SELECT DISTINCT a.doc_id FROM a$b a JOIN a$b x
-         |  ON x.doc_id < a.doc_id AND ${lenPre("a", "x")} AND ${jac("a", "x")}),
-         |k$b AS MATERIALIZED (SELECT * FROM a$b WHERE doc_id NOT IN (SELECT doc_id FROM wd$b)),
-         |c$b AS MATERIALIZED ($corpusUnion),
-         |cd$b AS (SELECT DISTINCT k.doc_id FROM k$b k JOIN c$b c
-         |  ON ${lenPre("k", "c")} AND ${jac("k", "c")}),
-         |s$b AS MATERIALIZED (SELECT * FROM k$b WHERE doc_id NOT IN (SELECT doc_id FROM cd$b))"""
-    }
-    s"""d AS MATERIALIZED (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks,
-       |    len(list_distinct(str_split(text, ' '))) AS nt FROM documents),
-       |st AS MATERIALIZED (SELECT doc_id, toks, nt FROM d WHERE doc_id % 7 <> 0),
-       |arr AS MATERIALIZED (SELECT doc_id, toks, nt FROM d WHERE doc_id % 7 = 0),
-       |${(0 to 3).map(batch).mkString(",\n")}""".stripMargin
-  }
-
-  private val oracleTail: Map[String, String] = Map(
-    // q145: identical h31 bucketing, conversion threshold and the exact
-    // integer chi-square cross-multiply (HUGEINT here, DECIMAL(38,0) in
-    // the engine — both exact, so the boolean agrees bit-for-bit).
-    "q145_ab_experiment" ->
-      s"""WITH u AS (SELECT user_id,
-         |    CASE WHEN COUNT(*) FILTER (event_type = 'purchase') >= $AbConvPurchases
-         |         THEN 1 ELSE 0 END AS conv
-         |  FROM events GROUP BY user_id),
-         |v AS (SELECT CASE WHEN ${duckH31("CAST(user_id AS VARCHAR)")} % 2 = 0
-         |    THEN 'control' ELSE 'treatment' END AS variant, conv FROM u),
-         |p AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
-         |    CAST(SUM(conv) AS BIGINT) AS n_converted,
-         |    CAST(SUM(conv) AS BIGINT) * 10000 // CAST(COUNT(*) AS BIGINT) AS cvr_bp
-         |  FROM v GROUP BY variant),
-         |t AS (SELECT
-         |    CAST(SUM(CASE WHEN variant = 'control' THEN n_converted ELSE 0 END) AS BIGINT) AS a,
-         |    CAST(SUM(CASE WHEN variant = 'control' THEN n_users - n_converted ELSE 0 END) AS BIGINT) AS b,
-         |    CAST(SUM(CASE WHEN variant = 'treatment' THEN n_converted ELSE 0 END) AS BIGINT) AS c,
-         |    CAST(SUM(CASE WHEN variant = 'treatment' THEN n_users - n_converted ELSE 0 END) AS BIGINT) AS d,
-         |    CAST(SUM(CASE WHEN variant = 'treatment' THEN cvr_bp ELSE -cvr_bp END) AS BIGINT) AS lift_bp
-         |  FROM p)
-         |SELECT p.variant, p.n_users, p.n_converted, p.cvr_bp, t.lift_bp,
-         |  CAST(1000 AS HUGEINT) * CAST(a + b + c + d AS HUGEINT)
-         |      * (CAST(a * d - b * c AS HUGEINT) * CAST(a * d - b * c AS HUGEINT))
-         |    >= CAST(3841 AS HUGEINT) * CAST(a + b AS HUGEINT) * CAST(c + d AS HUGEINT)
-         |      * CAST(a + c AS HUGEINT) * CAST(b + d AS HUGEINT) AS significant_95
-         |FROM p, t ORDER BY p.variant""".stripMargin,
-    // q146: same distinct-token h60 keys, same ⌊1e6·N/df⌋ per-token
-    // surprisal and floor-mean reductions — BIGINT end to end.
-    "q146_idf_quality" ->
-      s"""WITH d AS (SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS toks FROM documents),
-         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
-         |t AS (SELECT doc_id, lang, ${duckH60("u.tok")} AS tk FROM d, unnest(d.toks) AS u(tok)),
-         |f AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY tk),
-         |p AS (SELECT t.doc_id, t.lang,
-         |    CAST(SUM(($IdfScale * n.n_total) // f.df) AS BIGINT) AS s,
-         |    CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM t JOIN f ON t.tk = f.tk CROSS JOIN n GROUP BY 1, 2),
-         |q AS (SELECT lang, s // c AS surprisal_u FROM p)
-         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(surprisal_u) // COUNT(*) AS BIGINT) AS mean_surprisal_u,
-         |  CAST(MIN(surprisal_u) AS BIGINT) AS min_surprisal_u,
-         |  CAST(MAX(surprisal_u) AS BIGINT) AS max_surprisal_u
-         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
-    // q148: identical (epoch_us, event_id) gap ordering and the same
-    // integer burst-rule constants interpolated from the engine.
-    "q148_bot_detection" ->
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
-         |g AS (SELECT user_id, us,
-         |    us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
-         |  FROM e),
-         |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-         |    CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
-         |    CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
-         |    CAST(COUNT(*) FILTER (gap_us <= $BotFastGapUs) AS BIGINT) AS n_fast,
-         |    CAST(SUM(gap_us) AS BIGINT) AS sum_gap
-         |  FROM g GROUP BY user_id)
-         |SELECT user_id, n_events, span_us, sum_gap // n_gaps AS mean_gap_us,
-         |  n_fast * 10000 // n_gaps AS fast_bp,
-         |  (n_events >= $BotMinEvents AND n_fast * 10000 // n_gaps >= $BotFastBp) AS is_bot
-         |FROM a WHERE n_gaps > 0 ORDER BY user_id""".stripMargin,
-    // q147: identical 3-gram shingles (position-unnest form — same
-    // strings, same h60 keys), identical df cut and containment rule.
-    "q147_doc_containment" ->
-      s"""WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
-         |  WHERE len(str_split(text, ' ')) >= $ContainGramLen),
-         |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - ${ContainGramLen - 2})) AS pi FROM tk),
-         |gs AS (SELECT doc_id,
-         |    array_to_string(list_slice(t, pi, pi + ${ContainGramLen - 1}), ' ') AS gstr
-         |  FROM pos),
-         |gr AS (SELECT DISTINCT doc_id, ${duckH60("gstr")} AS g FROM gs),
-         |f AS (SELECT g FROM (SELECT g, COUNT(*) AS c FROM gr GROUP BY g) WHERE c <= $ContainMaxDf),
-         |rg AS (SELECT gr.doc_id, gr.g FROM gr JOIN f USING (g)),
-         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM rg GROUP BY doc_id),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
-         |  FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id <> b.doc_id GROUP BY 1, 2)
-         |SELECT id_a, id_b, sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b, shared,
-         |  shared * 10000 // sa.n_grams AS containment_bp
-         |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |WHERE shared * 10000 // sa.n_grams >= $ContainBp
-         |  AND (sa.n_grams < sb.n_grams OR (sa.n_grams = sb.n_grams AND id_a < id_b))
-         |ORDER BY id_a, id_b""".stripMargin,
-    // q149: the exact min-label iteration unrolled from the same
-    // LpIters constant, over the same bipartite edge encoding as q139.
-    "q149_label_communities" -> {
-      import graft.graph.Graph
-      def step(prev: String, next: String): String =
-        s"""$next AS (SELECT node, MIN(lbl) AS lbl FROM (
-           |  SELECT e.src AS node, p.lbl FROM se e JOIN $prev p ON p.node = e.dst
-           |  UNION ALL SELECT node, lbl FROM $prev) GROUP BY node)""".stripMargin
-      val steps = (1 to Graph.LpIters).map(i => step(s"l${i - 1}", s"l$i")).mkString(",\n")
-      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |se AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
-         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM se),
-         |$steps
-         |SELECT CASE WHEN lbl % 2 = 0 THEN 'customer' ELSE 'part' END AS community_type,
-         |  lbl // 2 AS community_key, CAST(COUNT(*) AS BIGINT) AS n_members
-         |FROM l${Graph.LpIters} GROUP BY 1, 2
-         |ORDER BY n_members DESC, community_type, community_key LIMIT 20""".stripMargin
-    },
-    // q150: same (count desc, token) total order for the top-10 cut;
-    // all reductions BIGINT.
-    "q150_token_concentration" ->
-      """WITH c AS (SELECT lang, u.tok AS tok, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM documents, unnest(str_split(text, ' ')) AS u(tok) GROUP BY 1, 2),
-        |r AS (SELECT lang, tok, c,
-        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rnk FROM c)
-        |SELECT lang, CAST(SUM(c) AS BIGINT) AS total_tokens,
-        |  CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
-        |  CAST(SUM(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS BIGINT) * 10000
-        |    // CAST(SUM(c) AS BIGINT) AS top10_bp,
-        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons,
-        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
-        |    // CAST(COUNT(*) AS BIGINT) AS singleton_bp
-        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
-    // q153: same bigram total order for the top-1 phrase; the oracle
-    // intersects by string equality — a divergence reads as "the
-    // positional index drifted from the text".
-    "q153_phrase_search" ->
-      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents
-        |  WHERE len(str_split(text, ' ')) >= 2),
-        |pos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t),
-        |bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM pos),
-        |cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
-        |top1 AS (SELECT w1, w2 FROM cnt ORDER BY c DESC, w1, w2 LIMIT 1)
-        |SELECT bg.doc_id, bg.w1 || ' ' || bg.w2 AS phrase,
-        |  CAST(COUNT(*) AS BIGINT) AS n_matches
-        |FROM bg JOIN top1 ON bg.w1 = top1.w1 AND bg.w2 = top1.w2
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
-    // q154: same distinct incidence, same (n_co desc, part ids) total
-    // order for the cut, same integer lift.
-    "q154_copurchase" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |p AS (SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_co
-        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
-        |t AS (SELECT part_a, part_b, n_co FROM p ORDER BY n_co DESC, part_a, part_b LIMIT 20),
-        |pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY pk),
-        |nn AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS total FROM li)
-        |SELECT t.part_a, t.part_b, t.n_co, pa.n AS n_a, pb.n AS n_b,
-        |  t.n_co * nn.total * 10000 // (pa.n * pb.n) AS lift_bp
-        |FROM t JOIN pc pa ON pa.pk = t.part_a JOIN pc pb ON pb.pk = t.part_b CROSS JOIN nn
-        |ORDER BY t.n_co DESC, t.part_a, t.part_b""".stripMargin,
-    // q155: per-user first-signup/first-subsequent-purchase offsets with
-    // end-of-window censoring; risk sets from the same exit histogram.
-    "q155_survival_hazard" ->
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
-         |te AS (SELECT MAX(us) AS t_end FROM e),
-         |fs AS (SELECT user_id, MIN(us) AS fs FROM e WHERE event_type = 'signup' GROUP BY user_id),
-         |fp AS (SELECT e.user_id, MIN(e.us) AS fp FROM e JOIN fs ON e.user_id = fs.user_id
-         |  WHERE e.event_type = 'purchase' AND e.us >= fs.fs GROUP BY e.user_id),
-         |u AS (SELECT (fp.fp - fs.fs) // 86400000000 AS conv_off,
-         |    (te.t_end - fs.fs) // 86400000000 AS cens_off
-         |  FROM fs LEFT JOIN fp ON fs.user_id = fp.user_id CROSS JOIN te),
-         |ue AS (SELECT conv_off,
-         |    CASE WHEN conv_off IS NOT NULL THEN LEAST(conv_off, cens_off)
-         |         ELSE cens_off END AS exit_off FROM u),
-         |h AS (SELECT exit_off, CAST(COUNT(*) AS BIGINT) AS n_exit,
-         |    CAST(COUNT(*) FILTER (conv_off = exit_off) AS BIGINT) AS n_events
-         |  FROM ue GROUP BY exit_off),
-         |r AS (SELECT exit_off, n_exit, n_events,
-         |    COALESCE(SUM(n_exit) OVER (ORDER BY exit_off
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS exited_before,
-         |    SUM(n_exit) OVER () AS n_total FROM h)
-         |SELECT exit_off AS day, CAST(n_total - exited_before AS BIGINT) AS at_risk,
-         |  n_events,
-         |  CAST(n_events * 10000 // (n_total - exited_before) AS BIGINT) AS hazard_bp
-         |FROM r WHERE exit_off < $SurvivalDays AND exit_off >= 0 ORDER BY day""".stripMargin,
-    // q156: strict-order anchors (MIN after the previous anchor); the
-    // 3-row readout from one per-user frame.
-    "q156_funnel3" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
-        |fs AS (SELECT user_id, MIN(us) AS fs FROM e WHERE event_type = 'signup' GROUP BY user_id),
-        |fv AS (SELECT e.user_id, MIN(e.us) AS fv FROM e JOIN fs ON e.user_id = fs.user_id
-        |  WHERE e.event_type = 'view' AND e.us > fs.fs GROUP BY e.user_id),
-        |fp AS (SELECT e.user_id, MIN(e.us) AS fp FROM e JOIN fv ON e.user_id = fv.user_id
-        |  WHERE e.event_type = 'purchase' AND e.us > fv.fv GROUP BY e.user_id),
-        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0, CAST(COUNT(fv.fv) AS BIGINT) AS n1,
-        |    CAST(COUNT(fp.fp) AS BIGINT) AS n2
-        |  FROM fs LEFT JOIN fv ON fs.user_id = fv.user_id
-        |    LEFT JOIN fp ON fs.user_id = fp.user_id)
-        |SELECT r.* FROM s, LATERAL (
-        |  SELECT 1 AS step_no, 'signup' AS step, n0 AS n_users, CAST(10000 AS BIGINT) AS conv_bp
-        |  UNION ALL SELECT 2, 'view_after_signup', n1, n1 * 10000 // n0
-        |  UNION ALL SELECT 3, 'purchase_after_view', n2, n2 * 10000 // n1) r
-        |ORDER BY step_no""".stripMargin,
-    // q157: same bit-portable cosine, same (cosine desc, id) rank-1,
-    // mutuality by symmetric self-join.
-    "q157_mutual_nn" ->
-      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE embedding IS NOT NULL AND vec_id % 10 = 0),
-         |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |    ${VectorOracles.cosine("a.embedding", "b.embedding")} AS cosine
-         |  FROM s a JOIN s b ON a.vec_id <> b.vec_id),
-         |rk AS (SELECT query_id, neighbor_id, cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-         |  FROM sc WHERE cosine IS NOT NULL),
-         |t1 AS (SELECT query_id, neighbor_id, cosine FROM rk WHERE rn = 1)
-         |SELECT x.query_id AS id_a, x.neighbor_id AS id_b, x.cosine AS cosine
-         |FROM t1 x JOIN t1 y
-         |  ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
-         |  AND x.query_id < x.neighbor_id
-         |ORDER BY id_a""".stripMargin,
-    // q158: open/close via row-number endpoints over the identical
-    // (µs, event_id) order; all cents BIGINT.
-    "q158_ohlc_bars" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
-        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events
-        |  WHERE value IS NOT NULL),
-        |d AS (SELECT event_type, us // 86400000000 AS day, us, event_id, cents FROM e),
-        |w AS (SELECT *,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY us, event_id) AS rn_a,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY us DESC, event_id DESC) AS rn_z
-        |  FROM d)
-        |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
-        |  MAX(cents) AS high_cents, MIN(cents) AS low_cents,
-        |  CAST(MAX(CASE WHEN rn_z = 1 THEN cents END) AS BIGINT) AS close_cents
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // q159: identical two-level reduction; all squares BIGINT.
-    "q159_source_diversity" ->
-      """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM documents GROUP BY 1, 2),
-        |a AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
-        |    CAST(COUNT(*) AS BIGINT) AS n_sources,
-        |    CAST(SUM(n * n) AS BIGINT) AS ss FROM c GROUP BY lang)
-        |SELECT lang, n_docs, n_sources,
-        |  ss * 10000 // (n_docs * n_docs) AS simpson_bp,
-        |  n_docs * n_docs * 100 // ss AS eff_sources_x100
-        |FROM a ORDER BY lang""".stripMargin,
-    // q162: identical holdout split, truncation, scoring, and cutoff
-    // grid — every constant interpolated from the engine.
-    "q162_recs_backtest" -> {
-      val hitCols = RecsKs.map(k =>
-        s"CAST(SUM(CASE WHEN best_rank <= $k THEN 1 ELSE 0 END) AS BIGINT) AS h$k").mkString(",\n    ")
-      val kRows = RecsKs.map(k =>
-        s"SELECT CAST($k AS BIGINT) AS k, n_customers, h$k AS n_hits, h$k * 10000 // n_customers AS hitrate_bp")
-        .mkString("\n  UNION ALL ")
-      s"""WITH r AS (SELECT o_orderkey AS ok, o_custkey AS cust,
-         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
-         |    COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders FROM orders),
-         |ord AS (SELECT ok, cust, rn = 1 AS holdout FROM r WHERE n_orders >= 2),
-         |b AS (SELECT DISTINCT cust, ok, l_partkey AS pk, holdout
-         |  FROM ord JOIN lineitem ON l_orderkey = ok),
-         |tr AS (SELECT * FROM b WHERE NOT holdout),
-         |te AS (SELECT DISTINCT cust, pk FROM b WHERE holdout),
-         |p AS (SELECT a.pk AS item, bb.pk AS partner, CAST(COUNT(*) AS BIGINT) AS co
-         |  FROM tr a JOIN tr bb ON a.ok = bb.ok AND a.pk <> bb.pk GROUP BY 1, 2),
-         |tp AS (SELECT item, partner, co FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY item ORDER BY co DESC, partner) AS prn FROM p)
-         |  WHERE prn <= $RecsPartnerTopN),
-         |h AS (SELECT DISTINCT cust, pk FROM tr),
-         |ca AS (SELECT h.cust, tp.partner, CAST(SUM(tp.co) AS BIGINT) AS score
-         |  FROM h JOIN tp ON h.pk = tp.item GROUP BY 1, 2),
-         |cf AS (SELECT ca.* FROM ca WHERE NOT EXISTS (
-         |    SELECT 1 FROM h WHERE h.cust = ca.cust AND h.pk = ca.partner)),
-         |rk AS (SELECT cust, partner,
-         |    ROW_NUMBER() OVER (PARTITION BY cust ORDER BY score DESC, partner) AS crn FROM cf),
-         |hi AS (SELECT rk.cust, MIN(crn) AS best_rank
-         |  FROM rk JOIN te ON te.cust = rk.cust AND te.pk = rk.partner
-         |  WHERE crn <= ${RecsKs.max} GROUP BY 1),
-         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
-         |    $hitCols
-         |  FROM (SELECT c.cust, hi.best_rank
-         |    FROM (SELECT DISTINCT cust FROM te) c LEFT JOIN hi ON c.cust = hi.cust))
-         |SELECT kr.* FROM s, LATERAL (
-         |  $kRows) kr
-         |ORDER BY k""".stripMargin
-    },
-    // q163: identical integer moment sums and cross-multiplied verdicts.
-    "q163_daily_correlation" ->
-      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
-        |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
-        |    CAST(COUNT(*) AS BIGINT) AS n_days,
-        |    CAST(SUM(a.c) AS BIGINT) AS sx, CAST(SUM(b.c) AS BIGINT) AS sy,
-        |    CAST(SUM(a.c * a.c) AS BIGINT) AS sxx, CAST(SUM(b.c * b.c) AS BIGINT) AS syy,
-        |    CAST(SUM(a.c * b.c) AS BIGINT) AS sxy
-        |  FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
-        |  GROUP BY 1, 2),
-        |m AS (SELECT type_a, type_b, n_days,
-        |    n_days * sxy - sx * sy AS cov_n,
-        |    n_days * sxx - sx * sx AS varx_n,
-        |    n_days * syy - sy * sy AS vary_n FROM p)
-        |SELECT type_a, type_b, n_days, cov_n, cov_n > 0 AS positive,
-        |  (4 * cov_n * cov_n >= varx_n * vary_n AND varx_n > 0 AND vary_n > 0) AS strong
-        |FROM m ORDER BY type_a, type_b""".stripMargin,
-    // q164: same bins, same split anchor, same common-denominator TVD.
-    "q164_value_drift" ->
-      s"""WITH p AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) // $DriftBinCents AS bin,
-         |    epoch_us(ts) // 86400000000 AS day FROM events
-         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
-         |d0 AS (SELECT MIN(day) AS d0 FROM p),
-         |b AS (SELECT bin, (day - d0.d0 < $DriftSplitDay) AS week1 FROM p CROSS JOIN d0),
-         |h AS (SELECT bin,
-         |    CAST(SUM(CASE WHEN week1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
-         |    CAST(SUM(CASE WHEN week1 THEN 0 ELSE 1 END) AS BIGINT) AS b FROM b GROUP BY bin),
-         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
-         |    CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2,
-         |    CAST(SUM(abs(a * (SELECT SUM(b) FROM h) - b * (SELECT SUM(a) FROM h))) AS BIGINT) AS num
-         |  FROM h)
-         |SELECT n_bins, n1 AS n_week1, n2 AS n_rest,
-         |  num * 10000 // (2 * n1 * n2) AS tvd_bp,
-         |  num * 10000 // (2 * n1 * n2) >= $DriftTvdBp AS drifted
-         |FROM t""".stripMargin,
-    // q165: identical epoch-arithmetic dow ((day+3) mod 7, Monday=0).
-    "q165_seasonality" ->
-      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_id,
-        |    (epoch_us(ts) // 3600000000) % 24 AS hour FROM events),
-        |h AS (SELECT (day_id + 3) % 7 AS dow, hour,
-        |    CAST(COUNT(*) AS BIGINT) AS n_events FROM e GROUP BY 1, 2),
-        |t AS (SELECT SUM(n_events) AS total FROM h)
-        |SELECT dow, hour, n_events,
-        |  CAST(n_events * 10000 // t.total AS BIGINT) AS share_bp,
-        |  n_events * 168 >= 2 * t.total AS peak
-        |FROM h CROSS JOIN t ORDER BY dow, hour""".stripMargin,
-    // q166: identical gap rule, order, and token serialization
-    // (string_agg with the same ORDER BY).
-    "q166_session_export" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
-        |m AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
-        |      OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
-        |s2 AS (SELECT *, MIN(us) OVER (PARTITION BY user_id, sid) AS sstart FROM s),
-        |g AS (SELECT user_id, sid, CAST(MIN(us) AS BIGINT) AS start_us,
-        |    CAST(COUNT(*) AS BIGINT) AS n_events,
-        |    CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_s,
-        |    string_agg(event_type || '@' || CAST((us - sstart) // 1000000 AS VARCHAR),
-        |      ' ' ORDER BY us, event_id) AS trajectory
-        |  FROM s2 GROUP BY user_id, sid)
-        |SELECT user_id, start_us, n_events, duration_s, trajectory
-        |FROM g WHERE n_events >= 2 ORDER BY user_id, start_us""".stripMargin,
-    // q167: the audit recomputed from the SOURCE table with the same
-    // q148 bot rule — equality proves the rewrite was exact.
-    "q167_gdpr_purge" ->
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
-         |g AS (SELECT user_id,
-         |    us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
-         |  FROM e),
-         |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-         |    CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
-         |    CAST(COUNT(*) FILTER (gap_us <= $BotFastGapUs) AS BIGINT) AS n_fast
-         |  FROM g GROUP BY user_id),
-         |bots AS (SELECT user_id FROM a WHERE n_gaps > 0
-         |  AND n_events >= $BotMinEvents AND n_fast * 10000 // n_gaps >= $BotFastBp),
-         |kept AS (SELECT * FROM events WHERE user_id NOT IN (SELECT user_id FROM bots))
-         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bots) AS n_users_flagged,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_before,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
-         |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_removed,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_after,
-         |  (SELECT CAST(COUNT(*) FILTER (value IS NOT NULL) AS BIGINT) FROM kept) AS n_valued_after,
-         |  (SELECT CAST(SUM(${graft.functions.Md5Hash.duckH31("CAST(event_id AS VARCHAR)")}) AS BIGINT)
-         |    FROM kept) AS sum_id_hash_after""".stripMargin,
-    // q168: identical rank orders and the (rank−1)·5 div n quintile rule.
-    "q168_rfm_scores" ->
-      """WITH per AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us,
-        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS frequency,
-        |    CAST(SUM(CASE WHEN event_type = 'purchase'
-        |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS monetary_cents
-        |  FROM events GROUP BY user_id),
-        |t AS (SELECT MAX(last_us) AS t_end FROM per),
-        |base AS (SELECT user_id, (t.t_end - last_us) // 86400000000 AS recency_days,
-        |    frequency, monetary_cents FROM per CROSS JOIN t),
-        |r AS (SELECT *,
-        |    ROW_NUMBER() OVER (ORDER BY recency_days ASC, user_id) AS rk_r,
-        |    ROW_NUMBER() OVER (ORDER BY frequency DESC, user_id) AS rk_f,
-        |    ROW_NUMBER() OVER (ORDER BY monetary_cents DESC, user_id) AS rk_m,
-        |    COUNT(*) OVER () AS n FROM base)
-        |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, frequency, monetary_cents,
-        |  CAST((rk_r - 1) * 5 // n + 1 AS BIGINT) AS r_score,
-        |  CAST((rk_f - 1) * 5 // n + 1 AS BIGINT) AS f_score,
-        |  CAST((rk_m - 1) * 5 // n + 1 AS BIGINT) AS m_score,
-        |  CAST(((rk_r - 1) * 5 // n + 1) * 100 + ((rk_f - 1) * 5 // n + 1) * 10
-        |    + ((rk_m - 1) * 5 // n + 1) AS BIGINT) AS segment
-        |FROM r ORDER BY user_id""".stripMargin,
-    // q169: the same island key (day − row-number) and tie rules.
-    "q169_activity_streaks" ->
-      """WITH inc AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
-        |i AS (SELECT user_id, day,
-        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island FROM inc),
-        |runs AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
-        |    CAST(MIN(day) AS BIGINT) AS sd FROM i GROUP BY 1, 2),
-        |best AS (SELECT user_id, sd,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, sd ASC) AS rn FROM runs),
-        |a AS (SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days,
-        |    CAST(MAX(len) AS BIGINT) AS longest_streak FROM runs GROUP BY user_id)
-        |SELECT a.user_id, a.active_days, a.longest_streak, b.sd AS best_streak_start
-        |FROM a JOIN best b ON a.user_id = b.user_id AND b.rn = 1
-        |ORDER BY a.user_id""".stripMargin,
-    // q170: same split, same bit-portable cosine rank-1, label joins.
-    "q170_knn_label_eval" ->
-      s"""WITH em AS (SELECT vec_id, embedding, label FROM embeddings
-         |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
-         |pr AS (SELECT * FROM em WHERE vec_id % 20 = 0),
-         |tr AS (SELECT * FROM em WHERE vec_id % 20 <> 0),
-         |sc AS (SELECT pr.vec_id AS query_id, tr.vec_id AS neighbor_id,
-         |    tr.label AS pred_label, pr.label AS true_label,
-         |    ${VectorOracles.cosine("pr.embedding", "tr.embedding")} AS cosine
-         |  FROM pr JOIN tr ON pr.vec_id <> tr.vec_id),
-         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, neighbor_id) AS rn
-         |  FROM sc WHERE cosine IS NOT NULL)
-         |SELECT true_label AS label, CAST(COUNT(*) AS BIGINT) AS n_probes,
-         |  CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-         |  CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) * 10000
-         |    // CAST(COUNT(*) AS BIGINT) AS acc_bp
-         |FROM rk WHERE rn = 1 GROUP BY true_label ORDER BY label""".stripMargin,
-    // q171: exact WAU restricted to observed days (the q137 oracle
-    // shape) + the bounded claim emitted as TRUE.
-    "q171_sliding_hll_wau" ->
-      """WITH inc AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
-        |f AS (SELECT DISTINCT user_id, day + CAST(g.i AS BIGINT) AS day2
-        |  FROM inc, (SELECT unnest(range(0, 7)) AS i) g),
-        |obs AS (SELECT DISTINCT day FROM inc),
-        |e AS (SELECT f.day2 AS day, CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS wau_exact
-        |  FROM f JOIN obs ON f.day2 = obs.day GROUP BY 1)
-        |SELECT day, wau_exact, TRUE AS within_bound FROM e ORDER BY day""".stripMargin,
-    // q172: q89's funnel window + q145's arms and chi-square, composed.
-    "q172_ab_funnel" ->
-      s"""WITH fs AS (SELECT user_id, MIN(epoch_us(ts)) AS fs FROM events
-         |  WHERE event_type = 'signup' GROUP BY user_id),
-         |cv AS (SELECT DISTINCT e.user_id FROM events e JOIN fs ON e.user_id = fs.user_id
-         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fs.fs
-         |    AND epoch_us(e.ts) <= fs.fs + 3600000000),
-         |u AS (SELECT fs.user_id,
-         |    CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END AS conv
-         |  FROM fs LEFT JOIN cv ON fs.user_id = cv.user_id),
-         |v AS (SELECT CASE WHEN ${duckH31("CAST(user_id AS VARCHAR)")} % 2 = 0
-         |    THEN 'control' ELSE 'treatment' END AS variant, conv FROM u),
-         |t AS (SELECT
-         |    CAST(SUM(CASE WHEN variant = 'control' THEN conv ELSE 0 END) AS BIGINT) AS a,
-         |    CAST(SUM(CASE WHEN variant = 'control' THEN 1 - conv ELSE 0 END) AS BIGINT) AS b,
-         |    CAST(SUM(CASE WHEN variant = 'treatment' THEN conv ELSE 0 END) AS BIGINT) AS c,
-         |    CAST(SUM(CASE WHEN variant = 'treatment' THEN 1 - conv ELSE 0 END) AS BIGINT) AS d
-         |  FROM v)
-         |SELECT r.variant, r.n_signup_users, r.n_converted,
-         |  r.n_converted * 10000 // r.n_signup_users AS conv_bp,
-         |  c * 10000 // (c + d) - a * 10000 // (a + b) AS lift_bp,
-         |  CAST(1000 AS HUGEINT) * CAST(a + b + c + d AS HUGEINT)
-         |      * (CAST(a * d - b * c AS HUGEINT) * CAST(a * d - b * c AS HUGEINT))
-         |    >= CAST(3841 AS HUGEINT) * CAST(a + b AS HUGEINT) * CAST(c + d AS HUGEINT)
-         |      * CAST(a + c AS HUGEINT) * CAST(b + d AS HUGEINT) AS significant_95
-         |FROM t, LATERAL (
-         |  SELECT 'control' AS variant, a + b AS n_signup_users, a AS n_converted
-         |  UNION ALL SELECT 'treatment', c + d, c) r
-         |ORDER BY r.variant""".stripMargin,
-    // q173: identical day truncation (both engines truncate toward
-    // zero) and the lower-median rule over the lag histogram.
-    "q173_ship_lag" ->
-      """WITH lg AS (SELECT o_orderpriority AS priority,
-        |    (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000 AS lag_days
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |h AS (SELECT priority, lag_days, CAST(COUNT(*) AS BIGINT) AS c FROM lg GROUP BY 1, 2),
-        |t AS (SELECT priority, SUM(c) AS n, SUM(lag_days * c) AS s,
-        |    MIN(lag_days) AS mn, MAX(lag_days) AS mx FROM h GROUP BY priority),
-        |cm AS (SELECT h.priority, h.lag_days, h.c,
-        |    SUM(h.c) OVER (PARTITION BY h.priority ORDER BY h.lag_days
-        |      ROWS UNBOUNDED PRECEDING) AS cum FROM h)
-        |SELECT cm.priority, CAST(MIN(t.n) AS BIGINT) AS n_lineitems,
-        |  MIN(cm.lag_days) AS median_lag_days,
-        |  CAST(MIN(t.s // t.n) AS BIGINT) AS mean_lag_days,
-        |  CAST(MIN(t.mn) AS BIGINT) AS min_lag_days, CAST(MIN(t.mx) AS BIGINT) AS max_lag_days
-        |FROM cm JOIN t ON cm.priority = t.priority
-        |WHERE cm.cum >= (t.n + 1) // 2
-        |GROUP BY cm.priority ORDER BY cm.priority""".stripMargin,
-    // q174: each expectation recomputed directly; booleans must agree.
-    "q174_expectations" ->
-      """WITH ev AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT) AS v_nn_user,
-        |    CAST(COUNT(*) FILTER (ts IS NULL) AS BIGINT) AS v_nn_ts,
-        |    CAST(COUNT(*) FILTER (event_type IS NULL
-        |      OR event_type NOT IN ('click','error','purchase','signup','view')) AS BIGINT) AS v_set,
-        |    CAST(COUNT(*) FILTER (user_id IS NOT NULL
-        |      AND NOT (user_id >= 0 AND user_id <= 1000000000)) AS BIGINT) AS v_range,
-        |    CAST(COUNT(*) FILTER (props IS NOT NULL
-        |      AND NOT regexp_matches(props, '^\{.*\}$')) AS BIGINT) AS v_re
-        |  FROM events),
-        |evu AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
-        |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS v
-        |  FROM (SELECT event_id, COUNT(*) AS c FROM events GROUP BY event_id)),
-        |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(COUNT(*) FILTER (o_orderstatus IS NULL
-        |      OR o_orderstatus NOT IN ('F','O','P')) AS BIGINT) AS v_set,
-        |    CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) AS v_nn
-        |  FROM orders),
-        |ou AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
-        |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS v
-        |  FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey)),
-        |rows0 AS (
-        |  SELECT 'events' AS table_name, 'in_range(user_id)' AS expectation, ev.n, ev.v_range AS v FROM ev
-        |  UNION ALL SELECT 'events', 'in_set(event_type)', ev.n, ev.v_set FROM ev
-        |  UNION ALL SELECT 'events', 'matches(props)', ev.n, ev.v_re FROM ev
-        |  UNION ALL SELECT 'events', 'not_null(ts)', ev.n, ev.v_nn_ts FROM ev
-        |  UNION ALL SELECT 'events', 'not_null(user_id)', ev.n, ev.v_nn_user FROM ev
-        |  UNION ALL SELECT 'events', 'unique(event_id)', evu.n, evu.v FROM evu
-        |  UNION ALL SELECT 'orders', 'in_set(o_orderstatus)', o.n, o.v_set FROM o
-        |  UNION ALL SELECT 'orders', 'not_null(o_custkey)', o.n, o.v_nn FROM o
-        |  UNION ALL SELECT 'orders', 'unique(o_orderkey)', ou.n, ou.v FROM ou)
-        |SELECT table_name, expectation, n AS n_rows, v AS n_violations,
-        |  v * 10000 // n AS violation_bp, v = 0 AS passed
-        |FROM rows0 ORDER BY table_name, expectation""".stripMargin,
-    // q175/q176: the same exact cent·pct revenue units (no decimal
-    // division anywhere) and identical rank/lag orders.
-    "q175_market_share" ->
-      """WITH an AS (SELECT n_nationkey, n_name FROM nation
-        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
-        |f AS (SELECT n_nationkey AS focus_key, n_name AS focus_nation
-        |  FROM an ORDER BY n_name LIMIT 1),
-        |r AS (SELECT year(o_orderdate) AS o_year, s_nationkey,
-        |    CAST(l_extendedprice * 100 AS BIGINT) * CAST((1 - l_discount) * 100 AS BIGINT) AS rev_u
-        |  FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  JOIN an ON s_nationkey = an.n_nationkey)
-        |SELECT r.o_year, f.focus_nation,
-        |  CAST(SUM(rev_u) AS BIGINT) AS asia_rev_u,
-        |  CAST(SUM(CASE WHEN r.s_nationkey = f.focus_key THEN rev_u ELSE 0 END) AS BIGINT) AS focus_rev_u,
-        |  CAST(SUM(CASE WHEN r.s_nationkey = f.focus_key THEN rev_u ELSE 0 END) AS BIGINT)
-        |    * 10000 // CAST(SUM(rev_u) AS BIGINT) AS share_bp
-        |FROM r CROSS JOIN f GROUP BY r.o_year, f.focus_nation ORDER BY r.o_year""".stripMargin,
-    "q176_rank_movement" ->
-      """WITH rev AS (SELECT year(o_orderdate) AS o_year, n_name,
-        |    CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT)
-        |      * CAST((1 - l_discount) * 100 AS BIGINT)) AS BIGINT) AS rev_u
-        |  FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  GROUP BY 1, 2),
-        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_year
-        |    ORDER BY rev_u DESC, n_name) AS BIGINT) AS rnk FROM rev),
-        |lg AS (SELECT *, LAG(rnk) OVER (PARTITION BY n_name ORDER BY o_year) AS prev_rnk FROM rk)
-        |SELECT o_year, n_name, rev_u, rnk, prev_rnk - rnk AS rank_delta
-        |FROM lg ORDER BY o_year, rnk""".stripMargin,
-    // q177: triangle counts are orientation-independent, so the oracle
-    // replays the cheap id-ordered enumeration (a<b<c) — it must land on
-    // the same integers as the engine's degree-ordered join.
-    "q177_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a
-        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
-        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
-        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-        |  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
-        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
-        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-        |  CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
-        |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
-        |SELECT st.n_nodes, ec.n_edges, st.n_wedges, tri.n_triangles,
-        |  3 * tri.n_triangles * 10000 // st.n_wedges AS gcc_bp
-        |FROM st CROSS JOIN ec CROSS JOIN tri""".stripMargin,
-    // q178: gap-filled daily counts, integer fixed-point mean, identical
-    // running/global windows over the day frame.
-    "q178_cusum" ->
-      """WITH p AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events
-        |  WHERE event_type = 'purchase'),
-        |c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY day),
-        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM p),
-        |f AS (SELECT d.day, COALESCE(c.cnt, 0) AS cnt FROM
-        |  (SELECT UNNEST(range(b.d0, b.d1 + 1)) AS day FROM b) d
-        |  LEFT JOIN c ON c.day = d.day),
-        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nd FROM f),
-        |r AS (SELECT f.day, f.cnt,
-        |    SUM(f.cnt * 1000000 - (t.total * 1000000 // t.nd)) OVER
-        |      (ORDER BY f.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_fp
-        |  FROM f CROSS JOIN t),
-        |m AS (SELECT MAX(ABS(cusum_fp)) AS peak FROM r)
-        |SELECT r.day, r.cnt, CAST(r.cusum_fp AS BIGINT) AS cusum_fp,
-        |  ABS(r.cusum_fp) = m.peak AS is_peak
-        |FROM r CROSS JOIN m ORDER BY r.day""".stripMargin,
-    // q179: same HAVING cut, same cent arithmetic, same
-    // (price desc, orderkey) total order for the top-100.
-    "q179_large_orders" ->
-      s"""WITH q AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-         |  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > $LargeOrderQty)
-         |SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
-         |  CAST(o_totalprice * 100 AS BIGINT) AS price_cents, q.sum_qty
-         |FROM orders JOIN q ON o_orderkey = q.l_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |ORDER BY price_cents DESC, o_orderkey LIMIT 100""".stripMargin,
-    // q180: same conditional aggregate per snapshot half, same long
-    // format, same integer drift.
-    "q180_stats_drift" ->
-      """WITH w AS (SELECT doc_id % 2 AS snap, CAST(COUNT(*) AS BIGINT) AS rows_,
-        |    CAST(COUNT(DISTINCT text) AS BIGINT) AS ndv_text,
-        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS ndv_lang,
-        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS ndv_source,
-        |    CAST(COUNT(*) FILTER (text IS NULL) AS BIGINT) AS nulls_text,
-        |    CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
-        |  FROM documents GROUP BY 1),
-        |l AS (
-        |  SELECT snap, 'rows' AS metric, rows_ AS val FROM w UNION ALL
-        |  SELECT snap, 'ndv_text', ndv_text FROM w UNION ALL
-        |  SELECT snap, 'ndv_lang', ndv_lang FROM w UNION ALL
-        |  SELECT snap, 'ndv_source', ndv_source FROM w UNION ALL
-        |  SELECT snap, 'nulls_text', nulls_text FROM w UNION ALL
-        |  SELECT snap, 'sum_n_chars', sum_n_chars FROM w)
-        |SELECT metric, MAX(CASE WHEN snap = 0 THEN val END) AS snap_a,
-        |  MAX(CASE WHEN snap = 1 THEN val END) AS snap_b,
-        |  CASE WHEN MAX(CASE WHEN snap = 0 THEN val END) <> 0 THEN
-        |    (MAX(CASE WHEN snap = 1 THEN val END) - MAX(CASE WHEN snap = 0 THEN val END))
-        |      * 10000 // MAX(CASE WHEN snap = 0 THEN val END) END AS drift_bp
-        |FROM l GROUP BY metric ORDER BY metric""".stripMargin,
-    // q181: the q86 iter-0 discipline row-wise — identical (x−y)² fold,
-    // per-row argmin cell with (dist, cell) tie order, floor(d²·10⁶).
-    "q181_centroid_outliers" -> {
-      import graft.similarity.Kmeans.DefaultK
-      import graft.similarity.Pq.Dim
-      val x = "CAST(e.embedding[j] AS DOUBLE)"
-      val c = "CAST(cen.cvec[j] AS DOUBLE)"
-      val fold =
-        s"list_reduce(list_transform(range(1, ${Dim + 1}), j -> (($x) - ($c)) * (($x) - ($c))), (acc, v) -> acc + v)"
-      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings
-         |    WHERE embedding IS NOT NULL AND len(embedding) >= $Dim ORDER BY vec_id LIMIT $DefaultK)),
-         |d AS (SELECT e.vec_id, cen.cell, $fold AS dist
-         |  FROM embeddings e CROSS JOIN cen
-         |  WHERE e.embedding IS NOT NULL AND len(e.embedding) >= $Dim),
-         |a AS (SELECT vec_id, cell, CAST(FLOOR(dist * 1000000.0) AS BIGINT) AS dist_fp FROM (
-         |  SELECT vec_id, cell, dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |  FROM d) WHERE rn = 1),
-         |s AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dist_fp) AS BIGINT) AS sum_dist_fp
-         |  FROM a GROUP BY cell)
-         |SELECT s.cell, s.n, s.sum_dist_fp, s.sum_dist_fp // s.n AS avg_dist_fp,
-         |  CAST(COUNT(*) FILTER (a.dist_fp > 2 * (s.sum_dist_fp // s.n)) AS BIGINT) AS n_outliers,
-         |  CAST(COUNT(*) FILTER (a.dist_fp > 2 * (s.sum_dist_fp // s.n)) AS BIGINT) * 10000 // s.n AS outlier_bp
-         |FROM a JOIN s USING (cell) GROUP BY s.cell, s.n, s.sum_dist_fp ORDER BY s.cell""".stripMargin
-    },
-    // q182: same vocab, same symbolization, same left-to-right
-    // non-overlapping replace, same (count desc, p1, p2) total orders.
-    "q182_bpe_merge_round" ->
-      """WITH tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents) GROUP BY token),
-        |v AS (SELECT array_to_string(list_transform(range(1, length(token) + 1),
-        |    i -> substring(token, CAST(i AS INTEGER), 1)), ' ') AS sym, cnt
-        |  FROM tc WHERE length(token) >= 2),
-        |pr1 AS (SELECT s.tk[CAST(t.i AS INTEGER)] AS p1, s.tk[CAST(t.i AS INTEGER) + 1] AS p2,
-        |    CAST(SUM(s.cnt) AS BIGINT) AS pair_count
-        |  FROM (SELECT str_split(sym, ' ') AS tk, cnt FROM v) s,
-        |    UNNEST(range(1, len(s.tk))) AS t(i)
-        |  GROUP BY 1, 2),
-        |t1 AS (SELECT p1 AS m1, p2 AS m2 FROM pr1 ORDER BY pair_count DESC, p1, p2 LIMIT 1),
-        |m AS (SELECT trim(replace(replace(replace(' ' || v.sym || ' ', ' ', '  '),
-        |    ' ' || t1.m1 || '  ' || t1.m2 || ' ', ' ' || t1.m1 || t1.m2 || ' '), '  ', ' ')) AS sym, v.cnt
-        |  FROM v CROSS JOIN t1),
-        |pr2 AS (SELECT s.tk[CAST(t.i AS INTEGER)] AS p1, s.tk[CAST(t.i AS INTEGER) + 1] AS p2,
-        |    CAST(SUM(s.cnt) AS BIGINT) AS pair_count
-        |  FROM (SELECT str_split(sym, ' ') AS tk, cnt FROM m WHERE len(str_split(sym, ' ')) >= 2) s,
-        |    UNNEST(range(1, len(s.tk))) AS t(i)
-        |  GROUP BY 1, 2),
-        |ms AS (SELECT m1 || m2 AS merged_symbol FROM t1)
-        |SELECT pr2.p1, pr2.p2, pr2.pair_count, ms.merged_symbol
-        |FROM pr2 CROSS JOIN ms ORDER BY pair_count DESC, p1, p2 LIMIT 10""".stripMargin,
-    // q183: both engines carry exact micro-dollar integers through the
-    // discount and tax legs; the histogram is pure integer classify.
-    "q183_order_reconciliation" ->
-      """WITH l AS (SELECT l_orderkey,
-        |    CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT)
-        |      * CAST((1 - l_discount) * 100 AS BIGINT)
-        |      * CAST((1 + l_tax) * 100 AS BIGINT)) AS BIGINT) AS lines_u
-        |  FROM lineitem GROUP BY 1),
-        |o AS (SELECT o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 10000 AS hdr_u FROM orders),
-        |d AS (SELECT ABS(o.hdr_u - COALESCE(l.lines_u, 0)) AS diff_u, l.lines_u IS NULL AS lineless
-        |  FROM o LEFT JOIN l ON o.o_orderkey = l.l_orderkey),
-        |b AS (SELECT CASE WHEN lineless THEN 'no_lines' WHEN diff_u = 0 THEN 'exact'
-        |    WHEN diff_u < 1000000 THEN 'lt_1_dollar' WHEN diff_u < 10000000 THEN 'lt_10_dollars'
-        |    ELSE 'gte_10_dollars' END AS bucket, diff_u FROM d)
-        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders, CAST(SUM(diff_u) AS BIGINT) AS sum_diff_u
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
-    // q184: same two simulated layouts, same integer band, same zone-map
-    // skip rule.
-    "q184_zonemap_audit" ->
-      s"""WITH mx AS (SELECT MAX(user_id) AS maxu FROM events),
-         |f AS (SELECT layout, file, MIN(user_id) AS mn, MAX(user_id) AS mx_u,
-         |    CAST(COUNT(*) AS BIGINT) AS rows_
-         |  FROM (SELECT user_id, 'time' AS layout, epoch_us(ts) // 3600000000 AS file FROM events
-         |    UNION ALL
-         |    SELECT e.user_id, 'user_clustered', e.user_id * $ZoneMapBuckets // (mx.maxu + 1)
-         |    FROM events e CROSS JOIN mx)
-         |  GROUP BY 1, 2),
-         |s AS (SELECT f.layout, f.rows_,
-         |    CAST((f.mx_u < mx.maxu * 4 // 10 OR f.mn > mx.maxu * 5 // 10) AS BIGINT) AS skip
-         |  FROM f CROSS JOIN mx)
-         |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(skip) AS BIGINT) AS n_skippable,
-         |  CAST(SUM(skip) AS BIGINT) * 10000 // COUNT(*) AS skip_bp,
-         |  CAST(SUM(rows_) AS BIGINT) AS rows_total,
-         |  CAST(SUM(CASE WHEN skip = 0 THEN rows_ ELSE 0 END) AS BIGINT) AS rows_scanned
-         |FROM s GROUP BY layout ORDER BY layout""".stripMargin,
-    // q185: identical ascending (v, user_id) rank, identical integer
-    // Gini divisions, identical decile arithmetic.
-    "q185_revenue_concentration" ->
-      """WITH u AS (SELECT user_id, CAST(SUM(CAST(value * 100 AS BIGINT)) AS BIGINT) AS v
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |r1 AS (SELECT user_id, v, CAST(ROW_NUMBER() OVER (ORDER BY v, user_id) AS BIGINT) AS i FROM u),
-        |r2 AS (SELECT v, i, CAST(COUNT(*) OVER () AS BIGINT) AS n,
-        |    CAST(SUM(v) OVER () AS BIGINT) AS tot, CAST(SUM(i * v) OVER () AS BIGINT) AS iv FROM r1),
-        |d0 AS (SELECT (i - 1) * 10 // n AS decile, v, tot,
-        |    CAST((2 * CAST(iv AS HUGEINT) * 10000 // (CAST(n AS HUGEINT) * tot))
-        |      - ((n + 1) * 10000 // n) AS BIGINT) AS gini_bp FROM r2),
-        |d AS (SELECT decile, tot, gini_bp, CAST(COUNT(*) AS BIGINT) AS n_users,
-        |    CAST(SUM(v) AS BIGINT) AS revenue_cents FROM d0 GROUP BY 1, 2, 3),
-        |c AS (SELECT decile, n_users, revenue_cents, tot, gini_bp,
-        |    CAST(SUM(revenue_cents) OVER (ORDER BY decile
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM d)
-        |SELECT decile, n_users, revenue_cents, revenue_cents * 10000 // tot AS share_bp,
-        |  cum * 10000 // tot AS cum_share_bp, gini_bp
-        |FROM c ORDER BY decile""".stripMargin,
-    // q186: same 60-bit portable bigram hashes, same per-occurrence ppm
-    // division, same integer means and floor rule.
-    "q186_bigram_fluency" -> {
-      import graft.functions.Md5Hash.duckH60
-      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
-      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
-      s"""WITH tk AS (SELECT doc_id, lang, str_split(text, ' ') AS t FROM documents
-         |  WHERE len(str_split(text, ' ')) >= 2),
-         |bg AS (SELECT tk.doc_id, tk.lang, $h1 AS h1, $h2 AS h2
-         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
-         |c12 AS (SELECT h1, h2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
-         |c1 AS (SELECT h1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
-         |sc AS (SELECT bg.doc_id, bg.lang,
-         |    CAST(SUM(c12.c12 * 1000000 // c1.c1) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM bg JOIN c12 ON bg.h1 = c12.h1 AND bg.h2 = c12.h2
-         |  JOIN c1 ON bg.h1 = c1.h1 GROUP BY 1, 2),
-         |d AS (SELECT lang, s // c AS score_ppm FROM sc),
-         |gm AS (SELECT CAST(SUM(score_ppm) AS BIGINT) // COUNT(*) AS gm FROM d)
-         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS avg_score_ppm,
-         |  CAST(COUNT(*) FILTER (score_ppm < gm.gm // $FluencyFloorDiv) AS BIGINT) AS n_low_fluency
-         |FROM d CROSS JOIN gm GROUP BY lang ORDER BY lang""".stripMargin
-    },
-    // q188: the WHOLE iteration is order-free integers (per-element
-    // floors before every sum), so the oracle unrolls all rounds — the
-    // q139 unrolled-CTE pattern applied to linear algebra.
-    "q188_power_iteration" -> {
-      import graft.similarity.Pq.Dim
-      val S = PowerScale
-      def iter(k: Int): String = {
-        val vp = s"v${k - 1}"
-        s"""u$k AS (SELECT e.vec_id,
-           |    CAST(SUM(CAST(FLOOR(CAST(e.embedding[d.j + 1] AS DOUBLE) * d.v) AS BIGINT)) AS BIGINT) AS u
-           |  FROM e CROSS JOIN $vp d GROUP BY e.vec_id),
-           |w$k AS (SELECT d.j,
-           |    CAST(SUM(CAST(FLOOR(CAST(e.embedding[d.j + 1] AS DOUBLE) * u$k.u) AS BIGINT)) AS BIGINT) AS w
-           |  FROM e JOIN u$k ON e.vec_id = u$k.vec_id CROSS JOIN dims d GROUP BY d.j),
-           |m$k AS (SELECT CAST(MAX(ABS(w)) AS BIGINT) AS m FROM w$k),
-           |v$k AS (SELECT w$k.j, CAST(w$k.w * $S // m$k.m AS BIGINT) AS v FROM w$k CROSS JOIN m$k),
-           |r$k AS (SELECT CAST($k AS INTEGER) AS iter,
-           |  (SELECT CAST(w$k.j AS INTEGER) FROM w$k CROSS JOIN m$k
-           |     WHERE ABS(w$k.w) = m$k.m ORDER BY w$k.j LIMIT 1) AS dominant_dim,
-           |  (SELECT m FROM m$k) AS growth,
-           |  (SELECT CAST(SUM(a.v * b.v) // $S AS BIGINT) FROM $vp a JOIN v$k b ON a.j = b.j) AS align_fp)"""
-      }
-      val body = (1 to PowerIters).map(iter).mkString(",\n")
-      val union = (1 to PowerIters).map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE embedding IS NOT NULL AND len(embedding) >= $Dim),
-         |dims AS (SELECT CAST(t.j AS INTEGER) AS j FROM range(0, $Dim) t(j)),
-         |v0 AS (SELECT CAST(t.j AS INTEGER) AS j,
-         |    CAST(CASE WHEN t.j = 0 THEN $S ELSE 0 END AS BIGINT) AS v FROM range(0, $Dim) t(j)),
-         |$body
-         |$union ORDER BY iter""".stripMargin
-    },
-    // q189: same micro-batch width, same batch-boundary watermark
-    // advance, same integer classification.
-    "q189_watermark_audit" ->
-      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS us, event_id // $WmBatchIds AS batch FROM events),
-         |st AS (SELECT batch, MAX(us) AS mx FROM e GROUP BY batch),
-         |st2 AS (SELECT batch,
-         |    MAX(mx) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_mx
-         |  FROM st),
-         |c AS (SELECT e.batch,
-         |    CASE WHEN st2.prev_mx IS NOT NULL AND e.us < st2.prev_mx - $WmDelayUs THEN 'dropped'
-         |         WHEN st2.prev_mx IS NOT NULL AND e.us < st2.prev_mx THEN 'late_kept'
-         |         ELSE 'on_time' END AS status
-         |  FROM e JOIN st2 ON e.batch = st2.batch)
-         |SELECT batch, CAST(COUNT(*) AS BIGINT) AS n,
-         |  CAST(COUNT(*) FILTER (status = 'on_time') AS BIGINT) AS n_on_time,
-         |  CAST(COUNT(*) FILTER (status = 'late_kept') AS BIGINT) AS n_late_kept,
-         |  CAST(COUNT(*) FILTER (status = 'dropped') AS BIGINT) AS n_dropped
-         |FROM c GROUP BY batch ORDER BY batch""".stripMargin,
-    // q190: same edge set, same integer log2 via binary-string length.
-    "q190_degree_profile" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a
-        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
-        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
-        |h AS (SELECT deg, CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket FROM deg)
-        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_nodes, CAST(MIN(deg) AS BIGINT) AS min_deg,
-        |  CAST(MAX(deg) AS BIGINT) AS max_deg, CAST(SUM(deg) AS BIGINT) AS sum_deg
-        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
-    // q191: the sketch is portable-hash built, so the ESTIMATE replays
-    // exactly — both engines fold the same md5 cells.
-    "q191_join_size_estimate" -> {
-      import graft.functions.Md5Hash.duckH31
-      val h = duckH31("CAST(t.d AS VARCHAR) || ':' || CAST(l.l_partkey AS VARCHAR)")
-      s"""WITH cells AS (SELECT t.d, ($h) % $CmsWidth AS w, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM lineitem l CROSS JOIN range(0, $CmsDepth) t(d) GROUP BY 1, 2),
-         |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_selfjoin FROM (
-         |  SELECT d, SUM(c * c) AS ip FROM cells GROUP BY d)),
-         |ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_selfjoin,
-         |    CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows FROM (
-         |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1))
-         |SELECT ex.n_rows, ex.n_keys, ex.exact_selfjoin, est.est_selfjoin,
-         |  (est.est_selfjoin - ex.exact_selfjoin) * 10000 // ex.exact_selfjoin AS over_bp,
-         |  est.est_selfjoin >= ex.exact_selfjoin AS never_under
-         |FROM ex CROSS JOIN est""".stripMargin
-    },
-    // q192: HUGEINT mirrors DECIMAL(38,0); // and div both truncate
-    // toward zero, so the signed m3 replays exactly.
-    "q192_moment_stats" ->
-      """WITH e AS (SELECT event_type, CAST(value * 100 AS BIGINT) AS v FROM events),
-        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
-        |    SUM(CAST(v AS HUGEINT) * v) AS s2, SUM(CAST(v AS HUGEINT) * v * v) AS s3
-        |  FROM e GROUP BY 1)
-        |SELECT event_type, n, s AS sum_cents, s // n AS mean_cents,
-        |  CAST((n * s2 - CAST(s AS HUGEINT) * s) // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS var_cents2,
-        |  CAST((CAST(n AS HUGEINT) * n * s3 - 3 * CAST(n AS HUGEINT) * s * s2
-        |    + 2 * CAST(s AS HUGEINT) * s * s) // (CAST(n AS HUGEINT) * n * n) AS BIGINT) AS m3_scaled,
-        |  (CAST(n AS HUGEINT) * n * s3 - 3 * CAST(n AS HUGEINT) * s * s2
-        |    + 2 * CAST(s AS HUGEINT) * s * s) > 0 AS right_skewed
-        |FROM a ORDER BY event_type""".stripMargin,
-    // q193: the bounded-claim pattern — the estimates are engine-internal,
-    // the GK guarantee rows are the portable contract.
-    "q193_quantile_accuracy" ->
-      s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
-         |SELECT CAST(t.q * 1000 AS BIGINT) AS quantile_bp, n.n,
-         |  CAST($QuantileEpsBp AS BIGINT) AS eps_bp, TRUE AS within_bound
-         |FROM range(1, 10) t(q) CROSS JOIN n ORDER BY quantile_bp""".stripMargin,
-    // q194: same sessionization, same tie order (+1 before −1 at the
-    // same instant), same two-level prefix decomposition.
-    "q194_peak_concurrency" ->
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-         |g AS (SELECT user_id, us,
-         |    CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
-         |      OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > $ConcurrencySessionGapUs
-         |      THEN 1 ELSE 0 END AS new_s
-         |  FROM e),
-         |s AS (SELECT user_id, us, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
-         |iv AS (SELECT user_id, sid, MIN(us) AS s_start, MAX(us) AS s_end FROM s GROUP BY 1, 2),
-         |dl AS (SELECT s_start AS us, 1 AS d FROM iv UNION ALL SELECT s_end, -1 FROM iv),
-         |dd AS (SELECT us, d, us // 86400000000 AS day FROM dl),
-         |rn AS (SELECT day, us, d, SUM(d) OVER (PARTITION BY day ORDER BY us, d DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM dd),
-         |pd AS (SELECT day, CAST(COUNT(*) FILTER (d = 1) AS BIGINT) AS n_starts,
-         |    CAST(COUNT(*) FILTER (d = -1) AS BIGINT) AS n_ends,
-         |    MAX(run) AS peak_in_day, SUM(d) AS net FROM rn GROUP BY day),
-         |cr AS (SELECT day, n_starts, n_ends, peak_in_day,
-         |    COALESCE(SUM(net) OVER (ORDER BY day
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry FROM pd)
-         |SELECT day, n_starts, n_ends,
-         |  CAST(GREATEST(carry, carry + peak_in_day) AS BIGINT) AS peak_concurrency
-         |FROM cr ORDER BY day""".stripMargin,
-    // q195: unrolled peel rounds (q139/q188 discipline) over the same
-    // id-ordered edge set.
-    "q195_kcore_peeling" -> {
-      def round(r: Int): String = {
-        val prev = s"e${r - 1}"
-        s"""d$r AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
-           |  (SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev) GROUP BY 1),
-           |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $KCoreK),
-           |e$r AS MATERIALIZED (SELECT $prev.u, $prev.v FROM $prev
-           |  JOIN k$r a ON $prev.u = a.node JOIN k$r b ON $prev.v = b.node),
-           |r$r AS (SELECT CAST($r AS INTEGER) AS round,
-           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT n FROM
-           |    (SELECT u AS n FROM e$r UNION ALL SELECT v FROM e$r))) AS n_nodes,
-           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r) AS n_edges)"""
-      }
-      val body = (1 to KCoreRounds).map(round).mkString(",\n")
-      val union = (1 to KCoreRounds).map(r => s"SELECT * FROM r$r").mkString(" UNION ALL ")
-      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-         |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a
-         |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-         |$body
-         |$union ORDER BY round""".stripMargin
-    },
-    // q196: same (date, orderkey) sequence, same tier cuts, exact cents.
-    "q196_pit_loyalty" ->
-      """WITH o AS (SELECT o_custkey, o_orderkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us,
-        |    CAST(o_totalprice * 100 AS BIGINT) AS cents FROM orders),
-        |s AS (SELECT cents,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY us, o_orderkey) AS BIGINT) AS rn,
-        |    CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS cnt FROM o),
-        |t AS (SELECT cents,
-        |    CASE WHEN rn <= 2 THEN 'bronze' WHEN rn <= 4 THEN 'silver' ELSE 'gold' END AS tier_as_was,
-        |    CASE WHEN cnt <= 2 THEN 'bronze' WHEN cnt <= 4 THEN 'silver' ELSE 'gold' END AS tier_as_is
-        |  FROM s)
-        |SELECT tier_as_was, tier_as_is, CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |  CAST(SUM(cents) AS BIGINT) AS rev_cents
-        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // q197: the oracle's serial row_number is bit-identical to the
-    // engine's sharded PrefixSum rank (the q144 contract).
-    "q197_batch_padding" ->
-      s"""WITH l AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS len FROM documents),
-         |a AS (SELECT 'arrival' AS policy, len,
-         |    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn FROM l
-         |  UNION ALL SELECT 'sorted', len,
-         |    CAST(ROW_NUMBER() OVER (ORDER BY len, doc_id) AS BIGINT) FROM l),
-         |b AS (SELECT policy, (rn - 1) // $InferBatchSize AS batch,
-         |    CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(len) AS BIGINT) AS mx,
-         |    CAST(SUM(len) AS BIGINT) AS s
-         |  FROM a GROUP BY 1, 2),
-         |r AS (SELECT policy, CAST(COUNT(*) AS BIGINT) AS n_batches,
-         |    CAST(SUM(s) AS BIGINT) AS total_tokens, CAST(SUM(n * mx) AS BIGINT) AS capacity
-         |  FROM b GROUP BY 1)
-         |SELECT policy, n_batches, total_tokens, capacity - total_tokens AS padded_tokens,
-         |  (capacity - total_tokens) * 10000 // capacity AS waste_bp
-         |FROM r ORDER BY policy""".stripMargin,
-    // q198: identical portable hash, identical Poisson cut points,
-    // identical order statistics.
-    "q198_bootstrap_ci" -> {
-      import graft.functions.Md5Hash.duckH31
-      val h = duckH31("CAST(t.b AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR)")
-      val Seq(t0, t1, t2, t3) = BootPoissonCuts
-      s"""WITH u AS (SELECT user_id,
-         |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
-         |  FROM events GROUP BY 1),
-         |w AS (SELECT t.b, u.conv,
-         |    CASE WHEN $h < $t0 THEN 0 WHEN $h < $t1 THEN 1 WHEN $h < $t2 THEN 2
-         |         WHEN $h < $t3 THEN 3 ELSE 4 END AS w
-         |  FROM u CROSS JOIN range(0, $BootB) t(b)),
-         |r AS (SELECT b, CAST(SUM(w * conv) AS BIGINT) * 10000
-         |    // CAST(SUM(w) AS BIGINT) AS rate_bp FROM w GROUP BY b),
-         |o AS (SELECT rate_bp, CAST(ROW_NUMBER() OVER (ORDER BY rate_bp) AS BIGINT) AS rk FROM r),
-         |ci AS (SELECT MAX(CASE WHEN rk = $BootCiLoRank THEN rate_bp END) AS ci_lo_bp,
-         |    MAX(CASE WHEN rk = $BootCiHiRank THEN rate_bp END) AS ci_hi_bp FROM o),
-         |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-         |    CAST(SUM(conv) AS BIGINT) * 10000 // CAST(COUNT(*) AS BIGINT) AS base_rate_bp FROM u)
-         |SELECT base.n_users, base.base_rate_bp, CAST($BootB AS BIGINT) AS n_resamples,
-         |  ci.ci_lo_bp, ci.ci_hi_bp
-         |FROM base CROSS JOIN ci""".stripMargin
-    },
-    // q199: same (count desc, token) vocabulary order, same cut points.
-    "q199_vocab_curve" ->
-      s"""WITH c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents) GROUP BY 1),
-         |r AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS BIGINT) AS rk,
-         |    CAST(SUM(c) OVER () AS BIGINT) AS total, CAST(COUNT(*) OVER () AS BIGINT) AS nv
-         |  FROM c),
-         |v AS (SELECT UNNEST(ARRAY[${VocabCurveSizes.mkString(", ")}]) AS v)
-         |SELECT CAST(v.v AS BIGINT) AS v, CAST(LEAST(v.v, r.nv) AS BIGINT) AS n_vocab_used,
-         |  CAST(SUM(r.c) AS BIGINT) * 10000 // r.total AS coverage_bp
-         |FROM r JOIN v ON r.rk <= v.v
-         |GROUP BY v.v, r.total, r.nv ORDER BY v""".stripMargin,
-    // q200: sequential-batch replay with brute-force Jaccard — the q62
-    // recall-exactness argument batch by batch; the length prefilter
-    // (5·min ≥ 4·max ⟸ j ≥ 0.8) is a pure optimization.
-    "q200_stream_fuzzy_dedup" ->
-      s"""WITH $fuzzyIngestCtePrefix,
-         |r AS (${(0 to 3).map(b => s"SELECT CAST($b AS BIGINT) AS batch_id, doc_id FROM s$b")
-            .mkString(" UNION ALL ")})
-         |SELECT batch_id, doc_id FROM r ORDER BY batch_id, doc_id""".stripMargin,
-    // q256: the compacted base must carry EXACTLY 48 band rows for every
-    // doc of the replayed final corpus (seed + sequential survivors) —
-    // the oracle recomputes membership from the q200 replay CTEs and the
-    // store's expected multiplicity from the banding constant.
-    "q256_sig_compaction" -> {
-      val bands = graft.dedup.IncrementalDedup.FuzzyParams.bands
-      s"""WITH $fuzzyIngestCtePrefix,
-         |corpus AS (SELECT doc_id FROM st UNION ALL ${(0 to 3)
-            .map(b => s"SELECT doc_id FROM s$b").mkString(" UNION ALL ")}),
-         |parts AS (SELECT DISTINCT pid FROM (
-         |  SELECT -1 AS pid FROM st UNION ALL ${(0 to 3)
-            .map(b => s"SELECT $b AS pid FROM s$b").mkString(" UNION ALL ")}))
-         |SELECT CAST((SELECT COUNT(*) FROM parts) AS BIGINT) AS n_folded_partitions,
-         |  CAST($bands AS BIGINT) AS n_bands,
-         |  CAST((SELECT COUNT(*) FROM corpus) * $bands AS BIGINT) AS n_rows,
-         |  CAST((SELECT COUNT(DISTINCT doc_id) FROM corpus) AS BIGINT) AS n_distinct_sids,
-         |  CAST((SELECT SUM(DISTINCT doc_id) FROM corpus) AS BIGINT) AS sid_sum""".stripMargin
-    },
-    // q201: same hour aggregate, same trailing RANGE windows, same
-    // integer thresholds.
-    "q201_slo_burn_rate" ->
-      s"""WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour_id,
-         |    CAST(COUNT(*) AS BIGINT) AS n_total,
-         |    CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_err
-         |  FROM events GROUP BY 1),
-         |w AS (SELECT hour_id, n_total, n_err,
-         |    SUM(n_err) OVER w6 AS e6, SUM(n_total) OVER w6 AS t6,
-         |    SUM(n_err) OVER w24 AS e24, SUM(n_total) OVER w24 AS t24
-         |  FROM h WINDOW
-         |    w6 AS (ORDER BY hour_id RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
-         |    w24 AS (ORDER BY hour_id RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
-         |SELECT hour_id, n_total, n_err * 10000 // n_total AS err_1h_bp,
-         |  CAST(e6 * 10000 // t6 AS BIGINT) AS err_6h_bp,
-         |  CAST(e24 * 10000 // t24 AS BIGINT) AS err_24h_bp,
-         |  (n_err * 10000 // n_total >= $SloPage1hBp AND e6 * 10000 // t6 >= $SloPage6hBp) AS page,
-         |  (e24 * 10000 // t24 >= $SloTicket24hBp) AS ticket
-         |FROM w ORDER BY hour_id""".stripMargin,
-    // q202: the serial running sum is bit-identical to the sharded
-    // PrefixSum (q144 contract); same start-offset batch rule.
-    "q202_pixel_packing" ->
-      s"""WITH m AS (SELECT doc_id,
-         |    (32 + (doc_id % 8) * 16) * (32 + (doc_id % 5) * 32) AS px
-         |  FROM documents WHERE doc_id % 3 = 0),
-         |c AS (SELECT doc_id, px, SUM(px) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m),
-         |b AS (SELECT (cum - px) // $PixelBudget AS batch, px FROM c)
-         |SELECT CAST(batch AS BIGINT) AS batch, CAST(COUNT(*) AS BIGINT) AS n_items,
-         |  CAST(SUM(px) AS BIGINT) AS px_total,
-         |  CAST(SUM(px) AS BIGINT) * 10000 // $PixelBudget AS fill_bp
-         |FROM b GROUP BY batch ORDER BY batch""".stripMargin,
-    // q203: the q127 fusion chain verbatim, then 10-row assembly —
-    // diversity drop vs better-ranked passages, greedy budget pack.
-    "q203_context_assembly" ->
-      s"""WITH td AS (SELECT token, doc_id, dl, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, len(str_split(text, ' ')) AS dl, unnest(str_split(text, ' ')) AS token FROM documents)
-         |  GROUP BY token, doc_id, dl),
-         |q AS (SELECT DISTINCT unnest(str_split(text, ' ')) AS token
-         |  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)),
-         |n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens FROM documents),
-         |qtd AS (SELECT td.token, td.doc_id, td.dl, td.tf FROM td JOIN q USING (token)),
-         |d AS (SELECT token, COUNT(*) AS df FROM qtd GROUP BY token),
-         |tfidf AS (SELECT qtd.doc_id, CAST(SUM(tf * (n_docs * 1000000 // df)) AS BIGINT) AS score
-         |  FROM qtd JOIN d USING (token) CROSS JOIN n
-         |  GROUP BY qtd.doc_id ORDER BY score DESC, doc_id LIMIT 10),
-         |bm AS (SELECT qtd.doc_id, CAST(SUM(CAST(FLOOR(CAST(n_docs * 1000000 // df AS DOUBLE)
-         |    * (CAST(tf AS DOUBLE) * 2.2)
-         |    / (CAST(tf AS DOUBLE) + (0.3 + 0.9 * (CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE))))) AS BIGINT)) AS BIGINT) AS score
-         |  FROM qtd JOIN d USING (token) CROSS JOIN n
-         |  GROUP BY qtd.doc_id ORDER BY score DESC, doc_id LIMIT 10),
-         |tr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS tfidf_rank FROM tfidf),
-         |br AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm25_rank FROM bm),
-         |fused AS (SELECT COALESCE(tr.doc_id, br.doc_id) AS doc_id,
-         |  CAST(COALESCE(1000000 // ($RrfK + tfidf_rank), 0)
-         |    + COALESCE(1000000 // ($RrfK + bm25_rank), 0) AS BIGINT) AS rrf_score
-         |  FROM tr FULL OUTER JOIN br ON tr.doc_id = br.doc_id),
-         |f AS (SELECT doc_id, rrf_score FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10),
-         |fr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rn0 FROM f),
-         |wt AS (SELECT fr.doc_id, fr.rn0, list_distinct(str_split(dd.text, ' ')) AS toks,
-         |    CAST(len(str_split(dd.text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM fr JOIN documents dd USING (doc_id)),
-         |dr AS (SELECT DISTINCT a.doc_id FROM wt a JOIN wt b ON b.rn0 < a.rn0
-         |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= $CtxDedupJaccard),
-         |k AS (SELECT * FROM wt WHERE doc_id NOT IN (SELECT doc_id FROM dr)),
-         |r AS (SELECT doc_id, n_tokens, CAST(ROW_NUMBER() OVER (ORDER BY rn0) AS BIGINT) AS ctx_rank,
-         |    CAST(SUM(n_tokens) OVER (ORDER BY rn0
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM k)
-         |SELECT ctx_rank, doc_id, n_tokens, cum AS cum_tokens, cum <= $CtxTokenBudget AS included
-         |FROM r ORDER BY ctx_rank""".stripMargin,
-    // q204: the q33 bit-exact cosine folds restricted by the label
-    // equi-predicate — pre-filtered, so top-k ranks eligible rows only.
-    "q204_ann_filtered" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql FROM embeddings
-         |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
-         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-         |  ${VectorOracles.cosine("q.qv", "e.embedding")} AS cosine
-         |  FROM embeddings e JOIN q ON e.label = q.ql AND e.vec_id <> q.query_id
-         |  WHERE e.embedding IS NOT NULL),
-         |${VectorOracles.topKTail(5)}""".stripMargin,
-    // q205: unrolled BFS rounds over the id-ordered edge set.
-    "q205_khop_reach" -> {
-      def hop(h: Int): String =
-        s"""f$h AS MATERIALIZED (SELECT DISTINCT t AS node FROM sym
-           |  JOIN f${h - 1} ON sym.s = f${h - 1}.node
-           |  WHERE t NOT IN (SELECT node FROM v${h - 1})),
-           |v$h AS MATERIALIZED (SELECT node FROM v${h - 1} UNION SELECT node FROM f$h),
-           |r$h AS (SELECT CAST($h AS INTEGER) AS hop,
-           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f$h) AS frontier_size,
-           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v$h) AS visited_size)"""
-      val body = (1 to BfsHops).map(hop).mkString(",\n")
-      val union = (1 to BfsHops).map(h => s"SELECT * FROM r$h").mkString(" UNION ALL ")
-      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-         |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a
-         |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-         |sym AS MATERIALIZED (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v AS s, u AS t FROM e0),
-         |sd AS (SELECT MIN(u) AS seed FROM e0),
-         |f0 AS MATERIALIZED (SELECT seed AS node FROM sd),
-         |v0 AS MATERIALIZED (SELECT node FROM f0),
-         |$body
-         |$union ORDER BY hop""".stripMargin
-    },
-    // q206: same delta split, same four-term delta-join algebra, exact
-    // integer revenue; hash equality proves ΔV = γ(ΔA⋈B)⊎γ(A⋈ΔB)⊎γ(ΔA⋈ΔB).
-    "q206_incremental_view" ->
-      """WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck, o_orderkey % 5 = 0 AS od FROM orders),
-        |l AS (SELECT l_orderkey AS ok,
-        |    CAST(l_extendedprice * 100 AS BIGINT) * CAST((1 - l_discount) * 100 AS BIGINT) AS rev_u,
-        |    (l_orderkey * 10 + l_linenumber) % 7 = 0 AS ld FROM lineitem),
-        |v00 AS (SELECT ck, CAST(SUM(rev_u) AS BIGINT) AS rev FROM o JOIN l USING (ok)
-        |  WHERE NOT od AND NOT ld GROUP BY ck),
-        |vd0 AS (SELECT ck, CAST(SUM(rev_u) AS BIGINT) AS rev FROM o JOIN l USING (ok)
-        |  WHERE od AND NOT ld GROUP BY ck),
-        |v0d AS (SELECT ck, CAST(SUM(rev_u) AS BIGINT) AS rev FROM o JOIN l USING (ok)
-        |  WHERE NOT od AND ld GROUP BY ck),
-        |vdd AS (SELECT ck, CAST(SUM(rev_u) AS BIGINT) AS rev FROM o JOIN l USING (ok)
-        |  WHERE od AND ld GROUP BY ck),
-        |inc AS (SELECT ck, CAST(SUM(rev) AS BIGINT) AS rev_ivm FROM
-        |  (SELECT * FROM v00 UNION ALL SELECT * FROM vd0
-        |   UNION ALL SELECT * FROM v0d UNION ALL SELECT * FROM vdd) GROUP BY ck),
-        |fv AS (SELECT ck, CAST(SUM(rev_u) AS BIGINT) AS rf FROM o JOIN l USING (ok) GROUP BY ck)
-        |SELECT COALESCE(fv.ck, inc.ck) AS custkey, COALESCE(rf, 0) AS rev_full,
-        |  COALESCE(rev_ivm, 0) AS rev_ivm, COALESCE(rf, 0) = COALESCE(rev_ivm, 0) AS ivm_exact
-        |FROM fv FULL OUTER JOIN inc ON fv.ck = inc.ck
-        |ORDER BY rev_full DESC, custkey LIMIT 20""".stripMargin,
-    // q207: same dominance rewrite — strictly-cheaper RANGE max + same-
-    // price partition max.
-    "q207_skyline" ->
-      """WITH p AS (SELECT p_partkey, CAST(p_retailprice * 100 AS BIGINT) AS price_cents,
-        |    CAST(p_size AS BIGINT) AS p_size FROM part),
-        |w AS (SELECT p_partkey, price_cents, p_size,
-        |    MAX(p_size) OVER (ORDER BY price_cents
-        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper,
-        |    MAX(p_size) OVER (PARTITION BY price_cents) AS best_same
-        |  FROM p)
-        |SELECT p_partkey, price_cents, p_size FROM w
-        |WHERE (best_cheaper IS NULL OR best_cheaper < p_size) AND best_same = p_size
-        |ORDER BY price_cents, p_partkey""".stripMargin,
-    // q208: the q37/q87 scoring + threshold CTEs, then (dist, doc_id)
-    // rank — identical to the TopKAggregator's better() order.
-    "q208_uncertainty_sample" ->
-      s"""WITH m AS (SELECT lang, doc_id, len(str_split(text, ' ')) AS n_tokens,
-         |  CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) AS avg_token_len,
-         |  CAST(len(list_filter(str_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
-         |    / len(str_split(text, ' ')) AS stopword_ratio
-         |FROM documents),
-         |q AS (SELECT lang, doc_id,
-         |  CAST(FLOOR(LEAST(1.0, (CAST(n_tokens AS DOUBLE)/100.0)*0.4 + stopword_ratio*3.0*0.3
-         |    + CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END) * 1000000.0) AS BIGINT) AS quality_fp
-         |FROM m),
-         |t AS (SELECT lang, quantile_cont(quality_fp, 0.25) AS p25_fp FROM q GROUP BY lang),
-         |d AS (SELECT q.lang, q.doc_id, q.quality_fp,
-         |    ABS(CAST(q.quality_fp AS DOUBLE) - t.p25_fp) AS dist
-         |  FROM q JOIN t USING (lang)),
-         |r AS (SELECT lang, doc_id, quality_fp, dist,
-         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY dist, doc_id) AS rk FROM d)
-         |SELECT lang, CAST(rk AS BIGINT) AS "rank", doc_id, quality_fp,
-         |  CAST(FLOOR(dist) AS BIGINT) AS dist_fp
-         |FROM r WHERE rk <= $UncertaintyK ORDER BY lang, rk, doc_id""".stripMargin,
-    // q209: per-element floors before the sums; HUGEINT mirrors
-    // DECIMAL(38,0) and // mirrors div.
-    "q209_whitening_stats" -> {
-      import graft.similarity.Pq.Dim
-      s"""WITH f AS (SELECT CAST(t.j AS INTEGER) - 1 AS dim,
-         |    CAST(FLOOR(CAST(e.embedding[CAST(t.j AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS f
-         |  FROM embeddings e, UNNEST(range(1, $Dim + 1)) AS t(j)
-         |  WHERE e.embedding IS NOT NULL AND len(e.embedding) >= $Dim),
-         |a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(f) AS BIGINT) AS s,
-         |    SUM(CAST(f AS HUGEINT) * f) AS s2 FROM f GROUP BY dim)
-         |SELECT dim, n, s // n AS mean_fp,
-         |  CAST((n * s2 - CAST(s AS HUGEINT) * s) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_fp2
-         |FROM a ORDER BY dim""".stripMargin
-    },
-    // q210: exact pair counts replay; the HLL estimate rows are the
-    // bounded claim (q42/q79 pattern).
-    "q210_hll_intersection" -> {
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      val flagCols = types.map(t =>
-        s"MAX(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS f_$t").mkString(", ")
-      val pairRows = (for {
-        i <- types.indices; j <- types.indices if i < j
-        (a, b) = (types(i), types(j))
-      } yield
-        s"""SELECT '$a' AS type_a, '$b' AS type_b,
-           |  CAST(SUM(CASE WHEN f_$a = 1 AND f_$b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter,
-           |  CAST(SUM(CASE WHEN f_$a = 1 OR f_$b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_union,
-           |  TRUE AS within_bound FROM fl""").mkString("\nUNION ALL ")
-      s"""WITH fl AS (SELECT user_id, $flagCols FROM events GROUP BY user_id)
-         |$pairRows
-         |ORDER BY type_a, type_b""".stripMargin
-    },
-    // q211: same (us, event_id) step order, same integer ppm model.
-    "q211_path_likelihood" ->
-      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type AS f FROM events),
-         |s AS (SELECT user_id, f,
-         |    LEAD(f) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t FROM e),
-         |st AS (SELECT user_id, f, t FROM s WHERE t IS NOT NULL),
-         |m AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c FROM st GROUP BY 1, 2),
-         |m2 AS (SELECT f, t, CAST(c * 1000000 // SUM(c) OVER (PARTITION BY f) AS BIGINT) AS p_ppm FROM m),
-         |sc AS (SELECT st.user_id, CAST(COUNT(*) AS BIGINT) AS n_steps,
-         |    CAST(SUM(m2.p_ppm) // COUNT(*) AS BIGINT) AS score_ppm
-         |  FROM st JOIN m2 USING (f, t) GROUP BY 1)
-         |SELECT user_id, n_steps, score_ppm FROM sc
-         |ORDER BY score_ppm, user_id LIMIT $PathOutlierK""".stripMargin,
-    // q212: same layouts, same (event_id) within-file order, same break
-    // rule.
-    "q212_clustering_factor" ->
-      s"""WITH mx AS (SELECT MAX(user_id) AS maxu FROM events),
-         |r AS (SELECT e.event_id, e.user_id, 'time' AS layout,
-         |    epoch_us(ts) // 3600000000 AS file FROM events e
-         |  UNION ALL SELECT e.event_id, e.user_id, 'user_clustered',
-         |    e.user_id * $ZoneMapBuckets // (mx.maxu + 1) FROM events e CROSS JOIN mx),
-         |b AS (SELECT layout,
-         |    CASE WHEN LAG(user_id) OVER w IS NULL OR user_id < LAG(user_id) OVER w
-         |      THEN 1 ELSE 0 END AS brk
-         |  FROM r WINDOW w AS (PARTITION BY layout, file ORDER BY event_id))
-         |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(brk) AS BIGINT) AS n_runs,
-         |  CAST(COUNT(*) AS BIGINT) * 100 // CAST(SUM(brk) AS BIGINT) AS avg_run_len_x100
-         |FROM b GROUP BY layout ORDER BY layout""".stripMargin,
-    // q213: same boundaries, same integer pro-rata interpolation, same
-    // zero-width guard — the estimates replay exactly.
-    "q213_histogram_accuracy" -> {
-      val B = HistBins
-      val depthSel = (1L until B).map(k =>
-        s"MIN(CASE WHEN cum >= $k * s.n // $B THEN v END) AS b$k").mkString(", ")
-      val depthBins = (0L until B).map { b =>
-        val lo = if (b == 0) "s.mn" else s"bd.b$b"
-        val hi = if (b == B - 1) "s.mx + 1" else s"bd.b${b + 1}"
-        s"SELECT 'depth' AS htype, CAST($b AS BIGINT) AS bin, $lo AS lo, $hi AS hi FROM bd CROSS JOIN s"
-      }.mkString("\nUNION ALL ")
-      s"""WITH vals AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v FROM lineitem),
-         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(v) AS BIGINT) AS mn,
-         |    CAST(MAX(v) AS BIGINT) AS mx FROM vals),
-         |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY v),
-         |hc AS (SELECT v, c, SUM(c) OVER (ORDER BY v
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
-         |bd AS (SELECT $depthSel FROM hc CROSS JOIN s),
-         |bins AS (
-         |  SELECT 'width' AS htype, CAST(t.b AS BIGINT) AS bin,
-         |    s.mn + t.b * (s.mx - s.mn + 1) // $B AS lo,
-         |    s.mn + (t.b + 1) * (s.mx - s.mn + 1) // $B AS hi
-         |  FROM range(0, $B) t(b) CROSS JOIN s
-         |  UNION ALL $depthBins),
-         |bc AS (SELECT bins.htype, bins.bin, bins.lo, bins.hi, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM bins JOIN vals ON vals.v >= bins.lo AND vals.v < bins.hi
-         |  GROUP BY 1, 2, 3, 4),
-         |p AS (SELECT CAST(t.i AS BIGINT) AS pred, s.mn + t.i * (s.mx - s.mn) // 20 AS p_lo,
-         |    s.mn + (t.i + 5) * (s.mx - s.mn) // 20 AS p_hi
-         |  FROM range(0, $HistPreds) t(i) CROSS JOIN s),
-         |e AS (SELECT p.pred, bc.htype,
-         |    CAST(SUM(CASE WHEN bc.hi > bc.lo THEN
-         |      bc.c * GREATEST(0, LEAST(bc.hi, p.p_hi + 1) - GREATEST(bc.lo, p.p_lo)) // (bc.hi - bc.lo)
-         |      ELSE 0 END) AS BIGINT) AS est
-         |  FROM bc CROSS JOIN p GROUP BY 1, 2),
-         |ew AS (SELECT pred, MAX(CASE WHEN htype = 'width' THEN est END) AS est_width,
-         |    MAX(CASE WHEN htype = 'depth' THEN est END) AS est_depth FROM e GROUP BY pred),
-         |ex AS (SELECT p.pred, CAST(COUNT(*) AS BIGINT) AS exact0
-         |  FROM vals JOIN p ON vals.v >= p.p_lo AND vals.v <= p.p_hi GROUP BY 1)
-         |SELECT p.pred, p.p_lo, p.p_hi, COALESCE(ex.exact0, 0) AS exact,
-         |  ew.est_width, ew.est_depth,
-         |  ABS(ew.est_width - COALESCE(ex.exact0, 0)) * 10000 // s.n AS err_width_bp,
-         |  ABS(ew.est_depth - COALESCE(ex.exact0, 0)) * 10000 // s.n AS err_depth_bp
-         |FROM p LEFT JOIN ex ON p.pred = ex.pred JOIN ew ON p.pred = ew.pred CROSS JOIN s
-         |ORDER BY p.pred""".stripMargin
-    },
-    // q214: the q27 pair CTE + identical list algebra; the sample is
-    // sorted-then-sliced so the strings match byte for byte.
-    "q214_neardup_diff" ->
-      """WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95)
-        |SELECT id_a, id_b,
-        |  CAST(len(list_intersect(ta, tb)) AS BIGINT) AS shared,
-        |  CAST(len(list_filter(ta, x -> NOT list_contains(tb, x))) AS BIGINT) AS only_a,
-        |  CAST(len(list_filter(tb, x -> NOT list_contains(ta, x))) AS BIGINT) AS only_b,
-        |  COALESCE(array_to_string(list_sort(list_filter(tb, x -> NOT list_contains(ta, x)))[1:3], ','), '') AS added_sample
-        |FROM p ORDER BY id_a, id_b""".stripMargin,
-    // q215: HUGEINT mirrors DECIMAL(38,0); same margins, same integer
-    // chi-square cells.
-    "q215_independence_test" ->
-      """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
-        |  FROM documents GROUP BY 1, 2),
-        |m AS (SELECT lang, source, o,
-        |    CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
-        |    CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS c,
-        |    CAST(SUM(o) OVER () AS BIGINT) AS n FROM c),
-        |k AS (SELECT lang, source, o, r * c * 100 // n AS expected_x100,
-        |    CAST((CAST(o * n - r * c AS HUGEINT) * (o * n - r * c) * 10000)
-        |      // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS cell_bp FROM m)
-        |SELECT lang, source, o, expected_x100, cell_bp,
-        |  CAST(SUM(cell_bp) OVER () AS BIGINT) AS total_bp
-        |FROM k ORDER BY lang, source""".stripMargin,
-    // q216: the EXISTS stays a semi-join in both engines — DuckDB's
-    // EXISTS, Spark's LeftSemi.
-    "q216_priority_returns" ->
-      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
-        |FROM orders o
-        |WHERE EXISTS (SELECT 1 FROM lineitem l
-        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    // q217: same smoothed integer rate ratios, same (ratio desc, token)
-    // cuts per direction.
-    "q217_token_keyness" ->
-      s"""WITH t AS (SELECT doc_id % 2 AS snap, unnest(str_split(text, ' ')) AS token FROM documents),
-         |c0 AS (SELECT token,
-         |    CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-         |    CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
-         |  FROM t GROUP BY token),
-         |c1 AS (SELECT token, ca, cb,
-         |    CAST(SUM(ca) OVER () AS BIGINT) AS ta, CAST(SUM(cb) OVER () AS BIGINT) AS tb,
-         |    CAST(COUNT(*) OVER () AS BIGINT) AS v FROM c0),
-         |c AS (SELECT token, ca, cb,
-         |    CAST(CAST(ca + 1 AS HUGEINT) * (tb + v) * 10000 // (CAST(cb + 1 AS HUGEINT) * (ta + v)) AS BIGINT) AS ab_bp,
-         |    CAST(CAST(cb + 1 AS HUGEINT) * (ta + v) * 10000 // (CAST(ca + 1 AS HUGEINT) * (tb + v)) AS BIGINT) AS ba_bp
-         |  FROM c1 WHERE ca + cb >= $KeynessMinCount),
-         |ta2 AS (SELECT 'a_over_b' AS direction, token, ca, cb, ab_bp AS ratio_bp
-         |  FROM c ORDER BY ab_bp DESC, token LIMIT $KeynessK),
-         |tb2 AS (SELECT 'b_over_a' AS direction, token, ca, cb, ba_bp AS ratio_bp
-         |  FROM c ORDER BY ba_bp DESC, token LIMIT $KeynessK)
-         |SELECT * FROM (SELECT * FROM ta2 UNION ALL SELECT * FROM tb2)
-         |ORDER BY direction, ratio_bp DESC, token""".stripMargin,
-    // q218: the engine builds + box-walks a real ISO-BMFF container per
-    // document; every generated field is a pure function of doc_id, so the
-    // oracle replays the expectations arithmetically. Container byte count
-    // derives from the fixed box layout: ftyp 24 + moov header 8 + mvhd 108
-    // + 173 per trak (tkhd 92 + mdia 73 + trak header 8) + mdat 8 + payload
-    // (ASCII corpus: char length == byte length, the q50 precedent).
-    "q218_mp4_metadata" ->
-      """SELECT doc_id AS media_id, 'isom' AS brand,
-        |  CAST(doc_id % 900 + 100 AS BIGINT) AS duration_ms,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
-        |  CAST(320 + (doc_id % 4) * 16 AS BIGINT) AS width,
-        |  CAST(240 + (doc_id % 3) * 16 AS BIGINT) AS height,
-        |  TRUE AS has_video, doc_id % 2 = 0 AS has_audio,
-        |  CAST(148 + 173 * (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)
-        |    + coalesce(length(text), 0) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin,
-    // q219: same round-trip discipline as q218 for PNG/GIF/JPEG headers —
-    // every generated field is a pure function of doc_id; container sizes
-    // derive from the fixed layouts (PNG 57 + body, GIF 14 + body,
-    // JPEG 23 + body; ASCII corpus, the q50 precedent).
-    "q219_image_headers" ->
-      """SELECT doc_id AS media_id,
-        |  (['png','gif','jpeg'])[CAST(doc_id % 3 AS INTEGER) + 1] AS format,
-        |  CAST(16 + doc_id % 1009 AS BIGINT) AS width,
-        |  CAST(16 + doc_id % 797 AS BIGINT) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 8 + 1 ELSE 8 END AS BIGINT) AS bit_depth,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 57 WHEN 1 THEN 14 ELSE 23 END
-        |    + coalesce(length(text), 0) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin,
-    // q220: the q33 brute-force oracle with the hard-negative band filter
-    // applied before ranking — cosine is the identical left fold, so band
-    // membership and ranks replay bit-for-bit.
-    "q220_hard_negatives" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-         |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
-         |s0 AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-         |  ${VectorOracles.cosine("q.qv", "e.embedding")} AS cosine
-         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
-         |  WHERE e.embedding IS NOT NULL),
-         |s AS (SELECT * FROM s0 WHERE cosine >= $HardNegLo AND cosine < $HardNegHi),
-         |${VectorOracles.topKTail(5)}""".stripMargin,
-    // q221: identical block / rank / boundary-stitch rule, identical
-    // verifier — integer window math plus levenshtein, both portable.
-    "q221_sorted_neighborhood" ->
-      s"""WITH c0 AS (SELECT c_custkey, c_name, c_nationkey,
-         |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
-         |r AS (SELECT *, (cents + 1000000) // $SnmBlockCents AS blk FROM c0),
-         |r2 AS (SELECT *,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY blk ORDER BY cents, c_custkey) AS BIGINT) AS rn,
-         |    CAST(COUNT(*) OVER (PARTITION BY blk) AS BIGINT) AS cnt FROM r),
-         |p AS (
-         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, a.c_name AS na, b.c_name AS nb,
-         |    a.c_nationkey AS nka, b.c_nationkey AS nkb, a.cents AS cents_a, b.cents AS cents_b
-         |  FROM r2 a JOIN r2 b ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND $SnmWindow
-         |  UNION ALL
-         |  SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name,
-         |    a.c_nationkey, b.c_nationkey, a.cents, b.cents
-         |  FROM r2 a JOIN r2 b ON a.blk + 1 = b.blk AND a.cnt - a.rn + b.rn <= $SnmWindow)
-         |SELECT id_a, id_b, cents_a, cents_b, cents_b - cents_a AS cents_gap
-         |FROM p WHERE nka = nkb AND levenshtein(na, nb) <= 1
-         |ORDER BY id_a, id_b""".stripMargin,
-    // q222: the q36/q37/q38/q65 primitive replications composed into the
-    // same five predicates; the sums and the unpivot are plain integers.
-    "q222_filter_ablation" -> {
-      val en = TextAnalysis.StopwordProfiles("en").map(w => s"'$w'").mkString(", ")
-      val names = Seq("len", "stop", "tlen", "lang", "pii")
-      val fails = names
-        .map(n => s"CAST(SUM(CASE WHEN NOT p_$n THEN 1 ELSE 0 END) AS BIGINT) AS f_$n")
-        .mkString(",\n    ")
-      val uniques = names.map { n =>
-        val others = names.filter(_ != n).map(o => s"p_$o").mkString(" AND ")
-        s"CAST(SUM(CASE WHEN NOT p_$n AND $others THEN 1 ELSE 0 END) AS BIGINT) AS u_$n"
-      }.mkString(",\n    ")
-      val allPass = names.map(n => s"p_$n").mkString(" AND ")
-      val stack = names
-        .map(n => s"SELECT '$n' AS filter, n_docs, f_$n AS n_fail, u_$n AS n_unique_fail, pass_all FROM a")
-        .mkString("\n  UNION ALL ")
-      s"""WITH m AS (SELECT doc_id, lang, text,
-         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    CAST(len(list_filter(str_split(text, ' '), x -> x IN ($en))) AS BIGINT) AS hits,
-         |    CAST(length(text) AS BIGINT) AS n_chars,
-         |    list_distinct(str_split(lower(text), ' ')) AS toks
-         |  FROM documents WHERE text IS NOT NULL),
-         |s AS (SELECT *, $duckLangIdBest AS best FROM m),
-         |f AS (SELECT
-         |    n_tokens >= $AblationMinTokens AS p_len,
-         |    hits * 20 >= n_tokens AS p_stop,
-         |    n_chars - n_tokens + 1 >= n_tokens * 3 AND n_chars - n_tokens + 1 <= n_tokens * 8 AS p_tlen,
-         |    ($duckLangIdDecode) = lang AS p_lang,
-         |    len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}'))
-         |      + len(regexp_extract_all(regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
-         |          '${TextAnalysis.PhonePattern}')) = 0 AS p_pii
-         |  FROM s),
-         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    $fails,
-         |    $uniques,
-         |    CAST(SUM(CASE WHEN $allPass THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
-         |  FROM f),
-         |l AS ($stack)
-         |SELECT filter, n_docs, n_fail, n_fail * 10000 // n_docs AS fail_bp,
-         |  n_unique_fail, pass_all AS n_pass_all
-         |FROM l ORDER BY filter""".stripMargin
-    },
-    // q223: the q25/q26 keep-min rules chained, near-dup components from
-    // the q56 recursive-reachability CTE, keep-min restricted to the
-    // tokenset-stage survivors — the exact cascade the engine runs.
-    "q223_dedup_funnel" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |      FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
-        |comp AS (SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id),
-        |s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-        |s2 AS (SELECT MIN(doc_id) AS doc_id FROM documents
-        |  WHERE doc_id IN (SELECT doc_id FROM s1)
-        |  GROUP BY md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))),
-        |d2 AS (SELECT s2.doc_id, comp.comp FROM s2 LEFT JOIN comp ON s2.doc_id = comp.id),
-        |keep AS (SELECT comp, MIN(doc_id) AS keep_id FROM d2 WHERE comp IS NOT NULL GROUP BY comp),
-        |s3 AS (SELECT d2.doc_id FROM d2 LEFT JOIN keep USING (comp)
-        |  WHERE d2.comp IS NULL OR d2.doc_id = keep.keep_id),
-        |n AS (SELECT 0 AS idx, 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM documents
-        |  UNION ALL SELECT 1, 'exact', CAST(COUNT(*) AS BIGINT) FROM s1
-        |  UNION ALL SELECT 2, 'tokenset', CAST(COUNT(*) AS BIGINT) FROM s2
-        |  UNION ALL SELECT 3, 'neardup', CAST(COUNT(*) AS BIGINT) FROM s3),
-        |w AS (SELECT idx, stage, n, LAG(n) OVER (ORDER BY idx) AS n_in FROM n)
-        |SELECT stage, n_in, n AS n_out, n_in - n AS n_removed,
-        |  (n_in - n) * 10000 // n_in AS removed_bp
-        |FROM w WHERE idx > 0 ORDER BY stage""".stripMargin,
-    // q224: sign bits replayed per dimension (DuckDB arrays are 1-based),
-    // Hamming via xor+bit_count on the two BIGINT halves, identical
-    // candidate and rerank tie-breaks.
-    "q224_ann_binary_quant" -> {
-      def bits(lo: Int, hi: Int) = (lo until hi).map(i =>
-        s"CAST(CASE WHEN e.embedding[${i + 1}] > 0.0 THEN ${1L << (i % 32)} ELSE 0 END AS BIGINT)")
-        .mkString("\n    + ")
-      s"""WITH c AS (SELECT vec_id, embedding,
-         |    ${bits(0, 32)} AS b_lo,
-         |    ${bits(32, 64)} AS b_hi
-         |  FROM embeddings e WHERE embedding IS NOT NULL AND len(embedding) >= 64),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv, b_lo AS q_lo, b_hi AS q_hi
-         |  FROM c WHERE vec_id % 50 = 0),
-         |h AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-         |    CAST(bit_count(xor(c.b_lo, q.q_lo)) + bit_count(xor(c.b_hi, q.q_hi)) AS BIGINT) AS hamming
-         |  FROM q JOIN c ON c.vec_id <> q.query_id),
-         |cand AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS crn
-         |    FROM h) WHERE crn <= $BinaryAnnCandidates),
-         |s AS (SELECT cand.query_id, cand.neighbor_id,
-         |    ${VectorOracles.cosine("q.qv", "n.embedding")} AS cosine
-         |  FROM cand JOIN q ON cand.query_id = q.query_id
-         |  JOIN c n ON cand.neighbor_id = n.vec_id),
-         |${VectorOracles.topKTail(BinaryAnnK)}""".stripMargin
-    },
-    // q225: dialect-equivalent recursion (div → //); same heap-parent
-    // relation, same per-level rollup.
-    "q225_recursive_hierarchy" ->
-      """WITH RECURSIVE walk(id, anc, depth) AS (
-        |  SELECT c_custkey, c_custkey, 0 FROM customer
-        |  UNION ALL
-        |  SELECT id, (anc - 1) // 2, depth + 1 FROM walk WHERE anc > 0),
-        |d AS (SELECT id, MAX(depth) AS depth FROM walk GROUP BY id)
-        |SELECT d.depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
-        |  MIN(d.id) AS min_id, MAX(d.id) AS max_id,
-        |  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM d JOIN customer ON d.id = c_custkey
-        |GROUP BY d.depth ORDER BY d.depth""".stripMargin,
-    // q226: identical histogram → CDF windows → HUGEINT cross products →
-    // bp division; argmax location ties resolved by MIN(cents).
-    "q226_ks_drift" ->
-      """WITH ev AS (SELECT event_type, CAST(value * 100 AS BIGINT) AS cents
-        |  FROM events WHERE event_type IN ('purchase', 'view')),
-        |h AS (SELECT cents,
-        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
-        |  FROM ev GROUP BY cents),
-        |c AS (SELECT cents,
-        |    CAST(SUM(c1) OVER () AS BIGINT) AS n1, CAST(SUM(c2) OVER () AS BIGINT) AS n2,
-        |    SUM(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum1,
-        |    SUM(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum2
-        |  FROM h),
-        |d AS (SELECT cents, n1, n2,
-        |    abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1) AS dnum FROM c),
-        |m AS (SELECT cents, n1, n2, dnum, MAX(dnum) OVER () AS mx FROM d)
-        |SELECT n1, n2,
-        |  CAST(mx * 10000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_bp,
-        |  MIN(cents) AS ks_at_cents
-        |FROM m WHERE dnum = mx GROUP BY n1, n2, mx""".stripMargin,
-    // q227: the greedy trajectory unrolled as chained CTEs — the q181
-    // (x−y)² fold per pair, LEAST over raw doubles, floor once, argmax on
-    // (floored dist DESC, vec_id) — exactly the engine's selection rule.
-    "q227_kcenter_seeds" -> {
-      import graft.similarity.Pq.Dim
-      def fold(a: String, b: String) =
-        s"list_reduce(list_transform(range(1, ${Dim + 1}), " +
-          s"j -> (CAST($a[j] AS DOUBLE) - CAST($b[j] AS DOUBLE)) * (CAST($a[j] AS DOUBLE) - CAST($b[j] AS DOUBLE))), " +
-          "(acc, v) -> acc + v)"
-      val chain = (2 to KCenterSeeds).map { k =>
-        val pf = s"f${k - 1}"
-        s"""s$k AS (SELECT vec_id, embedding, dfp FROM $pf ORDER BY dfp DESC, vec_id LIMIT 1),
-           |d$k AS (SELECT $pf.vec_id, $pf.embedding,
-           |    LEAST($pf.dd, ${fold(s"$pf.embedding", s"s$k.embedding")}) AS dd
-           |  FROM $pf CROSS JOIN s$k),
-           |f$k AS (SELECT vec_id, embedding, dd, CAST(FLOOR(dd * 1000000.0) AS BIGINT) AS dfp FROM d$k)""".stripMargin
-      }.mkString(",\n")
-      val seedRows = (2 to KCenterSeeds)
-        .map(k => s"UNION ALL SELECT 'seed', $k, vec_id, dfp FROM s$k").mkString("\n")
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE embedding IS NOT NULL AND len(embedding) >= $Dim),
-         |s1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
-         |d1 AS (SELECT e.vec_id, e.embedding, ${fold("e.embedding", "s1.embedding")} AS dd
-         |  FROM e CROSS JOIN s1),
-         |f1 AS (SELECT vec_id, embedding, dd, CAST(FLOOR(dd * 1000000.0) AS BIGINT) AS dfp FROM d1),
-         |$chain,
-         |rad AS (SELECT vec_id, dfp FROM f$KCenterSeeds ORDER BY dfp DESC, vec_id LIMIT 1)
-         |SELECT 'seed' AS role, CAST(1 AS BIGINT) AS seed_idx, s1.vec_id, CAST(0 AS BIGINT) AS dist_fp FROM s1
-         |$seedRows
-         |UNION ALL SELECT 'radius', ${KCenterSeeds + 1}, vec_id, dfp FROM rad
-         |ORDER BY seed_idx""".stripMargin
-    },
-    // q229: identical word packing (32-bit payloads in BIGINT carriers),
-    // bit_or aggregate, popcount intersections, integer Jaccard.
-    "q229_bitmap_membership" ->
-      s"""WITH b AS (SELECT event_type, user_id // 32 AS w,
-        |    CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS BIGINT) AS word
-        |  FROM events WHERE value >= $BitmapValueFloor GROUP BY 1, 2),
-        |card AS (SELECT event_type, CAST(SUM(bit_count(word)) AS BIGINT) AS n FROM b GROUP BY 1),
-        |p AS (SELECT a.event_type AS type_a, b2.event_type AS type_b,
-        |    CAST(SUM(bit_count(a.word & b2.word)) AS BIGINT) AS n_both
-        |  FROM b a JOIN b b2 ON a.w = b2.w AND a.event_type < b2.event_type
-        |  GROUP BY 1, 2)
-        |SELECT p.type_a, p.type_b, ca.n AS n_a, cb.n AS n_b, p.n_both,
-        |  CAST(p.n_both * 10000 // (ca.n + cb.n - p.n_both) AS BIGINT) AS jaccard_bp
-        |FROM p JOIN card ca ON p.type_a = ca.event_type
-        |JOIN card cb ON p.type_b = cb.event_type
-        |ORDER BY type_a, type_b""".stripMargin,
-    // q230: the union-set signature recomputed from the same md5-h31
-    // permutation family (q29's parameters); TRUE is the mergeability
-    // claim — the engine's aggregated per-doc mins must equal it.
-    "q230_minhash_union" ->
-      s"""WITH t AS (SELECT lang, unnest(list_distinct(str_split(text, ' '))) AS token
-         |  FROM documents WHERE text IS NOT NULL),
-         |u AS (SELECT DISTINCT lang, token FROM t),
-         |h AS (SELECT lang, ${duckH31("token")} AS th FROM u),
-         |s AS (SELECT lang, p.sig_idx,
-         |    MIN((p.pa * th + p.pb) % 2147483647) AS minhash
-         |  FROM h CROSS JOIN (VALUES $minhashParamValues) AS p(sig_idx, pa, pb)
-         |  GROUP BY lang, p.sig_idx)
-         |SELECT lang, CAST(sig_idx AS INTEGER) AS sig_idx,
-         |  CAST(minhash AS BIGINT) AS minhash, TRUE AS merge_exact
-         |FROM s ORDER BY lang, sig_idx""".stripMargin,
-    // q231: per-slot max + slot-ordered left fold — float addition order
-    // pinned on both sides, so the MaxSim scores (and therefore ranks)
-    // replay bit-for-bit; DuckDB arrays are 1-based only inside the
-    // cosine fold, which VectorOracles already handles.
-    "q231_maxsim_retrieval" ->
-      s"""WITH e AS (SELECT vec_id, vec_id // $MaxSimSlots AS doc,
-         |    vec_id % $MaxSimSlots AS slot, embedding
-         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 64),
-         |q AS (SELECT doc AS query_id, slot AS qslot, embedding AS qv
-         |  FROM e WHERE doc % $MaxSimQueryMod = 0),
-         |sc AS (SELECT q.query_id, e.doc AS neighbor_id, q.qslot,
-         |    ${VectorOracles.cosine("q.qv", "e.embedding")} AS c
-         |  FROM q JOIN e ON e.doc <> q.query_id),
-         |sm AS (SELECT query_id, neighbor_id, qslot, MAX(c) AS m
-         |  FROM sc WHERE c IS NOT NULL GROUP BY 1, 2, 3),
-         |s AS (SELECT query_id, neighbor_id,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(m ORDER BY qslot)),
-         |      (a, x) -> a + x) AS cosine
-         |  FROM sm GROUP BY 1, 2),
-         |rk AS (SELECT query_id, neighbor_id, cosine,
-         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-         |  FROM s WHERE cosine IS NOT NULL)
-         |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", cosine AS maxsim
-         |FROM rk WHERE rn <= $MaxSimK ORDER BY query_id, rn""".stripMargin,
-    // q232: brute-force pairs replay the banded candidates exactly (the
-    // banding guarantee is complete at hamming ≤ 3); truth is the q27
-    // brute-force Jaccard ≥ 0.95 pair set.
-    "q232_simhash_pr_sweep" ->
-      s"""WITH $duckSimhash,
-         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashSweepMax),
-         |t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
-         |tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
-         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tp),
-         |j AS (SELECT c.hamming,
-         |    CASE WHEN tp.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
-         |  FROM cand c LEFT JOIN tp ON c.id_a = tp.id_a AND c.id_b = tp.id_b),
-         |sw AS (SELECT u.t, CAST(COUNT(*) AS BIGINT) AS n_pred, CAST(SUM(hit) AS BIGINT) AS n_hit
-         |  FROM j, UNNEST(range(j.hamming, ${SimhashSweepMax + 1})) AS u(t) GROUP BY u.t)
-         |SELECT CAST(t AS INTEGER) AS max_hamming, n_pred, nt.n_truth, n_hit,
-         |  n_hit * 10000 // n_pred AS precision_bp,
-         |  CASE WHEN nt.n_truth = 0 THEN NULL
-         |       ELSE n_hit * 10000 // nt.n_truth END AS recall_bp
-         |FROM sw CROSS JOIN nt ORDER BY max_hamming""".stripMargin,
-    // q233: the corruption rule is structural (first byte mangled → the
-    // line can never parse as JSON), so the oracle encodes the expected
-    // accounting directly from the slice rule — the engine must arrive at
-    // the same numbers THROUGH the real serialize → garble → parse path,
-    // which is exactly the audit: a parser dropping good lines, keeping
-    // bad ones, or mangling values breaks a count or the checksum.
-    // q234: the whole eval harness replays — the q126 per-term scorer
-    // (BmTermSql, IEEE ops in engine order), per-query ROW_NUMBER cutoffs
-    // with the same (score DESC, doc_id) tie-break, the exact Jaccard
-    // truth, and the integer-bp metrics.
-    "q234_retrieval_eval" ->
-      s"""WITH toks AS (SELECT doc_id, len(str_split(text, ' ')) AS dl, unnest(str_split(text, ' ')) AS token FROM documents),
-         |td AS (SELECT token, doc_id, dl, COUNT(*) AS tf FROM toks GROUP BY token, doc_id, dl),
-         |qt AS (SELECT DISTINCT doc_id AS qid, token FROM toks WHERE doc_id % $IrQMod = 1),
-         |n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens FROM documents),
-         |tdq AS (SELECT * FROM td WHERE token IN (SELECT token FROM qt)),
-         |d AS (SELECT token, COUNT(*) AS df FROM tdq GROUP BY token),
-         |sc AS (SELECT qt.qid, tdq.doc_id, CAST(SUM($BmTermSql) AS BIGINT) AS score
-         |  FROM qt JOIN tdq ON qt.token = tdq.token AND tdq.doc_id <> qt.qid
-         |  JOIN d ON d.token = qt.token CROSS JOIN n
-         |  GROUP BY qt.qid, tdq.doc_id),
-         |topk AS (SELECT * FROM (SELECT qid, doc_id,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM sc)
-         |  WHERE rank <= $IrK),
-         |dt AS (SELECT DISTINCT doc_id, token FROM toks),
-         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
-         |qdt AS (SELECT doc_id AS qid, token FROM dt WHERE doc_id % $IrQMod = 1),
-         |rel AS (SELECT i.qid, i.doc_id FROM (
-         |    SELECT q.qid, dt.doc_id, COUNT(*) AS i FROM qdt q
-         |    JOIN dt ON q.token = dt.token AND dt.doc_id <> q.qid
-         |    GROUP BY q.qid, dt.doc_id) i
-         |  JOIN sz sq ON sq.doc_id = i.qid JOIN sz sd ON sd.doc_id = i.doc_id
-         |  WHERE i.i * 10000 >= $IrRelBp * (sq.sz + sd.sz - i.i)),
-         |nrel AS (SELECT qid, COUNT(*) AS n_rel FROM rel GROUP BY qid),
-         |hit AS (SELECT t.qid, COUNT(*) AS hits, MIN(t.rank) AS first_rank
-         |  FROM topk t JOIN rel r ON t.qid = r.qid AND t.doc_id = r.doc_id GROUP BY t.qid)
-         |SELECT q.qid, CAST(COALESCE(n_rel, 0) AS BIGINT) AS n_rel,
-         |  CAST(COALESCE(hits, 0) AS BIGINT) AS hits_at_k,
-         |  CAST(COALESCE(hits, 0) * 10000 // $IrK AS BIGINT) AS p_at_k_bp,
-         |  CAST(CASE WHEN COALESCE(n_rel, 0) = 0 THEN 0
-         |    ELSE COALESCE(hits, 0) * 10000 // n_rel END AS BIGINT) AS recall_at_k_bp,
-         |  CAST(CASE WHEN first_rank IS NULL THEN 0 ELSE 10000 // first_rank END AS BIGINT) AS mrr_bp
-         |FROM (SELECT doc_id AS qid FROM documents WHERE doc_id % $IrQMod = 1) q
-         |LEFT JOIN nrel ON nrel.qid = q.qid LEFT JOIN hit ON hit.qid = q.qid
-         |ORDER BY q.qid""".stripMargin,
-    // q236: identical block-local run counting (lag within col×blk), the
-    // same byte cost model, the same length(bin())-as-⌈log₂⌉ idiom.
-    "q236_encoding_audit" ->
-      s"""WITH u AS (
-         |  SELECT 'user_id' AS col_name, event_id AS ord, event_id // $EncBlockRows AS blk,
-         |    CAST(user_id AS VARCHAR) AS v, CAST(8 AS BIGINT) AS vbytes FROM events
-         |  UNION ALL SELECT 'event_type', event_id, event_id // $EncBlockRows,
-         |    event_type, CAST(length(event_type) + 4 AS BIGINT) FROM events
-         |  UNION ALL SELECT 'cents', event_id, event_id // $EncBlockRows,
-         |    CAST(CAST(value * 100 AS BIGINT) AS VARCHAR), CAST(8 AS BIGINT) FROM events),
-         |r AS (SELECT *, CASE WHEN lag(v) OVER (PARTITION BY col_name, blk ORDER BY ord) IS NULL
-         |    OR lag(v) OVER (PARTITION BY col_name, blk ORDER BY ord) <> v THEN 1 ELSE 0 END AS is_start FROM u),
-         |p AS (SELECT col_name, COUNT(*) AS n_rows, COUNT(DISTINCT v) AS ndv,
-         |    CAST(SUM(is_start) AS BIGINT) AS n_runs, CAST(SUM(vbytes) AS BIGINT) AS plain_bytes,
-         |    CAST(SUM(CASE WHEN is_start = 1 THEN vbytes + 4 ELSE 0 END) AS BIGINT) AS rle_bytes
-         |  FROM r GROUP BY col_name),
-         |de AS (SELECT col_name, CAST(SUM(vbytes) AS BIGINT) AS dict_entry_bytes
-         |  FROM (SELECT DISTINCT col_name, v, vbytes FROM u) GROUP BY col_name),
-         |b AS (SELECT p.*, de.dict_entry_bytes,
-         |    CASE WHEN ndv <= 1 THEN 1 ELSE length(bin(ndv - 1)) END AS bits
-         |  FROM p JOIN de USING (col_name))
-         |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows, CAST(ndv AS BIGINT) AS ndv, n_runs,
-         |  plain_bytes,
-         |  CAST(dict_entry_bytes + (bits * n_rows + 7) // 8 AS BIGINT) AS dict_bytes,
-         |  rle_bytes,
-         |  CASE WHEN plain_bytes <= dict_entry_bytes + (bits * n_rows + 7) // 8
-         |         AND plain_bytes <= rle_bytes THEN 'plain'
-         |       WHEN dict_entry_bytes + (bits * n_rows + 7) // 8 <= rle_bytes THEN 'dict'
-         |       ELSE 'rle' END AS encoding
-         |FROM b ORDER BY col_name""".stripMargin,
-    // q237: both routings replay on the portable h60 — mod residues
-    // directly, HRW via the identical (h div 2)·16 + s packed argmax.
-    "q237_shard_rebalance" -> {
-      val hKey = duckH60("CAST(user_id AS VARCHAR)")
-      val hCand = duckH60("CAST(user_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)")
-      s"""WITH k AS (SELECT DISTINCT user_id FROM events),
-         |h AS (SELECT user_id, $hKey AS h FROM k),
-         |md AS (SELECT 'mod' AS strategy, user_id, h % $ShardsOld AS s_old, h % $ShardsNew AS s_new FROM h),
-         |c AS (SELECT user_id, s, ($hCand // 16) * 16 + s AS packed
-         |  FROM k, (SELECT unnest(range(0, $ShardsNew)) AS s)),
-         |hrw AS (SELECT 'hrw' AS strategy, user_id,
-         |    MAX(CASE WHEN s < $ShardsOld THEN packed END) % 16 AS s_old,
-         |    MAX(packed) % 16 AS s_new
-         |  FROM c GROUP BY user_id),
-         |b AS (SELECT * FROM md UNION ALL SELECT * FROM hrw),
-         |m AS (SELECT strategy, COUNT(*) AS n_keys,
-         |    CAST(SUM(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
-         |  FROM b GROUP BY strategy),
-         |lo AS (SELECT strategy, MAX(c) AS max_old FROM
-         |  (SELECT strategy, s_old, COUNT(*) AS c FROM b GROUP BY 1, 2) GROUP BY strategy),
-         |ln AS (SELECT strategy, MAX(c) AS max_new FROM
-         |  (SELECT strategy, s_new, COUNT(*) AS c FROM b GROUP BY 1, 2) GROUP BY strategy)
-         |SELECT m.strategy, CAST(n_keys AS BIGINT) AS n_keys, n_moved,
-         |  CAST(n_moved * 10000 // n_keys AS BIGINT) AS moved_bp,
-         |  CAST(max_old * 10000 * $ShardsOld // n_keys AS BIGINT) AS max_load_old_bp,
-         |  CAST(max_new * 10000 * $ShardsNew // n_keys AS BIGINT) AS max_load_new_bp
-         |FROM m JOIN lo USING (strategy) JOIN ln USING (strategy)
-         |ORDER BY strategy""".stripMargin
-    },
-    // q238: the filter's k positions, its set bits, and every membership
-    // probe replay on the portable h60 — the FP accounting is exact.
-    "q238_bloom_join_prune" -> {
-      // NB: the hash index column must NOT be named `i` — duckH60 expands
-      // to a list_transform lambda whose variable `i` would shadow it.
-      val hB = duckH60("CAST(o_orderkey AS VARCHAR) || '/' || CAST(hi AS VARCHAR)")
-      val hP = duckH60("CAST(l_orderkey AS VARCHAR) || '/' || CAST(hi AS VARCHAR)")
-      s"""WITH build AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
-         |bpos AS (SELECT DISTINCT ($hB) % $BloomM AS pos
-         |  FROM build, (SELECT unnest(range(0, $BloomK)) AS hi)),
-         |probe AS (SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_orderkey),
-         |ppos AS (SELECT l_orderkey, n_rows, ($hP) % $BloomM AS pos
-         |  FROM probe, (SELECT unnest(range(0, $BloomK)) AS hi)),
-         |pass AS (SELECT l_orderkey, n_rows FROM (
-         |    SELECT p.l_orderkey, p.n_rows, COUNT(*) AS hits
-         |    FROM ppos p JOIN bpos USING (pos) GROUP BY 1, 2)
-         |  WHERE hits = $BloomK),
-         |tr AS (SELECT p.l_orderkey, p.n_rows FROM probe p JOIN build b ON p.l_orderkey = b.o_orderkey)
-         |SELECT (SELECT COUNT(*) FROM build) AS n_build,
-         |  (SELECT COUNT(*) FROM bpos) AS bits_set,
-         |  CAST($BloomM AS BIGINT) AS m_bits,
-         |  (SELECT COUNT(*) FROM probe) AS n_probe_keys,
-         |  (SELECT CAST(SUM(n_rows) AS BIGINT) FROM probe) AS n_probe,
-         |  (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM pass) AS n_pass,
-         |  (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM tr) AS n_true,
-         |  (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM pass)
-         |    - (SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) FROM tr) AS n_false_pos,
-         |  CASE WHEN (SELECT SUM(n_rows) FROM probe) = (SELECT COALESCE(SUM(n_rows), 0) FROM tr) THEN CAST(0 AS BIGINT)
-         |    ELSE CAST(((SELECT COALESCE(SUM(n_rows), 0) FROM pass) - (SELECT COALESCE(SUM(n_rows), 0) FROM tr)) * 10000
-         |      // ((SELECT SUM(n_rows) FROM probe) - (SELECT COALESCE(SUM(n_rows), 0) FROM tr)) AS BIGINT) END AS fp_bp""".stripMargin
-    },
-    // q235: same global (frequency, token) order, same per-doc prefix cut,
-    // same length filter, intersections recomputed for candidates only —
-    // the theorem (no false negatives) holds identically on both sides.
-    "q235_prefix_filter_join" ->
-      s"""WITH dt AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
-         |cnt AS (SELECT token, COUNT(*) AS cnt FROM dt GROUP BY token),
-         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
-         |pfx AS (SELECT * FROM (
-         |    SELECT dt.doc_id, dt.token, sz.sz,
-         |      ROW_NUMBER() OVER (PARTITION BY dt.doc_id ORDER BY cnt.cnt, dt.token) AS rn
-         |    FROM dt JOIN cnt ON dt.token = cnt.token JOIN sz ON dt.doc_id = sz.doc_id)
-         |  WHERE rn <= sz - (($PfxJacBp * sz + 9999) // 10000) + 1),
-         |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b
-         |  FROM pfx a JOIN pfx b ON a.token = b.token AND a.doc_id < b.doc_id
-         |  WHERE LEAST(a.sz, b.sz) * 10000 >= $PfxJacBp * GREATEST(a.sz, b.sz)),
-         |i AS (SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, COUNT(*) AS inter
-         |  FROM cands c JOIN dt x ON x.doc_id = c.id_a
-         |  JOIN dt y ON y.doc_id = c.id_b AND x.token = y.token
-         |  GROUP BY c.id_a, c.id_b, c.sz_a, c.sz_b),
-         |pairs AS (SELECT id_a, id_b,
-         |    CAST(inter * 10000 // (sz_a + sz_b - inter) AS BIGINT) AS jac_bp
-         |  FROM i WHERE inter * 10000 >= $PfxJacBp * (sz_a + sz_b - inter)),
-         |sym AS (SELECT id_a AS doc_id, id_b AS partner, jac_bp FROM pairs
-         |  UNION ALL SELECT id_b, id_a, jac_bp FROM pairs),
-         |rk AS (SELECT doc_id, partner, jac_bp,
-         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jac_bp DESC, partner) AS rk FROM sym)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
-         |  MIN(jac_bp) AS min_jac_bp, MAX(jac_bp) AS max_jac_bp,
-         |  MIN(CASE WHEN rk = 1 THEN partner END) AS best_partner
-         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q233_jsonl_corrupt_audit" ->
-      s"""WITH e AS (SELECT event_type, event_id, CAST(value * 100 AS BIGINT) AS cents FROM events)
-         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_lines,
-         |  CAST(SUM(CASE WHEN event_id % $JsonlCorruptMod <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
-         |  CAST(SUM(CASE WHEN event_id % $JsonlCorruptMod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
-         |  CAST(SUM(CASE WHEN event_id % $JsonlCorruptMod = 0 THEN 1 ELSE 0 END) * 10000
-         |    // COUNT(*) AS BIGINT) AS corrupt_bp,
-         |  CAST(SUM(CASE WHEN event_id % $JsonlCorruptMod <> 0 THEN cents ELSE 0 END) AS BIGINT) AS parsed_cents
-         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // q228: DuckDB's native JSON extraction replays the VARIANT path's
-    // typed field get; the stats are plain integers.
-    "q228_variant_extract" ->
-      """WITH x AS (SELECT event_type,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(COUNT(k) AS BIGINT) AS n_with_k,
-        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
-        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS ndv_k
-        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // q187: same month truncation, same cent·pct units, same share.
-    "q187_promo_share" ->
-      """WITH r AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
-        |    CAST(l_extendedprice * 100 AS BIGINT) * CAST((1 - l_discount) * 100 AS BIGINT) AS rev_u,
-        |    p_type
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
-        |SELECT month,
-        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END) AS BIGINT) AS promo_u,
-        |  CAST(SUM(rev_u) AS BIGINT) AS total_u,
-        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END) AS BIGINT) * 10000
-        |    // CAST(SUM(rev_u) AS BIGINT) AS promo_bp
-        |FROM r GROUP BY month ORDER BY month""".stripMargin,
-    // q101: the q81 SQL with the quantizer-training CTEs (cells +
-    // codebook seeds) restricted to the BASE corpus — assignment, encode,
-    // and search still span base ∪ delta, exactly the frozen-quantizer
-    // append the engine commits as layout segments.
-    "q101_ann_index_append" -> ivfPqResidualOracleSqlSeeded("vec_id % 4 <> 3"),
-    // q116: the q81/q98 SQL with tombstoned ids excluded from the
-    // CANDIDATE join only — quantizer, assignment, and encode still span
-    // the full corpus, exactly what a logical delete leaves in place.
-    "q116_ann_index_delete" ->
-      ivfPqResidualOracleSqlSeeded("TRUE", "a.vec_id % 7 <> 3"),
-    // q105: the Morton interleave is pure integer bit arithmetic generated
-    // from the same round constants on both sides; epoch(ts) matches
-    // Spark's tz-free cast-to-long because both treat the stored value as
-    // an instant.
-    "q105_zorder_layout" -> {
-      val su = duckMortonSpread("user_id")
-      val sh = duckMortonSpread("(h - m.hmin)")
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h FROM events),
-         |m AS (SELECT MIN(h) AS hmin FROM e),
-         |z AS (SELECT e.user_id, e.h - m.hmin AS hour_idx,
-         |    ($su | ($sh << 1)) >> $ZBucketShift AS zbucket
-         |  FROM e CROSS JOIN m)
-         |SELECT zbucket, COUNT(*) AS n_rows,
-         |  MIN(user_id) AS min_user, MAX(user_id) AS max_user,
-         |  MIN(hour_idx) AS min_hour, MAX(hour_idx) AS max_hour
-         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
-    },
-    // q106: the two snapshot derivations replay in SQL; closed and
-    // current versions come from the SAME full-outer join, emitted as two
-    // UNION ALL branches (the engine's explode produces identical rows).
-    "q106_scd2_merge" ->
-      """WITH dim AS (SELECT c_custkey, c_mktsegment AS dim_seg
-        |    FROM customer WHERE c_custkey % 5 <> 1),
-        |inc AS (SELECT c_custkey,
-        |    CASE WHEN c_custkey % 5 = 2 THEN c_mktsegment || '*' ELSE c_mktsegment END AS inc_seg
-        |  FROM customer WHERE c_custkey % 5 <> 3),
-        |j AS (SELECT COALESCE(d.c_custkey, i.c_custkey) AS c_custkey, dim_seg, inc_seg
-        |  FROM dim d FULL OUTER JOIN inc i ON d.c_custkey = i.c_custkey)
-        |SELECT c_custkey, dim_seg AS segment, 1 AS valid_from,
-        |    2 AS valid_to, FALSE AS is_current
-        |  FROM j WHERE dim_seg IS NOT NULL AND (inc_seg IS NULL OR inc_seg <> dim_seg)
-        |UNION ALL
-        |SELECT c_custkey, inc_seg AS segment,
-        |    CASE WHEN dim_seg IS NOT DISTINCT FROM inc_seg THEN 1 ELSE 2 END AS valid_from,
-        |    NULL AS valid_to, TRUE AS is_current
-        |  FROM j WHERE inc_seg IS NOT NULL
-        |ORDER BY c_custkey, valid_from""".stripMargin,
-    // q107: floor-mean and ceil-salt are pure integer arithmetic; the
-    // top-20 tie-breaks on user_id in both engines.
-    "q107_skew_audit" ->
-      """WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id),
-        |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c)
-        |SELECT user_id, n_rows,
-        |  n_rows * 100 // (total // n_keys) AS mult_x100,
-        |  (n_rows * 32 + total - 1) // total AS salt_factor,
-        |  n_rows * 100 >= total * 400 // n_keys AS needs_salt
-        |FROM c CROSS JOIN t
-        |ORDER BY n_rows DESC, user_id LIMIT 20""".stripMargin,
-    // q108: sqrt is correctly rounded in both engines (τ = 1/2 chosen for
-    // exactly this), the ×10⁶ fixed-point floor happens before any sum,
-    // and every later step is integer — no float crosses the compare.
-    "q108_mix_temperature" ->
-      """WITH c AS (SELECT lang, COUNT(*) AS n_docs,
-        |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_fp
-        |  FROM documents GROUP BY lang),
-        |t AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS w_total,
-        |    CAST(SUM(n_docs) AS BIGINT) AS docs_total FROM c)
-        |SELECT lang, n_docs, w_fp,
-        |  w_fp * 10000 // w_total AS p_bp,
-        |  docs_total * w_fp // w_total AS expected_docs,
-        |  (docs_total * w_fp // w_total) * 10000 // n_docs AS epoch_bp
-        |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
-    // q109: tokenization is the q102 str_split; the sample is the 5
-    // SMALLEST doc_ids (rank-capped before collection in both engines),
-    // joined into one string so no array type crosses the compare.
-    "q109_posting_lists" ->
-      """WITH td AS (SELECT token, doc_id, COUNT(*) AS tf
-        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
-        |  GROUP BY token, doc_id),
-        |a AS (SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
-        |  FROM td GROUP BY token),
-        |t5 AS (SELECT token,
-        |    array_to_string(list_sort(list(doc_id)), ',') AS sample_docs
-        |  FROM (SELECT token, doc_id,
-        |      row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM td)
-        |  WHERE rn <= 5 GROUP BY token)
-        |SELECT a.token, df, tf_total, sample_docs
-        |FROM a JOIN t5 USING (token) ORDER BY token""".stripMargin,
-    // q115: the q56 recursive-CTE components + a row_number argmax per
-    // component on (n_chars DESC, id) — keep the longest member.
-    "q115_cluster_keeper" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |      FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
-        |c AS (SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id)
-        |SELECT c.id, c.comp, d.n_chars,
-        |  row_number() OVER (PARTITION BY c.comp ORDER BY d.n_chars DESC, c.id) = 1 AS is_keep
-        |FROM c JOIN documents d ON c.id = d.doc_id
-        |ORDER BY c.id""".stripMargin,
-    // q117: per-gram min-owner + per-doc share, grouped by the gram
-    // STRING (the engine groups by xxhash64 of the gram — equal results
-    // absent 64-bit collisions, the q64/q73 precedent). All integer
-    // arithmetic; DuckDB SUM(BIGINT)→HUGEINT cast back to BIGINT.
-    "q117_exact_gram_dedup" -> {
-      val n = ExactGramN
-      val sharedBig =
-        "CAST(SUM(CASE WHEN o.owner < u.doc_id THEN 1 ELSE 0 END) AS BIGINT)"
-      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS s, text FROM documents),
-         |g AS (SELECT doc_id,
-         |  CASE WHEN len(s) >= $n THEN list_distinct(list_transform(range(1, len(s) - ${n - 2}), i -> array_to_string(s[i:i+${n - 1}], ' ')))
-         |       ELSE [text] END AS grams
-         |  FROM t),
-         |u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-         |o AS (SELECT gram, MIN(doc_id) AS owner FROM u GROUP BY gram)
-         |SELECT u.doc_id, COUNT(*) AS n_grams,
-         |  $sharedBig AS shared_grams,
-         |  $sharedBig * 10000 // COUNT(*) AS dup_bp,
-         |  ($sharedBig * 10000 // COUNT(*)) >= 8000 AS is_dup
-         |FROM u JOIN o ON u.gram = o.gram
-         |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin
-    },
-    // q118: the uniform is exact BIGINT arithmetic in both engines; the
-    // single IEEE division (v+1)/w is bit-identical; the bounded
-    // aggregator equals the row_number formulation by construction
-    // (selection is a pure function of the input set).
-    "q118_weighted_sample" ->
-      s"""WITH d AS (SELECT lang, doc_id, n_chars AS weight,
-         |    ((doc_id % $SampleP) * $SampleC1 + $SampleC2) % $SampleP AS v
-         |  FROM documents),
-         |p AS (SELECT lang, doc_id, weight,
-         |    CAST(v + 1 AS DOUBLE) / weight AS priority FROM d),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rn
-         |  FROM p)
-         |SELECT lang, doc_id, weight, priority, CAST(rn AS INTEGER) AS "rank"
-         |FROM r WHERE rn <= $SampleK ORDER BY lang, rn""".stripMargin,
-    // q125: see annNprobeSweepOracleSql.
-    "q125_ann_nprobe_sweep" -> annNprobeSweepOracleSql,
-    // q126: idf is the q110 integer family; the saturation factor is the
-    // SAME parse tree of IEEE double ops in both engines (exact BIGINT
-    // dl·n_docs, one divide, one multiply, two adds, one divide), so the
-    // floored per-term scores are bit-identical and sum order-free.
-    "q126_bm25_topk" ->
-      s"""WITH $LexicalCtes
-         |SELECT qtd.doc_id, CAST(SUM($BmTermSql) AS BIGINT) AS score
-         |FROM qtd JOIN d USING (token) CROSS JOIN n
-         |GROUP BY qtd.doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
-    // q127: both rankers replay as CTEs sharing the q110/q126 postings;
-    // ranks are windows over 10-row lists and the fusion is pure integer
-    // (⌊10⁶/(60+rank)⌋ summed), so the fused ordering is hash-exact.
-    "q127_rrf_fusion" ->
-      s"""WITH $LexicalCtes,
-         |tfidf AS (SELECT qtd.doc_id, CAST(SUM(tf * (n_docs * 1000000 // df)) AS BIGINT) AS score
-         |  FROM qtd JOIN d USING (token) CROSS JOIN n
-         |  GROUP BY qtd.doc_id ORDER BY score DESC, doc_id LIMIT 10),
-         |bm AS (SELECT qtd.doc_id, CAST(SUM($BmTermSql) AS BIGINT) AS score
-         |  FROM qtd JOIN d USING (token) CROSS JOIN n
-         |  GROUP BY qtd.doc_id ORDER BY score DESC, doc_id LIMIT 10),
-         |tr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS tfidf_rank FROM tfidf),
-         |br AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm25_rank FROM bm)
-         |SELECT COALESCE(tr.doc_id, br.doc_id) AS doc_id,
-         |  CAST(COALESCE(tfidf_rank, 0) AS BIGINT) AS tfidf_rank,
-         |  CAST(COALESCE(bm25_rank, 0) AS BIGINT) AS bm25_rank,
-         |  CAST(COALESCE(1000000 // ($RrfK + tfidf_rank), 0)
-         |    + COALESCE(1000000 // ($RrfK + bm25_rank), 0) AS BIGINT) AS rrf_score
-         |FROM tr FULL OUTER JOIN br ON tr.doc_id = br.doc_id
-         |ORDER BY rrf_score DESC, doc_id""".stripMargin,
-    // q129: vocabulary = top-V tokens by (cnt DESC, token) — a total
-    // order, so the cut is identical in both engines; coverage pure
-    // integer.
-    "q129_vocab_coverage" ->
-      s"""WITH lt AS (SELECT lang, token, COUNT(*) AS n
-         |  FROM (SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents)
-         |  GROUP BY lang, token),
-         |v AS (SELECT token FROM (SELECT token, SUM(n) AS cnt FROM lt GROUP BY token)
-         |  ORDER BY cnt DESC, token LIMIT $VocabV)
-         |SELECT lang,
-         |  CAST(SUM(n) AS BIGINT) AS n_instances,
-         |  CAST(SUM(CASE WHEN v.token IS NOT NULL THEN n ELSE 0 END) AS BIGINT) AS covered_instances,
-         |  CAST(SUM(CASE WHEN v.token IS NOT NULL THEN n ELSE 0 END) AS BIGINT) * 10000
-         |    // CAST(SUM(n) AS BIGINT) AS coverage_bp,
-         |  COUNT(*) AS n_types,
-         |  CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS covered_types,
-         |  (COUNT(*) - CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)) * 10000
-         |    // COUNT(*) AS oov_type_bp
-         |FROM lt LEFT JOIN v ON lt.token = v.token
-         |GROUP BY lang ORDER BY lang""".stripMargin,
-    // q130: every stat is a count, an exact NDV, a canonical string
-    // cast of min/max (text hashed via the q104 md5 precedent), or an
-    // integer ×100 width — all hash-exact.
-    "q130_table_stats" ->
-      """WITH s AS (SELECT COUNT(*) AS n,
-        |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_nulls,
-        |  COUNT(DISTINCT doc_id) AS doc_id_ndv,
-        |  CAST(MIN(doc_id) AS VARCHAR) AS doc_id_min, CAST(MAX(doc_id) AS VARCHAR) AS doc_id_max,
-        |  CAST(SUM(length(CAST(doc_id AS VARCHAR)) * 100) AS BIGINT) // COUNT(doc_id) AS doc_id_w,
-        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
-        |  COUNT(DISTINCT lang) AS lang_ndv,
-        |  MIN(lang) AS lang_min, MAX(lang) AS lang_max,
-        |  CAST(SUM(length(lang) * 100) AS BIGINT) // COUNT(lang) AS lang_w,
-        |  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
-        |  COUNT(DISTINCT source) AS source_ndv,
-        |  MIN(source) AS source_min, MAX(source) AS source_max,
-        |  CAST(SUM(length(source) * 100) AS BIGINT) // COUNT(source) AS source_w,
-        |  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
-        |  COUNT(DISTINCT n_chars) AS n_chars_ndv,
-        |  CAST(MIN(n_chars) AS VARCHAR) AS n_chars_min, CAST(MAX(n_chars) AS VARCHAR) AS n_chars_max,
-        |  CAST(SUM(length(CAST(n_chars AS VARCHAR)) * 100) AS BIGINT) // COUNT(n_chars) AS n_chars_w,
-        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
-        |  COUNT(DISTINCT text) AS text_ndv,
-        |  md5(MIN(text)) AS text_min, md5(MAX(text)) AS text_max,
-        |  CAST(SUM(length(text) * 100) AS BIGINT) // COUNT(text) AS text_w
-        |  FROM documents)
-        |SELECT 'doc_id' AS col_name, n AS n_rows, doc_id_nulls AS n_nulls, doc_id_ndv AS ndv,
-        |  doc_id_min AS min_val, doc_id_max AS max_val, doc_id_w AS avg_width_x100 FROM s
-        |UNION ALL SELECT 'lang', n, lang_nulls, lang_ndv, lang_min, lang_max, lang_w FROM s
-        |UNION ALL SELECT 'n_chars', n, n_chars_nulls, n_chars_ndv, n_chars_min, n_chars_max, n_chars_w FROM s
-        |UNION ALL SELECT 'source', n, source_nulls, source_ndv, source_min, source_max, source_w FROM s
-        |UNION ALL SELECT 'text', n, text_nulls, text_ndv, text_min, text_max, text_w FROM s
-        |ORDER BY col_name""".stripMargin,
-    // q131: see lshSweepOracleSql.
-    "q131_lsh_banding_sweep" -> lshSweepOracleSql,
-    // q133: basket = distinct (user, day); support and lift pure integer.
-    "q133_cooccurrence_lift" ->
-      """WITH bt AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
-        |n AS (SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM bt)),
-        |tc AS (SELECT event_type, COUNT(*) AS n_t FROM bt GROUP BY 1),
-        |pc AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
-        |  FROM bt a JOIN bt b ON a.user_id = b.user_id AND a.day = b.day
-        |    AND a.event_type < b.event_type
-        |  GROUP BY 1, 2)
-        |SELECT type_a, type_b, ta.n_t AS n_a, tb.n_t AS n_b, n_ab,
-        |  n_ab * 10000 // n_baskets AS support_bp,
-        |  n_ab * n_baskets * 10000 // (ta.n_t * tb.n_t) AS lift_bp
-        |FROM pc JOIN tc ta ON ta.event_type = type_a
-        |JOIN tc tb ON tb.event_type = type_b CROSS JOIN n
-        |ORDER BY type_a, type_b""".stripMargin,
-    // q134: see mrlSweepOracleSql.
-    "q134_mrl_recall_sweep" -> mrlSweepOracleSql,
-    // q135: the oracle computes the profile DIRECTLY over the full
-    // table; the engine goes through per-batch segments + merge —
-    // equality IS the mergeability proof.
-    "q135_incremental_stats" ->
-      """WITH s AS (SELECT COUNT(*) AS n_rows,
-        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
-        |  MIN(lang) AS lang_min, MAX(lang) AS lang_max,
-        |  CAST(SUM(length(lang)) AS BIGINT) AS lang_wsum,
-        |  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
-        |  CAST(MIN(n_chars) AS VARCHAR) AS n_chars_min, CAST(MAX(n_chars) AS VARCHAR) AS n_chars_max,
-        |  CAST(SUM(length(CAST(n_chars AS VARCHAR))) AS BIGINT) AS n_chars_wsum,
-        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
-        |  MIN(md5(text)) AS text_min, MAX(md5(text)) AS text_max,
-        |  CAST(SUM(length(text)) AS BIGINT) AS text_wsum
-        |  FROM documents)
-        |SELECT 'lang' AS col_name, n_rows, lang_nulls AS n_nulls, lang_min AS min_val,
-        |  lang_max AS max_val, lang_wsum * 100 // (n_rows - lang_nulls) AS avg_width_x100 FROM s
-        |UNION ALL SELECT 'n_chars', n_rows, n_chars_nulls, n_chars_min, n_chars_max,
-        |  n_chars_wsum * 100 // (n_rows - n_chars_nulls) FROM s
-        |UNION ALL SELECT 'text', n_rows, text_nulls, text_min, text_max,
-        |  text_wsum * 100 // (n_rows - text_nulls) FROM s
-        |ORDER BY col_name""".stripMargin,
-    // q136: per-signup first purchase within the shared window; deltas
-    // exact in micros, the median ranked over the SECONDS histogram.
-    "q136_conversion_funnel" ->
-      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
-         |su AS (SELECT user_id, event_id AS signup_id, us AS s_us FROM e WHERE event_type = 'signup'),
-         |pu AS (SELECT user_id, us AS p_us FROM e WHERE event_type = 'purchase'),
-         |conv AS (SELECT signup_id, MIN(p_us - s_us) AS delta_us
-         |  FROM su JOIN pu USING (user_id)
-         |  WHERE p_us > s_us AND p_us <= s_us + $ConvWindowUs
-         |  GROUP BY signup_id),
-         |hist AS (SELECT delta_us // 1000000 AS delta_s, COUNT(*) AS c FROM conv GROUP BY 1),
-         |cum AS (SELECT delta_s, SUM(c) OVER (ORDER BY delta_s) AS cum FROM hist),
-         |nc AS (SELECT COUNT(*) AS n_conv FROM conv),
-         |med AS (SELECT MIN(delta_s) AS median_delta_s FROM cum CROSS JOIN nc
-         |  WHERE cum >= (n_conv + 1) // 2),
-         |ns AS (SELECT COUNT(*) AS n_signups FROM su)
-         |SELECT ns.n_signups, nc.n_conv AS n_conversions,
-         |  nc.n_conv * 10000 // ns.n_signups AS conversion_bp,
-         |  (SELECT MIN(delta_us) FROM conv) AS min_delta_us,
-         |  (SELECT MAX(delta_us) FROM conv) AS max_delta_us,
-         |  med.median_delta_s
-         |FROM ns CROSS JOIN nc CROSS JOIN med""".stripMargin,
-    // q139: the exact fixed-point iteration unrolled — every contribution
-    // is BIGINT `rank // outdeg`, so engine and oracle agree bit-for-bit.
-    // Constants (scale, damping, teleport, iteration count) are generated
-    // from graft.graph.Graph so the two sides can never drift.
-    "q139_pagerank" -> {
-      import graft.graph.Graph
-      def step(prev: String, next: String): String =
-        s"""$next AS (SELECT s.dst AS node,
-           |  CAST(${Graph.TeleportFp} + (${Graph.DampNum} * SUM(r.rank_fp // s.outdeg)) // 100 AS BIGINT) AS rank_fp
-           |  FROM sym s JOIN $prev r ON s.src = r.node GROUP BY s.dst)""".stripMargin
-      val steps = (1 to Graph.Iters).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
-      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |se AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
-         |dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM se GROUP BY src),
-         |sym AS (SELECT se.src, se.dst, dg.outdeg FROM se JOIN dg ON se.src = dg.src),
-         |r0 AS (SELECT src AS node, CAST(${Graph.Scale} AS BIGINT) AS rank_fp FROM dg),
-         |$steps
-         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type,
-         |  node // 2 AS node_key, rank_fp
-         |FROM r${Graph.Iters}
-         |ORDER BY rank_fp DESC, node_type, node_key LIMIT 20""".stripMargin
-    },
-    // q140: same blocked levenshtein pairs; components via the q56
-    // recursive-reachability idiom; golden record in exact floor-cents.
-    "q140_entity_resolution" ->
-      """WITH RECURSIVE p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-        |  FROM customer a JOIN customer b
-        |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
-        |   AND a.c_custkey < b.c_custkey
-        |   AND levenshtein(a.c_name, b.c_name) <= 1),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
-        |comp AS (SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id),
-        |a AS (SELECT c.c_name, c.c_acctbal,
-        |    COALESCE(comp.comp, c.c_custkey) AS entity_id
-        |  FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id)
-        |SELECT entity_id, COUNT(*) AS n_members, MIN(c_name) AS canonical_name,
-        |  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents
-        |FROM a GROUP BY entity_id ORDER BY entity_id""".stripMargin,
-    // q141: offset before the band division keeps negative balances on
-    // identical integer semantics in both engines.
-    "q141_k_anonymity" ->
-      s"""WITH qi AS (SELECT c_nationkey AS nk,
-         |    (CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 1000000) // 100000 AS band,
-         |    c_mktsegment AS sensitive
-         |  FROM customer),
-         |g AS (SELECT nk, band, CAST(COUNT(*) AS BIGINT) AS group_size,
-         |    CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_div
-         |  FROM qi GROUP BY nk, band)
-         |SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
-         |  group_size * COUNT(*) AS n_rows,
-         |  group_size < $KAnonymityK AS at_risk,
-         |  MIN(l_div) AS min_l_diversity, MAX(l_div) AS max_l_diversity
-         |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin,
-    // q142: brute-force rank-1 train neighbor per eval vector, cosine via
-    // the bit-portable left fold; threshold generated from the engine
-    // constant.
-    "q142_semantic_decontam" ->
-      s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE embedding IS NOT NULL AND vec_id % 20 = 0),
-         |tr AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE embedding IS NOT NULL AND vec_id % 20 <> 0),
-         |s AS (SELECT ev.vec_id AS query_id, tr.vec_id AS neighbor_id,
-         |    ${VectorOracles.cosine("ev.embedding", "tr.embedding")} AS cosine
-         |  FROM ev CROSS JOIN tr WHERE ev.vec_id <> tr.vec_id),
-         |rk AS (SELECT query_id, neighbor_id, cosine,
-         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-         |  FROM s WHERE cosine IS NOT NULL)
-         |SELECT query_id, neighbor_id, cosine,
-         |  cosine >= $SemanticLeakThreshold AS leaked
-         |FROM rk WHERE rn = 1 ORDER BY query_id""".stripMargin,
-    // q143: identical histogram → running-sum median/MAD → fence counts,
-    // all on the whole-dollar domain in BIGINTs.
-    "q143_mad_outliers" ->
-      """WITH h AS (SELECT l_returnflag AS flag,
-        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) // 100 AS dollars,
-        |    CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM lineitem GROUP BY 1, 2),
-        |t AS (SELECT flag, SUM(c) AS n FROM h GROUP BY flag),
-        |cm AS (SELECT flag, dollars, c,
-        |    SUM(c) OVER (PARTITION BY flag ORDER BY dollars
-        |      ROWS UNBOUNDED PRECEDING) AS cum FROM h),
-        |med AS (SELECT cm.flag, MIN(dollars) AS med_dollars
-        |  FROM cm JOIN t ON cm.flag = t.flag
-        |  WHERE cum >= (n + 1) // 2 GROUP BY cm.flag),
-        |dv AS (SELECT h.flag, abs(h.dollars - med.med_dollars) AS adev, SUM(h.c) AS c
-        |  FROM h JOIN med ON h.flag = med.flag GROUP BY 1, 2),
-        |cm2 AS (SELECT flag, adev, c,
-        |    SUM(c) OVER (PARTITION BY flag ORDER BY adev
-        |      ROWS UNBOUNDED PRECEDING) AS cum FROM dv),
-        |mad AS (SELECT cm2.flag, MIN(adev) AS mad_dollars
-        |  FROM cm2 JOIN t ON cm2.flag = t.flag
-        |  WHERE cum >= (n + 1) // 2 GROUP BY cm2.flag)
-        |SELECT h.flag, CAST(SUM(h.c) AS BIGINT) AS n_rows,
-        |  MIN(med.med_dollars) AS med_dollars, MIN(mad.mad_dollars) AS mad_dollars,
-        |  CAST(SUM(CASE WHEN abs(h.dollars - med.med_dollars) > mad.mad_dollars * 3
-        |    THEN h.c ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  CAST(SUM(CASE WHEN abs(h.dollars - med.med_dollars) > mad.mad_dollars * 3
-        |    THEN h.c ELSE 0 END) * 10000 // SUM(h.c) AS BIGINT) AS outlier_bp
-        |FROM h JOIN med ON h.flag = med.flag JOIN mad ON h.flag = mad.flag
-        |GROUP BY h.flag ORDER BY h.flag""".stripMargin,
-    // q144: the same (rank−1)·10 // n bin rule — NOT NTILE, whose
-    // remainder placement differs — over the identical total order.
-    "q144_equal_freq_bins" ->
-      """WITH o AS (SELECT o_orderkey,
-        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-        |r AS (SELECT cents,
-        |    ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rnk,
-        |    CAST(COUNT(*) OVER () AS BIGINT) AS n FROM o)
-        |SELECT (rnk - 1) * 10 // n AS bin, CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
-        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q138: both directions are NOT-EXISTS anti-joins on the key alone;
-    // all counts and bp integers.
-    "q138_fk_integrity" ->
-      """WITH e1 AS (SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_name,
-        |    (SELECT COUNT(*) FROM lineitem) AS n_child,
-        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
-        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
-        |    (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_parents,
-        |    (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders) o WHERE NOT EXISTS
-        |      (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_unreferenced),
-        |e2 AS (SELECT 'orders.o_custkey->customer.c_custkey' AS fk_name,
-        |    (SELECT COUNT(*) FROM orders) AS n_child,
-        |    (SELECT COUNT(*) FROM orders r WHERE NOT EXISTS
-        |      (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey)) AS n_orphans,
-        |    (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS n_parents,
-        |    (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer) c WHERE NOT EXISTS
-        |      (SELECT 1 FROM orders r WHERE r.o_custkey = c.c_custkey)) AS n_unreferenced),
-        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
-        |SELECT fk_name, CAST(n_child AS BIGINT) AS n_child, CAST(n_orphans AS BIGINT) AS n_orphans,
-        |  n_orphans * 10000 // n_child AS orphan_bp,
-        |  CAST(n_parents AS BIGINT) AS n_parents, CAST(n_unreferenced AS BIGINT) AS n_unreferenced,
-        |  n_unreferenced * 10000 // n_parents AS unreferenced_bp
-        |FROM u ORDER BY fk_name""".stripMargin,
-    // q137: DAU per day; exact WAU via the 7-day fan-out, restricted to
-    // observed days.
-    "q137_rolling_active" ->
-      """WITH inc AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |mx AS (SELECT MAX(day) AS max_day FROM inc),
-        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM inc GROUP BY day),
-        |f AS (SELECT DISTINCT user_id, day + CAST(g.i AS INTEGER) AS day
-        |  FROM inc, (SELECT unnest(range(0, 7)) AS i) g, mx
-        |  WHERE day + CAST(g.i AS INTEGER) <= mx.max_day),
-        |wau AS (SELECT day, COUNT(*) AS wau FROM f GROUP BY day)
-        |SELECT dau.day, dau.dau, wau.wau
-        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
-    // q132: q119's LEAD idiom at offsets 1 and 2; the top-20 cut is
-    // totally ordered by (n DESC, path) in both engines.
-    "q132_journey_paths" ->
-      """WITH p AS (SELECT user_id, event_type,
-        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS mid_type,
-        |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
-        |  FROM events)
-        |SELECT event_type AS from_type, mid_type, to_type, COUNT(*) AS n
-        |FROM p WHERE mid_type IS NOT NULL AND to_type IS NOT NULL
-        |GROUP BY 1, 2, 3
-        |ORDER BY n DESC, from_type, mid_type, to_type LIMIT 20""".stripMargin,
-    // q128: the 3σ test is evaluated entirely in BIGINTs on both sides
-    // ((n·h−T)² > 9·(h·Σn²−T²)) — no sqrt, no float, hash-exact.
-    "q128_event_anomaly" ->
-      """WITH m AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id, COUNT(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |w AS (SELECT event_type, hour_id, CAST(n AS BIGINT) AS n,
-        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS h,
-        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS t,
-        |    CAST(SUM(n * n) OVER (PARTITION BY event_type) AS BIGINT) AS s2
-        |  FROM m)
-        |SELECT event_type, hour_id, n, h,
-        |  t * 1000000 // h AS mean_fp,
-        |  (n * h - t) * (n * h - t) AS dev2,
-        |  9 * (h * s2 - t * t) AS var9,
-        |  (n * h - t) * (n * h - t) > 9 * (h * s2 - t * t) AS anomalous
-        |FROM w ORDER BY event_type, hour_id""".stripMargin,
-    // q124: the segment-compacted rollup must equal a one-shot batch
-    // aggregate over the raw feed; cents are per-row floor then exact
-    // BIGINT sums in both engines.
-    "q124_incremental_rollup" ->
-      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
-    // q123: bucketing is one IEEE divide+multiply+floor per value with
-    // reference bounds, clamped identically; shares and TV pure integer.
-    "q123_embedding_drift" ->
-      s"""WITH u AS (SELECT vec_id % 2 AS snap, CAST(d.i - 1 AS INTEGER) AS dim_idx, embedding[d.i] AS v
-         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d WHERE embedding IS NOT NULL),
-         |b AS (SELECT dim_idx, MIN(v) AS dmin, MAX(v) AS dmax FROM u WHERE snap = 0 GROUP BY dim_idx),
-         |k AS (SELECT u.snap, u.dim_idx,
-         |    CASE WHEN b.dmax = b.dmin THEN 0
-         |         ELSE GREATEST(0, LEAST(${DriftBuckets - 1},
-         |           CAST(FLOOR((CAST(u.v AS DOUBLE) - CAST(b.dmin AS DOUBLE))
-         |             / (CAST(b.dmax AS DOUBLE) - CAST(b.dmin AS DOUBLE)) * $DriftBuckets) AS INTEGER)))
-         |    END AS bucket
-         |  FROM u JOIN b USING (dim_idx)),
-         |c AS (SELECT dim_idx, bucket,
-         |    CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-         |    CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand
-         |  FROM k GROUP BY dim_idx, bucket),
-         |c2 AS (SELECT dim_idx, n_ref, n_cand,
-         |    CAST(SUM(n_ref) OVER (PARTITION BY dim_idx) AS BIGINT) AS rt,
-         |    CAST(SUM(n_cand) OVER (PARTITION BY dim_idx) AS BIGINT) AS ct
-         |  FROM c),
-         |c3 AS (SELECT dim_idx, rt, ct, n_ref * 10000 // rt AS ref_bp, n_cand * 10000 // ct AS cand_bp FROM c2),
-         |c4 AS (SELECT dim_idx, CAST(COUNT(*) AS BIGINT) AS n_buckets,
-         |    CAST(SUM(ABS(ref_bp - cand_bp)) AS BIGINT) // 2 AS tv_bp,
-         |    CAST(FLOOR(15000.0 * SQRT(CAST($DriftBuckets AS DOUBLE) / CAST(LEAST(MIN(rt), MIN(ct)) AS DOUBLE))) AS BIGINT) AS noise_bp
-         |  FROM c3 GROUP BY dim_idx)
-         |SELECT dim_idx, n_buckets, tv_bp, noise_bp, tv_bp >= noise_bp AS drifted
-         |FROM c4 ORDER BY dim_idx""".stripMargin,
-    // q122: per-source keep set replays as a row_number window (the
-    // engine's bounded aggregator equals it by construction); sums cast
-    // from HUGEINT; dropped share pure integer div.
-    "q122_source_cap" ->
-      s"""WITH r AS (SELECT source, doc_id, n_chars,
-         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
-         |  FROM documents),
-         |k AS (SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
-         |  FROM r WHERE rn <= $SourceCap GROUP BY source),
-         |t AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-         |  FROM documents GROUP BY source)
-         |SELECT t.source, n_docs, n_kept, n_docs - n_kept AS n_dropped,
-         |  total_chars, kept_chars,
-         |  (total_chars - kept_chars) * 10000 // total_chars AS dropped_chars_bp
-         |FROM t JOIN k USING (source) ORDER BY t.source""".stripMargin,
-    // q119 (and q120, registered in Queries.scala): see TransitionOracleSql.
-    "q119_event_transitions" -> TransitionOracleSql,
-    // q121: the whole KMV estimate replays in SQL — the Lehmer uniform is
-    // exact BIGINT arithmetic (q118), bottom-k is a window over DISTINCT
-    // (type, v) so ranks are tie-free, and the sketch algebra is integer
-    // list ops; the exact audit columns join in the same way.
-    "q121_kmv_overlap" ->
-      s"""WITH v AS (SELECT DISTINCT event_type, ((user_id % $SampleP) * $SampleC1 + $SampleC2) % $SampleP AS v FROM events),
-         |r AS (SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn FROM v),
-         |s AS (SELECT event_type, list(v ORDER BY v) AS vs FROM r WHERE rn <= $KmvK GROUP BY event_type),
-         |e AS (SELECT DISTINCT event_type, user_id FROM events),
-         |nd AS (SELECT event_type, COUNT(*) AS nd FROM e GROUP BY event_type),
-         |ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS exact_overlap
-         |       FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_type < b.event_type
-         |       GROUP BY 1, 2),
-         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, a.vs AS va, b.vs AS vb
-         |      FROM s a JOIN s b ON a.event_type < b.event_type),
-         |c AS (SELECT type_a, type_b, va, vb, list_sort(list_distinct(list_concat(va, vb))) AS uk FROM p),
-         |c2 AS (SELECT type_a, type_b, va, vb, uk, LEAST($KmvK, len(uk)) AS m FROM c),
-         |c3 AS (SELECT type_a, type_b, m, (m - 1) * $SampleP // uk[m] AS est_union,
-         |        len(list_intersect(uk[1:m], list_intersect(va, vb))) AS inter_m
-         |       FROM c2),
-         |c4 AS (SELECT type_a, type_b, est_union, est_union * inter_m // m AS est_overlap FROM c3)
-         |SELECT c4.type_a, c4.type_b,
-         |  CAST(na.nd + nb.nd - COALESCE(ov.exact_overlap, 0) AS BIGINT) AS exact_union,
-         |  CAST(COALESCE(ov.exact_overlap, 0) AS BIGINT) AS exact_overlap,
-         |  CAST(est_union AS BIGINT) AS est_union,
-         |  CAST(est_overlap AS BIGINT) AS est_overlap,
-         |  CAST(abs(est_union - (na.nd + nb.nd - COALESCE(ov.exact_overlap, 0))) * 10000
-         |    // (na.nd + nb.nd - COALESCE(ov.exact_overlap, 0)) AS BIGINT) AS union_err_bp
-         |FROM c4
-         |JOIN nd na ON na.event_type = c4.type_a
-         |JOIN nd nb ON nb.event_type = c4.type_b
-         |LEFT JOIN ov ON ov.type_a = c4.type_a AND ov.type_b = c4.type_b
-         |ORDER BY c4.type_a, c4.type_b""".stripMargin,
-    // q114: the pair list is the q27 oracle's brute-force near-dups;
-    // levenshtein is the standard DP distance in both engines, the
-    // ratio pure integer div vs the longer text.
-    "q114_edit_distance_audit" ->
-      """WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95)
-        |SELECT id_a, id_b,
-        |  CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist,
-        |  levenshtein(da.text, db.text) * 10000 // greatest(length(da.text), length(db.text)) AS edit_bp
-        |FROM p JOIN documents da ON p.id_a = da.doc_id
-        |       JOIN documents db ON p.id_b = db.doc_id
-        |ORDER BY id_a, id_b""".stripMargin,
-    // q112: gid = 2*grouping(lang) + grouping(source) disambiguates
-    // aggregate-null from data-null identically in both engines.
-    "q112_grouping_sets" ->
-      """SELECT lang, source,
-        |  CAST(2 * GROUPING(lang) + GROUPING(source) AS INTEGER) AS gid,
-        |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
-        |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
-        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
-    // q113: both engines aggregate the (lang, n_chars) histogram first;
-    // the cumulative window runs over histogram rows with a pinned ROWS
-    // frame ((lang, n_chars) is a unique ordering, so RANGE would agree
-    // anyway). Median = first row where 2*cum >= total.
-    "q113_weighted_median" ->
-      """WITH h AS (SELECT lang, n_chars, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS w
-        |  FROM documents GROUP BY lang, n_chars),
-        |c AS (SELECT lang, n_chars, w,
-        |    SUM(w) OVER (PARTITION BY lang ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum,
-        |    SUM(w) OVER (PARTITION BY lang) AS total
-        |  FROM h)
-        |SELECT lang, MIN(n_chars) AS wmedian_chars, CAST(MAX(total) AS BIGINT) AS total_w
-        |FROM c WHERE cum * 2 >= total GROUP BY lang ORDER BY lang""".stripMargin,
-    // q110: query terms derive from the lowest-id doc in both engines;
-    // idf is integer div (N*1e6 // df), score a BIGINT sum — no floats
-    // anywhere, and (score DESC, doc_id) totally orders the cutoff.
-    "q110_tfidf_topk" ->
-      """WITH td AS (SELECT token, doc_id, COUNT(*) AS tf
-        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
-        |  GROUP BY token, doc_id),
-        |q AS (SELECT DISTINCT unnest(str_split(text, ' ')) AS token
-        |  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)),
-        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-        |qtd AS (SELECT td.token, td.doc_id, td.tf FROM td JOIN q USING (token)),
-        |d AS (SELECT token, COUNT(*) AS df FROM qtd GROUP BY token)
-        |SELECT qtd.doc_id, CAST(SUM(tf * (n_docs * 1000000 // df)) AS BIGINT) AS score
-        |FROM qtd JOIN d USING (token) CROSS JOIN n
-        |GROUP BY qtd.doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
-    // q111: pair enumeration via 1-based substring over positions
-    // 1..len-1 — identical semantics in both engines (DuckDB range(a,b)
-    // is [a,b), Spark sequence(a,b) is inclusive, hence len-1 there).
-    "q111_bpe_pairs" ->
-      """WITH tc AS (SELECT token, COUNT(*) AS cnt
-        |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
-        |  GROUP BY token),
-        |p AS (SELECT substring(token, CAST(i AS INTEGER), 2) AS pair, cnt
-        |  FROM tc, UNNEST(range(1, length(token))) AS t(i)
-        |  WHERE length(token) >= 2)
-        |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
-        |FROM p GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
-    // q104: both engines fingerprint with md5 over the same derived
-    // snapshots; the diff is pure string equality + integer counts.
-    "q104_snapshot_diff" ->
-      """WITH oldsnap AS (SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 5 <> 1),
-        |newsnap AS (SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 5 = 2 THEN text || ' v2' ELSE text END) AS new_fp
-        |  FROM documents WHERE doc_id % 5 <> 3),
-        |d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-        |    CASE WHEN o.old_fp IS NULL THEN 'added'
-        |         WHEN n.new_fp IS NULL THEN 'deleted'
-        |         WHEN o.old_fp <> n.new_fp THEN 'changed'
-        |         ELSE 'unchanged' END AS status
-        |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
-        |SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
-        |FROM d GROUP BY status ORDER BY status""".stripMargin,
-    // q103: boundaries are DATA VALUES selected by integer rank over the
-    // distinct-key cumulative histogram (no float arithmetic, no
-    // interpolation) — both engines pick identical doubles, so ranges,
-    // counts, and min/max hash-match. `//` is DuckDB integer division,
-    // mirroring the engine's Long rank math.
-    "q103_range_boundaries" ->
-      s"""WITH n AS (SELECT COUNT(*) AS n FROM lineitem),
-         |h AS (SELECT l_extendedprice AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
-         |cum AS (SELECT k, SUM(c) OVER (ORDER BY k) AS cc FROM h),
-         |b AS (SELECT g.i AS i,
-         |    MIN(CASE WHEN cum.cc >= (g.i * n.n) // $RangeFanout THEN cum.k END) AS bk
-         |  FROM cum CROSS JOIN n CROSS JOIN
-         |    (SELECT UNNEST(range(1, $RangeFanout)) AS i) g
-         |  GROUP BY g.i),
-         |r AS (SELECT l.l_extendedprice AS k,
-         |    (SELECT COUNT(*) FROM b WHERE l.l_extendedprice > b.bk) AS range_id
-         |  FROM lineitem l)
-         |SELECT range_id, COUNT(*) AS n_rows, MIN(k) AS min_key, MAX(k) AS max_key,
-         |  (SELECT bk FROM b WHERE b.i = range_id + 1) AS hi_boundary
-         |FROM r GROUP BY range_id ORDER BY range_id""".stripMargin,
-    // q102: shard/bucket/padding all integers; the seed tag and shard
-    // count are the engine's own constants (generated-constant pattern).
-    "q102_training_shards" ->
-      s"""SELECT shard, len_bucket, COUNT(*) AS n_docs,
-         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-         |  MAX(n_tokens) AS max_tokens,
-         |  CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS padding_tokens
-         |FROM (SELECT
-         |    ${graft.functions.Md5Hash.duckH31(s"'$EpochSeedTag|' || text")} % $TrainingShardCount AS shard,
-         |    length(bin(CAST(len(str_split(text, ' ')) AS BIGINT))) AS len_bucket,
-         |    len(str_split(text, ' ')) AS n_tokens
-         |  FROM documents)
-         |GROUP BY shard, len_bucket ORDER BY shard, len_bucket""".stripMargin,
-    // q100: the streamed ingest's appended rows == the batch anti-join
-    // with the min-id keeper (q25's rule) in SQL. Single AvailableNow
-    // batch keeps the keeper oracle-portable; multi-batch order effects
-    // are spec territory.
-    "q100_stream_ingest_dedup" ->
-      """WITH snap AS (SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
-        |  FROM documents WHERE doc_id % 3 <> 0),
-        |inc AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |k AS (SELECT fp, MIN(doc_id) AS doc_id FROM inc GROUP BY fp)
-        |SELECT k.doc_id, k.fp FROM k LEFT JOIN snap ON k.fp = snap.fp
-        |WHERE snap.fp IS NULL ORDER BY k.doc_id""".stripMargin,
-    // q99 re-reads the PUBLISHED (compacted) table; the oracle recomputes
-    // the same per-partition invariants from the raw events — equality IS
-    // the content-invariance proof. Gate booleans ride the bounded-claim
-    // pattern (TRUE; a false would have aborted before publish anyway).
-    "q99_compaction_publish" ->
-      s"""SELECT event_type, COUNT(*) AS n_rows,
-         |  CAST(SUM(${duckH31("CAST(event_id AS VARCHAR)")}) AS BIGINT) AS sum_id_hash,
-         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
-         |  TRUE AS rows_unchanged, TRUE AS content_unchanged, TRUE AS files_not_increased
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q77_domain_mix" -> {
-      // Weights VALUES generated from DomainMixWeights — oracle can't drift.
-      val wvals = DomainMixWeights
-        .map { case (l, w) => s"('$l', CAST($w AS DOUBLE))" }
-        .mkString(", ")
-      s"""WITH w(lang, w) AS (VALUES $wvals),
-         |c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
-         |cw AS (SELECT c.lang, c.n_docs, w.w FROM c JOIN w USING (lang)),
-         |t AS (SELECT MIN(CAST(n_docs AS DOUBLE) / w) AS t FROM cw),
-         |r AS (SELECT cw.lang, cw.n_docs,
-         |  LEAST(1.0, (cw.w * t.t) / CAST(cw.n_docs AS DOUBLE)) AS rate
-         |  FROM cw CROSS JOIN t),
-         |a AS (SELECT d.lang, COUNT(*) AS n_admitted
-         |  FROM documents d JOIN r ON d.lang = r.lang
-         |  WHERE CAST(${duckH31("d.text")} % 1000000 AS DOUBLE) < r.rate * 1000000.0
-         |  GROUP BY d.lang)
-         |SELECT r.lang, r.n_docs, r.rate, COALESCE(a.n_admitted, 0) AS n_admitted
-         |FROM r LEFT JOIN a ON r.lang = a.lang ORDER BY r.lang""".stripMargin
-    },
-    "q78_semdedup" -> {
-      // Seeded-cell assignment replicated from the q49 oracle; dominance =
-      // EXISTS lower-id same-cell neighbor at cosine ≥ Tau (same constant,
-      // same bit-exact fold).
-      import graft.similarity.SemDedup.{Nlist, Tau}
-      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT $Nlist)),
-         |sims AS (SELECT e.vec_id, cen.cell,
-         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
-         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
-         |assigned AS (SELECT vec_id, cell FROM (
-         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
-         |  FROM sims) WHERE rn = 1),
-         |dom AS (SELECT DISTINCT x.vec_id
-         |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND y.vec_id < x.vec_id
-         |  JOIN embeddings a ON a.vec_id = x.vec_id
-         |  JOIN embeddings b ON b.vec_id = y.vec_id
-         |  WHERE ${VectorOracles.cosine("a.embedding", "b.embedding")} >= $Tau)
-         |SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS kept
-         |FROM assigned s LEFT JOIN dom d ON s.vec_id = d.vec_id
-         |ORDER BY s.vec_id""".stripMargin
-    },
-    "q41_multimodal_features" ->
-      s"""SELECT doc_id AS media_id,
-         |  (['image','audio','video','text'])[(${duckH31("source")} % 4) + 1] AS modality,
-         |  CAST(length(text) AS BIGINT) AS n_bytes,
-         |  md5(text) AS content_fp
-         |FROM documents ORDER BY media_id""".stripMargin,
-    "q50_frame_samples" ->
-      s"""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n,
-         |  (['image','audio','video','text'])[(${duckH31("source")} % 4) + 1] AS modality
-         |  FROM documents),
-         |v AS (SELECT media_id, text, n FROM m WHERE modality = 'video' AND n > 0),
-         |f AS (SELECT media_id, text, n, unnest(range(0, 4)) AS fi FROM v)
-         |SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
-         |  md5(substr(text, CAST(n*fi//4 + 1 AS INTEGER),
-         |    CAST(GREATEST(n*(fi+1)//4, n*fi//4 + 1) - n*fi//4 AS INTEGER))) AS frame_fp
-         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
-    "q70_embed_quantize" ->
-      """WITH u AS (SELECT vec_id, CAST(d.i - 1 AS INTEGER) AS dim_idx, embedding[d.i] AS v
-        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d),
-        |b AS (SELECT dim_idx, MIN(v) AS dmin, MAX(v) AS dmax FROM u GROUP BY dim_idx)
-        |SELECT u.vec_id, u.dim_idx,
-        |  CASE WHEN b.dmax = b.dmin THEN 0
-        |       ELSE CAST(FLOOR((CAST(u.v AS DOUBLE) - CAST(b.dmin AS DOUBLE))
-        |         / (CAST(b.dmax AS DOUBLE) - CAST(b.dmin AS DOUBLE)) * 255.0 + 0.5) AS INTEGER)
-        |  END AS code
-        |FROM u JOIN b USING (dim_idx) WHERE u.vec_id % 25 = 0
-        |ORDER BY vec_id, dim_idx""".stripMargin,
-    "q71_embed_norms" ->
-      s"""SELECT vec_id, ${VectorOracles.l2norm("embedding")} AS l2_norm
-         |FROM embeddings ORDER BY vec_id""".stripMargin,
-    // --- ANN family: exact left-fold cosine replicated in DuckDB (see
-    // VectorOracles — scores, and therefore ranks, are bit-identical) ------
-    "q33_ann_brute" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-         |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
-         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-         |  ${VectorOracles.cosine("q.qv", "e.embedding")} AS cosine
-         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
-         |  WHERE e.embedding IS NOT NULL),
-         |${VectorOracles.topKTail(10)}""".stripMargin,
-    "q34_ann_lsh" ->
-      s"""WITH ${VectorOracles.bucketCte(tables = 8, bits = 6, dim = 64, seed = 7L)},
-         |qb AS (SELECT * FROM bk WHERE id % 50 = 0),
-         |cand AS (SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id
-         |  FROM qb JOIN bk cb ON qb.table_idx = cb.table_idx AND qb.bucket = cb.bucket AND qb.id <> cb.id),
-         |s AS (SELECT c.query_id, c.neighbor_id,
-         |  ${VectorOracles.cosine("qe.embedding", "ne.embedding")} AS cosine
-         |  FROM cand c JOIN embeddings qe ON qe.vec_id = c.query_id
-         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
-         |${VectorOracles.topKTail(10)}""".stripMargin,
-    "q32_embed_neardup" ->
-      s"""WITH ${VectorOracles.bucketCte(tables = 8, bits = 6, dim = 64, seed = 7L)},
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM bk a JOIN bk b ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.id < b.id),
-         |s AS (SELECT id_a, id_b,
-         |  ${VectorOracles.cosine("ea.embedding", "eb.embedding")} AS cosine
-         |  FROM cand JOIN embeddings ea ON ea.vec_id = id_a
-         |  JOIN embeddings eb ON eb.vec_id = id_b)
-         |SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
-    "q49_ann_ivf" ->
-      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
-         |sims AS (SELECT e.vec_id, cen.cell,
-         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
-         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
-         |assigned AS (SELECT vec_id, cell FROM (
-         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
-         |  FROM sims) WHERE rn = 1),
-         |routed AS (SELECT vec_id AS query_id, cell FROM (
-         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
-         |  FROM sims WHERE vec_id % 50 = 0) WHERE rn <= 4),
-         |s AS (SELECT r.query_id, a.vec_id AS neighbor_id,
-         |  ${VectorOracles.cosine("qe.embedding", "ne.embedding")} AS cosine
-         |  FROM routed r JOIN assigned a ON a.cell = r.cell AND a.vec_id <> r.query_id
-         |  JOIN embeddings qe ON qe.vec_id = r.query_id
-         |  JOIN embeddings ne ON ne.vec_id = a.vec_id),
-         |${VectorOracles.topKTail(10)}""".stripMargin,
-    // q239: the sharded GlobalRank must be bit-identical to the serial
-    // window the oracle runs — rank, tiebreak, and percentile division.
-    "q239_global_rank" ->
-      """WITH u AS (SELECT user_id,
-        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
-        |    COUNT(*) AS n_events
-        |  FROM events GROUP BY user_id),
-        |r AS (SELECT user_id, total_cents, n_events,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY total_cents DESC, user_id) AS BIGINT) AS rk,
-        |    COUNT(*) OVER () AS n_users
-        |  FROM u)
-        |SELECT user_id, total_cents, n_events, rk,
-        |  CAST(rk * 10000 // n_users AS BIGINT) AS pctile_bp
-        |FROM r ORDER BY rk""".stripMargin,
-    // q240: the online admission recursion unrolls over the fixed wave
-    // count — wave b admits against adm0..adm(b−1) plus the order-free
-    // lower-id rule within its own wave; same seeded cells, same
-    // bit-exact cosine fold as q78.
-    "q240_online_semdedup" -> {
-      val statRows = (0 until graft.similarity.SemDedup.OnlineBatches).map { b =>
-        s"""SELECT CAST($b AS BIGINT) AS batch,
-           |  (SELECT COUNT(*) FROM assigned WHERE batch = $b) AS n_arrived,
-           |  (SELECT COUNT(*) FROM adm$b) AS n_admitted,
-           |  (SELECT COUNT(*) FROM dp$b) AS n_dropped_prior,
-           |  (SELECT COUNT(*) FROM assigned WHERE batch = $b)
-           |    - (SELECT COUNT(*) FROM adm$b)
-           |    - (SELECT COUNT(*) FROM dp$b) AS n_dropped_within,
-           |  (SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) FROM adm$b) AS admitted_id_sum""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""$onlineAdmissionCtePrefix
-         |$statRows
-         |ORDER BY batch""".stripMargin
-    },
-    // q254: the same unrolled sequential semantics, but the compared
-    // frame is the admitted SET itself — the on-disk store the Spark
-    // side publishes wave by wave must hash-match it row for row.
-    "q254_committed_admission" -> {
-      val setRows = (0 until graft.similarity.SemDedup.OnlineBatches)
-        .map(b => s"SELECT CAST($b AS BIGINT) AS batch, vec_id, CAST(cell AS BIGINT) AS cell FROM adm$b")
-        .mkString("\nUNION ALL\n")
-      s"""$onlineAdmissionCtePrefix
-         |$setRows
-         |ORDER BY batch, vec_id""".stripMargin
-    },
-    // q255: the learner's k rounds unroll as CTE triples (pairs → top-1
-    // → space-doubled replace), then the SAME replace chain encodes the
-    // distinct-token frame and doc tokens join to their encoded lengths.
-    // A round with no pairs left yields the chr(1) sentinel merge, which
-    // can never match — mirroring the Spark learner's early stop.
-    "q255_bpe_encode" -> {
-      val k = BpeEncodeMerges
-      def pairsCte(src: String, out: String) =
-        s"""$out AS (SELECT s.tk[CAST(t.i AS INTEGER)] AS p1, s.tk[CAST(t.i AS INTEGER) + 1] AS p2,
-           |    CAST(SUM(s.cnt) AS BIGINT) AS pair_count
-           |  FROM (SELECT str_split(sym, ' ') AS tk, cnt FROM $src WHERE len(str_split(sym, ' ')) >= 2) s,
-           |    UNNEST(range(1, len(s.tk))) AS t(i)
-           |  GROUP BY 1, 2)""".stripMargin
-      def topCte(src: String, out: String) =
-        s"""$out AS (SELECT COALESCE(MAX(m1), chr(1)) AS m1, COALESCE(MAX(m2), chr(1)) AS m2
-           |  FROM (SELECT p1 AS m1, p2 AS m2 FROM $src ORDER BY pair_count DESC, p1, p2 LIMIT 1))""".stripMargin
-      def applyCte(src: String, top: String, out: String, extra: String) =
-        s"""$out AS (SELECT trim(replace(replace(replace(' ' || $src.sym || ' ', ' ', '  '),
-           |    ' ' || $top.m1 || '  ' || $top.m2 || ' ', ' ' || $top.m1 || $top.m2 || ' '), '  ', ' ')) AS sym, $src.$extra
-           |  FROM $src CROSS JOIN $top)""".stripMargin
-      val learn = (1 to k).map { r =>
-        Seq(pairsCte(s"v${r - 1}", s"pr$r"), topCte(s"pr$r", s"t$r"),
-          applyCte(s"v${r - 1}", s"t$r", s"v$r", "cnt")).mkString(",\n")
-      }.mkString(",\n")
-      val enc = (1 to k)
-        .map(r => applyCte(s"e${r - 1}", s"t$r", s"e$r", "token")).mkString(",\n")
-      s"""WITH tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents) GROUP BY token),
-         |v0 AS (SELECT array_to_string(list_transform(range(1, length(token) + 1),
-         |    i -> substring(token, CAST(i AS INTEGER), 1)), ' ') AS sym, cnt
-         |  FROM tc WHERE length(token) >= 2),
-         |$learn,
-         |e0 AS (SELECT array_to_string(list_transform(range(1, length(token) + 1),
-         |    i -> substring(token, CAST(i AS INTEGER), 1)), ' ') AS sym, token FROM tc),
-         |$enc,
-         |encf AS (SELECT token, CAST(len(str_split(sym, ' ')) AS BIGINT) AS n_sym FROM e$k),
-         |u AS (SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents),
-         |j AS (SELECT u.lang, encf.n_sym, length(u.token) AS n_cp FROM u JOIN encf USING (token))
-         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(n_cp) AS BIGINT) AS n_char_symbols,
-         |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_symbols,
-         |  CAST(SUM(n_sym) * 10000 // SUM(n_cp) AS BIGINT) AS compression_bp
-         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
-    },
-    // q241: ceiling-rank selection replayed serially; value ties break on
-    // event_id in BOTH engines, so the selected row is unique and exact.
-    "q241_exact_quantiles" ->
-      """WITH v AS (SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE value IS NOT NULL),
-        |r AS (SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, event_id) AS BIGINT) AS rk,
-        |    COUNT(*) OVER () AS n_rows FROM v),
-        |q(quantile, p_num, p_den) AS (VALUES
-        |  ('p50', 50, 100), ('p90', 90, 100), ('p99', 99, 100), ('p999', 999, 1000))
-        |SELECT q.quantile, r.rk AS rank, CAST(r.n_rows AS BIGINT) AS n_rows, r.cents
-        |FROM r JOIN q ON r.rk = (r.n_rows * q.p_num + q.p_den - 1) // q.p_den
-        |ORDER BY q.quantile""".stripMargin,
-    // q242: identical md5-h60 routing per (key, salt residue) — placement
-    // replays bit-exactly, so the imbalance numbers match by hash.
-    "q242_salt_sweep" -> {
-      val hR = duckH60("CAST(user_id AS VARCHAR) || '#' || CAST(event_id % salt AS VARCHAR)")
-      s"""WITH s(salt) AS (VALUES (${SkewSalts.mkString("), (")})),
-         |p AS (SELECT salt, ($hR) % $SkewParts AS part, COUNT(*) AS load
-         |  FROM events CROSS JOIN s GROUP BY 1, 2)
-         |SELECT CAST(salt AS BIGINT) AS salt, CAST(SUM(load) AS BIGINT) AS n_rows,
-         |  COUNT(*) AS parts_used, CAST(MAX(load) AS BIGINT) AS max_load,
-         |  CAST(MAX(load) * 10000 * $SkewParts // SUM(load) AS BIGINT) AS skew_bp
-         |FROM p GROUP BY salt ORDER BY salt""".stripMargin
-    },
-    // q243: identical trigram extraction windows, identical conjunctive
-    // candidate rule, identical substring verification — counts replay
-    // exactly on both engines.
-    "q243_trigram_search" -> {
-      val pv = TrigramPatterns.map(p => s"('$p')").mkString(", ")
-      s"""WITH pat(pattern) AS (VALUES $pv),
-         |g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(length(text) - 2, 0) + 1),
-         |    i -> substr(text, CAST(i AS INTEGER), 3))) AS gram
-         |  FROM documents),
-         |pg AS (SELECT DISTINCT pattern, unnest(list_transform(range(1, length(pattern) - 2 + 1),
-         |    i -> substr(pattern, CAST(i AS INTEGER), 3))) AS gram
-         |  FROM pat),
-         |ps AS (SELECT pattern, COUNT(*) AS n_grams FROM pg GROUP BY pattern),
-         |c AS (SELECT g2.pattern, g2.doc_id FROM (
-         |    SELECT pg.pattern, g.doc_id, COUNT(*) AS n_hit
-         |    FROM g JOIN pg ON g.gram = pg.gram GROUP BY 1, 2) g2
-         |  JOIN ps ON ps.pattern = g2.pattern WHERE g2.n_hit = ps.n_grams),
-         |v AS (SELECT c.pattern, c.doc_id FROM c JOIN documents d ON d.doc_id = c.doc_id
-         |  WHERE position(c.pattern IN d.text) > 0),
-         |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
-         |SELECT ps.pattern, ps.n_grams,
-         |  CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_candidates,
-         |  CAST(COALESCE(vv.n, 0) AS BIGINT) AS n_matches,
-         |  CAST(CASE WHEN COALESCE(cc.n, 0) = 0 THEN 10000
-         |    ELSE COALESCE(vv.n, 0) * 10000 // cc.n END AS BIGINT) AS precision_bp,
-         |  CAST(COALESCE(vv.n, 0) * 10000 // (SELECT n_docs FROM nd) AS BIGINT) AS selectivity_bp
-         |FROM ps
-         |LEFT JOIN (SELECT pattern, COUNT(*) AS n FROM c GROUP BY 1) cc ON cc.pattern = ps.pattern
-         |LEFT JOIN (SELECT pattern, COUNT(*) AS n FROM v GROUP BY 1) vv ON vv.pattern = ps.pattern
-         |ORDER BY ps.pattern""".stripMargin
-    },
-    // q244: same public Benford bp constants, same exact-cents digit
-    // extraction, same integer χ² arithmetic (HUGEINT mirrors the
-    // engine's DECIMAL(38,0) wide products).
-    "q244_benford_audit" -> {
-      val ev = BenfordBp.zipWithIndex
-        .map { case (bp, i) => s"(${i + 1}, $bp)" }.mkString(", ")
-      s"""WITH c AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM (
-         |    SELECT CAST(CAST(o_totalprice * 100 AS DECIMAL(14,0)) AS BIGINT) AS cents FROM orders)
-         |  WHERE cents > 0),
-         |e(digit, expected_bp) AS (VALUES $ev),
-         |o AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY 1),
-         |t AS (SELECT COUNT(*) AS n_total FROM c)
-         |SELECT CAST(e.digit AS BIGINT) AS digit,
-         |  CAST(COALESCE(o.n, 0) AS BIGINT) AS n_observed,
-         |  CAST(t.n_total AS BIGINT) AS n_total,
-         |  CAST(e.expected_bp AS BIGINT) AS expected_bp,
-         |  CAST(COALESCE(o.n, 0) * 10000 // t.n_total AS BIGINT) AS observed_bp,
-         |  CAST(COALESCE(o.n, 0) * 10000 // t.n_total - e.expected_bp AS BIGINT) AS dev_bp,
-         |  CAST((CAST(COALESCE(o.n, 0) AS HUGEINT) * 10000 - CAST(t.n_total AS HUGEINT) * e.expected_bp)
-         |    * (CAST(COALESCE(o.n, 0) AS HUGEINT) * 10000 - CAST(t.n_total AS HUGEINT) * e.expected_bp)
-         |    // (CAST(t.n_total AS HUGEINT) * e.expected_bp * 10000) AS BIGINT) AS chi2_x10000
-         |FROM e CROSS JOIN t LEFT JOIN o ON o.digit = e.digit
-         |ORDER BY e.digit""".stripMargin
-    },
-    // q245: the q149 unrolled label CTEs + the same integer modularity
-    // arithmetic (HUGEINT mirrors the engine's DECIMAL(38,0) products;
-    // both engines floor per community, so the total matches too).
-    "q245_modularity" -> {
-      import graft.graph.Graph
-      def step(prev: String, next: String): String =
-        s"""$next AS (SELECT node, MIN(lbl) AS lbl FROM (
-           |  SELECT e.src AS node, p.lbl FROM se e JOIN $prev p ON p.node = e.dst
-           |  UNION ALL SELECT node, lbl FROM $prev) GROUP BY node)""".stripMargin
-      val steps = (1 to Graph.LpIters).map(i => step(s"l${i - 1}", s"l$i")).mkString(",\n")
-      val lN = s"l${Graph.LpIters}"
-      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |se AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
-         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM se),
-         |$steps,
-         |m AS (SELECT COUNT(*) AS m2 FROM se),
-         |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM se GROUP BY src),
-         |dc AS (SELECT l.lbl, CAST(SUM(d.outdeg) AS BIGINT) AS deg_sum,
-         |    COUNT(*) AS n_members
-         |  FROM $lN l JOIN deg d ON d.node = l.node GROUP BY l.lbl),
-         |e2 AS (SELECT a.lbl, COUNT(*) AS int_endpoints
-         |  FROM se JOIN $lN a ON a.node = se.src JOIN $lN b ON b.node = se.dst
-         |  WHERE a.lbl = b.lbl GROUP BY a.lbl),
-         |per AS (SELECT dc.lbl, dc.n_members, dc.deg_sum,
-         |    CAST(COALESCE(e2.int_endpoints, 0) AS BIGINT) AS int_endpoints,
-         |    CAST((CAST(m.m2 AS HUGEINT) * COALESCE(e2.int_endpoints, 0)
-         |      - CAST(dc.deg_sum AS HUGEINT) * dc.deg_sum) * 100000000
-         |      // (CAST(m.m2 AS HUGEINT) * m.m2) AS BIGINT) AS q_contrib_x1e8
-         |  FROM dc CROSS JOIN m LEFT JOIN e2 ON e2.lbl = dc.lbl)
-         |SELECT lbl AS community_lbl, n_members, deg_sum, int_endpoints,
-         |  q_contrib_x1e8,
-         |  (SELECT CAST(SUM(q_contrib_x1e8) AS BIGINT) FROM per) AS q_total_x1e8
-         |FROM per ORDER BY n_members DESC, community_lbl LIMIT 20""".stripMargin
-    },
-    // q246: the oracle replays the field-synthesis rules directly (no
-    // JSON round-trip) — the engine's serialize→merged-schema-parse path
-    // must land on exactly these counts or the hash breaks. direction is
-    // non-null even for null user_id (the otherwise-branch), the
-    // user_id-derived fields are not — mirrored per field.
-    "q246_schema_evolution" ->
-      """WITH g1 AS (SELECT event_type, user_id FROM events WHERE event_id % 2 = 0),
-        |g2 AS (SELECT event_type, user_id FROM events WHERE event_id % 2 = 1),
-        |s AS (
-        |  SELECT 'event_type' AS field,
-        |    (SELECT COUNT(event_type) FROM g1) AS g1n, (SELECT COUNT(*) FROM g1) AS g1r,
-        |    (SELECT COUNT(event_type) FROM g2) AS g2n, (SELECT COUNT(*) FROM g2) AS g2r
-        |  UNION ALL SELECT 'sword_type', (SELECT COUNT(user_id) FROM g1),
-        |    (SELECT COUNT(*) FROM g1), 0, (SELECT COUNT(*) FROM g2)
-        |  UNION ALL SELECT 'guild_name', (SELECT COUNT(user_id) FROM g1),
-        |    (SELECT COUNT(*) FROM g1), 0, (SELECT COUNT(*) FROM g2)
-        |  UNION ALL SELECT 'direction', 0, (SELECT COUNT(*) FROM g1),
-        |    (SELECT COUNT(*) FROM g2), (SELECT COUNT(*) FROM g2)
-        |  UNION ALL SELECT 'event_detail', 0, (SELECT COUNT(*) FROM g1),
-        |    (SELECT COUNT(user_id) FROM g2), (SELECT COUNT(*) FROM g2))
-        |SELECT field, CAST(g1n AS BIGINT) AS gen1_nonnull,
-        |  CAST(g2n AS BIGINT) AS gen2_nonnull,
-        |  CAST(g1n * 10000 // g1r AS BIGINT) AS gen1_coverage_bp,
-        |  CAST(g2n * 10000 // g2r AS BIGINT) AS gen2_coverage_bp,
-        |  CASE WHEN g1n > 0 AND g2n > 0 THEN 'common'
-        |    WHEN g1n > 0 THEN 'removed_in_gen2'
-        |    WHEN g2n > 0 THEN 'added_in_gen2' ELSE 'absent' END AS status
-        |FROM s ORDER BY field""".stripMargin,
-    // q247: the q27 brute-force pair truth aggregated to the canonical
-    // source matrix — the engine's LSH tier must surface EXACTLY these
-    // pairs (zero false negatives by parameter choice) or a cell count
-    // drifts.
-    "q247_source_dup_matrix" ->
-      """WITH t AS (SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks FROM documents),
-        |p AS (SELECT least(a.source, b.source) AS source_a,
-        |    greatest(a.source, b.source) AS source_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
-        |tot AS (SELECT COUNT(*) AS n_total FROM p)
-        |SELECT source_a, source_b, COUNT(*) AS n_pairs,
-        |  CAST(COUNT(*) * 10000 // (SELECT n_total FROM tot) AS BIGINT) AS share_bp,
-        |  source_a <> source_b AS is_cross_source
-        |FROM p GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
-    // q248: the oracle recomputes cell assignment from the embeddings
-    // (seeded-cell CTEs identical to q78/q98) — the engine reads the
-    // COMMITTED layout, so staleness or partition corruption in the
-    // on-disk index breaks the hash, not just arithmetic drift.
-    "q248_cell_balance" ->
-      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, embedding AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
-         |sims AS (SELECT e.vec_id, cen.cell,
-         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
-         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
-         |assigned AS (SELECT vec_id, cell FROM (
-         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
-         |  FROM sims) WHERE rn = 1),
-         |occ AS (SELECT CAST(c.cell AS BIGINT) AS cell,
-         |    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_vecs
-         |  FROM (SELECT unnest(range(0, 16)) AS cell) c
-         |  LEFT JOIN (SELECT cell, COUNT(*) AS n FROM assigned GROUP BY cell) a
-         |    ON a.cell = c.cell),
-         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
-         |    CAST(MAX(n_vecs) AS BIGINT) AS max_occ,
-         |    CAST(SUM(CASE WHEN n_vecs = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
-         |  FROM occ)
-         |SELECT occ.cell, occ.n_vecs,
-         |  CAST(occ.n_vecs * 10000 // tot.n_total AS BIGINT) AS share_bp,
-         |  CAST(tot.max_occ * 10000 * 16 // tot.n_total AS BIGINT) AS imbalance_bp,
-         |  tot.n_empty
-         |FROM occ CROSS JOIN tot ORDER BY occ.cell""".stripMargin,
-    // q249: identical q104 snapshot derivation, identical word 5-gram
-    // windows — instance and type counts replay exactly.
-    "q249_ngram_novelty" ->
-      s"""WITH og AS (SELECT DISTINCT array_to_string(tk[i:i + ${NovN - 1}], ' ') AS gram
-         |  FROM (SELECT str_split(text, ' ') AS tk FROM documents WHERE doc_id % 5 <> 1),
-         |    LATERAL (SELECT unnest(range(1, greatest(len(tk) - ${NovN - 1}, 0) + 1)) AS i)),
-         |ni AS (SELECT lang, array_to_string(tk[i:i + ${NovN - 1}], ' ') AS gram
-         |  FROM (SELECT lang, str_split(CASE WHEN doc_id % 5 = 2 THEN text || ' v2' ELSE text END, ' ') AS tk
-         |    FROM documents WHERE doc_id % 5 <> 3),
-         |    LATERAL (SELECT unnest(range(1, greatest(len(tk) - ${NovN - 1}, 0) + 1)) AS i)),
-         |m AS (SELECT ni.lang, ni.gram, og.gram IS NOT NULL AS seen
-         |  FROM ni LEFT JOIN og ON og.gram = ni.gram)
-         |SELECT lang, COUNT(*) AS n_instances,
-         |  CAST(SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT) AS novel_instances,
-         |  CAST(SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS instance_novelty_bp,
-         |  CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_types,
-         |  CAST(COUNT(DISTINCT CASE WHEN NOT seen THEN gram END) AS BIGINT) AS novel_types,
-         |  CAST(COUNT(DISTINCT CASE WHEN NOT seen THEN gram END) * 10000
-         |    // COUNT(DISTINCT gram) AS BIGINT) AS type_novelty_bp
-         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
-    // q250: the q81/q98 residual-encode CTEs up to the per-subspace best
-    // centroid, folded per vector IN SUBSPACE ORDER and floored ×10⁶
-    // BEFORE the per-cell sum (the q82 fixed-point discipline) — both
-    // engines' cell sums are order-free BIGINTs.
-    "q250_pq_recon_error" -> {
-      import graft.similarity.Pq.{Dim, Ksub, M, SubDim}
-      val rx = s"res.rvec[psub.subspace * $SubDim + j]"
-      val rc = s"psub.sv[psub.subspace * $SubDim + j]"
-      val codeFold =
-        s"list_reduce(list_transform(range(1, ${SubDim + 1}), j -> (($rx) - ($rc)) * (($rx) - ($rc))), (acc, v) -> acc + v)"
-      val resOf = (vec: String, cvec: String) =>
-        s"list_transform(range(1, ${Dim + 1}), j -> CAST($vec[j] AS DOUBLE) - CAST($cvec[j] AS DOUBLE))"
-      s"""WITH cen AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, vec_id AS cid, embedding AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
-         |sims AS (SELECT e.vec_id, cen.cell,
-         |  ${VectorOracles.cosine("e.embedding", "cen.cvec")} AS sim
-         |  FROM embeddings e CROSS JOIN cen WHERE e.embedding IS NOT NULL),
-         |assigned AS (SELECT vec_id, cell FROM (
-         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cell) AS rn
-         |  FROM sims) WHERE rn = 1),
-         |res AS (SELECT a.vec_id, a.cell, ${resOf("e.embedding", "c.cvec")} AS rvec
-         |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id JOIN cen c ON c.cell = a.cell),
-         |rs AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, rvec AS sv
-         |  FROM (SELECT vec_id, rvec FROM res WHERE vec_id NOT IN (SELECT cid FROM cen)
-         |        ORDER BY vec_id LIMIT $Ksub)),
-         |psub AS (SELECT CAST(g.s AS INTEGER) AS subspace, rs.code, rs.sv
-         |  FROM rs CROSS JOIN (SELECT UNNEST(range(0, $M)) AS s) g),
-         |pdist AS (SELECT res.vec_id, res.cell, psub.subspace, psub.code, $codeFold AS dist
-         |  FROM res CROSS JOIN psub),
-         |best AS (SELECT vec_id, cell, subspace, dist FROM (
-         |  SELECT vec_id, cell, subspace, dist,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
-         |  FROM pdist) WHERE rn = 1),
-         |verr AS (SELECT vec_id, cell,
-         |  CAST(FLOOR(list_reduce(list(dist ORDER BY subspace), (x, y) -> x + y) * 1000000.0) AS BIGINT) AS err_fp
-         |  FROM best GROUP BY vec_id, cell)
-         |SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vecs,
-         |  CAST(SUM(err_fp) AS BIGINT) AS sum_err_fp,
-         |  CAST(SUM(err_fp) // COUNT(*) AS BIGINT) AS mean_err_fp
-         |FROM verr GROUP BY cell ORDER BY cell""".stripMargin
-    },
-    // q251: same integer quality, same (quality DESC, source) greedy
-    // order, same cap/budget arithmetic — the allocation replays exactly.
-    "q251_mix_allocation" ->
-      s"""WITH d AS (SELECT source, len(str_split(text, ' ')) AS n_tok,
-         |    len(list_distinct(str_split(text, ' '))) AS n_dist FROM documents),
-         |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
-         |    CAST(SUM(n_dist * 10000 // n_tok) // COUNT(*) AS BIGINT) AS quality_bp
-         |  FROM d GROUP BY source),
-         |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens FROM s),
-         |r AS (SELECT s.*, t.total_tokens,
-         |    ROW_NUMBER() OVER (ORDER BY quality_bp DESC, source) AS rk,
-         |    CAST(src_tokens * $MixMaxEpochsX100 // 100 AS BIGINT) AS cap_tokens
-         |  FROM s CROSS JOIN t),
-         |c AS (SELECT r.*,
-         |    CAST(COALESCE(SUM(cap_tokens) OVER (ORDER BY rk
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-         |  FROM r)
-         |SELECT source, quality_bp, src_tokens, cap_tokens,
-         |  CAST(GREATEST(0, LEAST(cap_tokens, total_tokens // $MixBudgetDen - cum_before)) AS BIGINT)
-         |    AS allocated_tokens,
-         |  CAST(GREATEST(0, LEAST(cap_tokens, total_tokens // $MixBudgetDen - cum_before)) * 100
-         |    // src_tokens AS BIGINT) AS epochs_x100
-         |FROM c ORDER BY source""".stripMargin,
-    // q252: same integer CASE labels, same marginal/pe/kappa arithmetic;
-    // the kappa division is sign-split in BOTH engines so DuckDB's
-    // floor-div `//` and Spark's truncating `div` see only non-negative
-    // operands (identical results). HUGEINT mirrors the DECIMAL(38,0)
-    // headroom for n² at corpus scale.
-    "q252_labeler_agreement" ->
-      s"""WITH l AS (SELECT
-         |    CASE WHEN len(list_distinct(str_split(text, ' '))) * 10000
-         |        // len(str_split(text, ' ')) < $AgreeDivLo THEN 0
-         |      WHEN len(list_distinct(str_split(text, ' '))) * 10000
-         |        // len(str_split(text, ' ')) < $AgreeDivHi THEN 1
-         |      ELSE 2 END AS label_a,
-         |    CASE WHEN n_chars * 100 // len(str_split(text, ' ')) < $AgreeCtokLo THEN 0
-         |      WHEN n_chars * 100 // len(str_split(text, ' ')) < $AgreeCtokHi THEN 1
-         |      ELSE 2 END AS label_b
-         |  FROM documents),
-         |cells AS (SELECT label_a, label_b, COUNT(*) AS n_docs FROM l GROUP BY 1, 2),
-         |rowm AS (SELECT label_a, SUM(n_docs) AS row_n FROM cells GROUP BY 1),
-         |colm AS (SELECT label_b, SUM(n_docs) AS col_n FROM cells GROUP BY 1),
-         |sc AS (SELECT
-         |    (SELECT SUM(n_docs) FROM cells) AS n,
-         |    (SELECT COALESCE(SUM(n_docs), 0) FROM cells WHERE label_a = label_b) AS diag_n,
-         |    (SELECT COALESCE(SUM(CAST(row_n AS HUGEINT) * col_n), 0)
-         |       FROM rowm JOIN colm ON rowm.label_a = colm.label_b) AS pe_num),
-         |k AS (SELECT n, diag_n, pe_num,
-         |    CAST(n AS HUGEINT) * diag_n - pe_num AS kn,
-         |    CAST(n AS HUGEINT) * n - pe_num AS kd FROM sc)
-         |SELECT CAST(cells.label_a AS BIGINT) AS label_a,
-         |  CAST(cells.label_b AS BIGINT) AS label_b,
-         |  CAST(cells.n_docs AS BIGINT) AS n_docs,
-         |  CAST(rowm.row_n AS BIGINT) AS row_n, CAST(colm.col_n AS BIGINT) AS col_n,
-         |  CAST(k.diag_n * 10000 // k.n AS BIGINT) AS po_bp,
-         |  CAST((k.pe_num * 10000) // (CAST(k.n AS HUGEINT) * k.n) AS BIGINT) AS pe_bp,
-         |  CAST(CASE WHEN k.kd = 0 THEN 0
-         |    WHEN k.kn >= 0 THEN (k.kn * 10000) // k.kd
-         |    ELSE -((-k.kn * 10000) // k.kd) END AS BIGINT) AS kappa_bp
-         |FROM cells JOIN rowm USING (label_a) JOIN colm USING (label_b) CROSS JOIN k
-         |ORDER BY label_a, label_b""".stripMargin,
-    // q253: the oracle merges duplicated-gram start positions by the
-    // same pos − row_number island rule, grouping by the gram STRING
-    // (Spark groups by xxhash64 — the hash never surfaces).
-    "q253_repeat_spans" ->
-      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS s FROM documents
-         |  WHERE len(str_split(text, ' ')) >= $RepeatSeedN),
-         |p AS (SELECT doc_id, unnest(range(1, len(s) - ${RepeatSeedN - 2})) AS pos, s FROM t),
-         |g AS (SELECT doc_id, pos,
-         |  array_to_string(s[pos:pos + ${RepeatSeedN - 1}], ' ') AS gram FROM p),
-         |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
-         |c AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
-         |i AS (SELECT doc_id, pos,
-         |  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM c)
-         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-         |  CAST(MAX(pos) + ${RepeatSeedN - 1} AS BIGINT) AS span_end,
-         |  CAST(MAX(pos) + ${RepeatSeedN - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens
-         |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
-    // q257: same h60 pair-fold buckets, same Laplace-smoothed integer
-    // milli ratio, same quota rank (score desc, doc_id tiebreak).
-    "q257_dsir_selection" -> {
-      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
-      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
-      val B = DsirBuckets
-      s"""WITH tk AS (SELECT doc_id, lang, str_split(text, ' ') AS t FROM documents
-         |  WHERE len(str_split(text, ' ')) >= 2),
-         |bg AS (SELECT tk.doc_id, tk.lang,
-         |    ((($h1) % $B) * 31 + ($h2) % $B) % $B AS b
-         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
-         |pc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS p_c FROM bg
-         |  WHERE lang = '$DsirTargetLang' GROUP BY 1),
-         |qc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS q_c FROM bg
-         |  WHERE lang <> '$DsirTargetLang' GROUP BY 1),
-         |tot AS (SELECT CAST(COUNT(*) FILTER (lang = '$DsirTargetLang') AS BIGINT) AS p_tot,
-         |  CAST(COUNT(*) FILTER (lang <> '$DsirTargetLang') AS BIGINT) AS q_tot FROM bg),
-         |db AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg
-         |  WHERE lang <> '$DsirTargetLang' GROUP BY 1, 2, 3),
-         |sc AS (SELECT db.doc_id, db.lang,
-         |    CAST(SUM(db.c * (((COALESCE(pc.p_c, 0) + 1) * (tot.q_tot + $B) * 1000)
-         |      // ((qc.q_c + 1) * (tot.p_tot + $B)))) // SUM(db.c) AS BIGINT) AS score
-         |  FROM db LEFT JOIN pc USING (b) JOIN qc USING (b) CROSS JOIN tot GROUP BY 1, 2),
-         |r AS (SELECT lang, doc_id, score,
-         |  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc),
-         |k AS (SELECT CAST(COUNT(*) // $DsirQuotaDiv AS BIGINT) AS kq FROM sc)
-         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_candidates,
-         |  CAST(COUNT(*) FILTER (rk <= k.kq) AS BIGINT) AS n_selected,
-         |  CAST(COUNT(*) FILTER (rk <= k.kq) * 10000 // COUNT(*) AS BIGINT) AS selected_bp,
-         |  CAST(SUM(score) // COUNT(*) AS BIGINT) AS avg_score_milli,
-         |  CAST(CASE WHEN COUNT(*) FILTER (rk <= k.kq) = 0 THEN 0
-         |    ELSE SUM(score) FILTER (rk <= k.kq) // COUNT(*) FILTER (rk <= k.kq)
-         |    END AS BIGINT) AS avg_sel_score_milli
-         |FROM r CROSS JOIN k GROUP BY lang, k.kq ORDER BY lang""".stripMargin
-    },
-    // q258: same pair-fold gate, same doc-local chunk prefix sum, same
-    // ordered reassembly, same h60 chunk hash.
-    "q258_cdc_chunks" -> {
-      val hprev = duckH60("p.t[CAST(p.i AS INTEGER)]")
-      val hcur = duckH60("p.t[CAST(p.i AS INTEGER) + 1]")
-      val M = CdcMod
-      s"""WITH tk AS (SELECT doc_id, lang, str_split(text, ' ') AS t FROM documents),
-         |p AS (SELECT doc_id, lang, t, UNNEST(range(0, len(t))) AS i FROM tk),
-         |h AS (SELECT doc_id, lang, i, t[CAST(i AS INTEGER) + 1] AS tok,
-         |    CASE WHEN i = 0 THEN 0
-         |      WHEN ((($hprev) % $M) * 31 + ($hcur) % $M) % $M % $CdcGate = 0 THEN 1
-         |      ELSE 0 END AS bd
-         |  FROM p),
-         |c AS (SELECT doc_id, lang, i, tok,
-         |  SUM(bd) OVER (PARTITION BY doc_id ORDER BY i) AS chunk FROM h),
-         |ct AS (SELECT doc_id, lang, chunk, CAST(COUNT(*) AS BIGINT) AS n_tok,
-         |  string_agg(tok, ' ' ORDER BY i) AS ctext FROM c GROUP BY 1, 2, 3),
-         |ch AS (SELECT lang, n_tok, ${duckH60("ctext")} AS chash FROM ct),
-         |g AS (SELECT lang, chash, CAST(COUNT(*) AS BIGINT) AS cnt,
-         |  CAST(SUM(n_tok) AS BIGINT) AS toks FROM ch GROUP BY 1, 2)
-         |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
-         |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
-         |  CAST((SUM(cnt) - COUNT(*)) * 10000 // SUM(cnt) AS BIGINT) AS dup_bp,
-         |  CAST(SUM(toks) // SUM(cnt) AS BIGINT) AS avg_chunk_tokens,
-         |  CAST(MAX(cnt) AS BIGINT) AS max_reuse
-         |FROM g GROUP BY lang ORDER BY lang""".stripMargin
-    },
-    // q259: the oracle brute-forces all-pairs exact Jaccard ≥ 0.95 plus
-    // the q60 split rule — checking BOTH the LSH tier recall and the
-    // histogram combinatorics (Spark never materializes doc pairs).
-    "q259_split_leakage" ->
-      s"""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks,
-         |    CASE WHEN (${duckH31("text")} % 100) < 90 THEN 'train'
-         |         WHEN (${duckH31("text")} % 100) < 95 THEN 'val' ELSE 'test' END AS split
-         |  FROM documents),
-         |p AS (SELECT LEAST(a.split, b.split) AS split_a, GREATEST(a.split, b.split) AS split_b
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95),
-         |c AS (SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1, 2),
-         |tt AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM c)
-         |SELECT split_a, split_b, n_pairs,
-         |  CAST(n_pairs * 10000 // tt.n_total AS BIGINT) AS share_bp,
-         |  split_a <> split_b AS is_leak
-         |FROM c CROSS JOIN tt ORDER BY split_a, split_b""".stripMargin,
-    // q260: brute-force ∃-eval-near-dup per train doc — checks the
-    // tier-A/tier-B semi-join reachability against first principles.
-    "q260_leak_quarantine" ->
-      s"""WITH t AS (SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS toks,
-         |    CASE WHEN (${duckH31("text")} % 100) < 90 THEN 'train'
-         |         WHEN (${duckH31("text")} % 100) < 95 THEN 'val' ELSE 'test' END AS split
-         |  FROM documents),
-         |tr AS (SELECT * FROM t WHERE split = 'train'),
-         |ev AS (SELECT * FROM t WHERE split <> 'train'),
-         |q AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON
-         |  CAST(len(list_intersect(tr.toks, ev.toks)) AS DOUBLE)
-         |    / (len(tr.toks) + len(ev.toks) - len(list_intersect(tr.toks, ev.toks))) >= 0.95)
-         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_train,
-         |  CAST(COUNT(*) FILTER (doc_id IN (SELECT doc_id FROM q)) AS BIGINT) AS n_quarantined,
-         |  CAST(COUNT(*) FILTER (doc_id IN (SELECT doc_id FROM q)) * 10000
-         |    // COUNT(*) AS BIGINT) AS quarantine_bp
-         |FROM tr GROUP BY lang ORDER BY lang""".stripMargin,
-    // q261: ONE h60 per token, per-class weights from disjoint 15-bit
-    // fields, argmax with lowest-index tie-break — the CASE chain must
-    // stay in ClsClasses order.
-    "q261_classifier_scores" ->
-      s"""WITH u AS (SELECT doc_id, source, UNNEST(str_split(text, ' ')) AS tok FROM documents),
-         |w AS (SELECT doc_id, source, ${duckH60("tok")} AS h FROM u),
-         |s AS (SELECT doc_id, source,
-         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
-         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
-         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
-         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
-         |  FROM w GROUP BY 1, 2),
-         |p AS (SELECT source,
-         |    CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'chat'
-         |         WHEN s1 >= s2 AND s1 >= s3 THEN 'code'
-         |         WHEN s2 >= s3 THEN 'news' ELSE 'wiki' END AS pred_class,
-         |    list_sort([s0, s1, s2, s3]) AS ss FROM s),
-         |g AS (SELECT source, pred_class, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    SUM(ss[4] - ss[3]) AS margin_sum FROM p GROUP BY 1, 2),
-         |t AS (SELECT source, SUM(n_docs) AS n_src FROM g GROUP BY 1)
-         |SELECT g.source, pred_class, n_docs,
-         |  CAST(n_docs * 10000 // n_src AS BIGINT) AS share_bp,
-         |  CAST(margin_sum // n_docs AS BIGINT) AS avg_margin
-         |FROM g JOIN t ON g.source = t.source
-         |ORDER BY g.source, pred_class""".stripMargin,
-    // q262: per-lang lead() windows replay the global (lang, mh, doc_id)
-    // rank's within-lang adjacency exactly (lang blocks are contiguous
-    // in the global order; boundary pairs are filtered on the Spark side).
-    "q262_locality_layout" -> {
-      val tokH = duckH60("tok")
-      s"""WITH b AS (SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS toks,
-         |    list_aggregate(list_transform(str_split(text, ' '), tok -> $tokH), 'min') AS mh
-         |  FROM documents),
-         |c AS (SELECT lang, toks,
-         |    lead(toks) OVER (PARTITION BY lang ORDER BY mh, doc_id) AS nxt_c,
-         |    lead(toks) OVER (PARTITION BY lang ORDER BY doc_id) AS nxt_b FROM b),
-         |pc AS (SELECT lang, CAST(len(list_intersect(toks, nxt_c)) AS BIGINT) * 10000
-         |    // (len(toks) + len(nxt_c) - len(list_intersect(toks, nxt_c))) AS bp
-         |  FROM c WHERE nxt_c IS NOT NULL),
-         |pb AS (SELECT lang, CAST(len(list_intersect(toks, nxt_b)) AS BIGINT) * 10000
-         |    // (len(toks) + len(nxt_b) - len(list_intersect(toks, nxt_b))) AS bp
-         |  FROM c WHERE nxt_b IS NOT NULL),
-         |gc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs, SUM(bp) AS s FROM pc GROUP BY 1),
-         |gb AS (SELECT lang, SUM(bp) AS s FROM pb GROUP BY 1),
-         |n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM b GROUP BY 1)
-         |SELECT n.lang, n_docs,
-         |  CAST(coalesce(gc.n_pairs, 0) AS BIGINT) AS n_adj_pairs,
-         |  CAST(coalesce(gc.s // gc.n_pairs, 0) AS BIGINT) AS clustered_adj_bp,
-         |  CAST(coalesce(gb.s // gc.n_pairs, 0) AS BIGINT) AS baseline_adj_bp,
-         |  CAST(coalesce(gc.s // gc.n_pairs, 0) - coalesce(gb.s // gc.n_pairs, 0) AS BIGINT)
-         |    AS locality_gain_bp
-         |FROM n LEFT JOIN gc ON n.lang = gc.lang LEFT JOIN gb ON n.lang = gb.lang
-         |ORDER BY n.lang""".stripMargin
-    },
-    // q264: the oracle scores the FINAL corpus state (partition-1 texts
-    // re-texted) from first principles — a stale on-disk store breaks
-    // the hash. Same bit-field weights and argmax chain as q261.
-    "q264_score_store" ->
-      s"""WITH d AS (SELECT doc_id, source,
-         |    CASE WHEN doc_id % 3 = 1 THEN text || ' edited' ELSE text END AS text,
-         |    doc_id % 3 AS part_id FROM documents),
-         |u AS (SELECT doc_id, part_id, UNNEST(str_split(text, ' ')) AS tok FROM d),
-         |w AS (SELECT doc_id, part_id, ${duckH60("tok")} AS h FROM u),
-         |s AS (SELECT doc_id, part_id,
-         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
-         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
-         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
-         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
-         |  FROM w GROUP BY 1, 2),
-         |p AS (SELECT part_id,
-         |    CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'chat'
-         |         WHEN s1 >= s2 AND s1 >= s3 THEN 'code'
-         |         WHEN s2 >= s3 THEN 'news' ELSE 'wiki' END AS pred_class,
-         |    list_sort([s0, s1, s2, s3]) AS ss FROM s)
-         |SELECT CAST(part_id AS BIGINT) AS part_id, pred_class,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(ss[4] - ss[3]) AS BIGINT) AS margin_sum
-         |FROM p GROUP BY part_id, pred_class
-         |ORDER BY part_id, pred_class""".stripMargin,
-    // q265: the epoch-grid VALUES carry the same precomputed milli decay
-    // factors; the greedy order is (util DESC, source, r) in both engines.
-    "q265_repeat_allocation" -> {
-      val grid = RepeatDecayMilli.zipWithIndex
-        .map { case (f, i) => s"(${i + 1}, $f)" }.mkString(", ")
-      s"""WITH d AS (SELECT source, len(str_split(text, ' ')) AS n_tok,
-         |    len(list_distinct(str_split(text, ' '))) AS n_dist FROM documents),
-         |s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
-         |    CAST(SUM(n_dist * 10000 // n_tok) // COUNT(*) AS BIGINT) AS quality_bp
-         |  FROM d GROUP BY source),
-         |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens FROM s),
-         |f(r, fac) AS (VALUES $grid),
-         |u AS (SELECT source, src_tokens, quality_bp, total_tokens, r,
-         |    quality_bp * fac // 1000 AS util
-         |  FROM s CROSS JOIN t CROSS JOIN f),
-         |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY util DESC, source, r) AS rk FROM u),
-         |c AS (SELECT *, COALESCE(SUM(src_tokens) OVER (ORDER BY rk
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM rk),
-         |a AS (SELECT source, quality_bp, src_tokens,
-         |    GREATEST(0, LEAST(src_tokens, total_tokens // $RepeatBudgetDen - cum_before)) AS alloc
-         |  FROM c)
-         |SELECT source, CAST(MAX(quality_bp) AS BIGINT) AS quality_bp,
-         |  CAST(MAX(src_tokens) AS BIGINT) AS src_tokens,
-         |  CAST(SUM(alloc) AS BIGINT) AS allocated_tokens,
-         |  CAST(SUM(alloc) * 100 // MAX(src_tokens) AS BIGINT) AS epochs_x100
-         |FROM a GROUP BY source ORDER BY source""".stripMargin
-    },
-    // q269: same floor-cents, same bp propensities, same hash-argmax
-    // policy (row_number over h DESC, action DESC == the struct max).
-    "q269_ips_policy_eval" -> {
-      val h = duckH31("CAST(u.user_id AS VARCHAR) || ':' || p.action")
-      s"""WITH l AS (SELECT user_id, event_type AS action,
-         |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
-         |f AS (SELECT action, CAST(COUNT(*) AS BIGINT) AS n_logged FROM l GROUP BY 1),
-         |t AS (SELECT SUM(n_logged) AS n_total FROM f),
-         |p AS (SELECT action, n_logged,
-         |    CAST(n_logged * 10000 // n_total AS BIGINT) AS prop_bp FROM f CROSS JOIN t),
-         |g AS (SELECT u.user_id, p.action, $h AS h
-         |  FROM (SELECT DISTINCT user_id FROM l) u CROSS JOIN p),
-         |pi AS (SELECT user_id, action AS pi_action FROM (
-         |    SELECT user_id, action,
-         |      row_number() OVER (PARTITION BY user_id ORDER BY h DESC, action DESC) AS rn
-         |    FROM g) WHERE rn = 1),
-         |j AS (SELECT l.action, l.cents, pi.pi_action, p.prop_bp, p.n_logged
-         |  FROM l JOIN pi USING (user_id) JOIN p USING (action))
-         |SELECT action, CAST(MAX(n_logged) AS BIGINT) AS n_logged,
-         |  CAST(MAX(prop_bp) AS BIGINT) AS prop_bp,
-         |  CAST(SUM(CASE WHEN action = pi_action THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-         |  CAST(SUM(CASE WHEN action = pi_action THEN cents * 10000 // prop_bp ELSE 0 END)
-         |    AS BIGINT) AS ips_cents,
-         |  CAST(SUM(cents) AS BIGINT) AS logged_cents
-         |FROM j GROUP BY action ORDER BY action""".stripMargin
-    },
-    // q266/q267: one oracle for the batch lag-window and the streaming
-    // per-user-state formulations (the q119/q120 shared-oracle rule).
-    "q266_behavior_examples" -> BehaviorOracleSql,
-    "q267_stream_behavior" -> BehaviorOracleSql,
-    // q268: per-source row_number windows replay the global-rank +
-    // offset arithmetic over the same q261 per-doc margins; the decile
-    // row is the exact order statistic at rank max(1, n*q//10).
-    "q268_stratum_quantiles" -> {
-      s"""WITH u AS (SELECT doc_id, source, UNNEST(str_split(text, ' ')) AS tok FROM documents),
-         |w AS (SELECT doc_id, source, ${duckH60("tok")} AS h FROM u),
-         |s AS (SELECT doc_id, source,
-         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
-         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
-         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
-         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
-         |  FROM w GROUP BY 1, 2),
-         |m AS (SELECT doc_id, source,
-         |    CAST(list_sort([s0, s1, s2, s3])[4] - list_sort([s0, s1, s2, s3])[3] AS BIGINT)
-         |      AS margin FROM s),
-         |r AS (SELECT source, doc_id, margin,
-         |    row_number() OVER (PARTITION BY source ORDER BY margin, doc_id) AS lrk,
-         |    COUNT(*) OVER (PARTITION BY source) AS n FROM m),
-         |dec AS (SELECT UNNEST(range(1, 10)) AS decile)
-         |SELECT source, CAST(decile AS BIGINT) AS decile,
-         |  CAST(margin AS BIGINT) AS margin_at
-         |FROM r JOIN dec ON lrk = GREATEST(1, (n * decile) // 10)
-         |ORDER BY source, decile""".stripMargin
-    },
-    // q263: per-stratum row_number replays the global-rank + offset
-    // arithmetic; the FILTER sums are the selection witnesses.
-    "q263_stratified_quota" ->
-      s"""WITH b AS (SELECT doc_id, lang, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |    ${duckH31("text")} AS hkey FROM documents),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS lrk,
-         |    COUNT(*) OVER (PARTITION BY lang) AS n_total FROM b)
-         |SELECT lang, CAST(MAX(n_total) AS BIGINT) AS n_total,
-         |  CAST(MAX(n_total) // $StratQuotaDiv AS BIGINT) AS quota,
-         |  CAST(coalesce(SUM(n_tokens) FILTER (lrk <= n_total // $StratQuotaDiv), 0) AS BIGINT)
-         |    AS sel_tokens,
-         |  CAST(coalesce(SUM(hkey) FILTER (lrk <= n_total // $StratQuotaDiv), 0) AS BIGINT)
-         |    AS sel_h31_sum
-         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
-    // q270: range() emits no segment for docs under one segment width, so
-    // no length filter is needed oracle-side; doc-frequency is DISTINCT
-    // doc_id per 60-bit segment hash, exactly the engine's key.
-    "q270_segment_boilerplate" ->
-      boilerCardSql("SELECT doc_id, source, text FROM documents"),
-    // q277: the same card over documents ∪ the promo-banner ingest batch
-    // — computed from first principles, so mis-merged store partials
-    // (double-counted docs, stale partition) break the hash.
-    "q277_boiler_store" -> boilerCardSql(
-      """SELECT doc_id, source, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, source,
-        |    'promo sale banner click here ' || text FROM documents
-        |  WHERE doc_id % 7 = 0""".stripMargin),
-    // q271: the window minimum replays per doc over 0-based gram
-    // positions with the same ROWS frame; fingerprint selection keeps
-    // window starts only (pos <= n_grams - w).
-    "q271_winnowing_pairs" -> {
-      val k = WinnowGram
-      val w = WinnowWindow
-      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents
-         |  WHERE len(str_split(text, ' ')) >= ${k + w - 1}),
-         |g AS (SELECT doc_id, CAST(p AS BIGINT) - 1 AS pos,
-         |    array_to_string(toks[CAST(p AS INT):(CAST(p AS INT) + $k - 1)], ' ') AS gram
-         |  FROM t, UNNEST(range(1, CAST(len(toks) - $k + 2 AS BIGINT))) AS u(p)),
-         |gh AS (SELECT doc_id, pos, ${duckH60("gram")} AS h FROM g),
-         |wm AS (SELECT doc_id, pos,
-         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
-         |    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams FROM gh),
-         |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_grams - $w),
-         |kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN (
-         |    SELECT fp FROM fps GROUP BY fp
-         |    HAVING COUNT(DISTINCT doc_id) <= $WinnowFpMaxDocs) d USING (fp)),
-         |cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY 1),
-         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(COUNT(*) AS BIGINT) AS shared_fps
-         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared)
-         |SELECT doc_a, doc_b, shared_fps,
-         |  CAST(ca.n_fp AS BIGINT) AS fp_a, CAST(cb.n_fp AS BIGINT) AS fp_b,
-         |  CAST(shared_fps * 10000 // LEAST(ca.n_fp, cb.n_fp) AS BIGINT) AS overlap_bp
-         |FROM pr JOIN cnt ca ON pr.doc_a = ca.doc_id
-         |  JOIN cnt cb ON pr.doc_b = cb.doc_id
-         |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin
-    },
-    // q272: the global row_number window replays GlobalRank's
-    // (margin, doc_id) order; labeler 2 reads lane (i+2) mod 4 under
-    // the alternate modulus; decile = (rk-1)*10 // n.
-    "q272_score_calibration" -> {
-      s"""WITH u AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok FROM documents),
-         |w AS (SELECT doc_id, ${duckH60("tok")} AS h FROM u),
-         |s AS (SELECT doc_id,
-         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
-         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
-         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
-         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3,
-         |    SUM((((h >> 30) & 32767) % $ClsAltMod) - 1000) AS t0,
-         |    SUM((((h >> 45) & 32767) % $ClsAltMod) - 1000) AS t1,
-         |    SUM(((h & 32767) % $ClsAltMod) - 1000) AS t2,
-         |    SUM((((h >> 15) & 32767) % $ClsAltMod) - 1000) AS t3
-         |  FROM w GROUP BY 1),
-         |p AS (SELECT doc_id,
-         |    CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'chat'
-         |         WHEN s1 >= s2 AND s1 >= s3 THEN 'code'
-         |         WHEN s2 >= s3 THEN 'news' ELSE 'wiki' END AS pred,
-         |    CASE WHEN t0 >= t1 AND t0 >= t2 AND t0 >= t3 THEN 'chat'
-         |         WHEN t1 >= t2 AND t1 >= t3 THEN 'code'
-         |         WHEN t2 >= t3 THEN 'news' ELSE 'wiki' END AS label,
-         |    list_sort([s0, s1, s2, s3])[4] - list_sort([s0, s1, s2, s3])[3] AS margin
-         |  FROM s),
-         |r AS (SELECT pred, label, margin,
-         |    row_number() OVER (ORDER BY margin, doc_id) AS rk,
-         |    COUNT(*) OVER () AS n FROM p),
-         |d AS (SELECT pred, label, margin,
-         |    LEAST(9, (rk - 1) * 10 // n) AS decile FROM r)
-         |SELECT CAST(decile AS BIGINT) AS decile,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(margin) // COUNT(*) AS BIGINT) AS avg_margin,
-         |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS agree_n,
-         |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
-         |    AS agree_bp
-         |FROM d GROUP BY decile ORDER BY decile""".stripMargin
-    },
-    // q273: trigram contexts via 1-based list slices; both aggregation
-    // levels replay on the same 60-bit context/next hashes.
-    "q273_context_branching" -> {
-      s"""WITH t AS (SELECT source, str_split(text, ' ') AS toks FROM documents
-         |  WHERE len(str_split(text, ' ')) >= 3),
-         |g AS (SELECT source,
-         |    array_to_string(toks[CAST(p AS INT):(CAST(p AS INT) + 1)], ' ') AS ctx,
-         |    toks[CAST(p AS INT) + 2] AS nxt
-         |  FROM t, UNNEST(range(1, CAST(len(toks) - 1 AS BIGINT))) AS u(p)),
-         |h AS (SELECT source, ${duckH60("ctx")} AS ctxh, ${duckH60("nxt")} AS nxth FROM g),
-         |pn AS (SELECT source, ctxh, nxth, COUNT(*) AS n FROM h GROUP BY 1, 2, 3),
-         |pc AS (SELECT source, ctxh, SUM(n) AS n_occ, COUNT(*) AS n_next, MAX(n) AS top_n
-         |  FROM pn GROUP BY 1, 2)
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_contexts,
-         |  CAST(SUM(n_occ) AS BIGINT) AS n_trigrams,
-         |  CAST(SUM(CASE WHEN n_next = 1 AND n_occ >= $BranchMinOcc THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_deterministic,
-         |  CAST(SUM(CASE WHEN n_next = 1 AND n_occ >= $BranchMinOcc THEN 1 ELSE 0 END)
-         |    * 10000 // COUNT(*) AS BIGINT) AS det_share_bp,
-         |  CAST(SUM(top_n * 10000 // n_occ) // COUNT(*) AS BIGINT) AS avg_top_share_bp
-         |FROM pc GROUP BY source ORDER BY source""".stripMargin
-    },
-    // q274: the two MM rounds replay the identical div-inside-sum
-    // algebra; round 1's uniform s0=10000 makes every denominator term
-    // n·C//20000 on both engines.
-    "q274_bradley_terry" -> {
-      s"""WITH ua AS (SELECT user_id, event_type AS action,
-         |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents FROM events GROUP BY 1, 2),
-         |du AS (SELECT a.action AS xa, b.action AS xb, a.cents AS ca, b.cents AS cb
-         |  FROM ua a JOIN ua b ON a.user_id = b.user_id AND a.action < b.action
-         |  WHERE a.cents <> b.cents),
-         |hf AS (SELECT xa, xb, CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(CASE WHEN ca > cb THEN 1 ELSE 0 END) AS BIGINT) AS w
-         |  FROM du GROUP BY 1, 2),
-         |pr AS (SELECT xa AS x, xb AS y, n, w FROM hf
-         |  UNION ALL SELECT xb, xa, n, n - w FROM hf),
-         |tt AS (SELECT x, SUM(w) AS wins, SUM(n) AS games FROM pr GROUP BY 1),
-         |d1 AS (SELECT x, SUM(n * $BtScale // 20000) AS denom FROM pr GROUP BY 1),
-         |r1 AS (SELECT tt.x, wins * $BtScale // denom AS raw FROM tt JOIN d1 USING (x)),
-         |n1 AS (SELECT x, GREATEST(1, raw * (SELECT COUNT(*) FROM r1) * 10000
-         |    // (SELECT SUM(raw) FROM r1)) AS s FROM r1),
-         |d2 AS (SELECT pr.x, SUM(n * $BtScale // (sx.s + sy.s)) AS denom
-         |  FROM pr JOIN n1 sx ON pr.x = sx.x JOIN n1 sy ON pr.y = sy.x GROUP BY 1),
-         |r2 AS (SELECT tt.x, wins * $BtScale // denom AS raw FROM tt JOIN d2 USING (x)),
-         |n2 AS (SELECT x, GREATEST(1, raw * (SELECT COUNT(*) FROM r2) * 10000
-         |    // (SELECT SUM(raw) FROM r2)) AS s FROM r2)
-         |SELECT tt.x AS action, CAST(games AS BIGINT) AS games,
-         |  CAST(wins AS BIGINT) AS wins,
-         |  CAST(n1.s AS BIGINT) AS s1_bp, CAST(n2.s AS BIGINT) AS s2_bp
-         |FROM tt JOIN n1 ON tt.x = n1.x JOIN n2 ON tt.x = n2.x
-         |ORDER BY action""".stripMargin
-    },
-    // q275: per-source row_number windows replay the two GlobalRank +
-    // offset rankings (ties broken by doc_id in both orders); Σd² and
-    // n(n²−1) ride HUGEINT to mirror Spark's DECIMAL(38,0).
-    "q275_length_bias" -> {
-      s"""WITH u AS (SELECT doc_id, source, UNNEST(str_split(text, ' ')) AS tok FROM documents),
-         |w AS (SELECT doc_id, source, ${duckH60("tok")} AS h FROM u),
-         |s AS (SELECT doc_id, source,
-         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
-         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
-         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
-         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
-         |  FROM w GROUP BY 1, 2),
-         |m AS (SELECT s.doc_id, s.source,
-         |    list_sort([s0, s1, s2, s3])[4] - list_sort([s0, s1, s2, s3])[3] AS margin,
-         |    d.n_chars
-         |  FROM s JOIN documents d ON s.doc_id = d.doc_id),
-         |r AS (SELECT source,
-         |    row_number() OVER (PARTITION BY source ORDER BY margin, doc_id) AS rm,
-         |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rl
-         |  FROM m),
-         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-         |    SUM(CAST(rm - rl AS HUGEINT) * (rm - rl)) AS sd2 FROM r GROUP BY 1)
-         |SELECT source, n AS n_docs, CAST(sd2 AS BIGINT) AS sum_d2,
-         |  CAST(10000 - (60000 * sd2) // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
-         |    AS rho_bp
-         |FROM g WHERE n >= 2 ORDER BY source""".stripMargin
-    },
-    // q276: planes are literal DOUBLE[] generated from the same
-    // Ann.hyperplanes call the engine projects with (toString
-    // round-trips the exact double — the q34 plane-values pattern);
-    // every fold is the VectorOracles left fold, so distortions match
-    // bit-for-bit before the floor.
-    "q276_jl_distortion" -> {
-      val planes = graft.similarity.Ann.hyperplanes(1, JlDims, 64, JlSeed)(0)
-      val planeVals = planes.zipWithIndex.map { case (p, j) =>
-        s"($j, [${p.map(_.toString).mkString(", ")}]::DOUBLE[])"
-      }.mkString(",\n")
-      val fold = "list_reduce(list_transform(range(1, len(e.embedding) + 1), " +
-        "i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]), (acc, v) -> acc + v)"
-      val dab = "list_reduce(list_transform(range(1, len(a.xa) + 1), " +
-        "i -> CAST(a.xa[i] AS DOUBLE) * CAST(b.xb[i] AS DOUBLE)), (acc, v) -> acc + v)"
-      val nfold = "list_reduce(list_transform(range(1, len(e.embedding) + 1), " +
-        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (acc, v) -> acc + v)"
-      s"""WITH pl(b, p) AS (VALUES $planeVals),
-         |e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-         |pj AS (SELECT vec_id, list(d ORDER BY b) AS y FROM (
-         |    SELECT e.vec_id, pl.b, $fold AS d FROM e CROSS JOIN pl) GROUP BY vec_id),
-         |nn AS (SELECT vec_id, $nfold AS n2 FROM e),
-         |sa AS (SELECT e.vec_id AS a_id, e.embedding AS xa, pj.y AS ya, nn.n2 AS na
-         |  FROM e JOIN pj USING (vec_id) JOIN nn USING (vec_id)
-         |  WHERE vec_id % $JlSampleMod = 0),
-         |pn AS (SELECT e.vec_id AS b_id, e.embedding AS xb, pj.y AS yb, nn.n2 AS nb
-         |  FROM e JOIN pj USING (vec_id) JOIN nn USING (vec_id)
-         |  WHERE vec_id % $JlPanelMod = 1 ORDER BY e.vec_id LIMIT $JlPanelSize),
-         |d AS (SELECT a.na + b.nb - 2.0 * $dab AS dx2,
-         |    list_reduce(list_transform(range(1, ${JlDims + 1}),
-         |      j -> (a.ya[j] - b.yb[j]) * (a.ya[j] - b.yb[j])), (acc, v) -> acc + v) AS dy2
-         |  FROM sa a CROSS JOIN pn b WHERE a.a_id <> b.b_id),
-         |z AS (SELECT CAST(FLOOR(dy2 * 10000.0 / (CAST($JlDims AS DOUBLE) * dx2)) AS BIGINT)
-         |    AS distortion_bp FROM d WHERE dx2 > 0)
-         |SELECT LEAST(39, distortion_bp // 1000) AS bucket,
-         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         |  CAST(MIN(distortion_bp) AS BIGINT) AS min_bp,
-         |  CAST(MAX(distortion_bp) AS BIGINT) AS max_bp
-         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
-    },
-    // q278: the splitter replay and the seam probe use the same token
-    // slices; candidates join on the seam h60 and verify by direct list
-    // equality, so a hash-only false pair can never survive.
-    "q278_chunk_reassembly" -> {
-      val ov = ReasmOverlap
-      val mx = ReasmMaxOverlap
-      val seamT = duckH60(s"array_to_string(tt[${mx - ov + 1}:$mx], ' ')")
-      val seamH = duckH60(
-        s"array_to_string(hh[CAST(p AS INT):(CAST(p AS INT) + ${ov - 1})], ' ')")
-      s"""WITH b AS (SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents),
-         |v AS (SELECT * FROM b
-         |  WHERE doc_id % $ReasmSplitMod = 0 AND len(toks) >= ${2 * ReasmMinTokens}),
-         |c1 AS (SELECT doc_id * 2 + 2000000 AS doc_id, source,
-         |    toks[1:(len(toks) // 2 + $ov)] AS toks FROM v),
-         |c2 AS (SELECT doc_id * 2 + 2000001 AS doc_id, source,
-         |    toks[(len(toks) // 2 + 1):len(toks)] AS toks FROM v),
-         |cp AS (SELECT * FROM (
-         |    SELECT doc_id, source, toks FROM b
-         |    WHERE NOT (doc_id % $ReasmSplitMod = 0 AND len(toks) >= ${2 * ReasmMinTokens})
-         |    UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2)
-         |  WHERE len(toks) >= $ReasmMinTokens),
-         |sg AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
-         |    toks[(len(toks) - ${mx - 1}):len(toks)] AS tt, toks[1:$mx] AS hh FROM cp),
-         |ta AS (SELECT doc_id AS doc_a, n AS n_a, tt, $seamT AS seam_h FROM sg),
-         |hd AS (SELECT doc_id AS doc_b, n AS n_b, hh,
-         |    CAST(p AS BIGINT) + ${ov - 1} AS l, $seamH AS seam_h
-         |  FROM sg, UNNEST(range(1, ${mx - ov + 2})) AS u(p)),
-         |pr AS (SELECT doc_a, doc_b, l, n_a, n_b
-         |  FROM ta JOIN hd USING (seam_h)
-         |  WHERE doc_a <> doc_b
-         |    AND tt[CAST($mx + 1 - l AS INT):$mx] = hh[1:CAST(l AS INT)]),
-         |ol AS (SELECT doc_a, doc_b, MAX(l) AS overlap_len,
-         |    MAX(n_a) AS n_a, MAX(n_b) AS n_b FROM pr GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, CAST(overlap_len AS BIGINT) AS overlap_len,
-         |  CAST(n_a + n_b - overlap_len AS BIGINT) AS merged_tokens
-         |FROM ol ORDER BY doc_a, doc_b""".stripMargin
-    },
-    // q279: the same h31(doc:i) start schedule and span lengths; merged
-    // mass = DISTINCT covered positions, island count via per-doc lag.
-    "q279_span_corruption" -> {
-      // NB: the position variable must not be named `i` — duckH31's
-      // internal list_transform lambda binds `i` and would capture it.
-      val h = duckH31("CAST(doc_id AS VARCHAR) || ':' || CAST(ti AS VARCHAR)")
-      s"""WITH b AS (SELECT doc_id, source,
-         |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
-         |st AS (SELECT doc_id, source, n_tok, CAST(ti AS BIGINT) AS i, $h AS h
-         |  FROM b, UNNEST(range(1, CAST(n_tok + 1 AS BIGINT))) AS u(ti)),
-         |sp AS (SELECT doc_id, source, n_tok, i,
-         |    1 + ((h >> 5) % $SpanMaxLen) AS len FROM st WHERE h % $SpanEvery = 0),
-         |cv AS (SELECT DISTINCT doc_id, source, pos FROM sp,
-         |    UNNEST(range(i, LEAST(n_tok, i + len - 1) + 1)) AS g(pos)),
-         |pd AS (SELECT doc_id, source, COUNT(*) AS n_masked,
-         |    SUM(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END) AS n_spans
-         |  FROM (SELECT doc_id, source, pos,
-         |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM cv)
-         |  GROUP BY 1, 2),
-         |tt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    SUM(n_tok) AS n_tokens FROM b GROUP BY 1),
-         |ss AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_masked_docs,
-         |    SUM(n_masked) AS n_masked, SUM(n_spans) AS n_spans,
-         |    MAX(n_spans) AS sentinel_budget FROM pd GROUP BY 1)
-         |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |  n_masked_docs, CAST(n_masked AS BIGINT) AS n_masked,
-         |  CAST(n_masked * 10000 // n_tokens AS BIGINT) AS masked_bp,
-         |  CAST(n_spans AS BIGINT) AS n_spans,
-         |  CAST(n_masked * 100 // n_spans AS BIGINT) AS avg_span_len_x100,
-         |  CAST(sentinel_budget AS BIGINT) AS sentinel_budget
-         |FROM tt JOIN ss USING (source) ORDER BY source""".stripMargin
-    },
-    // q280: the same q270 chunking with the chunk index kept; the modal
-    // position replays the (n_at, -g) struct max via arg-ordering.
-    "q280_template_positions" -> {
-      val k = BoilerSegTokens
-      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
-         |c AS (SELECT doc_id, CAST(g AS BIGINT) AS g,
-         |    array_to_string(toks[(CAST(g AS INT)*$k + 1):(CAST(g AS INT)*$k + $k)], ' ') AS seg
-         |  FROM t, UNNEST(range(CAST(floor(len(toks) / $k) AS BIGINT))) AS u(g)),
-         |h AS (SELECT doc_id, g, ${duckH60("seg")} AS segh FROM c),
-         |bp AS (SELECT segh, g, COUNT(*) AS n_at FROM h GROUP BY 1, 2),
-         |bs AS (SELECT segh, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS n_inst
-         |  FROM h GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= $BoilerMinDocs),
-         |md AS (SELECT segh, n_at, g FROM (
-         |    SELECT segh, n_at, g,
-         |      row_number() OVER (PARTITION BY segh ORDER BY n_at DESC, g) AS rn
-         |    FROM bp) WHERE rn = 1)
-         |SELECT bs.segh, CAST(doc_freq AS BIGINT) AS doc_freq,
-         |  CAST(n_inst AS BIGINT) AS n_inst, CAST(md.g AS BIGINT) AS modal_g,
-         |  CAST(md.n_at * 10000 // n_inst AS BIGINT) AS pos_share_bp
-         |FROM bs JOIN md USING (segh)
-         |WHERE md.n_at * 10000 // n_inst >= $TemplatePosBp
-         |ORDER BY doc_freq DESC, bs.segh""".stripMargin
-    },
-    // q281: twelve lane sums replay the three-labeler panel; majority,
-    // accuracies, and the weighted argmax use the same tie rules
-    // (lowest class index) as the engine's CASE chains.
-    "q281_label_aggregation" -> {
-      val lanes = AggLabelers.zipWithIndex.flatMap { case ((mod, rot), li) =>
-        ClsClasses.indices.map { i =>
-          val lane = (i + rot) % ClsClasses.size
-          val sh = if (lane == 0) "h" else s"(h >> ${15 * lane})"
-          s"SUM((($sh & 32767) % $mod) - 1000) AS s${li}_$i"
-        }
-      }.mkString(",\n|    ")
-      def vote(li: Int): String =
-        s"""CASE WHEN s${li}_0 >= s${li}_1 AND s${li}_0 >= s${li}_2 AND s${li}_0 >= s${li}_3 THEN 0
-           |      WHEN s${li}_1 >= s${li}_2 AND s${li}_1 >= s${li}_3 THEN 1
-           |      WHEN s${li}_2 >= s${li}_3 THEN 2 ELSE 3 END""".stripMargin
-      val wScore = (0 until 4).map { c =>
-        s"(CASE WHEN l0 = $c THEN w0 ELSE 0 END + CASE WHEN l1 = $c THEN w1 ELSE 0 END" +
-          s" + CASE WHEN l2 = $c THEN w2 ELSE 0 END) AS c$c"
-      }.mkString(", ")
-      s"""WITH u AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS tok FROM documents),
-         |w AS (SELECT doc_id, ${duckH60("tok")} AS h FROM u),
-         |s AS (SELECT doc_id,
-         |    $lanes
-         |  FROM w GROUP BY 1),
-         |v AS (SELECT doc_id, ${vote(0)} AS l0, ${vote(1)} AS l1, ${vote(2)} AS l2 FROM s),
-         |m AS (SELECT doc_id, l0, l1, l2,
-         |    CASE WHEN l0 = l1 OR l0 = l2 THEN l0 WHEN l1 = l2 THEN l1
-         |         ELSE LEAST(l0, l1, l2) END AS maj FROM v),
-         |a AS (SELECT COUNT(*) AS n_docs,
-         |    SUM(CASE WHEN l0 = maj THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS w0,
-         |    SUM(CASE WHEN l1 = maj THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS w1,
-         |    SUM(CASE WHEN l2 = maj THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS w2
-         |  FROM m),
-         |r AS (SELECT m.*, $wScore FROM m CROSS JOIN a),
-         |g AS (SELECT *, CASE WHEN c0 >= c1 AND c0 >= c2 AND c0 >= c3 THEN 0
-         |      WHEN c1 >= c2 AND c1 >= c3 THEN 1 WHEN c2 >= c3 THEN 2 ELSE 3 END AS wvote
-         |  FROM r),
-         |f AS (SELECT COUNT(*) AS n_docs,
-         |    SUM(CASE WHEN wvote <> maj THEN 1 ELSE 0 END) AS n_flipped,
-         |    SUM(CASE WHEN l0 = wvote THEN 1 ELSE 0 END) AS b0,
-         |    SUM(CASE WHEN l1 = wvote THEN 1 ELSE 0 END) AS b1,
-         |    SUM(CASE WHEN l2 = wvote THEN 1 ELSE 0 END) AS b2
-         |  FROM g)
-         |SELECT CAST(t.labeler AS BIGINT) AS labeler,
-         |  CAST(CASE t.labeler WHEN 0 THEN a.w0 WHEN 1 THEN a.w1 ELSE a.w2 END AS BIGINT)
-         |    AS acc_majority_bp,
-         |  CAST((CASE t.labeler WHEN 0 THEN f.b0 WHEN 1 THEN f.b1 ELSE f.b2 END)
-         |    * 10000 // f.n_docs AS BIGINT) AS acc_weighted_bp,
-         |  CAST(f.n_docs AS BIGINT) AS n_docs, CAST(f.n_flipped AS BIGINT) AS n_flipped
-         |FROM (VALUES (0), (1), (2)) t(labeler) CROSS JOIN a CROSS JOIN f
-         |ORDER BY labeler""".stripMargin
-    },
-    // q282: the committed boilerplate key set replays as seed-corpus
-    // segment doc-frequencies (store partials sum to exactly that);
-    // decisions replay per streamed doc, order-free by design.
-    "q282_stream_boiler_gate" -> {
-      val k = BoilerSegTokens
-      val banner = "promo sale banner click here "
-      def segs(cte: String, out: String): String =
-        s"""$out AS (SELECT doc_id, ${duckH60("seg")} AS segh FROM (
-           |    SELECT doc_id, array_to_string(
-           |        toks[(CAST(g AS INT)*$k + 1):(CAST(g AS INT)*$k + $k)], ' ') AS seg
-           |    FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM $cte),
-           |      UNNEST(range(CAST(floor(len(toks) / $k) AS BIGINT))) AS u(g)))""".stripMargin
-      s"""WITH seed AS (SELECT doc_id, source, text FROM documents
-         |    UNION ALL SELECT doc_id + 1000000, source, '$banner' || text
-         |    FROM documents WHERE doc_id % 7 = 0),
-         |${segs("seed", "ss")},
-         |f AS (SELECT segh FROM ss GROUP BY segh
-         |  HAVING COUNT(DISTINCT doc_id) >= $BoilerMinDocs),
-         |inc AS (SELECT doc_id + 3000000 AS doc_id, source,
-         |    CASE WHEN doc_id % 10 = 0 THEN '$banner' || array_to_string(toks[1:10], ' ')
-         |         ELSE array_to_string(toks[1:15], ' ') END AS text
-         |  FROM (SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents)
-         |  WHERE doc_id % 5 = 0 AND len(toks) >= 20),
-         |${segs("inc", "ic")},
-         |per AS (SELECT ic.doc_id, COUNT(*) AS n_segments,
-         |    SUM(CASE WHEN f.segh IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
-         |  FROM ic LEFT JOIN f ON ic.segh = f.segh GROUP BY 1)
-         |SELECT per.doc_id, inc.source, CAST(n_segments AS BIGINT) AS n_segments,
-         |  CAST(n_boiler AS BIGINT) AS n_boiler,
-         |  CAST(n_boiler * 10000 // n_segments AS BIGINT) AS boiler_bp,
-         |  (n_boiler * 10000 // n_segments) < $BoilerGateBp AS admitted
-         |FROM per JOIN inc ON per.doc_id = inc.doc_id
-         |ORDER BY per.doc_id""".stripMargin
-    },
-    // q283: three serial row_number windows replay the sharded global
-    // ranks (GlobalRank is bit-identical to the serial window); the
-    // quota and fused rank use the same (ranksum, doc_id) tie rule.
-    "q283_borda_fusion" -> {
-      val tokH = duckH60("tok")
-      s"""WITH u AS (SELECT doc_id, source, str_split(text, ' ') AS t FROM documents),
-         |w AS (SELECT doc_id, source,
-         |    CAST(len(t) AS BIGINT) AS s_len,
-         |    CAST(len(list_distinct(t)) AS BIGINT) * 10000 // len(t) AS s_div,
-         |    list_transform(t, tok -> $tokH) AS h FROM u),
-         |m AS (SELECT doc_id, source, s_len, s_div, list_sort([
-         |    list_aggregate(list_transform(h, x -> ((x & 32767) % $ClsWeightMod) - 1000), 'sum'),
-         |    list_aggregate(list_transform(h, x -> (((x >> 15) & 32767) % $ClsWeightMod) - 1000), 'sum'),
-         |    list_aggregate(list_transform(h, x -> (((x >> 30) & 32767) % $ClsWeightMod) - 1000), 'sum'),
-         |    list_aggregate(list_transform(h, x -> (((x >> 45) & 32767) % $ClsWeightMod) - 1000), 'sum')
-         |  ]) AS ss FROM w),
-         |g AS (SELECT doc_id, source, ss[4] - ss[3] AS s_mgn, s_len, s_div FROM m),
-         |r AS (SELECT doc_id, source,
-         |    row_number() OVER (ORDER BY s_len DESC, doc_id)
-         |      + row_number() OVER (ORDER BY s_div DESC, doc_id)
-         |      + row_number() OVER (ORDER BY s_mgn DESC, doc_id) AS ranksum
-         |  FROM g),
-         |f AS (SELECT doc_id, source, ranksum,
-         |    row_number() OVER (ORDER BY ranksum, doc_id) AS rk FROM r),
-         |k AS (SELECT COUNT(*) // $BordaQuotaDiv AS kq FROM f)
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(CASE WHEN rk <= kq THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
-         |  CAST(SUM(CASE WHEN rk <= kq THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
-         |    AS selected_bp,
-         |  CAST(SUM(ranksum) // COUNT(*) AS BIGINT) AS avg_ranksum_all,
-         |  CAST(CASE WHEN SUM(CASE WHEN rk <= kq THEN 1 ELSE 0 END) = 0 THEN 0
-         |    ELSE SUM(CASE WHEN rk <= kq THEN ranksum ELSE 0 END)
-         |      // SUM(CASE WHEN rk <= kq THEN 1 ELSE 0 END) END AS BIGINT) AS avg_ranksum_sel
-         |FROM f, k GROUP BY source ORDER BY source""".stripMargin
-    },
-    // q284: per-epoch serial row_number windows replay the sharded
-    // GlobalRank positions; adjacency and displacement use the same
-    // (epoch, pos+1) and epoch-0 joins.
-    "q284_epoch_schedule" -> {
-      val keyH = duckH31("source || ':' || CAST(shard_no AS VARCHAR) || ':' || CAST(e AS VARCHAR)")
-      s"""WITH s AS (SELECT source, doc_id // $EpochShardDocs AS shard_no
-         |  FROM documents GROUP BY 1, 2),
-         |p AS (SELECT e, source, shard_no,
-         |    row_number() OVER (PARTITION BY e ORDER BY h, source, shard_no) AS pos
-         |  FROM (SELECT e, source, shard_no, $keyH AS h
-         |        FROM s, UNNEST(range($EpochCount)) AS u(e))),
-         |adj AS (SELECT a.e AS epoch, COUNT(*) AS n_adj,
-         |    SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END) AS n_same
-         |  FROM p a JOIN p b ON a.e = b.e AND a.pos + 1 = b.pos GROUP BY 1),
-         |d AS (SELECT p.e AS epoch, COUNT(*) AS n_shards,
-         |    SUM(ABS(p.pos - p0.pos)) AS ds
-         |  FROM p JOIN (SELECT source, shard_no, pos FROM p WHERE e = 0) p0
-         |    USING (source, shard_no) GROUP BY 1)
-         |SELECT CAST(d.epoch AS BIGINT) AS epoch, CAST(n_shards AS BIGINT) AS n_shards,
-         |  CAST(n_same * 10000 // n_adj AS BIGINT) AS same_src_adj_bp,
-         |  CAST(ds * 100 // n_shards AS BIGINT) AS mean_disp_x100
-         |FROM d JOIN adj ON d.epoch = adj.epoch ORDER BY epoch""".stripMargin
-    },
-    // q285: the variant union and the normalization replay 1:1; both
-    // distinct counts hash the md5-h60 of the (raw, normalized) text.
-    "q285_normalization_audit" -> {
-      val hRaw = duckH60("text")
-      val hNorm = duckH60("norm")
-      s"""WITH raw AS (SELECT doc_id, source, text FROM documents
-         |    UNION ALL SELECT doc_id + 5000000, source,
-         |      replace(upper(text), ' ', '  ') FROM documents WHERE doc_id % 7 = 0),
-         |n AS (SELECT source, text,
-         |    lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm FROM raw),
-         |h AS (SELECT source,
-         |    CASE WHEN norm <> text THEN 1 ELSE 0 END AS chg,
-         |    CAST(len(text) AS BIGINT) AS len_raw, CAST(len(norm) AS BIGINT) AS len_norm,
-         |    $hRaw AS h_raw, $hNorm AS h_norm FROM n)
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(chg) AS BIGINT) AS n_changed,
-         |  CAST(SUM(chg) * 10000 // COUNT(*) AS BIGINT) AS changed_bp,
-         |  CAST((SUM(len_raw) - SUM(len_norm)) * 10000 // SUM(len_raw) AS BIGINT) AS shed_bp,
-         |  CAST(COUNT(DISTINCT h_raw) - COUNT(DISTINCT h_norm) AS BIGINT) AS dup_gain
-         |FROM h GROUP BY source ORDER BY source""".stripMargin
-    },
-    // q286: the power iteration unrolls as CTE rounds (the q255 learner
-    // rule); every division is the same sign-split truncation, every
-    // product rides HUGEINT.
-    "q286_pca_power" -> {
-      import graft.similarity.Pq.Dim
-      val d = Dim
-      val rounds = (1 to PcaIters).map { r =>
-        s"""u$r AS (SELECT m.i AS i, SUM(m.c * v${r - 1}.v) AS u
-           |  FROM m JOIN v${r - 1} ON m.j = v${r - 1}.i GROUP BY 1),
-           |x$r AS (SELECT MAX(ABS(u)) AS mx FROM u$r),
-           |v$r AS (SELECT i, CASE WHEN u >= 0 THEN u * $PcaScale // mx
-           |    ELSE -((-u) * $PcaScale // mx) END AS v FROM u$r, x$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT list_transform(embedding[1:$d],
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * $PcaScale) AS BIGINT)) AS f
-         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= $d),
-         |p AS (SELECT CAST(t1.i AS BIGINT) AS i, CAST(t2.j AS BIGINT) AS j,
-         |    SUM(CAST(f[CAST(t1.i AS INTEGER) + 1] AS HUGEINT)
-         |      * f[CAST(t2.j AS INTEGER) + 1]) AS sff
-         |  FROM e, range($d) t1(i), range($d) t2(j) GROUP BY 1, 2),
-         |s AS (SELECT CAST(t.i AS BIGINT) AS i,
-         |    CAST(SUM(f[CAST(t.i AS INTEGER) + 1]) AS HUGEINT) AS si
-         |  FROM e, range($d) t(i) GROUP BY 1),
-         |cnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e),
-         |m AS (SELECT p.i, p.j, n * sff - sa.si * sb.si AS c
-         |  FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i, cnt),
-         |v0 AS (SELECT CAST(t.i AS BIGINT) AS i, CAST($PcaScale AS HUGEINT) AS v
-         |  FROM range($d) t(i)),
-         |$rounds,
-         |tr AS (SELECT SUM(c) AS tr FROM m WHERE i = j),
-         |ray AS (SELECT SUM(va.v * m.c * vb.v) AS num
-         |  FROM m JOIN v$PcaIters va ON m.i = va.i JOIN v$PcaIters vb ON m.j = vb.i),
-         |dn AS (SELECT SUM(v * v) AS den FROM v$PcaIters)
-         |SELECT CAST(vf.i AS BIGINT) AS dim, CAST(vf.v AS BIGINT) AS loading_fp,
-         |  CAST(CASE WHEN den = 0 OR tr = 0 THEN 0
-         |    ELSE num * 10000 // (den * tr) END AS BIGINT) AS ev_bp
-         |FROM v$PcaIters vf, ray, dn, tr ORDER BY dim""".stripMargin
-    },
-    // q287: same (user, hour) counts, same shift-decay weights, same
-    // (decayed, user_id) top-k order. q293 shares this SQL verbatim:
-    // the streaming store's merged partials equal the batch hourly
-    // counts exactly (commutative sums), which IS the equivalence claim.
-    "q287_decayed_hitters" -> DecayedHittersOracleSql,
-    "q293_stream_trender" -> DecayedHittersOracleSql,
-    // q288: the LPT greedy replays as a linear recursive CTE over the
-    // (tok DESC, source) order; the four load columns update in lock
-    // step and ties take the lowest worker via the <= CASE chain.
-    "q288_lpt_makespan" ->
-      s"""WITH RECURSIVE s0 AS (SELECT source,
-         |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS tok
-         |  FROM documents GROUP BY 1),
-         |o AS (SELECT source, tok,
-         |    row_number() OVER (ORDER BY tok DESC, source) AS rn FROM s0),
-         |r AS (
-         |  SELECT 0 AS rn, CAST(NULL AS VARCHAR) AS source, 0 AS w,
-         |    CAST(0 AS BIGINT) AS l1, CAST(0 AS BIGINT) AS l2,
-         |    CAST(0 AS BIGINT) AS l3, CAST(0 AS BIGINT) AS l4
-         |  UNION ALL
-         |  SELECT rn, source, w,
-         |    l1 + CASE WHEN w = 1 THEN tok ELSE 0 END,
-         |    l2 + CASE WHEN w = 2 THEN tok ELSE 0 END,
-         |    l3 + CASE WHEN w = 3 THEN tok ELSE 0 END,
-         |    l4 + CASE WHEN w = 4 THEN tok ELSE 0 END
-         |  FROM (SELECT o.rn, o.source, o.tok, r.l1, r.l2, r.l3, r.l4,
-         |      CASE WHEN r.l1 <= r.l2 AND r.l1 <= r.l3 AND r.l1 <= r.l4 THEN 1
-         |           WHEN r.l2 <= r.l3 AND r.l2 <= r.l4 THEN 2
-         |           WHEN r.l3 <= r.l4 THEN 3 ELSE 4 END AS w
-         |    FROM r JOIN o ON o.rn = r.rn + 1)),
-         |a AS (SELECT r.source, r.w, o.tok FROM r JOIN o USING (rn) WHERE r.rn > 0),
-         |g AS (SELECT CAST(t.w + 1 AS BIGINT) AS worker,
-         |    CAST(COALESCE(COUNT(a.source), 0) AS BIGINT) AS n_sources,
-         |    CAST(COALESCE(SUM(a.tok), 0) AS BIGINT) AS load_tokens
-         |  FROM range($LptWorkers) t(w) LEFT JOIN a ON a.w = t.w + 1 GROUP BY 1),
-         |t AS (SELECT GREATEST(SUM(load_tokens), 1) AS total,
-         |    MAX(load_tokens) AS mk FROM g),
-         |lb AS (SELECT GREATEST((t.total + $LptWorkers - 1) // $LptWorkers,
-         |    COALESCE((SELECT MAX(tok) FROM s0), 0), 1) AS lb FROM t)
-         |SELECT worker, n_sources, load_tokens,
-         |  CAST(load_tokens * 10000 // total AS BIGINT) AS load_share_bp,
-         |  CAST(mk * 10000 // lb AS BIGINT) AS makespan_vs_lb_bp
-         |FROM g, t, lb ORDER BY worker""".stripMargin,
-    // q289: both brute passes, the rank-ordered margin folds, and the
-    // mutual join replay 1:1; cosines are the shared bit-exact fold.
-    "q289_bitext_mining" -> {
-      val cosF = VectorOracles.cosine("a.embedding", "b.embedding")
-      val cosR = VectorOracles.cosine("c.embedding", "a.embedding")
-      s"""WITH a AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE embedding IS NOT NULL AND vec_id % 10 = 1),
-         |b AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE embedding IS NOT NULL AND vec_id % 10 <> 1),
-         |sf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosF AS cosine
-         |  FROM a, b WHERE a.vec_id <> b.vec_id),
-         |rf AS (SELECT query_id, neighbor_id, cosine,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-         |  FROM sf WHERE cosine IS NOT NULL),
-         |kf AS (SELECT * FROM rf WHERE rn <= $BitextK),
-         |df AS (SELECT query_id,
-         |    list_reduce(list(cosine ORDER BY rn), (x, y) -> x + y) / COUNT(*) AS den_f
-         |  FROM kf GROUP BY query_id),
-         |nf AS (SELECT query_id, neighbor_id, cosine FROM kf WHERE rn = 1),
-         |c AS (SELECT b.vec_id, b.embedding FROM b
-         |  JOIN (SELECT DISTINCT neighbor_id FROM nf) d ON b.vec_id = d.neighbor_id),
-         |sr AS (SELECT c.vec_id AS query_id, a.vec_id AS neighbor_id, $cosR AS cosine
-         |  FROM c, a WHERE c.vec_id <> a.vec_id),
-         |rr AS (SELECT query_id, neighbor_id, cosine,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-         |  FROM sr WHERE cosine IS NOT NULL),
-         |kr AS (SELECT * FROM rr WHERE rn <= $BitextK),
-         |dr AS (SELECT query_id,
-         |    list_reduce(list(cosine ORDER BY rn), (x, y) -> x + y) / COUNT(*) AS den_r
-         |  FROM kr GROUP BY query_id),
-         |nr AS (SELECT query_id, neighbor_id FROM kr WHERE rn = 1)
-         |SELECT nf.query_id AS id_src, nf.neighbor_id AS id_tgt, nf.cosine,
-         |  nf.cosine * 2 / (df.den_f + dr.den_r) AS margin,
-         |  (nf.cosine * 2 / (df.den_f + dr.den_r)) >= $BitextMargin AS accepted
-         |FROM nf
-         |JOIN nr ON nf.neighbor_id = nr.query_id AND nf.query_id = nr.neighbor_id
-         |JOIN df ON nf.query_id = df.query_id
-         |JOIN dr ON nf.neighbor_id = dr.query_id
-         |ORDER BY id_src""".stripMargin
-    },
-    // q290: the q56 exact-Jaccard CC replays the clusters; both split
-    // rules and both combinatorial leak counts replay 1:1.
-    "q290_cluster_safe_split" -> {
-      val hText = duckH31("text")
-      val hRep = duckH31("CAST(rep AS VARCHAR)")
-      s"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM t a JOIN t b ON a.doc_id < b.doc_id
-         |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
-         |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-         |reach(id, r) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
-         |cc AS (SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id),
-         |d0 AS (SELECT doc_id, cc.comp, COALESCE(cc.comp, doc_id) AS rep, text
-         |  FROM documents LEFT JOIN cc ON doc_id = cc.id),
-         |s AS (SELECT doc_id, comp, rep,
-         |    CASE WHEN $hText % 100 < 90 THEN 'train'
-         |         WHEN $hText % 100 < 95 THEN 'val' ELSE 'test' END AS sc,
-         |    CASE WHEN $hRep % 100 < 90 THEN 'train'
-         |         WHEN $hRep % 100 < 95 THEN 'val' ELSE 'test' END AS sk FROM d0),
-         |gc AS (SELECT comp, SUM(ns) AS n, SUM(ns * (ns - 1) // 2) AS inp FROM (
-         |    SELECT comp, sc, COUNT(*) AS ns FROM s WHERE comp IS NOT NULL GROUP BY 1, 2)
-         |  GROUP BY 1),
-         |lc AS (SELECT COALESCE(SUM(n * (n - 1) // 2 - inp), 0) AS leak_pairs_content FROM gc),
-         |gk AS (SELECT comp, SUM(ns) AS n, SUM(ns * (ns - 1) // 2) AS inp FROM (
-         |    SELECT comp, sk, COUNT(*) AS ns FROM s WHERE comp IS NOT NULL GROUP BY 1, 2)
-         |  GROUP BY 1),
-         |lk AS (SELECT COALESCE(SUM(n * (n - 1) // 2 - inp), 0) AS leak_pairs_cluster FROM gk),
-         |tot AS (SELECT COUNT(*) AS n_total FROM s)
-         |SELECT sk AS split, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(COUNT(*) * 10000 // n_total AS BIGINT) AS share_bp,
-         |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_groups,
-         |  CAST(leak_pairs_content AS BIGINT) AS leak_pairs_content,
-         |  CAST(leak_pairs_cluster AS BIGINT) AS leak_pairs_cluster
-         |FROM s, tot, lc, lk GROUP BY sk, n_total, leak_pairs_content, leak_pairs_cluster
-         |ORDER BY split""".stripMargin
-    },
-    // q291: serial windows replay both GlobalRanks; the slot key, the
-    // decile grid, and the deviation arithmetic replay over HUGEINT.
-    "q291_interleave_schedule" ->
-      s"""WITH d AS (SELECT doc_id, source FROM documents),
-         |n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_total FROM d),
-         |o AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
-         |k AS (SELECT d.source, o.n_s,
-         |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS k
-         |  FROM d JOIN o ON d.source = o.source),
-         |sk AS (SELECT source, n_s, k,
-         |    CAST(CAST(2*k - 1 AS HUGEINT) * n_total * 1000000 // (2 * n_s) AS BIGINT)
-         |      AS slot_key
-         |  FROM k, n),
-         |ps AS (SELECT source, n_s,
-         |    row_number() OVER (ORDER BY slot_key, source, k) AS pos FROM sk),
-         |dc AS (SELECT source, (pos - 1) * 10 // CAST(n_total AS BIGINT) AS dec,
-         |    COUNT(*) AS c FROM ps, n GROUP BY 1, 2),
-         |grid AS (SELECT g.source, g.n_s, g.dec,
-         |    SUM(COALESCE(dc.c, 0)) OVER (PARTITION BY g.source ORDER BY g.dec
-         |      ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM (SELECT o.source, o.n_s, t.dec FROM o, range(10) t(dec)) g
-         |  LEFT JOIN dc ON dc.source = g.source AND dc.dec = g.dec),
-         |p AS (SELECT dec, SUM(cum) AS p FROM grid GROUP BY 1)
-         |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
-         |  CAST(MAX(n_s * 10000 // CAST(n_total AS BIGINT)) AS BIGINT) AS share_bp,
-         |  CAST(MAX(ABS(cum * 10000 // p.p
-         |    - n_s * 10000 // CAST(n_total AS BIGINT))) AS BIGINT) AS max_dev_bp
-         |FROM grid JOIN p USING (dec), n GROUP BY source ORDER BY source""".stripMargin,
-    // q292: both digest pyramids, the per-layer diffs, and the probe
-    // arithmetic replay 1:1; DuckDB's HUGEINT sums make the mod-2^40
-    // folds exact at every layer.
-    "q292_merkle_diff" -> {
-      val m = 1L << 40
-      val h = graft.functions.Md5Hash.duckH60("CAST(doc_id AS VARCHAR) || ':' || text")
-      def pyr(src: String, pfx: String): String =
-        s"""l$pfx AS (SELECT doc_id // $MerkleLeafDocs AS leaf,
-           |    CAST(SUM(h % $m) % $m AS BIGINT) AS dig
-           |  FROM (SELECT doc_id, $h AS h FROM $src) GROUP BY 1),
-           |g$pfx AS (SELECT leaf // $MerkleFanIn AS grp,
-           |    CAST(SUM(dig) % $m AS BIGINT) AS dig FROM l$pfx GROUP BY 1),
-           |r$pfx AS (SELECT CAST(SUM(dig) % $m AS BIGINT) AS dig FROM g$pfx)""".stripMargin
-      s"""WITH a AS (SELECT doc_id, text FROM documents),
-         |b AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' edited'
-         |    ELSE text END AS text FROM documents),
-         |${pyr("a", "a")},
-         |${pyr("b", "b")},
-         |ld AS (SELECT leaf // $MerkleFanIn AS grp,
-         |    CASE WHEN la.dig IS DISTINCT FROM lb.dig THEN 1 ELSE 0 END AS chg
-         |  FROM la FULL JOIN lb USING (leaf)),
-         |gd AS (SELECT grp, CASE WHEN ga.dig IS DISTINCT FROM gb.dig THEN 1 ELSE 0 END AS chg
-         |  FROM ga FULL JOIN gb USING (grp)),
-         |rd AS (SELECT CASE WHEN ra.dig IS DISTINCT FROM rb.dig THEN 1 ELSE 0 END AS chg
-         |  FROM ra, rb),
-         |lag_ AS (SELECT grp, COUNT(*) AS n_leaves, SUM(chg) AS n_chg FROM ld GROUP BY 1),
-         |card AS (SELECT SUM(n_leaves) AS n_leaf, SUM(n_chg) AS n_leaf_chg,
-         |    COUNT(*) AS n_grp, SUM(gd.chg) AS n_grp_chg,
-         |    1 + COUNT(*) + SUM(CASE WHEN gd.chg = 1 THEN n_leaves ELSE 0 END) AS probes_tree
-         |  FROM lag_ JOIN gd USING (grp))
-         |SELECT layer, CAST(n_nodes AS BIGINT) AS n_nodes,
-         |  CAST(n_changed AS BIGINT) AS n_changed,
-         |  CAST(probes_tree AS BIGINT) AS probes_tree,
-         |  CAST(probes_flat AS BIGINT) AS probes_flat
-         |FROM (
-         |  SELECT 'leaf' AS layer, n_leaf AS n_nodes, n_leaf_chg AS n_changed,
-         |    probes_tree, n_leaf AS probes_flat FROM card, rd
-         |  UNION ALL SELECT 'group', n_grp, n_grp_chg, probes_tree, n_leaf FROM card, rd
-         |  UNION ALL SELECT 'root', 1, rd.chg, probes_tree, n_leaf FROM card, rd)
-         |ORDER BY layer""".stripMargin
-    },
-    // q294: the cut-point and mode arithmetic replays over the same
-    // portable h31; `%` on non-negative operands agrees across engines.
-    "q294_fim_assembly" -> {
-      val h = duckH31("CAST(doc_id AS VARCHAR) || ':fim'")
-      s"""WITH d AS (SELECT source, CAST(len(str_split(text, ' ')) AS BIGINT) AS n,
-         |    $h AS h FROM documents),
-         |e AS (SELECT source, n,
-         |    GREATEST(h % n, (h >> 7) % n) - LEAST(h % n, (h >> 7) % n) AS mid,
-         |    (h >> 15) % 2 AS mode
-         |  FROM d WHERE n >= $FimMinTokens)
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(CASE WHEN mid > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fim,
-         |  CAST(SUM(mid) * 10000 // SUM(n) AS BIGINT) AS mid_share_bp,
-         |  CAST(SUM(mid) * 100 // COUNT(*) AS BIGINT) AS avg_mid_x100,
-         |  CAST(SUM(CASE WHEN mode = 0 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
-         |    AS psm_bp
-         |FROM e GROUP BY source ORDER BY source""".stripMargin
-    },
-    // q295: planes, per-bit dots, keys, the lowest-|dot| flip, both
-    // candidate sets, the exact rerank, and recall@10 replay 1:1; the
-    // cosine is the shared bit-exact left fold.
-    "q295_multiprobe_lsh" -> {
-      val cosT = VectorOracles.cosine("qe.embedding", "ne.embedding")
-      def variant(cand: String, name: String, out: String): String =
-        s"""s$out AS (SELECT c.query_id, c.neighbor_id,
-           |    $cosT AS cosine
-           |  FROM $cand c JOIN embeddings qe ON qe.vec_id = c.query_id
-           |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
-           |k$out AS (SELECT query_id, neighbor_id FROM (
-           |    SELECT query_id, neighbor_id,
-           |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-           |    FROM s$out WHERE cosine IS NOT NULL) WHERE rn <= 10),
-           |h$out AS (SELECT COUNT(*) AS n_hits FROM k$out JOIN btk USING (query_id, neighbor_id)),
-           |n$out AS (SELECT COUNT(*) AS n_pairs FROM $cand),
-           |r$out AS (SELECT '$name' AS variant, qn.n_queries, n$out.n_pairs, h$out.n_hits,
-           |    CAST(h$out.n_hits * 10000 // (qn.n_queries * 10) AS BIGINT) AS recall_bp
-           |  FROM qn, n$out, h$out)""".stripMargin
-      s"""WITH ${VectorOracles.probeCte(MpTables, MpBits, 64, MpSeed)},
-         |bt AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ${VectorOracles.cosine("q.embedding", "c.embedding")} AS cosine
-         |  FROM embeddings q, embeddings c
-         |  WHERE q.embedding IS NOT NULL AND c.embedding IS NOT NULL
-         |    AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
-         |btk AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-         |    FROM bt WHERE cosine IS NOT NULL) WHERE rn <= 10),
-         |qn AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM btk),
-         |c1 AS (SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id
-         |  FROM bk qb JOIN bk cb ON qb.t = cb.t AND qb.bucket = cb.bucket AND qb.id <> cb.id
-         |  WHERE qb.id % 50 = 0),
-         |c2 AS (SELECT DISTINCT qp.id AS query_id, cb.id AS neighbor_id
-         |  FROM pr qp JOIN bk cb ON qp.t = cb.t AND qp.bucket = cb.bucket AND qp.id <> cb.id
-         |  WHERE qp.id % 50 = 0),
-         |${variant("c1", "single", "1")},
-         |${variant("c2", "two_probe", "2")}
-         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY variant""".stripMargin
-    },
-    // q296: same sketches, same union-threshold sample as q121; the
-    // difference shares replay via list_filter(NOT list_contains).
-    "q296_kmv_difference" ->
-      s"""WITH v AS (SELECT DISTINCT event_type, ((user_id % $SampleP) * $SampleC1 + $SampleC2) % $SampleP AS v FROM events),
-         |r AS (SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn FROM v),
-         |s AS (SELECT event_type, list(v ORDER BY v) AS vs FROM r WHERE rn <= $KmvK GROUP BY event_type),
-         |e AS (SELECT DISTINCT event_type, user_id FROM events),
-         |nd AS (SELECT event_type, COUNT(*) AS nd FROM e GROUP BY event_type),
-         |ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS exact_overlap
-         |       FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_type < b.event_type
-         |       GROUP BY 1, 2),
-         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, a.vs AS va, b.vs AS vb
-         |      FROM s a JOIN s b ON a.event_type < b.event_type),
-         |c AS (SELECT type_a, type_b, va, vb, list_sort(list_distinct(list_concat(va, vb))) AS uk FROM p),
-         |c2 AS (SELECT type_a, type_b, va, vb, uk, LEAST($KmvK, len(uk)) AS m FROM c),
-         |c3 AS (SELECT type_a, type_b, m, (m - 1) * $SampleP // uk[m] AS est_union,
-         |        len(list_filter(list_intersect(uk[1:m], va), x -> NOT list_contains(vb, x))) AS d_ab,
-         |        len(list_filter(list_intersect(uk[1:m], vb), x -> NOT list_contains(va, x))) AS d_ba
-         |       FROM c2),
-         |c4 AS (SELECT type_a, type_b, est_union,
-         |        est_union * d_ab // m AS est_diff_ab, est_union * d_ba // m AS est_diff_ba
-         |       FROM c3)
-         |SELECT c4.type_a, c4.type_b,
-         |  CAST(na.nd - COALESCE(ov.exact_overlap, 0) AS BIGINT) AS exact_diff_ab,
-         |  CAST(nb.nd - COALESCE(ov.exact_overlap, 0) AS BIGINT) AS exact_diff_ba,
-         |  CAST(est_diff_ab AS BIGINT) AS est_diff_ab,
-         |  CAST(est_diff_ba AS BIGINT) AS est_diff_ba,
-         |  CAST(abs(est_diff_ab - (na.nd - COALESCE(ov.exact_overlap, 0))) * 10000
-         |    // (na.nd + nb.nd - COALESCE(ov.exact_overlap, 0)) AS BIGINT) AS diff_ab_err_bp,
-         |  CAST(abs(est_diff_ba - (nb.nd - COALESCE(ov.exact_overlap, 0))) * 10000
-         |    // (na.nd + nb.nd - COALESCE(ov.exact_overlap, 0)) AS BIGINT) AS diff_ba_err_bp
-         |FROM c4
-         |JOIN nd na ON na.event_type = c4.type_a
-         |JOIN nd nb ON nb.event_type = c4.type_b
-         |LEFT JOIN ov ON ov.type_a = c4.type_a AND ov.type_b = c4.type_b
-         |ORDER BY c4.type_a, c4.type_b""".stripMargin,
-    // q297: medians (per-dim lower median over the same fixed-point
-    // floors), both code words, the Hamming candidate stage, the exact
-    // rerank, recall@10, and the bit-imbalance column replay 1:1.
-    "q297_median_binary_quant" -> {
-      import graft.similarity.Pq.Dim
-      val d = Dim
-      def word(thr: String, lohi: (Int, Int)): String =
-        s"""SUM(CASE WHEN dim >= ${lohi._1} AND dim < ${lohi._2} AND fv > $thr
-           | THEN (CAST(1 AS BIGINT) << (dim % 32)) ELSE CAST(0 AS BIGINT) END)""".stripMargin
-      def variant(codes: String, thr: String, name: String, o: String): String =
-        s"""c$o AS (SELECT vec_id, ${word(thr, (0, 32))} AS b_lo,
-           |    ${word(thr, (32, d))} AS b_hi FROM $codes GROUP BY 1),
-           |hm$o AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           |    bit_count(xor(c.b_lo, q.b_lo)) + bit_count(xor(c.b_hi, q.b_hi)) AS hamming
-           |  FROM c$o c JOIN c$o q ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
-           |cd$o AS (SELECT query_id, neighbor_id FROM (
-           |    SELECT query_id, neighbor_id,
-           |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn
-           |    FROM hm$o) WHERE rn <= $BinaryAnnCandidates),
-           |s$o AS (SELECT cd$o.query_id, cd$o.neighbor_id,
-           |    ${VectorOracles.cosine("qe.embedding", "ne.embedding")} AS cosine
-           |  FROM cd$o JOIN embeddings qe ON qe.vec_id = cd$o.query_id
-           |  JOIN embeddings ne ON ne.vec_id = cd$o.neighbor_id),
-           |k$o AS (SELECT query_id, neighbor_id FROM (
-           |    SELECT query_id, neighbor_id,
-           |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-           |    FROM s$o WHERE cosine IS NOT NULL) WHERE rn <= 10),
-           |h$o AS (SELECT COUNT(*) AS n_hits FROM k$o JOIN btk USING (query_id, neighbor_id)),
-           |im$o AS (SELECT SUM(imb) // $d AS imbalance_bp FROM (
-           |    SELECT dim, ABS(SUM(CASE WHEN fv > $thr THEN 1 ELSE 0 END) * 10000
-           |      // COUNT(*) - 5000) AS imb FROM $codes GROUP BY dim)),
-           |r$o AS (SELECT '$name' AS variant, qn.n_queries, h$o.n_hits,
-           |    CAST(h$o.n_hits * 10000 // (qn.n_queries * 10) AS BIGINT) AS recall_bp,
-           |    CAST(im$o.imbalance_bp AS BIGINT) AS imbalance_bp
-           |  FROM qn, h$o, im$o)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding[1:$d],
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS f
-         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= $d),
-         |x AS (SELECT vec_id, CAST(t.d AS INTEGER) AS dim,
-         |    f[CAST(t.d AS INTEGER) + 1] AS fv FROM e, range($d) t(d)),
-         |md AS (SELECT dim, fv AS med FROM (
-         |    SELECT dim, fv, vec_id,
-         |      ROW_NUMBER() OVER (PARTITION BY dim ORDER BY fv, vec_id) AS rn,
-         |      COUNT(*) OVER (PARTITION BY dim) AS cnt FROM x) WHERE rn = (cnt + 1) // 2),
-         |xm AS (SELECT x.vec_id, x.dim, x.fv, md.med FROM x JOIN md USING (dim)),
-         |bt AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ${VectorOracles.cosine("q.embedding", "c.embedding")} AS cosine
-         |  FROM embeddings q, embeddings c
-         |  WHERE q.embedding IS NOT NULL AND c.embedding IS NOT NULL
-         |    AND len(q.embedding) >= $d AND len(c.embedding) >= $d
-         |    AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
-         |btk AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-         |    FROM bt WHERE cosine IS NOT NULL) WHERE rn <= 10),
-         |qn AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM btk),
-         |${variant("xm", "med", "median", "m")},
-         |${variant("x", "0", "zero", "z")}
-         |SELECT * FROM rm UNION ALL SELECT * FROM rz ORDER BY variant""".stripMargin
-    },
-    // q298: the serial (µs, event_id) row_number replays the GlobalRank
-    // cutoffs; first-seen split and reuse shares replay 1:1.
-    "q298_temporal_split" ->
-      """WITH r AS (SELECT user_id,
-        |    row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rk,
-        |    COUNT(*) OVER () AS n FROM events),
-        |t AS (SELECT user_id,
-        |    CASE WHEN rk * 10 <= n * 8 THEN 0 WHEN rk * 10 <= n * 9 THEN 1 ELSE 2 END AS s
-        |  FROM r),
-        |fs AS (SELECT user_id, MIN(s) AS s0 FROM t GROUP BY 1),
-        |g AS (SELECT s, t.user_id, COUNT(*) AS n_ev, ANY_VALUE(s0) AS s0
-        |  FROM t JOIN fs ON t.user_id = fs.user_id GROUP BY 1, 2),
-        |c AS (SELECT s, SUM(n_ev) AS n_events, COUNT(*) AS n_users,
-        |    SUM(CASE WHEN s0 < s THEN 1 ELSE 0 END) AS n_reused_users FROM g GROUP BY 1)
-        |SELECT CASE WHEN s = 0 THEN 'train' WHEN s = 1 THEN 'val' ELSE 'test' END AS split,
-        |  CAST(n_events AS BIGINT) AS n_events, CAST(n_users AS BIGINT) AS n_users,
-        |  CAST(n_reused_users AS BIGINT) AS n_reused_users,
-        |  CAST(n_reused_users * 10000 // n_users AS BIGINT) AS reused_bp
-        |FROM c ORDER BY split""".stripMargin,
-    // q299: the exclusive corpus-order running sum replays the sharded
-    // prefixSum; block arithmetic is all non-negative, so `div` == `//`.
-    "q299_concat_chunking" ->
-      s"""WITH d AS (SELECT doc_id, source,
-         |    CAST(len(str_split(text, ' ')) AS BIGINT) + 1 AS len FROM documents),
-         |o AS (SELECT source, len,
-         |    COALESCE(SUM(len) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-         |  FROM d),
-         |s AS (SELECT source, len,
-         |    (off + len - 1) // $ChunkBlockTokens - off // $ChunkBlockTokens + 1 AS spans
-         |  FROM o)
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(len) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(CASE WHEN spans > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
-         |  CAST(SUM(CASE WHEN spans > 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
-         |    AS crossing_bp,
-         |  CAST(SUM(spans) AS BIGINT) AS spans_sum,
-         |  CAST(SUM(spans) * 100 // COUNT(*) AS BIGINT) AS avg_spans_x100
-         |FROM s GROUP BY source ORDER BY source""".stripMargin,
-    // q300: brute-force all-pairs Jaccard + recursive-CTE components (the
-    // q56 replay) feed the 1/|cluster| weights; per-doc floor division
-    // replays before the sum, exactly as in Spark.
-    "q300_soft_dedup" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |      FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-        |reach(id, r) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
-        |cc AS (SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id),
-        |cs AS (SELECT comp, COUNT(*) AS csize FROM cc GROUP BY comp),
-        |d AS (SELECT doc_id, source, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
-        |j AS (SELECT d.source, d.n_tokens, COALESCE(cs.csize, 1) AS c
-        |      FROM d LEFT JOIN cc ON d.doc_id = cc.id LEFT JOIN cs ON cc.comp = cs.comp)
-        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_weighted_down,
-        |  CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
-        |  CAST(SUM(n_tokens * 10000 // c) AS BIGINT) AS eff_tokens_x10000,
-        |  CAST(SUM(n_tokens * 10000 // c) // SUM(n_tokens) AS BIGINT) AS eff_bp
-        |FROM j GROUP BY source ORDER BY source""".stripMargin,
-    // q301: q261's margin CTE + per-source rank-symmetric pairing; the
-    // reflected rank join and the gap gate replay 1:1.
-    "q301_preference_pairs" ->
-      s"""WITH u AS (SELECT doc_id, source, UNNEST(str_split(text, ' ')) AS tok FROM documents),
-         |w AS (SELECT doc_id, source, ${duckH60("tok")} AS h FROM u),
-         |s AS (SELECT doc_id, source,
-         |    SUM(((h & 32767) % $ClsWeightMod) - 1000) AS s0,
-         |    SUM((((h >> 15) & 32767) % $ClsWeightMod) - 1000) AS s1,
-         |    SUM((((h >> 30) & 32767) % $ClsWeightMod) - 1000) AS s2,
-         |    SUM((((h >> 45) & 32767) % $ClsWeightMod) - 1000) AS s3
-         |  FROM w GROUP BY 1, 2),
-         |m AS (SELECT doc_id, source, ss[4] - ss[3] AS margin
-         |  FROM (SELECT doc_id, source, list_sort([s0, s1, s2, s3]) AS ss FROM s)),
-         |r AS (SELECT doc_id, source, margin,
-         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY margin DESC, doc_id) AS r,
-         |    COUNT(*) OVER (PARTITION BY source) AS n_src
-         |  FROM m),
-         |pr AS (SELECT c.source, c.margin - j.margin AS gap
-         |  FROM r c JOIN r j ON c.source = j.source AND j.r = c.n_src + 1 - c.r
-         |  WHERE c.r * 2 < c.n_src + 1 AND c.margin - j.margin >= $PrefMinGap),
-         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         |    CAST(SUM(gap) AS BIGINT) AS gap_sum FROM pr GROUP BY 1),
-         |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM m GROUP BY 1)
-         |SELECT nd.source, nd.n_docs,
-         |  CAST(COALESCE(g.n_pairs, 0) AS BIGINT) AS n_pairs,
-         |  CAST(COALESCE(g.gap_sum, 0) AS BIGINT) AS gap_sum,
-         |  CAST(CASE WHEN COALESCE(g.n_pairs, 0) = 0 THEN 0
-         |    ELSE g.gap_sum // g.n_pairs END AS BIGINT) AS avg_gap,
-         |  CAST(COALESCE(g.n_pairs, 0) * 2 * 10000 // nd.n_docs AS BIGINT) AS paired_bp
-         |FROM nd LEFT JOIN g ON nd.source = g.source ORDER BY nd.source""".stripMargin,
-    // q302: q253's span CTE aggregated per doc, then per source — merged
-    // spans are disjoint, so the masked mass is a plain sum.
-    "q302_loss_mask" ->
-      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS s FROM documents
-         |  WHERE len(str_split(text, ' ')) >= $RepeatSeedN),
-         |p AS (SELECT doc_id, unnest(range(1, len(s) - ${RepeatSeedN - 2})) AS pos, s FROM t),
-         |g AS (SELECT doc_id, pos,
-         |  array_to_string(s[pos:pos + ${RepeatSeedN - 1}], ' ') AS gram FROM p),
-         |dd AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
-         |c AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dd)),
-         |i AS (SELECT doc_id, pos,
-         |  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM c),
-         |sp AS (SELECT doc_id, MAX(pos) + ${RepeatSeedN - 1} - MIN(pos) + 1 AS span_tokens
-         |  FROM i GROUP BY doc_id, isl),
-         |mk AS (SELECT doc_id, SUM(span_tokens) AS mt FROM sp GROUP BY doc_id),
-         |d AS (SELECT doc_id, source, CAST(len(str_split(text, ' ')) AS BIGINT) AS n FROM documents),
-         |j AS (SELECT d.source, d.n, COALESCE(mk.mt, 0) AS mt
-         |  FROM d LEFT JOIN mk ON d.doc_id = mk.doc_id)
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(CASE WHEN mt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked_docs,
-         |  CAST(SUM(n) AS BIGINT) AS total_tokens,
-         |  CAST(SUM(mt) AS BIGINT) AS masked_tokens,
-         |  CAST(SUM(mt) * 10000 // SUM(n) AS BIGINT) AS mask_bp
-         |FROM j GROUP BY source ORDER BY source""".stripMargin,
-    // q303: within-source ascending rank + the exact rank-formula Gini;
-    // HUGEINT covers the Σ i·xᵢ product DuckDB-side.
-    "q303_source_gini" ->
-      """WITH d AS (SELECT doc_id, source,
-        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS x FROM documents),
-        |r AS (SELECT source, x,
-        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS r FROM d)
-        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(x) AS BIGINT) AS total_tokens,
-        |  CAST((2 * SUM(r * x) - (COUNT(*) + 1) * SUM(x)) * 10000
-        |    // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_bp
-        |FROM r GROUP BY source ORDER BY source""".stripMargin,
-    // q304: same h60 buckets, same add-one-smoothed Q8.8 integer
-    // surprisal (bin()-msb + linear mantissa evaluates identically).
-    "q304_perplexity_filter" -> {
-      val B = PplBuckets
-      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
-      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
-      val sExpr = s"${log2q8Duck(s"c1 + $B")} - ${log2q8Duck("c2 + 1")}"
-      s"""WITH tk AS (SELECT doc_id, source, lang, str_split(text, ' ') AS t FROM documents
-         |  WHERE len(str_split(text, ' ')) >= 2),
-         |bg AS (SELECT tk.doc_id, tk.source, tk.lang,
-         |    ($h1) % $B AS bc, ($h2) % $B AS bn
-         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
-         |m AS (SELECT bc, bn, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
-         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
-         |cx AS (SELECT bc, CAST(SUM(c2) AS BIGINT) AS c1 FROM m GROUP BY 1),
-         |sc AS (SELECT bg.doc_id, bg.source,
-         |    COALESCE(m.c2, 0) AS c2, COALESCE(cx.c1, 0) AS c1
-         |  FROM bg LEFT JOIN m ON bg.bc = m.bc AND bg.bn = m.bn
-         |  LEFT JOIN cx ON bg.bc = cx.bc),
-         |pd AS (SELECT doc_id, source, SUM($sExpr) AS s_sum,
-         |    CAST(COUNT(*) AS BIGINT) AS nbg FROM sc GROUP BY 1, 2),
-         |pa AS (SELECT doc_id, source, s_sum, nbg, s_sum // nbg AS avg_q8 FROM pd)
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(s_sum) // SUM(nbg) AS BIGINT) AS avg_surprisal_q8,
-         |  CAST(COUNT(*) FILTER (avg_q8 <= $PplKeepMaxQ8) AS BIGINT) AS n_keep,
-         |  CAST(COUNT(*) FILTER (avg_q8 <= $PplKeepMaxQ8) * 10000 // COUNT(*) AS BIGINT)
-         |    AS keep_bp
-         |FROM pa GROUP BY source ORDER BY source""".stripMargin
-    },
-    // q305: marginals from the bigram table, the same four-term Q8.8
-    // PMI, and the per-lang rank replayed as a partitioned row_number.
-    "q305_token_pmi" -> {
-      val pmi = s"${log2q8Duck("c12")} + ${log2q8Duck("nbg")}" +
-        s" - ${log2q8Duck("ca")} - ${log2q8Duck("cb")}"
-      s"""WITH tk AS (SELECT lang, str_split(text, ' ') AS t FROM documents
-         |  WHERE len(str_split(text, ' ')) >= 2),
-         |bg AS (SELECT lang, t[CAST(u.i AS INTEGER)] AS t1,
-         |    t[CAST(u.i AS INTEGER) + 1] AS t2
-         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
-         |b AS (SELECT lang, t1, t2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2, 3),
-         |ma AS (SELECT lang, t1, CAST(SUM(c12) AS BIGINT) AS ca FROM b GROUP BY 1, 2),
-         |mb AS (SELECT lang, t2, CAST(SUM(c12) AS BIGINT) AS cb FROM b GROUP BY 1, 2),
-         |tt AS (SELECT lang, CAST(SUM(c12) AS BIGINT) AS nbg FROM b GROUP BY 1),
-         |sc AS (SELECT b.lang, b.t1, b.t2, b.c12, CAST($pmi AS BIGINT) AS pmi_q8
-         |  FROM b JOIN ma ON b.lang = ma.lang AND b.t1 = ma.t1
-         |  JOIN mb ON b.lang = mb.lang AND b.t2 = mb.t2
-         |  JOIN tt ON b.lang = tt.lang
-         |  WHERE b.c12 >= $PmiMinCount),
-         |r AS (SELECT lang, t1, t2, c12, pmi_q8,
-         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pmi_q8 DESC, t1, t2) AS rank
-         |  FROM sc)
-         |SELECT lang, t1, t2, c12, pmi_q8, CAST(rank AS BIGINT) AS rank
-         |FROM r WHERE rank <= $PmiTopK ORDER BY lang, rank""".stripMargin
-    },
-    // q306: lang cells + md5 distinct + the same Q8.8 entropy fold;
-    // Simpson pairs ride HUGEINT.
-    "q306_source_datasheet" -> {
-      val lc = log2q8Duck("c")
-      val ln = log2q8Duck("n")
-      s"""WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM documents GROUP BY 1, 2),
-         |ls AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
-         |    CAST(COUNT(*) AS BIGINT) AS n_langs,
-         |    CAST(SUM(c * ($lc)) AS BIGINT) AS cl_sum,
-         |    SUM(c * (c - 1)) AS pair_sum
-         |  FROM cells GROUP BY 1),
-         |le AS (SELECT source, n_langs,
-         |    CAST(($ln) - cl_sum // n AS BIGINT) AS lang_entropy_q8,
-         |    CAST(CASE WHEN n < 2 THEN 0
-         |      ELSE (pair_sum * 10000) // (n * (n - 1)) END AS BIGINT) AS lang_simpson_bp
-         |  FROM ls),
-         |ds AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
-         |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
-         |  FROM documents GROUP BY 1)
-         |SELECT ds.source, n_docs, n_tokens,
-         |  CAST((n_docs - n_distinct) * 10000 // n_docs AS BIGINT) AS exact_dup_bp,
-         |  n_langs, lang_entropy_q8, lang_simpson_bp
-         |FROM ds JOIN le ON ds.source = le.source ORDER BY ds.source""".stripMargin
-    },
-    // q307: the derived head batch scores against the full-corpus en LM;
-    // gate decisions are committed-model-only, so the replay is exact.
-    "q307_stream_ppl_gate" -> {
-      val B = PplBuckets
-      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
-      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
-      val sExpr = s"${log2q8Duck(s"c1 + $B")} - ${log2q8Duck("c2 + 1")}"
-      s"""WITH tk AS (SELECT doc_id, source, lang, str_split(text, ' ') AS t FROM documents
-         |  WHERE len(str_split(text, ' ')) >= 2),
-         |bg AS (SELECT tk.doc_id, tk.lang, ($h1) % $B AS bc, ($h2) % $B AS bn
-         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
-         |m AS (SELECT bc, bn, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
-         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
-         |cx AS (SELECT bc, CAST(SUM(c2) AS BIGINT) AS c1 FROM m GROUP BY 1),
-         |inc AS (SELECT doc_id + 3000000 AS doc_id, source,
-         |    str_split(text, ' ')[1:12] AS t
-         |  FROM documents
-         |  WHERE doc_id % 6 = 0 AND len(str_split(text, ' ')) >= 13),
-         |ib AS (SELECT inc.doc_id, inc.source,
-         |    (${duckH60("inc.t[CAST(u.i AS INTEGER)]")}) % $B AS bc,
-         |    (${duckH60("inc.t[CAST(u.i AS INTEGER) + 1]")}) % $B AS bn
-         |  FROM inc, UNNEST(range(1, len(inc.t))) AS u(i)),
-         |sc AS (SELECT ib.doc_id, ib.source,
-         |    COALESCE(m.c2, 0) AS c2, COALESCE(cx.c1, 0) AS c1
-         |  FROM ib LEFT JOIN m ON ib.bc = m.bc AND ib.bn = m.bn
-         |  LEFT JOIN cx ON ib.bc = cx.bc),
-         |pd AS (SELECT doc_id, source, CAST(SUM($sExpr) AS BIGINT) AS s_sum,
-         |    CAST(COUNT(*) AS BIGINT) AS nbg FROM sc GROUP BY 1, 2)
-         |SELECT doc_id, source, nbg, s_sum,
-         |  CAST(s_sum // nbg AS BIGINT) AS avg_q8,
-         |  s_sum // nbg <= $PplKeepMaxQ8 AS admitted
-         |FROM pd ORDER BY doc_id""".stripMargin
-    },
-    // q308: the q304 bigram model + the folded trigram model, both from
-    // the en slice; the backoff CASE and the Q8.8 terms replay 1:1.
-    "q308_backoff_lm" -> {
-      val B = PplBuckets
-      val C = SbCtxBuckets
-      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
-      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
-      val g1 = duckH60("tk.t[CAST(u.i AS INTEGER) - 1]")
-      val g2 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
-      val g3 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
-      val s2Expr = s"${log2q8Duck(s"c1 + $B")} - ${log2q8Duck("c2 + 1")}"
-      val s3Expr = s"${log2q8Duck(s"c2c + $B")} - ${log2q8Duck("c3 + 1")}"
-      s"""WITH tk AS (SELECT doc_id, source, lang, str_split(text, ' ') AS t FROM documents
-         |  WHERE len(str_split(text, ' ')) >= 2),
-         |bg AS (SELECT tk.doc_id, tk.lang, ($h1) % $B AS bc, ($h2) % $B AS bn
-         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
-         |m AS (SELECT bc, bn, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
-         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
-         |cx AS (SELECT bc, CAST(SUM(c2) AS BIGINT) AS c1 FROM m GROUP BY 1),
-         |tg AS (SELECT tk.doc_id, tk.source, tk.lang,
-         |    ((($g1) % $C) * 31 + ($g2) % $C) % $C AS tc, ($g3) % $B AS tn,
-         |    ($g2) % $B AS bc, ($g3) % $B AS bn
-         |  FROM tk, UNNEST(range(2, len(tk.t))) AS u(i)
-         |  WHERE len(tk.t) >= 3),
-         |m3 AS (SELECT tc, tn, CAST(COUNT(*) AS BIGINT) AS c3 FROM tg
-         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
-         |c3x AS (SELECT tc, CAST(SUM(c3) AS BIGINT) AS c2c FROM m3 GROUP BY 1),
-         |sc AS (SELECT tg.doc_id, tg.source,
-         |    COALESCE(m3.c3, 0) AS c3, COALESCE(c3x.c2c, 0) AS c2c,
-         |    COALESCE(m.c2, 0) AS c2, COALESCE(cx.c1, 0) AS c1
-         |  FROM tg LEFT JOIN m3 ON tg.tc = m3.tc AND tg.tn = m3.tn
-         |  LEFT JOIN c3x ON tg.tc = c3x.tc
-         |  LEFT JOIN m ON tg.bc = m.bc AND tg.bn = m.bn
-         |  LEFT JOIN cx ON tg.bc = cx.bc),
-         |sr AS (SELECT doc_id, source, c3, ($s2Expr) AS s2,
-         |    CASE WHEN c3 > 0 THEN ($s3Expr) ELSE $SbPenaltyQ8 + ($s2Expr) END AS s
-         |  FROM sc)
-         |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-         |  CAST(SUM(CASE WHEN c3 > 0 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
-         |    AS tri_hit_bp,
-         |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_backoff_q8,
-         |  CAST(SUM(s2) // COUNT(*) AS BIGINT) AS avg_bigram_q8
-         |FROM sr GROUP BY source ORDER BY source""".stripMargin
-    },
-    // q309: the recurrent-core restriction, the per-term floor, and the
-    // six unrolled power-iteration rounds replay the driver loop.
-    "q309_markov_stationary" -> {
-      val rounds = (1 to MkRounds).map { k =>
-        s"""r$k AS (SELECT ty.type, COALESCE(s.pi, 0) AS pi FROM ty LEFT JOIN
-           |  (SELECT m.t AS type, CAST(SUM(r${k - 1}.pi * m.n // rs.rowsum) AS BIGINT) AS pi
-           |   FROM m JOIN r${k - 1} ON m.f = r${k - 1}.type JOIN rs ON m.f = rs.f
-           |   GROUP BY 1) s ON ty.type = s.type)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT event_type,
-         |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
-         |  FROM events),
-         |p AS (SELECT event_type AS f, nt AS t, CAST(COUNT(*) AS BIGINT) AS n
-         |  FROM e WHERE nt IS NOT NULL GROUP BY 1, 2),
-         |ty AS (SELECT DISTINCT f AS type FROM p),
-         |m AS (SELECT f, t, n FROM p WHERE t IN (SELECT type FROM ty)),
-         |rs AS (SELECT f, CAST(SUM(n) AS BIGINT) AS rowsum FROM m GROUP BY 1),
-         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ty),
-         |r0 AS (SELECT type, CAST($MkScale // k AS BIGINT) AS pi FROM ty, nt),
-         |$rounds
-         |SELECT ty.type AS event_type, rs.rowsum AS n_out,
-         |  r$MkRounds.pi AS pi_micro
-         |FROM ty JOIN rs ON ty.type = rs.f JOIN r$MkRounds ON ty.type = r$MkRounds.type
-         |ORDER BY event_type""".stripMargin
-    },
-    // q310: the same hourly cells; the span frame and the exact
-    // variance-to-mean integers replay 1:1 (HUGEINT covers Σc²).
-    "q310_burstiness" ->
-      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
-        |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-        |sp AS (SELECT MAX(hour_id) - MIN(hour_id) + 1 AS n_span FROM h)
-        |SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
-        |  CAST(COUNT(*) AS BIGINT) AS n_active_hours,
-        |  CAST(sp.n_span AS BIGINT) AS n_span,
-        |  CAST((sp.n_span * SUM(c * c) - SUM(c) * SUM(c)) * 10000
-        |    // (sp.n_span * SUM(c)) AS BIGINT) AS fano_x10000,
-        |  CAST(SUM(c) * 100 // sp.n_span AS BIGINT) AS mean_per_hour_x100
-        |FROM h, sp GROUP BY event_type, sp.n_span ORDER BY event_type""".stripMargin,
-    // q311: both serial row_numbers replay the GlobalRanks; adjacency is
-    // the same rank+1 join; the baseline squares ride HUGEINT.
-    "q311_shuffle_quality" -> {
-      val hk = duckH60("CAST(doc_id AS VARCHAR) || ':shuffle'")
-      s"""WITH d AS (SELECT doc_id, source, $hk AS hk FROM documents),
-         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
-         |bl AS (SELECT CAST(SUM(ns * ns) * 10000 // (n.n * n.n) AS BIGINT) AS baseline_bp
-         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM d GROUP BY source), n
-         |  GROUP BY n.n),
-         |r1 AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source, doc_id) AS rk FROM d),
-         |a1 AS (SELECT 'naive' AS ordering, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         |    CAST(SUM(CASE WHEN x.source = y.source THEN 1 ELSE 0 END) AS BIGINT) AS n_same
-         |  FROM r1 x JOIN r1 y ON y.rk = x.rk + 1),
-         |r2 AS (SELECT source, ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rk FROM d),
-         |a2 AS (SELECT 'shuffled' AS ordering, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         |    CAST(SUM(CASE WHEN x.source = y.source THEN 1 ELSE 0 END) AS BIGINT) AS n_same
-         |  FROM r2 x JOIN r2 y ON y.rk = x.rk + 1),
-         |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
-         |SELECT ordering, n_pairs, n_same,
-         |  CAST(n_same * 10000 // n_pairs AS BIGINT) AS same_source_bp,
-         |  bl.baseline_bp
-         |FROM u, bl ORDER BY ordering""".stripMargin
-    },
-    // q312: q304's surprisal CTEs aggregated per source, the same capped
-    // excess, and the exact (256 + frac) << int exp2.
-    "q312_doremi_mix" -> {
-      val B = PplBuckets
-      val h1 = duckH60("tk.t[CAST(u.i AS INTEGER)]")
-      val h2 = duckH60("tk.t[CAST(u.i AS INTEGER) + 1]")
-      val sExpr = s"${log2q8Duck(s"c1 + $B")} - ${log2q8Duck("c2 + 1")}"
-      s"""WITH tk AS (SELECT doc_id, source, lang, str_split(text, ' ') AS t FROM documents
-         |  WHERE len(str_split(text, ' ')) >= 2),
-         |bg AS (SELECT tk.doc_id, tk.source, tk.lang,
-         |    ($h1) % $B AS bc, ($h2) % $B AS bn
-         |  FROM tk, UNNEST(range(1, len(tk.t))) AS u(i)),
-         |m AS (SELECT bc, bn, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
-         |  WHERE lang = '$PplRefLang' GROUP BY 1, 2),
-         |cx AS (SELECT bc, CAST(SUM(c2) AS BIGINT) AS c1 FROM m GROUP BY 1),
-         |sc AS (SELECT bg.source, COALESCE(m.c2, 0) AS c2, COALESCE(cx.c1, 0) AS c1
-         |  FROM bg LEFT JOIN m ON bg.bc = m.bc AND bg.bn = m.bn
-         |  LEFT JOIN cx ON bg.bc = cx.bc),
-         |ps AS (SELECT source, SUM($sExpr) // COUNT(*) AS avg_q8 FROM sc GROUP BY 1),
-         |mn AS (SELECT MIN(avg_q8) AS min_q8 FROM ps),
-         |w AS (SELECT source, avg_q8,
-         |    LEAST(avg_q8 - min_q8, $DoremiCapQ8) AS excess_q8 FROM ps, mn),
-         |w2 AS (SELECT source, avg_q8, excess_q8,
-         |    (256 + excess_q8 % 256) << CAST(excess_q8 // 256 AS INTEGER) AS w_raw FROM w),
-         |t AS (SELECT SUM(w_raw) AS wt FROM w2)
-         |SELECT source, CAST(avg_q8 AS BIGINT) AS avg_q8,
-         |  CAST(excess_q8 AS BIGINT) AS excess_q8, CAST(w_raw AS BIGINT) AS w_raw,
-         |  CAST(w_raw * 10000 // wt AS BIGINT) AS mix_bp
-         |FROM w2, t ORDER BY source""".stripMargin
-    },
-    // q313: q234's run + truth verbatim; the discount and the unrolled
-    // ideal ride the same Q8.8 integer log₂.
-    "q313_ir_ndcg" -> {
-      val term = (x: String) => s"2560000 // ${log2q8Duck(s"($x) + 1")}"
-      s"""WITH toks AS (SELECT doc_id, len(str_split(text, ' ')) AS dl, unnest(str_split(text, ' ')) AS token FROM documents),
-         |td AS (SELECT token, doc_id, dl, COUNT(*) AS tf FROM toks GROUP BY token, doc_id, dl),
-         |qt AS (SELECT DISTINCT doc_id AS qid, token FROM toks WHERE doc_id % $IrQMod = 1),
-         |n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens FROM documents),
-         |tdq AS (SELECT * FROM td WHERE token IN (SELECT token FROM qt)),
-         |d AS (SELECT token, COUNT(*) AS df FROM tdq GROUP BY token),
-         |sc AS (SELECT qt.qid, tdq.doc_id, CAST(SUM($BmTermSql) AS BIGINT) AS score
-         |  FROM qt JOIN tdq ON qt.token = tdq.token AND tdq.doc_id <> qt.qid
-         |  JOIN d ON d.token = qt.token CROSS JOIN n
-         |  GROUP BY qt.qid, tdq.doc_id),
-         |topk AS (SELECT * FROM (SELECT qid, doc_id,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM sc)
-         |  WHERE rank <= $IrK),
-         |dt AS (SELECT DISTINCT doc_id, token FROM toks),
-         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
-         |qdt AS (SELECT doc_id AS qid, token FROM dt WHERE doc_id % $IrQMod = 1),
-         |rel AS (SELECT i.qid, i.doc_id FROM (
-         |    SELECT q.qid, dt.doc_id, COUNT(*) AS i FROM qdt q
-         |    JOIN dt ON q.token = dt.token AND dt.doc_id <> q.qid
-         |    GROUP BY q.qid, dt.doc_id) i
-         |  JOIN sz sq ON sq.doc_id = i.qid JOIN sz sd ON sd.doc_id = i.doc_id
-         |  WHERE i.i * 10000 >= $IrRelBp * (sq.sz + sd.sz - i.i)),
-         |nrel AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY qid),
-         |dcg AS (SELECT t.qid, CAST(SUM(${term("t.rank")}) AS BIGINT) AS dcg_x
-         |  FROM topk t JOIN rel r ON t.qid = r.qid AND t.doc_id = r.doc_id GROUP BY t.qid),
-         |ii AS (SELECT qid, n_rel, UNNEST(range(1, $IrK + 1)) AS i FROM nrel),
-         |idcg AS (SELECT qid, CAST(SUM(${term("i")}) AS BIGINT) AS idcg_x
-         |  FROM ii WHERE i <= n_rel GROUP BY qid)
-         |SELECT q.qid, CAST(COALESCE(n_rel, 0) AS BIGINT) AS n_rel,
-         |  CAST(COALESCE(dcg_x, 0) AS BIGINT) AS dcg_x,
-         |  CAST(COALESCE(idcg_x, 0) AS BIGINT) AS idcg_x,
-         |  CAST(CASE WHEN COALESCE(idcg_x, 0) = 0 THEN 0
-         |    ELSE COALESCE(dcg_x, 0) * 10000 // idcg_x END AS BIGINT) AS ndcg_bp
-         |FROM (SELECT doc_id AS qid FROM documents WHERE doc_id % $IrQMod = 1) q
-         |LEFT JOIN nrel ON nrel.qid = q.qid
-         |LEFT JOIN dcg ON dcg.qid = q.qid
-         |LEFT JOIN idcg ON idcg.qid = q.qid
-         |ORDER BY q.qid""".stripMargin
-    },
-    // q314: the register propagation (per-bucket MAX over neighbors ∪
-    // self) and the raw harmonic estimator replay round by round.
-    "q314_hyperball" -> {
-      val m = HbBuckets
-      val pow56 = 1L << HbK
-      val pow62 = m << HbK
-      val hk = duckH60("CAST(node AS VARCHAR) || ':hb'")
-      def estCte(t: Int): String =
-        s"""e$t AS (SELECT node,
-           |    (CAST($HbAlphaM2Milli AS HUGEINT) * $pow56)
-           |      // (CAST($pow62 AS HUGEINT)
-           |         - SUM(CAST($pow56 AS HUGEINT)
-           |               - (CAST(1 AS BIGINT) << CAST($HbK - r AS INTEGER)))) AS est
-           |  FROM r$t GROUP BY node),
-           |c$t AS (SELECT CAST($t AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n_nodes,
-           |    CAST(SUM(est) // COUNT(*) AS BIGINT) AS avg_ball_milli,
-           |    CAST(MAX(est) AS BIGINT) AS max_ball_milli FROM e$t)""".stripMargin
-      def roundCte(t: Int): String =
-        s"""r$t AS (SELECT node, b, MAX(r) AS r FROM (
-           |    SELECT s.s AS node, p.b, p.r FROM s JOIN r${t - 1} p ON s.t = p.node
-           |    UNION ALL SELECT node, b, r FROM r${t - 1}) GROUP BY 1, 2)""".stripMargin
-      val rounds = (1 to HbRounds).map(t => roundCte(t) + ",\n" + estCte(t)).mkString(",\n")
-      val sel = (1 to HbRounds).map(t => s"SELECT * FROM c$t").mkString(" UNION ALL ")
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-         |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a JOIN li b
-         |  ON a.ok = b.ok AND a.pk < b.pk),
-         |s AS (SELECT u AS s, v AS t FROM e UNION SELECT v, u FROM e),
-         |nd AS (SELECT DISTINCT s AS node FROM s),
-         |h AS (SELECT node, $hk AS h FROM nd),
-         |r0 AS (SELECT node, h % $m AS b,
-         |    CASE WHEN h // $m = 0 THEN ${HbK - 1}
-         |      ELSE $HbK - length(bin(h // $m)) END AS r FROM h),
-         |$rounds
-         |$sel ORDER BY t""".stripMargin
-    },
-    // q315: the sizing literal, the next-pow2 bin() idiom, the k·|docs|
-    // member positions, and the 1000-probe verdicts replay 1:1.
-    "q315_bloom_advisor" -> {
-      val hm = duckH60("m.text || ':bf' || CAST(u.p AS VARCHAR)")
-      val hp = duckH60("pr.pk || ':bf' || CAST(u.p AS VARCHAR)")
-      s"""WITH mem AS (SELECT DISTINCT source, text FROM documents),
-         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
-         |    CAST(COUNT(*) * $BfBitsPerKeyX10000 // 10000 + 1 AS BIGINT) AS advised_bits
-         |  FROM mem GROUP BY 1),
-         |sz2 AS (SELECT source, n_distinct, advised_bits,
-         |    (CAST(1 AS BIGINT) << length(bin(advised_bits - 1))) AS m2 FROM sz),
-         |mp AS (SELECT m.source, ($hm) % s.m2 AS pos
-         |  FROM mem m JOIN sz2 s ON m.source = s.source, UNNEST(range(0, $BfK)) u(p)),
-         |bits AS (SELECT DISTINCT source, pos FROM mp),
-         |occ AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits GROUP BY 1),
-         |pr AS (SELECT s.source, 'probe:' || CAST(j.j AS VARCHAR) AS pk, s.m2
-         |  FROM sz2 s, UNNEST(range(1, $BfProbes + 1)) j(j)),
-         |pp AS (SELECT pr.source, pr.pk, ($hp) % pr.m2 AS pos
-         |  FROM pr, UNNEST(range(0, $BfK)) u(p)),
-         |hits AS (SELECT pp.source, pp.pk,
-         |    SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS h
-         |  FROM pp LEFT JOIN bits b ON pp.source = b.source AND pp.pos = b.pos
-         |  GROUP BY 1, 2),
-         |fp AS (SELECT source, CAST(COUNT(*) FILTER (h = $BfK) AS BIGINT) AS n_fp
-         |  FROM hits GROUP BY 1)
-         |SELECT sz2.source, n_distinct, advised_bits, CAST(m2 AS BIGINT) AS m2,
-         |  CAST(bits_set * 10000 // m2 AS BIGINT) AS occupancy_bp,
-         |  CAST(n_fp * 10000 // $BfProbes AS BIGINT) AS measured_fpr_bp
-         |FROM sz2 JOIN occ USING (source) JOIN fp USING (source)
-         |ORDER BY source""".stripMargin
-    })
-
-  /** Shared q287/q293 oracle: the decay fold over exact hourly counts —
-    * the streaming store's merged partials are identical by sum
-    * commutativity. */
-  private[graft] lazy val DecayedHittersOracleSql: String =
-    s"""WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
-       |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
-       |l AS (SELECT MAX(hour_id) AS latest FROM h)
-       |SELECT user_id,
-       |  CAST(SUM(n * (CASE WHEN latest - hour_id > $DecayMaxAge THEN 0
-       |    ELSE $DecayScale >> CAST(latest - hour_id AS INTEGER) END)) AS BIGINT)
-       |    AS decayed_x256,
-       |  CAST(SUM(n) AS BIGINT) AS n_events,
-       |  CAST(COUNT(*) AS BIGINT) AS n_hours
-       |FROM h, l GROUP BY user_id
-       |ORDER BY decayed_x256 DESC, user_id LIMIT $DecayTopK""".stripMargin
-
-  /** Shared q266/q267 oracle: the lag-window context replays per user
-    * ordered by (ts, event_id); the context signature is the same h60 of
-    * the space-joined lag triple; the value mass rides DECIMAL(12,2). */
-  private[graft] lazy val BehaviorOracleSql: String = {
-    val ctxH = graft.functions.Md5Hash.duckH60("l3 || ' ' || l2 || ' ' || l1")
-    s"""WITH e AS (SELECT user_id, event_type, value,
-       |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l1,
-       |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l2,
-       |    lag(event_type, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l3
-       |  FROM events),
-       |x AS (SELECT event_type AS target_event, user_id, $ctxH AS ctx_sig,
-       |    CAST(value AS DECIMAL(12,2)) AS v FROM e WHERE l3 IS NOT NULL)
-       |SELECT target_event, CAST(COUNT(*) AS BIGINT) AS n_examples,
-       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-       |  CAST(COUNT(DISTINCT ctx_sig) AS BIGINT) AS n_contexts,
-       |  CAST(SUM(v) * 100 AS BIGINT) AS value_cents_sum
-       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
-  }
-
-  /** Full oracle surface (split only so the shared q81/q98 SQL can sit
-    * between the two literals). */
-  val oracle: Map[String, String] = oracleHead ++ oracleTail
+object PipelineQueries
+  extends PipelineQueriesP1
+  with PipelineQueriesP2
+  with PipelineQueriesP3
+  with PipelineQueriesP4
+  with PipelineQueriesRegistry
+  with PipelineOraclesHead
+  with PipelineOraclesTailA
+  with PipelineOraclesTailB {
+
+  /** Full oracle surface (head ++ tailA ++ tailB — split only by the
+    * per-domain registry files; see the trait scaladocs). */
+  val oracle: Map[String, String] = oracleHead ++ oracleTailA ++ oracleTailB
 }

@@ -434,6 +434,12 @@ object IncrementalDedup {
     }
   }
 
+  /** The standing signature store as a frame, for downstream consumers
+    * (q317's curation DAG reads candidates straight off the committed
+    * store) — same base-or-deltas routing as the ingest probe. */
+  private[graft] def sigStoreFrame(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String): DataFrame = readSigStore(spark, corpusDir)
+
   /** Sync the signature store to mirror the corpus EXACTLY, by partition
     * digest: list the corpus's batch partitions, digest each one's file
     * metadata, diff against the recorded state, and re-sign ONLY the
@@ -470,9 +476,30 @@ object IncrementalDedup {
     writeState(fs, corpusDir, current)
   }
 
+  /** Default auto-compaction threshold for the fuzzy ingest: once this
+    * many store partitions sit outside the read-optimized base, the next
+    * batch folds them in. 16 bounds a probe's delta fan-in (16 directory
+    * listings + opens) while amortizing the base rewrite over 16 batches;
+    * a deployment tunes it against batch cadence. */
+  private[graft] val AutoCompactDefault = 16
+
+  /** Store partitions NOT served by the compacted base: the residual
+    * deltas a probe must union in. A stale/absent base manifest counts
+    * the WHOLE store as residual — exactly the condition under which
+    * [[readSigStore]] falls back to the per-batch layout wholesale. */
+  private def residualDeltaCount(fs: org.apache.hadoop.fs.FileSystem,
+      corpusDir: String): Int = {
+    val state = readState(fs, corpusDir)
+    val manifest = readStateFile(fs, sigDir(corpusDir), BaseManifest)
+    val valid = manifest.nonEmpty &&
+      manifest.forall { case (b, d) => state.get(b).contains(d) }
+    if (!valid) state.size else (state.keySet -- manifest.keySet).size
+  }
+
   def fuzzyIngestBatch(batch: DataFrame, corpusDir: String, batchId: Long,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.8): Unit = {
+      threshold: Double = 0.8,
+      autoCompactDeltas: Int = AutoCompactDefault): Unit = {
     val spark = batch.sparkSession
     // Incremental-signature discipline (round 8): the standing corpus is
     // NEVER re-signed per batch — its band keys live in the digest-synced
@@ -557,6 +584,21 @@ object IncrementalDedup {
       survivors.unpersist(); keptToks.unpersist(); keptBands.unpersist()
       candPairs.unpersist(); ()
     }
+    // Lifecycle closure (round-10 verdict #3): a long-running ingest used
+    // to accumulate one store partition per batch until someone invoked
+    // the nightly [[compactSigStore]] by hand. When the partitions not yet
+    // folded into the read-optimized base cross `autoCompactDeltas`, the
+    // ingest folds them itself — a probe's delta fan-in is then bounded by
+    // the threshold instead of by operator discipline. Replay-safe: the
+    // base is a redundant copy guarded by the digest manifest, so a crash
+    // mid-compaction (or a later re-signed partition) just reverts probes
+    // to the per-batch layout.
+    if (autoCompactDeltas > 0) {
+      val fs = new org.apache.hadoop.fs.Path(corpusDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (residualDeltaCount(fs, corpusDir) >= autoCompactDeltas)
+        compactSigStore(spark, corpusDir, idCol, textCol)
+    }
   }
 
   /** Truncate one batch's partition directory — the explicit complement of
@@ -581,12 +623,14 @@ object IncrementalDedup {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.8,
+      autoCompactDeltas: Int = AutoCompactDefault): org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        fuzzyIngestBatch(b, corpusDir, id, idCol, textCol, threshold)
+        fuzzyIngestBatch(b, corpusDir, id, idCol, textCol, threshold,
+          autoCompactDeltas)
       }
       .start()
 }

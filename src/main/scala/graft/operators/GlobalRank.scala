@@ -35,13 +35,22 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** Default shard count = the session's shuffle parallelism. Parsed
+    * defensively: deployments that set `spark.sql.shuffle.partitions` to a
+    * non-numeric value (e.g. "auto" under an AQE coordinator) must fall
+    * back to 200, not throw NumberFormatException out of a rank. */
+  private def defaultShards(df: DataFrame): Int =
+    scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      .toOption.filter(_ > 0).getOrElse(200)
+
   /** Adds `outCol` = row_number() over (ORDER BY `order`…), computed with
     * a `shards`-way range exchange instead of a single-partition sort. */
   def rowNumber(df: DataFrame, order: Seq[Column], outCol: String,
       shards: Int = 0): DataFrame = {
     val n =
       if (shards > 0) shards
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      else defaultShards(df)
     val pid = "__gr_pid"
     val lrk = "__gr_lrk"
     val cnt = "__gr_cnt"
@@ -102,7 +111,7 @@ object GlobalRank {
       inclusiveOut: String = null, shards: Int = 0): DataFrame = {
     val n =
       if (shards > 0) shards
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      else defaultShards(df)
     val pid = "__gm_pid"
     val locS = "__gm_loc_strict"
     val locI = "__gm_loc_incl"
@@ -159,7 +168,7 @@ object GlobalRank {
       outCol: String, shards: Int = 0): DataFrame = {
     val n =
       if (shards > 0) shards
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      else defaultShards(df)
     val pid = "__gs_pid"
     val loc = "__gs_loc"
     val tot = "__gs_shard_sum"

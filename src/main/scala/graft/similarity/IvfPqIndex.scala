@@ -284,6 +284,15 @@ object IvfPqIndex {
     * signature ⇒ skipped) AND by content (ids already tombstoned by
     * earlier segments are dropped, so overlapping batches never grow the
     * tombstone set; an empty remainder commits nothing). */
+  /** Tombstone-id rows per segment file — the `writeSigBands` row-budget
+    * pattern (IncrementalDedup.scala) applied to the delete path
+    * (round-10 verdict #1: a fixed `coalesce(1)` made a corpus-scale
+    * GDPR sweep of millions of ids a single-task write — the one
+    * remaining scale-hostile line). The segment protocol is
+    * file-count-agnostic (`_SUCCESS` + directory read), so only write
+    * throughput rides on this; sf-scale batches still land one file. */
+  private[graft] val TombRowsPerFile = 4000000L
+
   def delete(spark: SparkSession, idx: Committed, ids: DataFrame, idCol: String): Unit = {
     val seg = new org.apache.hadoop.fs.Path(
       idx.location, s"tomb_${corpusSignature(spark, ids)}")
@@ -297,8 +306,15 @@ object IvfPqIndex {
         val existing = segs.map(s => spark.read.parquet(s)).reduce(_.unionByName(_))
         batch.join(existing, Seq("neighbor_id"), "left_anti")
     }
-    if (fresh.limit(1).count() == 0) return
-    fresh.coalesce(1).write.parquet(s"$seg/ids")
+    // One count pass over the persisted remainder sizes the write's
+    // parallelism with the batch; an empty remainder commits nothing.
+    val cached = fresh.persist()
+    try {
+      val n = cached.count()
+      if (n == 0) return
+      val files = math.max(1L, (n + TombRowsPerFile - 1) / TombRowsPerFile).toInt
+      cached.repartition(files).write.parquet(s"$seg/ids")
+    } finally { cached.unpersist(); () }
   }
 
   /** All committed tombstone-segment locations (`tomb_*` with `_SUCCESS`). */

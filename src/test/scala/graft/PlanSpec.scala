@@ -13,6 +13,16 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Unsealed plan of a sealCaches query: the registered entry returns a
+    * literal frame (caches released after one driver-side materialize —
+    * round-10 advice), so the COMPUTING plan is only visible through the
+    * `seal = false` test escape. */
+  private def unsealedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def docsDf = Tables.documents(spark, TestSpark.SfDir)
+  private def eventsDf = Tables.events(spark, TestSpark.SfDir)
+
   test("q01: shipdate filter is pushed to the parquet scan") {
     val p = planOf("q01_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
@@ -1545,7 +1555,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q301: one GlobalRank over (source, margin); pairing is a reflected-rank equi-join") {
-    val p = planOf("q301_preference_pairs")
+    val p = unsealedPlan(graft.analytics.PipelineQueries.preferencePairsOfScored(
+      graft.analytics.PipelineQueries.classifierDocScores(docsDf)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("margin")), seal = false))
     assert(p.contains("rangepartitioning"),
       s"the stratum rank must run through GlobalRank's range exchange:\n$p")
     assert("windowspecdefinition\\((?!__gr_pid)".r.findFirstIn(p).isEmpty,
@@ -1586,7 +1600,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q305: the per-lang top-k range-shards via GlobalRank; marginals stay vocab-keyed") {
-    val p = planOf("q305_token_pmi")
+    val p = unsealedPlan(graft.analytics.PipelineQueries.tokenPmiOf(docsDf, seal = false))
     assert(p.contains("rangepartitioning"),
       s"the PMI rank must run through GlobalRank's range exchange:\n$p")
     assert("windowspecdefinition\\((?!__gr_pid)".r.findFirstIn(p).isEmpty,
@@ -1624,7 +1638,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q310: burstiness is a cell aggregate + a 1-row span broadcast — no windows") {
-    val p = planOf("q310_burstiness")
+    val p = unsealedPlan(graft.analytics.PipelineQueries.burstinessOf(eventsDf, seal = false))
     assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_count") || p.contains("partial_sum"),
@@ -1632,7 +1646,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q311: both orderings range-shard via GlobalRank; adjacency is a rank-keyed join") {
-    val p = planOf("q311_shuffle_quality")
+    val p = unsealedPlan(graft.analytics.PipelineQueries.shuffleQualityOf(docsDf, seal = false))
     assert(p.contains("rangepartitioning"), p)
     assert("windowspecdefinition\\((?!__gr_pid)".r.findFirstIn(p).isEmpty,
       s"an unsharded corpus sort crept in:\n$p")
@@ -1640,7 +1654,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q312: one scoring pass; the mixture math is metadata-frame arithmetic") {
-    val p = planOf("q312_doremi_mix")
+    val p = unsealedPlan(graft.analytics.PipelineQueries.doremiMixOf(docsDf, seal = false))
     assert(p.contains("BroadcastHashJoin"), s"the bounded LM must broadcast:\n$p")
     assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
     assert(!p.contains("CartesianProduct"), p)
@@ -1665,7 +1679,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q315: the sizing frame broadcasts; positions stay (source,pos)-keyed — no windows") {
-    val p = planOf("q315_bloom_advisor")
+    val p = unsealedPlan(graft.analytics.PipelineQueries.bloomAdvisorOf(docsDf, seal = false))
     assert(!p.contains("windowspecdefinition"), s"no windows:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     // The catalog-sized sizing frame rides broadcasts into the member

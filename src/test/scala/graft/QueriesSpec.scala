@@ -3997,6 +3997,57 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == Seq(0L, 1L), s"store must hold exactly the surviving docs: $got")
   }
 
+  test("q316 distance card: exact interpolation on planted neighborhood sums") {
+    // v = 4 nodes, N(0) = 4000 exact; planted cumulative estimates
+    // N(1..3) = 8000/14000/16000 milli-pairs. τ=0.5 crosses exactly AT
+    // N(1) → eff50 = 1.000 hops; τ=0.9 interpolates 1/5 into round 3
+    // (144e6 target, 140e6 at t=2, Δ=20e6) → eff90 = 2.200 hops.
+    val stats = Seq(
+      (1L, 4L, BigInt(8000), 3000L),
+      (2L, 4L, BigInt(14000), 4000L),
+      (3L, 4L, BigInt(16000), 4000L))
+    val got = graft.analytics.PipelineQueries.hyperBallDistanceOf(spark, stats)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 4L, 8000L, 4000L, 5000L, 1000L, 2200L),
+      (2L, 4L, 14000L, 6000L, 8750L, 1000L, 2200L),
+      (3L, 4L, 16000L, 2000L, 10000L, 1000L, 2200L)), s"got $got")
+  }
+
+  test("q316 degenerate: a target at or below N(0) reads effective diameter 0") {
+    // N(T) = 4400: τ=0.5 target 22e6 ≤ N(0)·10⁴ = 40e6 → eff50 = 0;
+    // τ=0.9 target 39.6e6 ≤ 40e6 → eff90 = 0 too (everything is within
+    // distance 0 at the τ mass — an (almost) edgeless graph).
+    val stats = Seq((1L, 4L, BigInt(4400), 1100L))
+    val got = graft.analytics.PipelineQueries.hyperBallDistanceOf(spark, stats)
+      .collect().map(r => (r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq((0L, 0L)), s"got $got")
+  }
+
+  test("q317 curation DAG: measured incremental costs and the store-content audit") {
+    val got = graft.analytics.PipelineQueries
+      .curationDagAudit(spark, TestSpark.SfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    assert(got.map(_._1) == Seq("1_score", "2_signature", "3_admission"), s"got $got")
+    val Seq(s1, s2, s3) = got
+    // The shared edit touched exactly 1 of 3 partitions in both
+    // digest-diffed stores; the admission store rewrites its 4 waves.
+    assert(s1._5 == 1L && s2._5 == 1L && s3._5 == 4L, s"resynced drift: $got")
+    // Signature-store content audit: stored band rows of the edited
+    // partition must equal a fresh re-derivation (symmetric diff 0).
+    assert(s2._4 == 0L, s"stale signature store: ${s2._4} divergent band rows")
+    // DAG narrows monotonically: gate ≤ corpus; admitted ≤ entering vectors.
+    assert(s2._2 <= s1._2 && s3._3 <= s3._2, s"DAG widened: $got")
+    // The signature store signs every corpus doc, 48 bands each.
+    assert(s2._3 == s1._2 * 48L, s"sig row count drift: $got")
+  }
+
   private val mayBeEmpty = Set.empty[String]
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -614,6 +614,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(published(corpusA) == Seq((0L, 1L), (0L, 201L), (1L, 6L), (2L, 8L)))
   }
 
+  test("q200 lifecycle: ingest auto-compacts past the delta threshold; replay stays idempotent") {
+    // Round-10 verdict #3: compaction existed only as a separately-invoked
+    // operator, so a long-running ingest accumulated one store partition
+    // per batch. The ingest now folds the store itself once the deltas not
+    // covered by the base manifest reach `autoCompactDeltas`.
+    val work = java.nio.file.Files.createTempDirectory("graft_fuzzy_autocompact").toString
+    val corpus = s"$work/corpus"
+    Seq((100L, "p q r s", -1L)).toDF("doc_id", "text", "batch_id")
+      .write.partitionBy("batch_id").parquet(corpus)
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val basePath = new org.apache.hadoop.fs.Path(s"$corpus/_fuzzy_sigs/_base")
+    def manifest = graft.dedup.IncrementalDedup.readStateFile(
+      fs, s"$corpus/_fuzzy_sigs", "_base_manifest")
+    // Threshold 3 through the STREAMING wrapper: after stream batch 0 the
+    // store holds {-1, 0} (2 residual deltas → below threshold, no base);
+    // after stream batch 1 it holds 3 → the ingest compacts itself.
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = graft.dedup.IncrementalDedup.streamingFuzzyIngest(
+      ms.toDF().toDF("doc_id", "text"), corpus, s"$work/_ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      autoCompactDeltas = 3)
+    ms.addData(Seq((1L, "x y z w")))
+    q.processAllAvailable()
+    assert(!fs.exists(basePath), "compacted below threshold")
+    ms.addData(Seq((4L, "a b c d")))
+    q.processAllAvailable(); q.stop()
+    assert(fs.exists(basePath), "threshold crossed but no auto-compaction ran")
+    assert(manifest.keySet == Set(-1L, 0L, 1L), s"manifest covers $manifest")
+    // The base serves the next batch's probes: doc 5 twins the batch-0
+    // survivor (dropped via the BASE read), doc 6 is fresh.
+    val b2 = Seq((5L, "x y z w"), (6L, "f g h i")).toDF("doc_id", "text")
+    graft.dedup.IncrementalDedup.fuzzyIngestBatch(b2, corpus, 2L)
+    def published = spark.read.parquet(corpus).where(col("batch_id") >= 0)
+      .select(col("batch_id").cast("long"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(published == Seq((0L, 1L), (1L, 4L), (2L, 6L)))
+    // Replay of batch 2 against the compacted store: identical survivors,
+    // and the base manifest is still honored (batch 2 is a residual delta,
+    // not an invalidation).
+    graft.dedup.IncrementalDedup.fuzzyIngestBatch(b2, corpus, 2L)
+    assert(published == Seq((0L, 1L), (1L, 4L), (2L, 6L)))
+    assert(manifest.keySet == Set(-1L, 0L, 1L))
+  }
+
   test("q200 replay guard: a zero-survivor replay clears the stale partition") {
     // Round-6 advice: DPO writes no partition for an empty frame, so a
     // replay that legitimately derives zero survivors (the corpus grew

@@ -63,9 +63,12 @@ trait PipelineQueriesP4 { this: PipelineQueries.type =>
       docs.write.partitionBy("batch_id").parquet(corpus)
       val score = (slice: DataFrame) => classifierDocScores(slice)
         .select(col("doc_id"), col("pred_class"), col("margin"))
-      // Seed all stores on the pristine corpus.
+      // Seed all stores on the pristine corpus. The signature seed is a
+      // plain sync (per-batch partitions only); the base fold happens at
+      // the RE-sync below, so the probe path exercises base + residual
+      // routing without paying two full base rewrites.
       graft.operators.ScoreStore.sync(spark, corpus, score, partPrefix = "batch_id=")
-      IncrementalDedup.compactSigStore(spark, corpus)
+      IncrementalDedup.syncSigStore(spark, corpus, "doc_id", "text")
       val fs = new org.apache.hadoop.fs.Path(corpus)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def states(): (Map[Long, String], Map[Long, String]) = (

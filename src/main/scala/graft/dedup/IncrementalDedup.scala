@@ -451,7 +451,7 @@ object IncrementalDedup {
     * that cleared a partition) is caught structurally instead of
     * trusted away. Driver work is one directory listing; cluster work is
     * signing only the stale slices. */
-  private def syncSigStore(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def syncSigStore(spark: org.apache.spark.sql.SparkSession,
       corpusDir: String, idCol: String, textCol: String): Unit = {
     import org.apache.hadoop.fs.Path
     val cp = new Path(corpusDir)

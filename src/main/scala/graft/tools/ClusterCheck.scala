@@ -131,7 +131,17 @@ object ClusterCheck {
     // RegMaxAggregator's packed 64-byte buffers must serialize, combine
     // map-side, and merge across real executor JVMs; its copy-on-write
     // reduce exists precisely because of typed-aggregate buffer sharing).
-    "q314_hyperball")
+    "q314_hyperball",
+    // Round-11 additions: the effective-diameter card (q316 — shares
+    // q314's memoized propagation, so one session must serve BOTH cards
+    // from one register build across real executors; its estimator
+    // lambda's hoisted-constants fix is exactly a closure-serialization
+    // regression this check would catch), and the multi-store curation
+    // DAG (q317 — score/signature/admission stores seeded, edited, and
+    // re-synced with executor-JVM writers; the digest diffs and the
+    // edited-partition content audit must hold when partition slices
+    // are produced by separate processes).
+    "q316_hyperball_distance", "q317_curation_dag")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

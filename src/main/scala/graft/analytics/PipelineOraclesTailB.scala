@@ -2554,6 +2554,22 @@ trait PipelineOraclesTailB { this: PipelineQueries.type =>
          |  CAST(${graft.similarity.SemDedup.OnlineBatches} AS BIGINT) FROM st3
          |ORDER BY stage""".stripMargin
     },
+    // q318: the same register replay; harmonic centrality telescopes over
+    // the per-node ball estimates — Σ_t (e_t − e_{t−1}) // t with
+    // e_0 = 1000 exact; ball growth is register-monotone so every delta
+    // is ≥ 0 and `//` matches the engine's floor `div`.
+    "q318_harmonic_centrality" -> {
+      val harmonic = (1 to HbRounds)
+        .map(t => s"(e$t.est - ${if (t == 1) "1000" else s"e${t - 1}.est"}) // $t")
+        .mkString(" + ")
+      val joins = (2 to HbRounds).map(t => s"JOIN e$t USING (node)").mkString(" ")
+      s"""$hyperBallOracleCtes
+         |SELECT e1.node AS node, CAST(e1.est AS BIGINT) AS ball1_milli,
+         |  CAST(e$HbRounds.est AS BIGINT) AS ball${HbRounds}_milli,
+         |  CAST($harmonic AS BIGINT) AS harmonic_milli
+         |FROM e1 $joins
+         |ORDER BY harmonic_milli DESC, node LIMIT $HcTopK""".stripMargin
+    },
     // q315: the sizing literal, the next-pow2 bin() idiom, the k·|docs|
     // member positions, and the 1000-probe verdicts replay 1:1.
     "q315_bloom_advisor" -> {

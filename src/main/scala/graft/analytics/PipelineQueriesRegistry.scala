@@ -291,21 +291,22 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
     * quadratic in the ball size — that is the entire point. */
   def hyperBall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    hyperBallMemo(spark, dir)
+    hyperBallMemo(spark, dir)._1
       .map { case (t, n, s, mx) => (t, n, (s / n).toLong, mx) }
       .toDF("t", "n_nodes", "avg_ball_milli", "max_ball_milli")
       .orderBy(col("t"))
   }
 
   /** One register propagation per (session, dir), shared by q314 (the
-    * neighborhood-function card) and q316 (the distance-distribution /
-    * effective-diameter payoff) — the q304/q308/q312 LM-memo rule applied
-    * to the graph side: the expensive thing is the per-round ball merge,
-    * and both cards are driver-side folds of the same per-round stats. */
+    * neighborhood-function card), q316 (the distance-distribution /
+    * effective-diameter payoff) and q318 (harmonic centrality) — the
+    * q304/q308/q312 LM-memo rule applied to the graph side: the expensive
+    * thing is the per-round ball merge, and all three cards are
+    * driver-side folds of the one pass's collected outputs. */
   private[graft] def hyperBallMemo(spark: SparkSession,
-      dir: String): Seq[(Long, Long, BigInt, Long)] =
-    graft.SessionMemo.memo(spark, s"hyperball_stats:$dir")(
-      hyperBallStatsOf(coPurchaseEdges(spark, dir)))
+      dir: String): (Seq[(Long, Long, BigInt, Long)], Seq[(Long, Long, Long, Long)]) =
+    graft.SessionMemo.memo(spark, s"hyperball_core:$dir")(
+      hyperBallCoreOf(coPurchaseEdges(spark, dir)))
 
   /** q314 card rendered from [[hyperBallStatsOf]] — kept for the specs
     * that drive planted edge frames. */
@@ -318,10 +319,20 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
       .orderBy(col("t"))
   }
 
-  /** Per-round HyperBall stats: (t, n_nodes, Σ est_ball_milli, max) — the
-    * sum rides DECIMAL(38,0)/BigInt (node-count × ball-size products pass
-    * BIGINT at web scale; the oracle's HUGEINT matches). */
-  private[graft] def hyperBallStatsOf(edges: DataFrame): Seq[(Long, Long, BigInt, Long)] = {
+  private[graft] def hyperBallStatsOf(edges: DataFrame): Seq[(Long, Long, BigInt, Long)] =
+    hyperBallCoreOf(edges)._1
+
+  /** q318 top-k size, shared with the oracle. */
+  private[graft] val HcTopK = 20
+
+  /** Per-round HyperBall stats — (t, n_nodes, Σ est_ball_milli, max), the
+    * sum riding DECIMAL(38,0)/BigInt (node-count × ball-size products pass
+    * BIGINT at web scale; the oracle's HUGEINT matches) — PLUS the q318
+    * harmonic-centrality top-[[HcTopK]] rows
+    * (node, ball1_milli, ballT_milli, harmonic_milli), both collected from
+    * ONE propagation. */
+  private[graft] def hyperBallCoreOf(
+      edges: DataFrame): (Seq[(Long, Long, BigInt, Long)], Seq[(Long, Long, Long, Long)]) = {
     import graft.functions.PortableHashFunctions.md5_token_hashes
     val spark = edges.sparkSession
     import spark.implicits._
@@ -356,6 +367,7 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
       .toDF("node", "regs")
       .persist(MD)
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](sym, r0)
+    val estFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var reg = r0
     val cards = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, BigInt, Long)]
     for (t <- 1 to HbRounds) {
@@ -376,13 +388,18 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
       // on a trait, and a member reference inside the executor lambda
       // would capture the (non-serializable) object as `this`.
       val (hbK, hbBuckets, hbAlpha) = (HbK, HbBuckets, HbAlphaM2Milli)
-      val est = next.as[(Long, Array[Byte])].map { case (_, regs) =>
+      // Per-node estimates, node KEPT (q318 joins the rounds per node);
+      // persisted — the round card and the centrality join both read it.
+      val est = next.as[(Long, Array[Byte])].map { case (node, regs) =>
         var fill = 0L
         var i = 0
         while (i < m) { fill += (1L << hbK) - (1L << (hbK - regs(i))); i += 1 }
         val s = (hbBuckets << hbK) - fill
-        ((BigInt(hbAlpha) * (BigInt(1) << hbK)) / s).toLong
-      }.toDF("est_milli")
+        (node, ((BigInt(hbAlpha) * (BigInt(1) << hbK)) / s).toLong)
+      }.toDF("node", "est_milli")
+        .persist(MD)
+      cached += est
+      estFrames += est
       // Cards are 3 rows of scalars — collect eagerly (the q274 rule) so
       // the round caches can be dropped and the rendered frames are
       // literal with no surviving iteration lineage.
@@ -394,8 +411,51 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
         BigInt(row.getDecimal(1).toBigInteger), row.getLong(2)))
       reg = next
     }
+    // q318 harmonic centrality from the SAME pass: per node,
+    // Σ_t (|B(v,t)| − |B(v,t−1)|) div t with |B(v,0)| = 1000 exact —
+    // Boldi & Vigna's "Axioms for centrality" estimator, in the integer
+    // milli fixed point the rounds already carry (ball growth is
+    // register-monotone, so every delta is ≥ 0 and floor division
+    // matches DuckDB's `//`). Plan shape: HbRounds node-keyed hash joins
+    // of |V|-row persisted frames + a TakeOrdered top-k — never a global
+    // sort. Collected eagerly so the round caches can drop.
+    val joined = estFrames.zipWithIndex
+      .map { case (f, i) => f.withColumnRenamed("est_milli", s"e${i + 1}") }
+      .reduce(_.join(_, "node"))
+    val harmonic = (1 to HbRounds)
+      .map(t => s"(e$t - ${if (t == 1) "1000L" else s"e${t - 1}"}) div ${t}L")
+      .mkString(" + ")
+    val topRows = joined
+      .withColumn("harmonic_milli", expr(harmonic))
+      .orderBy(col("harmonic_milli").desc, col("node"))
+      .limit(HcTopK)
+      .select(col("node"), col("e1"), col(s"e$HbRounds"), col("harmonic_milli"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
     cached.foreach(_.unpersist(blocking = false))
-    cards.toSeq
+    (cards.toSeq, topRows)
+  }
+
+  /** Harmonic centrality top-[[HcTopK]] (q318) — the PER-NODE payoff of
+    * the q314 registers (q316 is the graph-level one): harmonic
+    * centrality H(v) = Σ_{u≠v} 1/d(u,v) telescopes over ball sizes as
+    * Σ_t (|B(v,t)| − |B(v,t−1)|)/t, so the HLL ball estimates give every
+    * node's centrality in the SAME propagation that q314/q316 already
+    * pay for — exactly why Boldi & Vigna built HyperBall ("In-Core
+    * Computation of Geometric Centralities with HyperBall", 2013). The
+    * card is the top-[[HcTopK]] most central co-purchase parts with
+    * their t=1 and t=[[HbRounds]] ball estimates.
+    *
+    * Scale shape: rides [[hyperBallMemo]] (one propagation per session ×
+    * dir, shared with q314/q316); the centrality fold is HbRounds
+    * node-keyed joins of |V|-row frames and a TakeOrdered top-k — no
+    * global sort, nothing quadratic. */
+  def harmonicCentrality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hyperBallMemo(spark, dir)._2
+      .toDF("node", "ball1_milli", s"ball${HbRounds}_milli", "harmonic_milli")
+      .orderBy(col("harmonic_milli").desc, col("node"))
   }
 
   /** Effective-diameter / distance-distribution card (q316) — the
@@ -418,7 +478,7 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
     * Scale shape: everything beyond the memoized q314 propagation is
     * driver arithmetic on HbRounds+1 scalars. */
   def hyperBallDistance(spark: SparkSession, dir: String): DataFrame =
-    hyperBallDistanceOf(spark, hyperBallMemo(spark, dir))
+    hyperBallDistanceOf(spark, hyperBallMemo(spark, dir)._1)
 
   private[graft] def hyperBallDistanceOf(spark: SparkSession,
       stats: Seq[(Long, Long, BigInt, Long)]): DataFrame = {
@@ -786,7 +846,8 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
     "q314_hyperball" -> (hyperBall _),
     "q315_bloom_advisor" -> (bloomAdvisor _),
     "q316_hyperball_distance" -> (hyperBallDistance _),
-    "q317_curation_dag" -> (curationDagAudit _))
+    "q317_curation_dag" -> (curationDagAudit _),
+    "q318_harmonic_centrality" -> (harmonicCentrality _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 

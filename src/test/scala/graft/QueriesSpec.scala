@@ -3997,6 +3997,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == Seq(0L, 1L), s"store must hold exactly the surviving docs: $got")
   }
 
+  test("q318 harmonic centrality: on K3 all nodes tie and the telescoping collapses to round 1") {
+    import spark.implicits._
+    // Complete triangle: every ball saturates at t = 1, so the t ≥ 2
+    // deltas are zero and H(v) = |B(v,1)| − |B(v,0)| = e1 − 1000 for
+    // every node; the top-k is all three nodes in id order.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    val (stats, top) = graft.analytics.PipelineQueries.hyperBallCoreOf(edges)
+    assert(top.map(_._1) == Seq(1L, 2L, 3L), s"got $top")
+    val e1 = top.head._2
+    top.foreach { case (node, b1, bT, h) =>
+      assert(b1 == e1 && bT == e1, s"node $node: saturated balls must match round 1")
+      assert(h == e1 - 1000L, s"node $node: harmonic must telescope to e1 - 1000, got $h")
+    }
+    // The per-round stats are the same ones q314 renders.
+    assert(stats.map(_._2) == Seq(3L, 3L, 3L))
+  }
+
   test("q316 distance card: exact interpolation on planted neighborhood sums") {
     // v = 4 nodes, N(0) = 4000 exact; planted cumulative estimates
     // N(1..3) = 8000/14000/16000 milli-pairs. τ=0.5 crosses exactly AT

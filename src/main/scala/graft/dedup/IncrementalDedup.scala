@@ -392,8 +392,14 @@ object IncrementalDedup {
     * partition is later re-signed, removed, or republished, its digest
     * diverges from the manifest and [[readSigStore]] falls back to the
     * per-batch layout wholesale — stale bases are structurally unusable,
-    * never trusted. Write order (base, then manifest) makes a torn
-    * compaction invisible: no matching manifest, no base reads. */
+    * never trusted. Write order (invalidate manifest, rewrite base,
+    * publish manifest) makes a torn compaction invisible: the FIRST act
+    * is deleting the standing manifest, because on a RE-compaction the
+    * old manifest's digests stay valid (the folded batches didn't
+    * change) while `mode(overwrite)` has already razed the old base — a
+    * crash mid-rewrite would otherwise leave a digest-valid manifest
+    * pointing at a partial base (round-11 advice #1). Belt and braces,
+    * [[baseValid]] also demands the base write's own `_SUCCESS`. */
   def compactSigStore(spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     syncSigStore(spark, corpusDir, idCol, textCol)
@@ -401,6 +407,7 @@ object IncrementalDedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val state = readState(fs, corpusDir)
     if (state.isEmpty) return
+    fs.delete(new org.apache.hadoop.fs.Path(sigDir(corpusDir), BaseManifest), false)
     spark.read.schema(SigSchema).parquet(sigDir(corpusDir))
       .repartition(col("band_idx"))
       .sortWithinPartitions(col("band_idx"), col("band_key"))
@@ -408,6 +415,20 @@ object IncrementalDedup {
       .parquet(baseDir(corpusDir))
     writeStateFile(fs, sigDir(corpusDir), BaseManifest, state)
   }
+
+  /** The one condition under which a probe may serve the compacted base:
+    * a manifest exists, every folded batch's digest still matches the
+    * synced state, AND the base rewrite itself committed (`_SUCCESS`) —
+    * the last clause catches torn rewrites and external truncation that
+    * the digest scheme alone cannot see (the folded batches' digests
+    * don't change when the BASE is damaged). Shared by [[readSigStore]]
+    * and [[residualDeltaCount]] so the probe path and the auto-compaction
+    * trigger can never disagree about staleness. */
+  private def baseValid(fs: org.apache.hadoop.fs.FileSystem, corpusDir: String,
+      state: Map[Long, String], manifest: Map[Long, String]): Boolean =
+    manifest.nonEmpty &&
+      manifest.forall { case (b, d) => state.get(b).contains(d) } &&
+      fs.exists(new org.apache.hadoop.fs.Path(baseDir(corpusDir), "_SUCCESS"))
 
   /** The standing store a probe reads: the compacted base when its
     * manifest matches the current synced digests, plus the per-batch
@@ -422,8 +443,7 @@ object IncrementalDedup {
     val manifest = readStateFile(fs, sigDir(corpusDir), BaseManifest)
     if (manifest.isEmpty) return deltas
     val state = readState(fs, corpusDir)
-    val valid = manifest.forall { case (b, d) => state.get(b).contains(d) }
-    if (!valid) deltas
+    if (!baseValid(fs, corpusDir, state, manifest)) deltas
     else {
       val base = spark.read.parquet(baseDir(corpusDir))
         .select(col("sid"), col("band_idx").cast("int").as("band_idx"),
@@ -491,9 +511,8 @@ object IncrementalDedup {
       corpusDir: String): Int = {
     val state = readState(fs, corpusDir)
     val manifest = readStateFile(fs, sigDir(corpusDir), BaseManifest)
-    val valid = manifest.nonEmpty &&
-      manifest.forall { case (b, d) => state.get(b).contains(d) }
-    if (!valid) state.size else (state.keySet -- manifest.keySet).size
+    if (!baseValid(fs, corpusDir, state, manifest)) state.size
+    else (state.keySet -- manifest.keySet).size
   }
 
   def fuzzyIngestBatch(batch: DataFrame, corpusDir: String, batchId: Long,

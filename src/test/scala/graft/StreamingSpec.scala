@@ -659,6 +659,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(manifest.keySet == Set(-1L, 0L, 1L))
   }
 
+  test("q256 torn compaction: a base without _SUCCESS is never trusted and self-heals") {
+    // Round-11 advice #1: compactSigStore used to overwrite the base while
+    // the previous manifest was still on disk and still digest-valid (the
+    // FOLDED batches' digests don't change when the base is razed), so a
+    // crash mid-rewrite left probes trusting a partial base. The fix is
+    // twofold — the manifest is deleted BEFORE the base rewrite, and the
+    // read path additionally requires the base write's own _SUCCESS. This
+    // drives the second clause: a committed store whose base loses its
+    // _SUCCESS (the observable state of a torn rewrite) must route probes
+    // to the per-batch layout, keep survivors identical, and let the next
+    // ingest's auto-compaction repair the base.
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_sig_torn_spec").toString + "/corpus"
+    Seq((100L, "p q r s", -1L)).toDF("doc_id", "text", "batch_id")
+      .write.partitionBy("batch_id").parquet(corpus)
+    graft.dedup.IncrementalDedup.fuzzyIngestBatch(
+      Seq((1L, "x y z w")).toDF("doc_id", "text"), corpus, 0L)
+    graft.dedup.IncrementalDedup.compactSigStore(spark, corpus)
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val success = new org.apache.hadoop.fs.Path(s"$corpus/_fuzzy_sigs/_base/_SUCCESS")
+    assert(fs.exists(success), "compaction committed a base")
+    fs.delete(success, false) // the torn-rewrite observable
+    // Doc 5 twins the batch-0 survivor: it must still drop — via the
+    // per-batch fallback, never the damaged base. Doc 6 is fresh.
+    graft.dedup.IncrementalDedup.fuzzyIngestBatch(
+      Seq((5L, "x y z w"), (6L, "a b c d")).toDF("doc_id", "text"), corpus, 1L,
+      autoCompactDeltas = 2)
+    val published = spark.read.parquet(corpus).where(col("batch_id") >= 0)
+      .select(col("batch_id").cast("long"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(published == Seq((0L, 1L), (1L, 6L)))
+    // An invalid base counts the WHOLE store as residual (3 ≥ threshold 2),
+    // so the same ingest re-compacted: base committed again, manifest
+    // covering every batch.
+    assert(fs.exists(success), "auto-compaction repaired the torn base")
+    assert(graft.dedup.IncrementalDedup.readStateFile(
+      fs, s"$corpus/_fuzzy_sigs", "_base_manifest").keySet == Set(-1L, 0L, 1L))
+  }
+
   test("q200 replay guard: a zero-survivor replay clears the stale partition") {
     // Round-6 advice: DPO writes no partition for an empty frame, so a
     // replay that legitimately derives zero survivors (the corpus grew

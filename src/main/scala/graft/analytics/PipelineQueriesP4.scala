@@ -118,9 +118,12 @@ trait PipelineQueriesP4 { this: PipelineQueries.type =>
         .join(survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
       val admitted = graft.similarity.SemDedup.committedAdmission(
         spark, emb, "vec_id", "embedding", s"$work/admitted")
-      // Card scalars — every aggregate is store- or catalog-bounded.
-      val nDocs = scores.count()
-      val marginSum = scores.agg(sum(col("margin"))).head().getLong(0)
+      // Card scalars — every aggregate is store- or catalog-bounded, and
+      // the scalars that share a frame share an ACTION (round-11 verdict
+      // #4: the card used to spend ~9 jobs where 6 carry it).
+      val scoreRow = scores
+        .agg(count(lit(1)), coalesce(sum(col("margin")), lit(0L))).head()
+      val (nDocs, marginSum) = (scoreRow.getLong(0), scoreRow.getLong(1))
       val nGated = gated.count()
       val nSigRows = sigs.count()
       // Stage-2 content audit: the stored band rows of the EDITED
@@ -129,7 +132,10 @@ trait PipelineQueriesP4 { this: PipelineQueries.type =>
       // band-key VALUES are engine-internal (xxhash64 token hashes, by
       // design — MinHashExpressions.scala:20), so the oracle pins the
       // audit's verdict (the literal 0), not the keys; at production
-      // scale this audit costs exactly the touched partition.
+      // scale this audit costs exactly the touched partition. Both sides
+      // feed both exceptAll directions, so they persist for the one
+      // unioned count (round-11 verdict #4: unpersisted, each lineage
+      // used to execute twice).
       val derived1 = spark.read.parquet(corpus)
         .where(col("batch_id") === 1L)
         .select(col("doc_id").cast("long").as("sid"),
@@ -137,13 +143,22 @@ trait PipelineQueriesP4 { this: PipelineQueries.type =>
             sort_array(array_distinct(graft.text.TextAnalysis.tokens(col("text")))),
             graft.dedup.IncrementalDedup.FuzzyParams))
             .as(Seq("band_idx", "band_key")))
+        .persist()
       val stored1 = sigs.where(col("batch_id") === 1L)
         .select(col("sid"), col("band_idx"), col("band_key"))
+        .persist()
       val sigChecksum =
-        stored1.exceptAll(derived1).count() + derived1.exceptAll(stored1).count()
+        stored1.exceptAll(derived1).union(derived1.exceptAll(stored1)).count()
       val nEmb = emb.count()
       val admRow = admitted.agg(count(lit(1)), coalesce(sum(col("vec_id")), lit(0L))).head()
-      Seq(scores, gated, sigs, survivors).foreach(_.unpersist(blocking = false))
+      Seq(scores, gated, sigs, survivors, derived1, stored1)
+        .foreach(_.unpersist(blocking = false))
+      // Every scalar is collected and the rendered card is a literal
+      // frame, so the session-lifetime store scaffolding can go now
+      // (round-11 advice #4: one leaked temp tree per session × dir).
+      new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(work), true)
       import spark.implicits._
       Seq(
         ("1_score", nDocs, nDocs, marginSum, resynced(score0, score1)),

@@ -496,9 +496,19 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
             ((nt(t) - nt(t - 1)) * 10000)).toLong
       }
     val (e50, e90) = (eff(5000L), eff(9000L))
+    // The pair sums are carried as BigInt precisely because Σ est_milli
+    // passes BIGINT at web scale; emitting them as BIGINT columns must
+    // then fail LOUDLY past Long range (DuckDB's CAST(HUGEINT AS BIGINT)
+    // raises; Scala's toLong silently wraps — round-11 advice #2), so the
+    // narrowing is guarded. |V| ≲ 3·10⁹ keeps every N(t) < 2⁶³ at milli
+    // scale; past that the card's columns need DECIMAL(38,0).
+    def milliLong(x: BigInt): Long = {
+      require(x.isValidLong, s"pair-count milli fixed point overflows BIGINT: $x")
+      x.toLong
+    }
     stats.indices.map { i =>
       val t = i + 1
-      (t.toLong, v, nt(t).toLong, (nt(t) - nt(t - 1)).toLong,
+      (t.toLong, v, milliLong(nt(t)), milliLong(nt(t) - nt(t - 1)),
         (nt(t) * 10000 / nT).toLong, e50, e90)
     }.toDF("t", "n_nodes", "pairs_milli", "delta_milli", "cum_bp",
       "eff_diam50_milli", "eff_diam90_milli")

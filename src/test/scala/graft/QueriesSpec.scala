@@ -4044,6 +4044,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == Seq((0L, 0L)), s"got $got")
   }
 
+  test("q316 overflow guard: a pair sum past BIGINT fails loudly, never wraps") {
+    // Round-11 advice #2: the sums ride BigInt precisely because they
+    // pass BIGINT at web scale, and the oracle's CAST(HUGEINT AS BIGINT)
+    // raises there — Scala's toLong used to wrap silently instead. The
+    // card must now fail the same way DuckDB does.
+    val stats = Seq((1L, 4L, BigInt(Long.MaxValue) + 1, 1100L))
+    val e = intercept[IllegalArgumentException] {
+      graft.analytics.PipelineQueries.hyperBallDistanceOf(spark, stats).collect()
+    }
+    assert(e.getMessage.contains("overflows BIGINT"), s"got ${e.getMessage}")
+  }
+
   test("q317 curation DAG: measured incremental costs and the store-content audit") {
     val got = graft.analytics.PipelineQueries
       .curationDagAudit(spark, TestSpark.SfDir)

@@ -146,6 +146,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Deterministic layout pre-state (round-11 verdict #3): whether the
+    // ANN committed layouts survived since the last bench depended on
+    // whether the test suite had vacuumed the warehouse in between, which
+    // made the tombstone family's (q101/q116/q125) shuffle_bytes BIMODAL —
+    // fresh delete path vs idempotent _SUCCESS skip. Every bench now
+    // starts from zero committed ivfpq layouts, so the byte-identity
+    // channel is unimodal (always the fresh mode) and each rebuild lands,
+    // attributed, in "layout_builds" on the first query touching its tag.
+    try { graft.similarity.IvfPqIndex.vacuum(spark, Set.empty); () }
+    catch { case _: Throwable => () }
+
     // Warmup (untimed): touch EVERY table (so no timed query pays the cold
     // parquet footer/page-cache read) + exercise codegen/shuffle paths.
     try {
@@ -183,14 +194,19 @@ object Bench {
     // dispersion replays roughly double the suite's wall time, and an
     // external runner with a timeout must never lose the artifact to
     // them. Once the suite's elapsed wall crosses the budget, remaining
-    // queries run COLD-ONLY (every query always gets its first run) and
-    // the cutoff is recorded in-band as "dispersion_truncated_after" —
-    // a logged cap, never a silent one. Default 2400 s ≈ 2× the worst
-    // observed full-suite cold total at sf0.1.
+    // replays are skipped (every query always gets its first, cold run)
+    // and the FIRST query that lost replays is recorded in-band as
+    // "dispersion_skipped_from" — a logged cap, never a silent one.
+    // The budget is re-checked between individual reps (round-11 advice
+    // #5: a per-query-only check let one slow query's replays overshoot
+    // by their full cost, and the old field name "truncated_after"
+    // implied the last REPLAYED query rather than the first skipped).
+    // Default 2400 s ≈ 2× the worst observed full-suite cold total at
+    // sf0.1.
     val replayBudgetSec = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLAY_BUDGET", "2400").toDouble)
       .getOrElse(2400.0)
-    var truncatedAfter: Option[String] = None
+    var skippedFrom: Option[String] = None
     // name -> all rep timings (first = the cold run feeding "queries").
     val repTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -223,17 +239,17 @@ object Bench {
       // bus is flushed afterwards so replay stragglers can't land inside
       // the NEXT query's shuffle window.
       r.foreach { case (_, cold) =>
-        val withinBudget = (System.nanoTime() - suiteT0) / 1e9 < replayBudgetSec
-        if (!withinBudget && truncatedAfter.isEmpty) truncatedAfter = Some(name)
-        val extra =
-          if (!withinBudget) Seq.empty
-          else (2 to reps).flatMap { _ =>
+        val extra = (2 to reps).flatMap { _ =>
+          if ((System.nanoTime() - suiteT0) / 1e9 >= replayBudgetSec) {
+            if (skippedFrom.isEmpty) skippedFrom = Some(name)
+            None
+          } else
             try {
               val s0 = System.nanoTime()
               fn(spark, sfDir).count()
               Some((System.nanoTime() - s0) / 1e9)
             } catch { case _: Throwable => None }
-          }
+        }
         drainListeners(spark)
         LayoutLog.drain(); StreamLog.drain()
         repTimes(name) = cold +: extra
@@ -269,11 +285,18 @@ object Bench {
       .map { case (k, ts) => "\"" + k + "\":" + ts.sorted.apply((ts.size - 1) / 2) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val truncJson = truncatedAfter.map("\"" + _ + "\"").getOrElse("null")
+    // Cross-round HEADLINE (round-11 verdict #2): the sum of per-query
+    // minima — the host-noise floor. Cold totals ranged 394–650 s across
+    // one day on identical plans while this held at 177–216 s, so
+    // round-over-round comparisons read min_sum_sec; "value" stays the
+    // cold-run sum (it prices store/layout builds and keeps rounds ≤ 11
+    // comparable).
+    val minSum = if (repTimes.nonEmpty) repTimes.values.map(_.min).sum else 0.0
+    val skipJson = skippedFrom.map("\"" + _ + "\"").getOrElse("null")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,""" +
-        s""""bench_reps":$reps,"queries_min":$minJson,"queries_med":$medJson,""" +
-        s""""dispersion_truncated_after":$truncJson,""" +
+        s""""bench_reps":$reps,"min_sum_sec":$minSum,"queries_min":$minJson,"queries_med":$medJson,""" +
+        s""""dispersion_skipped_from":$skipJson,""" +
         s""""calibration_pre_sec":$calPre,"calibration_post_sec":$calPost,""" +
         s""""calibration_probes":$probesJson,"query_start_ms":$startMsJson,""" +
         s""""query_offset_sec":$offsetJson,"gc_ms":$gcJson,"shuffle_bytes":$shufJson,""" +

@@ -2570,6 +2570,27 @@ trait PipelineOraclesTailB { this: PipelineQueries.type =>
          |FROM e1 $joins
          |ORDER BY harmonic_milli DESC, node LIMIT $HcTopK""".stripMargin
     },
+    // q319: the same register replay; the T-truncated distance sum
+    // telescopes as Σ_t t·(e_t − e_{t−1}) with e_0 = 1000 exact, and
+    // Lin's index squares the final ball in HUGEINT before the floor
+    // division — `//` matches the engine's DECIMAL(38,0) `div`. The
+    // denominator is > 0 for every node (raw-estimator floor α·m ≈ 45.4
+    // ≫ 1.0) but the guard is replayed anyway so both engines agree by
+    // construction, not by regime.
+    "q319_lin_centrality" -> {
+      val dist = (1 to HbRounds)
+        .map(t => s"(e$t.est - ${if (t == 1) "1000" else s"e${t - 1}.est"}) * $t")
+        .mkString(" + ")
+      val joins = (2 to HbRounds).map(t => s"JOIN e$t USING (node)").mkString(" ")
+      s"""$hyperBallOracleCtes,
+         |lc AS (SELECT e1.node AS node, e$HbRounds.est AS bt, $dist AS dist
+         |  FROM e1 $joins)
+         |SELECT node, CAST(bt AS BIGINT) AS ball${HbRounds}_milli,
+         |  CAST(dist AS BIGINT) AS dist_sum_milli,
+         |  CAST(CASE WHEN dist <= 0 THEN 0 ELSE (bt * bt) // dist END AS BIGINT)
+         |    AS lin_milli
+         |FROM lc ORDER BY lin_milli DESC, node LIMIT $HcTopK""".stripMargin
+    },
     // q315: the sizing literal, the next-pow2 bin() idiom, the k·|docs|
     // member positions, and the 1000-probe verdicts replay 1:1.
     "q315_bloom_advisor" -> {

@@ -299,12 +299,14 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
 
   /** One register propagation per (session, dir), shared by q314 (the
     * neighborhood-function card), q316 (the distance-distribution /
-    * effective-diameter payoff) and q318 (harmonic centrality) — the
-    * q304/q308/q312 LM-memo rule applied to the graph side: the expensive
-    * thing is the per-round ball merge, and all three cards are
-    * driver-side folds of the one pass's collected outputs. */
+    * effective-diameter payoff), q318 (harmonic centrality) and q319
+    * (Lin centrality) — the q304/q308/q312 LM-memo rule applied to the
+    * graph side: the expensive thing is the per-round ball merge, and
+    * all four cards are driver-side folds of the one pass's collected
+    * outputs. */
   private[graft] def hyperBallMemo(spark: SparkSession,
-      dir: String): (Seq[(Long, Long, BigInt, Long)], Seq[(Long, Long, Long, Long)]) =
+      dir: String): (Seq[(Long, Long, BigInt, Long)], Seq[(Long, Long, Long, Long)],
+        Seq[(Long, Long, Long, Long)]) =
     graft.SessionMemo.memo(spark, s"hyperball_core:$dir")(
       hyperBallCoreOf(coPurchaseEdges(spark, dir)))
 
@@ -329,10 +331,13 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
     * sum riding DECIMAL(38,0)/BigInt (node-count × ball-size products pass
     * BIGINT at web scale; the oracle's HUGEINT matches) — PLUS the q318
     * harmonic-centrality top-[[HcTopK]] rows
-    * (node, ball1_milli, ballT_milli, harmonic_milli), both collected from
+    * (node, ball1_milli, ballT_milli, harmonic_milli) — PLUS the q319
+    * Lin-centrality top-[[HcTopK]] rows
+    * (node, ballT_milli, dist_sum_milli, lin_milli), all collected from
     * ONE propagation. */
   private[graft] def hyperBallCoreOf(
-      edges: DataFrame): (Seq[(Long, Long, BigInt, Long)], Seq[(Long, Long, Long, Long)]) = {
+      edges: DataFrame): (Seq[(Long, Long, BigInt, Long)], Seq[(Long, Long, Long, Long)],
+        Seq[(Long, Long, Long, Long)]) = {
     import graft.functions.PortableHashFunctions.md5_token_hashes
     val spark = edges.sparkSession
     import spark.implicits._
@@ -425,16 +430,39 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
     val harmonic = (1 to HbRounds)
       .map(t => s"(e$t - ${if (t == 1) "1000L" else s"e${t - 1}"}) div ${t}L")
       .mkString(" + ")
-    val topRows = joined
+    // q319 Lin centrality from the SAME fold: the (round-truncated)
+    // distance sum Σ_t t·(|B(v,t)| − |B(v,t−1)|) telescopes out of the
+    // same deltas (each ≥ 0 — register-monotone growth), and Lin's index
+    // |B(v,T)|² / Σd corrects closeness for reachable-set size (Boldi &
+    // Vigna's recommendation when components differ). The square rides
+    // DECIMAL(38,0) (ballT² passes BIGINT at web scale; `div` floors back
+    // to BIGINT exactly like the oracle's HUGEINT `//`); the quotient is
+    // ≤ ballT so the result column is safe. The denominator is > 0
+    // whenever a node exists (the raw m=64 estimator's floor α·m ≈ 45.4
+    // ≫ 1.0 = exact |B(v,0)|), but both engines still guard it — a 0
+    // reads as 0 centrality, never an engine-specific error.
+    val distSum = (1 to HbRounds)
+      .map(t => s"(e$t - ${if (t == 1) "1000L" else s"e${t - 1}"}) * ${t}L")
+      .mkString(" + ")
+    val scored = joined
       .withColumn("harmonic_milli", expr(harmonic))
-      .orderBy(col("harmonic_milli").desc, col("node"))
+      .withColumn("dist_sum_milli", expr(distSum))
+      .withColumn("lin_milli", expr(
+        s"CASE WHEN dist_sum_milli <= 0 THEN 0L ELSE " +
+          s"(CAST(e$HbRounds AS DECIMAL(38,0)) * e$HbRounds) div dist_sum_milli END"))
+      .persist(MD)
+    cached += scored
+    def topBy(key: String, cols: Seq[String]): Seq[(Long, Long, Long, Long)] = scored
+      .orderBy(col(key).desc, col("node"))
       .limit(HcTopK)
-      .select(col("node"), col("e1"), col(s"e$HbRounds"), col("harmonic_milli"))
+      .select(col("node") +: cols.map(col): _*)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
+    val topRows = topBy("harmonic_milli", Seq("e1", s"e$HbRounds", "harmonic_milli"))
+    val linRows = topBy("lin_milli", Seq(s"e$HbRounds", "dist_sum_milli", "lin_milli"))
     cached.foreach(_.unpersist(blocking = false))
-    (cards.toSeq, topRows)
+    (cards.toSeq, topRows, linRows)
   }
 
   /** Harmonic centrality top-[[HcTopK]] (q318) — the PER-NODE payoff of
@@ -456,6 +484,32 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
     hyperBallMemo(spark, dir)._2
       .toDF("node", "ball1_milli", s"ball${HbRounds}_milli", "harmonic_milli")
       .orderBy(col("harmonic_milli").desc, col("node"))
+  }
+
+  /** Lin centrality top-[[HcTopK]] (q319) — the CLOSENESS-family payoff
+    * of the q314 registers, completing the HyperBall card set (q314
+    * neighborhood function, q316 effective diameter, q318 harmonic, this):
+    * classic closeness 1/Σd misranks when reachable-set sizes differ, so
+    * Boldi & Vigna's survey ("Axioms for Centrality", 2014) recommends
+    * Lin's index L(v) = |B(v,T)|² / Σ_{u∈B(v,T)} d(v,u), which the ball
+    * estimates the propagation already carries yield for free: the
+    * distance sum telescopes as Σ_t t·(|B(v,t)|−|B(v,t−1)|), the same
+    * deltas q318 divides by t. T-truncated like every HyperBall quantity
+    * (distances beyond [[HbRounds]] don't contribute — disclosed; the
+    * expander saturates by round 3 anyway). Exact integer milli fixed
+    * point end to end: the square rides DECIMAL(38,0)/HUGEINT and `div`
+    * // floor-match, so the card is hash-checked, not a float claim.
+    *
+    * Scale shape: rides [[hyperBallMemo]] (one propagation per session ×
+    * dir shared by all four cards); the centrality fold reuses q318's
+    * HbRounds node-keyed joins of |V|-row persisted frames and adds two
+    * projected columns + one more TakeOrdered top-k — no global sort,
+    * nothing quadratic. */
+  def linCentrality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hyperBallMemo(spark, dir)._3
+      .toDF("node", s"ball${HbRounds}_milli", "dist_sum_milli", "lin_milli")
+      .orderBy(col("lin_milli").desc, col("node"))
   }
 
   /** Effective-diameter / distance-distribution card (q316) — the
@@ -857,7 +911,8 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
     "q315_bloom_advisor" -> (bloomAdvisor _),
     "q316_hyperball_distance" -> (hyperBallDistance _),
     "q317_curation_dag" -> (curationDagAudit _),
-    "q318_harmonic_centrality" -> (harmonicCentrality _))
+    "q318_harmonic_centrality" -> (harmonicCentrality _),
+    "q319_lin_centrality" -> (linCentrality _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 

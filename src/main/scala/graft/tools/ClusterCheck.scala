@@ -142,10 +142,10 @@ object ClusterCheck {
     // edited-partition content audit must hold when partition slices
     // are produced by separate processes).
     "q316_hyperball_distance", "q317_curation_dag",
-    // q318 rides the same memoized register core as q314/q316 — its
-    // per-node estimate join + TakeOrdered top-k must agree when the
-    // est frames live in separate executor JVMs.
-    "q318_harmonic_centrality")
+    // q318/q319 ride the same memoized register core as q314/q316 —
+    // their per-node estimate joins + TakeOrdered top-ks must agree when
+    // the est frames live in separate executor JVMs.
+    "q318_harmonic_centrality", "q319_lin_centrality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

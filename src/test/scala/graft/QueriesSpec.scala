@@ -4003,12 +4003,21 @@ class QueriesSpec extends AnyFunSuite {
     // deltas are zero and H(v) = |B(v,1)| − |B(v,0)| = e1 − 1000 for
     // every node; the top-k is all three nodes in id order.
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
-    val (stats, top) = graft.analytics.PipelineQueries.hyperBallCoreOf(edges)
+    val (stats, top, lin) = graft.analytics.PipelineQueries.hyperBallCoreOf(edges)
     assert(top.map(_._1) == Seq(1L, 2L, 3L), s"got $top")
     val e1 = top.head._2
     top.foreach { case (node, b1, bT, h) =>
       assert(b1 == e1 && bT == e1, s"node $node: saturated balls must match round 1")
       assert(h == e1 - 1000L, s"node $node: harmonic must telescope to e1 - 1000, got $h")
+    }
+    // q319 rides the same saturation: the distance sum collapses to the
+    // round-1 delta (t ≥ 2 deltas are 0) and Lin's index is
+    // e1² div (e1 − 1000) for every node — all three tied, id order.
+    assert(lin.map(_._1) == Seq(1L, 2L, 3L), s"got $lin")
+    lin.foreach { case (node, bT, ds, l) =>
+      assert(bT == e1, s"node $node: ballT must match round 1")
+      assert(ds == e1 - 1000L, s"node $node: distance sum must collapse to e1 - 1000, got $ds")
+      assert(l == e1 * e1 / (e1 - 1000L), s"node $node: lin must be e1² div dist, got $l")
     }
     // The per-round stats are the same ones q314 renders.
     assert(stats.map(_._2) == Seq(3L, 3L, 3L))

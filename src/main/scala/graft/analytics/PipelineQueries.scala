@@ -22,6 +22,7 @@ object PipelineQueries
   with PipelineQueriesP2
   with PipelineQueriesP3
   with PipelineQueriesP4
+  with PipelineQueriesGraph
   with PipelineQueriesRegistry
   with PipelineOraclesHead
   with PipelineOraclesTailA

@@ -963,38 +963,6 @@ trait PipelineQueriesP2 { this: PipelineQueries.type =>
         expr("n_unreferenced * 10000L div n_parents").as("unreferenced_bp"))
   }
 
-  /** PageRank over the purchase graph (q139) — iterative link analysis,
-    * the source-authority prior of web-corpus curation (site-level
-    * PageRank over the link graph is a standard quality signal for
-    * Common-Crawl-derived training corpora). Graph: customer ↔ part
-    * bipartite via orders⋈lineitem; 3 fixed-point iterations; top-20
-    * nodes by final rank.
-    *
-    * Scale shape: [[graft.graph.Graph]] — the degree-annotated edge list
-    * is built once per session (memoized, hash-partitioned by src,
-    * persisted); each iteration shuffles only the node-sized rank frame
-    * (the edge side reuses its cached partitioning), and the per-edge
-    * contribution is `rank div outdeg` in BIGINT micro-units, so sums are
-    * associative and the DuckDB oracle replays the exact iteration
-    * unrolled. The top-20 cut is TakeOrderedAndProject, never a global
-    * sort. */
-  def pageRankPurchases(spark: SparkSession, dir: String): DataFrame = {
-    import graft.graph.Graph
-    val symDeg = graft.SessionMemo.memo(spark, s"q139symdeg|$dir") {
-      val s = Graph.symmetricWithDegrees(
-        Graph.purchaseEdges(Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
-      s.count()
-      s
-    }
-    Graph.pageRank(symDeg)
-      .select(
-        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("part")).as("node_type"),
-        expr("node div 2").as("node_key"),
-        col("rank_fp"))
-      .orderBy(col("rank_fp").desc, col("node_type"), col("node_key"))
-      .limit(20)
-  }
-
   /** Blocked entity resolution + golden record (q140) — the record-linkage
     * pipeline every data lake runs over customer/account tables: block by
     * coarse attributes, fuzzy-match names within blocks, take the
@@ -1392,35 +1360,6 @@ trait PipelineQueriesP2 { this: PipelineQueries.type =>
         (col("n_grams_a") < col("n_grams_b") ||
           (col("n_grams_a") === col("n_grams_b") && col("id_a") < col("id_b"))))
       .orderBy(col("id_a"), col("id_b"))
-  }
-
-  /** Min-label community detection (q149) — the second iterative graph
-    * operator (q139's PageRank scores nodes; this one PARTITIONS them):
-    * three rounds of synchronous min-label propagation over the same
-    * memoized purchase graph, then the 20 largest communities. Labels are
-    * node ids and the reduction is MIN — associative, deterministic,
-    * replayed exactly by the oracle's unrolled CTEs (generated from
-    * [[graft.graph.Graph.LpIters]]). */
-  def labelCommunities(spark: SparkSession, dir: String): DataFrame = {
-    import graft.graph.Graph
-    val symDeg = graft.SessionMemo.memo(spark, s"q139symdeg|$dir") {
-      val s = Graph.symmetricWithDegrees(
-        Graph.purchaseEdges(Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
-      s.count()
-      s
-    }
-    val labels = graft.SessionMemo.memo(spark, s"q149labels|$dir") {
-      Graph.labelPropagation(symDeg)
-    }
-    labels
-      .groupBy(col("lbl"))
-      .agg(count(lit(1)).as("n_members"))
-      .select(
-        when(col("lbl") % 2 === 0, lit("customer")).otherwise(lit("part")).as("community_type"),
-        expr("lbl div 2").as("community_key"),
-        col("n_members"))
-      .orderBy(col("n_members").desc, col("community_type"), col("community_key"))
-      .limit(20)
   }
 
   /** Token-distribution concentration audit (q150) — the Zipf-shape
@@ -2297,91 +2236,6 @@ trait PipelineQueriesP2 { this: PipelineQueries.type =>
       .select(col("o_year"), col("n_name"), col("rev_u"), col("rnk"),
         expr("prev_rnk - rnk").as("rank_delta"))
       .orderBy(col("o_year"), col("rnk"))
-  }
-
-  /** Triangle census of the co-purchase graph (q177) — the standard
-    * graph-health readout (triangle count + global clustering
-    * coefficient) over the same-order part projection. Edges are the
-    * distinct within-order part pairs (the q154 incidence); triangles are
-    * counted ONCE each via degree-ordered orientation (Schank–Wagner
-    * node-iterator++): every edge points from the (deg, id)-smaller
-    * endpoint, wedges enumerate only ordered out-neighbor pairs, and a
-    * semi-join against the oriented edge set closes them. Orientation
-    * bounds wedge fan-out by the ORIENTED out-degree — O(m^1.5) total
-    * work regardless of hub nodes — where an unoriented wedge join pays
-    * Σ deg² and dies on the first whale part. The count is
-    * orientation-independent, so the DuckDB oracle replays the cheap
-    * id-ordered variant and must land on the identical integers. */
-  /** Distinct co-purchase edges (u < v), memoized per (session, dir) —
-    * shared by the q177 triangle census and the q190 degree profile, and
-    * persisted because the wedge/orientation pipeline reads it three
-    * times (a per-call persist would leak one cache entry per bench
-    * repeat — the IncrementalDedup advice-item pattern). */
-  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionMemo.memo(spark, s"q177edges|$dir") {
-      val li = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      li.alias("a")
-        .join(li.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-
-  def triangleCensus(spark: SparkSession, dir: String): DataFrame =
-    triangleCensusOf(Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
-      Some(coPurchaseEdges(spark, dir)),
-      // The oriented frame has THREE consumers (both wedge sides + the
-      // closure semi-join) — unmemoized, each re-pays the two degree
-      // joins over the edge cache.
-      o => graft.SessionMemo.memo(spark, s"q177oriented|$dir") {
-        o.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      },
-      d => graft.SessionMemo.memo(spark, s"q177deg|$dir") {
-        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
-
-  private[graft] def triangleCensusOf(orderParts: DataFrame,
-      memoEdges: Option[DataFrame] = None,
-      memoOriented: DataFrame => DataFrame = identity,
-      memoDeg: DataFrame => DataFrame = identity): DataFrame = {
-    val li = orderParts.select(col("ok"), col("pk")).distinct()
-    val edges = memoEdges.getOrElse(li.alias("a")
-      .join(li.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct())
-    // Degrees in ONE edge-cache pass (explode of both endpoints — the
-    // q195 idiom), memoized: three lineage consumers (two orientation
-    // joins + the wedge-count stats) otherwise each re-pay the build.
-    val deg = memoDeg(edges
-      .select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
-    // Orient u→v iff (deg(u), u) < (deg(v), v); carry the endpoint degree
-    // so the wedge pair can be ordered by the SAME total order.
-    val oriented = memoOriented(edges
-      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
-      .select(
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
-          .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
-          .as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt")))
-    val wedges = oriented.alias("x")
-      .join(oriented.alias("y"),
-        col("x.s") === col("y.s") &&
-          (col("x.dt") < col("y.dt") ||
-            (col("x.dt") === col("y.dt") && col("x.t") < col("y.t"))))
-      .select(col("x.t").as("b"), col("y.t").as("c"))
-    val tri = wedges
-      .join(oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-    val stats = deg.agg(
-      count(lit(1)).as("n_nodes"),
-      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-    val ecnt = edges.agg(count(lit(1)).as("n_edges"))
-    stats.crossJoin(broadcast(ecnt)).crossJoin(broadcast(tri))
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        expr("3 * n_triangles * 10000L div n_wedges").as("gcc_bp"))
   }
 
   /** CUSUM change-point scan (q178) — the classic drift detector over the

@@ -303,53 +303,6 @@ trait PipelineQueriesP3 { this: PipelineQueries.type =>
       .orderBy(col("day"))
   }
 
-  /** q195 constants, shared with the oracle generator. */
-  private[graft] val KCoreK = 3L
-  private[graft] val KCoreRounds = 3
-
-  /** k-core peeling trace (q195) — the graph-pruning primitive under
-    * community mining and graph sampling: [[KCoreRounds]] rounds of
-    * "drop nodes with degree < [[KCoreK]], keep only edges between
-    * survivors" over the shared co-purchase edge memo, emitting the
-    * surviving node/edge counts per round. Each round is one degree
-    * aggregate + two semi-joins on 8-byte keys; intermediate edge
-    * frames persist so round r reads round r−1's cache rather than
-    * re-deriving a 2^r-deep lineage (the q149 label-frame lesson). The
-    * fixed-round trace (not run-to-convergence) keeps the oracle an
-    * unrolled-CTE replay, the q139/q188 discipline. */
-  def kCorePeeling(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    var edges = coPurchaseEdges(spark, dir)
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (r <- 1 to KCoreRounds) {
-      // Degrees in ONE edge pass (explode both endpoints, not a
-      // union-of-projections that scans the cache twice); the survivor
-      // list persists because BOTH semi-joins consume it — unpersisted,
-      // each re-derived the degree aggregate (round-8: that duplication
-      // plus per-action planning on the 2^r-deep lineage was most of the
-      // 7.7 s this query cost at sf0.01).
-      val kept = edges.select(explode(array(col("u"), col("v"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= KCoreK).select(col("node"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached += kept
-      val next = edges
-        .join(kept.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(kept.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached += next
-      // Node and edge counts from ONE action over the cached frame.
-      val stats = next.select(explode(array(col("u"), col("v"))).as("n"))
-        .agg(count(lit(1)).as("ends"), countDistinct(col("n")).as("nodes")).head()
-      rows += ((r, stats.getLong(1), stats.getLong(0) / 2))
-      edges = next
-    }
-    cached.foreach(_.unpersist(blocking = false))
-    rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy(col("round"))
-  }
-
   /** Point-in-time loyalty attribution (q196) — the as-was vs as-is
     * reporting correctness every SCD2 warehouse must get right: per
     * customer a deterministic tier history (bronze until the 2nd order
@@ -720,51 +673,6 @@ trait PipelineQueriesP3 { this: PipelineQueries.type =>
       .withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec")))
     graft.similarity.Ann.topKRanked(scored, 5)
       .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** q205 constants, shared with the oracle. */
-  private[graft] val BfsHops = 3
-
-  /** k-hop reachability (q205) — breadth-first frontier expansion from
-    * the smallest part node of the co-purchase graph, [[BfsHops]]
-    * unrolled rounds: each hop is one equi-join of the (persisted,
-    * node-sized) frontier against the shared edge memo plus an anti-join
-    * against the visited set — the per-iteration shape of every
-    * distributed BFS/shortest-path job. Frontier/visited frames persist
-    * so round r never re-derives round r−1's lineage (the q149/q195
-    * lesson); counts collect as hop-sized driver rows (q86/q188
-    * emission); the oracle replays the unrolled rounds. */
-  def kHopReachability(spark: SparkSession, dir: String): DataFrame =
-    kHopReachabilityOf(spark, coPurchaseEdges(spark, dir))
-
-  private[graft] def kHopReachabilityOf(spark: SparkSession, edges: DataFrame): DataFrame = {
-    import spark.implicits._
-    // Symmetrize in ONE cache pass (explode, not union-of-projections —
-    // the union scanned the edge cache twice per frontier expansion).
-    val sym = edges.select(explode(array(
-        struct(col("u").as("s"), col("v").as("t")),
-        struct(col("v").as("s"), col("u").as("t")))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"))
-    val seed = edges.agg(min(col("u"))).head().getLong(0)
-    var frontier = Seq(seed).toDF("node")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var visited = frontier
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
-    for (hop <- 1 to BfsHops) {
-      val next = sym.join(frontier.withColumnRenamed("node", "s"), Seq("s"), "left_semi")
-        .select(col("t").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val newVisited = visited.union(next).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached += next; cached += newVisited
-      rows += ((hop, next.count(), newVisited.count()))
-      frontier = next
-      visited = newVisited
-    }
-    cached.foreach(_.unpersist(blocking = false))
-    rows.toSeq.toDF("hop", "frontier_size", "visited_size").orderBy(col("hop"))
   }
 
   /** Incremental view maintenance (q206) — the delta-join algebra under
@@ -1853,60 +1761,6 @@ trait PipelineQueriesP3 { this: PipelineQueries.type =>
       .select(col("digit"), col("n_observed"), col("n_total"),
         col("expected_bp"), col("observed_bp"), col("dev_bp"), col("chi2_x10000"))
       .orderBy(col("digit"))
-  }
-
-  /** Exact community-quality scoring (q245) — Newman modularity of the
-    * q149 min-label communities, in exact integers: for each community c
-    * the contribution Qc = (2m·E2c − Dc²) / (2m)² with E2c = internal
-    * edge-ENDPOINT count and Dc = degree sum, emitted ×10⁸ with
-    * DECIMAL(38,0) wide products (Dc² reaches (2m)² ≈ 4·10¹⁸ at graph
-    * scale — the q185/q192 discipline), plus the whole-partition total
-    * (the sum of the per-community FLOORED contributions — both engines
-    * floor identically, so the total replays exactly). This is the
-    * detector-quality readout run after every community detection: label
-    * propagation PARTITIONS the graph (q149), modularity says whether
-    * the partition means anything. Scale shape: one edge pass keyed by
-    * endpoint labels (two node-sized broadcast-able label joins over the
-    * persisted symmetric edge memo) + node-sized aggregates; the 1-row
-    * 2m scalar broadcasts back. */
-  def modularityScore(spark: SparkSession, dir: String): DataFrame = {
-    import graft.graph.Graph
-    val symDeg = graft.SessionMemo.memo(spark, s"q139symdeg|$dir") {
-      val s = Graph.symmetricWithDegrees(
-        Graph.purchaseEdges(Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
-      s.count()
-      s
-    }
-    val labels = graft.SessionMemo.memo(spark, s"q149labels|$dir") {
-      Graph.labelPropagation(symDeg)
-    }
-    modularityOf(symDeg, labels)
-  }
-
-  private[graft] def modularityOf(symDeg: DataFrame, labels: DataFrame): DataFrame = {
-    val e2 = symDeg.select(col("src"), col("dst"))
-      .join(labels.select(col("node").as("src"), col("lbl").as("la")), Seq("src"))
-      .join(labels.select(col("node").as("dst"), col("lbl").as("lb")), Seq("dst"))
-      .filter(col("la") === col("lb"))
-      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("int_endpoints"))
-    val degC = symDeg.select(col("src"), col("outdeg")).distinct()
-      .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-      .groupBy(col("lbl"))
-      .agg(sum(col("outdeg")).as("deg_sum"), count(lit(1)).as("n_members"))
-    val m2 = symDeg.agg(count(lit(1)).as("m2"))
-    val per = degC.join(e2, Seq("lbl"), "left")
-      .withColumn("int_endpoints", coalesce(col("int_endpoints"), lit(0L)))
-      .crossJoin(broadcast(m2))
-      .withColumn("q_contrib_x1e8", expr(
-        """CAST((CAST(m2 AS DECIMAL(38,0)) * int_endpoints
-          |  - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum) * 100000000
-          |  div (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)""".stripMargin))
-    val total = per.agg(sum(col("q_contrib_x1e8")).as("q_total_x1e8"))
-    per.crossJoin(broadcast(total))
-      .select(col("lbl").as("community_lbl"), col("n_members"), col("deg_sum"),
-        col("int_endpoints"), col("q_contrib_x1e8"), col("q_total_x1e8"))
-      .orderBy(col("n_members").desc, col("community_lbl"))
-      .limit(20)
   }
 
   /** Schema-evolution audit (q246) — the reference repo's own migration

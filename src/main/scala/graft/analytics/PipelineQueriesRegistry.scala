@@ -261,314 +261,6 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
       .orderBy(col("qid"))
   }
 
-  /** q314 constants, shared with the oracle: m = 64 HLL buckets, 3
-    * propagation rounds, α₆₄·m²·1000 as a DEFINED integer literal
-    * (2904.064 → 2904064 — the standard HLL bias constant; both
-    * engines use the literal, so there is no float anywhere), and the
-    * 2^56 fixed-point scale for the harmonic sum. */
-  private[graft] val HbBuckets = 64L
-  private[graft] val HbRounds = 3
-  private[graft] val HbAlphaM2Milli = 2904064L
-  private[graft] val HbK = 56
-
-  /** HyperBall neighborhood function (q314) — Boldi & Vigna 2013: the
-    * per-node ball sizes |B(v,t)| that define a graph's effective
-    * diameter are EXACTLY what cannot be computed at scale (this
-    * corpus's co-purchase graph is an expander — its 3-hop closure is
-    * already near-complete, which is why the q205 BFS runs from ONE
-    * seed), so each node carries an m=64 HLL register vector instead
-    * and the ball union becomes a per-bucket MAX — mergeable,
-    * map-side-combinable, one keyed shuffle per round. Estimates use
-    * the raw harmonic estimator in exact integer fixed point (no
-    * small-range correction — the operating regime is balls ≫ m,
-    * disclosed); the DuckDB oracle replays the registers and the
-    * estimator bit-for-bit, so the card is hash-checked. Card per
-    * round: nodes, mean and max estimated ball (milli).
-    *
-    * Scale shape: rounds cost one (node, bucket)-keyed aggregate each
-    * (≤ 64 rows per node, `partial_max` map-side); the estimate is a
-    * node-keyed fold; cards are 1-row aggregates. Nothing is ever
-    * quadratic in the ball size — that is the entire point. */
-  def hyperBall(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    hyperBallMemo(spark, dir)._1
-      .map { case (t, n, s, mx) => (t, n, (s / n).toLong, mx) }
-      .toDF("t", "n_nodes", "avg_ball_milli", "max_ball_milli")
-      .orderBy(col("t"))
-  }
-
-  /** One register propagation per (session, dir), shared by q314 (the
-    * neighborhood-function card), q316 (the distance-distribution /
-    * effective-diameter payoff), q318 (harmonic centrality) and q319
-    * (Lin centrality) — the q304/q308/q312 LM-memo rule applied to the
-    * graph side: the expensive thing is the per-round ball merge, and
-    * all four cards are driver-side folds of the one pass's collected
-    * outputs. */
-  private[graft] def hyperBallMemo(spark: SparkSession,
-      dir: String): (Seq[(Long, Long, BigInt, Long)], Seq[(Long, Long, Long, Long)],
-        Seq[(Long, Long, Long, Long)]) =
-    graft.SessionMemo.memo(spark, s"hyperball_core:$dir")(
-      hyperBallCoreOf(coPurchaseEdges(spark, dir)))
-
-  /** q314 card rendered from [[hyperBallStatsOf]] — kept for the specs
-    * that drive planted edge frames. */
-  private[graft] def hyperBallOf(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    hyperBallStatsOf(edges)
-      .map { case (t, n, s, mx) => (t, n, (s / n).toLong, mx) }
-      .toDF("t", "n_nodes", "avg_ball_milli", "max_ball_milli")
-      .orderBy(col("t"))
-  }
-
-  private[graft] def hyperBallStatsOf(edges: DataFrame): Seq[(Long, Long, BigInt, Long)] =
-    hyperBallCoreOf(edges)._1
-
-  /** q318 top-k size, shared with the oracle. */
-  private[graft] val HcTopK = 20
-
-  /** Per-round HyperBall stats — (t, n_nodes, Σ est_ball_milli, max), the
-    * sum riding DECIMAL(38,0)/BigInt (node-count × ball-size products pass
-    * BIGINT at web scale; the oracle's HUGEINT matches) — PLUS the q318
-    * harmonic-centrality top-[[HcTopK]] rows
-    * (node, ball1_milli, ballT_milli, harmonic_milli) — PLUS the q319
-    * Lin-centrality top-[[HcTopK]] rows
-    * (node, ballT_milli, dist_sum_milli, lin_milli), all collected from
-    * ONE propagation. */
-  private[graft] def hyperBallCoreOf(
-      edges: DataFrame): (Seq[(Long, Long, BigInt, Long)], Seq[(Long, Long, Long, Long)],
-        Seq[(Long, Long, Long, Long)]) = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val MD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val m = HbBuckets.toInt
-    // Pre-partitioned ON THE JOIN KEY and persisted: an InMemoryTableScan
-    // keeps its outputPartitioning, so every round's sym ⋈ reg join
-    // shuffles only the |V|-sized register side — the 2·|E| edge frame
-    // crosses the wire once for the whole query, not once per round.
-    val sym = edges.select(explode(array(
-        struct(col("u").as("s"), col("v").as("t")),
-        struct(col("v").as("s"), col("u").as("t")))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"))
-      .repartition(col("t"))
-      .persist(MD)
-    // One packed m-byte register vector per node (the [[RegMaxAggregator]]
-    // layout): a skinny (node, bucket, rho) frame shuffles |E|·m rows per
-    // round once the registers fill — measured 41 s at sf0.1 for the
-    // skinny formulation vs the packed merge whose combined partials are
-    // ≤ |V| packed rows per partition.
-    val r0 = sym.select(col("s").as("node")).distinct()
-      .select(col("node"),
-        md5_token_hashes(array(concat(col("node").cast("string"), lit(":hb"))), 60)
-          .getItem(0).as("h"))
-      .select(col("node"), expr(s"h % $HbBuckets").as("b"),
-        expr(s"CASE WHEN h div $HbBuckets = 0 THEN ${HbK - 1}L" +
-          s" ELSE ${HbK}L - length(bin(h div $HbBuckets)) END").as("r"))
-      .as[(Long, Long, Long)]
-      .map { case (node, b, r) =>
-        val regs = new Array[Byte](m); regs(b.toInt) = r.toByte; (node, regs)
-      }
-      .toDF("node", "regs")
-      .persist(MD)
-    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](sym, r0)
-    val estFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var reg = r0
-    val cards = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, BigInt, Long)]
-    for (t <- 1 to HbRounds) {
-      val next = sym.join(reg.withColumnRenamed("node", "t"), Seq("t"))
-        .select(col("s").as("node"), col("regs"))
-        .unionByName(reg)
-        .as[(Long, Array[Byte])]
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .agg(new graft.graph.RegMaxAggregator(m).toColumn.name("regs"))
-        .toDF("node", "regs")
-        .persist(MD)
-      cached += next
-      // Estimate per node in exact BigInt integer arithmetic (the raw
-      // harmonic estimator; α·m²·2^K overflows a Long by design, the
-      // oracle rides HUGEINT for the same step). The constants are
-      // hoisted to locals: since the registry split, these members live
-      // on a trait, and a member reference inside the executor lambda
-      // would capture the (non-serializable) object as `this`.
-      val (hbK, hbBuckets, hbAlpha) = (HbK, HbBuckets, HbAlphaM2Milli)
-      // Per-node estimates, node KEPT (q318 joins the rounds per node);
-      // persisted — the round card and the centrality join both read it.
-      val est = next.as[(Long, Array[Byte])].map { case (node, regs) =>
-        var fill = 0L
-        var i = 0
-        while (i < m) { fill += (1L << hbK) - (1L << (hbK - regs(i))); i += 1 }
-        val s = (hbBuckets << hbK) - fill
-        (node, ((BigInt(hbAlpha) * (BigInt(1) << hbK)) / s).toLong)
-      }.toDF("node", "est_milli")
-        .persist(MD)
-      cached += est
-      estFrames += est
-      // Cards are 3 rows of scalars — collect eagerly (the q274 rule) so
-      // the round caches can be dropped and the rendered frames are
-      // literal with no surviving iteration lineage.
-      val row = est.agg(count(lit(1)).as("n_nodes"),
-          sum(col("est_milli").cast("decimal(38,0)")).as("sum_ball_milli"),
-          max(col("est_milli")).as("max_ball_milli"))
-        .head()
-      cards += ((t.toLong, row.getLong(0),
-        BigInt(row.getDecimal(1).toBigInteger), row.getLong(2)))
-      reg = next
-    }
-    // q318 harmonic centrality from the SAME pass: per node,
-    // Σ_t (|B(v,t)| − |B(v,t−1)|) div t with |B(v,0)| = 1000 exact —
-    // Boldi & Vigna's "Axioms for centrality" estimator, in the integer
-    // milli fixed point the rounds already carry (ball growth is
-    // register-monotone, so every delta is ≥ 0 and floor division
-    // matches DuckDB's `//`). Plan shape: HbRounds node-keyed hash joins
-    // of |V|-row persisted frames + a TakeOrdered top-k — never a global
-    // sort. Collected eagerly so the round caches can drop.
-    val joined = estFrames.zipWithIndex
-      .map { case (f, i) => f.withColumnRenamed("est_milli", s"e${i + 1}") }
-      .reduce(_.join(_, "node"))
-    val harmonic = (1 to HbRounds)
-      .map(t => s"(e$t - ${if (t == 1) "1000L" else s"e${t - 1}"}) div ${t}L")
-      .mkString(" + ")
-    // q319 Lin centrality from the SAME fold: the (round-truncated)
-    // distance sum Σ_t t·(|B(v,t)| − |B(v,t−1)|) telescopes out of the
-    // same deltas (each ≥ 0 — register-monotone growth), and Lin's index
-    // |B(v,T)|² / Σd corrects closeness for reachable-set size (Boldi &
-    // Vigna's recommendation when components differ). The square rides
-    // DECIMAL(38,0) (ballT² passes BIGINT at web scale; `div` floors back
-    // to BIGINT exactly like the oracle's HUGEINT `//`); the quotient is
-    // ≤ ballT so the result column is safe. The denominator is > 0
-    // whenever a node exists (the raw m=64 estimator's floor α·m ≈ 45.4
-    // ≫ 1.0 = exact |B(v,0)|), but both engines still guard it — a 0
-    // reads as 0 centrality, never an engine-specific error.
-    val distSum = (1 to HbRounds)
-      .map(t => s"(e$t - ${if (t == 1) "1000L" else s"e${t - 1}"}) * ${t}L")
-      .mkString(" + ")
-    val scored = joined
-      .withColumn("harmonic_milli", expr(harmonic))
-      .withColumn("dist_sum_milli", expr(distSum))
-      .withColumn("lin_milli", expr(
-        s"CASE WHEN dist_sum_milli <= 0 THEN 0L ELSE " +
-          s"(CAST(e$HbRounds AS DECIMAL(38,0)) * e$HbRounds) div dist_sum_milli END"))
-      .persist(MD)
-    cached += scored
-    def topBy(key: String, cols: Seq[String]): Seq[(Long, Long, Long, Long)] = scored
-      .orderBy(col(key).desc, col("node"))
-      .limit(HcTopK)
-      .select(col("node") +: cols.map(col): _*)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSeq
-    val topRows = topBy("harmonic_milli", Seq("e1", s"e$HbRounds", "harmonic_milli"))
-    val linRows = topBy("lin_milli", Seq(s"e$HbRounds", "dist_sum_milli", "lin_milli"))
-    cached.foreach(_.unpersist(blocking = false))
-    (cards.toSeq, topRows, linRows)
-  }
-
-  /** Harmonic centrality top-[[HcTopK]] (q318) — the PER-NODE payoff of
-    * the q314 registers (q316 is the graph-level one): harmonic
-    * centrality H(v) = Σ_{u≠v} 1/d(u,v) telescopes over ball sizes as
-    * Σ_t (|B(v,t)| − |B(v,t−1)|)/t, so the HLL ball estimates give every
-    * node's centrality in the SAME propagation that q314/q316 already
-    * pay for — exactly why Boldi & Vigna built HyperBall ("In-Core
-    * Computation of Geometric Centralities with HyperBall", 2013). The
-    * card is the top-[[HcTopK]] most central co-purchase parts with
-    * their t=1 and t=[[HbRounds]] ball estimates.
-    *
-    * Scale shape: rides [[hyperBallMemo]] (one propagation per session ×
-    * dir, shared with q314/q316); the centrality fold is HbRounds
-    * node-keyed joins of |V|-row frames and a TakeOrdered top-k — no
-    * global sort, nothing quadratic. */
-  def harmonicCentrality(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    hyperBallMemo(spark, dir)._2
-      .toDF("node", "ball1_milli", s"ball${HbRounds}_milli", "harmonic_milli")
-      .orderBy(col("harmonic_milli").desc, col("node"))
-  }
-
-  /** Lin centrality top-[[HcTopK]] (q319) — the CLOSENESS-family payoff
-    * of the q314 registers, completing the HyperBall card set (q314
-    * neighborhood function, q316 effective diameter, q318 harmonic, this):
-    * classic closeness 1/Σd misranks when reachable-set sizes differ, so
-    * Boldi & Vigna's survey ("Axioms for Centrality", 2014) recommends
-    * Lin's index L(v) = |B(v,T)|² / Σ_{u∈B(v,T)} d(v,u), which the ball
-    * estimates the propagation already carries yield for free: the
-    * distance sum telescopes as Σ_t t·(|B(v,t)|−|B(v,t−1)|), the same
-    * deltas q318 divides by t. T-truncated like every HyperBall quantity
-    * (distances beyond [[HbRounds]] don't contribute — disclosed; the
-    * expander saturates by round 3 anyway). Exact integer milli fixed
-    * point end to end: the square rides DECIMAL(38,0)/HUGEINT and `div`
-    * // floor-match, so the card is hash-checked, not a float claim.
-    *
-    * Scale shape: rides [[hyperBallMemo]] (one propagation per session ×
-    * dir shared by all four cards); the centrality fold reuses q318's
-    * HbRounds node-keyed joins of |V|-row persisted frames and adds two
-    * projected columns + one more TakeOrdered top-k — no global sort,
-    * nothing quadratic. */
-  def linCentrality(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    hyperBallMemo(spark, dir)._3
-      .toDF("node", s"ball${HbRounds}_milli", "dist_sum_milli", "lin_milli")
-      .orderBy(col("lin_milli").desc, col("node"))
-  }
-
-  /** Effective-diameter / distance-distribution card (q316) — the
-    * Boldi-Vigna PAYOFF of q314's neighborhood function: N(t) = Σ_v
-    * |B(v,t)| counts the node pairs within distance t, so its per-round
-    * deltas are the graph's distance distribution and the τ-interpolated
-    * crossing of N is the effective diameter — the number that says "90%
-    * of reachable pairs sit within D hops", the expander check a
-    * co-purchase recommender or graph-sampling plan reads first. N(0) is
-    * EXACT (|V|·1000 — each node's ball at t=0 is itself); N(1..T) are
-    * the q314 estimates; the interpolation eff(τ) = (t−1) +
-    * (τ·N(T) − N(t−1)) / (N(t) − N(t−1)) runs in exact BigInt milli
-    * (floor division — DuckDB `//` matches), where t is the smallest
-    * round with N(t) ≥ τ·N(T), so the card is hash-checked, not a float
-    * claim. Emitted per round: cumulative pairs, the delta (pairs at
-    * distance exactly t), the cumulative share in bp, and the τ=0.5 /
-    * τ=0.9 effective diameters (constant columns — the card stays one
-    * frame).
-    *
-    * Scale shape: everything beyond the memoized q314 propagation is
-    * driver arithmetic on HbRounds+1 scalars. */
-  def hyperBallDistance(spark: SparkSession, dir: String): DataFrame =
-    hyperBallDistanceOf(spark, hyperBallMemo(spark, dir)._1)
-
-  private[graft] def hyperBallDistanceOf(spark: SparkSession,
-      stats: Seq[(Long, Long, BigInt, Long)]): DataFrame = {
-    import spark.implicits._
-    val v = stats.head._2
-    val nt: IndexedSeq[BigInt] = (BigInt(v) * 1000) +: stats.map(_._3).toIndexedSeq
-    val nT = nt.last
-    def eff(tauBp: Long): Long =
-      if (nt(0) * 10000 >= BigInt(tauBp) * nT) 0L
-      else {
-        val t = (1 to stats.size)
-          .find(t => nt(t) * 10000 >= BigInt(tauBp) * nT).get
-        (BigInt(t - 1) * 1000 +
-          (BigInt(tauBp) * nT - nt(t - 1) * 10000) * 1000 /
-            ((nt(t) - nt(t - 1)) * 10000)).toLong
-      }
-    val (e50, e90) = (eff(5000L), eff(9000L))
-    // The pair sums are carried as BigInt precisely because Σ est_milli
-    // passes BIGINT at web scale; emitting them as BIGINT columns must
-    // then fail LOUDLY past Long range (DuckDB's CAST(HUGEINT AS BIGINT)
-    // raises; Scala's toLong silently wraps — round-11 advice #2), so the
-    // narrowing is guarded. |V| ≲ 3·10⁹ keeps every N(t) < 2⁶³ at milli
-    // scale; past that the card's columns need DECIMAL(38,0).
-    def milliLong(x: BigInt): Long = {
-      require(x.isValidLong, s"pair-count milli fixed point overflows BIGINT: $x")
-      x.toLong
-    }
-    stats.indices.map { i =>
-      val t = i + 1
-      (t.toLong, v, milliLong(nt(t)), milliLong(nt(t) - nt(t - 1)),
-        (nt(t) * 10000 / nT).toLong, e50, e90)
-    }.toDF("t", "n_nodes", "pairs_milli", "delta_milli", "cum_bp",
-      "eff_diam50_milli", "eff_diam90_milli")
-      .orderBy(col("t"))
-  }
-
   /** q315 constants, shared with the oracle: the 1%-FPR sizing rule
     * (ln(1/p)/ln²2 = 9.5699 bits/key as the DEFINED integer literal
     * 95699/10⁴ — no float anywhere), k = 7 hash functions (the optimal

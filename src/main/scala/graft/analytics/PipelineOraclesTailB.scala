@@ -2496,17 +2496,22 @@ trait PipelineOraclesTailB { this: PipelineQueries.type =>
     },
     // q317: the whole curation DAG recomputed from first principles over
     // the FINAL corpus state (batch-1 texts edited): the q264 classifier
-    // scores + gate; the signature store's edited-partition content audit
-    // (engine: stored band rows ⊖ fresh re-derivation — the oracle pins
-    // the verdict literal 0, since the band-key VALUES are engine-internal
-    // xxhash64 by design); brute-force Jaccard standing in for the
-    // banding on the survivor set (the q200-oracle recall-exactness
-    // argument: miss prob (1−0.8⁴)⁴⁸ ≈ 10⁻¹¹); and the q254 admission
-    // CTEs over the survivor embeddings. Any store serving stale content
-    // diverges from this replay.
+    // scores + gate; the q277/q282 boilerplate model and per-doc gate
+    // (store rows = distinct (partition, source, segh) triples — the
+    // partial-aggregate layout — and the checksum = exact Σ boiler-share
+    // bp over gated docs with ≥ 1 segment); the signature store's
+    // edited-partition content audit (engine: stored band rows ⊖ fresh
+    // re-derivation — the oracle pins the verdict literal 0, since the
+    // band-key VALUES are engine-internal xxhash64 by design);
+    // brute-force Jaccard standing in for the banding on the survivor
+    // set (the q200-oracle recall-exactness argument: miss prob
+    // (1−0.8⁴)⁴⁸ ≈ 10⁻¹¹); and the q254 admission CTEs over the survivor
+    // embeddings. Any store serving stale content diverges from this
+    // replay.
     "q317_curation_dag" -> {
       val fp = graft.dedup.IncrementalDedup.FuzzyParams
       val nb = fp.bands
+      val k = BoilerSegTokens
       val jacc = "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)" +
         " / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))"
       s"""WITH d AS (SELECT doc_id, source,
@@ -2528,14 +2533,33 @@ trait PipelineOraclesTailB { this: PipelineQueries.type =>
          |st1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          |    CAST(SUM(ss[4] - ss[3]) AS BIGINT) AS margin_sum FROM p),
          |g AS (SELECT doc_id FROM p WHERE pred_class <> '${ClsClasses.head}'),
+         |ds AS (SELECT doc_id, source, ${duckH60("seg")} AS segh FROM (
+         |    SELECT doc_id, source, array_to_string(
+         |        toks[(CAST(g AS INT)*$k + 1):(CAST(g AS INT)*$k + $k)], ' ') AS seg
+         |    FROM (SELECT doc_id, source, str_split(text, ' ') AS toks FROM d),
+         |      UNNEST(range(CAST(floor(len(toks) / $k) AS BIGINT))) AS u(g))),
+         |bf AS (SELECT segh FROM ds GROUP BY segh
+         |  HAVING COUNT(DISTINCT doc_id) >= $BoilerMinDocs),
+         |pb AS (SELECT ds.doc_id,
+         |    SUM(CASE WHEN bf.segh IS NOT NULL THEN 1 ELSE 0 END) * 10000
+         |      // COUNT(*) AS boiler_bp
+         |  FROM ds JOIN g USING (doc_id) LEFT JOIN bf ON ds.segh = bf.segh
+         |  GROUP BY 1),
+         |stb AS (SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_gated,
+         |    (SELECT CAST(COUNT(*) AS BIGINT)
+         |       FROM (SELECT DISTINCT doc_id % 3, source, segh FROM ds)) AS n_boiler_rows,
+         |    CAST(COALESCE(SUM(boiler_bp), 0) AS BIGINT) AS bp_sum FROM pb),
+         |bk AS (SELECT doc_id FROM g WHERE doc_id NOT IN
+         |  (SELECT doc_id FROM pb WHERE boiler_bp >= $BoilerGateBp)),
          |t AS (SELECT doc_id, list_sort(list_distinct(str_split(text, ' '))) AS toks FROM d),
          |st2 AS (SELECT CAST(0 AS BIGINT) AS sig_checksum,
          |    (SELECT CAST(COUNT(*) * $nb AS BIGINT) FROM d) AS n_sig_rows,
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_gated),
-         |gt AS (SELECT t.doc_id, t.toks FROM t JOIN g USING (doc_id)),
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM bk) AS n_kept),
+         |gt AS (SELECT t.doc_id, t.toks FROM t JOIN bk USING (doc_id)),
          |dom AS (SELECT DISTINCT b.doc_id FROM gt a JOIN gt b
          |  ON a.doc_id < b.doc_id AND $jacc >= 0.8),
-         |sv AS (SELECT doc_id FROM g WHERE doc_id NOT IN (SELECT doc_id FROM dom)),
+         |sv AS (SELECT doc_id FROM bk WHERE doc_id NOT IN (SELECT doc_id FROM dom)),
          |es AS (SELECT e.vec_id, e.embedding FROM embeddings e
          |  JOIN sv ON sv.doc_id = e.vec_id WHERE e.embedding IS NOT NULL),
          |${onlineAdmissionCtes("es")},
@@ -2547,10 +2571,13 @@ trait PipelineOraclesTailB { this: PipelineQueries.type =>
          |SELECT '1_score' AS stage, st1.n_docs AS n_input, st1.n_docs AS n_store_rows,
          |  st1.margin_sum AS checksum, CAST(1 AS BIGINT) AS resynced_parts FROM st1
          |UNION ALL
-         |SELECT '2_signature', st2.n_gated, st2.n_sig_rows, st2.sig_checksum,
+         |SELECT '2_boiler', stb.n_gated, stb.n_boiler_rows, stb.bp_sum,
+         |  CAST(1 AS BIGINT) FROM stb
+         |UNION ALL
+         |SELECT '3_signature', st2.n_kept, st2.n_sig_rows, st2.sig_checksum,
          |  CAST(1 AS BIGINT) FROM st2
          |UNION ALL
-         |SELECT '3_admission', st3.n_emb, st3.n_adm, st3.id_sum,
+         |SELECT '4_admission', st3.n_emb, st3.n_adm, st3.id_sum,
          |  CAST(${graft.similarity.SemDedup.OnlineBatches} AS BIGINT) FROM st3
          |ORDER BY stage""".stripMargin
     },

@@ -16,42 +16,50 @@ import graft.text.TextAnalysis
   * unqualified and initialization order is exactly the old file order. */
 trait PipelineQueriesP4 { this: PipelineQueries.type =>
 
-  /** Multi-store curation DAG audit (q317; round-10 verdict #6) — the
-    * three digest-synced stores COMPOSED through one shared corpus edit,
-    * proving the incremental-store discipline holds when stores feed each
-    * other (each was previously audited alone):
+  /** Multi-store curation DAG audit (q317; round-10 verdict #6, extended
+    * round 12 with the boilerplate store — round-11 verdict #6's "every
+    * store the engine ships" option) — the FOUR digest-synced stores
+    * COMPOSED through one shared corpus edit, proving the
+    * incremental-store discipline holds when stores feed each other
+    * (each was previously audited alone):
     *
     *   corpus (3 batch partitions) → SCORE STORE (q264 classifier
-    *   sidecar) gates docs (pred_class ≠ 'chat') → SIGNATURE STORE (q200
-    *   `_fuzzy_sigs`, compacted) supplies the gated docs' band-bucket
-    *   candidates → exact-Jaccard verify on the LIVE corpus drops
-    *   lower-id-dominated docs → the survivors' embeddings run the q254
-    *   committed ADMISSION STORE.
+    *   sidecar) gates docs (pred_class ≠ 'chat') → BOILERPLATE STORE
+    *   (q277 segment partials, mounted as a SECOND sidecar on the same
+    *   corpus — the ScoreStore sidecar parameter exists for exactly
+    *   this) rejects chrome-heavy docs at the q282 gate threshold →
+    *   SIGNATURE STORE (q200 `_fuzzy_sigs`, compacted) supplies the
+    *   surviving docs' band-bucket candidates → exact-Jaccard verify on
+    *   the LIVE corpus drops lower-id-dominated docs → the survivors'
+    *   embeddings run the q254 committed ADMISSION STORE.
     *
     * Lifecycle replayed: seed all stores, EDIT batch 1 out-of-band
     * (`text || ' edited'` — the upstream-refresh event), re-sync. The
     * card reports per stage: the input size, the rows read back FROM
     * DISK, a content checksum, and the measured incremental cost
     * (partitions whose recorded digest changed across the edit — 1 of 3
-    * for both digest-diffed stores; the admission store rewrites its
+    * for all three digest-diffed stores; the admission store rewrites its
     * [[graft.similarity.SemDedup.OnlineBatches]] waves, reported
     * honestly). The oracle recomputes every number from first principles
     * over the FINAL corpus state, so ANY store trusting a stale digest
-    * breaks the hash three ways: a stale score store shifts the margin
-    * checksum AND the gate (stage-2/3 inputs); a stale signature store
-    * fails the edited-partition content audit (stored band rows ⊖ fresh
-    * re-derivation must be EMPTY — the band-key values are
-    * engine-internal xxhash64 by design, so the oracle pins the audit's
-    * verdict, and the store's dedup behavior is additionally checked
-    * through stage 3's survivor-derived inputs); and
+    * breaks the hash: a stale score store shifts the margin checksum AND
+    * the gate (downstream inputs); a stale boilerplate store shifts the
+    * exact Σ boiler-share checksum and the stage-3 input; a stale
+    * signature store fails the edited-partition content audit (stored
+    * band rows ⊖ fresh re-derivation must be EMPTY — the band-key values
+    * are engine-internal xxhash64 by design, so the oracle pins the
+    * audit's verdict, and the store's dedup behavior is additionally
+    * checked through the survivor-derived inputs); and
     * measured-but-unsynced stores break the resynced_parts column
     * against the oracle's edit-derived literal.
     *
     * Scale shape: every stage is the audited operator it chains (digest
-    * diffs are driver listings; re-scoring/re-signing touch ONE
-    * partition; candidates come bucketed from the store, verify is
-    * candidates-only; admission is cell-bounded); the card itself is
-    * 3 rows of bounded aggregates, collected via the q274 rule. */
+    * diffs are driver listings; re-scoring/re-signing/re-segmenting
+    * touch ONE partition; the boiler gate joins gated-doc segments to
+    * the broadcast boilerplate key set; candidates come bucketed from
+    * the store, verify is candidates-only; admission is cell-bounded);
+    * the card itself is 4 rows of bounded aggregates, collected via the
+    * q274 rule. */
   def curationDagAudit(spark: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.memo(spark, s"q317|$dir") {
       import graft.dedup.IncrementalDedup
@@ -68,13 +76,16 @@ trait PipelineQueriesP4 { this: PipelineQueries.type =>
       // the RE-sync below, so the probe path exercises base + residual
       // routing without paying two full base rewrites.
       graft.operators.ScoreStore.sync(spark, corpus, score, partPrefix = "batch_id=")
+      graft.operators.ScoreStore.sync(spark, corpus, segmentPartials,
+        partPrefix = "batch_id=", sidecar = "_boiler")
       IncrementalDedup.syncSigStore(spark, corpus, "doc_id", "text")
       val fs = new org.apache.hadoop.fs.Path(corpus)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def states(): (Map[Long, String], Map[Long, String]) = (
+      def states(): (Map[Long, String], Map[Long, String], Map[Long, String]) = (
         IncrementalDedup.readStateFile(fs, s"$corpus/_scores", "_partition_state"),
+        IncrementalDedup.readStateFile(fs, s"$corpus/_boiler", "_partition_state"),
         IncrementalDedup.readStateFile(fs, s"$corpus/_fuzzy_sigs", "_partition_state"))
-      val (score0, sig0) = states()
+      val (score0, boiler0, sig0) = states()
       // The shared out-of-band edit — derived from the SOURCE frame so the
       // overwrite never reads its own target.
       docs.filter(col("batch_id") === 1L)
@@ -84,8 +95,10 @@ trait PipelineQueriesP4 { this: PipelineQueries.type =>
       // Re-sync: each store's digest diff confines work to the touched
       // partition; the measured counts land on the card.
       graft.operators.ScoreStore.sync(spark, corpus, score, partPrefix = "batch_id=")
+      graft.operators.ScoreStore.sync(spark, corpus, segmentPartials,
+        partPrefix = "batch_id=", sidecar = "_boiler")
       IncrementalDedup.compactSigStore(spark, corpus)
-      val (score1, sig1) = states()
+      val (score1, boiler1, sig1) = states()
       def resynced(a: Map[Long, String], b: Map[Long, String]): Long =
         (b.count { case (k, d) => !a.get(k).contains(d) } +
           (a.keySet -- b.keySet).size).toLong
@@ -94,11 +107,34 @@ trait PipelineQueriesP4 { this: PipelineQueries.type =>
         .select(col("doc_id"), col("pred_class"), col("margin")).persist()
       val gated = scores.filter(col("pred_class") =!= ClsClasses.head)
         .select(col("doc_id")).persist()
-      // Stage 2: band-bucket candidates straight off the committed
+      // Stage 2: the boilerplate store (segment-frequency partials,
+      // second sidecar on the same corpus) rejects chrome-heavy docs at
+      // the q282 gate — per-doc share of segments whose GLOBAL document
+      // frequency (Σ of per-partition distinct counts, read from disk)
+      // clears BoilerMinDocs. Docs shorter than one segment carry no
+      // segment rows and pass trivially (the q282/q270 semantics).
+      val boiler = graft.operators.ScoreStore.read(spark, corpus, sidecar = "_boiler")
+        .persist()
+      val boilerKeys = boiler.groupBy(col("segh")).agg(sum(col("n_docs")).as("df"))
+        .filter(col("df") >= BoilerMinDocs).select(col("segh"))
+      val perDoc = docSegments(
+        spark.read.parquet(corpus)
+          .select(col("doc_id"), col("source"), col("text"))
+          .join(gated, Seq("doc_id"), "left_semi"))
+        .join(broadcast(boilerKeys.withColumn("is_b", lit(1L))), Seq("segh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
+        .select(col("doc_id"), expr("n_boiler * 10000L div n_segments").as("boiler_bp"))
+        .persist()
+      val boilerKept = gated
+        .join(perDoc.filter(col("boiler_bp") >= BoilerGateBp), Seq("doc_id"), "left_anti")
+        .persist()
+      // Stage 3: band-bucket candidates straight off the committed
       // signature store, exact-verified against the live corpus.
       val sigs = IncrementalDedup.sigStoreFrame(spark, corpus).persist()
       val gsig = sigs
-        .join(gated.select(col("doc_id").as("sid")), Seq("sid"), "left_semi")
+        .join(boilerKept.select(col("doc_id").as("sid")), Seq("sid"), "left_semi")
       val cand = gsig.select(col("band_idx"), col("band_key"), col("sid").as("id_a"))
         .join(gsig.select(col("band_idx"), col("band_key"), col("sid").as("id_b")),
           Seq("band_idx", "band_key"))
@@ -111,8 +147,8 @@ trait PipelineQueriesP4 { this: PipelineQueries.type =>
         .join(toks.select(col("doc_id").as("id_b"), col("toks").as("tb")), Seq("id_b"))
         .filter(graft.dedup.Dedup.jaccardSorted(col("ta"), col("tb")) >= 0.8)
         .select(col("id_b").as("doc_id")).distinct()
-      val survivors = gated.join(dominated, Seq("doc_id"), "left_anti").persist()
-      // Stage 3: the survivors' embeddings run the committed admission.
+      val survivors = boilerKept.join(dominated, Seq("doc_id"), "left_anti").persist()
+      // Stage 4: the survivors' embeddings run the committed admission.
       val emb = Tables.embeddings(spark, dir)
         .filter(col("embedding").isNotNull)
         .join(survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
@@ -125,8 +161,15 @@ trait PipelineQueriesP4 { this: PipelineQueries.type =>
         .agg(count(lit(1)), coalesce(sum(col("margin")), lit(0L))).head()
       val (nDocs, marginSum) = (scoreRow.getLong(0), scoreRow.getLong(1))
       val nGated = gated.count()
+      // Stage-2 scalars: store rows ON DISK, the exact Σ boiler-share
+      // checksum over gated docs (integer bp — any stale frequency moves
+      // it), and the gate's surviving count (stage-3 input).
+      val nBoilerRows = boiler.count()
+      val boilerBpSum = perDoc
+        .agg(coalesce(sum(col("boiler_bp")), lit(0L))).head().getLong(0)
+      val nBoilerKept = boilerKept.count()
       val nSigRows = sigs.count()
-      // Stage-2 content audit: the stored band rows of the EDITED
+      // Stage-3 content audit: the stored band rows of the EDITED
       // partition vs a fresh re-derivation from the live corpus —
       // symmetric difference 0 iff the store re-signed the edit. The
       // band-key VALUES are engine-internal (xxhash64 token hashes, by
@@ -151,7 +194,7 @@ trait PipelineQueriesP4 { this: PipelineQueries.type =>
         stored1.exceptAll(derived1).union(derived1.exceptAll(stored1)).count()
       val nEmb = emb.count()
       val admRow = admitted.agg(count(lit(1)), coalesce(sum(col("vec_id")), lit(0L))).head()
-      Seq(scores, gated, sigs, survivors, derived1, stored1)
+      Seq(scores, gated, boiler, perDoc, boilerKept, sigs, survivors, derived1, stored1)
         .foreach(_.unpersist(blocking = false))
       // Every scalar is collected and the rendered card is a literal
       // frame, so the session-lifetime store scaffolding can go now
@@ -162,8 +205,9 @@ trait PipelineQueriesP4 { this: PipelineQueries.type =>
       import spark.implicits._
       Seq(
         ("1_score", nDocs, nDocs, marginSum, resynced(score0, score1)),
-        ("2_signature", nGated, nSigRows, sigChecksum, resynced(sig0, sig1)),
-        ("3_admission", nEmb, admRow.getLong(0), admRow.getLong(1),
+        ("2_boiler", nGated, nBoilerRows, boilerBpSum, resynced(boiler0, boiler1)),
+        ("3_signature", nBoilerKept, nSigRows, sigChecksum, resynced(sig0, sig1)),
+        ("4_admission", nEmb, admRow.getLong(0), admRow.getLong(1),
           graft.similarity.SemDedup.OnlineBatches.toLong))
         .toDF("stage", "n_input", "n_store_rows", "checksum", "resynced_parts")
         .orderBy(col("stage"))

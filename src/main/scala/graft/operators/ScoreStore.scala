@@ -28,7 +28,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ScoreStore {
 
-  private def storeDir(corpusDir: String) = s"$corpusDir/_scores"
+  private def storeDir(corpusDir: String, sidecar: String) = s"$corpusDir/$sidecar"
   private val StateFile = "_partition_state"
 
   /** Sync the score store to mirror the corpus EXACTLY, by partition
@@ -36,35 +36,42 @@ object ScoreStore {
     * partition column) to its scored rows; it runs only for partitions
     * whose digest diverged from the recorded state — first call = full
     * seed, steady state = empty diff, out-of-band edits = exactly the
-    * touched partitions. */
+    * touched partitions. `sidecar` names the store directory (must keep
+    * the underscore prefix so corpus reads never see it) — one corpus
+    * can carry several independent digest-synced materializations (the
+    * q317 DAG mounts classifier scores AND segment partials side by
+    * side), each with its own partition state. */
   def sync(spark: SparkSession, corpusDir: String,
-      score: DataFrame => DataFrame, partPrefix: String = "part_id="): Unit = {
+      score: DataFrame => DataFrame, partPrefix: String = "part_id=",
+      sidecar: String = "_scores"): Unit = {
     import graft.dedup.IncrementalDedup.{partitionDigest, readStateFile, writeStateFile}
     import org.apache.hadoop.fs.Path
+    require(sidecar.startsWith("_"), s"sidecar must be underscore-prefixed: $sidecar")
     val cp = new Path(corpusDir)
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(cp)) return
-    fs.mkdirs(new Path(storeDir(corpusDir)))
+    fs.mkdirs(new Path(storeDir(corpusDir, sidecar)))
     val current: Map[Long, String] = fs.listStatus(cp)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partPrefix))
       .map(s => s.getPath.getName.stripPrefix(partPrefix).toLong ->
         partitionDigest(fs, s.getPath))
       .toMap
-    val prev = readStateFile(fs, storeDir(corpusDir), StateFile)
+    val prev = readStateFile(fs, storeDir(corpusDir, sidecar), StateFile)
     if (current == prev) return
     (prev.keySet -- current.keySet).foreach { b =>
-      fs.delete(new Path(storeDir(corpusDir), s"$partPrefix$b"), true); ()
+      fs.delete(new Path(storeDir(corpusDir, sidecar), s"$partPrefix$b"), true); ()
     }
     current.filter { case (b, d) => !prev.get(b).contains(d) }.keys.foreach { b =>
       val slice = spark.read.parquet(s"$corpusDir/$partPrefix$b")
       score(slice).write.mode("overwrite")
-        .parquet(s"${storeDir(corpusDir)}/$partPrefix$b")
+        .parquet(s"${storeDir(corpusDir, sidecar)}/$partPrefix$b")
     }
-    writeStateFile(fs, storeDir(corpusDir), StateFile, current)
+    writeStateFile(fs, storeDir(corpusDir, sidecar), StateFile, current)
   }
 
   /** The committed store as a frame — partition column recovered by
     * partition discovery from the directory names. */
-  def read(spark: SparkSession, corpusDir: String): DataFrame =
-    spark.read.parquet(storeDir(corpusDir))
+  def read(spark: SparkSession, corpusDir: String,
+      sidecar: String = "_scores"): DataFrame =
+    spark.read.parquet(storeDir(corpusDir, sidecar))
 }

@@ -4072,18 +4072,24 @@ class QueriesSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
       .toSeq
-    assert(got.map(_._1) == Seq("1_score", "2_signature", "3_admission"), s"got $got")
-    val Seq(s1, s2, s3) = got
-    // The shared edit touched exactly 1 of 3 partitions in both
+    assert(got.map(_._1) ==
+      Seq("1_score", "2_boiler", "3_signature", "4_admission"), s"got $got")
+    val Seq(s1, s2, s3, s4) = got
+    // The shared edit touched exactly 1 of 3 partitions in all three
     // digest-diffed stores; the admission store rewrites its 4 waves.
-    assert(s1._5 == 1L && s2._5 == 1L && s3._5 == 4L, s"resynced drift: $got")
+    assert(s1._5 == 1L && s2._5 == 1L && s3._5 == 1L && s4._5 == 4L,
+      s"resynced drift: $got")
     // Signature-store content audit: stored band rows of the edited
     // partition must equal a fresh re-derivation (symmetric diff 0).
-    assert(s2._4 == 0L, s"stale signature store: ${s2._4} divergent band rows")
-    // DAG narrows monotonically: gate ≤ corpus; admitted ≤ entering vectors.
-    assert(s2._2 <= s1._2 && s3._3 <= s3._2, s"DAG widened: $got")
+    assert(s3._4 == 0L, s"stale signature store: ${s3._4} divergent band rows")
+    // DAG narrows monotonically: score gate ≤ corpus; boiler survivors ≤
+    // gated; admitted ≤ entering vectors.
+    assert(s2._2 <= s1._2 && s3._2 <= s2._2 && s4._3 <= s4._2, s"DAG widened: $got")
     // The signature store signs every corpus doc, 48 bands each.
-    assert(s2._3 == s1._2 * 48L, s"sig row count drift: $got")
+    assert(s3._3 == s1._2 * 48L, s"sig row count drift: $got")
+    // The boiler store holds at least one partial row per source that has
+    // any ≥5-token doc, and the share checksum is a sane bp sum.
+    assert(s2._3 > 0L && s2._4 >= 0L, s"boiler store empty: $got")
   }
 
   private val mayBeEmpty = Set.empty[String]

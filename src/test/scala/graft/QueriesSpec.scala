@@ -2627,6 +2627,64 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got $got, expected $expected")
   }
 
+  test("score store sidecars: two materializations on one corpus stay independent") {
+    // Round-12 (q317 four-store DAG enabler): ScoreStore's sidecar
+    // parameter mounts several digest-synced materializations on ONE
+    // corpus — each with its own partition state, so a sync of one must
+    // never touch, rewrite, or invalidate the other.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_sidecar_spec").toString
+    val corpus = s"$work/corpus"
+    val docs = Seq(
+      (0L, "s0", "alpha beta gamma delta epsilon alpha beta gamma delta epsilon"),
+      (1L, "s0", "zeta eta theta iota kappa"),
+      (2L, "s1", "mu nu xi omicron pi"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("part_id", pmod(col("doc_id"), lit(2L)))
+    docs.write.partitionBy("part_id").parquet(corpus)
+    val score = (s: org.apache.spark.sql.DataFrame) =>
+      graft.analytics.PipelineQueries.classifierDocScores(s)
+        .select(col("doc_id"), col("pred_class"), col("margin"))
+    graft.operators.ScoreStore.sync(spark, corpus, score)
+    graft.operators.ScoreStore.sync(spark, corpus,
+      graft.analytics.PipelineQueries.segmentPartials, sidecar = "_boiler")
+    // Both sidecars committed, both readable, with independent payloads.
+    assert(graft.operators.ScoreStore.read(spark, corpus).count() == 3L)
+    val boiler = graft.operators.ScoreStore.read(spark, corpus, sidecar = "_boiler")
+    assert(boiler.columns.toSet == Set("source", "segh", "n_inst", "n_docs", "part_id"))
+    assert(boiler.count() > 0L)
+    // Corpus reads never see either sidecar.
+    assert(spark.read.parquet(corpus).count() == 3L)
+    // An out-of-band edit re-syncs each store independently: syncing the
+    // scores sidecar must leave the boiler sidecar's state STALE-aware —
+    // its own next sync still sees (and re-signs) the edit.
+    def files(p: String) = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(p)).filter(_.isFile)
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .sortBy(_._1).toSeq
+    }
+    Thread.sleep(1100) // local-fs mtime can be second-granular
+    docs.filter(col("part_id") === 1L)
+      .withColumn("text", concat(col("text"), lit(" edited")))
+      .drop("part_id").write.mode("overwrite").parquet(s"$corpus/part_id=1")
+    val boilerBefore = files(s"$corpus/_boiler/part_id=1")
+    graft.operators.ScoreStore.sync(spark, corpus, score) // scores only
+    assert(files(s"$corpus/_boiler/part_id=1") == boilerBefore,
+      "a scores sync must not touch the boiler sidecar")
+    graft.operators.ScoreStore.sync(spark, corpus,
+      graft.analytics.PipelineQueries.segmentPartials, sidecar = "_boiler")
+    assert(files(s"$corpus/_boiler/part_id=1") != boilerBefore,
+      "the boiler sidecar's own sync must still see the edit")
+    // Non-underscore sidecar names are rejected (corpus reads would see them).
+    intercept[IllegalArgumentException] {
+      graft.operators.ScoreStore.sync(spark, corpus, score, sidecar = "scores")
+    }
+    ()
+  }
+
   test("q265 repeat allocation: greedy epoch competition equals a sequential replica") {
     import spark.implicits._
     // Three sources with separated quality so the strong source's 2nd and

@@ -154,8 +154,16 @@ object Bench {
     // starts from zero committed ivfpq layouts, so the byte-identity
     // channel is unimodal (always the fresh mode) and each rebuild lands,
     // attributed, in "layout_builds" on the first query touching its tag.
+    // NonFatal only, and loudly (round-12 advice #3): if vacuum starts
+    // failing, the bimodality fix would otherwise be silently inert and
+    // the byte-identity channel would go bimodal with no trace.
     try { graft.similarity.IvfPqIndex.vacuum(spark, Set.empty); () }
-    catch { case _: Throwable => () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] WARNING: ivfpq vacuum failed — " +
+          s"layout pre-state is NOT deterministic, shuffle_bytes may go " +
+          s"bimodal: ${e.getClass.getName}: ${e.getMessage}")
+    }
 
     // Warmup (untimed): touch EVERY table (so no timed query pays the cold
     // parquet footer/page-cache read) + exercise codegen/shuffle paths.

@@ -341,7 +341,14 @@ object IncrementalDedup {
 
   /** Read a `batch -> digest` state file under `baseDir` (any
     * digest-synced store — the fuzzy signature store and the q264 score
-    * store share this format). */
+    * store share this format). A file that does not parse cleanly —
+    * a line without '=', a non-numeric batch id — is treated as ABSENT
+    * (Map.empty), not an error (round-12 advice #2): an empty state makes
+    * every consumer take its safe path (sync re-seeds from digests,
+    * baseValid routes the probe to the per-batch fallback), whereas a
+    * thrown MatchError would wedge every subsequent probe behind a torn
+    * write that [[writeStateFile]]'s temp+rename makes rare but external
+    * truncation can still produce. */
   private[graft] def readStateFile(fs: org.apache.hadoop.fs.FileSystem,
       baseDir: String, name: String): Map[Long, String] = {
     val statePath = new org.apache.hadoop.fs.Path(baseDir, name)
@@ -349,19 +356,34 @@ object IncrementalDedup {
     else {
       val in = fs.open(statePath)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      txt.split("\n").filter(_.nonEmpty).map { l =>
-        val Array(b, d) = l.split("=", 2); b.toLong -> d
-      }.toMap
+      val lines = txt.split("\n").filter(_.nonEmpty)
+      val parsed = lines.flatMap { l =>
+        l.split("=", 2) match {
+          case Array(b, d) => scala.util.Try(b.toLong).toOption.map(_ -> d)
+          case _ => None
+        }
+      }
+      if (parsed.length != lines.length) Map.empty else parsed.toMap
     }
   }
 
+  /** Publish a state file atomically: write to a temp name (underscore
+    * convention keeps it invisible to corpus/partition-discovery reads),
+    * then rename over the target (round-12 advice #2 — an in-place
+    * fs.create left a torn-file window). The delete+rename pair is not
+    * one atom on every FS, but the only state it can expose is an ABSENT
+    * file, which readers already treat as Map.empty -> safe fallback. */
   private[graft] def writeStateFile(fs: org.apache.hadoop.fs.FileSystem, baseDir: String,
       name: String, state: Map[Long, String]): Unit = {
     val statePath = new org.apache.hadoop.fs.Path(baseDir, name)
-    val out = fs.create(statePath, true)
+    val tmpPath = new org.apache.hadoop.fs.Path(baseDir, name + ".tmp")
+    val out = fs.create(tmpPath, true)
     try out.write(state.toSeq.sortBy(_._1)
       .map { case (b, d) => s"$b=$d" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(statePath)) fs.delete(statePath, false)
+    if (!fs.rename(tmpPath, statePath))
+      throw new java.io.IOException(s"rename $tmpPath -> $statePath failed")
   }
 
   private def readState(fs: org.apache.hadoop.fs.FileSystem,

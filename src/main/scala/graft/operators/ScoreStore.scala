@@ -70,8 +70,14 @@ object ScoreStore {
   }
 
   /** The committed store as a frame — partition column recovered by
-    * partition discovery from the directory names. */
+    * partition discovery from the directory names. Enforces the same
+    * underscore invariant as [[sync]] (round-12 advice #4): without it,
+    * `read(spark, corpus, sidecar = "scores")` would silently read the
+    * CORPUS data files as if they were a store instead of failing fast
+    * like the write path. */
   def read(spark: SparkSession, corpusDir: String,
-      sidecar: String = "_scores"): DataFrame =
+      sidecar: String = "_scores"): DataFrame = {
+    require(sidecar.startsWith("_"), s"sidecar must be underscore-prefixed: $sidecar")
     spark.read.parquet(storeDir(corpusDir, sidecar))
+  }
 }

@@ -2682,6 +2682,12 @@ class QueriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.operators.ScoreStore.sync(spark, corpus, score, sidecar = "scores")
     }
+    // ...on BOTH ends of the API (round-12 advice #4): without the read
+    // guard, read(spark, corpus, "scores") silently read corpus DATA
+    // files as if they were a store.
+    intercept[IllegalArgumentException] {
+      graft.operators.ScoreStore.read(spark, corpus, sidecar = "scores")
+    }
     ()
   }
 

@@ -699,6 +699,55 @@ class StreamingSpec extends AnyFunSuite {
       fs, s"$corpus/_fuzzy_sigs", "_base_manifest").keySet == Set(-1L, 0L, 1L))
   }
 
+  test("q256 torn manifest: an unparseable state file reads as absent and probes fall back") {
+    // Round-12 advice #2: the torn-compaction fix covered a torn BASE but
+    // not a torn MANIFEST — writeStateFile published in place (no
+    // temp+rename) and readStateFile threw MatchError on a truncated line,
+    // wedging every subsequent probe. This pins both halves of the fix:
+    // (a) writeStateFile goes through a temp file + rename and leaves no
+    // .tmp behind; (b) a manifest torn mid-line (no '=') reads as
+    // Map.empty, so baseValid routes probes to the per-batch fallback
+    // instead of crashing, and the next compaction self-heals it.
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_sig_torn_manifest").toString + "/corpus"
+    Seq((100L, "p q r s", -1L)).toDF("doc_id", "text", "batch_id")
+      .write.partitionBy("batch_id").parquet(corpus)
+    graft.dedup.IncrementalDedup.fuzzyIngestBatch(
+      Seq((1L, "x y z w")).toDF("doc_id", "text"), corpus, 0L)
+    graft.dedup.IncrementalDedup.compactSigStore(spark, corpus)
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sigDir = s"$corpus/_fuzzy_sigs"
+    val manifestPath = new org.apache.hadoop.fs.Path(sigDir, "_base_manifest")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(sigDir, "_base_manifest.tmp")),
+      "temp+rename publish leaves no .tmp behind")
+    assert(graft.dedup.IncrementalDedup.readStateFile(
+      fs, sigDir, "_base_manifest").nonEmpty, "compaction committed a manifest")
+    // Tear the manifest: truncate the file mid-line so the last line has
+    // no '=' — the observable state of a crash mid-publish on a filesystem
+    // without atomic visibility.
+    val in = fs.open(manifestPath)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val torn = txt.substring(0, txt.lastIndexOf('=') max 1)
+    val out = fs.create(manifestPath, true)
+    try out.write(torn.getBytes("UTF-8")) finally out.close()
+    assert(graft.dedup.IncrementalDedup.readStateFile(
+      fs, sigDir, "_base_manifest").isEmpty,
+      "a torn manifest reads as absent, not a crash")
+    // The probe path must not crash and must still dedup via the
+    // per-batch fallback: doc 5 twins the batch-0 survivor → dropped.
+    graft.dedup.IncrementalDedup.fuzzyIngestBatch(
+      Seq((5L, "x y z w"), (6L, "a b c d")).toDF("doc_id", "text"), corpus, 1L)
+    val published = spark.read.parquet(corpus).where(col("batch_id") >= 0)
+      .select(col("batch_id").cast("long"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(published == Seq((0L, 1L), (1L, 6L)))
+    // Re-compaction republishes a clean manifest over the torn one.
+    graft.dedup.IncrementalDedup.compactSigStore(spark, corpus)
+    assert(graft.dedup.IncrementalDedup.readStateFile(
+      fs, sigDir, "_base_manifest").keySet == Set(-1L, 0L, 1L))
+  }
+
   test("q200 replay guard: a zero-survivor replay clears the stale partition") {
     // Round-6 advice: DPO writes no partition for an empty frame, so a
     // replay that legitimately derives zero survivors (the corpus grew

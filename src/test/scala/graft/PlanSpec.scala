@@ -1352,6 +1352,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") && p.contains("Window"), p)
     assert(p.indexOf("Window") < p.indexOf("events.parquet"), // plan prints top-down
       s"Window below the aggregate would order event-sized data:\n$p")
+    // Round-13 reroute (round-12 verdict blemish #3): the running CDFs go
+    // through GlobalRank.prefixSum — range-sharded, pid-partitioned local
+    // windows with broadcast carry-ins — so the only single-partition
+    // windows left run over the ≤|shards|-row carry-in metadata frames
+    // (pid-ordered), never over the histogram itself: a window ordered by
+    // cents without a pid partition column must not appear.
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__gs_pid"),
+      s"CDF windows should be pid-partitioned prefixSum locals:\n$p")
+    assert(!p.contains("windowspecdefinition(cents"),
+      s"an unpartitioned histogram-wide window survived the reroute:\n$p")
   }
 
   test("q234: query-sized sides broadcast; no cartesian anywhere in the eval plan") {

@@ -23,6 +23,7 @@ object PipelineQueries
   with PipelineQueriesP3
   with PipelineQueriesP4
   with PipelineQueriesGraph
+  with PipelineQueriesRetrieval
   with PipelineQueriesRegistry
   with PipelineOraclesHead
   with PipelineOraclesTailA

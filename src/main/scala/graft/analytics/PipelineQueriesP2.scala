@@ -21,44 +21,6 @@ trait PipelineQueriesP2 { this: PipelineQueries.type =>
   private[graft] val MaxSimQueryMod = 25L
   private[graft] val MaxSimK = 5
 
-  /** Late-interaction MaxSim retrieval (q231) — the ColBERT scoring shape
-    * for multi-vector documents: each document is a BAG of token vectors
-    * (here: [[MaxSimSlots]] consecutive embedding rows per doc — the
-    * harness has no native multi-vector table, so the grouping is the
-    * deterministic stand-in; the operator is the point), and
-    * score(q, d) = Σ_{i∈q} max_{j∈d} cos(qᵢ, dⱼ). Query token vectors
-    * broadcast; one scan of corpus token vectors scores all (query token
-    * × doc token) cosines, a first aggregate takes the per-slot max, and
-    * the per-pair score folds the slot maxes IN SLOT ORDER (sorted
-    * collect + left fold — float addition order pinned, so the oracle
-    * replays it bit-for-bit); ranking is the map-side top-k aggregator.
-    * At 100 TB the candidate set comes from a token-level ANN route
-    * (q98's committed index per token vector) with MaxSim only on
-    * candidates — the exact-scoring stage here is that reranker. */
-  def maxsimRetrieval(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.cosine_sim
-    val e = Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
-      .select(expr(s"vec_id div $MaxSimSlots").as("doc"),
-        expr(s"vec_id % $MaxSimSlots").as("slot"), col("embedding"))
-    val q = e.filter(col("doc") % MaxSimQueryMod === 0)
-      .select(col("doc").as("query_id"), col("slot").as("qslot"),
-        col("embedding").as("qv"))
-    val slotMax = e.join(broadcast(q), col("doc") =!= col("query_id"))
-      .select(col("query_id"), col("doc").as("neighbor_id"), col("qslot"),
-        cosine_sim(col("qv"), col("embedding")).as("c"))
-      .filter(col("c").isNotNull)
-      .groupBy(col("query_id"), col("neighbor_id"), col("qslot"))
-      .agg(max(col("c")).as("m"))
-    val scored = slotMax.groupBy(col("query_id"), col("neighbor_id"))
-      .agg(expr(
-        "aggregate(transform(array_sort(collect_list(struct(qslot, m))), x -> x.m), 0D, (a, x) -> a + x)")
-        .as("cosine"))
-    Ann.topKRanked(scored, MaxSimK)
-      .withColumnRenamed("cosine", "maxsim")
-      .orderBy(col("query_id"), col("rank"))
-  }
-
   /** q232 sweep bound: the Manku 6-choose-3 banding guarantees COMPLETE
     * candidate recall only to hamming ≤ 3, so the sweep stays inside the
     * guarantee region — points beyond it would silently undercount. */
@@ -336,46 +298,6 @@ trait PipelineQueriesP2 { this: PipelineQueries.type =>
         expr("percentile(l_quantity, 0.75)").as("p75"))
       .orderBy(col("l_returnflag"))
 
-  /** Okapi BM25 top-k retrieval (q126) — the production-default lexical
-    * ranker (k1 = 1.2, b = 0.75) next to q110's raw TF-IDF: BM25's tf
-    * saturation and length normalization are what make keyword retrieval
-    * robust to stuffed/long documents, and it is the lexical half every
-    * hybrid-search deployment actually ships. Query terms derive
-    * deterministically as in q110 (distinct tokens of the lowest-id doc)
-    * so both engines agree without a parameter channel.
-    *
-    * Portability: idf stays the integer `n_docs·10⁶ div df` (no log —
-    * rank-equivalent within this corpus-constant family and libm-free);
-    * the per-term saturation factor is a FIXED parse tree of IEEE double
-    * ops — `dl·n_docs` multiplies exactly as BIGINT, ONE division by
-    * total_tokens, one multiply by b·k1, two adds, one divide — each
-    * correctly rounded, so both engines produce bit-identical doubles;
-    * per-term scores floor to BIGINT and SUM order-free. Scale shape is
-    * q110's: the broadcast query-term list prunes the exploded token
-    * stream MAP-SIDE before any exchange, df comes from a window over the
-    * pruned postings (no self-join), corpus-wide (n_docs, total_tokens)
-    * is a 1-row broadcast, and the top-10 is TakeOrdered. */
-  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val qterms = docs.orderBy(col("doc_id")).limit(1)
-      .select(explode(split(col("text"), " ")).as("token")).distinct()
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
-    docs
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
-        explode(split(col("text"), " ")).as("token"))
-      .join(broadcast(qterms), Seq("token"))
-      .groupBy(col("token"), col("doc_id"), col("dl")).agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
-      .crossJoin(broadcast(stats))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr(BmTermSpark)).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
-  }
-
   /** Per-term BM25 contribution (k1 = 1.2, b = 0.75, ⌊idf·10⁶⌋ fixed-point)
     * over columns (tf, df, dl, n_docs, total_tokens) — shared verbatim by
     * q126's ranker and q234's multi-query eval run, so the scorer under
@@ -390,37 +312,6 @@ trait PipelineQueriesP2 { this: PipelineQueries.type =>
   /** Reciprocal-rank-fusion constant (Cormack et al. 2009's k = 60),
     * shared with the q127 oracle (generated-constant pattern). */
   private[analytics] val RrfK = 60L
-
-  /** Hybrid-retrieval rank fusion (q127) — RRF over the two lexical
-    * rankers (q110 TF-IDF, q126 BM25): fused score
-    * Σ ⌊10⁶/(k + rank)⌋ with k = 60, ranks from each ranker's top-10.
-    * RRF is the standard score-free fusion for hybrid search (lexical +
-    * dense) precisely because it only consumes RANKS — incomparable score
-    * scales (here: raw tf·idf sums vs saturated BM25) fuse without
-    * calibration. Unranked sides contribute 0.
-    *
-    * Scale shape: both rankers run their corpus-scale plans (map-side
-    * broadcast pruning, TakeOrdered top-10 — see q110/q126); everything
-    * after is DRIVER-SIZED — two 10-row lists get rank columns via a
-    * window over 10 rows, full-outer join on doc_id, integer RRF
-    * arithmetic. At 100 TB the fusion cost is unchanged: it never touches
-    * the corpus. */
-  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def ranked(df: DataFrame, rankCol: String): DataFrame =
-      df.withColumn(rankCol,
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-        .select(col("doc_id"), col(rankCol))
-    ranked(tfidfTopk(spark, dir), "tfidf_rank")
-      .join(ranked(bm25Topk(spark, dir), "bm25_rank"), Seq("doc_id"), "full_outer")
-      .select(
-        col("doc_id"),
-        coalesce(col("tfidf_rank"), lit(0L)).as("tfidf_rank"),
-        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
-        (coalesce(expr(s"1000000L div ($RrfK + tfidf_rank)"), lit(0L))
-          + coalesce(expr(s"1000000L div ($RrfK + bm25_rank)"), lit(0L))).as("rrf_score"))
-      .orderBy(col("rrf_score").desc, col("doc_id"))
-  }
 
   /** Event-rate anomaly detection (q128) — the operational-monitoring op
     * next to q123's embedding drift: per (event_type, UTC hour) counts,
@@ -1393,54 +1284,6 @@ trait PipelineQueriesP2 { this: PipelineQueries.type =>
         col("singletons"),
         expr("singletons * 10000L div distinct_tokens").as("singleton_bp"))
       .orderBy(col("lang"))
-  }
-
-  /** Positional phrase search (q153) — the inverted-index operation q109's
-    * posting lists exist FOR: find every occurrence of a phrase by
-    * intersecting the two terms' positional postings (term₁ at pos p,
-    * term₂ at p+1) instead of rescanning text. The query phrase is the
-    * corpus's most frequent word bigram ((count desc, w1, w2) total
-    * order — deterministic, so the oracle recomputes it identically).
-    *
-    * Scale shape: postings carry (doc_id, pos, 8-byte h60 key); the
-    * 1-row phrase frame broadcasts into the posting scan (map-only
-    * candidate filter — only the two terms' postings survive), and the
-    * positional intersection is an equi-join on (doc, adjacent pos) over
-    * those two tiny lists. The corpus is scanned twice (pair counts +
-    * postings) — both map-side-combinable; at serving scale the postings
-    * side is the committed q109 layout and only the intersection runs. */
-  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
-    phraseSearchOf(Tables.documents(spark, dir))
-
-  private[graft] def phraseSearchOf(docs: DataFrame): DataFrame = {
-    import graft.functions.PortableHashFunctions.md5_token_hashes
-    val toks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 2)
-    val top1 = toks
-      .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("p"))
-      .select(col("p.w1"), col("p.w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w1"), col("w2")).limit(1)
-      .select(col("w1"), col("w2"),
-        element_at(md5_token_hashes(array(col("w1")), 60), 1).as("h1"),
-        element_at(md5_token_hashes(array(col("w2")), 60), 1).as("h2"))
-    val postings = docs
-      .select(col("doc_id"),
-        posexplode(md5_token_hashes(split(col("text"), " "), 60)).as(Seq("pos", "h")))
-    val cand = postings
-      .join(broadcast(top1), col("h") === col("h1") || col("h") === col("h2"))
-    val a = cand.filter(col("h") === col("h1"))
-      .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
-    val b = cand.filter(col("h") === col("h2"))
-      .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
-    a.join(b, col("doc_id") === col("doc_b") && col("pos_b") === col("pos") + 1)
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n_matches"))
-      .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("phrase"),
-        col("n_matches"))
-      .orderBy(col("doc_id"))
   }
 
   /** Same-order co-purchase recommendations (q154) — the market-basket

@@ -1132,117 +1132,10 @@ trait PipelineQueriesP3 { this: PipelineQueries.type =>
   private[analytics] val IrRelBp = 9000L
   private[analytics] val IrK = 10
 
-  /** Retrieval-quality evaluation harness (q234): a multi-query BM25 run
-    * (the exact q126 scorer via [[BmTermSpark]], one query per
-    * doc_id ≡ 1 mod [[IrQMod]]) graded against an exact token-set-Jaccard
-    * relevance truth (rel(q,d) ⇔ J(q,d) ≥ [[IrRelBp]], d ≠ q). Emits
-    * per-query precision@k, recall@k and reciprocal-rank in integer basis
-    * points — the eval loop every retrieval stack ships with, here as a
-    * single declarative plan instead of a driver-side harness.
-    *
-    * Scale shape: the corpus-sized work is one postings aggregation
-    * sharded on token and one (qid, doc) score aggregation — never a
-    * corpus×corpus product. Truth pairs exist only for documents sharing
-    * ≥1 token with a query (the same postings join). The broadcast sides
-    * (query postings `qt`/`qdt`, their per-token document frequencies,
-    * and the QUERY-doc sizes only — round-7 advice: never the full
-    * corpus-cardinality size table) are all bounded by the query
-    * fraction: |queries| = |corpus| / [[IrQMod]], so the hints stay
-    * driver-safe exactly as long as the query set is capped — at
-    * production scale that cap is the eval-set size itself (thousands of
-    * queries), not a corpus percentage. */
-  def retrievalEval(spark: SparkSession, dir: String): DataFrame =
-    retrievalEvalOf(Tables.documents(spark, dir),
-      _ => docTokenSets(spark, dir))
-
-  /** The q234 BM25 run (top-[[IrK]] per query) and exact Jaccard
-    * relevance truth, factored so q313's NDCG grades the SAME run and
-    * truth (one scorer, several metrics — the eval-harness shape).
-    * Returns (run, rel, query-id frame). */
-  private[analytics] def irRunRelOf(documents: DataFrame,
-      memoDt: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = documents.select(col("doc_id"), col("text"))
-    val toks = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"),
-      explode(split(col("text"), " ")).as("token"))
-    val td = toks.groupBy(col("token"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-    val qt = toks.filter(col("doc_id") % IrQMod === 1L)
-      .select(col("doc_id").as("qid"), col("token")).distinct()
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
-    val tdq = td.join(broadcast(qt.select(col("token")).distinct()), Seq("token"))
-    val dfTok = tdq.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val run = broadcast(qt).join(tdq, Seq("token"))
-      .filter(col("doc_id") =!= col("qid"))
-      .join(broadcast(dfTok), Seq("token"))
-      .crossJoin(broadcast(stats))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(expr(BmTermSpark)).as("score"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .filter(col("rank") <= IrK)
-    // Exact relevance truth: token-set Jaccard ≥ IrRelBp against each query
-    // doc, computed only for docs sharing ≥ 1 token (postings join).
-    val dt = memoDt(toks.select(col("doc_id"), col("token")).distinct())
-    val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val qdt = dt.filter(col("doc_id") % IrQMod === 1L)
-      .select(col("doc_id").as("qid"), col("token"))
-    // Query-doc sizes only ride the broadcast (round-7 advice: the
-    // unfiltered `sz` is corpus-cardinality — a driver hazard at scale).
-    val qsz = sz.filter(col("doc_id") % IrQMod === 1L)
-      .select(col("doc_id").as("qid"), col("sz").as("qsz"))
-    val rel = dt.join(broadcast(qdt), Seq("token"))
-      .filter(col("doc_id") =!= col("qid"))
-      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("inter"))
-      .join(broadcast(qsz), Seq("qid"))
-      .join(sz, Seq("doc_id"))
-      .filter(col("inter") * 10000L >= lit(IrRelBp) * (col("qsz") + col("sz") - col("inter")))
-      .select(col("qid"), col("doc_id"))
-    (run, rel, docs.filter(col("doc_id") % IrQMod === 1L).select(col("doc_id").as("qid")))
-  }
-
-  private[graft] def retrievalEvalOf(documents: DataFrame,
-      memoDt: DataFrame => DataFrame = identity): DataFrame = {
-    val (run, rel, qids) = irRunRelOf(documents, memoDt)
-    val nrel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
-    val hits = run.join(rel, Seq("qid", "doc_id"))
-      .groupBy(col("qid"))
-      .agg(count(lit(1)).as("hits"), min(col("rank")).as("first_rank"))
-    qids
-      .join(nrel, Seq("qid"), "left")
-      .join(hits, Seq("qid"), "left")
-      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
-      .withColumn("hits_at_k", coalesce(col("hits"), lit(0L)))
-      .select(col("qid"), col("n_rel"), col("hits_at_k"),
-        expr(s"hits_at_k * 10000L div $IrK").as("p_at_k_bp"),
-        expr("CASE WHEN n_rel = 0 THEN 0L ELSE hits_at_k * 10000L div n_rel END")
-          .as("recall_at_k_bp"),
-        expr("CASE WHEN first_rank IS NULL THEN 0L ELSE 10000L div first_rank END")
-          .as("mrr_bp"))
-      .orderBy(col("qid"))
-  }
-
   /** q235 prefix-filter join threshold (Jaccard, basis points). 0.95 — the
     * near-identical band, where the prefix is 1–2 tokens and candidate
     * volume stays near-linear even on this densely-duplicated corpus. */
   private[graft] val PfxJacBp = 9500L
-
-  /** Distinct (doc_id, token) postings under the whitespace tokenization,
-    * memoized + persisted per (session, dir) — the frame q234's relevance
-    * truth and q235's prefix-filter join both consume repeatedly. Round-7
-    * verdict #1: q235 alone re-derived this by lineage FOUR times (for
-    * token counts, set sizes, prefixes, and sorted sets) — four full
-    * corpus explode+distinct passes; one persisted scan serves them all,
-    * and q234 shares it instead of rebuilding its own copy. */
-  private[graft] def docTokenSets(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionMemo.memo(spark, s"docTokens|$dir") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
 
   /** Exact similarity self-join via prefix filtering (q235) — the
     * PPJoin/AllPairs family (Bayardo et al. 2007, Xiao et al. 2008): under
@@ -1663,57 +1556,6 @@ trait PipelineQueriesP3 { this: PipelineQueries.type =>
     * spectrum: an adjacent-word literal, a rare collocation, and a
     * cross-word fragment whose trigrams are individually common. */
   private[graft] val TrigramPatterns = Seq("merge batch", "slow fast", "k agg r")
-
-  /** Trigram-index substring search (q243) — how a code-search engine
-    * greps 100 TB (Google Code Search / Zoekt / Sourcegraph): build
-    * character-trigram postings ONCE, answer a substring query by
-    * intersecting the postings of the pattern's trigrams (conjunctive —
-    * necessary but not sufficient, since grams can match out of order),
-    * and verify only the candidates with a real `contains`. Per pattern
-    * the audit reports candidates, verified matches, the index's
-    * precision (what fraction of candidate I/O was real — the number
-    * that justifies the index), and corpus selectivity, all in bp.
-    * Distinct from q153's token-level positional phrase search: this is
-    * SUBSTRING semantics over raw characters, and the candidate set
-    * comes from an index intersection, not position arithmetic.
-    *
-    * Scale shape: the postings build is one map-side explode + distinct
-    * (exactly the layout a search cluster materializes once and
-    * bucket-joins forever); per query the work is |patterns| broadcast
-    * joins over gram-keyed postings and a verify touch of candidates
-    * only. Nothing corpus × corpus. */
-  def trigramSearch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val grams = docs.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
-      .as("gram")).distinct()
-    val pats = TrigramPatterns.toDF("pattern")
-      .select(col("pattern"), explode(expr(
-        "transform(sequence(1, length(pattern) - 2), i -> substring(pattern, i, 3))"))
-        .as("gram")).distinct()
-    val patSizes = pats.groupBy(col("pattern")).agg(count(lit(1)).as("n_grams"))
-    val cands = grams.join(broadcast(pats), Seq("gram"))
-      .groupBy(col("pattern"), col("doc_id")).agg(count(lit(1)).as("n_hit"))
-      .join(broadcast(patSizes), Seq("pattern"))
-      .filter(col("n_hit") === col("n_grams"))
-      .select(col("pattern"), col("doc_id"))
-    val verified = cands.join(docs, Seq("doc_id"))
-      .filter(expr("instr(text, pattern) > 0"))
-      .select(col("pattern"), col("doc_id"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    broadcast(patSizes)
-      .join(cands.groupBy(col("pattern")).agg(count(lit(1)).as("n_candidates")), Seq("pattern"), "left")
-      .join(verified.groupBy(col("pattern")).agg(count(lit(1)).as("n_matches")), Seq("pattern"), "left")
-      .crossJoin(broadcast(nDocs))
-      .select(col("pattern"), col("n_grams"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        expr("CASE WHEN coalesce(n_candidates, 0) = 0 THEN 10000L ELSE coalesce(n_matches, 0) * 10000L div n_candidates END")
-          .as("precision_bp"),
-        expr("coalesce(n_matches, 0) * 10000L div n_docs").as("selectivity_bp"))
-      .orderBy(col("pattern"))
-  }
 
   /** q244 Benford expected first-digit shares in basis points —
     * ⌊log10(1 + 1/d)·10⁴⌋ for d = 1..9, public constants (the floor makes

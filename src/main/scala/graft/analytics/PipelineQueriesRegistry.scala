@@ -223,44 +223,6 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
       perSrc, w)
   }
 
-  /** Integer NDCG@k retrieval eval (q313) — the top-weighted metric
-    * q234's P@k/recall/MRR card lacks, graded on the SAME BM25 run and
-    * exact Jaccard truth (one scorer, several metrics — the shared
-    * [[irRunRelOf]] core, so q234 and q313 can never disagree about
-    * what was retrieved). The log₂ discount is q304's Q8.8 integer
-    * log (term(r) = 2 560 000 div L(r+1) — 10000 at rank 1), and the
-    * ideal DCG unrolls the same formula over a k-row literal sequence,
-    * so NDCG is hash-exact, not a float claim.
-    *
-    * Scale shape: q234's postings plans plus a per-query ≤k-row explode
-    * for the ideal — result-sized throughout. */
-  def irNdcg(spark: SparkSession, dir: String): DataFrame =
-    irNdcgOf(Tables.documents(spark, dir), _ => docTokenSets(spark, dir))
-
-  private[graft] def irNdcgOf(documents: DataFrame,
-      memoDt: DataFrame => DataFrame = identity): DataFrame = {
-    val (run, rel, qids) = irRunRelOf(documents, memoDt)
-    val term = (x: String) => s"2560000L div ${log2q8Spark(s"($x) + 1")}"
-    val dcg = run.join(rel, Seq("qid", "doc_id"))
-      .groupBy(col("qid")).agg(sum(expr(term("rank"))).as("dcg_x"))
-    val nrel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
-    val idcg = nrel
-      .select(col("qid"), col("n_rel"), explode(expr(s"sequence(1, $IrK)")).as("i"))
-      .filter(col("i") <= col("n_rel"))
-      .groupBy(col("qid")).agg(sum(expr(term("i"))).as("idcg_x"))
-    qids
-      .join(nrel, Seq("qid"), "left")
-      .join(dcg, Seq("qid"), "left")
-      .join(idcg, Seq("qid"), "left")
-      .select(col("qid"),
-        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-        coalesce(col("dcg_x"), lit(0L)).as("dcg_x"),
-        coalesce(col("idcg_x"), lit(0L)).as("idcg_x"),
-        expr("CASE WHEN coalesce(idcg_x, 0L) = 0 THEN 0L"
-          + " ELSE coalesce(dcg_x, 0L) * 10000L div idcg_x END").as("ndcg_bp"))
-      .orderBy(col("qid"))
-  }
-
   /** q315 constants, shared with the oracle: the 1%-FPR sizing rule
     * (ln(1/p)/ln²2 = 9.5699 bits/key as the DEFINED integer literal
     * 95699/10⁴ — no float anywhere), k = 7 hash functions (the optimal

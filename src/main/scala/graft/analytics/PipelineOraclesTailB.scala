@@ -2618,6 +2618,23 @@ trait PipelineOraclesTailB { this: PipelineQueries.type =>
          |    AS lin_milli
          |FROM lc ORDER BY lin_milli DESC, node LIMIT $HcTopK""".stripMargin
     },
+    // q320: the same register replay; Bavelas closeness is the same
+    // telescoped distance sum under a reciprocal — 10¹² // Σd_milli in
+    // nano fixed point, guard replayed like q319's.
+    "q320_closeness_centrality" -> {
+      val dist = (1 to HbRounds)
+        .map(t => s"(e$t.est - ${if (t == 1) "1000" else s"e${t - 1}.est"}) * $t")
+        .mkString(" + ")
+      val joins = (2 to HbRounds).map(t => s"JOIN e$t USING (node)").mkString(" ")
+      s"""$hyperBallOracleCtes,
+         |cc AS (SELECT e1.node AS node, e$HbRounds.est AS bt, $dist AS dist
+         |  FROM e1 $joins)
+         |SELECT node, CAST(bt AS BIGINT) AS ball${HbRounds}_milli,
+         |  CAST(dist AS BIGINT) AS dist_sum_milli,
+         |  CAST(CASE WHEN dist <= 0 THEN 0 ELSE 1000000000000 // dist END AS BIGINT)
+         |    AS closeness_nano
+         |FROM cc ORDER BY closeness_nano DESC, node LIMIT $HcTopK""".stripMargin
+    },
     // q315: the sizing literal, the next-pow2 bin() idiom, the k·|docs|
     // member positions, and the 1000-probe verdicts replay 1:1.
     "q315_bloom_advisor" -> {

@@ -355,14 +355,14 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
 
   /** One register propagation per (session, dir), shared by q314 (the
     * neighborhood-function card), q316 (the distance-distribution /
-    * effective-diameter payoff), q318 (harmonic centrality) and q319
-    * (Lin centrality) — the q304/q308/q312 LM-memo rule applied to the
-    * graph side: the expensive thing is the per-round ball merge, and
-    * all four cards are driver-side folds of the one pass's collected
-    * outputs. */
+    * effective-diameter payoff), q318 (harmonic centrality), q319
+    * (Lin centrality) and q320 (Bavelas closeness) — the q304/q308/q312
+    * LM-memo rule applied to the graph side: the expensive thing is the
+    * per-round ball merge, and all five cards are driver-side folds of
+    * the one pass's collected outputs. */
   private[graft] def hyperBallMemo(spark: SparkSession,
       dir: String): (Seq[(Long, Long, BigInt, Long)], Seq[(Long, Long, Long, Long)],
-        Seq[(Long, Long, Long, Long)]) =
+        Seq[(Long, Long, Long, Long)], Seq[(Long, Long, Long, Long)]) =
     graft.SessionMemo.memo(spark, s"hyperball_core:$dir")(
       hyperBallCoreOf(coPurchaseEdges(spark, dir)))
 
@@ -389,11 +389,13 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
     * harmonic-centrality top-[[HcTopK]] rows
     * (node, ball1_milli, ballT_milli, harmonic_milli) — PLUS the q319
     * Lin-centrality top-[[HcTopK]] rows
-    * (node, ballT_milli, dist_sum_milli, lin_milli), all collected from
-    * ONE propagation. */
+    * (node, ballT_milli, dist_sum_milli, lin_milli) — PLUS the q320
+    * Bavelas-closeness top-[[HcTopK]] rows
+    * (node, ballT_milli, dist_sum_milli, closeness_nano), all collected
+    * from ONE propagation. */
   private[graft] def hyperBallCoreOf(
       edges: DataFrame): (Seq[(Long, Long, BigInt, Long)], Seq[(Long, Long, Long, Long)],
-        Seq[(Long, Long, Long, Long)]) = {
+        Seq[(Long, Long, Long, Long)], Seq[(Long, Long, Long, Long)]) = {
     import graft.functions.PortableHashFunctions.md5_token_hashes
     val spark = edges.sparkSession
     import spark.implicits._
@@ -506,6 +508,12 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
       .withColumn("lin_milli", expr(
         s"CASE WHEN dist_sum_milli <= 0 THEN 0L ELSE " +
           s"(CAST(e$HbRounds AS DECIMAL(38,0)) * e$HbRounds) div dist_sum_milli END"))
+      // q320 Bavelas closeness 1/Σd in nano fixed point: Σd is
+      // dist_sum_milli/1000, so 1/Σd = 10⁹·1000 div dist_sum_milli —
+      // 10¹² stays far inside BIGINT and `div` floor-matches DuckDB `//`.
+      .withColumn("closeness_nano", expr(
+        s"CASE WHEN dist_sum_milli <= 0 THEN 0L ELSE " +
+          s"1000000000000L div dist_sum_milli END"))
       .persist(MD)
     cached += scored
     def topBy(key: String, cols: Seq[String]): Seq[(Long, Long, Long, Long)] = scored
@@ -517,8 +525,10 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
       .toSeq
     val topRows = topBy("harmonic_milli", Seq("e1", s"e$HbRounds", "harmonic_milli"))
     val linRows = topBy("lin_milli", Seq(s"e$HbRounds", "dist_sum_milli", "lin_milli"))
+    val closeRows = topBy("closeness_nano",
+      Seq(s"e$HbRounds", "dist_sum_milli", "closeness_nano"))
     cached.foreach(_.unpersist(blocking = false))
-    (cards.toSeq, topRows, linRows)
+    (cards.toSeq, topRows, linRows, closeRows)
   }
 
   /** Harmonic centrality top-[[HcTopK]] (q318) — the PER-NODE payoff of
@@ -566,6 +576,30 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
     hyperBallMemo(spark, dir)._3
       .toDF("node", s"ball${HbRounds}_milli", "dist_sum_milli", "lin_milli")
       .orderBy(col("lin_milli").desc, col("node"))
+  }
+
+  /** Bavelas closeness top-[[HcTopK]] (q320) — the CLASSIC closeness
+    * C(v) = 1/Σ_{u∈B(v,T)} d(v,u) from the same fold, the fifth card on
+    * one propagation. Deliberately paired with q319: plain closeness is
+    * the textbook baseline AND the cautionary tale — a node reaching few
+    * others cheaply outranks a well-connected hub, the exact misranking
+    * Lin's |B|²/Σd correction fixes (Boldi & Vigna, "Axioms for
+    * Centrality", 2014) — so the two cards together document WHY the
+    * engine's recommended ranking is q319's. T-truncated like every
+    * HyperBall quantity; nano fixed point (10¹²/dist_sum_milli, exact
+    * BIGINT floor division matching the oracle's `//`); the Σd ≤ 0 guard
+    * is replayed on both sides although the raw-estimator floor keeps it
+    * unreachable.
+    *
+    * Scale shape: rides [[hyperBallMemo]] — the marginal cost over
+    * q314/q316/q318/q319 is ONE projected column and one more
+    * TakeOrdered top-k on the already-persisted score frame (measured
+    * 0.05–0.08 s at sf0.1, like q319's marginal cost). */
+  def closenessCentrality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hyperBallMemo(spark, dir)._4
+      .toDF("node", s"ball${HbRounds}_milli", "dist_sum_milli", "closeness_nano")
+      .orderBy(col("closeness_nano").desc, col("node"))
   }
 
   /** Effective-diameter / distance-distribution card (q316) — the

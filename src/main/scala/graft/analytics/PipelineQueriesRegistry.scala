@@ -566,7 +566,8 @@ trait PipelineQueriesRegistry { this: PipelineQueries.type =>
     "q316_hyperball_distance" -> (hyperBallDistance _),
     "q317_curation_dag" -> (curationDagAudit _),
     "q318_harmonic_centrality" -> (harmonicCentrality _),
-    "q319_lin_centrality" -> (linCentrality _))
+    "q319_lin_centrality" -> (linCentrality _),
+    "q320_closeness_centrality" -> (closenessCentrality _))
 
   // --- oracle SQL builders for the portable-hash family ---------------------
 

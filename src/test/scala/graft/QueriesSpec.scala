@@ -4067,7 +4067,7 @@ class QueriesSpec extends AnyFunSuite {
     // deltas are zero and H(v) = |B(v,1)| − |B(v,0)| = e1 − 1000 for
     // every node; the top-k is all three nodes in id order.
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
-    val (stats, top, lin) = graft.analytics.PipelineQueries.hyperBallCoreOf(edges)
+    val (stats, top, lin, close) = graft.analytics.PipelineQueries.hyperBallCoreOf(edges)
     assert(top.map(_._1) == Seq(1L, 2L, 3L), s"got $top")
     val e1 = top.head._2
     top.foreach { case (node, b1, bT, h) =>
@@ -4082,6 +4082,14 @@ class QueriesSpec extends AnyFunSuite {
       assert(bT == e1, s"node $node: ballT must match round 1")
       assert(ds == e1 - 1000L, s"node $node: distance sum must collapse to e1 - 1000, got $ds")
       assert(l == e1 * e1 / (e1 - 1000L), s"node $node: lin must be e1² div dist, got $l")
+    }
+    // q320 rides it too: closeness is the reciprocal of the same
+    // collapsed distance sum, 10¹² div (e1 − 1000), all three tied.
+    assert(close.map(_._1) == Seq(1L, 2L, 3L), s"got $close")
+    close.foreach { case (node, bT, ds, c) =>
+      assert(bT == e1 && ds == e1 - 1000L, s"node $node: same fold columns")
+      assert(c == 1000000000000L / (e1 - 1000L),
+        s"node $node: closeness must be 1e12 div dist, got $c")
     }
     // The per-round stats are the same ones q314 renders.
     assert(stats.map(_._2) == Seq(3L, 3L, 3L))

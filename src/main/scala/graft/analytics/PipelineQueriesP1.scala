@@ -2596,7 +2596,7 @@ trait PipelineQueriesP1 { this: PipelineQueries.type =>
     ksDriftOf(Tables.events(spark, dir))
 
   private[graft] def ksDriftOf(events: DataFrame): DataFrame = {
-    import graft.operators.GlobalRank.prefixSum
+    import graft.operators.GlobalRank.prefixSums
     val hist = events
       .filter(col("event_type").isin("purchase", "view"))
       .select(col("event_type"),
@@ -2605,10 +2605,10 @@ trait PipelineQueriesP1 { this: PipelineQueries.type =>
       .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c1"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
     // `cents` is the group-by key, hence unique: a valid TOTAL order for
-    // the ROWS-frame prefix decomposition. Inclusive CDF = exclusive + own.
-    val withCum = prefixSum(
-      prefixSum(hist, Seq(col("cents").asc), col("c1"), "ex1"),
-      Seq(col("cents").asc), col("c2"), "ex2")
+    // the ROWS-frame prefix decomposition. Both CDFs share one sampled
+    // range exchange. Inclusive CDF = exclusive + own.
+    val withCum = prefixSums(hist, Seq(col("cents").asc),
+      Seq(col("c1") -> "ex1", col("c2") -> "ex2"))
       .withColumn("cum1", col("ex1") + col("c1"))
       .withColumn("cum2", col("ex2") + col("c2"))
     val totals = broadcast(

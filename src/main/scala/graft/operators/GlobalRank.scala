@@ -165,14 +165,27 @@ object GlobalRank {
     * tiebreaker) — a ROWS frame over tied keys is otherwise
     * nondeterministic across retries. */
   def prefixSum(df: DataFrame, order: Seq[Column], valCol: Column,
-      outCol: String, shards: Int = 0): DataFrame = {
+      outCol: String, shards: Int = 0): DataFrame =
+    prefixSums(df, order, Seq(valCol -> outCol), shards)
+
+  /** [[prefixSum]] for SEVERAL value columns over ONE total order — e.g.
+    * q226's two running CDFs over the same cents axis. All columns share
+    * one sampled range exchange, one persisted sharding, and one
+    * WindowExec (every local frame uses the same window spec, so Spark
+    * evaluates them in a single pass); the per-shard totals for every
+    * column ride the same ≤`shards`-row metadata aggregate and one
+    * broadcast join carries every carry-in back. N columns through
+    * separate [[prefixSum]] calls would pay N range exchanges and N
+    * persists for the same answer. */
+  def prefixSums(df: DataFrame, order: Seq[Column],
+      valCols: Seq[(Column, String)], shards: Int = 0): DataFrame = {
     val n =
       if (shards > 0) shards
       else defaultShards(df)
     val pid = "__gs_pid"
-    val loc = "__gs_loc"
-    val tot = "__gs_shard_sum"
-    val off = "__gs_off"
+    def loc(i: Int) = s"__gs_loc$i"
+    def tot(i: Int) = s"__gs_shard_sum$i"
+    def off(i: Int) = s"__gs_off$i"
     // Same load-bearing persist as [[rowNumber]]: block-local sums and
     // shard totals must read ONE materialized sharding, or independently
     // sampled boundaries could route rows to different shards per consumer.
@@ -181,14 +194,23 @@ object GlobalRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy(col(pid)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = parted.withColumn(loc, coalesce(sum(valCol).over(w), lit(0L)))
-    val offsets = parted.groupBy(col(pid)).agg(sum(valCol).as(tot))
-      .withColumn(off,
-        coalesce(sum(col(tot)).over(Window.orderBy(col(pid))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(pid), col(off))
-    local.join(broadcast(offsets), pid)
-      .withColumn(outCol, col(off) + col(loc))
-      .drop(pid, loc, off)
+    val local = valCols.zipWithIndex.foldLeft(parted) {
+      case (acc, ((v, _), i)) =>
+        acc.withColumn(loc(i), coalesce(sum(v).over(w), lit(0L)))
+    }
+    val wOff = Window.orderBy(col(pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totExprs = valCols.zipWithIndex.map { case ((v, _), i) => sum(v).as(tot(i)) }
+    val offsets = parted.groupBy(col(pid)).agg(totExprs.head, totExprs.tail: _*)
+    val carried = valCols.indices.foldLeft(offsets) { (acc, i) =>
+      acc.withColumn(off(i),
+        coalesce(sum(col(tot(i))).over(wOff), lit(0L)))
+    }.select(col(pid) +: valCols.indices.map(i => col(off(i))): _*)
+    val out = valCols.zipWithIndex.foldLeft(
+      local.join(broadcast(carried), pid)) {
+      case (acc, ((_, name), i)) =>
+        acc.withColumn(name, col(off(i)) + col(loc(i)))
+    }
+    out.drop(pid +: valCols.indices.flatMap(i => Seq(loc(i), off(i))): _*)
   }
 }

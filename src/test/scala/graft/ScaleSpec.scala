@@ -296,6 +296,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("GlobalRank.prefixSums: N columns share one range exchange and match N serial windows") {
+    import org.apache.spark.sql.expressions.Window
+    // Two value columns over the same unique total order (the q226 CDF
+    // shape): both must be bit-identical to their serial windows while
+    // paying ONE sampled range exchange, not two.
+    val df = spark.range(0L, 10000L)
+      .selectExpr("id", "(id * 2654435761) % 997 AS v1", "(id * 40503) % 613 AS v2")
+    val sharded = graft.operators.GlobalRank.prefixSums(
+      df, Seq(col("id").asc), Seq(col("v1") -> "p1", col("v2") -> "p2"), shards = 8)
+    val w = Window.orderBy(col("id").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val serial = df
+      .withColumn("p1", coalesce(sum(col("v1")).over(w), lit(0L)))
+      .withColumn("p2", coalesce(sum(col("v2")).over(w), lit(0L)))
+    assert(sharded.count() == 10000L)
+    assert(sharded.exceptAll(serial).isEmpty && serial.exceptAll(sharded).isEmpty)
+    val p = sharded.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p)
+    // One WindowExec evaluates BOTH local sums (shared window spec), and
+    // both consumers read the one materialized sharding — the string
+    // "sum(v1…" and "sum(v2…" must sit in the SAME Window node.
+    assert("""Window \[sum\(v1#\d+L\) windowspecdefinition[^\n]*sum\(v2#\d+L\)""".r
+      .findFirstIn(p).isDefined,
+      s"both local sums must share one WindowExec:\n$p")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!"""windowspecdefinition\(id#\d+L ASC""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("partitioned layout prunes directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val events = Tables.events(spark, TestSpark.SfDir)

@@ -142,10 +142,54 @@ object ClusterCheck {
     // edited-partition content audit must hold when partition slices
     // are produced by separate processes).
     "q316_hyperball_distance", "q317_curation_dag",
-    // q318/q319 ride the same memoized register core as q314/q316 —
+    // q318/q319/q320 ride the same memoized register core as q314/q316 —
     // their per-node estimate joins + TakeOrdered top-ks must agree when
     // the est frames live in separate executor JVMs.
-    "q318_harmonic_centrality", "q319_lin_centrality")
+    "q318_harmonic_centrality", "q319_lin_centrality",
+    "q320_closeness_centrality")
+
+  /** Round-13 family: the torn-compaction recovery paths across REAL
+    * process boundaries (round-12 verdict #5's other option). Builds a
+    * corpus, ingests + compacts with executor-JVM writers, then plants
+    * BOTH crash observables — the base loses its `_SUCCESS` and the
+    * manifest is truncated mid-line (the torn-publish state the
+    * temp+rename fix makes rare but external truncation can still
+    * produce) — and re-ingests: probes must route through the per-batch
+    * fallback (survivors identical to the unit-spec literal), and the
+    * auto-compaction must self-heal base + manifest. Returns the
+    * published (batch, doc) rows for cross-master comparison. */
+  private def tornCompactionRows(spark: SparkSession): Seq[(Long, Long)] = {
+    import spark.implicits._
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft_cluster_torn").toString + "/corpus"
+    Seq((100L, "p q r s", -1L)).toDF("doc_id", "text", "batch_id")
+      .write.partitionBy("batch_id").parquet(corpus)
+    graft.dedup.IncrementalDedup.fuzzyIngestBatch(
+      Seq((1L, "x y z w")).toDF("doc_id", "text"), corpus, 0L)
+    graft.dedup.IncrementalDedup.compactSigStore(spark, corpus)
+    val sig = s"$corpus/_fuzzy_sigs"
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$sig/_base/_SUCCESS"), false)
+    val mp = new org.apache.hadoop.fs.Path(sig, "_base_manifest")
+    val in = fs.open(mp)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val out = fs.create(mp, true)
+    try out.write(txt.substring(0, math.max(1, txt.lastIndexOf('='))).getBytes("UTF-8"))
+    finally out.close()
+    // Doc 5 twins the batch-0 survivor: must drop via the per-batch
+    // fallback; doc 6 is fresh. The residual count (3 >= 2) forces the
+    // self-healing auto-compaction in the same ingest.
+    graft.dedup.IncrementalDedup.fuzzyIngestBatch(
+      Seq((5L, "x y z w"), (6L, "a b c d")).toDF("doc_id", "text"), corpus, 1L,
+      autoCompactDeltas = 2)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$sig/_base/_SUCCESS")) &&
+      graft.dedup.IncrementalDedup.readStateFile(fs, sig, "_base_manifest").nonEmpty,
+      "[clustercheck] torn store did not self-heal after re-ingest")
+    spark.read.parquet(corpus).where(col("batch_id") >= 0)
+      .select(col("batch_id").cast("long"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -153,7 +197,7 @@ object ClusterCheck {
     // loaded from (sbt's classes dir or a packaged jar).
     val classesDir = getClass.getProtectionDomain.getCodeSource.getLocation.getPath
 
-    def run(master: String): (Map[String, (Long, Long)], Int) = {
+    def run(master: String): (Map[String, (Long, Long)], Seq[(Long, Long)], Int) = {
       val spark = SparkSession.builder()
         .master(master)
         .appName(s"graft-clustercheck-${master.takeWhile(_ != '[')}")
@@ -172,11 +216,12 @@ object ClusterCheck {
             .head()
           name -> (row.getLong(0), row.getAs[Any](1).toString.toLong)
         }.toMap
+        val torn = tornCompactionRows(spark)
         // Executor count as the scheduler saw it (driver excluded) —
         // proof the run actually used separate executor processes.
         val execs = spark.sparkContext.statusTracker.getExecutorInfos
           .count(_.host() != null) - (if (master.startsWith("local-cluster")) 1 else 0)
-        (hashes, execs)
+        (hashes, torn, execs)
       } finally {
         spark.stop()
         SparkSession.clearActiveSession()
@@ -184,15 +229,17 @@ object ClusterCheck {
       }
     }
 
-    val (clustered, execs) = run("local-cluster[2,2,2048]")
+    val (clustered, tornC, execs) = run("local-cluster[2,2,2048]")
     require(execs >= 2,
       s"[clustercheck] expected >=2 separate executors, scheduler saw $execs")
-    val (local, _) = run("local[4]")
+    val (local, tornL, _) = run("local[4]")
     clustered.foreach { case (name, got) =>
       require(got == local(name),
         s"[clustercheck] $name differs across process boundaries: cluster=$got local=${local(name)}")
     }
-    println(s"[clustercheck] OK executors=$execs " +
+    require(tornC == tornL && tornC == Seq((0L, 1L), (1L, 6L)),
+      s"[clustercheck] torn-compaction recovery differs: cluster=$tornC local=$tornL")
+    println(s"[clustercheck] OK executors=$execs torn_compaction=OK " +
       s"queries=${Queries.sorted.mkString(",")}")
   }
 }

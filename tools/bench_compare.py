@@ -24,6 +24,13 @@ Channels used, in order of authority:
      the dispersion/host estimates (reported as MASKED-CONTENDED, never
      REGRESSION). The pre-suite probe is excluded from the median — it
      carries codegen cold-start, not machine state.
+  2b. task_run_ms / task_cpu_ms (round-13, artifacts >= r13 on both
+     sides): probes sample only every ~7 queries, so a microburst
+     BETWEEN probes inflates a query with quiet brackets (q223/q229 on
+     the round-12 judge pair). Task CPU does not rise when tasks merely
+     wait for a core: a flagged query whose cpu/run share collapsed
+     >15 points below its old-run share was starved, not regressed ->
+     MASKED-CONTENDED with both shares printed.
   3. queries_min (min of N reps) -> host noise only ADDS time, so a min
      inflation beyond the threshold AT UNCHANGED shuffle_bytes in a
      QUIET window is a REGRESSION candidate; plan-changed queries are
@@ -195,6 +202,28 @@ def main():
     hot_new = contended(new, args.probe_elevated_factor)
     hot = hot_old | hot_new
 
+    # Per-query CPU-share contention evidence (round-13 channel): probes
+    # sample the machine only every ~7 queries, so a microburst between
+    # probes inflates a query with no probe evidence. Task CPU time does
+    # not rise when tasks merely wait for a core: a query whose wall
+    # inflated at identical bytes while its cpu/run share COLLAPSED
+    # (>15 points below the old run's share) was starved, not regressed.
+    # Requires the task_run_ms/task_cpu_ms channels on BOTH sides
+    # (artifacts >= round 13); degrades to probe-only masking otherwise.
+    # Caveat: an allocation-pressure regression also lowers the share
+    # (GC wall is not task CPU) — the masked row prints both shares and
+    # gc_ms stays in the artifacts for that adjudication.
+    o_run, o_cpu = old.get("task_run_ms", {}), old.get("task_cpu_ms", {})
+    n_run, n_cpu = new.get("task_run_ms", {}), new.get("task_cpu_ms", {})
+
+    def cpu_collapse(q):
+        ovr, ovc = o_run.get(q, 0), o_cpu.get(q, 0)
+        nvr, nvc = n_run.get(q, 0), n_cpu.get(q, 0)
+        if ovr < 50 or nvr < 50:
+            return None  # sub-50ms task totals carry no share signal
+        os_, ns_ = ovc / ovr, nvc / nvr
+        return (os_, ns_) if ns_ < os_ - 0.15 else None
+
     # Pass 1: per-query timing ratios on plan-identical queries OUTSIDE
     # contended windows, to learn the run-wide host-speed ratio. Only
     # timings big enough to measure a ratio from (>= 0.05 s on the old
@@ -240,8 +269,14 @@ def main():
         norm_delta_pct = (nv / (ov * host) - 1.0) * 100 if ov > 0 else 0.0
         abs_delta = nv - ov * host
         if norm_delta_pct > t_eff and abs_delta > args.abs_floor_sec:
+            cc = cpu_collapse(q)
             if q in hot_new:
-                masked.append((q, ov, nv, norm_delta_pct, "new"))
+                masked.append((q, ov, nv, norm_delta_pct,
+                               "a probe-elevated window of the new run"))
+            elif cc is not None:
+                masked.append((q, ov, nv, norm_delta_pct,
+                               f"a cpu-share collapse ({cc[0]:.0%} -> {cc[1]:.0%}"
+                               f" of task wall on-core — starved, not regressed)"))
             else:
                 regressions.append((q, ov, nv, norm_delta_pct, conf))
         elif norm_delta_pct < -t_eff and -abs_delta > args.abs_floor_sec:
@@ -281,10 +316,9 @@ def main():
     for q, ov, nv, d, conf in sorted(regressions, key=lambda r: -r[3]):
         print(f"REGRESSION {q}: {ov:.3f}s -> {nv:.3f}s "
               f"(+{d:.0f}% host-normalized) at identical shuffle_bytes [{conf}]")
-    for q, ov, nv, d, run in sorted(masked, key=lambda r: -r[3]):
+    for q, ov, nv, d, why in sorted(masked, key=lambda r: -r[3]):
         print(f"MASKED-CONTENDED {q}: {ov:.3f}s -> {nv:.3f}s (+{d:.0f}% "
-              f"host-normalized) inside a probe-elevated window of the "
-              f"{run} run — no cross-run signal")
+              f"host-normalized) inside {why} — no cross-run signal")
     for q, a, b in plan_changed:
         print(f"PLAN-CHANGED {q}: shuffle_bytes {a} -> {b} "
               f"(needs a PLANS entry, not a timing argument)")

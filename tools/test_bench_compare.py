@@ -73,6 +73,10 @@ def mk_run(host=1.0, planted=None, plan_drift=None, legacy=False,
     if not legacy:
         d["queries_min"] = qmin
         d["bench_reps"] = 3
+        # Round-13 per-query contention channel: task wall tracks the
+        # cold wall (8 cores busy), CPU rides at a 90% on-core share.
+        d["task_run_ms"] = {q: int(v * 8000) for q, v in queries.items()}
+        d["task_cpu_ms"] = {q: int(v * 8000 * 0.9) for q, v in queries.items()}
         # Probes after every 7th query in sorted order, like Bench.
         names = sorted(queries)
         probes = [{"after_query": names[i], "sec": 0.30 * host}
@@ -196,6 +200,21 @@ def main():
     rc, out = run(base, allslow)
     check("suite-wide slowdown exits 1", rc == 1, out)
     check("broad guard names itself", "BROAD-REGRESSION" in out, out)
+
+    # 10. CPU-share collapse: a query inflated by a microburst BETWEEN
+    #     probes (quiet brackets, so probe masking can't see it) shows
+    #     its wall doubling while task CPU stays flat -> masked. The
+    #     planted REAL 2x in test 2 keeps its share (cpu rises with
+    #     wall) and still flags — the discriminator the probes lack.
+    burst = mk_run(host=1.15)
+    burst["queries_min"]["q906_big"] *= 2.0
+    burst["queries"]["q906_big"] *= 2.0
+    burst["task_run_ms"]["q906_big"] *= 2  # wall doubled...
+    # ...but task_cpu_ms stays: the tasks were starved, not working.
+    rc, out = run(base, burst)
+    check("cpu-share collapse exits 0", rc == 0, out)
+    check("cpu-share collapse masked", "MASKED-CONTENDED q906_big" in out
+          and "cpu-share collapse" in out, out)
 
     # 9. Shuffle-jitter family: a listed query tolerates 3% byte drift; an
     #    unlisted one does not; beyond the listed tolerance still flags.

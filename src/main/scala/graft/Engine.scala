@@ -49,6 +49,27 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Widen a scan-rooted frame to the session's shuffle width for
+    * CPU-shaped map stages (r13 optimization, guide §2.5/§6 parallelism
+    * floor): every harness table is ONE parquet row group, so a scan is
+    * one task and all pre-shuffle map work (tokenize, hash, explode,
+    * edit distance, cosine, partial aggregation) would otherwise run
+    * single-threaded regardless of core count — the r13 probe measured
+    * q140's whole cost as one 3.2 s two-task stage. One keyed exchange
+    * of the (projected) input spreads it. Applied per-site where map
+    * work dominates, never blanket: the exchange costs one pass of the
+    * projected bytes, which a cluster-scale input with natural splits
+    * would not need — but there it is also a vanishing fraction of the
+    * job. Hash-keyed, not round-robin: keyless repartition pays the
+    * sort-before-repartition tax (SPARK-23207) and key-derived hashing
+    * stays deterministic under retries. */
+  def fan(df: DataFrame, key: org.apache.spark.sql.Column, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val n = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      .toOption.filter(_ > 0).getOrElse(200)
+    df.repartition(n, (key +: keys): _*)
+  }
+
   /** Earlier harness drops wrote `events.ts` as parquet TIMESTAMP(NANOS),
     * which Spark's reader rejects; current drops write TIMESTAMP(MICROS,
     * isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ. Keep the

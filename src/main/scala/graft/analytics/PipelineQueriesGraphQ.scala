@@ -106,11 +106,51 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
     * repeat — the IncrementalDedup advice-item pattern). */
   private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.memo(spark, s"q177edges|$dir") {
-      val li = Tables.lineitem(spark, dir)
+      // r13 optimization (guide §2.4 — share one exchange): the edge list
+      // is the co-occurrence pair-count frame minus its count column, so
+      // it projects off the q154 memo instead of re-running the same
+      // within-order pair join a second time (one InMemoryTableScan, no
+      // second persist — the 2-col projection of the cached 3-col frame).
+      coPurchasePairCounts(spark, dir).select(col("u"), col("v"))
+    }
+
+  /** Distinct co-purchase incidence (order, part), memoized + persisted —
+    * the base frame of the whole co-purchase family: the pair-count build
+    * scans it twice (self-join sides) and q154's support/total stats scan
+    * it again per call; one cache serves them all (the q235 multi-consumer
+    * persist rule, r13 optimization). */
+  private[graft] def coPurchaseIncidence(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.memo(spark, s"q154inc|$dir") {
+      Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Within-order co-purchase PAIR COUNTS (u < v, n_co = shared orders),
+    * memoized + persisted per (session, dir) — r13 optimization: q154's
+    * top-20 co-occurrence ranking and the q177/q190/q195/q205/q314 edge
+    * memo both derive from this ONE pair join (edges = its key set), so
+    * the suite pays the quadratic within-order fan-out once, not twice. */
+  private[graft] def coPurchasePairCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.memo(spark, s"q154paircounts|$dir") {
+      val li = coPurchaseIncidence(spark, dir)
       li.alias("a")
         .join(li.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("n_co"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Full-graph co-purchase degrees ((node, deg) over the edge memo, ONE
+    * explode pass), memoized + persisted — r13 optimization: this frame
+    * was rebuilt independently by q177's orientation (×2 joins + wedge
+    * stats), q190's histogram, and q195's round-1 peel; one cache serves
+    * all three queries and every bench replay. */
+  private[graft] def coPurchaseDegrees(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.memo(spark, s"q177deg|$dir") {
+      coPurchaseEdges(spark, dir)
+        .select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -124,9 +164,8 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
       o => graft.SessionMemo.memo(spark, s"q177oriented|$dir") {
         o.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       },
-      d => graft.SessionMemo.memo(spark, s"q177deg|$dir") {
-        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+      // Degrees ride the cross-query memo (also q190/q195 — r13).
+      _ => coPurchaseDegrees(spark, dir))
 
   private[graft] def triangleCensusOf(orderParts: DataFrame,
       memoEdges: Option[DataFrame] = None,
@@ -190,29 +229,38 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
     var edges = coPurchaseEdges(spark, dir)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // r13 optimization (guide §2.4 — one aggregate instead of two): each
+    // round's DEGREE frame is both the peel predicate for round r and the
+    // stats readout for round r−1 (n_nodes = rows with deg ≥ 1, n_edges =
+    // Σdeg/2), so the loop keeps a rolling persisted degree frame instead
+    // of running a separate explode + countDistinct action per round —
+    // 3 degree aggregates + 3 count-distinct passes become 4 degree
+    // aggregates total, and the per-round stats action is a ≤|V|-row
+    // cached-frame fold. Round 1's degrees ride the cross-query
+    // [[coPurchaseDegrees]] memo (shared with q177/q190). The survivor
+    // list is a cheap filter over the cached degree frame, so it no
+    // longer persists separately (both semi-joins re-filter the cache).
+    def degreesOf(e: DataFrame): DataFrame = e
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var deg = coPurchaseDegrees(spark, dir)
     for (r <- 1 to KCoreRounds) {
-      // Degrees in ONE edge pass (explode both endpoints, not a
-      // union-of-projections that scans the cache twice); the survivor
-      // list persists because BOTH semi-joins consume it — unpersisted,
-      // each re-derived the degree aggregate (round-8: that duplication
-      // plus per-action planning on the 2^r-deep lineage was most of the
-      // 7.7 s this query cost at sf0.01).
-      val kept = edges.select(explode(array(col("u"), col("v"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= KCoreK).select(col("node"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached += kept
+      val kept = deg.filter(col("deg") >= KCoreK).select(col("node"))
       val next = edges
         .join(kept.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(kept.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached += next
-      // Node and edge counts from ONE action over the cached frame.
-      val stats = next.select(explode(array(col("u"), col("v"))).as("n"))
-        .agg(count(lit(1)).as("ends"), countDistinct(col("n")).as("nodes")).head()
-      rows += ((r, stats.getLong(1), stats.getLong(0) / 2))
+      val nextDeg = degreesOf(next)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += nextDeg
+      // Node and edge counts from ONE action over the node-sized frame.
+      val stats = nextDeg
+        .agg(count(lit(1)).as("nodes"), sum(col("deg")).as("ends")).head()
+      rows += ((r, stats.getLong(0), if (stats.isNullAt(1)) 0L else stats.getLong(1) / 2))
       edges = next
+      deg = nextDeg
     }
     cached.foreach(_.unpersist(blocking = false))
     rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy(col("round"))
@@ -237,16 +285,23 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
     import spark.implicits._
     // Symmetrize in ONE cache pass (explode, not union-of-projections —
     // the union scanned the edge cache twice per frontier expansion).
+    // r13 optimization: PERSIST the symmetrized frame — it has BfsHops
+    // consumers (one semi-join per frontier expansion), and un-persisted
+    // each hop re-ran the 2·|E| explode over the edge cache (three ~0.4 s
+    // stages per run in the r13 probe). No repartition: the frontier side
+    // is node-sized and broadcasts, so the sym side is consumed map-side
+    // and a keyed exchange here would only add a shuffle.
     val sym = edges.select(explode(array(
         struct(col("u").as("s"), col("v").as("t")),
         struct(col("v").as("s"), col("u").as("t")))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seed = edges.agg(min(col("u"))).head().getLong(0)
     var frontier = Seq(seed).toDF("node")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var visited = frontier
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](frontier, sym)
     for (hop <- 1 to BfsHops) {
       val next = sym.join(frontier.withColumnRenamed("node", "s"), Seq("s"), "left_semi")
         .select(col("t").as("node")).distinct()
@@ -288,17 +343,33 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
     val labels = graft.SessionMemo.memo(spark, s"q149labels|$dir") {
       Graph.labelPropagation(symDeg)
     }
-    modularityOf(symDeg, labels)
+    // r13 optimization: the (node, lbl, outdeg) frame is node-sized and
+    // deterministic — memoized + persisted, it turns q245's per-rep work
+    // into one pass over the persisted edge memo with two node-frame
+    // joins (broadcast at harness scale by the planner's own size
+    // estimate, shuffled at 100 TB — a size decision, not a hint), and
+    // the degree-sum branch into a join-free aggregate of the cache.
+    val nodeLbl = graft.SessionMemo.memo(spark, s"q245nodes|$dir") {
+      val nl = symDeg.select(col("src"), col("outdeg")).distinct()
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nl.count()
+      nl
+    }
+    modularityOf(symDeg, nodeLbl.select(col("src").as("node"), col("lbl")),
+      Some(nodeLbl))
   }
 
-  private[graft] def modularityOf(symDeg: DataFrame, labels: DataFrame): DataFrame = {
+  private[graft] def modularityOf(symDeg: DataFrame, labels: DataFrame,
+      memoNodeLbl: Option[DataFrame] = None): DataFrame = {
     val e2 = symDeg.select(col("src"), col("dst"))
       .join(labels.select(col("node").as("src"), col("lbl").as("la")), Seq("src"))
       .join(labels.select(col("node").as("dst"), col("lbl").as("lb")), Seq("dst"))
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("int_endpoints"))
-    val degC = symDeg.select(col("src"), col("outdeg")).distinct()
-      .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+    val degC = memoNodeLbl.getOrElse(
+        symDeg.select(col("src"), col("outdeg")).distinct()
+          .join(labels.withColumnRenamed("node", "src"), Seq("src")))
       .groupBy(col("lbl"))
       .agg(sum(col("outdeg")).as("deg_sum"), count(lit(1)).as("n_members"))
     val m2 = symDeg.agg(count(lit(1)).as("m2"))

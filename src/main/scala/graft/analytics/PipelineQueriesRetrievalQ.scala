@@ -44,9 +44,25 @@ trait PipelineQueriesRetrieval { this: PipelineQueries.type =>
     * self-join; df of a query term is unchanged by the pruning), the
     * per-doc score is one aggregate over query-term postings only, and
     * the top-10 is TakeOrdered — no global sort, no corpus shuffle. */
-  def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    // r13 optimization: the top-10 frame is memoized per (session, dir) —
+    // it has THREE registered consumers (this card, q127's fusion, q203's
+    // assembly via q127), each of which re-ran the corpus scan + pruned
+    // postings plan (the hyperBallMemo discipline applied to the lexical
+    // rankers: one expensive build, cheap folds).
+    graft.SessionMemo.memo(spark, s"q110top|$dir") {
+      val t = tfidfTopkBuild(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count()
+      t
+    }.orderBy(col("score").desc, col("doc_id"))
+
+  private[graft] def tfidfTopkBuild(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // Tables.fan (r13): the explode + broadcast-prune + partial agg is
+    // map-side work on a one-row-group scan.
+    val docs = Tables.fan(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
     val qterms = docs.orderBy(col("doc_id")).limit(1)
       .select(explode(split(col("text"), " ")).as("token")).distinct()
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -84,7 +100,8 @@ trait PipelineQueriesRetrieval { this: PipelineQueries.type =>
     *     require anyway), no join. */
   def postingLists(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tokDoc = Tables.documents(spark, dir)
+    val tokDoc = Tables.fan( // r13: widen the tokenize (see tfidfTopkBuild)
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
     tokDoc
@@ -115,8 +132,10 @@ trait PipelineQueriesRetrieval { this: PipelineQueries.type =>
     * candidates — the exact-scoring stage here is that reranker. */
   def maxsimRetrieval(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
-    val e = Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+    val e = Tables.fan( // r13: the |q-slots|·|doc-slots| cosines are map-side
+        Tables.embeddings(spark, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) >= 64),
+        col("vec_id"))
       .select(expr(s"vec_id div $MaxSimSlots").as("doc"),
         expr(s"vec_id % $MaxSimSlots").as("slot"), col("embedding"))
     val q = e.filter(col("doc") % MaxSimQueryMod === 0)
@@ -156,9 +175,20 @@ trait PipelineQueriesRetrieval { this: PipelineQueries.type =>
     * stream MAP-SIDE before any exchange, df comes from a window over the
     * pruned postings (no self-join), corpus-wide (n_docs, total_tokens)
     * is a 1-row broadcast, and the top-10 is TakeOrdered. */
-  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame =
+    // r13 optimization: memoized like [[tfidfTopk]] — the same three
+    // registered consumers (this card, q127, q203 via q127).
+    graft.SessionMemo.memo(spark, s"q126top|$dir") {
+      val t = bm25TopkBuild(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count()
+      t
+    }.orderBy(col("score").desc, col("doc_id"))
+
+  private[graft] def bm25TopkBuild(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = Tables.fan( // r13: see tfidfTopkBuild
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
     val qterms = docs.orderBy(col("doc_id")).limit(1)
       .select(explode(split(col("text"), " ")).as("token")).distinct()
     val stats = docs.agg(
@@ -191,7 +221,20 @@ trait PipelineQueriesRetrieval { this: PipelineQueries.type =>
     * window over 10 rows, full-outer join on doc_id, integer RRF
     * arithmetic. At 100 TB the fusion cost is unchanged: it never touches
     * the corpus. */
-  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame =
+    // r13 optimization: the fused 10–20-row frame is memoized — q203's
+    // assembly re-ran the whole fusion (and through it both rankers) per
+    // call; the rankers themselves already ride their own memos, so this
+    // memo only collapses the 10-row window/join arithmetic, but it keeps
+    // q203's replays corpus-free end to end.
+    graft.SessionMemo.memo(spark, s"q127fused|$dir") {
+      val f = rrfFusionBuild(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      f.count()
+      f
+    }.orderBy(col("rrf_score").desc, col("doc_id"))
+
+  private[graft] def rrfFusionBuild(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def ranked(df: DataFrame, rankCol: String): DataFrame =
       df.withColumn(rankCol,
@@ -225,8 +268,11 @@ trait PipelineQueriesRetrieval { this: PipelineQueries.type =>
   def phraseSearch(spark: SparkSession, dir: String): DataFrame =
     phraseSearchOf(Tables.documents(spark, dir))
 
-  private[graft] def phraseSearchOf(docs: DataFrame): DataFrame = {
+  private[graft] def phraseSearchOf(docs0: DataFrame): DataFrame = {
     import graft.functions.PortableHashFunctions.md5_token_hashes
+    // Tables.fan (r13): both corpus passes (pair counts, md5 postings)
+    // are map-side on the scan.
+    val docs = Tables.fan(docs0.select(col("doc_id"), col("text")), col("doc_id"))
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
@@ -286,7 +332,9 @@ trait PipelineQueriesRetrieval { this: PipelineQueries.type =>
   private[analytics] def irRunRelOf(documents: DataFrame,
       memoDt: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val docs = documents.select(col("doc_id"), col("text"))
+    // Tables.fan (r13): the postings tokenize feeds every branch map-side.
+    val docs = Tables.fan(
+      documents.select(col("doc_id"), col("text")), col("doc_id"))
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"),
       explode(split(col("text"), " ")).as("token"))
@@ -357,7 +405,10 @@ trait PipelineQueriesRetrieval { this: PipelineQueries.type =>
     * and q234 shares it instead of rebuilding its own copy. */
   private[graft] def docTokenSets(spark: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.memo(spark, s"docTokens|$dir") {
-      Tables.documents(spark, dir)
+      // Tables.fan (r13): the tokenize + explode + partial-distinct runs
+      // map-side on a one-row-group scan — single-threaded unwidened.
+      Tables.fan(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -383,7 +434,8 @@ trait PipelineQueriesRetrieval { this: PipelineQueries.type =>
     * only. Nothing corpus × corpus. */
   def trigramSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = Tables.fan( // r13: char-trigram explode is map-side
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
     val grams = docs.select(col("doc_id"), explode(expr(
         "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
       .as("gram")).distinct()

@@ -114,7 +114,11 @@ object Ann {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int = 10): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
+    // Tables.fan (r13): the |Q|·|C| cosine work is map-side on the corpus
+    // scan — one task on the one-row-group harness tables (guide §2.5).
+    val c = graft.Tables.fan(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
+      col("neighbor_id"))
     val scored = c
       .join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec")))
@@ -133,7 +137,9 @@ object Ann {
   def bruteForceBandTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, lo: Double, hi: Double, k: Int = 10): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
+    val c = graft.Tables.fan( // r13: see bruteForceTopK
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
+      col("neighbor_id"))
     val scored = c
       .join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec")))

@@ -3361,6 +3361,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.take(4)}..., expected ${expected.take(4)}...")
   }
 
+  test("q286 gramSums: one-pass fold equals the brute pair sums, including the 128-bit spill") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = 3
+    // Values chosen so pair products hit ~8.6e18: two adds overflow a Long
+    // cell and exercise the BigInt spill path; negatives exercise the
+    // signed overflow test in both directions.
+    val rows = Seq(
+      Array(2940000000L, -7L, 11L),
+      Array(2940000000L, 13L, -5L),
+      Array(-2940000000L, 2L, 3L),
+      Array(-2940000000L, -2940000000L, 1L))
+    val f = rows.map(a => Tuple1(a)).toDF("f").repartition(2, col("f"))
+    val (m, s, n) = graft.analytics.PipelineQueries.gramSums(f, d)
+    assert(n == 4L)
+    for (i <- 0 until d) {
+      assert(s(i) == rows.map(r => BigInt(r(i))).sum, s"dim sum $i")
+      for (j <- 0 until d)
+        assert(m(i)(j) == rows.map(r => BigInt(r(i)) * BigInt(r(j))).sum,
+          s"pair sum ($i,$j)")
+    }
+    // The diagonal of dim 0 exceeds Long range — the spill actually fired.
+    assert(m(0)(0) > BigInt(Long.MaxValue))
+  }
+
   test("q287 decayed hitters: planted ages weight 256>>age; stale mass rounds to zero") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}

@@ -167,10 +167,26 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
       // Degrees ride the cross-query memo (also q190/q195 — r13).
       _ => coPurchaseDegrees(spark, dir))
 
+  /** Edge-count gate below which the triangle closure runs as an
+    * adjacency-list intersection with a broadcast neighbor table instead
+    * of the wedge semi-join (r13 optimization, guide §2.4/§3): the wedge
+    * formulation materializes Σ C(outdeg⁺, 2) rows — 37 M rows / 862 MB
+    * of shuffle at sf0.1, the suite's heaviest exchange — where the
+    * intersection path shuffles NOTHING beyond the adjacency build
+    * (≤ |E| longs grouped per node; out-degree is orientation-bounded at
+    * O(√m)). Both paths count each triangle exactly once at its apex
+    * edge, so the result is identical — QueriesSpec pins both paths
+    * equal on planted graphs. Above the gate (adjacency too big to
+    * broadcast) the wedge join runs unchanged — the same
+    * measured-size auto-switch as Dedup.connectedComponents' driver
+    * gate. 5 M edges ≈ 40 MB broadcast. */
+  private[graft] val TriAdjMaxEdges = 5000000L
+
   private[graft] def triangleCensusOf(orderParts: DataFrame,
       memoEdges: Option[DataFrame] = None,
       memoOriented: DataFrame => DataFrame = identity,
-      memoDeg: DataFrame => DataFrame = identity): DataFrame = {
+      memoDeg: DataFrame => DataFrame = identity,
+      adjMaxEdges: Long = TriAdjMaxEdges): DataFrame = {
     val li = orderParts.select(col("ok"), col("pk")).distinct()
     val edges = memoEdges.getOrElse(li.alias("a")
       .join(li.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -192,15 +208,37 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
           .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
           .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt")))
-    val wedges = oriented.alias("x")
-      .join(oriented.alias("y"),
-        col("x.s") === col("y.s") &&
-          (col("x.dt") < col("y.dt") ||
-            (col("x.dt") === col("y.dt") && col("x.t") < col("y.t"))))
-      .select(col("x.t").as("b"), col("y.t").as("c"))
-    val tri = wedges
-      .join(oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    // Closure strategy by measured size (see [[TriAdjMaxEdges]]): under
+    // the acyclic (deg, id) orientation every triangle {a → b, a → c,
+    // b → c} is counted exactly once — the wedge path enumerates it at
+    // apex a as the out-pair (b, c) and closes it with the semi-join;
+    // the adjacency path counts it at edge (a, b) as c ∈ N⁺(a) ∩ N⁺(b).
+    // Both are Σ over oriented edges of the co-out-neighbor count, so
+    // the totals are identical (QueriesSpec pins both paths equal).
+    val nEdges = edges.count()
+    val tri =
+      if (nEdges <= adjMaxEdges) {
+        val adj = oriented.groupBy(col("s").as("node"))
+          .agg(collect_list(col("t")).as("ns"))
+        val empty = array().cast("array<bigint>")
+        oriented.alias("e")
+          .join(broadcast(adj.select(col("node").as("s"), col("ns").as("ns_s"))), Seq("s"), "left")
+          .join(broadcast(adj.select(col("node").as("t"), col("ns").as("ns_t"))), Seq("t"), "left")
+          .select(size(array_intersect(
+            coalesce(col("ns_s"), empty), coalesce(col("ns_t"), empty))).cast("long").as("k"))
+          .agg(sum(col("k")).as("n_triangles"))
+          .select(coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      } else {
+        val wedges = oriented.alias("x")
+          .join(oriented.alias("y"),
+            col("x.s") === col("y.s") &&
+              (col("x.dt") < col("y.dt") ||
+                (col("x.dt") === col("y.dt") && col("x.t") < col("y.t"))))
+          .select(col("x.t").as("b"), col("y.t").as("c"))
+        wedges
+          .join(oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+      }
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
@@ -343,33 +381,21 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
     val labels = graft.SessionMemo.memo(spark, s"q149labels|$dir") {
       Graph.labelPropagation(symDeg)
     }
-    // r13 optimization: the (node, lbl, outdeg) frame is node-sized and
-    // deterministic — memoized + persisted, it turns q245's per-rep work
-    // into one pass over the persisted edge memo with two node-frame
-    // joins (broadcast at harness scale by the planner's own size
-    // estimate, shuffled at 100 TB — a size decision, not a hint), and
-    // the degree-sum branch into a join-free aggregate of the cache.
-    val nodeLbl = graft.SessionMemo.memo(spark, s"q245nodes|$dir") {
-      val nl = symDeg.select(col("src"), col("outdeg")).distinct()
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      nl.count()
-      nl
-    }
-    modularityOf(symDeg, nodeLbl.select(col("src").as("node"), col("lbl")),
-      Some(nodeLbl))
+    // r13 note: a memoized (node, lbl, outdeg) frame for the degree-sum
+    // branch was measured and REVERTED — task CPU dropped 3.5× but wall
+    // rose (2.2 s → 4.0 s min): the extra broadcast builds + cache
+    // materialization cost more than the distinct+join they removed.
+    modularityOf(symDeg, labels)
   }
 
-  private[graft] def modularityOf(symDeg: DataFrame, labels: DataFrame,
-      memoNodeLbl: Option[DataFrame] = None): DataFrame = {
+  private[graft] def modularityOf(symDeg: DataFrame, labels: DataFrame): DataFrame = {
     val e2 = symDeg.select(col("src"), col("dst"))
       .join(labels.select(col("node").as("src"), col("lbl").as("la")), Seq("src"))
       .join(labels.select(col("node").as("dst"), col("lbl").as("lb")), Seq("dst"))
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("int_endpoints"))
-    val degC = memoNodeLbl.getOrElse(
-        symDeg.select(col("src"), col("outdeg")).distinct()
-          .join(labels.withColumnRenamed("node", "src"), Seq("src")))
+    val degC = symDeg.select(col("src"), col("outdeg")).distinct()
+      .join(labels.withColumnRenamed("node", "src"), Seq("src"))
       .groupBy(col("lbl"))
       .agg(sum(col("outdeg")).as("deg_sum"), count(lit(1)).as("n_members"))
     val m2 = symDeg.agg(count(lit(1)).as("m2"))

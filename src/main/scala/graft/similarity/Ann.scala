@@ -114,11 +114,11 @@ object Ann {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int = 10): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
-    // Tables.fan (r13): the |Q|·|C| cosine work is map-side on the corpus
-    // scan — one task on the one-row-group harness tables (guide §2.5).
-    val c = graft.Tables.fan(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
-      col("neighbor_id"))
+    // r13 note: a Tables.fan on the corpus side was measured and REVERTED —
+    // several callers (q289's forward/backward passes, q134's sweep) feed
+    // sub-corpus frames where the added exchange + re-executed lineage cost
+    // more than the single-task cosine map saved (q289: 1.2 s → 3.2 s).
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
     val scored = c
       .join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec")))
@@ -137,9 +137,7 @@ object Ann {
   def bruteForceBandTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, lo: Double, hi: Double, k: Int = 10): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
-    val c = graft.Tables.fan( // r13: see bruteForceTopK
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
-      col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
     val scored = c
       .join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine_sim(col("query_vec"), col("neighbor_vec")))

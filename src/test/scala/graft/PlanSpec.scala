@@ -804,10 +804,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
   }
 
-  test("q177: triangle closure is a semi-join on compact keys; no cartesian anywhere") {
+  test("q177: triangle closure broadcasts the adjacency table below the gate; no cartesian") {
+    // r13: below TriAdjMaxEdges the closure is an adjacency-list
+    // intersection against a broadcast neighbor table (no wedge
+    // materialization, no semi-join shuffle); the wedge semi-join remains
+    // the above-gate path and QueriesSpec pins both equal.
     val p = planOf("q177_triangles")
-    assert(p.contains("LeftSemi"),
-      s"wedge closure must be a semi-join against the oriented edge set:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("array_intersect"),
+      s"below-gate closure must be a broadcast adjacency intersection:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_count"), p)
   }

@@ -1537,6 +1537,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((4L, 4L, 5L, 1L, 6000L)))
   }
 
+  test("q177 triangles: adjacency-intersect and wedge-join closures agree (r13 size gate)") {
+    import spark.implicits._
+    // Denser planted graph: two orders forming overlapping cliques plus a
+    // pendant — enough wedge/closure structure to tell the paths apart.
+    val op = (Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L)) ++ // K4 on {1..4}
+      Seq((2L, 3L), (2L, 4L), (2L, 5L)) ++                   // K3 on {3,4,5}
+      Seq((3L, 5L), (3L, 6L))).toDF("ok", "pk")               // pendant 5-6
+    val fast = graft.analytics.PipelineQueries.triangleCensusOf(op)
+      .collect().map(_.toSeq).toSeq
+    val wedge = graft.analytics.PipelineQueries
+      .triangleCensusOf(op, adjMaxEdges = 0L) // force the wedge semi-join
+      .collect().map(_.toSeq).toSeq
+    assert(fast == wedge, s"adjacency=$fast wedge=$wedge")
+    assert(fast.head(3) == 5L, s"K4 (4) + K3 (1) triangles expected: $fast")
+  }
+
   test("q178 CUSUM: planted level shift peaks at the gap-filled boundary day") {
     import spark.implicits._
     val mkTs = (day: Long, i: Long) => new java.sql.Timestamp((day * 86400000000L + i) / 1000)

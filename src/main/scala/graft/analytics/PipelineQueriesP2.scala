@@ -200,8 +200,10 @@ trait PipelineQueriesP2 { this: PipelineQueries.type =>
     * report is a 4-row frame windowed into the funnel. */
   def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Tables.fan (r13): two corpus fingerprint passes are map-side.
-    val docs = graft.Tables.fan(Tables.documents(spark, dir), col("doc_id"))
+    // r13 note: a Tables.fan was measured and REVERTED (1.7 s -> 2.4-2.7 s
+    // in both final runs — the full-row exchange outweighed the
+    // fingerprint map it parallelized).
+    val docs = Tables.documents(spark, dir)
     val s1 = docs.groupBy(TextAnalysis.contentFingerprint(col("text")).as("k"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
     val s2 = docs.join(s1, Seq("doc_id"), "left_semi")

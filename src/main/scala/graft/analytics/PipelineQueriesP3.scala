@@ -2087,9 +2087,7 @@ trait PipelineQueriesP3 { this: PipelineQueries.type =>
 
   private[graft] def bpeEncodeOf(docs: DataFrame, k: Int,
       memoVocab: DataFrame => DataFrame = identity): DataFrame = {
-    // Tables.fan (r13): the tokenize + partial count is map-side.
-    val vocab = memoVocab(graft.Tables.fan(
-        docs.select(col("doc_id"), col("text")), col("doc_id"))
+    val vocab = memoVocab(docs
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .filter(length(col("token")) >= 2)

@@ -1128,8 +1128,9 @@ trait PipelineQueriesP4 { this: PipelineQueries.type =>
   private[graft] def templatePositionsOf(docs: DataFrame): DataFrame = {
     import graft.functions.PortableHashFunctions.md5_token_hashes
     val k = BoilerSegTokens
-    val segs = graft.Tables.fan( // r13: see docSegments
-        docs.select(col("doc_id"), col("text")), col("doc_id"))
+    // r13 note: Tables.fan measured negative here (near-distinct
+    // (segh, g) grouping keys) and reverted.
+    val segs = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(expr(
@@ -2753,10 +2754,9 @@ trait PipelineQueriesP4 { this: PipelineQueries.type =>
 
   private[graft] def tokenPmiOf(docs: DataFrame, seal: Boolean = true): DataFrame = {
     import graft.operators.GlobalRank.rowNumber
-    // Tables.fan (r13): the bigram explode is map-side.
-    val pairs = graft.Tables.fan(
-        docs.select(col("doc_id"), col("lang"), col("text")), col("doc_id"))
-      .select(col("lang"), split(col("text"), " ").as("t"))
+    // r13 note: Tables.fan measured negative here (bigram keys are
+    // near-distinct, tokenize is cheap) and reverted.
+    val pairs = docs.select(col("lang"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("lang"), explode(expr(
         "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS t1, t[i] AS t2))"))

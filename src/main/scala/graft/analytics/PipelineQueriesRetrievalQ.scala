@@ -100,8 +100,11 @@ trait PipelineQueriesRetrieval { this: PipelineQueries.type =>
     *     require anyway), no join. */
   def postingLists(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tokDoc = Tables.fan( // r13: widen the tokenize (see tfidfTopkBuild)
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
+    // r13 note: a Tables.fan here was measured and REVERTED (0.28 s ->
+    // 0.6-0.7 s in both final runs): the (token, doc) aggregate has
+    // near-distinct keys, so the fan exchange added bytes without
+    // shrinking the grouping shuffle, and the tokenize itself is cheap.
+    val tokDoc = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
     tokDoc
@@ -268,11 +271,10 @@ trait PipelineQueriesRetrieval { this: PipelineQueries.type =>
   def phraseSearch(spark: SparkSession, dir: String): DataFrame =
     phraseSearchOf(Tables.documents(spark, dir))
 
-  private[graft] def phraseSearchOf(docs0: DataFrame): DataFrame = {
+  private[graft] def phraseSearchOf(docs: DataFrame): DataFrame = {
     import graft.functions.PortableHashFunctions.md5_token_hashes
-    // Tables.fan (r13): both corpus passes (pair counts, md5 postings)
-    // are map-side on the scan.
-    val docs = Tables.fan(docs0.select(col("doc_id"), col("text")), col("doc_id"))
+    // r13 note: a Tables.fan was measured neutral-to-negative here
+    // (bigram counts have near-distinct keys) and reverted.
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
@@ -434,8 +436,7 @@ trait PipelineQueriesRetrieval { this: PipelineQueries.type =>
     * only. Nothing corpus × corpus. */
   def trigramSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.fan( // r13: char-trigram explode is map-side
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")), col("doc_id"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val grams = docs.select(col("doc_id"), explode(expr(
         "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
       .as("gram")).distinct()

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNPREFIXED (round-13 verdict #2):
+// sbt's default logger wraps every run-output line as "[info] ...", which
+// breaks any consumer that json-parses the Bench metric line from stdout —
+// "[info] {...}" fails at column 2. StdoutOutput pipes the child's stdout
+// straight through, so the final line is the bare JSON object.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -35,7 +35,9 @@ object QProbe {
     spark.sparkContext.setLogLevel("WARN")
     try { graft.similarity.IvfPqIndex.vacuum(spark, Set.empty); () }
     catch { case scala.util.control.NonFatal(_) => () }
-    // Same warmup as Bench: every table touched once.
+    // Same warmup as Bench: every table touched once. NonFatal only, and
+    // loudly (round-13 advice): swallowing OOM/linkage errors here could
+    // mask a broken sfDir and let the probe time nonsense runs.
     try {
       graft.Tables.lineitem(spark, sfDir).limit(1000)
         .groupBy("l_returnflag").count().count()
@@ -44,7 +46,11 @@ object QProbe {
         graft.Tables.supplier _, graft.Tables.nation _, graft.Tables.region _,
         graft.Tables.documents _, graft.Tables.embeddings _)
         .foreach(t => t(spark, sfDir).limit(100).count())
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[qprobe] WARNING: warmup failed — check sfDir " +
+          s"'$sfDir': ${e.getClass.getName}: ${e.getMessage}")
+    }
 
     // Stage listener: (stageId, name-head, wall ms, tasks).
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int)]

@@ -63,12 +63,17 @@ object Tables {
     * job. Hash-keyed, not round-robin: keyless repartition pays the
     * sort-before-repartition tax (SPARK-23207) and key-derived hashing
     * stays deterministic under retries. */
-  def fan(df: DataFrame, key: org.apache.spark.sql.Column, keys: org.apache.spark.sql.Column*): DataFrame = {
-    val n = scala.util.Try(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+  def fan(df: DataFrame, key: org.apache.spark.sql.Column, keys: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(shuffleWidth(df.sparkSession), (key +: keys): _*)
+
+  /** The session's shuffle width, parsed defensively (r13 advice — the
+    * GlobalRank rule shared by every explicit-width site): a non-numeric
+    * value (e.g. "auto" under an AQE coordinator) or a non-positive one
+    * falls back to 200 instead of throwing out of a query plan. */
+  private[graft] def shuffleWidth(spark: SparkSession): Int =
+    scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
       .toOption.filter(_ > 0).getOrElse(200)
-    df.repartition(n, (key +: keys): _*)
-  }
 
   /** Earlier harness drops wrote `events.ts` as parquet TIMESTAMP(NANOS),
     * which Spark's reader rejects; current drops write TIMESTAMP(MICROS,

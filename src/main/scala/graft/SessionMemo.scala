@@ -13,7 +13,16 @@ import org.apache.spark.sql.SparkSession
   * harness JVM holds a handful of sessions and the memo's job is
   * once-per-session COST (skipping rebuilds), not memory reclamation;
   * callers that memoize session-independent values (byte arrays, paths)
-  * keep the full weak-key semantics. */
+  * keep the full weak-key semantics.
+  *
+  * Staleness caveat (r13 advice, documented as the contract): entries
+  * keyed on a data directory have NO invalidation — rewriting the data
+  * under the same dir mid-session silently returns the old frames.
+  * That is acceptable for the harness (testdata is immutable per run
+  * and every bench/verify process is a fresh JVM); a deployment that
+  * rewrites inputs in place must open a new session per dataset
+  * version, or key the memo on a dataset fingerprint (file mtime/size)
+  * instead of the bare dir. */
 private[graft] object SessionMemo {
   private val maps = new java.util.WeakHashMap[
     SparkSession, scala.collection.concurrent.TrieMap[String, Any]]()

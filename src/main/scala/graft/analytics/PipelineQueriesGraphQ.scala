@@ -215,7 +215,17 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
     // the adjacency path counts it at edge (a, b) as c ∈ N⁺(a) ∩ N⁺(b).
     // Both are Σ over oriented edges of the co-out-neighbor count, so
     // the totals are identical (QueriesSpec pins both paths equal).
-    val nEdges = edges.count()
+    // Gate-sizing count only when the edge frame is memoized/persisted
+    // (r13 advice): on a raw call the count would execute the quadratic
+    // within-order pair join a full extra time just to pick a strategy.
+    // adjMaxEdges ≤ 0 / Long.MaxValue force wedge / adjacency without
+    // counting (the spec hooks); an unmemoized call at the default gate
+    // takes the wedge path, count-free.
+    val nEdges =
+      if (adjMaxEdges <= 0L) Long.MaxValue
+      else if (adjMaxEdges == Long.MaxValue) 0L
+      else if (memoEdges.isDefined) edges.count()
+      else Long.MaxValue
     val tri =
       if (nEdges <= adjMaxEdges) {
         val adj = oriented.groupBy(col("s").as("node"))

@@ -888,8 +888,7 @@ trait PipelineQueriesP2 { this: PipelineQueries.type =>
     // on (block, key) spreads the per-pair levenshtein across the
     // session's shuffle width — the (block, salt)-shaped exchange ER
     // practice uses anyway; it costs one pass of the node-sized table.
-    val shuffleN = c.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
+    val shuffleN = graft.Tables.shuffleWidth(c.sparkSession)
     val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
       col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
       .repartition(shuffleN, col("nk"), col("seg"), col("id_a"))
@@ -1269,8 +1268,7 @@ trait PipelineQueriesP2 { this: PipelineQueries.type =>
     // Explicit width on the gram self-join (the q235 verify rule): the
     // postings are a few MB but the pair stage is CPU-shaped — AQE's
     // byte-based coalescing funneled it into ONE 2.4 s task at sf0.1.
-    val shuffleN = docs.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
+    val shuffleN = graft.Tables.shuffleWidth(docs.sparkSession)
     val rgW = rg.repartition(shuffleN, col("g"))
     val pairs = rgW.alias("a")
       .join(rgW.alias("b"),

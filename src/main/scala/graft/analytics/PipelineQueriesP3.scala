@@ -160,9 +160,20 @@ trait PipelineQueriesP3 { this: PipelineQueries.type =>
     * CMS q79 / Bloom q84); the exact branch is the harness audit, dropped
     * at corpus scale where the sketch is the product. */
   def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame =
-    joinSizeEstimateOf(Tables.lineitem(spark, dir).select(col("l_partkey").as("k")))
+    joinSizeEstimateOf(Tables.lineitem(spark, dir).select(col("l_partkey").as("k")),
+      // r14 (r13 advice): memoize the persisted count frame per
+      // (session, dir) — a fresh per-call persist with no unpersist
+      // leaked one cached frame per invocation/bench replay. Eager
+      // count(): its two consumers (sketch cells, exact branch) are
+      // concurrent AQE stages — the GlobalRank cache-race rule.
+      c => graft.SessionMemo.memo(spark, s"q191counts|$dir") {
+        val p = c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      })
 
-  private[graft] def joinSizeEstimateOf(keys: DataFrame): DataFrame = {
+  private[graft] def joinSizeEstimateOf(keys: DataFrame,
+      memoCounts: DataFrame => DataFrame = identity): DataFrame = {
     import graft.functions.PortableHashFunctions.md5_token_hashes
     // r13 optimization (guide §2.3 — aggregate before you explode): the
     // sketch hashed every ROW ×depth (5×|rows| md5 calls); hashing is
@@ -170,8 +181,7 @@ trait PipelineQueriesP3 { this: PipelineQueries.type =>
     // map-side-combinable aggregate, shared with the exact branch via the
     // persist) and weight each cell by the count — 5×|keys| hashes,
     // 30× fewer at sf0.1, identical cells by Σ-additivity.
-    val counts = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = memoCounts(keys.groupBy(col("k")).agg(count(lit(1)).as("c")))
     val cells = counts
       .select(col("c"), explode(expr(
         s"transform(sequence(0, ${CmsDepth - 1}), d -> struct(d AS d, concat(d, ':', k) AS s))"))
@@ -965,15 +975,24 @@ trait PipelineQueriesP3 { this: PipelineQueries.type =>
     * q191 companion for RANGE predicates. */
   def histogramAccuracy(spark: SparkSession, dir: String): DataFrame =
     histogramAccuracyOf(Tables.lineitem(spark, dir)
-      .select(expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long").as("v")))
+      .select(expr("CAST(l_extendedprice * 100 AS DECIMAL(14,0))").cast("long").as("v")),
+      // r14 (r13 advice): memoize the persisted value frame per
+      // (session, dir) instead of leaking one cache per call; eager
+      // count() — FOUR concurrent consumers (stats, histogram, bin
+      // counts, exact branch) otherwise race on cache population.
+      vs => graft.SessionMemo.memo(spark, s"q213values|$dir") {
+        val p = vs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      })
 
-  private[graft] def histogramAccuracyOf(values0: DataFrame): DataFrame = {
+  private[graft] def histogramAccuracyOf(values0: DataFrame,
+      memoValues: DataFrame => DataFrame = identity): DataFrame = {
     val B = HistBins
     // Tables.fan (r13): the per-bin range join below is map-side on the
     // scan; and the values frame has three consumers (stats, histogram,
     // bin counts) — persist it once, fanned.
-    val values = graft.Tables.fan(values0, col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val values = memoValues(graft.Tables.fan(values0, col("v")))
     val stats = values.agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
       max(col("v")).as("mx"))
     // Bounded-domain value histogram + cumulative counts (q113 idiom;
@@ -1194,14 +1213,27 @@ trait PipelineQueriesP3 { this: PipelineQueries.type =>
     prefixFilterJoinOf(Tables.documents(spark, dir),
       // The sets/members frames feed MANY lineage branches (prefix sides,
       // verify sides, clique expansion) — unpersisted, each branch re-runs
-      // the grouping shuffle; persisted once, they serve them all.
+      // the grouping shuffle; persisted once, they serve them all. Eager
+      // count() (r14): the branches are concurrent AQE stages — the
+      // GlobalRank cache-race rule.
       sm => graft.SessionMemo.memo(spark, s"q235sets|$dir") {
-        (sm._1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-          sm._2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val a = sm._1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val b = sm._2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        a.count(); b.count()
+        (a, b)
+      },
+      // r14 (r13 advice): the prefix-postings persist was per-call with
+      // no unpersist — one leaked cache per invocation/replay; memoized
+      // + eagerly materialized like the sets.
+      p => graft.SessionMemo.memo(spark, s"q235pfx|$dir") {
+        val x = p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        x.count()
+        x
       })
 
   private[graft] def prefixFilterJoinOf(docs: DataFrame,
-      memoSets: ((DataFrame, DataFrame)) => (DataFrame, DataFrame) = identity(_)): DataFrame = {
+      memoSets: ((DataFrame, DataFrame)) => (DataFrame, DataFrame) = identity(_),
+      memoPfx: DataFrame => DataFrame = identity): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Collapse identical token SETS first (the q131 discipline; round-7
     // verdict #1's deeper fix): on a densely-duplicated corpus the exact
@@ -1222,22 +1254,21 @@ trait PipelineQueriesP3 { this: PipelineQueries.type =>
       .select(col("doc_id"), col("sid"))
     val (sets, members) = memoSets((sets0, members0))
     // PPJoin over distinct sets: prefix + length + positional filters.
-    val shuffleN = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val shuffleN = graft.Tables.shuffleWidth(docs.sparkSession)
     val sdt = sets.select(col("sid"), size(col("toks")).cast("long").as("sz"),
       explode(col("toks")).as("token"))
     val cnt = sdt.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val pfx = sdt.join(cnt, Seq("token"))
+    // r13 optimization: persist — TWO consumers (probe side `a`, index
+    // side `idx`), so the whole postings + token-df + rank pipeline
+    // otherwise executes twice per run; memoized + eager via memoPfx (r14).
+    val pfx = memoPfx(sdt.join(cnt, Seq("token"))
       // Explicit width: the per-set rank window is CPU-shaped, and AQE's
       // byte-based coalescing would run the whole postings frame through
       // one sorted task (same rationale as the verify repartition below).
       .repartition(shuffleN, col("sid"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("sid")).orderBy(col("cnt"), col("token"))).cast("long"))
-      .filter(col("rn") <= col("sz") - expr(s"($PfxJacBp * sz + 9999) div 10000") + 1L)
-      // r13 optimization: persist — TWO consumers (probe side `a`, index
-      // side `idx`), so the whole postings + token-df + rank pipeline
-      // otherwise executes twice per run.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("rn") <= col("sz") - expr(s"($PfxJacBp * sz + 9999) div 10000") + 1L))
     def side(s: String) = pfx.select(col("token"), col("sid").as(s"id_$s"),
       col("sz").as(s"sz_$s"), col("rn").as(s"rn_$s"))
     // Asymmetric AllPairs candidate join, two refinements over the naive

@@ -70,16 +70,32 @@ object GlobalRank {
     val parted = df.repartitionByRange(n, order: _*)
       .withColumn(pid, spark_partition_id().cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // DRIVER-SIDE offsets (r14, guide §1.1/§5): the offsets frame is
+    // ≤ `n` metadata rows, but as a lazy second consumer of `parted` it
+    // made the final plan carry two independent AQE stages over the
+    // un-populated cache — their tasks RACED on cache population (one
+    // task computes each partition, every other blocks on the
+    // BlockInfoManager lock; measured: q226/q301/q311 carried 7–15 s of
+    // aggregate task run at <25% CPU for <2 s of wall), plus a
+    // single-partition WindowExec over the metadata frame per call.
+    // Collecting the per-shard counts instead (a) materializes the cache
+    // in the one pass that was already needed, (b) leaves the final plan
+    // with exactly ONE consumer of `parted`, and (c) computes the
+    // running offsets on ≤ `n` driver rows — the same rows the broadcast
+    // already shipped. Boundary consistency is now pinned by
+    // materialization order, not cache-population timing.
+    val counts = parted.groupBy(col(pid)).agg(count(lit(1)).as(cnt))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    val offRows = counts.map { case (p, c) => val o = running; running += c; (p, o) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = offRows.toSeq.toDF(pid, off)
     // Window.partitionBy(pid) re-shuffles by pid hash, but each shard
     // moves as ONE block to one reducer — the per-shard sort is the same
     // work the serial window would have done on 1/n of the data.
     val local = parted.withColumn(lrk,
       row_number().over(Window.partitionBy(col(pid)).orderBy(order: _*)).cast("long"))
-    val offsets = parted.groupBy(col(pid)).agg(count(lit(1)).as(cnt))
-      .withColumn(off,
-        sum(col(cnt)).over(Window.orderBy(col(pid))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col(cnt))
-      .select(col(pid), col(off))
     local.join(broadcast(offsets), pid)
       .withColumn(outCol, col(off) + col(lrk))
       .drop(pid, lrk, off)
@@ -132,12 +148,30 @@ object GlobalRank {
       if (inclusiveOut == null) localStrict
       else localStrict.withColumn(locI, max(valCol).over(wIncl))
     // Whole-shard maxima are a ≤`n`-row metadata frame; the EXCLUSIVE
-    // running max over shard order is each shard's carry-in.
-    val offsets = parted.groupBy(col(pid)).agg(max(valCol).as(mx))
-      .withColumn(off,
-        max(col(mx)).over(Window.orderBy(col(pid))
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col(pid), col(off))
+    // running max over shard order is each shard's carry-in — computed
+    // DRIVER-SIDE from a collect (r14): materializes the cache in the
+    // one pass already needed and leaves the final plan with one
+    // consumer of `parted` — see [[rowNumber]]. Values ride the repo's
+    // integer (LongType) discipline; a shard whose valCol is all-NULL
+    // carries no maximum (None), matching SQL max-over-empty semantics.
+    val maxima = parted.groupBy(col(pid)).agg(max(valCol).as(mx))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    var runMax: Option[Long] = None
+    val offRows = maxima.map { case (p, m) =>
+      val o = runMax
+      runMax = (runMax, m) match {
+        case (Some(a), Some(b)) => Some(math.max(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      (p, o)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = offRows.toSeq
+      .map { case (p, o) => (p, o.map(java.lang.Long.valueOf).orNull) }
+      .toDF(pid, off)
     val merged = local.join(broadcast(offsets), pid)
       .withColumn(outCol, greatest(col(locS), col(off)))
     val out =
@@ -198,14 +232,32 @@ object GlobalRank {
       case (acc, ((v, _), i)) =>
         acc.withColumn(loc(i), coalesce(sum(v).over(w), lit(0L)))
     }
-    val wOff = Window.orderBy(col(pid))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // Per-shard totals → DRIVER-SIDE exclusive running sums (r14): the
+    // collect materializes the cache in the one pass already needed,
+    // leaves the final plan with one consumer of `parted`, and drops the
+    // single-partition metadata WindowExec — see [[rowNumber]]. Values
+    // ride the repo's integer (LongType) discipline; an all-NULL shard
+    // total contributes 0, matching the SQL running sum's null-skip.
     val totExprs = valCols.zipWithIndex.map { case ((v, _), i) => sum(v).as(tot(i)) }
-    val offsets = parted.groupBy(col(pid)).agg(totExprs.head, totExprs.tail: _*)
-    val carried = valCols.indices.foldLeft(offsets) { (acc, i) =>
-      acc.withColumn(off(i),
-        coalesce(sum(col(tot(i))).over(wOff), lit(0L)))
-    }.select(col(pid) +: valCols.indices.map(i => col(off(i))): _*)
+    val totals = parted.groupBy(col(pid)).agg(totExprs.head, totExprs.tail: _*)
+      .collect()
+      .map(r => (r.getLong(0), valCols.indices.map(i =>
+        if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)).toArray))
+      .sortBy(_._1)
+    val running = Array.fill(valCols.size)(0L)
+    val offRows = totals.map { case (p, ts) =>
+      val o = running.clone()
+      valCols.indices.foreach(i => running(i) += ts(i))
+      org.apache.spark.sql.Row.fromSeq(p +: o.toSeq)
+    }
+    val spark = df.sparkSession
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(pid, org.apache.spark.sql.types.LongType,
+        nullable = false) +:
+        valCols.indices.map(i => org.apache.spark.sql.types.StructField(off(i),
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val carried = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
     val out = valCols.zipWithIndex.foldLeft(
       local.join(broadcast(carried), pid)) {
       case (acc, ((_, name), i)) =>

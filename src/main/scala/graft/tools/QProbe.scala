@@ -52,15 +52,23 @@ object QProbe {
           s"'$sfDir': ${e.getClass.getName}: ${e.getMessage}")
     }
 
-    // Stage listener: (stageId, name-head, wall ms, tasks).
-    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int)]
+    // Stage listener: (stageId, name-head, wall ms, tasks, task run ms,
+    // task cpu ms) — run/cpu from the stage's aggregated TaskMetrics, so
+    // a stage whose aggregate task time dwarfs its wall (duplicate
+    // lineage execution, lock serialization) is attributable per stage.
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int, Long, Long)]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val wall = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b)
           .getOrElse(-1L)
-        stages.add((i.stageId, i.name.takeWhile(_ != '\n').take(60), wall, i.numTasks))
+        val tm = i.taskMetrics
+        val (run, cpu) =
+          if (tm == null) (0L, 0L)
+          else (tm.executorRunTime, tm.executorCpuTime / 1000000L)
+        stages.add((i.stageId, i.name.takeWhile(_ != '\n').take(60), wall,
+          i.numTasks, run, cpu))
         ()
       }
     })
@@ -85,10 +93,12 @@ object QProbe {
         if (rep == 1 || rep == reps) {
           val tag = if (rep == 1) "cold" else "rep" + rep
           import scala.jdk.CollectionConverters._
-          val top = stages.asScala.toSeq.sortBy(-_._3).take(12)
-          top.foreach { case (id, n, w, t) =>
-            println(f"[qprobe]   $name $tag stage=$id%5d wall=${w}%6d ms tasks=$t%4d  $n")
+          val all = stages.asScala.toSeq
+          val top = all.sortBy(s => -(s._3 max s._5)).take(14)
+          top.foreach { case (id, n, w, t, run, cpu) =>
+            println(f"[qprobe]   $name $tag stage=$id%5d wall=${w}%6d ms tasks=$t%4d run=${run}%7d cpu=${cpu}%7d  $n")
           }
+          println(f"[qprobe]   $name $tag TOTAL stages=${all.size} wall=${all.map(_._3).sum}%7d run=${all.map(_._5).sum}%7d cpu=${all.map(_._6).sum}%7d")
         }
         s
       }

@@ -1544,7 +1544,11 @@ class QueriesSpec extends AnyFunSuite {
     val op = (Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L)) ++ // K4 on {1..4}
       Seq((2L, 3L), (2L, 4L), (2L, 5L)) ++                   // K3 on {3,4,5}
       Seq((3L, 5L), (3L, 6L))).toDF("ok", "pk")               // pendant 5-6
-    val fast = graft.analytics.PipelineQueries.triangleCensusOf(op)
+    // Long.MaxValue / 0 force the adjacency / wedge closures without the
+    // gate-sizing count (r14: unmemoized calls at the DEFAULT gate now
+    // take the wedge path count-free, so the forced values are the hooks).
+    val fast = graft.analytics.PipelineQueries
+      .triangleCensusOf(op, adjMaxEdges = Long.MaxValue)
       .collect().map(_.toSeq).toSeq
     val wedge = graft.analytics.PipelineQueries
       .triangleCensusOf(op, adjMaxEdges = 0L) // force the wedge semi-join

@@ -186,7 +186,8 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
       memoEdges: Option[DataFrame] = None,
       memoOriented: DataFrame => DataFrame = identity,
       memoDeg: DataFrame => DataFrame = identity,
-      adjMaxEdges: Long = TriAdjMaxEdges): DataFrame = {
+      adjMaxEdges: Long = TriAdjMaxEdges,
+      packIds: Option[Boolean] = None): DataFrame = {
     val li = orderParts.select(col("ok"), col("pk")).distinct()
     val edges = memoEdges.getOrElse(li.alias("a")
       .join(li.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -239,15 +240,38 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
           .agg(sum(col("k")).as("n_triangles"))
           .select(coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       } else {
-        val wedges = oriented.alias("x")
+        // r14 (verdict #7, guide §2.1 — narrower shuffle keys): the wedge
+        // closure's (b, c) endpoint pair packs into ONE BIGINT
+        // (b·2³¹ | c) whenever node ids provably fit 31 bits — the
+        // closure semi-join (the suite's heaviest exchange above the
+        // gate: 37 M rows / 862 MB at sf0.1) then shuffles half the key
+        // bytes. Gate: explicit via packIds (the spec hook), else
+        // measured off the MEMOIZED degree frame only (the q177
+        // gate-count rule — raw calls keep the 2-col shape, action-free).
+        // Packing is bijective on ids < 2³¹, so the semi-join matches
+        // exactly the same pairs.
+        val pack = packIds.getOrElse(memoEdges.isDefined && {
+          val mx = deg.agg(max(col("node"))).head()
+          !mx.isNullAt(0) && mx.getLong(0) < (1L << 31)
+        })
+        val wedges0 = oriented.alias("x")
           .join(oriented.alias("y"),
             col("x.s") === col("y.s") &&
               (col("x.dt") < col("y.dt") ||
                 (col("x.dt") === col("y.dt") && col("x.t") < col("y.t"))))
-          .select(col("x.t").as("b"), col("y.t").as("c"))
-        wedges
-          .join(oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"), "left_semi")
-          .agg(count(lit(1)).as("n_triangles"))
+        if (pack) {
+          wedges0
+            .select((col("x.t") * (1L << 31) + col("y.t")).as("bc"))
+            .join(oriented.select((col("s") * (1L << 31) + col("t")).as("bc")),
+              Seq("bc"), "left_semi")
+            .agg(count(lit(1)).as("n_triangles"))
+        } else {
+          wedges0
+            .select(col("x.t").as("b"), col("y.t").as("c"))
+            .join(oriented.select(col("s").as("b"), col("t").as("c")),
+              Seq("b", "c"), "left_semi")
+            .agg(count(lit(1)).as("n_triangles"))
+        }
       }
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
@@ -326,30 +350,54 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
     * so round r never re-derives round r−1's lineage (the q149/q195
     * lesson); counts collect as hop-sized driver rows (q86/q188
     * emission); the oracle replays the unrolled rounds. */
-  def kHopReachability(spark: SparkSession, dir: String): DataFrame =
-    kHopReachabilityOf(spark, coPurchaseEdges(spark, dir))
+  /** Symmetrized co-purchase edges (both directions), hash-partitioned on
+    * the destination key, memoized + persisted per (session, dir) — r14:
+    * q205's per-hop semi-joins and the q314 register rounds each rebuilt
+    * the same 2·|E| explode per CALL (and q205 rebuilt it per replay);
+    * one eager cache serves both families. Partitioned by `t` so the
+    * q314 rounds shuffle only the node-sized register side; q205's
+    * frontier side broadcasts, so the partitioning costs it nothing. */
+  private[graft] def coPurchaseSym(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.memo(spark, s"q205sym|$dir") {
+      val s = coPurchaseEdges(spark, dir).select(explode(array(
+          struct(col("u").as("s"), col("v").as("t")),
+          struct(col("v").as("s"), col("u").as("t")))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"))
+        .repartition(col("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      s.count()
+      s
+    }
 
-  private[graft] def kHopReachabilityOf(spark: SparkSession, edges: DataFrame): DataFrame = {
+  def kHopReachability(spark: SparkSession, dir: String): DataFrame =
+    kHopReachabilityOf(spark, coPurchaseEdges(spark, dir),
+      Some(coPurchaseSym(spark, dir)))
+
+  private[graft] def kHopReachabilityOf(spark: SparkSession, edges: DataFrame,
+      memoSym: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     // Symmetrize in ONE cache pass (explode, not union-of-projections —
     // the union scanned the edge cache twice per frontier expansion).
     // r13 optimization: PERSIST the symmetrized frame — it has BfsHops
     // consumers (one semi-join per frontier expansion), and un-persisted
     // each hop re-ran the 2·|E| explode over the edge cache (three ~0.4 s
-    // stages per run in the r13 probe). No repartition: the frontier side
-    // is node-sized and broadcasts, so the sym side is consumed map-side
-    // and a keyed exchange here would only add a shuffle.
-    val sym = edges.select(explode(array(
+    // stages per run in the r13 probe). r14: the registered query rides
+    // the shared [[coPurchaseSym]] memo (one build per session, shared
+    // with the q314 family); the per-call build below serves
+    // planted-frame callers only.
+    val sym = memoSym.getOrElse(edges.select(explode(array(
         struct(col("u").as("s"), col("v").as("t")),
         struct(col("v").as("s"), col("u").as("t")))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val seed = edges.agg(min(col("u"))).head().getLong(0)
     var frontier = Seq(seed).toDF("node")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var visited = frontier
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](frontier, sym)
+    // The memoized sym must SURVIVE this call (it is the shared cache).
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    if (memoSym.isEmpty) cached += sym
     for (hop <- 1 to BfsHops) {
       val next = sym.join(frontier.withColumnRenamed("node", "s"), Seq("s"), "left_semi")
         .select(col("t").as("node")).distinct()
@@ -471,7 +519,13 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
       dir: String): (Seq[(Long, Long, BigInt, Long)], Seq[(Long, Long, Long, Long)],
         Seq[(Long, Long, Long, Long)], Seq[(Long, Long, Long, Long)]) =
     graft.SessionMemo.memo(spark, s"hyperball_core:$dir")(
-      hyperBallCoreOf(coPurchaseEdges(spark, dir)))
+      hyperBallCoreOf(coPurchaseEdges(spark, dir),
+        // r14: ride the shared symmetric-edge memo (one build per
+        // session, shared with q205) and the degrees memo's node list
+        // (same node set — every node carries ≥ 1 edge) instead of
+        // re-exploding + re-distincting 2·|E| rows per propagation.
+        memoSym = Some(coPurchaseSym(spark, dir)),
+        memoNodes = Some(coPurchaseDegrees(spark, dir).select(col("node")))))
 
   /** q314 card rendered from [[hyperBallStatsOf]] — kept for the specs
     * that drive planted edge frames. */
@@ -501,7 +555,10 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
     * (node, ballT_milli, dist_sum_milli, closeness_nano), all collected
     * from ONE propagation. */
   private[graft] def hyperBallCoreOf(
-      edges: DataFrame): (Seq[(Long, Long, BigInt, Long)], Seq[(Long, Long, Long, Long)],
+      edges: DataFrame,
+      memoSym: Option[DataFrame] = None,
+      memoNodes: Option[DataFrame] = None): (Seq[(Long, Long, BigInt, Long)],
+        Seq[(Long, Long, Long, Long)],
         Seq[(Long, Long, Long, Long)], Seq[(Long, Long, Long, Long)]) = {
     import graft.functions.PortableHashFunctions.md5_token_hashes
     val spark = edges.sparkSession
@@ -512,18 +569,26 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
     // keeps its outputPartitioning, so every round's sym ⋈ reg join
     // shuffles only the |V|-sized register side — the 2·|E| edge frame
     // crosses the wire once for the whole query, not once per round.
-    val sym = edges.select(explode(array(
+    // r14: the registered family rides the shared [[coPurchaseSym]] memo;
+    // the per-call build serves planted-frame callers.
+    val sym = memoSym.getOrElse(edges.select(explode(array(
         struct(col("u").as("s"), col("v").as("t")),
         struct(col("v").as("s"), col("u").as("t")))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
       .repartition(col("t"))
-      .persist(MD)
+      .persist(MD))
     // One packed m-byte register vector per node (the [[RegMaxAggregator]]
     // layout): a skinny (node, bucket, rho) frame shuffles |E|·m rows per
     // round once the registers fill — measured 41 s at sf0.1 for the
     // skinny formulation vs the packed merge whose combined partials are
-    // ≤ |V| packed rows per partition.
-    val r0 = sym.select(col("s").as("node")).distinct()
+    // ≤ |V| packed rows per partition. (A 64-MAX-column codegen
+    // HashAggregate variant was measured in r14 and REVERTED: the
+    // 65-field UnsafeRows made it ~2× slower than the packed typed
+    // merge — 46 s vs 24 s standalone cold.)
+    // r14: the node list projects off the degrees memo when supplied
+    // (same node set — every node carries ≥ 1 edge) instead of a fresh
+    // 2·|E|-row distinct per propagation.
+    val r0 = memoNodes.getOrElse(sym.select(col("s").as("node")).distinct())
       .select(col("node"),
         md5_token_hashes(array(concat(col("node").cast("string"), lit(":hb"))), 60)
           .getItem(0).as("h"))
@@ -536,7 +601,14 @@ trait PipelineQueriesGraph { this: PipelineQueries.type =>
       }
       .toDF("node", "regs")
       .persist(MD)
-    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](sym, r0)
+    // Eager (the GlobalRank cache-race rule): round 1's join side and
+    // union side are concurrent consumers of r0 — and when sym is built
+    // per-call, this same pass materializes it.
+    r0.count()
+    // The memoized sym must SURVIVE this call (it is the shared cache);
+    // a per-call sym is dropped with the round frames as before.
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](r0)
+    if (memoSym.isEmpty) cached += sym
     val estFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var reg = r0
     val cards = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, BigInt, Long)]

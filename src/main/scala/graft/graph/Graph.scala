@@ -58,6 +58,14 @@ object Graph {
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
     sym.join(deg, "src")
       .repartition(col("src"))
+      // r14 (guide §2.4 — establish the layout once): SORTED by the join
+      // key inside each partition, so the per-iteration sort-merge join
+      // against the node-sized rank/label frame needs neither an
+      // exchange NOR a sort on the edge side (InMemoryTableScan exposes
+      // the cached plan's partitioning AND ordering). Un-sorted, every
+      // PageRank/label round re-sorted the full 2·|E| cached frame —
+      // 3 sorts per query per rep at sf0.1, the dominant replay cost.
+      .sortWithinPartitions(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -111,10 +119,16 @@ object Graph {
       // the caches materialize lazily inside the consumer's single
       // action. Caller owns the lifetime (q149 memoizes per session —
       // one cached chain per (session, dir), like the q139 edge list).
+      // r14: join on SRC, emit DST (guide §2.4): the edge memo is
+      // src-partitioned and src-sorted, and the edge set is SYMMETRIC by
+      // construction, so {(src, lbl(dst))} and {(dst, lbl(src))} are the
+      // same multiset — joining on src reuses the cached layout (only
+      // the node-sized label frame shuffles per round) where the old
+      // dst-keyed join re-shuffled the full 2·|E| frame every round.
       labels = symDeg
         .select(col("src"), col("dst"))
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("lbl"))
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
         .union(labels)
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"))

@@ -14,26 +14,34 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * rows per round (41 s total); the packed merge is the difference
   * between that and a ~40 MB combined shuffle.
   *
-  * [[reduce]] is deliberately NON-mutating: Spark's typed-aggregate
-  * path can hand every group the SAME deserialized `zero` instance, so
-  * an in-place `buf(i) = max(...)` smears one shared register vector
+  * Mutation discipline: Spark's typed-aggregate path can hand every
+  * group the SAME deserialized `zero` instance, so an unconditional
+  * in-place `buf(i) = max(...)` smears one shared register vector
   * across all nodes (observed: every node's t=1 ball estimated ≈ the
   * GLOBAL node count at sf0.01 — caught by the DuckDB register-replay
-  * oracle). A fresh 64-byte array per reduce is the correctness tax;
-  * [[graft.similarity.Ann.TopKAggregator]] sidesteps the same hazard
-  * with immutable Vectors.
+  * oracle). The round-13 fix allocated a fresh 64-byte array per
+  * [[reduce]] — ~5M allocations + copies per propagation round at
+  * sf0.1. r14: `zero` is the EMPTY array sentinel, so the shared zero
+  * is never mutated (first reduce clones the incoming row's vector —
+  * one allocation per GROUP); every later reduce/merge mutates the
+  * clone, which this aggregator provably owns. Incoming `v`/`y` values
+  * are never written. [[graft.similarity.Ann.TopKAggregator]] sidesteps
+  * the same hazard with immutable Vectors.
   */
 class RegMaxAggregator(m: Int)
     extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
-  override def zero: Array[Byte] = new Array[Byte](m)
-  override def reduce(buf: Array[Byte], v: Array[Byte]): Array[Byte] = {
-    val out = new Array[Byte](m)
-    var i = 0
-    while (i < m) { out(i) = if (v(i) > buf(i)) v(i) else buf(i); i += 1 }
-    out
-  }
-  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = reduce(x, y)
-  override def finish(b: Array[Byte]): Array[Byte] = b
+  override def zero: Array[Byte] = Array.emptyByteArray
+  override def reduce(buf: Array[Byte], v: Array[Byte]): Array[Byte] =
+    if (buf.length == 0) v.clone()
+    else {
+      var i = 0
+      while (i < m) { if (v(i) > buf(i)) buf(i) = v(i); i += 1 }
+      buf
+    }
+  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+    if (x.length == 0) y else reduce(x, y)
+  override def finish(b: Array[Byte]): Array[Byte] =
+    if (b.length == 0) new Array[Byte](m) else b
   override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }

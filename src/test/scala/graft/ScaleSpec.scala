@@ -323,6 +323,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(!"""windowspecdefinition\(id#\d+L ASC""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q177 above-gate wedge closure: packed BIGINT keys match the 2-col semi-join") {
+    import spark.implicits._
+    // The K4+K3+pendant planted graph from QueriesSpec's gate test —
+    // enough wedge/closure structure to tell a packing bug apart.
+    val op = (Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L)) ++
+      Seq((2L, 3L), (2L, 4L), (2L, 5L)) ++
+      Seq((3L, 5L), (3L, 6L))).toDF("ok", "pk")
+    def run(pack: Boolean) = graft.analytics.PipelineQueries
+      .triangleCensusOf(op, adjMaxEdges = 0L, packIds = Some(pack))
+      .collect().map(_.toSeq).toSeq
+    val packed = run(true)
+    val plain = run(false)
+    assert(packed == plain, s"packed=$packed plain=$plain")
+    assert(packed.head(3) == 5L, s"K4 (4) + K3 (1) triangles expected: $packed")
+    // The packed closure's semi-join must key on ONE bigint (b·2³¹ | c):
+    // the wedge exchange then carries half the key bytes of the
+    // (b, c) 2-col form — the shape real scale takes above the gate.
+    val plan = graft.analytics.PipelineQueries
+      .triangleCensusOf(op, adjMaxEdges = 0L, packIds = Some(true))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("2147483648"), s"packed key expected in plan:\n$plan")
+  }
+
   test("partitioned layout prunes directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val events = Tables.events(spark, TestSpark.SfDir)

@@ -273,7 +273,15 @@ def main():
             if q in hot_new:
                 masked.append((q, ov, nv, norm_delta_pct,
                                "a probe-elevated window of the new run"))
-            elif cc is not None:
+            # Round-14 hardening (r13 verdict #10): the cpu-share mask may
+            # NEVER absorb a >2x single-query inflation when the probes
+            # read idle — host starvation strong enough to double a query
+            # elevates the bracketing probes, while a lock-convoy or
+            # recompute regression (the r13 q297 shape: 56x at idle
+            # probes, byte-identical shuffles, cpu share 43%) collapses
+            # the share exactly like starvation does. Beyond 2x at quiet
+            # probes the collapse IS the regression signature.
+            elif cc is not None and norm_delta_pct <= 100.0:
                 masked.append((q, ov, nv, norm_delta_pct,
                                f"a cpu-share collapse ({cc[0]:.0%} -> {cc[1]:.0%}"
                                f" of task wall on-core — starved, not regressed)"))

@@ -203,18 +203,34 @@ def main():
 
     # 10. CPU-share collapse: a query inflated by a microburst BETWEEN
     #     probes (quiet brackets, so probe masking can't see it) shows
-    #     its wall doubling while task CPU stays flat -> masked. The
+    #     its wall rising while task CPU stays flat -> masked. The
     #     planted REAL 2x in test 2 keeps its share (cpu rises with
     #     wall) and still flags — the discriminator the probes lack.
     burst = mk_run(host=1.15)
-    burst["queries_min"]["q906_big"] *= 2.0
-    burst["queries"]["q906_big"] *= 2.0
-    burst["task_run_ms"]["q906_big"] *= 2  # wall doubled...
+    burst["queries_min"]["q906_big"] *= 1.8
+    burst["queries"]["q906_big"] *= 1.8
+    burst["task_run_ms"]["q906_big"] = int(burst["task_run_ms"]["q906_big"] * 1.8)
     # ...but task_cpu_ms stays: the tasks were starved, not working.
     rc, out = run(base, burst)
     check("cpu-share collapse exits 0", rc == 0, out)
     check("cpu-share collapse masked", "MASKED-CONTENDED q906_big" in out
           and "cpu-share collapse" in out, out)
+
+    # 11. Round-13 verdict #10: the cpu-share mask may NEVER absorb a >2x
+    #     single-query inflation at byte-identical shuffles when the
+    #     probes read idle (the r13 q297 shape: 56x at quiet probes, cpu
+    #     share 43% — a lock-convoy regression whose share collapse looks
+    #     exactly like starvation). A 3x planted inflation with a cpu
+    #     collapse MUST flag REGRESSION, not MASKED-CONTENDED.
+    convoy = mk_run(host=1.15)
+    convoy["queries_min"]["q906_big"] *= 3.0
+    convoy["queries"]["q906_big"] *= 3.0
+    convoy["task_run_ms"]["q906_big"] *= 3  # tasks ran 3x longer...
+    # ...at flat CPU — share collapsed to 30%, like the q297 convoy.
+    rc, out = run(base, convoy)
+    check("q297-shape convoy exits 1", rc == 1, out)
+    check("q297-shape convoy flagged REGRESSION", "REGRESSION q906_big" in out, out)
+    check("q297-shape convoy NOT masked", "MASKED-CONTENDED q906_big" not in out, out)
 
     # 9. Shuffle-jitter family: a listed query tolerates 3% byte drift; an
     #    unlisted one does not; beyond the listed tolerance still flags.
